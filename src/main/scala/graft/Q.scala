@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named query with an optional DuckDB oracle.
+  *
+  * Keeping the Spark implementation and the oracle SQL side by side is
+  * the main defense against the driver's hash-compare: column names,
+  * rounding formulas and ordering must match in both.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+
+  /** No DuckDB oracle (streaming / approximate / LSH ops) — the driver
+    * records a weaker rows-only check; scalatest covers semantics. */
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+
+  // ---- parity helpers -----------------------------------------------------
+  // Spark's round() is HALF_UP on the decimal string while DuckDB rounds the
+  // binary double — they disagree on values like 2.675. floor(x*K+0.5)/K is
+  // pure IEEE double arithmetic, bit-identical in both engines (SURVEY §7).
+
+  /** round to 2 decimals, identical formula in Spark and DuckDB. */
+  def r2(c: Column): Column = floor(c * 100 + 0.5) / 100
+  /** round to 4 decimals. */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  /** round to 6 decimals. */
+  def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+
+  /** DuckDB-side twin of [[r2]]/[[r4]]/[[r6]]. */
+  def sqlR2(e: String): String = s"floor(($e)*100+0.5)/100"
+  def sqlR4(e: String): String = s"floor(($e)*10000+0.5)/10000"
+  def sqlR6(e: String): String = s"floor(($e)*1000000+0.5)/1000000"
+
+  /** Event timestamps truncated to whole epoch seconds — the only safe way
+    * to compare a parquet-nanos column across Spark (µs) and DuckDB (ns). */
+  def epochSec(c: Column): Column = unix_timestamp(c)
+  def sqlEpochSec(e: String): String =
+    s"CAST(epoch(date_trunc('second', $e)) AS BIGINT)"
+}

@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY §2.4).
+  *
+  * All of these are partial+final HashAggregate in Spark: map-side combine
+  * happens before the single shuffle on the group keys, so at 100 TB the
+  * shuffled volume is #groups × #partitions, not #rows. Group counts here
+  * are tiny-to-moderate (flags, priorities, users) — no skew concern.
+  */
+object Aggregates {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: the canonical multi-aggregate scan.
+    Q("q_agg_hash",
+      """SELECT l_returnflag, l_linestatus,
+        |       floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        |       floor((sum(l_extendedprice))*100+0.5)/100 AS sum_base,
+        |       floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS sum_disc,
+        |       floor((avg(l_quantity))*10000+0.5)/10000 AS avg_qty,
+        |       floor((avg(l_extendedprice))*10000+0.5)/10000 AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-08-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-08-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Q.r2(sum(col("l_quantity"))).as("sum_qty"),
+          Q.r2(sum(col("l_extendedprice"))).as("sum_base"),
+          Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+          Q.r4(avg(col("l_quantity"))).as("avg_qty"),
+          Q.r4(avg(col("l_extendedprice"))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Exact multi-distinct (Catalyst rewrites via Expand).
+    Q("q_agg_distinct",
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // HLL++ sketch — the scale path for distinct counting (no oracle: the
+    // sketch differs from DuckDB's; q_agg_distinct carries the exact twin).
+    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // ROLLUP with coalesced labels (grouping_id formats differ per engine,
+    // label columns are portable).
+    Q("q_agg_rollup",
+      """SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        |       coalesce(o_orderstatus, 'ALL') AS st,
+        |       count(*) AS n,
+        |       floor((sum(o_totalprice))*100+0.5)/100 AS total
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        |ORDER BY yr, st""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("yr0"), col("o_orderstatus").as("st0"))
+        .agg(count(lit(1)).as("n"), Q.r2(sum(col("o_totalprice"))).as("total"))
+        .select(
+          coalesce(col("yr0").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("st0"), lit("ALL")).as("st"),
+          col("n"), col("total"))
+        .orderBy("yr", "st")
+    },
+
+    Q("q_agg_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pri,
+        |       count(*) AS n,
+        |       floor((sum(o_totalprice))*100+0.5)/100 AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .cube(col("o_orderstatus").as("st0"), col("o_orderpriority").as("pri0"))
+        .agg(count(lit(1)).as("n"), Q.r2(sum(col("o_totalprice"))).as("total"))
+        .select(
+          coalesce(col("st0"), lit("ALL")).as("st"),
+          coalesce(col("pri0"), lit("ALL")).as("pri"),
+          col("n"), col("total"))
+        .orderBy("st", "pri")
+    },
+
+    // GROUPING SETS via SQL (the DataFrame API has no direct form).
+    Q("q_agg_gsets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pri,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY st, pri""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_gsets")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+          |       coalesce(o_orderpriority, 'ALL') AS pri,
+          |       count(*) AS n
+          |FROM orders_gsets
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY st, pri""".stripMargin)
+    },
+
+    // Conditional aggregation: CASE-sum and FILTER-count.
+    Q("q_agg_filtered",
+      """SELECT l_returnflag,
+        |       floor((sum(l_extendedprice) FILTER (WHERE l_discount > 0.05))*100+0.5)/100 AS disc_base,
+        |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Q.r2(sum(when(col("l_discount") > 0.05, col("l_extendedprice")))).as("disc_base"),
+          count(when(col("l_quantity") > 25, lit(1))).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Statistical aggregates + exact interpolated percentile.
+    Q("q_agg_stats",
+      """SELECT l_linestatus,
+        |       floor((stddev_samp(l_quantity))*10000+0.5)/10000 AS sd_qty,
+        |       floor((var_samp(l_quantity))*10000+0.5)/10000 AS var_qty,
+        |       floor((corr(l_extendedprice, l_quantity))*1000000+0.5)/1000000 AS corr_pq,
+        |       floor((quantile_cont(l_quantity, 0.5))*10000+0.5)/10000 AS median_qty
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          Q.r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          Q.r4(var_samp(col("l_quantity"))).as("var_qty"),
+          Q.r6(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
+          Q.r4(percentile(col("l_quantity"), lit(0.5))).as("median_qty"))
+        .orderBy("l_linestatus")
+    },
+
+    // Per-group ordered collection, emitted as a CSV string (portable across
+    // engines; list hashing is not).
+    Q("q_agg_collect",
+      """SELECT o_custkey,
+        |       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          array_join(
+            transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+            ",").as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    },
+
+    // Pivot: event_type → columns of counts per user.
+    Q("q_pivot",
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    }
+  )
+}

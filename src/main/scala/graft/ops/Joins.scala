@@ -1,0 +1,218 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY §2.3, batch side).
+  *
+  * Scale notes (the point of each variant):
+  *  - broadcast joins are pinned with broadcast() where the dim side is
+  *    known-small, so the plan never degrades to a shuffle at 100 TB;
+  *  - large-large joins shuffle on their equi-keys (sort-merge) and are
+  *    spillable; AQE may switch to shuffled-hash at runtime — both fine;
+  *  - the theta/band join keeps an equi-key (user_id) in the condition so
+  *    Spark plans SMJ-with-residual, NOT a nested-loop cross product;
+  *  - the as-of join is the union-tag + running-last trick: one shuffle by
+  *    user_id, no per-row subquery, linear in input size.
+  */
+object Joins {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Broadcast hash join: fact ⋈ small dim, pinned with a hint.
+    Q("q_join_bhj",
+      """SELECT p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .join(broadcast(Tables.load(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("p_brand")
+    },
+
+    // Large-large sort-merge join (hinted so the plan is stable even when
+    // AQE would broadcast at toy scale).
+    Q("q_join_smj",
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       floor((sum(l_quantity))*100+0.5)/100 AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), Q.r2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Star join (TPC-H Q5 shape): region → nation → customer → orders →
+    // lineitem, dims broadcast, fact tables shuffle once on their keys.
+    Q("q_join_multiway",
+      """SELECT n_name,
+        |       floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM region
+        |JOIN nation   ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      starJoin(s, d)
+    },
+
+    // Left outer with a genuinely null-producing right side (customers
+    // without any 'P'-status order).
+    Q("q_join_left",
+      """SELECT c_custkey,
+        |       CAST(count(o.o_orderkey) AS BIGINT) AS n_pending,
+        |       count(o.o_orderkey) = 0 AS has_none
+        |FROM customer c
+        |LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val p = Tables.load(s, d, "orders").filter(col("o_orderstatus") === "P")
+      c.join(p, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_pending"),
+          (count(col("o_orderkey")) === 0).as("has_none"))
+        .orderBy("c_custkey")
+    },
+
+    // Full outer: per-user purchase counts vs error counts; both sides can
+    // be missing.
+    Q("q_join_full",
+      """SELECT coalesce(p.user_id, e.user_id) AS user_id,
+        |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_purchases,
+        |       CAST(coalesce(e.n, 0) AS BIGINT) AS n_errors
+        |FROM      (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+        |FULL JOIN (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'error'    GROUP BY user_id) e
+        |  ON p.user_id = e.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase").groupBy("user_id").agg(count(lit(1)).as("n"))
+      val e = ev.filter(col("event_type") === "error").groupBy("user_id").agg(count(lit(1)).as("n"))
+      p.as("p").join(e.as("e"), col("p.user_id") === col("e.user_id"), "full")
+        .select(
+          coalesce(col("p.user_id"), col("e.user_id")).as("user_id"),
+          coalesce(col("p.n"), lit(0L)).as("n_purchases"),
+          coalesce(col("e.n"), lit(0L)).as("n_errors"))
+        .orderBy("user_id")
+    },
+
+    // Semi join = EXISTS: customers having at least one big order.
+    Q("q_join_semi",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+      c.join(o, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // Anti join = NOT EXISTS: customers with no 'P'-status order.
+    Q("q_join_anti",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // Band (theta) join: event pairs for the same user within 60 s. The
+    // user_id equality keeps this an equi-join with a range residual —
+    // never a cross product. Timestamps are compared at whole-second
+    // precision (the only safe cross-engine representation, SURVEY §7).
+    Q("q_join_theta",
+      """WITH e AS (SELECT user_id, event_id,
+        |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |           FROM events)
+        |SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND a.event_id < b.event_id
+        | AND abs(a.es - b.es) <= 60
+        |GROUP BY a.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), Q.epochSec(col("ts")).as("es"))
+      val a = e.as("a")
+      val b = e.as("b")
+      a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.es") - col("b.es")) <= 60)
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
+    // As-of join: each purchase gets the user's latest strictly-prior view
+    // timestamp. Implemented the scalable way: union-tag + running
+    // last(ignoreNulls) over one user_id shuffle (no per-row subquery).
+    // The oracle states the same semantics as a correlated max.
+    Q("q_join_asof",
+      """SELECT e.event_id, e.user_id,
+        |       (SELECT CAST(max(epoch(date_trunc('second', v.ts))) AS BIGINT)
+        |        FROM events v
+        |        WHERE v.user_id = e.user_id AND v.event_type = 'view'
+        |          AND epoch(date_trunc('second', v.ts)) < epoch(date_trunc('second', e.ts))
+        |       ) AS prior_view_es
+        |FROM events e
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), Q.epochSec(col("ts")).as("es"))
+      // rangeBetween(-inf, -1) over integer seconds == strictly-prior rows
+      // (ties at the same second are excluded on both sides).
+      val w = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.withColumn("view_es", when(col("event_type") === "view", col("es")))
+        .withColumn("prior_view_es", max(col("view_es")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "prior_view_es")
+        .orderBy("event_id")
+    }
+  )
+
+  /** Flagship star join — also SparkEntry.entry. */
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(s, d, "nation")
+    val customer = Tables.load(s, d, "customer")
+    val orders = Tables.load(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val lineitem = Tables.load(s, d, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+}

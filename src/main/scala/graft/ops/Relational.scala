@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, projection/filter, sort/limit and set operations (SURVEY §2.1,
+  * §2.2, §2.6, §2.7).
+  *
+  * Every oracle-declared query ends in an ORDER BY on a unique key and
+  * rounds aggregated doubles with the floor-formula (Q.r2) so the driver's
+  * hash-compare against DuckDB is deterministic. Raw (non-aggregated)
+  * doubles are projected as-is: both engines read the same parquet bits
+  * and per-row IEEE arithmetic with an identical expression tree is
+  * bit-exact.
+  */
+object Relational {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -- §2.1 scans ----------------------------------------------------------
+
+    // Full scan with count + column checksums. At 100 TB this is a pure
+    // map-side partial-aggregate: one pass, no shuffle beyond the final
+    // single-row merge.
+    Q("q_scan_parquet",
+      """SELECT count(*) AS n_rows,
+        |       floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |       CAST(min(l_linenumber) AS INT) AS min_line,
+        |       CAST(max(l_linenumber) AS INT) AS max_line
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        Q.r2(sum(col("l_quantity"))).as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        min(col("l_linenumber")).as("min_line"),
+        max(col("l_linenumber")).as("max_line"))
+    },
+
+    // Pruned scan: 3 of 11 columns + a pushed-down predicate. The physical
+    // plan must show PushedFilters + a 3-column ReadSchema.
+    Q("q_scan_pruned",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-06-01")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // -- §2.2 projection / filter -------------------------------------------
+
+    Q("q_project",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS revenue,
+        |       (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          ((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q_filter_pred",
+      """SELECT p_partkey, p_brand, p_type, p_size
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 30
+        |  AND (p_brand IN ('Brand#1','Brand#3') OR p_type LIKE 'PROMO%')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "part")
+        .filter(col("p_size").between(10, 30) &&
+          (col("p_brand").isin("Brand#1", "Brand#3") || col("p_type").like("PROMO%")))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")
+    },
+
+    // Three-valued logic: nulls are manufactured with nullif (the test
+    // tables have none), then probed with IS NULL / IS NOT NULL / the
+    // null-safe equality operator (<=> vs IS NOT DISTINCT FROM).
+    Q("q_filter_null",
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'P') AS s,
+        |       nullif(o_orderstatus, 'P') IS NULL AS s_is_null,
+        |       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS s_eq_f
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+      val sCol = nullif(col("o_orderstatus"), lit("P"))
+      o.filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"),
+          sCol.as("s"),
+          sCol.isNull.as("s_is_null"),
+          (sCol <=> lit("F")).as("s_eq_f"))
+        .orderBy("o_orderkey")
+    },
+
+    // -- §2.6 sort / limit ----------------------------------------------------
+
+    Q("q_sort_multi",
+      """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |ORDER BY c_nationkey DESC NULLS LAST, c_mktsegment ASC, c_custkey ASC""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy(col("c_nationkey").desc_nulls_last, col("c_mktsegment").asc, col("c_custkey").asc)
+    },
+
+    // Global top-k: Spark plans this as TakeOrderedAndProject — per-partition
+    // top-20 then a single driver-side merge of 20-row heaps, no full sort
+    // at any scale.
+    Q("q_topk",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+
+    // -- §2.7 set operations ---------------------------------------------------
+
+    Q("q_union_all",
+      """SELECT c_custkey, 'seg' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, 'bal' AS src FROM customer WHERE c_acctbal > 7500.0
+        |ORDER BY c_custkey, src""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"), lit("seg").as("src"))
+        .unionAll(
+          c.filter(col("c_acctbal") > 7500.0).select(col("c_custkey"), lit("bal").as("src")))
+        .orderBy("c_custkey", "src")
+    },
+
+    Q("q_union_distinct",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 7500.0).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    },
+
+    Q("q_intersect",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300.0
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(
+          e.filter(col("event_type") === "error" && col("value") > 300.0).select("user_id"))
+        .orderBy("user_id")
+    },
+
+    Q("q_except",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300.0
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .except(
+          e.filter(col("event_type") === "error" && col("value") > 300.0).select("user_id"))
+        .orderBy("user_id")
+    }
+  )
+}
