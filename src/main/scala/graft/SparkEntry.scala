@@ -10,8 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] =
-    ops.Relational.defs ++ ops.Joins.defs ++ ops.Aggregates.defs
+  private def allDefs: Seq[QueryDef] = {
+    val defs =
+      ops.Relational.defs ++ ops.Joins.defs ++ ops.Aggregates.defs ++
+        ops.Windows.defs ++ ops.Scalars.defs
+    // a duplicate name would silently drop an implementation in the
+    // Map build below — fail loudly instead
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

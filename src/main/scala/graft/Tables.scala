@@ -103,13 +103,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
+  /** Required session setting for reading events.parquet (TIMESTAMP(NANOS),
+    * which Spark's µs TimestampType cannot represent): read nanos as a raw
+    * LongType. Set at session construction in Verify/Bench/Smoke and the
+    * test harness — see [[nanosConf]].
+    */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** events with ts as TimestampType (nanos truncated to micros — the
     * same value DuckDB sees after date_trunc to any >=µs precision).
     * Integer division keeps full precision (a double round-trip would
     * lose bits above 2^53).
+    *
+    * [[NanosAsLongKey]] is expected to be set at session construction;
+    * if the calling harness did not (e.g. an external driver probing a
+    * single query), it is applied here once — documented, not silent.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
+      spark.conf.set(NanosAsLongKey, "true")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

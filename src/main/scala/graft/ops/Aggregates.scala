@@ -106,7 +106,8 @@ object Aggregates {
         .orderBy("st", "pri")
     },
 
-    // GROUPING SETS via SQL (the DataFrame API has no direct form).
+    // GROUPING SETS via the Dataset.groupingSets API (Spark 4.x) — no
+    // temp view, no session-catalog side effects.
     Q("q_agg_gsets",
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
         |       coalesce(o_orderpriority, 'ALL') AS pri,
@@ -114,14 +115,16 @@ object Aggregates {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY st, pri""".stripMargin) { (s, d) =>
-      Tables.load(s, d, "orders").createOrReplaceTempView("orders_gsets")
-      s.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
-          |       coalesce(o_orderpriority, 'ALL') AS pri,
-          |       count(*) AS n
-          |FROM orders_gsets
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-          |ORDER BY st, pri""".stripMargin)
+      Tables.load(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"))
+        .orderBy("st", "pri")
     },
 
     // Conditional aggregation: CASE-sum and FILTER-count.

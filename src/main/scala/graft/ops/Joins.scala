@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
 /** Joins (SURVEY §2.3, batch side).
   *
   * Scale notes (the point of each variant):
-  *  - broadcast joins are pinned with broadcast() where the dim side is
-  *    known-small, so the plan never degrades to a shuffle at 100 TB;
+  *  - broadcast() hints are pinned ONLY on fixed-cardinality dims
+  *    (region: 5 rows, nation: 25 rows — constant at every scale
+  *    factor). Tables that grow with the scale factor (part, customer)
+  *    are left unhinted: AQE's runtime size check picks broadcast when
+  *    the build side fits and falls back to shuffle when it doesn't,
+  *    which is the only safe policy at 100 TB;
   *  - large-large joins shuffle on their equi-keys (sort-merge) and are
   *    spillable; AQE may switch to shuffled-hash at runtime — both fine;
   *  - the theta/band join keeps an equi-key (user_id) in the condition so
@@ -21,7 +25,9 @@ object Joins {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // Broadcast hash join: fact ⋈ small dim, pinned with a hint.
+    // Broadcast hash join: fact ⋈ dim. part grows with the scale factor,
+    // so the broadcast decision is left to AQE (runtime size check)
+    // instead of a pinned hint that would OOM at 100 TB.
     Q("q_join_bhj",
       """SELECT p_brand,
         |       CAST(count(*) AS BIGINT) AS n_items,
@@ -30,7 +36,7 @@ object Joins {
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin) { (s, d) =>
       Tables.load(s, d, "lineitem")
-        .join(broadcast(Tables.load(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.load(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n_items"),
@@ -195,7 +201,12 @@ object Joins {
     }
   )
 
-  /** Flagship star join — also SparkEntry.entry. */
+  /** Flagship star join — also SparkEntry.entry.
+    *
+    * broadcast() pinned only on region/nation (fixed 5/25 rows at any
+    * scale); customer grows with SF, so its join is unhinted and AQE
+    * chooses broadcast vs shuffle from runtime sizes.
+    */
   def starJoin(s: SparkSession, d: String): DataFrame = {
     val region = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
     val nation = Tables.load(s, d, "nation")
@@ -206,7 +217,7 @@ object Joins {
     val lineitem = Tables.load(s, d, "lineitem")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2.5).
+  *
+  * Parity rules applied throughout:
+  *  - every window ORDER BY that feeds row_number/ntile/first/last is
+  *    TOTAL (ends in a unique key) — otherwise both engines are free to
+  *    order ties differently and the hash-compare is a coin flip;
+  *  - rank/dense_rank may use a coarser (tied) ordering — equal rows get
+  *    equal ranks in both engines, so that stays deterministic;
+  *  - frames are pinned explicitly wherever the engines' defaults could
+  *    differ (last_value with the default RANGE frame is the classic trap);
+  *  - running/moving sums round the INPUT level first (Q.r2) so the
+  *    sequential frame accumulation downstream operates on identical
+  *    doubles in both engines.
+  *
+  * Scale: a window = one shuffle on partitionBy keys + a per-partition
+  * sort. Partition keys here (customer, user, brand, segment) have high
+  * cardinality — no single-reducer hotspot at 100 TB. None of these use
+  * an empty partitionBy (a global window would serialize on one task;
+  * the only global ordering in the file is q_win_moving's day-level
+  * frame, which operates on ~2.5k aggregated rows, not raw data).
+  */
+object Windows {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // row_number (total order) + rank/dense_rank (coarse order with real
+    // ties: order-year only).
+    Q("q_win_rank",
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC, o_orderkey) AS rn,
+        |       rank()       OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS rnk,
+        |       dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS drnk
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val byYearTotal = Window.partitionBy("o_custkey")
+        .orderBy(col("yr").desc, col("o_orderkey"))
+      val byYear = Window.partitionBy("o_custkey").orderBy(col("yr").desc)
+      Tables.load(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(byYearTotal).cast("long").as("rn"),
+          rank().over(byYear).cast("long").as("rnk"),
+          dense_rank().over(byYear).cast("long").as("drnk"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Top-3 parts by revenue per brand. Revenue is rounded BEFORE ranking
+    // so rank ties resolve identically in both engines (then p_partkey
+    // breaks exact ties).
+    Q("q_win_topk_group",
+      """WITH pr AS (
+        |  SELECT p_brand, p_partkey,
+        |         floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+        |      FROM pr)
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin) { (s, d) =>
+      val pr = Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+      pr.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+        .orderBy("p_brand", "rnk")
+    },
+
+    // Running revenue per customer. Per-order totalprice comes from
+    // parquet (identical bits both sides); the prefix sum accumulates in
+    // the same total frame order in both engines, so rounding only the
+    // final output is safe.
+    Q("q_win_running",
+      """SELECT o_custkey, o_orderkey,
+        |       floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*100+0.5)/100 AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          Q.r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // lag/lead of event time per user + gap seconds (whole-second epoch —
+    // the only safe cross-engine timestamp representation, SURVEY §7).
+    Q("q_win_lag",
+      """WITH e AS (SELECT event_id, user_id,
+        |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |           FROM events)
+        |SELECT event_id, user_id, es,
+        |       lag(es)  OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es,
+        |       lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS next_es,
+        |       es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap_sec
+        |FROM e
+        |ORDER BY user_id, es, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Q.epochSec(col("ts")).as("es"))
+        .select(
+          col("event_id"), col("user_id"), col("es"),
+          lag(col("es"), 1).over(w).as("prev_es"),
+          lead(col("es"), 1).over(w).as("next_es"),
+          (col("es") - lag(col("es"), 1).over(w)).as("gap_sec"))
+        .orderBy("user_id", "es", "event_id")
+    },
+
+    // 7-row moving average of daily revenue. Daily revenue is rounded
+    // (r2) so the two engines feed identical doubles into the frame; the
+    // moving sum then accumulates identically, and the final avg is r4.
+    Q("q_win_moving",
+      """WITH daily AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+        |         floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, rev,
+        |       floor((avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS ma7
+        |FROM daily
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+        .agg(Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      daily
+        .select(col("day"), col("rev"), Q.r4(avg(col("rev")).over(w)).as("ma7"))
+        .orderBy("day")
+    },
+
+    // ntile + first_value/last_value with the frame pinned to the whole
+    // partition (the default RANGE..CURRENT ROW frame would make
+    // last_value == current row — a classic silent-difference trap).
+    Q("q_win_ntile_firstlast",
+      """SELECT c_custkey, c_mktsegment,
+        |       ntile(4) OVER w AS quartile,
+        |       first_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+        |       last_value(c_custkey)  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val order = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, d, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(order).cast("long").as("quartile"),
+          first(col("c_custkey")).over(full).as("richest"),
+          last(col("c_custkey")).over(full).as("poorest"))
+        .orderBy("c_custkey")
+    }
+  )
+}
