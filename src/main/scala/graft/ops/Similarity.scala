@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search + embedding dedup over `embeddings` (SURVEY §2.10).
+  *
+  * Cosine is computed with codegen'd higher-order functions
+  * (zip_with + aggregate) in double precision, with the EXACT same
+  * formula text mirrored in the DuckDB oracle
+  * (list_inner_product / sqrt·sqrt), so accumulation order and the
+  * final division agree; scores are rounded (r4) before ranking so
+  * rank ties resolve identically in both engines.
+  *
+  * Scale shapes:
+  *  - q_sim_brute is probe-bounded: |probes| × |corpus|, with the probe
+  *    side broadcast — the corpus is never shuffled, so it scales to any
+  *    corpus size as long as the probe set is small;
+  *  - q_dedup_embed blocks candidate pairs by an 8-bit sign-sketch
+  *    (SimHash over identity projections) before computing exact cosine:
+  *    the self-join runs on the bucket key, never all-pairs;
+  *  - q_knn_lsh is the fully-approximate path (random-projection LSH
+  *    from spark.ml) for when even bucketed exact cosine is too wide.
+  */
+object Similarity {
+
+  /** embedding (float[]) widened to double[] once. */
+  private def widened(df: DataFrame): DataFrame =
+    df.withColumn("de", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+
+  private val dot: (String, String) => Column = (x, y) =>
+    expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-5 for 10 probe vectors. The probe side is
+    // broadcast; corpus scans stay partition-local.
+    Q("q_sim_brute",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |n AS (SELECT vec_id, de, sqrt(list_inner_product(de, de)) AS nrm FROM e),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |             floor((list_inner_product(p.de, c.de) / (p.nrm * c.nrm))*10000+0.5)/10000 AS score
+        |      FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, cand_id, score, rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rnk
+        |      FROM s)
+        |WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      val e = widened(Tables.load(s, d, "embeddings"))
+        .withColumn("nrm", sqrt(dot("de", "de")))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("de").as("pde"), col("nrm").as("pnrm"))
+      val cands = e.select(col("vec_id").as("cand_id"), col("de").as("cde"), col("nrm").as("cnrm"))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+      cands.crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          Q.r4(dot("pde", "cde") / (col("pnrm") * col("cnrm"))).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("probe_id", "rnk")
+    },
+
+    // Embedding near-dup: candidates blocked by an 8-bit sign sketch
+    // (dims 0,8,…,56), exact cosine within the bucket. The sketch is the
+    // blocking key — two near-identical vectors agree on most sign bits,
+    // so true near-dups co-bucket with high probability while the join
+    // stays ~|bucket|² per bucket, not |corpus|².
+    Q("q_dedup_embed",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+        |                  (CASE WHEN embedding[1]  > 0 THEN 1   ELSE 0 END +
+        |                   CASE WHEN embedding[9]  > 0 THEN 2   ELSE 0 END +
+        |                   CASE WHEN embedding[17] > 0 THEN 4   ELSE 0 END +
+        |                   CASE WHEN embedding[25] > 0 THEN 8   ELSE 0 END +
+        |                   CASE WHEN embedding[33] > 0 THEN 16  ELSE 0 END +
+        |                   CASE WHEN embedding[41] > 0 THEN 32  ELSE 0 END +
+        |                   CASE WHEN embedding[49] > 0 THEN 64  ELSE 0 END +
+        |                   CASE WHEN embedding[57] > 0 THEN 128 ELSE 0 END) AS bucket
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, de, bucket, sqrt(list_inner_product(de, de)) AS nrm FROM e)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       floor((list_inner_product(a.de, b.de) / (a.nrm * b.nrm))*10000+0.5)/10000 AS score
+        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.de, b.de) / (a.nrm * b.nrm) >= 0.35
+        |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      val bucket = (0 until 8).map { j =>
+        when(element_at(col("embedding"), j * 8 + 1) > 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val e = widened(Tables.load(s, d, "embeddings"))
+        .withColumn("bucket", bucket)
+        .withColumn("nrm", sqrt(dot("de", "de")))
+      val a = e.select(col("vec_id").as("v1"), col("de").as("d1"),
+        col("bucket").as("bk1"), col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("v2"), col("de").as("d2"),
+        col("bucket").as("bk2"), col("nrm").as("n2"))
+      val cos = dot("d1", "d2") / (col("n1") * col("n2"))
+      a.join(b, col("bk1") === col("bk2") && col("v1") < col("v2"))
+        .filter(cos >= 0.35)
+        .select(col("v1"), col("v2"), Q.r4(cos).as("score"))
+        .orderBy("v1", "v2")
+    },
+
+    // Approximate kNN via random-projection LSH (spark.ml) — the scale
+    // path when bucketed exact cosine is still too wide. Seeded, but the
+    // hash family is engine-specific → rows-only check; q_sim_brute
+    // carries the exact oracle.
+    Q.noOracle("q_knn_lsh") { (s, d) =>
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(2.0).setNumHashTables(3).setSeed(42)
+      val model = lsh.fit(e)
+      val probes = e.filter(col("vec_id") < 10)
+      val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("cand_id"))
+      model.approxSimilarityJoin(probes, e, 10.0, "dist")
+        .select(
+          col("datasetA.vec_id").as("probe_id"),
+          col("datasetB.vec_id").as("cand_id"),
+          Q.r6(col("dist")).as("dist"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("probe_id", "rnk")
+    },
+
+    // Multimodal record: text metadata ⋈ embedding into a nested struct
+    // (doc + emb), then scalar projections for the oracle (struct literal
+    // parity across engines is fragile; the array IS carried through the
+    // join and reduced to a norm).
+    Q("q_multimodal",
+      """SELECT d.doc_id, d.lang, d.n_chars, e.label,
+        |       floor((sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))*10000+0.5)/10000 AS emb_norm,
+        |       substring(d.text, 1, 20) AS head20
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.lang IN ('en', 'de') AND e.label < 5
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val emb = widened(Tables.load(s, d, "embeddings"))
+      val rec = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(struct(
+          struct(col("doc_id"), col("text"), col("lang"), col("n_chars")).as("doc"),
+          struct(col("vec_id"), col("de"), col("label")).as("emb")).as("r"))
+      rec
+        .filter(col("r.doc.lang").isin("en", "de") && col("r.emb.label") < 5)
+        .select(
+          col("r.doc.doc_id").as("doc_id"),
+          col("r.doc.lang").as("lang"),
+          col("r.doc.n_chars").as("n_chars"),
+          col("r.emb.label").as("label"),
+          Q.r4(sqrt(expr(
+            "aggregate(zip_with(r.emb.de, r.emb.de, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")))
+            .as("emb_norm"),
+          substring(col("r.doc.text"), 1, 20).as("head20"))
+        .orderBy("doc_id")
+    }
+  )
+}
