@@ -14,7 +14,8 @@ object SparkEntry {
     val defs =
       ops.Relational.defs ++ ops.Joins.defs ++ ops.Aggregates.defs ++
         ops.Windows.defs ++ ops.Scalars.defs ++
-        ops.TextPipeline.defs ++ ops.Similarity.defs ++ ops.Multimodal.defs
+        ops.TextPipeline.defs ++ ops.Similarity.defs ++ ops.Multimodal.defs ++
+        ops.TimeWindows.defs
     // a duplicate name would silently drop an implementation in the
     // Map build below — fail loudly instead
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

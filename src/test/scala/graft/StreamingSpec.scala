@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Ev, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental semantics of the §2.9 streaming transforms, driven by
+  * MemoryStream batch-by-batch (the batch twins in ops.TimeWindows carry
+  * the DuckDB oracle for the same logic). */
+class StreamingSpec extends SparkSpec {
+
+  /** Test clock: minutes after an arbitrary base well past epoch 0
+    * (rows AT the initial watermark value of 0 are edge-dropped). */
+  private val baseSec = 1000L * 600L
+  private def ts(min: Int): Timestamp = new Timestamp((baseSec + min * 60L) * 1000L)
+
+  private def ev(id: Long, min: Int, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): Ev =
+    Ev(id, ts(min), user, typ, v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("tumbling windows aggregate per 10-minute bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.tumbling(in.toDF())
+      .writeStream.format("memory").queryName("t_tumble").outputMode("complete").start()
+    withQuery(q) {
+      in.addData(ev(1, 0), ev(2, 5), ev(3, 12, typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("t_tumble")
+        .selectExpr("unix_timestamp(window.start) AS s", "event_type", "n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows === Set((baseSec, "click", 2L), (baseSec + 600L, "view", 1L)))
+    }
+  }
+
+  test("watermark drops late rows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.tumbling(in.toDF())
+      .writeStream.format("memory").queryName("t_wm").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 0), ev(2, 5)) // window [0,10)
+      q.processAllAvailable()
+      in.addData(ev(3, 25)) // advances watermark to 15 after this batch
+      q.processAllAvailable()
+      in.addData(ev(4, 45)) // batch runs with wm=15 → finalizes [0,10)
+      q.processAllAvailable()
+      in.addData(ev(5, 2)) // LATE: event time 2 < watermark → dropped
+      q.processAllAvailable()
+      in.addData(ev(6, 90)) // flush: finalize remaining windows
+      q.processAllAvailable()
+      val rows = spark.table("t_wm")
+        .selectExpr("unix_timestamp(window.start) AS s", "n")
+        .as[(Long, Long)].collect().toMap
+      assert(rows(baseSec) === 2L, "late row must not be added to the closed [0,10) window")
+      assert(rows(baseSec + 1200L) === 1L) // the ev(3, 25) window [20,30)
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark emits a replayed event_id once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      in.addData(ev(1, 0), ev(3, 2)) // event_id 1 replayed (at-least-once source)
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id").as[Long].collect().toList
+      assert(ids.sorted === List(1L, 2L, 3L))
+    }
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.userTotals(in.toDS())
+      .writeStream.format("memory").queryName("t_state").outputMode("update").start()
+    withQuery(q) {
+      in.addData(ev(1, 0, user = 7, v = 1.5), ev(2, 1, user = 7, v = 2.5))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 7, v = 4.0), ev(4, 2, user = 8, v = 1.0))
+      q.processAllAvailable()
+      // update-mode memory sink appends every state update; the latest
+      // row per user is the current state
+      val rows = spark.table("t_state").as[graft.streaming.UserTotals]
+        .collect().groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(rows(7L).n_events === 3L)
+      assert(rows(7L).sum_value === 8.0)
+      assert(rows(8L).n_events === 1L)
+    }
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.sessions(in.toDF())
+      .writeStream.format("memory").queryName("t_sess").outputMode("complete").start()
+    withQuery(q) {
+      // user 1: events at 0 and 10 min (gap 10 < 30 → one session),
+      // then 70 min (gap 60 ≥ 30 → new session)
+      in.addData(ev(1, 0), ev(2, 10), ev(3, 70))
+      q.processAllAvailable()
+      val rows = spark.table("t_sess")
+        .selectExpr("user_id",
+          "unix_timestamp(session_window.start) AS s",
+          "unix_timestamp(session_window.end) AS e", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows === Set(
+        (1L, baseSec, baseSec + 10 * 60 + 1800L, 2L), // [0, 10min] + 30min gap
+        (1L, baseSec + 70 * 60L, baseSec + 70 * 60 + 1800L, 1L)))
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting properties (SURVEY §5.4): stream/batch twin
+  * equivalence, dedup idempotence, top-k ⊆ sorted prefix, set algebra. */
+class TwinAndPropertySpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("batch twin q_tumbling_batch equals a direct epoch-floor grouping") {
+    val direct = Tables.events(spark, sfDir)
+      .select((Q.epochSec(col("ts")).cast("long")).as("es"),
+        col("event_type"), col("value"))
+      .groupBy(((col("es") / 600).cast("long") * 600).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.r2(sum(col("value"))).as("sum_value"))
+    val twin = q("q_tumbling_batch")
+    assert(twin.except(direct).isEmpty && direct.except(twin).isEmpty)
+  }
+
+  test("q_dedup_exact is idempotent and covers every document") {
+    val dedup = q("q_dedup_exact").cache()
+    val docs = Tables.load(spark, sfDir, "documents")
+    // coverage: copies across hash groups sum to the corpus size
+    assert(dedup.agg(sum("n_copies")).head().getLong(0) === docs.count())
+    // idempotence: dedup of the keeper set keeps everything (1 copy each)
+    val keepers = docs.join(dedup.select(col("keeper").as("doc_id")), "doc_id")
+    val again = keepers.groupBy(md5(col("text").cast("binary")))
+      .agg(count(lit(1)).as("n"))
+    assert(again.filter(col("n") > 1).isEmpty)
+    dedup.unpersist()
+  }
+
+  test("q_topk is the 20-row prefix of the full sort") {
+    val full = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20).collect()
+    assert(q("q_topk").collect().toSeq === full.toSeq)
+  }
+
+  test("union/except algebra: (A ∪ B) ∖ B ⊆ A and A ∩ B disjoint from A ∖ B") {
+    val e = Tables.events(spark, sfDir)
+    val a = e.filter(col("event_type") === "purchase").select("user_id")
+    val b = e.filter(col("event_type") === "error").select("user_id")
+    assert(a.union(b).except(b).except(a).isEmpty)
+    assert(a.intersect(b).intersect(a.except(b)).isEmpty)
+  }
+
+  test("as-of join: every matched prior view is strictly earlier") {
+    val asof = q("q_join_asof")
+    val views = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), Q.epochSec(col("ts")).as("v_es"))
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), Q.epochSec(col("ts")).as("p_es"))
+    val joined = asof.join(purchases, "event_id")
+    // constraint: prior_view_es < purchase es
+    assert(joined.filter(col("prior_view_es") >= col("p_es")).isEmpty)
+    // tightness: no view exists strictly between prior_view_es and p_es
+    val tighter = joined.join(views,
+        col("user_id") === col("v_user") &&
+        col("v_es") > col("prior_view_es") && col("v_es") < col("p_es"))
+    assert(tighter.isEmpty)
+  }
+
+  test("near-dup pairs all reach the Jaccard threshold and LSH recalls exact pairs") {
+    val near = q("q_dedup_near").cache()
+    assert(near.filter(col("jaccard") < 0.8).isEmpty)
+    // every exact-duplicate pair (identical text ⇒ Jaccard 1.0) must be
+    // among the deterministic-MinHash LSH candidates
+    val lsh = q("q_minhash_lsh")
+    val exactPairs = near.filter(col("jaccard") === 1.0).select("d1", "d2")
+    assert(exactPairs.except(lsh.select("d1", "d2")).isEmpty)
+    near.unpersist()
+  }
+}
