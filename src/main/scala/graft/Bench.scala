@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen + parquet-reader warmup so the first timed query does
+    // not absorb one-time session costs (shuffle machinery, codegen
+    // compiler, vectorized reader init).
+    spark.range(200000).selectExpr("id % 10 AS k", "id * 1.0 AS v")
+      .groupBy("k").sum("v").count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

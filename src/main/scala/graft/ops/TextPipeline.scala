@@ -33,16 +33,17 @@ object TextPipeline {
 
   /** Distinct 3-word shingles per doc: (doc_id, lang, shingle).
     * transform(sequence(...)) is codegen'd; docs shorter than 3 words
-    * yield no shingles. */
+    * yield no shingles. Dedup happens IN-ROW with array_distinct
+    * (shingle duplicates only ever occur within one document), so no
+    * shuffle is spent on it — at 100 TB that saves a full pass. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     withWords(Tables.load(s, d, "documents"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(expr(
+        explode(array_distinct(expr(
           """transform(sequence(0, size(words) - 3),
-            |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
+            |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
           .as("shingle"))
-      .distinct()
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -126,16 +127,20 @@ object TextPipeline {
         | AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       val sh = shingles(s, d)
-      val seeds = (0 until 8).map(lit(_))
-      val mh = sh
-        .select(col("doc_id"), col("lang"), explode(array(seeds: _*)).as("seed"), col("shingle"))
-        .groupBy("doc_id", "lang", "seed")
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")).cast("binary"))).as("mh"))
+      // All 8 min-hashes in ONE aggregation pass (8 agg columns instead
+      // of an 8× row explode + second shuffle): map-side partial mins
+      // reduce the shuffle to |docs| rows × 8 columns.
+      val mhAggs = (0 until 8).map { i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")
+      }
+      val mh = sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}")).as("band_key"))
+      }
       val bands = mh
-        .groupBy(col("doc_id"), col("lang"), (col("seed") / 2).cast("int").as("band"))
-        .agg(concat(
-          max(when(col("seed") % 2 === 0, col("mh"))), lit("|"),
-          max(when(col("seed") % 2 === 1, col("mh")))).as("band_key"))
+        .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.band_key").as("band_key"))
       val a = bands.as("a")
       val b = bands.as("b")
       a.join(b,

@@ -132,9 +132,12 @@ object Windows {
         |       floor((avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))*10000+0.5)/10000 AS ma7
         |FROM daily
         |ORDER BY day""".stripMargin) { (s, d) =>
+      // group on the (codegen'd) day-truncated timestamp; format the
+      // 2.5k aggregated rows, not the 600k input rows
       val daily = Tables.load(s, d, "lineitem")
-        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day_ts"))
         .agg(Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+        .select(date_format(col("day_ts"), "yyyy-MM-dd").as("day"), col("rev"))
       val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
       daily
         .select(col("day"), col("rev"), Q.r4(avg(col("rev")).over(w)).as("ma7"))
