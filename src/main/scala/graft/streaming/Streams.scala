@@ -67,6 +67,49 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: the streaming side keeps flowing, the
+    * static dim is broadcast per micro-batch (re-read each batch, so a
+    * slowly-changing dim refreshes). The direct generalization of the
+    * reference's per-record lookup transforms. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views within `lookback` before it. Watermarks on BOTH sides
+    * + a bounded time-range condition are what let Spark expire join
+    * state — without them state grows forever at 100 TB. */
+  def intervalJoin(purchases: DataFrame, views: DataFrame,
+                   lookback: String = "10 minutes",
+                   watermark: String = "20 minutes"): DataFrame = {
+    val p = purchases.select(
+      col("event_id").as("p_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val v = views.select(
+      col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("v_ts") < col("p_ts"))
+  }
+
+  /** Deterministic local source stand-in for Kafka (no broker/jar on this
+    * box): rate-micro-batch emits exactly `rowsPerBatch` rows per
+    * trigger, mapped onto the Ev shape. */
+  def rateSource(spark: org.apache.spark.sql.SparkSession, rowsPerBatch: Int = 10): DataFrame =
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 16).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (col("value") % 3 + 1).cast("int")).as("event_type"),
+        (col("value") % 100).cast("double").as("value"))
+
   /** Custom state: per-user running totals via flatMapGroupsWithState
     * (the typed state-store API; state lives on executors, partitioned
     * by the group key — scales horizontally with user cardinality). */

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that make the 100 TB design real
+  * (SURVEY §4). These are regression tests — an innocent-looking rewrite
+  * that drops a pushdown or degrades a join to a cartesian product fails
+  * here, not in production.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("q_scan_pruned pushes its predicate and prunes to 3 columns") {
+    val plan = SparkEntry.queries("q_scan_pruned")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"predicate must reach the parquet scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber") &&
+      readSchema.contains("l_extendedprice") && !readSchema.contains("l_quantity"),
+      s"scan must read only the 3 projected columns:\n$readSchema")
+  }
+
+  test("no declared query plans an unbroadcast cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degrades to CartesianProduct — unusable at scale:\n$plan")
+    }
+  }
+
+  test("star join broadcasts only the fixed-size dims") {
+    val df = SparkEntry.queries("q_join_multiway")(spark, sfDir)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    // region/nation arrive via BroadcastExchange (pinned); the plan must
+    // contain at least one broadcast and no nested-loop join
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("date-partitioned layout prunes partitions at scan time") {
+    val dir = tempDir("graft_part")
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("yr") === 1997)
+    val plan = pruned.queryExecution.sparkPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("(yr"),
+      s"partition filter must prune at file-listing time:\n$scanLine")
+    // and the pruned read returns exactly the 1997 rows
+    val expect = Tables.load(spark, sfDir, "orders")
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() === expect)
+  }
+
+  test("bucketed co-located join needs no shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+    val joined = spark.table("li_b").hint("merge")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must be shuffle-free:\n$plan")
+    assert(joined.count() === Tables.load(spark, sfDir, "lineitem").count())
+  }
+}

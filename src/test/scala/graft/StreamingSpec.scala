@@ -101,6 +101,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sliding windows place each event in size/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.sliding(in.toDF())
+      .writeStream.format("memory").queryName("t_slide").outputMode("complete").start()
+    withQuery(q) {
+      in.addData(ev(1, 7)) // minute 7 → windows starting at 0 and 5
+      q.processAllAvailable()
+      val starts = spark.table("t_slide")
+        .selectExpr("unix_timestamp(window.start) AS s")
+        .as[Long].collect().toSet
+      assert(starts === Set(baseSec, baseSec + 300L))
+    }
+  }
+
+  test("stream-static join enriches events against a dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = Streams.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("t_enrich").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 0, user = 1), ev(2, 1, user = 9))
+      q.processAllAvailable()
+      val rows = spark.table("t_enrich")
+        .selectExpr("event_id", "tier").as[(Long, Option[String])].collect().toMap
+      assert(rows(1L) === Some("gold"))
+      assert(rows(2L) === None) // left join keeps unmatched stream rows
+    }
+  }
+
+  test("stream-stream interval join matches views within the lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = Streams.intervalJoin(purchases.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("t_ivj").outputMode("append").start()
+    withQuery(q) {
+      views.addData(ev(10, 55), ev(11, 58), ev(12, 30)) // 30 is outside 10-min lookback
+      purchases.addData(ev(1, 60, v = 9.99))
+      q.processAllAvailable()
+      val matched = spark.table("t_ivj")
+        .selectExpr("p_id", "v_id").as[(Long, Long)].collect().toSet
+      assert(matched === Set((1L, 10L), (1L, 11L)))
+    }
+  }
+
+  test("rate-micro-batch source stands in for kafka with exact batch sizes") {
+    import spark.implicits._
+    val q = Streams.rateSource(spark, rowsPerBatch = 10)
+      .writeStream.format("memory").queryName("t_rate").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    withQuery(q) {
+      q.awaitTermination(30000)
+      val n = spark.table("t_rate").count()
+      assert(n >= 10L && n % 10 === 0L)
+      val types = spark.table("t_rate").select("event_type").as[String].distinct().collect().toSet
+      assert(types.subsetOf(Set("click", "view", "purchase")))
+    }
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
