@@ -63,6 +63,36 @@ object Similarity {
         .orderBy("probe_id", "rnk")
     },
 
+    // Same query as q_sim_brute, computed by the native codegen'd
+    // CosineSim expression (one fused loop, no intermediate arrays)
+    // instead of higher-order functions. Value-identical per-element
+    // arithmetic → shares the oracle formulation.
+    Q("q_sim_expr",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |n AS (SELECT vec_id, de, sqrt(list_inner_product(de, de)) AS nrm FROM e),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |             floor((list_inner_product(p.de, c.de) / (p.nrm * c.nrm))*10000+0.5)/10000 AS score
+        |      FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, cand_id, score, rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rnk
+        |      FROM s)
+        |WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      import graft.functions.CosineSim.cosine_sim
+      val e = Tables.load(s, d, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+      cands.crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          Q.r4(cosine_sim(col("pe"), col("ce"))).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("probe_id", "rnk")
+    },
+
     // Embedding near-dup: candidates blocked by an 8-bit sign sketch
     // (dims 0,8,…,56), exact cosine within the bucket. The sketch is the
     // blocking key — two near-identical vectors agree on most sign bits,
@@ -85,17 +115,18 @@ object Similarity {
         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE list_inner_product(a.de, b.de) / (a.nrm * b.nrm) >= 0.35
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      import graft.functions.CosineSim.cosine_sim
       val bucket = (0 until 8).map { j =>
         when(element_at(col("embedding"), j * 8 + 1) > 0, 1 << j).otherwise(0)
       }.reduce(_ + _)
-      val e = widened(Tables.load(s, d, "embeddings"))
-        .withColumn("bucket", bucket)
-        .withColumn("nrm", sqrt(dot("de", "de")))
-      val a = e.select(col("vec_id").as("v1"), col("de").as("d1"),
-        col("bucket").as("bk1"), col("nrm").as("n1"))
-      val b = e.select(col("vec_id").as("v2"), col("de").as("d2"),
-        col("bucket").as("bk2"), col("nrm").as("n2"))
-      val cos = dot("d1", "d2") / (col("n1") * col("n2"))
+      val e = Tables.load(s, d, "embeddings").withColumn("bucket", bucket)
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("d1"),
+        col("bucket").as("bk1"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("d2"),
+        col("bucket").as("bk2"))
+      // native fused-loop expression; value-identical to the HOF + norm
+      // formulation (same per-element widening and accumulation order)
+      val cos = cosine_sim(col("d1"), col("d2"))
       a.join(b, col("bk1") === col("bk2") && col("v1") < col("v2"))
         .filter(cos >= 0.35)
         .select(col("v1"), col("v2"), Q.r4(cos).as("score"))

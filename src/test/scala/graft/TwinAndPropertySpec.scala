@@ -68,6 +68,19 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(tighter.isEmpty)
   }
 
+  test("native CosineSim expression is value-identical to the HOF formulation") {
+    // same query, two implementations: codegen'd expression vs
+    // aggregate∘zip_with — must produce byte-identical results
+    assert(q("q_sim_expr").collect().toSeq === q("q_sim_brute").collect().toSeq)
+  }
+
+  test("cosine_sim is registered for SQL via SparkSessionExtensions") {
+    val d = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(d - 1.0) < 1e-12)
+  }
+
   test("near-dup pairs all reach the Jaccard threshold and LSH recalls exact pairs") {
     val near = q("q_dedup_near").cache()
     assert(near.filter(col("jaccard") < 0.8).isEmpty)
