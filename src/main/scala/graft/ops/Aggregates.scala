@@ -165,6 +165,25 @@ object Aggregates {
         .orderBy("l_linestatus")
     },
 
+    // Custom typed Aggregator (functions.WeightedAvg): price-weighted
+    // mean discount. The two-field commutative buffer keeps map-side
+    // partial aggregation — shuffle volume is |groups|, like built-ins.
+    Q("q_agg_weighted",
+      """SELECT l_returnflag,
+        |       floor((sum(l_discount * l_extendedprice) / sum(l_extendedprice))*1000000+0.5)/1000000 AS wavg_disc,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val wavg = udaf(new graft.functions.WeightedAvg)
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Q.r6(wavg(col("l_discount"), col("l_extendedprice"))).as("wavg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Per-group ordered collection, emitted as a CSV string (portable across
     // engines; list hashing is not).
     Q("q_agg_collect",

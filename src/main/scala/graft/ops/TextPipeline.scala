@@ -101,37 +101,46 @@ object TextPipeline {
         .orderBy("d1", "d2")
     },
 
-    // MinHash + LSH near-dup candidates, fully deterministic (md5-seeded
-    // min-hashes, 8 hashes → 4 bands of 2) and therefore oracle-checked —
-    // unlike ml.feature.MinHashLSH whose random coefficients differ per
-    // engine. Cost: one shuffle to build signatures (doc×seed), one
-    // banded self-join on the band key. The scale path for corpora where
-    // the exact pairwise Jaccard above is too wide.
+    // MinHash + LSH near-dup candidates, fully deterministic and
+    // therefore oracle-checked — unlike ml.feature.MinHashLSH whose
+    // random coefficients differ per engine. The 8 hash functions are
+    // derived by splitting two 128-bit md5 digests into four 32-bit
+    // (8-hex-char) slices each — the standard wide-hash-splitting
+    // construction, costing 2 digests per shingle instead of 8. All 8
+    // min-hashes aggregate in ONE pass (8 agg columns, map-side partial
+    // mins → the shuffle carries |docs| rows, not |shingles|), then
+    // 4 bands of 2 feed the banded self-join. The scale path for
+    // corpora where exact pairwise Jaccard is too wide.
     Q("q_minhash_lsh",
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang,
         |              unnest(list_transform(range(1, len(words) - 1),
         |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
         |       FROM w WHERE len(words) >= 3),
-        |mh AS (SELECT doc_id, lang, s.seed,
-        |              min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
-        |       FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
-        |       GROUP BY 1, 2, 3),
-        |bands AS (SELECT doc_id, lang, seed // 2 AS band,
-        |                 max(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
-        |                 max(CASE WHEN seed % 2 = 1 THEN mh END) AS band_key
-        |          FROM mh GROUP BY 1, 2, 3)
+        |hx AS (SELECT doc_id, lang, md5(shingle) AS h0, md5('x:' || shingle) AS h1 FROM sh),
+        |mh AS (SELECT doc_id, lang,
+        |              min(substr(h0, 1, 8))  AS mh0, min(substr(h0, 9, 8))  AS mh1,
+        |              min(substr(h0, 17, 8)) AS mh2, min(substr(h0, 25, 8)) AS mh3,
+        |              min(substr(h1, 1, 8))  AS mh4, min(substr(h1, 9, 8))  AS mh5,
+        |              min(substr(h1, 17, 8)) AS mh6, min(substr(h1, 25, 8)) AS mh7
+        |       FROM hx GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, lang, b.band,
+        |                 CASE b.band WHEN 0 THEN mh0 || '|' || mh1
+        |                             WHEN 1 THEN mh2 || '|' || mh3
+        |                             WHEN 2 THEN mh4 || '|' || mh5
+        |                             ELSE mh6 || '|' || mh7 END AS band_key
+        |          FROM mh, (SELECT unnest(range(0, 4)) AS band) b)
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b
         |  ON a.lang = b.lang AND a.band = b.band AND a.band_key = b.band_key
         | AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       val sh = shingles(s, d)
-      // All 8 min-hashes in ONE aggregation pass (8 agg columns instead
-      // of an 8× row explode + second shuffle): map-side partial mins
-      // reduce the shuffle to |docs| rows × 8 columns.
+        .withColumn("h0", md5(col("shingle").cast("binary")))
+        .withColumn("h1", md5(concat(lit("x:"), col("shingle")).cast("binary")))
       val mhAggs = (0 until 8).map { i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")
+        val src = if (i < 4) "h0" else "h1"
+        min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"mh$i")
       }
       val mh = sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
       val bandStructs = (0 until 4).map { b =>

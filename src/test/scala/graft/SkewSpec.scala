@@ -1,0 +1,29 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+/** Salting rewrites must be result-equivalent to the direct plans. */
+class SkewSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain equi-join") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("twoPhaseAgg equals the direct aggregation") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val direct = li.groupBy(col("l_returnflag").as("k"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("tot"))
+    val salted = Skew.twoPhaseAgg(
+      li.withColumnRenamed("l_returnflag", "k"), "k", 16,
+      "n" -> (count(lit(1)), (c: String) => sum(col(c))),
+      "tot" -> (sum(col("l_quantity")), (c: String) => sum(col(c))))
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+  }
+}
