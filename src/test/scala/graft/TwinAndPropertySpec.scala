@@ -81,6 +81,24 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(math.abs(d - 1.0) < 1e-12)
   }
 
+  test("Graft SQL facade answers TPC-H-Q1-shape SQL over registered views") {
+    Graft.registerTables(spark, sfDir)
+    val viaSql = Graft.sql(spark,
+      """SELECT l_returnflag, l_linestatus,
+        |       floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    val viaDf = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(Q.r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(viaSql.collect().toSeq === viaDf.collect().toSeq)
+    // the native expression is reachable from SQL over a real view
+    val sim = Graft.sql(spark,
+      "SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 5")
+    assert(sim.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
   test("near-dup pairs all reach the Jaccard threshold and LSH recalls exact pairs") {
     val near = q("q_dedup_near").cache()
     assert(near.filter(col("jaccard") < 0.8).isEmpty)
