@@ -144,6 +144,30 @@ object Windows {
         .orderBy("day")
     },
 
+    // Relative-position window functions. The ORDER BY is total
+    // (acctbal, custkey), so percent_rank/cume_dist see no ties and both
+    // engines agree exactly; the outputs are small rationals computed as
+    // one double division — identical bits — with r6 as belt-and-braces.
+    Q("q_win_pctrank",
+      """SELECT c_custkey, c_mktsegment,
+        |       floor((percent_rank() OVER w)*1000000+0.5)/1000000 AS pct_rank,
+        |       floor((cume_dist() OVER w)*1000000+0.5)/1000000 AS cume,
+        |       nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val order = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, d, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          Q.r6(percent_rank().over(order)).as("pct_rank"),
+          Q.r6(cume_dist().over(order)).as("cume"),
+          nth_value(col("c_custkey"), 2).over(full).as("second_richest"))
+        .orderBy("c_custkey")
+    },
+
     // ntile + first_value/last_value with the frame pinned to the whole
     // partition (the default RANGE..CURRENT ROW frame would make
     // last_value == current row — a classic silent-difference trap).

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A typed event row — the engine's streaming record (the Spark-native
   * generalization of the reference's Kafka (key, value, offset, ts)
@@ -109,6 +109,38 @@ object Streams {
         element_at(array(lit("click"), lit("view"), lit("purchase")),
           (col("value") % 3 + 1).cast("int")).as("event_type"),
         (col("value") % 100).cast("double").as("value"))
+
+  /** transformWithState processor (Spark 4.x arbitrary-state v2 API) —
+    * the same running totals as [[Streams.userTotals]], expressed with a
+    * typed ValueState handle. Requires the RocksDB state store provider.
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0.0)
+      var n = prev.n_events
+      var s = prev.sum_value
+      rows.foreach { e => n += 1; s += e.value }
+      val next = UserTotals(key, n, s)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[userTotals]] on the transformWithState API. */
+  def userTotalsTws(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom state: per-user running totals via flatMapGroupsWithState
     * (the typed state-store API; state lives on executors, partitioned

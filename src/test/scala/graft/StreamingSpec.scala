@@ -101,6 +101,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState (state v2, RocksDB) keeps running totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = Streams.userTotalsTws(in.toDS())
+        .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+      withQuery(q) {
+        in.addData(ev(1, 0, user = 3, v = 2.0), ev(2, 1, user = 3, v = 3.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 2, user = 3, v = 5.0))
+        q.processAllAvailable()
+        val latest = spark.table("t_tws").as[graft.streaming.UserTotals]
+          .collect().groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+        assert(latest(3L).n_events === 3L)
+        assert(latest(3L).sum_value === 10.0)
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sliding windows place each event in size/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
