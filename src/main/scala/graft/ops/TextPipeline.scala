@@ -322,17 +322,20 @@ object TextPipeline {
         |  ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
+      // in-row distinct (no shuffle) makes the distinct-count a plain
+      // count and min/max dup-insensitive anyway
       val sh = withWords(docs)
         .filter(size(col("words")) >= 3)
         .select(col("doc_id"),
-          explode(expr(
+          explode(array_distinct(expr(
             """transform(sequence(0, size(words) - 3),
-              |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
+              |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
             .as("shingle"))
+        .withColumn("h", md5(col("shingle").cast("binary")))
       val sketch = sh.groupBy("doc_id").agg(
-        min(md5(col("shingle").cast("binary"))).as("min_sh"),
-        max(md5(col("shingle").cast("binary"))).as("max_sh"),
-        countDistinct(col("shingle")).as("n_shingles"))
+        min(col("h")).as("min_sh"),
+        max(col("h")).as("max_sh"),
+        count(lit(1)).as("n_shingles"))
       docs.select(col("doc_id"), substring(md5(col("text").cast("binary")), 1, 8).as("fp8"))
         .join(sketch, "doc_id")
         .select("doc_id", "fp8", "min_sh", "max_sh", "n_shingles")
