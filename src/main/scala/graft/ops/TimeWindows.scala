@@ -66,12 +66,14 @@ object TimeWindows {
 
     // Session windows, 30-minute gap, per user (oracle: classic
     // lag-gap + cumulative-sum sessionization; session end = last event
-    // + gap, matching session_window's half-open [start, last+gap)).
+    // + gap). Empirically verified (tools.GapProbe): session_window
+    // MERGES a pair exactly `gap` apart — the session interval is
+    // closed at last+gap — so the oracle splits strictly on gap > 1800.
     Q("q_session_batch",
       """WITH e AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
         |           FROM events),
         |o AS (SELECT user_id, es,
-        |             CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800
+        |             CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
         |                  THEN 1 ELSE 0 END AS brk
         |      FROM e),
         |g AS (SELECT user_id, es,
