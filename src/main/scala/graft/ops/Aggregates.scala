@@ -68,6 +68,18 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // KLL/GK-style quantile sketch — the scale path for percentiles (no
+    // oracle: sketch-specific; q_agg_stats carries the exact
+    // `percentile` twin). At 100 TB exact percentile needs a full sort
+    // per group; approx_percentile is one pass + mergeable sketches.
+    Q.noOracle("q_agg_approx_pct") { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+          approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95"))
+        .orderBy("l_linestatus")
+    },
+
     // ROLLUP with coalesced labels (grouping_id formats differ per engine,
     // label columns are portable).
     Q("q_agg_rollup",

@@ -160,6 +160,35 @@ object TextPipeline {
         .orderBy("d1", "d2")
     },
 
+    // Fuzzy (edit-distance) near-dup candidates: levenshtein over a
+    // fixed-length text prefix, blocked by (lang, length-bucket) so the
+    // pair space is |block|², never |corpus|². The planted duplicate
+    // docs (identical text ⇒ distance 0) guarantee hits at every sf.
+    Q("q_dedup_fuzzy",
+      """WITH p AS (SELECT doc_id, lang, n_chars // 100 AS lb,
+        |                  substring(text, 1, 20) AS pre
+        |           FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pre, b.pre) <= 5
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val p = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 100).cast("long").as("lb"),
+          substring(col("text"), 1, 20).as("pre"))
+      val a = p.as("a")
+      val b = p.as("b")
+      a.join(b,
+          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(levenshtein(col("a.pre"), col("b.pre")) <= 5)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          levenshtein(col("a.pre"), col("b.pre")).as("dist"))
+        .orderBy("d1", "d2")
+    },
+
     // Per-language corpus statistics + most frequent word.
     Q("q_text_stats",
       """WITH wrd AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
