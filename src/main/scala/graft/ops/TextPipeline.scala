@@ -183,9 +183,14 @@ object TextPipeline {
       a.join(b,
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.doc_id") < col("b.doc_id"))
-        .filter(levenshtein(col("a.pre"), col("b.pre")) <= 5)
+        // thresholded levenshtein early-exits once the running distance
+        // exceeds 5 (returns -1) — for the overwhelmingly-distant pair
+        // majority that's a prefix-scan, not a full DP matrix. Kept
+        // pairs carry the exact distance, so the plain-levenshtein
+        // oracle matches.
+        .filter(levenshtein(col("a.pre"), col("b.pre"), 5) >= 0)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          levenshtein(col("a.pre"), col("b.pre")).as("dist"))
+          levenshtein(col("a.pre"), col("b.pre"), 5).as("dist"))
         .orderBy("d1", "d2")
     },
 
