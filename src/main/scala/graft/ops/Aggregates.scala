@@ -215,6 +215,32 @@ object Aggregates {
         .orderBy("o_custkey")
     },
 
+    // Unpivot (melt): wide per-user counts back to long (type, n) rows —
+    // the inverse of q_pivot, via Dataset.unpivot. Oracle states it as
+    // UNION ALL (dialect-safe vs UNPIVOT syntax drift).
+    Q("q_unpivot",
+      """WITH w AS (
+        |  SELECT user_id,
+        |         count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, kind, n FROM (
+        |  SELECT user_id, 'click' AS kind, n_click AS n FROM w
+        |  UNION ALL
+        |  SELECT user_id, 'purchase' AS kind, n_purchase AS n FROM w)
+        |ORDER BY user_id, kind""".stripMargin) { (s, d) =>
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      wide.unpivot(
+          Array(col("user_id")), Array(col("n_click"), col("n_purchase")),
+          "kind", "n")
+        .withColumn("kind", regexp_replace(col("kind"), "^n_", ""))
+        .orderBy("user_id", "kind")
+    },
+
     // Pivot: event_type → columns of counts per user.
     Q("q_pivot",
       """SELECT user_id,
