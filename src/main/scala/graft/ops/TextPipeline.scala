@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
+  /** DuckDB twin of q_dedup_simhash, generated from the same bit layout
+    * so the two sides cannot drift. */
+  private[ops] def simhashOracle: String = {
+    val votes = (0 until 16).map { b =>
+      val k = b / 4 + 1; val j = b % 4
+      s"sum(((instr('0123456789abcdef', substring(h, $k, 1)) - 1) // ${1 << j}) % 2 * 2 - 1) AS v$b"
+    }.mkString(",\n        ")
+    val fp = (0 until 16).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH wrd AS (SELECT doc_id, lang, md5(unnest(string_split(text, ' '))) AS h
+       |             FROM documents WHERE len(string_split(text, ' ')) > 0),
+       |v AS (SELECT doc_id, lang,
+       |        $votes
+       |      FROM wrd GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, lang, CAST($fp AS BIGINT) AS fp FROM v)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, a.fp AS fp
+       |FROM sig a JOIN sig b
+       |  ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   /** words = whitespace-split text (the corpus is pre-normalized
     * lowercase; a production pipeline would lower/strip punctuation
     * first with the same built-ins). */
@@ -157,6 +178,41 @@ object TextPipeline {
           col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
+        .orderBy("d1", "d2")
+    },
+
+    // Text SimHash: a 16-bit fingerprint from per-word md5 bit votes
+    // (bit b of the fingerprint = majority of bit b over all word
+    // hashes, term-frequency weighted as in the classic algorithm).
+    // Docs sharing a fingerprint within a language are near-dup
+    // candidates. All arithmetic — md5, hex-nibble extraction via
+    // instr('0123…f', c), integer div/mod — is engine-portable, so even
+    // SimHash is oracle-checked. One explode + one doc-keyed agg +
+    // one fingerprint-keyed self-join: linear scans, blocked pairs.
+    Q("q_dedup_simhash", TextPipeline.simhashOracle) { (s, d) =>
+      val wrd = withWords(Tables.load(s, d, "documents"))
+        .filter(size(col("words")) > 0)
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
+        .withColumn("h", md5(col("w").cast("binary")))
+      // vote for bit (k,j): ±1 from bit j of hex nibble k of md5(w)
+      val votes = (0 until 16).map { b =>
+        val k = b / 4 + 1; val j = b % 4
+        sum(expr(
+          s"((instr('0123456789abcdef', substring(h, $k, 1)) - 1) div ${1 << j}) % 2") * 2 - 1)
+          .as(s"v$b")
+      }
+      val fp = (0 until 16).map { b =>
+        when(col(s"v$b") > 0, 1L << b).otherwise(0L)
+      }.reduce(_ + _)
+      val sig = wrd.groupBy("doc_id", "lang").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), col("lang"), fp.as("fp"))
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b,
+          col("a.lang") === col("b.lang") && col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.fp").as("fp"))
         .orderBy("d1", "d2")
     },
 
