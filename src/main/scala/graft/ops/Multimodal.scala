@@ -55,6 +55,29 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame" of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int, checksum: Long)
+
+  /** STUB for frame sampling (video/audio): treats the payload as
+    * fixed-size frames and keeps every `stride`-th one. A real codec
+    * would decode container timestamps here; the batch shape —
+    * explode-to-frames inside one partition pass, no shuffle — is what
+    * carries over. */
+  private def frameSampleStub(frameBytes: Int, stride: Int)(
+      rows: Iterator[MediaIn]): Iterator[Frame] =
+    rows.flatMap { r =>
+      val n = r.payload.length
+      val frames = (n + frameBytes - 1) / frameBytes
+      (0 until frames by stride).iterator.map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, n)
+        var crc = 0L
+        var j = from
+        while (j < until) { crc = crc * 31 + (r.payload(j) & 0xff); j += 1 }
+        Frame(r.doc_id, i, until - from, crc)
+      }
+    }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Binary ingest → per-partition batch decode → feature stats.
@@ -78,6 +101,29 @@ object Multimodal {
           round(element_at(col("features"), 1), 3).as("f0"),
           round(aggregate(col("features"), lit(0f),
             (acc, x) => acc + x).cast("double"), 3).as("f_sum"))
+        .orderBy("doc_id")
+    },
+
+    // Frame sampling over binary payloads: each doc explodes to its
+    // sampled frames in one partition-local pass (rows-only check; the
+    // sampling arithmetic is stub-defined, the explode-without-shuffle
+    // batch shape is the graded part).
+    Q.noOracle("q_multimodal_frames") { (s, d) =>
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          lit("video/fake").as("mime"),
+          encode(col("text"), "utf-8").as("payload"))
+        .repartition(col("doc_id"))
+        .as[MediaIn]
+        .mapPartitions(frameSampleStub(frameBytes = 32, stride = 2))
+        .toDF()
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("frame_len")).cast("long").as("bytes_sampled"),
+          min(col("checksum")).as("min_crc"))
         .orderBy("doc_id")
     }
   )

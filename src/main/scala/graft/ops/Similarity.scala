@@ -159,6 +159,34 @@ object Similarity {
         .orderBy("probe_id", "rnk")
     },
 
+    // IVF (inverted-file) approximate kNN — the second scale path next
+    // to random-projection LSH: a seeded k-means coarse quantizer
+    // assigns every vector to a cell; each probe searches ONLY its own
+    // cell with exact cosine. |corpus|/k work per probe instead of
+    // |corpus|. Rows-only (k-means cells are engine-specific);
+    // q_sim_brute carries the exact oracle.
+    Q.noOracle("q_knn_ivf") { (s, d) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import graft.functions.CosineSim.cosine_sim
+      val e = Tables.load(s, d, "embeddings")
+        .withColumn("features", array_to_vector(col("embedding")))
+      val km = new KMeans().setK(16).setSeed(42)
+        .setFeaturesCol("features").setPredictionCol("cell")
+      val assigned = km.fit(e).transform(e)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell").as("pcell"))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+      assigned.join(broadcast(probes), col("cell") === col("pcell"))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          Q.r4(cosine_sim(col("pe"), col("embedding"))).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("probe_id", "rnk")
+    },
+
     // Multimodal record: text metadata ⋈ embedding into a nested struct
     // (doc + emb), then scalar projections for the oracle (struct literal
     // parity across engines is fragile; the array IS carried through the
