@@ -81,6 +81,26 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(math.abs(d - 1.0) < 1e-12)
   }
 
+  test("IVF kNN scores agree with directly computed cosine") {
+    val ivf = q("q_knn_ivf").select("probe_id", "cand_id", "score")
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val direct = ivf
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe")), "probe_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")), "cand_id")
+      .withColumn("direct",
+        Q.r4(graft.functions.CosineSim.cosine_sim(col("pe"), col("ce"))))
+    assert(direct.filter(col("score") =!= col("direct")).isEmpty)
+  }
+
+  test("frame sampling stays within payload bounds") {
+    val frames = q("q_multimodal_frames")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val joined = frames.join(docs, "doc_id")
+    assert(joined.filter(col("bytes_sampled") > col("n_chars")).isEmpty)
+    assert(joined.filter(col("n_sampled") < 1).isEmpty)
+    assert(frames.count() === docs.count())
+  }
+
   test("Graft SQL facade answers TPC-H-Q1-shape SQL over registered views") {
     Graft.registerTables(spark, sfDir)
     val viaSql = Graft.sql(spark,
