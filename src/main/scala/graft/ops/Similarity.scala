@@ -171,7 +171,9 @@ object Similarity {
       import graft.functions.CosineSim.cosine_sim
       val e = Tables.load(s, d, "embeddings")
         .withColumn("features", array_to_vector(col("embedding")))
-      val km = new KMeans().setK(16).setSeed(42)
+      // few iterations: the quantizer only needs stable cells, not
+      // converged centroids — at 100 TB you'd fit on a sample anyway
+      val km = new KMeans().setK(16).setSeed(42).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell")
       val assigned = km.fit(e).transform(e)
         .select(col("vec_id"), col("embedding"), col("cell"))
