@@ -101,6 +101,9 @@ object Streams {
     spark.readStream
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
+      // keep event times well past epoch 0: rows AT the initial
+      // watermark value (0) would be edge-dropped by watermarked ops
+      .option("startTimestamp", 600L * 1000 * 1000)
       .load()
       .select(
         col("value").as("event_id"),

@@ -74,6 +74,37 @@ class LedgerSpec extends SparkSpec {
       Paths.get(ledgerDir, "epoch_000000005.json")) === firstWrite)
   }
 
+  test("end-to-end pipeline: rate source → watermark dedup → dim enrich → ledger sink") {
+    import graft.streaming.Streams
+    import spark.implicits._
+    val outDir = tempDir("graft_pipe_out")
+    val ledgerDir = tempDir("graft_pipe_ledger")
+    val ckpt = tempDir("graft_pipe_ckpt")
+    val dim = Seq((0L, "t0"), (1L, "t1"), (2L, "t2")).toDF("user_id", "tier")
+
+    val piped = Streams.enrich(
+      Streams.dedupWithinWatermark(Streams.rateSource(spark, rowsPerBatch = 20)),
+      dim, "user_id")
+    val q = piped.writeStream
+      .foreachBatch(OffsetLedger.sink(outDir, ledgerDir) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$outDir/epoch=*")
+    val n = out.count()
+    assert(n >= 20 && n % 20 === 0, s"full rate batches expected, got $n")
+    // dedup: event_ids unique end-to-end
+    assert(out.select("event_id").distinct().count() === n)
+    // enrich: users 0..2 got a tier, the rest stayed null (left join)
+    assert(out.filter(col("user_id") < 3 && col("tier").isNull).isEmpty)
+    assert(out.filter(col("user_id") >= 3 && col("tier").isNotNull).isEmpty)
+    // ledger agrees with the sink contents
+    assert(OffsetLedger.read(spark, ledgerDir)
+      .agg(sum("n_rows")).head().getLong(0) === n)
+  }
+
   test("kafka startingOffsets JSON mirrors the stored-offset resume pattern") {
     assert(KafkaSource.startingOffsetsJson("events", Map(0 -> 42L, 1 -> 7L)) ===
       """{"events":{"0":42,"1":7}}""")
