@@ -145,10 +145,18 @@ object Joins {
         .select("c_custkey").orderBy("c_custkey")
     },
 
-    // Band (theta) join: event pairs for the same user within 60 s. The
-    // user_id equality keeps this an equi-join with a range residual —
-    // never a cross product. Timestamps are compared at whole-second
-    // precision (the only safe cross-engine representation, SURVEY §7).
+    // Band (theta) join: event pairs for the same user within 60 s.
+    // user_id alone is NOT a sufficient equi-key at scale: its domain is
+    // fixed (15 values), so an SMJ keyed on it buffers N/15 rows per key
+    // and applies the ±60 s residual to that group's cartesian — O((N/15)²)
+    // work that grows quadratically with data. The scalable blocking is a
+    // TIME BUCKET: join on (user_id, es div 60). |a.es-b.es| ≤ 60 implies
+    // the bucket indices differ by at most 1 (bucket width == band width),
+    // so exploding ONE side to {bkt-1, bkt, bkt+1} makes every qualifying
+    // pair match on exactly one bucket copy — no post-join dedup, and the
+    // per-key group size is bounded by the per-minute event rate, not by
+    // corpus size. The oracle keeps the declarative all-pairs form (DuckDB
+    // at sf0.01 is small); semantics are identical.
     Q("q_join_theta",
       """WITH e AS (SELECT user_id, event_id,
         |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
@@ -162,10 +170,17 @@ object Joins {
         |ORDER BY user_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), Q.epochSec(col("ts")).as("es"))
-      val a = e.as("a")
-      val b = e.as("b")
+        .withColumn("bkt", expr("es div 60"))
+      // left side replicated to its own and both adjacent buckets; each
+      // qualifying pair matches exactly one copy (bucket deltas are a
+      // partition of the ±60 s band), so the count needs no distinct.
+      val a = e.select(col("user_id"), col("event_id"), col("es"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jbkt"))
+        .as("a")
+      val b = e.withColumnRenamed("bkt", "jbkt").as("b")
       a.join(b,
           col("a.user_id") === col("b.user_id") &&
+          col("a.jbkt") === col("b.jbkt") &&
           col("a.event_id") < col("b.event_id") &&
           abs(col("a.es") - col("b.es")) <= 60)
         .groupBy(col("a.user_id").as("user_id"))

@@ -26,6 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sign-sketch layout for q_dedup_embed, shared by the Spark impl and
+    * the generated DuckDB oracle so the two sides cannot drift: B bands
+    * of W sign bits each (band g covers dims g·W … g·W+W−1); candidates
+    * are pairs agreeing exactly on ≥1 band, verified with exact cosine.
+    *
+    * Bucket-occupancy math (why these are parameters): each band table
+    * has 2^W buckets, so per-band in-bucket join work is ~(N/2^W)²/2 per
+    * bucket — pick W ≈ log2(N) − c to hold expected bucket size at ~2^c
+    * regardless of corpus size (W=16 → 65,536 buckets covers ~10⁶-10⁷
+    * vectors; widen W at 100 TB). OR-ing B bands multiplies recall the
+    * way minhash banding does: a near-dup pair at angle θ survives a
+    * W-bit band with p=(1−θ/π)^W, and ≥1 of B bands with 1−(1−p)^B.
+    * The previous single 8-bit sketch (256 FIXED buckets) made bucket
+    * size ∝ corpus → quadratic at 100×.
+    */
+  private[ops] val EmbedBands = 4
+  private[ops] val EmbedBandBits = 16 // 4 × 16 covers all 64 dims
+
+  /** Spark-side band value g: bit i set iff embedding[g·W+i] > 0. */
+  private[ops] def embedBandVal(g: Int): Column =
+    (0 until EmbedBandBits).map { i =>
+      when(element_at(col("embedding"), g * EmbedBandBits + i + 1) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[embedBandVal]] (1-indexed lists). */
+  private[ops] def embedBandSql(g: Int): String =
+    (0 until EmbedBandBits)
+      .map(i => s"CASE WHEN embedding[${g * EmbedBandBits + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
   /** embedding (float[]) widened to double[] once. */
   private def widened(df: DataFrame): DataFrame =
     df.withColumn("de", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -93,41 +123,50 @@ object Similarity {
         .orderBy("probe_id", "rnk")
     },
 
-    // Embedding near-dup: candidates blocked by an 8-bit sign sketch
-    // (dims 0,8,…,56), exact cosine within the bucket. The sketch is the
-    // blocking key — two near-identical vectors agree on most sign bits,
-    // so true near-dups co-bucket with high probability while the join
-    // stays ~|bucket|² per bucket, not |corpus|².
+    // Embedding near-dup: candidates blocked by a banded sign sketch
+    // (EmbedBands × EmbedBandBits, OR-ed minhash-style — see layout doc
+    // above), then verified with exact cosine. Every join runs on a
+    // band-bucket key — ~|bucket|² per bucket, never |corpus|² — and
+    // both the Spark columns and the oracle SQL are generated from the
+    // same (bands, width) layout.
     Q("q_dedup_embed",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
-        |                  (CASE WHEN embedding[1]  > 0 THEN 1   ELSE 0 END +
-        |                   CASE WHEN embedding[9]  > 0 THEN 2   ELSE 0 END +
-        |                   CASE WHEN embedding[17] > 0 THEN 4   ELSE 0 END +
-        |                   CASE WHEN embedding[25] > 0 THEN 8   ELSE 0 END +
-        |                   CASE WHEN embedding[33] > 0 THEN 16  ELSE 0 END +
-        |                   CASE WHEN embedding[41] > 0 THEN 32  ELSE 0 END +
-        |                   CASE WHEN embedding[49] > 0 THEN 64  ELSE 0 END +
-        |                   CASE WHEN embedding[57] > 0 THEN 128 ELSE 0 END) AS bucket
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+        |${(0 until EmbedBands).map(g => s"                  ${embedBandSql(g)} AS b$g").mkString(",\n")}
         |           FROM embeddings),
-        |n AS (SELECT vec_id, de, bucket, sqrt(list_inner_product(de, de)) AS nrm FROM e)
-        |SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |       floor((list_inner_product(a.de, b.de) / (a.nrm * b.nrm))*10000+0.5)/10000 AS score
-        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE list_inner_product(a.de, b.de) / (a.nrm * b.nrm) >= 0.35
+        |n AS (SELECT vec_id, de, ${(0 until EmbedBands).map("b" + _).mkString(", ")},
+        |             sqrt(list_inner_product(de, de)) AS nrm FROM e),
+        |bands AS (SELECT vec_id, t.band,
+        |                 ${(0 until EmbedBands).map {
+             case g if g < EmbedBands - 1 => s"WHEN $g THEN b$g"
+             case g => s"ELSE b$g"
+           }.mkString("CASE t.band ", " ", " END")} AS bv
+        |          FROM n, (SELECT unnest(range(0, $EmbedBands)) AS band) t),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+        |SELECT c.v1, c.v2,
+        |       floor((list_inner_product(x.de, y.de) / (x.nrm * y.nrm))*10000+0.5)/10000 AS score
+        |FROM cand c JOIN n x ON x.vec_id = c.v1 JOIN n y ON y.vec_id = c.v2
+        |WHERE list_inner_product(x.de, y.de) / (x.nrm * y.nrm) >= 0.35
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       import graft.functions.CosineSim.cosine_sim
-      val bucket = (0 until 8).map { j =>
-        when(element_at(col("embedding"), j * 8 + 1) > 0, 1 << j).otherwise(0)
-      }.reduce(_ + _)
-      val e = Tables.load(s, d, "embeddings").withColumn("bucket", bucket)
-      val a = e.select(col("vec_id").as("v1"), col("embedding").as("d1"),
-        col("bucket").as("bk1"))
-      val b = e.select(col("vec_id").as("v2"), col("embedding").as("d2"),
-        col("bucket").as("bk2"))
+      val e = Tables.load(s, d, "embeddings")
+      val bandStructs = (0 until EmbedBands).map { g =>
+        struct(lit(g).as("band"), embedBandVal(g).as("bv"))
+      }
+      val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .distinct()
       // native fused-loop expression; value-identical to the HOF + norm
       // formulation (same per-element widening and accumulation order)
       val cos = cosine_sim(col("d1"), col("d2"))
-      a.join(b, col("bk1") === col("bk2") && col("v1") < col("v2"))
+      cand
+        .join(e.select(col("vec_id").as("v1"), col("embedding").as("d1")), "v1")
+        .join(e.select(col("vec_id").as("v2"), col("embedding").as("d2")), "v2")
         .filter(cos >= 0.35)
         .select(col("v1"), col("v2"), Q.r4(cos).as("score"))
         .orderBy("v1", "v2")
@@ -161,26 +200,49 @@ object Similarity {
 
     // IVF (inverted-file) approximate kNN — the second scale path next
     // to random-projection LSH: a seeded k-means coarse quantizer
-    // assigns every vector to a cell; each probe searches ONLY its own
-    // cell with exact cosine. |corpus|/k work per probe instead of
-    // |corpus|. Rows-only (k-means cells are engine-specific);
-    // q_sim_brute carries the exact oracle.
+    // assigns every vector to a cell; each probe searches only its
+    // nprobe nearest cells with exact cosine. Per-probe work is
+    // nprobe·|corpus|/k instead of |corpus|; k grows ~√N (with a floor)
+    // so per-cell size AND cell count both scale sub-linearly — a fixed
+    // k would leave per-probe work linear in the corpus. Rows-only
+    // (k-means cells are engine-specific); q_sim_brute carries the
+    // exact oracle and TwinAndPropertySpec asserts score correctness
+    // and recall@5.
     Q.noOracle("q_knn_ivf") { (s, d) =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import graft.functions.CosineSim.cosine_sim
       val e = Tables.load(s, d, "embeddings")
         .withColumn("features", array_to_vector(col("embedding")))
+      // k ≈ √N keeps both cell size and centroid-scan cost ~√N. The
+      // count() is one cheap metadata-ish pass; at 100 TB you'd fit the
+      // quantizer on a sample and reuse the same k rule.
+      val n = e.count()
+      val k = math.max(4, math.sqrt(n.toDouble).toInt)
+      val nprobe = 3
       // few iterations: the quantizer only needs stable cells, not
       // converged centroids — at 100 TB you'd fit on a sample anyway
-      val km = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      val km = new KMeans().setK(k).setSeed(42).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell")
-      val assigned = km.fit(e).transform(e)
+      val model = km.fit(e)
+      val assigned = model.transform(e)
         .select(col("vec_id"), col("embedding"), col("cell"))
+      // centroid table is k rows — driver-built, broadcast everywhere
+      val centroids = s.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.map(_.toFloat))
+        }.toIndexedSeq).toDF("cell", "center")
       val probes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell").as("pcell"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      // nprobe nearest cells per probe: |probes| × k tiny cross product
+      val wc = Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell"))
+      val probeCells = probes.crossJoin(broadcast(centroids))
+        .withColumn("cscore", cosine_sim(col("pe"), col("center")))
+        .withColumn("crnk", row_number().over(wc))
+        .filter(col("crnk") <= nprobe)
+        .select(col("probe_id"), col("pe"), col("cell"))
       val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
-      assigned.join(broadcast(probes), col("cell") === col("pcell"))
+      assigned.join(broadcast(probeCells), "cell")
         .filter(col("probe_id") =!= col("vec_id"))
         .select(col("probe_id"), col("vec_id").as("cand_id"),
           Q.r4(cosine_sim(col("pe"), col("embedding"))).as("score"))

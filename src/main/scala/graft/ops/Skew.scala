@@ -30,9 +30,15 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame,
                  key: String, otherKey: String, salts: Int): DataFrame = {
     require(salts > 0)
-    // deterministic uniform salt derived from a stable row id
+    // DETERMINISTIC salt: hash of the full row content. A
+    // monotonically_increasing_id salt depends on partition layout —
+    // nondeterministic-tagged, so a fetch failure forces whole-stage
+    // recompute and upstream repartitioning changes results. Content
+    // hashing is stable under retries and repartitioning; fully
+    // duplicate rows co-salt (slightly less spreading), which only
+    // costs balance, never correctness.
     val salted = skewed.withColumn(SaltCol,
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(hash(skewed.columns.map(col): _*).cast("long"), lit(salts.toLong)))
     val replicated = other.withColumn(SaltCol,
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated,
@@ -56,7 +62,8 @@ object Skew {
     require(salts > 0 && aggs.nonEmpty)
     val partials = aggs.map { case (name, (p1, _)) => p1.as(s"__p_$name") }
     val merges = aggs.map { case (name, (_, p2)) => p2(s"__p_$name").as(name) }
-    df.withColumn(SaltCol, pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    // same deterministic content-hash salt as saltedJoin
+    df.withColumn(SaltCol, pmod(hash(df.columns.map(col): _*).cast("long"), lit(salts.toLong)))
       .groupBy(col(key), col(SaltCol))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

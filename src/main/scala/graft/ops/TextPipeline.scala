@@ -20,29 +20,57 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB note: the shingle→pair joins below are exact. At extreme scale
   * the standard extra step is dropping ultra-hot shingles (document
-  * frequency cap) before the self-join to bound skew; AQE skew-join
-  * splitting covers moderate skew without changing semantics.
+  * frequency cap) before the self-join to bound skew — that is the
+  * `dfCap` parameter of [[nearDupPairs]]; candidate generation is capped
+  * while verification recomputes the EXACT jaccard on full shingle sets,
+  * so a large-enough cap is result-identical (SkewSpec asserts it). AQE
+  * skew-join splitting covers moderate skew without changing semantics.
   */
 object TextPipeline {
+
+  /** SimHash layout: 64 fingerprint bits (bit b votes with bit b%4 of
+    * hex nibble b/4 of md5(word)), banded into [[SimhashBands]] tables of
+    * [[SimhashBandBits]] bits. Candidates = doc pairs agreeing exactly on
+    * ≥1 band — by pigeonhole that catches every pair within hamming
+    * distance (bands−1) of each other, the classic Manku/Jain/Sarma
+    * hamming-band scheme. The previous 16-bit whole-fingerprint key had a
+    * fixed 65,536-value keyspace → candidate groups grew ∝ corpus; band
+    * tables keep 4 × 65,536 keys whose occupancy is driven by content
+    * diversity, and the full 64-bit space (2^64) never saturates. */
+  private[ops] val SimhashBits = 64
+  private[ops] val SimhashBands = 4
+  private[ops] val SimhashBandBits = SimhashBits / SimhashBands // 16
 
   /** DuckDB twin of q_dedup_simhash, generated from the same bit layout
     * so the two sides cannot drift. */
   private[ops] def simhashOracle: String = {
-    val votes = (0 until 16).map { b =>
+    val votes = (0 until SimhashBits).map { b =>
       val k = b / 4 + 1; val j = b % 4
       s"sum(((instr('0123456789abcdef', substring(h, $k, 1)) - 1) // ${1 << j}) % 2 * 2 - 1) AS v$b"
     }.mkString(",\n        ")
-    val fp = (0 until 16).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
+    val bandVals = (0 until SimhashBands).map { g =>
+      (0 until SimhashBandBits)
+        .map(i => s"CASE WHEN v${g * SimhashBandBits + i} > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString("(", " + ", s") AS b$g")
+    }.mkString(",\n             ")
+    val bandCase = (0 until SimhashBands).map {
+      case g if g < SimhashBands - 1 => s"WHEN $g THEN b$g"
+      case g => s"ELSE b$g"
+    }.mkString("CASE t.band ", " ", " END")
     s"""WITH wrd AS (SELECT doc_id, lang, md5(unnest(string_split(text, ' '))) AS h
        |             FROM documents WHERE len(string_split(text, ' ')) > 0),
        |v AS (SELECT doc_id, lang,
        |        $votes
        |      FROM wrd GROUP BY 1, 2),
-       |sig AS (SELECT doc_id, lang, CAST($fp AS BIGINT) AS fp FROM v)
-       |SELECT a.doc_id AS d1, b.doc_id AS d2, a.fp AS fp
-       |FROM sig a JOIN sig b
-       |  ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+       |sig AS (SELECT doc_id, lang,
+       |             $bandVals
+       |        FROM v),
+       |bands AS (SELECT doc_id, lang, t.band, $bandCase AS bv
+       |          FROM sig, (SELECT unnest(range(0, $SimhashBands)) AS band) t)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
        |ORDER BY d1, d2""".stripMargin
   }
 
@@ -65,6 +93,58 @@ object TextPipeline {
           """transform(sequence(0, size(words) - 3),
             |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
           .as("shingle"))
+
+  /** Shingle-Jaccard near-dup pairs (the q_dedup_near body), with an
+    * optional document-frequency cap on the blocking shingles.
+    *
+    * dfCap = None: candidate pairs AND intersection counts both come from
+    * the shingle self-join (one pass, exact).
+    *
+    * dfCap = Some(c): shingles occurring in more than c docs are dropped
+    * from CANDIDATE GENERATION only — the 100 TB skew bound, since a
+    * stop-phrase shingle shared by k docs contributes k² join rows.
+    * Verification then recomputes the exact jaccard from the full
+    * per-doc shingle sets (array_intersect on the surviving candidates),
+    * so the cap changes which pairs are *discovered*, never a reported
+    * jaccard value — and any cap ≥ max document frequency is
+    * result-identical to the uncapped path (SkewSpec asserts this).
+    */
+  def nearDupPairs(s: SparkSession, d: String, dfCap: Option[Long] = None): DataFrame = {
+    val sh = shingles(s, d)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairCond = (a: String, b: String) =>
+      col(s"$a.lang") === col(s"$b.lang") && col(s"$a.shingle") === col(s"$b.shingle") &&
+        col(s"$a.doc_id") < col(s"$b.doc_id")
+    dfCap match {
+      case None =>
+        val pairs = sh.as("a").join(sh.as("b"), pairCond("a", "b"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        val jac = col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))
+        pairs
+          .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .filter(jac >= 0.8)
+          .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
+          .orderBy("d1", "d2")
+      case Some(cap) =>
+        val rare = sh.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        val keep = sh.join(rare.select("lang", "shingle"), Seq("lang", "shingle"))
+        val cand = keep.as("a").join(keep.as("b"), pairCond("a", "b"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
+        val inter = size(array_intersect(col("s1"), col("s2"))).cast("long")
+        val jac = inter.cast("double") / (size(col("s1")) + size(col("s2")) - inter)
+        cand
+          .join(sets.select(col("doc_id").as("d1"), col("ss").as("s1")), "d1")
+          .join(sets.select(col("doc_id").as("d2"), col("ss").as("s2")), "d2")
+          .filter(jac >= 0.8)
+          .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
+          .orderBy("d1", "d2")
+    }
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -104,30 +184,18 @@ object TextPipeline {
         |JOIN cnt c2 ON p.d2 = c2.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val sh = shingles(s, d)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.as("a")
-      val b = sh.as("b")
-      val pairs = a.join(b,
-          col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))
-      pairs
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .filter(jac >= 0.8)
-        .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
-        .orderBy("d1", "d2")
+      nearDupPairs(s, d, dfCap = None)
     },
 
     // MinHash + LSH near-dup candidates, fully deterministic and
     // therefore oracle-checked — unlike ml.feature.MinHashLSH whose
     // random coefficients differ per engine. The 8 hash functions are
-    // derived by splitting two 128-bit md5 digests into four 32-bit
-    // (8-hex-char) slices each — the standard wide-hash-splitting
-    // construction, costing 2 digests per shingle instead of 8. All 8
+    // derived by splitting ONE 128-bit md5 digest into eight 16-bit
+    // (4-hex-char) slices — the standard wide-hash-splitting
+    // construction, costing a single digest per shingle (the digest is
+    // the dominant per-shingle cost; r2 spent two). 16-bit min-hashes
+    // collide more than 32-bit ones, but a band key concatenates two
+    // (32 bits), keeping false-positive candidates rare. All 8
     // min-hashes aggregate in ONE pass (8 agg columns, map-side partial
     // mins → the shuffle carries |docs| rows, not |shingles|), then
     // 4 bands of 2 feed the banded self-join. The scale path for
@@ -138,12 +206,12 @@ object TextPipeline {
         |              unnest(list_transform(range(1, len(words) - 1),
         |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
         |       FROM w WHERE len(words) >= 3),
-        |hx AS (SELECT doc_id, lang, md5(shingle) AS h0, md5('x:' || shingle) AS h1 FROM sh),
+        |hx AS (SELECT doc_id, lang, md5(shingle) AS h0 FROM sh),
         |mh AS (SELECT doc_id, lang,
-        |              min(substr(h0, 1, 8))  AS mh0, min(substr(h0, 9, 8))  AS mh1,
-        |              min(substr(h0, 17, 8)) AS mh2, min(substr(h0, 25, 8)) AS mh3,
-        |              min(substr(h1, 1, 8))  AS mh4, min(substr(h1, 9, 8))  AS mh5,
-        |              min(substr(h1, 17, 8)) AS mh6, min(substr(h1, 25, 8)) AS mh7
+        |              min(substr(h0, 1, 4))  AS mh0, min(substr(h0, 5, 4))  AS mh1,
+        |              min(substr(h0, 9, 4))  AS mh2, min(substr(h0, 13, 4)) AS mh3,
+        |              min(substr(h0, 17, 4)) AS mh4, min(substr(h0, 21, 4)) AS mh5,
+        |              min(substr(h0, 25, 4)) AS mh6, min(substr(h0, 29, 4)) AS mh7
         |       FROM hx GROUP BY 1, 2),
         |bands AS (SELECT doc_id, lang, b.band,
         |                 CASE b.band WHEN 0 THEN mh0 || '|' || mh1
@@ -158,10 +226,8 @@ object TextPipeline {
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       val sh = shingles(s, d)
         .withColumn("h0", md5(col("shingle").cast("binary")))
-        .withColumn("h1", md5(concat(lit("x:"), col("shingle")).cast("binary")))
       val mhAggs = (0 until 8).map { i =>
-        val src = if (i < 4) "h0" else "h1"
-        min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+        min(substring(col("h0"), i * 4 + 1, 4)).as(s"mh$i")
       }
       val mh = sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
       val bandStructs = (0 until 4).map { b =>
@@ -181,63 +247,84 @@ object TextPipeline {
         .orderBy("d1", "d2")
     },
 
-    // Text SimHash: a 16-bit fingerprint from per-word md5 bit votes
+    // Text SimHash: a 64-bit fingerprint from per-word md5 bit votes
     // (bit b of the fingerprint = majority of bit b over all word
-    // hashes, term-frequency weighted as in the classic algorithm).
-    // Docs sharing a fingerprint within a language are near-dup
-    // candidates. All arithmetic — md5, hex-nibble extraction via
-    // instr('0123…f', c), integer div/mod — is engine-portable, so even
-    // SimHash is oracle-checked. One explode + one doc-keyed agg +
-    // one fingerprint-keyed self-join: linear scans, blocked pairs.
+    // hashes, term-frequency weighted as in the classic algorithm),
+    // banded into 4 × 16-bit hamming band tables — candidates are pairs
+    // agreeing on ≥1 band (n_bands counts how many), which by pigeonhole
+    // captures every pair within hamming distance 3. All arithmetic —
+    // md5, hex-nibble extraction via instr('0123…f', c), integer
+    // div/mod — is engine-portable, so even banded SimHash is
+    // oracle-checked (oracle generated from the same bit layout:
+    // simhashOracle above). One explode + one doc-keyed agg + one
+    // band-keyed self-join: linear scans, blocked pairs, unbounded
+    // keyspace.
     Q("q_dedup_simhash", TextPipeline.simhashOracle) { (s, d) =>
       val wrd = withWords(Tables.load(s, d, "documents"))
         .filter(size(col("words")) > 0)
         .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
         .withColumn("h", md5(col("w").cast("binary")))
       // vote for bit (k,j): ±1 from bit j of hex nibble k of md5(w)
-      val votes = (0 until 16).map { b =>
+      val votes = (0 until SimhashBits).map { b =>
         val k = b / 4 + 1; val j = b % 4
         sum(expr(
           s"((instr('0123456789abcdef', substring(h, $k, 1)) - 1) div ${1 << j}) % 2") * 2 - 1)
           .as(s"v$b")
       }
-      val fp = (0 until 16).map { b =>
-        when(col(s"v$b") > 0, 1L << b).otherwise(0L)
+      val bandVal = (g: Int) => (0 until SimhashBandBits).map { i =>
+        when(col(s"v${g * SimhashBandBits + i}") > 0, 1 << i).otherwise(0)
       }.reduce(_ + _)
-      val sig = wrd.groupBy("doc_id", "lang").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), col("lang"), fp.as("fp"))
-      val a = sig.as("a")
-      val b = sig.as("b")
+      val bandStructs = (0 until SimhashBands).map { g =>
+        struct(lit(g).as("band"), bandVal(g).as("bv"))
+      }
+      val bands = wrd.groupBy("doc_id", "lang").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+      val a = bands.as("a")
+      val b = bands.as("b")
       a.join(b,
-          col("a.lang") === col("b.lang") && col("a.fp") === col("b.fp") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.fp").as("fp"))
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_bands"))
         .orderBy("d1", "d2")
     },
 
     // Fuzzy (edit-distance) near-dup candidates: levenshtein over a
-    // fixed-length text prefix, blocked by (lang, length-bucket) so the
-    // pair space is |block|², never |corpus|². The planted duplicate
-    // docs (identical text ⇒ distance 0) guarantee hits at every sf.
+    // fixed-length text prefix, blocked by (lang, length-bucket,
+    // content-prefix hash). (lang, length) alone has BOUNDED cardinality
+    // (~5 langs × bounded length range), so block size — and the
+    // |block|² pair space — would grow linearly with the corpus. The
+    // md5-of-first-4-chars component is content-derived: its cardinality
+    // grows with corpus diversity, holding expected block size ~constant
+    // (pair space ≈ corpus × avg_block, not corpus²). Near-dups that
+    // disagree in the first 4 chars land in different blocks — the
+    // standard blocked-fuzzy trade-off; widen with more prefix keys
+    // (q-gram signature) when recall matters more than cost. Planted
+    // duplicates (identical text ⇒ same block, distance 0) guarantee
+    // hits at every sf.
     Q("q_dedup_fuzzy",
       """WITH p AS (SELECT doc_id, lang, n_chars // 100 AS lb,
+        |                  substring(md5(substring(text, 1, 4)), 1, 2) AS pk,
         |                  substring(text, 1, 20) AS pre
         |           FROM documents)
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
         |FROM p a JOIN p b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.pk = b.pk
+        | AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pre, b.pre) <= 5
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       val p = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           (col("n_chars") / 100).cast("long").as("lb"),
+          substring(md5(substring(col("text"), 1, 4).cast("binary")), 1, 2).as("pk"),
           substring(col("text"), 1, 20).as("pre"))
       val a = p.as("a")
       val b = p.as("b")
       a.join(b,
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.pk") === col("b.pk") &&
           col("a.doc_id") < col("b.doc_id"))
         // thresholded levenshtein early-exits once the running distance
         // exceeds 5 (returns -1) — for the overwhelmingly-distant pair

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,18 +52,45 @@ object OffsetLedger {
         coalesce(min(col("event_id")), lit(-1L))).head()
       // data first (epoch-keyed, overwrite = replay-safe) ...
       cached.write.mode(SaveMode.Overwrite).parquet(s"$outDir/epoch=$epochId")
-      // ... ledger commit last (atomic file create)
+      // ... ledger commit last. Files.write(marker, …) would create the
+      // file before filling it — a crash mid-write leaves a truncated
+      // marker that replay treats as committed. Write to a temp file in
+      // the same directory and ATOMIC_MOVE it into place, so the marker
+      // only ever exists fully written.
       val entry =
         s"""{"epoch_id":$epochId,"n_rows":${stats.getLong(0)},""" +
           s""""max_event_id":${stats.getLong(1)},"min_event_id":${stats.getLong(2)}}"""
-      Files.write(marker, entry.getBytes("UTF-8"))
+      val tmp = Files.createTempFile(Paths.get(ledgerDir), s".epoch_$epochId", ".tmp")
+      Files.write(tmp, entry.getBytes("UTF-8"))
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
     } finally cached.unpersist()
   }
 
-  /** Read the ledger back as a DataFrame (queryable offset table). */
-  def read(spark: SparkSession, ledgerDir: String): DataFrame =
-    spark.read.schema("epoch_id LONG, n_rows LONG, max_event_id LONG, min_event_id LONG")
-      .json(s"$ledgerDir/epoch_*.json")
+  private val LedgerSchema = "epoch_id LONG, n_rows LONG, max_event_id LONG, min_event_id LONG"
+
+  /** Read the ledger back as a DataFrame (queryable offset table).
+    * A fresh/empty ledger yields an empty frame (not path-not-found);
+    * a malformed marker (impossible once written via ATOMIC_MOVE, but
+    * possible from foreign writers) parses to all-null in PERMISSIVE
+    * mode and is dropped rather than surfacing as a phantom epoch. */
+  def read(spark: SparkSession, ledgerDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = Paths.get(ledgerDir)
+    val hasMarkers = Files.isDirectory(dir) && {
+      val it = Files.list(dir)
+      try it.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.startsWith("epoch_") && n.endsWith(".json")
+      } finally it.close()
+    }
+    if (!hasMarkers)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(LedgerSchema))
+    else
+      spark.read.schema(LedgerSchema)
+        .json(s"$ledgerDir/epoch_*.json")
+        .filter(col("epoch_id").isNotNull)
+  }
 
   /** Highest committed epoch, or None for a fresh ledger. */
   def lastCommittedEpoch(ledgerDir: String): Option[Long] = {
