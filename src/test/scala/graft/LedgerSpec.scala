@@ -105,6 +105,58 @@ class LedgerSpec extends SparkSpec {
       .agg(sum("n_rows")).head().getLong(0) === n)
   }
 
+  test("restart positioned from the ledger itself: fresh checkpoint, no loss, no dup") {
+    // The reference pattern's OTHER half: the checkpoint is gone (full
+    // migration / new cluster), and the stream is positioned at startup
+    // purely from the external offset store — here, the max committed
+    // event_id read back from the ledger.
+    import spark.implicits._
+    val srcDir = tempDir("graft_src_lp")
+    val out1 = tempDir("graft_out_lp1"); val led1 = tempDir("graft_led_lp1")
+    val out2 = tempDir("graft_out_lp2"); val led2 = tempDir("graft_led_lp2")
+
+    Seq((1L, 10L, 1.0), (2L, 11L, 2.0)).toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = spark.readStream.schema(evDDL).parquet(srcDir)
+      .writeStream.foreachBatch(OffsetLedger.sink(out1, led1) _)
+      .option("checkpointLocation", tempDir("graft_ckpt_lp1"))
+      .start()
+    q1.processAllAvailable(); q1.stop() // incarnation 1 dies; checkpoint is LOST
+
+    // position from the ledger alone (the ZK-read-at-startup equivalent)
+    val resumeFrom = OffsetLedger.read(spark, led1)
+      .agg(max("max_event_id")).head().getLong(0)
+    assert(resumeFrom === 2L)
+
+    Seq((3L, 12L, 3.0), (4L, 13L, 4.0)).toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // incarnation 2: FRESH checkpoint re-reads every file; the ledger
+    // position filters the already-committed prefix out of the stream
+    val q2 = spark.readStream.schema(evDDL).parquet(srcDir)
+      .filter(col("event_id") > resumeFrom)
+      .writeStream.foreachBatch(OffsetLedger.sink(out2, led2) _)
+      .option("checkpointLocation", tempDir("graft_ckpt_lp2"))
+      .start()
+    q2.processAllAvailable(); q2.stop()
+
+    val all = spark.read.parquet(s"$out1/epoch=*")
+      .union(spark.read.parquet(s"$out2/epoch=*"))
+      .select("event_id").as[Long].collect().sorted
+    assert(all.toList === List(1L, 2L, 3L, 4L),
+      "ledger-positioned restart must neither lose nor duplicate events")
+  }
+
+  test("empty ledger reads as an empty frame; malformed foreign markers are dropped") {
+    val dir = tempDir("graft_led_empty")
+    assert(OffsetLedger.read(spark, dir).isEmpty, "fresh ledger dir")
+    assert(OffsetLedger.lastCommittedEpoch(dir).isEmpty)
+    // a foreign writer's truncated marker must not surface as a phantom
+    // committed epoch (our own writer can't produce one: ATOMIC_MOVE)
+    Files.write(Paths.get(dir, "epoch_000000007.json"), "{\"epoch_id\":".getBytes("UTF-8"))
+    assert(OffsetLedger.read(spark, dir).isEmpty, "truncated marker dropped")
+  }
+
   test("kafka startingOffsets JSON mirrors the stored-offset resume pattern") {
     assert(KafkaSource.startingOffsetsJson("events", Map(0 -> 42L, 1 -> 7L)) ===
       """{"events":{"0":42,"1":7}}""")

@@ -28,6 +28,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_join_theta joins on the 60s time bucket, not user_id alone") {
+    // user_id has bounded cardinality — keyed on it alone, the SMJ's
+    // per-key group grows with the corpus and the band residual goes
+    // quadratic. The bucket must be part of the equi-join keys.
+    val plan = SparkEntry.queries("q_join_theta")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("user_id"))
+      .getOrElse(fail(s"no join over user_id found:\n$plan"))
+    assert(joinLine.contains("jbkt"),
+      s"equi-join keys must include the time bucket:\n$joinLine")
+  }
+
   test("star join broadcasts only the fixed-size dims") {
     val df = SparkEntry.queries("q_join_multiway")(spark, sfDir)
     df.collect() // let AQE finalize

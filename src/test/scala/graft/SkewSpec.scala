@@ -16,6 +16,17 @@ class SkewSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("df-capped near-dup candidates with exact verification match the uncapped pairs") {
+    // the cap prunes candidate GENERATION only; verification recomputes
+    // the exact jaccard — so a cap above the max document frequency is
+    // result-identical, and any cap yields a subset (never false pairs)
+    val uncapped = ops.TextPipeline.nearDupPairs(spark, sfDir, None)
+    val wideCap = ops.TextPipeline.nearDupPairs(spark, sfDir, Some(Long.MaxValue))
+    assert(wideCap.except(uncapped).isEmpty && uncapped.except(wideCap).isEmpty)
+    val tight = ops.TextPipeline.nearDupPairs(spark, sfDir, Some(3L))
+    assert(tight.except(uncapped).isEmpty, "capped pairs must be a subset")
+  }
+
   test("twoPhaseAgg equals the direct aggregation") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val direct = li.groupBy(col("l_returnflag").as("k"))

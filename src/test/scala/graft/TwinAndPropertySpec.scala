@@ -92,6 +92,32 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(direct.filter(col("score") =!= col("direct")).isEmpty)
   }
 
+  test("approximate kNN recall@5 vs brute-force ground truth is ≥ 0.6") {
+    // the tuning contract a real user of q_knn_lsh / q_knn_ivf needs:
+    // how much of the true top-5 the approximate paths return
+    val truth = q("q_sim_brute").select("probe_id", "cand_id").cache()
+    val denom = truth.count().toDouble
+    def recallAt5(name: String): Double =
+      truth.join(q(name).select("probe_id", "cand_id"), Seq("probe_id", "cand_id"))
+        .count() / denom
+    val lsh = recallAt5("q_knn_lsh")
+    val ivf = recallAt5("q_knn_ivf")
+    truth.unpersist()
+    assert(lsh >= 0.6, s"LSH recall@5 = $lsh")
+    assert(ivf >= 0.6, s"IVF recall@5 = $ivf")
+  }
+
+  test("cosine_sim is null (not garbage) on ragged or zero-norm input") {
+    val rows = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS ragged,
+        |       cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS zero_norm,
+        |       cosine_sim(array(CAST(3.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS ok""".stripMargin)
+      .head()
+    assert(rows.isNullAt(0), "length mismatch must be null")
+    assert(rows.isNullAt(1), "zero-norm vector must be null")
+    assert(math.abs(rows.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("frame sampling stays within payload bounds") {
     val frames = q("q_multimodal_frames")
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "n_chars")
