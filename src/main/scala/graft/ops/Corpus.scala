@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training-data pipelines
+  * (SURVEY §2.10 extensions, round 3): deterministic train/val/test
+  * splitting, document chunking, PII scrubbing, n-gram frequency
+  * tables.
+  *
+  * Same design rules as [[TextPipeline]]: md5 for every hash that must
+  * be engine-portable (so all four ops are fully oracled), higher-order
+  * functions instead of UDFs, and per-row generators (explode over an
+  * in-row sequence) instead of joins, so each op is a single
+  * narrow-dependency pass over the corpus — embarrassingly parallel at
+  * 100 TB, no shuffle except the declared aggregations.
+  */
+object Corpus {
+
+  /** Chunking layout: fixed character windows with overlap — the
+    * standard context-window prep for LLM pretraining. stride < size
+    * gives (size - stride) chars of overlap between adjacent chunks. */
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Deterministic train/val/test split: bucket = first md5 byte of the
+    // doc key, compared as hex text (lexicographic order on [0-9a-f] IS
+    // numeric order, and md5 hex is identical in Spark and DuckDB).
+    // 'cd' = 205/256 ≈ 80% train, 'e6' = 230/256 ≈ +10% val, rest test.
+    // Content-hash splitting is reshuffle-proof and join-free: the same
+    // doc lands in the same split on any cluster layout, at any scale —
+    // unlike rand()-based sampling, which is nondeterministic under
+    // retries. Pure map-side; no shuffle at all.
+    Q("q_sample_split",
+      """SELECT doc_id,
+        |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(h < "cd", "train").when(h < "e6", "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Overlapping character chunks: starts = 0, stride, 2·stride … < n_chars
+    // generated IN-ROW (sequence + explode — a codegen'd Generator, no
+    // join, no shuffle). Chunk count per doc is ⌈n_chars/stride⌉, so
+    // output size is a fixed ~size/stride multiple of the corpus:
+    // linear at 100 TB. substring is 1-indexed in both engines.
+    Q("q_doc_chunk",
+      s"""SELECT doc_id,
+         |       CAST(s // $ChunkStride AS INT) AS chunk_id,
+         |       substring(text, CAST(s + 1 AS INT), $ChunkSize) AS chunk,
+         |       length(substring(text, CAST(s + 1 AS INT), $ChunkSize)) AS n_chunk_chars
+         |FROM (SELECT doc_id, text,
+         |             unnest(range(0, greatest(n_chars, 1), $ChunkStride)) AS s
+         |      FROM documents)
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), greatest(col("n_chars") - 1, lit(0L)), lit(ChunkStride.toLong)))
+            .as("s"))
+        .select(
+          col("doc_id"),
+          expr(s"CAST(s div $ChunkStride AS INT)").as("chunk_id"),
+          substring(col("text"), lit(1) + col("s").cast("int"), lit(ChunkSize)).as("chunk"))
+        .withColumn("n_chunk_chars", length(col("chunk")).cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // PII scrubbing: regex redaction of emails and phone numbers. The
+    // test corpus carries no PII, so a deterministic contact line is
+    // synthesized per doc (same expression both engines) and then
+    // scrubbed. Patterns stay in the Java∩RE2 common subset (character
+    // classes + bounded repeats, no lookaround); DuckDB needs the 'g'
+    // flag to match Spark's replace-all. Pure map-side pass.
+    Q("q_text_pii",
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           'u' || CAST(doc_id AS VARCHAR) || '@example.com +1-555-' ||
+        |             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || substring(text, 1, 40),
+        |           '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |         '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = concat(
+        lit("u"), col("doc_id").cast("string"), lit("@example.com +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
+        substring(col("text"), 1, 40))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(raw, lit("[a-z0-9._]+@[a-z0-9.]+"), lit("<EMAIL>")),
+            lit("\\+1-555-[0-9]{4}"), lit("<PHONE>")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // Per-language bigram frequency table, top 10 per lang — the n-gram
+    // LM / contamination-check building block. Bigrams are generated
+    // in-row (transform over an index sequence), so the only shuffles
+    // are the count aggregation and the per-lang top-k window — both on
+    // keys whose cardinality grows with content diversity, never a
+    // cross product. Spark arrays are 0-indexed, DuckDB lists 1-indexed;
+    // both sides emit exactly size(words)-1 bigrams.
+    Q("q_ngram_freq",
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT lang,
+        |             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |      FROM w),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, n,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+        |      FROM c)
+        |SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = split(col("text"), " ")
+      val bigrams = Tables.load(s, d, "documents")
+        .select(col("lang"), words.as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("lang"),
+          explode(expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+            .as("bigram"))
+      bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rk",
+          row_number().over(
+            Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select("lang", "bigram", "n", "rk")
+        .orderBy("lang", "rk")
+    }
+  )
+}

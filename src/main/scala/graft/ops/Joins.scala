@@ -188,6 +188,35 @@ object Joins {
         .orderBy("user_id")
     },
 
+    // Range join against an interval dimension: each lineitem lands in the
+    // quantity band [band_id·2, band_id·2+2). The dim derives from nation —
+    // fixed 25 rows at every scale factor — so the right plan is a pinned
+    // broadcast with the range residual evaluated stream-side
+    // (BroadcastNestedLoopJoin over a constant-size build: linear in the
+    // fact table, zero shuffle before the final 25-group aggregate). A
+    // growing interval dim would instead bucket both sides on
+    // floor(value/width) like q_join_theta does with time.
+    Q("q_join_range",
+      """SELECT n_nationkey AS band_id,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS revenue
+        |FROM lineitem JOIN nation
+        |  ON l_quantity >= n_nationkey * 2.0 AND l_quantity < n_nationkey * 2.0 + 2.0
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin) { (s, d) =>
+      val bands = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("band_id"),
+          (col("n_nationkey") * 2.0).as("lo"),
+          (col("n_nationkey") * 2.0 + 2.0).as("hi"))
+      Tables.load(s, d, "lineitem")
+        .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("band_id")
+    },
+
     // As-of join: each purchase gets the user's latest strictly-prior view
     // timestamp. Implemented the scalable way: union-tag + running
     // last(ignoreNulls) over one user_id shuffle (no per-row subquery).

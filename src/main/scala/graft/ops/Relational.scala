@@ -168,6 +168,29 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // Schema-evolution union: two sources with different column sets and
+    // orders merged by NAME (unionByName + allowMissingColumns), the
+    // everyday "append new-schema files to an old table" operation.
+    // Positional UNION ALL would silently misalign here. The oracle
+    // spells out the aligned projection with typed NULLs.
+    Q("q_union_byname",
+      """SELECT c_custkey AS entity_id, 'customer' AS src, c_acctbal AS acctbal,
+        |       c_custkey AS rid, CAST(NULL AS DOUBLE) AS spend
+        |FROM customer
+        |UNION ALL
+        |SELECT o_custkey, 'order', CAST(NULL AS DOUBLE), o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY src, rid""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("entity_id"), lit("customer").as("src"),
+          col("c_acctbal").as("acctbal"), col("c_custkey").as("rid"))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_totalprice").as("spend"), col("o_custkey").as("entity_id"),
+          col("o_orderkey").as("rid"), lit("order").as("src"))
+      c.unionByName(o, allowMissingColumns = true)
+        .orderBy("src", "rid")
+    },
+
     Q("q_except",
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT

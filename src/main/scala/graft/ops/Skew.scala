@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +22,56 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Oracled query entries: the events table IS the skew case the
+    * helpers exist for — user_id has a fixed 15-value domain, so at
+    * 100 TB each key holds ~7% of all rows and a plain hash shuffle
+    * puts each on one reducer. The oracles are the UNSALTED SQL: the
+    * rewrites must be result-identical (that is the whole point), which
+    * makes skew mitigation itself hash-checked by the driver, not just
+    * equivalence-tested in SkewSpec.
+    */
+  def defs: Seq[QueryDef] = Seq(
+
+    // Two-phase salted aggregation: phase 1 combines (user_id, salt)
+    // partials — 16 reducers share each hot key — phase 2 merges 16
+    // partial rows per key. Shuffle volume after phase 1 is |keys|×16
+    // rows, independent of corpus size.
+    Q("q_skew_agg",
+      """SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       floor((sum(value))*100+0.5)/100 AS total_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "value")
+      twoPhaseAgg(e, "user_id", 16,
+          "n_events" -> (count(lit(1)), (c: String) => sum(col(c))),
+          "total_value" -> (sum(col("value")), (c: String) => sum(col(c))))
+        .select(col("user_id"), col("n_events"), Q.r2(col("total_value")).as("total_value"))
+        .orderBy("user_id")
+    },
+
+    // Salted fact⋈dim join: nation is above toy broadcast thresholds in
+    // spirit (stand-in for a dim too big to broadcast); each hot user_id
+    // is spread over 8 reducers, the dim replicated 8×. Replication cost
+    // is 8·|dim| rows — constant — vs the unsalted plan's single-reducer
+    // hot key.
+    Q("q_skew_join",
+      """SELECT n_name,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       floor((sum(value))*100+0.5)/100 AS total_value
+        |FROM events JOIN nation ON user_id = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "user_id", "value")
+      val n = Tables.load(s, d, "nation")
+      saltedJoin(e, n, "user_id", "n_nationkey", 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"), Q.r2(sum(col("value"))).as("total_value"))
+        .orderBy("n_name")
+    }
+  )
+
   /** Equi-join `skewed ⋈ other` on skewed(key) == other(otherKey),
     * spreading each hot key over `salts` reducers: the skewed side gets
     * a uniform salt, the other side is replicated `salts` ways. Shuffle
@@ -38,7 +89,7 @@ object Skew {
     // duplicate rows co-salt (slightly less spreading), which only
     // costs balance, never correctness.
     val salted = skewed.withColumn(SaltCol,
-      pmod(hash(skewed.columns.map(col): _*).cast("long"), lit(salts.toLong)))
+      pmod(hash(skewed.columns.toIndexedSeq.map(col): _*).cast("long"), lit(salts.toLong)))
     val replicated = other.withColumn(SaltCol,
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated,
@@ -63,7 +114,7 @@ object Skew {
     val partials = aggs.map { case (name, (p1, _)) => p1.as(s"__p_$name") }
     val merges = aggs.map { case (name, (_, p2)) => p2(s"__p_$name").as(name) }
     // same deterministic content-hash salt as saltedJoin
-    df.withColumn(SaltCol, pmod(hash(df.columns.map(col): _*).cast("long"), lit(salts.toLong)))
+    df.withColumn(SaltCol, pmod(hash(df.columns.toIndexedSeq.map(col): _*).cast("long"), lit(salts.toLong)))
       .groupBy(col(key), col(SaltCol))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

@@ -190,6 +190,34 @@ object Windows {
           first(col("c_custkey")).over(full).as("richest"),
           last(col("c_custkey")).over(full).as("poorest"))
         .orderBy("c_custkey")
+    },
+
+    // CDC-style compaction: keep only the LATEST event per
+    // (user_id, event_type), ordered by timestamp with event_id as the
+    // total tie-break — the "dedup to current version" pass every
+    // change-capture pipeline runs. One shuffle on the dedup key; at
+    // 100 TB the window never materializes a group (rank streams over
+    // the sorted run), and on a date-partitioned layout the same plan
+    // compacts each partition independently.
+    Q("q_dedup_latest",
+      """SELECT user_id, event_type, event_id, es, value FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |         value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch(date_trunc('second', ts)) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("es").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("user_id", "event_type", "event_id", "es", "value")
+        .orderBy("user_id", "event_type")
     }
   )
 }

@@ -41,6 +41,40 @@ class PlanAuditSpec extends SparkSpec {
       s"equi-join keys must include the time bucket:\n$joinLine")
   }
 
+  test("q_join_range broadcasts the constant-size interval dim") {
+    // A non-equi range join is only scale-safe when the build side is
+    // broadcast (linear scan of the fact table); a shuffle formulation
+    // would be a cartesian in disguise.
+    val df = SparkEntry.queries("q_join_range")(spark, sfDir)
+    df.collect() // let AQE finalize so the exchange materializes
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("BroadcastExchange"),
+      s"range join must be a broadcast nested-loop over the 25-row dim:\n$plan")
+  }
+
+  test("corpus map-side ops shuffle only for their final ORDER BY") {
+    // split/chunk/pii are single-pass generators — a hash shuffle in the
+    // plan would mean an accidental join/agg crept in.
+    Seq("q_sample_split", "q_doc_chunk", "q_text_pii").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must stay map-side (range exchange for the sort only):\n$plan")
+    }
+  }
+
+  test("skew rewrites keep the salt in the optimized plan") {
+    // The salted shuffle key must survive optimization — if Catalyst
+    // collapsed the two-phase agg or dropped the salt from the join key,
+    // the rewrite would silently degrade to the single-reducer plan.
+    Seq("q_skew_agg", "q_skew_join").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("__graft_salt"),
+        s"$name lost its salt column after optimization:\n$plan")
+    }
+  }
+
   test("star join broadcasts only the fixed-size dims") {
     val df = SparkEntry.queries("q_join_multiway")(spark, sfDir)
     df.collect() // let AQE finalize

@@ -145,6 +145,34 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(sim.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("doc chunks reassemble to the original text") {
+    // stride-width prefixes of consecutive chunks, concatenated in
+    // chunk_id order, must rebuild every document byte-for-byte — the
+    // no-gap/no-drop guarantee chunking owes a training pipeline.
+    val chunks = q("q_doc_chunk")
+      .select(col("doc_id"), col("chunk_id"), substring(col("chunk"), 1, 150).as("piece"))
+    val joined = chunks
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("piece")))),
+        e => e("piece")), "").as("rebuilt"))
+      .join(Tables.load(spark, sfDir, "documents").select("doc_id", "text"), "doc_id")
+    assert(joined.filter(col("rebuilt") =!= col("text")).isEmpty)
+  }
+
+  test("hash split is exhaustive, disjoint and near the 80/10/10 target") {
+    val split = q("q_sample_split").cache()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(split.count() === docs.count())
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val n = docs.count().toDouble
+    val train = bySplit.getOrElse("train", 0L) / n
+    // md5 is uniform; at 500+ docs the 80% bucket stays within ±10pp
+    assert(train > 0.70 && train < 0.90, s"train share = $train")
+    split.unpersist()
+  }
+
   test("near-dup pairs all reach the Jaccard threshold and LSH recalls exact pairs") {
     val near = q("q_dedup_near").cache()
     assert(near.filter(col("jaccard") < 0.8).isEmpty)
