@@ -51,6 +51,19 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Custom DataSource V2 scan (graft.sources.DocsSource): generated
+    // corpus read through the public connector API — partition-planned,
+    // column-pruned (SourcesSpec asserts both). Rows-only: no DuckDB
+    // equivalent of a custom source; content determinism is what the
+    // spec proves.
+    Q.noOracle("q_source_dsv2") { (s, _) =>
+      s.read.format("graft-docs")
+        .option("rows", 5000).option("partitions", 8).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // -- §2.2 projection / filter -------------------------------------------
 
     Q("q_project",

@@ -216,9 +216,15 @@ object Similarity {
       // search metric is cosine — on the unit sphere they coincide
       // (‖x−y‖² = 2−2·cos), so cells align with cosine neighborhoods.
       // Quantizing raw vectors groups by magnitude and costs recall.
+      // CACHED: the fit makes maxIter+init passes over the features, and
+      // the assignment/probe steps two more — without this the parquet
+      // read + HOF normalization re-execute per pass (measured 3× the
+      // whole query's cost at sf0.1). At 100 TB you'd cache the SAMPLE
+      // the quantizer fits on, not the corpus.
       val e = Tables.load(s, d, "embeddings")
         .withColumn("features", array_to_vector(
           expr("transform(embedding, x -> x / sqrt(aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))")))
+        .cache()
       // k ≈ √N keeps both cell size and centroid-scan cost ~√N. The
       // count() is one cheap metadata-ish pass; at 100 TB you'd fit the
       // quantizer on a sample and reuse the same k rule. nprobe trades
@@ -231,9 +237,11 @@ object Similarity {
       val n = e.count()
       val k = math.max(4, math.sqrt(n.toDouble).toInt)
       val nprobe = math.max(3, k * 2 / 5)
-      // few iterations: the quantizer only needs stable cells, not
-      // converged centroids — at 100 TB you'd fit on a sample anyway
-      val km = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      // few iterations + random init: a coarse quantizer needs stable
+      // cells, not converged centroids (k-means|| init alone costs more
+      // passes than the 5 Lloyd iterations); recall is floor-asserted
+      // in TwinAndPropertySpec either way.
+      val km = new KMeans().setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
         .setFeaturesCol("features").setPredictionCol("cell")
       val model = km.fit(e)
       val assigned = model.transform(e)

@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-docs`: a DataSource V2 connector generating a deterministic
+  * synthetic document corpus — the engine's "bring your own source"
+  * surface, built only on the public `org.apache.spark.sql.connector`
+  * API.
+  *
+  * Two read paths:
+  *  - **batch**: `spark.read.format("graft-docs").option("rows", n)
+  *    .option("partitions", p).load()` — planInputPartitions splits the
+  *    id range into `p` independent slices, so the scan parallelizes
+  *    exactly like a parquet directory would at 100 TB (no driver-side
+  *    row generation, each executor materializes only its slice);
+  *  - **micro-batch streaming**: `spark.readStream.format("graft-docs")
+  *    .option("rowsPerBatch", k)` — a monotone long offset advances by
+  *    `k` per batch (capped by optional `rows`), mirroring the
+  *    reference's offset-tracked-source contract: offsets are JSON in
+  *    the checkpoint WAL, restart resumes from the last committed
+  *    offset, and each (start, end] range re-plans to the same rows —
+  *    deterministic replay, the property an offset ledger needs.
+  *
+  * Column pruning is honored ([[DocsScanBuilder.pruneColumns]]): a
+  * `select("doc_id")` never materializes the text payload — the same
+  * contract parquet's vectorized reader gives, asserted in SourcesSpec.
+  *
+  * Row content is pure arithmetic on the row id (no RNG state), so any
+  * slice can be regenerated anywhere — task retries and speculative
+  * copies are safe by construction.
+  */
+class DocsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-docs"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocsSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DocsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object DocsSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  private val Langs = Array("en", "de", "fr", "es", "pt")
+
+  /** Deterministic row content: a keyed multiplicative hash drives word
+    * choice, so content is stable under re-planning and retries. */
+  def gen(id: Long, field: String): Any = field match {
+    case "doc_id" => id
+    case "lang" => UTF8String.fromString(Langs((((id % 5) + 5) % 5).toInt))
+    case "text" => UTF8String.fromString(text(id))
+    case "n_chars" => text(id).length.toLong
+  }
+
+  def text(id: Long): String = {
+    val n = 5 + (mix(id, 0) % 20).toInt // 5..24 words
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append("w").append(java.lang.Long.toHexString(mix(id, i + 1) % 4096))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def mix(id: Long, k: Int): Long = {
+    var h = id * 0x9E3779B97F4A7C15L + k * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    h & Long.MaxValue
+  }
+}
+
+private[sources] class DocsTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-docs"
+  override def schema(): StructType = DocsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // table properties carry the .option(...)s on the read path; merge
+    // with any scan-time options (scan-time wins)
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ opts.asScala).asJava)
+    new DocsScanBuilder(merged)
+  }
+}
+
+private[sources] class DocsScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DocsSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty prune (e.g. count(*)) keeps an empty struct: readers then
+    // emit zero-field rows, never the text payload
+    required = requiredSchema
+  override def build(): Scan = new DocsScan(options, required)
+}
+
+private[sources] class DocsScan(options: CaseInsensitiveStringMap, required: StructType)
+    extends Scan {
+  private val rows = options.getLong("rows", 1000L)
+  private val partitions = math.max(1, options.getInt("partitions", 4))
+  private val rowsPerBatch = options.getLong("rowsPerBatch", 100L)
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-docs rows=$rows partitions=$partitions readSchema=${required.simpleString}"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      DocsScan.slices(0L, rows, partitions)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DocsReaderFactory(required.fieldNames)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocsMicroBatchStream(rows, rowsPerBatch, partitions, required.fieldNames)
+}
+
+private[sources] object DocsScan {
+  /** Contiguous id ranges, one per partition — the planning shape a
+    * file source gets from its splits. */
+  def slices(start: Long, end: Long, parts: Int): Array[InputPartition] = {
+    val total = math.max(0L, end - start)
+    (0 until parts).iterator.map { i =>
+      val lo = start + i * total / parts
+      val hi = start + (i + 1) * total / parts
+      DocsRange(lo, hi)
+    }.filter(r => r.end > r.start).toArray[InputPartition]
+  }
+}
+
+private[sources] case class DocsRange(start: Long, end: Long) extends InputPartition
+
+private[sources] class DocsReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val DocsRange(start, end) = partition
+    new PartitionReader[InternalRow] {
+      private var cur = start - 1
+      override def next(): Boolean = { cur += 1; cur < end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toIndexedSeq.map(f => DocsSource.gen(cur, f)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Monotone long offset: `json()` is the row position — human-readable
+  * in the checkpoint WAL, trivially diffable against an external
+  * ledger (the reference stored exactly this shape per partition). */
+private[sources] case class DocsOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class DocsMicroBatchStream(
+    totalRows: Long, rowsPerBatch: Long, partitions: Int, fields: Array[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = DocsOffset(0L)
+  override def deserializeOffset(json: String): Offset = DocsOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+
+  /** Admission-controlled advance: rowsPerBatch past the CHECKPOINTED
+    * start, never past totalRows — a bounded stream, so drains
+    * terminate. Driving progression off the engine-supplied start
+    * offset (not an in-memory cursor) is what makes restart correct:
+    * a recovered query resumes exactly at the WAL offset. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    DocsOffset(math.min(totalRows, start.asInstanceOf[DocsOffset].pos + rowsPerBatch))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used for admission control")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    DocsScan.slices(start.asInstanceOf[DocsOffset].pos,
+      end.asInstanceOf[DocsOffset].pos, partitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsReaderFactory(fields)
+
+  override def stop(): Unit = ()
+}
