@@ -157,6 +157,45 @@ class LedgerSpec extends SparkSpec {
     assert(OffsetLedger.read(spark, dir).isEmpty, "truncated marker dropped")
   }
 
+  test("custom DSv2 source drives the ledger sink: offsets, ledger and data agree") {
+    // The full reference shape on owned code end-to-end: an offset-
+    // tracked custom source (graft-docs, admission-controlled long
+    // offset) feeding the transactional ledger sink — Kafka's role and
+    // ZooKeeper's role, both under test on this box.
+    val outDir = tempDir("graft_dsv2_out")
+    val ledgerDir = tempDir("graft_dsv2_ledger")
+    val ckpt = tempDir("graft_dsv2_ckpt")
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-docs")
+        .option("rows", 250).option("rowsPerBatch", 100).option("partitions", 2)
+        .load()
+        .withColumnRenamed("doc_id", "event_id") // sink ledgers event_id stats
+        .writeStream
+        .foreachBatch(OffsetLedger.sink(outDir, ledgerDir) _)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+
+    val out = spark.read.parquet(s"$outDir/epoch=*")
+    assert(out.count() === 250)
+    assert(out.select("event_id").distinct().count() === 250, "no duplicates")
+    // ledger rows tile the id space contiguously: batch k covers
+    // [100k, min(100k+100, 250)) — offsets and data cannot drift
+    val ledger = OffsetLedger.read(spark, ledgerDir)
+      .filter(col("n_rows") > 0).orderBy("epoch_id").collect()
+    assert(ledger.map(_.getAs[Long]("n_rows")).sum === 250L)
+    ledger.foreach { r =>
+      assert(r.getAs[Long]("max_event_id") - r.getAs[Long]("min_event_id") + 1
+        === r.getAs[Long]("n_rows"), s"epoch must cover a contiguous range: $r")
+    }
+    // restart on the drained checkpoint emits nothing new
+    run()
+    assert(spark.read.parquet(s"$outDir/epoch=*").count() === 250)
+  }
+
   test("kafka startingOffsets JSON mirrors the stored-offset resume pattern") {
     assert(KafkaSource.startingOffsetsJson("events", Map(0 -> 42L, 1 -> 7L)) ===
       """{"events":{"0":42,"1":7}}""")

@@ -101,6 +101,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(pruned.count() === expect)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB the win: a selective dim-side predicate becomes a bloom
+    // filter applied inside the fact scan, dropping non-joining rows
+    // before the shuffle. Size thresholds are tuned for toy data; the
+    // plan shape (bloom agg on the build, might_contain on the probe)
+    // is what production inherits unchanged.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"fact scan must carry the runtime bloom probe:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"dim side must build the bloom filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
