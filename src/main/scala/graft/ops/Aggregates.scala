@@ -80,6 +80,33 @@ object Aggregates {
         .orderBy("l_linestatus")
     },
 
+    // Heavy hitters via the approx_top_k sketch (Spark 4.x) — the scale
+    // path for "most frequent items" without a full count-all-groups
+    // shuffle: mergeable per-partition sketches, one row out. Oracled,
+    // unlike the other sketch ops: event_type has 5 distinct values,
+    // far under the sketch's tracking capacity, where approx_top_k is
+    // EXACT by construction — so the DuckDB exact top-k is a valid
+    // oracle (same reasoning as the q_agg_distinct/HLL twin pairing).
+    // The re-rank window pins tie order deterministically in both
+    // engines.
+    Q("q_agg_approx_topk",
+      """SELECT event_type, n, rk
+        |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS BIGINT) AS rk
+        |      FROM events GROUP BY event_type)
+        |WHERE rk <= 5
+        |ORDER BY rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 5)").as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("n").desc, col("event_type"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("rk")
+    },
+
     // ROLLUP with coalesced labels (grouping_id formats differ per engine,
     // label columns are portable).
     Q("q_agg_rollup",

@@ -264,12 +264,22 @@ object TextPipeline {
         .filter(size(col("words")) > 0)
         .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
         .withColumn("h", md5(col("w").cast("binary")))
-      // vote for bit (k,j): ±1 from bit j of hex nibble k of md5(w)
+        // parse the 16 fingerprint nibbles ONCE into two 32-bit words
+        // (conv is codegen'd); per-bit extraction below is then pure
+        // integer arithmetic. The previous per-bit substring+instr did
+        // 64 string scans per word occurrence — 2× the whole query's
+        // cost at sf0.1. Bit values are unchanged: nibble k of word
+        // ⌈k/8⌉ sits at weight 16^(8 - ((k-1)%8 + 1)).
+        .withColumn("h1", expr("conv(substring(h, 1, 8), 16, 10)").cast("long"))
+        .withColumn("h2", expr("conv(substring(h, 9, 8), 16, 10)").cast("long"))
+        .select(col("doc_id"), col("lang"), col("h1"), col("h2"))
+      // vote for bit (k,j): ±1 from bit j of hex nibble k of md5(w) —
+      // same (k, j) layout as simhashOracle, extracted arithmetically
       val votes = (0 until SimhashBits).map { b =>
         val k = b / 4 + 1; val j = b % 4
-        sum(expr(
-          s"((instr('0123456789abcdef', substring(h, $k, 1)) - 1) div ${1 << j}) % 2") * 2 - 1)
-          .as(s"v$b")
+        val (word, kk) = if (k <= 8) ("h1", k) else ("h2", k - 8)
+        val weight = (1L << (4 * (8 - kk))) * (1L << j)
+        sum(expr(s"($word div ${weight}L) % 2") * 2 - 1).as(s"v$b")
       }
       val bandVal = (g: Int) => (0 until SimhashBandBits).map { i =>
         when(col(s"v${g * SimhashBandBits + i}") > 0, 1 << i).otherwise(0)

@@ -34,6 +34,33 @@ class SourcesSpec extends SparkSpec {
     assert(k.filter(col("k").isNull).isEmpty)
   }
 
+  test("binaryFile source ingests media blobs as binary + metadata") {
+    // the multimodal ingestion path: opaque payload bytes + typed
+    // metadata columns, straight from a directory of media files
+    // (Multimodal.scala consumes exactly this shape). Pushdown on
+    // pathGlobFilter/length keeps a 100 TB media lake scannable.
+    val dir = tempDir("graft_bin")
+    val payloads = (0 until 5).map { i =>
+      val p = java.nio.file.Paths.get(dir, f"blob_$i%02d.bin")
+      val bytes = Array.tabulate[Byte](10 + i)(j => (i * 31 + j).toByte)
+      java.nio.file.Files.write(p, bytes)
+      (p.getFileName.toString, bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+    assert(df.count() === 5)
+    // key on the file name: URI renderings (file:/ vs file:///) differ
+    // between java.nio and Hadoop paths
+    val got = df.select("path", "length", "content").collect()
+      .map(r => r.getString(0).split('/').last ->
+        (r.getLong(1), r.getAs[Array[Byte]]("content")))
+      .toMap
+    payloads.foreach { case (name, bytes) =>
+      val (len, content) = got(name)
+      assert(len === bytes.length && content.toSeq === bytes.toSeq)
+    }
+  }
+
   // ---- graft-docs: the custom DataSource V2 connector ---------------------
 
   test("graft-docs batch read: deterministic rows across the requested partitions") {
