@@ -80,6 +80,44 @@ object Aggregates {
         .orderBy("l_linestatus")
     },
 
+    // HAVING: post-aggregation predicate — planned as a filter ABOVE the
+    // final HashAggregate, so partial aggregation and the single
+    // group-key shuffle are unchanged; only qualifying groups survive.
+    Q("q_agg_having",
+      """SELECT o_custkey,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       floor((sum(o_totalprice))*100+0.5)/100 AS spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 12 AND sum(o_totalprice) > 100000.0
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("spend0"))
+        .filter(col("n_orders") >= 12 && col("spend0") > 100000.0)
+        .select(col("o_custkey"), col("n_orders"), Q.r2(col("spend0")).as("spend"))
+        .orderBy("o_custkey")
+    },
+
+    // Scalar subquery: rows compared against a global aggregate. Spark
+    // plans the uncorrelated subquery as a one-row broadcast join —
+    // exactly what you want at 100 TB (the aggregate is computed once,
+    // shipped everywhere, never a per-row re-evaluation).
+    // (threshold r2-rounded on BOTH sides: the avg's accumulation order
+    // differs across engines in the last ulp, and unlike output-side
+    // rounding a drifting threshold would flip which ROWS qualify)
+    Q("q_scalar_subquery",
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT floor((2 * avg(c_acctbal))*100+0.5)/100 FROM customer)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val threshold = c.agg(Q.r2(avg(col("c_acctbal")) * 2).as("thr"))
+      c.join(broadcast(threshold), col("c_acctbal") > col("thr"))
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
     // Heavy hitters via the approx_top_k sketch (Spark 4.x) — the scale
     // path for "most frequent items" without a full count-all-groups
     // shuffle: mergeable per-partition sketches, one row out. Oracled,
