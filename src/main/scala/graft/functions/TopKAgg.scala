@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Aggregation-pushed top-k: a bounded "heap" (k-element sorted list)
+  * as the aggregation buffer, so PARTIAL aggregation already discards
+  * everything below each partition's k-th element and the shuffle
+  * carries ≤ k rows per (group × partition) — the operator shape the
+  * window formulation (`row_number() OVER (...) <= k`) cannot reach,
+  * since a window must first shuffle and sort EVERY row of every group.
+  * At 100 TB with hot groups that difference is the job: shuffle volume
+  * k·groups·partitions vs the full input.
+  *
+  * Ordering: (score DESC, id ASC) — the same total tie-break the window
+  * twin and the SQL oracle use, so all three agree exactly
+  * (equivalence asserted in TwinAndPropertySpec, hash-checked by the
+  * driver via q_topk_agg).
+  *
+  * The buffer is a plain sorted Vector, not a binary heap: k is small
+  * (single digits), insertion is O(k), and a flat product type keeps
+  * the Encoder columnar-friendly — no kryo blobs.
+  */
+final case class Scored(score: Double, id: Long)
+
+class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  require(k > 0)
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
+    // below the current k-th element: drop without touching the buffer
+    if (buf.length >= k && !better(in, buf.last)) buf
+    else {
+      val i = buf.indexWhere(e => better(in, e)) match {
+        case -1 => buf.length
+        case n => n
+      }
+      val grown = (buf.take(i) :+ in) ++ buf.drop(i)
+      if (grown.length > k) grown.take(k) else grown
+    }
+  }
+
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+
+  override def bufferEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+}

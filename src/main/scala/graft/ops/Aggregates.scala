@@ -80,6 +80,42 @@ object Aggregates {
         .orderBy("l_linestatus")
     },
 
+    // Aggregation-pushed top-k (functions/TopKAgg): bounded-buffer typed
+    // Aggregator, so partial aggregation keeps ≤k rows per group per
+    // partition and the shuffle carries k·groups·partitions rows — vs
+    // the window twin (q_win_topk_group), which must shuffle and sort
+    // EVERY row of every group before row_number can filter. Same
+    // ordering contract (revenue DESC, partkey ASC on r2-rounded
+    // scores) ⇒ shares the twin's oracle; TwinAndPropertySpec asserts
+    // the two implementations are row-identical.
+    Q("q_topk_agg",
+      """WITH pr AS (
+        |  SELECT p_brand, p_partkey,
+        |         floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+        |      FROM pr)
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val pr = Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      pr.groupBy("p_brand")
+        .agg(topk(col("revenue"), col("p_partkey")).as("top"))
+        .select(col("p_brand"), posexplode(col("top")))
+        .select(
+          col("p_brand"),
+          col("col.id").as("p_partkey"),
+          col("col.score").as("revenue"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy("p_brand", "rnk")
+    },
+
     // HAVING: post-aggregation predicate — planned as a filter ABOVE the
     // final HashAggregate, so partial aggregation and the single
     // group-key shuffle are unchanged; only qualifying groups survive.

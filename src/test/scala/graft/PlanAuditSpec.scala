@@ -63,6 +63,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_topk_agg partial-aggregates the bounded top-k buffer before the shuffle") {
+    // the whole point of the Aggregator formulation: a partial
+    // ObjectHashAggregate below the group-key exchange means each
+    // partition ships at most k rows per group
+    val plan = SparkEntry.queries("q_topk_agg")(spark, sfDir)
+      .queryExecution.sparkPlan.toString.toLowerCase
+    assert(plan.contains("objecthashaggregate"),
+      s"typed aggregator must plan as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_topkagg"),
+      s"top-k buffer must combine map-side (partial mode):\n$plan")
+  }
+
   test("skew rewrites keep the salt in the optimized plan") {
     // The salted shuffle key must survive optimization — if Catalyst
     // collapsed the two-phase agg or dropped the salt from the join key,

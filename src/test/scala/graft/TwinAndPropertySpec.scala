@@ -145,6 +145,13 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(sim.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("aggregation-pushed top-k equals the window formulation row-for-row") {
+    // bounded-heap Aggregator vs row_number window: same ordering
+    // contract, radically different shuffle volume — results must be
+    // byte-identical
+    assert(q("q_topk_agg").collect().toSeq === q("q_win_topk_group").collect().toSeq)
+  }
+
   test("doc chunks reassemble to the original text") {
     // stride-width prefixes of consecutive chunks, concatenated in
     // chunk_id order, must rebuild every document byte-for-byte — the
