@@ -192,6 +192,30 @@ object Windows {
         .orderBy("c_custkey")
     },
 
+    // RANGE-framed window: per-user running 10-minute sum — the frame is
+    // defined by VALUE distance on epoch seconds, not row offsets, so
+    // ties at the same second all see the same frame in both engines
+    // (rows-framed prefix sums over non-unique orderings would not
+    // agree). Same single user_id shuffle as every window here; the
+    // range frame streams over the sorted run without materializing
+    // groups.
+    Q("q_win_range",
+      """SELECT event_id, user_id, es,
+        |       floor((sum(value) OVER (PARTITION BY user_id ORDER BY es
+        |                               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW))*100+0.5)/100 AS v10m
+        |FROM (SELECT event_id, user_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |             value
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-600, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Q.epochSec(col("ts")).as("es"), col("value"))
+        .withColumn("v10m", Q.r2(sum(col("value")).over(w)))
+        .select("event_id", "user_id", "es", "v10m")
+        .orderBy("event_id")
+    },
+
     // CDC-style compaction: keep only the LATEST event per
     // (user_id, event_type), ordered by timestamp with event_id as the
     // total tie-break — the "dedup to current version" pass every
