@@ -146,6 +146,106 @@ object TextPipeline {
     }
   }
 
+  /** Shared DuckDB CTE chain ending in `cands(d1, d2)` — the
+    * deterministic MinHash-LSH candidate pair set (see q_minhash_lsh
+    * notes for the construction). Referenced by the q_minhash_lsh
+    * oracle and, under WITH RECURSIVE, by q_dup_clusters, so the two
+    * oracles cannot drift from each other. */
+  private val LshPairCtes: String =
+    """w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, lang,
+      |              unnest(list_transform(range(1, len(words) - 1),
+      |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      |       FROM w WHERE len(words) >= 3),
+      |hx AS (SELECT doc_id, lang, md5(shingle) AS h0 FROM sh),
+      |mh AS (SELECT doc_id, lang,
+      |              min(substr(h0, 1, 4))  AS mh0, min(substr(h0, 5, 4))  AS mh1,
+      |              min(substr(h0, 9, 4))  AS mh2, min(substr(h0, 13, 4)) AS mh3,
+      |              min(substr(h0, 17, 4)) AS mh4, min(substr(h0, 21, 4)) AS mh5,
+      |              min(substr(h0, 25, 4)) AS mh6, min(substr(h0, 29, 4)) AS mh7
+      |       FROM hx GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, lang, b.band,
+      |                 CASE b.band WHEN 0 THEN mh0 || '|' || mh1
+      |                             WHEN 1 THEN mh2 || '|' || mh3
+      |                             WHEN 2 THEN mh4 || '|' || mh5
+      |                             ELSE mh6 || '|' || mh7 END AS band_key
+      |          FROM mh, (SELECT unnest(range(0, 4)) AS band) b),
+      |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM bands a JOIN bands b
+      |            ON a.lang = b.lang AND a.band = b.band AND a.band_key = b.band_key
+      |           AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** MinHash-LSH candidate pairs (d1 < d2), Spark side of
+    * [[LshPairCtes]]. One md5 per shingle, all 8 min-hashes in one
+    * doc-keyed agg pass (shuffle carries |docs| rows, not |shingles|),
+    * 4 bands of 2 feed the banded self-join. */
+  private[graft] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .withColumn("h0", md5(col("shingle").cast("binary")))
+    val mhAggs = (0 until 8).map { i =>
+      min(substring(col("h0"), i * 4 + 1, 4)).as(s"mh$i")
+    }
+    val mh = sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}")).as("band_key"))
+    }
+    val bands = mh
+      .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.band_key").as("band_key"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair set by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until fixpoint, so each
+    * component converges to its minimum doc_id. Each round is DataFrame
+    * joins/aggs shuffled on the node id; the only driver-side value per
+    * round is ONE scalar — sum(lbl), which is monotone non-increasing
+    * under min-propagation and strictly decreases until the fixpoint,
+    * so equality with the previous round proves convergence without
+    * collecting rows.
+    *
+    * Rounds needed = component diameter. Near-dup clusters are dense
+    * (band collisions make them near-cliques), so diameter is small and
+    * independent of corpus size — the round count does NOT grow at
+    * 100 TB, only the per-round shuffle width does. For adversarial
+    * long-chain graphs the known upgrade is alternating
+    * large-star/small-star (O(log n) rounds); for production length
+    * runs, checkpoint labels every ~10 rounds to truncate lineage. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist()
+    def checksum(df: DataFrame): Option[Long] =
+      Option(df.agg(sum("lbl")).head.get(0)).map(_.asInstanceOf[Long])
+    var prev = checksum(labels)
+    var converged = prev.isEmpty // no edges → nothing to propagate
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(msgs).groupBy("id").agg(min("lbl").as("lbl")).persist()
+      val cur = checksum(next)
+      converged = cur == prev
+      labels.unpersist()
+      labels = next
+      prev = cur
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: md5(text) → keep the smallest doc_id per hash group.
@@ -201,50 +301,44 @@ object TextPipeline {
     // 4 bands of 2 feed the banded self-join. The scale path for
     // corpora where exact pairwise Jaccard is too wide.
     Q("q_minhash_lsh",
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, lang,
-        |              unnest(list_transform(range(1, len(words) - 1),
-        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-        |       FROM w WHERE len(words) >= 3),
-        |hx AS (SELECT doc_id, lang, md5(shingle) AS h0 FROM sh),
-        |mh AS (SELECT doc_id, lang,
-        |              min(substr(h0, 1, 4))  AS mh0, min(substr(h0, 5, 4))  AS mh1,
-        |              min(substr(h0, 9, 4))  AS mh2, min(substr(h0, 13, 4)) AS mh3,
-        |              min(substr(h0, 17, 4)) AS mh4, min(substr(h0, 21, 4)) AS mh5,
-        |              min(substr(h0, 25, 4)) AS mh6, min(substr(h0, 29, 4)) AS mh7
-        |       FROM hx GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, lang, b.band,
-        |                 CASE b.band WHEN 0 THEN mh0 || '|' || mh1
-        |                             WHEN 1 THEN mh2 || '|' || mh3
-        |                             WHEN 2 THEN mh4 || '|' || mh5
-        |                             ELSE mh6 || '|' || mh7 END AS band_key
-        |          FROM mh, (SELECT unnest(range(0, 4)) AS band) b)
-        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |FROM bands a JOIN bands b
-        |  ON a.lang = b.lang AND a.band = b.band AND a.band_key = b.band_key
-        | AND a.doc_id < b.doc_id
-        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val sh = shingles(s, d)
-        .withColumn("h0", md5(col("shingle").cast("binary")))
-      val mhAggs = (0 until 8).map { i =>
-        min(substring(col("h0"), i * 4 + 1, 4)).as(s"mh$i")
-      }
-      val mh = sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
-      val bandStructs = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}")).as("band_key"))
-      }
-      val bands = mh
-        .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.band_key").as("band_key"))
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b,
-          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
+      "WITH " + LshPairCtes + "\nSELECT d1, d2 FROM cands\nORDER BY d1, d2") { (s, d) =>
+      lshCandidatePairs(s, d).orderBy("d1", "d2")
+    },
+
+    // Duplicate-cluster resolution: the step after pair discovery in a
+    // real dedup pipeline — pairwise LSH matches are transitive in
+    // intent ("A dups B dups C" is one cluster), so the pair set is a
+    // graph and the keep/drop decision needs its connected components.
+    // Spark side: iterative min-label propagation (connectedComponents
+    // above — distributed joins per round, one scalar checksum per
+    // round for convergence). Oracle side: DuckDB recursive CTE
+    // computing min reachable id per node over the SAME candidate-pair
+    // CTEs, so both the pair graph and the closure are oracle-checked.
+    // Output: every doc that has ≥1 LSH candidate, its cluster id
+    // (= min doc_id in the component — the canonical keeper), the
+    // keeper flag, and the cluster size.
+    Q("q_dup_clusters",
+      "WITH RECURSIVE " + LshPairCtes + """,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM cands
+        |          UNION ALL
+        |          SELECT d2, d1 FROM cands),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS lbl FROM nodes
+        |          UNION
+        |          SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY 1)
+        |SELECT c.id AS doc_id, CAST(c.lbl AS BIGINT) AS cluster_id,
+        |       (c.id = c.lbl) AS is_keeper,
+        |       CAST(z.sz AS BIGINT) AS cluster_size
+        |FROM comp c JOIN (SELECT lbl, count(*) AS sz FROM comp GROUP BY 1) z
+        |  ON c.lbl = z.lbl
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val comp = connectedComponents(lshCandidatePairs(s, d))
+      val sizes = comp.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("id") === col("lbl")).as("is_keeper"), col("cluster_size"))
+        .orderBy("doc_id")
     },
 
     // Text SimHash: a 64-bit fingerprint from per-word md5 bit votes

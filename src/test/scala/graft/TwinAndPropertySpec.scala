@@ -190,4 +190,35 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(exactPairs.except(lsh.select("d1", "d2")).isEmpty)
     near.unpersist()
   }
+
+  test("connected components propagate across multi-hop chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 ⇒ needs >1 propagation round), pair 7-8,
+    // and 5-6 given in descending orientation via the symmetric edge set
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (7L, 8L), (5L, 6L))
+      .toDF("d1", "d2")
+    val comp = ops.TextPipeline.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    // empty pair set → empty labeling, no infinite loop
+    val empty = ops.TextPipeline.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    assert(empty.isEmpty)
+  }
+
+  test("q_dup_clusters is consistent with the LSH pair graph") {
+    val clusters = q("q_dup_clusters").cache()
+    val lbl = clusters.select(col("doc_id"), col("cluster_id"))
+    // every candidate pair ends up in the same cluster
+    val pairs = q("q_minhash_lsh")
+      .join(lbl.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster_id", "c1"), "d1")
+      .join(lbl.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster_id", "c2"), "d2")
+    assert(pairs.filter(col("c1") =!= col("c2")).isEmpty)
+    // exactly one keeper per cluster, and it is the minimum doc_id
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum(col("is_keeper").cast("long")).as("keepers"), min("doc_id").as("lo"))
+    assert(perCluster.filter(col("keepers") =!= 1L || col("lo") =!= col("cluster_id")).isEmpty)
+    clusters.unpersist()
+  }
 }
