@@ -136,6 +136,40 @@ object Corpus {
         .filter(col("rk") <= 10)
         .select("lang", "bigram", "n", "rk")
         .orderBy("lang", "rk")
+    },
+
+    // Benchmark decontamination: flag training docs that share ≥1
+    // 3-word shingle with the held-out (test-split) set — the standard
+    // pre-training hygiene pass that removes eval-set leakage. The
+    // holdout membership rule is the same join-free md5 bucket as
+    // q_sample_split, so both sides derive it in-row. The holdout
+    // shingle set is broadcast: at production scale benchmark suites
+    // are tiny relative to the corpus (millions of n-grams vs
+    // trillions), so contamination checking is a broadcast semi-join —
+    // one narrow pass over the training shingles, NO shuffle of the
+    // corpus. n_hits counts distinct leaked shingles per doc (shingles
+    // are already distinct per doc, so a plain count suffices).
+    Q("q_decontam",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |lbl AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS holdout
+        |        FROM documents),
+        |tr AS (SELECT sh.* FROM sh JOIN lbl USING (doc_id) WHERE NOT holdout),
+        |ho AS (SELECT DISTINCT lang, shingle FROM sh JOIN lbl USING (doc_id) WHERE holdout)
+        |SELECT tr.doc_id, count(*) AS n_hits
+        |FROM tr JOIN ho ON tr.lang = ho.lang AND tr.shingle = ho.shingle
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val isHoldout = substring(md5(col("doc_id").cast("string")), 1, 2) >= "e6"
+      val sh = TextPipeline.shingles(s, d).withColumn("holdout", isHoldout)
+      val ho = sh.filter(col("holdout")).select("lang", "shingle").distinct()
+      sh.filter(!col("holdout"))
+        .join(broadcast(ho), Seq("lang", "shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
     }
   )
 }

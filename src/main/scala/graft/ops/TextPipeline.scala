@@ -85,7 +85,7 @@ object TextPipeline {
     * yield no shingles. Dedup happens IN-ROW with array_distinct
     * (shingle duplicates only ever occur within one document), so no
     * shuffle is spent on it — at 100 TB that saves a full pass. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     withWords(Tables.load(s, d, "documents"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"),
@@ -621,6 +621,48 @@ object TextPipeline {
         .join(sketch, "doc_id")
         .select("doc_id", "fp8", "min_sh", "max_sh", "n_shingles")
         .orderBy("doc_id")
+    },
+
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df),
+    // idf scoped per language (N = docs in the lang, df = docs in the
+    // lang containing the term). Three shuffles, all on keys whose
+    // cardinality grows with content: (doc,term) tf agg, (lang,term) df
+    // agg, and the per-doc top-k window; the per-lang doc counts are a
+    // handful of rows and broadcast. Ranking uses the ROUNDED score
+    // with the term as a total tie-break, so both engines rank
+    // identical values (ln differs by ≤1 ulp between libm and
+    // java.lang.Math — far below the 1e-4 rounding grid).
+    Q("q_tfidf",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+        |df AS (SELECT lang, word, count(*) AS df FROM tf GROUP BY 1, 2),
+        |nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.lang, tf.word,
+        |              floor((tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df))*10000+0.5)/10000 AS score
+        |       FROM tf JOIN df ON tf.lang = df.lang AND tf.word = df.word
+        |               JOIN nd ON tf.lang = nd.lang),
+        |r AS (SELECT doc_id, lang, word, score,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+        |      FROM sc)
+        |SELECT doc_id, lang, word, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val tf = withWords(docs)
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+        .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("lang", "word").agg(count(lit(1)).as("df"))
+      val nd = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+      tf.join(dfreq, Seq("lang", "word"))
+        .join(broadcast(nd), "lang")
+        .withColumn("score", Q.r4(col("tf") * log(col("nd").cast("double") / col("df"))))
+        .withColumn("rk",
+          row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "lang", "word", "score", "rk")
+        .orderBy("doc_id", "rk")
     }
   )
 }
