@@ -159,4 +159,24 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed join must be shuffle-free:\n$plan")
     assert(joined.count() === Tables.load(spark, sfDir, "lineitem").count())
   }
+
+  test("q_decontam probes the holdout shingle set via a broadcast join") {
+    // contamination checking must be a broadcast semi-join: benchmark
+    // n-gram sets are tiny next to the corpus, so the corpus-side
+    // shingles must stream past a broadcast build, never shuffle to
+    // co-locate with the holdout
+    val plan = SparkEntry.queries("q_decontam")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"holdout probe must be a BroadcastHashJoin:\n$plan")
+  }
+
+  test("q_tfidf broadcasts the per-language doc counts") {
+    // nd is O(#languages) rows — shipping it as a broadcast keeps the
+    // tf×df result partitioned by (lang, word) without a re-shuffle
+    val plan = SparkEntry.queries("q_tfidf")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang N join must broadcast:\n$plan")
+  }
 }
