@@ -299,6 +299,33 @@ object Similarity {
             .as("emb_norm"),
           substring(col("r.doc.text"), 1, 20).as("head20"))
         .orderBy("doc_id")
+    },
+
+    // Per-label embedding centroids in long format (label, dim, mean) —
+    // the building block for IVF coarse quantizers, class prototypes and
+    // drift monitoring. posexplode fans each vector into 64 (dim, value)
+    // rows IN-ROW (codegen'd generator, no join); the only shuffle is
+    // the (label, dim) agg, whose key count is #labels × dim — tiny and
+    // FIXED, so the map-side partial average (sum+count per key per
+    // partition) reduces the shuffle to #keys rows per partition no
+    // matter the corpus size. Long format sidesteps engine-specific
+    // array re-assembly ordering; r6 absorbs float summation-order ulps.
+    Q("q_centroid",
+      """WITH x AS (SELECT label,
+        |                  unnest(list_transform(range(1, len(embedding) + 1),
+        |                         i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        |           FROM embeddings)
+        |SELECT label, CAST(s.dim AS BIGINT) AS dim,
+        |       floor((avg(s.v))*1000000+0.5)/1000000 AS c,
+        |       count(*) AS n
+        |FROM x GROUP BY 1, 2
+        |ORDER BY label, dim""".stripMargin) { (s, d) =>
+      widened(Tables.load(s, d, "embeddings"))
+        .select(col("label"), posexplode(col("de")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(Q.r6(avg(col("v"))).as("c"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("c"), col("n"))
+        .orderBy("label", "dim")
     }
   )
 }

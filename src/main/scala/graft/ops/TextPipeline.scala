@@ -663,6 +663,47 @@ object TextPipeline {
         .filter(col("rk") <= 3)
         .select("doc_id", "lang", "word", "score", "rk")
         .orderBy("doc_id", "rk")
+    },
+
+    // Within-document repetition signals (the Gopher/MassiveText-style
+    // repetition filters): duplicate-word fraction is pure in-row
+    // arithmetic (array_distinct — no shuffle at all), and the
+    // top-bigram share needs only (doc,bigram)- and doc-keyed aggs,
+    // both content-growing keys. A doc whose single most frequent
+    // bigram covers a large share of all its bigrams is boilerplate —
+    // the standard cut is share > 0.18 for 2-grams; the threshold is
+    // left to the caller, the operator reports the raw signals.
+    Q("q_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |f AS (SELECT doc_id,
+        |             floor((1 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words))*10000+0.5)/10000 AS dup_word_frac
+        |      FROM w),
+        |b AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bigram
+        |      FROM w),
+        |c AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT doc_id,
+        |             floor((CAST(max(n) AS DOUBLE) / sum(n))*10000+0.5)/10000 AS top_bigram_share
+        |      FROM c GROUP BY 1)
+        |SELECT f.doc_id, f.dup_word_frac, t.top_bigram_share
+        |FROM f JOIN t ON f.doc_id = t.doc_id
+        |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val base = withWords(Tables.load(s, d, "documents"))
+        .filter(size(col("words")) >= 2)
+      val dupFrac = base.select(col("doc_id"),
+        Q.r4(lit(1) - size(array_distinct(col("words"))).cast("double") / size(col("words")))
+          .as("dup_word_frac"))
+      val bigramShare = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))"))
+          .as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(Q.r4(max(col("n")).cast("double") / sum(col("n"))).as("top_bigram_share"))
+      dupFrac.join(bigramShare, "doc_id")
+        .select("doc_id", "dup_word_frac", "top_bigram_share")
+        .orderBy("doc_id")
     }
   )
 }
