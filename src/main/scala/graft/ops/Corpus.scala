@@ -170,6 +170,48 @@ object Corpus {
         .join(broadcast(ho), Seq("lang", "shingle"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
+    },
+
+    // Stratified rebalancing sample: downsample every language to
+    // (approximately) the rarest language's doc count — the standard
+    // language-mix rebalance before pretraining. Two passes: a per-lang
+    // count agg (5 rows, broadcast back), then a map-side filter
+    // keeping docs whose 16-bit md5 bucket falls under the per-lang
+    // acceptance fraction. NO per-group window/sort — a rank-based cap
+    // would sort within bounded-cardinality lang partitions, which is
+    // exactly the quadratic-at-scale shape this engine avoids; the
+    // hash-threshold sampler is one narrow pass at any corpus size and
+    // reshuffle-proof (same doc kept on any cluster layout). The 16-bit
+    // bucket is parsed nibble-by-nibble with instr arithmetic — the
+    // same integer construction on both engines (no hex-cast builtin
+    // needed), uniform because md5 is.
+    Q("q_sample_stratified",
+      """WITH u AS (SELECT doc_id, lang,
+        |                  ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |                 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |                 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |                 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS u16
+        |           FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |f AS (SELECT lang, CAST((SELECT min(n) FROM n) AS DOUBLE) / n AS frac FROM n)
+        |SELECT u.doc_id, u.lang
+        |FROM u JOIN f ON u.lang = f.lang
+        |WHERE u.u16 < f.frac * 65536
+        |ORDER BY u.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      // Spark parses the 4 hex chars with conv(); the oracle's instr
+      // arithmetic computes the identical uint16 (same trick as
+      // q_dedup_simhash, where the pairing is already proven)
+      val u16 = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)")
+      val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val frac = n.crossJoin(broadcast(n.agg(min("n").as("mn"))))
+        .select(col("lang"), (col("mn").cast("double") / col("n")).as("frac"))
+      docs.select(col("doc_id"), col("lang"), u16.as("u16"))
+        .join(broadcast(frac), "lang")
+        .filter(col("u16") < col("frac") * 65536)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }
