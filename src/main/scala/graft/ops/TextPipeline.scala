@@ -212,37 +212,51 @@ object TextPipeline {
     * so equality with the previous round proves convergence without
     * collecting rows.
     *
-    * Rounds needed = component diameter. Near-dup clusters are dense
-    * (band collisions make them near-cliques), so diameter is small and
-    * independent of corpus size — the round count does NOT grow at
-    * 100 TB, only the per-round shuffle width does. For adversarial
-    * long-chain graphs the known upgrade is alternating
-    * large-star/small-star (O(log n) rounds); for production length
-    * runs, checkpoint labels every ~10 rounds to truncate lineage. */
+    * Each round also applies path halving (adopt the label of your
+    * label), so rounds are O(log diameter) — long duplication chains
+    * converge in a handful of rounds, and the round count stays flat at
+    * 100 TB (only the per-round shuffle width grows). For production
+    * length runs, checkpoint labels every ~10 rounds to truncate
+    * lineage. */
   private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // localCheckpoint (not persist) on every iteration state: persist
+    // only caches EXECUTION — the logical plan still nests every prior
+    // round, and with 2-3 self-references per round Catalyst would
+    // re-analyze an exponentially growing tree. Checkpointing replaces
+    // the plan with the materialized RDD, keeping per-round planning
+    // O(1). (On a cluster this is checkpoint() to reliable storage;
+    // the cached blocks are O(graph), freed with the session.)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .persist()
+      .localCheckpoint(true)
     def checksum(df: DataFrame): Option[Long] =
       Option(df.agg(sum("lbl")).head.get(0)).map(_.asInstanceOf[Long])
     var prev = checksum(labels)
     var converged = prev.isEmpty // no edges → nothing to propagate
     var round = 0
     while (!converged && round < maxRounds) {
-      val msgs = edges.join(labels, col("src") === col("id"))
+      val viaEdge = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(msgs).groupBy("id").agg(min("lbl").as("lbl")).persist()
+      // path halving: each node also adopts the label OF its label
+      // (one extra self-join per round), so pointer distance to the
+      // component minimum squares every round — O(log diameter) rounds
+      // instead of O(diameter), which is what bounds wall-clock when a
+      // duplication chain is long
+      val ptr = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val viaPtr = labels.join(ptr, col("lbl") === col("pid"))
+        .select(col("id"), col("plbl").as("lbl"))
+      val next = labels.union(viaEdge).union(viaPtr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
       val cur = checksum(next)
       converged = cur == prev
-      labels.unpersist()
       labels = next
       prev = cur
       round += 1
     }
-    edges.unpersist()
     labels
   }
 
