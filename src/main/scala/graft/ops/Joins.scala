@@ -242,6 +242,32 @@ object Joins {
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "prior_view_es")
         .orderBy("event_id")
+    },
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of vanishing — the semantics SQL equality
+    // cannot express without a COALESCE hack. Spark still plans a hash
+    // join (null-safe key wrapping), and the 3-row dim side broadcasts,
+    // so the fact table is never shuffled. Orders with status 'P' are
+    // nulled to exercise the NULL↔NULL match path.
+    Q("q_join_nullsafe",
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS s FROM orders),
+        |dim AS (SELECT 'F' AS s, 'final' AS verdict
+        |        UNION ALL SELECT 'O', 'open'
+        |        UNION ALL SELECT NULL, 'pending')
+        |SELECT dim.verdict, count(*) AS n, CAST(min(o.o_orderkey) AS BIGINT) AS first_key
+        |FROM o JOIN dim ON o.s IS NOT DISTINCT FROM dim.s
+        |GROUP BY 1
+        |ORDER BY verdict""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("s"))
+      val dim = Seq(Some("F") -> "final", Some("O") -> "open", (None: Option[String]) -> "pending")
+        .toDF("s", "verdict")
+      o.join(broadcast(dim), o("s") <=> dim("s"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
+        .orderBy("verdict")
     }
   )
 
