@@ -74,6 +74,31 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming benchmark decontamination — the streaming face of the
+    * batch q_decontam (ops.Corpus): each incoming document is DROPPED if
+    * any of its 3-word shingles appears in the static holdout shingle
+    * set. The holdout is collapsed to one broadcast set row and probed
+    * with an in-row arrays_overlap — pure map-side, stateless, no
+    * shuffle of the stream, so ingest throughput is untouched. That in-
+    * row probe assumes the benchmark shingle set fits in executor
+    * memory (it does: benchmark suites are millions of n-grams, the
+    * corpus is the big side); for a holdout too wide for one in-memory
+    * set, run the batch shingle-level broadcast join inside
+    * foreachBatch instead. */
+  def decontamStream(docs: DataFrame, holdoutShingles: DataFrame): DataFrame = {
+    val ho = holdoutShingles.agg(collect_set(col("shingle")).as("ho"))
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(words) >= 3
+          |     THEN array_distinct(transform(sequence(0, size(words) - 3),
+          |                         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
+          |     ELSE array() END""".stripMargin))
+      .crossJoin(broadcast(ho))
+      .filter(!arrays_overlap(col("shingles"), col("ho")))
+      .select("doc_id", "lang", "text")
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's views within `lookback` before it. Watermarks on BOTH sides
     * + a bounded time-range condition are what let Spark expire join

@@ -209,4 +209,24 @@ class StreamingSpec extends SparkSpec {
         (1L, baseSec + 70 * 60L, baseSec + 70 * 60 + 1800L, 1L)))
     }
   }
+
+  test("streaming decontamination drops docs sharing a shingle with the holdout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val holdout = Seq("the quick fox", "lorem ipsum dolor").toDF("shingle")
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "lang", "text")
+    val q = Streams.decontamStream(docs, holdout)
+      .writeStream.format("memory").queryName("t_decontam").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        (1L, "en", "the quick fox jumps high"), // contaminated (shingle 0..2)
+        (2L, "en", "a clean document entirely"), // clean
+        (3L, "en", "too short"), // < 3 words → no shingles → clean
+        (4L, "en", "watch lorem ipsum dolor appear")) // contaminated mid-text
+      q.processAllAvailable()
+      val kept = spark.table("t_decontam").select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(2L, 3L))
+    }
+  }
 }
