@@ -86,7 +86,9 @@ object Streams {
     * set, run the batch shingle-level broadcast join inside
     * foreachBatch instead. */
   def decontamStream(docs: DataFrame, holdoutShingles: DataFrame): DataFrame = {
-    val ho = holdoutShingles.agg(collect_set(col("shingle")).as("ho"))
+    // same lang-scoped matching as the batch operator: one shingle set
+    // per language, joined on the lang key (still broadcast + map-side)
+    val ho = holdoutShingles.groupBy("lang").agg(collect_set(col("shingle")).as("ho"))
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(
@@ -94,8 +96,8 @@ object Streams {
           |     THEN array_distinct(transform(sequence(0, size(words) - 3),
           |                         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
           |     ELSE array() END""".stripMargin))
-      .crossJoin(broadcast(ho))
-      .filter(!arrays_overlap(col("shingles"), col("ho")))
+      .join(broadcast(ho), Seq("lang"), "left")
+      .filter(col("ho").isNull || !arrays_overlap(col("shingles"), col("ho")))
       .select("doc_id", "lang", "text")
   }
 

@@ -213,7 +213,8 @@ class StreamingSpec extends SparkSpec {
   test("streaming decontamination drops docs sharing a shingle with the holdout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val holdout = Seq("the quick fox", "lorem ipsum dolor").toDF("shingle")
+    val holdout = Seq(("en", "the quick fox"), ("en", "lorem ipsum dolor"),
+      ("fr", "a clean document")).toDF("lang", "shingle")
     val in = MemoryStream[(Long, String, String)]
     val docs = in.toDF().toDF("doc_id", "lang", "text")
     val q = Streams.decontamStream(docs, holdout)

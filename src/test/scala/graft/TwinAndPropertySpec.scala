@@ -191,6 +191,37 @@ class TwinAndPropertySpec extends SparkSpec {
     near.unpersist()
   }
 
+  test("streaming decontam agrees with the batch q_decontam flag set") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val isHoldout = substring(md5(col("doc_id").cast("string")), 1, 2) >= "e6"
+    val train = docs.filter(!isHoldout).select("doc_id", "lang", "text")
+    val holdoutShingles = ops.TextPipeline.shingles(spark, sfDir)
+      .filter(isHoldout).select("lang", "shingle").distinct()
+    // decontamStream is a plain stream-legal transform — running it in
+    // batch mode over the training docs must keep exactly the docs the
+    // batch operator does NOT flag
+    val keptByStream = streaming.Streams.decontamStream(train, holdoutShingles)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = q("q_decontam").select("doc_id").as[Long].collect().toSet
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    assert(keptByStream === (trainIds -- flagged))
+  }
+
+  test("stratified sample roughly equalizes language counts") {
+    import spark.implicits._
+    val kept = q("q_sample_stratified").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val minLang = Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").count().agg(min("count")).head().getLong(0)
+    // 16-bit hash threshold: expected count = minLang per lang, binomial
+    // spread at these sizes stays well inside ±50%
+    kept.foreach { case (lang, n) =>
+      assert(n > minLang * 0.5 && n < minLang * 1.5,
+        s"$lang kept $n vs target $minLang")
+    }
+  }
+
   test("connected components propagate across multi-hop chains") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 ⇒ needs >1 propagation round), pair 7-8,
