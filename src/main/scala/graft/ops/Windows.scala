@@ -242,6 +242,34 @@ object Windows {
         .filter(col("rk") === 1)
         .select("user_id", "event_type", "event_id", "es", "value")
         .orderBy("user_id", "event_type")
+    },
+
+    // Running COUNT(DISTINCT) per user — a window Spark has no native
+    // form for (DISTINCT aggregates are not allowed OVER); the standard
+    // rewrite is size(collect_set() OVER frame). The set is bounded by
+    // the event-type domain here; for high-cardinality columns the
+    // scale path is an approx sketch (HLL) merged over the frame, or a
+    // self-join formulation. Explicit ROWS frame + unique event_id
+    // tie-break pin identical frames in both engines; the DuckDB twin
+    // mirrors the same list-then-distinct rewrite so the frames stay
+    // comparable.
+    Q("q_win_distinct",
+      """SELECT event_id, user_id,
+        |       len(list_distinct(list(event_type) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY epoch(date_trunc('second', ts)), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS n_types_seen
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("es"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Q.epochSec(col("ts")).as("es"),
+          col("event_type"))
+        .withColumn("n_types_seen", size(collect_set(col("event_type")).over(w)).cast("long"))
+        .select("event_id", "user_id", "n_types_seen")
+        .orderBy("event_id")
     }
   )
 }
