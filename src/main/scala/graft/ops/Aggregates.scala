@@ -68,6 +68,32 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Mergeable-sketch rollup — the canonical 100 TB distinct-count
+    // shape: build one Datasketches HLL per day partition (parallel,
+    // one pass), then UNION the day sketches into the global estimate.
+    // Pre-aggregated sketches are what make "distinct users last N
+    // days" answerable without re-touching N days of raw data; the
+    // union is associative/commutative, so any partitioning works.
+    // Register content is order-independent (max per register) ⇒
+    // deterministic output; no oracle (DuckDB has no compatible HLL) —
+    // TwinAndPropertySpec bounds both estimates against exact counts.
+    Q.noOracle("q_sketch_rollup") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val overall = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_days"))
+      daily
+        .select(lit("daily").as("grain"), unix_timestamp(col("day")).as("day_es"),
+          hll_sketch_estimate(col("sk")).as("est_users"))
+        .unionByName(overall
+          .select(lit("overall").as("grain"), lit(null).cast("long").as("day_es"),
+            col("est_users")))
+        .orderBy(col("grain"), col("day_es"))
+    },
+
     // KLL/GK-style quantile sketch — the scale path for percentiles (no
     // oracle: sketch-specific; q_agg_stats carries the exact
     // `percentile` twin). At 100 TB exact percentile needs a full sort

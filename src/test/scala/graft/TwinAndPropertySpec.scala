@@ -222,6 +222,27 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch rollup tracks exact distincts per day and overall") {
+    import spark.implicits._
+    val est = q("q_sketch_rollup").collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
+    val exactDaily = Tables.events(spark, sfDir)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_es"))
+      .agg(countDistinct("user_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val exactAll = Tables.events(spark, sfDir)
+      .agg(countDistinct("user_id")).head().getLong(0)
+    // user_id domain is small — HLL runs in exact (list) mode, but keep
+    // a ±5% bound so the test survives a wider id domain in testdata
+    def close(a: Long, b: Long) = math.abs(a - b) <= math.max(1L, (b * 0.05).toLong)
+    est.foreach {
+      case ("overall", None, e) => assert(close(e, exactAll), s"overall $e vs $exactAll")
+      case ("daily", Some(day), e) => assert(close(e, exactDaily(day)), s"day $day")
+      case other => fail(s"unexpected row $other")
+    }
+    assert(est.count(_._1 == "daily") === exactDaily.size)
+  }
+
   test("connected components propagate across multi-hop chains") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 ⇒ needs >1 propagation round), pair 7-8,
