@@ -180,6 +180,35 @@ object Aggregates {
         .orderBy("c_custkey")
     },
 
+    // Correlated EXISTS / NOT EXISTS through the SQL entry (the Graft
+    // facade registers the corpus as views): Catalyst's
+    // RewritePredicateSubquery decorrelates both predicates into a
+    // LeftSemi and a LeftAnti join — per-GROUP set logic, never a
+    // per-row subquery re-execution (PlanAuditSpec asserts the join
+    // pair). The DataFrame API can't express the correlated form, so
+    // this is the one place the SQL path IS the operator. Identical SQL
+    // text runs on DuckDB: no arithmetic, no parity risk.
+    Q("q_exists_subquery",
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      graft.Graft.registerTables(s, d)
+      s.sql(
+        """SELECT c.c_custkey, c.c_mktsegment
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000.0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     // Heavy hitters via the approx_top_k sketch (Spark 4.x) — the scale
     // path for "most frequent items" without a full count-all-groups
     // shuffle: mergeable per-partition sketches, one row out. Oracled,

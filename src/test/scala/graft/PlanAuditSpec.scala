@@ -171,6 +171,15 @@ class PlanAuditSpec extends SparkSpec {
       s"holdout probe must be a BroadcastHashJoin:\n$plan")
   }
 
+  test("q_exists_subquery decorrelates to a semi + anti join pair") {
+    // EXISTS/NOT EXISTS must become set joins — a per-row subquery
+    // re-execution would be O(rows × subquery) at scale
+    val plan = SparkEntry.queries("q_exists_subquery")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as LeftSemi:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as LeftAnti:\n$plan")
+  }
+
   test("q_tfidf broadcasts the per-language doc counts") {
     // nd is O(#languages) rows — shipping it as a broadcast keeps the
     // tf×df result partitioned by (lang, word) without a re-shuffle
