@@ -94,6 +94,51 @@ object TimeWindows {
           unix_timestamp(col("session_window.end")).as("session_end"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Gap-fill + forward-fill: densify the per-type 10-minute series
+    // over each type's [min, max] span (empty buckets get n=0), then
+    // carry the last observed sum forward — the standard time-series
+    // resample/continuity pass before charting or model features.
+    // The bucket dimension is GENERATED in-row (sequence+explode over
+    // the 5-row span table) and the forward-fill window runs over the
+    // AGGREGATED series (|types| × |buckets| rows — grows with the time
+    // span, not the corpus), so nothing here re-sorts raw events.
+    Q("q_gapfill",
+      """WITH e AS (SELECT event_type,
+        |                  (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 600) * 600 AS ws,
+        |                  value
+        |           FROM events),
+        |a AS (SELECT event_type, ws, count(*) AS n,
+        |             floor((sum(value))*100+0.5)/100 AS sv
+        |      FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(ws) AS lo, max(ws) AS hi FROM a GROUP BY 1),
+        |b AS (SELECT event_type, unnest(range(lo, hi + 600, 600)) AS ws FROM s),
+        |f AS (SELECT b.event_type, b.ws, coalesce(a.n, 0) AS n, a.sv
+        |      FROM b LEFT JOIN a ON b.event_type = a.event_type AND b.ws = a.ws)
+        |SELECT event_type, ws, CAST(n AS BIGINT) AS n,
+        |       last_value(sv IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY ws
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
+        |FROM f
+        |ORDER BY event_type, ws""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("event_type"),
+        ((Q.epochSec(col("ts")) / 600).cast("long") * 600).as("ws"),
+        col("value"))
+      val agg = ev.groupBy("event_type", "ws")
+        .agg(count(lit(1)).as("n"), Q.r2(sum(col("value"))).as("sv"))
+      val span = agg.groupBy("event_type").agg(min("ws").as("lo"), max("ws").as("hi"))
+      val buckets = span.select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(600L))).as("ws"))
+      val w = Window.partitionBy("event_type").orderBy("ws")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.join(agg, Seq("event_type", "ws"), "left")
+        .select(col("event_type"), col("ws"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sv"), ignoreNulls = true).over(w).as("ffill_sum"))
+        .orderBy("event_type", "ws")
     }
   )
 }
