@@ -39,12 +39,19 @@ object Bench {
       name -> r
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = runs.map { case (k, v) => jstr(k) + ":" + v.getOrElse(-1.0) }
+    // Millisecond precision keeps the single JSON line compact: at 9
+    // decimals × 93 queries the line exceeded the driver's stdout tail
+    // capture and BENCH_r03 recorded "parsed": null.
+    def sec(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = runs.map { case (k, v) => jstr(k) + ":" + v.fold(_ => "-1.0", sec) }
       .mkString("{", ",", "}")
     val errs = runs.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = runs.map(_._2.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Total sums successful queries only; "partial" flags that failures
+    // were excluded so the headline can't silently understate runtime.
+    val total = sec(runs.map(_._2.getOrElse(0.0)).sum)
+    val partial = runs.exists(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (runs.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -65,7 +65,7 @@ object Skew {
         |ORDER BY n_name""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d).select("event_id", "user_id", "value")
       val n = Tables.load(s, d, "nation")
-      saltedJoin(e, n, "user_id", "n_nationkey", 8)
+      saltedJoin(e, n, "user_id", "n_nationkey", 8, saltOn = Seq("event_id"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_events"), Q.r2(sum(col("value"))).as("total_value"))
         .orderBy("n_name")
@@ -79,17 +79,22 @@ object Skew {
     * but above the broadcast threshold.
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame,
-                 key: String, otherKey: String, salts: Int): DataFrame = {
+                 key: String, otherKey: String, salts: Int,
+                 saltOn: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
-    // DETERMINISTIC salt: hash of the full row content. A
+    // DETERMINISTIC salt: hash of row content. A
     // monotonically_increasing_id salt depends on partition layout —
     // nondeterministic-tagged, so a fetch failure forces whole-stage
     // recompute and upstream repartitioning changes results. Content
-    // hashing is stable under retries and repartitioning; fully
-    // duplicate rows co-salt (slightly less spreading), which only
-    // costs balance, never correctness.
+    // hashing is stable under retries and repartitioning. Caveat: with
+    // the default (hash ALL columns), byte-identical hot-key rows
+    // co-salt, collapsing the spread back to one reducer — real skew
+    // workloads often have exactly that shape. Pass a unique id column
+    // via `saltOn` when the table has one (q_skew_join salts on
+    // event_id) to guarantee uniform spread.
+    val saltCols = (if (saltOn.nonEmpty) saltOn else skewed.columns.toIndexedSeq).map(col)
     val salted = skewed.withColumn(SaltCol,
-      pmod(hash(skewed.columns.toIndexedSeq.map(col): _*).cast("long"), lit(salts.toLong)))
+      pmod(hash(saltCols: _*).cast("long"), lit(salts.toLong)))
     val replicated = other.withColumn(SaltCol,
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated,

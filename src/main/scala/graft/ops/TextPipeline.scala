@@ -257,6 +257,14 @@ object TextPipeline {
       prev = cur
       round += 1
     }
+    // Hitting the round cap without the checksum fixpoint means the
+    // labels are NOT component minima yet — returning them silently
+    // would yield wrong cluster ids with no signal. Path halving makes
+    // rounds O(log diameter), so 30 rounds covers any graph up to
+    // ~2^30-long chains; reaching the cap indicates a bug, not load.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
     labels
   }
 

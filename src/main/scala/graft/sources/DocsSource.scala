@@ -151,11 +151,20 @@ private[sources] class DocsReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val DocsRange(start, end) = partition
+    // text(id) is the expensive generator; when both `text` and
+    // `n_chars` are projected, compute it once per row and derive both.
+    val needsText = fields.exists(f => f == "text" || f == "n_chars")
     new PartitionReader[InternalRow] {
       private var cur = start - 1
       override def next(): Boolean = { cur += 1; cur < end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(fields.toIndexedSeq.map(f => DocsSource.gen(cur, f)))
+      override def get(): InternalRow = {
+        val t = if (needsText) DocsSource.text(cur) else null
+        InternalRow.fromSeq(fields.toIndexedSeq.map {
+          case "text" => UTF8String.fromString(t)
+          case "n_chars" => t.length.toLong
+          case f => DocsSource.gen(cur, f)
+        })
+      }
       override def close(): Unit = ()
     }
   }
