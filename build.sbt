@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Keep Bench/Verify's final JSON line the LAST stdout line: the driver
+// captures a bounded tail, and sbt's "[success] Total time" trailer was
+// displacing it (BENCH_r03 "parsed": null).
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess

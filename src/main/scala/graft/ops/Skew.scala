@@ -43,8 +43,10 @@ object Skew {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d).select("user_id", "value")
-      twoPhaseAgg(e, "user_id", 16,
+      // salt on event_id (unique): identical hot-key (user_id, value)
+      // rows spread uniformly instead of co-salting onto one reducer
+      val e = Tables.events(s, d).select("event_id", "user_id", "value")
+      twoPhaseAgg(e, "user_id", 16, Seq("event_id"),
           "n_events" -> (count(lit(1)), (c: String) => sum(col(c))),
           "total_value" -> (sum(col("value")), (c: String) => sum(col(c))))
         .select(col("user_id"), col("n_events"), Q.r2(col("total_value")).as("total_value"))
@@ -108,18 +110,23 @@ object Skew {
     * output column name -> (phase1 agg of the input column, phase2 merge
     * of the partial). Example:
     * {{{
-    * Skew.twoPhaseAgg(df, "k", 16,
+    * Skew.twoPhaseAgg(df, "k", 16, Seq("id"),
     *   "n"   -> (count(lit(1)), sum _),
     *   "tot" -> (sum(col("v")), sum _))
     * }}}
     */
   def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
+                  saltOn: Seq[String],
                   aggs: (String, (Column, String => Column))*): DataFrame = {
     require(salts > 0 && aggs.nonEmpty)
     val partials = aggs.map { case (name, (p1, _)) => p1.as(s"__p_$name") }
     val merges = aggs.map { case (name, (_, p2)) => p2(s"__p_$name").as(name) }
-    // same deterministic content-hash salt as saltedJoin
-    df.withColumn(SaltCol, pmod(hash(df.columns.toIndexedSeq.map(col): _*).cast("long"), lit(salts.toLong)))
+    // same deterministic content-hash salt as saltedJoin — and the same
+    // co-salting caveat: with the default (hash ALL columns),
+    // byte-identical hot-key rows land on one reducer. Pass a unique id
+    // column via `saltOn` to guarantee uniform spread.
+    val saltCols = (if (saltOn.nonEmpty) saltOn else df.columns.toIndexedSeq).map(col)
+    df.withColumn(SaltCol, pmod(hash(saltCols: _*).cast("long"), lit(salts.toLong)))
       .groupBy(col(key), col(SaltCol))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

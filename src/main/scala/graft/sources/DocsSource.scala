@@ -59,12 +59,16 @@ object DocsSource {
   private val Langs = Array("en", "de", "fr", "es", "pt")
 
   /** Deterministic row content: a keyed multiplicative hash drives word
-    * choice, so content is stable under re-planning and retries. */
-  def gen(id: Long, field: String): Any = field match {
+    * choice, so content is stable under re-planning and retries.
+    * `textOnce` is the row's text payload, computed ONCE by the reader
+    * when any of `text`/`n_chars` is projected — both fields derive
+    * from this single value, so the two can never diverge (and the
+    * expensive generator never runs twice per row). */
+  def gen(id: Long, field: String, textOnce: String): Any = field match {
     case "doc_id" => id
     case "lang" => UTF8String.fromString(Langs((((id % 5) + 5) % 5).toInt))
-    case "text" => UTF8String.fromString(text(id))
-    case "n_chars" => text(id).length.toLong
+    case "text" => UTF8String.fromString(textOnce)
+    case "n_chars" => textOnce.length.toLong
   }
 
   def text(id: Long): String = {
@@ -159,11 +163,7 @@ private[sources] class DocsReaderFactory(fields: Array[String])
       override def next(): Boolean = { cur += 1; cur < end }
       override def get(): InternalRow = {
         val t = if (needsText) DocsSource.text(cur) else null
-        InternalRow.fromSeq(fields.toIndexedSeq.map {
-          case "text" => UTF8String.fromString(t)
-          case "n_chars" => t.length.toLong
-          case f => DocsSource.gen(cur, f)
-        })
+        InternalRow.fromSeq(fields.toIndexedSeq.map(DocsSource.gen(cur, _, t)))
       }
       override def close(): Unit = ()
     }

@@ -31,10 +31,15 @@ class SkewSpec extends SparkSpec {
     val li = Tables.load(spark, sfDir, "lineitem")
     val direct = li.groupBy(col("l_returnflag").as("k"))
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("tot"))
-    val salted = Skew.twoPhaseAgg(
-      li.withColumnRenamed("l_returnflag", "k"), "k", 16,
+    val renamed = li.withColumnRenamed("l_returnflag", "k")
+    val aggs = Seq(
       "n" -> (count(lit(1)), (c: String) => sum(col(c))),
       "tot" -> (sum(col("l_quantity")), (c: String) => sum(col(c))))
+    // both salt choices must be result-identical to the direct agg:
+    // all-columns content hash AND an explicit unique-id saltOn
+    val salted = Skew.twoPhaseAgg(renamed, "k", 16, Nil, aggs: _*)
     assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+    val saltedOn = Skew.twoPhaseAgg(renamed, "k", 16, Seq("l_orderkey", "l_linenumber"), aggs: _*)
+    assert(saltedOn.except(direct).isEmpty && direct.except(saltedOn).isEmpty)
   }
 }
