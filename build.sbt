@@ -28,8 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// Keep Bench/Verify's final JSON line the LAST stdout line: the driver
-// captures a bounded tail, and sbt's "[success] Total time" trailer was
-// displacing it (BENCH_r03 "parsed": null).
+// Keep Bench/Verify's final JSON line the LAST, UNPREFIXED stdout line:
+// the driver captures a bounded stdout tail and parses the last line,
+// but sbt's "[success] Total time" trailer displaced it (every
+// BENCH_r0N recorded "parsed": null) and the logger's "[info] " prefix
+// on forked-run output would still break a bare json parse.
 ThisBuild / showSuccess := false
 Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

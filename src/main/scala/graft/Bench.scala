@@ -49,25 +49,40 @@ object Bench {
       name -> r3
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // The driver keeps only a bounded TAIL (~2000 chars) of stdout:
-    // BENCH_r03/r04 lost the leading "metric"/"value" fields to that
-    // cap and recorded "parsed": null. Two decimals per query (10 ms —
-    // plenty for grading) plus the suppressed sbt success trailer
-    // (build.sbt showSuccess := false) keep the WHOLE line inside the
-    // capture window, in the contract's key order.
-    def sec(d: Double, scale: Int = 2) =
-      BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    // Failed queries are null here (a -1.0 reads like a plausible
-    // timing); the exception text lives in "errors".
-    val qs = runs.map { case (k, v) => jstr(k) + ":" + v.fold(_ => "null", sec(_)) }
-      .mkString("{", ",", "}")
+    // The driver keeps only a bounded TAIL (~2000 chars) of stdout and
+    // parses the LAST line: every BENCH_r0N so far recorded "parsed":
+    // null because sbt's success trailer sat below the JSON (fixed in
+    // build.sbt), and r03/r04 additionally lost the leading
+    // "metric"/"value" fields to the 2000-char cap. So the whole line
+    // must fit the window: per-query times render at 2 decimals with
+    // trailing zeros stripped, dropping to 1 decimal if the surface
+    // ever grows past the budget (totals always keep 3).
+    def fmt(d: Double, scale: Int) =
+      BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+    // Failed queries are null (a -1.0 reads like a plausible timing);
+    // the exception text lives in "errors", omitted when empty. Total
+    // sums successful queries only; "partial" appears exactly when
+    // failures were excluded, so the headline can't silently
+    // understate runtime.
+    val total = fmt(runs.map(_._2.getOrElse(0.0)).sum, 3)
+    val partial = if (runs.exists(_._2.isLeft)) """"partial":true,""" else ""
     val errList = runs.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
     val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
-    // Total sums successful queries only; "partial" flags that failures
-    // were excluded so the headline can't silently understate runtime.
-    val total = sec(runs.map(_._2.getOrElse(0.0)).sum, 3)
-    val partial = runs.exists(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$qs$errs,"sf":"$sfDir"}""")
+    // At 99 queries the full-name 2-decimal map is ~2090 chars — over
+    // budget — so the fallbacks trade, in order: the redundant "q_" key
+    // prefix (every bench query carries it; "agg_hash" ≡ "q_agg_hash"),
+    // then a decimal of per-query precision. Never the total's.
+    val sfName = sfDir.split('/').last
+    def render(scale: Int, stripPrefix: Boolean): String = {
+      val qs = runs.map { case (k, v) =>
+        jstr(if (stripPrefix) k.stripPrefix("q_") else k) + ":" + v.fold(_ => "null", fmt(_, scale))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs$errs,"sf":"$sfName"}"""
+    }
+    val line = Seq(render(2, false), render(2, true), render(1, true))
+      .find(_.length <= 1950).getOrElse(render(1, true))
+    println(line)
     spark.stop()
     if (runs.exists(_._2.isLeft)) sys.exit(1)
   }

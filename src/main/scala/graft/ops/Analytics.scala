@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Product/behavioral analytics over `events` and `lineitem` (round-5
+  * SURVEY §2 extensions): conversion funnel, cohort retention, numeric
+  * histogram, z-score anomaly flagging.
+  *
+  * Scale shapes (the design rule for every op here):
+  *  - funnel + retention shuffle ONCE on `user_id` and keep that
+  *    partitioning through every later stage (stacked windows / agg /
+  *    self-join all reuse it);
+  *  - histogram is a map-side bucket projection into a fixed number of
+  *    groups — shuffle volume is |buckets|, independent of corpus;
+  *  - anomaly joins the corpus against a BOUNDED per-type stats table
+  *    (broadcast) — the fact side is never shuffled.
+  */
+object Analytics {
+
+  /** Histogram layout over l_extendedprice: fixed [Lo, Lo + NBuckets·W)
+    * grid, final bucket also absorbs the overflow tail via least().
+    * Arithmetic bucketing instead of width_bucket keeps the exact same
+    * expression runnable on both engines. */
+  private val HistLo = 900.0
+  private val HistWidth = 5205.0
+  private val HistBuckets = 20
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Conversion funnel view → click → purchase: per user the earliest
+    // view, the earliest click AFTER that view, the earliest purchase
+    // AFTER that click; stage counts = users reaching each stage.
+    // Three stacked windows + the per-user rollup all partition by
+    // user_id — ONE shuffle total, the same plan at any corpus size
+    // (each user's event list is bounded by per-user activity, not by
+    // corpus growth).
+    Q("q_funnel",
+      s"""WITH e AS (SELECT user_id, event_type, ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN es END)
+         |                   OVER (PARTITION BY user_id) AS t1 FROM e),
+         |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND es > t1 THEN es END)
+         |                   OVER (PARTITION BY user_id) AS t2 FROM w1),
+         |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND es > t2 THEN es END)
+         |                   OVER (PARTITION BY user_id) AS t3 FROM w2),
+         |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+         |      FROM w3 GROUP BY 1),
+         |c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM u)
+         |SELECT '1_view' AS stage, n1 AS n_users FROM c
+         |UNION ALL SELECT '2_click', n2 FROM c
+         |UNION ALL SELECT '3_purchase', n3 FROM c
+         |ORDER BY stage""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), Q.epochSec(col("ts")).as("es"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("es"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("es") > col("t1"), col("es"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("es") > col("t2"), col("es"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count("t1").as("n1"), count("t2").as("n2"), count("t3").as("n3"))
+        .selectExpr("stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3) AS (stage, n_users)")
+        .orderBy("stage")
+    },
+
+    // Cohort retention: cohort = a user's first active day; one row per
+    // (cohort, day_offset) counting users active that many days later.
+    // Distinct (user, day) activity and the per-user cohort min both
+    // hash-partition on user_id, and the join that reunites them reuses
+    // that partitioning — one logical shuffle key end-to-end, then a
+    // final agg on (cohort, offset) whose cardinality is bounded by
+    // span², not corpus size.
+    Q("q_retention",
+      """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast(DateType).as("d"))
+      val cohorts = e.groupBy("user_id").agg(min("d").as("cohort"))
+      e.distinct()
+        .join(cohorts, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+
+    // Numeric histogram: arithmetic bucketing of l_extendedprice into a
+    // fixed grid — a pure map-side projection followed by a |buckets|-
+    // cardinality aggregation. THE profiling primitive at 100 TB: the
+    // shuffle carries (#partitions × #buckets) partial rows, full stop.
+    Q("q_hist",
+      s"""SELECT least(CAST(floor((l_extendedprice - $HistLo) / $HistWidth) AS BIGINT),
+         |             ${HistBuckets - 1}) AS bucket,
+         |       count(*) AS n,
+         |       ${Q.sqlR2("sum(l_extendedprice)")} AS total
+         |FROM lineitem
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(
+          least(floor((col("l_extendedprice") - HistLo) / HistWidth),
+            lit(HistBuckets - 1).cast("long")).as("bucket"))
+        .agg(count(lit(1)).as("n"), Q.r2(sum("l_extendedprice")).as("total"))
+        .orderBy("bucket")
+    },
+
+    // Z-score anomaly flags: events whose value sits >3σ from their
+    // type's mean. The stats table is one row per event_type (bounded
+    // domain ⇒ broadcast-eligible per the Joins.scala policy), so the
+    // fact side stays map-side — no corpus shuffle. Stats are r6-rounded
+    // BEFORE the threshold/z so double accumulation-order noise between
+    // engines cannot flip a boundary row.
+    Q("q_anomaly",
+      s"""WITH st AS (SELECT event_type,
+         |                  ${Q.sqlR6("avg(value)")} AS mu,
+         |                  ${Q.sqlR6("stddev_samp(value)")} AS sd
+         |           FROM events GROUP BY 1)
+         |SELECT event_id, e.event_type,
+         |       ${Q.sqlR4("(value - mu) / sd")} AS z
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |WHERE abs(value - mu) > 3 * sd
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "event_type", "value")
+      val st = e.groupBy("event_type")
+        .agg(Q.r6(avg("value")).as("mu"), Q.r6(stddev_samp("value")).as("sd"))
+      e.join(broadcast(st), "event_type")
+        .filter(abs(col("value") - col("mu")) > lit(3) * col("sd"))
+        .select(col("event_id"), col("event_type"), Q.r4((col("value") - col("mu")) / col("sd")).as("z"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -23,6 +23,27 @@ object Corpus {
   private val ChunkSize = 200
   private val ChunkStride = 150
 
+  /** Bloom layout for q_bloom_decontam: M bits packed into M/W words of
+    * W=32 bits (32 keeps every shift/OR in positive int range on both
+    * engines — no sign-bit parity traps), k=2 probes per shingle from
+    * disjoint 5-hex-digit (20-bit) slices of md5(shingle). With n
+    * holdout shingles the false-positive rate is (1−e^(−2n/M))²; M is
+    * the scale knob — the broadcast is always exactly M bits no matter
+    * how big the holdout set gets, which is the whole point vs
+    * q_decontam's broadcast of the raw shingle strings. */
+  private val BloomBits = 1 << 18 // 262144
+  private val BloomWordBits = 32
+  private val BloomWords = BloomBits / BloomWordBits // 8192
+
+  /** DuckDB twin of the Spark-side `conv(substring(h,1,10),16,10)`:
+    * 10-nibble (40-bit) hex parse via instr arithmetic (the
+    * q_sample_stratified pairing, widened). One parse serves both bloom
+    * probes — the high 20 bits make p1, the low 20 make p2. */
+  private def sqlHex10(h: String): String =
+    (0 until 10).map { i =>
+      s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (9 - i))}"
+    }.mkString("(", " + ", ")")
+
   def defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split: bucket = first md5 byte of the
@@ -169,6 +190,71 @@ object Corpus {
       sh.filter(!col("holdout"))
         .join(broadcast(ho), Seq("lang", "shingle"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-filter decontamination — the 100 TB evolution of q_decontam:
+    // instead of broadcasting the holdout shingle STRINGS (which grows
+    // with the benchmark suite), pack them into a fixed-size Bloom
+    // bitmap (2^18 bits = 32 KiB as 8192 int words) and probe each
+    // training shingle map-side with two O(1) word lookups. The filter
+    // build aggregates bit-OR partials per word index (shuffle volume ≤
+    // 8192 rows regardless of holdout size); the probe side is a
+    // crossJoin against the broadcast single-row bitmap — the corpus is
+    // never shuffled. False positives exist BY DESIGN (rate (1−e^(−2n/M))²,
+    // ~3% here) but are deterministic: the oracle builds the identical
+    // bitmap from the identical md5 slices, so both engines flag the
+    // same candidate set (n_candidates ≥ q_decontam's exact per-lang
+    // n_hits — asserted in TwinAndPropertySpec). A production pass would
+    // re-verify candidates exactly; candidates-per-doc is what this op
+    // reports.
+    Q("q_bloom_decontam",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |              unnest(list_transform(range(1, len(words) - 1),
+         |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+         |       FROM w WHERE len(words) >= 3),
+         |hx AS (SELECT doc_id, ${sqlHex10("md5(shingle)")} AS v FROM sh),
+         |p AS (SELECT doc_id,
+         |             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS holdout,
+         |             (v // 1048576) % $BloomBits AS p1,
+         |             v % $BloomBits AS p2
+         |      FROM hx),
+         |hp AS (SELECT unnest([p1, p2]) AS p FROM p WHERE holdout),
+         |wd AS (SELECT p // $BloomWordBits AS w,
+         |              bit_or(CAST(1 AS BIGINT) << CAST(p % $BloomWordBits AS INT)) AS word
+         |       FROM hp GROUP BY 1),
+         |dense AS (SELECT r.w, coalesce(wd.word, 0) AS word
+         |          FROM (SELECT unnest(range(0, $BloomWords)) AS w) r
+         |          LEFT JOIN wd USING (w)),
+         |bm AS (SELECT list(word ORDER BY w) AS bm FROM dense)
+         |SELECT doc_id, count(*) AS n_candidates
+         |FROM p, bm
+         |WHERE NOT holdout
+         |  AND ((bm[CAST(p1 // $BloomWordBits AS INT) + 1] >> CAST(p1 % $BloomWordBits AS INT)) & 1) = 1
+         |  AND ((bm[CAST(p2 // $BloomWordBits AS INT) + 1] >> CAST(p2 % $BloomWordBits AS INT)) & 1) = 1
+         |GROUP BY 1
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val isHoldout = substring(md5(col("doc_id").cast("string")), 1, 2) >= "e6"
+      val probed = TextPipeline.shingles(s, d)
+        .withColumn("v", expr("CAST(conv(substring(md5(shingle), 1, 10), 16, 10) AS BIGINT)"))
+        .withColumn("p1", expr(s"(v div 1048576) % $BloomBits"))
+        .withColumn("p2", expr(s"v % $BloomBits"))
+        .withColumn("holdout", isHoldout)
+      // ONE narrow agg pass builds the dense bitmap: BloomAgg ORs
+      // positions into a fixed 8192-word array with map-side partials
+      // (shuffle = #partitions × 32 KiB, independent of holdout size)
+      val bloomAgg = udaf(new graft.functions.BloomAgg(BloomWords, BloomWordBits))
+      val bitmap = probed.filter(col("holdout"))
+        .select(explode(array(col("p1"), col("p2"))).as("p"))
+        .agg(bloomAgg(col("p")).as("bm"))
+      probed.filter(!col("holdout"))
+        .crossJoin(broadcast(bitmap))
+        .filter(expr(s"""(shiftright(element_at(bm, CAST(p1 div $BloomWordBits AS INT) + 1),
+                        |            CAST(p1 % $BloomWordBits AS INT)) & 1) = 1
+                        |AND (shiftright(element_at(bm, CAST(p2 div $BloomWordBits AS INT) + 1),
+                        |            CAST(p2 % $BloomWordBits AS INT)) & 1) = 1""".stripMargin))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
         .orderBy("doc_id")
     },
 

@@ -326,6 +326,40 @@ object Similarity {
         .agg(Q.r6(avg(col("v"))).as("c"), count(lit(1)).as("n"))
         .select(col("label"), col("dim").cast("long").as("dim"), col("c"), col("n"))
         .orderBy("label", "dim")
+    },
+
+    // Int8 symmetric quantization (max-abs per vector): scale =
+    // 127/max|x|, q_i = round(x·scale) ∈ [−127, 127] — 4× storage/IO
+    // compression for the 100 TB ANN index build (int8 dot products are
+    // the production similarity path; the scale column inverts them
+    // back). Pure in-row HOF arithmetic — zero shuffle, embarrassingly
+    // parallel. The identical double expressions run on both engines
+    // (qsum is an exact integer; scale/max_err are r6-rounded), so the
+    // quantized values themselves are oracle-checked, not just counts.
+    Q("q_quantize_embed",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |m AS (SELECT vec_id, de, list_max(list_transform(de, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, de, 127.0 / mx AS scale,
+        |             list_transform(de, x -> floor(x * (127.0 / mx) + 0.5)) AS qv
+        |      FROM m WHERE mx > 0)
+        |SELECT vec_id,
+        |       floor(scale*1000000+0.5)/1000000 AS scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |       floor((list_max(list_transform(range(1, len(de) + 1),
+        |                       i -> abs(de[i] - qv[i] / scale))))*1000000+0.5)/1000000 AS max_err
+        |FROM q
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      widened(Tables.load(s, d, "embeddings"))
+        .withColumn("mx", array_max(expr("transform(de, x -> abs(x))")))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .withColumn("qv", expr("transform(de, x -> floor(x * scale + 0.5))"))
+        .select(
+          col("vec_id"),
+          Q.r6(col("scale")).as("scale"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("qsum"),
+          Q.r6(expr("array_max(zip_with(de, qv, (x, v) -> abs(x - v / scale)))")).as("max_err"))
+        .orderBy("vec_id")
     }
   )
 }

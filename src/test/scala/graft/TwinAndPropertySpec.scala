@@ -208,6 +208,55 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(keptByStream === (trainIds -- flagged))
   }
 
+  test("bloom decontam has no false negatives vs exact q_decontam") {
+    import spark.implicits._
+    // every exact (lang-scoped) leak shingle also probes positive in the
+    // (global) bloom, so per doc: flagged ⊆ candidates and
+    // n_candidates ≥ n_hits. The reverse direction is NOT asserted —
+    // false positives are the design trade.
+    val exact = q("q_decontam").as[(Long, Long)].collect().toMap
+    val bloom = q("q_bloom_decontam").as[(Long, Long)].collect().toMap
+    val missing = exact.filter { case (doc, nHits) =>
+      bloom.get(doc).forall(_ < nHits)
+    }
+    assert(missing.isEmpty,
+      s"bloom false negatives (exact hits not candidate-flagged): ${missing.take(5)}")
+  }
+
+  test("int8 quantization bounds: |q| ≤ 127 implied by max_err < half step") {
+    // max-abs scaling guarantees per-dim reconstruction error below
+    // 0.5/scale (half a quantization step); violating it would mean a
+    // rounding or scale bug even while the oracle hash still matched a
+    // buggy twin.
+    // both max_err and scale come out r6-rounded, so allow the 1e-6
+    // rounding quantum on top of the analytic half-step bound
+    val qn = q("q_quantize_embed")
+    val bad = qn.filter(col("max_err") > lit(0.5) / col("scale") + lit(1e-6))
+    assert(bad.isEmpty, s"reconstruction error above half-step: ${bad.take(3).toSeq}")
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    import spark.implicits._
+    val stages = q("q_funnel").as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    assert(stages.length === 3)
+    assert(stages(0) >= stages(1) && stages(1) >= stages(2),
+      s"funnel not monotone: ${stages.mkString(",")}")
+  }
+
+  test("retention day-0 per cohort equals the cohort's user count") {
+    import spark.implicits._
+    // every user is active on their own cohort day by definition, so
+    // the day_offset=0 row must count exactly the cohort's users
+    val cohortSizes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .groupBy("user_id").agg(min("d").as("cohort"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val day0 = q("q_retention").filter(col("day_offset") === 0)
+      .select("cohort", "n_users").as[(String, Long)].collect().toMap
+    assert(day0 === cohortSizes)
+  }
+
   test("stratified sample roughly equalizes language counts") {
     import spark.implicits._
     val kept = q("q_sample_stratified").groupBy("lang").count()
