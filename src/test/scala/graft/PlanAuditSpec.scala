@@ -55,9 +55,11 @@ class PlanAuditSpec extends SparkSpec {
   test("corpus map-side ops shuffle only for their final ORDER BY") {
     // split/chunk/pii are single-pass generators — a hash shuffle in the
     // plan would mean an accidental join/agg crept in.
+    // executedPlan, not sparkPlan: exchanges are only inserted by
+    // EnsureRequirements, so the absence check is vacuous on sparkPlan
     Seq("q_sample_split", "q_doc_chunk", "q_text_pii").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.sparkPlan.toString
+        .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"$name must stay map-side (range exchange for the sort only):\n$plan")
     }
@@ -169,6 +171,46 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"holdout probe must be a BroadcastHashJoin:\n$plan")
+  }
+
+  test("q_funnel stacks its three windows over ONE user_id exchange") {
+    // the staged min-windows and the per-user rollup all partition by
+    // user_id — if a rewrite broke the shared partitioning, extra
+    // hashpartitioning exchanges on user_id would appear
+    val plan = SparkEntry.queries("q_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"funnel must reuse one user_id partitioning, found $userExchanges:\n$plan")
+  }
+
+  test("q_anomaly broadcasts the per-type stats and never shuffles the fact side") {
+    val plan = SparkEntry.queries("q_anomaly")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join must broadcast:\n$plan")
+    // the only hash exchange allowed is the one building the 5-row
+    // stats aggregate itself — the events fact scan must not shuffle
+    val factShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(event_id"))
+    assert(factShuffles === 0, s"fact side must stay map-side:\n$plan")
+  }
+
+  test("q_bloom_decontam probes a broadcast bitmap; corpus never shuffles before the probe") {
+    val plan = SparkEntry.queries("q_bloom_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bitmap must arrive via broadcast:\n$plan")
+    // the training-shingle side shuffles only for the final per-doc
+    // count — never on the shingle/position columns
+    assert(!plan.contains("Exchange hashpartitioning(shingle") &&
+      !plan.contains("Exchange hashpartitioning(p1"),
+      s"corpus shingles must stream map-side past the bitmap:\n$plan")
+    // and the bitmap build itself partial-aggregates (32 KiB per
+    // partition, not one row per position)
+    assert(plan.toLowerCase.contains("partial_bloomagg"),
+      s"BloomAgg must combine map-side:\n$plan")
   }
 
   test("q_exists_subquery decorrelates to a semi + anti join pair") {
