@@ -101,6 +101,21 @@ object Streams {
       .select("doc_id", "lang", "text")
   }
 
+  /** Streaming z-score anomaly flags — the streaming face of batch
+    * q_anomaly, split the way production does it: per-type mean/stddev
+    * come from a BATCH pass over history (a stream cannot see the full
+    * corpus), the live stream is scored against them map-side. The
+    * stats table is one row per event_type (bounded domain ⇒
+    * broadcast), so ingest is stateless and never shuffled; refreshing
+    * stats is redeploy-cheap because the operator takes them as input
+    * rather than computing them. Same r6-rounded-stats-then-threshold
+    * rule as the batch twin, so the two flag identical boundary rows. */
+  def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mu")) > lit(3) * col("sd"))
+      .select(col("event_id"), col("event_type"),
+        graft.Q.r4((col("value") - col("mu")) / col("sd")).as("z"))
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's views within `lookback` before it. Watermarks on BOTH sides
     * + a bounded time-range condition are what let Spark expire join

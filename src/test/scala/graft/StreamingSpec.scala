@@ -230,4 +230,27 @@ class StreamingSpec extends SparkSpec {
       assert(kept === Set(2L, 3L))
     }
   }
+
+  test("streaming anomaly flags agree with the batch q_anomaly operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch pass computes the per-type stats exactly as q_anomaly does
+    val batch = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    val stats = batch.groupBy("event_type")
+      .agg(Q.r6(avg("value")).as("mu"), Q.r6(stddev_samp("value")).as("sd"))
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.anomalyStream(
+        in.toDF().toDF("event_id", "event_type", "value"), stats)
+      .writeStream.format("memory").queryName("t_anomaly").outputMode("append").start()
+    withQuery(q) {
+      val rows = batch.as[(Long, String, Double)].collect()
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("t_anomaly").select("event_id").as[Long].collect().toSet
+      val expected = SparkEntry.queries("q_anomaly")(spark, sfDir)
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed === expected)
+    }
+  }
 }
