@@ -229,8 +229,14 @@ object TextPipeline {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // seed labels with min(self, direct neighbors) — the first
+    // propagation round fused into initialization (edges carry both
+    // directions, so one groupBy sees every neighbor). For the common
+    // near-dup graph of 2-3-node components this alone is the fixpoint,
+    // leaving just the confirming round.
+    var labels = edges.select(col("src").as("id"), col("dst").as("lbl"))
+      .union(edges.select(col("src").as("id"), col("src").as("lbl")))
+      .groupBy("id").agg(min("lbl").as("lbl"))
       .localCheckpoint(true)
     def checksum(df: DataFrame): Option[Long] =
       Option(df.agg(sum("lbl")).head.get(0)).map(_.asInstanceOf[Long])
