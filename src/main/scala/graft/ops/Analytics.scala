@@ -117,6 +117,38 @@ object Analytics {
         .orderBy("bucket")
     },
 
+    // Path analysis: top-10 3-step event-type sequences (consecutive
+    // per user by time). lead() windows share the funnel's single
+    // user_id partitioning; the sequence-count agg keys on path strings
+    // whose cardinality is bounded by |event_types|³ — tiny and fixed —
+    // so the final count/rank stage never grows with the corpus.
+    Q("q_event_path",
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |p AS (SELECT event_type || '>' ||
+         |             lead(event_type, 1) OVER w || '>' ||
+         |             lead(event_type, 2) OVER w AS path
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |c AS (SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL GROUP BY 1)
+         |SELECT path, n, rk FROM
+         |  (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk FROM c)
+         |WHERE rk <= 10
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wr = Window.orderBy(col("n").desc, col("path"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"))
+        .select(concat_ws(">", col("event_type"),
+          lead("event_type", 1).over(w), lead("event_type", 2).over(w)).as("path"),
+          lead("event_type", 2).over(w).as("ok"))
+        .filter(col("ok").isNotNull)
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= 10)
+        .orderBy("rk")
+    },
+
     // Z-score anomaly flags: events whose value sits >3σ from their
     // type's mean. The stats table is one row per event_type (bounded
     // domain ⇒ broadcast-eligible per the Joins.scala policy), so the

@@ -258,6 +258,51 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Corpus-yield report: the attrition funnel every pretraining run
+    // documents — how many docs survive each successive filter (lang
+    // allowlist → length band → exact-dedup keeper). Stage predicates
+    // are evaluated IN-ROW as nested conjunctions over one scan; the
+    // only shuffle is the md5 keeper resolution (the q_dedup_exact
+    // shape) joined back on the hash key, then a 4-row global rollup.
+    // Counts are cumulative (each stage applies on top of the prior),
+    // so the report reads as a funnel, matching how filter pipelines
+    // are tuned in practice.
+    Q("q_corpus_yield",
+      """WITH k AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+        |           FROM documents GROUP BY 1),
+        |f AS (SELECT d.doc_id,
+        |             d.lang IN ('en', 'de', 'fr') AS ok_lang,
+        |             d.n_chars BETWEEN 50 AND 400 AS ok_len,
+        |             d.doc_id = k.keeper AS ok_dedup
+        |      FROM documents d JOIN k ON md5(d.text) = k.h),
+        |c AS (SELECT count(*) AS n0,
+        |             count(*) FILTER (WHERE ok_lang) AS n1,
+        |             count(*) FILTER (WHERE ok_lang AND ok_len) AS n2,
+        |             count(*) FILTER (WHERE ok_lang AND ok_len AND ok_dedup) AS n3
+        |      FROM f)
+        |SELECT '0_total' AS stage, n0 AS n_docs FROM c
+        |UNION ALL SELECT '1_lang', n1 FROM c
+        |UNION ALL SELECT '2_len', n2 FROM c
+        |UNION ALL SELECT '3_dedup', n3 FROM c
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keeper"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+        .join(keepers, "h")
+        .select(
+          col("lang").isin("en", "de", "fr").as("ok_lang"),
+          col("n_chars").between(50, 400).as("ok_len"),
+          (col("doc_id") === col("keeper")).as("ok_dedup"))
+        .agg(
+          count(lit(1)).as("n0"),
+          count(when(col("ok_lang"), 1)).as("n1"),
+          count(when(col("ok_lang") && col("ok_len"), 1)).as("n2"),
+          count(when(col("ok_lang") && col("ok_len") && col("ok_dedup"), 1)).as("n3"))
+        .selectExpr("stack(4, '0_total', n0, '1_lang', n1, '2_len', n2, '3_dedup', n3) AS (stage, n_docs)")
+        .orderBy("stage")
+    },
+
     // Stratified rebalancing sample: downsample every language to
     // (approximately) the rarest language's doc count — the standard
     // language-mix rebalance before pretraining. Two passes: a per-lang
