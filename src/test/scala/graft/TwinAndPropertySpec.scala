@@ -243,6 +243,28 @@ class TwinAndPropertySpec extends SparkSpec {
       s"funnel not monotone: ${stages.mkString(",")}")
   }
 
+  test("corpus-yield funnel is monotonically non-increasing and starts at |documents|") {
+    import spark.implicits._
+    val stages = q("q_corpus_yield").as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    assert(stages.length === 4)
+    assert(stages(0) === Tables.load(spark, sfDir, "documents").count())
+    assert(stages.sliding(2).forall(p => p(0) >= p(1)),
+      s"attrition must be monotone: ${stages.mkString(",")}")
+  }
+
+  test("event-path top-10 counts are bounded by each user's event count minus 2") {
+    import spark.implicits._
+    // total 3-sequences across users = Σ max(0, n_events(user) − 2);
+    // the top-10 can never sum past that
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .as[(Long, Long)].collect()
+    val totalSeqs = perUser.map { case (_, n) => math.max(0L, n - 2) }.sum
+    val top = q("q_event_path").as[(String, Long, Long)].collect()
+    assert(top.length <= 10)
+    assert(top.map(_._2).sum <= totalSeqs)
+    assert(top.forall(_._1.split(">").length === 3))
+  }
+
   test("retention day-0 per cohort equals the cohort's user count") {
     import spark.implicits._
     // every user is active on their own cohort day by definition, so
