@@ -60,6 +60,97 @@ object Similarity {
   private def widened(df: DataFrame): DataFrame =
     df.withColumn("de", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
 
+  /** L2-normalized ml-vector view of `embeddings` for the IVF coarse
+    * quantizer. Normalize BEFORE quantizing: k-means cells are
+    * Euclidean, the search metric is cosine — on the unit sphere they
+    * coincide (‖x−y‖² = 2−2·cos), so cells align with cosine
+    * neighborhoods; quantizing raw vectors groups by magnitude and
+    * costs recall. */
+  private[graft] def ivfFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    Tables.load(s, d, "embeddings")
+      .withColumn("features", array_to_vector(
+        expr("transform(embedding, x -> x / sqrt(aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))")))
+  }
+
+  /** Deterministic quantizer-fit sample: a 16-bit md5 threshold on
+    * vec_id keeps ~target rows whatever the corpus size (the same
+    * reshuffle-proof construction as q_sample_split). The quantizer
+    * needs a REPRESENTATIVE sample, not the corpus: fitting k-means on
+    * all N vectors makes maxIter+init full passes over — and caches —
+    * a corpus-sized input, which is the one part of the IVF build that
+    * would have stayed corpus-linear at 100 TB. The threshold filter is
+    * applied even when it keeps every row (small corpora), so the
+    * fit-input plan shape is scale-independent. */
+  private[graft] def ivfFitSample(e: DataFrame, n: Long, target: Long): DataFrame = {
+    val threshold =
+      if (n <= target) 65536L
+      else math.max(1L, (target.toDouble / n * 65536).ceil.toLong)
+    e.filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") < threshold)
+  }
+
+  /** q_knn_ivf body. `fitTarget` floors the quantizer sample size
+    * (actual sample ≈ max(fitTarget, 50·k) vectors — 50 points per
+    * centroid is plenty for a COARSE quantizer). */
+  private[graft] def ivfKnn(s: SparkSession, d: String, fitTarget: Long = 10000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import graft.functions.CosineSim.cosine_sim
+    val e = ivfFeatures(s, d)
+    // one count to size k — a parquet row-group stat read, not a scan
+    val n = Tables.load(s, d, "embeddings").count()
+    // k ≈ √N keeps both cell size and centroid-scan cost ~√N (a fixed k
+    // would leave per-probe work linear in the corpus). nprobe trades
+    // recall for scan fraction (nprobe/k of the corpus per probe): this
+    // synthetic corpus is near-uniform on the sphere (max pairwise
+    // cos ≈ 0.5 — neighbors barely closer than random, IVF's worst
+    // case), so recall ≥ 0.6 needs nprobe ≈ 0.4k; clustered real-world
+    // embedding corpora reach the same recall at 5-10% of k, which is
+    // where the sub-linear win lives.
+    val k = math.max(4, math.sqrt(n.toDouble).toInt)
+    val nprobe = math.max(3, k * 2 / 5)
+    // the fit makes maxIter+init passes over its input, so ONLY the
+    // sample is cached — quantizer training cost and cache footprint
+    // are sample-sized, never corpus-sized. few iterations + random
+    // init: a coarse quantizer needs stable cells, not converged
+    // centroids (k-means|| init alone costs more passes than the 5
+    // Lloyd iterations); recall is floor-asserted in
+    // TwinAndPropertySpec either way.
+    val sample = ivfFitSample(e, n, math.max(fitTarget, 50L * k)).cache()
+    val km = new KMeans().setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(sample)
+    sample.unpersist(false)
+    // cell assignment is ONE streaming pass over the corpus (nearest
+    // centroid per row against the broadcast k-centroid model)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // probes come from a pushed-down point scan (vec_id < 10 reaches
+    // the parquet reader), not from the assignment pass
+    val probes = Tables.load(s, d, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    // centroid table is k rows — driver-built, broadcast everywhere
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toIndexedSeq).toDF("cell", "center")
+    // nprobe nearest cells per probe: |probes| × k tiny cross product
+    val wc = Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cscore", cosine_sim(col("pe"), col("center")))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        Q.r4(cosine_sim(col("pe"), col("embedding"))).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("probe_id", "rnk")
+  }
+
   private val dot: (String, String) => Column = (x, y) =>
     expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
@@ -204,71 +295,13 @@ object Similarity {
     // nprobe nearest cells with exact cosine. Per-probe work is
     // nprobe·|corpus|/k instead of |corpus|; k grows ~√N (with a floor)
     // so per-cell size AND cell count both scale sub-linearly — a fixed
-    // k would leave per-probe work linear in the corpus. Rows-only
-    // (k-means cells are engine-specific); q_sim_brute carries the
-    // exact oracle and TwinAndPropertySpec asserts score correctness
-    // and recall@5.
-    Q.noOracle("q_knn_ivf") { (s, d) =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      import graft.functions.CosineSim.cosine_sim
-      // L2-normalize BEFORE quantizing: k-means cells are Euclidean, the
-      // search metric is cosine — on the unit sphere they coincide
-      // (‖x−y‖² = 2−2·cos), so cells align with cosine neighborhoods.
-      // Quantizing raw vectors groups by magnitude and costs recall.
-      // CACHED: the fit makes maxIter+init passes over the features, and
-      // the assignment/probe steps two more — without this the parquet
-      // read + HOF normalization re-execute per pass (measured 3× the
-      // whole query's cost at sf0.1). At 100 TB you'd cache the SAMPLE
-      // the quantizer fits on, not the corpus.
-      val e = Tables.load(s, d, "embeddings")
-        .withColumn("features", array_to_vector(
-          expr("transform(embedding, x -> x / sqrt(aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))")))
-        .cache()
-      // k ≈ √N keeps both cell size and centroid-scan cost ~√N. The
-      // count() is one cheap metadata-ish pass; at 100 TB you'd fit the
-      // quantizer on a sample and reuse the same k rule. nprobe trades
-      // recall for scan fraction (nprobe/k of the corpus per probe):
-      // this synthetic corpus is near-uniform on the sphere (max
-      // pairwise cos ≈ 0.5 — neighbors barely closer than random, IVF's
-      // worst case), so recall ≥ 0.6 needs nprobe ≈ 0.4k; clustered
-      // real-world embedding corpora reach the same recall at 5-10% of
-      // k, which is where the sub-linear win lives.
-      val n = e.count()
-      val k = math.max(4, math.sqrt(n.toDouble).toInt)
-      val nprobe = math.max(3, k * 2 / 5)
-      // few iterations + random init: a coarse quantizer needs stable
-      // cells, not converged centroids (k-means|| init alone costs more
-      // passes than the 5 Lloyd iterations); recall is floor-asserted
-      // in TwinAndPropertySpec either way.
-      val km = new KMeans().setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
-        .setFeaturesCol("features").setPredictionCol("cell")
-      val model = km.fit(e)
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      // centroid table is k rows — driver-built, broadcast everywhere
-      val centroids = s.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray.map(_.toFloat))
-        }.toIndexedSeq).toDF("cell", "center")
-      val probes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      // nprobe nearest cells per probe: |probes| × k tiny cross product
-      val wc = Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell"))
-      val probeCells = probes.crossJoin(broadcast(centroids))
-        .withColumn("cscore", cosine_sim(col("pe"), col("center")))
-        .withColumn("crnk", row_number().over(wc))
-        .filter(col("crnk") <= nprobe)
-        .select(col("probe_id"), col("pe"), col("cell"))
-      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
-      assigned.join(broadcast(probeCells), "cell")
-        .filter(col("probe_id") =!= col("vec_id"))
-        .select(col("probe_id"), col("vec_id").as("cand_id"),
-          Q.r4(cosine_sim(col("pe"), col("embedding"))).as("score"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .orderBy("probe_id", "rnk")
-    },
+    // k would leave per-probe work linear in the corpus. The quantizer
+    // fits on a deterministic hash-SAMPLE (see ivfKnn/ivfFitSample), so
+    // no step of the build caches or re-scans the full corpus.
+    // Rows-only (k-means cells are engine-specific); q_sim_brute
+    // carries the exact oracle and TwinAndPropertySpec asserts score
+    // correctness and recall@5.
+    Q.noOracle("q_knn_ivf") { (s, d) => ivfKnn(s, d) },
 
     // Multimodal record: text metadata ⋈ embedding into a nested struct
     // (doc + emb), then scalar projections for the oracle (struct literal

@@ -215,29 +215,51 @@ object TextPipeline {
     * Each round also applies path halving (adopt the label of your
     * label), so rounds are O(log diameter) — long duplication chains
     * converge in a handful of rounds, and the round count stays flat at
-    * 100 TB (only the per-round shuffle width grows). For production
-    * length runs, checkpoint labels every ~10 rounds to truncate
-    * lineage. */
-  private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    // localCheckpoint (not persist) on every iteration state: persist
-    // only caches EXECUTION — the logical plan still nests every prior
+    * 100 TB (only the per-round shuffle width grows).
+    *
+    * Durability: with `checkpointDir` unset, round snapshots use eager
+    * `localCheckpoint` — right for single-box runs, but the blocks live
+    * on executor LOCAL disks with lineage truncated, so on a real
+    * cluster an executor loss mid-computation is unrecoverable. Pass a
+    * reliable `checkpointDir` (HDFS/S3) there and every snapshot
+    * becomes a `checkpoint()` to shared storage instead. Either way,
+    * each round releases the superseded round's blocks, so block-manager
+    * footprint is O(graph), not O(graph × rounds); only the RETURNED
+    * labels stay materialized (caller-owned). */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // checkpoint (not persist) on every iteration state: persist only
+    // caches EXECUTION — the logical plan still nests every prior
     // round, and with 2-3 self-references per round Catalyst would
     // re-analyze an exponentially growing tree. Checkpointing replaces
     // the plan with the materialized RDD, keeping per-round planning
-    // O(1). (On a cluster this is checkpoint() to reliable storage;
-    // the cached blocks are O(graph), freed with the session.)
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint(true)
+    // O(1).
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // A snapshot's plan is a LogicalRDD over exactly the RDD that
+    // localCheckpoint persisted — unpersisting it releases that round's
+    // blocks without touching anything else in the session. (Reliable
+    // checkpoints don't persist; unpersist is then a no-op and the
+    // files under checkpointDir follow the job's cleanup policy.)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    val edges = snapshot(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
     // seed labels with min(self, direct neighbors) — the first
     // propagation round fused into initialization (edges carry both
     // directions, so one groupBy sees every neighbor). For the common
     // near-dup graph of 2-3-node components this alone is the fixpoint,
     // leaving just the confirming round.
-    var labels = edges.select(col("src").as("id"), col("dst").as("lbl"))
-      .union(edges.select(col("src").as("id"), col("src").as("lbl")))
-      .groupBy("id").agg(min("lbl").as("lbl"))
-      .localCheckpoint(true)
+    var labels = snapshot(
+      edges.select(col("src").as("id"), col("dst").as("lbl"))
+        .union(edges.select(col("src").as("id"), col("src").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl")))
     def checksum(df: DataFrame): Option[Long] =
       Option(df.agg(sum("lbl")).head.get(0)).map(_.asInstanceOf[Long])
     var prev = checksum(labels)
@@ -254,15 +276,17 @@ object TextPipeline {
       val ptr = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
       val viaPtr = labels.join(ptr, col("lbl") === col("pid"))
         .select(col("id"), col("plbl").as("lbl"))
-      val next = labels.union(viaEdge).union(viaPtr)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val next = snapshot(
+        labels.union(viaEdge).union(viaPtr)
+          .groupBy("id").agg(min("lbl").as("lbl")))
       val cur = checksum(next)
       converged = cur == prev
+      release(labels) // superseded round state — next is materialized
       labels = next
       prev = cur
       round += 1
     }
+    release(edges) // labels is materialized; the edge blocks are done
     // Hitting the round cap without the checksum fixpoint means the
     // labels are NOT component minima yet — returning them silently
     // would yield wrong cluster ids with no signal. Path halving makes
@@ -293,7 +317,14 @@ object TextPipeline {
 
     // Near-dup detection: 3-word-shingle Jaccard >= 0.8 within language.
     // Candidate pairs come from a self-join on the shingle key (blocked,
-    // linear in total shingle occurrences) — not a cross join.
+    // linear in total shingle occurrences) — not a cross join. The
+    // declared entry runs the document-frequency-CAPPED path: a
+    // stop-phrase shingle shared by k docs contributes k² join rows, so
+    // candidate generation drops shingles hotter than the cap while
+    // verification recomputes the exact jaccard from full shingle sets.
+    // 128 is ~9× the max df observed at sf0.1 (14), so it is
+    // result-identical here (SkewSpec proves cap-invariance) while
+    // bounding any hot key's join fan-out to 128² rows at 100 TB.
     Q("q_dedup_near",
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang,
@@ -312,7 +343,7 @@ object TextPipeline {
         |JOIN cnt c2 ON p.d2 = c2.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      nearDupPairs(s, d, dfCap = None)
+      nearDupPairs(s, d, dfCap = Some(128L))
     },
 
     // MinHash + LSH near-dup candidates, fully deterministic and

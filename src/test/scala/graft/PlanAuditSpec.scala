@@ -222,6 +222,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as LeftAnti:\n$plan")
   }
 
+  test("q_dedup_near candidate generation keeps its document-frequency cap") {
+    // a stop-phrase shingle shared by k docs contributes k² self-join
+    // rows — the declared entry must run the df-capped path (result-
+    // identical per SkewSpec: the cap is ~9× the max df observed at
+    // sf0.1). If a rewrite dropped the filter, candidates would again
+    // go quadratic per hot key at 100 TB.
+    val plan = SparkEntry.queries("q_dedup_near")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.matches("(?s).*df#\\d+L? <= 128.*"),
+      s"declared near-dup path lost its document-frequency cap:\n$plan")
+  }
+
+  test("IVF quantizer fits on a hash-sample, never the corpus") {
+    // the k-means fit makes maxIter+init passes over — and caches — its
+    // input; that input must be the deterministic md5-thresholded
+    // sample so quantizer cost stops being corpus-linear at 100 TB
+    val e = ops.Similarity.ivfFeatures(spark, sfDir)
+    val n = e.count()
+    val target = n / 4
+    val sample = ops.Similarity.ivfFitSample(e, n, target)
+    val cnt = sample.count()
+    assert(cnt < n, s"fit input ($cnt rows) must be smaller than the corpus ($n)")
+    // 16-bit threshold sampling: binomial spread stays well inside ±60%
+    assert(cnt <= target * 1.6 + 16, s"sample $cnt far over target $target")
+    assert(cnt >= target * 0.4, s"sample $cnt far under target $target")
+    val plan = sample.queryExecution.optimizedPlan.toString
+    assert(plan.contains("md5"),
+      s"fit sample must be the deterministic md5 threshold:\n$plan")
+  }
+
   test("q_tfidf broadcasts the per-language doc counts") {
     // nd is O(#languages) rows — shipping it as a broadcast keeps the
     // tf×df result partitioned by (lang, word) without a re-shuffle

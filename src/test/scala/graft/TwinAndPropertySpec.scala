@@ -330,6 +330,39 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("connectedComponents releases superseded round state") {
+    import spark.implicits._
+    // a 40-node chain forces several propagation rounds; every round
+    // snapshots its labels, and superseded snapshots must be
+    // unpersisted or block-manager memory grows with round count
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = ops.TextPipeline.connectedComponents(pairs)
+    assert(comp.filter(col("lbl") =!= 1L).isEmpty) // one chain, one root
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the returned labels may stay persisted (≤2 tolerates a
+    // concurrent suite caching during the window)
+    assert(leaked.size <= 2,
+      s"superseded CC round state still persisted: ${leaked.size} RDDs")
+  }
+
+  test("connectedComponents with a reliable checkpoint dir matches the local path") {
+    import spark.implicits._
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("d1", "d2")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(ops.TextPipeline.connectedComponents(pairs))
+    val dir = tempDir("graft_cc_ckpt")
+    val reliable = toMap(
+      ops.TextPipeline.connectedComponents(pairs, checkpointDir = Some(dir)))
+    assert(reliable === local)
+    // the iteration state actually landed in reliable storage
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(files) else Seq(f)
+    assert(files(new java.io.File(dir)).nonEmpty,
+      "reliable mode must write checkpoint files")
+  }
+
   test("q_dup_clusters is consistent with the LSH pair graph") {
     val clusters = q("q_dup_clusters").cache()
     val lbl = clusters.select(col("doc_id"), col("cluster_id"))
