@@ -200,4 +200,63 @@ class LedgerSpec extends SparkSpec {
     assert(KafkaSource.startingOffsetsJson("events", Map(0 -> 42L, 1 -> 7L)) ===
       """{"events":{"0":42,"1":7}}""")
   }
+
+  test("startingOffsets JSON round-trips arbitrary partition/offset maps") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // what the kafka source actually does with this string: parse it as
+    // JSON {topic: {partition: offset}} — so the property is parse∘render
+    // = identity over arbitrary maps, including the -1/-2 sentinel
+    // offsets (latest/earliest) the option format allows
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def parseBack(json: String): (String, Map[Int, Long]) = {
+      val root = mapper.readTree(json)
+      val topics = root.fields()
+      val t = topics.next()
+      assert(!topics.hasNext, s"exactly one topic expected: $json")
+      val parts = scala.collection.mutable.Map.empty[Int, Long]
+      t.getValue.fields().forEachRemaining { e =>
+        assert(e.getValue.isIntegralNumber, s"offset must be a JSON number: $json")
+        parts += e.getKey.toInt -> e.getValue.asLong()
+      }
+      (t.getKey, parts.toMap)
+    }
+    val offsetGen = Gen.frequency(
+      8 -> Gen.choose(0L, Long.MaxValue),
+      1 -> Gen.const(-1L), // latest
+      1 -> Gen.const(-2L)) // earliest
+    val mapGen = Gen.mapOf(Gen.zip(Gen.choose(0, 9999), offsetGen))
+    val topicGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val prop = Prop.forAll(topicGen, mapGen) { (topic, offsets) =>
+      parseBack(KafkaSource.startingOffsetsJson(topic, offsets)) == (topic -> offsets)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"round-trip property failed: ${res.status}")
+  }
+
+  test("parseEv handles the kafka source schema, null keys and malformed values") {
+    import spark.implicits._
+    // the exact column set spark-sql-kafka exposes; keys are nullable
+    // (unkeyed producers), values can be foreign bytes
+    val good = """{"event_id":1,"ts":"2026-01-01 00:00:00","user_id":5,"event_type":"view","value":1.5}"""
+    val rows = Seq(
+      (null.asInstanceOf[Array[Byte]], good.getBytes("UTF-8"), "events", 0, 0L,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 0),
+      ("k1".getBytes("UTF-8"),
+        """{"event_id":2,"ts":"2026-01-02 12:30:00","user_id":6,"event_type":"click","value":-0.5}"""
+          .getBytes("UTF-8"), "events", 1, 7L,
+        java.sql.Timestamp.valueOf("2026-01-02 12:30:01"), 0),
+      (null.asInstanceOf[Array[Byte]], "not json".getBytes("UTF-8"), "events", 0, 1L,
+        java.sql.Timestamp.valueOf("2026-01-03 00:00:00"), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val parsed = KafkaSource.parseEv(rows).orderBy(asc_nulls_last("event_id"))
+    assert(parsed.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value"))
+    val out = parsed.collect()
+    assert(out.length === 3, "row count preserved (null keys must not drop rows)")
+    assert(out(0).getLong(0) === 1L && out(0).getString(3) === "view")
+    assert(out(0).getTimestamp(1) === java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(out(1).getLong(0) === 2L && out(1).getDouble(4) === -0.5)
+    // malformed value → all-null typed row, never an exception
+    assert((0 until 5).forall(out(2).isNullAt), s"malformed value must parse to nulls: ${out(2)}")
+  }
 }
