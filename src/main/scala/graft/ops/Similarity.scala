@@ -116,7 +116,16 @@ object Similarity {
     // centroids (k-means|| init alone costs more passes than the 5
     // Lloyd iterations); recall is floor-asserted in
     // TwinAndPropertySpec either way.
-    val sample = ivfFitSample(e, n, math.max(fitTarget, 50L * k)).cache()
+    // the sample is tiny BY DESIGN (~50 vectors per centroid), so pack
+    // it into a few partitions before caching: every k-means iteration
+    // is a job over the sample, and at 32+ partitions of near-empty
+    // tasks the fit is pure scheduler overhead (measured 2.5× the whole
+    // query at sf0.1). ~64k vectors per partition keeps task counts
+    // O(sample/64k) at any corpus size.
+    val target = math.max(fitTarget, 50L * k)
+    val sample = ivfFitSample(e, n, target)
+      .coalesce(math.max(1, (target / 65536L).toInt))
+      .cache()
     val km = new KMeans().setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(sample)
