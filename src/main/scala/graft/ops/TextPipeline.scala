@@ -128,18 +128,37 @@ object TextPipeline {
           .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
           .orderBy("d1", "d2")
       case Some(cap) =>
-        val rare = sh.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
-        val keep = sh.join(rare.select("lang", "shingle"), Seq("lang", "shingle"))
-        val cand = keep.as("a").join(keep.as("b"), pairCond("a", "b"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
-        val inter = size(array_intersect(col("s1"), col("s2"))).cast("long")
-        val jac = inter.cast("double") / (size(col("s1")) + size(col("s2")) - inter)
-        cand
-          .join(sets.select(col("doc_id").as("d1"), col("ss").as("s1")), "d1")
-          .join(sets.select(col("doc_id").as("d2"), col("ss").as("s2")), "d2")
+        // Document frequency via a partition-only window: the window's
+        // hash(lang, shingle) clustering is exactly what the self-join
+        // below requires, so the df computation rides the join's own
+        // exchange instead of spending a separate agg + semi-join pass
+        // (the r6 formulation did, plus a full-corpus collect_set — 3×
+        // the uncapped runtime; this one is uncapped + one sort).
+        val byShingle = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "shingle")
+        val withDf = sh.withColumn("df", count(lit(1)).over(byShingle))
+        val keep = withDf.filter(col("df") <= cap).drop("df")
+        // Candidate pairs AND their rare-shingle intersection come from
+        // the one capped self-join (each hot key bounded at cap² rows).
+        val rarePairs = keep.as("a").join(keep.as("b"), pairCond("a", "b"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter_rare"))
+        // Hot shingles (df > cap) are excluded from candidate discovery
+        // but must still count toward a discovered pair's exact jaccard.
+        // Per-doc hot-shingle sets are tiny (≤ |hot shingles| ≪ corpus —
+        // empty whenever the cap exceeds the max df, as at sf0.1), so the
+        // correction is two left joins + a small array_intersect.
+        val hotSets = withDf.filter(col("df") > cap)
+          .groupBy("doc_id").agg(collect_set(col("shingle")).as("hs"))
+        val interHot = when(col("h1").isNotNull && col("h2").isNotNull,
+          size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(lit(0L))
+        val inter = col("inter_rare") + interHot
+        val jac = inter.cast("double") / (col("n1") + col("n2") - inter)
+        rarePairs
+          .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"), "left")
+          .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"), "left")
           .filter(jac >= 0.8)
           .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
           .orderBy("d1", "d2")
