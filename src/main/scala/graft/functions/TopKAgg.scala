@@ -23,15 +23,11 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final case class Scored(score: Double, id: Long)
 
-class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  require(k > 0)
-
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
-
-  override def zero: Seq[Scored] = Vector.empty
-
-  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
+/** Shared bounded-buffer insertion over any element type: the ordering
+  * predicate is the only thing the long- and string-keyed variants
+  * differ in, so the buffer mechanics live here once. */
+private[functions] object TopKBuffer {
+  def reduce[T](k: Int, better: (T, T) => Boolean)(buf: Seq[T], in: T): Seq[T] = {
     // below the current k-th element: drop without touching the buffer
     if (buf.length >= k && !better(in, buf.last)) buf
     else {
@@ -43,6 +39,18 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
       if (grown.length > k) grown.take(k) else grown
     }
   }
+}
+
+class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  require(k > 0)
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] =
+    TopKBuffer.reduce(k, better)(buf, in)
 
   override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
     b.foldLeft(a)(reduce)
@@ -53,4 +61,38 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+}
+
+/** String-keyed sibling of [[TopKAgg]] for text surfaces (top bigrams /
+  * top words per language): score DESC, id ASC with the tie-break on
+  * the STRING key — the exact (n DESC, bigram) / (c DESC, w) ordering
+  * the former `row_number() OVER (PARTITION BY lang …)` formulations
+  * used, so the SQL oracles are unchanged. The win is the plan shape:
+  * the window had to shuffle-and-sort EVERY (lang, term) count row into
+  * #languages partitions — a bounded-parallelism sort over a
+  * content-growing input — while this Aggregator partial-aggregates, so
+  * the lang-keyed shuffle carries ≤ k·langs·partitions rows no matter
+  * how diverse the corpus gets. */
+final case class ScoredStr(score: Double, id: String)
+
+class TopKStrAgg(k: Int) extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
+  require(k > 0)
+
+  private def better(a: ScoredStr, b: ScoredStr): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[ScoredStr] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredStr], in: ScoredStr): Seq[ScoredStr] =
+    TopKBuffer.reduce(k, better)(buf, in)
+
+  override def merge(a: Seq[ScoredStr], b: Seq[ScoredStr]): Seq[ScoredStr] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Seq[ScoredStr]): Seq[ScoredStr] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredStr]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
+  override def outputEncoder: Encoder[Seq[ScoredStr]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
 }

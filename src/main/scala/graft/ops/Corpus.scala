@@ -124,11 +124,17 @@ object Corpus {
 
     // Per-language bigram frequency table, top 10 per lang — the n-gram
     // LM / contamination-check building block. Bigrams are generated
-    // in-row (transform over an index sequence), so the only shuffles
-    // are the count aggregation and the per-lang top-k window — both on
-    // keys whose cardinality grows with content diversity, never a
-    // cross product. Spark arrays are 0-indexed, DuckDB lists 1-indexed;
-    // both sides emit exactly size(words)-1 bigrams.
+    // in-row (transform over an index sequence), so the only wide shape
+    // is the (lang, bigram) count aggregation. The per-lang top-10 is
+    // the bounded-buffer TopKStrAgg Aggregator, NOT a row_number
+    // window: lang has ~5 values, so a window would sort each
+    // language's ENTIRE distinct-bigram count set inside 5 reducers — a
+    // bounded-parallelism sort growing with content diversity. The
+    // Aggregator partial-aggregates, so the lang shuffle carries ≤
+    // 10·langs·partitions rows at any corpus size (ordering contract
+    // n DESC, bigram ASC matches the oracle's window exactly). Spark
+    // arrays are 0-indexed, DuckDB lists 1-indexed; both sides emit
+    // exactly size(words)-1 bigrams.
     Q("q_ngram_freq",
       """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
@@ -142,7 +148,8 @@ object Corpus {
         |SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+      val top10 = udaf(new graft.functions.TopKStrAgg(10),
+        org.apache.spark.sql.Encoders.product[graft.functions.ScoredStr])
       val words = split(col("text"), " ")
       val bigrams = Tables.load(s, d, "documents")
         .select(col("lang"), words.as("ws"))
@@ -151,11 +158,12 @@ object Corpus {
           explode(expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
             .as("bigram"))
       bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
-        .withColumn("rk",
-          row_number().over(
-            Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))).cast("long"))
-        .filter(col("rk") <= 10)
-        .select("lang", "bigram", "n", "rk")
+        // counts are exact in the Aggregator's double score until 2^53
+        .groupBy("lang").agg(top10(col("n").cast("double"), col("bigram")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.id").as("bigram"),
+          col("col.score").cast("long").as("n"),
+          (col("pos") + 1).cast("long").as("rk"))
         .orderBy("lang", "rk")
     },
 

@@ -247,7 +247,18 @@ object TextPipeline {
     * labels stay materialized (caller-owned). */
   private[graft] def connectedComponents(
       pairs: DataFrame, maxRounds: Int = 30,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to reach the checksum fixpoint (including the confirming
+    * round). Exposed so tests can pin the round count: the fused-first-
+    * round seeding plus path halving make it O(log diameter), and a
+    * regression there would otherwise surface only as a silent
+    * wall-clock multiple (each round is a full join+agg job). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     // checkpoint (not persist) on every iteration state: persist only
@@ -314,7 +325,7 @@ object TextPipeline {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds")
-    labels
+    (labels, round)
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -519,7 +530,15 @@ object TextPipeline {
         .orderBy("d1", "d2")
     },
 
-    // Per-language corpus statistics + most frequent word.
+    // Per-language corpus statistics + most frequent word. The top word
+    // is min_by over the composite ordering key (-count, word) — the
+    // exact (c DESC, w ASC) total order the oracle's row_number uses —
+    // instead of a per-lang window: min_by is a DeclarativeAggregate
+    // (whole-stage codegen, map-side partials), so the lang shuffle
+    // carries one candidate row per partition, where the window had to
+    // sort each language's whole distinct-word count set inside
+    // #languages reducers — bounded parallelism over a content-growing
+    // input, the plan you can't run at 100 TB.
     Q("q_text_stats",
       """WITH wrd AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |wc AS (SELECT lang, w, count(*) AS c FROM wrd GROUP BY 1, 2),
@@ -537,15 +556,14 @@ object TextPipeline {
         |FROM st JOIN tw ON st.lang = tw.lang
         |        JOIN top ON st.lang = top.lang AND top.rn = 1
         |ORDER BY st.lang""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, d, "documents")
       val wrd = withWords(docs).select(col("lang"), explode(col("words")).as("w"))
       val wc = wrd.groupBy("lang", "w").agg(count(lit(1)).as("c"))
-      val top = wc
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("lang").orderBy(col("c").desc, col("w"))))
-        .filter(col("rn") === 1)
-        .select(col("lang"), col("w").as("top_word"), col("c").as("top_count"))
+      // (-c, w) is unique per (lang, w) group, so min_by is deterministic
+      val ord = struct((-col("c")).as("nc"), col("w"))
+      val top = wc.groupBy("lang").agg(
+        min_by(col("w"), ord).as("top_word"),
+        max(col("c")).as("top_count"))
       val st = docs.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         Q.r4(avg(col("n_chars").cast("double"))).as("avg_chars"))

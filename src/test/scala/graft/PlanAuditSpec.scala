@@ -232,6 +232,53 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.matches("(?s).*df#\\d+L? <= 128.*"),
       s"declared near-dup path lost its document-frequency cap:\n$plan")
+    // and df must come from a partition-only window over (lang, shingle)
+    // — the clustering the self-join needs anyway, so the df computation
+    // rides the join's own exchange. The r6 formulation (a separate
+    // count agg semi-joined back, plus a full-corpus collect_set) cost
+    // 3× the uncapped runtime; this assertion keeps a refactor from
+    // silently reintroducing it.
+    assert(plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, shingle#\\d+.*"),
+      s"df must be a window riding the join's (lang, shingle) clustering:\n$plan")
+    // the only collect_set allowed is the hot-set correction, which
+    // must sit above a df > cap filter (r6 collected the FULL corpus)
+    val hasHotFilter = plan.matches("(?s).*df#\\d+L? > 128.*")
+    assert(!plan.contains("collect_set") || hasHotFilter,
+      s"collect_set must be restricted to hot (df > cap) shingles:\n$plan")
+  }
+
+  test("q_ngram_freq / q_text_stats push their per-lang top-k into partial aggregation") {
+    // lang is a ~5-value key: a row_number window would sort each
+    // language's ENTIRE distinct-term count set inside 5 reducers — a
+    // bounded-parallelism sort over a content-growing input. Both plans
+    // must carry the top-k in map-side partials instead (TopKStrAgg
+    // buffer / min_by candidates) and plan NO Window exec at all.
+    Seq("q_ngram_freq", "q_text_stats").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must not plan a per-lang Window:\n$plan")
+    }
+    val ngram = SparkEntry.queries("q_ngram_freq")(spark, sfDir)
+      .queryExecution.sparkPlan.toString.toLowerCase
+    assert(ngram.contains("partial_topkstragg"),
+      s"bigram top-10 buffer must combine map-side (partial mode):\n$ngram")
+    val stats = SparkEntry.queries("q_text_stats")(spark, sfDir)
+      .queryExecution.sparkPlan.toString.toLowerCase
+    assert(stats.contains("partial_min_by") || stats.contains("min_by"),
+      s"top word must be a declarative min_by aggregate:\n$stats")
+  }
+
+  test("q_dup_clusters label propagation converges in <= 3 rounds") {
+    // fused-first-round seeding + path halving make rounds O(log
+    // diameter); near-dup graphs are dominated by 2-3-node components,
+    // so seeding alone reaches the fixpoint and one confirming round
+    // proves it. A regression here (broken seeding, lost path halving)
+    // would otherwise surface only as a silent wall-clock multiple —
+    // each round is a full join+agg job at 100 TB.
+    val (_, rounds) = ops.TextPipeline.connectedComponentsWithRounds(
+      ops.TextPipeline.lshCandidatePairs(spark, "/root/testdata/sf0.1"))
+    assert(rounds <= 3, s"expected <= 3 propagation rounds, took $rounds")
   }
 
   test("IVF quantizer fits on a hash-sample, never the corpus") {

@@ -27,6 +27,24 @@ class SkewSpec extends SparkSpec {
     assert(tight.except(uncapped).isEmpty, "capped pairs must be a subset")
   }
 
+  test("near-dup cap sweep: every cap yields a subset with exact jaccard values") {
+    // the hot-shingle correction (df > cap shingles excluded from
+    // candidate discovery but re-counted into the jaccard via the
+    // hot-set left joins) must hold at EVERY cap, including caps far
+    // below the max document frequency where the correction carries
+    // most of the intersection. Rows include the jaccard, so the
+    // subset check also proves discovered pairs report the exact
+    // (uncapped) value — a wrong correction shows as a non-matching row.
+    val uncapped = ops.TextPipeline.nearDupPairs(spark, sfDir, None).cache()
+    try
+      Seq(1L, 2L, 3L, 5L, 8L).foreach { cap =>
+        val capped = ops.TextPipeline.nearDupPairs(spark, sfDir, Some(cap))
+        assert(capped.except(uncapped).isEmpty,
+          s"cap=$cap discovered a pair absent from (or mis-scored vs) the uncapped set")
+      }
+    finally uncapped.unpersist()
+  }
+
   test("twoPhaseAgg equals the direct aggregation") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val direct = li.groupBy(col("l_returnflag").as("k"))

@@ -152,6 +152,39 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(q("q_topk_agg").collect().toSeq === q("q_win_topk_group").collect().toSeq)
   }
 
+  test("q_ngram_freq / q_text_stats equal their window formulations row-for-row") {
+    // the r8 rewrite replaced the per-lang row_number window with
+    // partial-aggregating top-k (TopKStrAgg / min_by); the ordering
+    // contract (count DESC, term ASC) must be bit-identical, or the
+    // unchanged SQL oracles would catch it a round later — catch it here
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    val words = split(col("text"), " ")
+    val bigramWin = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"),
+        explode(expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+          .as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(byLang.orderBy(col("n").desc, col("bigram"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("lang", "bigram", "n", "rk")
+      .orderBy("lang", "rk")
+    assert(q("q_ngram_freq").collect().toSeq === bigramWin.collect().toSeq)
+    val wordWin = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .withColumn("rn",
+        row_number().over(byLang.orderBy(col("c").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("w").as("top_word"), col("c").as("top_count"))
+      .orderBy("lang")
+    assert(q("q_text_stats").select("lang", "top_word", "top_count").collect().toSeq
+      === wordWin.collect().toSeq)
+  }
+
   test("doc chunks reassemble to the original text") {
     // stride-width prefixes of consecutive chunks, concatenated in
     // chunk_id order, must rebuild every document byte-for-byte — the
