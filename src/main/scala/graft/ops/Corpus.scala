@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * tables.
   *
   * Same design rules as [[TextPipeline]]: md5 for every hash that must
-  * be engine-portable (so all four ops are fully oracled), higher-order
+  * be engine-portable (so every op here is fully oracled), higher-order
   * functions instead of UDFs, and per-row generators (explode over an
   * in-row sequence) instead of joins, so each op is a single
   * narrow-dependency pass over the corpus — embarrassingly parallel at
@@ -350,6 +350,116 @@ object Corpus {
         .join(broadcast(frac), "lang")
         .filter(col("u16") < col("frac") * 65536)
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75) of every document against
+    // a fixed query term set, idf scoped per language — the ranking
+    // primitive for retrieval-based data curation (e.g. pulling docs
+    // relevant to a benchmark topic). The 100 TB shape: term frequencies
+    // are computed IN-ROW (array filter over the fixed query terms — no
+    // (doc, term) explode, no shuffle), the per-lang stats (N, Σdl, df
+    // per term) are ONE tiny agg broadcast back, and the per-lang top-10
+    // rides the bounded-buffer TopKAgg (map-side partials) — so the only
+    // wide ops are a ~5-row broadcast and a ≤ k·langs·partitions
+    // shuffle; the corpus itself is scanned once and never shuffled.
+    // avgdl is computed as CAST(Σdl AS DOUBLE)/N (exact integer sum, one
+    // division) rather than avg() so both engines divide identical
+    // values; ranking uses the r4-ROUNDED score with doc_id as a total
+    // tie-break, the q_tfidf determinism recipe.
+    Q("q_bm25",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |f AS (SELECT doc_id, lang, len(words) AS dl,
+        |             CAST(len(list_filter(words, x -> x = 'data')) AS DOUBLE) AS tf1,
+        |             CAST(len(list_filter(words, x -> x = 'query')) AS DOUBLE) AS tf2,
+        |             CAST(len(list_filter(words, x -> x = 'scan')) AS DOUBLE) AS tf3
+        |      FROM w),
+        |st AS (SELECT lang, count(*) AS nd, sum(dl) AS sdl,
+        |              count(*) FILTER (WHERE tf1 > 0) AS df1,
+        |              count(*) FILTER (WHERE tf2 > 0) AS df2,
+        |              count(*) FILTER (WHERE tf3 > 0) AS df3
+        |       FROM f GROUP BY 1),
+        |sc AS (SELECT f.doc_id, f.lang,
+        |              floor((
+        |                ln((st.nd - st.df1 + 0.5) / (st.df1 + 0.5) + 1) * (f.tf1 * 2.2) / (f.tf1 + 1.2 * (0.25 + 0.75 * f.dl / (CAST(st.sdl AS DOUBLE) / st.nd)))
+        |              + ln((st.nd - st.df2 + 0.5) / (st.df2 + 0.5) + 1) * (f.tf2 * 2.2) / (f.tf2 + 1.2 * (0.25 + 0.75 * f.dl / (CAST(st.sdl AS DOUBLE) / st.nd)))
+        |              + ln((st.nd - st.df3 + 0.5) / (st.df3 + 0.5) + 1) * (f.tf3 * 2.2) / (f.tf3 + 1.2 * (0.25 + 0.75 * f.dl / (CAST(st.sdl AS DOUBLE) / st.nd)))
+        |              )*10000+0.5)/10000 AS score
+        |       FROM f JOIN st ON f.lang = st.lang),
+        |r AS (SELECT lang, doc_id, score,
+        |             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+        |      FROM sc WHERE score > 0)
+        |SELECT lang, doc_id, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      val terms = Seq("data", "query", "scan")
+      def tf(t: String) = size(expr(s"filter(words, x -> x = '$t')")).cast("double")
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("lang"), size(col("words")).as("dl"),
+          tf(terms(0)).as("tf1"), tf(terms(1)).as("tf2"), tf(terms(2)).as("tf3"))
+      val dfAggs = terms.indices.map(i => count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}"))
+      val statAggs = Seq(count(lit(1)).as("nd"), sum("dl").as("sdl")) ++ dfAggs
+      val stats = base.groupBy("lang").agg(statAggs.head, statAggs.tail: _*)
+      val avgdl = col("sdl").cast("double") / col("nd")
+      def part(i: Int) = {
+        val dfc = col(s"df$i"); val tfc = col(s"tf$i")
+        val idf = log((col("nd") - dfc + 0.5) / (dfc + 0.5) + 1)
+        idf * (tfc * 2.2) / (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      }
+      val top10 = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      base.join(broadcast(stats), "lang")
+        .select(col("lang"), col("doc_id"), Q.r4(part(1) + part(2) + part(3)).as("score"))
+        .filter(col("score") > 0)
+        .groupBy("lang").agg(top10(col("score"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.id").as("doc_id"), col("col.score").as("score"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    },
+
+    // Sequence packing — GPT-style concatenate-and-cut: documents are
+    // laid out end-to-end in a deterministic order and the token stream
+    // is cut every SeqBudget tokens, so every training sequence is full
+    // (zero padding waste) and docs may straddle cuts. The layout is
+    // per SHARD (first md5 nibble of doc_id → 16 here): shard count is
+    // the scale knob — in production one shard ≈ one output file
+    // (~10^9 tokens), so shards grow WITH the corpus and the
+    // within-shard running-sum window stays a bounded work unit. The
+    // within-shard sort is not an accident to optimize away: packing IS
+    // the contract that every worker reproduces the same byte layout,
+    // and (md5 shard, doc_id) is that total order, reshuffle-proof on
+    // any cluster. Output: each doc's token offset interval and the
+    // bins it spans.
+    Q("q_pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |                  len(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |o AS (SELECT doc_id, shard, tok,
+        |             coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |      FROM t)
+        |SELECT doc_id, shard, CAST(tok AS BIGINT) AS tok,
+        |       CAST(start_off AS BIGINT) AS start_off,
+        |       CAST(start_off // 256 AS BIGINT) AS first_bin,
+        |       CAST((start_off + tok - 1) // 256 AS BIGINT) AS last_bin,
+        |       CAST((start_off + tok - 1) // 256 - start_off // 256 + 1 AS BIGINT) AS n_bins
+        |FROM o
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byShard = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("start_off", coalesce(sum("tok").over(byShard), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("tok"), col("start_off"),
+          expr("start_off div 256").as("first_bin"),
+          expr("(start_off + tok - 1) div 256").as("last_bin"),
+          expr("(start_off + tok - 1) div 256 - start_off div 256 + 1").as("n_bins"))
         .orderBy("doc_id")
     }
   )

@@ -291,7 +291,7 @@ object TextPipeline {
         .union(edges.select(col("src").as("id"), col("src").as("lbl")))
         .groupBy("id").agg(min("lbl").as("lbl")))
     def checksum(df: DataFrame): Option[Long] =
-      Option(df.agg(sum("lbl")).head.get(0)).map(_.asInstanceOf[Long])
+      Option(df.agg(sum("lbl")).head().get(0)).map(_.asInstanceOf[Long])
     var prev = checksum(labels)
     var converged = prev.isEmpty // no edges → nothing to propagate
     var round = 0

@@ -269,6 +269,19 @@ class PlanAuditSpec extends SparkSpec {
       s"top word must be a declarative min_by aggregate:\n$stats")
   }
 
+  test("q_bm25 broadcasts the per-lang stats and partial-aggregates its top-k") {
+    // BM25's tf is in-row (no (doc, term) explode), the per-lang stats
+    // arrive via broadcast, and the per-lang ranking must combine
+    // map-side — the corpus is scanned once and never shuffled
+    val plan = SparkEntry.queries("q_bm25")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang stats must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"bm25 must not plan a Window:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkagg"),
+      s"top-10 buffer must combine map-side:\n$plan")
+  }
+
   test("q_dup_clusters label propagation converges in <= 3 rounds") {
     // fused-first-round seeding + path halving make rounds O(log
     // diameter); near-dup graphs are dominated by 2-3-node components,

@@ -185,6 +185,87 @@ class TwinAndPropertySpec extends SparkSpec {
       === wordWin.collect().toSeq)
   }
 
+  test("TopKAgg / TopKStrAgg equal sort-take-k under arbitrary merge splits") {
+    // the bounded buffer must be a homomorphism: any partitioning of
+    // the input into partial buffers, merged in any grouping, yields
+    // exactly sortBy(score DESC, id ASC).take(k) — that's what makes
+    // map-side partial aggregation safe
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.{Scored, ScoredStr, TopKAgg, TopKStrAgg}
+    val scoreGen = Gen.chooseNum(-5.0, 5.0).map(x => math.floor(x * 4) / 4) // force ties
+    val rowsGen = Gen.listOf(Gen.zip(scoreGen, Gen.chooseNum(0L, 30L)))
+    val kGen = Gen.choose(1, 6)
+    val splitGen = Gen.choose(1, 5)
+    val prop = Prop.forAll(rowsGen, kGen, splitGen) { (rows, k, nSplits) =>
+      val expectLong = rows.map { case (sc, id) => Scored(sc, id) }
+        .sortBy(e => (-e.score, e.id)).take(k)
+      val expectStr = rows.map { case (sc, id) => ScoredStr(sc, s"w$id") }
+        .sortBy(e => (-e.score, e.id)).take(k)
+      val aggL = new TopKAgg(k)
+      val aggS = new TopKStrAgg(k)
+      val partsL = rows.map { case (sc, id) => Scored(sc, id) }
+        .grouped(math.max(1, rows.size / nSplits)).toList
+        .map(_.foldLeft(aggL.zero)(aggL.reduce))
+      val partsS = rows.map { case (sc, id) => ScoredStr(sc, s"w$id") }
+        .grouped(math.max(1, rows.size / nSplits)).toList
+        .map(_.foldLeft(aggS.zero)(aggS.reduce))
+      val gotL = aggL.finish(partsL.foldLeft(aggL.zero)(aggL.merge))
+      val gotS = aggS.finish(partsS.foldLeft(aggS.zero)(aggS.merge))
+      gotL == expectLong && gotS == expectStr
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("packed sequences tile each shard's token stream without gaps or overlap") {
+    // concatenate-and-cut invariants: within a shard, offsets are
+    // contiguous in doc_id order (next start = prev start + prev tok),
+    // the first doc starts at 0, and bin spans follow from the offsets
+    val rows = q("q_pack_sequences")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      assert(inOrder.head._4 === 0L, s"shard $shard must start at offset 0")
+      inOrder.sliding(2).foreach {
+        case Array((_, _, tok1, off1), (_, d2, _, off2)) =>
+          assert(off2 === off1 + tok1, s"gap/overlap before doc $d2 in shard $shard")
+        case _ =>
+      }
+    }
+    val withBins = q("q_pack_sequences").collect()
+    withBins.foreach { r =>
+      val (tok, off, first, last, n) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(first === off / 256 && last === (off + tok - 1) / 256 && n === last - first + 1)
+    }
+  }
+
+  test("bm25 ranks only docs containing a query term, correctly ordered per lang") {
+    val out = q("q_bm25").collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to sorted.length).toSeq)
+      // scores non-increasing in rank; doc_id ascending on ties
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getDouble(2), b.getDouble(2))
+          assert(sa > sb || (sa == sb && a.getLong(1) < b.getLong(1)),
+            s"rank order violated in $lang")
+        case _ =>
+      }
+      assert(rows.length <= 10)
+    }
+    // every ranked doc really contains at least one query term
+    val ids = out.map(_.getLong(1)).toSeq
+    val hasTerm = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(expr("size(filter(ws, x -> x IN ('data', 'query', 'scan'))) = 0"))
+    assert(hasTerm.isEmpty)
+  }
+
   test("doc chunks reassemble to the original text") {
     // stride-width prefixes of consecutive chunks, concatenated in
     // chunk_id order, must rebuild every document byte-for-byte — the
