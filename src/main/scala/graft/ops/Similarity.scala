@@ -402,6 +402,104 @@ object Similarity {
           expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("qsum"),
           Q.r6(expr("array_max(zip_with(de, qv, (x, v) -> abs(x - v / scale)))")).as("max_err"))
         .orderBy("vec_id")
+    },
+
+    // Hybrid retrieval fusion — reciprocal rank fusion (RRF, k=60) of a
+    // dense ranking (cosine vs the vec_id-0 probe embedding) and a
+    // sparse ranking (global-idf BM25 vs a fixed query term set), the
+    // standard first stage of retrieval-based data curation / RAG
+    // selection. Scale shape: each leg is a global top-20 via the
+    // bounded-buffer TopKAgg (map-side partials, shuffle ≤ 20·partitions
+    // rows — the scale-safe global top-k), the fusion is a full outer
+    // join of two ≤20-row lists, and the final re-rank window runs over
+    // ≤40 rows BY CONSTRUCTION (2k candidates) whatever the corpus size
+    // — bounded input is what makes that window legal here. Absent legs
+    // contribute 0 to the fused score, the truncated-list RRF standard.
+    Q("q_hybrid_rrf",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |n AS (SELECT vec_id, de, sqrt(list_inner_product(de, de)) AS nrm FROM e),
+        |p AS (SELECT de AS pde, nrm AS pnrm FROM n WHERE vec_id = 0),
+        |ds AS (SELECT c.vec_id AS doc_id,
+        |              floor((list_inner_product(p.pde, c.de) / (p.pnrm * c.nrm))*10000+0.5)/10000 AS dscore
+        |       FROM n c, p WHERE c.vec_id <> 0),
+        |d20 AS (SELECT doc_id, r_dense
+        |        FROM (SELECT doc_id, row_number() OVER (ORDER BY dscore DESC, doc_id) AS r_dense FROM ds)
+        |        WHERE r_dense <= 20),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |f AS (SELECT doc_id, len(words) AS dl,
+        |             CAST(len(list_filter(words, x -> x = 'data')) AS DOUBLE) AS tf1,
+        |             CAST(len(list_filter(words, x -> x = 'query')) AS DOUBLE) AS tf2,
+        |             CAST(len(list_filter(words, x -> x = 'scan')) AS DOUBLE) AS tf3
+        |      FROM w),
+        |st AS (SELECT count(*) AS nd, sum(dl) AS sdl,
+        |              count(*) FILTER (WHERE tf1 > 0) AS df1,
+        |              count(*) FILTER (WHERE tf2 > 0) AS df2,
+        |              count(*) FILTER (WHERE tf3 > 0) AS df3
+        |       FROM f),
+        |sc AS (SELECT f.doc_id,
+        |              floor((
+        |                ln((st.nd - st.df1 + 0.5) / (st.df1 + 0.5) + 1) * (f.tf1 * 2.2) / (f.tf1 + 1.2 * (0.25 + 0.75 * f.dl / (CAST(st.sdl AS DOUBLE) / st.nd)))
+        |              + ln((st.nd - st.df2 + 0.5) / (st.df2 + 0.5) + 1) * (f.tf2 * 2.2) / (f.tf2 + 1.2 * (0.25 + 0.75 * f.dl / (CAST(st.sdl AS DOUBLE) / st.nd)))
+        |              + ln((st.nd - st.df3 + 0.5) / (st.df3 + 0.5) + 1) * (f.tf3 * 2.2) / (f.tf3 + 1.2 * (0.25 + 0.75 * f.dl / (CAST(st.sdl AS DOUBLE) / st.nd)))
+        |              )*10000+0.5)/10000 AS score
+        |       FROM f, st),
+        |s20 AS (SELECT doc_id, r_sparse
+        |        FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+        |              FROM sc WHERE score > 0)
+        |        WHERE r_sparse <= 20),
+        |fused AS (SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+        |                 CAST(d.r_dense AS BIGINT) AS r_dense,
+        |                 CAST(s.r_sparse AS BIGINT) AS r_sparse,
+        |                 floor((coalesce(1.0 / (60 + d.r_dense), 0) + coalesce(1.0 / (60 + s.r_sparse), 0))*1000000+0.5)/1000000 AS rrf
+        |          FROM d20 d FULL JOIN s20 s ON d.doc_id = s.doc_id)
+        |SELECT doc_id, r_dense, r_sparse, rrf, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+        |WHERE rk <= 10
+        |ORDER BY rk""".stripMargin) { (s, d) =>
+      val top20 = udaf(new graft.functions.TopKAgg(20),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      // dense leg: cosine vs the broadcast single-row probe
+      val e = widened(Tables.load(s, d, "embeddings"))
+        .withColumn("nrm", sqrt(dot("de", "de")))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("de").as("pde"), col("nrm").as("pnrm"))
+      val d20 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), Q.r4(dot("pde", "de") / (col("pnrm") * col("nrm"))).as("dscore"))
+        .agg(top20(col("dscore"), col("vec_id")).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"), (col("pos") + 1).cast("long").as("r_dense"))
+      // sparse leg: global-idf BM25 (the q_bm25 construction, unscoped)
+      def tf(t: String) = size(expr(s"filter(words, x -> x = '$t')")).cast("double")
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), size(col("words")).as("dl"),
+          tf("data").as("tf1"), tf("query").as("tf2"), tf("scan").as("tf3"))
+      val statAggs = Seq(count(lit(1)).as("nd"), sum("dl").as("sdl")) ++
+        (1 to 3).map(i => count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      val avgdl = col("sdl").cast("double") / col("nd")
+      def part(i: Int) = {
+        val dfc = col(s"df$i"); val tfc = col(s"tf$i")
+        val idf = log((col("nd") - dfc + 0.5) / (dfc + 0.5) + 1)
+        idf * (tfc * 2.2) / (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      }
+      val s20 = base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), Q.r4(part(1) + part(2) + part(3)).as("score"))
+        .filter(col("score") > 0)
+        .agg(top20(col("score"), col("doc_id")).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"), (col("pos") + 1).cast("long").as("r_sparse"))
+      val rrf = Q.r6(
+        coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)))
+      d20.join(s20, Seq("doc_id"), "full")
+        .select(col("doc_id"), col("r_dense"), col("r_sparse"), rrf.as("rrf"))
+        // ≤ 2k = 40 rows by construction — the global window is bounded
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .orderBy("rk")
     }
   )
 }
