@@ -353,6 +353,87 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Content-defined chunking — the dedup-friendly alternative to
+    // q_doc_chunk's fixed windows: a chunk boundary falls after every
+    // word whose md5 starts with hex '0' (p = 1/16 → mean chunk ≈ 16
+    // words), so an insertion early in a document shifts only the ONE
+    // chunk it lands in, not every window after it — identical content
+    // re-chunks identically anywhere it appears, which is what makes
+    // chunk-level dedup work. Plan shape: words posexplode in-row, the
+    // running boundary count is a window partitioned by doc_id — the
+    // partition is ONE DOCUMENT (bounded by doc length, not corpus
+    // size), the legitimate window shape — and chunks reassemble via a
+    // sorted in-row collect per (doc, chunk).
+    Q("q_chunk_cdc",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |x AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(words) + 1),
+        |                    i -> {'pos': i, 'w': words[i]})) AS s
+        |      FROM t),
+        |f AS (SELECT doc_id, s.pos AS pos, s.w AS w,
+        |             CASE WHEN substring(md5(s.w), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+        |      FROM x),
+        |c AS (SELECT doc_id, pos, w,
+        |             coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |      FROM f)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       string_agg(w, ' ' ORDER BY pos) AS chunk,
+        |       count(*) AS n_words
+        |FROM c GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boundary = when(substring(md5(col("w").cast("binary")), 1, 1) === "0", 1L).otherwise(0L)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("chunk_id", coalesce(sum(boundary).over(byDoc), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+          // array_sort on struct(pos, w) orders by pos — a deterministic
+          // in-row reassembly (collect_list order is NOT guaranteed)
+          expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+            .as("chunk"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Language-mixture planning: given target mixture shares, compute
+    // the largest total token budget T* the corpus can serve WITHOUT
+    // upsampling (T* = min over langs of tokens/share — the binding
+    // language caps the mix), then each language's sampling fraction
+    // and sampled token count. The report every pretraining data-mix
+    // negotiation starts from. One 5-row token agg + a broadcast scalar
+    // min — nothing scales with the corpus but the token-count scan.
+    Q("q_mix_weights",
+      """WITH tok AS (SELECT lang, sum(len(string_split(text, ' '))) AS tokens
+        |             FROM documents GROUP BY 1),
+        |w AS (SELECT lang, tokens,
+        |             CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2
+        |                       WHEN 'es' THEN 0.1 ELSE 0.1 END AS share
+        |      FROM tok),
+        |m AS (SELECT min(tokens / share) AS tstar FROM w)
+        |SELECT lang, CAST(tokens AS BIGINT) AS tokens, share,
+        |       floor((m.tstar * share / tokens)*1000000+0.5)/1000000 AS fraction,
+        |       CAST(floor(m.tstar * share + 0.5) AS BIGINT) AS sampled_tokens
+        |FROM w, m
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val share =
+        when(col("lang") === "en", 0.4).when(col("lang") === "de", 0.2)
+          .when(col("lang") === "fr", 0.2).when(col("lang") === "es", 0.1)
+          .otherwise(0.1)
+      val tok = Tables.load(s, d, "documents")
+        .groupBy("lang").agg(sum(size(split(col("text"), " "))).as("tokens"))
+        .withColumn("share", share)
+      val tstar = tok.agg(min(col("tokens") / col("share")).as("tstar"))
+      tok.crossJoin(broadcast(tstar))
+        .select(col("lang"), col("tokens"), col("share"),
+          Q.r6(col("tstar") * col("share") / col("tokens")).as("fraction"),
+          floor(col("tstar") * col("share") + 0.5).cast("long").as("sampled_tokens"))
+        .orderBy("lang")
+    },
+
     // BM25 retrieval scoring (k1=1.2, b=0.75) of every document against
     // a fixed query term set, idf scoped per language — the ranking
     // primitive for retrieval-based data curation (e.g. pulling docs

@@ -266,6 +266,27 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(hasTerm.isEmpty)
   }
 
+  test("CDC chunks reassemble to the original text and boundaries are content-defined") {
+    // concatenating a doc's chunks in chunk_id order must rebuild the
+    // text byte-for-byte (no word lost or duplicated at boundaries)
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val rebuilt = q("q_chunk_cdc")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(chunk_id, chunk))), x -> x.chunk), ' ')")
+        .as("rebuilt"))
+    val broken = docs.join(rebuilt, "doc_id").filter(col("text") =!= col("rebuilt"))
+    assert(broken.isEmpty, "CDC chunks must tile the document exactly")
+    // content-defined: every chunk after the first starts right after a
+    // boundary word, i.e. the previous chunk's LAST word hashes to '0'
+    val lastWordIsBoundary = substring(
+      md5(element_at(split(col("chunk"), " "), -1).cast("binary")), 1, 1) === "0"
+    val nonFinalChunks = q("q_chunk_cdc").as("c")
+      .join(q("q_chunk_cdc").groupBy("doc_id").agg(max("chunk_id").as("mx")), "doc_id")
+      .filter(col("chunk_id") < col("mx"))
+    assert(nonFinalChunks.filter(!lastWordIsBoundary).isEmpty,
+      "every non-final chunk must end on a boundary word")
+  }
+
   test("doc chunks reassemble to the original text") {
     // stride-width prefixes of consecutive chunks, concatenated in
     // chunk_id order, must rebuild every document byte-for-byte — the
