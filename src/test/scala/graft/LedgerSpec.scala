@@ -210,11 +210,11 @@ class LedgerSpec extends SparkSpec {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def parseBack(json: String): (String, Map[Int, Long]) = {
       val root = mapper.readTree(json)
-      val topics = root.fields()
+      val topics = root.properties().iterator()
       val t = topics.next()
       assert(!topics.hasNext, s"exactly one topic expected: $json")
       val parts = scala.collection.mutable.Map.empty[Int, Long]
-      t.getValue.fields().forEachRemaining { e =>
+      t.getValue.properties().forEach { e =>
         assert(e.getValue.isIntegralNumber, s"offset must be a JSON number: $json")
         parts += e.getKey.toInt -> e.getValue.asLong()
       }

@@ -470,11 +470,11 @@ class TwinAndPropertySpec extends SparkSpec {
     // a 40-node chain forces several propagation rounds; every round
     // snapshots its labels, and superseded snapshots must be
     // unpersisted or block-manager memory grows with round count
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
     val comp = ops.TextPipeline.connectedComponents(pairs)
     assert(comp.filter(col("lbl") =!= 1L).isEmpty) // one chain, one root
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     // only the returned labels may stay persisted (≤2 tolerates a
     // concurrent suite caching during the window)
     assert(leaked.size <= 2,
