@@ -353,6 +353,51 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Pairwise source-overlap matrix: distinct shared 3-word shingles
+    // and shingle-set jaccard per source pair — the "which feeds are
+    // re-crawls of each other" diagnostic that decides dedup order and
+    // mixing weights. Scale shape: the self-join key is the shingle
+    // (content-growing keyspace) and each shingle fans out to at most
+    // |sources|² pairs — sources are a bounded catalog (20 here), so
+    // unlike document-pair joins NO df cap is needed; output is
+    // ≤ C(|sources|, 2) rows however big the corpus is.
+    Q("q_source_overlap",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |n AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.s1, p.s2, p.shared,
+        |       floor((CAST(p.shared AS DOUBLE) / (n1.n + n2.n - p.shared))*10000+0.5)/10000 AS jaccard
+        |FROM p JOIN n n1 ON p.s1 = n1.source
+        |       JOIN n n2 ON p.s2 = n2.source
+        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      val sh = Tables.load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("source"),
+          explode(array_distinct(expr(
+            """transform(sequence(0, size(words) - 3),
+              |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
+            .as("shingle"))
+        .distinct()
+      val n = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("shared"))
+      val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
+      pairs
+        .join(broadcast(n.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+        .join(broadcast(n.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("shared"), Q.r4(jac).as("jaccard"))
+        .orderBy("s1", "s2")
+    },
+
     // Content-defined chunking — the dedup-friendly alternative to
     // q_doc_chunk's fixed windows: a chunk boundary falls after every
     // word whose md5 starts with hex '0' (p = 1/16 → mean chunk ≈ 16
