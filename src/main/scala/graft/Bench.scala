@@ -32,21 +32,29 @@ object Bench {
     // A best-of-2 that is STILL slow is usually two back-to-back hits
     // from the same contention burst (BENCH_r04: q_decontam read 7.7 s
     // on the driver box vs 0.8 s clean), so queries whose min exceeds
-    // this get one more, later attempt before the number is recorded.
+    // this get one more attempt before the number is recorded.
     val RetrySec = 2.0
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = (once(fn), once(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Right(a), Left(_)) => Right(a) // flaky second run: keep the good time
         case (Left(_), Right(b)) => Right(b)
         case (Left(err), Left(_)) => Left(err)
       }
-      val r3 = r match {
-        case Right(t) if t > RetrySec =>
-          once(fn) match { case Right(c) => Right(math.min(t, c)); case Left(_) => r }
-        case other => other
-      }
-      name -> r3
+      name -> r
+    }
+    // Retries run as a SECOND pass after every other query has finished
+    // — minutes later, not milliseconds — so a burst that straddled both
+    // first-pass runs has had time to clear (BENCH_r07's inflations
+    // survived an immediate third attempt; a clean re-run later read
+    // 31 s vs the recorded 40.5 s).
+    val runs = firstPass.map {
+      case (name, Right(t)) if t > RetrySec =>
+        name -> (once(SparkEntry.queries(name)) match {
+          case Right(c) => Right(math.min(t, c))
+          case Left(_) => Right(t)
+        })
+      case other => other
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // The driver keeps only a bounded TAIL (~2000 chars) of stdout and
