@@ -75,8 +75,10 @@ object Aggregates {
     // days" answerable without re-touching N days of raw data; the
     // union is associative/commutative, so any partitioning works.
     // Register content is order-independent (max per register) ⇒
-    // deterministic output; no oracle (DuckDB has no compatible HLL) —
-    // TwinAndPropertySpec bounds both estimates against exact counts.
+    // deterministic output; no oracle (DuckDB's HLL is a different
+    // sketch, so estimate-hash parity is impossible by construction) —
+    // q_distinct_rollup is the oracled EXACT twin at the identical
+    // grains, and TwinAndPropertySpec ties the two within 5%.
     Q.noOracle("q_sketch_rollup") { (s, d) =>
       val daily = Tables.events(s, d)
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
@@ -92,6 +94,36 @@ object Aggregates {
           .select(lit("overall").as("grain"), lit(null).cast("long").as("day_es"),
             col("est_users")))
         .orderBy(col("grain"), col("day_es"))
+    },
+
+    // Exact twin of q_sketch_rollup at the same grains — ROLLUP(day)
+    // plans ONE Expand + two-phase distinct aggregation, so the daily
+    // counts and the overall count come from a single scan instead of a
+    // scan per grain. This is the oracled companion that pins the HLL
+    // rollup's grains exactly (the sketch op stays rows-only because no
+    // cross-engine HLL parity exists; its ESTIMATES are bounded against
+    // THIS query's exact counts in TwinAndPropertySpec). At 100 TB you
+    // run the sketch; this exact twin is the audit query you run on the
+    // slice you need to certify.
+    Q("q_distinct_rollup",
+      s"""WITH e AS (SELECT date_trunc('day', ts) AS day, user_id FROM events)
+         |SELECT CASE WHEN GROUPING(day) = 1 THEN 'overall' ELSE 'daily' END AS grain,
+         |       CASE WHEN GROUPING(day) = 1 THEN NULL
+         |            ELSE ${Q.sqlEpochSec("day")} END AS day_es,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM e
+         |GROUP BY ROLLUP(day)
+         |ORDER BY grain, day_es""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .rollup("day")
+        .agg(count_distinct(col("user_id")).as("n_users"), grouping(col("day")).as("g"))
+        .select(
+          when(col("g") === 1, "overall").otherwise("daily").as("grain"),
+          when(col("g") === 1, lit(null).cast("long"))
+            .otherwise(unix_timestamp(col("day"))).as("day_es"),
+          col("n_users"))
+        .orderBy("grain", "day_es")
     },
 
     // KLL/GK-style quantile sketch — the scale path for percentiles (no

@@ -356,11 +356,17 @@ object Corpus {
     // Pairwise source-overlap matrix: distinct shared 3-word shingles
     // and shingle-set jaccard per source pair — the "which feeds are
     // re-crawls of each other" diagnostic that decides dedup order and
-    // mixing weights. Scale shape: the self-join key is the shingle
-    // (content-growing keyspace) and each shingle fans out to at most
-    // |sources|² pairs — sources are a bounded catalog (20 here), so
-    // unlike document-pair joins NO df cap is needed; output is
-    // ≤ C(|sources|, 2) rows however big the corpus is.
+    // mixing weights. ONE corpus scan: per-shingle source sets
+    // (collect_set dedups cross-doc repeats, array_distinct within-doc
+    // ones), then each sorted set emits IN-ROW both its unary rows
+    // (source, NULL) — the per-source distinct-shingle totals — and its
+    // ordered pairs (s1 < s2). Both land in a single (s1, s2) count
+    // whose two consumers share an identical exchange subtree, which
+    // Spark plans once (ReusedExchange) — vs the naive self-join +
+    // count formulation, which scans the corpus three times. Sources
+    // are a bounded catalog (20 here), so in-row fan-out per shingle is
+    // ≤ C(|sources|, 2) + |sources| and output ≤ C(|sources|, 2) rows
+    // however big the corpus is.
     Q("q_source_overlap",
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT source,
@@ -376,7 +382,7 @@ object Corpus {
         |FROM p JOIN n n1 ON p.s1 = n1.source
         |       JOIN n n2 ON p.s2 = n2.source
         |ORDER BY s1, s2""".stripMargin) { (s, d) =>
-      val sh = Tables.load(s, d, "documents")
+      val sets = Tables.load(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 3)
         .select(col("source"),
@@ -384,16 +390,24 @@ object Corpus {
             """transform(sequence(0, size(words) - 3),
               |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
             .as("shingle"))
-        .distinct()
-      val n = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
-        .agg(count(lit(1)).as("shared"))
+        .groupBy("shingle").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      // per shingle: one (x, NULL) unary per member + one (x, y) row per
+      // ordered pair — generated in-row from the sorted set
+      val edges = sets
+        .select(explode(expr(
+          """flatten(transform(srcs, (x, i) ->
+            |  concat(array(struct(x AS s1, CAST(NULL AS STRING) AS s2)),
+            |         transform(slice(srcs, i + 2, size(srcs)),
+            |                   y -> struct(x AS s1, y AS s2)))))""".stripMargin)).as("e"))
+        .select(col("e.s1").as("s1"), col("e.s2").as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      val n = edges.filter(col("s2").isNull).select(col("s1").as("src"), col("c").as("n"))
+      val pairs = edges.filter(col("s2").isNotNull)
+        .select(col("s1"), col("s2"), col("c").as("shared"))
       val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
       pairs
-        .join(broadcast(n.select(col("source").as("s1"), col("n").as("n1"))), "s1")
-        .join(broadcast(n.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+        .join(broadcast(n.select(col("src").as("s1"), col("n").as("n1"))), "s1")
+        .join(broadcast(n.select(col("src").as("s2"), col("n").as("n2"))), "s2")
         .select(col("s1"), col("s2"), col("shared"), Q.r4(jac).as("jaccard"))
         .orderBy("s1", "s2")
     },
@@ -549,15 +563,18 @@ object Corpus {
     // laid out end-to-end in a deterministic order and the token stream
     // is cut every SeqBudget tokens, so every training sequence is full
     // (zero padding waste) and docs may straddle cuts. The layout is
-    // per SHARD (first md5 nibble of doc_id → 16 here): shard count is
-    // the scale knob — in production one shard ≈ one output file
-    // (~10^9 tokens), so shards grow WITH the corpus and the
-    // within-shard running-sum window stays a bounded work unit. The
-    // within-shard sort is not an accident to optimize away: packing IS
-    // the contract that every worker reproduces the same byte layout,
-    // and (md5 shard, doc_id) is that total order, reshuffle-proof on
-    // any cluster. Output: each doc's token offset interval and the
-    // bins it spans.
+    // per SHARD (`shardNibbles` md5 hex chars of doc_id → 16^n shards):
+    // shard count is the scale knob — in production one shard ≈ one
+    // output file (~10^9 tokens), so you widen the nibble count WITH the
+    // corpus and the within-shard running-sum window stays a bounded
+    // work unit (the declared query keeps nibbles=1 for oracle
+    // stability; [[packDocs]] is the parameterized entry point and
+    // TwinAndPropertySpec proves a shard's layout is independent of
+    // every other shard at width 2). The within-shard sort is not an
+    // accident to optimize away: packing IS the contract that every
+    // worker reproduces the same byte layout, and (md5 shard, doc_id)
+    // is that total order, reshuffle-proof on any cluster. Output: each
+    // doc's token offset interval and the bins it spans.
     Q("q_pack_sequences",
       """WITH t AS (SELECT doc_id,
         |                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
@@ -574,19 +591,30 @@ object Corpus {
         |       CAST((start_off + tok - 1) // 256 - start_off // 256 + 1 AS BIGINT) AS n_bins
         |FROM o
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val byShard = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("tok"))
-        .withColumn("start_off", coalesce(sum("tok").over(byShard), lit(0L)))
-        .select(col("doc_id"), col("shard"), col("tok"), col("start_off"),
-          expr("start_off div 256").as("first_bin"),
-          expr("(start_off + tok - 1) div 256").as("last_bin"),
-          expr("(start_off + tok - 1) div 256 - start_off div 256 + 1").as("n_bins"))
-        .orderBy("doc_id")
+      packDocs(Tables.load(s, d, "documents"), shardNibbles = 1)
     }
   )
+
+  /** Concatenate-and-cut packing layout over any `documents`-shaped
+    * frame, parameterized by shard width: shards = 16^shardNibbles.
+    * A document's (shard, start_off) depends ONLY on the docs sharing
+    * its shard — widening the nibble count re-shards but never changes
+    * a shard's internal layout relative to packing that shard alone. */
+  def packDocs(docs: org.apache.spark.sql.DataFrame, shardNibbles: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardNibbles >= 1 && shardNibbles <= 8, s"bad shard width $shardNibbles")
+    val byShard = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, shardNibbles).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("start_off", coalesce(sum("tok").over(byShard), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("tok"), col("start_off"),
+        expr("start_off div 256").as("first_bin"),
+        expr("(start_off + tok - 1) div 256").as("last_bin"),
+        expr("(start_off + tok - 1) div 256 - start_off div 256 + 1").as("n_bins"))
+      .orderBy("doc_id")
+  }
 }

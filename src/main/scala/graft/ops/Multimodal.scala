@@ -4,18 +4,23 @@ import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY §2.10, builder brief): media as an
-  * opaque `binary` column with typed metadata, decoded/featurized by a
-  * per-partition batch stub.
+  * opaque `binary` column with typed metadata, decoded/featurized in
+  * per-partition batches.
   *
-  * No image/audio codecs exist in this container, so `decodeStub`
-  * produces a DETERMINISTIC FAKE feature vector from the payload bytes —
-  * clearly marked; swap its body for a real codec (JNI/ONNX) without
-  * touching the surrounding Spark plumbing. What IS real and tested:
-  *  - the schema shape (payload: binary + metadata struct + features
+  * The IMAGE path is real end-to-end: payloads are genuine PNG streams
+  * (encoded in-JVM by javax.imageio — `java.desktop` ships an actual
+  * PNG codec) and the decode stage parses those bytes back into pixels
+  * and measures width/height/channel means from the decoded raster. No
+  * external media library is involved; swap [[decodePng]]'s body for a
+  * heavier codec (JNI/ONNX) without touching the surrounding plumbing.
+  * Frame sampling (video) remains the one stub — no container codec
+  * exists on this box. What the plumbing guarantees either way:
+  *  - the schema shape (payload: binary + typed metadata + features
   *    array<float>), carried through shuffle and parquet sink;
-  *  - mapPartitions batching: the decoder is invoked once per partition
-  *    and amortizes model/codec init across that partition's rows — the
-  *    same shape a Python pipeline gets from mapInPandas batches;
+  *  - mapPartitions batching: codec init (e.g. disabling ImageIO's
+  *    tmp-file cache) happens once per partition and amortizes across
+  *    that partition's rows — the same shape a Python pipeline gets
+  *    from mapInPandas batches;
   *  - partition sizing: media blobs are large, so the op repartitions by
   *    doc_id before decode; at 100 TB you size partitions to keep
   *    (rows × blob size) within executor memory and let the decode stage
@@ -23,8 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** A "media" row: payload is an opaque blob (here: the utf-8 text
-    * bytes standing in for image/audio bytes). */
+  /** A "media" row: payload is an opaque blob — real PNG bytes on the
+    * image path, raw utf-8 text standing in for video on the frame
+    * path. */
   final case class MediaIn(doc_id: Long, mime: String, payload: Array[Byte])
 
   final case class MediaFeatures(
@@ -33,25 +39,59 @@ object Multimodal {
       size_bytes: Int,
       features: Array[Float])
 
-  /** STUB — stands in for a real decoder (image resize / audio frame
-    * sample). Deterministic: derives an 8-dim "feature" vector from
-    * payload byte statistics. Real implementation would decode `payload`
-    * per its `mime` and run featurization here, once per partition. */
-  private def decodeStub(rows: Iterator[MediaIn]): Iterator[MediaFeatures] = {
-    // per-partition init would go here (codec handles, model session)
-    rows.map { r =>
-      val bytes = r.payload
-      val n = bytes.length
-      val feats = Array.tabulate(8) { i =>
-        if (n == 0) 0f
-        else {
-          var acc = 0L
-          var j = i
-          while (j < n) { acc += (bytes(j) & 0xff); j += 8 }
-          (acc % 1000).toFloat / 1000f
-        }
+  /** Deterministic PNG synthesis: a w×h RGB raster whose dims and pixel
+    * values are pure functions of (doc_id, n_chars), encoded by the
+    * JDK's real PNG writer. Stands in for reading image files off a
+    * lake — the bytes ARE a decodable image/png stream. */
+  private def encodePng(docId: Long, nChars: Long): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 3 + (nChars % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId + x.toLong * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
       }
-      MediaFeatures(r.doc_id, r.mime, n, feats)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: parses the payload's PNG stream via javax.imageio and
+    * measures the decoded raster — width, height, per-channel means in
+    * [0,1], mean luminance. Runs once per partition so codec init
+    * amortizes; a corrupt payload fails loudly (null image → exception)
+    * rather than producing fake features. */
+  private def decodePng(rows: Iterator[MediaIn]): Iterator[MediaFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition codec init: no tmp-file cache
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toFloat * 255f
+      val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+      val lum = 0.299f * mr + 0.587f * mg + 0.114f * mb
+      MediaFeatures(r.doc_id, r.mime, r.payload.length,
+        Array(w.toFloat, h.toFloat, mr, mg, mb, lum))
     }
   }
 
@@ -80,27 +120,33 @@ object Multimodal {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // Binary ingest → per-partition batch decode → feature stats.
-    // Rows-only check (the feature values are stub-defined); the Spark
-    // plumbing — binary column, typed Encoders, mapPartitions batch
-    // shape, post-decode aggregation — is the graded part.
+    // Binary ingest → per-partition batch decode → feature stats, with
+    // a REAL PNG codec on both ends (javax.imageio): synth emits true
+    // image/png bytes, decode parses them back and measures the raster.
+    // Rows-only in the driver gate (no SQL engine decodes PNG) but
+    // golden-pinned end-to-end; the Spark plumbing — binary column,
+    // typed Encoders, mapPartitions batch shape, post-decode projection
+    // — is identical to what a production image pipeline runs.
     Q.noOracle("q_multimodal_decode") { (s, d) =>
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(
-          col("doc_id"),
-          lit("text/plain").as("mime"),
-          encode(col("text"), "utf-8").as("payload"))
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
+        .toDF()
         .repartition(col("doc_id")) // size decode partitions; no shuffle after
         .as[MediaIn]
       media
-        .mapPartitions(decodeStub)
+        .mapPartitions(decodePng)
         .toDF()
         .select(
           col("doc_id"), col("mime"), col("size_bytes"),
-          round(element_at(col("features"), 1), 3).as("f0"),
-          round(aggregate(col("features"), lit(0f),
-            (acc, x) => acc + x).cast("double"), 3).as("f_sum"))
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          round(element_at(col("features"), 3).cast("double"), 4).as("mean_r"),
+          round(element_at(col("features"), 4).cast("double"), 4).as("mean_g"),
+          round(element_at(col("features"), 5).cast("double"), 4).as("mean_b"),
+          round(element_at(col("features"), 6).cast("double"), 4).as("mean_lum"))
         .orderBy("doc_id")
     },
 

@@ -312,6 +312,51 @@ class PlanAuditSpec extends SparkSpec {
       s"fit sample must be the deterministic md5 threshold:\n$plan")
   }
 
+  test("q_source_overlap scans the corpus ONCE via a reused exchange") {
+    // the r8 formulation self-joined the shingle set and recomputed it
+    // for the per-source totals — three corpus scans in one plan. The
+    // r9 single-agg shape feeds every consumer from one identical
+    // (s1, s2) exchange subtree: with AQE off the ReuseExchange rule
+    // makes that reuse statically visible (AQE reaches the same result
+    // at runtime through its canonical-plan stage cache).
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries("q_source_overlap")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"consumers must share the (s1, s2) exchange:\n$plan")
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans === 1, s"corpus must be scanned once, found $scans scans:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("q_distinct_rollup covers both grains with one Expand over one scan") {
+    // rollup(day) must plan a single Expand + two-phase distinct agg —
+    // a scan per grain (daily, overall) would double the 100 TB read
+    val plan = SparkEntry.queries("q_distinct_rollup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must plan an Expand:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"events must be scanned once, found $scans:\n$plan")
+  }
+
+  test("packDocs partitions its running-sum window by the md5 shard at any width") {
+    // the shard-width knob must change ONLY the partitioning key width:
+    // same single window, same single shard exchange, at width 3 as at
+    // the declared width 1
+    Seq(1, 3).foreach { nibbles =>
+      val plan = ops.Corpus.packDocs(Tables.load(spark, sfDir, "documents"), nibbles)
+        .queryExecution.executedPlan.toString
+      val shardExchanges = plan.linesIterator
+        .count(_.contains("Exchange hashpartitioning(shard"))
+      assert(shardExchanges === 1,
+        s"width $nibbles: expected one shard exchange, found $shardExchanges:\n$plan")
+      assert(plan.linesIterator.count(_.contains("Window")) === 1,
+        s"width $nibbles: exactly one running-sum window expected:\n$plan")
+    }
+  }
+
   test("q_tfidf broadcasts the per-language doc counts") {
     // nd is O(#languages) rows — shipping it as a broadcast keeps the
     // tf×df result partitioned by (lang, word) without a re-shuffle

@@ -428,25 +428,49 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
-  test("HLL sketch rollup tracks exact distincts per day and overall") {
-    import spark.implicits._
+  test("HLL sketch rollup tracks its oracled exact twin per day and overall") {
+    // q_distinct_rollup is the driver-oracled exact rollup at the same
+    // grains — the sketch's estimates must land within 5% of it (the
+    // user_id domain is small enough that HLL runs in exact list mode,
+    // but the bound survives a wider id domain in testdata)
     val est = q("q_sketch_rollup").collect()
       .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
-    val exactDaily = Tables.events(spark, sfDir)
-      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_es"))
-      .agg(countDistinct("user_id").as("n"))
-      .as[(Long, Long)].collect().toMap
-    val exactAll = Tables.events(spark, sfDir)
-      .agg(countDistinct("user_id")).head().getLong(0)
-    // user_id domain is small — HLL runs in exact (list) mode, but keep
-    // a ±5% bound so the test survives a wider id domain in testdata
+    val exact = q("q_distinct_rollup").collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])) -> r.getLong(2))
+      .toMap
     def close(a: Long, b: Long) = math.abs(a - b) <= math.max(1L, (b * 0.05).toLong)
-    est.foreach {
-      case ("overall", None, e) => assert(close(e, exactAll), s"overall $e vs $exactAll")
-      case ("daily", Some(day), e) => assert(close(e, exactDaily(day)), s"day $day")
-      case other => fail(s"unexpected row $other")
+    est.foreach { case (grain, day, e) =>
+      val x = exact.getOrElse((grain, day), fail(s"grain ($grain, $day) missing from exact twin"))
+      assert(close(e, x), s"($grain, $day): est $e vs exact $x")
     }
-    assert(est.count(_._1 == "daily") === exactDaily.size)
+    // identical grain sets, both directions
+    assert(est.map(r => (r._1, r._2)).toSet === exact.keySet)
+  }
+
+  test("pack_sequences: a shard's layout is independent of every other shard (width 2)") {
+    // the parameterized shard width is only a scale knob if re-sharding
+    // never changes a shard's internal layout: packing the FULL corpus
+    // at 16² shards must give each shard exactly the offsets it gets
+    // when packed entirely alone
+    val docs = Tables.load(spark, sfDir, "documents")
+    val full = ops.Corpus.packDocs(docs, shardNibbles = 2)
+    val shard = full.select(min("shard")).head.getString(0)
+    val alone = ops.Corpus.packDocs(
+      docs.filter(substring(md5(col("doc_id").cast("string")), 1, 2) === shard),
+      shardNibbles = 2)
+    assert(full.filter(col("shard") === shard).collect().toSeq === alone.collect().toSeq)
+    // width 2 refines width 1 (same md5, longer prefix) and keeps the
+    // tiling invariant: every width-2 shard starts at 0 and is gapless
+    val rows = full.collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (sh, ds) =>
+      val inOrder = ds.sortBy(_._2)
+      assert(inOrder.head._4 === 0L, s"shard $sh must start at offset 0")
+      inOrder.sliding(2).foreach {
+        case Array((_, _, tok1, off1), (_, d2, _, off2)) =>
+          assert(off2 === off1 + tok1, s"gap/overlap before doc $d2 in shard $sh")
+        case _ =>
+      }
+    }
   }
 
   test("connected components propagate across multi-hop chains") {
