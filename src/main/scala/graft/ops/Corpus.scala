@@ -356,53 +356,79 @@ object Corpus {
     // Pairwise source-overlap matrix: distinct shared 3-word shingles
     // and shingle-set jaccard per source pair — the "which feeds are
     // re-crawls of each other" diagnostic that decides dedup order and
-    // mixing weights. ONE corpus scan: per-shingle source sets
-    // (collect_set dedups cross-doc repeats, array_distinct within-doc
-    // ones), then each sorted set emits IN-ROW both its unary rows
-    // (source, NULL) — the per-source distinct-shingle totals — and its
-    // ordered pairs (s1 < s2). Both land in a single (s1, s2) count
-    // whose two consumers share an identical exchange subtree, which
-    // Spark plans once (ReusedExchange) — vs the naive self-join +
-    // count formulation, which scans the corpus three times. Sources
-    // are a bounded catalog (20 here), so in-row fan-out per shingle is
-    // ≤ C(|sources|, 2) + |sources| and output ≤ C(|sources|, 2) rows
-    // however big the corpus is.
+    // mixing weights. The corpus-side shape is ALL codegen'd long
+    // arithmetic: each source gets one bit of a 64-bit mask (feeds are
+    // a bounded catalog — ≤64 here; wider catalogs shard the mask into
+    // words), a per-shingle `bit_or` folds source membership into one
+    // long (8 bytes per shingle — no object collect_set, duplicates
+    // idempotent so no distinct pass), and identical masks collapse via
+    // a count BEFORE the pair explosion, so unary/pair emission runs
+    // over |distinct masks| rows, not |shingles|. The corpus text is
+    // scanned ONCE; the catalog derivation reads only the column-pruned
+    // `source` column and its exchange is shared by every consumer
+    // (ReusedExchange) — in production the feed catalog is a static dim
+    // and that pass disappears entirely. Output ≤ C(|sources|, 2) rows
+    // at any corpus size.
     Q("q_source_overlap",
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT DISTINCT source,
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT source,
         |              unnest(list_transform(range(1, len(words) - 1),
         |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
         |       FROM w WHERE len(words) >= 3),
-        |n AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
-        |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared
-        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |cat AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS INT) AS idx
+        |        FROM (SELECT DISTINCT source FROM documents)),
+        |m AS (SELECT sh.shingle, bit_or(CAST(1 AS BIGINT) << cat.idx) AS mask
+        |      FROM sh JOIN cat ON sh.source = cat.source
+        |      GROUP BY 1),
+        |mc AS (SELECT mask, count(*) AS cnt FROM m GROUP BY 1),
+        |n AS (SELECT c.source, sum(cnt) AS n
+        |      FROM mc JOIN cat c ON ((mask >> c.idx) & 1) = 1
+        |      GROUP BY 1),
+        |p AS (SELECT c1.source AS s1, c2.source AS s2, sum(cnt) AS shared
+        |      FROM mc JOIN cat c1 ON ((mask >> c1.idx) & 1) = 1
+        |              JOIN cat c2 ON ((mask >> c2.idx) & 1) = 1 AND c1.idx < c2.idx
         |      GROUP BY 1, 2)
-        |SELECT p.s1, p.s2, p.shared,
+        |SELECT p.s1, p.s2, CAST(p.shared AS BIGINT) AS shared,
         |       floor((CAST(p.shared AS DOUBLE) / (n1.n + n2.n - p.shared))*10000+0.5)/10000 AS jaccard
         |FROM p JOIN n n1 ON p.s1 = n1.source
         |       JOIN n n2 ON p.s2 = n2.source
         |ORDER BY s1, s2""".stripMargin) { (s, d) =>
-      val sets = Tables.load(s, d, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      // feed catalog → bit index; idx order = name order, so i1 < i2
+      // reproduces the s1 < s2 pair orientation. The 20-row window is a
+      // deliberate single-partition sort over the DISTINCT sources only.
+      val cat = docs.select("source").distinct()
+        .select(col("source"),
+          (row_number().over(Window.orderBy("source")) - 1).cast("int").as("idx"))
+      val masks = docs
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 3)
-        .select(col("source"),
-          explode(array_distinct(expr(
-            """transform(sequence(0, size(words) - 3),
-              |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
-            .as("shingle"))
-        .groupBy("shingle").agg(sort_array(collect_set(col("source"))).as("srcs"))
-      // per shingle: one (x, NULL) unary per member + one (x, y) row per
-      // ordered pair — generated in-row from the sorted set
-      val edges = sets
-        .select(explode(expr(
-          """flatten(transform(srcs, (x, i) ->
-            |  concat(array(struct(x AS s1, CAST(NULL AS STRING) AS s2)),
-            |         transform(slice(srcs, i + 2, size(srcs)),
-            |                   y -> struct(x AS s1, y AS s2)))))""".stripMargin)).as("e"))
-        .select(col("e.s1").as("s1"), col("e.s2").as("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
-      val n = edges.filter(col("s2").isNull).select(col("s1").as("src"), col("c").as("n"))
-      val pairs = edges.filter(col("s2").isNotNull)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(words) - 3),
+            |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
+          .as("shingle"))
+        .join(broadcast(cat), "source")
+        .groupBy("shingle").agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+        .withColumn("idxs",
+          expr("filter(sequence(0, 63), i -> (shiftright(mask, i) & 1) = 1)"))
+      // per mask (ascending idxs): one (x, -1) unary per member bit +
+      // one (x, y) row per ordered pair, each weighted by the mask count
+      val edges = masks
+        .select(col("cnt"), explode(expr(
+          """flatten(transform(idxs, (x, i) ->
+            |  concat(array(struct(x AS i1, -1 AS i2)),
+            |         transform(slice(idxs, i + 2, size(idxs)),
+            |                   y -> struct(x AS i1, y AS i2)))))""".stripMargin)).as("e"))
+        .select(col("e.i1").as("i1"), col("e.i2").as("i2"), col("cnt"))
+        .groupBy("i1", "i2").agg(sum("cnt").as("c"))
+      val n = edges.filter(col("i2") === -1)
+        .join(broadcast(cat), col("i1") === col("idx"))
+        .select(col("source").as("src"), col("c").as("n"))
+      val pairs = edges.filter(col("i2") =!= -1)
+        .join(broadcast(cat.select(col("idx").as("i1"), col("source").as("s1"))), "i1")
+        .join(broadcast(cat.select(col("idx").as("i2"), col("source").as("s2"))), "i2")
         .select(col("s1"), col("s2"), col("c").as("shared"))
       val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
       pairs

@@ -312,22 +312,31 @@ class PlanAuditSpec extends SparkSpec {
       s"fit sample must be the deterministic md5 threshold:\n$plan")
   }
 
-  test("q_source_overlap scans the corpus ONCE via a reused exchange") {
+  test("q_source_overlap scans the corpus text ONCE and shares the catalog exchange") {
     // the r8 formulation self-joined the shingle set and recomputed it
-    // for the per-source totals — three corpus scans in one plan. The
-    // r9 single-agg shape feeds every consumer from one identical
-    // (s1, s2) exchange subtree: with AQE off the ReuseExchange rule
-    // makes that reuse statically visible (AQE reaches the same result
-    // at runtime through its canonical-plan stage cache).
+    // for the per-source totals — three full corpus scans in one plan.
+    // The r9 bitmask shape allows exactly two scans: the corpus text
+    // pass (once) and the column-pruned source-catalog pass, whose
+    // exchange every consumer shares via ReuseExchange (with AQE off
+    // the reuse is statically visible; AQE reaches the same result at
+    // runtime through its canonical-plan stage cache — and in
+    // production the catalog is a static dim, no scan at all).
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val plan = SparkEntry.queries("q_source_overlap")(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("ReusedExchange"),
-        s"consumers must share the (s1, s2) exchange:\n$plan")
-      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-      assert(scans === 1, s"corpus must be scanned once, found $scans scans:\n$plan")
+        s"catalog consumers must share one exchange:\n$plan")
+      val scanLines = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+      assert(scanLines.size === 2,
+        s"expected text scan + catalog scan, found ${scanLines.size}:\n$plan")
+      assert(scanLines.count(_.contains("ReadSchema: struct<source:string>")) === 1,
+        s"the catalog pass must read ONLY the source column:\n$scanLines")
+      // and the corpus-side aggregation is the codegen'd long bit_or,
+      // never an object collect_set
+      assert(!plan.contains("collect_set"),
+        s"per-shingle membership must be a bitmask, not an object set:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 

@@ -253,4 +253,17 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === expected)
     }
   }
+
+  test("soak: rate -> dedup -> enrich -> ledgered sink holds its invariants under real triggers") {
+    // the one wall-clock test: a real rate-micro-batch source driving
+    // the full pipeline for a few seconds of back-to-back triggers,
+    // then the ledger audited for epoch gaps, row-count drift, and
+    // event_id coverage (tools.Soak.run — the 60 s version runs
+    // per-round from the command line; see BASELINE.md)
+    tools.Soak.run(spark, seconds = 8, rowsPerBatch = 500) match {
+      case Left(violation) => fail(violation)
+      case Right((epochs, rows)) =>
+        assert(epochs >= 3 && rows === epochs * 500L)
+    }
+  }
 }
