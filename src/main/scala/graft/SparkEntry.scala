@@ -15,7 +15,8 @@ object SparkEntry {
       ops.Relational.defs ++ ops.Joins.defs ++ ops.Aggregates.defs ++
         ops.Windows.defs ++ ops.Scalars.defs ++
         ops.TextPipeline.defs ++ ops.Similarity.defs ++ ops.Multimodal.defs ++
-        ops.TimeWindows.defs ++ ops.Corpus.defs ++ ops.Skew.defs ++ ops.Analytics.defs
+        ops.TimeWindows.defs ++ ops.Corpus.defs ++ ops.Skew.defs ++ ops.Analytics.defs ++
+        ops.Lexicon.defs
     // a duplicate name would silently drop an implementation in the
     // Map build below — fail loudly instead
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

@@ -268,8 +268,60 @@ object Joins {
         .groupBy("verdict")
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
         .orderBy("verdict")
+    },
+
+    // Bucketed co-located join: both sides pre-bucketed (8 buckets) on
+    // the join key, so the sort-merge join consumes the bucketed scan's
+    // hash partitioning directly — ZERO exchange under the join
+    // (asserted in PlanAuditSpec). This is the 100 TB pattern for a
+    // fact⋈fact join that recurs on the same key: pay the shuffle once
+    // at write time, then every downstream join of the two tables is
+    // shuffle-free. The merge hint pins SMJ so the toy-scale build side
+    // doesn't get broadcast and defeat the demonstration; at production
+    // scale neither side would fit a broadcast anyway.
+    Q("q_join_bucketed",
+      """SELECT o.o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs,
+        |       floor((sum(o.o_totalprice))*100+0.5)/100 AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val (ot, ct) = ensureBucketed(s, d)
+      val o = s.table(ot)
+      val c = s.table(ct).filter(col("c_acctbal") > 0)
+      o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          Q.r2(sum(col("o_totalprice"))).as("sum_price"))
+        .orderBy("o_orderpriority")
     }
   )
+
+  /** Writes orders/customer as bucketed managed tables (8 buckets on the
+    * join key, one file per bucket via repartition) once per
+    * session × scale factor; later calls reuse the catalog entry. The
+    * bucket count is the knob a real deployment sizes to cluster width —
+    * 8 keeps toy-scale file counts sane while exercising the identical
+    * plan shape. */
+  def ensureBucketed(s: SparkSession, d: String): (String, String) = {
+    val tag = d.split('/').filter(_.nonEmpty).last.replaceAll("[^A-Za-z0-9]", "_")
+    val names = Seq(
+      ("orders", s"graft_bkt_orders_$tag", "o_custkey"),
+      ("customer", s"graft_bkt_customer_$tag", "c_custkey"))
+    names.foreach { case (src, tbl, key) =>
+      if (!s.catalog.tableExists(tbl)) {
+        Tables.load(s, d, src)
+          .repartition(8, col(key))
+          .write.bucketBy(8, key).sortBy(key)
+          .mode("overwrite").saveAsTable(tbl)
+      }
+    }
+    (names(0)._2, names(1)._2)
+  }
 
   /** Flagship star join — also SparkEntry.entry.
     *

@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+
+/** Lexicon-level IR primitives over the documents corpus (SURVEY §2.10):
+  * an inverted index, bigram association scoring (PMI-style lift), and
+  * deterministic per-group sampling.
+  *
+  * Scale notes:
+  *  - every aggregation here is keyed by TOKEN (vocabulary-sized, Zipf —
+  *    orders of magnitude smaller than the corpus), never by document,
+  *    so the shuffles are bounded by vocabulary growth, not data growth;
+  *  - postings and samples are bounded per key with the TopKAgg partial
+  *    aggregator — the shuffle carries ≤ k rows per (key × partition),
+  *    never a full posting list (hot tokens appear in ~every doc: an
+  *    unbounded collect_list would be a straggler-maker at 100 TB);
+  *  - the sampler's rank is a Lehmer permutation of the doc key — pure
+  *    int64 arithmetic, identical in Spark and DuckDB, reshuffle-proof
+  *    (same sample on any cluster layout), and collision-free below the
+  *    2^31-1 modulus, unlike rand()-based sampling.
+  */
+object Lexicon {
+
+  /** Top-k smallest doc_ids kept by TopKAgg (score = -doc_id). */
+  private val PostingsK = 10
+
+  /** Lehmer / Park–Miller permutation step: doc_id * 48271 mod (2^31-1).
+    * Injective for doc_id in [0, 2^31-1), overflow-free in int64 for any
+    * doc_id this side of 2^44 — the same expression works verbatim in
+    * DuckDB, which is the whole point (hash-stable sampling oracle). */
+  private val LehmerSql = "(doc_id * 48271) % 2147483647"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Inverted index over the corpus: per token, document frequency,
+    // total term frequency, and the first K postings (smallest doc_ids).
+    // Per-doc tf is computed with a (doc_id, w)-keyed aggregation whose
+    // fan-in is bounded by doc length; the token-keyed rollup then
+    // carries one row per (doc, token) — the standard two-level index
+    // build. Postings are bounded by TopKAgg (score = -doc_id keeps the
+    // SMALLEST ids), so hot tokens ("the": df ≈ corpus size) shuffle
+    // ≤ K rows per partition instead of a full posting list. Output is
+    // capped to the 100 highest-df tokens via TakeOrderedAndProject —
+    // a driver-bounded global top-k, not a full sort.
+    Q("q_inverted_index",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |per_doc AS (
+         |  SELECT w, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT w,
+         |         count(*) AS df,
+         |         CAST(sum(tf) AS BIGINT) AS tf,
+         |         array_to_string(list_sort(list(doc_id))[1:$PostingsK], ',') AS first_postings
+         |  FROM per_doc GROUP BY 1)
+         |SELECT w, df, tf, first_postings
+         |FROM idx
+         |ORDER BY df DESC, w LIMIT 100""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAgg(PostingsK),
+        Encoders.product[graft.functions.Scored])
+      val perDoc = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      perDoc.groupBy("w")
+        .agg(
+          count(lit(1)).as("df"),
+          sum(col("tf")).as("tf"),
+          // smallest doc_ids first: score = -doc_id, TopKAgg sorts score DESC
+          topk(negate(col("doc_id").cast("double")), col("doc_id")).as("top"))
+        .select(col("w"), col("df"), col("tf"),
+          array_join(expr("transform(top, x -> CAST(x.id AS STRING))"), ",")
+            .as("first_postings"))
+        .orderBy(col("df").desc, col("w"))
+        .limit(100)
+    },
+
+    // Bigram association strength: lift = P(w1 w2) / (P(w1)·P(w2)) —
+    // the exponent-free core of PMI (PMI = log2(lift); the log is
+    // dropped because libm rounding differs across engines while
+    // multiply/divide are IEEE-exact in both). Unigram and bigram
+    // counts are vocabulary-sized aggregations; the two enrichment
+    // joins are token-keyed (AQE broadcasts them at small scale,
+    // shuffles vocab-sized — not corpus-sized — data at 100 TB). The
+    // two totals are single-row broadcast cross joins.
+    Q("q_cooccur_lift",
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uc AS (SELECT w, count(*) AS nw
+        |       FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+        |ut AS (SELECT CAST(sum(nw) AS BIGINT) AS nu FROM uc),
+        |bc0 AS (SELECT bigram, count(*) AS n12
+        |        FROM (SELECT unnest(list_transform(range(1, len(ws)),
+        |                            i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |              FROM w WHERE len(ws) >= 2) GROUP BY 1),
+        |bt AS (SELECT CAST(sum(n12) AS BIGINT) AS nb FROM bc0),
+        |j AS (SELECT bc.bigram, bc.n12,
+        |             (CAST(bc.n12 AS DOUBLE) * ut.nu * ut.nu) /
+        |             (CAST(bt.nb AS DOUBLE) * u1.nw * u2.nw) AS lift
+        |      FROM bc0 bc, ut, bt, uc u1, uc u2
+        |      WHERE bc.n12 >= 5
+        |        AND split_part(bc.bigram, ' ', 1) = u1.w
+        |        AND split_part(bc.bigram, ' ', 2) = u2.w)
+        |SELECT bigram, n12, floor((lift)*10000+0.5)/10000 AS lift
+        |FROM j
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      val ws = Tables.load(s, d, "documents").select(split(col("text"), " ").as("ws"))
+      val uc = ws.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+      // totals derived from the count tables: vocabulary-sized inputs,
+      // no extra corpus scan
+      val ut = uc.agg(sum(col("nw")).as("nu"))
+      val bcAll = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n12"))
+      val bc = bcAll.filter(col("n12") >= 5)
+      val bt = bcAll.agg(sum(col("n12")).as("nb"))
+      val u1 = uc.select(col("w").as("w1"), col("nw").as("nw1"))
+      val u2 = uc.select(col("w").as("w2"), col("nw").as("nw2"))
+      bc.crossJoin(broadcast(ut)).crossJoin(broadcast(bt))
+        .join(u1, expr("split_part(bigram, ' ', 1)") === col("w1"))
+        .join(u2, expr("split_part(bigram, ' ', 2)") === col("w2"))
+        .select(col("bigram"), col("n12"),
+          Q.r4((col("n12").cast("double") * col("nu") * col("nu")) /
+            (col("nb").cast("double") * col("nw1") * col("nw2"))).as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // Deterministic per-stratum sample: K docs per (lang, source), ranked
+    // by a Lehmer permutation of doc_id. No window function: TopKAgg
+    // partial-aggregates, so each stratum contributes ≤ K rows per map
+    // partition to the shuffle regardless of stratum size — the
+    // row_number() formulation would shuffle-and-sort every row of every
+    // stratum into #strata partitions. The rank is content-derived:
+    // re-running on a re-partitioned (or 1000×-larger) corpus selects
+    // the same doc_ids for the strata they belong to.
+    Q("q_group_sample",
+      s"""WITH r AS (
+         |  SELECT lang, source, doc_id,
+         |         $LehmerSql AS rnd,
+         |         row_number() OVER (PARTITION BY lang, source
+         |                            ORDER BY $LehmerSql) AS rk
+         |  FROM documents)
+         |SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id
+         |FROM r WHERE rk <= 3
+         |ORDER BY lang, source, rk""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        Encoders.product[graft.functions.Scored])
+      Tables.load(s, d, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          (col("doc_id") * 48271L % 2147483647L).as("rnd"))
+        // smallest Lehmer ranks win: score = -rnd (exact in double: rnd < 2^31)
+        .groupBy("lang", "source")
+        .agg(topk(negate(col("rnd").cast("double")), col("doc_id")).as("top"))
+        .select(col("lang"), col("source"), posexplode(col("top")))
+        .select(col("lang"), col("source"),
+          (col("pos") + 1).cast("long").as("rk"), col("col.id").as("doc_id"))
+        .orderBy("lang", "source", "rk")
+    }
+  )
+}

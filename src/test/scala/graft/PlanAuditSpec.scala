@@ -374,4 +374,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"per-lang N join must broadcast:\n$plan")
   }
+
+  test("q_join_bucketed's sort-merge join sits directly on the bucketed scans") {
+    // the declared query (not just the generic demo above): the SMJ's
+    // subtree must contain zero shuffle exchanges — the bucketed layout
+    // IS the join partitioning. The aggregation above the join still
+    // shuffles (different key); only the join itself must be free.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail(s"expected a sort-merge join:\n$plan"))
+    val shuffles = smj.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"bucketed join must consume the scans' partitioning, found ${shuffles.size} shuffle(s):\n$plan")
+  }
+
+  test("q_inverted_index / q_group_sample bound their per-key output via partial top-k") {
+    // postings for a hot token ("the": df ~ corpus size) and samples for
+    // a hot stratum must never materialize whole groups: the TopKAgg
+    // buffer partial-aggregates, so the shuffle carries <= k rows per
+    // (key x partition), and no Window (full shuffle-and-sort of every
+    // row) appears anywhere in the plan.
+    Seq("q_inverted_index", "q_group_sample").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must not plan a window:\n$plan")
+      assert(plan.toLowerCase.contains("partial_topkagg"),
+        s"$name must push its top-k into map-side partials:\n$plan")
+    }
+  }
+
+  test("q_cooccur_lift scans the corpus twice and derives its totals from the count tables") {
+    // one scan for unigrams, one for bigrams; the two corpus totals come
+    // from vocabulary-sized rollups of the count tables (ReuseExchange
+    // dedups the shared subtrees) — NOT from extra corpus passes
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries("q_cooccur_lift")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans === 2,
+        s"expected unigram + bigram scans only, found $scans:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"count-table consumers must share exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
 }
