@@ -123,5 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) => ZOrder2(children.head, children(1))))
   }
 }

@@ -314,6 +314,14 @@ object Joins {
       ("customer", s"graft_bkt_customer_$tag", "c_custkey"))
     names.foreach { case (src, tbl, key) =>
       if (!s.catalog.tableExists(tbl)) {
+        // a previous session's managed-table directory survives the
+        // (in-memory) catalog — saveAsTable refuses to reuse the
+        // location even in overwrite mode, so clear the orphan first
+        val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(warehouse), tbl)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         Tables.load(s, d, src)
           .repartition(8, col(key))
           .write.bucketBy(8, key).sortBy(key)

@@ -36,14 +36,20 @@ object Lexicon {
 
     // Inverted index over the corpus: per token, document frequency,
     // total term frequency, and the first K postings (smallest doc_ids).
-    // Per-doc tf is computed with a (doc_id, w)-keyed aggregation whose
-    // fan-in is bounded by doc length; the token-keyed rollup then
-    // carries one row per (doc, token) — the standard two-level index
-    // build. Postings are bounded by TopKAgg (score = -doc_id keeps the
-    // SMALLEST ids), so hot tokens ("the": df ≈ corpus size) shuffle
-    // ≤ K rows per partition instead of a full posting list. Output is
-    // capped to the 100 highest-df tokens via TakeOrderedAndProject —
-    // a driver-bounded global top-k, not a full sort.
+    // Per-doc tf is computed IN-ROW (transform over the distinct-token
+    // array), so the plan has exactly ONE exchange — the token-keyed
+    // rollup — and partial aggregation (sum/count + the TopKAgg buffer)
+    // collapses it to ≤ vocab × partitions rows before the wire. The
+    // naive two-level build would first shuffle every (doc, token) pair
+    // on a near-unique composite key: a corpus-sized exchange with zero
+    // combine benefit. (The in-row tf is O(distinct·len) per doc — the
+    // standard CPU-for-shuffle trade; a sorted-run scan would make it
+    // O(len log len) if ever needed.) Postings are bounded by TopKAgg
+    // (score = -doc_id keeps the SMALLEST ids), so hot tokens ("the":
+    // df ≈ corpus size) shuffle ≤ K rows per partition instead of a
+    // full posting list. Output is capped to the 100 highest-df tokens
+    // via TakeOrderedAndProject — a driver-bounded global top-k, not a
+    // full sort. The oracle keeps the equivalent two-level SQL.
     Q("q_inverted_index",
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -62,8 +68,11 @@ object Lexicon {
       val topk = udaf(new graft.functions.TopKAgg(PostingsK),
         Encoders.product[graft.functions.Scored])
       val perDoc = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(array_distinct(ws), w -> struct(w AS w, size(filter(ws, x -> x = w)) AS tf))"))
+          .as("e"))
+        .select(col("doc_id"), col("e.w").as("w"), col("e.tf").cast("long").as("tf"))
       perDoc.groupBy("w")
         .agg(
           count(lit(1)).as("df"),

@@ -64,6 +64,41 @@ object Relational {
         .orderBy("lang")
     },
 
+    // Z-order layout key (native codegen'd ZOrder2 expression): Morton-
+    // interleave (l_partkey, l_suppkey) and report per-z-bucket locality
+    // stats — the min/max spans that parquet row-group pruning would use
+    // after OPTIMIZE-ZORDER-style re-clustering of a 100 TB fact table
+    // queried by either key. Narrow per-bucket spans in BOTH dims is the
+    // whole point of the curve; the oracle computes the identical
+    // interleave as plain int64 shift/mask SQL (bit ops are exact in
+    // both engines), and TwinAndPropertySpec pins the native expression
+    // byte-equal to the arithmetic formulation.
+    Q("q_zorder",
+      s"""WITH z AS (SELECT ${graft.functions.ZOrder2.zorderSql("l_partkey", "l_suppkey")} AS zv,
+         |                  l_partkey, l_suppkey
+         |           FROM lineitem)
+         |SELECT CAST(zv >> 18 AS BIGINT) AS zbucket,
+         |       count(*) AS n,
+         |       CAST(min(l_partkey) AS BIGINT) AS min_part,
+         |       CAST(max(l_partkey) AS BIGINT) AS max_part,
+         |       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+         |       CAST(max(l_suppkey) AS BIGINT) AS max_supp
+         |FROM z
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      val zv = graft.functions.ZOrder2.zorder2(col("l_partkey"), col("l_suppkey"))
+      Tables.load(s, d, "lineitem")
+        .select(shiftright(zv, 18).as("zbucket"), col("l_partkey"), col("l_suppkey"))
+        .groupBy("zbucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"),
+          max(col("l_suppkey")).as("max_supp"))
+        .orderBy("zbucket")
+    },
+
     // -- §2.2 projection / filter -------------------------------------------
 
     Q("q_project",

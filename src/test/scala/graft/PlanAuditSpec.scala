@@ -405,6 +405,20 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.toLowerCase.contains("partial_topkagg"),
         s"$name must push its top-k into map-side partials:\n$plan")
     }
+    // the index build's in-row tf leaves exactly ONE hash exchange (the
+    // token rollup) — the naive (doc, token) pre-aggregation would add a
+    // corpus-sized exchange on a near-unique key in front of it.
+    // executedPlan with AQE off: exchanges only exist after
+    // EnsureRequirements, and AQE hides them behind the adaptive root.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val idxPlan = SparkEntry.queries("q_inverted_index")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val hashExchanges = idxPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashExchanges === 1,
+        s"index build must shuffle once (token-keyed), found $hashExchanges:\n$idxPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
   test("q_cooccur_lift scans the corpus twice and derives its totals from the count tables") {

@@ -74,6 +74,36 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(q("q_sim_expr").collect().toSeq === q("q_sim_brute").collect().toSeq)
   }
 
+  test("native ZOrder2 expression equals the int64 shift/mask arithmetic twin") {
+    // the same interleave three ways: codegen'd expression, Spark SQL
+    // arithmetic (the zorderSql helper the DuckDB oracle also uses), and
+    // a Scala reference — all must agree bit-for-bit, interpreted and
+    // codegen'd alike
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        graft.functions.ZOrder2.zorder2(col("l_partkey"), col("l_suppkey")).as("znat"),
+        expr(graft.functions.ZOrder2.zorderSql("l_partkey", "l_suppkey")).as("ztwin"))
+    assert(li.filter(col("znat") =!= col("ztwin")).isEmpty)
+    // spot-check the Scala reference on a handful of rows
+    li.limit(50).collect().foreach { r =>
+      val want = graft.functions.ZOrder2.spread(r.getLong(0) & 0xFFFFL) |
+        (graft.functions.ZOrder2.spread(r.getLong(1) & 0xFFFFL) << 1)
+      assert(r.getLong(2) === want)
+    }
+    // interleave property: z-adjacent codes differ in exactly one
+    // coordinate's low bits — (x,y) recoverable by de-interleave
+    val z = graft.functions.ZOrder2.spread(0xABCDL) | (graft.functions.ZOrder2.spread(0x1234L) << 1)
+    def unspread(v0: Long): Long = {
+      var v = v0 & 0x55555555L
+      v = (v | (v >> 1)) & 0x33333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFFL
+      v
+    }
+    assert(unspread(z) === 0xABCDL && unspread(z >> 1) === 0x1234L)
+  }
+
   test("cosine_sim is registered for SQL via SparkSessionExtensions") {
     val d = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
