@@ -127,5 +127,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
       (children: Seq[Expression]) => ZOrder2(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("interval_match"),
+      new ExpressionInfo(classOf[graft.plans.IntervalMatch].getName, "interval_match"),
+      (children: Seq[Expression]) =>
+        graft.plans.IntervalMatch(children.head, children(1), children(2))))
+    // plans an inner join whose condition is a single interval_match as
+    // graft.plans.BroadcastRangeJoinExec (binary-searched build side);
+    // any other shape falls through to Spark's own planner
+    ext.injectPlannerStrategy(_ => new graft.plans.RangeJoinStrategy)
   }
 }

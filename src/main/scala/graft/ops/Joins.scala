@@ -217,6 +217,37 @@ object Joins {
         .orderBy("band_id")
     },
 
+    // The same range join through the library's custom planner path:
+    // interval_match(v, lo, hi) is a plain codegen'd predicate, and
+    // graft.plans.RangeJoinStrategy (injected via SparkSessionExtensions)
+    // plans the join as BroadcastRangeJoinExec — build intervals sorted
+    // once, probes binary-search instead of the nested-loop's scan-all.
+    // O(log n) vs O(n) per row only matters when the interval dim is
+    // large (IP→geo, price tiers), but the plan shape is asserted here
+    // at 25 rows so the operator is regression-pinned. Same oracle
+    // semantics as q_join_range; results must match it exactly
+    // (TwinAndPropertySpec).
+    Q("q_join_range_native",
+      """SELECT n_nationkey AS band_id,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       floor((sum(l_extendedprice * (1 - l_discount)))*100+0.5)/100 AS revenue
+        |FROM lineitem JOIN nation
+        |  ON l_quantity >= n_nationkey * 2.0 AND l_quantity < n_nationkey * 2.0 + 2.0
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin) { (s, d) =>
+      val bands = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("band_id"),
+          (col("n_nationkey") * 2.0).as("lo"),
+          (col("n_nationkey") * 2.0 + 2.0).as("hi"))
+      Tables.load(s, d, "lineitem")
+        .join(bands, call_function("interval_match", col("l_quantity"), col("lo"), col("hi")))
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Q.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("band_id")
+    },
+
     // As-of join: each purchase gets the user's latest strictly-prior view
     // timestamp. Implemented the scalable way: union-tag + running
     // last(ignoreNulls) over one user_id shuffle (no per-row subquery).

@@ -375,6 +375,23 @@ class PlanAuditSpec extends SparkSpec {
       s"per-lang N join must broadcast:\n$plan")
   }
 
+  test("q_join_range_native plans the custom BroadcastRangeJoinExec with pruned scans") {
+    // the injected RangeJoinStrategy must claim the single-
+    // interval_match inner join, and Catalyst's column pruning must
+    // still reach both scans through the custom node
+    val plan = SparkEntry.queries("q_join_range_native")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"),
+      s"custom strategy must plan the range join:\n$plan")
+    val scanLines = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scanLines.exists(l => l.contains("lineitem") &&
+      l.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>")),
+      s"fact scan must stay pruned to 3 columns:\n$scanLines")
+    assert(scanLines.exists(l => l.contains("nation") &&
+      l.contains("ReadSchema: struct<n_nationkey:int>")),
+      s"dim scan must stay pruned to the key column:\n$scanLines")
+  }
+
   test("q_join_bucketed's sort-merge join sits directly on the bucketed scans") {
     // the declared query (not just the generic demo above): the SMJ's
     // subtree must contain zero shuffle exchanges — the bucketed layout

@@ -74,6 +74,42 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(q("q_sim_expr").collect().toSeq === q("q_sim_brute").collect().toSeq)
   }
 
+  test("BroadcastRangeJoinExec returns exactly the nested-loop range join's rows") {
+    // the custom-planned operator (binary-searched build side) and the
+    // default BroadcastNestedLoopJoin formulation share one oracle —
+    // their collected results must be identical
+    assert(q("q_join_range_native").collect().toSeq === q("q_join_range").collect().toSeq)
+  }
+
+  test("interval_match composes with pushdown and degrades gracefully off-shape") {
+    val bands = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 2.0).as("lo"),
+        (col("n_nationkey") * 2.0 + 2.0).as("hi"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val im = call_function("interval_match", col("l_quantity"), col("lo"), col("hi"))
+    // a single-side conjunct is pushed below the join by the optimizer,
+    // so the strategy still sees a pure interval_match and fires — the
+    // custom operator composes with predicate pushdown
+    val pushed = li.join(bands, im && col("band_id") >= 0)
+      .groupBy("band_id").agg(count(lit(1)).as("n_items")).orderBy("band_id")
+    assert(pushed.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"),
+      "single-side conjuncts must push down, leaving the shape claimable")
+    // a CROSS-side residual cannot be pushed — the strategy must decline
+    // and Spark plans conventionally, with interval_match evaluating as
+    // a plain predicate (same rows as the between formulation)
+    val residual = li.join(bands, im && col("l_orderkey") % 5 =!= col("band_id") % 5)
+    assert(!residual.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"),
+      "strategy must decline a cross-side multi-conjunct condition")
+    val viaBetween = li.join(bands,
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi") &&
+          col("l_orderkey") % 5 =!= col("band_id") % 5)
+    assert(residual.count() === viaBetween.count())
+    // and the pushed variant returns exactly the canonical band counts
+    val expected = q("q_join_range").select("band_id", "n_items")
+    assert(pushed.collect().toSeq === expected.collect().toSeq)
+  }
+
   test("native ZOrder2 expression equals the int64 shift/mask arithmetic twin") {
     // the same interleave three ways: codegen'd expression, Spark SQL
     // arithmetic (the zorderSql helper the DuckDB oracle also uses), and
