@@ -99,8 +99,24 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs$errs,"sf":"$sfName"}"""
     }
-    val line = Seq(render(2, false), render(2, true), render(1, true))
-      .find(_.length <= 1950).getOrElse(render(1, true))
+    // Last-resort fallback once the surface outgrows even the 1-decimal
+    // stripped-prefix render (first hit at 114 queries): keep only the
+    // K most expensive per-query entries (plus every failure) and say
+    // how many cheap ones were dropped — the total stays exact and the
+    // line stays parseable, which beats a complete map the driver
+    // truncates into nothing.
+    def renderTop(k: Int): String = {
+      val kept = runs.filter(_._2.isLeft) ++
+        runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(k)
+      val omitted = runs.length - kept.length
+      val qs = kept.map { case (n, v) =>
+        jstr(n.stripPrefix("q_")) + ":" + v.fold(_ => "null", fmt(_, 1))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs,"q_omitted":$omitted$errs,"sf":"$sfName"}"""
+    }
+    val line = (Seq(render(2, false), render(2, true), render(1, true)) ++
+      (100 to 10 by -10).map(renderTop))
+      .find(_.length <= 1950).getOrElse(renderTop(10))
     println(line)
     spark.stop()
     if (runs.exists(_._2.isLeft)) sys.exit(1)
