@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 
 /** Lexicon-level IR primitives over the documents corpus (SURVEY §2.10):
-  * an inverted index, bigram association scoring (PMI-style lift), and
-  * deterministic per-group sampling.
+  * an inverted index, bigram association scoring (PMI-style lift),
+  * per-doc lexical diversity, and deterministic per-group sampling.
   *
   * Scale notes:
   *  - every aggregation here is keyed by TOKEN (vocabulary-sized, Zipf —
@@ -137,6 +137,52 @@ object Lexicon {
             (col("nb").cast("double") * col("nw1") * col("nw2"))).as("lift"))
         .orderBy(col("lift").desc, col("bigram"))
         .limit(20)
+    },
+
+    // Lexical diversity per document: type-token ratio, Simpson index
+    // (1 − Σtf², the log-free diversity measure — same reason
+    // q_cooccur_lift drops the PMI log: libm differs across engines,
+    // multiply/divide don't), and the top-token share. Everything is
+    // computed IN-ROW with higher-order functions — the plan has ZERO
+    // exchanges (a map-only projection; the orderBy is the output
+    // contract, not a compute step). The interior sums are INT64
+    // (Σtf², n², max tf), so each output is a single IEEE division of
+    // two exactly-represented integers — bit-identical in DuckDB with
+    // no rounding shim doing load-bearing work.
+    Q("q_token_diversity",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |a AS (SELECT doc_id,
+         |             CAST(sum(c) AS BIGINT) AS n,
+         |             count(*) AS u,
+         |             CAST(sum(c * c) AS BIGINT) AS s2,
+         |             CAST(max(c) AS BIGINT) AS mx
+         |      FROM tf GROUP BY 1)
+         |SELECT doc_id, n AS n_tokens, u AS n_distinct,
+         |       ${Q.sqlR6("CAST(u AS DOUBLE) / n")} AS ttr,
+         |       ${Q.sqlR6("(CAST(n AS DOUBLE) * n - s2) / (CAST(n AS DOUBLE) * n)")} AS simpson,
+         |       ${Q.sqlR6("CAST(mx AS DOUBLE) / n")} AS top_share
+         |FROM a
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n"),
+          size(array_distinct(col("ws"))).cast("long").as("u"),
+          expr("""aggregate(
+                 |  transform(array_distinct(ws),
+                 |            w -> CAST(size(filter(ws, x -> x = w)) AS BIGINT)),
+                 |  0L, (acc, c) -> acc + c * c)""".stripMargin).as("s2"),
+          expr("""CAST(array_max(transform(array_distinct(ws),
+                 |                w -> size(filter(ws, x -> x = w)))) AS BIGINT)"""
+            .stripMargin).as("mx"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("u").as("n_distinct"),
+          Q.r6(col("u").cast("double") / col("n")).as("ttr"),
+          Q.r6((col("n").cast("double") * col("n") - col("s2")) /
+            (col("n").cast("double") * col("n"))).as("simpson"),
+          Q.r6(col("mx").cast("double") / col("n")).as("top_share"))
+        .orderBy("doc_id")
     },
 
     // Deterministic per-stratum sample: K docs per (lang, source), ranked

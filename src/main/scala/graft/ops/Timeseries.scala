@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series & sequence analytics over the `events` stream table
+  * (round-9 SURVEY §2 extensions): Markov transition matrix, OHLC bars,
+  * time-weighted averages over irregular samples, and activity-island
+  * (gap-based coverage) summaries.
+  *
+  * Scale shapes:
+  *  - transition/ohlc aggregate onto FIXED-cardinality keys (|types|²,
+  *    |days|) — shuffle volume is key-bounded, not corpus-bounded, and
+  *    partial aggregation collapses everything map-side first;
+  *  - time-weighted + islands partition by user_id ONCE and ride that
+  *    single exchange through every stacked window and the rollups
+  *    (HashPartitioning(user_id) satisfies the ClusteredDistribution of
+  *    every later (user_id, …) window/agg — plan-audited);
+  *  - all island arithmetic is pure int64 (epoch seconds) — no float
+  *    accumulation order to disagree with the oracle about.
+  */
+object Timeseries {
+
+  /** Activity-island gap threshold: a >1h silence starts a new island. */
+  private val GapSec = 3600L
+
+  /** Deterministic event-order key: epoch-second ts with event_id as the
+    * tiebreak, packed into one int64 (es < 2^31, event_id < 10^8 at any
+    * tested SF ⇒ no overflow this side of 2^57). The same expression
+    * runs verbatim in DuckDB, which is what makes min_by/max_by bars
+    * hash-comparable. */
+  private val OrdSql = s"(${Q.sqlEpochSec("ts")} * 100000000 + event_id)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Markov transition matrix over event types: per (cur, next) pair,
+    // the transition count and row-normalized probability. The lead()
+    // window shares the standard single user_id partitioning (per-user
+    // event lists are bounded by activity, not corpus growth); the
+    // count then lands on a |types|² ≤ 25-key aggregate, and the
+    // normalizing window runs over THAT — never over raw events.
+    Q("q_event_transitions",
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |p AS (SELECT event_type AS cur,
+         |             lead(event_type) OVER (PARTITION BY user_id
+         |                                    ORDER BY es, event_id) AS nxt
+         |      FROM e),
+         |c AS (SELECT cur, nxt, count(*) AS n FROM p
+         |      WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         |SELECT cur, nxt, n,
+         |       ${Q.sqlR6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur)")} AS p
+         |FROM c
+         |ORDER BY cur, nxt""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wc = Window.partitionBy("cur")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"))
+        .select(col("event_type").as("cur"), lead("event_type", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        .withColumn("p", Q.r6(col("n").cast("double") / sum("n").over(wc)))
+        .orderBy("cur", "nxt")
+    },
+
+    // Daily OHLC bars over event values: open/close are the values at
+    // the day's first/last event (min_by/max_by on the packed order
+    // key — no window, no per-day sort), high/low/volume are plain
+    // min/max/sum. One |days|-cardinality aggregation with map-side
+    // partials: at 100 TB the shuffle still carries #days × #partitions
+    // rows. The candlestick primitive for metric downsampling.
+    Q("q_ohlc",
+      s"""SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+         |       count(*) AS n,
+         |       ${Q.sqlR2(s"min_by(value, $OrdSql)")} AS open,
+         |       ${Q.sqlR2("max(value)")} AS high,
+         |       ${Q.sqlR2("min(value)")} AS low,
+         |       ${Q.sqlR2(s"max_by(value, $OrdSql)")} AS close,
+         |       ${Q.sqlR2("sum(value)")} AS volume
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("ts"), col("value"),
+          (Q.epochSec(col("ts")) * 100000000L + col("event_id")).as("k"))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          Q.r2(min_by(col("value"), col("k"))).as("open"),
+          Q.r2(max(col("value"))).as("high"),
+          Q.r2(min(col("value"))).as("low"),
+          Q.r2(max_by(col("value"), col("k"))).as("close"),
+          Q.r2(sum(col("value"))).as("volume"))
+        .orderBy("day")
+    },
+
+    // Time-weighted average value per user over an IRREGULARLY sampled
+    // series: each observation holds until the next one, so its weight
+    // is the gap to the successor (last observation carries no weight).
+    // The plain avg() is wrong on irregular series — a burst of readings
+    // during a spike dominates it; the time-weighted form is the
+    // standard fix. lead() + rollup both ride ONE user_id exchange.
+    Q("q_time_weighted",
+      s"""WITH e AS (SELECT user_id, value, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |p AS (SELECT user_id, value, es,
+         |             lead(es) OVER (PARTITION BY user_id
+         |                            ORDER BY es, event_id) AS nes
+         |      FROM e)
+         |SELECT user_id,
+         |       count(*) AS n_gaps,
+         |       CAST(sum(nes - es) AS BIGINT) AS covered_sec,
+         |       ${Q.sqlR4("sum(value * (nes - es)) / sum(nes - es)")} AS tw_avg,
+         |       ${Q.sqlR4("avg(value)")} AS naive_avg
+         |FROM p WHERE nes IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"))
+        .withColumn("nes", lead("es", 1).over(w))
+        .filter(col("nes").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("nes") - col("es")).cast("long").as("covered_sec"),
+          Q.r4(sum(col("value") * (col("nes") - col("es"))) /
+            sum(col("nes") - col("es"))).as("tw_avg"),
+          Q.r4(avg("value")).as("naive_avg"))
+        .orderBy("user_id")
+    },
+
+    // Activity islands: contiguous per-user activity runs, split where
+    // the inter-event gap exceeds GapSec. lag() marks island starts, a
+    // running sum numbers them, and two stacked rollups (per-island
+    // extent, then per-user summary) produce island count / coverage /
+    // longest run. Every stage clusters by user_id (or a superset), so
+    // the whole pipeline rides the FIRST window's single exchange —
+    // plan-audited. All arithmetic is int64 epoch-seconds: bit-exact
+    // against the oracle with no rounding shims at all.
+    Q("q_activity_islands",
+      s"""WITH e AS (SELECT user_id, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |f AS (SELECT user_id, es,
+         |             CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+         |                                          ORDER BY es, event_id)
+         |                       > $GapSec THEN 1
+         |                  WHEN lag(es) OVER (PARTITION BY user_id
+         |                                     ORDER BY es, event_id) IS NULL THEN 1
+         |                  ELSE 0 END AS brk
+         |      FROM e),
+         |i AS (SELECT user_id, es,
+         |             sum(brk) OVER (PARTITION BY user_id ORDER BY es
+         |                            ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM f),
+         |g AS (SELECT user_id, island,
+         |             count(*) AS n_events,
+         |             max(es) - min(es) AS span_sec
+         |      FROM i GROUP BY 1, 2)
+         |SELECT user_id,
+         |       count(*) AS n_islands,
+         |       CAST(sum(n_events) AS BIGINT) AS n_events,
+         |       CAST(sum(span_sec) AS BIGINT) AS covered_sec,
+         |       CAST(max(span_sec) AS BIGINT) AS longest_sec
+         |FROM g
+         |GROUP BY 1
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wr = Window.partitionBy("user_id").orderBy("es")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), Q.epochSec(col("ts")).as("es"))
+        .withColumn("brk",
+          when(col("es") - lag("es", 1).over(wo) > GapSec, 1)
+            .when(lag("es", 1).over(wo).isNull, 1)
+            .otherwise(0))
+        .withColumn("island", sum("brk").over(wr))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("n_events"),
+          (max("es") - min("es")).as("span_sec"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_islands"),
+          sum("n_events").cast("long").as("n_events"),
+          sum("span_sec").cast("long").as("covered_sec"),
+          max("span_sec").cast("long").as("longest_sec"))
+        .orderBy("user_id")
+    }
+  )
+}

@@ -454,4 +454,54 @@ class PlanAuditSpec extends SparkSpec {
         s"count-table consumers must share exchanges:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
+
+  test("q_activity_islands rides ONE user_id exchange through windows and rollups") {
+    // lag-window, running-sum window, per-island agg and per-user agg all
+    // cluster by user_id (or a superset) — HashPartitioning(user_id)
+    // satisfies every later ClusteredDistribution, so a correct plan has
+    // exactly one hash exchange. A second one means a stage stopped
+    // reusing the partitioning and the pipeline re-shuffles the corpus.
+    val plan = SparkEntry.queries("q_activity_islands")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"islands pipeline must reuse one user_id partitioning, found $hashExchanges:\n$plan")
+  }
+
+  test("q_ohlc aggregates with min_by/max_by partials — no window, no per-day sort") {
+    // open/close via a packed order key inside the aggregate keeps the
+    // plan a plain two-phase hash agg; a window formulation would sort
+    // every day's events. |days| keys ⇒ shuffle is calendar-bounded.
+    val plan = SparkEntry.queries("q_ohlc")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"OHLC must not plan a Window:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("min_by"),
+      s"open/close must partial-aggregate map-side:\n$plan")
+  }
+
+  test("q_token_diversity is a map-only projection — zero data exchanges") {
+    // all diversity math is in-row HOF arithmetic; the only allowed
+    // exchange is the rangepartitioning for the output ORDER BY
+    val plan = SparkEntry.queries("q_token_diversity")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"diversity scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+
+  test("q_event_transitions normalizes over the |types|^2 aggregate, not raw events") {
+    // the probability window must consume the (cur, nxt) count table —
+    // its sort/exchange keys are cur/nxt, and the only user_id exchange
+    // is the lead() window's
+    val plan = SparkEntry.queries("q_event_transitions")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"lead window must be the only user_id exchange, found $userExchanges:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(cur")),
+      s"normalizing window must run over the aggregated pair table:\n$plan")
+  }
 }
