@@ -136,5 +136,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.BroadcastRangeJoinExec (binary-searched build side);
     // any other shape falls through to Spark's own planner
     ext.injectPlannerStrategy(_ => new graft.plans.RangeJoinStrategy)
+    // unfolds literal/column interval_match FILTERS into native range
+    // comparisons so parquet row-group pruning sees them (join
+    // conditions are untouched — the strategy above needs the shape)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalFilterUnfold)
   }
 }

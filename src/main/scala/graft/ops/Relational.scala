@@ -128,6 +128,26 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // Filter through the custom interval_match predicate: written with
+    // the extension function, executed as native range comparisons —
+    // the injected IntervalFilterUnfold optimizer rule (plans/
+    // IntervalRewrite.scala) unfolds it inside Filter conditions, so
+    // the bounds reach the parquet scan as PushedFilters and row-group
+    // pruning applies (plan-audited). Without the rule this scan would
+    // be a black-box full read; with it the query is exactly
+    // q_filter-style native filtering — which is what the oracle runs.
+    Q("q_filter_interval",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_extendedprice >= 1000.0 AND l_extendedprice < 5000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(call_function("interval_match",
+          col("l_extendedprice"), lit(1000.0), lit(5000.0)))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Three-valued logic: nulls are manufactured with nullif (the test
     // tables have none), then probed with IS NULL / IS NOT NULL / the
     // null-safe equality operator (<=> vs IS NOT DISTINCT FROM).

@@ -455,6 +455,22 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("q_filter_interval unfolds interval_match and pushes the bounds to parquet") {
+    // the IntervalFilterUnfold optimizer rule must turn the custom
+    // predicate into native comparisons (no interval_match left in the
+    // optimized plan) AND those comparisons must reach the scan as
+    // PushedFilters — the row-group pruning path at 100 TB
+    val qe = SparkEntry.queries("q_filter_interval")(spark, sfDir).queryExecution
+    assert(!qe.optimizedPlan.toString.contains("interval_match"),
+      s"filter must be unfolded by the optimizer rule:\n${qe.optimizedPlan}")
+    val plan = qe.sparkPlan.toString
+    // (the plan renderer truncates the PushedFilters list, so the upper
+    // bound is matched by prefix)
+    assert(plan.contains("GreaterThanOrEqual(l_extendedprice,1000.0)") &&
+      plan.contains("LessThan(l_extendedprice"),
+      s"unfolded bounds must reach the parquet scan as PushedFilters:\n$plan")
+  }
+
   test("q_activity_islands rides ONE user_id exchange through windows and rollups") {
     // lag-window, running-sum window, per-island agg and per-user agg all
     // cluster by user_id (or a superset) — HashPartitioning(user_id)
