@@ -172,6 +172,59 @@ object Analytics {
         .filter(abs(col("value") - col("mu")) > lit(3) * col("sd"))
         .select(col("event_id"), col("event_type"), Q.r4((col("value") - col("mu")) / col("sd")).as("z"))
         .orderBy("event_id")
+    },
+
+    // RFM segmentation: per user recency (days from last activity to
+    // the anchor), frequency (events) and monetary (purchase value sum),
+    // bucketed on FIXED thresholds into 1-3 scores and a named segment.
+    // Fixed-edge bucketing (like q_hist) is deliberate: quantile-based
+    // edges would need a global sort/percentile pass and make every
+    // user's label depend on every other user — fixed edges keep the
+    // whole thing ONE map-side-partial groupBy(user_id), and segments
+    // stay comparable across runs/partitions/corpus sizes. Purchase
+    // monetary r2-rounded before thresholding so accumulation-order
+    // ulps cannot flip a bucket edge.
+    Q("q_rfm",
+      s"""WITH u AS (SELECT user_id,
+         |                 date_diff('day', max(CAST(date_trunc('day', ts) AS DATE)),
+         |                           DATE '2024-02-01') AS rec_days,
+         |                 count(*) AS freq,
+         |                 ${Q.sqlR2("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)")} AS monetary
+         |          FROM events GROUP BY 1),
+         |sc AS (SELECT user_id, CAST(rec_days AS BIGINT) AS rec_days, freq, monetary,
+         |              CASE WHEN rec_days <= 2 THEN 3 WHEN rec_days <= 7 THEN 2 ELSE 1 END AS r_score,
+         |              CASE WHEN freq >= 80 THEN 3 WHEN freq >= 60 THEN 2 ELSE 1 END AS f_score,
+         |              CASE WHEN monetary >= 900 THEN 3 WHEN monetary >= 500 THEN 2 ELSE 1 END AS m_score
+         |       FROM u)
+         |SELECT user_id, rec_days, freq, monetary, r_score, f_score, m_score,
+         |       CASE WHEN r_score = 3 AND f_score + m_score >= 5 THEN 'champion'
+         |            WHEN r_score >= 2 AND f_score + m_score >= 4 THEN 'loyal'
+         |            WHEN r_score = 1 AND f_score + m_score >= 4 THEN 'at_risk'
+         |            WHEN r_score >= 2 THEN 'developing'
+         |            ELSE 'hibernating' END AS segment
+         |FROM sc
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          datediff(to_date(lit("2024-02-01")), max(col("ts").cast(DateType)))
+            .cast("long").as("rec_days"),
+          count(lit(1)).as("freq"),
+          Q.r2(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0))).as("monetary"))
+      val rs = when(col("rec_days") <= 2, 3).when(col("rec_days") <= 7, 2).otherwise(1)
+      val fs = when(col("freq") >= 80, 3).when(col("freq") >= 60, 2).otherwise(1)
+      val ms = when(col("monetary") >= 900, 3).when(col("monetary") >= 500, 2).otherwise(1)
+      u.withColumn("r_score", rs)
+        .withColumn("f_score", fs)
+        .withColumn("m_score", ms)
+        .withColumn("segment",
+          when(col("r_score") === 3 && col("f_score") + col("m_score") >= 5, "champion")
+            .when(col("r_score") >= 2 && col("f_score") + col("m_score") >= 4, "loyal")
+            .when(col("r_score") === 1 && col("f_score") + col("m_score") >= 4, "at_risk")
+            .when(col("r_score") >= 2, "developing")
+            .otherwise("hibernating"))
+        .orderBy("user_id")
     }
   )
 }

@@ -500,6 +500,49 @@ object Similarity {
           Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
         .filter(col("rk") <= 10)
         .orderBy("rk")
+    },
+
+    // Label-affinity matrix: cosine similarity between per-label
+    // centroids — the class-confusability / semantic-drift monitor over
+    // an embedded corpus. The corpus collapses to a #labels × dim
+    // centroid table FIRST (map-side partial averages, the q_centroid
+    // shuffle shape), and the pairwise work runs entirely on that
+    // fixed-size table: a dim-keyed self-join (AQE broadcasts it) into
+    // a (la, lb)-keyed rollup — C(#labels, 2) output rows no matter the
+    // corpus size. Centroids are r6-rounded BEFORE the dot products so
+    // both engines feed identical doubles into the pair sums.
+    Q("q_label_affinity",
+      """WITH x AS (SELECT label,
+        |                  unnest(list_transform(range(1, len(embedding) + 1),
+        |                         i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        |           FROM embeddings),
+        |c AS (SELECT label, s.dim AS dim,
+        |             floor((avg(s.v))*1000000+0.5)/1000000 AS c
+        |      FROM x GROUP BY 1, 2),
+        |p AS (SELECT a.label AS la, b.label AS lb,
+        |             sum(a.c * b.c) AS dot,
+        |             sum(a.c * a.c) AS na,
+        |             sum(b.c * b.c) AS nb
+        |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT la, lb, floor((dot / (sqrt(na) * sqrt(nb)))*10000+0.5)/10000 AS cos
+        |FROM p
+        |ORDER BY la, lb""".stripMargin) { (s, d) =>
+      val cent = widened(Tables.load(s, d, "embeddings"))
+        .select(col("label"), posexplode(col("de")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(Q.r6(avg(col("v"))).as("c"))
+      val a = cent.select(col("label").as("la"), col("dim"), col("c").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("dim"), col("c").as("cb"))
+      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+          sum(col("ca") * col("cb")).as("dot"),
+          sum(col("ca") * col("ca")).as("na"),
+          sum(col("cb") * col("cb")).as("nb"))
+        .select(col("la"), col("lb"),
+          Q.r4(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
+        .orderBy("la", "lb")
     }
   )
 }
