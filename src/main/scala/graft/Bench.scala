@@ -114,6 +114,16 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs,"q_omitted":$omitted$errs,"sf":"$sfName"}"""
     }
+    // Full per-query map for the FLOOR harvest (tools/gen_floors.py) —
+    // printed BEFORE the driver-parsed line so the driver's bounded
+    // stdout tail still ends with the budgeted metric line. Without
+    // this, a renderTop() fallback would leave the cheapest queries
+    // floor-less: exactly the ones whose contention inflation the
+    // absolute threshold cannot see.
+    val floorQs = runs.map { case (k, v) =>
+      jstr(k) + ":" + v.fold(_ => "null", fmt(_, 3))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"floors_all","queries":$floorQs,"sf":"$sfName"}""")
     val line = (Seq(render(2, false), render(2, true), render(1, true)) ++
       (100 to 10 by -10).map(renderTop))
       .find(_.length <= 1950).getOrElse(renderTop(10))

@@ -19,15 +19,24 @@ head = sys.argv[2] if len(sys.argv) > 2 else subprocess.run(
 ).stdout.strip()
 
 parsed = None
+floors_all = None
 for line in open(log, errors="replace"):
     line = line.strip().removeprefix("[info] ").strip()
     if line.startswith('{"metric"'):
         try:
-            parsed = json.loads(line)
+            obj = json.loads(line)
         except json.JSONDecodeError:
-            pass
+            continue
+        if obj.get("metric") == "floors_all":
+            floors_all = obj  # full per-query map, never truncated
+        else:
+            parsed = obj
 assert parsed, f"no Bench JSON line found in {log}"
 assert not parsed.get("partial"), f"bench run had failures: {parsed.get('errors')}"
+if floors_all is not None:
+    # prefer the untruncated harvest line: the driver-budgeted metric
+    # line may have dropped its cheapest queries via renderTop()
+    parsed = {"value": parsed["value"], "queries": floors_all["queries"]}
 # the JSON line may render with the redundant "q_" key prefix stripped
 # (Bench's char-budget fallback) — floors are keyed by the FULL query
 # name Bench looks up. Clamp to >= 0.05 s: at 1-decimal render a tiny
