@@ -116,6 +116,27 @@ object Streams {
       .select(col("event_id"), col("event_type"),
         graft.Q.r4((col("value") - col("mu")) / col("sd")).as("z"))
 
+  /** Streaming OHLC bars per tumbling event-time window — the streaming
+    * face of batch q_ohlc: open/close are min_by/max_by on the same
+    * packed (epoch-sec, event_id) int64 order key, high/low/volume plain
+    * min/max/sum. All six are declarative aggregates with partial merge,
+    * so incremental window state is ONE partial bar per open window
+    * (never the events), and the watermark bounds how many windows stay
+    * open — state is calendar-rate bounded, not corpus bounded. */
+  def ohlcBars(events: DataFrame, size: String = "10 minutes",
+               watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("k", unix_timestamp(col("ts")) * 100000000L + col("event_id"))
+      .groupBy(window(col("ts"), size))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("value"), col("k")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("k")).as("close"),
+        sum(col("value")).as("volume"))
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's views within `lookback` before it. Watermarks on BOTH sides
     * + a bounded time-range condition are what let Spark expire join

@@ -254,6 +254,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming OHLC bars match the batch aggregation on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Ev]
+    val q = Streams.ohlcBars(in.toDF())
+      .writeStream.format("memory").queryName("t_ohlc").outputMode("complete").start()
+    withQuery(q) {
+      // two windows; open/close differ from high/low inside each, and
+      // the second batch arrives out of event-time order to prove the
+      // min_by/max_by order key (not arrival order) picks open/close
+      in.addData(ev(1, 0, v = 5.0), ev(2, 3, v = 9.0), ev(3, 7, v = 2.0))
+      q.processAllAvailable()
+      in.addData(ev(6, 14, v = 4.0), ev(5, 12, v = 8.0), ev(4, 11, v = 1.0))
+      q.processAllAvailable()
+      val bars = spark.table("t_ohlc")
+        .selectExpr("unix_timestamp(window.start) AS s", "n", "open", "high", "low", "close", "volume")
+        .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(bars(baseSec) === ((baseSec, 3L, 5.0, 9.0, 2.0, 2.0, 16.0)))
+      assert(bars(baseSec + 600L) === ((baseSec + 600L, 3L, 1.0, 8.0, 1.0, 4.0, 13.0)))
+      // twin: the same six aggregates computed in one batch pass
+      val batch = Seq(ev(1, 0, v = 5.0), ev(2, 3, v = 9.0), ev(3, 7, v = 2.0),
+          ev(4, 11, v = 1.0), ev(5, 12, v = 8.0), ev(6, 14, v = 4.0)).toDF()
+        .withColumn("k", unix_timestamp(col("ts")) * 100000000L + col("event_id"))
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"), min_by(col("value"), col("k")).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), col("k")).as("close"), sum(col("value")).as("volume"))
+        .selectExpr("unix_timestamp(window.start) AS s", "n", "open", "high", "low", "close", "volume")
+        .as[(Long, Long, Double, Double, Double, Double, Double)].collect().toSet
+      assert(bars.values.toSet === batch)
+    }
+  }
+
   test("soak: rate -> dedup -> enrich -> ledgered sink holds its invariants under real triggers") {
     // the one wall-clock test: a real rate-micro-batch source driving
     // the full pipeline for a few seconds of back-to-back triggers,
