@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scans, projection/filter, sort/limit and set operations (SURVEY §2.1,
@@ -96,6 +97,49 @@ object Relational {
           max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"),
           max(col("l_suppkey")).as("max_supp"))
+        .orderBy("zbucket")
+    },
+
+    // Run-length profile of a payload column under z-order layout: how
+    // many value runs (and the average run length) l_returnflag forms
+    // inside each z-bucket when rows are laid out in curve order — the
+    // measurable answer to "what does OPTIMIZE-ZORDER buy this column",
+    // since RLE/dictionary page compression and row-group min/max skips
+    // are both run-driven. The lag() run-break window partitions by
+    // zbucket, so per-reducer work is one bucket's rows; the shift
+    // width (18 here, = q_zorder's bucketing) is the granularity knob —
+    // widen it and buckets shrink as the corpus grows. Run counting is
+    // pure int64 (flag inequality + running sum); only the final avg
+    // run length divides, r4-rounded.
+    Q("q_rle_zorder",
+      s"""WITH z AS (SELECT ${graft.functions.ZOrder2.zorderSql("l_partkey", "l_suppkey")} AS zv,
+         |                  l_orderkey, l_linenumber, l_returnflag
+         |           FROM lineitem),
+         |r AS (SELECT CAST(zv >> 18 AS BIGINT) AS zbucket, l_returnflag,
+         |             CASE WHEN lag(l_returnflag) OVER w IS NULL THEN 1
+         |                  WHEN l_returnflag <> lag(l_returnflag) OVER w THEN 1
+         |                  ELSE 0 END AS brk
+         |      FROM z
+         |      WINDOW w AS (PARTITION BY zv >> 18
+         |                   ORDER BY zv, l_orderkey, l_linenumber))
+         |SELECT zbucket, count(*) AS n,
+         |       CAST(sum(brk) AS BIGINT) AS runs,
+         |       ${Q.sqlR4("CAST(count(*) AS DOUBLE) / sum(brk)")} AS avg_run_len
+         |FROM r GROUP BY 1
+         |ORDER BY zbucket""".stripMargin) { (s, d) =>
+      val zv = graft.functions.ZOrder2.zorder2(col("l_partkey"), col("l_suppkey"))
+      val w = Window.partitionBy("zbucket")
+        .orderBy("zv", "l_orderkey", "l_linenumber")
+      Tables.load(s, d, "lineitem")
+        .select(zv.as("zv"), col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .withColumn("zbucket", shiftright(col("zv"), 18))
+        .withColumn("brk",
+          when(lag("l_returnflag", 1).over(w).isNull, 1)
+            .when(col("l_returnflag") =!= lag("l_returnflag", 1).over(w), 1)
+            .otherwise(0))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"), sum("brk").cast("long").as("runs"),
+          Q.r4(count(lit(1)).cast("double") / sum("brk")).as("avg_run_len"))
         .orderBy("zbucket")
     },
 
