@@ -225,6 +225,91 @@ object Analytics {
             .when(col("r_score") >= 2, "developing")
             .otherwise("hibernating"))
         .orderBy("user_id")
+    },
+
+    // Tukey boxplot outliers per event_type: exact p25/p50/p75, IQR
+    // whiskers at 1.5×IQR, and the count/rate of rows outside them —
+    // the ROBUST complement to q_anomaly's z-scores (quartiles don't
+    // move when the outliers themselves get bigger; mean/σ do). Same
+    // broadcast shape as q_anomaly: the 5-row quantile table fans back
+    // over the fact side map-side, the corpus is never shuffled.
+    // Quartiles r6-rounded BEFORE the fences so a boundary row can't
+    // flip between engines. (Exact percentile costs a per-group sort —
+    // the q_agg_approx_pct sketch is the 100 TB path; the fence logic
+    // is identical either way.)
+    Q("q_boxplot",
+      s"""WITH st AS (SELECT event_type,
+         |                  ${Q.sqlR6("quantile_cont(value, 0.25)")} AS p25,
+         |                  ${Q.sqlR6("quantile_cont(value, 0.5)")} AS p50,
+         |                  ${Q.sqlR6("quantile_cont(value, 0.75)")} AS p75
+         |           FROM events GROUP BY 1)
+         |SELECT e.event_type, p25, p50, p75,
+         |       count(*) AS n,
+         |       CAST(count(CASE WHEN value < p25 - 1.5 * (p75 - p25)
+         |                         OR value > p75 + 1.5 * (p75 - p25)
+         |                       THEN 1 END) AS BIGINT) AS n_outliers
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_type", "value")
+      val st = e.groupBy("event_type")
+        .agg(
+          Q.r6(percentile(col("value"), lit(0.25))).as("p25"),
+          Q.r6(percentile(col("value"), lit(0.5))).as("p50"),
+          Q.r6(percentile(col("value"), lit(0.75))).as("p75"))
+      val iqr = col("p75") - col("p25")
+      e.join(broadcast(st), "event_type")
+        .groupBy("event_type", "p25", "p50", "p75")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("p25") - lit(1.5) * iqr ||
+            col("value") > col("p75") + lit(1.5) * iqr, 1)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // Column-profile table (the Deequ/data-quality primitive): one pass
+    // over lineitem emitting per-column null count, exact distinct
+    // count, min/max/mean in LONG (col_name, ...) format. Spark plans
+    // the multi-column count(DISTINCT) as ONE Expand-based
+    // multi-distinct aggregate — a single corpus scan whatever the
+    // column count — and stack() reshapes the 1-row wide result
+    // in-row. Mins/maxes are exact; means r4-rounded.
+    Q("q_profile",
+      s"""WITH a AS (SELECT count(*) AS n,
+         |                  count(DISTINCT l_quantity) AS d1,
+         |                  count(DISTINCT l_extendedprice) AS d2,
+         |                  count(DISTINCT l_discount) AS d3,
+         |                  count(DISTINCT l_tax) AS d4,
+         |                  min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+         |                  ${Q.sqlR4("avg(l_quantity)")} AS av1,
+         |                  min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
+         |                  ${Q.sqlR4("avg(l_extendedprice)")} AS av2,
+         |                  min(l_discount) AS mn3, max(l_discount) AS mx3,
+         |                  ${Q.sqlR4("avg(l_discount)")} AS av3,
+         |                  min(l_tax) AS mn4, max(l_tax) AS mx4,
+         |                  ${Q.sqlR4("avg(l_tax)")} AS av4
+         |           FROM lineitem)
+         |SELECT 'l_quantity' AS col_name, n, d1 AS n_distinct, mn1 AS vmin, mx1 AS vmax, av1 AS vavg FROM a
+         |UNION ALL SELECT 'l_extendedprice', n, d2, mn2, mx2, av2 FROM a
+         |UNION ALL SELECT 'l_discount', n, d3, mn3, mx3, av3 FROM a
+         |UNION ALL SELECT 'l_tax', n, d4, mn4, mx4, av4 FROM a
+         |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = Seq(count(lit(1)).as("n")) ++ cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(countDistinct(col(c)).as(s"d${i + 1}"),
+          min(col(c)).as(s"mn${i + 1}"), max(col(c)).as(s"mx${i + 1}"),
+          Q.r4(avg(col(c))).as(s"av${i + 1}"))
+      }
+      val stackArgs = cols.zipWithIndex
+        .map { case (c, i) => s"'$c', d${i + 1}, mn${i + 1}, mx${i + 1}, av${i + 1}" }
+        .mkString(", ")
+      Tables.load(s, d, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n",
+          s"stack(${cols.length}, $stackArgs) AS (col_name, n_distinct, vmin, vmax, vavg)")
+        .select(col("col_name"), col("n"), col("n_distinct"),
+          col("vmin"), col("vmax"), col("vavg"))
+        .orderBy("col_name")
     }
   )
 }

@@ -133,6 +133,37 @@ object Timeseries {
         .orderBy("user_id")
     },
 
+    // Day-over-day deltas: daily event count + value volume with the
+    // previous day's volume and percent change — the metrics-dashboard
+    // primitive. The corpus collapses to a |days|-key aggregate FIRST
+    // (map-side partials, calendar-bounded shuffle); the lag() window
+    // then runs over that bounded table — a single-partition window
+    // over #days rows is legal for the same reason q_hybrid_rrf's
+    // re-rank is: the input is bounded BY CONSTRUCTION, not by corpus
+    // size. Volume r2-rounded before the delta so both engines diff
+    // identical doubles.
+    Q("q_day_over_day",
+      s"""WITH d AS (SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+         |                  count(*) AS n,
+         |                  ${Q.sqlR2("sum(value)")} AS volume
+         |           FROM events GROUP BY 1),
+         |w AS (SELECT day, n, volume,
+         |             lag(volume) OVER (ORDER BY day) AS prev_volume
+         |      FROM d)
+         |SELECT day, n, volume, prev_volume,
+         |       ${Q.sqlR4("(volume - prev_volume) / prev_volume * 100")} AS pct_change
+         |FROM w
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("day")
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), Q.r2(sum("value")).as("volume"))
+        .withColumn("prev_volume", lag("volume", 1).over(w))
+        .withColumn("pct_change",
+          Q.r4((col("volume") - col("prev_volume")) / col("prev_volume") * 100))
+        .orderBy("day")
+    },
+
     // Activity islands: contiguous per-user activity runs, split where
     // the inter-event gap exceeds GapSec. lag() marks island starts, a
     // running sum numbers them, and two stacked rollups (per-island
