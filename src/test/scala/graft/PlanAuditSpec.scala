@@ -471,6 +471,39 @@ class PlanAuditSpec extends SparkSpec {
       s"unfolded bounds must reach the parquet scan as PushedFilters:\n$plan")
   }
 
+  test("q_profile reads the corpus ONCE for all four multi-distinct columns") {
+    // Spark must plan the 4-column count(DISTINCT) as a single
+    // Expand-based multi-distinct aggregate over one scan — a naive
+    // per-column formulation would scan lineitem four times
+    val plan = SparkEntry.queries("q_profile")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"profile must be one corpus pass, found $scans scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct must go through Expand:\n$plan")
+  }
+
+  test("q_boxplot broadcasts the quantile table and never shuffles the fact side") {
+    val plan = SparkEntry.queries("q_boxplot")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quantile join must broadcast:\n$plan")
+    val factShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(event_id"))
+    assert(factShuffles === 0, s"fact side must stay map-side:\n$plan")
+  }
+
+  test("q_day_over_day's lag window runs over the daily aggregate, not raw events") {
+    // the only single-partition exchange must sit above the |days|-key
+    // aggregate; a window over raw events would single-thread the corpus
+    val plan = SparkEntry.queries("q_day_over_day")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, s"expected the bounded window's exchange:\n$plan")
+    assert(plan.substring(idx).contains("HashAggregate"),
+      s"single-partition exchange must consume the daily aggregate:\n$plan")
+  }
+
   test("q_activity_islands rides ONE user_id exchange through windows and rollups") {
     // lag-window, running-sum window, per-island agg and per-user agg all
     // cluster by user_id (or a superset) — HashPartitioning(user_id)
