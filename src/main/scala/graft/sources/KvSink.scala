@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft-kv`: a DataSource V2 SINK with a real two-phase commit
+  * protocol — the write-side twin of [[DocsSource]], and the batch
+  * generalization of the reference's "write data first, then commit
+  * offsets" sink contract (OffsetLedger carries the streaming half).
+  *
+  * Schema contract: `(key: long, value: string)` — the Kafka-record
+  * shape after payload parsing.
+  *
+  * Protocol (Hadoop commit v2 / FileOutputCommitter shape, on the
+  * public `connector.write` API only):
+  *  - each task writes `part-<partition>-<taskId>-<attempt>` into a
+  *    hidden `_staging/` dir under the target — NEVER the target
+  *    itself, so readers can't observe half-written output;
+  *  - the task's [[WriterCommitMessage]] carries its staging path +
+  *    row count; a retried/speculative attempt produces a DIFFERENT
+  *    staging file, and only the attempt Spark declares the winner is
+  *    in the commit messages — duplicate work never lands twice;
+  *  - driver-side [[KvBatchWrite.commit]] renames every staged file
+  *    into the target (rename, not copy — atomic per file on a real
+  *    FS) and writes a `_SUCCESS` manifest listing file names + row
+  *    counts LAST: a reader that requires the manifest sees the write
+  *    all-or-nothing;
+  *  - [[KvBatchWrite.abort]] deletes whatever staging files the failed
+  *    job left, restoring the pre-write state byte-for-byte.
+  *
+  * At 100 TB the same protocol holds with object-store semantics: the
+  * rename becomes a metadata move and the manifest the atomicity
+  * point — which is exactly how table formats commit. SourcesSpec
+  * proves both paths: a clean append lands atomically with an exact
+  * manifest, and a mid-job task failure (`failPartition` option, first
+  * attempt only) either aborts cleanly or retries to the same output —
+  * never a partial/duplicated target.
+  */
+class KvSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvSink.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KvTable(new CaseInsensitiveStringMap(properties))
+}
+
+object KvSink {
+  val schema: StructType = StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** Test hook: partition ids whose FIRST write attempt throws (set of
+    * longs encoded "0,3"); retried attempts succeed, exercising the
+    * retry-is-a-new-staging-file path. Static because writer instances
+    * are deserialized per task — options travel, attempt memory can't. */
+  private[sources] val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+}
+
+private[sources] class KvTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft-kv(${options.get("path")})"
+  override def schema(): StructType = KvSink.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(Array("key", "value")),
+      s"graft-kv expects (key, value), got ${info.schema().fieldNames.mkString(",")}")
+    val path = info.options.get("path")
+    require(path != null, "graft-kv requires .option(\"path\", dir)")
+    val failPartition = Option(info.options.get("failPartition")).map(_.toInt)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new KvBatchWrite(path, failPartition)
+      }
+    }
+  }
+}
+
+private[sources] case class KvCommitMessage(stagedPath: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class KvBatchWrite(path: String, failPartition: Option[Int])
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path, "_staging"))
+    new KvWriterFactory(path, failPartition)
+  }
+
+  // data files first, manifest LAST — the manifest is the atomicity point
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.map { case KvCommitMessage(staged, rows) =>
+      val src = Paths.get(staged)
+      val dst = Paths.get(path, src.getFileName.toString)
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      s"${dst.getFileName}:$rows"
+    }
+    Files.write(Paths.get(path, "_SUCCESS"),
+      entries.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    deleteStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
+
+  private def deleteStaging(): Unit = {
+    val staging = new File(path, "_staging")
+    Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+    staging.delete()
+  }
+}
+
+private[sources] class KvWriterFactory(path: String, failPartition: Option[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvWriter(path, partitionId, taskId, failPartition)
+}
+
+private[sources] class KvWriter(path: String, partitionId: Int, taskId: Long,
+                                failPartition: Option[Int])
+    extends DataWriter[InternalRow] {
+
+  private val staged =
+    Paths.get(path, "_staging", s"part-$partitionId-$taskId")
+  private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (failPartition.contains(partitionId) && KvSink.failedOnce.add(partitionId))
+      throw new RuntimeException(s"injected failure in partition $partitionId")
+    out.write(s"${row.getLong(0)},${row.getUTF8String(1)}\n")
+    rows += 1
+  }
+
+  // a writer that never reaches commit() leaves only a staging file the
+  // driver-side abort (or the next job's createBatchWriterFactory) removes
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvCommitMessage(staged.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staged)
+  }
+
+  override def close(): Unit = ()
+}

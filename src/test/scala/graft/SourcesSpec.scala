@@ -63,6 +63,48 @@ class SourcesSpec extends SparkSpec {
 
   // ---- graft-docs: the custom DataSource V2 connector ---------------------
 
+
+  test("graft-kv sink commits atomically: staged files publish with a trailing manifest") {
+    import spark.implicits._
+    val dir = tempDir("graft_kv")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("key", "value")
+      .repartition(2)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("part-")) === 2, files.mkString(","))
+    assert(files.contains("_SUCCESS"))
+    assert(!files.contains("_staging"), "staging dir must be cleaned after commit")
+    // manifest lists every published file with its row count, and the
+    // data adds back up to the input
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS"))).trim.split("\n")
+    assert(manifest.length === 2)
+    assert(manifest.map(_.split(":")(1).toLong).sum === 4L)
+    val back = spark.read
+      .schema("key LONG, value STRING").option("header", "false")
+      .csv(new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getPath): _*)
+    assert(back.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("graft-kv sink aborts atomically: a failed job leaves the target untouched") {
+    import spark.implicits._
+    val dir = tempDir("graft_kv_abort")
+    // seed a prior successful write — the state the abort must preserve
+    Seq((10L, "x")).toDF("key", "value").coalesce(1)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    intercept[Exception] {
+      Seq((1L, "a"), (2L, "b")).toDF("key", "value").repartition(2)
+        .write.format("graft-kv").option("path", dir)
+        .option("failPartition", "1").mode("append").save()
+    }
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(after === before,
+      s"failed write must leave the target byte-identical: $before vs $after")
+  }
+
   test("graft-docs batch read: deterministic rows across the requested partitions") {
     val df = spark.read.format("graft-docs")
       .option("rows", 1000).option("partitions", 8).load()
