@@ -588,6 +588,51 @@ class TwinAndPropertySpec extends SparkSpec {
       "reliable mode must write checkpoint files")
   }
 
+  test("q_event_transitions probabilities are a stochastic matrix over observed transitions") {
+    val t = q("q_event_transitions").cache()
+    // per cur row: probabilities sum to 1 within r6 rounding x |nxt|,
+    // and counts add up to the lead-pair total (|events| - |users with
+    // any event|, since each user's last event has no successor)
+    val rows = t.groupBy("cur")
+      .agg(sum("p").as("sp"), sum("n").as("sn"), count(lit(1)).as("k"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) <= 1e-6 * r.getLong(3),
+        s"row ${r.getString(0)} probabilities must sum to 1: $r")
+    }
+    val events = Tables.events(spark, sfDir)
+    val expected = events.count() -
+      events.select("user_id").distinct().count()
+    assert(t.agg(sum("n")).head.getLong(0) === expected)
+    t.unpersist()
+  }
+
+  test("q_activity_islands conserves events and bounds coverage by the user's span") {
+    val isl = q("q_activity_islands").cache()
+    // per-user event counts must add back to the corpus
+    val events = Tables.events(spark, sfDir)
+    assert(isl.agg(sum("n_events")).head.getLong(0) === events.count())
+    // covered time can never exceed the user's first-to-last span, and
+    // the longest island is bounded by the total coverage
+    val spans = events
+      .select(col("user_id"), Q.epochSec(col("ts")).as("es"))
+      .groupBy("user_id").agg((max("es") - min("es")).as("span"))
+    val bad = isl.join(spans, "user_id")
+      .filter(col("covered_sec") > col("span") ||
+        col("longest_sec") > col("covered_sec") ||
+        col("n_islands") < 1)
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    isl.unpersist()
+  }
+
+  test("q_ohlc bars are internally consistent") {
+    val bars = q("q_ohlc")
+      .filter(col("high") < greatest(col("open"), col("close")) ||
+        col("low") > least(col("open"), col("close")) ||
+        col("n") < 1)
+    assert(bars.isEmpty, bars.collect().mkString(","))
+  }
+
   test("q_dup_clusters is consistent with the LSH pair graph") {
     val clusters = q("q_dup_clusters").cache()
     val lbl = clusters.select(col("doc_id"), col("cluster_id"))
