@@ -280,6 +280,10 @@ object Analytics {
          |                  count(DISTINCT l_extendedprice) AS d2,
          |                  count(DISTINCT l_discount) AS d3,
          |                  count(DISTINCT l_tax) AS d4,
+         |                  count(*) - count(l_quantity) AS nn1,
+         |                  count(*) - count(l_extendedprice) AS nn2,
+         |                  count(*) - count(l_discount) AS nn3,
+         |                  count(*) - count(l_tax) AS nn4,
          |                  min(l_quantity) AS mn1, max(l_quantity) AS mx1,
          |                  ${Q.sqlR4("avg(l_quantity)")} AS av1,
          |                  min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
@@ -289,25 +293,26 @@ object Analytics {
          |                  min(l_tax) AS mn4, max(l_tax) AS mx4,
          |                  ${Q.sqlR4("avg(l_tax)")} AS av4
          |           FROM lineitem)
-         |SELECT 'l_quantity' AS col_name, n, d1 AS n_distinct, mn1 AS vmin, mx1 AS vmax, av1 AS vavg FROM a
-         |UNION ALL SELECT 'l_extendedprice', n, d2, mn2, mx2, av2 FROM a
-         |UNION ALL SELECT 'l_discount', n, d3, mn3, mx3, av3 FROM a
-         |UNION ALL SELECT 'l_tax', n, d4, mn4, mx4, av4 FROM a
+         |SELECT 'l_quantity' AS col_name, n, nn1 AS n_null, d1 AS n_distinct, mn1 AS vmin, mx1 AS vmax, av1 AS vavg FROM a
+         |UNION ALL SELECT 'l_extendedprice', n, nn2, d2, mn2, mx2, av2 FROM a
+         |UNION ALL SELECT 'l_discount', n, nn3, d3, mn3, mx3, av3 FROM a
+         |UNION ALL SELECT 'l_tax', n, nn4, d4, mn4, mx4, av4 FROM a
          |ORDER BY col_name""".stripMargin) { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggs = Seq(count(lit(1)).as("n")) ++ cols.zipWithIndex.flatMap { case (c, i) =>
         Seq(countDistinct(col(c)).as(s"d${i + 1}"),
+          (count(lit(1)) - count(col(c))).as(s"nn${i + 1}"),
           min(col(c)).as(s"mn${i + 1}"), max(col(c)).as(s"mx${i + 1}"),
           Q.r4(avg(col(c))).as(s"av${i + 1}"))
       }
       val stackArgs = cols.zipWithIndex
-        .map { case (c, i) => s"'$c', d${i + 1}, mn${i + 1}, mx${i + 1}, av${i + 1}" }
+        .map { case (c, i) => s"'$c', nn${i + 1}, d${i + 1}, mn${i + 1}, mx${i + 1}, av${i + 1}" }
         .mkString(", ")
       Tables.load(s, d, "lineitem")
         .agg(aggs.head, aggs.tail: _*)
         .selectExpr("n",
-          s"stack(${cols.length}, $stackArgs) AS (col_name, n_distinct, vmin, vmax, vavg)")
-        .select(col("col_name"), col("n"), col("n_distinct"),
+          s"stack(${cols.length}, $stackArgs) AS (col_name, n_null, n_distinct, vmin, vmax, vavg)")
+        .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
           col("vmin"), col("vmax"), col("vavg"))
         .orderBy("col_name")
     }
