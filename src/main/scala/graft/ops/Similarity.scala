@@ -506,11 +506,15 @@ object Similarity {
     // centroids — the class-confusability / semantic-drift monitor over
     // an embedded corpus. The corpus collapses to a #labels × dim
     // centroid table FIRST (map-side partial averages, the q_centroid
-    // shuffle shape), and the pairwise work runs entirely on that
-    // fixed-size table: a dim-keyed self-join (AQE broadcasts it) into
-    // a (la, lb)-keyed rollup — C(#labels, 2) output rows no matter the
-    // corpus size. Centroids are r6-rounded BEFORE the dot products so
-    // both engines feed identical doubles into the pair sums.
+    // shuffle shape); per-label vectors then fold into ONE row and the
+    // C(#labels, 2) pairs expand IN-ROW (the q_source_overlap pair
+    // trick over the label-sorted array), with cosine as zip_with/
+    // aggregate HOFs per pair. One corpus scan total — the dim-keyed
+    // self-join formulation read the embeddings TWICE because Spark
+    // plans trees, not DAGs (plan-audited at one scan now). Every
+    // post-collapse stage is #labels-bounded whatever the corpus size.
+    // Centroids are r6-rounded BEFORE the dot products so both engines
+    // feed identical doubles into the pair sums.
     Q("q_label_affinity",
       """WITH x AS (SELECT label,
         |                  unnest(list_transform(range(1, len(embedding) + 1),
@@ -532,16 +536,22 @@ object Similarity {
         .select(col("label"), posexplode(col("de")).as(Seq("dim", "v")))
         .groupBy("label", "dim")
         .agg(Q.r6(avg(col("v"))).as("c"))
-      val a = cent.select(col("label").as("la"), col("dim"), col("c").as("ca"))
-      val b = cent.select(col("label").as("lb"), col("dim"), col("c").as("cb"))
-      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
-        .groupBy("la", "lb")
-        .agg(
-          sum(col("ca") * col("cb")).as("dot"),
-          sum(col("ca") * col("ca")).as("na"),
-          sum(col("cb") * col("cb")).as("nb"))
-        .select(col("la"), col("lb"),
-          Q.r4(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
+      // per-label centroid vector in dim order (sort_array on the
+      // (dim, c) struct sorts by dim), then ONE row holding the
+      // label-sorted list of (label, vector)
+      cent.groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+        .agg(sort_array(collect_list(struct(col("label"), col("cv")))).as("ls"))
+        .select(explode(expr(
+          """flatten(transform(ls, (x, i) ->
+            |  transform(slice(ls, i + 2, size(ls)),
+            |            y -> struct(x.label AS la, y.label AS lb,
+            |                        x.cv AS ca, y.cv AS cb))))""".stripMargin)).as("p"))
+        .select(col("p.la").as("la"), col("p.lb").as("lb"),
+          Q.r4(expr("aggregate(zip_with(p.ca, p.cb, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+            (sqrt(expr("aggregate(zip_with(p.ca, p.ca, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")) *
+             sqrt(expr("aggregate(zip_with(p.cb, p.cb, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))))
+            .as("cos"))
         .orderBy("la", "lb")
     }
   )

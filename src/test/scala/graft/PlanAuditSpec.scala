@@ -471,6 +471,20 @@ class PlanAuditSpec extends SparkSpec {
       s"unfolded bounds must reach the parquet scan as PushedFilters:\n$plan")
   }
 
+  test("q_label_affinity reads the embeddings ONCE for the whole pair matrix") {
+    // the in-row pair expansion exists precisely so the centroid
+    // subtree is not planned twice (a dim-keyed self-join would scan
+    // the corpus per side — Spark plans trees, not DAGs)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries("q_label_affinity")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans === 1, s"affinity must be one corpus pass, found $scans:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("q_profile reads the corpus ONCE for all four multi-distinct columns") {
     // Spark must plan the 4-column count(DISTINCT) as a single
     // Expand-based multi-distinct aggregate over one scan — a naive
