@@ -128,6 +128,42 @@ object KafkaSource {
       .map { case (p, off) => s""""$p":$off""" }
       .mkString(s"""{"$topic":{""", ",", "}}")
 
+  /** Out-of-range recovery — the reference pattern's explicit
+    * stored-offset vs broker-range check before building the stream:
+    * a ledger position can fall outside what the cluster still serves
+    * (retention expired the data → stored < earliest; topic recreated
+    * or compacted past the ledger → stored > latest; partition count
+    * grew → no stored offset at all). Each stored offset is clamped
+    * into [earliest, latest], unknown partitions start at earliest,
+    * and every adjustment is REPORTED — silent clamping would hide
+    * data loss, which is the one thing an offset ledger exists to make
+    * loud. Pure arithmetic on the three maps, so the contract is fully
+    * property-testable without a broker (LedgerSpec). */
+  def clampToRange(stored: Map[Int, Long], earliest: Map[Int, Long],
+                   latest: Map[Int, Long]): (Map[Int, Long], Seq[String]) = {
+    require(earliest.keySet == latest.keySet,
+      s"broker range maps disagree on partitions: ${earliest.keySet} vs ${latest.keySet}")
+    val adjustments = Seq.newBuilder[String]
+    val clamped = earliest.keySet.toSeq.sorted.map { p =>
+      val lo = earliest(p)
+      val hi = latest(p)
+      val off = stored.get(p) match {
+        case None =>
+          adjustments += s"partition $p: no stored offset, starting at earliest $lo"
+          lo
+        case Some(o) if o < lo =>
+          adjustments += s"partition $p: stored $o < earliest $lo — ${lo - o} offsets lost to retention"
+          lo
+        case Some(o) if o > hi =>
+          adjustments += s"partition $p: stored $o > latest $hi — topic truncated/recreated, resetting to latest"
+          hi
+        case Some(o) => o
+      }
+      p -> off
+    }.toMap
+    (clamped, adjustments.result())
+  }
+
   /** readStream against Kafka positioned at explicit offsets — the
     * Structured Streaming equivalent of the reference's
     * createDirectStream(fromOffsets). `failOnDataLoss=false` mirrors its

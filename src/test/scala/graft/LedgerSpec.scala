@@ -233,6 +233,42 @@ class LedgerSpec extends SparkSpec {
     assert(res.passed, s"round-trip property failed: ${res.status}")
   }
 
+  test("clampToRange recovers out-of-range stored offsets and reports every adjustment") {
+    // the reference pattern's explicit pre-stream check: retention
+    // expired past the ledger (p0), ledger ahead of a truncated topic
+    // (p1), in-range (p2), partition added since the last run (p3)
+    val (clamped, report) = KafkaSource.clampToRange(
+      stored = Map(0 -> 5L, 1 -> 900L, 2 -> 50L),
+      earliest = Map(0 -> 10L, 1 -> 0L, 2 -> 40L, 3 -> 0L),
+      latest = Map(0 -> 100L, 1 -> 80L, 2 -> 60L, 3 -> 20L))
+    assert(clamped === Map(0 -> 10L, 1 -> 80L, 2 -> 50L, 3 -> 0L))
+    assert(report.size === 3, report.mkString("; "))
+    assert(report.exists(_.contains("5 offsets lost to retention")))
+  }
+
+  test("clampToRange is identity (and silent) exactly when every offset is in range") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val entry = for {
+      p <- Gen.choose(0, 16)
+      lo <- Gen.choose(0L, 1000L)
+      span <- Gen.choose(0L, 1000L)
+      off <- Gen.choose(-100L, 2100L)
+    } yield (p, lo, lo + span, off)
+    val prop = Prop.forAll(Gen.mapOfN(6, entry.map(e => e._1 -> e))) { m =>
+      val earliest = m.map { case (p, (_, lo, _, _)) => p -> lo }
+      val latest = m.map { case (p, (_, _, hi, _)) => p -> hi }
+      val stored = m.map { case (p, (_, _, _, off)) => p -> off }
+      val (clamped, report) = KafkaSource.clampToRange(stored, earliest, latest)
+      val inRange = clamped.forall { case (p, o) => earliest(p) <= o && o <= latest(p) }
+      val allGood = stored.forall { case (p, o) => earliest(p) <= o && o <= latest(p) }
+      // clamped is always serveable, report fires iff something moved,
+      // and in-range inputs pass through byte-identical
+      inRange && (report.isEmpty == allGood) && (!allGood || clamped == stored)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"clamp property failed: ${res.status}")
+  }
+
   test("parseEv handles the kafka source schema, null keys and malformed values") {
     import spark.implicits._
     // the exact column set spark-sql-kafka exposes; keys are nullable
