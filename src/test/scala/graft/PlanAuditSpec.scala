@@ -471,6 +471,17 @@ class PlanAuditSpec extends SparkSpec {
       s"unfolded bounds must reach the parquet scan as PushedFilters:\n$plan")
   }
 
+  test("q_rle_zorder's run-break window partitions by zbucket, never globally") {
+    // a global curve-order window would funnel the corpus through one
+    // reducer; partitioned by zbucket, each reducer sorts one bucket
+    val plan = SparkEntry.queries("q_rle_zorder")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(zbucket")),
+      s"window must hash-partition on zbucket:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no stage may single-partition the corpus:\n$plan")
+  }
+
   test("q_label_affinity reads the embeddings ONCE for the whole pair matrix") {
     // the in-row pair expansion exists precisely so the centroid
     // subtree is not planned twice (a dim-keyed self-join would scan
