@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` column with typed metadata, decoded/featurized in
   * per-partition batches.
   *
-  * The IMAGE path is real end-to-end: payloads are genuine PNG streams
-  * (encoded in-JVM by javax.imageio — `java.desktop` ships an actual
-  * PNG codec) and the decode stage parses those bytes back into pixels
-  * and measures width/height/channel means from the decoded raster. No
-  * external media library is involved; swap [[decodePng]]'s body for a
-  * heavier codec (JNI/ONNX) without touching the surrounding plumbing.
-  * Frame sampling (video) remains the one stub — no container codec
-  * exists on this box. What the plumbing guarantees either way:
+  * BOTH paths are real end-to-end. Images: payloads are genuine PNG
+  * streams (encoded in-JVM by javax.imageio — `java.desktop` ships an
+  * actual PNG codec) and the decode stage parses those bytes back into
+  * pixels and measures width/height/channel means from the decoded
+  * raster. Video: no standard container codec exists on this box, so
+  * payloads use a custom-but-real GFV1 container (length-prefixed PNG
+  * frames); the sampler genuinely parses the container and
+  * pixel-decodes every sampled frame. No external media library is
+  * involved; swap [[decodePng]]/[[sampleFrames]]' codec calls for a
+  * heavier one (JNI/ffmpeg/ONNX) without touching the surrounding
+  * plumbing. What the plumbing guarantees either way:
   *  - the schema shape (payload: binary + typed metadata + features
   *    array<float>), carried through shuffle and parquet sink;
   *  - mapPartitions batching: codec init (e.g. disabling ImageIO's
@@ -39,22 +42,20 @@ object Multimodal {
       size_bytes: Int,
       features: Array[Float])
 
-  /** Deterministic PNG synthesis: a w×h RGB raster whose dims and pixel
-    * values are pure functions of (doc_id, n_chars), encoded by the
-    * JDK's real PNG writer. Stands in for reading image files off a
-    * lake — the bytes ARE a decodable image/png stream. */
-  private def encodePng(docId: Long, nChars: Long): Array[Byte] = {
-    val w = 4 + (docId % 13).toInt
-    val h = 3 + (nChars % 7).toInt
+  /** Deterministic raster synthesis: a w×h RGB image whose pixel values
+    * are a pure function of `seed`, encoded by the JDK's real PNG
+    * writer. Stands in for reading image files off a lake — the bytes
+    * ARE a decodable image/png stream. */
+  private def encodePngRaster(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
-        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
-        val b = ((docId + x.toLong * y) % 256).toInt
+        val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((seed * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((seed + x.toLong * y) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -64,6 +65,9 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  private def encodePng(docId: Long, nChars: Long): Array[Byte] =
+    encodePngRaster(docId, 4 + (docId % 13).toInt, 3 + (nChars % 7).toInt)
 
   /** REAL decode: parses the payload's PNG stream via javax.imageio and
     * measures the decoded raster — width, height, per-channel means in
@@ -95,28 +99,85 @@ object Multimodal {
     }
   }
 
-  /** One sampled "frame" of a media payload. */
-  final case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int, checksum: Long)
+  /** One sampled, DECODED frame of a media container. */
+  final case class Frame(doc_id: Long, n_frames: Int, frame_idx: Int,
+                         width: Int, height: Int, mean_lum: Float)
 
-  /** STUB for frame sampling (video/audio): treats the payload as
-    * fixed-size frames and keeps every `stride`-th one. A real codec
-    * would decode container timestamps here; the batch shape —
-    * explode-to-frames inside one partition pass, no shuffle — is what
-    * carries over. */
-  private def frameSampleStub(frameBytes: Int, stride: Int)(
-      rows: Iterator[MediaIn]): Iterator[Frame] =
-    rows.flatMap { r =>
-      val n = r.payload.length
-      val frames = (n + frameBytes - 1) / frameBytes
-      (0 until frames by stride).iterator.map { i =>
-        val from = i * frameBytes
-        val until = math.min(from + frameBytes, n)
-        var crc = 0L
-        var j = from
-        while (j < until) { crc = crc * 31 + (r.payload(j) & 0xff); j += 1 }
-        Frame(r.doc_id, i, until - from, crc)
-      }
+  /** Container magic for the synthetic video format. */
+  private val FrameMagic = Array[Byte]('G', 'F', 'V', '1')
+
+  /** Deterministic "video" synthesis: a GFV1 container — 4-byte magic,
+    * 2-byte big-endian frame count, then per frame a 4-byte big-endian
+    * length prefix + a REAL PNG stream (per-frame raster varies with
+    * the frame index). No standard video codec exists on this box, so
+    * the container is custom — but every byte of it is genuinely
+    * parsed and every sampled frame genuinely pixel-decoded, which is
+    * what makes the frames path stub-free. */
+  private def encodeContainer(docId: Long, nChars: Long): Array[Byte] = {
+    val nFrames = 2 + (nChars % 5).toInt // 2..6 frames
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(FrameMagic)
+    bos.write((nFrames >> 8) & 0xff); bos.write(nFrames & 0xff)
+    var i = 0
+    while (i < nFrames) {
+      val png = encodePngRaster(docId * 131 + i,
+        4 + ((docId + i) % 5).toInt, 3 + (i % 4))
+      val n = png.length
+      bos.write((n >> 24) & 0xff); bos.write((n >> 16) & 0xff)
+      bos.write((n >> 8) & 0xff); bos.write(n & 0xff)
+      bos.write(png)
+      i += 1
     }
+    bos.toByteArray
+  }
+
+  /** REAL frame sampling: parses the GFV1 container (magic, count,
+    * length-prefixed entries), keeps every `stride`-th frame, and
+    * pixel-decodes each kept frame via javax.imageio — width, height,
+    * mean luminance from the decoded raster. A real production codec
+    * (JNI/ffmpeg) slots into exactly this per-partition batch shape:
+    * explode-to-frames inside one partition pass, no shuffle. Corrupt
+    * containers fail loudly. */
+  private def sampleFrames(stride: Int)(rows: Iterator[MediaIn]): Iterator[Frame] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+    rows.flatMap { r =>
+      val p = r.payload
+      require(p.length >= 6 && p(0) == 'G' && p(1) == 'F' && p(2) == 'V' && p(3) == '1',
+        s"doc ${r.doc_id}: not a GFV1 container")
+      val nFrames = ((p(4) & 0xff) << 8) | (p(5) & 0xff)
+      var pos = 6
+      val out = Vector.newBuilder[Frame]
+      var i = 0
+      while (i < nFrames) {
+        val len = ((p(pos) & 0xff) << 24) | ((p(pos + 1) & 0xff) << 16) |
+          ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        pos += 4
+        if (i % stride == 0) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p, pos, len))
+          require(img != null, s"doc ${r.doc_id} frame $i: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var lum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              lum += 0.299 * ((px >> 16) & 0xff) + 0.587 * ((px >> 8) & 0xff) +
+                0.114 * (px & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          out += Frame(r.doc_id, nFrames, i, w, h, (lum / (w * h * 255.0)).toFloat)
+        }
+        pos += len
+        i += 1
+      }
+      require(pos == p.length, s"doc ${r.doc_id}: trailing bytes in container")
+      out.result()
+    }
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -150,26 +211,31 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Frame sampling over binary payloads: each doc explodes to its
-    // sampled frames in one partition-local pass (rows-only check; the
-    // sampling arithmetic is stub-defined, the explode-without-shuffle
-    // batch shape is the graded part).
+    // Frame sampling over binary video containers — REAL on both ends
+    // since round 9: payloads are GFV1 containers of genuine PNG
+    // frames, the sampler parses the container and pixel-decodes every
+    // kept frame (stride 2). Each doc explodes to its sampled frames
+    // in one partition-local pass (no shuffle until the per-doc
+    // rollup). Rows-only in the driver gate (no SQL engine decodes
+    // PNG); golden-pinned end-to-end.
     Q.noOracle("q_multimodal_frames") { (s, d) =>
       import s.implicits._
       Tables.load(s, d, "documents")
-        .select(
-          col("doc_id"),
-          lit("video/fake").as("mime"),
-          encode(col("text"), "utf-8").as("payload"))
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          MediaIn(id, "video/gfv1", encodeContainer(id, nc)) })
+        .toDF()
         .repartition(col("doc_id"))
         .as[MediaIn]
-        .mapPartitions(frameSampleStub(frameBytes = 32, stride = 2))
+        .mapPartitions(sampleFrames(stride = 2))
         .toDF()
         .groupBy("doc_id")
         .agg(
+          max(col("n_frames")).as("n_frames"),
           count(lit(1)).as("n_sampled"),
-          sum(col("frame_len")).cast("long").as("bytes_sampled"),
-          min(col("checksum")).as("min_crc"))
+          sum(col("width") * col("height")).cast("long").as("pixels_sampled"),
+          round(avg(col("mean_lum")), 4).as("avg_lum"))
         .orderBy("doc_id")
     }
   )
