@@ -184,13 +184,19 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(math.abs(rows.getDouble(2) - 1.0) < 1e-12)
   }
 
-  test("frame sampling stays within payload bounds") {
-    val frames = q("q_multimodal_frames")
-    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "n_chars")
-    val joined = frames.join(docs, "doc_id")
-    assert(joined.filter(col("bytes_sampled") > col("n_chars")).isEmpty)
-    assert(joined.filter(col("n_sampled") < 1).isEmpty)
+  test("frame sampling decodes every stride-2 frame of every container") {
+    val frames = q("q_multimodal_frames").cache()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id")
+    // container synthesis emits 2..6 frames; stride 2 keeps ceil(n/2);
+    // decoded luminance is a [0,1] mean and every frame has pixels
+    val bad = frames.filter(
+      col("n_frames") < 2 || col("n_frames") > 6 ||
+        col("n_sampled") =!= expr("(n_frames + 1) div 2") ||
+        col("pixels_sampled") < col("n_sampled") ||
+        col("avg_lum") < 0 || col("avg_lum") > 1)
+    assert(bad.isEmpty, bad.collect().mkString(","))
     assert(frames.count() === docs.count())
+    frames.unpersist()
   }
 
   test("Graft SQL facade answers TPC-H-Q1-shape SQL over registered views") {
