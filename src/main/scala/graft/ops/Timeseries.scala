@@ -164,6 +164,53 @@ object Timeseries {
         .orderBy("day")
     },
 
+    // Distribution drift between time periods: per event_type, the
+    // total-variation distance between the value distribution before
+    // and after a split date, over a FIXED 20-bucket grid — the
+    // log-free face of the PSI/KS drift monitors production ML
+    // pipelines gate on (TVD = 0.5·Σ|p−q| uses only divisions of
+    // exact counts and an ≤20-term sum; PSI's ln and exact KS's
+    // global sort are both dropped deliberately — the first for libm
+    // parity, the second because sorting the corpus for a sup-CDF is
+    // the classic scale-killer; on a fixed grid the whole statistic
+    // is one map-side bucket count). Shuffle carries ≤ |types|×2×20
+    // partial rows whatever the corpus size.
+    Q("q_drift_tvd",
+      s"""WITH e AS (SELECT event_type,
+         |                  CASE WHEN CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-15'
+         |                       THEN 1 ELSE 2 END AS period,
+         |                  least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket
+         |           FROM events),
+         |c AS (SELECT event_type, bucket,
+         |             count(CASE WHEN period = 1 THEN 1 END) AS n1,
+         |             count(CASE WHEN period = 2 THEN 1 END) AS n2
+         |      FROM e GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1,
+         |             CAST(sum(n2) AS BIGINT) AS t2
+         |      FROM c GROUP BY 1)
+         |SELECT c.event_type, t1, t2,
+         |       ${Q.sqlR6("0.5 * sum(abs(CAST(n1 AS DOUBLE) / t1 - CAST(n2 AS DOUBLE) / t2))")} AS tvd
+         |FROM c JOIN t ON c.event_type = t.event_type
+         |GROUP BY 1, 2, 3
+         |ORDER BY c.event_type""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type"),
+          when(col("ts").cast(org.apache.spark.sql.types.DateType)
+            < to_date(lit("2024-01-15")), 1).otherwise(2).as("period"),
+          least(floor(col("value") / 25).cast("long"), lit(19L)).as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+          count(when(col("period") === 1, 1)).as("n1"),
+          count(when(col("period") === 2, 1)).as("n2"))
+      val t = c.groupBy("event_type")
+        .agg(sum("n1").cast("long").as("t1"), sum("n2").cast("long").as("t2"))
+      c.join(broadcast(t), "event_type")
+        .groupBy("event_type", "t1", "t2")
+        .agg(Q.r6(lit(0.5) * sum(abs(col("n1").cast("double") / col("t1") -
+          col("n2").cast("double") / col("t2")))).as("tvd"))
+        .orderBy("event_type")
+    },
+
     // Activity islands: contiguous per-user activity runs, split where
     // the inter-event gap exceeds GapSec. lag() marks island starts, a
     // running sum numbers them, and two stacked rollups (per-island
