@@ -315,6 +315,33 @@ object Analytics {
         .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
           col("vmin"), col("vmax"), col("vavg"))
         .orderBy("col_name")
+    },
+
+    // The 100 TB default for q_profile: swap the exact multi-distinct —
+    // whose Expand replicates the scan once per profiled column — for
+    // approx_count_distinct, collapsing the profile to ONE ordinary
+    // aggregate pass with constant-size HLL++ buffers per column. Same
+    // LONG output format so the two are drop-in interchangeable; no
+    // DuckDB oracle (engine-specific sketch), error-bounded against
+    // q_profile in TwinAndPropertySpec.
+    Q.noOracle("q_profile_approx") { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = Seq(count(lit(1)).as("n")) ++ cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(approx_count_distinct(col(c), 0.01).as(s"d${i + 1}"),
+          (count(lit(1)) - count(col(c))).as(s"nn${i + 1}"),
+          min(col(c)).as(s"mn${i + 1}"), max(col(c)).as(s"mx${i + 1}"),
+          Q.r4(avg(col(c))).as(s"av${i + 1}"))
+      }
+      val stackArgs = cols.zipWithIndex
+        .map { case (c, i) => s"'$c', nn${i + 1}, d${i + 1}, mn${i + 1}, mx${i + 1}, av${i + 1}" }
+        .mkString(", ")
+      Tables.load(s, d, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n",
+          s"stack(${cols.length}, $stackArgs) AS (col_name, n_null, n_distinct, vmin, vmax, vavg)")
+        .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          col("vmin"), col("vmax"), col("vavg"))
+        .orderBy("col_name")
     }
   )
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE / upsert (SURVEY §2 round-10 addition): fold a keyed
+  * change feed into a base snapshot with latest-wins upsert and
+  * tombstone-delete semantics — the batch generalization of a
+  * store-then-commit ingestion loop, and the compaction step every
+  * incremental table maintenance pipeline runs.
+  *
+  * Spark-first shape: NOT a full-outer join of base and delta (two
+  * shuffles + a coalesce per column). Both sides union under a source
+  * tag and ONE window over the merge key picks each key's winner —
+  * a single exchange on the key carries the whole merge, the same
+  * plan shape as q_dedup_latest, and at 100 TB the union input streams
+  * through one hash partitioning with no join build side at all.
+  * Delete handling is a filter on the winner, not an anti-join.
+  */
+object Cdc {
+
+  /** Merge cutoff: rows strictly before this date form the base
+    * snapshot; rows on/after are the change feed (same fixed split
+    * date as q_drift_tvd — the events table spans January 2024). */
+  private val CutoffDate = "2024-01-15"
+
+  /** Latest-wins MERGE of a tagged change feed into a base snapshot.
+    *
+    * Inputs share the schema (user_id, event_type, event_id, es,
+    * value); `delta` additionally carries `op` ('U' upsert / 'D'
+    * delete). Output = the post-merge state: per (user_id, event_type)
+    * key, the newest delta row if any (delta beats base even on
+    * timestamp ties, via the src tag in the ordering), else the base
+    * row — dropped entirely when the winning delta row is a delete.
+    */
+  def mergeUpsert(base: DataFrame, delta: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("src").desc, col("es").desc, col("event_id").desc)
+    base.withColumn("src", lit(0)).withColumn("op", lit("U"))
+      .unionByName(delta.withColumn("src", lit(1)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") === "U")
+      .select("user_id", "event_type", "event_id", "es", "value")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // The oracle mirrors the union-tag formulation exactly: base =
+    // compacted pre-cutoff state (one key, one row), delta = post-
+    // cutoff rows with value < 1.0 acting as tombstones, winner by
+    // (src DESC, es DESC, event_id DESC). Deterministic: event_id
+    // breaks every tie.
+    Q("q_merge_upsert",
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es, value
+         |           FROM events),
+         |b AS (SELECT user_id, event_type, event_id, es, value FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                     ORDER BY es DESC, event_id DESC) AS rk
+         |        FROM e WHERE es < ${Q.sqlEpochSec(s"TIMESTAMP '$CutoffDate'")})
+         |      WHERE rk = 1),
+         |d AS (SELECT user_id, event_type, event_id, es, value,
+         |             CASE WHEN value < 1.0 THEN 'D' ELSE 'U' END AS op
+         |      FROM e WHERE es >= ${Q.sqlEpochSec(s"TIMESTAMP '$CutoffDate'")}),
+         |u AS (SELECT user_id, event_type, event_id, es, value, 0 AS src, 'U' AS op FROM b
+         |      UNION ALL
+         |      SELECT user_id, event_type, event_id, es, value, 1, op FROM d),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |                                   ORDER BY src DESC, es DESC, event_id DESC) AS rk
+         |      FROM u)
+         |SELECT user_id, event_type, event_id, es, value
+         |FROM r WHERE rk = 1 AND op = 'U'
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"), col("value"))
+      val cutoff = Q.epochSec(to_timestamp(lit(CutoffDate)))
+      val wb = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("es").desc, col("event_id").desc)
+      val base = e.filter(col("es") < cutoff)
+        .withColumn("rk", row_number().over(wb))
+        .filter(col("rk") === 1).drop("rk")
+      val delta = e.filter(col("es") >= cutoff)
+        .withColumn("op", when(col("value") < 1.0, "D").otherwise("U"))
+      mergeUpsert(base, delta).orderBy("user_id", "event_type")
+    }
+  )
+}

@@ -357,85 +357,37 @@ object Corpus {
     // and shingle-set jaccard per source pair — the "which feeds are
     // re-crawls of each other" diagnostic that decides dedup order and
     // mixing weights. The corpus-side shape is ALL codegen'd long
-    // arithmetic: each source gets one bit of a 64-bit mask (feeds are
-    // a bounded catalog — ≤64 here; wider catalogs shard the mask into
-    // words), a per-shingle `bit_or` folds source membership into one
-    // long (8 bytes per shingle — no object collect_set, duplicates
-    // idempotent so no distinct pass), and identical masks collapse via
-    // a count BEFORE the pair explosion, so unary/pair emission runs
-    // over |distinct masks| rows, not |shingles|. The corpus text is
-    // scanned ONCE; the catalog derivation reads only the column-pruned
-    // `source` column and its exchange is shared by every consumer
-    // (ReusedExchange) — in production the feed catalog is a static dim
-    // and that pass disappears entirely. Output ≤ C(|sources|, 2) rows
-    // at any corpus size.
+    // arithmetic: each source gets one bit of a SHARDED membership mask
+    // (an array of 64-bit words — word idx/64, bit idx%64 — so the
+    // catalog width is unbounded; see [[sourceOverlap]]), a per-shingle
+    // `bit_or` per word folds source membership into a few longs (no
+    // object collect_set, duplicates idempotent so no distinct pass),
+    // and identical masks collapse via a count BEFORE the pair
+    // explosion, so unary/pair emission runs over |distinct masks|
+    // rows, not |shingles|. The corpus text is scanned ONCE; the
+    // catalog derivation reads only the column-pruned `source` column —
+    // in production the feed catalog is a static dim and that pass
+    // disappears entirely. Output ≤ C(|sources|, 2) rows at any corpus
+    // size. The oracle is the naive distinct-shingle self-join — an
+    // independent formulation with no shift arithmetic at all, so the
+    // parity check exercises the mask path against first principles.
     Q("q_source_overlap",
       """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT source,
-        |              unnest(list_transform(range(1, len(words) - 1),
-        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-        |       FROM w WHERE len(words) >= 3),
-        |cat AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS INT) AS idx
-        |        FROM (SELECT DISTINCT source FROM documents)),
-        |m AS (SELECT sh.shingle, bit_or(CAST(1 AS BIGINT) << cat.idx) AS mask
-        |      FROM sh JOIN cat ON sh.source = cat.source
-        |      GROUP BY 1),
-        |mc AS (SELECT mask, count(*) AS cnt FROM m GROUP BY 1),
-        |n AS (SELECT c.source, sum(cnt) AS n
-        |      FROM mc JOIN cat c ON ((mask >> c.idx) & 1) = 1
-        |      GROUP BY 1),
-        |p AS (SELECT c1.source AS s1, c2.source AS s2, sum(cnt) AS shared
-        |      FROM mc JOIN cat c1 ON ((mask >> c1.idx) & 1) = 1
-        |              JOIN cat c2 ON ((mask >> c2.idx) & 1) = 1 AND c1.idx < c2.idx
+        |sh0 AS (SELECT source,
+        |               unnest(list_transform(range(1, len(words) - 1),
+        |                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |        FROM w WHERE len(words) >= 3),
+        |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+        |n AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
         |      GROUP BY 1, 2)
         |SELECT p.s1, p.s2, CAST(p.shared AS BIGINT) AS shared,
         |       floor((CAST(p.shared AS DOUBLE) / (n1.n + n2.n - p.shared))*10000+0.5)/10000 AS jaccard
         |FROM p JOIN n n1 ON p.s1 = n1.source
         |       JOIN n n2 ON p.s2 = n2.source
         |ORDER BY s1, s2""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, d, "documents")
-      // feed catalog → bit index; idx order = name order, so i1 < i2
-      // reproduces the s1 < s2 pair orientation. The 20-row window is a
-      // deliberate single-partition sort over the DISTINCT sources only.
-      val cat = docs.select("source").distinct()
-        .select(col("source"),
-          (row_number().over(Window.orderBy("source")) - 1).cast("int").as("idx"))
-      val masks = docs
-        .withColumn("words", split(col("text"), " "))
-        .filter(size(col("words")) >= 3)
-        .select(col("source"), explode(expr(
-          """transform(sequence(0, size(words) - 3),
-            |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
-          .as("shingle"))
-        .join(broadcast(cat), "source")
-        .groupBy("shingle").agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
-        .groupBy("mask").agg(count(lit(1)).as("cnt"))
-        .withColumn("idxs",
-          expr("filter(sequence(0, 63), i -> (shiftright(mask, i) & 1) = 1)"))
-      // per mask (ascending idxs): one (x, -1) unary per member bit +
-      // one (x, y) row per ordered pair, each weighted by the mask count
-      val edges = masks
-        .select(col("cnt"), explode(expr(
-          """flatten(transform(idxs, (x, i) ->
-            |  concat(array(struct(x AS i1, -1 AS i2)),
-            |         transform(slice(idxs, i + 2, size(idxs)),
-            |                   y -> struct(x AS i1, y AS i2)))))""".stripMargin)).as("e"))
-        .select(col("e.i1").as("i1"), col("e.i2").as("i2"), col("cnt"))
-        .groupBy("i1", "i2").agg(sum("cnt").as("c"))
-      val n = edges.filter(col("i2") === -1)
-        .join(broadcast(cat), col("i1") === col("idx"))
-        .select(col("source").as("src"), col("c").as("n"))
-      val pairs = edges.filter(col("i2") =!= -1)
-        .join(broadcast(cat.select(col("idx").as("i1"), col("source").as("s1"))), "i1")
-        .join(broadcast(cat.select(col("idx").as("i2"), col("source").as("s2"))), "i2")
-        .select(col("s1"), col("s2"), col("c").as("shared"))
-      val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
-      pairs
-        .join(broadcast(n.select(col("src").as("s1"), col("n").as("n1"))), "s1")
-        .join(broadcast(n.select(col("src").as("s2"), col("n").as("n2"))), "s2")
-        .select(col("s1"), col("s2"), col("shared"), Q.r4(jac).as("jaccard"))
-        .orderBy("s1", "s2")
+      sourceOverlap(Tables.load(s, d, "documents"))
     },
 
     // Content-defined chunking — the dedup-friendly alternative to
@@ -626,6 +578,79 @@ object Corpus {
     * A document's (shard, start_off) depends ONLY on the docs sharing
     * its shard — widening the nibble count re-shards but never changes
     * a shard's internal layout relative to packing that shard alone. */
+  /** Core of q_source_overlap, factored out so the wide-catalog path is
+    * unit-testable on synthetic >64-source corpora (TwinAndPropertySpec).
+    *
+    * Source membership is a SHARDED bitmask: an `array<bigint>` of
+    * ceil(|catalog| / 64) words, where source idx occupies word
+    * `idx / 64`, bit `idx % 64`. A single long would silently corrupt
+    * wider catalogs — the JVM masks shift distances mod 64, so source
+    * #65 would alias bit 0 of source #1. Every shift distance here is
+    * `idx % 64` < 64 by construction, so no wrap is reachable at any
+    * catalog width.
+    *
+    * The one driver-side action (`cat.count()`) is a scalar over the
+    * DISTINCT feed catalog — a bounded static dimension (tens to
+    * hundreds of rows), never the corpus; in production the catalog is
+    * a known dim table and the count is metadata.
+    */
+  def sourceOverlap(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // feed catalog → bit index; idx order = name order, so i1 < i2
+    // reproduces the s1 < s2 pair orientation. The tiny window is a
+    // deliberate single-partition sort over the DISTINCT sources only.
+    val cat = docs.select("source").distinct()
+      .select(col("source"),
+        (row_number().over(Window.orderBy("source")) - 1).cast("int").as("idx"))
+    val nSrc = cat.count().toInt
+    require(nSrc > 0, "q_source_overlap: empty source catalog")
+    val nWords = (nSrc + 63) / 64
+    val wordAggs = (0 until nWords).map { w =>
+      expr(s"""bit_or(IF(idx DIV 64 = $w,
+              |          shiftleft(CAST(1 AS BIGINT), idx % 64),
+              |          CAST(0 AS BIGINT)))""".stripMargin).as(s"m$w")
+    }
+    val masks = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(words) - 3),
+          |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
+        .as("shingle"))
+      .join(broadcast(cat), "source")
+      .groupBy("shingle").agg(wordAggs.head, wordAggs.tail: _*)
+      .select(array((0 until nWords).map(w => col(s"m$w")): _*).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .withColumn("idxs", expr(
+        s"""filter(sequence(0, ${nSrc - 1}),
+           |       i -> (shiftright(element_at(mask, CAST(i DIV 64 AS INT) + 1),
+           |                        CAST(i % 64 AS INT)) & 1) = 1)""".stripMargin))
+    // per mask (ascending idxs): one (x, -1) unary per member bit +
+    // one (x, y) row per ordered pair, each weighted by the mask count
+    val edges = masks
+      .select(col("cnt"), explode(expr(
+        """flatten(transform(idxs, (x, i) ->
+          |  concat(array(struct(x AS i1, -1 AS i2)),
+          |         transform(slice(idxs, i + 2, size(idxs)),
+          |                   y -> struct(x AS i1, y AS i2)))))""".stripMargin)).as("e"))
+      .select(col("e.i1").as("i1"), col("e.i2").as("i2"), col("cnt"))
+      .groupBy("i1", "i2").agg(sum("cnt").as("c"))
+    val n = edges.filter(col("i2") === -1)
+      .join(broadcast(cat), col("i1") === col("idx"))
+      .select(col("source").as("src"), col("c").as("n"))
+    val pairs = edges.filter(col("i2") =!= -1)
+      .join(broadcast(cat.select(col("idx").as("i1"), col("source").as("s1"))), "i1")
+      .join(broadcast(cat.select(col("idx").as("i2"), col("source").as("s2"))), "i2")
+      .select(col("s1"), col("s2"), col("c").as("shared"))
+    val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
+    pairs
+      .join(broadcast(n.select(col("src").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(n.select(col("src").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("shared"), Q.r4(jac).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   def packDocs(docs: org.apache.spark.sql.DataFrame, shardNibbles: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -222,7 +222,7 @@ object Timeseries {
     Q("q_activity_islands",
       s"""WITH e AS (SELECT user_id, event_id,
          |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
-         |f AS (SELECT user_id, es,
+         |f AS (SELECT user_id, event_id, es,
          |             CASE WHEN es - lag(es) OVER (PARTITION BY user_id
          |                                          ORDER BY es, event_id)
          |                       > $GapSec THEN 1
@@ -231,7 +231,8 @@ object Timeseries {
          |                  ELSE 0 END AS brk
          |      FROM e),
          |i AS (SELECT user_id, es,
-         |             sum(brk) OVER (PARTITION BY user_id ORDER BY es
+         |             sum(brk) OVER (PARTITION BY user_id
+         |                            ORDER BY es, event_id
          |                            ROWS UNBOUNDED PRECEDING) AS island
          |      FROM f),
          |g AS (SELECT user_id, island,
@@ -247,7 +248,7 @@ object Timeseries {
          |GROUP BY 1
          |ORDER BY user_id""".stripMargin) { (s, d) =>
       val wo = Window.partitionBy("user_id").orderBy("es", "event_id")
-      val wr = Window.partitionBy("user_id").orderBy("es")
+      val wr = Window.partitionBy("user_id").orderBy("es", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), Q.epochSec(col("ts")).as("es"))

@@ -270,6 +270,26 @@ object Windows {
         .withColumn("n_types_seen", size(collect_set(col("event_type")).over(w)).cast("long"))
         .select("event_id", "user_id", "n_types_seen")
         .orderBy("event_id")
+    },
+
+    // The high-cardinality twin of q_win_distinct: the collect_set
+    // rewrite above materializes the running SET per row — fine over a
+    // bounded domain (event types), quadratic memory over a
+    // high-cardinality column. approx_count_distinct's HLL++ buffer is
+    // CONSTANT-size per frame whatever the cardinality — the documented
+    // 100 TB substitute. No DuckDB oracle (engine-specific sketch);
+    // property-bounded against the exact query in TwinAndPropertySpec.
+    Q.noOracle("q_win_distinct_hll") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("es"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), Q.epochSec(col("ts")).as("es"),
+          col("event_type"))
+        .withColumn("n_types_seen",
+          approx_count_distinct(col("event_type"), 0.01).over(w))
+        .select("event_id", "user_id", "n_types_seen")
+        .orderBy("event_id")
     }
   )
 }

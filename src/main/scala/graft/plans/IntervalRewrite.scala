@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  And, GreaterThanOrEqual, LessThan}
+  And, Expression, GreaterThanOrEqual, LessThan, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -20,12 +20,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * table that is the difference between scanning the table and
   * scanning the matching row groups.
   *
-  * Scoped to Filter conditions ONLY, deliberately:
-  *  - under a Filter, NULL and FALSE both drop the row, so the unfold
-  *    is exactly semantics-preserving even with nullable bounds (the
-  *    conjunction can yield FALSE where the ternary yields NULL —
-  *    indistinguishable to a Filter, observable anywhere else, e.g. in
-  *    a projection);
+  * Scoped to TOP-LEVEL CONJUNCTS of Filter conditions ONLY,
+  * deliberately:
+  *  - at a top-level conjunct position NULL and FALSE both drop the
+  *    row, so the unfold is exactly semantics-preserving even with
+  *    nullable bounds (the conjunction can yield FALSE where the
+  *    ternary yields NULL — indistinguishable to a Filter). The same
+  *    is NOT true deeper inside the condition: under `NOT(...)` or
+  *    `coalesce(..., true)` that NULL→FALSE shift flips row
+  *    retention, so nested occurrences are left untouched;
   *  - join conditions are left alone so [[RangeJoinStrategy]] still
   *    sees the `IntervalMatch` shape it pattern-matches to plan
   *    [[BroadcastRangeJoinExec]] (PlanAuditSpec pins that path).
@@ -34,13 +37,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * optimization fixed-point batch — i.e. before physical planning's
   * filter translation, which is what makes the pushdown happen.
   */
-object IntervalFilterUnfold extends Rule[LogicalPlan] {
+object IntervalFilterUnfold extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
-      val unfolded = cond.transformUp {
+      val conjuncts = splitConjunctivePredicates(cond)
+      val unfolded = conjuncts.map {
         case IntervalMatch(v, lo, hi) =>
-          And(GreaterThanOrEqual(v, lo), LessThan(v, hi))
+          And(GreaterThanOrEqual(v, lo), LessThan(v, hi)): Expression
+        case other => other
       }
-      if (unfolded.fastEquals(cond)) f else f.copy(condition = unfolded)
+      val rebuilt = unfolded.reduce(And)
+      if (rebuilt.fastEquals(cond)) f else f.copy(condition = rebuilt)
   }
 }

@@ -23,18 +23,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Protocol (Hadoop commit v2 / FileOutputCommitter shape, on the
   * public `connector.write` API only):
-  *  - each task writes `part-<partition>-<taskId>-<attempt>` into a
+  *  - each task writes `part-<queryId>-<partition>-<taskId>` into a
   *    hidden `_staging/` dir under the target — NEVER the target
-  *    itself, so readers can't observe half-written output;
-  *  - the task's [[WriterCommitMessage]] carries its staging path +
-  *    row count; a retried/speculative attempt produces a DIFFERENT
-  *    staging file, and only the attempt Spark declares the winner is
-  *    in the commit messages — duplicate work never lands twice;
+  *    itself, so readers can't observe half-written output. The
+  *    queryId (a per-write UUID from [[LogicalWriteInfo]]) makes names
+  *    unique ACROSS Spark applications — task ids restart at 0 in a
+  *    new app, so without it a later append could collide with (and
+  *    on POSIX rename, silently replace) an earlier job's file.
+  *    Within one job, retried/speculative attempts get distinct task
+  *    ids (Spark's contract), so an attempt produces a DIFFERENT
+  *    staging file and only the winner's file is in the commit
+  *    messages — duplicate work never lands twice;
   *  - driver-side [[KvBatchWrite.commit]] renames every staged file
   *    into the target (rename, not copy — atomic per file on a real
-  *    FS) and writes a `_SUCCESS` manifest listing file names + row
-  *    counts LAST: a reader that requires the manifest sees the write
-  *    all-or-nothing;
+  *    FS), refusing — not overwriting — if a destination name already
+  *    exists, then writes a `_SUCCESS` manifest LAST listing file
+  *    names + row counts, MERGED with any prior manifest so an append
+  *    extends the committed listing instead of orphaning it: a reader
+  *    that requires the manifest sees each write all-or-nothing;
   *  - [[KvBatchWrite.abort]] deletes whatever staging files the failed
   *    job left, restoring the pre-write state byte-for-byte.
   *
@@ -78,9 +84,10 @@ private[sources] class KvTable(options: CaseInsensitiveStringMap)
     val path = info.options.get("path")
     require(path != null, "graft-kv requires .option(\"path\", dir)")
     val failPartition = Option(info.options.get("failPartition")).map(_.toInt)
+    val queryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new KvBatchWrite(path, failPartition)
+        override def toBatch: BatchWrite = new KvBatchWrite(path, queryId, failPartition)
       }
     }
   }
@@ -89,12 +96,13 @@ private[sources] class KvTable(options: CaseInsensitiveStringMap)
 private[sources] case class KvCommitMessage(stagedPath: String, rows: Long)
     extends WriterCommitMessage
 
-private[sources] class KvBatchWrite(path: String, failPartition: Option[Int])
+private[sources] class KvBatchWrite(path: String, queryId: String,
+                                    failPartition: Option[Int])
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path, "_staging"))
-    new KvWriterFactory(path, failPartition)
+    new KvWriterFactory(path, queryId, failPartition)
   }
 
   // data files first, manifest LAST — the manifest is the atomicity point
@@ -102,11 +110,22 @@ private[sources] class KvBatchWrite(path: String, failPartition: Option[Int])
     val entries = messages.map { case KvCommitMessage(staged, rows) =>
       val src = Paths.get(staged)
       val dst = Paths.get(path, src.getFileName.toString)
+      // never silently replace committed data: the queryId in the name
+      // makes a collision impossible across jobs, so hitting one means
+      // a protocol bug — fail the commit, leaving staging for abort
+      require(!Files.exists(dst), s"graft-kv: destination already exists: $dst")
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       s"${dst.getFileName}:$rows"
     }
-    Files.write(Paths.get(path, "_SUCCESS"),
-      entries.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // merge with a prior append's manifest so the listing stays complete
+    val manifest = Paths.get(path, "_SUCCESS")
+    val prior =
+      if (Files.exists(manifest))
+        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSeq
+      else Seq.empty
+    Files.write(manifest,
+      (prior ++ entries).sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     deleteStaging()
   }
 
@@ -119,18 +138,19 @@ private[sources] class KvBatchWrite(path: String, failPartition: Option[Int])
   }
 }
 
-private[sources] class KvWriterFactory(path: String, failPartition: Option[Int])
+private[sources] class KvWriterFactory(path: String, queryId: String,
+                                       failPartition: Option[Int])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvWriter(path, partitionId, taskId, failPartition)
+    new KvWriter(path, queryId, partitionId, taskId, failPartition)
 }
 
-private[sources] class KvWriter(path: String, partitionId: Int, taskId: Long,
-                                failPartition: Option[Int])
+private[sources] class KvWriter(path: String, queryId: String, partitionId: Int,
+                                taskId: Long, failPartition: Option[Int])
     extends DataWriter[InternalRow] {
 
   private val staged =
-    Paths.get(path, "_staging", s"part-$partitionId-$taskId")
+    Paths.get(path, "_staging", s"part-$queryId-$partitionId-$taskId")
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
 

@@ -509,13 +509,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_boxplot broadcasts the quantile table and never shuffles the fact side") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = SparkEntry.queries("q_boxplot")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"quantile join must broadcast:\n$plan")
-    val factShuffles = plan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning(event_id"))
-    assert(factShuffles === 0, s"fact side must stay map-side:\n$plan")
+      .queryExecution.sparkPlan
+    val bhjs = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, s"quantile join must broadcast:\n$plan")
+    // the streamed (fact) side must reach the join without any shuffle —
+    // the only exchanges in the whole plan belong to the quantile
+    // aggregate (build side) and the final bounded-key aggregate above
+    val streamed =
+      if (bhjs.head.buildSide == BuildLeft) bhjs.head.right else bhjs.head.left
+    val streamedShuffles =
+      streamed.collect { case e: ShuffleExchangeExec => e }
+    assert(streamedShuffles.isEmpty,
+      s"fact side must stream into the broadcast join unshuffled:\n$plan")
   }
 
   test("q_day_over_day's lag window runs over the daily aggregate, not raw events") {

@@ -88,6 +88,51 @@ class SourcesSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("graft-kv appends never collide across jobs and the manifest merges") {
+    import spark.implicits._
+    val dir = tempDir("graft_kv_append")
+    Seq((1L, "a"), (2L, "b")).toDF("key", "value").coalesce(1)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    Seq((3L, "c")).toDF("key", "value").coalesce(1)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    val parts = files.filter(_.startsWith("part-"))
+    // each job's queryId lands in the published name — no overwrite
+    assert(parts.length === 2 && parts.distinct.length === 2, parts.mkString(","))
+    // the second append EXTENDS the manifest, not replaces it
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS"))).trim.split("\n")
+    assert(manifest.length === 2)
+    assert(manifest.map(_.split(":")(1).toLong).sum === 3L)
+    assert(manifest.map(_.split(":")(0)).sorted.toSeq === parts.sorted.toSeq)
+    val back = spark.read.schema("key LONG, value STRING")
+      .csv(new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getPath): _*)
+    assert(back.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("q_merge_upsert commits through graft-kv atomically") {
+    val merged = SparkEntry.queries("q_merge_upsert")(spark, sfDir)
+      .select(col("event_id").as("key"),
+        concat_ws("|", col("user_id"), col("event_type"), col("es"), col("value"))
+          .as("value"))
+      .cache()
+    val dir = tempDir("graft_kv_merge")
+    merged.coalesce(2)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    // manifest counts add up to the merged state, and the keys roundtrip
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS"))).trim.split("\n")
+    assert(manifest.map(_.split(":")(1).toLong).sum === merged.count())
+    val back = spark.read.schema("key LONG, value STRING")
+      .csv(new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getPath): _*)
+    assert(back.select("key").except(merged.select("key")).isEmpty)
+    assert(merged.select("key").except(back.select("key")).isEmpty)
+    merged.unpersist()
+  }
+
   test("graft-kv sink aborts atomically: a failed job leaves the target untouched") {
     import spark.implicits._
     val dir = tempDir("graft_kv_abort")

@@ -653,4 +653,92 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(perCluster.filter(col("keepers") =!= 1L || col("lo") =!= col("cluster_id")).isEmpty)
     clusters.unpersist()
   }
+
+  test("q_win_distinct_hll tracks the exact running distinct within sketch error") {
+    val exact = q("q_win_distinct").withColumnRenamed("n_types_seen", "n_exact")
+    val approx = q("q_win_distinct_hll").withColumnRenamed("n_types_seen", "n_approx")
+    val bad = exact.join(approx, Seq("event_id", "user_id"))
+      .filter(abs(col("n_approx") - col("n_exact")) >
+        greatest(lit(1.0), col("n_exact") * 0.05))
+    assert(bad.isEmpty, bad.take(5).mkString(","))
+  }
+
+  test("q_profile_approx equals q_profile except a bounded n_distinct error") {
+    val exact = q("q_profile").select(col("col_name"), col("n").as("n_e"),
+      col("n_null").as("nn_e"), col("n_distinct").as("d_e"),
+      col("vmin").as("mn_e"), col("vmax").as("mx_e"), col("vavg").as("av_e"))
+    val j = q("q_profile_approx").join(exact, "col_name").cache()
+    assert(j.count() === 4)
+    // every non-sketch column is bit-identical to the exact profile
+    assert(j.filter(col("n") =!= col("n_e") || col("n_null") =!= col("nn_e") ||
+      col("vmin") =!= col("mn_e") || col("vmax") =!= col("mx_e") ||
+      col("vavg") =!= col("av_e")).isEmpty)
+    // the HLL++ distinct estimate stays within 5% relative error
+    assert(j.filter(abs(col("n_distinct") - col("d_e")) >
+      greatest(lit(1.0), col("d_e") * 0.05)).isEmpty)
+    j.unpersist()
+  }
+
+  test("mergeUpsert: upsert wins, tombstone deletes, base carries, ties go to delta") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", 10L, 100L, 5.0), // updated by delta
+      (2L, "a", 11L, 100L, 6.0), // tombstoned by delta
+      (3L, "a", 12L, 100L, 7.0), // es-tied with a delta row — delta must win
+      (5L, "a", 13L, 100L, 1.5), // delete then re-upsert: latest delta op decides
+      (6L, "a", 14L, 100L, 4.0)) // untouched — carries over
+      .toDF("user_id", "event_type", "event_id", "es", "value")
+    val delta = Seq(
+      (1L, "a", 20L, 200L, 9.0, "U"),
+      (2L, "a", 21L, 200L, 0.5, "D"),
+      (3L, "a", 23L, 100L, 3.0, "U"),
+      (4L, "a", 22L, 200L, 8.0, "U"), // insert of a new key
+      (5L, "a", 30L, 200L, 0.5, "D"),
+      (5L, "a", 31L, 300L, 2.0, "U"))
+      .toDF("user_id", "event_type", "event_id", "es", "value", "op")
+    val got = ops.Cdc.mergeUpsert(base, delta).orderBy("user_id")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 20L, 200L, 9.0),
+      (3L, "a", 23L, 100L, 3.0),
+      (4L, "a", 22L, 200L, 8.0),
+      (5L, "a", 31L, 300L, 2.0),
+      (6L, "a", 14L, 100L, 4.0)))
+  }
+
+  test("sourceOverlap shards the mask beyond 64 sources (no shift wrap)") {
+    import spark.implicits._
+    // 70 sources, each sharing exactly one 3-word shingle with its
+    // successor. A single-long mask would wrap source #65 onto bit 1
+    // (JVM shifts mask mod 64) and corrupt both counts and pairs; the
+    // sharded array-of-words mask must match the naive self-join twin
+    // exactly at this width.
+    val docs = (0 until 70).map { i =>
+      (f"s$i%02d", s"a$i b$i c$i a${i + 1} b${i + 1} c${i + 1}")
+    }.toDF("source", "text")
+    val got = ops.Corpus.sourceOverlap(docs)
+    // first-principles twin: distinct (source, shingle) self-join with
+    // no bit arithmetic anywhere
+    val sh = docs.withColumn("words", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(words) - 3),
+          |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+    val n = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val naive = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(n.select(col("source").as("s1"), col("n").as("n1")), "s1")
+      .join(n.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .select(col("s1"), col("s2"), col("shared"),
+        Q.r4(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared"))).as("jaccard"))
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    // every adjacent pair overlaps; the 64-apart wrap pair must not
+    assert(got.filter(col("s1") === "s00" && col("s2") === "s01").count() === 1L)
+    assert(got.filter(col("s1") === "s01" && col("s2") === "s65").isEmpty)
+  }
 }
