@@ -85,6 +85,58 @@ object Cdc {
       val delta = e.filter(col("es") >= cutoff)
         .withColumn("op", when(col("value") < 1.0, "D").otherwise("U"))
       mergeUpsert(base, delta).orderBy("user_id", "event_type")
+    },
+
+    // SCD type-2 history build (round 10): turn the event stream into a
+    // versioned dimension — one row per VALUE CHANGE per key, with
+    // [valid_from, valid_to) intervals, a version counter, and a
+    // current-row flag. The warehouse twin of q_merge_upsert: merge
+    // maintains the latest state, SCD2 maintains the full history.
+    // Change detection is lag() null-safe compare (IS DISTINCT FROM, so
+    // null values version correctly); all three windows share ONE
+    // (user_id, event_type) exchange — the change filter is applied
+    // between stacked windows on the same partitioning, no re-shuffle.
+    Q("q_scd2",
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es, value FROM events),
+         |c AS (SELECT *, lag(value) OVER (PARTITION BY user_id, event_type
+         |                                 ORDER BY es, event_id) AS pv,
+         |             row_number() OVER (PARTITION BY user_id, event_type
+         |                                ORDER BY es, event_id) AS rn
+         |      FROM e),
+         |ch AS (SELECT user_id, event_type, event_id, es, value
+         |       FROM c WHERE rn = 1 OR value IS DISTINCT FROM pv),
+         |v AS (SELECT user_id, event_type, event_id, value, es AS valid_from,
+         |             lead(es) OVER (PARTITION BY user_id, event_type
+         |                            ORDER BY es, event_id) AS valid_to,
+         |             row_number() OVER (PARTITION BY user_id, event_type
+         |                                ORDER BY es, event_id) AS version
+         |      FROM ch)
+         |SELECT user_id, event_type, event_id, value, valid_from, valid_to,
+         |       CAST(version AS BIGINT) AS version,
+         |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM v
+         |ORDER BY user_id, event_type, version""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("es", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"), col("value"))
+        .withColumn("pv", lag("value", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 || !(col("value") <=> col("pv")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("es").as("valid_from"))
+        .withColumn("valid_to", lead("valid_from", 1).over(
+          Window.partitionBy("user_id", "event_type").orderBy("valid_from", "event_id")))
+        .withColumn("version", row_number().over(
+          Window.partitionBy("user_id", "event_type").orderBy("valid_from", "event_id"))
+          .cast("long"))
+        .withColumn("is_current",
+          when(col("valid_to").isNull, 1L).otherwise(0L))
+        .select("user_id", "event_type", "event_id", "value",
+          "valid_from", "valid_to", "version", "is_current")
+        .orderBy("user_id", "event_type", "version")
     }
   )
 }

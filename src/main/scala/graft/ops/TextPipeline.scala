@@ -800,6 +800,48 @@ object TextPipeline {
       dupFrac.join(bigramShare, "doc_id")
         .select("doc_id", "dup_word_frac", "top_bigram_share")
         .orderBy("doc_id")
+    },
+
+    // Unigram language-model scoring (round 10) — the KenLM-style
+    // quality filter every pretraining pipeline runs: per-doc mean
+    // log-probability under an add-one-smoothed per-language unigram
+    // model fit on the corpus itself. Low scorers are gibberish /
+    // boilerplate / wrong-language; the threshold is the caller's.
+    // Shapes: (doc,word) term counts roll up to per-language word
+    // counts; the tiny (lang, N, V) table broadcasts back; the word-
+    // stats join keys on (lang, word) — vocab-sized, NOT broadcast, a
+    // plain shuffle join that scales with the vocabulary; the per-doc
+    // sum then keys on doc_id. In production the word stats are a
+    // precomputed model table and the first aggregation pass drops out.
+    Q("q_unigram_logprob",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+        |ws AS (SELECT lang, word, sum(tf) AS cw FROM tf GROUP BY 1, 2),
+        |ls AS (SELECT lang, sum(cw) AS n, count(*) AS v FROM ws GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.lang,
+        |              sum(tf.tf * ln((CAST(cw AS DOUBLE) + 1) / (n + v))) AS lp,
+        |              sum(tf.tf) AS n_tok
+        |       FROM tf JOIN ws ON tf.lang = ws.lang AND tf.word = ws.word
+        |               JOIN ls ON tf.lang = ls.lang
+        |       GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+        |       floor((lp / n_tok)*10000+0.5)/10000 AS avg_logprob
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tf = withWords(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+        .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+      val ws = tf.groupBy("lang", "word").agg(sum("tf").as("cw"))
+      val ls = ws.groupBy("lang").agg(sum("cw").as("n"), count(lit(1)).as("v"))
+      tf.join(ws, Seq("lang", "word"))
+        .join(broadcast(ls), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+          sum(col("tf") * log((col("cw").cast("double") + 1) / (col("n") + col("v")))).as("lp"),
+          sum("tf").cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          Q.r4(col("lp") / col("n_tokens")).as("avg_logprob"))
+        .orderBy("doc_id")
     }
   )
 }

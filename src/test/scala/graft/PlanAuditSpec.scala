@@ -527,6 +527,19 @@ class PlanAuditSpec extends SparkSpec {
       s"fact side must stream into the broadcast join unshuffled:\n$plan")
   }
 
+  test("q_scd2's three stacked windows ride ONE (user_id, event_type) exchange") {
+    // change-detect lag, validity lead and version row_number all
+    // partition by the same key with the same ordering — a correct plan
+    // hash-partitions once; a second hash exchange means the change
+    // filter broke partitioning reuse and the corpus re-shuffles
+    val plan = SparkEntry.queries("q_scd2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"expected exactly one hash exchange, found $hashExchanges:\n$plan")
+  }
+
   test("q_day_over_day's lag window runs over the daily aggregate, not raw events") {
     // the only single-partition exchange must sit above the |days|-key
     // aggregate; a window over raw events would single-thread the corpus
