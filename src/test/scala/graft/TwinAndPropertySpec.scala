@@ -654,6 +654,28 @@ class TwinAndPropertySpec extends SparkSpec {
     clusters.unpersist()
   }
 
+  test("interval_match under NOT with nullable bounds keeps NULL semantics") {
+    import spark.implicits._
+    // NOT(interval_match(v, lo, hi)) with lo NULL: the ternary yields
+    // NULL → NOT NULL = NULL → row dropped. The unfolded conjunction
+    // would fold (v >= NULL AND v < hi) to FALSE for v >= hi → NOT
+    // FALSE = TRUE → row KEPT. The optimizer rule must therefore leave
+    // nested occurrences alone (it rewrites top-level conjuncts only).
+    val df = Seq(
+      (1L, 5.0, Option.empty[Double], Option(3.0)), // v>=hi, lo null: NULL under NOT → drop
+      (2L, 5.0, Option(1.0), Option(3.0)),          // in no band → NOT FALSE → keep
+      (3L, 2.0, Option(1.0), Option(3.0)))          // in band → NOT TRUE → drop
+      .toDF("id", "v", "lo", "hi")
+    val im = call_function("interval_match", col("v"), col("lo"), col("hi"))
+    val kept = df.filter(!im).select("id").as[Long].collect().toSeq
+    assert(kept === Seq(2L),
+      s"NOT(interval_match) must keep exactly the definitely-outside row, got $kept")
+    // while a TOP-LEVEL interval_match conjunct still unfolds and pushes
+    val top = df.filter(im && col("id") > 0)
+    assert(!top.queryExecution.optimizedPlan.toString.contains("interval_match"),
+      "top-level conjunct must still unfold to native comparisons")
+  }
+
   test("q_win_distinct_hll tracks the exact running distinct within sketch error") {
     val exact = q("q_win_distinct").withColumnRenamed("n_types_seen", "n_exact")
     val approx = q("q_win_distinct_hll").withColumnRenamed("n_types_seen", "n_approx")
