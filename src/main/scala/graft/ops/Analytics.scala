@@ -327,7 +327,7 @@ object Analytics {
     Q.noOracle("q_profile_approx") { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggs = Seq(count(lit(1)).as("n")) ++ cols.zipWithIndex.flatMap { case (c, i) =>
-        Seq(approx_count_distinct(col(c), 0.01).as(s"d${i + 1}"),
+        Seq(approx_count_distinct(col(c), 0.023).as(s"d${i + 1}"),
           (count(lit(1)) - count(col(c))).as(s"nn${i + 1}"),
           min(col(c)).as(s"mn${i + 1}"), max(col(c)).as(s"mx${i + 1}"),
           Q.r4(avg(col(c))).as(s"av${i + 1}"))
