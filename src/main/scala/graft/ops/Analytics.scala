@@ -342,6 +342,42 @@ object Analytics {
         .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
           col("vmin"), col("vmax"), col("vavg"))
         .orderBy("col_name")
+    },
+
+    // Winsorized robust statistics per event_type (round 10): clamp
+    // values to the exact [p05, p95] band and report raw vs winsorized
+    // mean plus the clamp count — the outlier-robust mean every metrics
+    // pipeline wants next to q_boxplot's fence counts. Same broadcast
+    // shape as q_anomaly/q_boxplot: the 5-row quantile table fans back
+    // map-side, the fact stream is never shuffled (one bounded-key agg
+    // at the end). Quantiles are r6-rounded BEFORE clamping so both
+    // engines clamp against identical doubles.
+    Q("q_winsorize",
+      s"""WITH st AS (SELECT event_type,
+         |                   ${Q.sqlR6("quantile_cont(value, 0.05)")} AS p05,
+         |                   ${Q.sqlR6("quantile_cont(value, 0.95)")} AS p95
+         |            FROM events GROUP BY 1)
+         |SELECT e.event_type, count(*) AS n,
+         |       ${Q.sqlR4("avg(value)")} AS mean_raw,
+         |       ${Q.sqlR4("avg(least(greatest(value, p05), p95))")} AS mean_winsor,
+         |       CAST(count(CASE WHEN value < p05 OR value > p95 THEN 1 END) AS BIGINT) AS n_clamped
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |GROUP BY 1
+         |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_type", "value")
+      val st = e.groupBy("event_type")
+        .agg(
+          Q.r6(percentile(col("value"), lit(0.05))).as("p05"),
+          Q.r6(percentile(col("value"), lit(0.95))).as("p95"))
+      e.join(broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          Q.r4(avg("value")).as("mean_raw"),
+          Q.r4(avg(least(greatest(col("value"), col("p05")), col("p95")))).as("mean_winsor"),
+          count(when(col("value") < col("p05") || col("value") > col("p95"), 1))
+            .as("n_clamped"))
+        .orderBy("event_type")
     }
   )
 }

@@ -842,6 +842,42 @@ object TextPipeline {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           Q.r4(col("lp") / col("n_tokens")).as("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    // Character-level Shannon entropy per document (round 10) — the
+    // encoding-junk / gibberish detector: binary blobs, mojibake and
+    // key-mash text sit far from natural language's ~4 bits/char. The
+    // Spark shape is ZERO-shuffle: sort the char array in-row, find
+    // run starts with an index lambda, turn run lengths into the char
+    // histogram, and fold -Σ p·ln(p) with aggregate() — one projection,
+    // no explode, no groupBy; the corpus streams map-side at any scale.
+    // The oracle is the naive unnest + two GROUP BYs — an independent
+    // formulation validating the run-length algebra from first
+    // principles. Empty-string guard: Spark's regex split keeps a
+    // trailing '' that DuckDB's splitter never emits — filtered on the
+    // Spark side only.
+    Q("q_char_entropy",
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |h AS (SELECT doc_id, ch, count(*) AS k FROM c GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(k) AS n FROM h GROUP BY 1)
+        |SELECT h.doc_id AS doc_id, CAST(max(n.n) AS BIGINT) AS n_chars,
+        |       floor((-sum((CAST(k AS DOUBLE)/n.n) * ln(CAST(k AS DOUBLE)/n.n)))*10000+0.5)/10000 AS char_entropy
+        |FROM h JOIN n ON h.doc_id = n.doc_id
+        |GROUP BY h.doc_id
+        |ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("array_sort(filter(split(text, ''), c -> c <> ''))").as("chars"))
+        .withColumn("n", size(col("chars")))
+        .withColumn("starts", expr(
+          "filter(sequence(0, n - 1), i -> i = 0 OR chars[i] <> get(chars, i - 1))"))
+        .withColumn("char_entropy", Q.r4(expr(
+          """-aggregate(
+            |  transform(starts, (st, j) -> coalesce(get(starts, j + 1), n) - st),
+            |  CAST(0 AS DOUBLE),
+            |  (acc, k) -> acc + (CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n))""".stripMargin)))
+        .select(col("doc_id"), col("n").cast("long").as("n_chars"), col("char_entropy"))
+        .orderBy("doc_id")
     }
   )
 }

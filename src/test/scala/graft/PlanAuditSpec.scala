@@ -527,6 +527,16 @@ class PlanAuditSpec extends SparkSpec {
       s"fact side must stream into the broadcast join unshuffled:\n$plan")
   }
 
+  test("q_char_entropy is shuffle-free up to its output sort") {
+    // the whole histogram + entropy fold is in-row — the only exchange
+    // a correct plan contains is the final orderBy's range partitioning;
+    // a hash exchange means the rewrite regressed to explode + groupBy
+    val plan = SparkEntry.queries("q_char_entropy")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"entropy must stay map-side (no aggregation exchange):\n$plan")
+  }
+
   test("q_scd2's three stacked windows ride ONE (user_id, event_type) exchange") {
     // change-detect lag, validity lead and version row_number all
     // partition by the same key with the same ordering — a correct plan
