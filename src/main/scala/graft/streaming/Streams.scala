@@ -17,6 +17,11 @@ final case class Ev(
 /** Per-user running totals carried in the state store. */
 final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Latest-wins merge state per (user, type) key — `deleted` marks a
+  * tombstone the downstream sink applies as a key delete. */
+final case class MergeState(user_id: Long, event_type: String,
+    event_id: Long, es: Long, value: Double, deleted: Boolean)
+
 /** Streaming transforms (SURVEY §2.9). Every transform takes its source
   * DataFrame as a parameter, so the same code runs against:
   *  - MemoryStream (unit tests),
@@ -206,6 +211,43 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming CDC merge (s_merge_upsert) — the streaming face of
+    * ops.Cdc.mergeUpsert: per (user_id, event_type) key, keep the
+    * newest row by (es, event_id) in typed state, tombstoning the key
+    * when that row's value < 1.0 (the same delete predicate as the
+    * batch operator). Emits the key's post-batch state in Update mode;
+    * a downstream kv/table sink applies it as upsert-or-delete. Late
+    * rows older than the held state are ignored — latest-wins is
+    * idempotent under replay, which is what makes the operator safe
+    * behind an at-least-once source. State is one small row per live
+    * key, partitioned by the group key — horizontal at any key count.
+    * StreamingSpec proves the twin: final emitted state per key equals
+    * batch mergeUpsert over the same rows.
+    */
+  def mergeUpsertStream(events: Dataset[Ev]): Dataset[MergeState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[MergeState, MergeState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((uid, typ), rows, state) =>
+          var cur = state.getOption
+          // micro-batch iterators carry no ordering guarantee — fold
+          // with the same (es, event_id) newest-wins rule as the batch
+          // window, so arrival order never matters
+          rows.foreach { e =>
+            val es = e.ts.getTime / 1000
+            val newer = cur.forall(c =>
+              es > c.es || (es == c.es && e.event_id > c.event_id))
+            if (newer)
+              cur = Some(MergeState(uid, typ, e.event_id, es, e.value,
+                deleted = e.value < 1.0))
+          }
+          cur.foreach(state.update)
+          cur.iterator
+      }
   }
 
   /** Custom state: per-user running totals via flatMapGroupsWithState

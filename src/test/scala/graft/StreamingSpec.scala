@@ -101,6 +101,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_merge_upsert streaming state equals batch mergeUpsert over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.mergeUpsertStream(in.toDS())
+      .writeStream.format("memory").queryName("t_merge").outputMode("update").start()
+    // batch 2 includes an out-of-order older row for (7, click) — must
+    // be ignored — and a tombstone (value < 1.0) for (8, click)
+    val b1 = Seq(ev(1, 0, user = 7, v = 5.0), ev(2, 1, user = 8, v = 3.0),
+      ev(3, 2, user = 7, typ = "view", v = 2.0))
+    val b2 = Seq(ev(4, 5, user = 7, v = 9.0), ev(5, 1, user = 7, v = 4.0),
+      ev(6, 6, user = 8, v = 0.5))
+    withQuery(q) {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // latest emitted state per key, tombstones applied as deletes
+      val got = spark.table("t_merge").as[graft.streaming.MergeState].collect()
+        .groupBy(s => (s.user_id, s.event_type))
+        .map { case (_, ss) => ss.maxBy(s => (s.es, s.event_id)) }
+        .filterNot(_.deleted)
+        .map(s => (s.user_id, s.event_type, s.event_id, s.es, s.value))
+        .toSet
+      // the batch twin: empty base, every row a delta with the same
+      // tombstone predicate — Cdc.mergeUpsert picks identical winners
+      val base = Seq.empty[(Long, String, Long, Long, Double)]
+        .toDF("user_id", "event_type", "event_id", "es", "value")
+      val delta = (b1 ++ b2).toDS()
+        .selectExpr("user_id", "event_type", "event_id",
+          "CAST(ts AS LONG) AS es", "value",
+          "IF(value < 1.0, 'D', 'U') AS op")
+      val expected = graft.ops.Cdc.mergeUpsert(base, delta)
+        .as[(Long, String, Long, Long, Double)].collect().toSet
+      assert(got === expected)
+      assert(!got.exists { case (u, t, _, _, _) => u == 8L && t == "click" },
+        "tombstoned key must be absent")
+    }
+  }
+
   test("transformWithState (state v2, RocksDB) keeps running totals") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
