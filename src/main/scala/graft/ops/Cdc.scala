@@ -137,6 +137,47 @@ object Cdc {
         .select("user_id", "event_type", "event_id", "value",
           "valid_from", "valid_to", "version", "is_current")
         .orderBy("user_id", "event_type", "version")
+    },
+
+    // Incremental view maintenance (round 10): the aggregate-state
+    // counterpart of the row-level MERGE above. A materialized per-
+    // priority rollup is maintained as PARTIAL STATES (count, sum,
+    // min, max) — refreshing with a new delta batch merges states
+    // (sum-of-sums, min-of-mins) instead of rescanning history. Spark
+    // computes base-state and delta-state separately and merges them
+    // through a union + second-level agg (exactly a combiner merge);
+    // the ORACLE recomputes the rollup DIRECTLY from the full table —
+    // the hash-match proves merge(state(base), state(delta)) ==
+    // recompute(full), the invariant every IVM pipeline rests on.
+    // At 100 TB the base state is |keys| rows kept from the previous
+    // refresh — only the delta is ever scanned. Sums are r2-rounded
+    // (merge order vs direct order differ in ulps); avg derives from
+    // the merged sums, r4.
+    Q("q_ivm_refresh",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |       ${Q.sqlR2("sum(o_totalprice)")} AS total,
+         |       min(o_totalprice) AS vmin,
+         |       max(o_totalprice) AS vmax,
+         |       ${Q.sqlR4("sum(o_totalprice) / count(*)")} AS vavg
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+      def state(df: DataFrame): DataFrame = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+          min("o_totalprice").as("vmin"), max("o_totalprice").as("vmax"))
+      val base = state(orders.filter(col("o_orderdate") < lit("2001-06-01").cast("date")))
+      val delta = state(orders.filter(col("o_orderdate") >= lit("2001-06-01").cast("date")))
+      base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum("n").as("n"), sum("s").as("s"),
+          min("vmin").as("vmin"), max("vmax").as("vmax"))
+        .select(col("o_orderpriority"), col("n"),
+          Q.r2(col("s")).as("total"), col("vmin"), col("vmax"),
+          Q.r4(col("s") / col("n")).as("vavg"))
+        .orderBy("o_orderpriority")
     }
   )
 }

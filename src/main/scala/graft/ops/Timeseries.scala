@@ -267,6 +267,31 @@ object Timeseries {
           sum("span_sec").cast("long").as("covered_sec"),
           max("span_sec").cast("long").as("longest_sec"))
         .orderBy("user_id")
+    },
+
+    // Rolling exact median of value over each user's last 5 events —
+    // the robust smoother q_win_moving's mean cannot be (one spike
+    // drags a mean for 5 rows; a median shrugs). Exact percentile as a
+    // WINDOW aggregate over a ROWS frame: both engines sort ≤5 doubles
+    // per frame and linearly interpolate at 0.5, so r6 only has to
+    // absorb interpolation arithmetic, not accumulation order. Rides
+    // the standard single user_id exchange; the per-frame sort is O(5)
+    // per row at any corpus size.
+    Q("q_rolling_median",
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events)
+         |SELECT user_id, event_id,
+         |       ${Q.sqlR6("quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")} AS med5
+         |FROM e
+         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          Q.epochSec(col("ts")).as("es"))
+        .select(col("user_id"), col("event_id"),
+          Q.r6(percentile(col("value"), lit(0.5)).over(w)).as("med5"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

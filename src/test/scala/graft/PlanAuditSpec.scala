@@ -610,4 +610,52 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning(cur")),
       s"normalizing window must run over the aggregated pair table:\n$plan")
   }
+
+  test("q_trend_fit is one events scan with no window — pure bounded-key aggs") {
+    // the OLS fit must reduce to integer sufficient statistics via two
+    // stacked aggregates; a Window (rank/regr over raw events) or a
+    // second scan means the formulation regressed
+    val plan = SparkEntry.queries("q_trend_fit")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"trend fit must be one events pass, found $scans:\n$plan")
+    assert(!plan.contains("Window"),
+      s"OLS must come from aggregated sufficient statistics, not a window:\n$plan")
+  }
+
+  test("q_pagerank iterates over the materialized edge snapshot, not the fact table") {
+    // edges are localCheckpoint'd once — the iteration plan must
+    // reference the materialized RDD and never re-derive the distinct-
+    // pair scan of lineitem (which at 100 TB would re-read the corpus
+    // every round)
+    val plan = SparkEntry.queries("q_pagerank")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val parquetScans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans === 0,
+      s"all iterations must ride the edge snapshot; found $parquetScans parquet scans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"edge snapshot missing from the plan:\n$plan")
+  }
+
+  test("q_ivm_refresh pushes the date split into both parquet scans") {
+    // base and delta states each scan with their o_orderdate predicate
+    // pushed down — losing pushdown turns the delta refresh back into
+    // a full-history scan
+    val plan = SparkEntry.queries("q_ivm_refresh")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters"))
+      .count(_.contains("o_orderdate"))
+    assert(pushed === 2,
+      s"both state scans must push their o_orderdate split, found $pushed:\n$plan")
+  }
+
+  test("q_rolling_median rides one user_id exchange") {
+    val plan = SparkEntry.queries("q_rolling_median")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"median window must ride one user_id exchange, found $userExchanges:\n$plan")
+  }
 }
