@@ -353,6 +353,50 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // per language, the 5 docs with the largest ln(u)/w key, u a
+    // deterministic md5-derived uniform and w = n_chars — longer docs
+    // proportionally likelier, the length-weighted pick a token-budget
+    // mixture planner makes. ln(u)/w orders identically to the
+    // textbook u^(1/w) (ln is monotone; w > 0) with one libm call and
+    // better r6 spread near the top. Content-hash u makes the sample
+    // reshuffle/retry-proof like q_sample_split (rand() is neither);
+    // r6-rounding the key BEFORE selection plus the doc_id tie-break
+    // keeps the top-k boundary identical across engines. Plan shape =
+    // q_group_sample's: a bounded-buffer TopKAgg partial-aggregates,
+    // so each map partition ships ≤ 5·|langs| rows — the row_number()
+    // window would shuffle-sort the whole corpus into |langs| reducers.
+    Q("q_sample_weighted",
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |         ${Q.sqlR6(s"ln((${sqlHex10("md5(CAST(doc_id AS VARCHAR))")} + 0.5) / 1099511627776.0) / greatest(n_chars, 1)")} AS wkey
+         |  FROM documents),
+         |k AS (SELECT lang, doc_id, wkey,
+         |             row_number() OVER (PARTITION BY lang
+         |                                ORDER BY wkey DESC, doc_id) AS rk
+         |      FROM r)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, wkey
+         |FROM k WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAgg(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      // 10-nibble md5 parse = uniform u40 in [0, 2^40); +0.5 keeps u
+      // strictly positive so ln() is finite (same parse as the bloom
+      // probes / stratified sampler — conv() here, instr() in the twin)
+      val u40 = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT)")
+      Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          Q.r6(log((u40 + 0.5) / lit(1099511627776.0)) /
+            greatest(col("n_chars"), lit(1L))).as("wkey"))
+        .groupBy("lang")
+        .agg(topk(col("wkey"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("doc_id"), col("col.score").as("wkey"))
+        .orderBy("lang", "rk")
+    },
+
     // Pairwise source-overlap matrix: distinct shared 3-word shingles
     // and shingle-set jaccard per source pair — the "which feeds are
     // re-crawls of each other" diagnostic that decides dedup order and

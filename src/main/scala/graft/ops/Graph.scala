@@ -34,6 +34,11 @@ object Graph {
   private val Damping = 0.85
   private val Iterations = 3
 
+  /** Hub-part cap for butterfly candidate generation — parts with more
+    * than this many suppliers are excluded from pair expansion (the
+    * q_dedup_near dfCap move: bounds the per-key quadratic term). */
+  private val DegCap = 128
+
   /** Bidirectional edge list with string node ids (`p:`/`s:` prefixed,
     * matching the oracle's `'p:' || pk` rendering). */
   private def edges(s: SparkSession, dir: String): DataFrame = {
@@ -127,6 +132,42 @@ object Graph {
       ranks.select(col("node"), Q.r6(col("pr")).as("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(50)
+    },
+
+    // Butterfly counting (bipartite 4-cycles): the top-10 supplier
+    // pairs by shared-part count, each with its butterfly contribution
+    // C(shared, 2) — the bipartite clustering signal (two suppliers ×
+    // two shared parts = one butterfly). Candidate generation is the
+    // per-part supplier-pair expansion — C(deg, 2) pairs per part,
+    // NEVER an all-pairs supplier join — and hub parts above DegCap
+    // are excluded exactly like q_dedup_near's dfCap: the cap bounds
+    // the quadratic term per key, and both twins apply it so results
+    // stay identical whenever it doesn't bind. The pair agg lands on
+    // (s1, s2) keys with map-side partials; integer counts only.
+    Q("q_graph_butterflies",
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |deg AS (SELECT pk, count(*) AS d FROM ps GROUP BY 1),
+         |p AS (SELECT ps.pk, ps.sk FROM ps JOIN deg ON ps.pk = deg.pk
+         |      WHERE deg.d <= $DegCap),
+         |pairs AS (SELECT a.sk AS s1, b.sk AS s2
+         |          FROM p a JOIN p b ON a.pk = b.pk AND a.sk < b.sk),
+         |c AS (SELECT s1, s2, count(*) AS shared FROM pairs GROUP BY 1, 2)
+         |SELECT s1, s2, shared, shared * (shared - 1) // 2 AS butterflies
+         |FROM c
+         |ORDER BY shared DESC, s1, s2
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val ps = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val deg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
+      val p = ps.join(deg.filter(col("d") <= DegCap).select("pk"), "pk")
+      p.as("a").join(p.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("s1"), col("b.sk").as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        .withColumn("butterflies", expr("shared * (shared - 1) div 2"))
+        .orderBy(col("shared").desc, col("s1"), col("s2"))
+        .limit(10)
     }
   )
 }

@@ -277,6 +277,38 @@ object Timeseries {
     // absorb interpolation arithmetic, not accumulation order. Rides
     // the standard single user_id exchange; the per-frame sort is O(5)
     // per row at any corpus size.
+    // Exponentially time-decayed engagement score per user: Σ value ·
+    // 0.5^(age_days/7) against a fixed anchor — a 7-day half-life, the
+    // recency-weighted score behind "active user" rankings (q_rfm's
+    // fixed recency buckets, made continuous). Each row's decayed term
+    // is integer-scaled to 1e-6 BEFORE the per-user sum, so the
+    // reduction is an order-free int64 fold and a 1-ulp pow()
+    // disagreement moves a user's score by 1e-6 — invisible at the r4
+    // report. Map-side partials on user_id; one bounded-key agg.
+    Q("q_decay_score",
+      s"""WITH e AS (SELECT user_id, value,
+         |                  (1706745600 - ${Q.sqlEpochSec("ts")}) / 86400.0 AS age_days
+         |           FROM events),
+         |t AS (SELECT user_id,
+         |             CAST(floor(value * pow(0.5, age_days / 7.0) * 1e6 + 0.5) AS BIGINT) AS term
+         |      FROM e)
+         |SELECT user_id, count(*) AS n_events,
+         |       ${Q.sqlR4("sum(term) / 1e6")} AS decayed_score
+         |FROM t
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      // anchor 1706745600 = 2024-02-01 00:00:00 UTC (the q_rfm anchor)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          floor(col("value") *
+            pow(lit(0.5), (lit(1706745600L) - Q.epochSec(col("ts"))) / lit(86400.0) / lit(7.0)) *
+            lit(1e6) + 0.5).cast("long").as("term"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Q.r4(sum("term") / lit(1e6)).as("decayed_score"))
+        .orderBy("user_id")
+    },
+
     Q("q_rolling_median",
       s"""WITH e AS (SELECT user_id, event_id, value,
          |                  ${Q.sqlEpochSec("ts")} AS es FROM events)

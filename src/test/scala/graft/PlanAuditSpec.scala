@@ -650,6 +650,28 @@ class PlanAuditSpec extends SparkSpec {
       s"both state scans must push their o_orderdate split, found $pushed:\n$plan")
   }
 
+  test("q_sample_weighted selects via TopKAgg partials — no window, no per-lang sort") {
+    val plan = SparkEntry.queries("q_sample_weighted")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"weighted sample must partial-aggregate, not window-sort the corpus:\n$plan")
+    assert(plan.contains("partial_topkagg") || plan.contains("TopKAgg"),
+      s"bounded-buffer top-k aggregator missing:\n$plan")
+  }
+
+  test("q_graph_butterflies expands pairs per part key, never across parts") {
+    // the self-join must be an equi-join on pk (pair count bounded by
+    // C(deg, 2) per part) — losing the pk key turns it into an
+    // all-pairs supplier product
+    val plan = SparkEntry.queries("q_graph_butterflies")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("sk"))
+      .getOrElse(fail(s"no pair join found:\n$plan"))
+    assert(joinLine.contains("pk"),
+      s"pair expansion must equi-join on the part key:\n$joinLine")
+  }
+
   test("q_rolling_median rides one user_id exchange") {
     val plan = SparkEntry.queries("q_rolling_median")(spark, sfDir)
       .queryExecution.executedPlan.toString
