@@ -614,6 +614,112 @@ object Corpus {
         |FROM o
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       packDocs(Tables.load(s, d, "documents"), shardNibbles = 1)
+    },
+
+    // End-to-end corpus-prep funnel — the flagship composition: exact
+    // dedup → quality gate → benchmark decontamination, reported as a
+    // per-language funnel (docs in, after each stage, kept, tokens
+    // kept). Each stage is the ALREADY-ORACLED operator's exact
+    // formulation (q_dedup_exact's md5 keeper, q_quality_score's
+    // 0.6-threshold score, q_decontam's holdout-shingle hit test), so
+    // this query proves the stages COMPOSE — one declarative plan, no
+    // materialization between stages. Holdout docs (the q_sample_split
+    // 'test' bucket) are excluded up front: they are the benchmark, not
+    // training candidates. Plan shape: doc-level stages are one
+    // content-keyed window + in-row scoring; the contamination test
+    // joins keeper shingles against the BROADCAST distinct holdout
+    // shingle set (q_decontam's shape — the corpus is never shuffled
+    // for it); the funnel lands on a |langs|-key agg. In production the
+    // keeper set would be cached/persisted between stages; at test SFs
+    // Spark's 3 scans of the small docs table are cheaper than a cache.
+    Q("q_corpus_pipeline",
+      """WITH lbl AS (SELECT doc_id,
+        |                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS holdout
+        |             FROM documents),
+        |pop AS (SELECT d.doc_id, d.lang, d.text, d.n_chars
+        |        FROM documents d JOIN lbl USING (doc_id) WHERE NOT holdout),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM pop),
+        |keep AS (SELECT doc_id, lang, text, n_chars FROM k WHERE rn = 1),
+        |q AS (SELECT doc_id,
+        |             CASE WHEN len(words) > 0 AND
+        |                       0.5 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+        |                     + 0.3 * (1 - CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words))
+        |                     + 0.2 * least(CAST(len(words) AS DOUBLE) / 100, 1.0) >= 0.6
+        |                  THEN 1 ELSE 0 END AS q_ok
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM keep)),
+        |ksh AS (SELECT DISTINCT doc_id, lang, shingle FROM (
+        |          SELECT doc_id, lang,
+        |                 unnest(list_transform(range(1, len(words) - 1),
+        |                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |          FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM keep)
+        |          WHERE len(words) >= 3)),
+        |hsh AS (SELECT DISTINCT lang, shingle FROM (
+        |          SELECT d.lang,
+        |                 unnest(list_transform(range(1, len(words) - 1),
+        |                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |          FROM (SELECT d2.lang, string_split(d2.text, ' ') AS words
+        |                FROM documents d2 JOIN lbl USING (doc_id) WHERE holdout) d
+        |          WHERE len(words) >= 3)),
+        |cont AS (SELECT DISTINCT ksh.doc_id FROM ksh JOIN hsh USING (lang, shingle)),
+        |f AS (SELECT keep.lang, keep.n_chars, q.q_ok,
+        |             CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS bad
+        |      FROM keep JOIN q USING (doc_id) LEFT JOIN cont USING (doc_id)),
+        |p AS (SELECT lang, count(*) AS n_in FROM pop GROUP BY 1),
+        |s AS (SELECT lang, count(*) AS n_dedup,
+        |             CAST(sum(q_ok) AS BIGINT) AS n_quality,
+        |             CAST(sum(CASE WHEN q_ok = 1 AND bad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |             CAST(sum(CASE WHEN q_ok = 1 AND bad = 0
+        |                           THEN CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT)
+        |                           ELSE 0 END) AS BIGINT) AS tokens_kept
+        |      FROM f GROUP BY 1)
+        |SELECT lang, n_in, n_dedup, n_quality, n_kept, tokens_kept
+        |FROM p JOIN s USING (lang)
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val isHoldout = substring(md5(col("doc_id").cast("string")), 1, 2) >= "e6"
+      val docs = Tables.load(s, d, "documents")
+      val pop = docs.filter(!isHoldout).select("doc_id", "lang", "text", "n_chars")
+      val keep = pop
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+      val words = split(col("text"), " ")
+      val qok = keep
+        .withColumn("words", words)
+        .withColumn("q_ok",
+          when(size(col("words")) > 0 &&
+            lit(0.5) * (size(array_distinct(col("words"))).cast("double") / size(col("words"))) +
+            lit(0.3) * (lit(1) - size(expr("filter(words, x -> x IN ('the', 'a'))")).cast("double") / size(col("words"))) +
+            lit(0.2) * least(size(col("words")).cast("double") / 100, lit(1.0)) >= 0.6, 1)
+            .otherwise(0))
+        .select("doc_id", "q_ok")
+      def shingleSet(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("words", words)
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(expr(
+            """transform(sequence(0, size(words) - 3),
+              |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
+            .as("shingle"))
+      val hsh = shingleSet(docs.filter(isHoldout)).select("lang", "shingle").distinct()
+      val cont = shingleSet(keep)
+        .join(broadcast(hsh), Seq("lang", "shingle"))
+        .select("doc_id").distinct()
+      val f = keep
+        .join(qok, "doc_id")
+        .join(cont.withColumn("bad", lit(1)), Seq("doc_id"), "left")
+        .withColumn("bad", coalesce(col("bad"), lit(0)))
+      val p = pop.groupBy("lang").agg(count(lit(1)).as("n_in"))
+      val st = f.groupBy("lang").agg(
+        count(lit(1)).as("n_dedup"),
+        sum("q_ok").as("n_quality"),
+        sum(when(col("q_ok") === 1 && col("bad") === 0, 1).otherwise(0)).as("n_kept"),
+        sum(when(col("q_ok") === 1 && col("bad") === 0,
+          ceil(col("n_chars").cast("double") / 4).cast("long")).otherwise(0L)).as("tokens_kept"))
+      p.join(st, "lang")
+        .select("lang", "n_in", "n_dedup", "n_quality", "n_kept", "tokens_kept")
+        .orderBy("lang")
     }
   )
 
