@@ -659,17 +659,17 @@ class PlanAuditSpec extends SparkSpec {
       s"bounded-buffer top-k aggregator missing:\n$plan")
   }
 
-  test("q_graph_butterflies expands pairs per part key, never across parts") {
-    // the self-join must be an equi-join on pk (pair count bounded by
-    // C(deg, 2) per part) — losing the pk key turns it into an
-    // all-pairs supplier product
+  test("q_graph_butterflies expands pairs in-row per part, never across parts") {
+    // pair candidates come from an in-row Generate over each part's
+    // capped supplier array (C(deg, 2) per key) — an sk-keyed join or
+    // a cartesian product would mean the expansion regressed to
+    // cross-part pairing
     val plan = SparkEntry.queries("q_graph_butterflies")(spark, sfDir)
       .queryExecution.sparkPlan.toString
-    val joinLine = plan.linesIterator
-      .find(l => l.contains("Join") && l.contains("sk"))
-      .getOrElse(fail(s"no pair join found:\n$plan"))
-    assert(joinLine.contains("pk"),
-      s"pair expansion must equi-join on the part key:\n$joinLine")
+    assert(plan.contains("Generate"),
+      s"in-row pair expansion missing:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Join") && l.contains("s1")),
+      s"pair generation must not join on supplier keys:\n$plan")
   }
 
   test("q_rolling_median rides one user_id exchange") {
