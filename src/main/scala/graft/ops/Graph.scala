@@ -39,6 +39,34 @@ object Graph {
     * q_dedup_near dfCap move: bounds the per-key quadratic term). */
   private val DegCap = 128
 
+  /** Full unrounded rank table (int64 node id, pr) after [[Iterations]]
+    * power-iteration rounds — the q_pagerank body before labeling /
+    * rounding / top-50, exposed so TwinAndPropertySpec can assert mass
+    * conservation over ALL nodes. */
+  private[graft] def pagerankAll(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.load(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    val ed0 = pairs.select(col("p").as("src"), col("sn").as("dst"))
+      .unionAll(pairs.select(col("sn").as("src"), col("p").as("dst")))
+    val deg = ed0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = ed0.join(deg, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 1 to Iterations) {
+      ranks = e
+        .join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("outdeg")).as("mass"))
+        .crossJoin(broadcast(nDf))
+        .select(col("node"),
+          (lit(1 - Damping) / col("n_nodes") + lit(Damping) * col("mass")).as("pr"))
+    }
+    ranks
+  }
+
   /** Bidirectional edge list with string node ids (`p:`/`s:` prefixed,
     * matching the oracle's `'p:' || pk` rendering). */
   private def edges(s: SparkSession, dir: String): DataFrame = {
@@ -118,27 +146,7 @@ object Graph {
       // cluster deployment sets a reliable checkpointDir exactly as in
       // TextPipeline.connectedComponents. String labels are restored
       // only for the final 50 rows.
-      val pairs = Tables.load(s, d, "lineitem")
-        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sn"))
-        .distinct()
-      val ed0 = pairs.select(col("p").as("src"), col("sn").as("dst"))
-        .unionAll(pairs.select(col("sn").as("src"), col("p").as("dst")))
-      val deg = ed0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val e = ed0.join(deg, "src").localCheckpoint(true)
-      val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
-      val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
-      var ranks = nodes.crossJoin(broadcast(nDf))
-        .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
-      for (_ <- 1 to Iterations) {
-        ranks = e
-          .join(ranks, e("src") === ranks("node"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("pr") / col("outdeg")).as("mass"))
-          .crossJoin(broadcast(nDf))
-          .select(col("node"),
-            (lit(1 - Damping) / col("n_nodes") + lit(Damping) * col("mass")).as("pr"))
-      }
-      ranks
+      pagerankAll(s, d)
         .select(concat(
           when(col("node") % 2 === 0, "p:").otherwise("s:"),
           expr("node div 2").cast("string")).as("node"),

@@ -163,6 +163,59 @@ object Statistics {
         .orderBy("o_orderpriority")
     },
 
+    // Association-rule mining (market-basket): the top-20 part pairs
+    // co-purchased in the same order, with support, confidence(p1→p2)
+    // and lift. Pair candidates expand IN-ROW per order from the
+    // sorted distinct item array (orders hold ~4 items — C(n,2) per
+    // basket, never a cross-part join; the q_graph_butterflies shape),
+    // land on a (p1, p2)-key agg with map-side partials, and only the
+    // 20 winning rows — picked by INTEGER counts with (p1, p2)
+    // tie-breaks, so the boundary is engine-exact — join back to the
+    // per-part counts. Every metric is a division of integer counts,
+    // r6-rounded.
+    Q("q_assoc_rules",
+      s"""WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT count(DISTINCT okey) AS n_orders FROM i),
+         |na AS (SELECT pk, count(*) AS np FROM i GROUP BY 1),
+         |pr AS (SELECT a.pk AS p1, b.pk AS p2
+         |       FROM i a JOIN i b ON a.okey = b.okey AND a.pk < b.pk),
+         |c AS (SELECT p1, p2, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+         |top AS (SELECT p1, p2, n_ab FROM c
+         |        ORDER BY n_ab DESC, p1, p2 LIMIT 20)
+         |SELECT t.p1, t.p2, t.n_ab,
+         |       a1.np AS n_p1, a2.np AS n_p2,
+         |       ${Q.sqlR6("CAST(t.n_ab AS DOUBLE) / (SELECT n_orders FROM n)")} AS support,
+         |       ${Q.sqlR6("CAST(t.n_ab AS DOUBLE) / a1.np")} AS confidence,
+         |       ${Q.sqlR6("CAST(t.n_ab AS DOUBLE) * (SELECT n_orders FROM n) / (CAST(a1.np AS DOUBLE) * a2.np)")} AS lift
+         |FROM top t JOIN na a1 ON t.p1 = a1.pk JOIN na a2 ON t.p2 = a2.pk
+         |ORDER BY t.n_ab DESC, t.p1, t.p2""".stripMargin) { (s, d) =>
+      val items = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val nDf = items.agg(countDistinct("okey").as("n_orders"))
+      val na = items.groupBy("pk").agg(count(lit(1)).as("np"))
+      val top = items
+        .groupBy("okey").agg(sort_array(collect_list(col("pk"))).as("pks"))
+        .select(explode(expr(
+          """flatten(transform(pks,
+            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
+            |            y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+        .limit(20)
+      top
+        .join(na.withColumnRenamed("pk", "p1").withColumnRenamed("np", "n_p1"), "p1")
+        .join(na.withColumnRenamed("pk", "p2").withColumnRenamed("np", "n_p2"), "p2")
+        .crossJoin(broadcast(nDf))
+        .select(col("p1"), col("p2"), col("n_ab"), col("n_p1"), col("n_p2"),
+          Q.r6(col("n_ab").cast("double") / col("n_orders")).as("support"),
+          Q.r6(col("n_ab").cast("double") / col("n_p1")).as("confidence"),
+          Q.r6(col("n_ab").cast("double") * col("n_orders") /
+            (col("n_p1").cast("double") * col("n_p2"))).as("lift"))
+        .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+    },
+
     // Daily mutual information between event type and time-of-day
     // quadrant — the dependence monitor behind drift alarms (MI drops
     // when a type stops being time-locked). Cells aggregate onto a

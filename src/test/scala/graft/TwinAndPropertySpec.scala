@@ -763,4 +763,53 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(got.filter(col("s1") === "s00" && col("s2") === "s01").count() === 1L)
     assert(got.filter(col("s1") === "s01" && col("s2") === "s65").isEmpty)
   }
+
+  test("q_pagerank is a probability distribution: positive ranks summing to 1") {
+    // power iteration conserves total mass exactly (no dangling nodes
+    // in the bidirectional graph): after any number of rounds the
+    // ranks sum to 1 up to accumulation noise, and every rank is at
+    // least the (1−d)/N floor. Checked over ALL nodes, not the top-50
+    // query surface — rebuilt here with the same arithmetic.
+    import graft.ops.Graph
+    val full = Graph.pagerankAll(spark, sfDir)
+    val n = full.count()
+    val s = full.agg(sum("pr")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-6, s"ranks must sum to 1, got $s over $n nodes")
+    assert(full.filter(col("pr") <= 0).isEmpty, "every rank must be positive")
+  }
+
+  test("q_corpus_pipeline funnel counts are monotone per language") {
+    val f = q("q_corpus_pipeline").collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (nIn, nDedup, nQ, nKept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nIn >= nDedup && nDedup >= nQ && nQ >= nKept && nKept >= 0,
+        s"funnel must shrink monotonically: $r")
+      assert(r.getLong(5) >= 0, s"tokens_kept must be non-negative: $r")
+    }
+  }
+
+  test("q_trend_fit r2 is a valid coefficient of determination") {
+    q("q_trend_fit").collect().foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of [0,1]: $r")
+    }
+  }
+
+  test("q_ivm_refresh state merge equals a direct full recompute (Spark-side)") {
+    // the oracle already proves this cross-engine; this pins the same
+    // invariant WITHIN Spark so a refactor of the merge path can't
+    // drift while the DuckDB twin is rewritten in tandem
+    val merged = q("q_ivm_refresh")
+    val direct = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Q.r2(sum("o_totalprice")).as("total"),
+        min("o_totalprice").as("vmin"), max("o_totalprice").as("vmax"),
+        Q.r4(sum("o_totalprice") / count(lit(1))).as("vavg"))
+      .orderBy("o_orderpriority")
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty,
+      "merge(state(base), state(delta)) must equal recompute(full)")
+  }
 }
