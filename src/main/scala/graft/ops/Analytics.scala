@@ -352,6 +352,48 @@ object Analytics {
     // map-side, the fact stream is never shuffled (one bounded-key agg
     // at the end). Quantiles are r6-rounded BEFORE clamping so both
     // engines clamp against identical doubles.
+    // MAD outliers per event_type: the modified z-score 0.6745·(x −
+    // median)/MAD with the standard 3.5 fence — the most
+    // breakdown-resistant of the family (q_anomaly's mean/σ move with
+    // the outliers; quartile fences move at 25% contamination; the
+    // median/MAD pair survives 50%). MAD inherently needs a second
+    // pass (the deviation median depends on the value median), so the
+    // shape is two chained broadcast-stats joins over the fact stream —
+    // the corpus is never shuffled, and both medians are r6-rounded
+    // before the fence so a boundary row cannot flip engines. The
+    // sketch substitutes (approx percentile) slot into the same shape
+    // at 100 TB.
+    Q("q_mad_outliers",
+      s"""WITH m AS (SELECT event_type,
+         |                  ${Q.sqlR6("quantile_cont(value, 0.5)")} AS med
+         |           FROM events GROUP BY 1),
+         |md AS (SELECT e.event_type,
+         |              ${Q.sqlR6("quantile_cont(abs(value - med), 0.5)")} AS mad
+         |       FROM events e JOIN m ON e.event_type = m.event_type
+         |       GROUP BY 1)
+         |SELECT e.event_type, med, mad,
+         |       count(*) AS n,
+         |       CAST(count(CASE WHEN abs(0.6745 * (value - med) / mad) > 3.5
+         |                       THEN 1 END) AS BIGINT) AS n_outliers
+         |FROM events e
+         |JOIN m ON e.event_type = m.event_type
+         |JOIN md ON e.event_type = md.event_type
+         |GROUP BY 1, 2, 3
+         |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_type", "value")
+      val m = e.groupBy("event_type")
+        .agg(Q.r6(percentile(col("value"), lit(0.5))).as("med"))
+      val md = e.join(broadcast(m), "event_type")
+        .groupBy("event_type", "med")
+        .agg(Q.r6(percentile(abs(col("value") - col("med")), lit(0.5))).as("mad"))
+      e.join(broadcast(md), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          count(when(abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5, 1))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     Q("q_winsorize",
       s"""WITH st AS (SELECT event_type,
          |                   ${Q.sqlR6("quantile_cont(value, 0.05)")} AS p05,
