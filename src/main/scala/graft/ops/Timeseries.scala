@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
 
 /** Time-series & sequence analytics over the `events` stream table
   * (round-9 SURVEY §2 extensions): Markov transition matrix, OHLC bars,
@@ -24,6 +25,10 @@ object Timeseries {
 
   /** Activity-island gap threshold: a >1h silence starts a new island. */
   private val GapSec = 3600L
+
+  /** Day-index anchor for the daily-series ops — events span Jan 2024
+    * (same anchor as Statistics.q_trend_fit so day indices line up). */
+  private val TrendAnchor = "2024-01-01"
 
   /** Deterministic event-order key: epoch-second ts with event_id as the
     * tiebreak, packed into one int64 (es < 2^31, event_id < 10^8 at any
@@ -324,6 +329,154 @@ object Timeseries {
         .select(col("user_id"), col("event_id"),
           Q.r6(percentile(col("value"), lit(0.5)).over(w)).as("med5"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Sample autocorrelation of the per-type daily volume at lags 1..7
+    // (round 10) — the periodicity detector behind seasonality checks:
+    // a weekly cycle shows up as a lag-7 peak. The ACF at lag k is
+    // Σ(y_t−m)(y_{t+k}−m) / Σ(y_t−m)² with the full-series mean m = S/n;
+    // multiplying through by n² clears every fraction, so BOTH the
+    // numerator (n²·P_k − n·S·(A_k+B_k) + (n−k)·S²) and denominator
+    // (n²·SS − n·S²) are exact int64 in both engines — the one double
+    // op is the final division, bit-identical before r6. Shapes: the
+    // daily rollup is a (|types|×|days|)-key agg; the lag pairing is a
+    // self-join of that bounded frame against a broadcast 7-row lag
+    // table — work |types|·|days|·7, corpus-independent. At petabyte
+    // daily counts (y ~ 1e9) the n²·SS term would need HUGEINT /
+    // centered doubles; at any real day-count the int64 headroom holds.
+    Q("q_acf",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s,
+         |               CAST(sum(y * y) AS BIGINT) AS ss
+         |        FROM daily GROUP BY 1),
+         |p AS (SELECT a.event_type, l.k,
+         |             CAST(sum(a.y * b.y) AS BIGINT) AS pk,
+         |             CAST(sum(a.y) AS BIGINT) AS ak,
+         |             CAST(sum(b.y) AS BIGINT) AS bk
+         |      FROM daily a
+         |      CROSS JOIN range(1, 8) l(k)
+         |      JOIN daily b ON b.event_type = a.event_type AND b.x = a.x + l.k
+         |      GROUP BY 1, 2)
+         |SELECT p.event_type, CAST(p.k AS BIGINT) AS k,
+         |       ${Q.sqlR6("CAST(n * n * pk - n * s * (ak + bk) + (n - p.k) * s * s AS DOUBLE) / (n * n * ss - n * s * s)")} AS acf
+         |FROM p JOIN tot ON p.event_type = tot.event_type
+         |ORDER BY p.event_type, k""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("s"),
+          sum(col("y") * col("y")).as("ss"))
+      val lags = s.range(1, 8).toDF("k")
+      val pairs = daily
+        .crossJoin(broadcast(lags))
+        .select(col("event_type"), col("k"), (col("x") + col("k")).as("x1"), col("y").as("y0"))
+        .join(daily.withColumnRenamed("x", "x1").withColumnRenamed("y", "y1"),
+          Seq("event_type", "x1"))
+        .groupBy("event_type", "k")
+        .agg(sum(col("y0") * col("y1")).as("pk"),
+          sum("y0").as("ak"), sum("y1").as("bk"))
+      pairs.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("k"),
+          Q.r6((col("n") * col("n") * col("pk") - col("n") * col("s") * (col("ak") + col("bk")) +
+            (col("n") - col("k")) * col("s") * col("s")).cast("double") /
+            (col("n") * col("n") * col("ss") - col("n") * col("s") * col("s"))).as("acf"))
+        .orderBy("event_type", "k")
+    },
+
+    // CUSUM changepoint scan per event_type (round 10) — where did the
+    // daily volume's level shift? The classic statistic is the maximum
+    // absolute deviation of the cumulative sum from its fitted line:
+    // max_t |prefix_t − t·S/n|. Multiplying by n makes every candidate
+    // an exact int64 (n·prefix_t − t·S), so the argmax is an INTEGER
+    // comparison — no float ulp can move the changepoint — and the
+    // reported magnitude is one final division. Shapes: daily rollup
+    // (bounded keys), prefix + row_number windows over the tiny
+    // per-type day frame, broadcast totals join, integer argmax with
+    // the earliest-day tie-break. Corpus touches one agg; everything
+    // after is |types|×|days| rows.
+    Q("q_cusum",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+         |        FROM daily GROUP BY 1),
+         |c AS (SELECT event_type, x,
+         |             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+         |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+         |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS t
+         |      FROM daily),
+         |dev AS (SELECT c.event_type, x, n, s, abs(n * pre - t * s) AS dev
+         |        FROM c JOIN tot ON c.event_type = tot.event_type),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, x) AS rn
+         |      FROM dev)
+         |SELECT event_type, n AS n_days,
+         |       strftime(DATE '$TrendAnchor' + CAST(x AS INTEGER), '%Y-%m-%d') AS change_day,
+         |       ${Q.sqlR6("CAST(dev AS DOUBLE) / n")} AS cusum_max
+         |FROM r WHERE rn = 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("s"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+      val dev = daily
+        .withColumn("pre", sum("y").over(wx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t", row_number().over(wx).cast("long"))
+        .join(broadcast(tot), "event_type")
+        .withColumn("dev", abs(col("n") * col("pre") - col("t") * col("s")))
+      dev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dev").desc, col("x"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          date_format(date_add(to_date(lit(TrendAnchor)), col("x").cast("int")), "yyyy-MM-dd")
+            .as("change_day"),
+          Q.r6(col("dev").cast("double") / col("n")).as("cusum_max"))
+        .orderBy("event_type")
+    },
+
+    // Day-of-week seasonality profile per event_type (round 10) — the
+    // weekly-cycle fingerprint: count, share-of-type, and the
+    // seasonal index (7·share — 1.0 means "an average day"). Every
+    // ratio is a single IEEE division of two exact int64 counts
+    // (order-free in both engines, no rounding defense needed beyond
+    // the r6 report). dow numbering: Spark weekday()+1 == DuckDB
+    // isodow (Mon=1), the one portable pairing. Shape: ONE
+    // (|types|×7)-key agg with map-side partials, then a broadcast
+    // totals join over the 35-row frame — corpus scanned once.
+    Q("q_seasonality",
+      s"""WITH e AS (SELECT event_type,
+         |                  CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dow
+         |           FROM events),
+         |d AS (SELECT event_type, dow, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS tot FROM d GROUP BY 1)
+         |SELECT d.event_type, dow, cnt,
+         |       ${Q.sqlR6("CAST(cnt AS DOUBLE) / tot")} AS share,
+         |       ${Q.sqlR6("7 * CAST(cnt AS DOUBLE) / tot")} AS season_idx
+         |FROM d JOIN t ON d.event_type = t.event_type
+         |ORDER BY d.event_type, dow""".stripMargin) { (s, d) =>
+      val cnt = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (weekday(col("ts").cast(DateType)) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("event_type").agg(sum("cnt").as("tot"))
+      cnt.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("cnt"),
+          Q.r6(col("cnt").cast("double") / col("tot")).as("share"),
+          Q.r6(lit(7) * col("cnt").cast("double") / col("tot")).as("season_idx"))
+        .orderBy("event_type", "dow")
     }
   )
 }
