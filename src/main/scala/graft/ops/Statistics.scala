@@ -266,6 +266,164 @@ object Statistics {
         .groupBy("day")
         .agg(sum("nij").as("n_events"), Q.r6(sum("contrib") / lit(1e9)).as("mi"))
         .orderBy("day")
+    },
+
+    // Pairwise Pearson correlation matrix over the lineitem measures
+    // (round 10) — the feature-screening primitive: which columns move
+    // together? ONE corpus scan computes every sufficient statistic
+    // (4 sums, 4 sums of squares, 6 cross sums, n — 15 aggregates in a
+    // single map-side-partial pass), then the 6 pairs are expanded
+    // IN-ROW from the one stats row. Measures are integerized first
+    // (quantity is integral, price floored to whole dollars, discount/
+    // tax scaled ×100 — Pearson is scale-invariant, the dollar floor is
+    // part of the op's definition) so every Σ is an exact int64 and
+    // both engines feed IDENTICAL integers into the one shared formula
+    // tree — n·Σxy products exceed int64 range, so the formula runs in
+    // doubles over exactly-converted int sums (all < 2^53 at sf0.1;
+    // at sf ≥ 10 the sums need DECIMAL accumulators, noted here).
+    // corr = (n·Σxy − ΣxΣy) / (sqrt(n·Σx²−(Σx)²)·sqrt(n·Σy²−(Σy)²)),
+    // the sqrt(a)·sqrt(b) form mirrored textually per PARITY.
+    Q("q_corr_matrix",
+      s"""WITH m AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+         |                  CAST(floor(l_extendedprice) AS BIGINT) AS p,
+         |                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |                  CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+         |           FROM lineitem),
+         |st AS (SELECT count(*) AS n,
+         |              CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+         |              CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+         |              CAST(sum(q * q) AS BIGINT) AS qq, CAST(sum(p * p) AS BIGINT) AS pp,
+         |              CAST(sum(d * d) AS BIGINT) AS dd, CAST(sum(t * t) AS BIGINT) AS tt,
+         |              CAST(sum(q * p) AS BIGINT) AS qp, CAST(sum(q * d) AS BIGINT) AS qd,
+         |              CAST(sum(q * t) AS BIGINT) AS qt, CAST(sum(p * d) AS BIGINT) AS pd,
+         |              CAST(sum(p * t) AS BIGINT) AS pt, CAST(sum(d * t) AS BIGINT) AS dt
+         |       FROM m),
+         |pr AS (SELECT 'quantity' AS var1, 'price_usd' AS var2, n, sq AS sx, sp AS sy, qp AS sxy, qq AS sxx, pp AS syy FROM st
+         |       UNION ALL SELECT 'quantity', 'discount', n, sq, sd, qd, qq, dd FROM st
+         |       UNION ALL SELECT 'quantity', 'tax', n, sq, st, qt, qq, tt FROM st
+         |       UNION ALL SELECT 'price_usd', 'discount', n, sp, sd, pd, pp, dd FROM st
+         |       UNION ALL SELECT 'price_usd', 'tax', n, sp, st, pt, pp, tt FROM st
+         |       UNION ALL SELECT 'discount', 'tax', n, sd, st, dt, dd, tt FROM st)
+         |SELECT var1, var2, n,
+         |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))")} AS corr
+         |FROM pr
+         |ORDER BY var1, var2""".stripMargin) { (s, d) =>
+      val m = Tables.load(s, d, "lineitem").select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice")).cast("long").as("p"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+      val st = m.agg(count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"), sum("t").as("st"),
+        sum(col("q") * col("q")).as("qq"), sum(col("p") * col("p")).as("pp"),
+        sum(col("d") * col("d")).as("dd"), sum(col("t") * col("t")).as("tt"),
+        sum(col("q") * col("p")).as("qp"), sum(col("q") * col("d")).as("qd"),
+        sum(col("q") * col("t")).as("qt"), sum(col("p") * col("d")).as("pd"),
+        sum(col("p") * col("t")).as("pt"), sum(col("d") * col("t")).as("dt"))
+      def pair(v1: String, v2: String, sx: String, sy: String,
+               sxy: String, sxx: String, syy: String) =
+        struct(lit(v1).as("var1"), lit(v2).as("var2"),
+          col(sx).as("sx"), col(sy).as("sy"), col(sxy).as("sxy"),
+          col(sxx).as("sxx"), col(syy).as("syy"))
+      st.select(col("n"), explode(array(
+          pair("quantity", "price_usd", "sq", "sp", "qp", "qq", "pp"),
+          pair("quantity", "discount", "sq", "sd", "qd", "qq", "dd"),
+          pair("quantity", "tax", "sq", "st", "qt", "qq", "tt"),
+          pair("price_usd", "discount", "sp", "sd", "pd", "pp", "dd"),
+          pair("price_usd", "tax", "sp", "st", "pt", "pp", "tt"),
+          pair("discount", "tax", "sd", "st", "dt", "dd", "tt"))).as("pr"))
+        .select(col("pr.var1").as("var1"), col("pr.var2").as("var2"), col("n"),
+          Q.r6((col("n") * col("pr.sxy").cast("double") -
+              col("pr.sx").cast("double") * col("pr.sy")) /
+            (sqrt(col("n") * col("pr.sxx").cast("double") -
+              col("pr.sx").cast("double") * col("pr.sx")) *
+             sqrt(col("n") * col("pr.syy").cast("double") -
+              col("pr.sy").cast("double") * col("pr.sy")))).as("corr"))
+        .orderBy("var1", "var2")
+    },
+
+    // Two-sample Kolmogorov–Smirnov test between the purchase and
+    // click value distributions (round 10) — the classic drift /
+    // same-distribution check q_drift_tvd's fixed grid approximates.
+    // Exactness trick: D = max|F1−F2| evaluated per DISTINCT value
+    // (2-decimal values → cents), and |R1·n2 − R2·n1| is an exact
+    // int64 — the sup and its argmax are INTEGER comparisons, the one
+    // double op is the final division. Shapes: corpus collapses to
+    // the ≤|value-domain| distinct-cents frame first (bounded by the
+    // 2-decimal domain, NOT corpus size), the running ECDFs are
+    // windows over that bounded frame, and the winner row is an
+    // integer argmax with a smallest-value tie-break.
+    Q("q_ks_test",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+         |r AS (SELECT v100,
+         |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
+         |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2
+         |      FROM c),
+         |dev AS (SELECT v100, abs(r1 * n2 - r2 * n1) AS dev, n1, n2 FROM r CROSS JOIN n),
+         |w AS (SELECT *, row_number() OVER (ORDER BY dev DESC, v100) AS rn FROM dev)
+         |SELECT n1, n2,
+         |       ${Q.sqlR6("CAST(dev AS DOUBLE) / (n1 * n2)")} AS ks_d,
+         |       CAST(v100 AS DOUBLE) / 100 AS at_value
+         |FROM w WHERE rn = 1""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+      val c = v.groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+      val n = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.withColumn("r1", sum("c1").over(wv))
+        .withColumn("r2", sum("c2").over(wv))
+        .crossJoin(broadcast(n))
+        .withColumn("dev", abs(col("r1") * col("n2") - col("r2") * col("n1")))
+        .withColumn("rn", row_number().over(Window.orderBy(col("dev").desc, col("v100"))))
+        .filter(col("rn") === 1)
+        .select(col("n1"), col("n2"),
+          Q.r6(col("dev").cast("double") / (col("n1") * col("n2"))).as("ks_d"),
+          (col("v100").cast("double") / 100).as("at_value"))
+    },
+
+    // Benford first-digit profile of l_extendedprice (round 10) — the
+    // fraud / synthetic-data smell test: natural multiplicative data
+    // follows P(d) = log10(1+1/d). Portability trick: the first
+    // significant digit comes from the CENTS int64 rendered as a
+    // string (BIGINT→string is identical in both engines) — never from
+    // log10-of-double, whose ulp at exact powers of ten could flip a
+    // bucket. Per-digit expected share is per-row libm on nine
+    // constant digits (never accumulated); every observed share is one
+    // IEEE division of exact counts. Shape: map-side 9-key agg.
+    Q("q_benford",
+      s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+         |           FROM lineitem),
+         |g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |             count(*) AS cnt
+         |      FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM g)
+         |SELECT digit, cnt,
+         |       ${Q.sqlR6("CAST(cnt AS DOUBLE) / tot")} AS share,
+         |       ${Q.sqlR6("ln(1.0 + 1.0 / digit) / ln(10.0)")} AS benford,
+         |       ${Q.sqlR6("abs(CAST(cnt AS DOUBLE) / tot - ln(1.0 + 1.0 / digit) / ln(10.0))")} AS abs_dev
+         |FROM g CROSS JOIN t
+         |ORDER BY digit""".stripMargin) { (s, d) =>
+      val g = Tables.load(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      val t = g.agg(sum("cnt").as("tot"))
+      g.crossJoin(broadcast(t))
+        .select(col("digit"), col("cnt"),
+          Q.r6(col("cnt").cast("double") / col("tot")).as("share"),
+          Q.r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))).as("benford"),
+          Q.r6(abs(col("cnt").cast("double") / col("tot") -
+            log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))).as("abs_dev"))
+        .orderBy("digit")
     }
   )
 }
