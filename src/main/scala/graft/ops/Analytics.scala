@@ -68,6 +68,60 @@ object Analytics {
         .orderBy("stage")
     },
 
+    // Funnel step latency (round 10): how LONG do conversions take?
+    // Same per-user earliest-qualifying-event chain as q_funnel, but
+    // reporting the step-to-step delay distribution — count, min,
+    // exact median, exact p90, max seconds — per transition. Delays
+    // are int64 epoch-second differences, so min/max are exact integer
+    // comparisons and the interpolated percentiles run on identical
+    // integer inputs in both engines (the q_rolling_median/q_winsorize
+    // `percentile` ↔ `quantile_cont` pairing, r6). Shapes: the window
+    // chain rides q_funnel's single user_id exchange; the latency
+    // frame is ≤2 rows per converting user and the final agg has 2
+    // keys.
+    Q("q_funnel_time",
+      s"""WITH e AS (SELECT user_id, event_type, ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN es END)
+         |                   OVER (PARTITION BY user_id) AS t1 FROM e),
+         |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND es > t1 THEN es END)
+         |                   OVER (PARTITION BY user_id) AS t2 FROM w1),
+         |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND es > t2 THEN es END)
+         |                   OVER (PARTITION BY user_id) AS t3 FROM w2),
+         |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+         |      FROM w3 GROUP BY 1),
+         |d AS (SELECT '1_view_to_click' AS step, t2 - t1 AS dt FROM u WHERE t2 IS NOT NULL
+         |      UNION ALL
+         |      SELECT '2_click_to_purchase', t3 - t2 FROM u WHERE t3 IS NOT NULL)
+         |SELECT step, count(*) AS n_users,
+         |       min(dt) AS min_sec,
+         |       ${Q.sqlR6("quantile_cont(dt, 0.5)")} AS med_sec,
+         |       ${Q.sqlR6("quantile_cont(dt, 0.9)")} AS p90_sec,
+         |       max(dt) AS max_sec
+         |FROM d GROUP BY step
+         |ORDER BY step""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), Q.epochSec(col("ts")).as("es"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("es"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("es") > col("t1"), col("es"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("es") > col("t2"), col("es"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .selectExpr(
+          "stack(2, '1_view_to_click', t2 - t1, '2_click_to_purchase', t3 - t2) AS (step, dt)")
+        .filter(col("dt").isNotNull)
+        .groupBy("step")
+        .agg(count(lit(1)).as("n_users"),
+          min("dt").as("min_sec"),
+          Q.r6(percentile(col("dt"), lit(0.5))).as("med_sec"),
+          Q.r6(percentile(col("dt"), lit(0.9))).as("p90_sec"),
+          max("dt").as("max_sec"))
+        .orderBy("step")
+    },
+
     // Cohort retention: cohort = a user's first active day; one row per
     // (cohort, day_offset) counting users active that many days later.
     // Distinct (user, day) activity and the per-user cohort min both

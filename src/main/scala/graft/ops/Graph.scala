@@ -198,6 +198,75 @@ object Graph {
         .withColumn("butterflies", expr("shared * (shared - 1) div 2"))
         .orderBy(col("shared").desc, col("s1"), col("s2"))
         .limit(10)
+    },
+
+    // Triangle census of the co-purchase graph (round 10): nodes are
+    // parts, an edge joins two parts that share an order, and the
+    // top-20 parts by triangle participation are the "bought in
+    // cliques" items — the one-mode complement to the bipartite
+    // butterfly count above. The Spark side runs the classic
+    // DEGREE-ORDERED orientation: each undirected edge points from its
+    // (degree, id)-smaller endpoint (packed as deg·2³² + id, one int64
+    // comparison), wedges expand only from each edge's LOW endpoint,
+    // and a semi-structural join closes them — total work O(Σ C(deg⁺,
+    // 2)) = O(m^1.5) regardless of hub skew, the reason this plan
+    // survives a power-law catalog where naive id-ordering quadratics
+    // on the hubs. The oracle closes triangles with the simple
+    // id-ordered triple self-join — a different orientation of the
+    // SAME triangle set (orientation choice never changes the set), so
+    // the two formulations cannot agree by construction-sharing, only
+    // by both being right. Per-node counts: each triangle credits all
+    // three corners; integer counts, (cnt DESC, node) tie-break.
+    Q("q_graph_triangles",
+      """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS node FROM tri
+        |      UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri),
+        |c AS (SELECT node, count(*) AS tri_cnt FROM n GROUP BY 1)
+        |SELECT node, tri_cnt FROM c
+        |ORDER BY tri_cnt DESC, node
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      // baskets → in-row sorted pair expansion (the assoc_rules shape:
+      // C(items, 2) per order, never a cross-part join) → distinct edges
+      val io = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
+        .select(explode(expr(
+          """flatten(transform(pks,
+            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .distinct()
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // orient each edge from its (deg, id)-smaller endpoint; the packed
+      // int64 key makes the orientation one scalar comparison and lets
+      // the id be recovered with a single modulo at the end
+      val oriented = edges
+        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+          least(col("da") * lit(4294967296L) + col("a"),
+            col("db") * lit(4294967296L) + col("b")).as("ku"),
+          greatest(col("da") * lit(4294967296L) + col("a"),
+            col("db") * lit(4294967296L) + col("b")).as("kv"))
+      val w1 = oriented.select(col("ku"), col("kv").as("kx"))
+      val w2 = oriented.select(col("ku"), col("kv").as("ky"))
+      val closing = oriented.select(col("ku").as("kx"), col("kv").as("ky"))
+      w1.join(w2, "ku").filter(col("kx") < col("ky"))
+        .join(closing, Seq("kx", "ky"))
+        .select(explode(array(col("ku"), col("kx"), col("ky"))).as("k"))
+        .select((col("k") % 4294967296L).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+        .orderBy(col("tri_cnt").desc, col("node"))
+        .limit(20)
     }
   )
 }

@@ -844,6 +844,77 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Interpolated bigram language-model scoring (round 10) — the
+    // sequence-aware upgrade of q_unigram_logprob: per-doc mean log of
+    // P(w2|w1) = 0.75·MLE(bigram) + 0.25·add-one-unigram(w2), the
+    // Jelinek–Mercer backoff every n-gram quality filter uses (a
+    // repetitive doc scores HIGH here but its unigram twin can't see
+    // the order — the two together separate fluent from shuffled
+    // text). Determinism: each bigram TYPE's log term is integer-
+    // scaled to 1e-9 once, multiplied by the integer tf, and the
+    // per-doc reduction is an order-free int64 sum (the q_mutual_info
+    // fold) — ln() ulps move a doc score by ~1e-9, invisible at r4.
+    // Shapes: bigram stats key on (lang, bigram) — vocab²-bounded,
+    // shuffle-joined, never broadcast; the two unigram joins key on
+    // (lang, word); the tiny (lang, N, V) table broadcasts. In
+    // production the stats tables are precomputed model tables.
+    Q("q_bigram_logprob",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |              unnest(list_transform(range(1, length(words)),
+        |                                    i -> words[i] || ' ' || words[i + 1])) AS bigram
+        |       FROM t),
+        |btf AS (SELECT doc_id, lang, bigram, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |bt AS (SELECT doc_id, lang, bigram, tf,
+        |              string_split(bigram, ' ')[1] AS w1,
+        |              string_split(bigram, ' ')[2] AS w2
+        |       FROM btf),
+        |bs AS (SELECT lang, bigram, CAST(sum(tf) AS BIGINT) AS cb FROM btf GROUP BY 1, 2),
+        |u AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |utf AS (SELECT lang, word, count(*) AS cw FROM u GROUP BY 1, 2),
+        |ls AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS n, count(*) AS v FROM utf GROUP BY 1),
+        |sc AS (SELECT bt.doc_id, bt.lang,
+        |              CAST(sum(bt.tf * CAST(floor(ln(0.75 * CAST(cb AS DOUBLE) / u1.cw + 0.25 * (CAST(u2.cw AS DOUBLE) + 1) / (n + v)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS lp9,
+        |              CAST(sum(bt.tf) AS BIGINT) AS n_bigrams
+        |       FROM bt
+        |       JOIN bs ON bt.lang = bs.lang AND bt.bigram = bs.bigram
+        |       JOIN utf u1 ON bt.lang = u1.lang AND bt.w1 = u1.word
+        |       JOIN utf u2 ON bt.lang = u2.lang AND bt.w2 = u2.word
+        |       JOIN ls ON bt.lang = ls.lang
+        |       GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_bigrams,
+        |       floor((lp9 / 1e9 / n_bigrams)*10000+0.5)/10000 AS avg_logprob
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bt = withWords(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))"))
+          .as("bigram"))
+        .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("tf"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      val bs = bt.groupBy("lang", "bigram").agg(sum("tf").as("cb"))
+      val utf = withWords(Tables.load(s, d, "documents"))
+        .select(col("lang"), explode(col("words")).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("cw"))
+      val ls = utf.groupBy("lang").agg(sum("cw").as("n"), count(lit(1)).as("v"))
+      val u1 = utf.select(col("lang"), col("word").as("w1"), col("cw").as("cw1"))
+      val u2 = utf.select(col("lang"), col("word").as("w2"), col("cw").as("cw2"))
+      bt.join(bs, Seq("lang", "bigram"))
+        .join(u1, Seq("lang", "w1"))
+        .join(u2, Seq("lang", "w2"))
+        .join(broadcast(ls), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+          sum(col("tf") * floor(log(lit(0.75) * col("cb").cast("double") / col("cw1") +
+              lit(0.25) * (col("cw2").cast("double") + 1) / (col("n") + col("v"))) *
+            lit(1e9) + 0.5).cast("long")).as("lp9"),
+          sum("tf").cast("long").as("n_bigrams"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          Q.r4(col("lp9") / lit(1e9) / col("n_bigrams")).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
     // Character-level Shannon entropy per document (round 10) — the
     // encoding-junk / gibberish detector: binary blobs, mojibake and
     // key-mash text sit far from natural language's ~4 bits/char. The
