@@ -390,6 +390,87 @@ object Statistics {
           (col("v100").cast("double") / 100).as("at_value"))
     },
 
+    // One-way ANOVA of event value across event types (round 10) — does
+    // the value distribution differ by type at all? The F statistic and
+    // effect size η² from INTEGER sufficient statistics: values floored
+    // to whole units keep every per-group Σv and Σv² (and their squares)
+    // comfortably inside int64 AND inside double's 2^53 exact range, so
+    // both engines compute F from identical numbers. The one cross-group
+    // reduction (Σ s_g²/n_g) is integer-scaled to 1e-6 per group BEFORE
+    // the 5-term sum — order-free. Shape: one map-side |types|-key agg,
+    // then a single-row projection; corpus scanned once.
+    Q("q_anova",
+      s"""WITH m AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+         |g AS (SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+         |             CAST(sum(v * v) AS BIGINT) AS ss
+         |      FROM m GROUP BY 1),
+         |t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         |             CAST(sum(s) AS BIGINT) AS stot, CAST(sum(ss) AS BIGINT) AS sstot,
+         |             CAST(sum(CAST(floor(CAST(s * s AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS b6
+         |      FROM g)
+         |SELECT k, nn AS n,
+         |       ${Q.sqlR6("((b6 / 1e6 - CAST(stot AS DOUBLE) * stot / nn) / (k - 1)) / ((sstot - b6 / 1e6) / (nn - k))")} AS f_stat,
+         |       ${Q.sqlR6("(b6 / 1e6 - CAST(stot AS DOUBLE) * stot / nn) / (sstot - CAST(stot AS DOUBLE) * stot / nn)")} AS eta_sq
+         |FROM t""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          sum(col("v") * col("v")).as("ss"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+          sum("s").as("stot"), sum("ss").as("sstot"),
+          sum(floor((col("s") * col("s")).cast("double") / col("n") * lit(1e6) + 0.5)
+            .cast("long")).as("b6"))
+        .select(col("k"), col("nn").as("n"),
+          Q.r6(((col("b6") / lit(1e6) - col("stot").cast("double") * col("stot") / col("nn")) /
+              (col("k") - 1)) /
+            ((col("sstot") - col("b6") / lit(1e6)) / (col("nn") - col("k")))).as("f_stat"),
+          Q.r6((col("b6") / lit(1e6) - col("stot").cast("double") * col("stot") / col("nn")) /
+            (col("sstot") - col("stot").cast("double") * col("stot") / col("nn"))).as("eta_sq"))
+    },
+
+    // Cramér's V between event type and ISO day-of-week (round 10) —
+    // the normalized contingency association: is traffic MIX a
+    // function of weekday? Generalizes q_abtest's 2×2 chi-square to
+    // the full 5×7 table. Every observed/margin count is an exact
+    // int64; each cell's (o−e)²/e term is integer-scaled to 1e-9
+    // BEFORE the 35-cell reduction (the q_mutual_info fold), so the
+    // cross-cell sum is order-free. Shape: one (|types|×7)-key
+    // map-side agg, margin windows over the 35-row frame, single-row
+    // output.
+    Q("q_cramers_v",
+      s"""WITH e AS (SELECT event_type,
+         |                  CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dow
+         |           FROM events),
+         |c AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+         |m AS (SELECT event_type, dow, o,
+         |             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         |             CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS cc,
+         |             CAST(sum(o) OVER () AS BIGINT) AS n
+         |      FROM c),
+         |t AS (SELECT max(n) AS n,
+         |             CAST(sum(CAST(floor((o - CAST(r AS DOUBLE) * cc / n) * (o - CAST(r AS DOUBLE) * cc / n) / (CAST(r AS DOUBLE) * cc / n) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS chi9
+         |      FROM m)
+         |SELECT n, CAST(24 AS BIGINT) AS dof,
+         |       ${Q.sqlR6("chi9 / 1e9")} AS chi2,
+         |       ${Q.sqlR6("sqrt(chi9 / 1e9 / (n * 4))")} AS cramers_v
+         |FROM t""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (weekday(col("ts").cast(DateType)) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val ex = col("r").cast("double") * col("cc") / col("n")
+      c.withColumn("r", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("cc", sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", sum("o").over(Window.partitionBy()))
+        .agg(max("n").as("n"),
+          sum(floor((col("o") - ex) * (col("o") - ex) / ex * lit(1e9) + 0.5)
+            .cast("long")).as("chi9"))
+        .select(col("n"), lit(24L).as("dof"),
+          Q.r6(col("chi9") / lit(1e9)).as("chi2"),
+          Q.r6(sqrt(col("chi9") / lit(1e9) / (col("n") * 4))).as("cramers_v"))
+    },
+
     // Benford first-digit profile of l_extendedprice (round 10) — the
     // fraud / synthetic-data smell test: natural multiplicative data
     // follows P(d) = log10(1+1/d). Portability trick: the first

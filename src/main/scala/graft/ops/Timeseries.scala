@@ -447,6 +447,51 @@ object Timeseries {
         .orderBy("event_type")
     },
 
+    // Exponentially weighted moving average of the per-type daily
+    // volume (round 10, α=0.3) — the smoother dashboards draw over
+    // noisy dailies. The recursion EWMA_t = α·y_t + (1−α)·EWMA_{t−1}
+    // (seeded EWMA_1 = y_1) is unrolled to its closed form and each
+    // weighted term is integer-scaled to 1e-6 BEFORE the per-day sum,
+    // so the reduction is an order-free int64 fold and pow()'s 1-ulp
+    // noise moves a smoothed value by ~1e-6 — invisible at r4. Shape:
+    // the corpus collapses to the (|types|×|days|) daily frame FIRST;
+    // the triangular self-join that materializes the unrolled terms is
+    // |days|²-bounded per type — calendar-bounded by construction,
+    // corpus-independent (the q_hybrid_rrf bounded-window argument).
+    Q("q_ewma",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |terms AS (SELECT b.event_type, b.x, b.y,
+         |                 CAST(floor(CASE WHEN a.x = 0 THEN pow(0.7, b.x) * a.y
+         |                                 ELSE 0.3 * pow(0.7, b.x - a.x) * a.y END * 1e6 + 0.5) AS BIGINT) AS t6
+         |          FROM daily a JOIN daily b
+         |            ON a.event_type = b.event_type AND a.x <= b.x)
+         |SELECT event_type, x AS day_idx, CAST(max(y) AS BIGINT) AS y,
+         |       ${Q.sqlR4("sum(t6) / 1e6")} AS ewma
+         |FROM terms
+         |GROUP BY event_type, x
+         |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+      a.join(daily.withColumnRenamed("x", "xb").withColumnRenamed("y", "yb"),
+          Seq("event_type"))
+        .filter(col("xa") <= col("xb"))
+        .select(col("event_type"), col("xb"), col("yb"),
+          floor(when(col("xa") === 0, pow(lit(0.7), col("xb")) * col("ya"))
+              .otherwise(lit(0.3) * pow(lit(0.7), col("xb") - col("xa")) * col("ya")) *
+            lit(1e6) + 0.5).cast("long").as("t6"))
+        .groupBy(col("event_type"), col("xb").as("day_idx"))
+        .agg(max("yb").as("y"), Q.r4(sum("t6") / lit(1e6)).as("ewma"))
+        .orderBy("event_type", "day_idx")
+    },
+
     // Day-of-week seasonality profile per event_type (round 10) — the
     // weekly-cycle fingerprint: count, share-of-type, and the
     // seasonal index (7·share — 1.0 means "an average day"). Every
