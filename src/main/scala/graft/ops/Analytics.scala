@@ -122,6 +122,55 @@ object Analytics {
         .orderBy("step")
     },
 
+    // Cohort lifetime value (round 10): q_retention's calendar, followed
+    // through revenue — per (first-active-day cohort, day offset), the
+    // cohort's cumulative purchase revenue and LTV per cohort user: the
+    // payback-curve primitive growth teams steer by. Revenue stays in
+    // int64 CENTS through the cumulative window (exact, order-free);
+    // the only doubles are the two final per-row divisions. Shapes:
+    // per-user cohort min and the activity join ride ONE user_id
+    // partitioning (retention's shape); the (cohort, offset) agg and
+    // its running-sum window are span²-bounded, corpus-independent.
+    Q("q_cohort_ltv",
+      s"""WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         |                  CASE WHEN event_type = 'purchase'
+         |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                       ELSE 0 END AS cents
+         |           FROM events),
+         |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+         |sz AS (SELECT cohort, count(*) AS n_users FROM c GROUP BY 1),
+         |r AS (SELECT c.cohort, CAST(date_diff('day', c.cohort, e.d) AS BIGINT) AS day_offset,
+         |             CAST(sum(e.cents) AS BIGINT) AS rev
+         |      FROM e JOIN c ON e.user_id = c.user_id
+         |      GROUP BY 1, 2),
+         |cum AS (SELECT cohort, day_offset,
+         |               CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY day_offset
+         |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+         |        FROM r)
+         |SELECT strftime(cum.cohort, '%Y-%m-%d') AS cohort, day_offset, n_users,
+         |       cum_cents,
+         |       ${Q.sqlR4("CAST(cum_cents AS DOUBLE) / 100 / n_users")} AS ltv_per_user
+         |FROM cum JOIN sz ON cum.cohort = sz.cohort
+         |ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast(DateType).as("d"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L).as("cents"))
+      val c = e.groupBy("user_id").agg(min("d").as("cohort"))
+      val sz = c.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+      val r = e.join(c, "user_id")
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(sum("cents").as("rev"))
+      r.withColumn("cum_cents",
+          sum("rev").over(Window.partitionBy("cohort").orderBy("day_offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(sz), "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_users"), col("cum_cents"),
+          Q.r4(col("cum_cents").cast("double") / 100 / col("n_users")).as("ltv_per_user"))
+        .orderBy("cohort", "day_offset")
+    },
+
     // Cohort retention: cohort = a user's first active day; one row per
     // (cohort, day_offset) counting users active that many days later.
     // Distinct (user, day) activity and the per-user cohort min both

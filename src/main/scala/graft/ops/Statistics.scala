@@ -471,6 +471,51 @@ object Statistics {
           Q.r6(sqrt(col("chi9") / lit(1e9) / (col("n") * 4))).as("cramers_v"))
     },
 
+    // Quantity-weighted median of line price per return flag (round
+    // 10) — "the price at which half the UNITS ship", which a plain
+    // median over lines cannot see (a 50-unit line counts once). Uses
+    // the LOWER weighted median (first price whose running weight
+    // reaches half the total): with integer cents and integer unit
+    // weights the threshold test 2·cw ≥ tw is exact int64 — no
+    // interpolation, no float anywhere until the display division.
+    // Shapes: lines collapse to the distinct (flag, price) frame
+    // first (map-side partials), the running-weight window and the
+    // first-crossing pick run per flag over that collapsed frame. At
+    // 100 TB the exact form still works (the frame is bounded by the
+    // price DOMAIN, and the window parallelizes per flag); the
+    // sketch substitute is a weighted t-digest (see q_agg_approx_pct).
+    Q("q_weighted_median",
+      s"""WITH m AS (SELECT l_returnflag AS flag,
+         |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+         |                  CAST(floor(l_quantity) AS BIGINT) AS w
+         |           FROM lineitem),
+         |g AS (SELECT flag, p, CAST(sum(w) AS BIGINT) AS w FROM m GROUP BY 1, 2),
+         |r AS (SELECT flag, p,
+         |             CAST(sum(w) OVER (PARTITION BY flag ORDER BY p
+         |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         |             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+         |      FROM g),
+         |s AS (SELECT flag, p, tw, row_number() OVER (PARTITION BY flag ORDER BY p) AS rn
+         |      FROM r WHERE 2 * cw >= tw)
+         |SELECT flag, tw AS total_units, CAST(p AS DOUBLE) / 100 AS wmedian_price
+         |FROM s WHERE rn = 1
+         |ORDER BY flag""".stripMargin) { (s, d) =>
+      val g = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"),
+          floor(col("l_quantity")).cast("long").as("w"))
+        .groupBy("flag", "p").agg(sum("w").as("w"))
+      val wf = Window.partitionBy("flag").orderBy("p")
+      g.withColumn("cw", sum("w").over(wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum("w").over(Window.partitionBy("flag")))
+        .filter(lit(2) * col("cw") >= col("tw"))
+        .withColumn("rn", row_number().over(wf))
+        .filter(col("rn") === 1)
+        .select(col("flag"), col("tw").as("total_units"),
+          (col("p").cast("double") / 100).as("wmedian_price"))
+        .orderBy("flag")
+    },
+
     // Benford first-digit profile of l_extendedprice (round 10) — the
     // fraud / synthetic-data smell test: natural multiplicative data
     // follows P(d) = log10(1+1/d). Portability trick: the first

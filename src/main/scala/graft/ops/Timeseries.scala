@@ -492,6 +492,49 @@ object Timeseries {
         .orderBy("event_type", "day_idx")
     },
 
+    // Local-peak detection in the per-type daily series (round 10):
+    // days strictly above BOTH neighbors, with prominence = height
+    // above the taller neighbor — the alerting primitive behind
+    // "traffic spiked on the 17th". Interior days only (endpoints
+    // have one neighbor and are excluded by the non-null guards).
+    // Pure int64 comparisons on exact daily counts — nothing to
+    // round. Shape: corpus → (|types|×|days|) daily frame, lag/lead
+    // over that bounded frame on its per-type partitioning.
+    Q("q_peak_detection",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, x, y,
+         |             lag(y) OVER (PARTITION BY event_type ORDER BY x) AS yp,
+         |             lead(y) OVER (PARTITION BY event_type ORDER BY x) AS yn
+         |      FROM daily)
+         |SELECT event_type,
+         |       strftime(DATE '$TrendAnchor' + CAST(x AS INTEGER), '%Y-%m-%d') AS day,
+         |       CAST(y AS BIGINT) AS y,
+         |       CAST(y - greatest(yp, yn) AS BIGINT) AS prominence
+         |FROM w
+         |WHERE yp IS NOT NULL AND yn IS NOT NULL AND y > yp AND y > yn
+         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+      daily
+        .withColumn("yp", lag("y", 1).over(wx))
+        .withColumn("yn", lead("y", 1).over(wx))
+        .filter(col("yp").isNotNull && col("yn").isNotNull &&
+          col("y") > col("yp") && col("y") > col("yn"))
+        .select(col("event_type"),
+          date_format(date_add(to_date(lit(TrendAnchor)), col("x").cast("int")), "yyyy-MM-dd")
+            .as("day"),
+          col("y"), (col("y") - greatest(col("yp"), col("yn"))).as("prominence"))
+        .orderBy("event_type", "day")
+    },
+
     // Day-of-week seasonality profile per event_type (round 10) — the
     // weekly-cycle fingerprint: count, share-of-type, and the
     // seasonal index (7·share — 1.0 means "an average day"). Every
