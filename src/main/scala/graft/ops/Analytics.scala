@@ -152,19 +152,25 @@ object Analytics {
          |       ${Q.sqlR4("CAST(cum_cents AS DOUBLE) / 100 / n_users")} AS ltv_per_user
          |FROM cum JOIN sz ON cum.cohort = sz.cohort
          |ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+      // Single-scan shape (the oracle keeps the join formulation): the
+      // cohort is a per-user window min, the cohort size rides the
+      // (cohort, offset) agg as the offset-0 distinct-user count
+      // (every user is active on their own cohort day by definition)
+      // fanned across the cohort by a window max — one corpus scan,
+      // and the user_id window is the only corpus-sized exchange.
       val e = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast(DateType).as("d"),
           when(col("event_type") === "purchase",
             floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L).as("cents"))
-      val c = e.groupBy("user_id").agg(min("d").as("cohort"))
-      val sz = c.groupBy("cohort").agg(count(lit(1)).as("n_users"))
-      val r = e.join(c, "user_id")
+        .withColumn("cohort", min("d").over(Window.partitionBy("user_id")))
+      val r = e
         .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
-        .agg(sum("cents").as("rev"))
+        .agg(sum("cents").as("rev"), countDistinct("user_id").as("nd"))
       r.withColumn("cum_cents",
           sum("rev").over(Window.partitionBy("cohort").orderBy("day_offset")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(sz), "cohort")
+        .withColumn("n_users",
+          max(when(col("day_offset") === 0, col("nd"))).over(Window.partitionBy("cohort")))
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
           col("day_offset"), col("n_users"), col("cum_cents"),
           Q.r4(col("cum_cents").cast("double") / 100 / col("n_users")).as("ltv_per_user"))

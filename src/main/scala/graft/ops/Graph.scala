@@ -232,41 +232,54 @@ object Graph {
         |SELECT node, tri_cnt FROM c
         |ORDER BY tri_cnt DESC, node
         |LIMIT 20""".stripMargin) { (s, d) =>
-      // baskets → in-row sorted pair expansion (the assoc_rules shape:
-      // C(items, 2) per order, never a cross-part join) → distinct edges
-      val io = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
-        .select(explode(expr(
-          """flatten(transform(pks,
-            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
-            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
-        .select(col("pr.a").as("a"), col("pr.b").as("b"))
-        .distinct()
-      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      // orient each edge from its (deg, id)-smaller endpoint; the packed
-      // int64 key makes the orientation one scalar comparison and lets
-      // the id be recovered with a single modulo at the end
-      val oriented = edges
-        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
-        .select(
-          least(col("da") * lit(4294967296L) + col("a"),
-            col("db") * lit(4294967296L) + col("b")).as("ku"),
-          greatest(col("da") * lit(4294967296L) + col("a"),
-            col("db") * lit(4294967296L) + col("b")).as("kv"))
-      val w1 = oriented.select(col("ku"), col("kv").as("kx"))
-      val w2 = oriented.select(col("ku"), col("kv").as("ky"))
-      val closing = oriented.select(col("ku").as("kx"), col("kv").as("ky"))
-      w1.join(w2, "ku").filter(col("kx") < col("ky"))
-        .join(closing, Seq("kx", "ky"))
-        .select(explode(array(col("ku"), col("kx"), col("ky"))).as("k"))
-        .select((col("k") % 4294967296L).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      triangleCorners(s, d)
         .orderBy(col("tri_cnt").desc, col("node"))
         .limit(20)
     }
   )
+
+  /** Per-node triangle participation counts over the part co-purchase
+    * graph (ALL nodes, unlimited) — the q_graph_triangles body before
+    * the top-20, exposed so TwinAndPropertySpec can assert the
+    * 3·|triangles| corner identity against an independent id-ordered
+    * recount. The edge list and its orientation are localCheckpointed
+    * (the q_pagerank move) so the wedge/closing branches reuse ONE
+    * materialized frame instead of re-deriving lineitem three times. */
+  private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame = {
+    // baskets → in-row sorted pair expansion (the assoc_rules shape:
+    // C(items, 2) per order, never a cross-part join) → distinct edges
+    val io = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks,
+          |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from its (deg, id)-smaller endpoint; the packed
+    // int64 key makes the orientation one scalar comparison and lets
+    // the id be recovered with a single modulo at the end
+    val oriented = edges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        least(col("da") * lit(4294967296L) + col("a"),
+          col("db") * lit(4294967296L) + col("b")).as("ku"),
+        greatest(col("da") * lit(4294967296L) + col("a"),
+          col("db") * lit(4294967296L) + col("b")).as("kv"))
+      .localCheckpoint(true)
+    val w1 = oriented.select(col("ku"), col("kv").as("kx"))
+    val w2 = oriented.select(col("ku"), col("kv").as("ky"))
+    val closing = oriented.select(col("ku").as("kx"), col("kv").as("ky"))
+    w1.join(w2, "ku").filter(col("kx") < col("ky"))
+      .join(closing, Seq("kx", "ky"))
+      .select(explode(array(col("ku"), col("kx"), col("ky"))).as("k"))
+      .select((col("k") % 4294967296L).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
 }

@@ -376,12 +376,14 @@ object Statistics {
         .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
           when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+      // single scan: sample sizes are whole-frame window aggregates over
+      // the bounded distinct-cents frame — no re-aggregated totals join
       val c = v.groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
-      val n = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
       val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       c.withColumn("r1", sum("c1").over(wv))
         .withColumn("r2", sum("c2").over(wv))
-        .crossJoin(broadcast(n))
+        .withColumn("n1", sum("c1").over(Window.partitionBy()))
+        .withColumn("n2", sum("c2").over(Window.partitionBy()))
         .withColumn("dev", abs(col("r1") * col("n2") - col("r2") * col("n1")))
         .withColumn("rn", row_number().over(Window.orderBy(col("dev").desc, col("v100"))))
         .filter(col("rn") === 1)
@@ -538,12 +540,12 @@ object Statistics {
          |       ${Q.sqlR6("abs(CAST(cnt AS DOUBLE) / tot - ln(1.0 + 1.0 / digit) / ln(10.0))")} AS abs_dev
          |FROM g CROSS JOIN t
          |ORDER BY digit""".stripMargin) { (s, d) =>
-      val g = Tables.load(s, d, "lineitem")
+      // single scan: the total is a window aggregate over the 9-row frame
+      Tables.load(s, d, "lineitem")
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
         .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("cnt"))
-      val t = g.agg(sum("cnt").as("tot"))
-      g.crossJoin(broadcast(t))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy()))
         .select(col("digit"), col("cnt"),
           Q.r6(col("cnt").cast("double") / col("tot")).as("share"),
           Q.r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))).as("benford"),

@@ -365,24 +365,36 @@ object Timeseries {
          |       ${Q.sqlR6("CAST(n * n * pk - n * s * (ak + bk) + (n - p.k) * s * s AS DOUBLE) / (n * n * ss - n * s * s)")} AS acf
          |FROM p JOIN tot ON p.event_type = tot.event_type
          |ORDER BY p.event_type, k""".stripMargin) { (s, d) =>
+      // Single-scan shape (the oracle keeps the self-join formulation):
+      // per-type totals ride the SAME window partitioning as seven
+      // lead() columns, and each lead contributes to the lag bucket of
+      // its DAY difference (not its row offset) — for any day-pair ≤7
+      // days apart the row distance is ≤ the day distance, so seven
+      // row-leads always cover every day-lag ≤7 even if days go
+      // missing. One corpus scan, one exchange, no self-join.
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
           datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
             .cast("long").as("x"))
         .agg(count(lit(1)).as("y"))
-      val tot = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("y").as("s"),
-          sum(col("y") * col("y")).as("ss"))
-      val lags = s.range(1, 8).toDF("k")
-      val pairs = daily
-        .crossJoin(broadcast(lags))
-        .select(col("event_type"), col("k"), (col("x") + col("k")).as("x1"), col("y").as("y0"))
-        .join(daily.withColumnRenamed("x", "x1").withColumnRenamed("y", "y1"),
-          Seq("event_type", "x1"))
+      val wt = Window.partitionBy("event_type")
+      val wx = wt.orderBy("x")
+      val withLeads = (1 to 7).foldLeft(
+        daily
+          .withColumn("n", count(lit(1)).over(wt))
+          .withColumn("s", sum("y").over(wt))
+          .withColumn("ss", sum(col("y") * col("y")).over(wt))) { (df, j) =>
+        df.withColumn(s"x$j", lead("x", j).over(wx))
+          .withColumn(s"y$j", lead("y", j).over(wx))
+      }
+      withLeads
+        .selectExpr("event_type", "n", "s", "ss", "y",
+          "stack(7, x1 - x, y1, x2 - x, y2, x3 - x, y3, x4 - x, y4, x5 - x, y5, x6 - x, y6, x7 - x, y7) AS (k, yk)")
+        .filter(col("yk").isNotNull && col("k").between(1, 7))
         .groupBy("event_type", "k")
-        .agg(sum(col("y0") * col("y1")).as("pk"),
-          sum("y0").as("ak"), sum("y1").as("bk"))
-      pairs.join(broadcast(tot), "event_type")
+        .agg(sum(col("y") * col("yk")).as("pk"),
+          sum("y").as("ak"), sum("yk").as("bk"),
+          max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
         .select(col("event_type"), col("k"),
           Q.r6((col("n") * col("n") * col("pk") - col("n") * col("s") * (col("ak") + col("bk")) +
             (col("n") - col("k")) * col("s") * col("s")).cast("double") /
@@ -423,18 +435,21 @@ object Timeseries {
          |       ${Q.sqlR6("CAST(dev AS DOUBLE) / n")} AS cusum_max
          |FROM r WHERE rn = 1
          |ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Single-scan shape: the per-type totals are window aggregates on
+      // the SAME partitioning as the prefix sums — no re-aggregated
+      // totals join, no second corpus scan.
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
           datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
             .cast("long").as("x"))
         .agg(count(lit(1)).as("y"))
-      val tot = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("y").as("s"))
-      val wx = Window.partitionBy("event_type").orderBy("x")
+      val wt = Window.partitionBy("event_type")
+      val wx = wt.orderBy("x")
       val dev = daily
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("s", sum("y").over(wt))
         .withColumn("pre", sum("y").over(wx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("t", row_number().over(wx).cast("long"))
-        .join(broadcast(tot), "event_type")
         .withColumn("dev", abs(col("n") * col("pre") - col("t") * col("s")))
       dev
         .withColumn("rn", row_number().over(
@@ -474,21 +489,26 @@ object Timeseries {
          |FROM terms
          |GROUP BY event_type, x
          |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      // Single-scan shape (the oracle keeps the triangular-join
+      // formulation): each day's full history arrives as a window
+      // collect_list over the calendar-bounded per-type frame and the
+      // unrolled terms fold IN-ROW — same int64 term set as the join,
+      // one corpus scan, one exchange, no self-join.
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
           datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
             .cast("long").as("x"))
         .agg(count(lit(1)).as("y"))
-      val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
-      a.join(daily.withColumnRenamed("x", "xb").withColumnRenamed("y", "yb"),
-          Seq("event_type"))
-        .filter(col("xa") <= col("xb"))
-        .select(col("event_type"), col("xb"), col("yb"),
-          floor(when(col("xa") === 0, pow(lit(0.7), col("xb")) * col("ya"))
-              .otherwise(lit(0.3) * pow(lit(0.7), col("xb") - col("xa")) * col("ya")) *
-            lit(1e6) + 0.5).cast("long").as("t6"))
-        .groupBy(col("event_type"), col("xb").as("day_idx"))
-        .agg(max("yb").as("y"), Q.r4(sum("t6") / lit(1e6)).as("ewma"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("hist", collect_list(struct(col("x"), col("y"))).over(wx))
+        .withColumn("lp6", expr(
+          """aggregate(hist, CAST(0 AS BIGINT),
+            |  (acc, e) -> acc + CAST(floor((CASE WHEN e.x = 0 THEN pow(0.7, x) * e.y
+            |                                     ELSE 0.3 * pow(0.7, x - e.x) * e.y END) * 1e6 + 0.5) AS BIGINT))""".stripMargin))
+        .select(col("event_type"), col("x").as("day_idx"), col("y"),
+          Q.r4(col("lp6") / lit(1e6)).as("ewma"))
         .orderBy("event_type", "day_idx")
     },
 
@@ -555,12 +575,13 @@ object Timeseries {
          |       ${Q.sqlR6("7 * CAST(cnt AS DOUBLE) / tot")} AS season_idx
          |FROM d JOIN t ON d.event_type = t.event_type
          |ORDER BY d.event_type, dow""".stripMargin) { (s, d) =>
-      val cnt = Tables.events(s, d)
+      // Single-scan shape: the per-type total is a window aggregate
+      // over the 35-row frame — no re-aggregated totals join.
+      Tables.events(s, d)
         .groupBy(col("event_type"),
           (weekday(col("ts").cast(DateType)) + 1).cast("long").as("dow"))
         .agg(count(lit(1)).as("cnt"))
-      val tot = cnt.groupBy("event_type").agg(sum("cnt").as("tot"))
-      cnt.join(broadcast(tot), "event_type")
+        .withColumn("tot", sum("cnt").over(Window.partitionBy("event_type")))
         .select(col("event_type"), col("dow"), col("cnt"),
           Q.r6(col("cnt").cast("double") / col("tot")).as("share"),
           Q.r6(lit(7) * col("cnt").cast("double") / col("tot")).as("season_idx"))

@@ -680,4 +680,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(userExchanges === 1,
       s"median window must ride one user_id exchange, found $userExchanges:\n$plan")
   }
+
+  private def scanCount(name: String): Int =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+
+  test("the daily-series ops scan the corpus exactly once") {
+    // q_acf replaces its lag self-join with seven lead() columns on one
+    // window partitioning; q_cusum/q_seasonality attach totals as
+    // window aggregates; q_ewma folds its unrolled history in-row from
+    // a window collect_list — a second Scan line means a rewrite
+    // regressed to re-deriving the daily frame per branch.
+    for (n <- Seq("q_acf", "q_cusum", "q_seasonality", "q_ewma", "q_peak_detection"))
+      assert(scanCount(n) === 1, s"$n must scan events exactly once")
+  }
+
+  test("q_corr_matrix is one scan, one bounded aggregate, no Expand") {
+    val plan = SparkEntry.queries("q_corr_matrix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(scanCount("q_corr_matrix") === 1, "all 15 sufficient statistics in ONE pass")
+    assert(!plan.contains("Expand"),
+      s"multi-column stats must not replicate rows (q_profile's Expand):\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a global agg needs no hash exchange:\n$plan")
+  }
+
+  test("q_ks_test and q_benford collapse to bounded frames before any window") {
+    for (n <- Seq("q_ks_test", "q_benford")) {
+      assert(scanCount(n) === 1, s"$n must scan its fact table exactly once")
+    }
+  }
+
+  test("q_cohort_ltv is single-scan and rides the user_id window exchange") {
+    val plan = SparkEntry.queries("q_cohort_ltv")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(scanCount("q_cohort_ltv") === 1, "cohort via window min — no cohort-table rejoin")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) === 1,
+      s"exactly one corpus-sized exchange (user_id):\n$plan")
+  }
+
+  test("q_graph_triangles wedge joins are hash/merge equi-joins, never nested loops") {
+    val plan = SparkEntry.queries("q_graph_triangles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure must stay equi-keyed:\n$plan")
+  }
+
+  test("q_funnel_time rides the funnel's single user_id exchange") {
+    val plan = SparkEntry.queries("q_funnel_time")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"latency windows must reuse one user_id exchange, found $userExchanges:\n$plan")
+  }
 }

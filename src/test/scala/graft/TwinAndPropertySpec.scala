@@ -797,6 +797,174 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("q_acf autocorrelations are valid (|acf| <= 1, full lag×type grid)") {
+    val rows = q("q_acf").collect()
+    assert(rows.length === 35, "5 types × 7 lags expected")
+    rows.foreach { r =>
+      val a = r.getDouble(2)
+      assert(a >= -1.0 && a <= 1.0, s"acf out of [-1,1]: $r")
+    }
+  }
+
+  test("q_benford shares are a distribution over digits 1..9") {
+    val rows = q("q_benford").collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"shares must sum to ~1: $shareSum")
+    val benfordSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(benfordSum - 1.0) < 1e-5, s"benford masses must sum to ~1: $benfordSum")
+  }
+
+  test("q_ks_test D is a valid statistic and the sup is attained") {
+    val r = q("q_ks_test").head()
+    val (n1, n2, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n1 > 0 && n2 > 0)
+    assert(d >= 0.0 && d <= 1.0, s"D out of [0,1]: $d")
+    // the attained sup must equal a directly recomputed max ECDF gap
+    val v = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+      .collect()
+    val byV = v.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    var (c1, c2, best) = (0L, 0L, 0L)
+    byV.foreach { case (_, rs) =>
+      c1 += rs.map(_.getLong(1)).sum; c2 += rs.map(_.getLong(2)).sum
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(math.abs(d - best.toDouble / (n1 * n2)) < 1e-5,
+      s"reported D=$d != recomputed ${best.toDouble / (n1 * n2)}")
+  }
+
+  test("q_corr_matrix correlations are valid and match spark's corr()") {
+    val rows = q("q_corr_matrix").collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 && c <= 1.0, s"corr out of [-1,1]: $r")
+    }
+    // independent check: built-in corr() over the same integerized
+    // measures agrees within accumulation-order noise
+    val m = Tables.load(spark, sfDir, "lineitem").select(
+      floor(col("l_quantity")).cast("long").as("q"),
+      floor(col("l_extendedprice")).cast("long").as("p"))
+    val want = m.agg(corr(col("q"), col("p"))).head().getDouble(0)
+    val got = rows.find(r => r.getString(0) == "quantity" && r.getString(1) == "price_usd")
+      .get.getDouble(3)
+    assert(math.abs(got - want) < 1e-6, s"q/p corr $got != corr() $want")
+  }
+
+  test("q_graph_triangles corner credits are 3x an independent id-ordered recount") {
+    // every triangle credits exactly its three corners, so Σ per-node
+    // counts ≡ 3·|triangles|; recount triangles with the oracle's
+    // id-ordered formulation (a DIFFERENT orientation of the same set)
+    val corners = ops.Graph.triangleCorners(spark, sfDir)
+    val total = corners.agg(sum("tri_cnt")).head().getLong(0)
+    assert(total % 3 === 0, s"corner credits must be divisible by 3: $total")
+    val io = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
+    val e = io.as("x").join(io.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
+    val e1 = e.select(col("a").as("u"), col("b").as("v"))
+    val e2 = e.select(col("a").as("v"), col("b").as("w"))
+    val e3 = e.select(col("a").as("u"), col("b").as("w"))
+    val nTri = e1.join(e2, "v").join(e3, Seq("u", "w")).count()
+    e.unpersist(false)
+    assert(total === 3 * nTri, s"corner credits $total != 3 × $nTri triangles")
+  }
+
+  test("q_ewma smoothed values stay inside the series envelope and seed at day 0") {
+    val rows = q("q_ewma").collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      val ys = rs.map(_.getLong(2))
+      val (lo, hi) = (ys.min.toDouble, ys.max.toDouble)
+      rs.foreach { r =>
+        val e = r.getDouble(3)
+        assert(e >= lo - 1e-3 && e <= hi + 1e-3, s"$t ewma $e outside [$lo,$hi]")
+      }
+      rs.find(_.getLong(1) == 0L).foreach { r0 =>
+        assert(math.abs(r0.getDouble(3) - r0.getLong(2)) < 1e-3,
+          s"$t day-0 ewma must equal y_0: $r0")
+      }
+    }
+  }
+
+  test("q_anova and q_cramers_v statistics are in their valid ranges") {
+    val a = q("q_anova").head()
+    assert(a.getLong(0) === 5, "five event types")
+    assert(a.getDouble(2) >= 0.0, s"F must be non-negative: $a")
+    assert(a.getDouble(3) >= 0.0 && a.getDouble(3) <= 1.0, s"eta² out of [0,1]: $a")
+    val c = q("q_cramers_v").head()
+    assert(c.getDouble(2) >= 0.0, s"chi² must be non-negative: $c")
+    assert(c.getDouble(3) >= 0.0 && c.getDouble(3) <= 1.0, s"V out of [0,1]: $c")
+  }
+
+  test("q_funnel_time latencies are ordered and cohorts match q_funnel stages") {
+    val ft = q("q_funnel_time").collect()
+    ft.foreach { r =>
+      val (mn, med, p90, mx) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(mn <= med && med <= p90 && p90 <= mx, s"percentiles out of order: $r")
+      assert(mn >= 1, s"qualifying delays are strictly positive seconds: $r")
+    }
+    val stages = q("q_funnel").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byStep = ft.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStep("1_view_to_click") === stages("2_click"),
+      "view→click conversions must equal funnel stage-2 users")
+    assert(byStep("2_click_to_purchase") === stages("3_purchase"),
+      "click→purchase conversions must equal funnel stage-3 users")
+  }
+
+  test("q_bigram_logprob scores are negative log-probs over words-1 bigrams") {
+    val rows = q("q_bigram_logprob").collect()
+    assert(rows.length === Tables.load(spark, sfDir, "documents").count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) < 0.0, s"mean log-prob must be negative: $r")
+    }
+    val want = Tables.load(spark, sfDir, "documents")
+      .agg(sum(size(split(col("text"), " ")) - 1)).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === want,
+      "per-doc bigram token counts must sum to Σ(words-1)")
+  }
+
+  test("q_weighted_median is the first price covering half the units") {
+    q("q_weighted_median").collect().foreach { r =>
+      val (flag, tw, med) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val m = Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === flag)
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"),
+          floor(col("l_quantity")).cast("long").as("w"))
+      val medC = math.round(med * 100)
+      val below = m.filter(col("p") <= medC).agg(sum("w")).head().getLong(0)
+      val strictly = m.filter(col("p") < medC).agg(sum("w")).head().getLong(0)
+      assert(2 * below >= tw, s"$flag: weight at/below median must reach half")
+      assert(2 * strictly < tw, s"$flag: median must be the FIRST crossing price")
+    }
+  }
+
+  test("q_cohort_ltv curves are monotone and end at the cohort's total revenue") {
+    val rows = q("q_cohort_ltv").collect()
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) <= b.getLong(3), s"$cohort cumulative must be monotone")
+        case _ =>
+      }
+      assert(sorted.map(_.getLong(2)).distinct.length === 1,
+        s"$cohort size must be constant along the curve")
+    }
+    // grand total across cohorts equals total purchase revenue in cents
+    val finals = byCohort.values.map(_.maxBy(_.getLong(1)).getLong(3)).sum
+    val want = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long"))).head().getLong(0)
+    assert(finals === want, s"Σ final cum_cents $finals != total purchase cents $want")
+  }
+
   test("q_ivm_refresh state merge equals a direct full recompute (Spark-side)") {
     // the oracle already proves this cross-engine; this pins the same
     // invariant WITHIN Spark so a refactor of the merge path can't
