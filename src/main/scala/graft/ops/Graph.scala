@@ -39,6 +39,11 @@ object Graph {
     * q_dedup_near dfCap move: bounds the per-key quadratic term). */
   private val DegCap = 128
 
+  /** Co-purchase edge support threshold for the triangle census: a
+    * pair of parts must share at least this many orders to be an
+    * edge. Keeps the graph catalog-sized as orders accumulate. */
+  private val MinSupport = 2
+
   /** Full unrounded rank table (int64 node id, pr) after [[Iterations]]
     * power-iteration rounds — the q_pagerank body before labeling /
     * rounding / top-50, exposed so TwinAndPropertySpec can assert mass
@@ -201,26 +206,33 @@ object Graph {
     },
 
     // Triangle census of the co-purchase graph (round 10): nodes are
-    // parts, an edge joins two parts that share an order, and the
-    // top-20 parts by triangle participation are the "bought in
-    // cliques" items — the one-mode complement to the bipartite
-    // butterfly count above. The Spark side runs the classic
-    // DEGREE-ORDERED orientation: each undirected edge points from its
-    // (degree, id)-smaller endpoint (packed as deg·2³² + id, one int64
-    // comparison), wedges expand only from each edge's LOW endpoint,
-    // and a semi-structural join closes them — total work O(Σ C(deg⁺,
-    // 2)) = O(m^1.5) regardless of hub skew, the reason this plan
-    // survives a power-law catalog where naive id-ordering quadratics
-    // on the hubs. The oracle closes triangles with the simple
-    // id-ordered triple self-join — a different orientation of the
-    // SAME triangle set (orientation choice never changes the set), so
-    // the two formulations cannot agree by construction-sharing, only
-    // by both being right. Per-node counts: each triangle credits all
-    // three corners; integer counts, (cnt DESC, node) tie-break.
+    // parts, an edge joins two parts CO-PURCHASED IN ≥2 ORDERS
+    // (MinSupport — a single shared order is noise: unthresholded,
+    // this graph runs ~60 co-incidental edges per part and 1.9M
+    // meaningless triangles at sf0.1; repeat co-purchase is what makes
+    // an edge a signal, and it keeps the graph CATALOG-sized instead
+    // of corpus-sized as orders accumulate — the same reason
+    // q_assoc_rules ranks by support). Top-20 parts by triangle
+    // participation are the "bought in cliques" items — the one-mode
+    // complement to the bipartite butterfly count above. The Spark
+    // side runs the classic DEGREE-ORDERED orientation: each
+    // undirected edge points from its (degree, id)-smaller endpoint
+    // (packed as deg·2³² + id, one int64 comparison), wedges expand
+    // only from each edge's LOW endpoint, and a semi-structural join
+    // closes them — total work O(Σ C(deg⁺, 2)) = O(m^1.5) regardless
+    // of hub skew, the reason this plan survives a power-law catalog
+    // where naive id-ordering quadratics on the hubs. The oracle
+    // closes triangles with the simple id-ordered triple self-join —
+    // a different orientation of the SAME triangle set (orientation
+    // choice never changes the set), so the two formulations cannot
+    // agree by construction-sharing, only by both being right.
+    // Per-node counts: each triangle credits all three corners;
+    // integer counts, (cnt DESC, node) tie-break.
     Q("q_graph_triangles",
-      """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk),
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |        FROM e e1
         |        JOIN e e2 ON e2.a = e1.b
@@ -247,7 +259,8 @@ object Graph {
     * materialized frame instead of re-deriving lineitem three times. */
   private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame = {
     // baskets → in-row sorted pair expansion (the assoc_rules shape:
-    // C(items, 2) per order, never a cross-part join) → distinct edges
+    // C(items, 2) per order, never a cross-part join) → support-
+    // thresholded edges
     val io = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
       .distinct()
@@ -257,7 +270,9 @@ object Graph {
           |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
       .select(col("pr.a").as("a"), col("pr.b").as("b"))
-      .distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= MinSupport)
+      .select("a", "b")
       .localCheckpoint(true)
     val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))

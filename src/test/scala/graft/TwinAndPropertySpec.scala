@@ -865,7 +865,8 @@ class TwinAndPropertySpec extends SparkSpec {
     val io = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
     val e = io.as("x").join(io.as("y"), col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2).select("a", "b").cache()
     val e1 = e.select(col("a").as("u"), col("b").as("v"))
     val e2 = e.select(col("a").as("v"), col("b").as("w"))
     val e3 = e.select(col("a").as("u"), col("b").as("w"))
