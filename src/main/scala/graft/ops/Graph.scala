@@ -247,6 +247,50 @@ object Graph {
       triangleCorners(s, d)
         .orderBy(col("tri_cnt").desc, col("node"))
         .limit(20)
+    },
+
+    // Item-item cosine similarity over order co-occurrence (round 10)
+    // — the classic neighborhood recommender score: cos(a,b) =
+    // cooc(a,b) / (√cnt(a)·√cnt(b)), the symmetric normalization that
+    // q_cooccur_lift's lift and q_assoc_rules' confidence are not.
+    // Same support-≥2 candidate generation as the triangle census
+    // (in-row per-basket pair expansion, never a cross-part join;
+    // catalog-bounded as orders accumulate). Ranking is on the
+    // r6-ROUNDED score with the (a, b) tie-break, so a last-ulp sqrt
+    // disagreement can never reorder the top-20 boundary (PARITY
+    // round-before-top-k). The per-item counts table is catalog-sized
+    // — broadcast-eligible here, an ordinary shuffle join at scale.
+    Q("q_item_cosine",
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT pk, count(*) AS c FROM io GROUP BY 1),
+         |p AS (SELECT a.pk AS a, b.pk AS b, count(*) AS cooc
+         |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |sc AS (SELECT a, b, cooc,
+         |              ${Q.sqlR6("cooc / (sqrt(CAST(na.c AS DOUBLE)) * sqrt(CAST(nb.c AS DOUBLE)))")} AS cosine
+         |       FROM p JOIN n na ON p.a = na.pk JOIN n nb ON p.b = nb.pk)
+         |SELECT a, b, cooc, cosine FROM sc
+         |ORDER BY cosine DESC, a, b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val io = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = io.groupBy("pk").agg(count(lit(1)).as("c"))
+      val p = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
+        .select(explode(expr(
+          """flatten(transform(pks,
+            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= MinSupport)
+      p.join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
+        .join(n.select(col("pk").as("b"), col("c").as("cb")), "b")
+        .select(col("a"), col("b"), col("cooc"),
+          Q.r6(col("cooc") / (sqrt(col("ca").cast("double")) * sqrt(col("cb").cast("double"))))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 

@@ -106,6 +106,19 @@ object Streams {
       .select("doc_id", "lang", "text")
   }
 
+  /** Streaming day-of-week traffic profile — the streaming face of
+    * batch q_seasonality's count grid: a running (event_type, isodow)
+    * aggregate maintained incrementally (complete/update mode). State
+    * is the 35-cell grid — BOUNDED BY THE DOMAIN, never by the stream
+    * (each cell one partial count with map-side merge), so this runs
+    * forever at any rate. Shares (share, season_idx) divide out at
+    * read time exactly as the batch twin's final projection. */
+  def seasonalityCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+      (weekday(col("ts").cast(org.apache.spark.sql.types.DateType)) + 1)
+        .cast("long").as("dow"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming z-score anomaly flags — the streaming face of batch
     * q_anomaly, split the way production does it: per-type mean/stddev
     * come from a BATCH pass over history (a stream cannot see the full

@@ -269,6 +269,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dow-profile counts agree with the batch q_seasonality grid") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Ev]
+    val q = Streams.seasonalityCounts(in.toDF())
+      .writeStream.format("memory").queryName("t_season").outputMode("complete").start()
+    withQuery(q) {
+      // replay the real sf0.001 events through the stream in two batches
+      val rows = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("t_season")
+        .select("event_type", "dow", "cnt").as[(String, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_seasonality")(spark, sfDir)
+        .select("event_type", "dow", "cnt").as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "incremental 35-cell grid must equal the batch profile")
+    }
+  }
+
   test("streaming anomaly flags agree with the batch q_anomaly operator") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
