@@ -552,6 +552,193 @@ object Statistics {
           Q.r6(abs(col("cnt").cast("double") / col("tot") -
             log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))).as("abs_dev"))
         .orderBy("digit")
+    },
+
+    // Mann–Whitney U rank-sum test between the purchase and click
+    // value distributions (round 10) — the nonparametric companion to
+    // q_ks_test over the SAME bounded distinct-cents frame: does one
+    // distribution stochastically dominate the other? Exactness trick:
+    // with tied values the average rank of a tie run [a..b] is
+    // (a+b)/2, so TWICE the average rank (2·cum_before + t + 1) is an
+    // exact int64 — 2·R1 = Σ c1·avg2 and 2·U1 = 2·R1 − n1·(n1+1) are
+    // integer to the last bit, as is the tie-correction Σ(t³−t). The
+    // only doubles are the final z / effect-size divisions over those
+    // exact integers (sqrt formula text mirrored per PARITY). Shape:
+    // corpus → distinct-cents frame (domain-bounded, not
+    // corpus-bounded), running windows over that frame, one-row output.
+    Q("q_mann_whitney",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT c1, c2, c1 + c2 AS t,
+         |             CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v100
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                  AS BIGINT) AS cb
+         |      FROM c),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         |             CAST(sum(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1x2,
+         |             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+         |      FROM r)
+         |SELECT n1, n2,
+         |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1)) / 2.0")} AS u1,
+         |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n1 + n2 + 1) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))")} AS z,
+         |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) * n2)")} AS rank_biserial
+         |FROM t""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+        .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+      val wb = Window.orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val t = c
+        .select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+          coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"))
+        .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+          sum(col("c1") * (lit(2) * col("cb") + col("t") + 1)).as("r1x2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val twoU = col("r1x2") - col("n1") * (col("n1") + 1) -
+        col("n1").cast("double") * col("n2")
+      t.select(col("n1"), col("n2"),
+        Q.r6((col("r1x2") - col("n1") * (col("n1") + 1)) / lit(2.0)).as("u1"),
+        Q.r6(twoU / (lit(2.0) * sqrt(col("n1").cast("double") * col("n2") / lit(12.0) *
+          ((col("n1") + col("n2") + 1) - col("ties").cast("double") /
+            ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1))))))
+          .as("z"),
+        Q.r6(twoU / (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
+    },
+
+    // Spearman rank correlation over the three SMALL-domain lineitem
+    // measures (round 10) — the monotone-dependence screen Pearson
+    // (q_corr_matrix) cannot see. Heavy ties are the interesting case:
+    // quantity/discount/tax have 50/11/9 distinct values, so average
+    // ranks are mandatory, and DOUBLED average ranks keep everything
+    // integer (2·avg = 2·cum_incl − t + 1 from a RANGE-framed running
+    // sum that includes ties in both engines). The corpus collapses to
+    // ONE (q,d,t)-key joint frame (≤ 50·11·9 cells — domain-bounded);
+    // marginal rank columns are window sums over that frame (no second
+    // corpus scan, no joins); the three pairs' sufficient statistics
+    // land in one agg and expand in-row (the q_corr_matrix move). Σ
+    // c·rx·ry ≤ 4n³ stays inside int64 through sf0.1 (~2e17); at sf ≥ 1
+    // the cross sums need DECIMAL accumulators, noted here.
+    Q("q_spearman",
+      s"""WITH m AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+         |                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |                  CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+         |           FROM lineitem),
+         |j AS (SELECT q, d, t, count(*) AS c FROM m GROUP BY 1, 2, 3),
+         |r AS (SELECT c,
+         |             2 * CAST(sum(c) OVER (ORDER BY q) AS BIGINT)
+         |               - CAST(sum(c) OVER (PARTITION BY q) AS BIGINT) + 1 AS rq,
+         |             2 * CAST(sum(c) OVER (ORDER BY d) AS BIGINT)
+         |               - CAST(sum(c) OVER (PARTITION BY d) AS BIGINT) + 1 AS rd,
+         |             2 * CAST(sum(c) OVER (ORDER BY t) AS BIGINT)
+         |               - CAST(sum(c) OVER (PARTITION BY t) AS BIGINT) + 1 AS rt
+         |      FROM j),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |              CAST(sum(c * rq) AS BIGINT) AS sq, CAST(sum(c * rd) AS BIGINT) AS sd,
+         |              CAST(sum(c * rt) AS BIGINT) AS st,
+         |              CAST(sum(c * rq * rq) AS BIGINT) AS qq, CAST(sum(c * rd * rd) AS BIGINT) AS dd,
+         |              CAST(sum(c * rt * rt) AS BIGINT) AS tt,
+         |              CAST(sum(c * rq * rd) AS BIGINT) AS qd, CAST(sum(c * rq * rt) AS BIGINT) AS qt,
+         |              CAST(sum(c * rd * rt) AS BIGINT) AS dt
+         |       FROM r),
+         |pr AS (SELECT 'quantity' AS var1, 'discount' AS var2, n, sq AS sx, sd AS sy, qd AS sxy, qq AS sxx, dd AS syy FROM st
+         |       UNION ALL SELECT 'quantity', 'tax', n, sq, st, qt, qq, tt FROM st
+         |       UNION ALL SELECT 'discount', 'tax', n, sd, st, dt, dd, tt FROM st)
+         |SELECT var1, var2, n,
+         |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))")} AS rho
+         |FROM pr
+         |ORDER BY var1, var2""".stripMargin) { (s, d) =>
+      val j = Tables.load(s, d, "lineitem")
+        .select(floor(col("l_quantity")).cast("long").as("q"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
+          floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+        .groupBy("q", "d", "t").agg(count(lit(1)).as("c"))
+      // RANGE-framed running sums (default frame under orderBy) include
+      // tie rows in both engines: 2·avg_rank = 2·cum_incl − t_cnt + 1
+      def avg2(k: String) =
+        (lit(2) * sum("c").over(Window.orderBy(k)) -
+          sum("c").over(Window.partitionBy(k)) + 1).as("r" + k)
+      val st = j.select(col("c"), avg2("q"), avg2("d"), avg2("t"))
+        .agg(sum("c").as("n"),
+          sum(col("c") * col("rq")).as("sq"), sum(col("c") * col("rd")).as("sd"),
+          sum(col("c") * col("rt")).as("st"),
+          sum(col("c") * col("rq") * col("rq")).as("qq"),
+          sum(col("c") * col("rd") * col("rd")).as("dd"),
+          sum(col("c") * col("rt") * col("rt")).as("tt"),
+          sum(col("c") * col("rq") * col("rd")).as("qd"),
+          sum(col("c") * col("rq") * col("rt")).as("qt"),
+          sum(col("c") * col("rd") * col("rt")).as("dt"))
+      def pair(v1: String, v2: String, sx: String, sy: String,
+               sxy: String, sxx: String, syy: String) =
+        struct(lit(v1).as("var1"), lit(v2).as("var2"),
+          col(sx).as("sx"), col(sy).as("sy"), col(sxy).as("sxy"),
+          col(sxx).as("sxx"), col(syy).as("syy"))
+      st.select(col("n"), explode(array(
+          pair("quantity", "discount", "sq", "sd", "qd", "qq", "dd"),
+          pair("quantity", "tax", "sq", "st", "qt", "qq", "tt"),
+          pair("discount", "tax", "sd", "st", "dt", "dd", "tt"))).as("pr"))
+        .select(col("pr.var1").as("var1"), col("pr.var2").as("var2"), col("n"),
+          Q.r6((col("n") * col("pr.sxy").cast("double") -
+              col("pr.sx").cast("double") * col("pr.sy")) /
+            (sqrt(col("n") * col("pr.sxx").cast("double") -
+              col("pr.sx").cast("double") * col("pr.sx")) *
+             sqrt(col("n") * col("pr.syy").cast("double") -
+              col("pr.sy").cast("double") * col("pr.sy")))).as("rho"))
+        .orderBy("var1", "var2")
+    },
+
+    // Herfindahl–Hirschman market-concentration index of supplier
+    // revenue within each nation (round 10) — the antitrust-style
+    // concentration monitor: HHI = Σ shareᵢ² scaled ×10000, plus the
+    // top-supplier share (CR1). Revenue floors to whole dollars per
+    // line so every per-supplier sum is an exact int64 and Σ sᵢ² stays
+    // well inside int64 at any catalog size (squares are per-SUPPLIER
+    // totals — catalog-sized, not corpus-sized). Shape: ONE fact-table
+    // agg keyed by suppkey (map-side partials), a broadcast join to
+    // the catalog-sized supplier→nation map, then a |nations|-key agg;
+    // the fact table never shuffles on anything but suppkey.
+    Q("q_hhi",
+      s"""WITH sr AS (SELECT l_suppkey,
+         |                   CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS rev
+         |            FROM lineitem GROUP BY 1),
+         |sn AS (SELECT sr.l_suppkey, n.n_name, sr.rev
+         |       FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+         |               JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         |g AS (SELECT n_name, count(*) AS n_suppliers,
+         |             CAST(sum(rev) AS BIGINT) AS total_rev,
+         |             CAST(sum(rev * rev) AS BIGINT) AS sum_sq,
+         |             CAST(max(rev) AS BIGINT) AS max_rev
+         |      FROM sn GROUP BY 1)
+         |SELECT n_name, n_suppliers, total_rev,
+         |       ${Q.sqlR6("CAST(sum_sq AS DOUBLE) / (CAST(total_rev AS DOUBLE) * total_rev) * 10000")} AS hhi,
+         |       ${Q.sqlR6("CAST(max_rev AS DOUBLE) / total_rev")} AS cr1
+         |FROM g
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val sr = Tables.load(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice")).cast("long")).as("rev"))
+      val supp = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      sr.join(broadcast(supp), sr("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum("rev").as("total_rev"),
+          sum(col("rev") * col("rev")).as("sum_sq"),
+          max("rev").as("max_rev"))
+        .select(col("n_name"), col("n_suppliers"), col("total_rev"),
+          Q.r6(col("sum_sq").cast("double") /
+            (col("total_rev").cast("double") * col("total_rev")) * 10000).as("hhi"),
+          Q.r6(col("max_rev").cast("double") / col("total_rev")).as("cr1"))
+        .orderBy("n_name")
     }
   )
 }
