@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 
@@ -215,6 +216,63 @@ object Lexicon {
         .select(col("lang"), col("source"),
           (col("pos") + 1).cast("long").as("rk"), col("col.id").as("doc_id"))
         .orderBy("lang", "source", "rk")
+    },
+
+    // Zipf-law fit over the corpus unigram frequency spectrum (round
+    // 10) — the distributional sanity check for synthetic / filtered
+    // text: natural language has ln(freq) ≈ a − s·ln(rank) with s ≈ 1;
+    // a flat or broken slope flags templated or deduplicated-to-death
+    // corpora. OLS over the top-1000 (ln rank, ln freq) points. Ranks
+    // come from INTEGER counts with a token tie-break (round-before-
+    // top-k: the boundary is engine-exact); each ln is integer-scaled
+    // to 1e-6 per point BEFORE the sums, so all five sufficient
+    // statistics are exact int64 (|x6| ≤ 7e6 ⇒ Σx² ≤ 5e16) and the
+    // slope/r² formula runs in doubles over identical integers (the
+    // q_trend_fit move). Shape: one (token)-key count agg with
+    // map-side partials, a 1000-row top-k, then a single-row fit —
+    // the global sort is over the top-k frame only.
+    Q("q_zipf_fit",
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY 1),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM c),
+         |p AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x6,
+         |             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y6
+         |      FROM r WHERE rk <= 1000),
+         |st AS (SELECT count(*) AS n,
+         |              CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         |              CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         |              CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         |              CAST(sum(y6 * y6) AS BIGINT) AS syy
+         |       FROM p)
+         |SELECT n,
+         |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)")} AS slope,
+         |       ${Q.sqlR6("(CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) / 1e6")} AS intercept,
+         |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))")} AS r2
+         |FROM st""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // top-1000 by integer count with token tie-break, THEN the rank
+      // window over just that 1000-row frame (never a global window)
+      val top = c.orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      val p = top.select(
+        floor(log(col("rk").cast("double")) * lit(1e6) + 0.5).cast("long").as("x6"),
+        floor(log(col("cnt").cast("double")) * lit(1e6) + 0.5).cast("long").as("y6"))
+      val st = p.agg(count(lit(1)).as("n"),
+        sum("x6").as("sx"), sum("y6").as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("y6") * col("y6")).as("syy"))
+      val den = col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx")
+      val num = col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy")
+      st.select(col("n"),
+        Q.r6(num / den).as("slope"),
+        Q.r6((col("sy").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sxy")) / den / lit(1e6)).as("intercept"),
+        Q.r6(num * num / (den *
+          (col("n") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy")))).as("r2"))
     }
   )
 }

@@ -586,6 +586,126 @@ object Timeseries {
           Q.r6(col("cnt").cast("double") / col("tot")).as("share"),
           Q.r6(lit(7) * col("cnt").cast("double") / col("tot")).as("season_idx"))
         .orderBy("event_type", "dow")
+    },
+
+    // Kaplan–Meier survival curve of user lifetime (round 10) — the
+    // censoring-aware retention estimator q_retention's fixed windows
+    // cannot give: users whose last event is within 12 HOURS of the
+    // dataset end are CENSORED (still alive), not churned, and K-M is
+    // the standard way to use them without bias. (The synthetic users
+    // are near-uniformly active, so the censor horizon is hours, not
+    // the 14 days a production feed would use — the shape is
+    // identical.) Lifetime = whole HOURS between a user's first and
+    // last event; the at-risk count n_t and event count d_t live on
+    // the ≤|hour-span| distinct-duration frame
+    // (domain-bounded). Determinism: each factor's ln(1 − d/n) is
+    // integer-scaled to 1e-9 BEFORE the cumulative product-as-sum
+    // window (the q_mutual_info fold), so S(t) = exp(int64 sum / 1e9)
+    // — order-free; a d = n step pins survival to EXACT 0 past it
+    // (ln(0) never evaluated). Shape: one user_id-keyed agg (map-side
+    // partials), then windows over the tiny duration frame.
+    Q("q_kaplan_meier",
+      s"""WITH u AS (SELECT user_id,
+         |                  min(${Q.sqlEpochSec("ts")}) AS fs,
+         |                  max(${Q.sqlEpochSec("ts")}) AS ls
+         |           FROM events GROUP BY 1),
+         |w AS (SELECT ls - fs AS life, CAST(max(ls) OVER () AS BIGINT) AS te, ls FROM u),
+         |f AS (SELECT CAST(floor(life / 3600.0) AS BIGINT) AS t_hour,
+         |             count(*) AS m,
+         |             CAST(sum(CASE WHEN te - ls > 43200 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+         |      FROM w GROUP BY 1),
+         |r AS (SELECT t_hour, dd,
+         |             CAST(sum(m) OVER () AS BIGINT)
+         |               - CAST(coalesce(sum(m) OVER (ORDER BY t_hour
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |               AS n_risk
+         |      FROM f),
+         |e AS (SELECT t_hour, dd, n_risk,
+         |             max(CASE WHEN dd = n_risk THEN 1 ELSE 0 END)
+         |               OVER (ORDER BY t_hour ROWS UNBOUNDED PRECEDING) AS hit0,
+         |             CAST(sum(CASE WHEN dd = n_risk THEN 0
+         |                           ELSE CAST(floor(ln(1.0 - CAST(dd AS DOUBLE) / n_risk) * 1e9 + 0.5) AS BIGINT)
+         |                      END)
+         |                  OVER (ORDER BY t_hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lnsum9
+         |      FROM r WHERE dd > 0)
+         |SELECT t_hour, n_risk, dd AS d_events,
+         |       CASE WHEN hit0 = 1 THEN 0.0 ELSE ${Q.sqlR6("exp(lnsum9 / 1e9)")} END AS survival
+         |FROM e
+         |ORDER BY t_hour""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
+      val f = u
+        .withColumn("te", max("ls").over(Window.partitionBy()))
+        .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
+          when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+        .groupBy("t_hour")
+        .agg(count(lit(1)).as("m"), sum("churn").as("dd"))
+      val wcum = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
+      f.withColumn("n_risk",
+          sum("m").over(Window.partitionBy()) -
+            coalesce(sum("m").over(wbefore), lit(0L)))
+        .filter(col("dd") > 0)
+        .withColumn("hit0",
+          max(when(col("dd") === col("n_risk"), 1).otherwise(0)).over(wcum))
+        .withColumn("lnsum9",
+          sum(when(col("dd") === col("n_risk"), 0L)
+            .otherwise(floor(log(lit(1.0) - col("dd").cast("double") / col("n_risk")) *
+              lit(1e9) + 0.5).cast("long"))).over(wcum))
+        .select(col("t_hour"), col("n_risk"), col("dd").as("d_events"),
+          when(col("hit0") === 1, lit(0.0))
+            .otherwise(Q.r6(exp(col("lnsum9") / lit(1e9)))).as("survival"))
+        .orderBy("t_hour")
+    },
+
+    // Goh–Barabási burstiness of inter-event times per event type
+    // (round 10) — the temporal-clustering fingerprint: B = (σ−μ)/
+    // (σ+μ) of the per-user gap distribution (B→−1 periodic, 0
+    // Poisson, →1 bursty) plus the coefficient of variation. Gaps are
+    // whole epoch seconds from a per-user lag (ordered es, event_id —
+    // the house total order), so every per-type moment (n, Σg, Σg²)
+    // is an exact int64 through sf0.1 (Σg² ≈ 4e18 ceiling; at sf ≥ 1
+    // the squares need DECIMAL accumulators, noted here). σ uses the
+    // population form n·Σg² − (Σg)² under one sqrt, formula text
+    // mirrored per PARITY. Shape: one user_id-partitioned lag window,
+    // then a |types|-key agg with map-side partials.
+    Q("q_burstiness",
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es
+         |           FROM events),
+         |g AS (SELECT event_type,
+         |             es - lag(es) OVER (PARTITION BY user_id, event_type
+         |                                ORDER BY es, event_id) AS gap
+         |      FROM e),
+         |t AS (SELECT event_type, count(*) AS n,
+         |             CAST(sum(gap) AS BIGINT) AS sg,
+         |             CAST(sum(gap * gap) AS BIGINT) AS sgg
+         |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n,
+         |       ${Q.sqlR6("CAST(sg AS DOUBLE) / n")} AS mean_gap,
+         |       ${Q.sqlR6("sqrt(n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg) / sg")} AS cv,
+         |       ${Q.sqlR6("(sqrt(n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg) - sg) / (sqrt(n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg) + sg)")} AS burstiness
+         |FROM t
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val wl = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+      val g = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"))
+        .select(col("event_type"), (col("es") - lag("es", 1).over(wl)).as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("gap").as("sg"),
+          sum(col("gap") * col("gap")).as("sgg"))
+      // population σ under ONE sqrt: sqrt(n·Σg² − (Σg)²) / n, with the
+      // /n cleared against μ = Σg/n in cv and B (exact cancellation)
+      val root = sqrt(col("n") * col("sgg").cast("double") -
+        col("sg").cast("double") * col("sg"))
+      g.select(col("event_type"), col("n"),
+          Q.r6(col("sg").cast("double") / col("n")).as("mean_gap"),
+          Q.r6(root / col("sg")).as("cv"),
+          Q.r6((root - col("sg")) / (root + col("sg"))).as("burstiness"))
+        .orderBy("event_type")
     }
   )
 }
