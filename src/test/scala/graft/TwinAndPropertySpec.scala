@@ -981,4 +981,90 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty,
       "merge(state(base), state(delta)) must equal recompute(full)")
   }
+
+  test("q_mann_whitney U is consistent: U1 + U2 = n1*n2 and |effect| <= 1") {
+    val r = q("q_mann_whitney").head()
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val u1 = r.getAs[Double]("u1")
+    // U2 from the reflected rank-sum identity
+    val u2 = n1.toDouble * n2 - u1
+    assert(u1 >= 0 && u2 >= 0 && math.abs(u1 + u2 - n1.toDouble * n2) < 1e-6,
+      s"U1=$u1 U2=$u2 n1n2=${n1 * n2}")
+    assert(math.abs(r.getAs[Double]("rank_biserial")) <= 1.0 + 1e-9)
+  }
+
+  test("q_spearman rho values are valid and equal corr() over rank columns") {
+    val rows = q("q_spearman").collect()
+    assert(rows.length === 3)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("rho")) <= 1.0 + 1e-9))
+    // independent check for one pair: Spark's corr() over per-row average
+    // ranks (computed the textbook way with two rank() windows) must agree
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.load(spark, sfDir, "lineitem").select(
+      floor(col("l_quantity")).cast("long").as("q"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("d"))
+    // average rank = rank() + (cnt_ties - 1)/2, from RANGE cum windows
+    def avgRank(k: String) =
+      (sum(lit(1)).over(Window.orderBy(k)).cast("double") -
+        (count(lit(1)).over(Window.partitionBy(k)).cast("double") - 1) / 2)
+    val got = m.select(avgRank("q").as("rq"), avgRank("d").as("rd"))
+      .agg(corr("rq", "rd")).head().getDouble(0)
+    val want = rows.find(r => r.getAs[String]("var1") == "quantity" &&
+      r.getAs[String]("var2") == "discount").get.getAs[Double]("rho")
+    assert(math.abs(got - want) < 1e-6, s"corr-of-ranks $got != rho $want")
+  }
+
+  test("q_hhi is bounded by [10000/n, 10000] and CR1^2 <= HHI/10000") {
+    val rows = q("q_hhi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      val cr1 = r.getAs[Double]("cr1")
+      assert(hhi >= 10000.0 / n - 1e-6 && hhi <= 10000.0 + 1e-6,
+        s"HHI $hhi outside [${10000.0 / n}, 10000] for n=$n")
+      assert(cr1 * cr1 <= hhi / 10000 + 1e-9,
+        s"CR1² ${cr1 * cr1} must lower-bound HHI share-sum ${hhi / 10000}")
+    }
+  }
+
+  test("q_kaplan_meier survival is nonincreasing in (0,1] with consistent risk sets") {
+    val rows = q("q_kaplan_meier").collect()
+    assert(rows.nonEmpty)
+    var prevS = 1.0 + 1e-12
+    var prevRisk = Long.MaxValue
+    rows.foreach { r =>
+      val s = r.getAs[Double]("survival")
+      val nRisk = r.getAs[Long]("n_risk")
+      val d = r.getAs[Long]("d_events")
+      assert(s >= 0.0 && s <= prevS + 1e-9, s"survival must fall: $s after $prevS")
+      assert(nRisk < prevRisk || prevRisk == Long.MaxValue,
+        "risk set must shrink strictly between event times")
+      assert(d >= 1 && d <= nRisk)
+      prevS = s; prevRisk = nRisk
+    }
+  }
+
+  test("q_burstiness stays in (-1, 1) and CV/mean reproduce the moments") {
+    val rows = q("q_burstiness").collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      val cv = r.getAs[Double]("cv")
+      assert(b > -1.0 && b < 1.0, s"B=$b out of range")
+      // B = (cv-1)/(cv+1) by construction — cross-check the two columns
+      assert(math.abs((cv - 1) / (cv + 1) - b) < 1e-5, s"B $b != (cv-1)/(cv+1) for cv=$cv")
+    }
+  }
+
+  test("q_zipf_fit slope is negative with r2 in [0,1] over min(vocab, 1000) ranks") {
+    val r = q("q_zipf_fit").head()
+    val vocab = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0)
+    assert(r.getAs[Long]("n") === math.min(vocab, 1000L))
+    assert(r.getAs[Double]("slope") < 0, "Zipf slope must be negative")
+    val r2v = r.getAs[Double]("r2")
+    assert(r2v >= 0 && r2v <= 1.0 + 1e-9)
+  }
 }
