@@ -735,4 +735,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(userExchanges === 1,
       s"latency windows must reuse one user_id exchange, found $userExchanges:\n$plan")
   }
+
+  test("q_hhi shuffles the fact table only on suppkey; catalog joins broadcast") {
+    val plan = SparkEntry.queries("q_hhi")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // both catalog joins (supplier, nation) must be broadcast — a
+    // sort-merge would re-shuffle the per-supplier aggregate for nothing
+    assert(!plan.contains("SortMergeJoin"),
+      s"catalog joins must broadcast:\n$plan")
+    val factShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(l_suppkey"))
+    assert(factShuffles === 1,
+      s"lineitem must shuffle exactly once, on suppkey, found $factShuffles:\n$plan")
+  }
+
+  test("q_spearman reads lineitem once — ranks come from the joint frame") {
+    // the three marginal rank columns are windows over the (q,d,t)
+    // joint aggregate; a rewrite that derives them from separate
+    // per-measure scans would show 3-4 parquet reads here
+    val plan = SparkEntry.queries("q_spearman")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected ONE lineitem scan, found $scans:\n$plan")
+  }
+
+  test("q_zipf_fit takes its top-1000 with a bounded TakeOrdered, not a global sort") {
+    val plan = SparkEntry.queries("q_zipf_fit")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k over the vocabulary must be a bounded TakeOrdered:\n$plan")
+    // the rank window may only run on the ≤1000-row result of that top-k
+    val idxWin = plan.indexOf("Window")
+    val idxTop = plan.indexOf("TakeOrderedAndProject")
+    assert(idxWin < 0 || idxWin < idxTop,
+      s"rank window must sit above the TakeOrdered (bounded input):\n$plan")
+  }
+
+  test("q_kaplan_meier and q_mann_whitney windows run over domain-bounded frames") {
+    // both collapse the corpus with a hash aggregate FIRST; the
+    // single-partition window exchange must sit above a HashAggregate,
+    // never directly above the events scan
+    Seq("q_kaplan_meier", "q_mann_whitney").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val idx = plan.indexOf("Exchange SinglePartition")
+      assert(idx >= 0, s"$name: expected the bounded window's exchange:\n$plan")
+      assert(plan.substring(idx).contains("HashAggregate"),
+        s"$name: the single-partition window must consume an aggregate, not raw events:\n$plan")
+    }
+  }
 }
