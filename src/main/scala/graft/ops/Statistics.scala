@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
@@ -739,6 +740,205 @@ object Statistics {
             (col("total_rev").cast("double") * col("total_rev")) * 10000).as("hhi"),
           Q.r6(col("max_rev").cast("double") / col("total_rev")).as("cr1"))
         .orderBy("n_name")
+    },
+
+    // Kendall τ-b over the three small-domain lineitem measures (round
+    // 10) — the correlation family's third member (Pearson
+    // q_corr_matrix, Spearman q_spearman): concordant-vs-discordant
+    // pairs with the tie-corrected denominator. The trick that makes
+    // EXACT Kendall scale-safe here: pair counting runs over the
+    // (q,d,t) JOINT CELL frame (≤ 50·11·9 cells), never over row
+    // pairs — cell-pair weight cₐ·c_b replaces the O(n²) row scan
+    // with a DOMAIN²-bounded one (≤ 25M cell pairs at ANY corpus
+    // size). Both directed orders count each unordered pair twice, so
+    // P2 = 2P, Q2 = 2Q and the doubled tie terms cancel exactly:
+    // τ = (P2−Q2)/(√(n0x2−n1x2)·√(n0x2−n2x2)) with n0x2 = n(n−1) and
+    // n1x2 = Σ c·(t_x−1) — EVERY term an exact int64 (P2 ≤ n² ≈
+    // 3.6e11 at sf0.1); the joint frame is localCheckpoint'd so the
+    // tie-total and pair branches reuse one lineitem scan.
+    Q("q_kendall_tau",
+      s"""WITH m AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS vq,
+         |                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS vd,
+         |                  CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS vt
+         |           FROM lineitem),
+         |j AS (SELECT vq, vd, vt, count(*) AS c FROM m GROUP BY 1, 2, 3),
+         |w AS (SELECT c,
+         |             CAST(sum(c) OVER (PARTITION BY vq) AS BIGINT) AS tieq,
+         |             CAST(sum(c) OVER (PARTITION BY vd) AS BIGINT) AS tied,
+         |             CAST(sum(c) OVER (PARTITION BY vt) AS BIGINT) AS tiet
+         |      FROM j),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |               CAST(sum(c * (tieq - 1)) AS BIGINT) AS n1q,
+         |               CAST(sum(c * (tied - 1)) AS BIGINT) AS n1d,
+         |               CAST(sum(c * (tiet - 1)) AS BIGINT) AS n1t
+         |        FROM w),
+         |pq AS (SELECT
+         |         CAST(sum(CASE WHEN (a.vq - b.vq) * (a.vd - b.vd) > 0 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS pqd,
+         |         CAST(sum(CASE WHEN (a.vq - b.vq) * (a.vd - b.vd) < 0 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS qqd,
+         |         CAST(sum(CASE WHEN (a.vq - b.vq) * (a.vt - b.vt) > 0 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS pqt,
+         |         CAST(sum(CASE WHEN (a.vq - b.vq) * (a.vt - b.vt) < 0 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS qqt,
+         |         CAST(sum(CASE WHEN (a.vd - b.vd) * (a.vt - b.vt) > 0 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS pdt,
+         |         CAST(sum(CASE WHEN (a.vd - b.vd) * (a.vt - b.vt) < 0 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS qdt
+         |       FROM j a CROSS JOIN j b),
+         |pr AS (SELECT 'quantity' AS var1, 'discount' AS var2, n,
+         |              pqd AS p2, qqd AS q2, n1q AS n1, n1d AS n2 FROM tot CROSS JOIN pq
+         |       UNION ALL SELECT 'quantity', 'tax', n, pqt, qqt, n1q, n1t FROM tot CROSS JOIN pq
+         |       UNION ALL SELECT 'discount', 'tax', n, pdt, qdt, n1d, n1t FROM tot CROSS JOIN pq)
+         |SELECT var1, var2, n,
+         |       ${Q.sqlR6("CAST(p2 - q2 AS DOUBLE) / (sqrt(CAST(n AS DOUBLE) * (n - 1) - n1) * sqrt(CAST(n AS DOUBLE) * (n - 1) - n2))")} AS tau
+         |FROM pr
+         |ORDER BY var1, var2""".stripMargin) { (s, d) =>
+      val j = Tables.load(s, d, "lineitem")
+        .select(floor(col("l_quantity")).cast("long").as("vq"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("vd"),
+          floor(col("l_tax") * 100 + 0.5).cast("long").as("vt"))
+        .groupBy("vq", "vd", "vt").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val tot = j
+        .withColumn("tieq", sum("c").over(Window.partitionBy("vq")))
+        .withColumn("tied", sum("c").over(Window.partitionBy("vd")))
+        .withColumn("tiet", sum("c").over(Window.partitionBy("vt")))
+        .agg(sum("c").as("n"),
+          sum(col("c") * (col("tieq") - 1)).as("n1q"),
+          sum(col("c") * (col("tied") - 1)).as("n1d"),
+          sum(col("c") * (col("tiet") - 1)).as("n1t"))
+      val a = j.select(col("vq").as("qa"), col("vd").as("da"),
+        col("vt").as("ta"), col("c").as("ca"))
+      val b = j.select(col("vq").as("qb"), col("vd").as("db"),
+        col("vt").as("tb"), col("c").as("cb"))
+      def conc(x1: Column, x2: Column, y1: Column, y2: Column, gt: Boolean) = {
+        val prod = (x1 - x2) * (y1 - y2)
+        sum(when(if (gt) prod > 0 else prod < 0,
+          col("ca") * col("cb")).otherwise(0L))
+      }
+      val pq = a.crossJoin(broadcast(b)).agg(
+        conc(col("qa"), col("qb"), col("da"), col("db"), gt = true).as("pqd"),
+        conc(col("qa"), col("qb"), col("da"), col("db"), gt = false).as("qqd"),
+        conc(col("qa"), col("qb"), col("ta"), col("tb"), gt = true).as("pqt"),
+        conc(col("qa"), col("qb"), col("ta"), col("tb"), gt = false).as("qqt"),
+        conc(col("da"), col("db"), col("ta"), col("tb"), gt = true).as("pdt"),
+        conc(col("da"), col("db"), col("ta"), col("tb"), gt = false).as("qdt"))
+      def pairRow(v1: String, v2: String, p2: String, q2: String,
+                  n1: String, n2: String) =
+        struct(lit(v1).as("var1"), lit(v2).as("var2"),
+          col(p2).as("p2"), col(q2).as("q2"), col(n1).as("n1"), col(n2).as("n2"))
+      tot.crossJoin(pq)
+        .select(col("n"), explode(array(
+          pairRow("quantity", "discount", "pqd", "qqd", "n1q", "n1d"),
+          pairRow("quantity", "tax", "pqt", "qqt", "n1q", "n1t"),
+          pairRow("discount", "tax", "pdt", "qdt", "n1d", "n1t"))).as("pr"))
+        .select(col("pr.var1").as("var1"), col("pr.var2").as("var2"), col("n"),
+          Q.r6((col("pr.p2") - col("pr.q2")).cast("double") /
+            (sqrt(col("n").cast("double") * (col("n") - 1) - col("pr.n1")) *
+             sqrt(col("n").cast("double") * (col("n") - 1) - col("pr.n2")))).as("tau"))
+        .orderBy("var1", "var2")
+    },
+
+    // Theil T inequality index of supplier revenue, decomposed between
+    // and within nations (round 10) — the additively-decomposable
+    // complement to q_gini/q_hhi: total T = Σ_g share_g·T_g +
+    // T_between, which answers "is revenue inequality driven by
+    // between-country differences or within-country concentration?".
+    // Per-supplier terms (x/X_g)·ln(x·n_g/X_g) are integer-scaled to
+    // 1e-9 BEFORE the per-nation reduction (the q_mutual_info fold),
+    // so each nation's within-T is an order-free int64 sum; the
+    // between term is per-NATION libm on the final 25-row frame,
+    // never accumulated. Shape: the q_hhi pipeline — one
+    // suppkey-keyed fact agg, broadcast catalog joins, windows over
+    // the catalog-sized supplier frame, |nations|-key output.
+    Q("q_theil",
+      s"""WITH sr AS (SELECT l_suppkey,
+         |                   CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS rev
+         |            FROM lineitem GROUP BY 1),
+         |sn AS (SELECT n.n_name, sr.rev
+         |       FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+         |               JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         |w AS (SELECT n_name, rev,
+         |             CAST(sum(rev) OVER (PARTITION BY n_name) AS BIGINT) AS xg,
+         |             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS ng,
+         |             CAST(sum(rev) OVER () AS BIGINT) AS x,
+         |             CAST(count(*) OVER () AS BIGINT) AS nn
+         |      FROM sn),
+         |g AS (SELECT n_name, max(ng) AS n_suppliers, max(xg) AS xg,
+         |             max(x) AS x, max(nn) AS nn,
+         |             CAST(sum(CAST(floor((CAST(rev AS DOUBLE) / xg) * ln(CAST(rev AS DOUBLE) * ng / xg) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS tw9
+         |      FROM w GROUP BY 1)
+         |SELECT n_name, n_suppliers,
+         |       ${Q.sqlR6("CAST(xg AS DOUBLE) / x")} AS share,
+         |       ${Q.sqlR6("tw9 / 1e9")} AS theil_within,
+         |       ${Q.sqlR6("(CAST(xg AS DOUBLE) / x) * ln((CAST(xg AS DOUBLE) / x) * (CAST(nn AS DOUBLE) / n_suppliers))")} AS between_term
+         |FROM g
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val sr = Tables.load(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice")).cast("long")).as("rev"))
+      val supp = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val wn = Window.partitionBy("n_name")
+      val wall = Window.partitionBy()
+      sr.join(broadcast(supp), sr("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .withColumn("xg", sum("rev").over(wn))
+        .withColumn("ng", count(lit(1)).over(wn))
+        .withColumn("x", sum("rev").over(wall))
+        .withColumn("nn", count(lit(1)).over(wall))
+        .groupBy("n_name")
+        .agg(max("ng").as("n_suppliers"), max("xg").as("xg"),
+          max("x").as("x"), max("nn").as("nn"),
+          sum(floor((col("rev").cast("double") / col("xg")) *
+            log(col("rev").cast("double") * col("ng") / col("xg")) * lit(1e9) + 0.5)
+            .cast("long")).as("tw9"))
+        .select(col("n_name"), col("n_suppliers"),
+          Q.r6(col("xg").cast("double") / col("x")).as("share"),
+          Q.r6(col("tw9") / lit(1e9)).as("theil_within"),
+          Q.r6((col("xg").cast("double") / col("x")) *
+            log((col("xg").cast("double") / col("x")) *
+              (col("nn").cast("double") / col("n_suppliers")))).as("between_term"))
+        .orderBy("n_name")
+    },
+
+    // Lorenz curve by revenue decile per order priority (round 10) —
+    // the curve under q_gini's scalar: decile d's cumulative share of
+    // order value, the "bottom 80% of orders carry X% of revenue"
+    // readout. ntile(10) runs under a TOTAL order (o_totalprice,
+    // o_orderkey) so both engines cut identical deciles (PARITY
+    // total-order rule); every sum is int64 CENTS and each cum_share
+    // is one IEEE division of exact integers. Shape: the per-priority
+    // rank window is exact-quantile's honest per-group sort (the
+    // q_gini precedent); everything after lives on the 5×10 frame.
+    Q("q_lorenz",
+      s"""WITH r AS (SELECT o_orderpriority,
+         |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         |                  ntile(10) OVER (PARTITION BY o_orderpriority
+         |                                  ORDER BY o_totalprice, o_orderkey) AS dcl
+         |           FROM orders),
+         |g AS (SELECT o_orderpriority, CAST(dcl AS BIGINT) AS decile,
+         |             count(*) AS n, CAST(sum(cents) AS BIGINT) AS rev_cents
+         |      FROM r GROUP BY 1, 2),
+         |c AS (SELECT o_orderpriority, decile, n, rev_cents,
+         |             CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority
+         |                                       ORDER BY decile) AS BIGINT) AS cum,
+         |             CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
+         |      FROM g)
+         |SELECT o_orderpriority, decile, n, rev_cents,
+         |       ${Q.sqlR6("CAST(cum AS DOUBLE) / tot")} AS cum_share
+         |FROM c
+         |ORDER BY o_orderpriority, decile""".stripMargin) { (s, d) =>
+      val wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      val g = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          ntile(10).over(wr).as("dcl"))
+        .groupBy(col("o_orderpriority"), col("dcl").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("rev_cents"))
+      val wc = Window.partitionBy("o_orderpriority").orderBy("decile")
+      g.withColumn("cum", sum("rev_cents").over(wc))
+        .withColumn("tot", sum("rev_cents").over(Window.partitionBy("o_orderpriority")))
+        .select(col("o_orderpriority"), col("decile"), col("n"), col("rev_cents"),
+          Q.r6(col("cum").cast("double") / col("tot")).as("cum_share"))
+        .orderBy("o_orderpriority", "decile")
     }
   )
 }
