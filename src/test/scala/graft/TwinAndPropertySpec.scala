@@ -1057,6 +1057,69 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("q_kendall_tau is valid, sign-consistent with Spearman, and pair-complete") {
+    val tau = q("q_kendall_tau").collect()
+      .map(r => (r.getAs[String]("var1"), r.getAs[String]("var2")) -> r.getAs[Double]("tau"))
+      .toMap
+    val rho = q("q_spearman").collect()
+      .map(r => (r.getAs[String]("var1"), r.getAs[String]("var2")) -> r.getAs[Double]("rho"))
+      .toMap
+    assert(tau.keySet === rho.keySet, "same three measure pairs")
+    tau.foreach { case (pair, t) =>
+      assert(math.abs(t) <= 1.0 + 1e-9, s"$pair tau $t out of range")
+      val r = rho(pair)
+      // monotone-dependence measures must agree in sign (or both ~0)
+      assert(t * r >= -1e-6, s"$pair tau $t and rho $r disagree in sign")
+      // |tau| <= |rho| empirically holds for near-linear dependence and
+      // both must be small together; enforce the weak joint bound
+      assert(math.abs(t) <= math.abs(r) + 0.1, s"$pair tau $t vs rho $r")
+    }
+  }
+
+  test("q_theil decomposition reassembles the total Theil index over all suppliers") {
+    val rows = q("q_theil").collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares must sum to 1, got ${shares.sum}")
+    rows.foreach(r => assert(r.getAs[Double]("theil_within") >= -1e-9,
+      "within-nation Theil is nonnegative"))
+    // decomposition: T_total = Σ share_g·T_g + Σ between_g, vs a direct
+    // single-population computation over the same per-supplier revenues
+    val recomposed = rows.map(r => r.getAs[Double]("share") * r.getAs[Double]("theil_within") +
+      r.getAs[Double]("between_term")).sum
+    val sr = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(floor(col("l_extendedprice")).cast("long")).as("rev"))
+      .select(col("rev").cast("double")).collect().map(_.getDouble(0))
+    val x = sr.sum
+    val n = sr.length
+    val direct = sr.map(v => (v / x) * math.log(v * n / x)).sum
+    assert(math.abs(recomposed - direct) < 1e-3,
+      s"decomposed Theil $recomposed != direct $direct")
+  }
+
+  test("q_lorenz curves are nondecreasing, convex, and end at share 1") {
+    val byPrio = q("q_lorenz").collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byPrio.size === 5)
+    byPrio.foreach { case (prio, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("decile"))
+      assert(sorted.map(_.getAs[Long]("decile")).toSeq === (1L to 10L),
+        s"$prio must have all 10 deciles")
+      val cums = sorted.map(_.getAs[Double]("cum_share"))
+      assert(math.abs(cums.last - 1.0) < 1e-6, s"$prio curve must end at 1")
+      cums.sliding(2).foreach { case Array(a, b) =>
+        assert(b >= a - 1e-9, s"$prio cum_share must be nondecreasing")
+      }
+      // Lorenz convexity: decile increments (sorted ascending by value)
+      // are nondecreasing up to decile-boundary rounding
+      val incs = (cums.head +: cums.sliding(2).map { case Array(a, b) => b - a }.toSeq.tail.toArray.toSeq)
+      incs.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-3, s"$prio increments must rise: $incs")
+      }
+    }
+  }
+
   test("q_zipf_fit slope is negative with r2 in [0,1] over min(vocab, 1000) ranks") {
     val r = q("q_zipf_fit").head()
     val vocab = Tables.load(spark, sfDir, "documents")
