@@ -939,6 +939,68 @@ object Statistics {
         .select(col("o_orderpriority"), col("decile"), col("n"), col("rev_cents"),
           Q.r6(col("cum").cast("double") / col("tot")).as("cum_share"))
         .orderBy("o_orderpriority", "decile")
+    },
+
+    // 2-D skyline / Pareto front of orders (round 10): the orders no
+    // other order beats on BOTH "more valuable" (totalprice) and
+    // "earlier" (orderdate) — a whole operator class (preference
+    // queries) the rest of the surface doesn't cover. The naive
+    // formulation is a corpus-sized single-partition window; the scale
+    // shape here is the classic two-phase prune: (1) collapse to
+    // distinct (cents, day) cells, (2) a ~56-row PRICE-BUCKET frame
+    // computes m(b) = min day over strictly-higher buckets — any cell
+    // with day ≥ m(b) is provably dominated by the higher-bucket
+    // minimum (sound: bucket(c')>bucket(c) ⇒ c'>c) — so the exact
+    // dominance window runs over the surviving candidates only
+    // (O(skyline)-ish, corpus-independent), not the corpus. All
+    // comparisons are int64 (cents, epoch days); the oracle states the
+    // direct one-window definition — the twins agree because the prune
+    // is exact, the q_graph_triangles two-formulations move.
+    Q("q_skyline",
+      s"""WITH p AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         |                  CAST(date_diff('day', DATE '1990-01-01',
+         |                                 CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS day,
+         |                  count(*) AS n_orders
+         |           FROM orders GROUP BY 1, 2),
+         |w AS (SELECT cents, day, n_orders,
+         |             min(day) OVER (ORDER BY cents DESC, day ASC
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+         |      FROM p)
+         |SELECT CAST(cents AS DOUBLE) / 100 AS price,
+         |       strftime(DATE '1990-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS order_date,
+         |       n_orders
+         |FROM w WHERE mprev IS NULL OR day < mprev
+         |ORDER BY price DESC""".stripMargin) { (s, d) =>
+      val pairs = Tables.load(s, d, "orders")
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          datediff(col("o_orderdate").cast(DateType), to_date(lit("1990-01-01")))
+            .cast("long").as("day"))
+        .groupBy("cents", "day").agg(count(lit(1)).as("n_orders"))
+        .localCheckpoint(true)
+      // phase 1: the bounded bucket frame ($10k buckets ⇒ ~56 rows) and
+      // its strictly-higher-bucket running day minimum
+      val buckets = pairs
+        .groupBy((col("cents") / 1000000L).cast("long").as("b"))
+        .agg(min("day").as("dmin"))
+        .withColumn("m", min("dmin").over(
+          Window.orderBy(col("b").desc).rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("b"), col("m"))
+      // phase 2: candidates survive the bucket prune, then the EXACT
+      // dominance window runs over that corpus-independent remnant
+      val cand = pairs
+        .join(broadcast(buckets), (col("cents") / 1000000L).cast("long") === col("b"))
+        .filter(col("m").isNull || col("day") < col("m"))
+        .select(col("cents"), col("day"), col("n_orders"))
+      val wd = Window.orderBy(col("cents").desc, col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cand
+        .withColumn("mprev", min("day").over(wd))
+        .filter(col("mprev").isNull || col("day") < col("mprev"))
+        .select((col("cents").cast("double") / 100).as("price"),
+          date_format(date_add(to_date(lit("1990-01-01")), col("day").cast("int")),
+            "yyyy-MM-dd").as("order_date"),
+          col("n_orders"))
+        .orderBy(col("price").desc)
     }
   )
 }

@@ -771,6 +771,22 @@ class PlanAuditSpec extends SparkSpec {
       s"rank window must sit above the TakeOrdered (bounded input):\n$plan")
   }
 
+  test("q_skyline's exact dominance window consumes the bucket-pruned candidates") {
+    // the single-partition window must sit above the broadcast bucket
+    // join (pruned input), never directly on the distinct-pair aggregate
+    val plan = SparkEntry.queries("q_skyline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val idxWin = plan.indexOf("Exchange SinglePartition")
+    val idxJoin = plan.indexOf("BroadcastHashJoin")
+    assert(idxWin >= 0 && idxJoin >= 0 && idxWin < idxJoin,
+      s"dominance window must run over the prune join's output:\n$plan")
+    // the pair frame is localCheckpoint'd: its two consumers must not
+    // re-scan orders (checkpoint scan, not parquet, feeds both branches)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 0,
+      s"both branches must reuse the checkpointed pair frame, found $scans scans:\n$plan")
+  }
+
   test("q_kaplan_meier and q_mann_whitney windows run over domain-bounded frames") {
     // both collapse the corpus with a hash aggregate FIRST; the
     // single-partition window exchange must sit above a HashAggregate,

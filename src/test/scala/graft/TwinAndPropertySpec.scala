@@ -1120,6 +1120,21 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("q_skyline equals the brute-force Pareto front") {
+    val got = q("q_skyline").collect()
+      .map(r => (math.round(r.getAs[Double]("price") * 100), r.getAs[String]("order_date")))
+      .toSet
+    val pairs = Tables.load(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      .groupBy("cents", "od").count()
+      .collect().map(r => (r.getAs[Long]("cents"), r.getAs[String]("od")))
+    def dominated(p: (Long, String)) = pairs.exists(o =>
+      (o._1 >= p._1 && o._2 <= p._2) && (o._1 > p._1 || o._2 < p._2))
+    val want = pairs.filterNot(dominated).map(p => (p._1, p._2)).toSet
+    assert(got === want, s"skyline mismatch: got ${got.size}, brute ${want.size}")
+  }
+
   test("q_zipf_fit slope is negative with r2 in [0,1] over min(vocab, 1000) ranks") {
     val r = q("q_zipf_fit").head()
     val vocab = Tables.load(spark, sfDir, "documents")
