@@ -22,6 +22,17 @@ final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 final case class MergeState(user_id: Long, event_type: String,
     event_id: Long, es: Long, value: Double, deleted: Boolean)
 
+/** A (price-cents, epoch-day) point for the streaming skyline. */
+final case class PricePoint(cents: Long, day: Long)
+
+/** The maintained Pareto front plus a version stamp (one per trigger
+  * that changed or re-emitted it) so tests and sinks can isolate the
+  * newest emission. */
+final case class SkylineState(ver: Long, points: Seq[PricePoint])
+
+/** One emitted front member, tagged with the emission version. */
+final case class SkylineOut(ver: Long, cents: Long, day: Long)
+
 /** Streaming transforms (SURVEY §2.9). Every transform takes its source
   * DataFrame as a parameter, so the same code runs against:
   *  - MemoryStream (unit tests),
@@ -260,6 +271,42 @@ object Streams {
           }
           cur.foreach(state.update)
           cur.iterator
+      }
+  }
+
+  /** Streaming 2-D skyline (s_skyline) — the incremental face of batch
+    * q_skyline: maintain the Pareto front of (max price, earliest day)
+    * as points arrive. A new point enters the front iff nothing held
+    * dominates it, evicting any held points it dominates — so state is
+    * EXACTLY the current front (expected O(log n) points under random
+    * order, never the stream), and per-row work is O(|front|). The
+    * single group key serializes front maintenance through one state
+    * task; the production shape puts q_skyline's price-bucket prune
+    * upstream as a map-side filter so only candidate survivors reach
+    * it — the same two-phase split as the batch twin. Emits the full
+    * front each trigger, version-stamped so a sink (or test) can
+    * isolate the newest emission; fronts are emitted in the batch
+    * twin's (cents desc, day asc) order. StreamingSpec proves the
+    * final front equals batch q_skyline over the same rows. */
+  def skylineStream(points: Dataset[PricePoint]): Dataset[SkylineOut] = {
+    import points.sparkSession.implicits._
+    def dominates(q: PricePoint, p: PricePoint): Boolean =
+      q.cents >= p.cents && q.day <= p.day &&
+        (q.cents > p.cents || q.day < p.day)
+    points.groupByKey(_ => 0)
+      .flatMapGroupsWithState[SkylineState, SkylineOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val prev = state.getOption.getOrElse(SkylineState(0L, Nil))
+          var front = prev.points
+          rows.foreach { p =>
+            if (!front.exists(q => dominates(q, p) || q == p))
+              front = p +: front.filterNot(q => dominates(p, q))
+          }
+          val next = SkylineState(prev.ver + 1, front)
+          state.update(next)
+          front.sortBy(p => (-p.cents, p.day))
+            .map(p => SkylineOut(next.ver, p.cents, p.day)).iterator
       }
   }
 

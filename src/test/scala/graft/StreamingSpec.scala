@@ -294,6 +294,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming skyline's final front equals the batch q_skyline Pareto front") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PricePoint
+    val in = MemoryStream[PricePoint]
+    val q = Streams.skylineStream(in.toDS())
+      .writeStream.format("memory").queryName("t_skyline").outputMode("update").start()
+    withQuery(q) {
+      val rows = Tables.load(spark, sfDir, "orders")
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+            to_date(lit("1990-01-01"))).cast("long").as("day"))
+        .as[PricePoint].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val emitted = spark.table("t_skyline")
+        .as[graft.streaming.SkylineOut].collect()
+      val lastVer = emitted.map(_.ver).max
+      val streamed = emitted.filter(_.ver == lastVer).map(o => (o.cents, o.day)).toSet
+      val batch = SparkEntry.queries("q_skyline")(spark, sfDir)
+        .select(floor(col("price") * 100 + 0.5).cast("long").as("cents"),
+          datediff(col("order_date").cast(org.apache.spark.sql.types.DateType),
+            to_date(lit("1990-01-01"))).cast("long").as("day"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"incremental front (${streamed.size}) must equal the batch front (${batch.size})")
+    }
+  }
+
   test("streaming anomaly flags agree with the batch q_anomaly operator") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
