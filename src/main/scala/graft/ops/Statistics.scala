@@ -1001,6 +1001,212 @@ object Statistics {
             "yyyy-MM-dd").as("order_date"),
           col("n_orders"))
         .orderBy(col("price").desc)
+    },
+
+    // Welch's two-sample t-test (round 10): does mean spend differ
+    // between purchase and click events? Unequal-variance t statistic,
+    // Welch–Satterthwaite degrees of freedom, and Cohen's d effect
+    // size. Values are integerized to cents FIRST (floor(v·100+0.5)),
+    // so all six sufficient statistics (n, Σv, Σv² per arm) are exact
+    // int64 — both engines then run the SAME double formula tree over
+    // the SAME integers, bit-exact before rounding (the q_trend_fit
+    // argument). Σv² tops out ≈6e13 at sf0.1; int64 holds to ~sf100.
+    // Shape: ONE filtered corpus scan, ONE 6-column conditional agg
+    // (map-side partials onto a single row) — no join, no shuffle
+    // beyond the scalar-row reduce.
+    Q("q_welch_t",
+      s"""WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |s AS (SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |             CAST(sum(CASE WHEN event_type = 'purchase' THEN v2 ELSE 0 END) AS BIGINT) AS s1a,
+         |             CAST(sum(CASE WHEN event_type = 'purchase' THEN v2 * v2 ELSE 0 END) AS BIGINT) AS s2a,
+         |             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |             CAST(sum(CASE WHEN event_type = 'click' THEN v2 ELSE 0 END) AS BIGINT) AS s1b,
+         |             CAST(sum(CASE WHEN event_type = 'click' THEN v2 * v2 ELSE 0 END) AS BIGINT) AS s2b
+         |      FROM v),
+         |m AS (SELECT na, nb,
+         |             CAST(s1a AS DOUBLE) / na AS ma,
+         |             CAST(s1b AS DOUBLE) / nb AS mb,
+         |             (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) / na * s1a) / (na - 1) AS va,
+         |             (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) / nb * s1b) / (nb - 1) AS vb
+         |      FROM s)
+         |SELECT na, nb,
+         |       ${Q.sqlR2("ma / 100")} AS mean_a,
+         |       ${Q.sqlR2("mb / 100")} AS mean_b,
+         |       ${Q.sqlR6("(ma - mb) / sqrt(va / na + vb / nb)")} AS t_stat,
+         |       ${Q.sqlR2("(va / na + vb / nb) * (va / na + vb / nb) / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))")} AS df,
+         |       ${Q.sqlR6("(ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))")} AS cohen_d
+         |FROM m""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v2"))
+      val st = v.agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === "purchase", col("v2")).otherwise(0L)).as("s1a"),
+        sum(when(col("event_type") === "purchase", col("v2") * col("v2")).otherwise(0L)).as("s2a"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("event_type") === "click", col("v2")).otherwise(0L)).as("s1b"),
+        sum(when(col("event_type") === "click", col("v2") * col("v2")).otherwise(0L)).as("s2b"))
+      val m = st.select(col("na"), col("nb"),
+        (col("s1a").cast("double") / col("na")).as("ma"),
+        (col("s1b").cast("double") / col("nb")).as("mb"),
+        ((col("s2a").cast("double") - col("s1a").cast("double") / col("na") * col("s1a"))
+          / (col("na") - 1)).as("va"),
+        ((col("s2b").cast("double") - col("s1b").cast("double") / col("nb") * col("s1b"))
+          / (col("nb") - 1)).as("vb"))
+      m.select(col("na"), col("nb"),
+        Q.r2(col("ma") / 100).as("mean_a"),
+        Q.r2(col("mb") / 100).as("mean_b"),
+        Q.r6((col("ma") - col("mb")) /
+          sqrt(col("va") / col("na") + col("vb") / col("nb"))).as("t_stat"),
+        Q.r2((col("va") / col("na") + col("vb") / col("nb")) *
+          (col("va") / col("na") + col("vb") / col("nb")) /
+          ((col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +
+            (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1))).as("df"),
+        Q.r6((col("ma") - col("mb")) /
+          sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+            (col("na") + col("nb") - 2))).as("cohen_d"))
+    },
+
+    // Jarque–Bera normality test per event type (round 10): skewness,
+    // excess kurtosis, and the JB statistic n/6·(S² + K²/4) — the
+    // cheap "is this column even Gaussian?" gate run before any test
+    // that assumes normality. Values integerize to whole units
+    // (floor(v+0.5) ≤ 561) so the four raw power sums Σv..Σv⁴ are
+    // exact int64 (Σv⁴ ≈ 2e15 at sf0.1 — holds to ~sf1000); central
+    // moments then derive from those integers through one mirrored
+    // double formula tree. Shape: ONE corpus scan, ONE 5-column agg
+    // onto |types| keys with map-side partials — shuffle is
+    // type-bounded, not corpus-bounded.
+    Q("q_jarque_bera",
+      s"""WITH v AS (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS v0 FROM events),
+         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(v0) AS BIGINT) AS s1,
+         |             CAST(sum(v0 * v0) AS BIGINT) AS s2,
+         |             CAST(sum(v0 * v0 * v0) AS BIGINT) AS s3,
+         |             CAST(sum(v0 * v0 * v0 * v0) AS BIGINT) AS s4
+         |      FROM v GROUP BY 1),
+         |m AS (SELECT event_type, n,
+         |             CAST(s1 AS DOUBLE) / n AS m1,
+         |             CAST(s2 AS DOUBLE) / n AS p2,
+         |             CAST(s3 AS DOUBLE) / n AS p3,
+         |             CAST(s4 AS DOUBLE) / n AS p4
+         |      FROM s),
+         |c AS (SELECT event_type, n,
+         |             p2 - m1 * m1 AS m2,
+         |             p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1 AS m3,
+         |             p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1 AS m4
+         |      FROM m),
+         |k AS (SELECT event_type, n,
+         |             m3 / (m2 * sqrt(m2)) AS sk,
+         |             m4 / (m2 * m2) - 3 AS ek
+         |      FROM c)
+         |SELECT event_type, n,
+         |       ${Q.sqlR6("sk")} AS skewness,
+         |       ${Q.sqlR6("ek")} AS ex_kurtosis,
+         |       ${Q.sqlR6("CAST(n AS DOUBLE) / 6 * (sk * sk + ek * ek / 4)")} AS jb
+         |FROM k
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val st = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") + 0.5).cast("long").as("v0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v0").as("s1"),
+          sum(col("v0") * col("v0")).as("s2"),
+          sum(col("v0") * col("v0") * col("v0")).as("s3"),
+          sum(col("v0") * col("v0") * col("v0") * col("v0")).as("s4"))
+      val m = st.select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("m1"),
+        (col("s2").cast("double") / col("n")).as("p2"),
+        (col("s3").cast("double") / col("n")).as("p3"),
+        (col("s4").cast("double") / col("n")).as("p4"))
+      val c = m.select(col("event_type"), col("n"),
+        (col("p2") - col("m1") * col("m1")).as("m2"),
+        (col("p3") - lit(3) * col("m1") * col("p2") +
+          lit(2) * col("m1") * col("m1") * col("m1")).as("m3"),
+        (col("p4") - lit(4) * col("m1") * col("p3") +
+          lit(6) * col("m1") * col("m1") * col("p2") -
+          lit(3) * col("m1") * col("m1") * col("m1") * col("m1")).as("m4"))
+      val k = c.select(col("event_type"), col("n"),
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("sk"),
+        (col("m4") / (col("m2") * col("m2")) - 3).as("ek"))
+      k.select(col("event_type"), col("n"),
+        Q.r6(col("sk")).as("skewness"),
+        Q.r6(col("ek")).as("ex_kurtosis"),
+        Q.r6(col("n").cast("double") / 6 *
+          (col("sk") * col("sk") + col("ek") * col("ek") / 4)).as("jb"))
+        .orderBy("event_type")
+    },
+
+    // Population stability index per event type (round 10): the
+    // industry drift gate (PSI < 0.1 stable / > 0.25 shifted) between
+    // the value distributions before/after 2024-01-15 on q_drift_tvd's
+    // fixed 20-bucket grid, Laplace-smoothed (+1 per cell) so empty
+    // cells stay finite. The ln PSI needs is handled with the
+    // q_mutual_info fold: each cell's (p−q)·ln(p/q) is integer-scaled
+    // to 1e-9 BEFORE the cross-cell sum, so the reduction is an
+    // order-free int64 sum and libm's 1-ulp ln noise moves a cell by
+    // ≤1e-9 — invisible at r6. Buckets ABSENT from both periods are
+    // never materialized: each contributes the same closed-form
+    // constant ((1/(t1+20) − 1/(t2+20))·ln((t2+20)/(t1+20))), added
+    // once per missing bucket — the densifying grid join other PSI
+    // implementations do is replaced by algebra, keeping the op ONE
+    // corpus scan onto a ≤|types|×40-cell frame.
+    Q("q_psi",
+      s"""WITH e AS (SELECT event_type,
+         |                  CASE WHEN CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-15'
+         |                       THEN 1 ELSE 2 END AS period,
+         |                  least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket
+         |           FROM events),
+         |c AS (SELECT event_type, bucket,
+         |             CAST(count(CASE WHEN period = 1 THEN 1 END) AS BIGINT) AS n1,
+         |             CAST(count(CASE WHEN period = 2 THEN 1 END) AS BIGINT) AS n2
+         |      FROM e GROUP BY 1, 2),
+         |w AS (SELECT event_type, n1, n2,
+         |             CAST(sum(n1) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
+         |             CAST(sum(n2) OVER (PARTITION BY event_type) AS BIGINT) AS t2,
+         |             CAST(20 - count(*) OVER (PARTITION BY event_type) AS BIGINT) AS miss
+         |      FROM c),
+         |t AS (SELECT event_type, t1, t2, miss,
+         |             CAST(floor((CAST(n1 + 1 AS DOUBLE) / (t1 + 20) - CAST(n2 + 1 AS DOUBLE) / (t2 + 20)) *
+         |                        ln(CAST(n1 + 1 AS DOUBLE) * (t2 + 20) / (CAST(n2 + 1 AS DOUBLE) * (t1 + 20))) * 1e9 + 0.5)
+         |                  AS BIGINT) AS contrib,
+         |             CAST(floor((1.0 / (t1 + 20) - 1.0 / (t2 + 20)) *
+         |                        ln((t2 + 20) / CAST(t1 + 20 AS DOUBLE)) * 1e9 + 0.5)
+         |                  AS BIGINT) AS mcontrib
+         |      FROM w)
+         |SELECT event_type,
+         |       CAST(max(t1) AS BIGINT) AS n_before,
+         |       CAST(max(t2) AS BIGINT) AS n_after,
+         |       ${Q.sqlR6("(sum(contrib) + max(miss) * max(mcontrib)) / 1e9")} AS psi
+         |FROM t
+         |GROUP BY 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type"),
+          when(col("ts").cast(DateType) < to_date(lit("2024-01-15")), 1)
+            .otherwise(2).as("period"),
+          least(floor(col("value") / 25).cast("long"), lit(19L)).as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(when(col("period") === 1, 1)).as("n1"),
+          count(when(col("period") === 2, 1)).as("n2"))
+      val wt = Window.partitionBy("event_type")
+      c.withColumn("t1", sum("n1").over(wt).cast("long"))
+        .withColumn("t2", sum("n2").over(wt).cast("long"))
+        .withColumn("miss", (lit(20) - count(lit(1)).over(wt)).cast("long"))
+        .withColumn("contrib",
+          floor(((col("n1") + 1).cast("double") / (col("t1") + 20) -
+            (col("n2") + 1).cast("double") / (col("t2") + 20)) *
+            log((col("n1") + 1).cast("double") * (col("t2") + 20) /
+              ((col("n2") + 1).cast("double") * (col("t1") + 20))) * lit(1e9) + 0.5)
+            .cast("long"))
+        .withColumn("mcontrib",
+          floor((lit(1.0) / (col("t1") + 20) - lit(1.0) / (col("t2") + 20)) *
+            log((col("t2") + 20) / (col("t1") + 20).cast("double")) * lit(1e9) + 0.5)
+            .cast("long"))
+        .groupBy("event_type")
+        .agg(max("t1").as("n_before"), max("t2").as("n_after"),
+          Q.r6((sum("contrib") + max("miss") * max("mcontrib")) / lit(1e9)).as("psi"))
+        .orderBy("event_type")
     }
   )
 }
