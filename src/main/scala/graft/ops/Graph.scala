@@ -291,6 +291,95 @@ object Graph {
             .as("cosine"))
         .orderBy(col("cosine").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // Connected components of the support-thresholded co-purchase
+    // graph (round 10): which parts form one "bought-together" market
+    // basket cluster — the cluster-resolution step q_dup_clusters runs
+    // on LSH pairs, applied to the product graph. Spark side: the SAME
+    // iterative min-label propagation (joins per round, localCheckpoint
+    // between rounds, O(log diameter) via the fused first round + path
+    // halving — TextPipeline.connectedComponents). Oracle: DuckDB
+    // WITH RECURSIVE transitive closure over the SAME io/e edge CTEs
+    // as the triangle census, so the edge set is shared text and the
+    // closure is computed by a genuinely different algorithm — the
+    // twins agree only by both being right. Output: one row per
+    // component (id = min part key, node count). Integer-only.
+    Q("q_graph_components",
+      s"""WITH RECURSIVE io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+        |edges AS (SELECT a AS src, b AS dst FROM e
+        |          UNION ALL
+        |          SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS lbl FROM nodes
+        |          UNION
+        |          SELECT e2.dst AS id, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY 1)
+        |SELECT lbl AS cluster_id, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM comp
+        |GROUP BY 1
+        |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val comp = TextPipeline.connectedComponents(
+        coPairs(s, d).select(col("a").as("d1"), col("b").as("d2")))
+      comp.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+        .select(col("lbl").as("cluster_id"), col("n_nodes"))
+        .orderBy("cluster_id")
+    },
+
+    // Bounded-depth BFS over the bipartite part–supplier graph
+    // (round 10): hop-distance histogram from the highest-degree node
+    // (ties → smallest id) out to 4 hops — the small-world probe ("how
+    // many nodes sit k supply-chain steps away?"). Spark side: frontier
+    // expansion — per hop ONE join frontier⋈edges + ONE left-anti
+    // against the visited set, both hashing on the int64 node key; the
+    // edge list is localCheckpoint'd once and reused by all 4 rounds;
+    // depth is FIXED so plan depth is bounded (the q_pagerank
+    // argument). Oracle: recursive CTE accumulating (id, depth) pairs
+    // (UNION dedup bounds the closure at |nodes|·5 rows), min(depth)
+    // per node. Node encoding = pagerankAll's int64 packing (part
+    // keys even, supplier keys odd).
+    Q("q_graph_bfs",
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sn
+        |                         FROM lineitem),
+        |edges AS (SELECT p AS src, sn AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT sn, p FROM pairs),
+        |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY 1),
+        |root AS (SELECT src AS id FROM deg ORDER BY dg DESC, src LIMIT 1),
+        |bfs AS (SELECT id, 0 AS depth FROM root
+        |        UNION
+        |        SELECT e2.dst, b.depth + 1
+        |        FROM bfs b JOIN edges e2 ON e2.src = b.id WHERE b.depth < 4),
+        |md AS (SELECT id, min(depth) AS depth FROM bfs GROUP BY 1)
+        |SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM md
+        |GROUP BY 1
+        |ORDER BY depth""".stripMargin) { (s, d) =>
+      val pairs = Tables.load(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val ed = pairs.select(col("p").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("p").as("dst")))
+        .localCheckpoint(true)
+      var visited = ed.groupBy("src").agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src")).limit(1)
+        .select(col("src").as("id"), lit(0L).as("depth"))
+        .localCheckpoint(true)
+      var frontier = visited
+      for (h <- 1 to 4) {
+        val nxt = frontier.join(ed, frontier("id") === ed("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .select(col("id"), lit(h.toLong).as("depth"))
+          .localCheckpoint(true)
+        visited = visited.unionAll(nxt).localCheckpoint(true)
+        frontier = nxt
+      }
+      visited.groupBy("depth").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("depth")
     }
   )
 
@@ -301,14 +390,16 @@ object Graph {
     * recount. The edge list and its orientation are localCheckpointed
     * (the q_pagerank move) so the wedge/closing branches reuse ONE
     * materialized frame instead of re-deriving lineitem three times. */
-  private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame = {
-    // baskets → in-row sorted pair expansion (the assoc_rules shape:
-    // C(items, 2) per order, never a cross-part join) → support-
-    // thresholded edges
+  /** Support-thresholded part co-purchase pair list (a < b) — the
+    * shared edge set under q_graph_triangles, q_item_cosine and
+    * q_graph_components: baskets → in-row sorted pair expansion (the
+    * assoc_rules shape: C(items, 2) per order, never a cross-part
+    * join) → support ≥ [[MinSupport]] filter. */
+  private[graft] def coPairs(s: SparkSession, d: String): DataFrame = {
     val io = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
+    io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
       .select(explode(expr(
         """flatten(transform(pks,
           |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
@@ -317,7 +408,10 @@ object Graph {
       .groupBy("a", "b").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= MinSupport)
       .select("a", "b")
-      .localCheckpoint(true)
+  }
+
+  private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame = {
+    val edges = coPairs(s, d).localCheckpoint(true)
     val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient each edge from its (deg, id)-smaller endpoint; the packed
