@@ -706,6 +706,189 @@ object Timeseries {
           Q.r6(root / col("sg")).as("cv"),
           Q.r6((root - col("sg")) / (root + col("sg"))).as("burstiness"))
         .orderBy("event_type")
+    },
+
+    // Maximum drawdown of the per-type daily revenue series (round
+    // 10): worst peak-to-trough fall of daily takings — the downside-
+    // risk lens on the same series q_peak_detection reads for spikes.
+    // Revenue is exact int64 CENTS per day, the running peak / the
+    // drawdown / its argmax are all INTEGER comparisons (earliest-day
+    // tie-break), so no float ulp can move the trough; doubles appear
+    // only in the three final display divisions. Shape: corpus
+    // collapses to the (|types|×|days|) daily frame first; every
+    // window rides that frame's single event_type exchange.
+    Q("q_drawdown",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS lvl
+         |               FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, x, lvl,
+         |             CAST(max(lvl) OVER (PARTITION BY event_type ORDER BY x
+         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
+         |      FROM daily),
+         |r AS (SELECT event_type, x, lvl, runmax, runmax - lvl AS dd,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY runmax - lvl DESC, x) AS rn,
+         |             count(*) OVER (PARTITION BY event_type) AS n_days
+         |      FROM w)
+         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |       ${Q.sqlR2("CAST(runmax AS DOUBLE) / 100")} AS peak,
+         |       ${Q.sqlR2("CAST(dd AS DOUBLE) / 100")} AS max_drawdown,
+         |       strftime(DATE '$TrendAnchor' + CAST(x AS INTEGER), '%Y-%m-%d') AS trough_day,
+         |       ${Q.sqlR6("CAST(dd AS DOUBLE) / runmax")} AS dd_frac
+         |FROM r WHERE rn = 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("lvl"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("runmax", max("lvl").over(wx))
+        .withColumn("dd", col("runmax") - col("lvl"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dd").desc, col("x"))))
+        .withColumn("n_days", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"),
+          Q.r2(col("runmax").cast("double") / 100).as("peak"),
+          Q.r2(col("dd").cast("double") / 100).as("max_drawdown"),
+          date_format(date_add(to_date(lit(TrendAnchor)), col("x").cast("int")),
+            "yyyy-MM-dd").as("trough_day"),
+          Q.r6(col("dd").cast("double") / col("runmax")).as("dd_frac"))
+        .orderBy("event_type")
+    },
+
+    // Bollinger bands on per-type daily volume (round 10): the 7-day
+    // moving mean ± 2σ envelope per full-frame day, with each day's
+    // band position (up-breakout / in-band / down-breakout) — the
+    // volatility-adaptive cousin of q_peak_detection's fixed neighbor
+    // test and q_anomaly's global z-score, in the table form dashboards
+    // draw. The trailing-frame moving moments come from INTEGER window
+    // sums (Σy, Σy² over a ROWS frame are exact int64), so both engines
+    // derive band edges through one mirrored double tree and the
+    // band-position comparison can't disagree. Shape: all windows ride
+    // the daily frame's single event_type exchange.
+    Q("q_bollinger",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      CAST(count(*) AS BIGINT) AS y
+         |               FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, x, y,
+         |             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+         |                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+         |             CAST(sum(y * y) OVER (PARTITION BY event_type ORDER BY x
+         |                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2,
+         |             CAST(count(*) OVER (PARTITION BY event_type ORDER BY x
+         |                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS nw,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY x) AS idx
+         |      FROM daily),
+         |b AS (SELECT event_type, x, y,
+         |             CAST(s AS DOUBLE) / nw AS ma,
+         |             sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) / nw * s) / (nw - 1)) AS sd
+         |      FROM w WHERE idx >= 7)
+         |SELECT event_type,
+         |       strftime(DATE '$TrendAnchor' + CAST(x AS INTEGER), '%Y-%m-%d') AS day,
+         |       y,
+         |       ${Q.sqlR4("ma")} AS ma7,
+         |       ${Q.sqlR4("sd")} AS sd7,
+         |       ${Q.sqlR4("ma + 2 * sd")} AS upper_band,
+         |       ${Q.sqlR4("ma - 2 * sd")} AS lower_band,
+         |       CASE WHEN y > ma + 2 * sd THEN 'up'
+         |            WHEN y < ma - 2 * sd THEN 'down'
+         |            ELSE 'in' END AS band_pos
+         |FROM b
+         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val f = Window.partitionBy("event_type").orderBy("x").rowsBetween(-6, 0)
+      val wx = Window.partitionBy("event_type").orderBy("x")
+      daily
+        .withColumn("s", sum("y").over(f))
+        .withColumn("s2", sum(col("y") * col("y")).over(f))
+        .withColumn("nw", count(lit(1)).over(f))
+        .withColumn("idx", row_number().over(wx))
+        .filter(col("idx") >= 7)
+        .withColumn("ma", col("s").cast("double") / col("nw"))
+        .withColumn("sd", sqrt((col("s2").cast("double") -
+          col("s").cast("double") / col("nw") * col("s")) / (col("nw") - 1)))
+        .select(col("event_type"),
+          date_format(date_add(to_date(lit(TrendAnchor)), col("x").cast("int")),
+            "yyyy-MM-dd").as("day"),
+          col("y"),
+          Q.r4(col("ma")).as("ma7"),
+          Q.r4(col("sd")).as("sd7"),
+          Q.r4(col("ma") + lit(2) * col("sd")).as("upper_band"),
+          Q.r4(col("ma") - lit(2) * col("sd")).as("lower_band"),
+          when(col("y") > col("ma") + lit(2) * col("sd"), "up")
+            .when(col("y") < col("ma") - lit(2) * col("sd"), "down")
+            .otherwise("in").as("band_pos"))
+        .orderBy("event_type", "day")
+    },
+
+    // 14-day RSI of per-type daily revenue (round 10): 100·G/(G+L)
+    // over the trailing 14 daily deltas (the simple-average RSI;
+    // Wilder's recursive smoothing is q_ewma's unroll applied here) —
+    // the overbought/oversold momentum gauge. Gains/losses are int64
+    // cent deltas; the window sums G and L are exact integers, so RSI
+    // is one mirrored double division (50 exactly when the window
+    // never moved). Shape: daily frame first, then lag + trailing-sum
+    // windows on its single event_type exchange.
+    Q("q_rsi",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS lvl
+         |               FROM events GROUP BY 1, 2),
+         |dl AS (SELECT event_type, x, lvl,
+         |              lvl - lag(lvl) OVER (PARTITION BY event_type ORDER BY x) AS delta
+         |       FROM daily),
+         |g AS (SELECT event_type, x, lvl,
+         |             greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+         |      FROM dl WHERE delta IS NOT NULL),
+         |w AS (SELECT event_type, x, lvl,
+         |             CAST(sum(gain) OVER (PARTITION BY event_type ORDER BY x
+         |                                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS gg,
+         |             CAST(sum(loss) OVER (PARTITION BY event_type ORDER BY x
+         |                                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS ll,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY x) AS idx
+         |      FROM g)
+         |SELECT event_type,
+         |       strftime(DATE '$TrendAnchor' + CAST(x AS INTEGER), '%Y-%m-%d') AS day,
+         |       ${Q.sqlR2("CAST(lvl AS DOUBLE) / 100")} AS close_px,
+         |       ${Q.sqlR4("CASE WHEN gg + ll = 0 THEN 50 ELSE 100 * CAST(gg AS DOUBLE) / (gg + ll) END")} AS rsi
+         |FROM w WHERE idx >= 14
+         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("lvl"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+      val f = Window.partitionBy("event_type").orderBy("x").rowsBetween(-13, 0)
+      daily
+        .withColumn("delta", col("lvl") - lag("lvl", 1).over(wx))
+        .filter(col("delta").isNotNull)
+        .withColumn("gain", greatest(col("delta"), lit(0L)))
+        .withColumn("loss", greatest(-col("delta"), lit(0L)))
+        .withColumn("gg", sum("gain").over(f))
+        .withColumn("ll", sum("loss").over(f))
+        .withColumn("idx", row_number().over(wx))
+        .filter(col("idx") >= 14)
+        .select(col("event_type"),
+          date_format(date_add(to_date(lit(TrendAnchor)), col("x").cast("int")),
+            "yyyy-MM-dd").as("day"),
+          Q.r2(col("lvl").cast("double") / 100).as("close_px"),
+          Q.r4(when(col("gg") + col("ll") === 0, 50)
+            .otherwise(lit(100) * col("gg").cast("double") / (col("gg") + col("ll"))))
+            .as("rsi"))
+        .orderBy("event_type", "day")
     }
   )
 }
