@@ -800,4 +800,43 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: the single-partition window must consume an aggregate, not raw events:\n$plan")
     }
   }
+
+  test("the round-10 moment tests are single-scan single-row-agg pipelines") {
+    // welch/jarque-bera/psi each reduce the corpus in ONE pass of
+    // integer sufficient statistics — a second parquet scan means a
+    // branch re-derived the corpus (e.g. a densifying grid join)
+    Seq("q_welch_t", "q_jarque_bera", "q_psi").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans === 1, s"$name must scan events once, found $scans:\n$plan")
+    }
+  }
+
+  test("the daily-series finance ops window over the daily aggregate, not raw events") {
+    // drawdown/bollinger/rsi collapse to the (type, day) frame first;
+    // every window then rides that bounded frame — the event_type
+    // window exchange must consume a HashAggregate
+    Seq("q_drawdown", "q_bollinger", "q_rsi").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans === 1, s"$name must scan events once, found $scans:\n$plan")
+      val idx = plan.indexOf("Exchange hashpartitioning(event_type")
+      assert(idx >= 0, s"$name: expected the daily frame's type exchange:\n$plan")
+      assert(plan.substring(idx).contains("HashAggregate"),
+        s"$name: the window exchange must consume the daily aggregate:\n$plan")
+    }
+  }
+
+  test("q_graph_bfs's final plan is checkpoint-fed (no parquet rescans per hop)") {
+    // the edge list is localCheckpoint'd once and every hop joins that
+    // materialized frame; visited layers are checkpointed too, so the
+    // FINAL plan (the histogram over visited) contains no parquet scan
+    val plan = SparkEntry.queries("q_graph_bfs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 0,
+      s"BFS result must derive from checkpointed frames, found $scans scans:\n$plan")
+  }
 }

@@ -1145,4 +1145,116 @@ class TwinAndPropertySpec extends SparkSpec {
     val r2v = r.getAs[Double]("r2")
     assert(r2v >= 0 && r2v <= 1.0 + 1e-9)
   }
+
+  test("q_welch_t statistics are internally consistent") {
+    val r = q("q_welch_t").head()
+    val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    assert(na > 0 && nb > 0)
+    // Welch df is bracketed by min(na,nb)-1 and the pooled na+nb-2
+    val df = r.getAs[Double]("df")
+    assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6,
+      s"df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+    // t and Cohen's d share the numerator ma-mb: same sign always
+    assert(r.getAs[Double]("t_stat") * r.getAs[Double]("cohen_d") >= 0,
+      "t and d must agree in sign")
+    // means match a direct recomputation (cents-floored, r2-rounded)
+    val want = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(avg(floor(col("value") * 100 + 0.5))).head().getDouble(0) / 100
+    assert(math.abs(r.getAs[Double]("mean_a") - want) < 0.01 + 1e-9,
+      s"mean_a ${r.getAs[Double]("mean_a")} != direct $want")
+  }
+
+  test("q_jarque_bera moments satisfy kurtosis >= skewness^2 - 2 with jb >= 0") {
+    val rows = q("q_jarque_bera").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sk = r.getAs[Double]("skewness")
+      val ek = r.getAs[Double]("ex_kurtosis")
+      // Pearson's inequality kurtosis ≥ skew² + 1 ⇒ excess ≥ skew² − 2
+      assert(ek >= sk * sk - 2 - 1e-6, s"moment inequality violated: $r")
+      assert(r.getAs[Double]("jb") >= 0, s"JB must be non-negative: $r")
+    }
+  }
+
+  test("q_psi is non-negative and conserves the per-type event counts") {
+    val rows = q("q_psi").collect()
+    assert(rows.nonEmpty)
+    // (p−q)·ln(p/q) ≥ 0 per cell ⇒ PSI ≥ 0 (up to the 1e-9 int scaling)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi") >= -1e-6, s"PSI must be >= 0: $r")
+    }
+    val got = rows.map(r => r.getAs[Long]("n_before") + r.getAs[Long]("n_after")).sum
+    val want = Tables.events(spark, sfDir).count()
+    assert(got === want, s"period counts $got must partition the corpus $want")
+  }
+
+  test("q_graph_components partitions the thresholded graph's node set") {
+    val rows = q("q_graph_components").collect()
+    val nodes = ops.Graph.coPairs(spark, sfDir)
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === nodes,
+      "component sizes must sum to |nodes|")
+    // every node in the pair graph has degree >= 1, so no singleton
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") >= 2, s"singleton component: $r")
+    }
+  }
+
+  test("q_graph_bfs layers start at the single root and stay within the graph") {
+    val rows = q("q_graph_bfs").collect().sortBy(_.getAs[Long]("depth"))
+    assert(rows.head.getAs[Long]("depth") === 0L)
+    assert(rows.head.getAs[Long]("n_nodes") === 1L, "exactly one root at depth 0")
+    // depths are contiguous (an empty frontier ends the walk)
+    rows.map(_.getAs[Long]("depth")).zipWithIndex.foreach { case (dep, i) =>
+      assert(dep === i.toLong, s"depth layers must be contiguous: $rows")
+    }
+    val total = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_partkey") * 2).as("n"))
+      .union(Tables.load(spark, sfDir, "lineitem").select(col("l_suppkey") * 2 + 1))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum <= total)
+  }
+
+  test("q_drawdown depths are bounded by the running peak") {
+    val rows = q("q_drawdown").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val peak = r.getAs[Double]("peak")
+      val dd = r.getAs[Double]("max_drawdown")
+      val frac = r.getAs[Double]("dd_frac")
+      assert(dd >= 0 && dd <= peak + 1e-9, s"0 <= dd <= peak violated: $r")
+      assert(frac >= 0 && frac <= 1.0 + 1e-9, s"dd_frac out of [0,1]: $r")
+    }
+  }
+
+  test("q_bollinger covers every full-frame day with consistent bands") {
+    val rows = q("q_bollinger").collect()
+    // 30 days of events − 6 warmup = 24 full-frame days per type
+    assert(rows.length === 24 * 5, s"expected 120 band rows, got ${rows.length}")
+    rows.foreach { r =>
+      val (ma, sd) = (r.getAs[Double]("ma7"), r.getAs[Double]("sd7"))
+      val (up, lo) = (r.getAs[Double]("upper_band"), r.getAs[Double]("lower_band"))
+      assert(sd >= 0, s"negative sd: $r")
+      assert(up >= ma - 1e-9 && ma >= lo - 1e-9, s"band ordering violated: $r")
+      val y = r.getAs[Long]("y").toDouble
+      r.getAs[String]("band_pos") match {
+        case "up"   => assert(y >= up - 2e-4, s"up flag but y inside: $r")
+        case "down" => assert(y <= lo + 2e-4, s"down flag but y inside: $r")
+        case "in"   => assert(y >= lo - 2e-4 && y <= up + 2e-4, s"in flag but y outside: $r")
+      }
+    }
+  }
+
+  test("q_rsi is a valid momentum index over full 14-delta frames") {
+    val rows = q("q_rsi").collect()
+    // 30 days → 29 deltas → 16 full-frame days per type
+    assert(rows.length === 16 * 5, s"expected 80 rsi rows, got ${rows.length}")
+    rows.foreach { r =>
+      val rsi = r.getAs[Double]("rsi")
+      assert(rsi >= 0 && rsi <= 100 + 1e-9, s"rsi out of [0,100]: $r")
+      assert(r.getAs[Double]("close_px") > 0, s"close must be positive: $r")
+    }
+  }
 }
