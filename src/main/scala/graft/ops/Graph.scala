@@ -369,7 +369,13 @@ object Graph {
         .select(col("src").as("id"), lit(0L).as("depth"))
         .localCheckpoint(true)
       var frontier = visited
-      for (h <- 1 to 4) {
+      var h = 1
+      // stop as soon as a frontier comes back empty — expanding an
+      // empty frontier can only yield empty frontiers, so remaining
+      // rounds are pure overhead (fires when the root's eccentricity
+      // is < the 4-hop cap; the isEmpty probe is a scan of the
+      // already-checkpointed frontier, not a recomputation)
+      while (h <= 4 && !frontier.isEmpty) {
         val nxt = frontier.join(ed, frontier("id") === ed("src"))
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
@@ -377,6 +383,7 @@ object Graph {
           .localCheckpoint(true)
         visited = visited.unionAll(nxt).localCheckpoint(true)
         frontier = nxt
+        h += 1
       }
       visited.groupBy("depth").agg(count(lit(1)).as("n_nodes"))
         .orderBy("depth")

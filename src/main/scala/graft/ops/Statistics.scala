@@ -1003,6 +1003,152 @@ object Statistics {
         .orderBy(col("price").desc)
     },
 
+    // Leading principal component of the four lineitem measures
+    // (round 10): distributed PCA the way it actually runs at 100 TB —
+    // ONE corpus pass collects q_corr_matrix's 15 integer sufficient
+    // statistics, the 4×4 CORRELATION matrix (unit diagonal, so trace
+    // = 4 and the variance share is λ/4) assembles from them IN-ROW,
+    // and three power-iteration steps with explicit normalization run
+    // as nested single-row expressions — no driver loop, no second
+    // scan, no cross-row reduction after the stats agg. Every double
+    // derives from exact int64 sums through textually mirrored
+    // formula trees (sums written term-by-term in fixed order — never
+    // an aggregate over doubles), so both engines produce bit-equal
+    // loadings before r6. Sign is pinned by the all-positive start
+    // vector. λ is the final iterate's norm (the standard power-
+    // iteration estimate), reported as the λ/4 variance share.
+    Q("q_pca_power",
+      s"""WITH m AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+         |                  CAST(floor(l_extendedprice) AS BIGINT) AS p,
+         |                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |                  CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+         |           FROM lineitem),
+         |st AS (SELECT count(*) AS n,
+         |              CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+         |              CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+         |              CAST(sum(q * q) AS BIGINT) AS qq, CAST(sum(p * p) AS BIGINT) AS pp,
+         |              CAST(sum(d * d) AS BIGINT) AS dd, CAST(sum(t * t) AS BIGINT) AS tt,
+         |              CAST(sum(q * p) AS BIGINT) AS qp, CAST(sum(q * d) AS BIGINT) AS qd,
+         |              CAST(sum(q * t) AS BIGINT) AS qt, CAST(sum(p * d) AS BIGINT) AS pd,
+         |              CAST(sum(p * t) AS BIGINT) AS pt, CAST(sum(d * t) AS BIGINT) AS dt
+         |       FROM m),
+         |co AS (SELECT
+         |  (n * CAST(qp AS DOUBLE) - CAST(sq AS DOUBLE) * sp) / (sqrt(n * CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * sq) * sqrt(n * CAST(pp AS DOUBLE) - CAST(sp AS DOUBLE) * sp)) AS rqp,
+         |  (n * CAST(qd AS DOUBLE) - CAST(sq AS DOUBLE) * sd) / (sqrt(n * CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * sq) * sqrt(n * CAST(dd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)) AS rqd,
+         |  (n * CAST(qt AS DOUBLE) - CAST(sq AS DOUBLE) * st) / (sqrt(n * CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * sq) * sqrt(n * CAST(tt AS DOUBLE) - CAST(st AS DOUBLE) * st)) AS rqt,
+         |  (n * CAST(pd AS DOUBLE) - CAST(sp AS DOUBLE) * sd) / (sqrt(n * CAST(pp AS DOUBLE) - CAST(sp AS DOUBLE) * sp) * sqrt(n * CAST(dd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)) AS rpd,
+         |  (n * CAST(pt AS DOUBLE) - CAST(sp AS DOUBLE) * st) / (sqrt(n * CAST(pp AS DOUBLE) - CAST(sp AS DOUBLE) * sp) * sqrt(n * CAST(tt AS DOUBLE) - CAST(st AS DOUBLE) * st)) AS rpt,
+         |  (n * CAST(dt AS DOUBLE) - CAST(sd AS DOUBLE) * st) / (sqrt(n * CAST(dd AS DOUBLE) - CAST(sd AS DOUBLE) * sd) * sqrt(n * CAST(tt AS DOUBLE) - CAST(st AS DOUBLE) * st)) AS rdt
+         |       FROM st),
+         |i1 AS (SELECT *,
+         |  0.5 + 0.5 * rqp + 0.5 * rqd + 0.5 * rqt AS w11,
+         |  0.5 * rqp + 0.5 + 0.5 * rpd + 0.5 * rpt AS w12,
+         |  0.5 * rqd + 0.5 * rpd + 0.5 + 0.5 * rdt AS w13,
+         |  0.5 * rqt + 0.5 * rpt + 0.5 * rdt + 0.5 AS w14
+         |       FROM co),
+         |v1 AS (SELECT *, w11 / sqrt(w11 * w11 + w12 * w12 + w13 * w13 + w14 * w14) AS v11,
+         |                 w12 / sqrt(w11 * w11 + w12 * w12 + w13 * w13 + w14 * w14) AS v12,
+         |                 w13 / sqrt(w11 * w11 + w12 * w12 + w13 * w13 + w14 * w14) AS v13,
+         |                 w14 / sqrt(w11 * w11 + w12 * w12 + w13 * w13 + w14 * w14) AS v14
+         |       FROM i1),
+         |i2 AS (SELECT *,
+         |  v11 + v12 * rqp + v13 * rqd + v14 * rqt AS w21,
+         |  v11 * rqp + v12 + v13 * rpd + v14 * rpt AS w22,
+         |  v11 * rqd + v12 * rpd + v13 + v14 * rdt AS w23,
+         |  v11 * rqt + v12 * rpt + v13 * rdt + v14 AS w24
+         |       FROM v1),
+         |v2 AS (SELECT *, w21 / sqrt(w21 * w21 + w22 * w22 + w23 * w23 + w24 * w24) AS v21,
+         |                 w22 / sqrt(w21 * w21 + w22 * w22 + w23 * w23 + w24 * w24) AS v22,
+         |                 w23 / sqrt(w21 * w21 + w22 * w22 + w23 * w23 + w24 * w24) AS v23,
+         |                 w24 / sqrt(w21 * w21 + w22 * w22 + w23 * w23 + w24 * w24) AS v24
+         |       FROM i2),
+         |i3 AS (SELECT *,
+         |  v21 + v22 * rqp + v23 * rqd + v24 * rqt AS w31,
+         |  v21 * rqp + v22 + v23 * rpd + v24 * rpt AS w32,
+         |  v21 * rqd + v22 * rpd + v23 + v24 * rdt AS w33,
+         |  v21 * rqt + v22 * rpt + v23 * rdt + v24 AS w34
+         |       FROM v2),
+         |f AS (SELECT sqrt(w31 * w31 + w32 * w32 + w33 * w33 + w34 * w34) AS lam,
+         |             w31 / sqrt(w31 * w31 + w32 * w32 + w33 * w33 + w34 * w34) AS v31,
+         |             w32 / sqrt(w31 * w31 + w32 * w32 + w33 * w33 + w34 * w34) AS v32,
+         |             w33 / sqrt(w31 * w31 + w32 * w32 + w33 * w33 + w34 * w34) AS v33,
+         |             w34 / sqrt(w31 * w31 + w32 * w32 + w33 * w33 + w34 * w34) AS v34
+         |      FROM i3)
+         |SELECT 'discount' AS dim, ${Q.sqlR6("v33")} AS loading, ${Q.sqlR6("lam / 4")} AS var_share FROM f
+         |UNION ALL SELECT 'price_usd', ${Q.sqlR6("v32")}, ${Q.sqlR6("lam / 4")} FROM f
+         |UNION ALL SELECT 'quantity', ${Q.sqlR6("v31")}, ${Q.sqlR6("lam / 4")} FROM f
+         |UNION ALL SELECT 'tax', ${Q.sqlR6("v34")}, ${Q.sqlR6("lam / 4")} FROM f
+         |ORDER BY dim""".stripMargin) { (s, d) =>
+      val m = Tables.load(s, d, "lineitem").select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice")).cast("long").as("p"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+      val st = m.agg(count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"), sum("t").as("st"),
+        sum(col("q") * col("q")).as("qq"), sum(col("p") * col("p")).as("pp"),
+        sum(col("d") * col("d")).as("dd"), sum(col("t") * col("t")).as("tt"),
+        sum(col("q") * col("p")).as("qp"), sum(col("q") * col("d")).as("qd"),
+        sum(col("q") * col("t")).as("qt"), sum(col("p") * col("d")).as("pd"),
+        sum(col("p") * col("t")).as("pt"), sum(col("d") * col("t")).as("dt"))
+      // correlation entry: mirrors q_corr_matrix's shared formula tree
+      def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+        (col("n") * col(sxy).cast("double") - col(sx).cast("double") * col(sy)) /
+          (sqrt(col("n") * col(sxx).cast("double") - col(sx).cast("double") * col(sx)) *
+            sqrt(col("n") * col(syy).cast("double") - col(sy).cast("double") * col(sy)))
+      val co = st.select(
+        r("qp", "sq", "sp", "qq", "pp").as("rqp"),
+        r("qd", "sq", "sd", "qq", "dd").as("rqd"),
+        r("qt", "sq", "st", "qq", "tt").as("rqt"),
+        r("pd", "sp", "sd", "pp", "dd").as("rpd"),
+        r("pt", "sp", "st", "pp", "tt").as("rpt"),
+        r("dt", "sd", "st", "dd", "tt").as("rdt"))
+      // one matrix–vector multiply: R has unit diagonal, off-diagonals
+      // from the six correlations; terms written in fixed order so the
+      // double tree mirrors the oracle text exactly
+      def mul(v1: Column, v2: Column, v3: Column, v4: Column)
+          : (Column, Column, Column, Column) = (
+        v1 + v2 * col("rqp") + v3 * col("rqd") + v4 * col("rqt"),
+        v1 * col("rqp") + v2 + v3 * col("rpd") + v4 * col("rpt"),
+        v1 * col("rqd") + v2 * col("rpd") + v3 + v4 * col("rdt"),
+        v1 * col("rqt") + v2 * col("rpt") + v3 * col("rdt") + v4)
+      def norm(w: (Column, Column, Column, Column)): Column =
+        sqrt(w._1 * w._1 + w._2 * w._2 + w._3 * w._3 + w._4 * w._4)
+      def step(df: org.apache.spark.sql.DataFrame, i: Int,
+               v: (Column, Column, Column, Column)) = {
+        val w = mul(v._1, v._2, v._3, v._4)
+        df.withColumn(s"w${i}1", w._1).withColumn(s"w${i}2", w._2)
+          .withColumn(s"w${i}3", w._3).withColumn(s"w${i}4", w._4)
+      }
+      def unit(df: org.apache.spark.sql.DataFrame, i: Int) = {
+        val w = (col(s"w${i}1"), col(s"w${i}2"), col(s"w${i}3"), col(s"w${i}4"))
+        df.withColumn(s"v${i}1", w._1 / norm(w)).withColumn(s"v${i}2", w._2 / norm(w))
+          .withColumn(s"v${i}3", w._3 / norm(w)).withColumn(s"v${i}4", w._4 / norm(w))
+      }
+      val half = lit(0.5)
+      val i1 = co
+        .withColumn("w11", half + half * col("rqp") + half * col("rqd") + half * col("rqt"))
+        .withColumn("w12", half * col("rqp") + half + half * col("rpd") + half * col("rpt"))
+        .withColumn("w13", half * col("rqd") + half * col("rpd") + half + half * col("rdt"))
+        .withColumn("w14", half * col("rqt") + half * col("rpt") + half * col("rdt") + half)
+      val v1 = unit(i1, 1)
+      val v2 = unit(step(v1, 2, (col("v11"), col("v12"), col("v13"), col("v14"))), 2)
+      val i3 = step(v2, 3, (col("v21"), col("v22"), col("v23"), col("v24")))
+      val w3 = (col("w31"), col("w32"), col("w33"), col("w34"))
+      val f = i3.select(norm(w3).as("lam"),
+        (col("w31") / norm(w3)).as("v31"), (col("w32") / norm(w3)).as("v32"),
+        (col("w33") / norm(w3)).as("v33"), (col("w34") / norm(w3)).as("v34"))
+      f.select(explode(array(
+          struct(lit("discount").as("dim"), col("v33").as("v")),
+          struct(lit("price_usd").as("dim"), col("v32").as("v")),
+          struct(lit("quantity").as("dim"), col("v31").as("v")),
+          struct(lit("tax").as("dim"), col("v34").as("v")))).as("e"),
+          col("lam"))
+        .select(col("e.dim").as("dim"), Q.r6(col("e.v")).as("loading"),
+          Q.r6(col("lam") / 4).as("var_share"))
+        .orderBy("dim")
+    },
+
     // Welch's two-sample t-test (round 10): does mean spend differ
     // between purchase and click events? Unequal-variance t statistic,
     // Welch–Satterthwaite degrees of freedom, and Cohen's d effect

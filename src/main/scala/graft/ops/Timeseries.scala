@@ -708,6 +708,68 @@ object Timeseries {
         .orderBy("event_type")
     },
 
+    // Stationary distribution of the event-type Markov chain (round
+    // 10): where does a user's session settle in the long run? Three
+    // unrolled power-iteration steps π_{k+1} = π_k·P from the uniform
+    // start over q_event_transitions' row-normalized matrix (the
+    // q_pagerank fixed-iteration move, applied to the |types|² frame).
+    // The one cross-row reduction per step — the Σ_i π_i·P_ij matrix
+    // product — is made order-free by integer-scaling every term to
+    // 1e-12 BEFORE the sum (the q_mutual_info fold), so both engines
+    // carry bit-identical vectors into the next round. Shape: after
+    // the corpus-side lead() window (the standard single user_id
+    // exchange), everything lives on the ≤25-row matrix frame.
+    Q("q_markov_stationary",
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |pr AS (SELECT event_type AS cur,
+         |              lead(event_type) OVER (PARTITION BY user_id
+         |                                     ORDER BY es, event_id) AS nxt
+         |       FROM e),
+         |c AS (SELECT cur, nxt, count(*) AS n FROM pr
+         |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |m AS (SELECT cur, nxt,
+         |             CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS prob
+         |      FROM c),
+         |t0 AS (SELECT count(DISTINCT cur) AS k FROM c),
+         |q0 AS (SELECT DISTINCT cur AS t, 1.0 / (SELECT k FROM t0) AS p FROM c),
+         |p1 AS (SELECT m.nxt AS t, CAST(sum(CAST(floor(q0.p * m.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM m JOIN q0 ON q0.t = m.cur GROUP BY 1),
+         |q1 AS (SELECT t, CAST(s AS DOUBLE) / 1e12 AS p FROM p1),
+         |p2 AS (SELECT m.nxt AS t, CAST(sum(CAST(floor(q1.p * m.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM m JOIN q1 ON q1.t = m.cur GROUP BY 1),
+         |q2 AS (SELECT t, CAST(s AS DOUBLE) / 1e12 AS p FROM p2),
+         |p3 AS (SELECT m.nxt AS t, CAST(sum(CAST(floor(q2.p * m.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM m JOIN q2 ON q2.t = m.cur GROUP BY 1),
+         |q3 AS (SELECT t, CAST(s AS DOUBLE) / 1e12 AS p FROM p3)
+         |SELECT t AS event_type, ${Q.sqlR6("p")} AS stationary_p
+         |FROM q3
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wc = Window.partitionBy("cur")
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"))
+        .select(col("event_type").as("cur"), lead("event_type", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // matrix + type set + k all read this frame
+      val m = c.select(col("cur"), col("nxt"),
+        (col("n").cast("double") / sum("n").over(wc).cast("long")).as("prob"))
+      val k = c.agg(countDistinct("cur").as("k"))
+      var p = c.select(col("cur").as("t")).distinct()
+        .crossJoin(broadcast(k))
+        .select(col("t"), (lit(1.0) / col("k")).as("p"))
+      for (_ <- 1 to 3) {
+        p = m.join(p.withColumnRenamed("t", "src"), col("src") === col("cur"))
+          .groupBy("nxt")
+          .agg(sum(floor(col("p") * col("prob") * lit(1e12) + 0.5).cast("long")).as("s"))
+          .select(col("nxt").as("t"), (col("s").cast("double") / lit(1e12)).as("p"))
+      }
+      p.select(col("t").as("event_type"), Q.r6(col("p")).as("stationary_p"))
+        .orderBy("event_type")
+    },
+
     // Maximum drawdown of the per-type daily revenue series (round
     // 10): worst peak-to-trough fall of daily takings — the downside-
     // risk lens on the same series q_peak_detection reads for spikes.

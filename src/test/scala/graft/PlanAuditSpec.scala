@@ -829,6 +829,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_pca_power runs the whole eigensolve over ONE corpus scan") {
+    // the 15 sufficient statistics are one agg pass; the matrix build
+    // and all three power-iteration steps are single-row projections —
+    // a second scan means an iteration re-derived the corpus
+    val plan = SparkEntry.queries("q_pca_power")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"PCA must scan lineitem once, found $scans:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected in the eigensolve:\n$plan")
+  }
+
+  test("q_markov_stationary iterates over the checkpointed matrix, not the corpus") {
+    // the transition matrix is localCheckpoint'd once; the three
+    // unrolled π·P rounds and the type-set/k branches all read that
+    // frame — the final plan must contain no parquet scan at all
+    val plan = SparkEntry.queries("q_markov_stationary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 0,
+      s"power iteration must reuse the checkpointed matrix, found $scans scans:\n$plan")
+  }
+
   test("q_graph_bfs's final plan is checkpoint-fed (no parquet rescans per hop)") {
     // the edge list is localCheckpoint'd once and every hop joins that
     // materialized frame; visited layers are checkpointed too, so the

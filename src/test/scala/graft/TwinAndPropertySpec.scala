@@ -1247,6 +1247,32 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("q_markov_stationary is a probability distribution over the observed types") {
+    val rows = q("q_markov_stationary").collect()
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(rows.length === types, s"expected $types rows, got ${rows.length}")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("stationary_p")
+      assert(p >= 0 && p <= 1.0 + 1e-9, s"probability out of [0,1]: $r")
+    }
+    // π·P preserves total mass up to the 1e-12 term scaling and the
+    // final r6 rounding of each of the |types| entries
+    val mass = rows.map(_.getAs[Double]("stationary_p")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"stationary mass must stay ~1: $mass")
+  }
+
+  test("q_pca_power loadings are a unit vector with a valid top-eigenvalue share") {
+    val rows = q("q_pca_power").collect()
+    assert(rows.length === 4)
+    val norm2 = rows.map(r => { val v = r.getAs[Double]("loading"); v * v }).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"loadings must be unit-norm: $norm2")
+    // λ1 of a 4×4 correlation matrix lies in [1, 4] ⇒ share in [1/4, 1]
+    val shares = rows.map(_.getAs[Double]("var_share")).distinct
+    assert(shares.length === 1, "every row reports the same share")
+    assert(shares.head >= 0.25 - 1e-9 && shares.head <= 1.0 + 1e-9,
+      s"top-PC share out of [0.25, 1]: ${shares.head}")
+  }
+
   test("q_rsi is a valid momentum index over full 14-delta frames") {
     val rows = q("q_rsi").collect()
     // 30 days → 29 deltas → 16 full-frame days per type
