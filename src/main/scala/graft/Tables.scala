@@ -103,26 +103,51 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
-  /** Required session setting for reading events.parquet (TIMESTAMP(NANOS),
-    * which Spark's µs TimestampType cannot represent): read nanos as a raw
-    * LongType. Set at session construction in Verify/Bench/Smoke and the
-    * test harness — see [[nanosConf]].
+  /** Required session setting for reading a TIMESTAMP(NANOS) events file
+    * (which Spark's µs TimestampType cannot represent): read nanos as a
+    * raw LongType. Set at session construction in Verify/Bench/Smoke and
+    * the test harness; harmless when the file is already µs.
     */
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events with ts as TimestampType (nanos truncated to micros — the
-    * same value DuckDB sees after date_trunc to any >=µs precision).
-    * Integer division keeps full precision (a double round-trip would
-    * lose bits above 2^53).
+  /** events.ts pinned as a plain µs TimestampType — the encoding the
+    * round-10 driver regeneration writes (earlier rounds wrote
+    * TIMESTAMP(NANOS); see [[events]]). */
+  private val eventsMicros: StructType = StructType(
+    eventsRaw.fields.map(f =>
+      if (f.name == "ts") StructField("ts", TimestampType) else f))
+
+  /** dir → "the events file stores ts as a nanos int64" (vs plain µs).
+    * Sniffed ONCE per directory from the parquet footer — a driver-side
+    * metadata read, no data scan — and cached: the test files are
+    * immutable within a run. */
+  private val eventsTsIsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** events with ts as TimestampType, whichever encoding the file has.
     *
-    * [[NanosAsLongKey]] is expected to be set at session construction;
-    * if the calling harness did not (e.g. an external driver probing a
-    * single query), it is applied here once — documented, not silent.
+    * The driver's generator has written BOTH encodings across rounds:
+    * TIMESTAMP(NANOS) through round 9 (unreadable as Spark TimestampType
+    * — read as a raw long via [[NanosAsLongKey]] and integer-divided to
+    * µs; a double round-trip would lose bits above 2^53) and plain
+    * TIMESTAMP(MICROS) from the round-10 regeneration (read directly).
+    * Applying the nanos path to a µs file would silently divide real
+    * microseconds by 1000 and collapse Jan 2024 into a 43-minute sliver
+    * of 1970 — so the unit is sniffed from the footer, never assumed.
+    * With the session pinned to UTC the naive µs values match what
+    * DuckDB's reader sees, same as orders/lineitem timestamps.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
       spark.conf.set(NanosAsLongKey, "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val isNanos = eventsTsIsNanos.computeIfAbsent(dir, _ =>
+      // with nanosAsLong set, a NANOS column infers as LongType; a µs
+      // column infers as a timestamp type (TZ or NTZ) — never LongType
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
+    if (isNanos)
+      load(spark, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.read.schema(eventsMicros).parquet(s"$dir/events.parquet")
   }
 }

@@ -293,6 +293,50 @@ object Graph {
         .limit(20)
     },
 
+    // Neighbor-set Jaccard similarity between co-purchased parts
+    // (round 10) — the link-prediction score next to q_item_cosine's
+    // angle: J = |orders with both| / |orders with either|, which
+    // penalizes popular parts by their UNION size where cosine
+    // penalizes by the geometric mean. Same in-row per-basket pair
+    // expansion (never a cross-part join), same support-≥2 floor, and
+    // the ranking is on the r6-ROUNDED score with the (a, b) tie-break
+    // so an ulp cannot reorder the top-20 boundary. The per-part
+    // order-count table is catalog-sized — broadcast-eligible here, an
+    // ordinary shuffle join at scale. Division is one IEEE op on exact
+    // int64 counts — nothing to accumulate.
+    Q("q_graph_jaccard",
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT pk, count(*) AS c FROM io GROUP BY 1),
+         |p AS (SELECT a.pk AS a, b.pk AS b, count(*) AS cooc
+         |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |sc AS (SELECT a, b, cooc,
+         |              ${Q.sqlR6("cooc / CAST(na.c + nb.c - cooc AS DOUBLE)")} AS jaccard
+         |       FROM p JOIN n na ON p.a = na.pk JOIN n nb ON p.b = nb.pk)
+         |SELECT a, b, cooc, jaccard FROM sc
+         |ORDER BY jaccard DESC, a, b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val io = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = io.groupBy("pk").agg(count(lit(1)).as("c"))
+      val p = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
+        .select(explode(expr(
+          """flatten(transform(pks,
+            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= MinSupport)
+      p.join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
+        .join(n.select(col("pk").as("b"), col("c").as("cb")), "b")
+        .select(col("a"), col("b"), col("cooc"),
+          Q.r6(col("cooc") / (col("ca") + col("cb") - col("cooc")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Connected components of the support-thresholded co-purchase
     // graph (round 10): which parts form one "bought-together" market
     // basket cluster — the cluster-resolution step q_dup_clusters runs

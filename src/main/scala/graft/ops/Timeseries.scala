@@ -951,6 +951,130 @@ object Timeseries {
             .otherwise(lit(100) * col("gg").cast("double") / (col("gg") + col("ll"))))
             .as("rsi"))
         .orderBy("event_type", "day")
+    },
+
+    // Holt double exponential smoothing of the per-type daily volume
+    // (round 10, α=β=0.5) — the trend-aware forecaster q_ewma's single
+    // recursion cannot give: level l_t = α·y_t + (1−α)(l+b) and trend
+    // b_t = β(l_t − l) + (1−β)b evolve together, and l+b is the
+    // one-step-ahead forecast dashboards draw past the last day.
+    // Seeding: l_1 = y_1, b_1 = 0. α=β=0.5 makes every coefficient
+    // multiply exact in IEEE doubles, and the recursion is evaluated
+    // in the SAME operation order on both sides — the Spark fold below
+    // and the oracle's recursive CTE are the same multiply-add chain,
+    // so the doubles agree bit-for-bit before the r6 report. Shape:
+    // the corpus collapses to the (|types|×|days|) daily frame FIRST;
+    // each day folds its own history in-row from a window collect_list
+    // (the q_ewma unroll) — |days|²-bounded per type, calendar-bounded
+    // by construction, corpus-independent; one scan, one exchange.
+    Q("q_holt_linear",
+      s"""WITH RECURSIVE daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |seq AS (SELECT event_type, x, y,
+         |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS rn
+         |        FROM daily),
+         |rec AS (SELECT event_type, rn, x, y, CAST(y AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+         |        FROM seq WHERE rn = 1
+         |        UNION ALL
+         |        SELECT s.event_type, s.rn, s.x, s.y,
+         |               0.5 * s.y + 0.5 * (r.l + r.b),
+         |               0.5 * (0.5 * s.y + 0.5 * (r.l + r.b) - r.l) + 0.5 * r.b
+         |        FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+         |SELECT event_type, x AS day_idx, y,
+         |       ${Q.sqlR6("l")} AS level, ${Q.sqlR6("b")} AS trend,
+         |       ${Q.sqlR6("l + b")} AS forecast
+         |FROM rec
+         |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      // Single-scan shape (the oracle keeps the recursive-CTE
+      // formulation — a genuinely different evaluation strategy over
+      // the same arithmetic): each day's full history arrives as a
+      // window collect_list and the (level, trend) pair folds IN-ROW
+      // left-to-right — exactly the recursion, one multiply-add chain.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("hist", collect_list(col("y")).over(wx))
+        .withColumn("st", expr(
+          """aggregate(hist,
+            |  named_struct('i', CAST(0 AS BIGINT), 'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE)),
+            |  (acc, y) -> CASE WHEN acc.i = 0
+            |    THEN named_struct('i', CAST(1 AS BIGINT), 'l', CAST(y AS DOUBLE), 'b', CAST(0 AS DOUBLE))
+            |    ELSE named_struct('i', acc.i + CAST(1 AS BIGINT),
+            |                      'l', 0.5 * y + 0.5 * (acc.l + acc.b),
+            |                      'b', 0.5 * (0.5 * y + 0.5 * (acc.l + acc.b) - acc.l) + 0.5 * acc.b)
+            |    END)""".stripMargin))
+        .select(col("event_type"), col("x").as("day_idx"), col("y"),
+          Q.r6(col("st.l")).as("level"), Q.r6(col("st.b")).as("trend"),
+          Q.r6(col("st.l") + col("st.b")).as("forecast"))
+        .orderBy("event_type", "day_idx")
+    },
+
+    // Classical additive decomposition of the per-type daily series
+    // (round 10): y = trend + seasonal + residual, with trend = the
+    // centered 7-OBSERVATION moving average (row semantics on both
+    // sides — interior days only, so every window is exactly 7 rows)
+    // and seasonal = the mean detrended value of the day's 7-phase
+    // bucket ((x % 7) — the anchor is a Monday, so phase 0 = Monday,
+    // but parity needs only that both engines bucket identically).
+    // Determinism is the q_mutual_info integer-scaling move: the
+    // detrended value is kept as the EXACT int64 7·y − Σ₇y (y − MA =
+    // (7y − Σ₇y)/7), the per-bucket seasonal sum is an order-free
+    // int64 fold, and every division happens once at report time —
+    // no float accumulates across rows on either side. Shape: corpus
+    // → (|types|×|days|) daily frame, windows on its per-type
+    // partitioning, seasonal via a window over the bounded frame (the
+    // oracle keeps the equivalent join formulation) — one corpus scan.
+    Q("q_decompose",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, x, y,
+         |             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+         |                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+         |             count(*) OVER (PARTITION BY event_type ORDER BY x
+         |                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+         |      FROM daily),
+         |f AS (SELECT event_type, x, y, t7, 7 * y - t7 AS d7 FROM w WHERE n7 = 7),
+         |sn AS (SELECT event_type, x % 7 AS ph, CAST(sum(d7) AS BIGINT) AS sd7, count(*) AS sc
+         |       FROM f GROUP BY 1, 2)
+         |SELECT f.event_type, f.x AS day_idx, f.y,
+         |       ${Q.sqlR6("t7 / 7.0")} AS trend,
+         |       ${Q.sqlR6("sd7 / (7.0 * sc)")} AS seasonal,
+         |       ${Q.sqlR6("d7 / 7.0 - sd7 / (7.0 * sc)")} AS residual
+         |FROM f JOIN sn ON f.event_type = sn.event_type AND f.x % 7 = sn.ph
+         |ORDER BY f.event_type, day_idx""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+      val f = daily
+        .withColumn("t7", sum("y").over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("d7", lit(7) * col("y") - col("t7"))
+      // seasonal via a window over the already-bounded frame — the
+      // oracle's sn join, without re-aggregating or rescanning
+      val wp = Window.partitionBy(col("event_type"), col("x") % 7)
+      f
+        .withColumn("sd7", sum("d7").over(wp))
+        .withColumn("sc", count(lit(1)).over(wp))
+        .select(col("event_type"), col("x").as("day_idx"), col("y"),
+          Q.r6(col("t7") / 7.0).as("trend"),
+          Q.r6(col("sd7") / (lit(7.0) * col("sc"))).as("seasonal"),
+          Q.r6(col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))).as("residual"))
+        .orderBy("event_type", "day_idx")
     }
   )
 }

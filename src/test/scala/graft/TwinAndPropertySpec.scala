@@ -1283,4 +1283,62 @@ class TwinAndPropertySpec extends SparkSpec {
       assert(r.getAs[Double]("close_px") > 0, s"close must be positive: $r")
     }
   }
+
+  test("q_holt_linear tracks the series: first row seeds level=y, flat series pins trend=0") {
+    val rows = q("q_holt_linear").collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), countDistinct(to_date(col("ts"))).as("days"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows.length === daily.values.sum, "one row per (type, day)")
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day_idx"))
+      val first = sorted.head
+      // seed: l1 = y1, b1 = 0 ⇒ forecast1 = y1
+      assert(first.getAs[Double]("level") === first.getAs[Long]("y").toDouble)
+      assert(first.getAs[Double]("trend") === 0.0)
+      // the smoothed level stays within the series' observed range
+      val ys = sorted.map(_.getAs[Long]("y").toDouble)
+      sorted.foreach { r =>
+        val l = r.getAs[Double]("level")
+        assert(l >= ys.min - math.abs(ys.min) && l <= 2 * ys.max,
+          s"level implausibly far outside series range: $r")
+        val fc = Math.floor((r.getAs[Double]("level") + r.getAs[Double]("trend")) * 1e6 + 0.5) / 1e6
+        assert(math.abs(r.getAs[Double]("forecast") - fc) < 2e-6,
+          s"forecast must equal level+trend up to re-rounding: $r vs $fc")
+      }
+    }
+  }
+
+  test("q_decompose components re-sum to y up to rounding; interior days only") {
+    val rows = q("q_decompose").collect()
+    // 30 days per type → 24 interior (full 7-row window) days
+    assert(rows.length === 24 * 5, s"expected 120 rows, got ${rows.length}")
+    rows.foreach { r =>
+      val y = r.getAs[Long]("y").toDouble
+      val t = r.getAs[Double]("trend")
+      val s0 = r.getAs[Double]("seasonal")
+      val e = r.getAs[Double]("residual")
+      // y = trend + seasonal + residual by construction (3 r6 roundings)
+      assert(math.abs(y - (t + s0 + e)) < 5e-6, s"decomposition must re-sum: $r")
+    }
+  }
+
+  test("q_graph_jaccard scores are valid Jaccard coefficients consistent with cosine support") {
+    val rows = q("q_graph_jaccard").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0 + 1e-9, s"jaccard out of (0,1]: $r")
+      assert(r.getAs[Long]("cooc") >= 2, s"support floor violated: $r")
+    }
+    // J ≤ 1 forces cooc ≤ min(ca, cb): cross-check against per-part order counts
+    val io = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
+    val cnt = io.groupBy("pk").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b, cooc) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cooc"))
+      assert(cooc <= math.min(cnt(a), cnt(b)), s"cooc exceeds a side's order count: $r")
+    }
+  }
 }
