@@ -861,4 +861,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 0,
       s"BFS result must derive from checkpointed frames, found $scans scans:\n$plan")
   }
+
+  test("q_holt_linear and q_decompose ride one scan and the daily frame's single type exchange") {
+    // both collapse the corpus to the (|types|×|days|) daily frame
+    // first (the ONE corpus-sized shuffle, on the composite agg key);
+    // every later exchange — the per-type window repartition, and for
+    // q_decompose the (type, phase) seasonal window that
+    // HashPartitioning(event_type) already satisfies — moves only the
+    // bounded daily frame, so exactly one extra hash exchange appears
+    Seq("q_holt_linear", "q_decompose").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans === 1, s"$name must scan events once, found $scans:\n$plan")
+      val idx = plan.indexOf("Exchange hashpartitioning(event_type")
+      assert(idx >= 0, s"$name: expected the daily frame's type exchange:\n$plan")
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 2,
+        s"$name: only the daily agg + the bounded-frame window exchange allowed, found $exchanges:\n$plan")
+    }
+  }
+
+  test("q_graph_jaccard expands pairs in-row and joins only catalog-sized count tables") {
+    // candidate pairs come from the per-basket array expansion (never a
+    // cross-part self-join) and the two count joins broadcast at this
+    // scale — no cartesian product, no SMJ over the pair stream
+    val plan = SparkEntry.queries("q_graph_jaccard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"pair candidates must come from the in-row expansion:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"count tables should broadcast at test scale:\n$plan")
+  }
 }
