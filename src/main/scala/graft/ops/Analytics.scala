@@ -529,6 +529,66 @@ object Analytics {
           count(when(col("value") < col("p05") || col("value") > col("p95"), 1))
             .as("n_clamped"))
         .orderBy("event_type")
+    },
+
+    // Multi-touch marketing attribution (round 10): every purchase
+    // credits the non-purchase events of the SAME user in the 24 h
+    // before it — last-touch (the nearest touch takes the whole
+    // conversion) and linear (each of the k touches takes 1/k) — the
+    // two standard credit models, summed per touch type. Purchases
+    // with no in-window touch earn no credit (documented, both twins
+    // drop them identically). Determinism: each touch's 1/k share is
+    // integer-scaled to 1e-6 BEFORE the per-type sum (the q_mutual_info
+    // fold — order-free int64 reduction); last-touch picks the max
+    // packed (es, event_id) int64 key, so a same-second tie cannot
+    // flip between engines. Shape: ONE corpus scan — each purchase
+    // row's touch history arrives via a RANGE-framed window
+    // collect_list on the single user_id exchange (per-user-day
+    // bounded, corpus-independent), and the credited explode lands on
+    // a ≤|event_types| agg. The oracle keeps the equivalent
+    // purchases⋈touches interval self-join — a genuinely different
+    // evaluation of the same credit assignment.
+    Q("q_attribution",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |p AS (SELECT user_id, event_id, es FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT x.event_type AS touch_type,
+         |             count(*) OVER (PARTITION BY p.event_id) AS k,
+         |             row_number() OVER (PARTITION BY p.event_id
+         |                                ORDER BY x.es * 100000000 + x.event_id DESC) AS rk
+         |      FROM p JOIN e x ON x.user_id = p.user_id
+         |                     AND x.es >= p.es - 86400 AND x.es < p.es
+         |                     AND x.event_type <> 'purchase')
+         |SELECT touch_type,
+         |       CAST(count(*) AS BIGINT) AS n_touches,
+         |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+         |       ${Q.sqlR4("sum(CAST(floor(1000000.0 / k + 0.5) AS BIGINT)) / 1e6")} AS linear_credit
+         |FROM t
+         |GROUP BY 1
+         |ORDER BY touch_type""".stripMargin) { (s, d) =>
+      val wr = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-86400L, -1L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Q.epochSec(col("ts")).as("es"))
+        .withColumn("hist", collect_list(
+          when(col("event_type") =!= "purchase",
+            struct((col("es") * 100000000L + col("event_id")).as("ord"),
+              col("event_type").as("touch_type")))).over(wr))
+        .filter(col("event_type") === "purchase" && size(col("hist")) > 0)
+        .select(explode(expr(
+          // credit6 = round(1e6 / k); the last touch is the max packed
+          // order key — computed IN-ROW from the bounded history array
+          """transform(hist, t -> struct(
+            |  t.touch_type AS touch_type,
+            |  CAST(floor(1000000.0 / size(hist) + 0.5) AS BIGINT) AS credit6,
+            |  CAST(t.ord = array_max(transform(hist, h -> h.ord)) AS INT) AS is_last))""".stripMargin))
+          .as("c"))
+        .groupBy(col("c.touch_type").as("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("c.is_last")).cast("long").as("last_touch"),
+          Q.r4(sum(col("c.credit6")) / lit(1e6)).as("linear_credit"))
+        .orderBy("touch_type")
     }
   )
 }

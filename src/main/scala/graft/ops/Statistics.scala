@@ -81,6 +81,72 @@ object Statistics {
         .orderBy("event_type")
     },
 
+    // Per-group OLS regression (round 10): slope / intercept / r² of
+    // DAILY ORDER REVENUE against day index, per customer nation —
+    // q_trend_fit's fit generalized to a real measure over a real
+    // dimension join. Revenue is exact int64 CENTS per day; the daily
+    // y is then whole DOLLARS (cents div 100, exact integer division
+    // both engines) so every sufficient statistic stays inside int64
+    // at sf0.1 (y ≤ ~1e6, 2,405 days ⇒ n·syy ≤ ~2e18 < 2⁶³; at larger
+    // SFs the headroom move is y in larger fixed units, same shape).
+    // The squared r² numerator WOULD overflow int64 (sxyN² ~ 1e31), so
+    // each normalized statistic is cast to double FIRST and the
+    // multiplication happens in IEEE doubles — the same two casts and
+    // one multiply on both sides, bit-identical from identical int64
+    // inputs. Shape: orders joins the BROADCAST customer→nation dim
+    // chain (fact side never shuffles for the join), collapses to the
+    // (25×|days|)-key daily agg with map-side partials, then a 25-row
+    // fit — shuffle volume is key-bounded, not corpus-bounded.
+    Q("q_grouped_regression",
+      s"""WITH o AS (SELECT n_name,
+         |                  CAST(date_diff('day', DATE '1995-01-01',
+         |                                 CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS x,
+         |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |           FROM orders
+         |           JOIN customer ON o_custkey = c_custkey
+         |           JOIN nation ON c_nationkey = n_nationkey),
+         |daily AS (SELECT n_name, x, CAST(sum(cents) // 100 AS BIGINT) AS y
+         |          FROM o GROUP BY 1, 2),
+         |st AS (SELECT n_name, count(*) AS n,
+         |              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |              sum(x * x) AS sxx, sum(y * y) AS syy
+         |       FROM daily GROUP BY 1)
+         |SELECT n_name, n,
+         |       ${Q.sqlR6("CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)")} AS slope,
+         |       ${Q.sqlR6("CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)")} AS intercept,
+         |       ${Q.sqlR6("(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))")} AS r2
+         |FROM st
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val dim = Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val daily = Tables.load(s, d, "orders")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"),
+          datediff(col("o_orderdate").cast(DateType), to_date(lit("1995-01-01")))
+            .cast("long").as("x"))
+        .agg(expr(
+          "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100 AS BIGINT)")
+          .as("y"))
+      val st = daily.groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
+      val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
+      val syyN = col("n") * col("syy") - col("sy") * col("sy")
+      st.select(col("n_name"), col("n"),
+          Q.r6(sxyN.cast("double") / sxxN).as("slope"),
+          Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
+            .as("intercept"),
+          Q.r6((sxyN.cast("double") * sxyN.cast("double")) /
+            (sxxN.cast("double") * syyN.cast("double"))).as("r2"))
+        .orderBy("n_name")
+    },
+
     // Hash-split A/B test: users split into two variants by user_id
     // parity (any deterministic hash works — parity keeps the twin
     // trivially identical), conversion = reached a high-value purchase

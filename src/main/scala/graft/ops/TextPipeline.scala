@@ -376,6 +376,67 @@ object TextPipeline {
       nearDupPairs(s, d, dfCap = Some(128L))
     },
 
+    // Asymmetric shingle CONTAINMENT (round 10): C(a→b) = |Sa∩Sb|/|Sa|
+    // — the sub-document duplication signal Jaccard misses. A short
+    // doc fully quoted inside a long one has tiny Jaccard (the union
+    // is dominated by the long doc) but containment ≈ 1 on the short
+    // side; threshold max(C₁,C₂) ≥ 0.5 and report BOTH directions.
+    // Same blocked candidate generation as q_dedup_near (shingle-key
+    // self-join, df-capped at 128 with the exact hot-shingle
+    // correction — the cap bounds any stop-phrase key to cap² join
+    // rows at 100 TB while verification stays exact), so the scale
+    // story is shared; only the score differs. Each containment is a
+    // single IEEE division of exact int64 counts.
+    Q("q_dedup_containment",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                             AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.d1, p.d2,
+        |       floor((CAST(p.inter AS DOUBLE) / c1.n)*10000+0.5)/10000 AS cont_d1,
+        |       floor((CAST(p.inter AS DOUBLE) / c2.n)*10000+0.5)/10000 AS cont_d2
+        |FROM pairs p
+        |JOIN cnt c1 ON p.d1 = c1.doc_id
+        |JOIN cnt c2 ON p.d2 = c2.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / c1.n >= 0.5
+        |   OR CAST(p.inter AS DOUBLE) / c2.n >= 0.5
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val cap = 128L
+      val sh = shingles(s, d)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val byShingle = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shingle")
+      val withDf = sh.withColumn("df", count(lit(1)).over(byShingle))
+      val keep = withDf.filter(col("df") <= cap).drop("df")
+      val rarePairs = keep.as("a").join(keep.as("b"),
+          col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter_rare"))
+      val hotSets = withDf.filter(col("df") > cap)
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("hs"))
+      val interHot = when(col("h1").isNotNull && col("h2").isNotNull,
+        size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(lit(0L))
+      val inter = col("inter_rare") + interHot
+      val c1 = inter.cast("double") / col("n1")
+      val c2 = inter.cast("double") / col("n2")
+      rarePairs
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"), "left")
+        .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"), "left")
+        .filter(c1 >= 0.5 || c2 >= 0.5)
+        .select(col("d1"), col("d2"),
+          Q.r4(c1).as("cont_d1"), Q.r4(c2).as("cont_d2"))
+        .orderBy("d1", "d2")
+    },
+
     // MinHash + LSH near-dup candidates, fully deterministic and
     // therefore oracle-checked — unlike ml.feature.MinHashLSH whose
     // random coefficients differ per engine. The 8 hash functions are

@@ -882,6 +882,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_attribution rides one corpus scan and the single user_id exchange") {
+    // the RANGE-framed touch-history window is the only corpus-sized
+    // shuffle; the credited explode lands on a |event_types|-key agg
+    val plan = SparkEntry.queries("q_attribution")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"attribution must scan events once, found $scans:\n$plan")
+    val userEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userEx === 1, s"exactly one user_id exchange expected, found $userEx:\n$plan")
+    assert(!plan.contains("Join"), s"the window formulation must not self-join:\n$plan")
+  }
+
+  test("q_grouped_regression broadcasts the dim chain; the fact side never shuffles pre-agg") {
+    // orders joins customer→nation as a broadcast (fact side map-side);
+    // the first fact shuffle is the (nation × day)-key daily aggregate
+    val plan = SparkEntry.queries("q_grouped_regression")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim chain must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join allowed on the fact side:\n$plan")
+  }
+
   test("q_graph_jaccard expands pairs in-row and joins only catalog-sized count tables") {
     // candidate pairs come from the per-basket array expansion (never a
     // cross-part self-join) and the two count joins broadcast at this

@@ -1323,6 +1323,80 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("q_attribution credit is conserved: linear credit sums to purchases-with-touches") {
+    val rows = q("q_attribution").collect()
+    assert(rows.nonEmpty)
+    // every attributed purchase hands out exactly 1.0 of linear credit
+    // (k touches × 1/k) and exactly one last-touch — so both totals
+    // equal the number of purchases with ≥1 in-window touch
+    val purchasesWithTouch = {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Q.epochSec(col("ts")).as("es"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("pid"), col("es").as("pes"))
+      p.join(e, col("user_id") === col("pu") &&
+          col("es") >= col("pes") - 86400 && col("es") < col("pes") &&
+          col("event_type") =!= "purchase", "left_semi")
+        .count()
+    }
+    val lastSum = rows.map(_.getAs[Long]("last_touch")).sum
+    val linearSum = rows.map(_.getAs[Double]("linear_credit")).sum
+    assert(lastSum === purchasesWithTouch, "one last-touch per attributed purchase")
+    // 1e-6-scaled integer credits: per purchase the k rounded shares sum
+    // to 1.0 within k ulps of 1e-6
+    assert(math.abs(linearSum - purchasesWithTouch) < 0.01,
+      s"linear credit must conserve: $linearSum vs $purchasesWithTouch")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_touches") >= r.getAs[Long]("last_touch"),
+        s"last-touch count cannot exceed touches: $r")
+    }
+  }
+
+  test("q_dedup_containment dominates Jaccard and flags every near-dup pair") {
+    val cont = q("q_dedup_containment").collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Double]("cont_d1"), r.getAs[Double]("cont_d2"))).toMap
+    cont.values.foreach { case (c1, c2) =>
+      assert(c1 > 0 && c1 <= 1.0 + 1e-9 && c2 > 0 && c2 <= 1.0 + 1e-9,
+        s"containment out of (0,1]: ($c1, $c2)")
+      assert(math.max(c1, c2) >= 0.5 - 1e-9, "threshold violated")
+    }
+    // containment ≥ Jaccard always (|A∩B|/|A| ≥ |A∩B|/|A∪B|), so every
+    // Jaccard-0.8 near-dup pair must appear here with BOTH sides ≥ 0.8
+    q("q_dedup_near").collect().foreach { r =>
+      val key = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      val j = r.getAs[Double]("jaccard")
+      val (c1, c2) = cont.getOrElse(key, fail(s"near-dup pair $key missing"))
+      assert(c1 >= j - 1e-9 && c2 >= j - 1e-9,
+        s"containment must dominate jaccard for $key: ($c1, $c2) vs $j")
+    }
+  }
+
+  test("q_grouped_regression fits are valid and the pooled fit matches spark's corr") {
+    val rows = q("q_grouped_regression").collect()
+    assert(rows.length === 25, "one fit per nation")
+    rows.foreach { r =>
+      val r2v = r.getAs[Double]("r2")
+      assert(r2v >= -1e-9 && r2v <= 1.0 + 1e-9, s"r2 out of [0,1]: $r")
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // r² is corr² — cross-check one nation against Spark's own corr()
+    // over the same integer daily series
+    val dim = Tables.load(spark, sfDir, "customer")
+      .join(Tables.load(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val daily = Tables.load(spark, sfDir, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .filter(col("n_name") === rows.head.getAs[String]("n_name"))
+      .groupBy(datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+        to_date(lit("1995-01-01"))).cast("long").as("x"))
+      .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) div 100 AS BIGINT)").as("y"))
+    val c = daily.agg(corr(col("x").cast("double"), col("y").cast("double"))).head().getDouble(0)
+    assert(math.abs(c * c - rows.head.getAs[Double]("r2")) < 1e-4,
+      s"r2 must equal corr²: ${c * c} vs ${rows.head.getAs[Double]("r2")}")
+  }
+
   test("q_graph_jaccard scores are valid Jaccard coefficients consistent with cosine support") {
     val rows = q("q_graph_jaccard").collect()
     assert(rows.nonEmpty && rows.length <= 20)
