@@ -22,6 +22,18 @@ final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 final case class MergeState(user_id: Long, event_type: String,
     event_id: Long, es: Long, value: Double, deleted: Boolean)
 
+/** One touch held in per-user attribution state: packed (epoch-sec,
+  * event_id) order key + the touch's event type. */
+final case class TouchRec(ord: Long, tpe: String)
+
+/** Per-user attribution state — the bounded recent-touch buffer. */
+final case class TouchBuf(touches: Seq[TouchRec])
+
+/** One credited touch emitted per attributed purchase: the 1e-6-scaled
+  * linear 1/k share and the last-touch flag (matches the batch
+  * q_attribution credit fold exactly). */
+final case class TouchCredit(touch_type: String, credit6: Long, is_last: Int)
+
 /** A (price-cents, epoch-day) point for the streaming skyline. */
 final case class PricePoint(cents: Long, day: Long)
 
@@ -165,6 +177,54 @@ object Streams {
         min(col("value")).as("low"),
         max_by(col("value"), col("k")).as("close"),
         sum(col("value")).as("volume"))
+
+  /** Streaming multi-touch attribution — the streaming face of batch
+    * q_attribution: each purchase credits the same user's non-purchase
+    * touches in the `lookbackSec` window before it, last-touch and
+    * linear 1/k, emitted as [[TouchCredit]] rows the moment the
+    * purchase arrives (append mode — a conversion's credit is final).
+    *
+    * State per user is the touch buffer PRUNED to the lookback horizon
+    * on every event — bounded by per-user activity rate × window, never
+    * by stream length. Rows within a batch are processed in packed
+    * (epoch-sec, event_id) event-time order, and the credit arithmetic
+    * (floor(1e6/k + 0.5) int64 shares, max-packed-key last touch) is
+    * the batch fold verbatim, so summing the emissions reproduces the
+    * batch table exactly when touches precede their purchase's batch
+    * (StreamingSpec proves the equality over the sf0.001 corpus). */
+  def attributionStream(events: Dataset[Ev],
+                        lookbackSec: Long = 86400L): Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[Ev], state: GroupState[TouchBuf]) => {
+          var buf = if (state.exists) state.get.touches else Seq.empty[TouchRec]
+          val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
+          def esOf(e: Ev): Long = e.ts.getTime / 1000L
+          def ordOf(e: Ev): Long = esOf(e) * 100000000L + e.event_id
+          rows.toSeq.sortBy(ordOf).foreach { e =>
+            val es = esOf(e)
+            if (e.event_type == "purchase") {
+              val win = buf.filter { t =>
+                val tes = t.ord / 100000000L
+                tes >= es - lookbackSec && tes < es
+              }
+              if (win.nonEmpty) {
+                val credit6 = math.floor(1e6 / win.size + 0.5).toLong
+                val lastOrd = win.iterator.map(_.ord).max
+                win.foreach(t =>
+                  out += TouchCredit(t.tpe, credit6, if (t.ord == lastOrd) 1 else 0))
+              }
+            } else buf = buf :+ TouchRec(ordOf(e), e.event_type)
+            // nothing older than (newest es − lookback) can ever credit
+            // a later purchase — event time is nondecreasing per user
+            buf = buf.filter(_.ord / 100000000L >= es - lookbackSec)
+          }
+          state.update(TouchBuf(buf))
+          out.iterator
+        })
+  }
 
   /** Stream-stream interval join: each purchase matched to the same
     * user's views within `lookback` before it. Watermarks on BOTH sides

@@ -383,6 +383,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming attribution emissions re-sum to the batch q_attribution table") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the full sf0.001 corpus in event-time order, split mid-stream:
+    // purchases in batch 2 must find their batch-1 touches in state
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[Ev]
+    val q = Streams.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("t_attr").outputMode("append").start()
+    withQuery(q) {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("t_attr")
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("is_last").cast("long").as("last_touch"),
+          graft.Q.r4(sum(col("credit6")) / lit(1e6)).as("linear_credit"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val want = SparkEntry.queries("q_attribution")(spark, sfDir)
+        .collect()
+        .map(r => r.getAs[String]("touch_type") ->
+          ((r.getAs[Long]("n_touches"), r.getAs[Long]("last_touch"),
+            r.getAs[Double]("linear_credit")))).toMap
+      assert(got === want, s"stream credits must equal the batch table:\n$got\nvs\n$want")
+    }
+  }
+
   test("soak: rate -> dedup -> enrich -> ledgered sink holds its invariants under real triggers") {
     // the one wall-clock test: a real rate-micro-batch source driving
     // the full pipeline for a few seconds of back-to-back triggers,
