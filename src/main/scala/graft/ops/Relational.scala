@@ -313,6 +313,38 @@ object Relational {
         .except(
           e.filter(col("event_type") === "error" && col("value") > 300.0).select("user_id"))
         .orderBy("user_id")
+    },
+
+    // Bag-semantics set ops (round 10): EXCEPT ALL / INTERSECT ALL keep
+    // MULTIPLICITY — "purchases minus one per error" retains the count
+    // difference where the distinct forms collapse it. Spark plans both
+    // as a single hash aggregate computing per-key counts on each side
+    // then replicating min/difference copies — one shuffle each, no
+    // join. The ORDER BY user_id leaves duplicate rows adjacent and
+    // identical, so the driver's sorted hash-compare is deterministic
+    // despite the bag output.
+    Q("q_except_all",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300.0
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .exceptAll(
+          e.filter(col("event_type") === "error" && col("value") > 300.0).select("user_id"))
+        .orderBy("user_id")
+    },
+
+    Q("q_intersect_all",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view' AND value > 200.0
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .intersectAll(
+          e.filter(col("event_type") === "view" && col("value") > 200.0).select("user_id"))
+        .orderBy("user_id")
     }
   )
 }

@@ -1323,6 +1323,21 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("bag set-op algebra: |A EXCEPT ALL B| + |A INTERSECT ALL B| = |A|") {
+    val e = Tables.events(spark, sfDir)
+    val a = e.filter(col("event_type") === "purchase").select("user_id")
+    val exceptAllRows = q("q_except_all").count()
+    val bAll = e.filter(col("event_type") === "error" && col("value") > 300.0).select("user_id")
+    assert(exceptAllRows + a.intersectAll(bAll).count() === a.count(),
+      "bag difference and bag intersection must partition the left bag")
+    // the distinct EXCEPT is a subset of the bag difference's support
+    // (a key with copies on both sides can survive EXCEPT ALL while
+    // the distinct form drops it, never the reverse)
+    val exceptDistinct = q("q_except").select("user_id")
+    assert(exceptDistinct.except(q("q_except_all").select("user_id").distinct()).isEmpty,
+      "every distinct-EXCEPT survivor must appear in the EXCEPT ALL bag")
+  }
+
   test("q_attribution credit is conserved: linear credit sums to purchases-with-touches") {
     val rows = q("q_attribution").collect()
     assert(rows.nonEmpty)
