@@ -86,15 +86,17 @@ object Statistics {
     // q_trend_fit's fit generalized to a real measure over a real
     // dimension join. Revenue is exact int64 CENTS per day; the daily
     // y is then whole DOLLARS (cents div 100, exact integer division
-    // both engines) so every sufficient statistic stays inside int64
-    // at sf0.1 (y ≤ ~1e6, 2,405 days ⇒ n·syy ≤ ~2e18 < 2⁶³; at larger
-    // SFs the headroom move is y in larger fixed units, same shape).
-    // The squared r² numerator WOULD overflow int64 (sxyN² ~ 1e31), so
-    // each normalized statistic is cast to double FIRST and the
-    // multiplication happens in IEEE doubles — the same two casts and
-    // one multiply on both sides, bit-identical from identical int64
-    // inputs. Shape: orders joins the BROADCAST customer→nation dim
-    // chain (fact side never shuffles for the join), collapses to the
+    // both engines). Only the five BASE sums (Σx, Σy, Σxy, Σx², Σy²)
+    // live in int64 — the binding one, Σy², has ~6 decimal orders of
+    // headroom at sf0.1 and its growth is linear in y², loud under
+    // ANSI if ever crossed. Every COMPOSITE statistic (n·Σxy − ΣxΣy,
+    // the intercept numerator ΣyΣx² − ΣxΣxy, and both r² factors) is
+    // computed in IEEE doubles from those exact integers: the same
+    // casts and the same multiply/subtract tree on both sides, so the
+    // doubles agree bit-for-bit and no int64 product cliff exists
+    // (naively, Σy·Σx² alone would overflow within ~10× data growth).
+    // Shape: orders joins the BROADCAST customer→nation dim chain
+    // (fact side never shuffles for the join), collapses to the
     // (25×|days|)-key daily agg with map-side partials, then a 25-row
     // fit — shuffle volume is key-bounded, not corpus-bounded.
     Q("q_grouped_regression",
@@ -108,13 +110,15 @@ object Statistics {
          |daily AS (SELECT n_name, x, CAST(sum(cents) // 100 AS BIGINT) AS y
          |          FROM o GROUP BY 1, 2),
          |st AS (SELECT n_name, count(*) AS n,
-         |              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-         |              sum(x * x) AS sxx, sum(y * y) AS syy
+         |              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |              CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |              CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |              CAST(sum(y * y) AS DOUBLE) AS syy
          |       FROM daily GROUP BY 1)
          |SELECT n_name, n,
-         |       ${Q.sqlR6("CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)")} AS slope,
-         |       ${Q.sqlR6("CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)")} AS intercept,
-         |       ${Q.sqlR6("(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))")} AS r2
+         |       ${Q.sqlR6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+         |       ${Q.sqlR6("(sy * sxx - sx * sxy) / (n * sxx - sx * sx)")} AS intercept,
+         |       ${Q.sqlR6("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2
          |FROM st
          |ORDER BY n_name""".stripMargin) { (s, d) =>
       val dim = Tables.load(s, d, "customer")
@@ -131,19 +135,17 @@ object Statistics {
           .as("y"))
       val st = daily.groupBy("n_name")
         .agg(count(lit(1)).as("n"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
       val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
       val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
       val syyN = col("n") * col("syy") - col("sy") * col("sy")
       st.select(col("n_name"), col("n"),
-          Q.r6(sxyN.cast("double") / sxxN).as("slope"),
-          Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
-            .as("intercept"),
-          Q.r6((sxyN.cast("double") * sxyN.cast("double")) /
-            (sxxN.cast("double") * syyN.cast("double"))).as("r2"))
+          Q.r6(sxyN / sxxN).as("slope"),
+          Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")) / sxxN).as("intercept"),
+          Q.r6((sxyN * sxyN) / (sxxN * syyN)).as("r2"))
         .orderBy("n_name")
     },
 

@@ -94,8 +94,13 @@ object TextPipeline {
             |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
           .as("shingle"))
 
-  /** Shingle-Jaccard near-dup pairs (the q_dedup_near body), with an
-    * optional document-frequency cap on the blocking shingles.
+  /** Shingle-pair sufficient statistics — (d1, d2, inter, n1, n2) for
+    * every same-lang candidate doc pair — with an optional
+    * document-frequency cap on the blocking shingles. The ONE place the
+    * cap machinery lives: q_dedup_near derives Jaccard and
+    * q_dedup_containment derives both asymmetric containments from
+    * these counts, so a cap fix lands in both and SkewSpec's
+    * cap-invariance proof covers both scorers.
     *
     * dfCap = None: candidate pairs AND intersection counts both come from
     * the shingle self-join (one pass, exact).
@@ -103,13 +108,16 @@ object TextPipeline {
     * dfCap = Some(c): shingles occurring in more than c docs are dropped
     * from CANDIDATE GENERATION only — the 100 TB skew bound, since a
     * stop-phrase shingle shared by k docs contributes k² join rows.
-    * Verification then recomputes the exact jaccard from the full
+    * Verification then recomputes the exact intersection from the full
     * per-doc shingle sets (array_intersect on the surviving candidates),
     * so the cap changes which pairs are *discovered*, never a reported
-    * jaccard value — and any cap ≥ max document frequency is
-    * result-identical to the uncapped path (SkewSpec asserts this).
+    * count — and any cap ≥ max document frequency is result-identical
+    * to the uncapped path (SkewSpec asserts this for both scorers;
+    * max df at sf0.1 is 14 on the round-10 regenerated corpus, ~9×
+    * under the 128 cap the declared entries use).
     */
-  def nearDupPairs(s: SparkSession, d: String, dfCap: Option[Long] = None): DataFrame = {
+  private[graft] def shinglePairStats(s: SparkSession, d: String,
+                                      dfCap: Option[Long]): DataFrame = {
     val sh = shingles(s, d)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairCond = (a: String, b: String) =>
@@ -117,16 +125,12 @@ object TextPipeline {
         col(s"$a.doc_id") < col(s"$b.doc_id")
     dfCap match {
       case None =>
-        val pairs = sh.as("a").join(sh.as("b"), pairCond("a", "b"))
+        sh.as("a").join(sh.as("b"), pairCond("a", "b"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("inter"))
-        val jac = col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))
-        pairs
           .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
           .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-          .filter(jac >= 0.8)
-          .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
-          .orderBy("d1", "d2")
+          .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
       case Some(cap) =>
         // Document frequency via a partition-only window: the window's
         // hash(lang, shingle) clustering is exactly what the self-join
@@ -144,7 +148,7 @@ object TextPipeline {
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("inter_rare"))
         // Hot shingles (df > cap) are excluded from candidate discovery
-        // but must still count toward a discovered pair's exact jaccard.
+        // but must still count toward a discovered pair's exact counts.
         // Per-doc hot-shingle sets are tiny (≤ |hot shingles| ≪ corpus —
         // empty whenever the cap exceeds the max df, as at sf0.1), so the
         // correction is two left joins + a small array_intersect.
@@ -152,17 +156,37 @@ object TextPipeline {
           .groupBy("doc_id").agg(collect_set(col("shingle")).as("hs"))
         val interHot = when(col("h1").isNotNull && col("h2").isNotNull,
           size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(lit(0L))
-        val inter = col("inter_rare") + interHot
-        val jac = inter.cast("double") / (col("n1") + col("n2") - inter)
         rarePairs
           .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
           .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
           .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"), "left")
           .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"), "left")
-          .filter(jac >= 0.8)
-          .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
-          .orderBy("d1", "d2")
+          .select(col("d1"), col("d2"),
+            (col("inter_rare") + interHot).as("inter"), col("n1"), col("n2"))
     }
+  }
+
+  /** Shingle-Jaccard near-dup pairs (the q_dedup_near body) — Jaccard
+    * scoring over [[shinglePairStats]]; see there for the cap contract. */
+  def nearDupPairs(s: SparkSession, d: String, dfCap: Option[Long] = None): DataFrame = {
+    val jac = col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))
+    shinglePairStats(s, d, dfCap)
+      .filter(jac >= 0.8)
+      .select(col("d1"), col("d2"), Q.r4(jac).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Asymmetric containment pairs (the q_dedup_containment body) — both
+    * direction scores over the SAME [[shinglePairStats]] machinery. */
+  private[graft] def containmentPairs(s: SparkSession, d: String,
+                                      dfCap: Option[Long] = None): DataFrame = {
+    val c1 = col("inter").cast("double") / col("n1")
+    val c2 = col("inter").cast("double") / col("n2")
+    shinglePairStats(s, d, dfCap)
+      .filter(c1 >= 0.5 || c2 >= 0.5)
+      .select(col("d1"), col("d2"),
+        Q.r4(c1).as("cont_d1"), Q.r4(c2).as("cont_d2"))
+      .orderBy("d1", "d2")
   }
 
   /** Shared DuckDB CTE chain ending in `cands(d1, d2)` — the
@@ -407,34 +431,7 @@ object TextPipeline {
         |WHERE CAST(p.inter AS DOUBLE) / c1.n >= 0.5
         |   OR CAST(p.inter AS DOUBLE) / c2.n >= 0.5
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val cap = 128L
-      val sh = shingles(s, d)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val byShingle = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang", "shingle")
-      val withDf = sh.withColumn("df", count(lit(1)).over(byShingle))
-      val keep = withDf.filter(col("df") <= cap).drop("df")
-      val rarePairs = keep.as("a").join(keep.as("b"),
-          col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter_rare"))
-      val hotSets = withDf.filter(col("df") > cap)
-        .groupBy("doc_id").agg(collect_set(col("shingle")).as("hs"))
-      val interHot = when(col("h1").isNotNull && col("h2").isNotNull,
-        size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(lit(0L))
-      val inter = col("inter_rare") + interHot
-      val c1 = inter.cast("double") / col("n1")
-      val c2 = inter.cast("double") / col("n2")
-      rarePairs
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"), "left")
-        .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"), "left")
-        .filter(c1 >= 0.5 || c2 >= 0.5)
-        .select(col("d1"), col("d2"),
-          Q.r4(c1).as("cont_d1"), Q.r4(c2).as("cont_d2"))
-        .orderBy("d1", "d2")
+      containmentPairs(s, d, dfCap = Some(128L))
     },
 
     // MinHash + LSH near-dup candidates, fully deterministic and

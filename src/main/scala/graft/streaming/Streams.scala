@@ -26,8 +26,10 @@ final case class MergeState(user_id: Long, event_type: String,
   * event_id) order key + the touch's event type. */
 final case class TouchRec(ord: Long, tpe: String)
 
-/** Per-user attribution state — the bounded recent-touch buffer. */
-final case class TouchBuf(touches: Seq[TouchRec])
+/** Per-user attribution state — the bounded recent-touch buffer plus
+  * the max event-time second seen (monotonic; the pruning anchor, so
+  * an out-of-order event cannot re-widen the horizon). */
+final case class TouchBuf(touches: Seq[TouchRec], maxEs: Long)
 
 /** One credited touch emitted per attributed purchase: the 1e-6-scaled
   * linear 1/k share and the last-touch flag (matches the batch
@@ -185,21 +187,31 @@ object Streams {
     * purchase arrives (append mode — a conversion's credit is final).
     *
     * State per user is the touch buffer PRUNED to the lookback horizon
-    * on every event — bounded by per-user activity rate × window, never
-    * by stream length. Rows within a batch are processed in packed
-    * (epoch-sec, event_id) event-time order, and the credit arithmetic
-    * (floor(1e6/k + 0.5) int64 shares, max-packed-key last touch) is
-    * the batch fold verbatim, so summing the emissions reproduces the
-    * batch table exactly when touches precede their purchase's batch
-    * (StreamingSpec proves the equality over the sf0.001 corpus). */
+    * behind the MAX event time seen (monotonic, carried in state) plus
+    * `allowedLatenessSec` — the same contract as a watermark: an event
+    * arriving later than the allowance may find its oldest touches
+    * already pruned and under-credit, a bounded, explicitly-configured
+    * loss rather than a silent ordering assumption (the sibling
+    * interval-join operator draws the identical line with watermarks).
+    * State stays bounded by per-user activity rate × (window +
+    * allowance), never by stream length. Rows within a batch are
+    * processed in packed (epoch-sec, event_id) event-time order, and
+    * the credit arithmetic (floor(1e6/k + 0.5) int64 shares,
+    * max-packed-key last touch) is the batch fold verbatim, so summing
+    * the emissions reproduces the batch table exactly whenever
+    * cross-batch disorder stays within the allowance (StreamingSpec
+    * proves the equality over the sf0.001 corpus split mid-stream). */
   def attributionStream(events: Dataset[Ev],
-                        lookbackSec: Long = 86400L): Dataset[TouchCredit] = {
+                        lookbackSec: Long = 86400L,
+                        allowedLatenessSec: Long = 0L): Dataset[TouchCredit] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, rows: Iterator[Ev], state: GroupState[TouchBuf]) => {
-          var buf = if (state.exists) state.get.touches else Seq.empty[TouchRec]
+          val prev = if (state.exists) state.get else TouchBuf(Seq.empty, Long.MinValue)
+          var buf = prev.touches
+          var maxEs = prev.maxEs
           val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
           def esOf(e: Ev): Long = e.ts.getTime / 1000L
           def ordOf(e: Ev): Long = esOf(e) * 100000000L + e.event_id
@@ -217,11 +229,13 @@ object Streams {
                   out += TouchCredit(t.tpe, credit6, if (t.ord == lastOrd) 1 else 0))
               }
             } else buf = buf :+ TouchRec(ordOf(e), e.event_type)
-            // nothing older than (newest es − lookback) can ever credit
-            // a later purchase — event time is nondecreasing per user
-            buf = buf.filter(_.ord / 100000000L >= es - lookbackSec)
+            // prune against the monotonic max, never the current event:
+            // a late event must not re-widen (or over-shrink) the horizon
+            if (es > maxEs) maxEs = es
+            buf = buf.filter(
+              _.ord / 100000000L >= maxEs - lookbackSec - allowedLatenessSec)
           }
-          state.update(TouchBuf(buf))
+          state.update(TouchBuf(buf, maxEs))
           out.iterator
         })
   }

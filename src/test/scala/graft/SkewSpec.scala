@@ -45,6 +45,18 @@ class SkewSpec extends SparkSpec {
     finally uncapped.unpersist()
   }
 
+  test("df-capped containment pairs match the uncapped set (shared stats machinery)") {
+    // containment derives from the SAME shinglePairStats as near-dup;
+    // this pins the invariance for its lower 0.5 threshold too — a
+    // hot-only-overlap pair the cap hid would show as a missing row
+    val uncapped = ops.TextPipeline.containmentPairs(spark, sfDir, None)
+    val wideCap = ops.TextPipeline.containmentPairs(spark, sfDir, Some(Long.MaxValue))
+    assert(wideCap.except(uncapped).isEmpty && uncapped.except(wideCap).isEmpty)
+    val tight = ops.TextPipeline.containmentPairs(spark, sfDir, Some(3L))
+    assert(tight.except(uncapped).isEmpty,
+      "capped containment pairs must be an exact-scored subset")
+  }
+
   test("twoPhaseAgg equals the direct aggregation") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val direct = li.groupBy(col("l_returnflag").as("k"))

@@ -415,6 +415,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming attribution honors the lateness allowance; zero-allowance prunes late credit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch 1: a view at min 0, then a click at min 20 (advances the
+    // monotonic maxEs); batch 2: a LATE purchase at min 9 whose window
+    // [es-600, es) holds only the view
+    def run(lateness: Long): Seq[(String, Long, Int)] = {
+      val in = MemoryStream[Ev]
+      val name = s"t_attr_late_$lateness"
+      val q = Streams.attributionStream(in.toDS(), lookbackSec = 600L,
+          allowedLatenessSec = lateness)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      withQuery(q) {
+        in.addData(ev(1, 0, typ = "view"), ev(2, 20, typ = "click"))
+        q.processAllAvailable()
+        in.addData(ev(3, 9, typ = "purchase"))
+        q.processAllAvailable()
+        spark.table(name).as[(String, Long, Int)].collect().toSeq
+      }
+    }
+    // allowance 600 s: prune horizon = 1200 - 600 - 600 = 0 keeps the
+    // min-0 view, so the late purchase credits it fully
+    assert(run(600L) === Seq(("view", 1000000L, 1)),
+      "late purchase within the allowance must credit the retained view")
+    // allowance 0: horizon = 1200 - 600 = 600 prunes the view before
+    // the late purchase arrives — bounded, documented credit loss
+    assert(run(0L).isEmpty,
+      "beyond the allowance the late purchase finds no retained touches")
+  }
+
   test("soak: rate -> dedup -> enrich -> ledgered sink holds its invariants under real triggers") {
     // the one wall-clock test: a real rate-micro-batch source driving
     // the full pipeline for a few seconds of back-to-back triggers,
