@@ -531,6 +531,55 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // ABC (Pareto) classification of parts by revenue (round 10): rank
+    // parts by total lineitem revenue, class A = the head covering 80%
+    // of cumulative revenue, B = the next 15%, C = the tail — the
+    // classic inventory-analytics 80/15/5 cut (q_lorenz gives the
+    // curve; this labels the items). Determinism: revenue is exact
+    // int64 CENTS, the running sum is an int64 fold under the
+    // (rev DESC, partkey) total order, and the class thresholds are
+    // INTEGER comparisons (cum·100 vs total·80 / total·95) — no double
+    // exists anywhere a boundary could flip. Shape: the corpus
+    // collapses to the per-part agg FIRST (map-side partials onto
+    // catalog-bounded keys); the rank/cumsum windows and the scalar
+    // total all ride the bounded part frame, the honest cost of an
+    // exact global ABC cut.
+    Q("q_abc_class",
+      s"""WITH p AS (SELECT l_partkey,
+         |                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         |           FROM lineitem GROUP BY 1),
+         |w AS (SELECT l_partkey, cents,
+         |             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+         |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |             CAST(sum(cents) OVER () AS BIGINT) AS total,
+         |             CAST(row_number() OVER (ORDER BY cents DESC, l_partkey) AS BIGINT) AS rk
+         |      FROM p)
+         |SELECT l_partkey, rk, ${Q.sqlR2("cents / 100.0")} AS revenue,
+         |       ${Q.sqlR6("CAST(cum AS DOUBLE) / total")} AS cum_share,
+         |       CASE WHEN cum * 100 <= total * 80 THEN 'A'
+         |            WHEN cum * 100 <= total * 95 THEN 'B'
+         |            ELSE 'C' END AS abc
+         |FROM w
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val p = Tables.load(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).cast("long").as("cents"))
+      val wo = Window.orderBy(col("cents").desc, col("l_partkey"))
+      val w = p
+        .withColumn("cum", sum("cents").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .withColumn("total", sum("cents").over(Window.partitionBy()).cast("long"))
+        .withColumn("rk", row_number().over(wo).cast("long"))
+      w.select(col("l_partkey"), col("rk"),
+          Q.r2(col("cents") / lit(100.0)).as("revenue"),
+          Q.r6(col("cum").cast("double") / col("total")).as("cum_share"),
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C").as("abc"))
+        .orderBy("rk")
+    },
+
     // Multi-touch marketing attribution (round 10): every purchase
     // credits the non-purchase events of the SAME user in the 24 h
     // before it — last-touch (the nearest touch takes the whole

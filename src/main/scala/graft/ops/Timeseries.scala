@@ -216,6 +216,50 @@ object Timeseries {
         .orderBy("event_type")
     },
 
+    // Per-event sessionization (round 10): assign every event its
+    // user-scoped session index and within-session sequence number —
+    // the ETL primitive whose per-session ROLLUP is q_activity_islands
+    // (same >1h gap rule, same break-flag/running-sum construction, but
+    // emitting the labeled EVENTS for downstream joins instead of the
+    // summary). Pure int64 epoch-second arithmetic under the house
+    // (es, event_id) total order — bit-exact cross-engine, no rounding.
+    // Shape: both windows and the sequence number cluster by user_id,
+    // so the whole labeling rides ONE corpus exchange.
+    Q("q_sessionize",
+      s"""WITH e AS (SELECT user_id, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |f AS (SELECT user_id, event_id, es,
+         |             CASE WHEN lag(es) OVER w IS NULL THEN 1
+         |                  WHEN es - lag(es) OVER w > $GapSec THEN 1
+         |                  ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |i AS (SELECT user_id, event_id, es,
+         |             CAST(sum(brk) OVER (PARTITION BY user_id
+         |                                 ORDER BY es, event_id
+         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |      FROM f)
+         |SELECT user_id, event_id, session_idx,
+         |       CAST(row_number() OVER (PARTITION BY user_id, session_idx
+         |                               ORDER BY es, event_id) AS BIGINT) AS seq_in_session
+         |FROM i
+         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val labeled = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), Q.epochSec(col("ts")).as("es"))
+        .withColumn("brk",
+          when(lag("es", 1).over(wo).isNull, 1)
+            .when(col("es") - lag("es", 1).over(wo) > GapSec, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum("brk").over(wr).cast("long"))
+      labeled
+        .withColumn("seq_in_session", row_number()
+          .over(Window.partitionBy("user_id", "session_idx").orderBy("es", "event_id"))
+          .cast("long"))
+        .select("user_id", "event_id", "session_idx", "seq_in_session")
+        .orderBy("user_id", "event_id")
+    },
+
     // Activity islands: contiguous per-user activity runs, split where
     // the inter-event gap exceeds GapSec. lag() marks island starts, a
     // running sum numbers them, and two stacked rollups (per-island

@@ -1323,6 +1323,55 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("q_sessionize rolls up to q_activity_islands: session count and coverage agree") {
+    val sess = q("q_sessionize").cache()
+    try {
+      val events = Tables.events(spark, sfDir)
+      assert(sess.count() === events.count(), "every event gets a session label")
+      // per-user session count equals the islands' n_islands
+      val fromSess = sess.groupBy("user_id")
+        .agg(max("session_idx").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      q("q_activity_islands").collect().foreach { r =>
+        val u = r.getAs[Long]("user_id")
+        assert(fromSess(u) === r.getAs[Long]("n_islands"),
+          s"session count mismatch for user $u")
+      }
+      // sequence numbers are 1..len contiguous within each session
+      val bad = sess.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("len"), max("seq_in_session").as("mx"),
+          min("seq_in_session").as("mn"))
+        .filter(col("mx") =!= col("len") || col("mn") =!= 1)
+      assert(bad.isEmpty, "seq_in_session must be 1..len per session")
+    } finally sess.unpersist()
+  }
+
+  test("q_abc_class classes are ordered A-then-B-then-C with conserved revenue") {
+    val rows = q("q_abc_class").collect()
+    val parts = Tables.load(spark, sfDir, "lineitem").select("l_partkey").distinct().count()
+    assert(rows.length === parts, "one class per part")
+    // cum_share nondecreasing in rank, ends at 1; class boundaries in order
+    val byRank = rows.sortBy(_.getAs[Long]("rk"))
+    assert(math.abs(byRank.last.getAs[Double]("cum_share") - 1.0) < 1e-6)
+    var seen = "A"
+    byRank.foreach { r =>
+      val c = r.getAs[String]("abc")
+      assert(c >= seen, s"class ordering violated at rank ${r.getAs[Long]("rk")}")
+      seen = c
+    }
+    val classes = rows.groupBy(_.getAs[String]("abc")).view.mapValues(_.length).toMap
+    assert(classes.keySet.subsetOf(Set("A", "B", "C")) && classes.getOrElse("C", 0) > 0,
+      s"expected a Pareto tail, got $classes")
+    // A ends at the last part whose cumulative share stays ≤ 0.80, so
+    // its revenue share sits in (0.80 − one part's share, 0.80]
+    val total = byRank.map(_.getAs[Double]("revenue")).sum
+    val aShare = byRank.filter(_.getAs[String]("abc") == "A")
+      .map(_.getAs[Double]("revenue")).sum / total
+    val maxPartShare = byRank.map(_.getAs[Double]("revenue")).max / total
+    assert(aShare <= 0.80 + 1e-9 && aShare > 0.80 - maxPartShare - 1e-9,
+      s"A class must end at the 80% boundary: $aShare (max part share $maxPartShare)")
+  }
+
   test("bag set-op algebra: |A EXCEPT ALL B| + |A INTERSECT ALL B| = |A|") {
     val e = Tables.events(spark, sfDir)
     val a = e.filter(col("event_type") === "purchase").select("user_id")
