@@ -272,19 +272,9 @@ object Graph {
          |SELECT a, b, cooc, cosine FROM sc
          |ORDER BY cosine DESC, a, b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val io = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-        .distinct()
-      val n = io.groupBy("pk").agg(count(lit(1)).as("c"))
-      val p = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
-        .select(explode(expr(
-          """flatten(transform(pks,
-            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
-            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
-        .select(col("pr.a").as("a"), col("pr.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
-        .filter(col("cooc") >= MinSupport)
-      p.join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
+      val n = orderParts(s, d).groupBy("pk").agg(count(lit(1)).as("c"))
+      coPairsWithSupport(s, d)
+        .join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
         .join(n.select(col("pk").as("b"), col("c").as("cb")), "b")
         .select(col("a"), col("b"), col("cooc"),
           Q.r6(col("cooc") / (sqrt(col("ca").cast("double")) * sqrt(col("cb").cast("double"))))
@@ -316,19 +306,9 @@ object Graph {
          |SELECT a, b, cooc, jaccard FROM sc
          |ORDER BY jaccard DESC, a, b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val io = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-        .distinct()
-      val n = io.groupBy("pk").agg(count(lit(1)).as("c"))
-      val p = io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
-        .select(explode(expr(
-          """flatten(transform(pks,
-            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
-            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
-        .select(col("pr.a").as("a"), col("pr.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
-        .filter(col("cooc") >= MinSupport)
-      p.join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
+      val n = orderParts(s, d).groupBy("pk").agg(count(lit(1)).as("c"))
+      coPairsWithSupport(s, d)
+        .join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
         .join(n.select(col("pk").as("b"), col("c").as("cb")), "b")
         .select(col("a"), col("b"), col("cooc"),
           Q.r6(col("cooc") / (col("ca") + col("cb") - col("cooc")).cast("double"))
@@ -446,20 +426,33 @@ object Graph {
     * q_graph_components: baskets → in-row sorted pair expansion (the
     * assoc_rules shape: C(items, 2) per order, never a cross-part
     * join) → support ≥ [[MinSupport]] filter. */
-  private[graft] def coPairs(s: SparkSession, d: String): DataFrame = {
-    val io = Tables.load(s, d, "lineitem")
+  /** Distinct (order, part) incidence — the shared basket frame every
+    * co-purchase operator starts from. */
+  private def orderParts(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
       .distinct()
-    io.groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
+
+  /** Support-thresholded co-purchase pairs WITH their co-occurrence
+    * count — (a, b, cooc), a < b. The ONE home of the in-row per-basket
+    * pair expansion (C(items, 2) per order, never a cross-part join):
+    * the triangle census / components edge set drops cooc via
+    * [[coPairs]], q_item_cosine and q_graph_jaccard score it directly,
+    * so a fix to the expansion (e.g. a DegCap-style hub bound) lands
+    * in every consumer at once. */
+  private[graft] def coPairsWithSupport(s: SparkSession, d: String): DataFrame =
+    orderParts(s, d)
+      .groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
       .select(explode(expr(
         """flatten(transform(pks,
           |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
       .select(col("pr.a").as("a"), col("pr.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= MinSupport)
-      .select("a", "b")
-  }
+      .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= MinSupport)
+
+  private[graft] def coPairs(s: SparkSession, d: String): DataFrame =
+    coPairsWithSupport(s, d).select("a", "b")
 
   private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame = {
     val edges = coPairs(s, d).localCheckpoint(true)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
@@ -34,6 +34,35 @@ object Statistics {
 
   /** Day-index anchor for trend x values — events span Jan 2024. */
   private val TrendAnchor = "2024-01-01"
+
+  /** The integerized 4-measure lineitem projection + its 15 sufficient
+    * statistics (n, 4 sums, 4 squares, 6 cross-products) — ONE home for
+    * the pass q_corr_matrix reshapes into pairs and q_pca_power feeds
+    * into the power iteration. The bit-equality argument both operators
+    * make (identical int64 inputs ⇒ identical doubles) depends on this
+    * aggregate staying textually single-sourced. */
+  private def lineitemMomentStats(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem").select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice")).cast("long").as("p"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"), sum("t").as("st"),
+        sum(col("q") * col("q")).as("qq"), sum(col("p") * col("p")).as("pp"),
+        sum(col("d") * col("d")).as("dd"), sum(col("t") * col("t")).as("tt"),
+        sum(col("q") * col("p")).as("qp"), sum(col("q") * col("d")).as("qd"),
+        sum(col("q") * col("t")).as("qt"), sum(col("p") * col("d")).as("pd"),
+        sum(col("p") * col("t")).as("pt"), sum(col("d") * col("t")).as("dt"))
+
+  /** Pearson correlation from integer sufficient statistics — the ONE
+    * double formula tree (same operand order as the oracle text) shared
+    * by q_corr_matrix and q_pca_power. */
+  private def corrCol(n: Column, sxy: Column, sx: Column, sy: Column,
+                      sxx: Column, syy: Column): Column =
+    (n * sxy.cast("double") - sx.cast("double") * sy) /
+      (sqrt(n * sxx.cast("double") - sx.cast("double") * sx) *
+        sqrt(n * syy.cast("double") - sy.cast("double") * sy))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -377,24 +406,12 @@ object Statistics {
          |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))")} AS corr
          |FROM pr
          |ORDER BY var1, var2""".stripMargin) { (s, d) =>
-      val m = Tables.load(s, d, "lineitem").select(
-        floor(col("l_quantity")).cast("long").as("q"),
-        floor(col("l_extendedprice")).cast("long").as("p"),
-        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
-        floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
-      val st = m.agg(count(lit(1)).as("n"),
-        sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"), sum("t").as("st"),
-        sum(col("q") * col("q")).as("qq"), sum(col("p") * col("p")).as("pp"),
-        sum(col("d") * col("d")).as("dd"), sum(col("t") * col("t")).as("tt"),
-        sum(col("q") * col("p")).as("qp"), sum(col("q") * col("d")).as("qd"),
-        sum(col("q") * col("t")).as("qt"), sum(col("p") * col("d")).as("pd"),
-        sum(col("p") * col("t")).as("pt"), sum(col("d") * col("t")).as("dt"))
       def pair(v1: String, v2: String, sx: String, sy: String,
                sxy: String, sxx: String, syy: String) =
         struct(lit(v1).as("var1"), lit(v2).as("var2"),
           col(sx).as("sx"), col(sy).as("sy"), col(sxy).as("sxy"),
           col(sxx).as("sxx"), col(syy).as("syy"))
-      st.select(col("n"), explode(array(
+      lineitemMomentStats(s, d).select(col("n"), explode(array(
           pair("quantity", "price_usd", "sq", "sp", "qp", "qq", "pp"),
           pair("quantity", "discount", "sq", "sd", "qd", "qq", "dd"),
           pair("quantity", "tax", "sq", "st", "qt", "qq", "tt"),
@@ -402,12 +419,8 @@ object Statistics {
           pair("price_usd", "tax", "sp", "st", "pt", "pp", "tt"),
           pair("discount", "tax", "sd", "st", "dt", "dd", "tt"))).as("pr"))
         .select(col("pr.var1").as("var1"), col("pr.var2").as("var2"), col("n"),
-          Q.r6((col("n") * col("pr.sxy").cast("double") -
-              col("pr.sx").cast("double") * col("pr.sy")) /
-            (sqrt(col("n") * col("pr.sxx").cast("double") -
-              col("pr.sx").cast("double") * col("pr.sx")) *
-             sqrt(col("n") * col("pr.syy").cast("double") -
-              col("pr.sy").cast("double") * col("pr.sy")))).as("corr"))
+          Q.r6(corrCol(col("n"), col("pr.sxy"), col("pr.sx"), col("pr.sy"),
+            col("pr.sxx"), col("pr.syy"))).as("corr"))
         .orderBy("var1", "var2")
     },
 
@@ -1147,24 +1160,10 @@ object Statistics {
          |UNION ALL SELECT 'quantity', ${Q.sqlR6("v31")}, ${Q.sqlR6("lam / 4")} FROM f
          |UNION ALL SELECT 'tax', ${Q.sqlR6("v34")}, ${Q.sqlR6("lam / 4")} FROM f
          |ORDER BY dim""".stripMargin) { (s, d) =>
-      val m = Tables.load(s, d, "lineitem").select(
-        floor(col("l_quantity")).cast("long").as("q"),
-        floor(col("l_extendedprice")).cast("long").as("p"),
-        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
-        floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
-      val st = m.agg(count(lit(1)).as("n"),
-        sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"), sum("t").as("st"),
-        sum(col("q") * col("q")).as("qq"), sum(col("p") * col("p")).as("pp"),
-        sum(col("d") * col("d")).as("dd"), sum(col("t") * col("t")).as("tt"),
-        sum(col("q") * col("p")).as("qp"), sum(col("q") * col("d")).as("qd"),
-        sum(col("q") * col("t")).as("qt"), sum(col("p") * col("d")).as("pd"),
-        sum(col("p") * col("t")).as("pt"), sum(col("d") * col("t")).as("dt"))
-      // correlation entry: mirrors q_corr_matrix's shared formula tree
+      // correlation entry: the SAME corrCol tree q_corr_matrix reports
       def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
-        (col("n") * col(sxy).cast("double") - col(sx).cast("double") * col(sy)) /
-          (sqrt(col("n") * col(sxx).cast("double") - col(sx).cast("double") * col(sx)) *
-            sqrt(col("n") * col(syy).cast("double") - col(sy).cast("double") * col(sy)))
-      val co = st.select(
+        corrCol(col("n"), col(sxy), col(sx), col(sy), col(sxx), col(syy))
+      val co = lineitemMomentStats(s, d).select(
         r("qp", "sq", "sp", "qq", "pp").as("rqp"),
         r("qd", "sq", "sd", "qq", "dd").as("rqd"),
         r("qt", "sq", "st", "qq", "tt").as("rqt"),

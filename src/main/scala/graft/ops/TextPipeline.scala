@@ -998,6 +998,10 @@ object TextPipeline {
         .select(col("doc_id"),
           expr("array_sort(filter(split(text, ''), c -> c <> ''))").as("chars"))
         .withColumn("n", size(col("chars")))
+        // an empty text yields zero unnested rows in the oracle (no row
+        // for the doc at all) — mirror that, and keep sequence(0, n-1)
+        // from descending into [0, -1] and folding a NaN row
+        .filter(col("n") > 0)
         .withColumn("starts", expr(
           "filter(sequence(0, n - 1), i -> i = 0 OR chars[i] <> get(chars, i - 1))"))
         .withColumn("char_entropy", Q.r4(expr(

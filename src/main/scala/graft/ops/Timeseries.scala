@@ -523,11 +523,13 @@ object Timeseries {
          |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
          |                      count(*) AS y
          |               FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, min(x) AS x0 FROM daily GROUP BY 1),
          |terms AS (SELECT b.event_type, b.x, b.y,
-         |                 CAST(floor(CASE WHEN a.x = 0 THEN pow(0.7, b.x) * a.y
+         |                 CAST(floor(CASE WHEN a.x = m.x0 THEN pow(0.7, b.x - m.x0) * a.y
          |                                 ELSE 0.3 * pow(0.7, b.x - a.x) * a.y END * 1e6 + 0.5) AS BIGINT) AS t6
          |          FROM daily a JOIN daily b
-         |            ON a.event_type = b.event_type AND a.x <= b.x)
+         |            ON a.event_type = b.event_type AND a.x <= b.x
+         |          JOIN m ON m.event_type = a.event_type)
          |SELECT event_type, x AS day_idx, CAST(max(y) AS BIGINT) AS y,
          |       ${Q.sqlR4("sum(t6) / 1e6")} AS ewma
          |FROM terms
@@ -547,9 +549,13 @@ object Timeseries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily
         .withColumn("hist", collect_list(struct(col("x"), col("y"))).over(wx))
+        // seed on the type's FIRST OBSERVED day (hist is x-ordered, so
+        // element 1 is it) — an absolute x=0 seed would silently
+        // under-weight every type whose series starts after the anchor
         .withColumn("lp6", expr(
           """aggregate(hist, CAST(0 AS BIGINT),
-            |  (acc, e) -> acc + CAST(floor((CASE WHEN e.x = 0 THEN pow(0.7, x) * e.y
+            |  (acc, e) -> acc + CAST(floor((CASE WHEN e.x = element_at(hist, 1).x
+            |                                     THEN pow(0.7, x - element_at(hist, 1).x) * e.y
             |                                     ELSE 0.3 * pow(0.7, x - e.x) * e.y END) * 1e6 + 0.5) AS BIGINT))""".stripMargin))
         .select(col("event_type"), col("x").as("day_idx"), col("y"),
           Q.r4(col("lp6") / lit(1e6)).as("ewma"))

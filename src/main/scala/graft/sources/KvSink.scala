@@ -107,25 +107,49 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
 
   // data files first, manifest LAST — the manifest is the atomicity point
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.map { case KvCommitMessage(staged, rows) =>
+    val moves = messages.map { case KvCommitMessage(staged, rows) =>
       val src = Paths.get(staged)
-      val dst = Paths.get(path, src.getFileName.toString)
-      // never silently replace committed data: the queryId in the name
-      // makes a collision impossible across jobs, so hitting one means
-      // a protocol bug — fail the commit, leaving staging for abort
-      require(!Files.exists(dst), s"graft-kv: destination already exists: $dst")
-      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      s"${dst.getFileName}:$rows"
+      (src, Paths.get(path, src.getFileName.toString), rows)
     }
-    // merge with a prior append's manifest so the listing stays complete
+    // never silently replace committed data: the queryId in the name
+    // makes a collision impossible across jobs, so hitting one means a
+    // protocol bug — check EVERY destination before moving ANY file, so
+    // a failed commit leaves zero unmanifested files in the target
+    moves.foreach { case (_, dst, _) =>
+      require(!Files.exists(dst), s"graft-kv: destination already exists: $dst")
+    }
+    val published = scala.collection.mutable.ArrayBuffer.empty[(java.nio.file.Path, java.nio.file.Path)]
+    val entries =
+      try moves.map { case (src, dst, rows) =>
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        published += ((src, dst))
+        s"${dst.getFileName}:$rows"
+      }
+      catch { case e: Throwable =>
+        // a mid-sequence move failure must not leave earlier moves
+        // published without a manifest entry — return them to staging
+        // so abort()'s cleanup contract ("target untouched") holds
+        published.foreach { case (src, dst) =>
+          try Files.move(dst, src, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Throwable => () } // best effort; original error wins
+        }
+        throw e
+      }
+    // merge with a prior append's manifest so the listing stays
+    // complete; write-to-temp + ATOMIC_MOVE so a reader polling
+    // _SUCCESS never observes a truncated or torn manifest and a crash
+    // mid-rewrite cannot lose the prior append's committed listing
     val manifest = Paths.get(path, "_SUCCESS")
     val prior =
       if (Files.exists(manifest))
         new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
           .split("\n").filter(_.nonEmpty).toSeq
       else Seq.empty
-    Files.write(manifest,
+    val tmp = Paths.get(path, "_staging", s"_SUCCESS.$queryId.tmp")
+    Files.write(tmp,
       (prior ++ entries).sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // POSIX rename replaces an existing manifest atomically
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
     deleteStaging()
   }
 

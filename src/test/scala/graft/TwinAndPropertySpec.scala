@@ -875,7 +875,7 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(total === 3 * nTri, s"corner credits $total != 3 × $nTri triangles")
   }
 
-  test("q_ewma smoothed values stay inside the series envelope and seed at day 0") {
+  test("q_ewma smoothed values stay inside the series envelope and seed at the first observed day") {
     val rows = q("q_ewma").collect()
     val byType = rows.groupBy(_.getString(0))
     byType.foreach { case (t, rs) =>
@@ -885,10 +885,11 @@ class TwinAndPropertySpec extends SparkSpec {
         val e = r.getDouble(3)
         assert(e >= lo - 1e-3 && e <= hi + 1e-3, s"$t ewma $e outside [$lo,$hi]")
       }
-      rs.find(_.getLong(1) == 0L).foreach { r0 =>
-        assert(math.abs(r0.getDouble(3) - r0.getLong(2)) < 1e-3,
-          s"$t day-0 ewma must equal y_0: $r0")
-      }
+      // the seed is each type's FIRST observation, wherever its series
+      // starts — an unconditional assertion, never skipped
+      val first = rs.minBy(_.getLong(1))
+      assert(math.abs(first.getDouble(3) - first.getLong(2)) < 1e-3,
+        s"$t first-day ewma must equal its y: $first")
     }
   }
 
