@@ -995,13 +995,15 @@ object TextPipeline {
         |GROUP BY h.doc_id
         |ORDER BY h.doc_id""".stripMargin) { (s, d) =>
       Tables.load(s, d, "documents")
+        // an empty or NULL text yields zero unnested rows in the oracle
+        // (no row for the doc at all) — mirror that HERE, on the raw
+        // column where the predicate pushes to the scan; filtering on
+        // the derived size(chars) instead re-evaluates the whole
+        // split/sort chain in the filter operator (~10× the query)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(col("doc_id"),
           expr("array_sort(filter(split(text, ''), c -> c <> ''))").as("chars"))
         .withColumn("n", size(col("chars")))
-        // an empty text yields zero unnested rows in the oracle (no row
-        // for the doc at all) — mirror that, and keep sequence(0, n-1)
-        // from descending into [0, -1] and folding a NaN row
-        .filter(col("n") > 0)
         .withColumn("starts", expr(
           "filter(sequence(0, n - 1), i -> i = 0 OR chars[i] <> get(chars, i - 1))"))
         .withColumn("char_entropy", Q.r4(expr(
