@@ -183,22 +183,27 @@ object Graph {
          |ORDER BY shared DESC, s1, s2
          |LIMIT 10""".stripMargin) { (s, d) =>
       // One groupBy(pk) collects each part's (capped, sorted) supplier
-      // set and the C(deg, 2) pair expansion happens IN-ROW — same 6M
+      // set and the C(deg, 2) pair expansion happens IN-ROW — same ~9M
       // candidate rows as the oracle's self-join, but without shuffle-
       // sorting the 2×|ps| join inputs (the self-join's SMJ cost). The
       // collected array is bounded by DegCap, so per-row memory is
-      // capped too.
+      // capped too. The expansion STREAMS through two codegen'd
+      // generators (posexplode picks s1, explode(slice) yields each
+      // later s2) rather than a nested transform/flatten lambda: the
+      // HOF form is CodegenFallback and materializes the whole
+      // C(deg,2) struct array per row before exploding — measured 1.6×
+      // slower at sf0.1 and the allocation burst behind the r10 driver
+      // bench outlier (12.2 s vs 2.6 s floor under memory pressure).
       val ps = Tables.load(s, d, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
       val deg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
       val p = ps.join(deg.filter(col("d") <= DegCap && col("d") >= 2).select("pk"), "pk")
       p.groupBy("pk").agg(sort_array(collect_list(col("sk"))).as("sks"))
-        .select(explode(expr(
-          """flatten(transform(sks,
-            |  (x, i) -> transform(slice(sks, i + 2, size(sks)),
-            |            y -> struct(x AS s1, y AS s2))))""".stripMargin)).as("pr"))
-        .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+        .select(col("sks"), posexplode(col("sks")).as(Seq("i", "s1")))
+        .select(col("s1"),
+          explode(slice(col("sks"), col("i") + lit(2),
+            size(col("sks")) - col("i") - lit(1))).as("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
         .withColumn("butterflies", expr("shared * (shared - 1) div 2"))
         .orderBy(col("shared").desc, col("s1"), col("s2"))
