@@ -100,14 +100,33 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs$errs,"sf":"$sfName"}"""
     }
     // Last-resort fallback once the surface outgrows even the 1-decimal
-    // stripped-prefix render (first hit at 114 queries): keep only the
-    // K most expensive per-query entries (plus every failure) and say
-    // how many cheap ones were dropped — the total stays exact and the
-    // line stays parseable, which beats a complete map the driver
-    // truncates into nothing.
+    // stripped-prefix render (first hit at 114 queries): keep every
+    // failure, the K/2 most expensive entries, and a ROTATING window of
+    // the cheap tail, and say how many were dropped — the total stays
+    // exact and the line stays parseable, which beats a complete map
+    // the driver truncates into nothing. Without the rotation, r10's
+    // 94 omitted queries were permanently invisible to driver-side
+    // regression attribution: the same cheap half fell below the
+    // top-100 bar every round. The rotation index is the count of
+    // committed BENCH_r*.json files — the driver adds exactly one per
+    // round, so consecutive rounds report consecutive windows and the
+    // full surface cycles through in ceil(tail/(K/2)) rounds (~3 at
+    // today's 194-query surface) with zero reliance on wall-clock.
+    val roundIdx: Int = Option(new java.io.File(".").listFiles)
+      .map(_.count(f => f.getName.matches("BENCH_r\\d+\\.json"))).getOrElse(0)
     def renderTop(k: Int): String = {
-      val kept = runs.filter(_._2.isLeft) ++
-        runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(k)
+      val fails = runs.filter(_._2.isLeft)
+      val top = runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(k / 2)
+      val topNames = (fails ++ top).map(_._1).toSet
+      val pool = runs.filter(r => !topNames.contains(r._1)).sortBy(_._1)
+      val want = math.max(0, k - fails.length - top.length)
+      val rotating =
+        if (pool.isEmpty || want == 0) Seq.empty
+        else {
+          val start = (want.toLong * roundIdx % pool.length).toInt
+          (pool.drop(start) ++ pool.take(start)).take(want)
+        }
+      val kept = fails ++ top ++ rotating
       val omitted = runs.length - kept.length
       val qs = kept.map { case (n, v) =>
         jstr(n.stripPrefix("q_")) + ":" + v.fold(_ => "null", fmt(_, 1))

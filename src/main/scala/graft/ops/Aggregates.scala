@@ -59,12 +59,29 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
-    // HLL++ sketch — the scale path for distinct counting (no oracle: the
-    // sketch differs from DuckDB's; q_agg_distinct carries the exact twin).
-    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+    // HLL++ sketch — the scale path for distinct counting. The raw
+    // estimate can't be oracled (DuckDB's HLL is a different sketch),
+    // so the driver-checked form is the ERROR-BAND audit: compute the
+    // sketch AND the exact count in one aggregate pass, emit the exact
+    // value plus a within-band boolean, and let the oracle pin (exact,
+    // TRUE) — a hash mismatch now means either the exact path or the
+    // sketch's error bound broke. rsd=0.01 ⇒ 3σ ≈ 3%; the band is 4%
+    // + 2 absolute so a testdata regeneration cannot flip it. At
+    // 100 TB you run only the sketch; this is the certification query.
+    Q("q_agg_approx_distinct",
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS nd_users,
+        |       TRUE AS hll_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count_distinct(col("user_id")).as("nd_users"))
+        .select(col("event_type"), col("nd_users"),
+          (abs(col("approx_users") - col("nd_users")) <=
+            lit(2) + lit(0.04) * col("nd_users")).as("hll_ok"))
         .orderBy("event_type")
     },
 
@@ -75,25 +92,50 @@ object Aggregates {
     // days" answerable without re-touching N days of raw data; the
     // union is associative/commutative, so any partitioning works.
     // Register content is order-independent (max per register) ⇒
-    // deterministic output; no oracle (DuckDB's HLL is a different
-    // sketch, so estimate-hash parity is impossible by construction) —
-    // q_distinct_rollup is the oracled EXACT twin at the identical
-    // grains, and TwinAndPropertySpec ties the two within 5%.
-    Q.noOracle("q_sketch_rollup") { (s, d) =>
+    // deterministic output. The raw estimates can't be oracled (DuckDB's
+    // HLL is a different sketch), so the driver-checked form is the
+    // ERROR-BAND audit (r11): the sketch path runs exactly as before
+    // (daily hll_sketch_agg, hll_union_agg into the overall), an exact
+    // ROLLUP(day) twin runs beside it, and each grain row emits the
+    // exact count plus a within-band boolean the oracle pins as (exact,
+    // TRUE). The band is 5% + 2 absolute (default lgK=12 ⇒ rsd ≈ 1.6%,
+    // 3σ ≈ 5%). The join is grain-table-sized (≤ days+1 rows/side).
+    Q("q_sketch_rollup",
+      s"""WITH e AS (SELECT date_trunc('day', ts) AS day, user_id FROM events)
+         |SELECT CASE WHEN GROUPING(day) = 1 THEN 'overall' ELSE 'daily' END AS grain,
+         |       CASE WHEN GROUPING(day) = 1 THEN NULL
+         |            ELSE ${Q.sqlEpochSec("day")} END AS day_es,
+         |       count(DISTINCT user_id) AS n_users,
+         |       TRUE AS hll_ok
+         |FROM e
+         |GROUP BY ROLLUP(day)
+         |ORDER BY grain, day_es""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
         .groupBy("day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      val overall = daily.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
-        count(lit(1)).as("n_days"))
-      daily
+      val est = daily
         .select(lit("daily").as("grain"), unix_timestamp(col("day")).as("day_es"),
           hll_sketch_estimate(col("sk")).as("est_users"))
-        .unionByName(overall
+        .unionByName(daily
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
           .select(lit("overall").as("grain"), lit(null).cast("long").as("day_es"),
             col("est_users")))
-        .orderBy(col("grain"), col("day_es"))
+      val exact = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .rollup("day")
+        .agg(count_distinct(col("user_id")).as("n_users"), grouping(col("day")).as("g"))
+        .select(
+          when(col("g") === 1, "overall").otherwise("daily").as("grain"),
+          when(col("g") === 1, lit(null).cast("long"))
+            .otherwise(unix_timestamp(col("day"))).as("day_es"),
+          col("n_users"))
+      exact.join(est,
+          exact("grain") === est("grain") && exact("day_es") <=> est("day_es"))
+        .select(exact("grain"), exact("day_es"), col("n_users"),
+          (abs(col("est_users") - col("n_users")) <=
+            lit(2) + lit(0.05) * col("n_users")).as("hll_ok"))
+        .orderBy("grain", "day_es")
     },
 
     // Exact twin of q_sketch_rollup at the same grains — ROLLUP(day)
@@ -126,15 +168,34 @@ object Aggregates {
         .orderBy("grain", "day_es")
     },
 
-    // KLL/GK-style quantile sketch — the scale path for percentiles (no
-    // oracle: sketch-specific; q_agg_stats carries the exact
-    // `percentile` twin). At 100 TB exact percentile needs a full sort
-    // per group; approx_percentile is one pass + mergeable sketches.
-    Q.noOracle("q_agg_approx_pct") { (s, d) =>
+    // KLL/GK-style quantile sketch — the scale path for percentiles. At
+    // 100 TB exact percentile needs a full sort per group;
+    // approx_percentile is one pass + mergeable sketches. The sketch
+    // values can't be oracled (engine-specific), so the driver-checked
+    // form is the ERROR-BAND audit (r11): both the sketch and the exact
+    // percentile run in one aggregate pass, the output carries the
+    // exact r4-rounded quantiles (the proven quantile_cont parity from
+    // q_agg_stats) plus a within-band boolean the oracle pins as TRUE.
+    // accuracy=1000 ⇒ rank error ≤ 1e-3; on this price distribution a
+    // 2% relative value band holds with wide margin across regens.
+    Q("q_agg_approx_pct",
+      """SELECT l_linestatus,
+        |       floor((quantile_cont(l_extendedprice, 0.5))*10000+0.5)/10000 AS p50,
+        |       floor((quantile_cont(l_extendedprice, 0.95))*10000+0.5)/10000 AS p95,
+        |       TRUE AS pct_ok
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy("l_linestatus")
-        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
-          approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+          approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"),
+          Q.r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+          Q.r4(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
+        .select(col("l_linestatus"), col("p50"), col("p95"),
+          (abs(col("a50") - col("p50")) <= lit(0.02) * col("p50") &&
+            abs(col("a95") - col("p95")) <= lit(0.02) * col("p95")).as("pct_ok"))
         .orderBy("l_linestatus")
     },
 

@@ -429,27 +429,56 @@ object Analytics {
     // The 100 TB default for q_profile: swap the exact multi-distinct —
     // whose Expand replicates the scan once per profiled column — for
     // approx_count_distinct, collapsing the profile to ONE ordinary
-    // aggregate pass with constant-size HLL++ buffers per column. Same
-    // LONG output format so the two are drop-in interchangeable; no
-    // DuckDB oracle (engine-specific sketch), error-bounded against
-    // q_profile in TwinAndPropertySpec.
-    Q.noOracle("q_profile_approx") { (s, d) =>
+    // aggregate pass with constant-size HLL++ buffers per column. The
+    // sketch value can't be oracled (engine-specific), so the
+    // driver-checked form is the ERROR-BAND audit (r11): the sketch and
+    // the exact multi-distinct run side by side, n_distinct carries the
+    // exact count and hll_ok the per-column band verdict the oracle
+    // pins as TRUE. rsd=0.023 ⇒ 3σ ≈ 7%; band 8% + 2 absolute.
+    Q("q_profile_approx",
+      s"""WITH a AS (SELECT count(*) AS n,
+         |                  count(DISTINCT l_quantity) AS d1,
+         |                  count(DISTINCT l_extendedprice) AS d2,
+         |                  count(DISTINCT l_discount) AS d3,
+         |                  count(DISTINCT l_tax) AS d4,
+         |                  count(*) - count(l_quantity) AS nn1,
+         |                  count(*) - count(l_extendedprice) AS nn2,
+         |                  count(*) - count(l_discount) AS nn3,
+         |                  count(*) - count(l_tax) AS nn4,
+         |                  min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+         |                  ${Q.sqlR4("avg(l_quantity)")} AS av1,
+         |                  min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
+         |                  ${Q.sqlR4("avg(l_extendedprice)")} AS av2,
+         |                  min(l_discount) AS mn3, max(l_discount) AS mx3,
+         |                  ${Q.sqlR4("avg(l_discount)")} AS av3,
+         |                  min(l_tax) AS mn4, max(l_tax) AS mx4,
+         |                  ${Q.sqlR4("avg(l_tax)")} AS av4
+         |           FROM lineitem)
+         |SELECT 'l_quantity' AS col_name, n, nn1 AS n_null, d1 AS n_distinct, mn1 AS vmin, mx1 AS vmax, av1 AS vavg, TRUE AS hll_ok FROM a
+         |UNION ALL SELECT 'l_extendedprice', n, nn2, d2, mn2, mx2, av2, TRUE FROM a
+         |UNION ALL SELECT 'l_discount', n, nn3, d3, mn3, mx3, av3, TRUE FROM a
+         |UNION ALL SELECT 'l_tax', n, nn4, d4, mn4, mx4, av4, TRUE FROM a
+         |ORDER BY col_name""".stripMargin) { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggs = Seq(count(lit(1)).as("n")) ++ cols.zipWithIndex.flatMap { case (c, i) =>
-        Seq(approx_count_distinct(col(c), 0.023).as(s"d${i + 1}"),
+        Seq(approx_count_distinct(col(c), 0.023).as(s"ad${i + 1}"),
+          countDistinct(col(c)).as(s"d${i + 1}"),
           (count(lit(1)) - count(col(c))).as(s"nn${i + 1}"),
           min(col(c)).as(s"mn${i + 1}"), max(col(c)).as(s"mx${i + 1}"),
           Q.r4(avg(col(c))).as(s"av${i + 1}"))
       }
       val stackArgs = cols.zipWithIndex
-        .map { case (c, i) => s"'$c', nn${i + 1}, d${i + 1}, mn${i + 1}, mx${i + 1}, av${i + 1}" }
+        .map { case (c, i) =>
+          s"'$c', nn${i + 1}, d${i + 1}, mn${i + 1}, mx${i + 1}, av${i + 1}, " +
+            s"abs(ad${i + 1} - d${i + 1}) <= 2 + 0.08 * d${i + 1}"
+        }
         .mkString(", ")
       Tables.load(s, d, "lineitem")
         .agg(aggs.head, aggs.tail: _*)
         .selectExpr("n",
-          s"stack(${cols.length}, $stackArgs) AS (col_name, n_null, n_distinct, vmin, vmax, vavg)")
+          s"stack(${cols.length}, $stackArgs) AS (col_name, n_null, n_distinct, vmin, vmax, vavg, hll_ok)")
         .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
-          col("vmin"), col("vmax"), col("vavg"))
+          col("vmin"), col("vmax"), col("vavg"), col("hll_ok"))
         .orderBy("col_name")
     },
 

@@ -277,18 +277,33 @@ object Windows {
     // bounded domain (event types), quadratic memory over a
     // high-cardinality column. approx_count_distinct's HLL++ buffer is
     // CONSTANT-size per frame whatever the cardinality — the documented
-    // 100 TB substitute. No DuckDB oracle (engine-specific sketch);
-    // property-bounded against the exact query in TwinAndPropertySpec.
-    Q.noOracle("q_win_distinct_hll") { (s, d) =>
+    // 100 TB substitute. The sketch value can't be oracled
+    // (engine-specific), so the driver-checked form is the ERROR-BAND
+    // audit (r11): both windows run over the SAME frame, the output
+    // carries the exact running distinct plus a per-row band verdict
+    // the oracle pins as TRUE (band: 1 absolute or 5% relative —
+    // HLL++ runs exact sparse mode at this domain size, so the bound
+    // has slack even after a regen widens the type domain).
+    Q("q_win_distinct_hll",
+      """SELECT event_id, user_id,
+        |       len(list_distinct(list(event_type) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY epoch(date_trunc('second', ts)), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS n_types_seen,
+        |       TRUE AS hll_ok
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id")
         .orderBy(col("es"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), Q.epochSec(col("ts")).as("es"),
           col("event_type"))
-        .withColumn("n_types_seen",
-          approx_count_distinct(col("event_type"), 0.01).over(w))
-        .select("event_id", "user_id", "n_types_seen")
+        .withColumn("n_types_seen", size(collect_set(col("event_type")).over(w)).cast("long"))
+        .withColumn("n_hll", approx_count_distinct(col("event_type"), 0.01).over(w))
+        .select(col("event_id"), col("user_id"), col("n_types_seen"),
+          (abs(col("n_hll") - col("n_types_seen")) <=
+            greatest(lit(1.0), lit(0.05) * col("n_types_seen"))).as("hll_ok"))
         .orderBy("event_id")
     }
   )

