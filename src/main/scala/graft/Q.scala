@@ -45,4 +45,20 @@ object Q {
   def epochSec(c: Column): Column = unix_timestamp(c)
   def sqlEpochSec(e: String): String =
     s"CAST(epoch(date_trunc('second', $e)) AS BIGINT)"
+
+  /** Per-id slots in the packed `es * PackBase + event_id` event-time
+    * order key (attribution last-touch, streaming OHLC tie-break). */
+  val PackBase = 100000000L
+
+  /** Packed (epoch-sec, event_id) int64 order key with an overflow
+    * guard: an event_id outside [0, PackBase) would silently corrupt
+    * the event-time ordering AND the `ord / PackBase` second recovery
+    * the streaming state pruning relies on — so it fails LOUDLY at
+    * ingest instead (the guard stays inside the expression tree, so
+    * column pruning can never elide it). */
+  def packedOrd(es: Column, id: Column): Column =
+    when(id >= PackBase || id < 0,
+      raise_error(concat(lit("event_id overflows the packed (es,event_id) order key: "),
+        id.cast("string"))).cast("long"))
+      .otherwise(es * PackBase + id)
 }

@@ -117,12 +117,30 @@ object Tables {
     eventsRaw.fields.map(f =>
       if (f.name == "ts") StructField("ts", TimestampType) else f))
 
-  /** dir → "the events file stores ts as a nanos int64" (vs plain µs).
-    * Sniffed ONCE per directory from the parquet footer — a driver-side
-    * metadata read, no data scan — and cached: the test files are
-    * immutable within a run. */
+  /** (dir, file mtime, file size) → "the events file stores ts as a
+    * nanos int64" (vs plain µs). Sniffed from the parquet footer — a
+    * driver-side metadata read, no data scan — and cached. The mtime +
+    * size in the key invalidate the verdict if events.parquet is
+    * regenerated IN PLACE with the other encoding while a session is
+    * alive (a long-lived test JVM across a testdata refresh): a stale
+    * dir-only verdict would silently apply the wrong unit conversion —
+    * exactly the 1970-collapse failure the sniff exists to prevent. */
   private val eventsTsIsNanos =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
+
+  private def eventsCacheKey(dir: String): (String, Long, Long) = {
+    // events.parquet may be a single file or a directory of part files;
+    // fold every part's (mtime, size) so any in-place rewrite changes
+    // the key. Missing files key as (0, 0) and fail in the read below.
+    val root = new java.io.File(s"$dir/events.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Seq.empty)
+      else Seq(root)
+    val (m, s) = files.foldLeft((0L, 0L)) { case ((am, as), f) =>
+      (am ^ java.lang.Long.rotateLeft(f.lastModified(), 17), as + f.length()) }
+    (dir, m, s)
+  }
 
   /** events with ts as TimestampType, whichever encoding the file has.
     *
@@ -140,7 +158,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.getOption(NanosAsLongKey).forall(_ != "true"))
       spark.conf.set(NanosAsLongKey, "true")
-    val isNanos = eventsTsIsNanos.computeIfAbsent(dir, _ =>
+    val isNanos = eventsTsIsNanos.computeIfAbsent(eventsCacheKey(dir), _ =>
       // with nanosAsLong set, a NANOS column infers as LongType; a µs
       // column infers as a timestamp type (TZ or NTZ) — never LongType
       spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)

@@ -651,7 +651,7 @@ object Analytics {
           Q.epochSec(col("ts")).as("es"))
         .withColumn("hist", collect_list(
           when(col("event_type") =!= "purchase",
-            struct((col("es") * 100000000L + col("event_id")).as("ord"),
+            struct(Q.packedOrd(col("es"), col("event_id")).as("ord"),
               col("event_type").as("touch_type")))).over(wr))
         .filter(col("event_type") === "purchase" && size(col("hist")) > 0)
         .select(explode(expr(

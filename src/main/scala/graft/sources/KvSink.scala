@@ -84,10 +84,12 @@ private[sources] class KvTable(options: CaseInsensitiveStringMap)
     val path = info.options.get("path")
     require(path != null, "graft-kv requires .option(\"path\", dir)")
     val failPartition = Option(info.options.get("failPartition")).map(_.toInt)
+    val failManifest = info.options.getBoolean("failManifest", false)
     val queryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new KvBatchWrite(path, queryId, failPartition)
+        override def toBatch: BatchWrite =
+          new KvBatchWrite(path, queryId, failPartition, failManifest)
       }
     }
   }
@@ -97,7 +99,8 @@ private[sources] case class KvCommitMessage(stagedPath: String, rows: Long)
     extends WriterCommitMessage
 
 private[sources] class KvBatchWrite(path: String, queryId: String,
-                                    failPartition: Option[Int])
+                                    failPartition: Option[Int],
+                                    failManifest: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -119,37 +122,46 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
       require(!Files.exists(dst), s"graft-kv: destination already exists: $dst")
     }
     val published = scala.collection.mutable.ArrayBuffer.empty[(java.nio.file.Path, java.nio.file.Path)]
-    val entries =
-      try moves.map { case (src, dst, rows) =>
+    // ANY failure before the manifest lands — a mid-sequence data move,
+    // the prior-manifest read, the temp write, or the final
+    // ATOMIC_MOVE — must not leave moved files published without a
+    // manifest entry: return them to staging so abort()'s cleanup
+    // contract ("failed commit leaves zero unmanifested files in the
+    // target") holds for the WHOLE publication, not just the data moves
+    def unpublish(): Unit = published.foreach { case (src, dst) =>
+      try Files.move(dst, src, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Throwable => () } // best effort; original error wins
+    }
+    try {
+      val entries = moves.map { case (src, dst, rows) =>
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
         published += ((src, dst))
         s"${dst.getFileName}:$rows"
       }
-      catch { case e: Throwable =>
-        // a mid-sequence move failure must not leave earlier moves
-        // published without a manifest entry — return them to staging
-        // so abort()'s cleanup contract ("target untouched") holds
-        published.foreach { case (src, dst) =>
-          try Files.move(dst, src, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: Throwable => () } // best effort; original error wins
-        }
-        throw e
-      }
-    // merge with a prior append's manifest so the listing stays
-    // complete; write-to-temp + ATOMIC_MOVE so a reader polling
-    // _SUCCESS never observes a truncated or torn manifest and a crash
-    // mid-rewrite cannot lose the prior append's committed listing
-    val manifest = Paths.get(path, "_SUCCESS")
-    val prior =
-      if (Files.exists(manifest))
-        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty).toSeq
-      else Seq.empty
-    val tmp = Paths.get(path, "_staging", s"_SUCCESS.$queryId.tmp")
-    Files.write(tmp,
-      (prior ++ entries).sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    // POSIX rename replaces an existing manifest atomically
-    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+      // test hook: simulate the manifest publication itself failing
+      // AFTER every data move landed — the rollback's hardest case
+      if (failManifest)
+        throw new RuntimeException("injected manifest failure")
+      // merge with a prior append's manifest so the listing stays
+      // complete; write-to-temp + ATOMIC_MOVE so a reader polling
+      // _SUCCESS never observes a truncated or torn manifest and a crash
+      // mid-rewrite cannot lose the prior append's committed listing
+      val manifest = Paths.get(path, "_SUCCESS")
+      val prior =
+        if (Files.exists(manifest))
+          new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty).toSeq
+        else Seq.empty
+      val tmp = Paths.get(path, "_staging", s"_SUCCESS.$queryId.tmp")
+      Files.write(tmp,
+        (prior ++ entries).sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      // POSIX rename replaces an existing manifest atomically; after
+      // this point the write is committed and is never rolled back
+      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      unpublish()
+      throw e
+    }
     deleteStaging()
   }
 

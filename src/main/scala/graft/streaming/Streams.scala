@@ -170,7 +170,7 @@ object Streams {
                watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .withColumn("k", unix_timestamp(col("ts")) * 100000000L + col("event_id"))
+      .withColumn("k", graft.Q.packedOrd(unix_timestamp(col("ts")), col("event_id")))
       .groupBy(window(col("ts"), size))
       .agg(
         count(lit(1)).as("n"),
@@ -214,12 +214,19 @@ object Streams {
           var maxEs = prev.maxEs
           val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
           def esOf(e: Ev): Long = e.ts.getTime / 1000L
-          def ordOf(e: Ev): Long = esOf(e) * 100000000L + e.event_id
+          // same overflow contract as Q.packedOrd: an id outside the
+          // pack slot would corrupt both the last-touch ordering and
+          // the ord/PackBase second recovery the pruning divides by
+          def ordOf(e: Ev): Long = {
+            require(e.event_id >= 0 && e.event_id < graft.Q.PackBase,
+              s"event_id ${e.event_id} overflows the packed (es,event_id) order key")
+            esOf(e) * graft.Q.PackBase + e.event_id
+          }
           rows.toSeq.sortBy(ordOf).foreach { e =>
             val es = esOf(e)
             if (e.event_type == "purchase") {
               val win = buf.filter { t =>
-                val tes = t.ord / 100000000L
+                val tes = t.ord / graft.Q.PackBase
                 tes >= es - lookbackSec && tes < es
               }
               if (win.nonEmpty) {
@@ -233,7 +240,7 @@ object Streams {
             // a late event must not re-widen (or over-shrink) the horizon
             if (es > maxEs) maxEs = es
             buf = buf.filter(
-              _.ord / 100000000L >= maxEs - lookbackSec - allowedLatenessSec)
+              _.ord / graft.Q.PackBase >= maxEs - lookbackSec - allowedLatenessSec)
           }
           state.update(TouchBuf(buf, maxEs))
           out.iterator

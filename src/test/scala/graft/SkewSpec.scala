@@ -45,6 +45,22 @@ class SkewSpec extends SparkSpec {
     finally uncapped.unpersist()
   }
 
+  test("corpus guard: max shingle df stays under the declared 128 cap") {
+    // q_dedup_containment's DuckDB oracle runs the exact uncapped
+    // shingle self-join while the Spark twin blocks candidates at
+    // dfCap=128 — pairs overlapping ONLY via hotter shingles would be
+    // present in the oracle but missing from the twin. The divergence
+    // is data-dependent, so this guard turns a future testdata
+    // regeneration that crosses the boundary into a loud failure here
+    // instead of a silent driver hash mismatch.
+    val maxDf = ops.TextPipeline.shingles(spark, sfDir)
+      .groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head.getLong(0)
+    assert(maxDf <= 128L,
+      s"max shingle df $maxDf crossed the 128 candidate cap: the capped " +
+        "dedup queries no longer discover the same pairs as their oracles")
+  }
+
   test("df-capped containment pairs match the uncapped set (shared stats machinery)") {
     // containment derives from the SAME shinglePairStats as near-dup;
     // this pins the invariance for its lower 0.5 threshold too — a

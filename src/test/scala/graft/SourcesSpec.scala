@@ -150,6 +150,32 @@ class SourcesSpec extends SparkSpec {
       s"failed write must leave the target byte-identical: $before vs $after")
   }
 
+  test("graft-kv rolls back published files when the manifest publication fails") {
+    import spark.implicits._
+    val dir = tempDir("graft_kv_manifest_fail")
+    // seed a prior successful write — the committed state that must
+    // survive a later failed commit byte-for-byte
+    Seq((10L, "x")).toDF("key", "value").coalesce(1)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val manifestBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS")))
+    intercept[Exception] {
+      Seq((1L, "a"), (2L, "b")).toDF("key", "value").repartition(2)
+        .write.format("graft-kv").option("path", dir)
+        .option("failManifest", "true").mode("append").save()
+    }
+    // every data file the failed commit had already moved into the
+    // target must be unpublished again (moved back to staging, then
+    // cleaned by abort) — zero unmanifested files, manifest untouched
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(after === before,
+      s"failed manifest publication must leave the target byte-identical: $before vs $after")
+    val manifestAfter = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS")))
+    assert(manifestAfter === manifestBefore)
+  }
+
   test("graft-docs batch read: deterministic rows across the requested partitions") {
     val df = spark.read.format("graft-docs")
       .option("rows", 1000).option("partitions", 8).load()

@@ -445,6 +445,25 @@ class StreamingSpec extends SparkSpec {
       "beyond the allowance the late purchase finds no retained touches")
   }
 
+  test("packed (es, event_id) order key fails loudly on id overflow") {
+    // the packed key reserves PackBase id slots per second; an id at or
+    // above it (or negative) would silently corrupt event-time ordering
+    // AND the ord/PackBase second recovery the state pruning divides by
+    // — both the column form and the typed streaming form must refuse
+    import org.apache.spark.sql.functions.lit
+    val ok = spark.range(1)
+      .select(graft.Q.packedOrd(lit(10L), lit(graft.Q.PackBase - 1)).as("k"))
+      .head().getLong(0)
+    assert(ok === 10L * graft.Q.PackBase + (graft.Q.PackBase - 1))
+    intercept[Exception] {
+      spark.range(1).select(graft.Q.packedOrd(lit(10L), lit(graft.Q.PackBase)).as("k"))
+        .head()
+    }
+    intercept[Exception] {
+      spark.range(1).select(graft.Q.packedOrd(lit(10L), lit(-1L)).as("k")).head()
+    }
+  }
+
   test("soak: rate -> dedup -> enrich -> ledgered sink holds its invariants under real triggers") {
     // the one wall-clock test: a real rate-micro-batch source driving
     // the full pipeline for a few seconds of back-to-back triggers,
