@@ -40,7 +40,18 @@ object OffsetLedger {
   /** foreachBatch body: idempotent epoch-keyed data write + ledger commit.
     * Usage: ds.writeStream.foreachBatch(OffsetLedger.sink(out, ledger) _)
     */
-  def sink(outDir: String, ledgerDir: String)(df: DataFrame, epochId: Long): Unit = {
+  def sink(outDir: String, ledgerDir: String)(df: DataFrame, epochId: Long): Unit =
+    sinkImpl(outDir, ledgerDir, None)(df, epochId)
+
+  /** [[sink]] with the crash-window test hook: `haltAfterDataForEpoch`
+    * hard-kills the JVM (Runtime.halt — no shutdown hooks, no finally;
+    * SIGKILL semantics from inside) right between the epoch's data
+    * write and its marker commit, the exact window a real crash can
+    * hit. tools.SoakCrash drives it in a child JVM and then audits the
+    * replay-overwrite recovery from a fresh process. */
+  private[graft] def sinkImpl(outDir: String, ledgerDir: String,
+                              haltAfterDataForEpoch: Option[Long])
+                             (df: DataFrame, epochId: Long): Unit = {
     Files.createDirectories(Paths.get(ledgerDir))
     val marker = ledgerRowPath(ledgerDir, epochId)
     if (Files.exists(marker)) return // replayed epoch: already committed, skip
@@ -52,6 +63,8 @@ object OffsetLedger {
         coalesce(min(col("event_id")), lit(-1L))).head()
       // data first (epoch-keyed, overwrite = replay-safe) ...
       cached.write.mode(SaveMode.Overwrite).parquet(s"$outDir/epoch=$epochId")
+      if (haltAfterDataForEpoch.contains(epochId))
+        Runtime.getRuntime.halt(137) // simulated kill -9 mid-epoch
       // ... ledger commit last. Files.write(marker, …) would create the
       // file before filling it — a crash mid-write leaves a truncated
       // marker that replay treats as committed. Write to a temp file in
@@ -135,15 +148,22 @@ object KafkaSource {
     * or compacted past the ledger → stored > latest; partition count
     * grew → no stored offset at all). Each stored offset is clamped
     * into [earliest, latest], unknown partitions start at earliest,
-    * and every adjustment is REPORTED — silent clamping would hide
-    * data loss, which is the one thing an offset ledger exists to make
-    * loud. Pure arithmetic on the three maps, so the contract is fully
-    * property-testable without a broker (LedgerSpec). */
+    * stored partitions the broker no longer reports (topic shrunk /
+    * recreated narrower — the rebalance-revocation case) are dropped
+    * FROM THE RESUME MAP but kept in the report, and every adjustment
+    * is REPORTED — silent clamping would hide data loss, which is the
+    * one thing an offset ledger exists to make loud. Pure arithmetic
+    * on the three maps, so the contract is fully property-testable
+    * without a broker (LedgerSpec). */
   def clampToRange(stored: Map[Int, Long], earliest: Map[Int, Long],
                    latest: Map[Int, Long]): (Map[Int, Long], Seq[String]) = {
     require(earliest.keySet == latest.keySet,
       s"broker range maps disagree on partitions: ${earliest.keySet} vs ${latest.keySet}")
     val adjustments = Seq.newBuilder[String]
+    (stored.keySet -- earliest.keySet).toSeq.sorted.foreach { p =>
+      adjustments += s"partition $p: stored offset ${stored(p)} but the broker " +
+        "no longer reports the partition — dropping it from the resume map"
+    }
     val clamped = earliest.keySet.toSeq.sorted.map { p =>
       val lo = earliest(p)
       val hi = latest(p)

@@ -74,6 +74,42 @@ class LedgerSpec extends SparkSpec {
       Paths.get(ledgerDir, "epoch_000000005.json")) === firstWrite)
   }
 
+  test("crash window replay: data-written-no-marker epoch is overwrite-committed exactly once") {
+    import spark.implicits._
+    val outDir = tempDir("graft_out3")
+    val ledgerDir = tempDir("graft_ledger3")
+
+    // epoch 0 committed normally
+    OffsetLedger.sink(outDir, ledgerDir)(
+      Seq((1L, 10L, 1.0)).toDF("event_id", "user_id", "value"), 0L)
+
+    // simulate the kill -9 window for epoch 1: the DATA parquet landed
+    // but the process died before the marker — exactly the state
+    // sinkImpl's halt hook produces (tools.SoakCrash proves it against
+    // a real child-JVM halt; this is the deterministic in-test twin)
+    Seq((2L, 11L, 2.0), (99L, 99L, 9.9)).toDF("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$outDir/epoch=1")
+    assert(!Files.exists(Paths.get(ledgerDir, "epoch_000000001.json")))
+
+    // restart replays epoch 1 — possibly with DIFFERENT task output
+    // than the half-written attempt; the overwrite-then-mark ordering
+    // must erase the partial attempt, never merge with it
+    val replay = Seq((2L, 11L, 2.0), (3L, 12L, 3.0)).toDF("event_id", "user_id", "value")
+    OffsetLedger.sink(outDir, ledgerDir)(replay, 1L)
+
+    val epoch1 = spark.read.parquet(s"$outDir/epoch=1")
+      .select("event_id").as[Long].collect().sorted
+    assert(epoch1.toList === List(2L, 3L),
+      "replay must overwrite the pre-crash partial attempt wholesale")
+    val ledger = OffsetLedger.read(spark, ledgerDir).orderBy("epoch_id").collect()
+    assert(ledger.map(_.getAs[Long]("epoch_id")).toList === List(0L, 1L))
+    assert(ledger.last.getAs[Long]("n_rows") === 2L)
+
+    // a SECOND replay of the now-committed epoch is a pure no-op
+    OffsetLedger.sink(outDir, ledgerDir)(replay.union(replay), 1L)
+    assert(spark.read.parquet(s"$outDir/epoch=1").count() === 2L)
+  }
+
   test("end-to-end pipeline: rate source → watermark dedup → dim enrich → ledger sink") {
     import graft.streaming.Streams
     import spark.implicits._
@@ -244,6 +280,65 @@ class LedgerSpec extends SparkSpec {
     assert(clamped === Map(0 -> 10L, 1 -> 80L, 2 -> 50L, 3 -> 0L))
     assert(report.size === 3, report.mkString("; "))
     assert(report.exists(_.contains("5 offsets lost to retention")))
+  }
+
+  test("clampToRange survives a rebalance: revoked partitions drop loudly, adopted ones start at earliest") {
+    // the two rebalance faces the r10 verdict called untested: the
+    // broker stops reporting partitions the ledger still holds
+    // (revocation / topic recreated narrower), and reports partitions
+    // the ledger has never seen (adoption / partition count grew) —
+    // possibly both in one restart
+    val (clamped, report) = KafkaSource.clampToRange(
+      stored = Map(0 -> 42L, 1 -> 7L, 5 -> 99L), // p5: broker no longer has it
+      earliest = Map(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 0L), // p2,p3: adopted
+      latest = Map(0 -> 100L, 1 -> 100L, 2 -> 10L, 3 -> 0L))
+    // the resume map covers EXACTLY the broker's partitions — a revoked
+    // partition must not linger (startingOffsets JSON with an unknown
+    // partition fails the kafka source), an adopted one must be present
+    assert(clamped.keySet === Set(0, 1, 2, 3))
+    assert(clamped === Map(0 -> 42L, 1 -> 7L, 2 -> 0L, 3 -> 0L))
+    // ... and neither transition is silent
+    assert(report.exists(r => r.contains("partition 5") && r.contains("no longer reports")),
+      report.mkString("; "))
+    assert(report.count(_.contains("no stored offset, starting at earliest")) === 2)
+    // the surviving map renders into a valid resume JSON
+    assert(KafkaSource.startingOffsetsJson("events", clamped) ===
+      """{"events":{"0":42,"1":7,"2":0,"3":0}}""")
+  }
+
+  test("clampToRange rebalance property: resume map always equals the broker's partition set") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // arbitrary overlap between stored and broker partition sets —
+    // subsets, supersets, disjoint — the resume map must always cover
+    // exactly the broker's partitions, every dropped stored partition
+    // must be reported, and report size must equal the number of
+    // partitions that changed (revoked + adopted + clamped)
+    val partGen = Gen.choose(0, 12)
+    val gen = for {
+      brokerParts <- Gen.containerOf[Set, Int](partGen)
+      storedParts <- Gen.containerOf[Set, Int](partGen)
+      los <- Gen.listOfN(brokerParts.size, Gen.choose(0L, 100L))
+      spans <- Gen.listOfN(brokerParts.size, Gen.choose(0L, 100L))
+      offs <- Gen.listOfN(storedParts.size, Gen.choose(0L, 250L))
+    } yield {
+      val earliest = brokerParts.toSeq.sorted.zip(los).toMap
+      val latest = earliest.map { case (p, lo) =>
+        p -> (lo + spans(brokerParts.toSeq.sorted.indexOf(p))) }
+      val stored = storedParts.toSeq.sorted.zip(offs).toMap
+      (stored, earliest, latest)
+    }
+    val prop = Prop.forAll(gen) { case (stored, earliest, latest) =>
+      val (clamped, report) = KafkaSource.clampToRange(stored, earliest, latest)
+      val revoked = stored.keySet -- earliest.keySet
+      val adopted = earliest.keySet -- stored.keySet
+      val moved = earliest.keySet.intersect(stored.keySet)
+        .filter(p => stored(p) < earliest(p) || stored(p) > latest(p))
+      clamped.keySet == earliest.keySet &&
+        clamped.forall { case (p, o) => earliest(p) <= o && o <= latest(p) } &&
+        report.size == revoked.size + adopted.size + moved.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"rebalance property failed: ${res.status}")
   }
 
   test("clampToRange is identity (and silent) exactly when every offset is in range") {

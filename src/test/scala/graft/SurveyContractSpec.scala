@@ -46,4 +46,20 @@ class SurveyContractSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("every bench query carries a committed floor (and no floor is stale)") {
+    // Bench's contention-retry rule and the judge's outlier adjudication
+    // both key off BenchFloors; a query without a floor silently falls
+    // back to the weaker absolute threshold, and a floor for a removed
+    // query is dead weight. Queries added since the last floor harvest
+    // fail here until tools/gen_floors.py runs — the lockstep the r10
+    // verdict asked for (tools.CountQ checked it manually before).
+    val unfloored = SparkEntry.queries.keySet -- BenchFloors.floor.keySet
+    assert(unfloored.isEmpty,
+      s"bench queries without a committed floor (run tools/gen_floors.py): " +
+        unfloored.toSeq.sorted.mkString(", "))
+    val stale = BenchFloors.floor.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"floors for queries that no longer exist: ${stale.toSeq.sorted.mkString(", ")}")
+  }
 }
