@@ -448,11 +448,15 @@ object Graph {
   private[graft] def coPairsWithSupport(s: SparkSession, d: String): DataFrame =
     orderParts(s, d)
       .groupBy("o").agg(sort_array(collect_set(col("pk"))).as("pks"))
-      .select(explode(expr(
-        """flatten(transform(pks,
-          |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
-          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
-      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      // pair expansion STREAMS through two codegen'd generators
+      // (posexplode picks a, explode(slice) yields each later b) — the
+      // same rewrite as q_graph_butterflies: the nested transform/
+      // flatten lambda form is CodegenFallback and materializes each
+      // basket's full C(items,2) struct array before exploding
+      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("pks"), col("i") + lit(2),
+          size(col("pks")) - col("i") - lit(1))).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= MinSupport)
 

@@ -294,11 +294,14 @@ object Statistics {
       val na = items.groupBy("pk").agg(count(lit(1)).as("np"))
       val top = items
         .groupBy("okey").agg(sort_array(collect_list(col("pk"))).as("pks"))
-        .select(explode(expr(
-          """flatten(transform(pks,
-            |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
-            |            y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
-        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        // streamed two-generator pair expansion (posexplode + explode
+        // over slice), same rewrite as the graph ops: the nested
+        // transform/flatten lambda is CodegenFallback and materializes
+        // each basket's full C(items,2) struct array before exploding
+        .select(col("pks"), posexplode(col("pks")).as(Seq("i", "p1")))
+        .select(col("p1"),
+          explode(slice(col("pks"), col("i") + lit(2),
+            size(col("pks")) - col("i") - lit(1))).as("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
         .orderBy(col("n_ab").desc, col("p1"), col("p2"))
         .limit(20)
