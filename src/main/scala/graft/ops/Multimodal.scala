@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY §2.10, builder brief): media as an
@@ -179,35 +180,81 @@ object Multimodal {
     }
   }
 
+  /** Full decode output (doc_id, mime, size_bytes, width, height,
+    * channel means, luminance) — the pre-r11 q_multimodal_decode body,
+    * kept whole for the GoldenSpec pin and downstream feature use. */
+  private[graft] def decodedFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
+      .toDF()
+      .repartition(col("doc_id")) // size decode partitions; no shuffle after
+      .as[MediaIn]
+      .mapPartitions(decodePng)
+      .toDF()
+      .select(
+        col("doc_id"), col("mime"), col("size_bytes"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3).cast("double"), 4).as("mean_r"),
+        round(element_at(col("features"), 4).cast("double"), 4).as("mean_g"),
+        round(element_at(col("features"), 5).cast("double"), 4).as("mean_b"),
+        round(element_at(col("features"), 6).cast("double"), 4).as("mean_lum"))
+      .orderBy("doc_id")
+  }
+
+  /** Full frame-sampling rollup — the pre-r11 q_multimodal_frames body,
+    * kept whole for the GoldenSpec pin. */
+  private[graft] def sampledFrameStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        MediaIn(id, "video/gfv1", encodeContainer(id, nc)) })
+      .toDF()
+      .repartition(col("doc_id"))
+      .as[MediaIn]
+      .mapPartitions(sampleFrames(stride = 2))
+      .toDF()
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("width") * col("height")).cast("long").as("pixels_sampled"),
+        round(avg(col("mean_lum")), 4).as("avg_lum"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Binary ingest → per-partition batch decode → feature stats, with
     // a REAL PNG codec on both ends (javax.imageio): synth emits true
     // image/png bytes, decode parses them back and measures the raster.
-    // Rows-only in the driver gate (no SQL engine decodes PNG) but
-    // golden-pinned end-to-end; the Spark plumbing — binary column,
-    // typed Encoders, mapPartitions batch shape, post-decode projection
-    // — is identical to what a production image pipeline runs.
-    Q.noOracle("q_multimodal_decode") { (s, d) =>
-      import s.implicits._
-      val media = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
-        .toDF()
-        .repartition(col("doc_id")) // size decode partitions; no shuffle after
-        .as[MediaIn]
-      media
-        .mapPartitions(decodePng)
-        .toDF()
-        .select(
-          col("doc_id"), col("mime"), col("size_bytes"),
-          element_at(col("features"), 1).cast("int").as("width"),
-          element_at(col("features"), 2).cast("int").as("height"),
-          round(element_at(col("features"), 3).cast("double"), 4).as("mean_r"),
-          round(element_at(col("features"), 4).cast("double"), 4).as("mean_g"),
-          round(element_at(col("features"), 5).cast("double"), 4).as("mean_b"),
-          round(element_at(col("features"), 6).cast("double"), 4).as("mean_lum"))
+    // No SQL engine decodes PNG, but (r11) the decoded DIMENSIONS are a
+    // closed form of (doc_id, n_chars) — w = 4 + doc_id % 13, h = 3 +
+    // n_chars % 7 — so the driver-checked form emits them next to a
+    // raster-sanity verdict (channel means in [0,1], luminance equal to
+    // the weighted channel mix) the oracle pins TRUE: a broken codec
+    // round-trip now hash-mismatches cross-engine instead of hiding in
+    // a rows-only count. The full channel-mean surface stays
+    // golden-pinned (GoldenSpec on decodedFeatures).
+    Q("q_multimodal_decode",
+      """SELECT doc_id,
+        |       CAST(4 + doc_id % 13 AS INT) AS width,
+        |       CAST(3 + n_chars % 7 AS INT) AS height,
+        |       TRUE AS raster_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      decodedFeatures(s, d)
+        .select(col("doc_id"), col("width"), col("height"),
+          (col("mean_r").between(0, 1) && col("mean_g").between(0, 1) &&
+            col("mean_b").between(0, 1) &&
+            abs(col("mean_lum") - (lit(0.299) * col("mean_r") +
+              lit(0.587) * col("mean_g") + lit(0.114) * col("mean_b"))) < 0.001)
+            .as("raster_ok"))
         .orderBy("doc_id")
     },
 
@@ -216,26 +263,28 @@ object Multimodal {
     // frames, the sampler parses the container and pixel-decodes every
     // kept frame (stride 2). Each doc explodes to its sampled frames
     // in one partition-local pass (no shuffle until the per-doc
-    // rollup). Rows-only in the driver gate (no SQL engine decodes
-    // PNG); golden-pinned end-to-end.
-    Q.noOracle("q_multimodal_frames") { (s, d) =>
-      import s.implicits._
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .mapPartitions(_.map { case (id, nc) =>
-          MediaIn(id, "video/gfv1", encodeContainer(id, nc)) })
-        .toDF()
-        .repartition(col("doc_id"))
-        .as[MediaIn]
-        .mapPartitions(sampleFrames(stride = 2))
-        .toDF()
-        .groupBy("doc_id")
-        .agg(
-          max(col("n_frames")).as("n_frames"),
-          count(lit(1)).as("n_sampled"),
-          sum(col("width") * col("height")).cast("long").as("pixels_sampled"),
-          round(avg(col("mean_lum")), 4).as("avg_lum"))
+    // rollup). (r11) The container geometry is a closed form of
+    // (doc_id, n_chars) — n_frames = 2 + n_chars % 5, stride-2 keeps
+    // ceil(n/2), frame i is (4 + (doc_id+i) % 5) × (3 + i % 4) — so
+    // the DuckDB oracle COMPUTES the expected frame counts and sampled
+    // pixel totals and pins the luminance-sanity verdict TRUE: a
+    // container-parse or frame-decode break now hash-mismatches.
+    // avg_lum itself stays golden-pinned (GoldenSpec on
+    // sampledFrameStats).
+    Q("q_multimodal_frames",
+      """SELECT doc_id,
+        |       CAST(2 + n_chars % 5 AS BIGINT) AS n_frames,
+        |       CAST((2 + n_chars % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+        |       CAST(list_sum([(4 + (doc_id + i) % 5) * (3 + i % 4)
+        |                      FOR i IN range(0, CAST(2 + n_chars % 5 AS INT))
+        |                      IF i % 2 = 0]) AS BIGINT) AS pixels_sampled,
+        |       TRUE AS lum_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      sampledFrameStats(s, d)
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("n_sampled"), col("pixels_sampled"),
+          col("avg_lum").between(0, 1).as("lum_ok"))
         .orderBy("doc_id")
     }
   )

@@ -163,6 +163,74 @@ object Similarity {
   private val dot: (String, String) => Column = (x, y) =>
     expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
+  /** Exact cosine top-5 per probe (vec_id < 10) — the ground truth the
+    * approximate paths are audited against; same probe set, rounding
+    * and (score DESC, cand_id) ranking contract as q_sim_brute. */
+  private[graft] def bruteTop5(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CosineSim.cosine_sim
+    val e = Tables.load(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        Q.r4(cosine_sim(col("pe"), col("ce"))).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** Aggregate recall@5 audit of an approximate kNN result against
+    * [[bruteTop5]]: one row per probe (the probe set is what the
+    * DuckDB oracle pins) carrying the corpus-level recall ≥ `floor`
+    * verdict — the q_agg_approx_distinct error-band pattern applied to
+    * ANN, since neighbor lists themselves are engine-specific. */
+  private[graft] def recallAudit(s: SparkSession, d: String,
+                                 approx: DataFrame, floor: Double): DataFrame = {
+    val truth = bruteTop5(s, d).select("probe_id", "cand_id")
+    val hits = truth
+      .join(approx.select("probe_id", "cand_id"), Seq("probe_id", "cand_id"))
+      .agg(count(lit(1)).as("hits"))
+    val ok = hits.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select((col("hits") >= col("n_truth") * floor).as("recall_ok"))
+    Tables.load(s, d, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"))
+      .crossJoin(broadcast(ok))
+      .orderBy("probe_id")
+  }
+
+  /** Shared oracle for the two ANN audits: the probe set + TRUE. */
+  private val RecallOracle =
+    """SELECT vec_id AS probe_id, TRUE AS recall_ok
+      |FROM embeddings
+      |WHERE vec_id < 10
+      |ORDER BY probe_id""".stripMargin
+
+  /** q_knn_lsh's approximate path: seeded random-projection LSH
+    * (spark.ml), Euclidean approxSimilarityJoin, top-5 per probe. */
+  private[graft] def lshKnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(3).setSeed(42)
+    val model = lsh.fit(e)
+    val probes = e.filter(col("vec_id") < 10)
+    val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("cand_id"))
+    model.approxSimilarityJoin(probes, e, 10.0, "dist")
+      .select(
+        col("datasetA.vec_id").as("probe_id"),
+        col("datasetB.vec_id").as("cand_id"),
+        Q.r6(col("dist")).as("dist"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("probe_id", "rnk")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-5 for 10 probe vectors. The probe side is
@@ -273,29 +341,16 @@ object Similarity {
     },
 
     // Approximate kNN via random-projection LSH (spark.ml) — the scale
-    // path when bucketed exact cosine is still too wide. Seeded, but the
-    // hash family is engine-specific → rows-only check; q_sim_brute
-    // carries the exact oracle.
-    Q.noOracle("q_knn_lsh") { (s, d) =>
-      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      val lsh = new BucketedRandomProjectionLSH()
-        .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(2.0).setNumHashTables(3).setSeed(42)
-      val model = lsh.fit(e)
-      val probes = e.filter(col("vec_id") < 10)
-      val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("cand_id"))
-      model.approxSimilarityJoin(probes, e, 10.0, "dist")
-        .select(
-          col("datasetA.vec_id").as("probe_id"),
-          col("datasetB.vec_id").as("cand_id"),
-          Q.r6(col("dist")).as("dist"))
-        .filter(col("probe_id") =!= col("cand_id"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .orderBy("probe_id", "rnk")
+    // path when bucketed exact cosine is still too wide. The hash
+    // family is engine-specific, so neighbor lists can't hash-match a
+    // DuckDB oracle; the driver-checked form (r11) is the RECALL-BAND
+    // audit: the LSH top-5 and the exact brute-force top-5 run in one
+    // plan, and the output carries the probe set plus the corpus-level
+    // recall@5 ≥ 0.6 verdict the oracle pins as TRUE (the floor
+    // TwinAndPropertySpec has asserted since the op landed). Raw
+    // neighbor lists stay available via lshKnn for tests/tuning.
+    Q("q_knn_lsh", RecallOracle) { (s, d) =>
+      recallAudit(s, d, lshKnn(s, d), floor = 0.6)
     },
 
     // IVF (inverted-file) approximate kNN — the second scale path next
@@ -306,11 +361,14 @@ object Similarity {
     // so per-cell size AND cell count both scale sub-linearly — a fixed
     // k would leave per-probe work linear in the corpus. The quantizer
     // fits on a deterministic hash-SAMPLE (see ivfKnn/ivfFitSample), so
-    // no step of the build caches or re-scans the full corpus.
-    // Rows-only (k-means cells are engine-specific); q_sim_brute
-    // carries the exact oracle and TwinAndPropertySpec asserts score
-    // correctness and recall@5.
-    Q.noOracle("q_knn_ivf") { (s, d) => ivfKnn(s, d) },
+    // no step of the build caches or re-scans the full corpus. k-means
+    // cells are engine-specific, so (r11) the driver-checked form is
+    // the same recall-band audit as q_knn_lsh: IVF top-5 vs exact
+    // brute-force top-5 in one plan, recall@5 ≥ 0.6 pinned TRUE by the
+    // oracle. Raw neighbor lists stay available via ivfKnn.
+    Q("q_knn_ivf", RecallOracle) { (s, d) =>
+      recallAudit(s, d, ivfKnn(s, d), floor = 0.6)
+    },
 
     // Multimodal record: text metadata ⋈ embedding into a nested struct
     // (doc + emb), then scalar projections for the oracle (struct literal

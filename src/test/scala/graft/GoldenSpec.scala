@@ -28,8 +28,16 @@ class GoldenSpec extends SparkSpec {
     cols.mkString(",") +: rows.toSeq
   }
 
+  // r11: the q_multimodal_* QUERIES flipped to driver-oracled audit
+  // projections; the goldens keep pinning the FULL feature surface via
+  // the underlying helpers (channel means / per-doc luminance included)
+  private val fullSurface: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_decode" -> (ops.Multimodal.decodedFeatures _),
+    "q_multimodal_frames" -> (ops.Multimodal.sampledFrameStats _))
+
   private def checkGolden(name: String): Unit = {
-    val lines = csvLines(SparkEntry.queries(name)(spark, sfDir))
+    val lines = csvLines(
+      fullSurface.getOrElse(name, SparkEntry.queries(name))(spark, sfDir))
     val path = goldenDir.resolve(s"$name.csv")
     if (sys.props.get("graft.golden.regen").contains("true")) {
       Files.createDirectories(path.getParent)

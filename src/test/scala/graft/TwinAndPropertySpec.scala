@@ -148,7 +148,9 @@ class TwinAndPropertySpec extends SparkSpec {
   }
 
   test("IVF kNN scores agree with directly computed cosine") {
-    val ivf = q("q_knn_ivf").select("probe_id", "cand_id", "score")
+    // the raw neighbor lists moved behind ops.Similarity.ivfKnn when
+    // the query flipped to the r11 recall-audit form
+    val ivf = ops.Similarity.ivfKnn(spark, sfDir).select("probe_id", "cand_id", "score")
     val e = Tables.load(spark, sfDir, "embeddings")
     val direct = ivf
       .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe")), "probe_id")
@@ -163,14 +165,17 @@ class TwinAndPropertySpec extends SparkSpec {
     // how much of the true top-5 the approximate paths return
     val truth = q("q_sim_brute").select("probe_id", "cand_id").cache()
     val denom = truth.count().toDouble
-    def recallAt5(name: String): Double =
-      truth.join(q(name).select("probe_id", "cand_id"), Seq("probe_id", "cand_id"))
+    def recallAt5(approx: org.apache.spark.sql.DataFrame): Double =
+      truth.join(approx.select("probe_id", "cand_id"), Seq("probe_id", "cand_id"))
         .count() / denom
-    val lsh = recallAt5("q_knn_lsh")
-    val ivf = recallAt5("q_knn_ivf")
+    val lsh = recallAt5(ops.Similarity.lshKnn(spark, sfDir))
+    val ivf = recallAt5(ops.Similarity.ivfKnn(spark, sfDir))
     truth.unpersist()
     assert(lsh >= 0.6, s"LSH recall@5 = $lsh")
     assert(ivf >= 0.6, s"IVF recall@5 = $ivf")
+    // ... and the driver-facing audit queries agree with the floor
+    for (name <- Seq("q_knn_lsh", "q_knn_ivf"))
+      assert(q(name).filter(!col("recall_ok")).isEmpty, s"$name audit verdict false")
   }
 
   test("cosine_sim is null (not garbage) on ragged or zero-norm input") {
@@ -185,7 +190,7 @@ class TwinAndPropertySpec extends SparkSpec {
   }
 
   test("frame sampling decodes every stride-2 frame of every container") {
-    val frames = q("q_multimodal_frames").cache()
+    val frames = ops.Multimodal.sampledFrameStats(spark, sfDir).cache()
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id")
     // container synthesis emits 2..6 frames; stride 2 keeps ceil(n/2);
     // decoded luminance is a [0,1] mean and every frame has pixels
