@@ -677,6 +677,135 @@ object Analytics {
           sum(col("c.is_last")).cast("long").as("last_touch"),
           Q.r4(sum(col("c.credit6")) / lit(1e6)).as("linear_credit"))
         .orderBy("touch_type")
+    },
+
+    // Product stickiness (round 11): per day, DAU / trailing-7-day AU —
+    // the engagement ratio growth teams track (1.0 = every weekly user
+    // comes back daily). Exact trailing-window DISTINCT users cannot
+    // ride a window function (count distinct isn't frameable), so each
+    // (day, user) activity fact FANS OUT in-row to the ≤7 future days
+    // whose trailing window it belongs to (a 7-element sequence
+    // explode — no extra scan, no day×day self-join) and one
+    // count(DISTINCT) per target day collapses multi-day users. Days
+    // are indexed as exact integers from the events anchor. Scale:
+    // the corpus collapses to |days|×|users| distinct facts first
+    // (map-side partial), the fan-out is a bounded ×7, and the one
+    // distinct agg shuffles (day, user) pairs — linear, never
+    // corpus²; the 100 TB sketch substitute is per-day HLL unions
+    // (q_agg_approx_distinct's path). Partial leading windows (the
+    // first 6 days) report over the days available, as marked.
+    Q("q_stickiness",
+      s"""WITH du AS (SELECT DISTINCT
+         |              CAST(date_diff('day', DATE '2024-01-01',
+         |                             CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |              user_id
+         |            FROM events),
+         |days AS (SELECT DISTINCT x FROM du),
+         |fan AS (SELECT du.user_id, du.x AS active_x, t.x AS target_x
+         |        FROM du JOIN days t ON t.x >= du.x AND t.x <= du.x + 6),
+         |wau AS (SELECT target_x AS x, count(DISTINCT user_id) AS wau
+         |        FROM fan GROUP BY 1),
+         |dau AS (SELECT x, count(*) AS dau FROM du GROUP BY 1)
+         |SELECT strftime(DATE '2024-01-01' + CAST(dau.x AS INT), '%Y-%m-%d') AS day,
+         |       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+         |       CAST(dau.x >= 6 AS BOOLEAN) AS full_window,
+         |       ${Q.sqlR4("CAST(dau.dau AS DOUBLE) / wau.wau")} AS stickiness
+         |FROM dau JOIN wau ON dau.x = wau.x
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(datediff(col("ts").cast(DateType), to_date(lit("2024-01-01")))
+            .cast("long").as("x"),
+          col("user_id"))
+        .distinct()
+      // fan each activity fact to the ≤7 trailing windows it serves,
+      // then keep only target days that exist in the data (the join
+      // with the day list mirrors the oracle's days CTE)
+      val days = du.select(col("x").as("target_x")).distinct()
+      val fan = du
+        .select(col("user_id"), col("x"),
+          explode(sequence(col("x"), col("x") + 6)).as("tx"))
+        .join(days, col("tx") === col("target_x"))
+      val wau = fan.groupBy(col("target_x").as("x"))
+        .agg(countDistinct("user_id").as("wau"))
+      val dau = du.groupBy("x").agg(count(lit(1)).as("dau"))
+      dau.join(wau, "x")
+        .select(
+          date_format(date_add(to_date(lit("2024-01-01")), col("x").cast("int")),
+            "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          (col("x") >= 6).as("full_window"),
+          Q.r4(col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
+    },
+
+    // Inter-purchase interval (round 11): per nation, the median and
+    // mean days between a customer's CONSECUTIVE orders — the
+    // repeat-behavior cadence behind q_retention's cohort grid and
+    // q_rfm's recency score. Gaps are exact integer days from one lag
+    // window over the per-customer order sequence; the nation median
+    // then selects EXPLICIT middle ranks (⌊(n+1)/2⌋, ⌊(n+2)/2⌋
+    // averaged — the q_theil_sen pattern: rank arithmetic, not either
+    // engine's median() interpolation). Scale: one o_custkey window
+    // (per-customer bounded), one nation-keyed agg; the per-nation
+    // rank window is the honest cost of an exact median — the 100 TB
+    // substitute is q_agg_approx_pct's quantile sketch.
+    Q("q_interpurchase",
+      s"""WITH o AS (SELECT o_custkey,
+         |                  CAST(date_diff('day', DATE '1995-01-01',
+         |                                 CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS x
+         |           FROM orders),
+         |g AS (SELECT o_custkey,
+         |             x - lag(x) OVER (PARTITION BY o_custkey ORDER BY x) AS gap
+         |      FROM o),
+         |cn AS (SELECT g.o_custkey, c.c_nationkey, n.n_name, g.gap
+         |       FROM g
+         |       JOIN customer c ON g.o_custkey = c.c_custkey
+         |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |       WHERE g.gap IS NOT NULL),
+         |rk AS (SELECT n_name, gap,
+         |              row_number() OVER (PARTITION BY n_name ORDER BY gap) AS rn,
+         |              count(*) OVER (PARTITION BY n_name) AS ng
+         |       FROM cn),
+         |med AS (SELECT n_name, ng, sum(gap) / count(*) AS med0
+         |        FROM rk
+         |        WHERE rn = CAST(floor((ng + 1) / 2.0) AS BIGINT)
+         |           OR rn = CAST(floor((ng + 2) / 2.0) AS BIGINT)
+         |        GROUP BY 1, 2),
+         |mean AS (SELECT n_name, CAST(sum(gap) AS BIGINT) AS sg, count(*) AS ng2
+         |         FROM cn GROUP BY 1)
+         |SELECT med.n_name AS nation, med.ng AS n_gaps,
+         |       ${Q.sqlR2("med.med0")} AS median_gap_days,
+         |       ${Q.sqlR2("CAST(mean.sg AS DOUBLE) / mean.ng2")} AS mean_gap_days
+         |FROM med JOIN mean ON med.n_name = mean.n_name
+         |ORDER BY nation""".stripMargin) { (s, d) =>
+      val wc = Window.partitionBy("o_custkey").orderBy("x")
+      val g = Tables.load(s, d, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast(DateType), to_date(lit("1995-01-01")))
+            .cast("long").as("x"))
+        .withColumn("gap", col("x") - lag("x", 1).over(wc))
+        .filter(col("gap").isNotNull)
+      val cn = g
+        .join(Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+        .join(broadcast(Tables.load(s, d, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+        .select(col("n_name"), col("gap"))
+      val wn = Window.partitionBy("n_name")
+      val rk = cn
+        .withColumn("rn", row_number().over(wn.orderBy("gap")))
+        .withColumn("ng", count(lit(1)).over(wn))
+      val med = rk.filter(col("rn") === floor((col("ng") + 1) / 2.0).cast("long") ||
+          col("rn") === floor((col("ng") + 2) / 2.0).cast("long"))
+        .groupBy("n_name", "ng")
+        .agg((sum("gap") / count(lit(1))).as("med0"))
+      val mean = cn.groupBy("n_name")
+        .agg(sum("gap").as("sg"), count(lit(1)).as("ng2"))
+      med.join(mean, "n_name")
+        .select(col("n_name").as("nation"), col("ng").as("n_gaps"),
+          Q.r2(col("med0")).as("median_gap_days"),
+          Q.r2(col("sg").cast("double") / col("ng2")).as("mean_gap_days"))
+        .orderBy("nation")
     }
   )
 }

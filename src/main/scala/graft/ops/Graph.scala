@@ -416,8 +416,181 @@ object Graph {
       }
       visited.groupBy("depth").agg(count(lit(1)).as("n_nodes"))
         .orderBy("depth")
+    },
+
+    // Per-node local clustering coefficient (round 11): cc(v) =
+    // 2·tri(v) / (deg(v)·(deg(v)−1)) over the support-≥2 co-purchase
+    // graph — "how clique-like is this part's bought-together
+    // neighborhood", the node-level refinement of the triangle census
+    // (tri counts participation, cc normalizes it by the possible
+    // wedge count). ONE checkpointed edge list feeds both the degree
+    // table and the triangle count (triangleCornersFrom — no second
+    // basket expansion); nodes in no triangle enter as tri=0 via the
+    // left join. cc is one IEEE division of exact int64s, both engines
+    // identical; ranking is on the ROUNDED cc with (deg DESC, node)
+    // tie-breaks so the top-20 boundary is ulp-proof. Oracle closes
+    // triangles with the id-ordered triple join — a different
+    // orientation of the same census, so agreement is by both being
+    // right, not by shared construction.
+    Q("q_graph_clustering",
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT node, count(*) AS tri_cnt
+        |       FROM (SELECT x AS node FROM tri
+        |             UNION ALL SELECT y FROM tri
+        |             UNION ALL SELECT z FROM tri)
+        |       GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |cc AS (SELECT deg.node, deg.deg, COALESCE(tn.tri_cnt, 0) AS tri_cnt,
+        |              ${Q.sqlR6("CAST(2 * COALESCE(tn.tri_cnt, 0) AS DOUBLE) / (deg.deg * (deg.deg - 1))")} AS clustering
+        |       FROM deg LEFT JOIN tn ON deg.node = tn.node
+        |       WHERE deg.deg >= 2)
+        |SELECT node, deg, tri_cnt, clustering FROM cc
+        |ORDER BY clustering DESC, deg DESC, node
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = coPairs(s, d).localCheckpoint(true)
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = triangleCornersFrom(edges)
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+          Q.r6((lit(2) * coalesce(col("tri_cnt"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - 1))).as("clustering"))
+        .orderBy(col("clustering").desc, col("deg").desc, col("node"))
+        .limit(20)
+    },
+
+    // Degree assortativity of the co-purchase graph (round 11): the
+    // Pearson correlation between the degrees at the two ends of every
+    // edge (both orientations — the standard Newman r) — positive
+    // means hub parts co-sell with other hubs (one dense "staples"
+    // core), negative means hubs bridge niche parts (hub-and-spoke
+    // markets), a one-number summary of the whole degree-mixing
+    // structure. All five sufficient sums are exact int64 over the 2m
+    // directed edge rows, fed through the SAME shared Pearson tree as
+    // q_corr_matrix (Statistics.corrCol) — both engines divide
+    // identical integers. Scale: degrees join onto the catalog-sized
+    // edge list (broadcast-eligible degree table), the agg is one
+    // map-side-partial pass, and the result is a single row.
+    Q("q_graph_assortativity",
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+        |deg AS (SELECT node, count(*) AS dg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |dir AS (SELECT da.dg AS dx, db.dg AS dy
+        |        FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+        |        UNION ALL
+        |        SELECT db.dg AS dx, da.dg AS dy
+        |        FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        |st AS (SELECT count(*) AS n,
+        |              CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |              CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |              CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |              CAST(sum(dy * dy) AS BIGINT) AS syy
+        |       FROM dir)
+        |SELECT CAST(floor(n / 2.0) AS BIGINT) AS n_edges, n AS n_directed,
+        |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))")} AS assortativity
+        |FROM st""".stripMargin) { (s, d) =>
+      val edges = coPairs(s, d).localCheckpoint(true)
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val j = edges
+        .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      val dir = j.select(col("da").as("dx"), col("db").as("dy"))
+        .unionAll(j.select(col("db").as("dx"), col("da").as("dy")))
+      dir.agg(count(lit(1)).as("n"),
+          sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(floor(col("n") / 2.0).cast("long").as("n_edges"),
+          col("n").as("n_directed"),
+          Q.r6(Statistics.corrCol(col("n"), col("sxy"), col("sx"), col("sy"),
+            col("sxx"), col("syy"))).as("assortativity"))
+    },
+
+    // Bounded k-core peeling (round 11): [[KcoreRounds]] parallel peel
+    // rounds toward the 3-core of the co-purchase graph, reporting the
+    // (surviving nodes, surviving edges) trajectory per round — the
+    // dense-subgraph extraction that seeds community/spam/anomaly
+    // mining. Each round removes EVERY node under degree 3
+    // simultaneously (the distributed peel — sequential removal would
+    // serialize on the driver), so one round = one degree agg + one
+    // endpoint semi-filter on the checkpointed edge frame; the FIXED
+    // round count bounds the plan like q_pagerank's unrolled
+    // iterations (convergence inside the budget is asserted by
+    // InferenceSpec on the test graphs, and rounds after convergence
+    // are exact no-ops — the trajectory makes that visible). Oracle:
+    // the same 8 rounds unrolled as CTEs, generated by the same Scala
+    // loop so the two sides cannot drift in round count. Counts only —
+    // pure integer parity.
+    Q("q_graph_kcore", kcoreOracle) { (s, d) =>
+      var e = coPairs(s, d).localCheckpoint(true)
+      val rows = (1 to KcoreRounds).map { i =>
+        val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= KcoreK).select("node")
+          .localCheckpoint(true)
+        e = e
+          .join(keep.withColumnRenamed("node", "a"), "a")
+          .join(keep.withColumnRenamed("node", "b"), "b")
+          .select("a", "b").localCheckpoint(true)
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+          .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      rows.reduce(_.unionAll(_)).orderBy("round")
     }
   )
+
+  /** Peel-round budget and core order for q_graph_kcore. 8 rounds
+    * converge on every observed scale factor (InferenceSpec asserts
+    * the tail rounds are no-ops); a larger graph that needs more gets
+    * a STILL-DETERMINISTIC partial peel — both engines run the same
+    * fixed rounds. */
+  private val KcoreRounds = 8
+  private val KcoreK = 3
+
+  /** The q_graph_kcore oracle: the identical peel unrolled as CTE
+    * rounds by the same loop bounds as the Spark side. */
+  private def kcoreOracle: String = {
+    // every CTE is MATERIALIZED: e_i is referenced 4x by round i+1, so
+    // an inlining planner would otherwise expand the chain into 4^8
+    // scans of lineitem (observed as an fd explosion before this fix)
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS dg
+         |        FROM (SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |        GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $KcoreK),
+         |e$i AS MATERIALIZED (SELECT e${i - 1}.a, e${i - 1}.b FROM e${i - 1}
+         |        JOIN k$i x ON e${i - 1}.a = x.node
+         |        JOIN k$i y ON e${i - 1}.b = y.node)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to KcoreRounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS round, (SELECT count(*) FROM k$i) AS n_nodes, (SELECT count(*) FROM e$i) AS n_edges"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH io AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b
+       |       FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+       |       GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+       |$rounds
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
 
   /** Per-node triangle participation counts over the part co-purchase
     * graph (ALL nodes, unlimited) — the q_graph_triangles body before
@@ -463,8 +636,14 @@ object Graph {
   private[graft] def coPairs(s: SparkSession, d: String): DataFrame =
     coPairsWithSupport(s, d).select("a", "b")
 
-  private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame = {
-    val edges = coPairs(s, d).localCheckpoint(true)
+  private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame =
+    triangleCornersFrom(coPairs(s, d).localCheckpoint(true))
+
+  /** [[triangleCorners]] over an ALREADY-materialized (a, b) edge frame —
+    * lets q_graph_clustering share one checkpointed edge list between
+    * its degree table and the triangle census instead of re-deriving
+    * the basket expansion twice. */
+  private[graft] def triangleCornersFrom(edges: DataFrame): DataFrame = {
     val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient each edge from its (deg, id)-smaller endpoint; the packed

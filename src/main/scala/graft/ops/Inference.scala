@@ -1,0 +1,549 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Inference-grade statistics over the event/lineitem series (round 11
+  * SURVEY §2 extensions): partial correlation, Theil–Sen robust slope,
+  * Cohen's d effect size, categorical entropy, AR(1) autoregression,
+  * lagged cross-correlation, and single-changepoint detection.
+  *
+  * Same determinism discipline as ops/Statistics.scala — every operator
+  * reduces to exact int64 sufficient statistics (counts, cents, day
+  * indices) and applies ONE shared double formula tree at the end, so
+  * the driver's hash-compare sees bit-identical values from Spark and
+  * DuckDB. The two log-using ops (q_cat_entropy) integer-scale each
+  * cell's ln contribution to 1e-9 BEFORE the cross-cell sum (the
+  * q_mutual_info pattern), keeping the reduction an order-free int64
+  * sum. The two medians (q_theil_sen) select explicit middle ranks
+  * instead of trusting either engine's median() semantics.
+  *
+  * Scale shapes: everything aggregates onto FIXED-cardinality keys
+  * first (|types|×|days| daily cells, 2 variants, |days|×|types|
+  * entropy cells) with map-side partials, then runs the statistical
+  * formula on the collapsed frame — the per-series quadratics
+  * (Theil–Sen pairs, changepoint candidates) are day-window bounded
+  * (C(|days|,2) per series), never corpus bounded.
+  */
+object Inference {
+
+  /** Day-index anchor shared with Statistics.TrendAnchor — events span
+    * Jan 2024. */
+  private val Anchor = "2024-01-01"
+
+  /** Daily event counts per type keyed by exact day index — the shared
+    * (|types|×|days|)-row frame under the four series operators. One
+    * map-side-partial agg; x and y are both exact int64. */
+  private def dailyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast(DateType), to_date(lit(Anchor)))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+
+  /** DuckDB twin of [[dailyCounts]] (clones q_trend_fit's daily CTE). */
+  private def dailySql: String =
+    s"""SELECT event_type,
+       |       CAST(date_diff('day', DATE '$Anchor',
+       |                      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+       |       count(*) AS y
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The one Pearson formula tree over integer sufficient statistics,
+    * as SQL text — the DuckDB twin of Statistics.corrCol (same operand
+    * order as q_corr_matrix's oracle, PARITY §formula-sharing). */
+  private def corrSql(n: String, sxy: String, sx: String, sy: String,
+                      sxx: String, syy: String): String =
+    s"($n * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * $sy) / " +
+      s"(sqrt($n * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * $sx) * " +
+      s"sqrt($n * CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * $sy))"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // First-order partial correlations among the three integerized
+    // lineitem rate measures: for each pair (x, y) of {quantity,
+    // discount, tax}, the correlation REMAINING after the third
+    // variable is controlled for — r_xy.z = (r_xy − r_xz·r_yz) /
+    // √((1−r_xz²)(1−r_yz²)), the feature-screening step after
+    // q_corr_matrix (a strong marginal corr that vanishes partially is
+    // a confounder signature). ONE corpus scan (the shared
+    // lineitemMomentStats 15-statistic pass — same frame q_corr_matrix
+    // and q_pca_power read), then the three output rows expand IN-ROW
+    // from the single stats row. Both engines derive every r from
+    // IDENTICAL int64 sums through the textually-shared formula tree,
+    // so the composed partials agree bit-for-bit before r6.
+    Q("q_partial_corr",
+      s"""WITH m AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+         |                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |                  CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+         |           FROM lineitem),
+         |st AS (SELECT count(*) AS n,
+         |              CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+         |              CAST(sum(t) AS BIGINT) AS st,
+         |              CAST(sum(q * q) AS BIGINT) AS qq, CAST(sum(d * d) AS BIGINT) AS dd,
+         |              CAST(sum(t * t) AS BIGINT) AS tt,
+         |              CAST(sum(q * d) AS BIGINT) AS qd, CAST(sum(q * t) AS BIGINT) AS qt,
+         |              CAST(sum(d * t) AS BIGINT) AS dt
+         |       FROM m),
+         |r AS (SELECT n,
+         |             ${corrSql("n", "qd", "sq", "sd", "qq", "dd")} AS rqd,
+         |             ${corrSql("n", "qt", "sq", "st", "qq", "tt")} AS rqt,
+         |             ${corrSql("n", "dt", "sd", "st", "dd", "tt")} AS rdt
+         |      FROM st),
+         |pr AS (SELECT 'quantity' AS var1, 'discount' AS var2, 'tax' AS control,
+         |              n, rqd AS rxy, rqt AS rxz, rdt AS ryz FROM r
+         |       UNION ALL SELECT 'quantity', 'tax', 'discount', n, rqt, rqd, rdt FROM r
+         |       UNION ALL SELECT 'discount', 'tax', 'quantity', n, rdt, rqd, rqt FROM r)
+         |SELECT var1, var2, control, n,
+         |       ${Q.sqlR6("rxy")} AS r_marginal,
+         |       ${Q.sqlR6("(rxy - rxz * ryz) / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz))")} AS r_partial
+         |FROM pr
+         |ORDER BY var1, var2""".stripMargin) { (s, d) =>
+      val st = Statistics.lineitemMomentStats(s, d)
+      val r = st.select(col("n"),
+        Statistics.corrCol(col("n"), col("qd"), col("sq"), col("sd"),
+          col("qq"), col("dd")).as("rqd"),
+        Statistics.corrCol(col("n"), col("qt"), col("sq"), col("st"),
+          col("qq"), col("tt")).as("rqt"),
+        Statistics.corrCol(col("n"), col("dt"), col("sd"), col("st"),
+          col("dd"), col("tt")).as("rdt"))
+      def row(v1: String, v2: String, ctl: String,
+              rxy: String, rxz: String, ryz: String) =
+        struct(lit(v1).as("var1"), lit(v2).as("var2"), lit(ctl).as("control"),
+          col(rxy).as("rxy"), col(rxz).as("rxz"), col(ryz).as("ryz"))
+      r.select(col("n"), explode(array(
+          row("quantity", "discount", "tax", "rqd", "rqt", "rdt"),
+          row("quantity", "tax", "discount", "rqt", "rqd", "rdt"),
+          row("discount", "tax", "quantity", "rdt", "rqd", "rqt"))).as("pr"))
+        .select(col("pr.var1").as("var1"), col("pr.var2").as("var2"),
+          col("pr.control").as("control"), col("n"),
+          Q.r6(col("pr.rxy")).as("r_marginal"),
+          Q.r6((col("pr.rxy") - col("pr.rxz") * col("pr.ryz")) /
+            (sqrt(lit(1.0) - col("pr.rxz") * col("pr.rxz")) *
+              sqrt(lit(1.0) - col("pr.ryz") * col("pr.ryz")))).as("r_partial"))
+        .orderBy("var1", "var2")
+    },
+
+    // Theil–Sen robust trend per event type: the MEDIAN of all C(days,2)
+    // pairwise slopes of the daily count series — the outlier-immune
+    // counterpart to q_trend_fit's OLS (one wild day moves OLS, not the
+    // median slope). Each slope is ONE IEEE division of two exact int64
+    // differences, so both engines sort an identical double multiset;
+    // the median is then an EXPLICIT middle-rank selection (ranks
+    // ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ averaged) rather than either engine's
+    // median() — engine median semantics differ on interpolation, rank
+    // arithmetic doesn't. Scale: the pair expansion is C(|days|,2) PER
+    // SERIES (~monitoring-window² on a |types|×|days| frame), never
+    // corpus-sized; the corpus only feeds the one daily-count agg.
+    Q("q_theil_sen",
+      s"""WITH daily AS ($dailySql),
+         |pr AS (SELECT a.event_type,
+         |              CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+         |       FROM daily a
+         |       JOIN daily b ON a.event_type = b.event_type AND a.x < b.x),
+         |rk AS (SELECT event_type, slope,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         |              count(*) OVER (PARTITION BY event_type) AS np
+         |       FROM pr),
+         |med AS (SELECT event_type, np,
+         |               sum(slope) / count(*) AS ts_slope0
+         |        FROM rk
+         |        WHERE rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+         |           OR rn = CAST(floor((np + 2) / 2.0) AS BIGINT)
+         |        GROUP BY 1, 2)
+         |SELECT event_type, np AS n_pairs, ${Q.sqlR6("ts_slope0")} AS ts_slope
+         |FROM med
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
+      val pr = a.join(b, Seq("event_type")).filter(col("xa") < col("xb"))
+        .select(col("event_type"),
+          ((col("yb") - col("ya")).cast("double") / (col("xb") - col("xa"))).as("slope"))
+      val w = Window.partitionBy("event_type")
+      val rk = pr
+        .withColumn("rn", row_number().over(w.orderBy("slope")))
+        .withColumn("np", count(lit(1)).over(w))
+      rk.filter(col("rn") === floor((col("np") + 1) / 2.0).cast("long") ||
+          col("rn") === floor((col("np") + 2) / 2.0).cast("long"))
+        .groupBy("event_type", "np")
+        .agg((sum("slope") / count(lit(1))).as("ts_slope0"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          Q.r6(col("ts_slope0")).as("ts_slope"))
+        .orderBy("event_type")
+    },
+
+    // Cohen's d effect size between the two hash-split variants'
+    // purchase values (q_abtest's experiment frame, continuous-outcome
+    // face): d = (m₀ − m₁) / s_pooled with the Hedges' g small-sample
+    // correction alongside. Values are integerized to cents, so n, Σx,
+    // Σx² per variant are exact int64 and both engines run the one
+    // shared double tree (sample variances → pooled SD → d). Cents
+    // cancel in d (scale-invariant); the reported means divide back to
+    // dollars. Scale: a 2-key map-side-partial agg — one scan, shuffle
+    // carries 2 rows.
+    Q("q_cohens_d",
+      s"""WITH x AS (SELECT user_id % 2 AS variant,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |           FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT variant, count(*) AS n,
+         |             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+         |      FROM x GROUP BY 1),
+         |w AS (SELECT sum(CASE WHEN variant = 0 THEN n END) AS na,
+         |             sum(CASE WHEN variant = 0 THEN s END) AS sa,
+         |             sum(CASE WHEN variant = 0 THEN ss END) AS ssa,
+         |             sum(CASE WHEN variant = 1 THEN n END) AS nb,
+         |             sum(CASE WHEN variant = 1 THEN s END) AS sb,
+         |             sum(CASE WHEN variant = 1 THEN ss END) AS ssb
+         |      FROM v),
+         |f AS (SELECT na, nb,
+         |             CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+         |             (na * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa) / (CAST(na AS DOUBLE) * (na - 1)) AS va,
+         |             (nb * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb) / (CAST(nb AS DOUBLE) * (nb - 1)) AS vb
+         |      FROM w),
+         |g AS (SELECT na, nb, ma, mb,
+         |             (ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) AS d0
+         |      FROM f)
+         |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |       ${Q.sqlR4("ma / 100")} AS mean_a,
+         |       ${Q.sqlR4("mb / 100")} AS mean_b,
+         |       ${Q.sqlR6("d0")} AS cohens_d,
+         |       ${Q.sqlR6("d0 * (1.0 - 3.0 / (4.0 * (na + nb) - 9))")} AS hedges_g
+         |FROM g""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(col("c") * col("c")).as("ss"))
+      val w = v.agg(
+        sum(when(col("variant") === 0, col("n"))).as("na"),
+        sum(when(col("variant") === 0, col("s"))).as("sa"),
+        sum(when(col("variant") === 0, col("ss"))).as("ssa"),
+        sum(when(col("variant") === 1, col("n"))).as("nb"),
+        sum(when(col("variant") === 1, col("s"))).as("sb"),
+        sum(when(col("variant") === 1, col("ss"))).as("ssb"))
+      val f = w.select(col("na"), col("nb"),
+        (col("sa").cast("double") / col("na")).as("ma"),
+        (col("sb").cast("double") / col("nb")).as("mb"),
+        ((col("na") * col("ssa").cast("double") - col("sa").cast("double") * col("sa")) /
+          (col("na").cast("double") * (col("na") - 1))).as("va"),
+        ((col("nb") * col("ssb").cast("double") - col("sb").cast("double") * col("sb")) /
+          (col("nb").cast("double") * (col("nb") - 1))).as("vb"))
+      val g = f.select(col("na"), col("nb"), col("ma"), col("mb"),
+        ((col("ma") - col("mb")) /
+          sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+            (col("na") + col("nb") - 2))).as("d0"))
+      g.select(col("na"), col("nb"),
+        Q.r4(col("ma") / 100).as("mean_a"),
+        Q.r4(col("mb") / 100).as("mean_b"),
+        Q.r6(col("d0")).as("cohens_d"),
+        Q.r6(col("d0") * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("na") + col("nb")) - 9)))
+          .as("hedges_g"))
+    },
+
+    // Daily Shannon entropy of the event-type mix — the drift monitor
+    // for CATEGORICAL distributions (q_psi/q_drift_tvd cover numeric
+    // ones): H = Σ (c/n)·ln(n/c) in nats, plus the ln(k)-normalized
+    // evenness in [0,1]. The q_mutual_info determinism pattern: each
+    // cell's contribution is integer-scaled to 1e-9 BEFORE the
+    // cross-cell sum, so the reduction both engines perform is an
+    // int64 sum (order-free) — ln is applied per cell, never to an
+    // accumulated double. Scale: cells are |days|×|types| — a map-side
+    // partial agg collapses the corpus; everything after is
+    // fixed-cardinality window/agg work.
+    Q("q_cat_entropy",
+      s"""WITH c AS (SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+         |                  event_type, count(*) AS c
+         |           FROM events GROUP BY 1, 2),
+         |w AS (SELECT day, c,
+         |             sum(c) OVER (PARTITION BY day) AS n,
+         |             count(*) OVER (PARTITION BY day) AS k
+         |      FROM c),
+         |t AS (SELECT day, n, k,
+         |             CAST(floor((CAST(c AS DOUBLE) / n) *
+         |                        ln(CAST(n AS DOUBLE) / c) * 1e9 + 0.5) AS BIGINT) AS contrib
+         |      FROM w)
+         |SELECT day, CAST(max(n) AS BIGINT) AS n_events, CAST(max(k) AS BIGINT) AS k_types,
+         |       ${Q.sqlR6("sum(contrib) / 1e9")} AS entropy,
+         |       ${Q.sqlR6("(sum(contrib) / 1e9) / ln(CAST(max(k) AS DOUBLE))")} AS evenness
+         |FROM t
+         |GROUP BY day
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(date_format(col("ts").cast(DateType), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val wd = Window.partitionBy("day")
+      cells
+        .withColumn("n", sum("c").over(wd))
+        .withColumn("k", count(lit(1)).over(wd))
+        .withColumn("contrib",
+          floor((col("c").cast("double") / col("n")) *
+            log(col("n").cast("double") / col("c")) * lit(1e9) + 0.5).cast("long"))
+        .groupBy("day")
+        .agg(max("n").as("n_events"), max("k").as("k_types"),
+          Q.r6(sum("contrib") / lit(1e9)).as("entropy"),
+          Q.r6((sum("contrib") / lit(1e9)) /
+            log(max("k").cast("double"))).as("evenness"))
+        .select(col("day"), col("n_events"), col("k_types"),
+          col("entropy"), col("evenness"))
+        .orderBy("day")
+    },
+
+    // AR(1) autoregression per event type: OLS of today's count on
+    // yesterday's over the daily series — φ near 0 says the series is
+    // shock-driven, near 1 persistent; the model behind q_ewma's
+    // smoothing constant choice. The lag pairing is one window lag on
+    // the (|types|×|days|)-row daily frame; all five sufficient sums
+    // are exact int64 (counts), and slope/intercept/r² reuse
+    // q_trend_fit's exact-integer OLS tree — both engines divide the
+    // same integers. Scale: corpus collapses to daily cells first;
+    // the window and fit touch only |types|×|days| rows.
+    Q("q_ar1",
+      s"""WITH daily AS ($dailySql),
+         |lg AS (SELECT event_type, x, y,
+         |              lag(y) OVER (PARTITION BY event_type ORDER BY x) AS yp
+         |       FROM daily),
+         |st AS (SELECT event_type, count(*) AS n,
+         |              CAST(sum(yp) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |              CAST(sum(yp * y) AS BIGINT) AS sxy,
+         |              CAST(sum(yp * yp) AS BIGINT) AS sxx,
+         |              CAST(sum(y * y) AS BIGINT) AS syy
+         |       FROM lg WHERE yp IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n,
+         |       ${Q.sqlR6("CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)")} AS phi,
+         |       ${Q.sqlR6("CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)")} AS intercept,
+         |       ${Q.sqlR6("CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2
+         |FROM st
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("x")
+      val lg = dailyCounts(s, d)
+        .withColumn("yp", lag("y", 1).over(w))
+        .filter(col("yp").isNotNull)
+      val st = lg.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("yp").as("sx"), sum("y").as("sy"),
+          sum(col("yp") * col("y")).as("sxy"),
+          sum(col("yp") * col("yp")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
+      val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
+      st.select(col("event_type"), col("n"),
+          Q.r6(sxyN.cast("double") / sxxN).as("phi"),
+          Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
+            .as("intercept"),
+          Q.r6((sxyN * sxyN).cast("double") /
+            (sxxN * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+        .orderBy("event_type")
+    },
+
+    // Lagged cross-correlation between the view and purchase daily
+    // series: Pearson r of purchase(t) against view(t − lag) for lags
+    // 0–3 — "does browsing lead buying, and by how many days?" (the
+    // lead–lag screen before any funnel attribution). The lag
+    // alignment is a 4-way IN-ROW expansion of the view series (lags
+    // is a 4-element literal array — no extra scan), joined to the
+    // purchase series on the shifted day index; per lag the five
+    // sufficient sums are exact int64 through the shared OLS/Pearson
+    // tree. Scale: both series are |days|-row frames after the one
+    // daily agg; the join and fit are day-window bounded.
+    Q("q_xcorr",
+      s"""WITH daily AS ($dailySql),
+         |v AS (SELECT x, y FROM daily WHERE event_type = 'view'),
+         |p AS (SELECT x, y FROM daily WHERE event_type = 'purchase'),
+         |al AS (SELECT l.lag_days, v.y AS yv, p.y AS yp
+         |       FROM (SELECT unnest([0, 1, 2, 3]) AS lag_days) l
+         |       JOIN v ON TRUE
+         |       JOIN p ON p.x = v.x + l.lag_days),
+         |st AS (SELECT lag_days, count(*) AS n,
+         |              CAST(sum(yv) AS BIGINT) AS sx, CAST(sum(yp) AS BIGINT) AS sy,
+         |              CAST(sum(yv * yp) AS BIGINT) AS sxy,
+         |              CAST(sum(yv * yv) AS BIGINT) AS sxx,
+         |              CAST(sum(yp * yp) AS BIGINT) AS syy
+         |       FROM al GROUP BY 1)
+         |SELECT CAST(lag_days AS BIGINT) AS lag_days, n,
+         |       ${Q.sqlR6(corrSql("n", "sxy", "sx", "sy", "sxx", "syy"))} AS r
+         |FROM st
+         |ORDER BY lag_days""".stripMargin) { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val v = daily.filter(col("event_type") === "view")
+        .select(col("x"), col("y").as("yv"))
+      val p = daily.filter(col("event_type") === "purchase")
+        .select(col("x").as("xp"), col("y").as("yp"))
+      val al = v.select(col("x"), col("yv"),
+          explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("lag_days"))
+        .join(p, col("xp") === col("x") + col("lag_days"))
+      val st = al.groupBy("lag_days")
+        .agg(count(lit(1)).as("n"),
+          sum("yv").as("sx"), sum("yp").as("sy"),
+          sum(col("yv") * col("yp")).as("sxy"),
+          sum(col("yv") * col("yv")).as("sxx"),
+          sum(col("yp") * col("yp")).as("syy"))
+      st.select(col("lag_days"), col("n"),
+          Q.r6(Statistics.corrCol(col("n"), col("sxy"), col("sx"), col("sy"),
+            col("sxx"), col("syy"))).as("r"))
+        .orderBy("lag_days")
+    },
+
+    // Single changepoint per event type's daily series: the split that
+    // maximizes the between-segment variance BV = S₁²/n₁ + S₂²/n₂ −
+    // S²/n (the k=2 step of binary segmentation / CUSUM's offline
+    // counterpart; q_cusum is the online face). Prefix sums over the
+    // day-ordered series give every candidate's (n₁, S₁) in one window
+    // pass; BV is three divisions of exact int64s, so both engines
+    // compute identical doubles and the argmax (BV DESC, earlier day
+    // wins ties) picks the same split. Scale: candidates are |days|−1
+    // per series on the collapsed daily frame — the corpus feeds ONE
+    // map-side-partial agg and is never sorted.
+    Q("q_changepoint",
+      s"""WITH daily AS ($dailySql),
+         |w AS (SELECT event_type, x, y,
+         |             sum(y) OVER (PARTITION BY event_type ORDER BY x
+         |                          ROWS UNBOUNDED PRECEDING) AS s1,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY x) AS n1,
+         |             sum(y) OVER (PARTITION BY event_type) AS stot,
+         |             count(*) OVER (PARTITION BY event_type) AS nt
+         |      FROM daily),
+         |cand AS (SELECT event_type, x, n1, nt - n1 AS n2, s1, stot - s1 AS s2, stot, nt,
+         |                CAST(s1 AS DOUBLE) * s1 / n1 + CAST(stot - s1 AS DOUBLE) * (stot - s1) / (nt - n1)
+         |                  - CAST(stot AS DOUBLE) * stot / nt AS bv
+         |         FROM w WHERE n1 < nt),
+         |top AS (SELECT event_type, x, n1, n2, s1, s2, bv,
+         |               row_number() OVER (PARTITION BY event_type
+         |                                  ORDER BY bv DESC, x) AS rk
+         |        FROM cand)
+         |SELECT event_type,
+         |       strftime(DATE '$Anchor' + CAST(x AS INT), '%Y-%m-%d') AS split_day,
+         |       n1 AS n_left, n2 AS n_right,
+         |       ${Q.sqlR4("CAST(s1 AS DOUBLE) / n1")} AS mean_left,
+         |       ${Q.sqlR4("CAST(s2 AS DOUBLE) / n2")} AS mean_right,
+         |       ${Q.sqlR4("bv")} AS between_var
+         |FROM top WHERE rk = 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val we = Window.partitionBy("event_type")
+      val wo = we.orderBy("x")
+      val w = dailyCounts(s, d)
+        .withColumn("s1", sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n1", row_number().over(wo).cast("long"))
+        .withColumn("stot", sum("y").over(we))
+        .withColumn("nt", count(lit(1)).over(we))
+      val cand = w.filter(col("n1") < col("nt"))
+        .select(col("event_type"), col("x"), col("n1"),
+          (col("nt") - col("n1")).as("n2"), col("s1"),
+          (col("stot") - col("s1")).as("s2"),
+          (col("s1").cast("double") * col("s1") / col("n1") +
+            (col("stot") - col("s1")).cast("double") * (col("stot") - col("s1")) /
+              (col("nt") - col("n1")) -
+            col("stot").cast("double") * col("stot") / col("nt")).as("bv"))
+      cand
+        .withColumn("rk", row_number().over(we.orderBy(col("bv").desc, col("x"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          date_format(date_add(to_date(lit(Anchor)), col("x").cast("int")), "yyyy-MM-dd")
+            .as("split_day"),
+          col("n1").as("n_left"), col("n2").as("n_right"),
+          Q.r4(col("s1").cast("double") / col("n1")).as("mean_left"),
+          Q.r4(col("s2").cast("double") / col("n2")).as("mean_right"),
+          Q.r4(col("bv")).as("between_var"))
+        .orderBy("event_type")
+    },
+
+    // Poisson-bootstrap confidence interval for mean purchase value
+    // (round 11) — the bootstrap AS IT RUNS AT 100 TB: resampling a
+    // distributed corpus with replacement is impossible, but weighting
+    // each row by an independent Poisson(1) count per replica is
+    // one-pass, shuffle-light, and converges to the same estimator
+    // (Kleiner et al.'s scalable-bootstrap family, Poisson variant).
+    // Zero RNG state: each (row, replica) weight derives from a
+    // two-step MINSTD LCG (x → 48271·x mod 2³¹−1) seeded by the
+    // integer (event_id·B + rep + 1), fed through the exact Poisson(1)
+    // inverse-CDF thresholds — identical integer arithmetic in both
+    // engines, so the oracle checks the RESAMPLING itself, not just
+    // moments. Determinism of the reduction: per-replica Σw and Σw·v
+    // are exact int64; each replica mean is integer-scaled to millicents
+    // BEFORE the cross-replica moment sums (order-free int64 — and m3²
+    // stays ~6e14, far inside int64 where a 1e-6 scaling would
+    // overflow). Scale: the B=20 fan-out is in-row (bounded ×20), the
+    // replica agg is a 20-key map-side-partial pass, and the final CI
+    // assembles on a single row.
+    Q("q_bootstrap_ci",
+      """WITH p AS (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |np AS (SELECT count(*) AS n_rows FROM p),
+        |r AS (SELECT p.event_id, p.v, reps.rep
+        |      FROM p, (SELECT unnest(range(0, 20)) AS rep) reps),
+        |k AS (SELECT v, rep,
+        |             (48271 * ((48271 * ((event_id * 20 + rep + 1) % 2147483647))
+        |                       % 2147483647)) % 2147483647 AS k2
+        |      FROM r),
+        |u AS (SELECT v, rep, CAST(k2 AS DOUBLE) / 2147483647 AS u FROM k),
+        |w AS (SELECT v, rep,
+        |             CASE WHEN u < 0.36787944117144233 THEN 0
+        |                  WHEN u < 0.7357588823428846 THEN 1
+        |                  WHEN u < 0.9196986029286058 THEN 2
+        |                  WHEN u < 0.9810118431238462 THEN 3
+        |                  WHEN u < 0.9963401531726563 THEN 4
+        |                  WHEN u < 0.9994058151824183 THEN 5
+        |                  ELSE 6 END AS w
+        |      FROM u),
+        |rm AS (SELECT rep, CAST(sum(w) AS BIGINT) AS sw,
+        |              CAST(sum(w * v) AS BIGINT) AS sv
+        |       FROM w GROUP BY 1),
+        |m AS (SELECT rep,
+        |             CAST(floor(CAST(sv AS DOUBLE) / sw * 1000 + 0.5) AS BIGINT) AS m3
+        |      FROM rm),
+        |st AS (SELECT count(*) AS b, CAST(sum(m3) AS BIGINT) AS sm,
+        |              CAST(sum(m3 * m3) AS BIGINT) AS smm
+        |       FROM m),
+        |f AS (SELECT b, CAST(sm AS DOUBLE) / (b * 1000) AS center_c,
+        |             sqrt((b * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm) /
+        |                  (CAST(b AS DOUBLE) * (b - 1))) / 1000 AS se_c
+        |      FROM st)
+        |SELECT np.n_rows, b AS n_replicas,
+        |       floor((center_c / 100)*10000+0.5)/10000 AS mean_usd,
+        |       floor((se_c / 100)*1000000+0.5)/1000000 AS se_usd,
+        |       floor(((center_c - 1.96 * se_c) / 100)*10000+0.5)/10000 AS ci_lo,
+        |       floor(((center_c + 1.96 * se_c) / 100)*10000+0.5)/10000 AS ci_hi
+        |FROM f, np""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val np = p.agg(count(lit(1)).as("n_rows"))
+      val M = lit(2147483647L)
+      val r = p.select(col("v"),
+        explode(sequence(lit(0L), lit(19L))).as("rep"),
+        col("event_id"))
+      val k2 = (lit(48271L) * ((lit(48271L) *
+        ((col("event_id") * 20 + col("rep") + 1) % M)) % M)) % M
+      val u = k2.cast("double") / M
+      val w = r.select(col("v"), col("rep"),
+        when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428846, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L)
+          .when(u < 0.9994058151824183, 5L)
+          .otherwise(6L).as("w"))
+      val rm = w.groupBy("rep")
+        .agg(sum("w").as("sw"), sum(col("w") * col("v")).as("sv"))
+      val m = rm.select(col("rep"),
+        floor(col("sv").cast("double") / col("sw") * 1000 + 0.5).cast("long").as("m3"))
+      val st = m.agg(count(lit(1)).as("b"), sum("m3").as("sm"),
+        sum(col("m3") * col("m3")).as("smm"))
+      val f = st.select(col("b"),
+        (col("sm").cast("double") / (col("b") * 1000)).as("center_c"),
+        (sqrt((col("b") * col("smm").cast("double") - col("sm").cast("double") * col("sm")) /
+          (col("b").cast("double") * (col("b") - 1))) / 1000).as("se_c"))
+      f.crossJoin(broadcast(np))
+        .select(col("n_rows"), col("b").as("n_replicas"),
+          Q.r4(col("center_c") / 100).as("mean_usd"),
+          Q.r6(col("se_c") / 100).as("se_usd"),
+          Q.r4((col("center_c") - lit(1.96) * col("se_c")) / 100).as("ci_lo"),
+          Q.r4((col("center_c") + lit(1.96) * col("se_c")) / 100).as("ci_hi"))
+    }
+  )
+}

@@ -462,6 +462,67 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // Embedding drift between corpus halves (round 11): per label, the
+    // cosine and L2 distance between the centroid of the even-vec_id
+    // half and the odd half — the production check that a re-embedded
+    // or re-sampled corpus still occupies the same region per class
+    // (the numeric-feature PSI/TVD monitors can't see vector space).
+    // Parity: each per-(label, half, dim) centroid component is
+    // r6-ROUNDED first — both engines then multiply identical doubles,
+    // and the cross-dim sums run over ≤|dims| identical terms (order
+    // noise ≤ dims·ulp, invisible at the final r6 — the q_centroid
+    // precedent). Scale: ONE corpus scan onto a (|labels|·2·|dims|)-key
+    // map-side-partial agg; everything after lives on the
+    // catalog-sized centroid frame.
+    Q("q_centroid_shift",
+      """WITH x AS (SELECT label, vec_id % 2 AS h,
+        |                  unnest(list_transform(range(1, len(embedding) + 1),
+        |                         i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        |           FROM embeddings),
+        |c AS (SELECT label, h, s.dim AS dim,
+        |             floor((avg(s.v))*1000000+0.5)/1000000 AS c
+        |      FROM x GROUP BY 1, 2, 3),
+        |ce AS (SELECT label, dim, c FROM c WHERE h = 0),
+        |co AS (SELECT label, dim, c FROM c WHERE h = 1),
+        |j AS (SELECT ce.label,
+        |             sum(ce.c * co.c) AS dot, sum(ce.c * ce.c) AS ne,
+        |             sum(co.c * co.c) AS no,
+        |             sum((ce.c - co.c) * (ce.c - co.c)) AS dd
+        |      FROM ce JOIN co ON ce.label = co.label AND ce.dim = co.dim
+        |      GROUP BY 1),
+        |n AS (SELECT label,
+        |             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+        |      FROM embeddings GROUP BY 1)
+        |SELECT j.label AS label, n.n_even, n.n_odd,
+        |       floor((dot / (sqrt(ne) * sqrt(no)))*1000000+0.5)/1000000 AS cosine_shift,
+        |       floor((sqrt(dd))*1000000+0.5)/1000000 AS l2_shift
+        |FROM j JOIN n ON j.label = n.label
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.load(s, d, "embeddings")
+      val c = widened(e)
+        .select(col("label"), (col("vec_id") % 2).as("h"),
+          posexplode(col("de")).as(Seq("dim", "v")))
+        .groupBy("label", "h", "dim")
+        .agg(Q.r6(avg(col("v"))).as("c"))
+      val ce = c.filter(col("h") === 0).select(col("label"), col("dim"), col("c").as("c0"))
+      val co = c.filter(col("h") === 1).select(col("label"), col("dim"), col("c").as("c1"))
+      val j = ce.join(co, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(sum(col("c0") * col("c1")).as("dot"),
+          sum(col("c0") * col("c0")).as("ne"),
+          sum(col("c1") * col("c1")).as("no"),
+          sum((col("c0") - col("c1")) * (col("c0") - col("c1"))).as("dd"))
+      val n = e.groupBy("label")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1).otherwise(0)).cast("long").as("n_even"),
+          sum(when(col("vec_id") % 2 === 1, 1).otherwise(0)).cast("long").as("n_odd"))
+      j.join(n, "label")
+        .select(col("label"), col("n_even"), col("n_odd"),
+          Q.r6(col("dot") / (sqrt(col("ne")) * sqrt(col("no")))).as("cosine_shift"),
+          Q.r6(sqrt(col("dd"))).as("l2_shift"))
+        .orderBy("label")
+    },
+
     // Hybrid retrieval fusion — reciprocal rank fusion (RRF, k=60) of a
     // dense ranking (cosine vs the vec_id-0 probe embedding) and a
     // sparse ranking (global-idf BM25 vs a fixed query term set), the

@@ -41,7 +41,7 @@ object Statistics {
     * into the power iteration. The bit-equality argument both operators
     * make (identical int64 inputs ⇒ identical doubles) depends on this
     * aggregate staying textually single-sourced. */
-  private def lineitemMomentStats(s: SparkSession, d: String): DataFrame =
+  private[ops] def lineitemMomentStats(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "lineitem").select(
         floor(col("l_quantity")).cast("long").as("q"),
         floor(col("l_extendedprice")).cast("long").as("p"),
@@ -58,7 +58,7 @@ object Statistics {
   /** Pearson correlation from integer sufficient statistics — the ONE
     * double formula tree (same operand order as the oracle text) shared
     * by q_corr_matrix and q_pca_power. */
-  private def corrCol(n: Column, sxy: Column, sx: Column, sy: Column,
+  private[ops] def corrCol(n: Column, sxy: Column, sx: Column, sy: Column,
                       sxx: Column, syy: Column): Column =
     (n * sxy.cast("double") - sx.cast("double") * sy) /
       (sqrt(n * sxx.cast("double") - sx.cast("double") * sx) *

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Internal-consistency properties for the round-11 inference/series
+  * batch (partial correlation, Theil–Sen, effect size, entropy, AR(1),
+  * cross-correlation, changepoint) and its graph/behavioral siblings.
+  * The DuckDB oracle pins exact values; these tests pin the statistics'
+  * DEFINITIONAL invariants (range bounds, count identities, agreement
+  * with independently-computed twins), so a formula edit that still
+  * hash-matches a stale oracle cannot silently change semantics.
+  */
+class InferenceSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_partial_corr rows are valid correlations consistent with q_corr_matrix") {
+    val pc = q("q_partial_corr").collect()
+    assert(pc.length === 3)
+    pc.foreach { r =>
+      val marg = r.getAs[Double]("r_marginal")
+      val part = r.getAs[Double]("r_partial")
+      assert(math.abs(marg) <= 1.0 && math.abs(part) <= 1.0)
+    }
+    // the marginal r for (quantity, discount) must equal the
+    // corr-matrix entry for the same pair — same stats, same tree
+    val cm = q("q_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr")).toMap
+    val qd = pc.find(r => r.getString(0) == "quantity" && r.getString(1) == "discount").get
+    assert(qd.getAs[Double]("r_marginal") === cm(("quantity", "discount")))
+  }
+
+  test("q_theil_sen medians lie within the pairwise-slope range with full pair counts") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy("event_type").agg(count(lit(1)).as("nd"),
+        max("y").as("ymax"), min("y").as("ymin"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    q("q_theil_sen").collect().foreach { r =>
+      val (nd, ymax, ymin) = daily(r.getString(0))
+      assert(r.getAs[Long]("n_pairs") === nd * (nd - 1) / 2)
+      // any pairwise slope is bounded by ±(ymax − ymin) over gap ≥ 1
+      val bound = (ymax - ymin).toDouble
+      assert(math.abs(r.getAs[Double]("ts_slope")) <= bound)
+    }
+  }
+
+  test("q_cohens_d is internally consistent with its Hedges correction") {
+    val r = q("q_cohens_d").head()
+    val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+    val d = r.getAs[Double]("cohens_d"); val g = r.getAs[Double]("hedges_g")
+    assert(na > 0 && nb > 0)
+    assert(r.getAs[Double]("mean_a") > 0 && r.getAs[Double]("mean_b") > 0)
+    // the small-sample correction shrinks toward zero, never flips sign
+    assert(math.abs(g) <= math.abs(d) + 1e-6)
+    assert(g * d >= 0.0)
+    val shrink = 1.0 - 3.0 / (4.0 * (na + nb) - 9)
+    assert(math.abs(g - d * shrink) < 1e-4) // r6-rounded inputs
+  }
+
+  test("q_cat_entropy is bounded by ln(k) with evenness in [0,1] and conserved counts") {
+    val e = q("q_cat_entropy").collect()
+    val total = e.map(_.getAs[Long]("n_events")).sum
+    assert(total === Tables.events(spark, sfDir).count())
+    e.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val ev = r.getAs[Double]("evenness")
+      val k = r.getAs[Long]("k_types")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6)
+      assert(ev >= 0.0 && ev <= 1.0 + 1e-6)
+    }
+  }
+
+  test("q_ar1 fits are valid with one lag pair per interior day") {
+    val days = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1))).groupBy("event_type").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q_ar1").collect().foreach { r =>
+      assert(r.getAs[Long]("n") === days(r.getString(0)) - 1)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-6)
+      assert(!r.getAs[Double]("phi").isNaN)
+    }
+  }
+
+  test("q_xcorr correlations are valid with shrinking aligned-pair counts") {
+    val xc = q("q_xcorr").collect()
+    assert(xc.length === 4)
+    val byLag = xc.map(r => r.getAs[Long]("lag_days") -> r).toMap
+    (0L to 3L).foreach { l =>
+      val r = byLag(l)
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0)
+      // longer lags can only align fewer or equal day pairs
+      if (l > 0) assert(r.getAs[Long]("n") <= byLag(l - 1).getAs[Long]("n"))
+    }
+  }
+
+  test("q_changepoint splits cover the series with nonnegative between-variance") {
+    val days = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1))).groupBy("event_type").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q_changepoint").collect().foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") === days(t))
+      assert(r.getAs[Long]("n_left") >= 1 && r.getAs[Long]("n_right") >= 1)
+      assert(r.getAs[Double]("between_var") >= 0.0)
+      // the two segment means bracket or equal the global mean
+      val ml = r.getAs[Double]("mean_left"); val mr = r.getAs[Double]("mean_right")
+      assert(ml > 0 && mr > 0)
+    }
+  }
+
+  test("q_graph_clustering coefficients are valid and match the triangle census") {
+    val cc = q("q_graph_clustering").collect()
+    assert(cc.nonEmpty)
+    val tri = ops.Graph.triangleCorners(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("tri_cnt")).toMap
+    cc.foreach { r =>
+      val c = r.getAs[Double]("clustering")
+      val deg = r.getAs[Long]("deg")
+      val t = r.getAs[Long]("tri_cnt")
+      assert(c >= 0.0 && c <= 1.0 + 1e-6)
+      assert(deg >= 2)
+      assert(t === tri.getOrElse(r.getAs[Long]("node"), 0L))
+      // a node's triangles cannot exceed its wedge count
+      assert(t <= deg * (deg - 1) / 2)
+    }
+  }
+
+  test("q_graph_assortativity is a valid correlation over both edge orientations") {
+    val r = q("q_graph_assortativity").head()
+    assert(r.getAs[Long]("n_directed") === 2 * r.getAs[Long]("n_edges"))
+    val a = r.getAs[Double]("assortativity")
+    // NaN allowed only if the graph is degree-regular (zero variance);
+    // otherwise a valid correlation
+    if (!a.isNaN) assert(math.abs(a) <= 1.0)
+  }
+
+  test("q_stickiness ratios are valid with DAU never exceeding the trailing AU") {
+    val st = q("q_stickiness").collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val dau = r.getAs[Long]("dau"); val wau = r.getAs[Long]("wau")
+      assert(dau >= 1 && wau >= dau)
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+    // a full trailing window can only see more (or equal) users than
+    // its own day: spot-check monotone marker
+    assert(st.count(!_.getAs[Boolean]("full_window")) <= 6)
+  }
+
+  test("q_bootstrap_ci brackets the plain sample mean with a sane width") {
+    val r = q("q_bootstrap_ci").head()
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    val m = r.getAs[Double]("mean_usd"); val se = r.getAs[Double]("se_usd")
+    assert(r.getAs[Long]("n_replicas") === 20L)
+    assert(lo < m && m < hi && se > 0)
+    // the bootstrap center must sit near the plain mean (each replica
+    // is an unbiased reweighting); allow 5 SEs of slack
+    val plain = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(avg(floor(col("value") * 100 + 0.5).cast("long") / 100))
+      .head().getDouble(0)
+    assert(math.abs(m - plain) <= 5 * se + 0.01,
+      s"bootstrap center $m vs plain mean $plain (se $se)")
+  }
+
+  test("q_graph_kcore trajectory is monotone, converges in budget, and ends at a true 3-core") {
+    val tr = q("q_graph_kcore").collect().sortBy(_.getAs[Long]("round"))
+    assert(tr.length === 8)
+    val nodes = tr.map(_.getAs[Long]("n_nodes"))
+    val edges = tr.map(_.getAs[Long]("n_edges"))
+    // peeling only removes
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a })
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a })
+    // converged inside the 8-round budget: the last two rounds agree
+    assert(nodes(6) === nodes(7) && edges(6) === edges(7),
+      s"peel did not converge in 8 rounds: ${nodes.mkString(",")}")
+    // fixed point really is a 3-core: every surviving node has deg >= 3
+    // (recompute independently from the surviving edge set)
+    if (edges(7) > 0) {
+      val e = ops.Graph.coPairs(spark, sfDir)
+      // recompute the peel in driver code on the collected tiny graph
+      var adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      e.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (n, s) if s.size < 3 => n }.toSeq
+        changed = drop.nonEmpty
+        drop.foreach { n => adj(n).foreach(m => adj(m) -= n); adj -= n }
+      }
+      assert(adj.size.toLong === nodes(7),
+        s"fixed point differs from the true 3-core: ${adj.size} vs ${nodes(7)}")
+    }
+  }
+
+  test("q_centroid_shift cosines are valid with conserved half counts") {
+    val cs = q("q_centroid_shift").collect()
+    assert(cs.nonEmpty)
+    val total = cs.map(r => r.getAs[Long]("n_even") + r.getAs[Long]("n_odd")).sum
+    assert(total === Tables.load(spark, sfDir, "embeddings").count())
+    cs.foreach { r =>
+      val c = r.getAs[Double]("cosine_shift")
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6)
+      assert(r.getAs[Double]("l2_shift") >= 0.0)
+      // NOTE: the synthetic embeddings carry little per-label structure
+      // (half-centroids are noise-dominated, cosines read −0.2..0.3 at
+      // sf0.01), so only definitional validity is asserted — the
+      // oracle pins the exact values
+    }
+  }
+
+  test("q_interpurchase gap counts obey the per-customer lag identity") {
+    // total gaps = orders - customers-with-orders (each customer's
+    // first order anchors, the rest produce one gap each)
+    val o = Tables.load(spark, sfDir, "orders")
+    val expected = o.count() - o.select("o_custkey").distinct().count()
+    val ip = q("q_interpurchase").collect()
+    assert(ip.map(_.getAs[Long]("n_gaps")).sum === expected)
+    ip.foreach { r =>
+      assert(r.getAs[Double]("median_gap_days") >= 0.0)
+      assert(r.getAs[Double]("mean_gap_days") > 0.0)
+    }
+  }
+}
