@@ -712,11 +712,15 @@ object Analytics {
          |       ${Q.sqlR4("CAST(dau.dau AS DOUBLE) / wau.wau")} AS stickiness
          |FROM dau JOIN wau ON dau.x = wau.x
          |ORDER BY day""".stripMargin) { (s, d) =>
+      // materialized once: the (day, user) fact frame feeds THREE
+      // branches (day list, fan-out, DAU) — unmaterialized, each would
+      // re-scan events (Spark plans trees, not DAGs)
       val du = Tables.events(s, d)
         .select(datediff(col("ts").cast(DateType), to_date(lit("2024-01-01")))
             .cast("long").as("x"),
           col("user_id"))
         .distinct()
+        .localCheckpoint(true)
       // fan each activity fact to the ≤7 trailing windows it serves,
       // then keep only target days that exist in the data (the join
       // with the day list mirrors the oracle's days CTE)
@@ -791,6 +795,9 @@ object Analytics {
         .join(broadcast(Tables.load(s, d, "nation")
           .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
         .select(col("n_name"), col("gap"))
+        // one materialized gap frame under both the median-rank and
+        // mean branches — otherwise each re-runs the window + joins
+        .localCheckpoint(true)
       val wn = Window.partitionBy("n_name")
       val rk = cn
         .withColumn("rn", row_number().over(wn.orderBy("gap")))

@@ -52,6 +52,31 @@ object Inference {
        |       count(*) AS y
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** The per-day entropy fold over a (day, event_type, c) count grid —
+    * ONE home for the batch q_cat_entropy projection and the streaming
+    * s_cat_entropy read-time view (streaming.Streams.catEntropyCounts
+    * maintains the grid incrementally; entropy never lives in state
+    * because it isn't mergeable — counts are). Each cell's
+    * (c/n)·ln(n/c) is integer-scaled to 1e-9 BEFORE the cross-cell
+    * sum, so the reduction is an order-free int64 fold. */
+  private[graft] def entropyOfCells(cells: DataFrame): DataFrame = {
+    val wd = Window.partitionBy("day")
+    cells
+      .withColumn("n", sum("c").over(wd))
+      .withColumn("k", count(lit(1)).over(wd))
+      .withColumn("contrib",
+        floor((col("c").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("c")) * lit(1e9) + 0.5).cast("long"))
+      .groupBy("day")
+      .agg(max("n").as("n_events"), max("k").as("k_types"),
+        Q.r6(sum("contrib") / lit(1e9)).as("entropy"),
+        Q.r6((sum("contrib") / lit(1e9)) /
+          log(max("k").cast("double"))).as("evenness"))
+      .select(col("day"), col("n_events"), col("k_types"),
+        col("entropy"), col("evenness"))
+      .orderBy("day")
+  }
+
   /** The one Pearson formula tree over integer sufficient statistics,
     * as SQL text — the DuckDB twin of Statistics.corrCol (same operand
     * order as q_corr_matrix's oracle, PARITY §formula-sharing). */
@@ -157,7 +182,9 @@ object Inference {
          |SELECT event_type, np AS n_pairs, ${Q.sqlR6("ts_slope0")} AS ts_slope
          |FROM med
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val daily = dailyCounts(s, d)
+      // materialize the tiny daily frame once: the self-join's two
+      // branches would otherwise each re-scan events (trees, not DAGs)
+      val daily = dailyCounts(s, d).localCheckpoint(true)
       val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
       val b = daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
       val pr = a.join(b, Seq("event_type")).filter(col("xa") < col("xb"))
@@ -277,21 +304,7 @@ object Inference {
         .groupBy(date_format(col("ts").cast(DateType), "yyyy-MM-dd").as("day"),
           col("event_type"))
         .agg(count(lit(1)).as("c"))
-      val wd = Window.partitionBy("day")
-      cells
-        .withColumn("n", sum("c").over(wd))
-        .withColumn("k", count(lit(1)).over(wd))
-        .withColumn("contrib",
-          floor((col("c").cast("double") / col("n")) *
-            log(col("n").cast("double") / col("c")) * lit(1e9) + 0.5).cast("long"))
-        .groupBy("day")
-        .agg(max("n").as("n_events"), max("k").as("k_types"),
-          Q.r6(sum("contrib") / lit(1e9)).as("entropy"),
-          Q.r6((sum("contrib") / lit(1e9)) /
-            log(max("k").cast("double"))).as("evenness"))
-        .select(col("day"), col("n_events"), col("k_types"),
-          col("entropy"), col("evenness"))
-        .orderBy("day")
+      entropyOfCells(cells)
     },
 
     // AR(1) autoregression per event type: OLS of today's count on
@@ -369,7 +382,8 @@ object Inference {
          |       ${Q.sqlR6(corrSql("n", "sxy", "sx", "sy", "sxx", "syy"))} AS r
          |FROM st
          |ORDER BY lag_days""".stripMargin) { (s, d) =>
-      val daily = dailyCounts(s, d)
+      // one materialized daily frame feeds both series branches
+      val daily = dailyCounts(s, d).localCheckpoint(true)
       val v = daily.filter(col("event_type") === "view")
         .select(col("x"), col("y").as("yv"))
       val p = daily.filter(col("event_type") === "purchase")
@@ -490,29 +504,33 @@ object Inference {
         |                  WHEN u < 0.9994058151824183 THEN 5
         |                  ELSE 6 END AS w
         |      FROM u),
-        |rm AS (SELECT rep, CAST(sum(w) AS BIGINT) AS sw,
+        |rm AS (SELECT rep, count(*) AS nr, CAST(sum(w) AS BIGINT) AS sw,
         |              CAST(sum(w * v) AS BIGINT) AS sv
         |       FROM w GROUP BY 1),
-        |m AS (SELECT rep,
+        |m AS (SELECT rep, nr,
         |             CAST(floor(CAST(sv AS DOUBLE) / sw * 1000 + 0.5) AS BIGINT) AS m3
         |      FROM rm),
-        |st AS (SELECT count(*) AS b, CAST(sum(m3) AS BIGINT) AS sm,
+        |st AS (SELECT count(*) AS b, CAST(max(nr) AS BIGINT) AS n_rows,
+        |              CAST(sum(m3) AS BIGINT) AS sm,
         |              CAST(sum(m3 * m3) AS BIGINT) AS smm
         |       FROM m),
-        |f AS (SELECT b, CAST(sm AS DOUBLE) / (b * 1000) AS center_c,
+        |f AS (SELECT b, n_rows, CAST(sm AS DOUBLE) / (b * 1000) AS center_c,
         |             sqrt((b * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm) /
         |                  (CAST(b AS DOUBLE) * (b - 1))) / 1000 AS se_c
         |      FROM st)
-        |SELECT np.n_rows, b AS n_replicas,
+        |SELECT n_rows, b AS n_replicas,
         |       floor((center_c / 100)*10000+0.5)/10000 AS mean_usd,
         |       floor((se_c / 100)*1000000+0.5)/1000000 AS se_usd,
         |       floor(((center_c - 1.96 * se_c) / 100)*10000+0.5)/10000 AS ci_lo,
         |       floor(((center_c + 1.96 * se_c) / 100)*10000+0.5)/10000 AS ci_hi
-        |FROM f, np""".stripMargin) { (s, d) =>
+        |FROM f""".stripMargin) { (s, d) =>
+      // n_rows rides the replica aggregate (every replica sees every
+      // row, so any replica's row count IS the corpus count) — the
+      // plan reads events exactly ONCE; a separate count branch would
+      // scan it twice because Spark plans trees, not DAGs
       val p = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("v"))
-      val np = p.agg(count(lit(1)).as("n_rows"))
       val M = lit(2147483647L)
       val r = p.select(col("v"),
         explode(sequence(lit(0L), lit(19L))).as("rep"),
@@ -529,17 +547,17 @@ object Inference {
           .when(u < 0.9994058151824183, 5L)
           .otherwise(6L).as("w"))
       val rm = w.groupBy("rep")
-        .agg(sum("w").as("sw"), sum(col("w") * col("v")).as("sv"))
-      val m = rm.select(col("rep"),
+        .agg(count(lit(1)).as("nr"), sum("w").as("sw"),
+          sum(col("w") * col("v")).as("sv"))
+      val m = rm.select(col("rep"), col("nr"),
         floor(col("sv").cast("double") / col("sw") * 1000 + 0.5).cast("long").as("m3"))
-      val st = m.agg(count(lit(1)).as("b"), sum("m3").as("sm"),
-        sum(col("m3") * col("m3")).as("smm"))
-      val f = st.select(col("b"),
+      val st = m.agg(count(lit(1)).as("b"), max("nr").as("n_rows"),
+        sum("m3").as("sm"), sum(col("m3") * col("m3")).as("smm"))
+      val f = st.select(col("b"), col("n_rows"),
         (col("sm").cast("double") / (col("b") * 1000)).as("center_c"),
         (sqrt((col("b") * col("smm").cast("double") - col("sm").cast("double") * col("sm")) /
           (col("b").cast("double") * (col("b") - 1))) / 1000).as("se_c"))
-      f.crossJoin(broadcast(np))
-        .select(col("n_rows"), col("b").as("n_replicas"),
+      f.select(col("n_rows"), col("b").as("n_replicas"),
           Q.r4(col("center_c") / 100).as("mean_usd"),
           Q.r6(col("se_c") / 100).as("se_usd"),
           Q.r4((col("center_c") - lit(1.96) * col("se_c")) / 100).as("ci_lo"),

@@ -480,7 +480,8 @@ object Similarity {
         |                         i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
         |           FROM embeddings),
         |c AS (SELECT label, h, s.dim AS dim,
-        |             floor((avg(s.v))*1000000+0.5)/1000000 AS c
+        |             floor((avg(s.v))*1000000+0.5)/1000000 AS c,
+        |             count(*) AS cn
         |      FROM x GROUP BY 1, 2, 3),
         |ce AS (SELECT label, dim, c FROM c WHERE h = 0),
         |co AS (SELECT label, dim, c FROM c WHERE h = 1),
@@ -491,20 +492,25 @@ object Similarity {
         |      FROM ce JOIN co ON ce.label = co.label AND ce.dim = co.dim
         |      GROUP BY 1),
         |n AS (SELECT label,
-        |             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
-        |             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
-        |      FROM embeddings GROUP BY 1)
+        |             CAST(sum(CASE WHEN h = 0 THEN cn ELSE 0 END) AS BIGINT) AS n_even,
+        |             CAST(sum(CASE WHEN h = 1 THEN cn ELSE 0 END) AS BIGINT) AS n_odd
+        |      FROM c WHERE dim = 0 GROUP BY 1)
         |SELECT j.label AS label, n.n_even, n.n_odd,
         |       floor((dot / (sqrt(ne) * sqrt(no)))*1000000+0.5)/1000000 AS cosine_shift,
         |       floor((sqrt(dd))*1000000+0.5)/1000000 AS l2_shift
         |FROM j JOIN n ON j.label = n.label
         |ORDER BY 1""".stripMargin) { (s, d) =>
       val e = Tables.load(s, d, "embeddings")
+      // the catalog-sized centroid frame materializes ONCE and carries
+      // its half counts (cn is dim-invariant — read off dim 0), so the
+      // whole operator is a single embeddings scan: the even/odd/count
+      // branches all read the checkpointed frame
       val c = widened(e)
         .select(col("label"), (col("vec_id") % 2).as("h"),
           posexplode(col("de")).as(Seq("dim", "v")))
         .groupBy("label", "h", "dim")
-        .agg(Q.r6(avg(col("v"))).as("c"))
+        .agg(Q.r6(avg(col("v"))).as("c"), count(lit(1)).as("cn"))
+        .localCheckpoint(true)
       val ce = c.filter(col("h") === 0).select(col("label"), col("dim"), col("c").as("c0"))
       val co = c.filter(col("h") === 1).select(col("label"), col("dim"), col("c").as("c1"))
       val j = ce.join(co, Seq("label", "dim"))
@@ -513,9 +519,9 @@ object Similarity {
           sum(col("c0") * col("c0")).as("ne"),
           sum(col("c1") * col("c1")).as("no"),
           sum((col("c0") - col("c1")) * (col("c0") - col("c1"))).as("dd"))
-      val n = e.groupBy("label")
-        .agg(sum(when(col("vec_id") % 2 === 0, 1).otherwise(0)).cast("long").as("n_even"),
-          sum(when(col("vec_id") % 2 === 1, 1).otherwise(0)).cast("long").as("n_odd"))
+      val n = c.filter(col("dim") === 0).groupBy("label")
+        .agg(sum(when(col("h") === 0, col("cn")).otherwise(0L)).cast("long").as("n_even"),
+          sum(when(col("h") === 1, col("cn")).otherwise(0L)).cast("long").as("n_odd"))
       j.join(n, "label")
         .select(col("label"), col("n_even"), col("n_odd"),
           Q.r6(col("dot") / (sqrt(col("ne")) * sqrt(col("no")))).as("cosine_shift"),

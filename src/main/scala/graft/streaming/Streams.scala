@@ -144,6 +144,28 @@ object Streams {
         .cast("long").as("dow"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming categorical-entropy drift grid — the streaming face of
+    * batch q_cat_entropy, split the seasonalityCounts way: the stream
+    * maintains only the running (day, event_type) COUNT grid
+    * (associative, partial-mergeable — complete/update mode), because
+    * entropy itself is not mergeable state; the per-day entropy and
+    * evenness divide out AT READ TIME through the exact batch fold
+    * (ops.Inference.entropyOfCells — shared code, so the twins cannot
+    * drift). State is |days|×|types| cells: calendar-rate bounded like
+    * the OHLC windows, never stream-length bounded; at 100 TB/day the
+    * old days age out of the serving view, not out of correctness. */
+  def catEntropyCounts(events: DataFrame): DataFrame =
+    events.groupBy(
+      date_format(col("ts").cast(org.apache.spark.sql.types.DateType),
+        "yyyy-MM-dd").as("day"),
+      col("event_type"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Read-time entropy projection over a [[catEntropyCounts]] grid —
+    * delegates to the SAME fold the batch operator runs. */
+  def catEntropyOf(grid: DataFrame): DataFrame =
+    graft.ops.Inference.entropyOfCells(grid)
+
   /** Streaming z-score anomaly flags — the streaming face of batch
     * q_anomaly, split the way production does it: per-type mean/stddev
     * come from a BATCH pass over history (a stream cannot see the full

@@ -917,4 +917,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"count tables should broadcast at test scale:\n$plan")
   }
+
+  test("q_bootstrap_ci reads events ONCE with the purchase filter pushed down") {
+    // the whole bootstrap is one scan: the B=20 fan-out is an in-row
+    // generator, n_rows rides the replica aggregate (a separate count
+    // branch would re-scan the corpus), and the per-row weights never
+    // shuffle — the only wide exchange carries 20-key partials
+    val plan = SparkEntry.queries("q_bootstrap_ci")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"expected exactly one events scan, got $scans:\n$plan")
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      s"purchase filter must reach the scan:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"replica fan-out must be the in-row generator:\n$plan")
+  }
+
+  test("round-11 multi-branch ops materialize their shared frame instead of re-scanning") {
+    // Spark plans trees, not DAGs: a frame feeding 2-3 branches re-runs
+    // its whole lineage per branch unless checkpointed. These five ops
+    // pin the single-materialization shape — their remaining plan must
+    // contain NO parquet scan at all (the one scan happened at
+    // localCheckpoint build time).
+    for (name <- Seq("q_theil_sen", "q_xcorr", "q_stickiness",
+        "q_interpurchase", "q_centroid_shift")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans === 0,
+        s"$name should read only its checkpointed frame, found $scans scans:\n$plan")
+    }
+  }
 }

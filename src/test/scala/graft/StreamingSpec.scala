@@ -294,6 +294,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming entropy grid reproduces the batch q_cat_entropy exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Ev]
+    val q = Streams.catEntropyCounts(in.toDF())
+      .writeStream.format("memory").queryName("t_catent").outputMode("complete").start()
+    withQuery(q) {
+      // replay the real sf0.001 events mid-day-split across two batches:
+      // a day's counts must MERGE across batches, not overwrite
+      val rows = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = Streams.catEntropyOf(spark.table("t_catent"))
+        .select("day", "n_events", "k_types", "entropy", "evenness")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+      val batch = SparkEntry.queries("q_cat_entropy")(spark, sfDir)
+        .select("day", "n_events", "k_types", "entropy", "evenness")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+      assert(streamed === batch,
+        "read-time entropy over the incremental grid must equal the batch monitor")
+    }
+  }
+
   test("streaming skyline's final front equals the batch q_skyline Pareto front") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
