@@ -57,7 +57,11 @@ class GraphScaleSpec extends SparkSpec {
   test("triangle census and butterflies grow near-linearly on a 10x hub-heavy graph") {
     val d1 = synthDir(1)
     val d10 = synthDir(10)
-    for (q <- Seq("q_graph_triangles", "q_graph_butterflies")) {
+    // q_graph_clustering and q_graph_kcore (round 11) ride the same
+    // edge machinery (triangleCornersFrom / iterative peel on the
+    // checkpointed coPairs frame) — include them under the same bound
+    for (q <- Seq("q_graph_triangles", "q_graph_butterflies",
+        "q_graph_clustering", "q_graph_kcore")) {
       val fn = SparkEntry.queries(q)
       fn(spark, d1).count() // warm the plan/codegen before timing
       val (t1, r1) = minTime(() => fn(spark, d1).count())
