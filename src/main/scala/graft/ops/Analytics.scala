@@ -813,6 +813,64 @@ object Analytics {
           Q.r2(col("med0")).as("median_gap_days"),
           Q.r2(col("sg").cast("double") / col("ng2")).as("mean_gap_days"))
         .orderBy("nation")
+    },
+
+    // Day-over-day user churn (round 11): per day, how many of
+    // yesterday's active users came back — retention_rate =
+    // returning/prev_active, churn = its complement — the daily pulse
+    // under q_retention's cohort grid and q_stickiness's 7-day ratio.
+    // ONE (day, user) fact frame materializes once (the q_stickiness
+    // checkpoint move) and feeds all three branches: the daily active
+    // counts, and both sides of the adjacent-day self-join that counts
+    // returning users. Rates are single IEEE divisions of exact int64
+    // counts. Scale: the corpus collapses to the distinct fact frame
+    // map-side; the self-join keys on (user, day) — linear, and the
+    // per-day rollup is |days|-bounded.
+    Q("q_churn",
+      s"""WITH du AS (SELECT DISTINCT
+         |              CAST(date_diff('day', DATE '2024-01-01',
+         |                             CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |              user_id
+         |            FROM events),
+         |act AS (SELECT x, count(*) AS active FROM du GROUP BY 1),
+         |ret AS (SELECT a.x, count(*) AS returning_users
+         |        FROM du a JOIN du b ON a.user_id = b.user_id AND b.x = a.x - 1
+         |        GROUP BY 1),
+         |j AS (SELECT act.x, act.active, p.active AS prev_active,
+         |             COALESCE(ret.returning_users, 0) AS returning_users
+         |      FROM act
+         |      JOIN act p ON p.x = act.x - 1
+         |      LEFT JOIN ret ON ret.x = act.x)
+         |SELECT strftime(DATE '2024-01-01' + CAST(x AS INT), '%Y-%m-%d') AS day,
+         |       active, prev_active, returning_users,
+         |       ${Q.sqlR4("CAST(returning_users AS DOUBLE) / prev_active")} AS retention_rate,
+         |       ${Q.sqlR4("CAST(prev_active - returning_users AS DOUBLE) / prev_active")} AS churn_rate
+         |FROM j
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(datediff(col("ts").cast(DateType), to_date(lit("2024-01-01")))
+            .cast("long").as("x"),
+          col("user_id"))
+        .distinct()
+        .localCheckpoint(true)
+      val act = du.groupBy("x").agg(count(lit(1)).as("active"))
+      val ret = du.as("a")
+        .join(du.as("b"),
+          col("a.user_id") === col("b.user_id") && col("b.x") === col("a.x") - 1)
+        .groupBy(col("a.x").as("x")).agg(count(lit(1)).as("returning_users"))
+      act
+        .join(act.select((col("x") + 1).as("x"), col("active").as("prev_active")), "x")
+        .join(ret, Seq("x"), "left")
+        .select(
+          date_format(date_add(to_date(lit("2024-01-01")), col("x").cast("int")),
+            "yyyy-MM-dd").as("day"),
+          col("active"), col("prev_active"),
+          coalesce(col("returning_users"), lit(0L)).as("returning_users"),
+          Q.r4(coalesce(col("returning_users"), lit(0L)).cast("double") / col("prev_active"))
+            .as("retention_rate"),
+          Q.r4((col("prev_active") - coalesce(col("returning_users"), lit(0L))).cast("double") /
+            col("prev_active")).as("churn_rate"))
+        .orderBy("day")
     }
   )
 }

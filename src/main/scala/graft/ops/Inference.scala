@@ -562,6 +562,104 @@ object Inference {
           Q.r6(col("se_c") / 100).as("se_usd"),
           Q.r4((col("center_c") - lit(1.96) * col("se_c")) / 100).as("ci_lo"),
           Q.r4((col("center_c") + lit(1.96) * col("se_c")) / 100).as("ci_hi"))
+    },
+
+    // Price elasticity of demand per return flag (round 11): the
+    // log-log OLS every pricing team fits — elasticity = d ln(avg qty)
+    // / d ln(price multiplier) across the 11 discount levels (the
+    // natural experiment TPC-H data carries). Determinism: the corpus
+    // collapses to (flag, discount-level) cells with exact int64
+    // Σqty/count; BOTH logs are integer-scaled to 1e-6 per cell before
+    // any cross-cell sum (ln is per-cell, the established q_mutual_info
+    // discipline), so the five OLS sufficient sums are exact int64
+    // (bounds: x6 ≤ 1.2e5, y6 ≈ 3.2e6 ⇒ Σy6² ≈ 1e13·cells, far inside
+    // int64) and the slope is one shared double tree. Scale: one
+    // map-side-partial agg onto ≤ 3×11 cells; the fit reads 11 rows
+    // per flag.
+    Q("q_elasticity",
+      s"""WITH c AS (SELECT l_returnflag AS flag,
+         |                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |                  count(*) AS n, CAST(sum(floor(l_quantity)) AS BIGINT) AS sq
+         |           FROM lineitem GROUP BY 1, 2),
+         |xy AS (SELECT flag,
+         |              CAST(floor(ln(1.0 - d / 100.0) * 1e6 + 0.5) AS BIGINT) AS x6,
+         |              CAST(floor(ln(CAST(sq AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) AS y6
+         |       FROM c),
+         |st AS (SELECT flag, count(*) AS k,
+         |              CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         |              CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         |              CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         |              CAST(sum(y6 * y6) AS BIGINT) AS syy
+         |       FROM xy GROUP BY 1)
+         |SELECT flag, k AS n_levels,
+         |       ${Q.sqlR4("CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)")} AS elasticity,
+         |       ${Q.sqlR6("CAST(k * sxy - sx * sy AS DOUBLE) * (k * sxy - sx * sy) / (CAST(k * sxx - sx * sx AS DOUBLE) * (k * syy - sy * sy))")} AS r2
+         |FROM st
+         |ORDER BY flag""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity")).cast("long")).as("sq"))
+      val xy = c.select(col("flag"),
+        floor(log(lit(1.0) - col("d") / lit(100.0)) * lit(1e6) + 0.5).cast("long").as("x6"),
+        floor(log(col("sq").cast("double") / col("n")) * lit(1e6) + 0.5).cast("long").as("y6"))
+      val st = xy.groupBy("flag")
+        .agg(count(lit(1)).as("k"),
+          sum("x6").as("sx"), sum("y6").as("sy"),
+          sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("x6") * col("x6")).as("sxx"),
+          sum(col("y6") * col("y6")).as("syy"))
+      val sxxN = col("k") * col("sxx") - col("sx") * col("sx")
+      val sxyN = col("k") * col("sxy") - col("sx") * col("sy")
+      st.select(col("flag"), col("k").as("n_levels"),
+          Q.r4(sxyN.cast("double") / sxxN).as("elasticity"),
+          Q.r6(sxyN.cast("double") * sxyN /
+            (sxxN.cast("double") * (col("k") * col("syy") - col("sy") * col("sy"))))
+            .as("r2"))
+        .orderBy("flag")
+    },
+
+    // Wilson lower-bound conversion ranking per day (round 11): the
+    // score-interval lower bound (z = 1.96) on each day's
+    // purchasing-user share — the industry answer to "rank by rate
+    // without rewarding tiny denominators" (a 2/3 day must rank below
+    // a 40/100 day). Both counts are exact integers from ONE pass
+    // (per-(day,user) max-flag collapse, then the per-day rollup — the
+    // q_abtest shape), and the Wilson tree is one mirrored double
+    // formula over (c, n). Ranking is on the ROUNDED bound with a day
+    // tie-break. Scale: two chained map-side-partial aggs, shuffle
+    // carries (day,user) then day keys only.
+    Q("q_wilson_lb",
+      s"""WITH du AS (SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+         |                   user_id,
+         |                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |            FROM events GROUP BY 1, 2),
+         |c AS (SELECT day, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM du GROUP BY 1),
+         |f AS (SELECT day, n, c, CAST(c AS DOUBLE) / n AS p FROM c),
+         |w AS (SELECT day, n, c, p,
+         |             (p + 3.8416 / (2 * n) -
+         |              1.96 * sqrt((p * (1.0 - p) + 3.8416 / (4.0 * n)) / n)) /
+         |             (1.0 + 3.8416 / n) AS lb
+         |      FROM f)
+         |SELECT day, n AS n_users, c AS n_converted,
+         |       ${Q.sqlR6("p")} AS p_hat,
+         |       ${Q.sqlR6("lb")} AS wilson_lb
+         |FROM w
+         |ORDER BY ${Q.sqlR6("lb")} DESC, day""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .groupBy(date_format(col("ts").cast(DateType), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      val c = du.groupBy("day")
+        .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("c"))
+      val p = col("c").cast("double") / col("n")
+      val lb = (p + lit(3.8416) / (lit(2) * col("n")) -
+        lit(1.96) * sqrt((p * (lit(1.0) - p) + lit(3.8416) / (lit(4.0) * col("n"))) / col("n"))) /
+        (lit(1.0) + lit(3.8416) / col("n"))
+      c.select(col("day"), col("n").as("n_users"), col("c").as("n_converted"),
+          Q.r6(p).as("p_hat"), Q.r6(lb).as("wilson_lb"))
+        .orderBy(Q.r6(lb).desc, col("day"))
     }
   )
 }

@@ -221,6 +221,45 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q_elasticity fits are valid over the full discount grid") {
+    q("q_elasticity").collect().foreach { r =>
+      assert(r.getAs[Long]("n_levels") >= 2)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-6)
+      assert(!r.getAs[Double]("elasticity").isNaN)
+    }
+  }
+
+  test("q_wilson_lb bounds sit strictly below the point estimate, ranked descending") {
+    val w = q("q_wilson_lb").collect()
+    assert(w.nonEmpty)
+    w.foreach { r =>
+      val p = r.getAs[Double]("p_hat"); val lb = r.getAs[Double]("wilson_lb")
+      assert(lb >= 0.0 && lb < p + 1e-9,
+        s"wilson bound $lb must sit below p_hat $p")
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+    }
+    val lbs = w.map(_.getAs[Double]("wilson_lb"))
+    assert(lbs.zip(lbs.tail).forall { case (a, b) => a >= b }, "output must rank by bound")
+  }
+
+  test("q_churn conserves the active-user counts against the raw facts") {
+    val ch = q("q_churn").collect()
+    assert(ch.nonEmpty)
+    val dau = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    ch.foreach { r =>
+      assert(r.getAs[Long]("active") === dau(r.getString(0)))
+      val ret = r.getAs[Double]("retention_rate")
+      val churn = r.getAs[Double]("churn_rate")
+      assert(ret >= 0.0 && ret <= 1.0 && churn >= 0.0 && churn <= 1.0)
+      assert(math.abs(ret + churn - 1.0) < 2e-4) // r4-rounded halves
+      assert(r.getAs[Long]("returning_users") <= r.getAs[Long]("prev_active"))
+    }
+  }
+
   test("q_interpurchase gap counts obey the per-customer lag identity") {
     // total gaps = orders - customers-with-orders (each customer's
     // first order anchors, the rest produce one gap each)
