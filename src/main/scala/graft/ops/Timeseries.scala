@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
@@ -1103,28 +1104,102 @@ object Timeseries {
          |       ${Q.sqlR6("d7 / 7.0 - sd7 / (7.0 * sc)")} AS residual
          |FROM f JOIN sn ON f.event_type = sn.event_type AND f.x % 7 = sn.ph
          |ORDER BY f.event_type, day_idx""".stripMargin) { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
-            .cast("long").as("x"))
-        .agg(count(lit(1)).as("y"))
-      val w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
-      val f = daily
-        .withColumn("t7", sum("y").over(w7))
-        .withColumn("n7", count(lit(1)).over(w7))
-        .filter(col("n7") === 7)
-        .withColumn("d7", lit(7) * col("y") - col("t7"))
-      // seasonal via a window over the already-bounded frame — the
-      // oracle's sn join, without re-aggregating or rescanning
-      val wp = Window.partitionBy(col("event_type"), col("x") % 7)
-      f
-        .withColumn("sd7", sum("d7").over(wp))
-        .withColumn("sc", count(lit(1)).over(wp))
+      decomposedFrame(s, d)
         .select(col("event_type"), col("x").as("day_idx"), col("y"),
           Q.r6(col("t7") / 7.0).as("trend"),
           Q.r6(col("sd7") / (lit(7.0) * col("sc"))).as("seasonal"),
           Q.r6(col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))).as("residual"))
         .orderBy("event_type", "day_idx")
+    },
+
+    // Seasonal / trend strength per event type (round 11) — Hyndman's
+    // STL strength measures over the SAME classical decomposition as
+    // q_decompose (shared frame, shared integer ingredients):
+    // F_s = max(0, 1 − Var(resid)/Var(seasonal+resid)) and
+    // F_t = max(0, 1 − Var(resid)/Var(trend+resid)) — "is the weekly
+    // cycle / the trend real or noise?", the one-number gate before
+    // any seasonal model is trusted. Determinism: every per-row
+    // component is a ratio of EXACT int64s (d7, sd7, sc, y), scaled to
+    // 1e-6 integers per row BEFORE the per-type variance sums, so both
+    // engines run int64 sufficient statistics through one mirrored
+    // variance-ratio tree (Σv6² ≈ 1e15·rows — inside int64). Scale:
+    // rides the decompose frame (|types|×|days| rows after one
+    // map-side-partial agg).
+    Q("q_seasonal_strength",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, x, y,
+         |             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+         |                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+         |             count(*) OVER (PARTITION BY event_type ORDER BY x
+         |                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+         |      FROM daily),
+         |f AS (SELECT event_type, x, y, t7, 7 * y - t7 AS d7 FROM w WHERE n7 = 7),
+         |sn AS (SELECT event_type, x % 7 AS ph, CAST(sum(d7) AS BIGINT) AS sd7, count(*) AS sc
+         |       FROM f GROUP BY 1, 2),
+         |v AS (SELECT f.event_type,
+         |             CAST(floor((d7 / 7.0 - sd7 / (7.0 * sc)) * 1e6 + 0.5) AS BIGINT) AS r6v,
+         |             CAST(floor((d7 / 7.0) * 1e6 + 0.5) AS BIGINT) AS s6v,
+         |             CAST(floor((y - sd7 / (7.0 * sc)) * 1e6 + 0.5) AS BIGINT) AS t6v
+         |      FROM f JOIN sn ON f.event_type = sn.event_type AND f.x % 7 = sn.ph),
+         |st AS (SELECT event_type, count(*) AS n,
+         |              CAST(sum(r6v) AS BIGINT) AS sr, CAST(sum(r6v * r6v) AS BIGINT) AS srr,
+         |              CAST(sum(s6v) AS BIGINT) AS ss, CAST(sum(s6v * s6v) AS BIGINT) AS sss,
+         |              CAST(sum(t6v) AS BIGINT) AS stv, CAST(sum(t6v * t6v) AS BIGINT) AS stt
+         |       FROM v GROUP BY 1)
+         |SELECT event_type, n AS n_days,
+         |       ${Q.sqlR6("CASE WHEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * sss - ss * ss) > 0 THEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * sss - ss * ss) ELSE 0.0 END")} AS seasonal_strength,
+         |       ${Q.sqlR6("CASE WHEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * stt - stv * stv) > 0 THEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * stt - stv * stv) ELSE 0.0 END")} AS trend_strength
+         |FROM st
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = decomposedFrame(s, d).select(col("event_type"),
+        floor((col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e6) + 0.5)
+          .cast("long").as("r6v"),
+        floor((col("d7") / 7.0) * lit(1e6) + 0.5).cast("long").as("s6v"),
+        floor((col("y") - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e6) + 0.5)
+          .cast("long").as("t6v"))
+      val st = v.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("r6v").as("sr"), sum(col("r6v") * col("r6v")).as("srr"),
+          sum("s6v").as("ss"), sum(col("s6v") * col("s6v")).as("sss"),
+          sum("t6v").as("stv"), sum(col("t6v") * col("t6v")).as("stt"))
+      val vr = col("n") * col("srr") - col("sr") * col("sr")
+      def strength(den: Column): Column = {
+        val f = lit(1.0) - vr.cast("double") / den
+        when(f > 0, f).otherwise(lit(0.0))
+      }
+      st.select(col("event_type"), col("n").as("n_days"),
+          Q.r6(strength(col("n") * col("sss") - col("ss") * col("ss")))
+            .as("seasonal_strength"),
+          Q.r6(strength(col("n") * col("stt") - col("stv") * col("stv")))
+            .as("trend_strength"))
+        .orderBy("event_type")
     }
   )
+
+  /** The classical 7-day decomposition frame — event_type, x, y, t7
+    * (centered 7-day sum), d7 (7y − t7), sd7/sc (per-phase detrended
+    * sums) — the shared integer ingredients under q_decompose's
+    * per-day components and q_seasonal_strength's variance ratios.
+    * The seasonal means come from a window over the already-bounded
+    * frame (the oracle's sn join, without re-aggregating). */
+  private def decomposedFrame(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+    val wp = Window.partitionBy(col("event_type"), col("x") % 7)
+    daily
+      .withColumn("t7", sum("y").over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("d7", lit(7) * col("y") - col("t7"))
+      .withColumn("sd7", sum("d7").over(wp))
+      .withColumn("sc", count(lit(1)).over(wp))
+  }
 }

@@ -260,6 +260,35 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q_seasonal_strength stays in [0,1] and re-derives from q_decompose's components") {
+    val st = q("q_seasonal_strength").collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val fs = r.getAs[Double]("seasonal_strength")
+      val ft = r.getAs[Double]("trend_strength")
+      assert(fs >= 0.0 && fs <= 1.0 + 1e-6)
+      assert(ft >= 0.0 && ft <= 1.0 + 1e-6)
+    }
+    // independent recompute from the decompose OUTPUT (rounded
+    // components): variance ratios must agree to rounding tolerance
+    val dec = q("q_decompose").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    st.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rows = dec(t)
+      assert(rows.length.toLong === r.getAs[Long]("n_days"))
+      def varOf(vs: Array[Double]): Double = {
+        val n = vs.length; val m = vs.sum / n
+        vs.map(v => (v - m) * (v - m)).sum / n
+      }
+      val res = rows.map(_.getAs[Double]("residual"))
+      val sea = rows.map(x => x.getAs[Double]("seasonal") + x.getAs[Double]("residual"))
+      val expected = math.max(0.0, 1.0 - varOf(res) / varOf(sea))
+      assert(math.abs(expected - r.getAs[Double]("seasonal_strength")) < 1e-3,
+        s"$t: strength ${r.getAs[Double]("seasonal_strength")} vs recomputed $expected")
+    }
+  }
+
   test("q_interpurchase gap counts obey the per-customer lag identity") {
     // total gaps = orders - customers-with-orders (each customer's
     // first order anchors, the rest produce one gap each)
