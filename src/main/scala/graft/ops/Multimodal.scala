@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY §2.10, builder brief): media as an
@@ -286,6 +287,110 @@ object Multimodal {
           col("n_sampled"), col("pixels_sampled"),
           col("avg_lum").between(0, 1).as("lum_ok"))
         .orderBy("doc_id")
+    },
+
+    // Perceptual image hash for media dedup (round 11): a 4-bit
+    // quadrant aHash over the DECODED raster — each bit says "this
+    // quadrant is brighter than the whole image" (integer luminance,
+    // cross-multiplied exact comparisons — no float anywhere), then a
+    // hash-bucket count per doc, the grouping key an image-dedup
+    // pipeline clusters on. THE STRONGEST oracle form in the multimodal
+    // family: the synthetic pixels are a closed form of
+    // (doc_id, x, y), so DuckDB re-derives every pixel ARITHMETICALLY
+    // and recomputes the exact hash the Spark side must reach through
+    // real PNG bytes (encode → PNG stream → imageio decode → hash) —
+    // a pixel-exact, end-to-end codec round-trip check, not a sanity
+    // verdict. At 100 TB the hash replaces |corpus|² image comparison
+    // with a hash-key groupBy (the q_dedup_exact shape for media);
+    // real deployments widen the grid (8×8 = 64 bits) — the plumbing
+    // is identical.
+    Q("q_image_phash",
+      """WITH px AS (SELECT d.doc_id,
+        |                   CAST(4 + d.doc_id % 13 AS BIGINT) AS w,
+        |                   CAST(3 + d.n_chars % 7 AS BIGINT) AS h,
+        |                   t.x, u.y
+        |            FROM documents d,
+        |                 UNNEST(range(0, 4 + d.doc_id % 13)) AS t(x),
+        |                 UNNEST(range(0, 3 + d.n_chars % 7)) AS u(y)),
+        |l AS (SELECT doc_id, w, h,
+        |             CASE WHEN y * 2 < h THEN 0 ELSE 2 END
+        |             + CASE WHEN x * 2 < w THEN 0 ELSE 1 END AS q,
+        |             299 * ((doc_id * 31 + x * 7 + y * 13) % 256)
+        |             + 587 * ((doc_id * 17 + x * 11 + y * 3) % 256)
+        |             + 114 * ((doc_id + x * y) % 256) AS lum
+        |      FROM px),
+        |qs AS (SELECT doc_id, w, h, q, CAST(sum(lum) AS BIGINT) AS sq, count(*) AS nq
+        |       FROM l GROUP BY 1, 2, 3, 4),
+        |t AS (SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |             CAST(sum(sq) AS BIGINT) AS st, CAST(sum(nq) AS BIGINT) AS nt
+        |      FROM qs GROUP BY 1),
+        |hb AS (SELECT qs.doc_id,
+        |              CAST(sum(CASE WHEN sq * t.nt > t.st * nq
+        |                            THEN CASE q WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                                        WHEN 2 THEN 4 ELSE 8 END
+        |                            ELSE 0 END) AS BIGINT) AS phash
+        |       FROM qs JOIN t ON qs.doc_id = t.doc_id GROUP BY 1)
+        |SELECT hb.doc_id, t.width, t.height, hb.phash,
+        |       count(*) OVER (PARTITION BY hb.phash) AS n_same_hash
+        |FROM hb JOIN t ON hb.doc_id = t.doc_id
+        |ORDER BY hb.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val hashed = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
+        .toDF()
+        .repartition(col("doc_id")) // size decode partitions; no shuffle after
+        .as[MediaIn]
+        .mapPartitions(decodeQuadHash)
+        .toDF()
+      hashed
+        .withColumn("n_same_hash", count(lit(1)).over(Window.partitionBy("phash")))
+        .select(col("doc_id"), col("width"), col("height"), col("phash"),
+          col("n_same_hash"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Per-image 4-bit quadrant hash row (see q_image_phash). */
+  final case class MediaQuadHash(doc_id: Long, width: Int, height: Int, phash: Long)
+
+  /** REAL decode → integer-exact quadrant hash: parses the PNG stream,
+    * accumulates INTEGER luminance (299r + 587g + 114b per pixel) per
+    * quadrant (left = x·2 < w, top = y·2 < h), and sets bit q iff the
+    * quadrant out-brightens the image under the cross-multiplied
+    * integer comparison s_q·n > s·n_q — zero floats, so the DuckDB
+    * oracle's arithmetic pixel re-derivation must match bit-for-bit. */
+  private def decodeQuadHash(rows: Iterator[MediaIn]): Iterator[MediaQuadHash] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val s = new Array[Long](4)
+      val n = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val lum = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+          val q = (if (y * 2 < h) 0 else 2) + (if (x * 2 < w) 0 else 1)
+          s(q) += lum
+          n(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val st = s.sum
+      val nt = n.sum
+      var hash = 0L
+      var i = 0
+      while (i < 4) {
+        if (s(i) * nt > st * n(i)) hash |= (1L << i)
+        i += 1
+      }
+      MediaQuadHash(r.doc_id, w, h, hash)
+    }
+  }
 }

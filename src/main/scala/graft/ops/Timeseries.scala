@@ -1141,9 +1141,9 @@ object Timeseries {
          |sn AS (SELECT event_type, x % 7 AS ph, CAST(sum(d7) AS BIGINT) AS sd7, count(*) AS sc
          |       FROM f GROUP BY 1, 2),
          |v AS (SELECT f.event_type,
-         |             CAST(floor((d7 / 7.0 - sd7 / (7.0 * sc)) * 1e6 + 0.5) AS BIGINT) AS r6v,
-         |             CAST(floor((d7 / 7.0) * 1e6 + 0.5) AS BIGINT) AS s6v,
-         |             CAST(floor((y - sd7 / (7.0 * sc)) * 1e6 + 0.5) AS BIGINT) AS t6v
+         |             CAST(floor((d7 / 7.0 - sd7 / (7.0 * sc)) * 1e3 + 0.5) AS BIGINT) AS r6v,
+         |             CAST(floor((d7 / 7.0) * 1e3 + 0.5) AS BIGINT) AS s6v,
+         |             CAST(floor((y - sd7 / (7.0 * sc)) * 1e3 + 0.5) AS BIGINT) AS t6v
          |      FROM f JOIN sn ON f.event_type = sn.event_type AND f.x % 7 = sn.ph),
          |st AS (SELECT event_type, count(*) AS n,
          |              CAST(sum(r6v) AS BIGINT) AS sr, CAST(sum(r6v * r6v) AS BIGINT) AS srr,
@@ -1156,10 +1156,10 @@ object Timeseries {
          |FROM st
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       val v = decomposedFrame(s, d).select(col("event_type"),
-        floor((col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e6) + 0.5)
+        floor((col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
           .cast("long").as("r6v"),
-        floor((col("d7") / 7.0) * lit(1e6) + 0.5).cast("long").as("s6v"),
-        floor((col("y") - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e6) + 0.5)
+        floor((col("d7") / 7.0) * lit(1e3) + 0.5).cast("long").as("s6v"),
+        floor((col("y") - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
           .cast("long").as("t6v"))
       val st = v.groupBy("event_type")
         .agg(count(lit(1)).as("n"),

@@ -289,6 +289,22 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q_image_phash hashes are 4-bit with conserved bucket counts") {
+    val ph = q("q_image_phash").collect()
+    assert(ph.length.toLong === Tables.load(spark, sfDir, "documents").count())
+    val buckets = ph.groupBy(_.getAs[Long]("phash"))
+    ph.foreach { r =>
+      val hash = r.getAs[Long]("phash")
+      assert(hash >= 0 && hash <= 15, s"4-bit hash out of range: $hash")
+      assert(r.getAs[Int]("width") >= 4 && r.getAs[Int]("height") >= 3)
+      // the reported bucket size must equal the actual hash-group size
+      assert(r.getAs[Long]("n_same_hash").toInt === buckets(hash).length)
+    }
+    // an aHash cannot set all four "brighter than average" bits
+    assert(!ph.exists(_.getAs[Long]("phash") == 15L),
+      "all four quadrants cannot each out-brighten the whole image")
+  }
+
   test("q_interpurchase gap counts obey the per-customer lag identity") {
     // total gaps = orders - customers-with-orders (each customer's
     // first order anchors, the rest produce one gap each)
