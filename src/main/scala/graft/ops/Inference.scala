@@ -620,6 +620,69 @@ object Inference {
         .orderBy("flag")
     },
 
+    // Experiment health check (round 11): the two gates run BEFORE
+    // reading any A/B result — sample-ratio mismatch (SRM: a 50/50
+    // split whose arms differ beyond chi² 6.635 ⇒ the assignment is
+    // broken and every downstream number is garbage) and the minimum
+    // detectable effect at 80% power / 5% alpha (MDE: the smallest
+    // conversion lift this sample could even see) — q_abtest's
+    // experiment frame, instrumented. Everything derives from FOUR
+    // integer counts (users and conversions per hash variant, the
+    // q_abtest per-user collapse) through one mirrored double tree;
+    // the SRM verdict is an integer-vs-constant comparison. Scale:
+    // one (user)-key map-side-partial agg → 2-row rollup → single row.
+    Q("q_exp_health",
+      s"""WITH u AS (SELECT user_id, user_id % 2 AS variant,
+         |                  max(CASE WHEN event_type = 'purchase' AND value >= 150
+         |                           THEN 1 ELSE 0 END) AS conv
+         |           FROM events GROUP BY 1, 2),
+         |v AS (SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+         |      FROM u GROUP BY 1),
+         |w AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS na,
+         |             CAST(sum(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS ca,
+         |             CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS nb,
+         |             CAST(sum(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS cb
+         |      FROM v),
+         |f AS (SELECT na, nb, ca, cb,
+         |             CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb) AS chi2,
+         |             CAST(ca + cb AS DOUBLE) / (na + nb) AS p
+         |      FROM w),
+         |g AS (SELECT na, nb, ca, cb, chi2, p,
+         |             2.8016 * sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)) AS mde
+         |      FROM f)
+         |SELECT na, nb, ca, cb,
+         |       ${Q.sqlR6("chi2")} AS srm_chi2,
+         |       chi2 > 6.635 AS srm_flag,
+         |       ${Q.sqlR6("p")} AS pooled_p,
+         |       ${Q.sqlR6("mde")} AS mde_abs,
+         |       ${Q.sqlR6("mde / p")} AS mde_rel
+         |FROM g""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
+          .otherwise(0)).as("conv"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("c"))
+      val w = v.agg(
+        sum(when(col("variant") === 0, col("n"))).cast("long").as("na"),
+        sum(when(col("variant") === 0, col("c"))).cast("long").as("ca"),
+        sum(when(col("variant") === 1, col("n"))).cast("long").as("nb"),
+        sum(when(col("variant") === 1, col("c"))).cast("long").as("cb"))
+      val chi2 = ((col("na") - col("nb")) * (col("na") - col("nb"))).cast("double") /
+        (col("na") + col("nb"))
+      val p = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+      val f = w.select(col("na"), col("nb"), col("ca"), col("cb"),
+        chi2.as("chi2"), p.as("p"))
+      val mde = lit(2.8016) * sqrt(col("p") * (lit(1.0) - col("p")) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      f.select(col("na"), col("nb"), col("ca"), col("cb"),
+        Q.r6(col("chi2")).as("srm_chi2"),
+        (col("chi2") > 6.635).as("srm_flag"),
+        Q.r6(col("p")).as("pooled_p"),
+        Q.r6(mde).as("mde_abs"),
+        Q.r6(mde / col("p")).as("mde_rel"))
+    },
+
     // Wilson lower-bound conversion ranking per day (round 11): the
     // score-interval lower bound (z = 1.96) on each day's
     // purchasing-user share — the industry answer to "rank by rate

@@ -289,6 +289,23 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q_exp_health agrees with q_abtest's frame and keeps MDE above zero") {
+    val r = q("q_exp_health").head()
+    val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+    // same per-user hash split as q_abtest: arm sizes cover every user
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(na + nb === users)
+    assert(r.getAs[Double]("srm_chi2") >= 0.0)
+    val p = r.getAs[Double]("pooled_p")
+    assert(p > 0.0 && p < 1.0)
+    val mdeA = r.getAs[Double]("mde_abs"); val mdeR = r.getAs[Double]("mde_rel")
+    assert(mdeA > 0.0 && mdeR > 0.0)
+    assert(math.abs(mdeR - mdeA / p) < 1e-4)
+    // a genuine 50/50 hash split on this data must not flag SRM
+    assert(!r.getAs[Boolean]("srm_flag"),
+      s"unexpected sample-ratio mismatch: na=$na nb=$nb")
+  }
+
   test("q_image_phash hashes are 4-bit with conserved bucket counts") {
     val ph = q("q_image_phash").collect()
     assert(ph.length.toLong === Tables.load(spark, sfDir, "documents").count())
