@@ -400,6 +400,67 @@ object TextPipeline {
       nearDupPairs(s, d, dfCap = Some(128L))
     },
 
+    // Dedup threshold sweep (round 11): the near-dup TUNING CURVE — at
+    // each Jaccard threshold 0.3–0.9, how many candidate pairs clear it
+    // and how many documents would be dropped under the keep-smaller-id
+    // policy (distinct d2), with the surviving-corpus share. This is
+    // the chart a corpus team reads before committing a threshold:
+    // yield vs aggressiveness in one pass. Reuses the SAME df-capped
+    // shinglePairStats machinery as q_dedup_near/containment (one
+    // candidate generation, 7 in-row threshold replicas via a bounded
+    // literal-array explode — never 7 passes); empty thresholds
+    // survive via the left join from the threshold dim. The count-only
+    // corpus total rides parquet metadata. Each Jaccard is one IEEE
+    // division of exact int64s compared against identical literal
+    // thresholds — both engines flag identical pairs.
+    Q("q_dedup_threshold_curve",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                             AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT p.d2, CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) AS j
+        |      FROM pairs p
+        |      JOIN cnt c1 ON p.d1 = c1.doc_id
+        |      JOIN cnt c2 ON p.d2 = c2.doc_id),
+        |t AS (SELECT unnest(CAST([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS threshold),
+        |x AS (SELECT t.threshold, count(*) AS n_pairs,
+        |             count(DISTINCT p.d2) AS n_docs_flagged
+        |      FROM t JOIN p ON p.j >= t.threshold GROUP BY 1),
+        |tot AS (SELECT count(*) AS total_docs FROM documents)
+        |SELECT t.threshold,
+        |       CAST(COALESCE(x.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       CAST(COALESCE(x.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+        |       floor((CAST(tot.total_docs - COALESCE(x.n_docs_flagged, 0) AS DOUBLE) / tot.total_docs)*10000+0.5)/10000 AS keep_pct
+        |FROM t LEFT JOIN x ON t.threshold = x.threshold, tot
+        |ORDER BY t.threshold""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val jac = col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))
+      val pairs = shinglePairStats(s, d, Some(128L)).select(col("d2"), jac.as("j"))
+      val thresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val x = pairs
+        .select(col("d2"), col("j"),
+          explode(array(thresholds.map(lit): _*)).as("threshold"))
+        .filter(col("j") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("np"), countDistinct("d2").as("nf"))
+      val total = Tables.load(s, d, "documents").agg(count(lit(1)).as("total_docs"))
+      thresholds.toDF("threshold")
+        .join(x, Seq("threshold"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("threshold"),
+          coalesce(col("np"), lit(0L)).as("n_pairs"),
+          coalesce(col("nf"), lit(0L)).as("n_docs_flagged"),
+          Q.r4((col("total_docs") - coalesce(col("nf"), lit(0L))).cast("double") /
+            col("total_docs")).as("keep_pct"))
+        .orderBy("threshold")
+    },
+
     // Asymmetric shingle CONTAINMENT (round 10): C(a→b) = |Sa∩Sb|/|Sa|
     // — the sub-document duplication signal Jaccard misses. A short
     // doc fully quoted inside a long one has tiny Jaccard (the union

@@ -306,6 +306,26 @@ class InferenceSpec extends SparkSpec {
       s"unexpected sample-ratio mismatch: na=$na nb=$nb")
   }
 
+  test("q_dedup_threshold_curve is monotone and agrees with q_dedup_near at 0.8") {
+    val curve = q("q_dedup_threshold_curve").collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(curve.length === 7)
+    val pairs = curve.map(_.getAs[Long]("n_pairs"))
+    val flagged = curve.map(_.getAs[Long]("n_docs_flagged"))
+    // raising the threshold can only shrink the flagged set
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a })
+    assert(flagged.zip(flagged.tail).forall { case (a, b) => b <= a })
+    curve.foreach { r =>
+      val keep = r.getAs[Double]("keep_pct")
+      assert(keep >= 0.0 && keep <= 1.0)
+      assert(r.getAs[Long]("n_docs_flagged") <= r.getAs[Long]("n_pairs") ||
+        r.getAs[Long]("n_pairs") == 0)
+    }
+    // the 0.8 point must equal the declared near-dup operator's count
+    val at08 = curve.find(r => math.abs(r.getAs[Double]("threshold") - 0.8) < 1e-9).get
+    assert(at08.getAs[Long]("n_pairs") === q("q_dedup_near").count())
+  }
+
   test("q_image_phash hashes are 4-bit with conserved bucket counts") {
     val ph = q("q_image_phash").collect()
     assert(ph.length.toLong === Tables.load(spark, sfDir, "documents").count())
