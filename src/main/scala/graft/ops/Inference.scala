@@ -683,6 +683,99 @@ object Inference {
         Q.r6(mde / col("p")).as("mde_rel"))
     },
 
+    // CUPED variance reduction (round 11): the industry-standard
+    // pre-experiment covariate adjustment — each user's post-period
+    // purchase spend is debiased by θ·(pre − mean_pre) with θ =
+    // cov(pre, post)/var(pre), shrinking metric variance by corr²
+    // without touching the expected lift (Deng et al.'s CUPED, the
+    // reason mature platforms detect effects 2-5× faster). Reports the
+    // raw and CUPED-adjusted variant lifts plus the realized variance
+    // reduction. Determinism: the per-user (variant, pre, post) frame
+    // is exact int64 CENTS; every cross-user statistic (θ's covariance
+    // sums, per-variant sums, both variance terms) is an int64
+    // sufficient sum from ONE conditional aggregate over that frame,
+    // composed through one mirrored double tree. Scale: one user-key
+    // map-side-partial agg (corpus → |users| rows) and a single-row
+    // rollup; nothing after the collapse grows with the corpus.
+    Q("q_cuped",
+      s"""WITH u AS (SELECT user_id, user_id % 2 AS variant,
+         |                  CAST(sum(CASE WHEN event_type = 'purchase'
+         |                                 AND CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+         |                                THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                                ELSE 0 END) AS BIGINT) AS pre,
+         |                  CAST(sum(CASE WHEN event_type = 'purchase'
+         |                                 AND CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16'
+         |                                THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                                ELSE 0 END) AS BIGINT) AS post
+         |           FROM events GROUP BY 1, 2),
+         |st AS (SELECT count(*) AS n,
+         |              CAST(sum(pre) AS BIGINT) AS sx, CAST(sum(post) AS BIGINT) AS sy,
+         |              CAST(sum(pre * post) AS BIGINT) AS sxy,
+         |              CAST(sum(pre * pre) AS BIGINT) AS sxx,
+         |              CAST(sum(post * post) AS BIGINT) AS syy,
+         |              CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |              CAST(sum(CASE WHEN variant = 0 THEN pre END) AS BIGINT) AS pa,
+         |              CAST(sum(CASE WHEN variant = 0 THEN post END) AS BIGINT) AS qa,
+         |              CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |              CAST(sum(CASE WHEN variant = 1 THEN pre END) AS BIGINT) AS pb,
+         |              CAST(sum(CASE WHEN variant = 1 THEN post END) AS BIGINT) AS qb
+         |       FROM u),
+         |f AS (SELECT n, na, nb,
+         |             CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+         |             CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) /
+         |               ((n * sxx - CAST(sx AS DOUBLE) * sx) * (n * syy - CAST(sy AS DOUBLE) * sy)) AS corr_sq,
+         |             CAST(sx AS DOUBLE) / n AS mx,
+         |             CAST(qa AS DOUBLE) / na AS mya, CAST(qb AS DOUBLE) / nb AS myb,
+         |             CAST(pa AS DOUBLE) / na AS mxa, CAST(pb AS DOUBLE) / nb AS mxb
+         |      FROM st)
+         |SELECT n AS n_users, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |       ${Q.sqlR6("theta")} AS theta,
+         |       ${Q.sqlR6("corr_sq")} AS corr_sq,
+         |       ${Q.sqlR4("(mya - myb) / 100")} AS lift_raw_usd,
+         |       ${Q.sqlR4("((mya - theta * (mxa - mx)) - (myb - theta * (mxb - mx))) / 100")} AS lift_cuped_usd,
+         |       ${Q.sqlR4("corr_sq * 100")} AS var_reduction_pct
+         |FROM f""".stripMargin) { (s, d) =>
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val isPurchase = col("event_type") === "purchase"
+      val preFlag = col("ts").cast(DateType) < to_date(lit("2024-01-16"))
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(
+          sum(when(isPurchase && preFlag, cents).otherwise(0L)).cast("long").as("pre"),
+          sum(when(isPurchase && !preFlag, cents).otherwise(0L)).cast("long").as("post"))
+      val st = u.agg(count(lit(1)).as("n"),
+        sum("pre").as("sx"), sum("post").as("sy"),
+        sum(col("pre") * col("post")).as("sxy"),
+        sum(col("pre") * col("pre")).as("sxx"),
+        sum(col("post") * col("post")).as("syy"),
+        sum(when(col("variant") === 0, 1).otherwise(0)).cast("long").as("na"),
+        sum(when(col("variant") === 0, col("pre"))).as("pa"),
+        sum(when(col("variant") === 0, col("post"))).as("qa"),
+        sum(when(col("variant") === 1, 1).otherwise(0)).cast("long").as("nb"),
+        sum(when(col("variant") === 1, col("pre"))).as("pb"),
+        sum(when(col("variant") === 1, col("post"))).as("qb"))
+      val covN = col("n") * col("sxy") - col("sx") * col("sy")
+      val f = st.select(col("n"), col("na"), col("nb"),
+        (covN.cast("double") / (col("n") * col("sxx") - col("sx").cast("double") * col("sx")))
+          .as("theta"),
+        (covN.cast("double") * covN /
+          ((col("n") * col("sxx") - col("sx").cast("double") * col("sx")) *
+            (col("n") * col("syy") - col("sy").cast("double") * col("sy")))).as("corr_sq"),
+        (col("sx").cast("double") / col("n")).as("mx"),
+        (col("qa").cast("double") / col("na")).as("mya"),
+        (col("qb").cast("double") / col("nb")).as("myb"),
+        (col("pa").cast("double") / col("na")).as("mxa"),
+        (col("pb").cast("double") / col("nb")).as("mxb"))
+      f.select(col("n").as("n_users"), col("na"), col("nb"),
+        Q.r6(col("theta")).as("theta"),
+        Q.r6(col("corr_sq")).as("corr_sq"),
+        Q.r4((col("mya") - col("myb")) / 100).as("lift_raw_usd"),
+        Q.r4(((col("mya") - col("theta") * (col("mxa") - col("mx"))) -
+          (col("myb") - col("theta") * (col("mxb") - col("mx")))) / 100)
+          .as("lift_cuped_usd"),
+        Q.r4(col("corr_sq") * 100).as("var_reduction_pct"))
+    },
+
     // Wilson lower-bound conversion ranking per day (round 11): the
     // score-interval lower bound (z = 1.96) on each day's
     // purchasing-user share — the industry answer to "rank by rate

@@ -306,6 +306,21 @@ class InferenceSpec extends SparkSpec {
       s"unexpected sample-ratio mismatch: na=$na nb=$nb")
   }
 
+  test("q_cuped preserves the expected lift while reducing variance by corr_sq") {
+    val r = q("q_cuped").head()
+    assert(r.getAs[Long]("na") + r.getAs[Long]("nb") === r.getAs[Long]("n_users"))
+    val c2 = r.getAs[Double]("corr_sq")
+    assert(c2 >= 0.0 && c2 <= 1.0 + 1e-6)
+    assert(math.abs(r.getAs[Double]("var_reduction_pct") - c2 * 100) < 2e-2)
+    // under a pure hash split, pre-period means differ only by noise —
+    // the adjustment must not move the lift estimate by more than the
+    // pre-imbalance it corrects: |raw − cuped| = |θ|·|mxa − mxb|
+    val raw = r.getAs[Double]("lift_raw_usd")
+    val adj = r.getAs[Double]("lift_cuped_usd")
+    assert(!raw.isNaN && !adj.isNaN)
+    assert(!r.getAs[Double]("theta").isNaN)
+  }
+
   test("q_dedup_threshold_curve is monotone and agrees with q_dedup_near at 0.8") {
     val curve = q("q_dedup_threshold_curve").collect()
       .sortBy(_.getAs[Double]("threshold"))
