@@ -112,8 +112,17 @@ object Bench {
     // round, so consecutive rounds report consecutive windows and the
     // full surface cycles through in ceil(tail/(K/2)) rounds (~3 at
     // today's 194-query surface) with zero reliance on wall-clock.
-    val roundIdx: Int = Option(new java.io.File(".").listFiles)
-      .map(_.count(f => f.getName.matches("BENCH_r\\d+\\.json"))).getOrElse(0)
+    // resolve the repo root by walking up to build.sbt rather than
+    // trusting the cwd: launched from a wrapper directory, "." holds no
+    // BENCH files and the rotation would silently freeze at window 0 —
+    // the exact permanently-invisible-tail problem it exists to fix
+    val roundIdx: Int = Iterator
+      .iterate(new java.io.File(".").getAbsoluteFile)(_.getParentFile)
+      .takeWhile(_ != null)
+      .find(dir => new java.io.File(dir, "build.sbt").exists)
+      .flatMap(dir => Option(dir.listFiles))
+      .map(_.count(f => f.getName.matches("BENCH_r\\d+\\.json")))
+      .getOrElse(0)
     def renderTop(k: Int): String = {
       val fails = runs.filter(_._2.isLeft)
       val top = runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(k / 2)

@@ -110,10 +110,16 @@ object Aggregates {
          |FROM e
          |GROUP BY ROLLUP(day)
          |ORDER BY grain, day_es""".stripMargin) { (s, d) =>
+      // one materialized ~|days|-row sketch table under both grains:
+      // the daily branch and the overall union would otherwise each
+      // re-run the events scan + per-day sketch build (trees, not
+      // DAGs; the checkpoint job costs ~0.3 s fixed at toy scale and
+      // replaces a full corpus re-scan at 100 TB)
       val daily = Tables.events(s, d)
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
         .groupBy("day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(true)
       val est = daily
         .select(lit("daily").as("grain"), unix_timestamp(col("day")).as("day_es"),
           hll_sketch_estimate(col("sk")).as("est_users"))

@@ -472,12 +472,19 @@ object Inference {
     // each row by an independent Poisson(1) count per replica is
     // one-pass, shuffle-light, and converges to the same estimator
     // (Kleiner et al.'s scalable-bootstrap family, Poisson variant).
-    // Zero RNG state: each (row, replica) weight derives from a
-    // two-step MINSTD LCG (x → 48271·x mod 2³¹−1) seeded by the
-    // integer (event_id·B + rep + 1), fed through the exact Poisson(1)
-    // inverse-CDF thresholds — identical integer arithmetic in both
-    // engines, so the oracle checks the RESAMPLING itself, not just
-    // moments. Determinism of the reduction: per-replica Σw and Σw·v
+    // Zero RNG state: each (row, replica) weight derives from a 31-bit
+    // xorshift-multiply mix of the integer (event_id·B + rep + 1) —
+    // three multiplicative congruential steps SEPARATED BY XOR-SHIFTS,
+    // fed through the exact Poisson(1) inverse-CDF thresholds.
+    // Identical integer arithmetic in both engines, so the oracle
+    // checks the RESAMPLING itself, not just moments. The xor steps
+    // are load-bearing: a pure LCG over consecutive seeds is LINEAR,
+    // so the 20 replica uniforms per row would form an arithmetic
+    // progression mod 1 with a shared step — every replica a phase
+    // shift of every other, and the cross-replica variance would
+    // measure that lattice, not resampling variability. The xor
+    // between multiplies breaks the linearity (review catch, r11).
+    // Determinism of the reduction: per-replica Σw and Σw·v
     // are exact int64; each replica mean is integer-scaled to millicents
     // BEFORE the cross-replica moment sums (order-free int64 — and m3²
     // stays ~6e14, far inside int64 where a 1e-6 scaling would
@@ -487,14 +494,18 @@ object Inference {
     Q("q_bootstrap_ci",
       """WITH p AS (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
         |           FROM events WHERE event_type = 'purchase'),
-        |np AS (SELECT count(*) AS n_rows FROM p),
         |r AS (SELECT p.event_id, p.v, reps.rep
         |      FROM p, (SELECT unnest(range(0, 20)) AS rep) reps),
-        |k AS (SELECT v, rep,
-        |             (48271 * ((48271 * ((event_id * 20 + rep + 1) % 2147483647))
-        |                       % 2147483647)) % 2147483647 AS k2
-        |      FROM r),
-        |u AS (SELECT v, rep, CAST(k2 AS DOUBLE) / 2147483647 AS u FROM k),
+        |k1 AS (SELECT v, rep,
+        |              (48271 * ((event_id * 20 + rep + 1) % 2147483647)) % 2147483647 AS h1
+        |       FROM r),
+        |k2 AS (SELECT v, rep,
+        |              (69621 * xor(h1, CAST(floor(h1 / 65536.0) AS BIGINT))) % 2147483647 AS h3
+        |       FROM k1),
+        |k3 AS (SELECT v, rep,
+        |              (16807 * xor(h3, CAST(floor(h3 / 1024.0) AS BIGINT))) % 2147483647 AS h5
+        |       FROM k2),
+        |u AS (SELECT v, rep, CAST(h5 AS DOUBLE) / 2147483647 AS u FROM k3),
         |w AS (SELECT v, rep,
         |             CASE WHEN u < 0.36787944117144233 THEN 0
         |                  WHEN u < 0.7357588823428846 THEN 1
@@ -535,9 +546,10 @@ object Inference {
       val r = p.select(col("v"),
         explode(sequence(lit(0L), lit(19L))).as("rep"),
         col("event_id"))
-      val k2 = (lit(48271L) * ((lit(48271L) *
-        ((col("event_id") * 20 + col("rep") + 1) % M)) % M)) % M
-      val u = k2.cast("double") / M
+      val h1 = (lit(48271L) * ((col("event_id") * 20 + col("rep") + 1) % M)) % M
+      val h3 = (lit(69621L) * h1.bitwiseXOR(floor(h1 / 65536.0).cast("long"))) % M
+      val h5 = (lit(16807L) * h3.bitwiseXOR(floor(h3 / 1024.0).cast("long"))) % M
+      val u = h5.cast("double") / M
       val w = r.select(col("v"), col("rep"),
         when(u < 0.36787944117144233, 0L)
           .when(u < 0.7357588823428846, 1L)

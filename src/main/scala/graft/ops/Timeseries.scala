@@ -1141,14 +1141,14 @@ object Timeseries {
          |sn AS (SELECT event_type, x % 7 AS ph, CAST(sum(d7) AS BIGINT) AS sd7, count(*) AS sc
          |       FROM f GROUP BY 1, 2),
          |v AS (SELECT f.event_type,
-         |             CAST(floor((d7 / 7.0 - sd7 / (7.0 * sc)) * 1e3 + 0.5) AS BIGINT) AS r6v,
-         |             CAST(floor((d7 / 7.0) * 1e3 + 0.5) AS BIGINT) AS s6v,
-         |             CAST(floor((y - sd7 / (7.0 * sc)) * 1e3 + 0.5) AS BIGINT) AS t6v
+         |             CAST(floor((d7 / 7.0 - sd7 / (7.0 * sc)) * 1e3 + 0.5) AS BIGINT) AS r3v,
+         |             CAST(floor((d7 / 7.0) * 1e3 + 0.5) AS BIGINT) AS s3v,
+         |             CAST(floor((y - sd7 / (7.0 * sc)) * 1e3 + 0.5) AS BIGINT) AS t3v
          |      FROM f JOIN sn ON f.event_type = sn.event_type AND f.x % 7 = sn.ph),
          |st AS (SELECT event_type, count(*) AS n,
-         |              CAST(sum(r6v) AS BIGINT) AS sr, CAST(sum(r6v * r6v) AS BIGINT) AS srr,
-         |              CAST(sum(s6v) AS BIGINT) AS ss, CAST(sum(s6v * s6v) AS BIGINT) AS sss,
-         |              CAST(sum(t6v) AS BIGINT) AS stv, CAST(sum(t6v * t6v) AS BIGINT) AS stt
+         |              CAST(sum(r3v) AS BIGINT) AS sr, CAST(sum(r3v * r3v) AS BIGINT) AS srr,
+         |              CAST(sum(s3v) AS BIGINT) AS ss, CAST(sum(s3v * s3v) AS BIGINT) AS sss,
+         |              CAST(sum(t3v) AS BIGINT) AS stv, CAST(sum(t3v * t3v) AS BIGINT) AS stt
          |       FROM v GROUP BY 1)
          |SELECT event_type, n AS n_days,
          |       ${Q.sqlR6("CASE WHEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * sss - ss * ss) > 0 THEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * sss - ss * ss) ELSE 0.0 END")} AS seasonal_strength,
@@ -1157,15 +1157,15 @@ object Timeseries {
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       val v = decomposedFrame(s, d).select(col("event_type"),
         floor((col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
-          .cast("long").as("r6v"),
-        floor((col("d7") / 7.0) * lit(1e3) + 0.5).cast("long").as("s6v"),
+          .cast("long").as("r3v"),
+        floor((col("d7") / 7.0) * lit(1e3) + 0.5).cast("long").as("s3v"),
         floor((col("y") - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
-          .cast("long").as("t6v"))
+          .cast("long").as("t3v"))
       val st = v.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum("r6v").as("sr"), sum(col("r6v") * col("r6v")).as("srr"),
-          sum("s6v").as("ss"), sum(col("s6v") * col("s6v")).as("sss"),
-          sum("t6v").as("stv"), sum(col("t6v") * col("t6v")).as("stt"))
+          sum("r3v").as("sr"), sum(col("r3v") * col("r3v")).as("srr"),
+          sum("s3v").as("ss"), sum(col("s3v") * col("s3v")).as("sss"),
+          sum("t3v").as("stv"), sum(col("t3v") * col("t3v")).as("stt"))
       val vr = col("n") * col("srr") - col("sr") * col("sr")
       def strength(den: Column): Column = {
         val f = lit(1.0) - vr.cast("double") / den
