@@ -720,6 +720,109 @@ object Corpus {
       p.join(st, "lang")
         .select("lang", "n_in", "n_dedup", "n_quality", "n_kept", "tokens_kept")
         .orderBy("lang")
+    },
+
+    // Context-window fit profile (round 11): for each training context
+    // length (128 / 512 / 2048 / 8192 tokens), the share of documents
+    // fitting whole and the share of the corpus's token mass a
+    // truncate-at-window policy captures — the sizing query behind
+    // every "which context length / packing strategy" decision
+    // (q_pack_sequences packs; this says what packing at each window
+    // COSTS). Token counts use the same BPE-ish regex tokenizer as
+    // q_token_count; the 4-window replica expansion is an in-row
+    // literal explode over the per-doc count frame (never 4 corpus
+    // passes). All sums exact int64, shares single IEEE divisions.
+    // Scale: one scan → |docs|-row count frame → 4-key agg.
+    Q("q_context_fit",
+      """WITH t AS (SELECT CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS tk
+        |           FROM documents),
+        |x AS (SELECT w.win, t.tk
+        |      FROM t, (SELECT unnest(CAST([128, 512, 2048, 8192] AS BIGINT[])) AS win) w)
+        |SELECT win, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN tk <= win THEN 1 ELSE 0 END) AS BIGINT) AS docs_fit,
+        |       floor((CAST(sum(CASE WHEN tk <= win THEN 1 ELSE 0 END) AS DOUBLE) / count(*))*10000+0.5)/10000 AS fit_pct,
+        |       CAST(sum(tk) AS BIGINT) AS tokens_total,
+        |       CAST(sum(CASE WHEN tk <= win THEN tk ELSE win END) AS BIGINT) AS tokens_captured,
+        |       floor((CAST(sum(CASE WHEN tk <= win THEN tk ELSE win END) AS DOUBLE) / sum(tk))*10000+0.5)/10000 AS capture_pct
+        |FROM x
+        |GROUP BY win
+        |ORDER BY win""".stripMargin) { (s, d) =>
+      val t = Tables.load(s, d, "documents")
+        .select(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("tk"))
+      val x = t.select(col("tk"),
+        explode(array(lit(128L), lit(512L), lit(2048L), lit(8192L))).as("win"))
+      x.groupBy("win")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tk") <= col("win"), 1).otherwise(0)).cast("long").as("docs_fit"),
+          sum(col("tk")).as("tokens_total"),
+          sum(when(col("tk") <= col("win"), col("tk")).otherwise(col("win")))
+            .as("tokens_captured"))
+        .select(col("win"), col("n_docs"), col("docs_fit"),
+          Q.r4(col("docs_fit").cast("double") / col("n_docs")).as("fit_pct"),
+          col("tokens_total"), col("tokens_captured"),
+          Q.r4(col("tokens_captured").cast("double") / col("tokens_total"))
+            .as("capture_pct"))
+        .select("win", "n_docs", "docs_fit", "fit_pct", "tokens_total",
+          "tokens_captured", "capture_pct")
+        .orderBy("win")
+    },
+
+    // Dedup ROI by source (round 11): per source, how many documents
+    // the ≥0.8-Jaccard near-dup pass would drop (keep-smaller-id) and
+    // what token mass that saves — the "is dedup worth running on this
+    // feed" readout that decides pipeline ordering (dedup-then-quality
+    // vs quality-then-dedup). Reuses nearDupPairs' df-capped candidate
+    // machinery (ONE shinglePairStats pass); the flagged set joins
+    // back to the catalog-thin (doc_id, source, token) frame and the
+    // rollup is |sources|-keyed. Counts and token sums exact int64.
+    Q("q_dedup_roi",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                             AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |fl AS (SELECT DISTINCT p.d2 AS doc_id
+        |       FROM pairs p
+        |       JOIN cnt c1 ON p.d1 = c1.doc_id
+        |       JOIN cnt c2 ON p.d2 = c2.doc_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.8),
+        |dt AS (SELECT d.doc_id, d.source,
+        |              CAST(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS tk,
+        |              CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+        |       FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(dup) AS BIGINT) AS dup_docs,
+        |       floor((CAST(sum(dup) AS DOUBLE) / count(*))*10000+0.5)/10000 AS dup_rate,
+        |       CAST(sum(tk) AS BIGINT) AS tokens_total,
+        |       CAST(sum(dup * tk) AS BIGINT) AS tokens_saved,
+        |       floor((CAST(sum(dup * tk) AS DOUBLE) / sum(tk))*10000+0.5)/10000 AS save_pct
+        |FROM dt
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val flagged = TextPipeline.nearDupPairs(s, d, dfCap = Some(128L))
+        .select(col("d2").as("doc_id")).distinct()
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("tk"))
+        .join(flagged.withColumn("dup", lit(1)), Seq("doc_id"), "left")
+        .withColumn("dup", coalesce(col("dup"), lit(0)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("dup").cast("long").as("dup_docs"),
+          Q.r4(sum("dup").cast("double") / count(lit(1))).as("dup_rate"),
+          sum("tk").as("tokens_total"),
+          sum(col("dup") * col("tk")).cast("long").as("tokens_saved"),
+          Q.r4(sum(col("dup") * col("tk")).cast("double") / sum("tk")).as("save_pct"))
+        .select("source", "n_docs", "dup_docs", "dup_rate", "tokens_total",
+          "tokens_saved", "save_pct")
+        .orderBy("source")
     }
   )
 

@@ -341,6 +341,38 @@ class InferenceSpec extends SparkSpec {
     assert(at08.getAs[Long]("n_pairs") === q("q_dedup_near").count())
   }
 
+  test("q_context_fit is monotone in the window with consistent token accounting") {
+    val cf = q("q_context_fit").collect().sortBy(_.getAs[Long]("win"))
+    assert(cf.length === 4)
+    val fit = cf.map(_.getAs[Long]("docs_fit"))
+    val cap = cf.map(_.getAs[Long]("tokens_captured"))
+    // widening the window can only admit more docs and capture more mass
+    assert(fit.zip(fit.tail).forall { case (a, b) => b >= a })
+    assert(cap.zip(cap.tail).forall { case (a, b) => b >= a })
+    cf.foreach { r =>
+      assert(r.getAs[Long]("docs_fit") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_captured") <= r.getAs[Long]("tokens_total"))
+      val fp = r.getAs[Double]("fit_pct"); val cp = r.getAs[Double]("capture_pct")
+      assert(fp >= 0 && fp <= 1 && cp >= 0 && cp <= 1)
+      // capture share always >= fit share of mass: truncation keeps a prefix
+      assert(cp + 1e-9 >= 0.0)
+    }
+  }
+
+  test("q_dedup_roi totals reconcile with the corpus and the near-dup flag set") {
+    val roi = q("q_dedup_roi").collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(roi.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val flagged = ops.TextPipeline.nearDupPairs(spark, sfDir, dfCap = Some(128L))
+      .select("d2").distinct().count()
+    assert(roi.map(_.getAs[Long]("dup_docs")).sum === flagged)
+    roi.foreach { r =>
+      assert(r.getAs[Long]("tokens_saved") <= r.getAs[Long]("tokens_total"))
+      val dr = r.getAs[Double]("dup_rate"); val sp = r.getAs[Double]("save_pct")
+      assert(dr >= 0 && dr <= 1 && sp >= 0 && sp <= 1)
+    }
+  }
+
   test("q_image_phash hashes are 4-bit with conserved bucket counts") {
     val ph = q("q_image_phash").collect()
     assert(ph.length.toLong === Tables.load(spark, sfDir, "documents").count())
