@@ -815,6 +815,83 @@ object Analytics {
         .orderBy("nation")
     },
 
+    // Exact tail percentiles per event type (round 11): p50/p95/p99 of
+    // the value distribution WITHOUT interpolation or sketches — the
+    // SLO-style readout (q_agg_approx_pct is the sketch path; this is
+    // the certifiable exact one). The 100 TB trick is the q_ks_test /
+    // q_mann_whitney domain collapse: values are 2-decimal, so the
+    // corpus folds into a ≤|cents-domain| distinct-value frame FIRST
+    // (map-side partials), the running ECDF is a window over that
+    // bounded frame, and each percentile is the FIRST INTEGER CROSSING
+    // cum ≥ ⌈q·n⌉ — an integer comparison, no float percentile
+    // semantics to disagree on. The corpus is never sorted; only the
+    // domain frame is.
+    Q("q_tail_exact",
+      s"""WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         |                  count(*) AS k
+         |           FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, c, k,
+         |             sum(k) OVER (PARTITION BY event_type ORDER BY c
+         |                          ROWS UNBOUNDED PRECEDING) AS cum,
+         |             sum(k) OVER (PARTITION BY event_type) AS n
+         |      FROM v),
+         |p AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |             min(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN c END) AS p50c,
+         |             min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN c END) AS p95c,
+         |             min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN c END) AS p99c
+         |      FROM w GROUP BY 1)
+         |SELECT event_type, n,
+         |       ${Q.sqlR2("p50c / 100.0")} AS p50_usd,
+         |       ${Q.sqlR2("p95c / 100.0")} AS p95_usd,
+         |       ${Q.sqlR2("p99c / 100.0")} AS p99_usd
+         |FROM p
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .groupBy(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .agg(count(lit(1)).as("k"))
+      val we = Window.partitionBy("event_type")
+      val w = v
+        .withColumn("cum", sum("k").over(we.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum("k").over(we))
+      def firstCross(q: Double) =
+        min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"), col("c")))
+      w.groupBy("event_type")
+        .agg(max("n").as("n"), firstCross(0.50).as("p50c"),
+          firstCross(0.95).as("p95c"), firstCross(0.99).as("p99c"))
+        .select(col("event_type"), col("n"),
+          Q.r2(col("p50c") / 100.0).as("p50_usd"),
+          Q.r2(col("p95c") / 100.0).as("p95_usd"),
+          Q.r2(col("p99c") / 100.0).as("p99_usd"))
+        .orderBy("event_type")
+    },
+
+    // Diurnal traffic profile (round 11): per (event_type, hour-of-day)
+    // counts and within-type shares — q_seasonality's weekly grid at
+    // the intraday grain, the capacity-planning / anomaly-baseline
+    // companion. One map-side-partial agg onto a |types|×24 grid; the
+    // share normalizer is a window over that fixed frame. Integer
+    // counts, one IEEE division, r6.
+    Q("q_diurnal",
+      s"""WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh, count(*) AS n
+         |           FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, hh, n,
+         |             sum(n) OVER (PARTITION BY event_type) AS tot
+         |      FROM c)
+         |SELECT event_type, hh, n,
+         |       ${Q.sqlR6("CAST(n AS DOUBLE) / tot")} AS share
+         |FROM w
+         |ORDER BY event_type, hh""".stripMargin) { (s, d) =>
+      val we = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(we))
+        .select(col("event_type"), col("hh"), col("n"),
+          Q.r6(col("n").cast("double") / col("tot")).as("share"))
+        .orderBy("event_type", "hh")
+    },
+
     // Day-over-day user churn (round 11): per day, how many of
     // yesterday's active users came back — retention_rate =
     // returning/prev_active, churn = its complement — the daily pulse

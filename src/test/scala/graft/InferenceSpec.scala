@@ -341,6 +341,38 @@ class InferenceSpec extends SparkSpec {
     assert(at08.getAs[Long]("n_pairs") === q("q_dedup_near").count())
   }
 
+  test("q_tail_exact percentiles are ordered and bracket the exact distribution") {
+    val te = q("q_tail_exact").collect()
+    assert(te.nonEmpty)
+    te.foreach { r =>
+      val (p50, p95, p99) = (r.getAs[Double]("p50_usd"),
+        r.getAs[Double]("p95_usd"), r.getAs[Double]("p99_usd"))
+      assert(p50 <= p95 && p95 <= p99)
+      // independent check for one type: recompute p95 by sorting
+      val t = r.getString(0)
+      val vals = Tables.events(spark, sfDir)
+        .filter(col("event_type") === t)
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .collect().map(_.getLong(0)).sorted
+      val expected = vals(math.ceil(0.95 * vals.length).toInt - 1) / 100.0
+      assert(math.abs(p95 - expected) < 0.011, s"$t: p95 $p95 vs sorted $expected")
+    }
+  }
+
+  test("q_diurnal shares form a distribution per type over observed hours") {
+    val di = q("q_diurnal").collect().groupBy(_.getString(0))
+    di.foreach { case (t, rows) =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"$t shares sum to $s")
+      rows.foreach { r =>
+        val hh = r.getAs[Long]("hh")
+        assert(hh >= 0 && hh <= 23)
+      }
+    }
+    val total = di.values.flatten.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.events(spark, sfDir).count())
+  }
+
   test("q_context_fit is monotone in the window with consistent token accounting") {
     val cf = q("q_context_fit").collect().sortBy(_.getAs[Long]("win"))
     assert(cf.length === 4)
