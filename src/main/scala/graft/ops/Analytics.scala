@@ -28,6 +28,31 @@ object Analytics {
   private val HistWidth = 5205.0
   private val HistBuckets = 20
 
+  /** Exact-percentile fold over a (event_type, c, k) cents-domain
+    * count grid — ONE home for batch q_tail_exact and the streaming
+    * s_tail read-time view (streaming.Streams.tailCounts maintains the
+    * grid incrementally; percentiles aren't mergeable state, counts
+    * are — the s_cat_entropy split). Each percentile is the first
+    * integer ECDF crossing cum ≥ ⌈q·n⌉; the grid is bounded by the
+    * VALUE DOMAIN, never the corpus/stream length. */
+  private[graft] def tailFold(grid: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val we = Window.partitionBy("event_type")
+    val w = grid
+      .withColumn("cum", sum("k").over(we.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("k").over(we))
+    def firstCross(q: Double) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"), col("c")))
+    w.groupBy("event_type")
+      .agg(max("n").as("n"), firstCross(0.50).as("p50c"),
+        firstCross(0.95).as("p95c"), firstCross(0.99).as("p99c"))
+      .select(col("event_type"), col("n"),
+        Q.r2(col("p50c") / 100.0).as("p50_usd"),
+        Q.r2(col("p95c") / 100.0).as("p95_usd"),
+        Q.r2(col("p99c") / 100.0).as("p99_usd"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Conversion funnel view → click → purchase: per user the earliest
@@ -849,21 +874,7 @@ object Analytics {
       val v = Tables.events(s, d)
         .groupBy(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
         .agg(count(lit(1)).as("k"))
-      val we = Window.partitionBy("event_type")
-      val w = v
-        .withColumn("cum", sum("k").over(we.orderBy("c")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("n", sum("k").over(we))
-      def firstCross(q: Double) =
-        min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"), col("c")))
-      w.groupBy("event_type")
-        .agg(max("n").as("n"), firstCross(0.50).as("p50c"),
-          firstCross(0.95).as("p95c"), firstCross(0.99).as("p99c"))
-        .select(col("event_type"), col("n"),
-          Q.r2(col("p50c") / 100.0).as("p50_usd"),
-          Q.r2(col("p95c") / 100.0).as("p95_usd"),
-          Q.r2(col("p99c") / 100.0).as("p99_usd"))
-        .orderBy("event_type")
+      tailFold(v)
     },
 
     // Diurnal traffic profile (round 11): per (event_type, hour-of-day)

@@ -166,6 +166,23 @@ object Streams {
   def catEntropyOf(grid: DataFrame): DataFrame =
     graft.ops.Inference.entropyOfCells(grid)
 
+  /** Streaming exact-percentile grid — the streaming face of batch
+    * q_tail_exact, split the s_cat_entropy way: the stream maintains
+    * only the (event_type, cents) COUNT grid (associative,
+    * partial-mergeable, and bounded by the VALUE DOMAIN rather than
+    * stream length — this is what makes EXACT streaming percentiles
+    * legal where a naive sorted buffer would grow forever); p50/p95/
+    * p99 divide out at read time through the exact batch fold
+    * (ops.Analytics.tailFold — shared code, twins cannot drift). */
+  def tailCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .agg(count(lit(1)).as("k"))
+
+  /** Read-time percentile projection over a [[tailCounts]] grid. */
+  def tailOf(grid: DataFrame): DataFrame =
+    graft.ops.Analytics.tailFold(grid)
+
   /** Streaming z-score anomaly flags — the streaming face of batch
     * q_anomaly, split the way production does it: per-type mean/stddev
     * come from a BATCH pass over history (a stream cannot see the full

@@ -322,6 +322,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming tail grid reproduces the batch q_tail_exact percentiles") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Ev]
+    val q = Streams.tailCounts(in.toDF())
+      .writeStream.format("memory").queryName("t_tail").outputMode("complete").start()
+    withQuery(q) {
+      // split mid-stream so per-(type, cents) cells must merge across
+      // batches for the read-time crossings to land exactly
+      val rows = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = Streams.tailOf(spark.table("t_tail"))
+        .select("event_type", "n", "p50_usd", "p95_usd", "p99_usd")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      val batch = SparkEntry.queries("q_tail_exact")(spark, sfDir)
+        .select("event_type", "n", "p50_usd", "p95_usd", "p99_usd")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(streamed === batch,
+        "read-time percentiles over the incremental grid must equal the batch readout")
+    }
+  }
+
   test("streaming skyline's final front equals the batch q_skyline Pareto front") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
