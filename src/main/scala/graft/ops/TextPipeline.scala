@@ -222,13 +222,21 @@ object TextPipeline {
     * [[LshPairCtes]]. One md5 per shingle, all 8 min-hashes in one
     * doc-keyed agg pass (shuffle carries |docs| rows, not |shingles|),
     * 4 bands of 2 feed the banded self-join. */
-  private[graft] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc MinHash signature (doc_id, lang, mh0..mh7) — one md5 per
+    * shingle, all 8 min-hashes in one doc-keyed agg pass. ONE home for
+    * the declared q_minhash_lsh banding and q_lsh_tuning's config
+    * sweep, so the signature construction cannot drift between them. */
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
       .withColumn("h0", md5(col("shingle").cast("binary")))
     val mhAggs = (0 until 8).map { i =>
       min(substring(col("h0"), i * 4 + 1, 4)).as(s"mh$i")
     }
-    val mh = sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
+    sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  private[graft] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashSigs(s, d)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}")).as("band_key"))
@@ -459,6 +467,97 @@ object TextPipeline {
           Q.r4((col("total_docs") - coalesce(col("nf"), lit(0L))).cast("double") /
             col("total_docs")).as("keep_pct"))
         .orderBy("threshold")
+    },
+
+    // LSH banding tuning curve (round 11): the OTHER dedup tuning knob
+    // — q_dedup_threshold_curve sweeps the VERIFICATION threshold,
+    // this sweeps CANDIDATE GENERATION. The same 8 min-hashes band as
+    // 8×1 / 4×2 / 2×4 / 1×8 (bands × rows-per-band); for each config:
+    // candidate pairs, how many are true ≥0.8-Jaccard near-dups, and
+    // the resulting precision/recall — the operating-characteristic
+    // table you pick b×r from (more bands ⇒ higher recall, more junk
+    // candidates to verify). ONE signature agg feeds every config; the
+    // per-config band keys slice the SAME signature array in-row
+    // (bounded ×15 fan-out), and all four configs share ONE banded
+    // self-join keyed by (cfg, band, key). Truth comes from the exact
+    // shinglePairStats machinery. md5 signatures are engine-portable,
+    // so the whole sweep — candidates included — is oracle-checked.
+    Q("q_lsh_tuning",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |hx AS (SELECT doc_id, lang, md5(shingle) AS h0 FROM sh),
+        |mh AS (SELECT doc_id, lang,
+        |              [min(substr(h0, 1, 4)),  min(substr(h0, 5, 4)),
+        |               min(substr(h0, 9, 4)),  min(substr(h0, 13, 4)),
+        |               min(substr(h0, 17, 4)), min(substr(h0, 21, 4)),
+        |               min(substr(h0, 25, 4)), min(substr(h0, 29, 4))] AS sig
+        |       FROM hx GROUP BY 1, 2),
+        |cfg AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8)) t(nb, r)),
+        |bands AS (SELECT m.doc_id, m.lang, c.nb, b.band,
+        |                 array_to_string(m.sig[b.band * c.r + 1 : b.band * c.r + c.r], '|') AS band_key
+        |          FROM mh m, cfg c, UNNEST(range(0, c.nb)) AS b(band)),
+        |cand AS (SELECT DISTINCT a.nb AS nb, a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN bands b
+        |           ON a.nb = b.nb AND a.lang = b.lang AND a.band = b.band
+        |          AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                             AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |tp AS (SELECT p.d1, p.d2
+        |       FROM pairs p
+        |       JOIN cnt c1 ON p.d1 = c1.doc_id
+        |       JOIN cnt c2 ON p.d2 = c2.doc_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.8),
+        |tn AS (SELECT count(*) AS n_true FROM tp),
+        |agg AS (SELECT cand.nb, count(*) AS n_candidates,
+        |               CAST(sum(CASE WHEN tp.d1 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
+        |        FROM cand LEFT JOIN tp ON cand.d1 = tp.d1 AND cand.d2 = tp.d2
+        |        GROUP BY 1)
+        |SELECT CAST(agg.nb AS BIGINT) AS bands,
+        |       CAST(8 / agg.nb AS BIGINT) AS rows_per_band,
+        |       agg.n_candidates, agg.hits, tn.n_true,
+        |       floor((CAST(agg.hits AS DOUBLE) / agg.n_candidates)*10000+0.5)/10000 AS precision_pct,
+        |       floor((CAST(agg.hits AS DOUBLE) / tn.n_true)*10000+0.5)/10000 AS recall_pct
+        |FROM agg, tn
+        |ORDER BY bands DESC""".stripMargin) { (s, d) =>
+      val mh = minhashSigs(s, d)
+        .withColumn("sig", array((0 until 8).map(i => col(s"mh$i")): _*))
+      val cfgs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+      val bandStructs = cfgs.flatMap { case (nb, r) =>
+        (0 until nb).map { b =>
+          struct(lit(nb.toLong).as("nb"), lit(b).as("band"),
+            concat_ws("|", slice(col("sig"), b * r + 1, r)).as("band_key"))
+        }
+      }
+      val bands = mh
+        .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("lang"), col("bs.nb").as("nb"),
+          col("bs.band").as("band"), col("bs.band_key").as("band_key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.nb") === col("b.nb") && col("a.lang") === col("b.lang") &&
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.nb").as("nb"), col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val tp = nearDupPairs(s, d, dfCap = Some(128L)).select("d1", "d2")
+        .localCheckpoint(true) // truth feeds the hits join AND the count
+      val tn = tp.agg(count(lit(1)).as("n_true"))
+      cand
+        .join(tp.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
+        .groupBy("nb")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .crossJoin(broadcast(tn))
+        .select(col("nb").as("bands"), (lit(8) / col("nb")).cast("long").as("rows_per_band"),
+          col("n_candidates"), col("hits"), col("n_true"),
+          Q.r4(col("hits").cast("double") / col("n_candidates")).as("precision_pct"),
+          Q.r4(col("hits").cast("double") / col("n_true")).as("recall_pct"))
+        .orderBy(col("bands").desc)
     },
 
     // Asymmetric shingle CONTAINMENT (round 10): C(a→b) = |Sa∩Sb|/|Sa|

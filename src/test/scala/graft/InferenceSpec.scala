@@ -321,6 +321,25 @@ class InferenceSpec extends SparkSpec {
     assert(!r.getAs[Double]("theta").isNaN)
   }
 
+  test("q_lsh_tuning candidate sets nest: more bands means more candidates and recall") {
+    val tc = q("q_lsh_tuning").collect().sortBy(-_.getAs[Long]("bands"))
+    assert(tc.length === 4)
+    assert(tc.map(_.getAs[Long]("bands")).toSeq === Seq(8L, 4L, 2L, 1L))
+    val cands = tc.map(_.getAs[Long]("n_candidates"))
+    val hits = tc.map(_.getAs[Long]("hits"))
+    // band boundaries nest (8|4|2|1 rows), so a coarser-banding match
+    // implies matches in every finer banding: candidates/hits shrink
+    // monotonically as rows-per-band grows
+    assert(cands.zip(cands.tail).forall { case (a, b) => b <= a })
+    assert(hits.zip(hits.tail).forall { case (a, b) => b <= a })
+    tc.foreach { r =>
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_true"))
+      val p = r.getAs[Double]("precision_pct"); val rc = r.getAs[Double]("recall_pct")
+      assert(p >= 0 && p <= 1 && rc >= 0 && rc <= 1)
+    }
+  }
+
   test("q_dedup_threshold_curve is monotone and agrees with q_dedup_near at 0.8") {
     val curve = q("q_dedup_threshold_curve").collect()
       .sortBy(_.getAs[Double]("threshold"))
