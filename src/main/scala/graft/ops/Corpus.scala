@@ -776,6 +776,13 @@ object Corpus {
     // machinery (ONE shinglePairStats pass); the flagged set joins
     // back to the catalog-thin (doc_id, source, token) frame and the
     // rollup is |sources|-keyed. Counts and token sums exact int64.
+    // CAP-INVARIANCE PRECONDITION (same contract as q_dedup_near): the
+    // Spark side discovers candidates through the df≤128 capped pass
+    // while the oracle enumerates the uncapped shingle self-join —
+    // equivalence holds only while max shingle df stays under the cap
+    // (14 at sf0.1; asserted against every shipped corpus by
+    // SkewSpec "corpus guard: max shingle df stays under the declared
+    // 128 cap", so a regenerated corpus trips a spec, not the oracle).
     Q("q_dedup_roi",
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang,

@@ -70,8 +70,12 @@ object Inference {
       .groupBy("day")
       .agg(max("n").as("n_events"), max("k").as("k_types"),
         Q.r6(sum("contrib") / lit(1e9)).as("entropy"),
-        Q.r6((sum("contrib") / lit(1e9)) /
-          log(max("k").cast("double"))).as("evenness"))
+        // A single-type day makes evenness 0/0 (ln k = 0) → NaN, and NaN
+        // round-trips through floor()/hash-compare differently per engine;
+        // emit NULL on both sides instead (ADVICE r11).
+        when(max("k") > 1,
+          Q.r6((sum("contrib") / lit(1e9)) /
+            log(max("k").cast("double")))).as("evenness"))
       .select(col("day"), col("n_events"), col("k_types"),
         col("entropy"), col("evenness"))
       .orderBy("day")
@@ -296,7 +300,7 @@ object Inference {
          |      FROM w)
          |SELECT day, CAST(max(n) AS BIGINT) AS n_events, CAST(max(k) AS BIGINT) AS k_types,
          |       ${Q.sqlR6("sum(contrib) / 1e9")} AS entropy,
-         |       ${Q.sqlR6("(sum(contrib) / 1e9) / ln(CAST(max(k) AS DOUBLE))")} AS evenness
+         |       CASE WHEN max(k) > 1 THEN ${Q.sqlR6("(sum(contrib) / 1e9) / ln(CAST(max(k) AS DOUBLE))")} ELSE NULL END AS evenness
          |FROM t
          |GROUP BY day
          |ORDER BY day""".stripMargin) { (s, d) =>
@@ -330,7 +334,7 @@ object Inference {
          |SELECT event_type, n,
          |       ${Q.sqlR6("CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)")} AS phi,
          |       ${Q.sqlR6("CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)")} AS intercept,
-         |       ${Q.sqlR6("CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2
+         |       ${Q.sqlR6("(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)) / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))")} AS r2
          |FROM st
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("event_type").orderBy("x")
@@ -349,8 +353,8 @@ object Inference {
           Q.r6(sxyN.cast("double") / sxxN).as("phi"),
           Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
             .as("intercept"),
-          Q.r6((sxyN * sxyN).cast("double") /
-            (sxxN * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+          Q.r6((sxyN.cast("double") * sxyN) /
+            (sxxN.cast("double") * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
         .orderBy("event_type")
     },
 

@@ -1120,9 +1120,13 @@ object Timeseries {
     // cycle / the trend real or noise?", the one-number gate before
     // any seasonal model is trusted. Determinism: every per-row
     // component is a ratio of EXACT int64s (d7, sd7, sc, y), scaled to
-    // 1e-6 integers per row BEFORE the per-type variance sums, so both
+    // 1e-3 integers per row BEFORE the per-type variance sums, so both
     // engines run int64 sufficient statistics through one mirrored
-    // variance-ratio tree (Σv6² ≈ 1e15·rows — inside int64). Scale:
+    // variance-ratio tree. Headroom at 1e3: a per-row component of
+    // magnitude C scales to v3 ≈ C·1e3, so Σ(v3)² ≈ C²·1e6·rows; with
+    // daily counts C ~ 1e4·SF and |days| fixed (~2400 rows total), the
+    // centered n·Σv² term stays < 9.2e18 up to SF ≈ 30 — the committed
+    // ceiling in OverflowHeadroomSpec. Scale (data volume):
     // rides the decompose frame (|types|×|days| rows after one
     // map-side-partial agg).
     Q("q_seasonal_strength",
