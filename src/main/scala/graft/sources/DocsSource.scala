@@ -88,6 +88,29 @@ object DocsSource {
     h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
     h & Long.MaxValue
   }
+
+  /** `startingOffset` option → initial stream position. Two accepted
+    * shapes, both the reference's: a plain long (row position), or the
+    * ledger's Kafka-shaped resume JSON `{"topic":{"0":N}}` as emitted
+    * by [[graft.streaming.KafkaSource.startingOffsetsJson]] (and fed
+    * through `clampToRange` first by a careful caller). graft-docs is a
+    * single logical topic-partition (its offset is ONE monotone row
+    * position — the `partitions` option only fans out each admitted
+    * (start, end] range for parallel read), so the JSON form must carry
+    * exactly one topic with exactly one partition; anything else is a
+    * config error worth failing loudly at stream construction. */
+  def parseStartingOffset(s: String): Long = {
+    val t = s.trim
+    if (t.startsWith("{")) {
+      val topics = graft.streaming.KafkaSource.parseStartingOffsetsJson(t)
+      require(topics.size == 1,
+        s"graft-docs takes exactly one topic in startingOffset, got ${topics.keySet}")
+      val parts = topics.head._2
+      require(parts.size == 1,
+        s"graft-docs is single-partition; startingOffset carried partitions ${parts.keySet}")
+      parts.head._2
+    } else t.toLong
+  }
 }
 
 private[sources] class DocsTable(options: CaseInsensitiveStringMap)
@@ -120,6 +143,13 @@ private[sources] class DocsScan(options: CaseInsensitiveStringMap, required: Str
   private val rows = options.getLong("rows", 1000L)
   private val partitions = math.max(1, options.getInt("partitions", 4))
   private val rowsPerBatch = options.getLong("rowsPerBatch", 100L)
+  // Ledger-positioned start (streaming only). Parsed EAGERLY at scan
+  // build so a malformed resume JSON fails at query construction, not
+  // in the first micro-batch. Clamped into [0, rows]: the external
+  // clampToRange handles broker-range drift; this bound is the
+  // source's own "don't start past the end" invariant.
+  private val startingOffset = math.min(rows, math.max(0L,
+    Option(options.get("startingOffset")).map(DocsSource.parseStartingOffset).getOrElse(0L)))
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -133,7 +163,8 @@ private[sources] class DocsScan(options: CaseInsensitiveStringMap, required: Str
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DocsMicroBatchStream(rows, rowsPerBatch, partitions, required.fieldNames)
+    new DocsMicroBatchStream(rows, rowsPerBatch, partitions, required.fieldNames,
+      startingOffset)
 }
 
 private[sources] object DocsScan {
@@ -178,10 +209,17 @@ private[sources] case class DocsOffset(pos: Long) extends Offset {
 }
 
 private[sources] class DocsMicroBatchStream(
-    totalRows: Long, rowsPerBatch: Long, partitions: Int, fields: Array[String])
+    totalRows: Long, rowsPerBatch: Long, partitions: Int, fields: Array[String],
+    startingOffset: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = DocsOffset(0L)
+  /** Consulted by MicroBatchExecution ONLY when the checkpoint WAL is
+    * empty — a fresh query starts at the ledger-supplied position, a
+    * recovered query resumes from its WAL regardless of the option.
+    * This is exactly Kafka's `startingOffsets` contract, and the half
+    * of the reference pattern (external-store positioning) that the
+    * WAL does not subsume. */
+  override def initialOffset(): Offset = DocsOffset(startingOffset)
   override def deserializeOffset(json: String): Offset = DocsOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
 

@@ -141,6 +141,31 @@ object KafkaSource {
       .map { case (p, off) => s""""$p":$off""" }
       .mkString(s"""{"$topic":{""", ",", "}}")
 
+  private val TopicRe = """"((?:[^"\\]|\\.)+)"\s*:\s*\{([^{}]*)\}""".r
+  private val PartRe = """"(-?\d+)"\s*:\s*(-?\d+)""".r
+
+  /** Inverse of [[startingOffsetsJson]]: parse the Kafka-shaped
+    * `{"topic":{"0":off,…}}` resume JSON back into per-topic partition
+    * maps. This is what lets a SOURCE take its initial position from
+    * the ledger: the ledger emits the same JSON the reference stored in
+    * ZooKeeper, and any offset-positioned source (Kafka when a broker
+    * exists; `graft-docs` on this box) parses it back. Restricted-shape
+    * hand parser (string-keyed int maps only — exactly what
+    * startingOffsetsJson emits), total on its own output
+    * (round-trip property-tested in LedgerSpec), loud on anything else. */
+  def parseStartingOffsetsJson(json: String): Map[String, Map[Int, Long]] = {
+    val t = json.trim
+    require(t.startsWith("{") && t.endsWith("}"),
+      s"startingOffsets must be a JSON object, got: $t")
+    val topics = TopicRe.findAllMatchIn(t).map { m =>
+      val parts = PartRe.findAllMatchIn(m.group(2))
+        .map(pm => pm.group(1).toInt -> pm.group(2).toLong).toMap
+      m.group(1) -> parts
+    }.toMap
+    require(topics.nonEmpty, s"no topic entries in startingOffsets: $t")
+    topics
+  }
+
   /** Out-of-range recovery — the reference pattern's explicit
     * stored-offset vs broker-range check before building the stream:
     * a ledger position can fall outside what the cluster still serves

@@ -269,6 +269,33 @@ class LedgerSpec extends SparkSpec {
     assert(res.passed, s"round-trip property failed: ${res.status}")
   }
 
+  test("the engine's own parser inverts startingOffsetsJson (what graft-docs consumes)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // parseStartingOffsetsJson is the consuming half actually wired
+    // into the graft-docs startingOffset option — same identity
+    // property as the jackson-based check above, but through the
+    // shipped parser, plus loud rejection of non-resume-shaped input
+    val offsetGen = Gen.frequency(
+      8 -> Gen.choose(0L, Long.MaxValue),
+      1 -> Gen.const(-1L), 1 -> Gen.const(-2L))
+    val mapGen = Gen.nonEmptyMap(Gen.zip(Gen.choose(0, 9999), offsetGen))
+    val topicGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val prop = Prop.forAll(topicGen, mapGen) { (topic, offsets) =>
+      KafkaSource.parseStartingOffsetsJson(
+        KafkaSource.startingOffsetsJson(topic, offsets)) == Map(topic -> offsets)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"parse∘render identity failed: ${res.status}")
+    intercept[IllegalArgumentException](KafkaSource.parseStartingOffsetsJson("earliest"))
+    intercept[IllegalArgumentException](KafkaSource.parseStartingOffsetsJson("{}"))
+    // graft-docs layer: plain long and single-partition JSON both land
+    // on the same position; multi-partition JSON is a config error
+    assert(graft.sources.DocsSource.parseStartingOffset("300") === 300L)
+    assert(graft.sources.DocsSource.parseStartingOffset("""{"docs":{"0":300}}""") === 300L)
+    intercept[IllegalArgumentException](
+      graft.sources.DocsSource.parseStartingOffset("""{"docs":{"0":1,"1":2}}"""))
+  }
+
   test("clampToRange recovers out-of-range stored offsets and reports every adjustment") {
     // the reference pattern's explicit pre-stream check: retention
     // expired past the ledger (p0), ledger ahead of a truncated topic

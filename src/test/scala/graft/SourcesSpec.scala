@@ -224,4 +224,91 @@ class SourcesSpec extends SparkSpec {
     val batch = spark.read.format("graft-docs").option("rows", 300).load()
     assert(spark.read.parquet(out).except(batch).isEmpty)
   }
+
+  test("ledger-positioned restart resumes gap-free through MicroBatchExecution") {
+    // The reference's core semantic, end-to-end through the REAL
+    // engine: run → stop → read the external ledger → clamp the stored
+    // position against the source's live range → restart a FRESH query
+    // positioned by the ledger JSON — and prove the resumed stream's
+    // first admitted range starts exactly at the clamped value with
+    // contiguous overall coverage. (The checkpoint-WAL resume half is
+    // covered by the test above; this one is the external-store half
+    // the WAL does not give you.)
+    import graft.streaming.{KafkaSource, OffsetLedger}
+    val out1 = tempDir("graft_resume_out1"); val led1 = tempDir("graft_resume_led1")
+    val out2 = tempDir("graft_resume_out2"); val led2 = tempDir("graft_resume_led2")
+
+    def run(rows: Int, startingOffsets: Option[String], out: String, led: String,
+            ckpt: String): Unit = {
+      val rd = spark.readStream.format("graft-docs")
+        .option("rows", rows).option("rowsPerBatch", 100).option("partitions", 2)
+      val q = startingOffsets.fold(rd)(j => rd.option("startingOffset", j)).load()
+        // the ledger sink keys its stats on event_id — docs' row id is it
+        .select(col("doc_id").as("event_id"), col("lang"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(OffsetLedger.sink(out, led) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: bounded at 300 — drains 3 epochs, then "the job stops"
+    run(300, None, out1, led1, tempDir("graft_resume_ckpt1"))
+    val led1Df = OffsetLedger.read(spark, led1)
+    val storedPos = led1Df.agg(max("max_event_id")).head().getLong(0) + 1L
+    assert(storedPos === 300L)
+
+    // phase 2: reconstruct the resume position the reference way —
+    // ledger → startingOffsets JSON → clamp against the live range
+    val (clamped, adjustments) = KafkaSource.clampToRange(
+      stored = Map(0 -> storedPos), earliest = Map(0 -> 0L), latest = Map(0 -> 600L))
+    assert(clamped === Map(0 -> 300L) && adjustments.isEmpty)
+    val resumeJson = KafkaSource.startingOffsetsJson("docs", clamped)
+
+    // phase 3: FRESH checkpoint, FRESH query, positioned by the JSON
+    val ckpt2 = tempDir("graft_resume_ckpt2")
+    run(600, Some(resumeJson), out2, led2, ckpt2)
+
+    // first admitted range starts at the clamped ledger value:
+    //  - data-level: nothing below 300 was re-emitted
+    val run2 = spark.read.parquet(s"$out2/epoch=*")
+    assert(run2.agg(min("event_id")).head().getLong(0) === 300L)
+    //  - WAL-level: batch 0's committed END offset is start + rowsPerBatch,
+    //    which MicroBatchExecution can only have produced from a start
+    //    of 300 (latestOffset advances rowsPerBatch past the given start)
+    val walBatch0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt2, "offsets", "0")))
+    assert(walBatch0.linesIterator.toSeq.last.trim === "400",
+      s"batch 0 must admit (300, 400]; WAL said:\n$walBatch0")
+
+    // contiguous coverage across the two runs: 0..599 exactly once
+    val all = spark.read.parquet(s"$out1/epoch=*").select("event_id")
+      .union(run2.select("event_id"))
+    assert(all.count() === 600L)
+    assert(all.agg(countDistinct("event_id")).head().getLong(0) === 600L)
+    assert(all.agg(min("event_id"), max("event_id")).head() ===
+      org.apache.spark.sql.Row(0L, 599L))
+
+    // and the ledgers agree epoch-by-epoch with what was admitted
+    val led2Df = OffsetLedger.read(spark, led2)
+    assert(led2Df.agg(sum("n_rows")).head().getLong(0) === 300L)
+    assert(led2Df.agg(min("min_event_id")).head().getLong(0) === 300L)
+  }
+
+  test("a stored offset past the live range clamps to latest and admits nothing") {
+    import graft.streaming.KafkaSource
+    // retention/truncation edge: ledger says 700, source now ends at 600
+    val (clamped, adj) = KafkaSource.clampToRange(
+      stored = Map(0 -> 700L), earliest = Map(0 -> 0L), latest = Map(0 -> 600L))
+    assert(clamped === Map(0 -> 600L) && adj.exists(_.contains("resetting to latest")))
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", 600).option("rowsPerBatch", 100)
+      .option("startingOffset", KafkaSource.startingOffsetsJson("docs", clamped))
+      .load()
+      .writeStream.format("memory").queryName("graft_clamp_latest")
+      .option("checkpointLocation", tempDir("graft_clamp_ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("graft_clamp_latest").isEmpty,
+      "a stream positioned at latest over a drained range must admit zero rows")
+  }
 }
