@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Pure selection half of renderTop: which (name, time) entries the
+    * driver-parsed line reports at budget k for this roundIdx.
+    * Failures always; then the most expensive queries; then a rotating
+    * window of the remaining pool, keyed off roundIdx (= committed
+    * BENCH file count, +1 per round). The top-slot count is CAPPED at
+    * (3k − N − 2·fails)/2 — never more than k/2 — which sizes the
+    * rotating window to at least ⌈pool/3⌉, so THREE consecutive rounds
+    * always cycle the entire pool: r10's frozen-tail blind spot (and
+    * r11's 4-round cycle at the 221-query surface) can't recur. The
+    * guarantee is asserted as a property in BenchRotationSpec and only
+    * degrades once N > 3k (≈300 queries at today's k=100) — at which
+    * point that spec fails loudly and the render budget itself needs
+    * rethinking, not just the split. */
+  private[graft] def keptNames(runs: Seq[(String, Either[String, Double])], k: Int,
+                               roundIdx: Int): Seq[(String, Either[String, Double])] = {
+    val fails = runs.filter(_._2.isLeft)
+    val topCap = math.max(0,
+      math.min(k / 2, (3 * k - runs.length - 2 * fails.length) / 2))
+    val top = runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(topCap)
+    val topNames = (fails ++ top).map(_._1).toSet
+    val pool = runs.filter(r => !topNames.contains(r._1)).sortBy(_._1)
+    val want = math.max(0, k - fails.length - top.length)
+    val rotating =
+      if (pool.isEmpty || want == 0) Seq.empty
+      else {
+        val start = (want.toLong * roundIdx % pool.length).toInt
+        (pool.drop(start) ++ pool.take(start)).take(want)
+      }
+    fails ++ top ++ rotating
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,18 +156,7 @@ object Bench {
       .map(_.count(f => f.getName.matches("BENCH_r\\d+\\.json")))
       .getOrElse(0)
     def renderTop(k: Int): String = {
-      val fails = runs.filter(_._2.isLeft)
-      val top = runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(k / 2)
-      val topNames = (fails ++ top).map(_._1).toSet
-      val pool = runs.filter(r => !topNames.contains(r._1)).sortBy(_._1)
-      val want = math.max(0, k - fails.length - top.length)
-      val rotating =
-        if (pool.isEmpty || want == 0) Seq.empty
-        else {
-          val start = (want.toLong * roundIdx % pool.length).toInt
-          (pool.drop(start) ++ pool.take(start)).take(want)
-        }
-      val kept = fails ++ top ++ rotating
+      val kept = Bench.keptNames(runs, k, roundIdx)
       val omitted = runs.length - kept.length
       val qs = kept.map { case (n, v) =>
         jstr(n.stripPrefix("q_")) + ":" + v.fold(_ => "null", fmt(_, 1))
