@@ -44,6 +44,21 @@ object Graph {
     * edge. Keeps the graph catalog-sized as orders accumulate. */
   private val MinSupport = 2
 
+  /** Round snapshot for every iterative op in this file: eager
+    * localCheckpoint on a single box; the RELIABLE df.checkpoint branch
+    * whenever the session has a checkpoint dir configured — which is
+    * what a real cluster deployment sets (HDFS/S3), because
+    * localCheckpoint blocks die with their executor and one lost
+    * executor would otherwise unwind every iteration since the
+    * snapshot. Keying off SparkContext.getCheckpointDir (not a
+    * parameter) means the UNCHANGED SparkEntry.queries entries switch
+    * branches with deployment config alone — same contract as
+    * TextPipeline.connectedComponents' explicit checkpointDir param,
+    * exercised for each iterative op in GraphScaleSpec. */
+  private[graft] def snapshot(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Full unrounded rank table (int64 node id, pr) after [[Iterations]]
     * power-iteration rounds — the q_pagerank body before labeling /
     * rounding / top-50, exposed so TwinAndPropertySpec can assert mass
@@ -55,8 +70,8 @@ object Graph {
     val ed0 = pairs.select(col("p").as("src"), col("sn").as("dst"))
       .unionAll(pairs.select(col("sn").as("src"), col("p").as("dst")))
     val deg = ed0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = ed0.join(deg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val e = ed0.join(deg, "src").transform(snapshot)
+    val nodes = e.select(col("src").as("node")).distinct().transform(snapshot)
     val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
@@ -392,11 +407,11 @@ object Graph {
         .distinct()
       val ed = pairs.select(col("p").as("src"), col("sn").as("dst"))
         .unionAll(pairs.select(col("sn").as("src"), col("p").as("dst")))
-        .localCheckpoint(true)
+        .transform(snapshot)
       var visited = ed.groupBy("src").agg(count(lit(1)).as("dg"))
         .orderBy(col("dg").desc, col("src")).limit(1)
         .select(col("src").as("id"), lit(0L).as("depth"))
-        .localCheckpoint(true)
+        .transform(snapshot)
       var frontier = visited
       var h = 1
       // stop as soon as a frontier comes back empty — expanding an
@@ -409,8 +424,8 @@ object Graph {
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
           .select(col("id"), lit(h.toLong).as("depth"))
-          .localCheckpoint(true)
-        visited = visited.unionAll(nxt).localCheckpoint(true)
+          .transform(snapshot)
+        visited = visited.unionAll(nxt).transform(snapshot)
         frontier = nxt
         h += 1
       }
@@ -456,7 +471,7 @@ object Graph {
         |SELECT node, deg, tri_cnt, clustering FROM cc
         |ORDER BY clustering DESC, deg DESC, node
         |LIMIT 20""".stripMargin) { (s, d) =>
-      val edges = coPairs(s, d).localCheckpoint(true)
+      val edges = coPairs(s, d).transform(snapshot)
       val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val tri = triangleCornersFrom(edges)
@@ -504,7 +519,7 @@ object Graph {
         |SELECT CAST(floor(n / 2.0) AS BIGINT) AS n_edges, n AS n_directed,
         |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))")} AS assortativity
         |FROM st""".stripMargin) { (s, d) =>
-      val edges = coPairs(s, d).localCheckpoint(true)
+      val edges = coPairs(s, d).transform(snapshot)
       val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("dg"))
       val j = edges
@@ -539,16 +554,16 @@ object Graph {
     // loop so the two sides cannot drift in round count. Counts only —
     // pure integer parity.
     Q("q_graph_kcore", kcoreOracle) { (s, d) =>
-      var e = coPairs(s, d).localCheckpoint(true)
+      var e = coPairs(s, d).transform(snapshot)
       val rows = (1 to KcoreRounds).map { i =>
         val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("dg"))
         val keep = deg.filter(col("dg") >= KcoreK).select("node")
-          .localCheckpoint(true)
+          .transform(snapshot)
         e = e
           .join(keep.withColumnRenamed("node", "a"), "a")
           .join(keep.withColumnRenamed("node", "b"), "b")
-          .select("a", "b").localCheckpoint(true)
+          .select("a", "b").transform(snapshot)
         keep.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
           .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
@@ -637,7 +652,7 @@ object Graph {
     coPairsWithSupport(s, d).select("a", "b")
 
   private[graft] def triangleCorners(s: SparkSession, d: String): DataFrame =
-    triangleCornersFrom(coPairs(s, d).localCheckpoint(true))
+    triangleCornersFrom(coPairs(s, d).transform(snapshot))
 
   /** [[triangleCorners]] over an ALREADY-materialized (a, b) edge frame —
     * lets q_graph_clustering share one checkpointed edge list between
@@ -657,7 +672,7 @@ object Graph {
           col("db") * lit(4294967296L) + col("b")).as("ku"),
         greatest(col("da") * lit(4294967296L) + col("a"),
           col("db") * lit(4294967296L) + col("b")).as("kv"))
-      .localCheckpoint(true)
+      .transform(snapshot)
     val w1 = oriented.select(col("ku"), col("kv").as("kx"))
     val w2 = oriented.select(col("ku"), col("kv").as("ky"))
     val closing = oriented.select(col("ku").as("kx"), col("kv").as("ky"))

@@ -299,8 +299,12 @@ object TextPipeline {
     // re-analyze an exponentially growing tree. Checkpointing replaces
     // the plan with the materialized RDD, keeping per-round planning
     // O(1).
+    // an explicit param wins; otherwise inherit a session-level
+    // checkpoint dir (the deployment-config switch Graph.snapshot
+    // keys off), falling back to localCheckpoint on a bare single box
     def snapshot(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (checkpointDir.isDefined || sc.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // A snapshot's plan is a LogicalRDD over exactly the RDD that
     // localCheckpoint persisted — unpersisting it releases that round's
     // blocks without touching anything else in the session. (Reliable
