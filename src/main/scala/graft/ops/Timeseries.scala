@@ -1123,10 +1123,12 @@ object Timeseries {
     // 1e-3 integers per row BEFORE the per-type variance sums, so both
     // engines run int64 sufficient statistics through one mirrored
     // variance-ratio tree. Headroom at 1e3: a per-row component of
-    // magnitude C scales to v3 ≈ C·1e3, so Σ(v3)² ≈ C²·1e6·rows; with
-    // daily counts C ~ 1e4·SF and |days| fixed (~2400 rows total), the
-    // centered n·Σv² term stays < 9.2e18 up to SF ≈ 30 — the committed
-    // ceiling in OverflowHeadroomSpec. Scale (data volume):
+    // magnitude C scales to v3 ≈ C·1e3 and the binding composite is
+    // n·Σ(v3)² ≈ n²·C²·1e6, growing ∝ SF² (C ∝ daily count ∝ SF, row
+    // count fixed at |types|×|days|). Measured 5.3e14 at sf0.1 →
+    // audited ceiling SF ≈ 6 with 2× slack (OverflowHeadroomSpec);
+    // past that the components need a coarser lattice or decimal
+    // accumulators. Scale (data volume):
     // rides the decompose frame (|types|×|days| rows after one
     // map-side-partial agg).
     Q("q_seasonal_strength",

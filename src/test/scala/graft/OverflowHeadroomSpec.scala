@@ -1,0 +1,365 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** The integer-scaling headroom audit (r11 VERDICT item 3).
+  *
+  * ~18 operators integerize a double quantity onto a 1e3/1e6/1e9/1e12
+  * lattice and accumulate it in int64 so the cross-row reduction is
+  * order-free and engine-exact. Each such trick has a cliff: the SF at
+  * which the binding accumulator leaves int64 (Spark wraps silently
+  * off-ANSI; DuckDB raises — the engines then diverge in failure MODE,
+  * which is worse than both being wrong the same way). Round 11's
+  * q_seasonal_strength overflow at sf0.1 was caught late by the ANSI
+  * gate; this spec makes every cliff explicit and guarded:
+  *
+  *  1. one table row per scaling site: the binding accumulator, its
+  *     growth law in SF, and a CLAIMED max SF — asserted to keep the
+  *     modeled magnitude under Long.MaxValue/2 (2× headroom);
+  *  2. a data-driven probe per site measuring the REAL accumulator
+  *     magnitude on the shipped sf0.001 corpus — asserted under the
+  *     model at that SF, so the model is anchored to reality and a
+  *     REGENERATED corpus with hotter values trips a spec, not a
+  *     silent wrap at the next scale-up;
+  *  3. a source scan: any ops/ code that floors onto a 1eN lattice
+  *     into a BIGINT/long near an aggregation must appear in this
+  *     table — a new scaling site cannot ship un-audited.
+  *
+  * Growth-law anchors were measured on sf0.001 AND sf0.1 (2026-08-14,
+  * DuckDB over the shipped corpora) — ratios confirmed const/log sites
+  * at ~1× and the three super-linear cliffs: q_anova (max group-sum
+  * squared, ∝SF², 9.9e11 at sf0.1), q_seasonal_strength (n·Σv3²,
+  * ∝SF², 5.3e14 at sf0.1), q_spearman (Σc·rx·ry, ∝SF³, 6.0e16 at
+  * sf0.1 — the ONLY site whose honest ceiling sits below sf1, matching
+  * its code comment "at sf ≥ 1 the cross sums need DECIMAL").
+  *
+  * Double-lattice note: a few per-term doubles exceed 2^53 before the
+  * claimed ceilings (e.g. q_cramers_v chi2·1e9 at sf≫2). That degrades
+  * the 1e-9 lattice's absolute granularity, NOT engine parity — both
+  * engines floor the SAME IEEE double — so only int64 width is audited
+  * here.
+  */
+class OverflowHeadroomSpec extends SparkSpec {
+
+  private val MaxAbs = Long.MaxValue / 2.0 // 2x headroom demanded of every claim
+
+  private def ln(x: Double) = math.log(x)
+  private def evN(sf: Double) = 1e6 * sf // events rows
+  private def liN(sf: Double) = 6e6 * sf // lineitem rows
+  private def docN(sf: Double) = 5e5 * sf // documents rows
+
+  private def events(s: SparkSession, d: String) =
+    Tables.events(s, d).withColumn("day", col("ts").cast(DateType))
+
+  private def dmax(df: DataFrame): Double =
+    Option(df.head().get(0)).map(_.toString.toDouble).getOrElse(0.0)
+
+  final case class Site(
+      op: String,
+      scale: String,
+      accumulator: String,
+      growth: String,
+      claimedMaxSf: Double,
+      model: Double => Double,
+      probe: Option[(SparkSession, String) => Double])
+
+  private val sites: Seq[Site] = Seq(
+
+    Site("q_cat_entropy", "1e9", "per-day Σ|p·ln(n/c)|·1e9 (shared entropyOfCells)",
+      "const (entropy ≤ ln k_types)", 1e9, _ => 2e9,
+      Some((s, d) => dmax {
+        val c = events(s, d).groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+          .withColumn("n", sum("c").over(Window.partitionBy("day")))
+        c.groupBy("day")
+          .agg(sum(abs(col("c").cast("double") / col("n") *
+            log(col("n").cast("double") / col("c")) * 1e9)).as("m"))
+          .agg(max("m"))
+      })),
+
+    Site("q_mutual_info", "1e9", "per-day Σ|p·ln(lift)|·1e9 over ≤20 cells",
+      "const (MI ≤ ln 4; sparse small-n days dominate)", 1e9, _ => 1e10,
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .groupBy(col("day"), col("event_type"),
+            floor(hour(col("ts")) / 6).as("pod"))
+          .agg(count(lit(1)).as("nij"))
+          .withColumn("n", sum("nij").over(Window.partitionBy("day")))
+          .withColumn("ni", sum("nij").over(Window.partitionBy("day", "event_type")))
+          .withColumn("nj", sum("nij").over(Window.partitionBy("day", "pod")))
+        c.groupBy("day")
+          .agg(sum(abs(col("nij").cast("double") / col("n") *
+            log(col("nij").cast("double") * col("n") /
+              (col("ni").cast("double") * col("nj"))) * 1e9)).as("m"))
+          .agg(max("m"))
+      })),
+
+    Site("q_cramers_v", "1e9", "chi9 = Σ(o−e)²/e · 1e9 over 35 cells",
+      "linear (chi2 ≤ (min(r,c)−1)·n = 4n)", 1000.0,
+      sf => 4 * evN(sf) * 1e9 + 1e5,
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .groupBy(col("event_type"), dayofweek(col("day")).as("dow"))
+          .agg(count(lit(1)).as("o"))
+          .withColumn("r", sum("o").over(Window.partitionBy("event_type")))
+          .withColumn("cc", sum("o").over(Window.partitionBy("dow")))
+          .withColumn("n", sum("o").over(Window.partitionBy()))
+        val ex = col("r").cast("double") * col("cc") / col("n")
+        c.agg(sum(abs((col("o") - ex) * (col("o") - ex) / ex * 1e9)))
+      })),
+
+    Site("q_theil", "1e9", "per-nation tw9 = Σ|share·ln(share·ng)|·1e9",
+      "log (within-Theil ≤ ln n_suppliers_per_nation)", 1e6,
+      sf => 1e9 * (ln(4000 * sf + math.E) + 2),
+      Some((s, d) => dmax {
+        val sr = Tables.load(s, d, "lineitem").groupBy("l_suppkey")
+          .agg(sum(floor(col("l_extendedprice")).cast("long")).as("rev"))
+        val j = sr.join(broadcast(Tables.load(s, d, "supplier")),
+          sr("l_suppkey") === col("s_suppkey"))
+          .withColumn("xg", sum("rev").over(Window.partitionBy("s_nationkey")))
+          .withColumn("ng", count(lit(1)).over(Window.partitionBy("s_nationkey")))
+        j.groupBy("s_nationkey")
+          .agg(sum(abs(col("rev").cast("double") / col("xg") *
+            log(col("rev").cast("double") * col("ng") / col("xg")) * 1e9)).as("m"))
+          .agg(max("m"))
+      })),
+
+    Site("q_psi", "1e9", "per-type Σ|Δp·ln lift|·1e9 over ≤20 buckets + miss term",
+      "log (smoothed ratios bounded by ln(n+20))", 1e6,
+      sf => 4e10 * (ln(evN(sf) + 20) + 1),
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .select(col("event_type"),
+            when(col("day") < to_date(lit("2024-01-15")), 1).otherwise(2).as("period"),
+            least(floor(col("value") / 25), lit(19)).as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(when(col("period") === 1, 1)).as("n1"),
+            count(when(col("period") === 2, 1)).as("n2"))
+          .withColumn("t1", sum("n1").over(Window.partitionBy("event_type")))
+          .withColumn("t2", sum("n2").over(Window.partitionBy("event_type")))
+        val contrib = abs(((col("n1") + 1).cast("double") / (col("t1") + 20) -
+          (col("n2") + 1).cast("double") / (col("t2") + 20)) *
+          log((col("n1") + 1).cast("double") * (col("t2") + 20) /
+            ((col("n2") + 1).cast("double") * (col("t1") + 20))) * 1e9)
+        val mcontrib = abs((lit(1.0) / (col("t1") + 20) - lit(1.0) / (col("t2") + 20)) *
+          log((col("t2") + 20) / (col("t1") + 20).cast("double")) * 1e9)
+        c.groupBy("event_type")
+          .agg((sum(contrib) + lit(20) * max(mcontrib)).as("m"))
+          .agg(max("m"))
+      })),
+
+    Site("q_bigram_logprob", "1e9", "per-doc lp9 = Σ tf·ln(p)·1e9",
+      "log (|ln p| ≤ ln 4(n+v); tokens/doc data-bounded ≤ 128)", 1e6,
+      sf => 128 * 1e9 * (ln(4 * (25 * docN(sf) + 1e6)) + 2),
+      Some((s, d) => dmax {
+        // the data-dependent factor is tokens/doc: probe its max and
+        // price it at the model's own |ln p| bound for this SF
+        Tables.load(s, d, "documents")
+          .agg(max(size(split(col("text"), " "))).cast("double") *
+            lit(1e9 * (ln(4 * (25 * docN(0.001) + 1e6)) + 2)))
+      })),
+
+    Site("q_decay_score", "1e6", "per-user Σ value·2^(−age/7)·1e6",
+      "const (users scale with SF: ~67 events/user; value ≤ 5e3)", 1e9,
+      _ => 1e6 * 5000 * 67 * 8,
+      Some((s, d) => dmax {
+        events(s, d)
+          .groupBy("user_id")
+          .agg(sum(col("value") *
+            pow(lit(0.5), (lit(1706745600L) - Q.epochSec(col("ts"))) / 86400.0 / 7.0) *
+            1e6).as("m"))
+          .agg(max("m"))
+      })),
+
+    Site("q_ewma", "1e6", "per-(type,day) t6 = Σ 0.3·0.7^k·y·1e6 ≤ 3.34·y_max·1e6",
+      "linear (y_max = peak daily count per type)", 1e6,
+      sf => 3.34e6 * (evN(sf) / 150) * 6,
+      Some((s, d) => dmax {
+        events(s, d).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+          .agg(max(col("c") * 3.34e6))
+      })),
+
+    Site("q_kaplan_meier", "1e9", "running lnsum9 = Σ ln(1−dd/n_risk)·1e9",
+      "log (≤ |hours| · ln n_users terms)", 1e6,
+      sf => 1e9 * 2400 * (ln(1.5e4 * sf * 100 + math.E) + 4),
+      Some((s, d) => dmax {
+        val u = events(s, d).groupBy("user_id")
+          .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
+        val f = u.withColumn("te", max("ls").over(Window.partitionBy()))
+          .select(floor((col("ls") - col("fs")) / 3600.0).as("t_hour"),
+            when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+          .groupBy("t_hour").agg(count(lit(1)).as("m"), sum("churn").as("dd"))
+          .withColumn("n_risk", sum("m").over(Window.partitionBy()) -
+            coalesce(sum("m").over(Window.orderBy("t_hour")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("dd") > 0 && col("dd") < col("n_risk"))
+        f.agg(sum(abs(log(lit(1.0) - col("dd").cast("double") / col("n_risk")) * 1e9)))
+      })),
+
+    Site("q_markov_stationary", "1e12", "per-state s = Σ floor(p·prob·1e12)",
+      "const (Σ p·prob ≤ 1 by stochasticity)", 1e9, _ => 1.2e12,
+      Some((s, d) => dmax {
+        // the only data knob is the state count (rounding adds k/2)
+        events(s, d).agg(lit(1e12) + countDistinct("event_type").cast("double"))
+      })),
+
+    Site("q_seasonal_strength", "1e3", "n·Σv3² + (Σ|v3|)² over the decompose frame",
+      "SF² (v3 ∝ daily count; row count fixed) — anchored 5.26e14 @ sf0.1", 6.0,
+      sf => 5.26e14 * math.pow(sf / 0.1, 2) * 2,
+      Some((s, d) => dmax {
+        val daily = events(s, d).groupBy(col("event_type"),
+            datediff(col("day"), to_date(lit("2024-01-01"))).as("x"))
+          .agg(count(lit(1)).as("y"))
+        val w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+        val f = daily.withColumn("t7", sum("y").over(w7))
+          .withColumn("n7", count(lit(1)).over(w7))
+          .filter(col("n7") === 7)
+          .withColumn("d7", lit(7) * col("y") - col("t7"))
+        val sn = f.groupBy(col("event_type").as("et2"), (col("x") % 7).as("ph"))
+          .agg(sum("d7").as("sd7"), count(lit(1)).as("sc"))
+        val v = f.join(sn, col("event_type") === col("et2") && col("x") % 7 === col("ph"))
+          .select(col("event_type").as("et"),
+            floor((col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))) * 1e3 + 0.5).as("r3v"),
+            floor((col("d7") / 7.0) * 1e3 + 0.5).as("s3v"),
+            floor((col("y") - col("sd7") / (lit(7.0) * col("sc"))) * 1e3 + 0.5).as("t3v"))
+        v.groupBy("et").agg((count(lit(1)) * greatest(
+            sum(col("r3v") * col("r3v")), sum(col("s3v") * col("s3v")),
+            sum(col("t3v") * col("t3v"))) +
+          greatest(sum(abs(col("r3v"))), sum(abs(col("s3v"))),
+            sum(abs(col("t3v")))) * greatest(sum(abs(col("r3v"))),
+            sum(abs(col("s3v"))), sum(abs(col("t3v"))))).cast("double").as("g"))
+          .agg(max("g"))
+      })),
+
+    Site("q_elasticity", "1e6", "OLS sums over ≤11 buckets of ln-ratio·1e6",
+      "const (x=ln(1−d/100), y=ln(avg qty) ≤ ln 50 — both bucket-bounded)", 1e9,
+      _ => 121 * math.pow(ln(50) * 1e6, 2) * 2,
+      Some((s, d) => dmax {
+        val b = Tables.load(s, d, "lineitem")
+          .groupBy(floor(col("l_discount") * 100 + 0.5).as("dd"))
+          .agg(sum(floor(col("l_quantity")).cast("long")).as("sq"),
+            count(lit(1)).as("n"))
+          .filter(col("dd") > 0)
+        b.agg((count(lit(1)) * sum(pow(log(col("sq").cast("double") / col("n")) * 1e6, 2)))
+          .cast("double"))
+      })),
+
+    Site("q_zipf_fit", "1e6", "syy = Σ (ln cnt · 1e6)² over top-1000 ranks",
+      "log² (cnt ≤ total corpus tokens)", 1e6,
+      sf => 1000 * math.pow(ln(25 * docN(sf) + math.E) * 1e6, 2),
+      Some((s, d) => dmax {
+        val c = Tables.load(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc).limit(1000)
+        c.agg(sum(pow(log(col("cnt").cast("double")) * 1e6, 2)))
+      })),
+
+    Site("q_anova", "1e6", "raw s·s (max group sum squared, int64 multiply)",
+      "SF² — anchored 9.87e11 @ sf0.1", 100.0,
+      sf => 9.87e11 * math.pow(sf / 0.1, 2) * 4,
+      Some((s, d) => dmax {
+        events(s, d).groupBy("event_type")
+          .agg(sum(floor(col("value")).cast("long")).as("s"))
+          .agg(max(col("s").cast("double") * col("s")))
+      })),
+
+    Site("q_spearman", "ranks", "Σ c·rx·ry ≤ 4n³ (cross rank-product sum)",
+      "SF³ — anchored 6.03e16 @ sf0.1; DECIMAL needed past the ceiling", 0.3,
+      sf => 6.03e16 * math.pow(sf / 0.1, 3) * 2,
+      Some((s, d) => dmax {
+        val m = Tables.load(s, d, "lineitem")
+          .select(floor(col("l_quantity")).as("q"),
+            floor(col("l_discount") * 100 + 0.5).as("dd"),
+            floor(col("l_tax") * 100 + 0.5).as("t"))
+          .groupBy("q", "dd", "t").agg(count(lit(1)).as("c"))
+        val rq = sum("c").over(Window.orderBy("q")) * 2
+        val rd = sum("c").over(Window.orderBy("dd")) * 2
+        m.select(col("c"), rq.as("rq2"), rd.as("rd2"))
+          .agg(sum(col("c").cast("double") * col("rq2") * col("rd2")) / 4)
+      })),
+
+    Site("q_jarque_bera", "unit floor", "Σv⁴ raw power sum",
+      "~linear with value-tail growth (slack 20×) — anchored 1.45e13 @ sf0.1", 1000.0,
+      sf => 1.45e13 * (sf / 0.1) * 20,
+      Some((s, d) => dmax {
+        events(s, d).select(floor(col("value") + 0.5).as("v"))
+          .agg(sum(pow(col("v").cast("double"), 4)))
+      })),
+
+    Site("q_welch_t", "cents", "Σv² of cent-integerized values (two arms)",
+      "linear — anchored 1.98e12 @ sf0.1", 100.0,
+      sf => 1.98e12 * (sf / 0.1) * 10,
+      Some((s, d) => dmax {
+        events(s, d).filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).as("v"))
+          .agg(sum(col("v").cast("double") * col("v")))
+      })),
+
+    Site("q_bootstrap_ci", "1e3", "cross-replica Σm3² (B=20 millicent means)",
+      "const (means, not sums — anchored 5.3e14)", 1e9, _ => 2.2e15,
+      Some((s, d) => dmax {
+        events(s, d).filter(col("event_type") === "purchase")
+          .agg(lit(20.0) * pow(avg(col("value")) * 1e5, 2))
+      }))
+  )
+
+  test("every claimed SF ceiling keeps its binding accumulator inside int64 with 2x headroom") {
+    val failures = sites.flatMap { st =>
+      val m = st.model(st.claimedMaxSf)
+      if (m <= MaxAbs) None
+      else Some(f"${st.op}: model(${st.claimedMaxSf}) = $m%.3e > $MaxAbs%.3e")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // and none is vacuous: the model must be a real magnitude
+    sites.foreach(st => assert(st.model(st.claimedMaxSf) > 0))
+  }
+
+  test("the shipped corpus stays inside every accumulator model (regeneration tripwire)") {
+    val sf = 0.001
+    val failures = sites.flatMap { st =>
+      st.probe.flatMap { p =>
+        val measured = p(spark, sfDir)
+        val bound = st.model(sf)
+        if (measured <= bound) None
+        else Some(f"${st.op}: measured $measured%.3e > model($sf) = $bound%.3e — " +
+          "the regenerated corpus broke this site's headroom model; re-derive " +
+          "the claimed max SF before trusting the oracle at scale")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every 1eN scaling site in ops/ is enumerated in this audit") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val flag = """\*\s*(?:lit\()?1e\d+\)?\s*\+\s*0\.5""".r
+    val intish = """AS BIGINT|cast\("long"\)""".r
+    val opsDir = Paths.get("src/main/scala/graft/ops")
+    val audited = sites.map(_.op).toSet
+    // shared helpers whose scaling sites are audited under their op
+    val helperHomes = Map("Inference.scala" -> "q_cat_entropy")
+    val unaudited = Files.list(opsDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).flatMap { p =>
+        val src = new String(Files.readAllBytes(p))
+        val blocks = src.split("""Q\("""").toSeq match {
+          case head +: rest =>
+            (helperHomes.getOrElse(p.getFileName.toString, "(helpers)"), head) +:
+              rest.map(b => b.takeWhile(_ != '"') -> b)
+          case other => other.map(b => b.takeWhile(_ != '"') -> b)
+        }
+        blocks.collect { case (name, body)
+          if flag.findFirstMatchIn(body).exists { m =>
+            val lo = math.max(0, m.start - 80)
+            intish.findFirstIn(body.slice(lo, math.min(body.length, m.end + 80))).isDefined
+          } && !audited.contains(name) =>
+          s"${p.getFileName}:$name"
+        }
+      }.toSeq
+    assert(unaudited.isEmpty,
+      s"integer-scaling sites with no headroom audit row: ${unaudited.mkString(", ")} — " +
+        "add a Site entry with a growth model and claimed max SF")
+  }
+}
