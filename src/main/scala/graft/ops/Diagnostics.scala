@@ -1,0 +1,648 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Round-12 distribution / series / corpus diagnostics — the audit
+  * statistics a data platform runs NEXT to its pipelines: "is this
+  * series white noise or structured" (Ljung–Box, PACF), "do the groups
+  * differ in SPREAD, not just level" (Brown–Forsythe), "how
+  * concentrated is this source's vocabulary" (Simpson), "how far has
+  * this source drifted from the corpus" (Jensen–Shannon). All follow
+  * the repo's determinism contract: exact int64 sufficient statistics
+  * (integer-lattice scaling for any cross-row double reduction), one
+  * mirrored IEEE formula tree per statistic, r6-rounded reports
+  * (PARITY.md). Every integer-scaling site added here carries a row in
+  * OverflowHeadroomSpec — the audit's source scan enforces it.
+  */
+object Diagnostics {
+
+  private val TrendAnchor = "2024-01-01"
+
+  /** Per-type daily counts keyed by day index — q_trend_fit's frame. */
+  private def dailyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+
+  private val dailySql: String =
+    s"""SELECT event_type,
+       |       CAST(date_diff('day', DATE '$TrendAnchor',
+       |                      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+       |       count(*) AS y
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The q_acf estimator for lag k as a SQL expression over the exact
+    * integer sums (n, s, ss, pk, ak, bk) — shared verbatim by the
+    * Ljung–Box and PACF oracles so the three can never drift. */
+  private def acfSql(k: String): String =
+    s"CAST(n * n * pk - n * s * (ak + bk) + (n - $k) * s * s AS DOUBLE) / " +
+      "(n * n * ss - n * s * s)"
+
+  /** Spark twin of [[acfSql]]. */
+  private def acfCol: org.apache.spark.sql.Column =
+    (col("n") * col("n") * col("pk") - col("n") * col("s") * (col("ak") + col("bk")) +
+      (col("n") - col("k")) * col("s") * col("s")).cast("double") /
+      (col("n") * col("n") * col("ss") - col("n") * col("s") * col("s"))
+
+  /** Lagged-product integer sums per (type, k ≤ maxLag) — q_acf's
+    * single-scan shape (totals and 7 leads ride one window partition;
+    * lag bucketing is by DAY difference, so missing days stay exact). */
+  private def lagSums(s: SparkSession, d: String, maxLag: Int): DataFrame = {
+    val daily = dailyCounts(s, d)
+    val wt = Window.partitionBy("event_type")
+    val wx = wt.orderBy("x")
+    val withLeads = (1 to maxLag).foldLeft(
+      daily
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("s", sum("y").over(wt))
+        .withColumn("ss", sum(col("y") * col("y")).over(wt))) { (df, j) =>
+      df.withColumn(s"x$j", lead("x", j).over(wx))
+        .withColumn(s"y$j", lead("y", j).over(wx))
+    }
+    val stackArgs = (1 to maxLag).map(j => s"x$j - x, y$j").mkString(", ")
+    withLeads
+      .selectExpr("event_type", "n", "s", "ss", "y",
+        s"stack($maxLag, $stackArgs) AS (k, yk)")
+      .filter(col("yk").isNotNull && col("k").between(1, maxLag))
+      .groupBy("event_type", "k")
+      .agg(sum(col("y") * col("yk")).as("pk"),
+        sum("y").as("ak"), sum(col("yk")).as("bk"),
+        max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
+  }
+
+  /** DuckDB twin of [[lagSums]] (the q_acf oracle's self-join form). */
+  private def lagSumsSql(maxLag: Int): String =
+    s"""daily AS ($dailySql),
+       |tot AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s,
+       |               CAST(sum(y * y) AS BIGINT) AS ss
+       |        FROM daily GROUP BY 1),
+       |p AS (SELECT a.event_type, l.k,
+       |             CAST(sum(a.y * b.y) AS BIGINT) AS pk,
+       |             CAST(sum(a.y) AS BIGINT) AS ak,
+       |             CAST(sum(b.y) AS BIGINT) AS bk
+       |      FROM daily a
+       |      CROSS JOIN range(1, ${maxLag + 1}) l(k)
+       |      JOIN daily b ON b.event_type = a.event_type AND b.x = a.x + l.k
+       |      GROUP BY 1, 2),
+       |lag_sums AS (SELECT p.event_type, p.k, pk, ak, bk, n, s, ss
+       |             FROM p JOIN tot ON p.event_type = tot.event_type)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Simpson diversity of each source's token distribution — the
+    // repeat-draw collision probability, complementing q_token_diversity
+    // (type/token ratio) and q_zipf_fit (rank-frequency slope) with the
+    // concentration number a sampling-weights pass actually wants
+    // ("draws from src3 repeat the same tokens 4x as often as src9").
+    // D = 1 − Σc(c−1)/(n(n−1)) from EXACT int64 token counts — the
+    // unbiased finite-sample estimator, no lattice needed because the
+    // only division is the final one-per-source IEEE op, identical in
+    // both engines. Shape: (source, tok) map-side agg (vocab-bounded),
+    // then a |sources|-key rollup. Σc(c−1) < n² stays in int64 to
+    // ~sf3000 at today's 5e5·sf tokens/source.
+    Q("q_simpson_diversity",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS k,
+        |             CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+        |      FROM c GROUP BY 1)
+        |SELECT source, n AS n_tokens, k AS n_types,
+        |       floor((1.0 - CAST(rep AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))*1000000+0.5)/1000000 AS simpson
+        |FROM g
+        |WHERE n > 1
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n"), count(lit(1)).as("k"),
+          sum(col("c") * (col("c") - 1)).as("rep"))
+        .filter(col("n") > 1)
+        .select(col("source"), col("n").as("n_tokens"), col("k").as("n_types"),
+          Q.r6(lit(1.0) - col("rep").cast("double") /
+            (col("n").cast("double") * (col("n") - 1))).as("simpson"))
+        .orderBy("source")
+    },
+
+    // Ljung–Box portmanteau test per event type: Q = n(n+2)·Σ_{k≤7}
+    // r_k²/(n−k) over the SAME acf estimator q_acf reports — "is the
+    // daily series white noise at all lags jointly", the gate before
+    // any AR/seasonal model (q_ar1, q_holt_linear) is fit. Each lag's
+    // r_k²/(n−k) is integer-scaled to 1e-12 BEFORE the 7-term
+    // cross-lag reduction, so the sum is order-free int64 (≤ 7e12 —
+    // SF-invariant, r_k ≤ 1; OverflowHeadroomSpec row) and both
+    // engines assemble Q from identical integers. Shape: rides
+    // lagSums' one-scan window frame; the report is |types| rows.
+    Q("q_ljung_box",
+      s"""WITH ${lagSumsSql(7)},
+         |t AS (SELECT event_type, max(n) AS n,
+         |             CAST(sum(CAST(floor((${acfSql("k")}) * (${acfSql("k")}) / (n - k) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS lb12
+         |      FROM lag_sums GROUP BY 1)
+         |SELECT event_type, n AS n_days,
+         |       ${Q.sqlR6("n * (n + 2) * (lb12 / 1e12)")} AS q_stat
+         |FROM t
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      lagSums(s, d, 7)
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          sum(floor(acfCol * acfCol / (col("n") - col("k")) * lit(1e12) + 0.5)
+            .cast("long")).as("lb12"))
+        .select(col("event_type"), col("n").as("n_days"),
+          Q.r6(col("n") * (col("n") + 2) * (col("lb12") / lit(1e12))).as("q_stat"))
+        .orderBy("event_type")
+    },
+
+    // Partial autocorrelation (lags 1–3) per event type by the
+    // Durbin–Levinson recursion in closed form over the q_acf
+    // estimator: φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+    // φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2) with
+    // φ21 = φ11 − φ22·φ11 — the AR-order fingerprint ("is the
+    // persistence one-day-deep or does day-before-yesterday still
+    // speak"). The three r_k land on one row per type via conditional
+    // max (single value per (type, k) — no cross-row double SUM, so no
+    // lattice is needed); the recursion is then one mirrored IEEE tree.
+    Q("q_pacf",
+      s"""WITH ${lagSumsSql(3)},
+         |r AS (SELECT event_type, max(n) AS n,
+         |             max(CASE WHEN k = 1 THEN ${acfSql("k")} END) AS r1,
+         |             max(CASE WHEN k = 2 THEN ${acfSql("k")} END) AS r2,
+         |             max(CASE WHEN k = 3 THEN ${acfSql("k")} END) AS r3
+         |      FROM lag_sums GROUP BY 1),
+         |f AS (SELECT event_type, n, r1, r2, r3,
+         |             (r2 - r1 * r1) / (1 - r1 * r1) AS f22
+         |      FROM r),
+         |g AS (SELECT event_type, n, r1, r2, r3, f22,
+         |             r1 - f22 * r1 AS f21
+         |      FROM f)
+         |SELECT event_type, n AS n_days,
+         |       ${Q.sqlR6("r1")} AS phi1,
+         |       ${Q.sqlR6("f22")} AS phi2,
+         |       ${Q.sqlR6("(r3 - f21 * r2 - f22 * r1) / (1 - f21 * r1 - f22 * r2)")} AS phi3
+         |FROM g
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val r = lagSums(s, d, 3)
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(col("k") === 1, acfCol)).as("r1"),
+          max(when(col("k") === 2, acfCol)).as("r2"),
+          max(when(col("k") === 3, acfCol)).as("r3"))
+      val f22 = (col("r2") - col("r1") * col("r1")) / (lit(1) - col("r1") * col("r1"))
+      val withF = r.withColumn("f22", f22)
+        .withColumn("f21", col("r1") - col("f22") * col("r1"))
+      withF.select(col("event_type"), col("n").as("n_days"),
+          Q.r6(col("r1")).as("phi1"),
+          Q.r6(col("f22")).as("phi2"),
+          Q.r6((col("r3") - col("f21") * col("r2") - col("f22") * col("r1")) /
+            (lit(1) - col("f21") * col("r1") - col("f22") * col("r2"))).as("phi3"))
+        .orderBy("event_type")
+    },
+
+    // Brown–Forsythe test (median-based Levene): do event types differ
+    // in value SPREAD, not just mean — q_anova's blind spot (ANOVA's F
+    // answers location; equal means with 3x the variance pass it).
+    // The deviation base is the interpolated median DOUBLED — 2·median
+    // of ints is a + b, an EXACT int64 for even and odd counts alike —
+    // so z2 = |2v − m2| is an exact integer and the one-way ANOVA on
+    // z2 (F is scale-invariant, so F(z2) = F(z)) runs on exact int64
+    // sufficient statistics through q_anova's b6 lattice. Shape: one
+    // corpus scan for the per-type median (a percentile over ≤5
+    // single-type partitions), one for the z2 ANOVA; |types|-key aggs.
+    Q("q_brown_forsythe",
+      s"""WITH m AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+         |med AS (SELECT event_type, CAST(2 * median(v) AS BIGINT) AS m2 FROM m GROUP BY 1),
+         |z AS (SELECT m.event_type, abs(2 * v - m2) AS z2
+         |      FROM m JOIN med ON m.event_type = med.event_type),
+         |g AS (SELECT event_type, count(*) AS n, CAST(sum(z2) AS BIGINT) AS s,
+         |             CAST(sum(z2 * z2) AS BIGINT) AS ss
+         |      FROM z GROUP BY 1),
+         |t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         |             CAST(sum(s) AS BIGINT) AS stot, CAST(sum(ss) AS BIGINT) AS sstot,
+         |             CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS b6
+         |      FROM g)
+         |SELECT k, nn AS n,
+         |       ${Q.sqlR6("((b6 / 1e6 - CAST(stot AS DOUBLE) * stot / nn) / (k - 1)) / ((sstot - b6 / 1e6) / (nn - k))")} AS f_stat
+         |FROM t""".stripMargin) { (s, d) =>
+      val m = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      val med = m.groupBy("event_type")
+        .agg((expr("percentile(v, 0.5)") * 2).cast("long").as("m2"))
+      val g = m.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(lit(2) * col("v") - col("m2")).as("z2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("z2").as("s"),
+          sum(col("z2") * col("z2")).as("ss"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+          sum("s").as("stot"), sum("ss").as("sstot"),
+          sum(floor(col("s").cast("double") * col("s") / col("n") * lit(1e6) + 0.5)
+            .cast("long")).as("b6"))
+        .select(col("k"), col("nn").as("n"),
+          Q.r6(((col("b6") / lit(1e6) - col("stot").cast("double") * col("stot") / col("nn")) /
+              (col("k") - 1)) /
+            ((col("sstot") - col("b6") / lit(1e6)) / (col("nn") - col("k")))).as("f_stat"))
+    },
+
+    // Jensen–Shannon divergence of each source's token distribution
+    // from the corpus distribution — the drift number a mixture-weights
+    // pass (q_mix_weights) wants per feed: symmetric, bounded by ln 2,
+    // zero iff identical. Support is the top-200 corpus tokens plus one
+    // OTHER bucket (201 cells per source — the domain-bounded shuffle
+    // key contract: the full-vocab version would key a shuffle on
+    // content). The (source × bucket) grid is completed with explicit
+    // zeros so absent buckets still contribute their corpus half; each
+    // cell's 0.5·p·ln(p/m) + 0.5·q·ln(q/m) is integer-scaled to 1e-9
+    // BEFORE the 201-cell reduction (order-free int64, Σ ≤ ln2·1e9 —
+    // OverflowHeadroomSpec row). Exact counts everywhere else.
+    Q("q_js_divergence",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY 1),
+        |top AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 200),
+        |sb AS (SELECT source, CASE WHEN tok IN (SELECT tok FROM top) THEN tok ELSE '~other~' END AS bucket,
+        |              count(*) AS c
+        |       FROM w GROUP BY 1, 2),
+        |buckets AS (SELECT tok AS bucket FROM top UNION ALL SELECT '~other~'),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sb GROUP BY 1),
+        |cb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cc FROM sb GROUP BY 1),
+        |nc AS (SELECT CAST(sum(c) AS BIGINT) AS nc FROM sb),
+        |grid AS (SELECT s.source, s.ns, b.bucket,
+        |                COALESCE(sb.c, 0) AS cs, COALESCE(cb.cc, 0) AS cc, nc.nc
+        |         FROM srcs s CROSS JOIN buckets b
+        |         LEFT JOIN sb ON sb.source = s.source AND sb.bucket = b.bucket
+        |         LEFT JOIN cb ON cb.bucket = b.bucket
+        |         CROSS JOIN nc),
+        |cells AS (SELECT source, ns,
+        |                 CAST(cs AS DOUBLE) / ns AS p,
+        |                 CAST(cc AS DOUBLE) / nc AS q
+        |          FROM grid),
+        |contrib AS (SELECT source, ns,
+        |                   CAST(floor((CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END +
+        |                               CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END) * 1e9 + 0.5) AS BIGINT) AS c9
+        |            FROM cells)
+        |SELECT source, max(ns) AS n_tokens,
+        |       floor((sum(c9) / 1e9)*1000000+0.5)/1000000 AS js
+        |FROM contrib
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val top = w.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(200)
+        .select(col("tok").as("ttok"))
+      val sb = w.join(broadcast(top), col("tok") === col("ttok"), "left")
+        .select(col("source"),
+          coalesce(col("ttok"), lit("~other~")).as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      val buckets = top.select(col("ttok").as("bucket"))
+        .unionAll(s.range(1).select(lit("~other~").as("bucket")))
+      val srcs = sb.groupBy("source").agg(sum("c").as("ns"))
+      val cb = sb.groupBy("bucket").agg(sum("c").as("cc"))
+      val ncDf = sb.agg(sum("c").as("nc"))
+      val grid = srcs.crossJoin(broadcast(buckets))
+        .join(sb, Seq("source", "bucket"), "left")
+        .join(broadcast(cb), Seq("bucket"), "left")
+        .crossJoin(broadcast(ncDf))
+        .select(col("source"), col("ns"),
+          (coalesce(col("c"), lit(0L)).cast("double") / col("ns")).as("p"),
+          (coalesce(col("cc"), lit(0L)).cast("double") / col("nc")).as("q"))
+      val mm = (col("p") + col("q")) / 2
+      val c9 = floor((when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / mm)).otherwise(lit(0.0)) +
+        when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / mm)).otherwise(lit(0.0))) *
+        lit(1e9) + 0.5).cast("long")
+      grid.select(col("source"), col("ns"), c9.as("c9"))
+        .groupBy("source")
+        .agg(max("ns").as("n_tokens"), Q.r6(sum("c9") / lit(1e9)).as("js"))
+        .orderBy("source")
+    },
+
+    // Heaps-law vocabulary growth fit: V(n) ≈ K·n^β over six geometric
+    // corpus prefixes — "how fast does new data stop bringing new
+    // words", the diminishing-returns readout a data-acquisition plan
+    // reads next to q_corpus_yield. Prefixes are doc_id < N/2^j (N and
+    // the thresholds are exact integers in both engines); V_j counts
+    // tokens whose FIRST appearance (min doc_id — one vocab-keyed agg)
+    // falls inside the prefix, n_j sums per-doc token counts inside it
+    // — so all 12 coordinates are exact int64 from TWO bounded aggs
+    // and the log-log OLS runs IN-ROW over six fixed-order doubles
+    // (no cross-row double reduction ⇒ no lattice needed).
+    Q("q_heaps_fit", {
+      val xs = (0 to 5).map(j => s"ln(CAST(n${j} AS DOUBLE))").mkString(", ")
+      val ys = (0 to 5).map(j => s"ln(CAST(v${j} AS DOUBLE))").mkString(", ")
+      val vCols = (0 to 5).map(j =>
+        s"CAST(sum(CASE WHEN fa < nd // ${1 << (5 - j)} THEN 1 ELSE 0 END) AS BIGINT) AS v$j").mkString(", ")
+      val nCols = (0 to 5).map(j =>
+        s"CAST(sum(CASE WHEN doc_id < nd // ${1 << (5 - j)} THEN ntok ELSE 0 END) AS BIGINT) AS n$j").mkString(", ")
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |fa AS (SELECT tok, min(doc_id) AS fa FROM w GROUP BY 1),
+         |vv AS (SELECT $vCols FROM fa CROSS JOIN nd),
+         |dt AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents),
+         |nn AS (SELECT $nCols FROM dt CROSS JOIN nd),
+         |pts AS (SELECT [$xs] AS x, [$ys] AS y FROM vv CROSS JOIN nn),
+         |st AS (SELECT x[1]+x[2]+x[3]+x[4]+x[5]+x[6] AS sx, y[1]+y[2]+y[3]+y[4]+y[5]+y[6] AS sy,
+         |              x[1]*y[1]+x[2]*y[2]+x[3]*y[3]+x[4]*y[4]+x[5]*y[5]+x[6]*y[6] AS sxy,
+         |              x[1]*x[1]+x[2]*x[2]+x[3]*x[3]+x[4]*x[4]+x[5]*x[5]+x[6]*x[6] AS sxx
+         |       FROM pts)
+         |SELECT (SELECT nd FROM nd) AS n_docs,
+         |       (SELECT v5 FROM vv) AS vocab,
+         |       (SELECT n5 FROM nn) AS n_tokens,
+         |       ${Q.sqlR6("(6 * sxy - sx * sy) / (6 * sxx - sx * sx)")} AS beta,
+         |       ${Q.sqlR6("(sy - (6 * sxy - sx * sy) / (6 * sxx - sx * sx) * sx) / 6")} AS ln_k
+         |FROM st""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val ndDf = docs.agg(count(lit(1)).as("nd"))
+      val fa = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("fa"))
+      val vAggs = (0 to 5).map(j =>
+        sum(when(col("fa") < expr(s"nd div ${1 << (5 - j)}"), 1L).otherwise(0L)).as(s"v$j"))
+      val vv = fa.crossJoin(broadcast(ndDf)).agg(vAggs.head, vAggs.tail: _*)
+      val nAggs = (0 to 5).map(j =>
+        sum(when(col("doc_id") < expr(s"nd div ${1 << (5 - j)}"), col("ntok")).otherwise(0L)).as(s"n$j"))
+      val nn = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+        .crossJoin(broadcast(ndDf)).agg(nAggs.head, nAggs.tail: _*)
+      val pts = vv.crossJoin(nn).crossJoin(broadcast(ndDf))
+      // in-row fixed-order sums over the six (ln n_j, ln V_j) points —
+      // textual order mirrors the oracle's bracket arithmetic exactly
+      def x(j: Int) = log(col(s"n$j").cast("double"))
+      def y(j: Int) = log(col(s"v$j").cast("double"))
+      val sx = (1 to 5).foldLeft(x(0))((a, j) => a + x(j))
+      val sy = (1 to 5).foldLeft(y(0))((a, j) => a + y(j))
+      val sxy = (1 to 5).foldLeft(x(0) * y(0))((a, j) => a + x(j) * y(j))
+      val sxx = (1 to 5).foldLeft(x(0) * x(0))((a, j) => a + x(j) * x(j))
+      val beta = (lit(6) * sxy - sx * sy) / (lit(6) * sxx - sx * sx)
+      pts.select(col("nd").as("n_docs"), col("v5").as("vocab"), col("n5").as("n_tokens"),
+        Q.r6(beta).as("beta"),
+        Q.r6((sy - beta * sx) / 6).as("ln_k"))
+    },
+
+    // SAX symbolic motif census per event type: per-type daily volume
+    // z-scored onto 3 equiprobable gaussian symbols (breakpoint
+    // ±0.4307), then 3-day motifs counted over CONSECUTIVE days — the
+    // shape alphabet behind symbolic anomaly screens ("how often does
+    // low-low-high happen"). Determinism: the z comparison is cleared
+    // of fractions — n·y − s (exact int64) against ±0.4307·n·σ where σ
+    // comes from the one mirrored moment tree — so both engines bucket
+    // identically even at boundaries (same doubles, same comparison);
+    // motif counts are pure int64. Shape: everything after the daily
+    // rollup lives on the (|types|×|days|) frame and its single
+    // event_type exchange.
+    Q("q_sax_motifs",
+      s"""WITH daily AS ($dailySql),
+         |st AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s,
+         |               CAST(sum(y * y) AS BIGINT) AS ss
+         |        FROM daily GROUP BY 1),
+         |z AS (SELECT d.event_type, d.x,
+         |             CASE WHEN n * y - s < -0.4307 * sqrt(CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s) THEN 'a'
+         |                  WHEN n * y - s <= 0.4307 * sqrt(CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s) THEN 'b'
+         |                  ELSE 'c' END AS sym
+         |      FROM daily d JOIN st ON d.event_type = st.event_type),
+         |m AS (SELECT event_type, x, sym,
+         |             lead(x, 1) OVER (PARTITION BY event_type ORDER BY x) AS x1,
+         |             lead(sym, 1) OVER (PARTITION BY event_type ORDER BY x) AS s1,
+         |             lead(x, 2) OVER (PARTITION BY event_type ORDER BY x) AS x2,
+         |             lead(sym, 2) OVER (PARTITION BY event_type ORDER BY x) AS s2
+         |      FROM z)
+         |SELECT event_type, sym || s1 || s2 AS motif, count(*) AS n
+         |FROM m
+         |WHERE x1 = x + 1 AND x2 = x + 2
+         |GROUP BY 1, 2
+         |ORDER BY event_type, motif""".stripMargin) { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val wt = Window.partitionBy("event_type")
+      val wx = wt.orderBy("x")
+      val nsd = daily
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("s", sum("y").over(wt))
+        .withColumn("ss", sum(col("y") * col("y")).over(wt))
+      val spread = sqrt(col("n").cast("double") * col("ss") - col("s").cast("double") * col("s"))
+      val dev = col("n") * col("y") - col("s")
+      val z = nsd.select(col("event_type"), col("x"),
+        when(dev < lit(-0.4307) * spread, "a")
+          .when(dev <= lit(0.4307) * spread, "b")
+          .otherwise("c").as("sym"))
+      z.withColumn("x1", lead("x", 1).over(wx))
+        .withColumn("s1", lead("sym", 1).over(wx))
+        .withColumn("x2", lead("x", 2).over(wx))
+        .withColumn("s2", lead("sym", 2).over(wx))
+        .filter(col("x1") === col("x") + 1 && col("x2") === col("x") + 2)
+        .select(col("event_type"), concat(col("sym"), col("s1"), col("s2")).as("motif"))
+        .groupBy("event_type", "motif").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "motif")
+    },
+
+    // Cross-document 5-gram duplication per source: what share of each
+    // document's distinct 5-grams also appear in ANOTHER document —
+    // the contamination/boilerplate lens BETWEEN near-dup detection
+    // (whole-doc) and exact dedup (identical docs): high dup share
+    // with low near-dup rate means shared boilerplate fragments. One
+    // in-row distinct 5-gram expansion (the shingles shape, width 5),
+    // one (lang, gram)-keyed df agg, one join back — gram df is the
+    // same content-keyed shuffle q_inverted_index runs, exact int64
+    // everywhere, |sources|-key rollup.
+    Q("q_cross_doc_ngram",
+      """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT doc_id, lang, source,
+        |             unnest(list_transform(range(1, len(words) - 3),
+        |                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4])) AS gram
+        |      FROM w WHERE len(words) >= 5),
+        |df AS (SELECT lang, gram, count(*) AS df FROM g GROUP BY 1, 2),
+        |per_doc AS (SELECT g.doc_id, g.source, count(*) AS n_grams,
+        |                   CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+        |            FROM g JOIN df ON g.lang = df.lang AND g.gram = df.gram
+        |            GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_grams) AS BIGINT) AS grams_total,
+        |       CAST(sum(dup_grams) AS BIGINT) AS grams_shared,
+        |       floor((CAST(sum(dup_grams) AS DOUBLE) / sum(n_grams))*1000000+0.5)/1000000 AS dup_share
+        |FROM per_doc
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val g = Tables.load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(expr(
+            """transform(sequence(0, size(words) - 5),
+              |          i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]))""".stripMargin)))
+            .as("gram"))
+      val df = g.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+      g.join(df, Seq("lang", "gram"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").as("grams_total"),
+          sum("dup_grams").as("grams_shared"),
+          Q.r6(sum("dup_grams").cast("double") / sum("n_grams")).as("dup_share"))
+        .orderBy("source")
+    },
+
+    // Entropy rate of the event-type Markov chain: H = Σ_i π_i Σ_j
+    // p_ij ln(1/p_ij) with π from q_markov_stationary's 3 unrolled
+    // power iterations — "how predictable is the NEXT event given the
+    // current one", the sequence-compressibility number next to
+    // q_cat_entropy's marginal entropy (H_rate ≤ H_marginal; the gap
+    // is what session structure buys a predictor). π is carried on the
+    // same 1e-12 lattice as q_markov_stationary (bit-identical vectors
+    // both engines), each cell's π·p·ln(1/p) integer-scaled to 1e-9
+    // before the ≤25-cell fold. One corpus-side lead() window, then
+    // everything lives on the |types|²-row matrix frame.
+    Q("q_entropy_rate",
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |pr AS (SELECT event_type AS cur,
+         |              lead(event_type) OVER (PARTITION BY user_id
+         |                                     ORDER BY es, event_id) AS nxt
+         |       FROM e),
+         |c AS (SELECT cur, nxt, count(*) AS n FROM pr
+         |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |m AS (SELECT cur, nxt,
+         |             CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS prob
+         |      FROM c),
+         |t0 AS (SELECT count(DISTINCT cur) AS k FROM c),
+         |q0 AS (SELECT DISTINCT cur AS t, 1.0 / (SELECT k FROM t0) AS p FROM c),
+         |p1 AS (SELECT m.nxt AS t, CAST(sum(CAST(floor(q0.p * m.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM m JOIN q0 ON q0.t = m.cur GROUP BY 1),
+         |q1 AS (SELECT t, CAST(s AS DOUBLE) / 1e12 AS p FROM p1),
+         |p2 AS (SELECT m.nxt AS t, CAST(sum(CAST(floor(q1.p * m.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM m JOIN q1 ON q1.t = m.cur GROUP BY 1),
+         |q2 AS (SELECT t, CAST(s AS DOUBLE) / 1e12 AS p FROM p2),
+         |p3 AS (SELECT m.nxt AS t, CAST(sum(CAST(floor(q2.p * m.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM m JOIN q2 ON q2.t = m.cur GROUP BY 1),
+         |q3 AS (SELECT t, CAST(s AS DOUBLE) / 1e12 AS p FROM p3),
+         |h AS (SELECT CAST(sum(CAST(floor(q3.p * m.prob * ln(1.0 / m.prob) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+         |      FROM m JOIN q3 ON q3.t = m.cur)
+         |SELECT (SELECT CAST(k AS BIGINT) FROM t0) AS k_states,
+         |       ${Q.sqlR6("(SELECT h9 FROM h) / 1e9")} AS entropy_rate,
+         |       ${Q.sqlR6("ln(CAST((SELECT k FROM t0) AS DOUBLE))")} AS uniform_bound,
+         |       ${Q.sqlR6("((SELECT h9 FROM h) / 1e9) / ln(CAST((SELECT k FROM t0) AS DOUBLE))")} AS efficiency""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wc = Window.partitionBy("cur")
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Q.epochSec(col("ts")).as("es"))
+        .select(col("event_type").as("cur"), lead("event_type", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // matrix + k + iteration all read this frame
+      val m = c.select(col("cur"), col("nxt"),
+        (col("n").cast("double") / sum("n").over(wc).cast("long")).as("prob"))
+      val k = c.agg(countDistinct("cur").as("k"))
+      var p = c.select(col("cur").as("t")).distinct()
+        .crossJoin(broadcast(k))
+        .select(col("t"), (lit(1.0) / col("k")).as("p"))
+      for (_ <- 1 to 3) {
+        p = m.join(p.withColumnRenamed("t", "src"), col("src") === col("cur"))
+          .groupBy("nxt")
+          .agg(sum(floor(col("p") * col("prob") * lit(1e12) + 0.5).cast("long")).as("s"))
+          .select(col("nxt").as("t"), (col("s").cast("double") / lit(1e12)).as("p"))
+      }
+      m.join(p.withColumnRenamed("t", "src"), col("src") === col("cur"))
+        .agg(sum(floor(col("p") * col("prob") * log(lit(1.0) / col("prob")) *
+          lit(1e9) + 0.5).cast("long")).as("h9"))
+        .crossJoin(broadcast(k))
+        .select(col("k").cast("long").as("k_states"),
+          Q.r6(col("h9") / lit(1e9)).as("entropy_rate"),
+          Q.r6(log(col("k").cast("double"))).as("uniform_bound"),
+          Q.r6((col("h9") / lit(1e9)) / log(col("k").cast("double"))).as("efficiency"))
+    },
+
+    // Hurst exponent by rescaled-range analysis of per-type daily
+    // volume: R/S over full blocks of 7/14/28 days, then the log-log
+    // slope — long-memory vs mean-reversion (H>0.5 trending, <0.5
+    // reverting), the persistence diagnostic above q_ar1's one-lag
+    // view. Determinism: within a block the partial-sum deviations are
+    // cleared of fractions — w·cum_j − j·S_w is EXACT int64 — so R·w
+    // is an integer range and R/S = (R·w)/sqrt(w·SS − S_w²) is one
+    // mirrored IEEE tree per block; per-(type, w) block means ride a
+    // 1e-6 lattice (order-free — OverflowHeadroomSpec row), and the
+    // 3-point slope is in-row fixed-order arithmetic. Degenerate
+    // blocks (constant series ⇒ S = 0) are excluded identically on
+    // both sides. Shape: all windows live on the daily frame's one
+    // event_type exchange; blocks are calendar-bounded.
+    Q("q_hurst",
+      s"""WITH daily AS ($dailySql),
+         |blk AS (SELECT event_type, w.w, x // w.w AS b, x, y
+         |        FROM daily CROSS JOIN (SELECT unnest([7, 14, 28]) AS w) w),
+         |full_blk AS (SELECT event_type, w, b
+         |             FROM blk GROUP BY 1, 2, 3 HAVING count(*) = w),
+         |o AS (SELECT blk.event_type, blk.w, blk.b, blk.x, blk.y,
+         |             CAST(sum(blk.y) OVER (PARTITION BY blk.event_type, blk.w, blk.b
+         |                                   ORDER BY blk.x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |             row_number() OVER (PARTITION BY blk.event_type, blk.w, blk.b ORDER BY blk.x) AS j,
+         |             CAST(sum(blk.y) OVER (PARTITION BY blk.event_type, blk.w, blk.b) AS BIGINT) AS sw,
+         |             CAST(sum(blk.y * blk.y) OVER (PARTITION BY blk.event_type, blk.w, blk.b) AS BIGINT) AS ssw
+         |      FROM blk JOIN full_blk USING (event_type, w, b)),
+         |dev AS (SELECT event_type, w, b, sw, ssw, w * cum - j * sw AS dw FROM o),
+         |rs AS (SELECT event_type, w, b,
+         |              CAST(floor((max(dw) - min(dw)) / sqrt(CAST(w AS DOUBLE) * max(ssw) - CAST(max(sw) AS DOUBLE) * max(sw)) * 1e6 + 0.5) AS BIGINT) AS rs6
+         |       FROM dev
+         |       WHERE w * ssw > sw * sw
+         |       GROUP BY 1, 2, 3, sw, ssw
+         |       HAVING CAST(w AS DOUBLE) * max(ssw) > CAST(max(sw) AS DOUBLE) * max(sw)),
+         |a AS (SELECT event_type,
+         |             sum(CASE WHEN w = 7 THEN rs6 END) / (1e6 * sum(CASE WHEN w = 7 THEN 1 END)) AS rs7,
+         |             sum(CASE WHEN w = 14 THEN rs6 END) / (1e6 * sum(CASE WHEN w = 14 THEN 1 END)) AS rs14,
+         |             sum(CASE WHEN w = 28 THEN rs6 END) / (1e6 * sum(CASE WHEN w = 28 THEN 1 END)) AS rs28
+         |      FROM rs GROUP BY 1),
+         |f AS (SELECT event_type, rs7, rs14, rs28,
+         |             ln(7.0) + ln(14.0) + ln(28.0) AS sx,
+         |             ln(rs7) + ln(rs14) + ln(rs28) AS sy,
+         |             ln(7.0)*ln(rs7) + ln(14.0)*ln(rs14) + ln(28.0)*ln(rs28) AS sxy,
+         |             ln(7.0)*ln(7.0) + ln(14.0)*ln(14.0) + ln(28.0)*ln(28.0) AS sxx
+         |      FROM a WHERE rs7 > 0 AND rs14 > 0 AND rs28 > 0)
+         |SELECT event_type,
+         |       ${Q.sqlR6("rs7")} AS rs7, ${Q.sqlR6("rs14")} AS rs14, ${Q.sqlR6("rs28")} AS rs28,
+         |       ${Q.sqlR6("(3 * sxy - sx * sy) / (3 * sxx - sx * sx)")} AS hurst
+         |FROM f
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val ws = s.range(1).select(explode(array(lit(7L), lit(14L), lit(28L))).as("w"))
+      val blk = daily.crossJoin(broadcast(ws))
+        .withColumn("b", expr("x div w"))
+      val wb = Window.partitionBy("event_type", "w", "b")
+      val wbx = wb.orderBy("x")
+      val o = blk
+        .withColumn("cnt", count(lit(1)).over(wb))
+        .filter(col("cnt") === col("w"))
+        .withColumn("cum", sum("y").over(wbx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("j", row_number().over(wbx))
+        .withColumn("sw", sum("y").over(wb))
+        .withColumn("ssw", sum(col("y") * col("y")).over(wb))
+        .withColumn("dw", col("w") * col("cum") - col("j") * col("sw"))
+      val rs = o
+        .filter(col("w") * col("ssw") > col("sw") * col("sw"))
+        .groupBy("event_type", "w", "b")
+        .agg(floor((max("dw") - min("dw")) /
+          sqrt(first("w").cast("double") * max("ssw") - max("sw").cast("double") * max("sw")) *
+          lit(1e6) + 0.5).cast("long").as("rs6"))
+      val a = rs.groupBy("event_type")
+        .agg(
+          (sum(when(col("w") === 7, col("rs6"))) /
+            (lit(1e6) * sum(when(col("w") === 7, 1)))).as("rs7"),
+          (sum(when(col("w") === 14, col("rs6"))) /
+            (lit(1e6) * sum(when(col("w") === 14, 1)))).as("rs14"),
+          (sum(when(col("w") === 28, col("rs6"))) /
+            (lit(1e6) * sum(when(col("w") === 28, 1)))).as("rs28"))
+        .filter(col("rs7") > 0 && col("rs14") > 0 && col("rs28") > 0)
+      val sx = log(lit(7.0)) + log(lit(14.0)) + log(lit(28.0))
+      val sy = log(col("rs7")) + log(col("rs14")) + log(col("rs28"))
+      val sxy = log(lit(7.0)) * log(col("rs7")) + log(lit(14.0)) * log(col("rs14")) +
+        log(lit(28.0)) * log(col("rs28"))
+      val sxx = log(lit(7.0)) * log(lit(7.0)) + log(lit(14.0)) * log(lit(14.0)) +
+        log(lit(28.0)) * log(lit(28.0))
+      a.select(col("event_type"),
+          Q.r6(col("rs7")).as("rs7"), Q.r6(col("rs14")).as("rs14"),
+          Q.r6(col("rs28")).as("rs28"),
+          Q.r6((lit(3) * sxy - sx * sy) / (lit(3) * sxx - sx * sx)).as("hurst"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -303,6 +303,81 @@ class OverflowHeadroomSpec extends SparkSpec {
       Some((s, d) => dmax {
         events(s, d).filter(col("event_type") === "purchase")
           .agg(lit(20.0) * pow(avg(col("value")) * 1e5, 2))
+      })),
+
+    Site("q_ljung_box", "1e12", "lb12 = Σ_{k≤7} floor(r_k²/(n−k)·1e12)",
+      "const (|r_k| ≤ ~1 ⇒ 7 terms of ≤1e12)", 1e9, _ => 2e13,
+      Some((s, d) => dmax {
+        // recover lb12 from the shipped query's own report: q = n(n+2)·lb12/1e12
+        SparkEntry.queries("q_ljung_box")(s, d)
+          .agg(max(col("q_stat") / (col("n_days") * (col("n_days") + 2)) * 1e12))
+      })),
+
+    Site("q_brown_forsythe", "1e6", "b6 = Σ_g floor(s_g²/n_g·1e6) over z2 deviations",
+      "linear (s_g ∝ group size; s_g²/n_g ∝ SF) — anchored ~6.5e14 @ sf0.1", 100.0,
+      sf => 6.5e14 * (sf / 0.1) * 2,
+      Some((s, d) => dmax {
+        val m = events(s, d)
+          .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+        val med = m.groupBy("event_type")
+          .agg((expr("percentile(v, 0.5)") * 2).cast("long").as("m2"))
+        m.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(lit(2) * col("v") - col("m2")).as("z2"))
+          .groupBy("event_type")
+          .agg((sum("z2").cast("double") * sum("z2") / count(lit(1)) * 1e6).as("b"))
+          .agg(sum("b"))
+      })),
+
+    Site("q_entropy_rate", "1e12/1e9", "π iteration s ≤ 1e12 (markov lattice); h9 = Σ π·p·ln(1/p)·1e9 ≤ ln(k)·1e9",
+      "const (both stochastically bounded)", 1e9, _ => 1.2e12,
+      Some((s, d) => dmax {
+        // the shipped query reports the bounded quantities directly
+        SparkEntry.queries("q_entropy_rate")(s, d)
+          .agg(max(greatest(col("entropy_rate") * 1e9, lit(1e12) + col("k_states"))))
+      })),
+
+    Site("q_hurst", "1e6", "per-(type,w) Σ floor(R/S·1e6) over calendar-bounded blocks",
+      "const (R/S ≤ w ≤ 28; blocks ≤ |days|/7 per type)", 1e9,
+      _ => 28.0 * 1e6 * 400 * 2,
+      Some((s, d) => dmax {
+        // blocks are calendar-bounded: the shipped query's per-window
+        // means bound the lattice sum by max(rs)·1e6·(|days|/7)
+        SparkEntry.queries("q_hurst")(s, d)
+          .agg(max(greatest(col("rs7"), col("rs14"), col("rs28")) * 1e6 * lit(5)))
+      })),
+
+    Site("q_js_divergence", "1e9", "per-source Σ|cell JS contribution|·1e9 over 201 buckets",
+      "const (Σ|cells| ≤ ~1 nat by the mixture bound)", 1e9, _ => 2e9,
+      Some((s, d) => dmax {
+        // |0.5p·ln(p/m)| + |0.5q·ln(q/m)| summed over the completed grid;
+        // compact abs-sum twin of the op body
+        val w = Tables.load(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val top = w.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(200)
+          .select(col("tok").as("ttok"))
+        val sb = w.join(broadcast(top), col("tok") === col("ttok"), "left")
+          .select(col("source"), coalesce(col("ttok"), lit("~other~")).as("bucket"))
+          .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+        val srcs = sb.groupBy("source").agg(sum("c").as("ns"))
+        val buckets = top.select(col("ttok").as("bucket"))
+          .unionAll(s.range(1).select(lit("~other~").as("bucket")))
+        val cb = sb.groupBy("bucket").agg(sum("c").as("cc"))
+        val ncDf = sb.agg(sum("c").as("nc"))
+        val grid = srcs.crossJoin(broadcast(buckets))
+          .join(sb, Seq("source", "bucket"), "left")
+          .join(broadcast(cb), Seq("bucket"), "left")
+          .crossJoin(broadcast(ncDf))
+          .select(col("source"),
+            (coalesce(col("c"), lit(0L)).cast("double") / col("ns")).as("p"),
+            (coalesce(col("cc"), lit(0L)).cast("double") / col("nc")).as("q"))
+        val mm = (col("p") + col("q")) / 2
+        grid.select(col("source"),
+            (abs(when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / mm)).otherwise(lit(0.0))) +
+              abs(when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / mm)).otherwise(lit(0.0))))
+              .as("a"))
+          .groupBy("source").agg((sum("a") * 1e9).as("m"))
+          .agg(max("m"))
       }))
   )
 
