@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ground-truth semantics for the round-12 diagnostics: each operator
+  * runs against a SYNTHETIC corpus constructed so the right answer is
+  * known in closed form — evidence independent of the DuckDB oracle
+  * (which shares the formula tree by design; these tests share
+  * nothing). The synthetic dirs carry the standard table schemas so
+  * the UNCHANGED SparkEntry.queries entries run against them.
+  */
+class DiagnosticsSpec extends SparkSpec {
+
+  /** Synthetic events dir whose per-type daily counts follow `f`:
+    * day d of `days` gets f(type, d) events (deterministic ids/users). */
+  private def eventsDir(types: Seq[String], days: Int,
+                        f: (String, Int) => Int,
+                        value: (String, Long) => Double = (_, i) => (i % 100).toDouble)
+      : String = {
+    val dir = tempDir("diag_events")
+    val rows = for {
+      t <- types
+      d <- 0 until days
+      i <- 0 until f(t, d)
+    } yield (t, d, i)
+    import spark.implicits._
+    rows.toDF("event_type", "d", "i")
+      .withColumn("event_id", monotonically_increasing_id())
+      .select(
+        col("event_id"),
+        // 2024-01-01 + d days, hour spread by i
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(col("d"), col("i") % 24, lit(0), lit(0))).as("ts"),
+        (col("i") % 7).cast("long").as("user_id"),
+        col("event_type"),
+        col("event_id"))
+      .withColumn("value", udfValue(value)(col("event_type"), col("event_id")))
+      .withColumn("props", lit("""{"k": 1}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def udfValue(f: (String, Long) => Double) =
+    udf((t: String, i: Long) => f(t, i))
+
+  /** Synthetic documents dir from explicit (doc_id, text, source). */
+  private def docsDir(docs: Seq[(Long, String, String)]): String = {
+    val dir = tempDir("diag_docs")
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  // deterministic integer noise in [0, m) — no RNG, replay-safe
+  private def mix(a: Long, b: Long, m: Int): Int = {
+    var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    ((h & Long.MaxValue) % m).toInt
+  }
+
+  test("q_ljung_box separates white noise from a strong weekly cycle") {
+    val noisy = eventsDir(Seq("a"), 60, (_, d) => 50 + mix(1, d, 11))
+    val weekly = eventsDir(Seq("a"), 60, (_, d) => if (d % 7 < 2) 200 else 20)
+    val qN = run("q_ljung_box", noisy).head().getAs[Double]("q_stat")
+    val qW = run("q_ljung_box", weekly).head().getAs[Double]("q_stat")
+    // chi2(7 dof) 99th percentile is 18.5: noise must sit well under a
+    // loose multiple of it, the planted cycle far above
+    assert(qN < 30, s"white-noise Q $qN should be unremarkable")
+    assert(qW > 100, s"weekly-cycle Q $qW should reject whiteness loudly")
+    assert(qW > 5 * qN, s"cycle Q $qW should dominate noise Q $qN")
+  }
+
+  test("q_pacf recovers AR(1): phi1 near the coefficient, phi2/phi3 near zero") {
+    // y_t = 100 + 0.7·(y_{t-1} − 100) + small deterministic noise
+    val ys = Iterator.iterate((80.0, 0)) { case (y, d) =>
+      (100 + 0.7 * (y - 100) + (mix(2, d, 9) - 4), d + 1)
+    }.map(_._1).take(120).toSeq
+    val dir = eventsDir(Seq("a"), 120, (_, d) => math.max(1, math.round(ys(d)).toInt))
+    val r = run("q_pacf", dir).head()
+    val (p1, p2, p3) = (r.getAs[Double]("phi1"), r.getAs[Double]("phi2"), r.getAs[Double]("phi3"))
+    assert(p1 > 0.45 && p1 < 0.9, s"phi1 $p1 should sit near 0.7")
+    assert(math.abs(p2) < 0.3 && math.abs(p3) < 0.3,
+      s"AR(1) has no deeper structure: phi2 $p2, phi3 $p3")
+  }
+
+  test("q_hurst reads persistence: trending series high, alternating series low") {
+    // persistent: slow 3-phase ramp; anti-persistent: hard alternation
+    val trend = eventsDir(Seq("a"), 112, (_, d) => 20 + (d % 56) * 3)
+    val flip = eventsDir(Seq("a"), 112, (_, d) => if (d % 2 == 0) 10 else 90)
+    val hT = run("q_hurst", trend).head().getAs[Double]("hurst")
+    val hF = run("q_hurst", flip).head().getAs[Double]("hurst")
+    assert(hT > 0.75, s"ramp series should read strongly persistent, got $hT")
+    assert(hF < 0.35, s"alternating series should read anti-persistent, got $hF")
+  }
+
+  test("q_sax_motifs: constant series collapses to the single middle motif") {
+    val dir = eventsDir(Seq("a", "b"), 30, (_, _) => 25)
+    val rows = run("q_sax_motifs", dir).collect()
+    // constant series: spread 0 ⇒ n·y − s = 0 ≤ 0 ⇒ symbol 'b' everywhere;
+    // 30 days → 28 consecutive 3-day motifs per type
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("motif") === "bbb")
+      assert(r.getAs[Long]("n") === 28L)
+    }
+  }
+
+  test("q_entropy_rate: a deterministic cycle compresses to zero, noise does not") {
+    // one user walks a..b..c deterministically: every transition
+    // probability is 1 ⇒ H_rate = 0 regardless of the marginal entropy
+    val dir = tempDir("diag_cycle")
+    import spark.implicits._
+    val cyc = (0 until 300).map(i => (i.toLong, 0L, Seq("a", "b", "c")(i % 3)))
+    cyc.toDF("event_id", "user_id", "event_type")
+      .select(col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), col("event_id"), lit(0))).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("q_entropy_rate", dir).head()
+    assert(r.getAs[Double]("entropy_rate") === 0.0)
+    assert(r.getAs[Long]("k_states") === 3L)
+    // and the rate is bounded by the uniform bound on real data
+    val real = run("q_entropy_rate", sfDir).head()
+    assert(real.getAs[Double]("entropy_rate") > 0)
+    assert(real.getAs[Double]("entropy_rate") <= real.getAs[Double]("uniform_bound"))
+  }
+
+  test("q_brown_forsythe: equal spreads read unremarkable, a 10x spread group rejects") {
+    val same = eventsDir(Seq("a", "b", "c"), 30, (_, _) => 40,
+      value = (_, i) => 100 + (i % 21).toDouble - 10)
+    val spread = eventsDir(Seq("a", "b", "c"), 30, (_, _) => 40,
+      value = (t, i) => if (t == "c") 100 + ((i % 21).toDouble - 10) * 10
+                        else 100 + (i % 21).toDouble - 10)
+    val fSame = run("q_brown_forsythe", same).head().getAs[Double]("f_stat")
+    val fSpread = run("q_brown_forsythe", spread).head().getAs[Double]("f_stat")
+    assert(fSame < 5, s"equal spreads should not reject, F = $fSame")
+    assert(fSpread > 100, s"10x spread should reject loudly, F = $fSpread")
+  }
+
+  test("q_simpson_diversity: all-unique tokens read 1, a single repeated token reads 0") {
+    val dir = docsDir(Seq(
+      (0L, (0 until 50).map(i => s"u$i").mkString(" "), "unique"),
+      (1L, (0 until 50).map(_ => "same").mkString(" "), "mono")))
+    val m = run("q_simpson_diversity", dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("simpson")).toMap
+    assert(m("unique") === 1.0)
+    assert(m("mono") === 0.0)
+  }
+
+  test("q_js_divergence: a source matching the corpus distribution scores zero") {
+    // two sources with IDENTICAL token streams: each source's
+    // distribution equals the corpus distribution ⇒ JS = 0 for both
+    val text = (0 until 60).map(i => s"w${i % 10}").mkString(" ")
+    val dir = docsDir(Seq((0L, text, "s1"), (1L, text, "s2")))
+    run("q_js_divergence", dir).collect().foreach { r =>
+      assert(r.getAs[Double]("js") === 0.0, s"${r.getAs[String]("source")} drifted")
+    }
+    // and a disjoint-vocabulary source scores strictly positive on real data
+    val real = run("q_js_divergence", sfDir)
+    assert(real.filter(col("js") < 0).isEmpty, "JS is non-negative")
+  }
+
+  test("q_heaps_fit: an all-unique-token corpus fits beta = 1 exactly") {
+    // every token globally unique ⇒ V(n) = n ⇒ log-log slope 1, ln K 0
+    val docs = (0L until 64L).map(i =>
+      (i, (0 until 10).map(j => s"t${i}_$j").mkString(" "), "s"))
+    val r = run("q_heaps_fit", docsDir(docs)).head()
+    assert(r.getAs[Double]("beta") === 1.0)
+    assert(math.abs(r.getAs[Double]("ln_k")) < 1e-6)
+    // real corpora grow sub-linearly (the sf0.001 generator's vocab
+    // saturates within the smallest prefix, so beta can be exactly 0)
+    val real = run("q_heaps_fit", sfDir).head()
+    assert(real.getAs[Double]("beta") >= 0 && real.getAs[Double]("beta") < 1)
+  }
+
+  test("q_cross_doc_ngram: identical docs share everything, unique docs nothing") {
+    val shared = (0 until 12).map(j => s"c$j").mkString(" ")
+    val dir = docsDir(
+      (0L until 4L).map(i => (i, shared, "dup")) ++
+        (4L until 8L).map(i => (i, (0 until 12).map(j => s"u${i}_$j").mkString(" "), "uniq")))
+    val m = run("q_cross_doc_ngram", dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("dup_share")).toMap
+    assert(m("dup") === 1.0)
+    assert(m("uniq") === 0.0)
+  }
+}
