@@ -644,6 +644,135 @@ object Diagnostics {
           Q.r6(col("rs28")).as("rs28"),
           Q.r6((lit(3) * sxy - sx * sy) / (lit(3) * sxx - sx * sx)).as("hurst"))
         .orderBy("event_type")
+    },
+
+    // Exact document-length percentiles per source — q_tail_exact's
+    // domain-collapse trick applied to the corpus catalog: lengths
+    // fold to the ≤|distinct n_chars| frame per source, percentiles
+    // are the FIRST INTEGER CROSSING of the running count (ceil
+    // targets via integer division — no float percentile semantics, no
+    // corpus sort). The length-filter tuning readout ("where does a
+    // 512-char floor cut src7") next to q_quality_score.
+    Q("q_length_profile",
+      """WITH m AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source, n_chars, c,
+        |             CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM m)
+        |SELECT source, max(n) AS n_docs,
+        |       min(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END) AS p50_chars,
+        |       min(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_chars END) AS p90_chars,
+        |       max(n_chars) AS max_chars
+        |FROM w
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Tables.load(s, d, "documents")
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("source").orderBy("n_chars")))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      w.groupBy("source")
+        .agg(max("n").as("n_docs"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars"))).as("p50_chars"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("n_chars"))).as("p90_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("source")
+    },
+
+    // Stopword mass per language: the combined share of each lang's
+    // ten most frequent tokens (ties broken by token) plus the top
+    // token itself — the "how much of this feed is glue words" number
+    // that calibrates q_quality_score's stopword-ratio feature and
+    // sizes a stopword list per lang. One (lang, tok) agg
+    // (vocab-bounded), rank window over that frame only, |langs| rows.
+    Q("q_stopword_profile",
+      """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT lang, tok, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, cnt,
+        |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk,
+        |             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS nl
+        |      FROM g)
+        |SELECT lang, max(nl) AS n_tokens,
+        |       max(CASE WHEN rk = 1 THEN tok END) AS top_token,
+        |       floor((CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS DOUBLE) / max(nl))*1000000+0.5)/1000000 AS top10_share
+        |FROM r
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val g = Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val r = g
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
+        .withColumn("nl", sum("cnt").over(Window.partitionBy("lang")))
+      r.groupBy("lang")
+        .agg(max("nl").as("n_tokens"),
+          max(when(col("rk") === 1, col("tok"))).as("top_token"),
+          Q.r6(sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).cast("double") /
+            max("nl")).as("top10_share"))
+        .orderBy("lang")
+    },
+
+    // Audience overlap between event types: per type pair, the Jaccard
+    // of their distinct user sets — "do purchasers also click, or are
+    // the segments disjoint", the co-engagement matrix behind any
+    // cross-sell or funnel hypothesis. The corpus collapses to the
+    // (user, type) distinct frame ONCE; pair expansion is IN-ROW over
+    // each user's sorted type set (≤|types| per user — the assoc_rules
+    // shape, never a user-level self-join), and the rollup lands on
+    // ≤C(|types|,2) keys. Counts exact int64.
+    Q("q_audience_overlap",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS shared
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, n1.u AS users_1, n2.u AS users_2,
+        |       CAST(p.shared AS BIGINT) AS shared,
+        |       floor((CAST(p.shared AS DOUBLE) / (n1.u + n2.u - p.shared))*10000+0.5)/10000 AS jaccard
+        |FROM p JOIN nu n1 ON p.t1 = n1.event_type
+        |       JOIN nu n2 ON p.t2 = n2.event_type
+        |ORDER BY t1, t2""".stripMargin) { (s, d) =>
+      val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+      val nu = ut.groupBy("event_type").agg(count(lit(1)).as("u"))
+      val pairs = ut.groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .select(explode(expr(
+          """flatten(transform(ts, (x, i) ->
+            |  transform(slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(nu.select(col("event_type").as("t1"), col("u").as("users_1"))), "t1")
+        .join(broadcast(nu.select(col("event_type").as("t2"), col("u").as("users_2"))), "t2")
+        .select(col("t1"), col("t2"), col("users_1"), col("users_2"), col("shared"),
+          Q.r4(col("shared").cast("double") /
+            (col("users_1") + col("users_2") - col("shared"))).as("jaccard"))
+        .orderBy("t1", "t2")
+    },
+
+    // Token length histogram per language: how long this lang's tokens
+    // run — the subword-tokenizer design input (fertility estimates,
+    // byte-budget planning) next to q_token_count's whole-doc counts.
+    // One (lang, length) agg with map-side partials onto a ≤|langs|×
+    // |length-domain| grid; shares are one IEEE division per cell.
+    Q("q_token_len_hist",
+      """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT lang, CAST(len(tok) AS BIGINT) AS tok_len, count(*) AS n FROM c GROUP BY 1, 2),
+        |w AS (SELECT lang, tok_len, n, CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS nl FROM g)
+        |SELECT lang, tok_len, CAST(n AS BIGINT) AS n_tokens,
+        |       floor((CAST(n AS DOUBLE) / nl)*1000000+0.5)/1000000 AS share
+        |FROM w
+        |ORDER BY lang, tok_len""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), length(col("tok")).cast("long").as("tok_len"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nl", sum("n").over(Window.partitionBy("lang")))
+        .select(col("lang"), col("tok_len"), col("n").as("n_tokens"),
+          Q.r6(col("n").cast("double") / col("nl")).as("share"))
+        .orderBy("lang", "tok_len")
     }
   )
 }

@@ -1177,6 +1177,114 @@ object TextPipeline {
             |  (acc, k) -> acc + (CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n))""".stripMargin)))
         .select(col("doc_id"), col("n").cast("long").as("n_chars"), col("char_entropy"))
         .orderBy("doc_id")
+    },
+
+    // MinHash estimator calibration grid (round 12): for every LSH
+    // candidate pair, the signature-agreement estimate (matching
+    // min-hashes of 8) against the EXACT Jaccard decile — the
+    // operating-characteristic readout that says whether 8 hashes are
+    // enough before anyone trusts q_minhash_lsh's candidates at a new
+    // threshold (the calibration companion to q_lsh_tuning's banding
+    // P/R sweep). Pure integer grid: est_matches ∈ 0..8 in-row from
+    // the shared minhashSigs frame; the EXACT intersection comes from
+    // an in-row array_intersect of the two candidates' full shingle
+    // sets — probe-bounded (|cands| pairs, each O(doc shingles)), so
+    // the truth side NEVER runs the quadratic uncapped pair join
+    // (CorpusScaleSpec's hazard). Band-key collisions without any
+    // shared shingle keep inter = 0 (decile 0) identically in both
+    // engines via the oracle's left join. ≤90 output cells, exact.
+    Q("q_minhash_est_err",
+      "WITH " + LshPairCtes + s""",
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ps AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                          AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |est AS (SELECT c.d1, c.d2,
+        |               (CASE WHEN m1.mh0 = m2.mh0 THEN 1 ELSE 0 END +
+        |                CASE WHEN m1.mh1 = m2.mh1 THEN 1 ELSE 0 END +
+        |                CASE WHEN m1.mh2 = m2.mh2 THEN 1 ELSE 0 END +
+        |                CASE WHEN m1.mh3 = m2.mh3 THEN 1 ELSE 0 END +
+        |                CASE WHEN m1.mh4 = m2.mh4 THEN 1 ELSE 0 END +
+        |                CASE WHEN m1.mh5 = m2.mh5 THEN 1 ELSE 0 END +
+        |                CASE WHEN m1.mh6 = m2.mh6 THEN 1 ELSE 0 END +
+        |                CASE WHEN m1.mh7 = m2.mh7 THEN 1 ELSE 0 END) AS est8
+        |        FROM cands c
+        |        JOIN mh m1 ON m1.doc_id = c.d1
+        |        JOIN mh m2 ON m2.doc_id = c.d2)
+        |SELECT CAST(est.est8 AS BIGINT) AS est_matches,
+        |       least(CAST(floor(COALESCE(ps.inter, 0) * 10.0 / (c1.n + c2.n - COALESCE(ps.inter, 0))) AS BIGINT), 9) AS jac_decile,
+        |       count(*) AS n_pairs
+        |FROM est
+        |LEFT JOIN ps ON ps.d1 = est.d1 AND ps.d2 = est.d2
+        |JOIN cnt c1 ON c1.doc_id = est.d1
+        |JOIN cnt c2 ON c2.doc_id = est.d2
+        |GROUP BY 1, 2
+        |ORDER BY est_matches, jac_decile""".stripMargin) { (s, d) =>
+      val sigs = minhashSigs(s, d)
+      def side(k: String) = sigs.select(
+        col("doc_id").as(k) +: (0 until 8).map(i => col(s"mh$i").as(s"${k}_mh$i")): _*)
+      val est8 = (0 until 8).map(i =>
+        when(col(s"d1_mh$i") === col(s"d2_mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sets = shingles(s, d).groupBy("doc_id")
+        .agg(collect_set(col("shingle")).as("ss"), count(lit(1)).as("n"))
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("long")
+      lshCandidatePairs(s, d)
+        .join(side("d1"), "d1").join(side("d2"), "d2")
+        .select(col("d1"), col("d2"), est8.as("est8"))
+        .join(sets.select(col("doc_id").as("d1"), col("ss").as("s1"), col("n").as("n1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("ss").as("s2"), col("n").as("n2")), "d2")
+        .select(col("est8").cast("long").as("est_matches"),
+          least(floor(inter * 10.0 / (col("n1") + col("n2") - inter))
+            .cast("long"), lit(9L)).as("jac_decile"))
+        .groupBy("est_matches", "jac_decile").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("est_matches", "jac_decile")
+    },
+
+    // Near-dup cluster size histogram (round 12): how much of the
+    // corpus sits in duplicate clusters of each size — the one-page
+    // answer to "is duplication a few huge boilerplate families or a
+    // long tail of pairs" that decides which dedup strategy pays
+    // (keeper-per-cluster vs pairwise drops). Rides q_dup_clusters'
+    // connected components over the LSH candidate graph; documents in
+    // NO candidate pair enter as size-1 clusters via an exact count
+    // difference (never a join back to the corpus). Pure int64.
+    Q("q_dup_cluster_sizes",
+      "WITH RECURSIVE " + LshPairCtes + """,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM cands
+        |          UNION ALL
+        |          SELECT d2, d1 FROM cands),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS lbl FROM nodes
+        |          UNION
+        |          SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY 1),
+        |sz AS (SELECT lbl, count(*) AS cluster_size FROM comp GROUP BY 1),
+        |hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |         FROM sz GROUP BY 1
+        |         UNION ALL
+        |         SELECT 1 AS cluster_size,
+        |                (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_clusters)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+        |       CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+        |FROM hist
+        |GROUP BY cluster_size
+        |HAVING sum(n_clusters) > 0
+        |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val comp = connectedComponents(lshCandidatePairs(s, d))
+      val hist = comp.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      val singles = Tables.load(s, d, "documents").agg(count(lit(1)).as("nd"))
+        .crossJoin(comp.agg(count(lit(1)).as("nc")))
+        .select(lit(1L).as("cluster_size"), (col("nd") - col("nc")).as("n_clusters"))
+      hist.unionAll(singles)
+        .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+        .filter(col("n_clusters") > 0)
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
     }
   )
 }

@@ -195,4 +195,87 @@ class DiagnosticsSpec extends SparkSpec {
     assert(m("dup") === 1.0)
     assert(m("uniq") === 0.0)
   }
+
+  test("q_minhash_est_err: identical documents land in the exact-agreement corner cell") {
+    // two identical docs: every min-hash matches (est 8) and Jaccard is
+    // 1.0 (decile clamped to 9) — the calibration grid's perfect corner
+    val text = (0 until 20).map(j => s"w$j").mkString(" ")
+    val dir = docsDir(Seq((0L, text, "s"), (1L, text, "s")))
+    val rows = run("q_minhash_est_err", dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("est_matches") === 8L)
+    assert(rows.head.getAs[Long]("jac_decile") === 9L)
+    assert(rows.head.getAs[Long]("n_pairs") === 1L)
+    // on real data the grid is diagonal-heavy: mean est octile must
+    // rise with the jaccard decile across populated deciles
+    val real = run("q_minhash_est_err", sfDir).collect()
+    val byDecile = real.groupBy(_.getAs[Long]("jac_decile")).map { case (dq, rs) =>
+      dq -> rs.map(r => r.getAs[Long]("est_matches").toDouble * r.getAs[Long]("n_pairs")).sum /
+        rs.map(_.getAs[Long]("n_pairs")).sum
+    }
+    if (byDecile.size >= 2) {
+      val lo = byDecile.minBy(_._1); val hi = byDecile.maxBy(_._1)
+      assert(hi._2 >= lo._2, s"estimator not monotone in truth: $byDecile")
+    }
+  }
+
+  test("q_dup_cluster_sizes conserves the corpus and matches q_dup_clusters") {
+    // Σ cluster_size·n_clusters = |documents| exactly, and the non-
+    // singleton rows must re-aggregate q_dup_clusters' per-doc view
+    val hist = run("q_dup_cluster_sizes", sfDir).collect()
+    val total = hist.map(r => r.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(total === nDocs, s"histogram covers $total of $nDocs docs")
+    val fromClusters = run("q_dup_clusters", sfDir)
+      .groupBy("cluster_size").agg(countDistinct("cluster_id").as("n"))
+      .collect().map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n")).toMap
+    hist.filter(_.getAs[Long]("cluster_size") > 1).foreach { r =>
+      assert(fromClusters(r.getAs[Long]("cluster_size")) === r.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("q_length_profile percentiles are ordered crossings of the real distribution") {
+    val rows = run("q_length_profile", sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, mx) = (r.getAs[Long]("p50_chars"), r.getAs[Long]("p90_chars"),
+        r.getAs[Long]("max_chars"))
+      assert(p50 <= p90 && p90 <= mx, s"${r.getAs[String]("source")}: $p50/$p90/$mx")
+      // p50 really is the first crossing: at least half the source's
+      // docs sit at or under it, and strictly fewer than half under it
+      val src = r.getAs[String]("source")
+      val docs = Tables.load(spark, sfDir, "documents").filter(col("source") === src)
+      val n = docs.count()
+      assert(docs.filter(col("n_chars") <= p50).count() * 2 >= n)
+      assert(docs.filter(col("n_chars") < p50).count() * 2 < n)
+    }
+  }
+
+  test("q_audience_overlap bounds: shared <= min users, jaccard in (0, 1]") {
+    val rows = run("q_audience_overlap", sfDir).collect()
+    // 5 event types co-engaged by 15 users at sf0.001 → all 10 pairs
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (u1, u2, sh) = (r.getAs[Long]("users_1"), r.getAs[Long]("users_2"),
+        r.getAs[Long]("shared"))
+      assert(sh <= math.min(u1, u2))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(math.abs(j - sh.toDouble / (u1 + u2 - sh)) < 1e-4)
+    }
+  }
+
+  test("q_token_len_hist shares sum to one per lang; q_stopword_profile mass is sane") {
+    val hist = run("q_token_len_hist", sfDir).collect()
+      .groupBy(_.getAs[String]("lang"))
+    hist.foreach { case (lang, rs) =>
+      val s = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"$lang shares sum to $s")
+    }
+    run("q_stopword_profile", sfDir).collect().foreach { r =>
+      val s = r.getAs[Double]("top10_share")
+      assert(s > 0 && s <= 1.0)
+      assert(r.getAs[String]("top_token").nonEmpty)
+    }
+  }
 }
