@@ -773,6 +773,120 @@ object Diagnostics {
         .select(col("lang"), col("tok_len"), col("n").as("n_tokens"),
           Q.r6(col("n").cast("double") / col("nl")).as("share"))
         .orderBy("lang", "tok_len")
+    },
+
+    // New vs returning actives per day — the growth-accounting split
+    // under every DAU chart: how much of today's activity is
+    // acquisition vs retention (the daily pulse q_retention's cohort
+    // grid and q_churn's adjacent-day rate both aggregate away). The
+    // corpus collapses to the distinct (user, day) frame once; "new"
+    // is a min(day)-per-user agg joined back on the day key. Exact
+    // int64 counts; one IEEE share division per day.
+    Q("q_new_returning",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |                   strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day
+        |            FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |nw AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1),
+        |ac AS (SELECT day, CAST(count(*) AS BIGINT) AS active_users FROM ud GROUP BY 1)
+        |SELECT ac.day, ac.active_users,
+        |       COALESCE(nw.new_users, 0) AS new_users,
+        |       ac.active_users - COALESCE(nw.new_users, 0) AS returning_users,
+        |       floor((CAST(COALESCE(nw.new_users, 0) AS DOUBLE) / ac.active_users)*10000+0.5)/10000 AS new_share
+        |FROM ac LEFT JOIN nw ON ac.day = nw.day
+        |ORDER BY ac.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          date_format(col("ts").cast(DateType), "yyyy-MM-dd").as("day"))
+        .distinct()
+      val nw = ud.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      ud.groupBy("day").agg(count(lit(1)).as("active_users"))
+        .join(nw, Seq("day"), "left")
+        .select(col("day"), col("active_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          (col("active_users") - coalesce(col("new_users"), lit(0L))).as("returning_users"),
+          Q.r4(coalesce(col("new_users"), lit(0L)).cast("double") / col("active_users"))
+            .as("new_share"))
+        .orderBy("day")
+    },
+
+    // Dormancy histogram: how many users were last seen k days before
+    // the dataset's end — the staleness distribution that sizes a
+    // reactivation campaign (the forward-looking complement to
+    // q_kaplan_meier's survival curve). One user-key agg for the last
+    // active day, the global horizon from the SAME frame's max (no
+    // second corpus scan), |staleness-domain| output rows, exact int64.
+    Q("q_dormancy",
+      """WITH u AS (SELECT user_id,
+        |                  CAST(max(date_diff('day', DATE '2024-01-01',
+        |                                     CAST(date_trunc('day', ts) AS DATE))) AS BIGINT) AS last_x
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT user_id, last_x, CAST(max(last_x) OVER () AS BIGINT) AS horizon FROM u)
+        |SELECT horizon - last_x AS staleness_days,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM h
+        |GROUP BY 1
+        |ORDER BY staleness_days""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor))))
+          .cast("long").as("last_x"))
+        .withColumn("horizon", max("last_x").over(Window.partitionBy()))
+        .groupBy((col("horizon") - col("last_x")).as("staleness_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("staleness_days")
+    },
+
+    // Hill tail index of event value per type: α̂ = k / Σ_{i≤k}
+    // ln(x_(i)/x_(k+1)) over the top-k order statistics — "how heavy is
+    // the spend tail" (α < 2: infinite variance, percentile SLOs are
+    // meaningless; the rigor upgrade over q_benford's digit screen).
+    // The top-(k+1) values per type come from the bounded-buffer
+    // TopKAgg typed Aggregator — partial aggregation keeps ≤k+1 rows
+    // per partition, so the corpus NEVER sorts per type (q_topk_agg's
+    // contract, (cents DESC, event_id ASC) ordering on exact ints) —
+    // and the 100 ln-ratio terms ride a 1e-9 lattice before the
+    // per-type fold (order-free; OverflowHeadroomSpec row). Ratios are
+    // exact-int cent quotients, one mirrored tree per term.
+    Q("q_hill_tail",
+      """WITH v AS (SELECT event_type, event_id,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+        |           FROM events WHERE value > 0),
+        |r AS (SELECT event_type, v2,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY v2 DESC, event_id) AS rk
+        |      FROM v),
+        |xm AS (SELECT event_type, CAST(max(CASE WHEN rk = 101 THEN v2 END) AS BIGINT) AS xmin
+        |       FROM r GROUP BY 1),
+        |t AS (SELECT r.event_type, xm.xmin,
+        |             CAST(sum(CAST(floor(ln(CAST(r.v2 AS DOUBLE) / xm.xmin) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s9
+        |      FROM r JOIN xm ON r.event_type = xm.event_type
+        |      WHERE r.rk <= 100 AND xm.xmin IS NOT NULL
+        |      GROUP BY 1, 2)
+        |SELECT event_type, CAST(100 AS BIGINT) AS k, xmin AS xmin_cents,
+        |       CASE WHEN s9 > 0 THEN floor((100.0 / (s9 / 1e9))*10000+0.5)/10000 END AS alpha_hat
+        |FROM t
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAgg(101),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val top = Tables.events(s, d)
+        .filter(col("value") > 0)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v2"), col("event_id"))
+        .groupBy("event_type")
+        .agg(topk(col("v2").cast("double"), col("event_id")).as("top"))
+        .filter(size(col("top")) === 101)
+      top.select(col("event_type"),
+          element_at(col("top"), 101).getField("score").cast("long").as("xmin"),
+          expr("slice(top, 1, 100)").as("head"))
+        .select(col("event_type"), col("xmin"),
+          expr(
+            """aggregate(head, CAST(0 AS BIGINT),
+              |  (acc, t) -> acc + CAST(floor(ln(t.score / xmin) * 1e9 + 0.5) AS BIGINT))""".stripMargin)
+            .as("s9"))
+        .select(col("event_type"), lit(100L).as("k"), col("xmin").as("xmin_cents"),
+          when(col("s9") > 0, Q.r4(lit(100.0) / (col("s9") / lit(1e9)))).as("alpha_hat"))
+        .orderBy("event_type")
     }
   )
 }

@@ -265,6 +265,58 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("q_new_returning: day one is all-new, totals conserve the user base") {
+    val rows = run("q_new_returning", sfDir).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getAs[String]("day"))
+    assert(first.getAs[Long]("new_users") === first.getAs[Long]("active_users"),
+      "every first-day active is by definition new")
+    assert(first.getAs[Long]("returning_users") === 0L)
+    // Σ new over all days = |distinct users| exactly
+    val totalNew = rows.map(_.getAs[Long]("new_users")).sum
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(totalNew === users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_users") ===
+        r.getAs[Long]("new_users") + r.getAs[Long]("returning_users"))
+    }
+  }
+
+  test("q_dormancy covers every user once with a zero-staleness bucket") {
+    val rows = run("q_dormancy", sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+    // someone was active on the horizon day by definition of max
+    assert(rows.exists(r => r.getAs[Long]("staleness_days") === 0L &&
+      r.getAs[Long]("n_users") > 0))
+    assert(rows.forall(_.getAs[Long]("staleness_days") >= 0))
+  }
+
+  test("q_hill_tail recovers a known Pareto exponent from synthetic tails") {
+    // x = round(100 / u^(1/2)) draws follow a Pareto with alpha = 2;
+    // the Hill estimator over the top-100 should land near it
+    val dir = tempDir("diag_pareto")
+    import spark.implicits._
+    val n = 20000
+    val xs = (0 until n).map { i =>
+      val u = (mix(7, i, 1000000) + 1) / 1000001.0
+      (i.toLong, 100.0 / math.pow(u, 0.5))
+    }
+    xs.toDF("event_id", "value")
+      .select(col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), col("event_id") % 10000, lit(0))).as("ts"),
+        (col("event_id") % 7).as("user_id"), lit("purchase").as("event_type"),
+        col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("q_hill_tail", dir).head()
+    val alpha = r.getAs[Double]("alpha_hat")
+    assert(alpha > 1.5 && alpha < 2.6, s"Hill estimate $alpha should sit near alpha = 2")
+    // and the light-tailed real data reads heavier alpha than the Pareto
+    val real = run("q_hill_tail", sfDir).collect()
+    real.foreach(r => assert(r.getAs[Double]("alpha_hat") > 0))
+  }
+
   test("q_token_len_hist shares sum to one per lang; q_stopword_profile mass is sane") {
     val hist = run("q_token_len_hist", sfDir).collect()
       .groupBy(_.getAs[String]("lang"))

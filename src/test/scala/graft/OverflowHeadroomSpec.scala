@@ -328,6 +328,15 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(sum("b"))
       })),
 
+    Site("q_hill_tail", "1e9", "per-type s9 = Σ_{i≤100} ln(x_i/x_101)·1e9",
+      "log-const (100 terms, each ≤ ln(max/min cents) ≈ 20 nats)", 1e9,
+      _ => 100 * 25 * 1e9,
+      Some((s, d) => dmax {
+        // recover s9 from the shipped report: alpha = 100/(s9/1e9)
+        SparkEntry.queries("q_hill_tail")(s, d)
+          .agg(max(lit(100.0) / col("alpha_hat") * 1e9))
+      })),
+
     Site("q_entropy_rate", "1e12/1e9", "π iteration s ≤ 1e12 (markov lattice); h9 = Σ π·p·ln(1/p)·1e9 ≤ ln(k)·1e9",
       "const (both stochastically bounded)", 1e9, _ => 1.2e12,
       Some((s, d) => dmax {
