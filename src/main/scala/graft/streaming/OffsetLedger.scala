@@ -79,6 +79,44 @@ object OffsetLedger {
     } finally cached.unpersist()
   }
 
+  /** foreachBatch body for the graft-kv 2PC sink — the exactly-once
+    * recipe when the epoch store is the custom DSv2 table rather than
+    * parquet. kv is append-only with job-unique file names, so the
+    * parquet sink's epoch-keyed OVERWRITE idempotence doesn't apply;
+    * instead each epoch owns a SUB-TABLE (`out/epoch=N`) and a replay
+    * without a marker first clears that sub-table, then re-runs the kv
+    * job (whose own 2PC guarantees readers-of-the-manifest never see a
+    * half-written epoch), then commits the marker — closing the
+    * crash-between-kv-commit-and-marker window that plain append would
+    * turn into duplicates. Marker-present replays skip entirely, as in
+    * [[sink]]. Content per epoch is deterministic, so clear-and-rewrite
+    * is idempotent at any retry depth. */
+  def kvSink(outDir: String, ledgerDir: String)(df: DataFrame, epochId: Long): Unit = {
+    Files.createDirectories(Paths.get(ledgerDir))
+    val marker = ledgerRowPath(ledgerDir, epochId)
+    if (Files.exists(marker)) return // replayed epoch: already committed
+    val epochPath = Paths.get(outDir, s"epoch=$epochId")
+    if (Files.isDirectory(epochPath)) { // uncommitted remnant of a crashed attempt
+      Files.walk(epochPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val cached = df.cache()
+    try {
+      val stats = cached.agg(
+        count(lit(1)).cast("long"),
+        coalesce(max(col("key")), lit(-1L)),
+        coalesce(min(col("key")), lit(-1L))).head()
+      cached.write.format("graft-kv")
+        .option("path", epochPath.toString).mode(SaveMode.Append).save()
+      val entry =
+        s"""{"epoch_id":$epochId,"n_rows":${stats.getLong(0)},""" +
+          s""""max_event_id":${stats.getLong(1)},"min_event_id":${stats.getLong(2)}}"""
+      val tmp = Files.createTempFile(Paths.get(ledgerDir), s".epoch_$epochId", ".tmp")
+      Files.write(tmp, entry.getBytes("UTF-8"))
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    } finally cached.unpersist()
+  }
+
   private val LedgerSchema = "epoch_id LONG, n_rows LONG, max_event_id LONG, min_event_id LONG"
 
   /** Read the ledger back as a DataFrame (queryable offset table).

@@ -14,6 +14,53 @@ class LedgerSpec extends SparkSpec {
 
   private val evDDL = "event_id LONG, user_id LONG, value DOUBLE"
 
+  test("streaming into the graft-kv 2PC sink is exactly-once across every replay window") {
+    import spark.implicits._
+    val kvReadDDL = "key LONG, value STRING"
+    val outDir = tempDir("graft_kv_stream_out")
+    val ledgerDir = tempDir("graft_kv_stream_led")
+    def kvRows(): Set[(Long, String)] = {
+      val partFiles = Files.walk(Paths.get(outDir)).iterator()
+      val paths = scala.jdk.CollectionConverters.IteratorHasAsScala(partFiles).asScala
+        .filter(p => p.getFileName.toString.startsWith("part-")).map(_.toString).toSeq
+      if (paths.isEmpty) Set.empty
+      else spark.read.schema(kvReadDDL).csv(paths: _*)
+        .as[(Long, String)].collect().toSet
+    }
+    // drive two epochs through the real engine
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("key", "value")
+      .writeStream.option("checkpointLocation", tempDir("graft_kv_stream_ckpt"))
+      .foreachBatch(OffsetLedger.kvSink(outDir, ledgerDir) _)
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val expect = Set(1L -> "a", 2L -> "b", 3L -> "c")
+    assert(kvRows() === expect)
+    assert(OffsetLedger.lastCommittedEpoch(ledgerDir) === Some(1L))
+
+    val batch0 = Seq((1L, "a"), (2L, "b")).toDF("key", "value")
+    // window 1 — redelivery after full commit (marker present): skip
+    OffsetLedger.kvSink(outDir, ledgerDir)(batch0, 0L)
+    assert(kvRows() === expect, "marker-present replay must be a no-op")
+    // window 2 — crash between the kv commit and the marker: marker
+    // missing, epoch dir already committed; replay must clear-and-
+    // rewrite, not append duplicates
+    Files.delete(Paths.get(ledgerDir, "epoch_000000000.json"))
+    OffsetLedger.kvSink(outDir, ledgerDir)(batch0, 0L)
+    assert(kvRows() === expect, "post-commit pre-marker replay must not duplicate")
+    assert(Files.exists(Paths.get(ledgerDir, "epoch_000000000.json")))
+    // and each committed epoch's kv manifest accounts for every row
+    for ((epoch, n) <- Seq(0 -> 2, 1 -> 1)) {
+      val manifest = new String(Files.readAllBytes(
+        Paths.get(outDir, s"epoch=$epoch", "_SUCCESS"))).trim.split("\n")
+      assert(manifest.map(_.split(":")(1).toLong).sum === n.toLong,
+        s"epoch $epoch manifest must cover $n rows")
+    }
+  }
+
   test("foreachBatch ledger sink: resume after stop without loss or duplicates") {
     import spark.implicits._
     val srcDir = tempDir("graft_src")
