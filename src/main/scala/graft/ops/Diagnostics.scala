@@ -333,10 +333,15 @@ object Diagnostics {
     Q("q_heaps_fit", {
       val xs = (0 to 5).map(j => s"ln(CAST(n${j} AS DOUBLE))").mkString(", ")
       val ys = (0 to 5).map(j => s"ln(CAST(v${j} AS DOUBLE))").mkString(", ")
+      // thresholds clamp to ≥1 doc: below 32 docs a raw nd//32 = 0
+      // prefix would put ln(0) in the fit — which Spark's log turns
+      // into NULL while DuckDB returns -inf, an engine divergence the
+      // shipped corpora (≥500 docs) never reach but a regenerated tiny
+      // corpus would
       val vCols = (0 to 5).map(j =>
-        s"CAST(sum(CASE WHEN fa < nd // ${1 << (5 - j)} THEN 1 ELSE 0 END) AS BIGINT) AS v$j").mkString(", ")
+        s"CAST(sum(CASE WHEN fa < greatest(nd // ${1 << (5 - j)}, 1) THEN 1 ELSE 0 END) AS BIGINT) AS v$j").mkString(", ")
       val nCols = (0 to 5).map(j =>
-        s"CAST(sum(CASE WHEN doc_id < nd // ${1 << (5 - j)} THEN ntok ELSE 0 END) AS BIGINT) AS n$j").mkString(", ")
+        s"CAST(sum(CASE WHEN doc_id < greatest(nd // ${1 << (5 - j)}, 1) THEN ntok ELSE 0 END) AS BIGINT) AS n$j").mkString(", ")
       s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
          |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |fa AS (SELECT tok, min(doc_id) AS fa FROM w GROUP BY 1),
@@ -360,10 +365,10 @@ object Diagnostics {
       val fa = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(min("doc_id").as("fa"))
       val vAggs = (0 to 5).map(j =>
-        sum(when(col("fa") < expr(s"nd div ${1 << (5 - j)}"), 1L).otherwise(0L)).as(s"v$j"))
+        sum(when(col("fa") < expr(s"greatest(nd div ${1 << (5 - j)}, 1)"), 1L).otherwise(0L)).as(s"v$j"))
       val vv = fa.crossJoin(broadcast(ndDf)).agg(vAggs.head, vAggs.tail: _*)
       val nAggs = (0 to 5).map(j =>
-        sum(when(col("doc_id") < expr(s"nd div ${1 << (5 - j)}"), col("ntok")).otherwise(0L)).as(s"n$j"))
+        sum(when(col("doc_id") < expr(s"greatest(nd div ${1 << (5 - j)}, 1)"), col("ntok")).otherwise(0L)).as(s"n$j"))
       val nn = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
         .crossJoin(broadcast(ndDf)).agg(nAggs.head, nAggs.tail: _*)
       val pts = vv.crossJoin(nn).crossJoin(broadcast(ndDf))
@@ -523,7 +528,7 @@ object Diagnostics {
          |SELECT (SELECT CAST(k AS BIGINT) FROM t0) AS k_states,
          |       ${Q.sqlR6("(SELECT h9 FROM h) / 1e9")} AS entropy_rate,
          |       ${Q.sqlR6("ln(CAST((SELECT k FROM t0) AS DOUBLE))")} AS uniform_bound,
-         |       ${Q.sqlR6("((SELECT h9 FROM h) / 1e9) / ln(CAST((SELECT k FROM t0) AS DOUBLE))")} AS efficiency""".stripMargin) { (s, d) =>
+         |       CASE WHEN (SELECT k FROM t0) > 1 THEN ${Q.sqlR6("((SELECT h9 FROM h) / 1e9) / ln(CAST((SELECT k FROM t0) AS DOUBLE))")} END AS efficiency""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("es", "event_id")
       val wc = Window.partitionBy("cur")
       val c = Tables.events(s, d)
@@ -552,7 +557,10 @@ object Diagnostics {
         .select(col("k").cast("long").as("k_states"),
           Q.r6(col("h9") / lit(1e9)).as("entropy_rate"),
           Q.r6(log(col("k").cast("double"))).as("uniform_bound"),
-          Q.r6((col("h9") / lit(1e9)) / log(col("k").cast("double"))).as("efficiency"))
+          // a single-state chain makes efficiency 0/0 (ln k = 0) →
+          // NULL on both sides, never NaN (the q_cat_entropy lesson)
+          when(col("k") > 1,
+            Q.r6((col("h9") / lit(1e9)) / log(col("k").cast("double")))).as("efficiency"))
     },
 
     // Hurst exponent by rescaled-range analysis of per-type daily

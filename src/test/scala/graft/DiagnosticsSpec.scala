@@ -265,6 +265,30 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("edge guards: single-state entropy efficiency is NULL, tiny-corpus heaps stays finite") {
+    // one user, one event type: ln(k) = 0 — efficiency must be NULL,
+    // never NaN (the q_cat_entropy lesson, applied on arrival)
+    val dir = tempDir("diag_single_state")
+    import spark.implicits._
+    (0 until 50).map(i => (i.toLong, 0L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+      .select(col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), col("event_id"), lit(0))).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("q_entropy_rate", dir).head()
+    assert(r.getAs[Long]("k_states") === 1L)
+    assert(r.isNullAt(r.fieldIndex("efficiency")), "ln(1)=0 division must yield NULL")
+    // a 4-doc corpus: every prefix threshold clamps to >= 1 doc, so no
+    // ln(0) enters the Heaps fit (Spark NULL vs DuckDB -inf divergence)
+    val tiny = docsDir((0L until 4L).map(i =>
+      (i, (0 until 6).map(j => s"t${i}_$j").mkString(" "), "s")))
+    val h = run("q_heaps_fit", tiny).head()
+    assert(!h.isNullAt(h.fieldIndex("beta")) &&
+      !h.getAs[Double]("beta").isNaN && !h.getAs[Double]("beta").isInfinite)
+  }
+
   test("q_new_returning: day one is all-new, totals conserve the user base") {
     val rows = run("q_new_returning", sfDir).collect()
     assert(rows.nonEmpty)
