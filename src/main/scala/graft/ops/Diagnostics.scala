@@ -895,6 +895,82 @@ object Diagnostics {
         .select(col("event_type"), lit(100L).as("k"), col("xmin").as("xmin_cents"),
           when(col("s9") > 0, Q.r4(lit(100.0) / (col("s9") / lit(1e9)))).as("alpha_hat"))
         .orderBy("event_type")
+    },
+
+    // Embedding L2-norm profile per label — the first QA gate on any
+    // vector corpus: a label whose norms collapse toward 0 or spread
+    // wildly signals an encoder fault or mixed populations BEFORE any
+    // cosine machinery runs on it (cosine silently hides magnitude).
+    // Each row's norm is the in-row zip_with/aggregate fold that the
+    // whole similarity family shares (↔ DuckDB list_inner_product —
+    // the established cross-engine dot-product pattern), quantized to
+    // a 1e-3 lattice BEFORE the per-label moment sums (order-free
+    // int64, Σv3² ≈ rows·4e8 — linear, good to ~sf10^7) and the exact
+    // p50 is the first integer crossing over the ≤|norm3-domain| frame
+    // (the q_length_profile move). |labels| output rows.
+    Q("q_embed_norms",
+      """WITH e AS (SELECT label,
+        |                  CAST(floor(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                                     CAST(embedding AS DOUBLE[]))) * 1e3 + 0.5) AS BIGINT) AS n3
+        |           FROM embeddings),
+        |g AS (SELECT label, n3, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT label, n3, c,
+        |             CAST(sum(c) OVER (PARTITION BY label ORDER BY n3) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY label) AS BIGINT) AS n,
+        |             CAST(sum(c * n3) OVER (PARTITION BY label) AS BIGINT) AS s,
+        |             CAST(sum(c * n3 * n3) OVER (PARTITION BY label) AS BIGINT) AS ss
+        |      FROM g)
+        |SELECT CAST(label AS BIGINT) AS label, max(n) AS n_vecs,
+        |       floor((CAST(max(s) AS DOUBLE) / max(n) / 1e3)*1000000+0.5)/1000000 AS mean_norm,
+        |       floor((sqrt((CAST(max(n) AS DOUBLE) * max(ss) - CAST(max(s) AS DOUBLE) * max(s))) / max(n) / 1e3)*1000000+0.5)/1000000 AS std_norm,
+        |       floor((CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN n3 END) AS DOUBLE) / 1e3)*1000000+0.5)/1000000 AS p50_norm
+        |FROM w
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val n3 = floor(sqrt(expr(
+        """aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q),
+          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)) * 1e3 + 0.5)
+        .cast("long")
+      val g = Tables.load(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"), n3.as("n3"))
+        .groupBy("label", "n3").agg(count(lit(1)).as("c"))
+      val wl = Window.partitionBy("label")
+      val w = g
+        .withColumn("cum", sum("c").over(wl.orderBy("n3")))
+        .withColumn("n", sum("c").over(wl))
+        .withColumn("s", sum(col("c") * col("n3")).over(wl))
+        .withColumn("ss", sum(col("c") * col("n3") * col("n3")).over(wl))
+      w.groupBy("label")
+        .agg(max("n").as("n_vecs"),
+          Q.r6(max("s").cast("double") / max("n") / 1e3).as("mean_norm"),
+          Q.r6(sqrt(max("n").cast("double") * max("ss") -
+            max("s").cast("double") * max("s")) / max("n") / 1e3).as("std_norm"),
+          Q.r6(min(when(col("cum") >= expr("(n + 1) div 2"), col("n3")))
+            .cast("double") / 1e3).as("p50_norm"))
+        .orderBy("label")
+    },
+
+    // Basket size distribution: how many orders carry exactly k lines
+    // — the fan-out profile that sizes every per-order expansion in
+    // the co-purchase family (assoc_rules / triangles expand C(k, 2)
+    // per basket, so this histogram IS their cost model). One
+    // order-keyed count (map-side partials), then a ≤|line-domain|
+    // histogram; shares one IEEE division per row.
+    Q("q_basket_size_dist",
+      """WITH o AS (SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1),
+        |h AS (SELECT k AS n_lines, CAST(count(*) AS BIGINT) AS n_orders FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
+        |SELECT n_lines, n_orders,
+        |       floor((CAST(n_orders AS DOUBLE) / total)*1000000+0.5)/1000000 AS share
+        |FROM h CROSS JOIN t
+        |ORDER BY n_lines""".stripMargin) { (s, d) =>
+      val h = Tables.load(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+        .groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
+      h.crossJoin(broadcast(h.agg(sum("n_orders").as("total"))))
+        .select(col("n_lines"), col("n_orders"),
+          Q.r6(col("n_orders").cast("double") / col("total")).as("share"))
+        .orderBy("n_lines")
     }
   )
 }

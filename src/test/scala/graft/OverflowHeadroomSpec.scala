@@ -328,6 +328,20 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(sum("b"))
       })),
 
+    Site("q_embed_norms", "1e3", "per-label Σ(c·n3²) over 1e-3-quantized L2 norms",
+      "linear (rows per label; 64-dim unit-ish norms ≤ ~15)", 1e5,
+      sf => (2e4 * math.max(sf, 1e-3)) * math.pow(15 * 1e3, 2) * 2,
+      Some((s, d) => dmax {
+        import org.apache.spark.sql.functions.{expr => e2}
+        Tables.load(s, d, "embeddings")
+          .select(floor(sqrt(e2(
+            """aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q),
+              |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)) * 1e3 + 0.5)
+            .as("n3"), col("label"))
+          .groupBy("label").agg(sum(col("n3") * col("n3")).as("m"))
+          .agg(max("m"))
+      })),
+
     Site("q_hill_tail", "1e9", "per-type s9 = Σ_{i≤100} ln(x_i/x_101)·1e9",
       "log-const (100 terms, each ≤ ln(max/min cents) ≈ 20 nats)", 1e9,
       _ => 100 * 25 * 1e9,
