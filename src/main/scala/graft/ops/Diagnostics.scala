@@ -971,6 +971,126 @@ object Diagnostics {
         .select(col("n_lines"), col("n_orders"),
           Q.r6(col("n_orders").cast("double") / col("total")).as("share"))
         .orderBy("n_lines")
+    },
+
+    // Language-ID confusion matrix: the per-doc q_lang_id heuristic
+    // aggregated into (true, predicted, n, recall-share) cells — the
+    // classifier-quality readout that decides whether lang-scoped
+    // dedup blocking (every shingle op keys on lang) can trust the
+    // PREDICTED label on unlabeled feeds. Same marker scores and
+    // tie-break chain as q_lang_id (shared text by construction),
+    // collapsed map-side onto ≤|langs|² cells.
+    Q("q_lang_confusion",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT lang AS true_lang,
+        |             CASE
+        |               WHEN len(list_filter(words, x -> x IN ('small', 'data', 'scan'))) >=
+        |                    greatest(len(list_filter(words, x -> x IN ('column', 'sort', 'key'))),
+        |                             len(list_filter(words, x -> x IN ('line', 'part', 'hash'))),
+        |                             len(list_filter(words, x -> x IN ('order', 'query', 'group')))) THEN 'de'
+        |               WHEN len(list_filter(words, x -> x IN ('column', 'sort', 'key'))) >=
+        |                    greatest(len(list_filter(words, x -> x IN ('line', 'part', 'hash'))),
+        |                             len(list_filter(words, x -> x IN ('order', 'query', 'group')))) THEN 'en'
+        |               WHEN len(list_filter(words, x -> x IN ('line', 'part', 'hash'))) >=
+        |                    len(list_filter(words, x -> x IN ('order', 'query', 'group'))) THEN 'es'
+        |               ELSE 'fr' END AS pred_lang
+        |      FROM w),
+        |c AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+        |       floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY true_lang))*10000+0.5)/10000 AS share_of_true
+        |FROM c
+        |ORDER BY true_lang, pred_lang""".stripMargin) { (s, d) =>
+      def score(markers: Seq[String]): org.apache.spark.sql.Column = {
+        val set = markers.map(m => s"'$m'").mkString(", ")
+        size(expr(s"filter(words, x -> x IN ($set))")).cast("long")
+      }
+      val de = score(Seq("small", "data", "scan"))
+      val en = score(Seq("column", "sort", "key"))
+      val es = score(Seq("line", "part", "hash"))
+      val fr = score(Seq("order", "query", "group"))
+      Tables.load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("lang").as("true_lang"),
+          when(de >= greatest(en, es, fr), "de")
+            .when(en >= greatest(es, fr), "en")
+            .when(es >= fr, "es")
+            .otherwise("fr").as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("share_of_true",
+          Q.r4(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("true_lang"))))
+        .orderBy("true_lang", "pred_lang")
+    },
+
+    // Shingle document-frequency profile: how many blocking shingles
+    // have df = k, and the candidate-pair work k·C(df,2) each stratum
+    // would feed the near-dup self-join — the OBSERVABILITY readout
+    // behind the dfCap=128 contract (SkewSpec pins max df under the
+    // cap; this query shows the whole curve and exactly how much
+    // quadratic work the cap would cut). One (lang, shingle)-keyed df
+    // agg (the same exchange the dedup family shuffles on), then a
+    // ≤|df-domain| histogram. Pure int64.
+    Q("q_shingle_df_profile",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |df AS (SELECT lang, shingle, count(*) AS df FROM sh GROUP BY 1, 2)
+        |SELECT df, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) * df * (df - 1) / 2 AS BIGINT) AS pair_work
+        |FROM df
+        |GROUP BY df
+        |ORDER BY df""".stripMargin) { (s, d) =>
+      TextPipeline.shingles(s, d)
+        .groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+        .select(col("df"), col("n_shingles"),
+          (col("n_shingles") * col("df") * (col("df") - 1) / 2).cast("long")
+            .as("pair_work"))
+        .orderBy("df")
+    },
+
+    // Order-to-ship lag profile per order priority: exact p50/p95/max
+    // days between order placement and line shipment — does URGENT
+    // actually ship faster, the fulfillment-SLA readout. The lag
+    // domain is calendar-bounded (≤ ~a year of days), so the exact
+    // percentiles ride the q_tail_exact first-crossing trick over a
+    // (priority, lag)-count frame — the corpus is never sorted. The
+    // lineitem→orders join hashes on the order key (AQE-eligible);
+    // counts exact int64.
+    Q("q_ship_lag",
+      """WITH j AS (SELECT o_orderpriority AS priority,
+        |                  date_diff('day', CAST(date_trunc('day', o_orderdate) AS DATE),
+        |                            CAST(date_trunc('day', l_shipdate) AS DATE)) AS lag_days
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (SELECT priority, lag_days, count(*) AS c FROM j GROUP BY 1, 2),
+        |w AS (SELECT priority, lag_days, c,
+        |             CAST(sum(c) OVER (PARTITION BY priority ORDER BY lag_days) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+        |      FROM m)
+        |SELECT priority, max(n) AS n_lines,
+        |       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lag_days END) AS BIGINT) AS p50_days,
+        |       CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN lag_days END) AS BIGINT) AS p95_days,
+        |       CAST(max(lag_days) AS BIGINT) AS max_days
+        |FROM w
+        |GROUP BY priority
+        |ORDER BY priority""".stripMargin) { (s, d) =>
+      val j = Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate").cast(DateType),
+            col("o_orderdate").cast(DateType)).cast("long").as("lag_days"))
+      val w = j.groupBy("priority", "lag_days").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("priority").orderBy("lag_days")))
+        .withColumn("n", sum("c").over(Window.partitionBy("priority")))
+      w.groupBy("priority")
+        .agg(max("n").as("n_lines"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("lag_days"))).as("p50_days"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("lag_days"))).as("p95_days"),
+          max("lag_days").as("max_days"))
+        .orderBy("priority")
     }
   )
 }

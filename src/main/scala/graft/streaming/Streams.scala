@@ -449,4 +449,47 @@ object Streams {
           Iterator.single(next)
       }
   }
+
+  /** Streaming new-vs-returning markers (s_new_returning) — the
+    * streaming face of batch q_new_returning: per (user, day), one
+    * emission tagging whether that day is the user's FIRST-seen day.
+    * State per user is ONE long (the first epoch-day) plus the set of
+    * days already emitted this... no — just the first day and the last
+    * emitted day, because days arrive in event-time order per user
+    * under the batch-twin contract (the processing-time approximation
+    * every streaming first-seen pipeline makes; a late-arriving
+    * EARLIER day cannot retract an emitted "new" marker — document,
+    * don't hide). Downstream, a per-day count of markers reproduces
+    * q_new_returning's active/new split exactly when arrival respects
+    * event order (StreamingSpec's twin assertion). */
+  def newReturning(events: Dataset[Ev]): Dataset[DayMarker] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[NewRetState, DayMarker](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[NewRetState]) =>
+          val days = rows.map(e => e.ts.getTime / 86400000L).toSeq.distinct.sorted
+          val prev = state.getOption.getOrElse(NewRetState(Long.MaxValue, Long.MinValue))
+          // only days not yet emitted; exactly ONE day per user is ever
+          // marked new — the first day of a user with no prior state
+          val fresh = days.filter(_ > prev.lastEmitted)
+          val out = fresh.map { d =>
+            DayMarker(userId, d,
+              is_new = prev.firstDay == Long.MaxValue && d == fresh.head)
+          }
+          if (fresh.nonEmpty) {
+            val first = if (prev.firstDay == Long.MaxValue) fresh.head else prev.firstDay
+            state.update(NewRetState(first, fresh.last))
+          }
+          out.iterator
+      }
+  }
 }
+
+/** Per-user first-seen state: the first epoch-day ever observed and
+  * the last day already emitted (dedup guard for repeat days). */
+final case class NewRetState(firstDay: Long, lastEmitted: Long)
+
+/** One (user, day) activity marker with its new-user flag. */
+final case class DayMarker(user_id: Long, epoch_day: Long, is_new: Boolean)
