@@ -1091,6 +1091,71 @@ object Diagnostics {
           min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("lag_days"))).as("p95_days"),
           max("lag_days").as("max_days"))
         .orderBy("priority")
+    },
+
+    // Windowed funnel (the ClickHouse windowFunnel semantics): per
+    // user, the deepest view→click→purchase chain where EACH step
+    // lands within 24h of the previous — the time-bounded complement
+    // to q_funnel's unbounded ordered funnel (a purchase a month after
+    // the click counts there, not here). Depth-k membership is an
+    // EXISTS chain: per-user self-joins keyed on user_id with the
+    // window predicate as a join filter, so the shuffle hashes on the
+    // user key and the quadratic term is per-user-bounded (≈67 events
+    // per user at every SF — users scale with the corpus). The
+    // histogram rolls up on ≤4 depth keys; both engines run the
+    // identical join chain.
+    Q("q_window_funnel",
+      s"""WITH e AS (SELECT user_id, event_type, ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |au AS (SELECT DISTINCT user_id FROM e),
+         |v AS (SELECT user_id, es FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, es FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, es FROM e WHERE event_type = 'purchase'),
+         |u1 AS (SELECT DISTINCT user_id FROM v),
+         |u2 AS (SELECT DISTINCT v.user_id
+         |       FROM v JOIN c ON c.user_id = v.user_id
+         |                    AND c.es > v.es AND c.es <= v.es + 86400),
+         |u3 AS (SELECT DISTINCT v.user_id
+         |       FROM v JOIN c ON c.user_id = v.user_id
+         |                    AND c.es > v.es AND c.es <= v.es + 86400
+         |              JOIN p ON p.user_id = v.user_id
+         |                    AND p.es > c.es AND p.es <= c.es + 86400),
+         |du AS (SELECT au.user_id,
+         |              CASE WHEN u3.user_id IS NOT NULL THEN 3
+         |                   WHEN u2.user_id IS NOT NULL THEN 2
+         |                   WHEN u1.user_id IS NOT NULL THEN 1
+         |                   ELSE 0 END AS depth
+         |       FROM au LEFT JOIN u1 ON au.user_id = u1.user_id
+         |               LEFT JOIN u2 ON au.user_id = u2.user_id
+         |               LEFT JOIN u3 ON au.user_id = u3.user_id)
+         |SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_users
+         |FROM du
+         |GROUP BY depth
+         |ORDER BY depth""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), Q.epochSec(col("ts")).as("es"))
+        .localCheckpoint(true) // four type slices + the user catalog read this frame
+      def slice(t: String, k: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("es").as(k))
+      val au = e.select("user_id").distinct()
+      val v = slice("view", "ev")
+      val c = slice("click", "ec")
+      val p = slice("purchase", "ep")
+      val u1 = v.select("user_id").distinct().withColumn("d1", lit(1))
+      val vc = v.join(c, Seq("user_id"))
+        .filter(col("ec") > col("ev") && col("ec") <= col("ev") + 86400)
+      val u2 = vc.select("user_id").distinct().withColumn("d2", lit(1))
+      val u3 = vc.join(p, Seq("user_id"))
+        .filter(col("ep") > col("ec") && col("ep") <= col("ec") + 86400)
+        .select("user_id").distinct().withColumn("d3", lit(1))
+      au.join(u1, Seq("user_id"), "left")
+        .join(u2, Seq("user_id"), "left")
+        .join(u3, Seq("user_id"), "left")
+        .select(when(col("d3").isNotNull, 3L)
+          .when(col("d2").isNotNull, 2L)
+          .when(col("d1").isNotNull, 1L)
+          .otherwise(0L).as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
     }
   )
 }
