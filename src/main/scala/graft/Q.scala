@@ -28,6 +28,18 @@ object Q {
   // binary double — they disagree on values like 2.675. floor(x*K+0.5)/K is
   // pure IEEE double arithmetic, bit-identical in both engines (SURVEY §7).
 
+  /** One-shot plan snapshot used wherever a frame feeds multiple
+    * branches or an iteration: eager localCheckpoint on a single box,
+    * the RELIABLE df.checkpoint branch whenever the session has a
+    * checkpoint dir configured — the cluster deployment switch, because
+    * localCheckpoint truncates lineage onto executor-local blocks and
+    * ONE lost executor then fails the query instead of recomputing
+    * (ops.Graph pioneered the pattern; GraphScaleSpec round-trips it).
+    * Same results either way — only the recovery story changes. */
+  def snapshot(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** round to 2 decimals, identical formula in Spark and DuckDB. */
   def r2(c: Column): Column = floor(c * 100 + 0.5) / 100
   /** round to 4 decimals. */

@@ -119,7 +119,7 @@ object Aggregates {
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
         .groupBy("day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .localCheckpoint(true)
+        .transform(Q.snapshot)
       val est = daily
         .select(lit("daily").as("grain"), unix_timestamp(col("day")).as("day_es"),
           hll_sketch_estimate(col("sk")).as("est_users"))

@@ -745,7 +745,7 @@ object Analytics {
             .cast("long").as("x"),
           col("user_id"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(Q.snapshot)
       // fan each activity fact to the ≤7 trailing windows it serves,
       // then keep only target days that exist in the data (the join
       // with the day list mirrors the oracle's days CTE)
@@ -822,7 +822,7 @@ object Analytics {
         .select(col("n_name"), col("gap"))
         // one materialized gap frame under both the median-rank and
         // mean branches — otherwise each re-runs the window + joins
-        .localCheckpoint(true)
+        .transform(Q.snapshot)
       val wn = Window.partitionBy("n_name")
       val rk = cn
         .withColumn("rn", row_number().over(wn.orderBy("gap")))
@@ -940,7 +940,7 @@ object Analytics {
             .cast("long").as("x"),
           col("user_id"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(Q.snapshot)
       val act = du.groupBy("x").agg(count(lit(1)).as("active"))
       val ret = du.as("a")
         .join(du.as("b"),

@@ -537,7 +537,7 @@ object Diagnostics {
         .select(col("event_type").as("cur"), lead("event_type", 1).over(w).as("nxt"))
         .filter(col("nxt").isNotNull)
         .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // matrix + k + iteration all read this frame
+        .transform(Q.snapshot) // matrix + k + iteration all read this frame
       val m = c.select(col("cur"), col("nxt"),
         (col("n").cast("double") / sum("n").over(wc).cast("long")).as("prob"))
       val k = c.agg(countDistinct("cur").as("k"))
@@ -1133,7 +1133,7 @@ object Diagnostics {
          |ORDER BY depth""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), Q.epochSec(col("ts")).as("es"))
-        .localCheckpoint(true) // four type slices + the user catalog read this frame
+        .transform(Q.snapshot) // four type slices + the user catalog read this frame
       def slice(t: String, k: String) = e.filter(col("event_type") === t)
         .select(col("user_id"), col("es").as(k))
       val au = e.select("user_id").distinct()

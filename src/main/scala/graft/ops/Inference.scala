@@ -188,7 +188,7 @@ object Inference {
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       // materialize the tiny daily frame once: the self-join's two
       // branches would otherwise each re-scan events (trees, not DAGs)
-      val daily = dailyCounts(s, d).localCheckpoint(true)
+      val daily = dailyCounts(s, d).transform(Q.snapshot)
       val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
       val b = daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
       val pr = a.join(b, Seq("event_type")).filter(col("xa") < col("xb"))
@@ -387,7 +387,7 @@ object Inference {
          |FROM st
          |ORDER BY lag_days""".stripMargin) { (s, d) =>
       // one materialized daily frame feeds both series branches
-      val daily = dailyCounts(s, d).localCheckpoint(true)
+      val daily = dailyCounts(s, d).transform(Q.snapshot)
       val v = daily.filter(col("event_type") === "view")
         .select(col("x"), col("y").as("yv"))
       val p = daily.filter(col("event_type") === "purchase")

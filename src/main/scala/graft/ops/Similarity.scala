@@ -194,7 +194,7 @@ object Similarity {
     // materialize it once — without this, each branch re-evaluates the
     // ranking above the shuffle (only the exchange itself is reusable)
     val truth = bruteTop5(s, d).select("probe_id", "cand_id")
-      .localCheckpoint(true)
+      .transform(Q.snapshot)
     val hits = truth
       .join(approx.select("probe_id", "cand_id"), Seq("probe_id", "cand_id"))
       .agg(count(lit(1)).as("hits"))
@@ -518,7 +518,7 @@ object Similarity {
           posexplode(col("de")).as(Seq("dim", "v")))
         .groupBy("label", "h", "dim")
         .agg(Q.r6(avg(col("v"))).as("c"), count(lit(1)).as("cn"))
-        .localCheckpoint(true)
+        .transform(Q.snapshot)
       val ce = c.filter(col("h") === 0).select(col("label"), col("dim"), col("c").as("c0"))
       val co = c.filter(col("h") === 1).select(col("label"), col("dim"), col("c").as("c1"))
       val j = ce.join(co, Seq("label", "dim"))

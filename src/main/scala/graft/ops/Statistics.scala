@@ -877,7 +877,7 @@ object Statistics {
           floor(col("l_discount") * 100 + 0.5).cast("long").as("vd"),
           floor(col("l_tax") * 100 + 0.5).cast("long").as("vt"))
         .groupBy("vq", "vd", "vt").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .transform(Q.snapshot)
       val tot = j
         .withColumn("tieq", sum("c").over(Window.partitionBy("vq")))
         .withColumn("tied", sum("c").over(Window.partitionBy("vd")))
@@ -1060,7 +1060,7 @@ object Statistics {
           datediff(col("o_orderdate").cast(DateType), to_date(lit("1990-01-01")))
             .cast("long").as("day"))
         .groupBy("cents", "day").agg(count(lit(1)).as("n_orders"))
-        .localCheckpoint(true)
+        .transform(Q.snapshot)
       // phase 1: the bounded bucket frame ($10k buckets ⇒ ~56 rows) and
       // its strictly-higher-bucket running day minimum
       val buckets = pairs

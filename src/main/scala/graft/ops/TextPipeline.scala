@@ -549,7 +549,7 @@ object TextPipeline {
         .select(col("a.nb").as("nb"), col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       val tp = nearDupPairs(s, d, dfCap = Some(128L)).select("d1", "d2")
-        .localCheckpoint(true) // truth feeds the hits join AND the count
+        .transform(Q.snapshot) // truth feeds the hits join AND the count
       val tn = tp.agg(count(lit(1)).as("n_true"))
       cand
         .join(tp.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")

@@ -804,7 +804,7 @@ object Timeseries {
         .select(col("event_type").as("cur"), lead("event_type", 1).over(w).as("nxt"))
         .filter(col("nxt").isNotNull)
         .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // matrix + type set + k all read this frame
+        .transform(Q.snapshot) // matrix + type set + k all read this frame
       val m = c.select(col("cur"), col("nxt"),
         (col("n").cast("double") / sum("n").over(wc).cast("long")).as("prob"))
       val k = c.agg(countDistinct("cur").as("k"))

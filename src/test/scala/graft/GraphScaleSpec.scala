@@ -86,7 +86,11 @@ class GraphScaleSpec extends SparkSpec {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty,
       "precondition: suite session must start on the localCheckpoint branch")
-    for (q <- Seq("q_pagerank", "q_graph_kcore", "q_graph_bfs")) {
+    // graph iteratives (Graph.snapshot) plus representative users of
+    // the shared Q.snapshot helper (markov's 3-iteration matrix frame,
+    // interpurchase's multi-branch fact frame, the CC-based clusters)
+    for (q <- Seq("q_pagerank", "q_graph_kcore", "q_graph_bfs",
+        "q_markov_stationary", "q_interpurchase", "q_dup_clusters")) {
       val fn = SparkEntry.queries(q)
       val local = fn(spark, sfDir).collect().toSeq
       val ckptDir = tempDir(s"graft_reliable_ckpt_$q")
