@@ -341,6 +341,58 @@ class DiagnosticsSpec extends SparkSpec {
     real.foreach(r => assert(r.getAs[Double]("alpha_hat") > 0))
   }
 
+  test("q_lang_confusion re-aggregates q_lang_id's per-doc predictions exactly") {
+    val cm = run("q_lang_confusion", sfDir).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")) ->
+        r.getAs[Long]("n")).toMap
+    val perDoc = run("q_lang_id", sfDir).collect()
+      .groupBy(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    assert(cm === perDoc, "confusion cells must equal the per-doc prediction rollup")
+    // shares are per-true-lang recall fractions
+    run("q_lang_confusion", sfDir).collect()
+      .groupBy(_.getAs[String]("true_lang")).foreach { case (l, rs) =>
+        val s = rs.map(_.getAs[Double]("share_of_true")).sum
+        assert(math.abs(s - 1.0) < 1e-3, s"$l recall shares sum to $s")
+      }
+  }
+
+  test("q_shingle_df_profile conserves the shingle catalog and respects the corpus guard") {
+    val rows = run("q_shingle_df_profile", sfDir).collect()
+    val totalShingles = rows.map(_.getAs[Long]("n_shingles")).sum
+    val distinctShingles = ops.TextPipeline.shingles(spark, sfDir)
+      .select("lang", "shingle").distinct().count()
+    assert(totalShingles === distinctShingles)
+    // the observability curve must agree with SkewSpec's cap guard:
+    // max df strictly under the 128 candidate cap on shipped corpora
+    assert(rows.map(_.getAs[Long]("df")).max < 128L)
+    rows.foreach { r =>
+      val (df, n, w) = (r.getAs[Long]("df"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("pair_work"))
+      assert(w === n * df * (df - 1) / 2)
+    }
+  }
+
+  test("q_ship_lag percentiles are ordered first-crossings; q_window_funnel nests under q_funnel") {
+    run("q_ship_lag", sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p95_days") &&
+        r.getAs[Long]("p95_days") <= r.getAs[Long]("max_days"))
+    }
+    // windowed depth-k users can never exceed the unbounded funnel's
+    // stage-k users (the 24h constraint only removes chains)
+    val wf = run("q_window_funnel", sfDir).collect()
+      .map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_users")).toMap
+    val unbounded = run("q_funnel", sfDir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    def atLeast(d: Long) = wf.filter(_._1 >= d).values.sum
+    assert(atLeast(1) <= unbounded("1_view"))
+    assert(atLeast(2) <= unbounded("2_click"))
+    assert(atLeast(3) <= unbounded("3_purchase"))
+    // and every user is accounted for exactly once
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(wf.values.sum === users)
+  }
+
   test("q_token_len_hist shares sum to one per lang; q_stopword_profile mass is sane") {
     val hist = run("q_token_len_hist", sfDir).collect()
       .groupBy(_.getAs[String]("lang"))

@@ -978,6 +978,35 @@ class PlanAuditSpec extends SparkSpec {
       s"the grid completion must be broadcast cross joins:\n$plan")
   }
 
+  test("q_hill_tail pushes its top-101 into partial aggregation (never a per-type sort)") {
+    val plan = SparkEntry.queries("q_hill_tail")(spark, sfDir)
+      .queryExecution.sparkPlan.toString.toLowerCase
+    assert(plan.contains("objecthashaggregate") && plan.contains("partial_topkagg"),
+      s"top-k must combine map-side through the bounded-buffer aggregator:\n$plan")
+    assert(!plan.contains("window"),
+      s"no window sort may creep into the order-statistics path:\n$plan")
+  }
+
+  test("q_window_funnel joins hash on the user key with the time window as a filter") {
+    val plan = SparkEntry.queries("q_window_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the EXISTS chain must never plan a cartesian:\n$plan")
+    // the corpus projection is snapshot once; the remaining plan reads
+    // only the materialized frame — no parquet re-scan per stage
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 0,
+      s"stages must reuse the one checkpointed events frame, found $scans scans:\n$plan")
+  }
+
+  test("q_ship_lag scans each side once and joins on the order key") {
+    val plan = SparkEntry.queries("q_ship_lag")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 2, s"exactly lineitem + orders, got $scans scans:\n$plan")
+    assert(plan.contains("l_orderkey") && !plan.contains("CartesianProduct"))
+  }
+
   test("round-12 series diagnostics ride the daily frame's single exchange") {
     // ljung_box / pacf / sax_motifs / hurst all collapse the corpus to
     // the (|types|x|days|) daily frame first; everything after must
