@@ -8,12 +8,18 @@ object Bench {
     * window of the remaining pool, keyed off roundIdx (= committed
     * BENCH file count, +1 per round). The top-slot count is CAPPED at
     * (3k − N − 2·fails)/2 — never more than k/2 — which sizes the
-    * rotating window to at least ⌈pool/3⌉, so THREE consecutive rounds
-    * always cycle the entire pool: r10's frozen-tail blind spot (and
-    * r11's 4-round cycle at the 221-query surface) can't recur. The
-    * guarantee is asserted as a property in BenchRotationSpec and only
-    * degrades once N > 3k (≈300 queries at today's k=100) — at which
-    * point that spec fails loudly and the render budget itself needs
+    * rotating window to at least ⌈pool/3⌉, so under STABLE membership
+    * (same top/fail sets across the rounds) three consecutive rounds
+    * cycle the entire pool — fixing r10's frozen-tail blind spot and
+    * r11's 4-round cycle at the 221-query surface. Scope of the
+    * guarantee: per-round timing churn can hop boundary queries
+    * between `top` and the pool, shifting pool indices, so a query CAN
+    * evade the window longer on a noisy box — BenchRotationSpec's
+    * property proves the stable-membership bound, and its
+    * BENCH-history test is the retrospective backstop that catches any
+    * real starvation one round later. The bound degrades once
+    * N > 3k − 2·fails (≈300 queries at today's k=100) — at which point
+    * the spec fails loudly and the render budget itself needs
     * rethinking, not just the split. */
   private[graft] def keptNames(runs: Seq[(String, Either[String, Double])], k: Int,
                                roundIdx: Int): Seq[(String, Either[String, Double])] = {

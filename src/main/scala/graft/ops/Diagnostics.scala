@@ -20,22 +20,15 @@ import org.apache.spark.sql.types.DateType
   */
 object Diagnostics {
 
-  private val TrendAnchor = "2024-01-01"
-
-  /** Per-type daily counts keyed by day index — q_trend_fit's frame. */
+  /** Shared with Inference/Statistics/Timeseries: the day-index anchor
+    * and the q_trend_fit daily frame — delegated to ONE home
+    * (ops.Inference) so the Spark/oracle twins cannot drift across the
+    * four files that use them (r12 review).
+    */
+  private val TrendAnchor = Inference.Anchor
   private def dailyCounts(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"),
-        datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
-          .cast("long").as("x"))
-      .agg(count(lit(1)).as("y"))
-
-  private val dailySql: String =
-    s"""SELECT event_type,
-       |       CAST(date_diff('day', DATE '$TrendAnchor',
-       |                      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
-       |       count(*) AS y
-       |FROM events GROUP BY 1, 2""".stripMargin
+    Inference.dailyCounts(s, d)
+  private val dailySql: String = Inference.dailySql
 
   /** The q_acf estimator for lag k as a SQL expression over the exact
     * integer sums (n, s, ss, pk, ak, bk) — shared verbatim by the
@@ -615,7 +608,11 @@ object Diagnostics {
       val daily = dailyCounts(s, d)
       val ws = s.range(1).select(explode(array(lit(7L), lit(14L), lit(28L))).as("w"))
       val blk = daily.crossJoin(broadcast(ws))
-        .withColumn("b", expr("x div w"))
+        // FLOOR division to mirror DuckDB's `//`: Spark's `div`
+        // truncates toward zero, which diverges on negative day
+        // indices (events before the anchor) — (x − pmod(x, w)) / w is
+        // exact integer floor division for any sign (r12 review)
+        .withColumn("b", ((col("x") - pmod(col("x"), col("w"))) / col("w")).cast("long"))
       val wb = Window.partitionBy("event_type", "w", "b")
       val wbx = wb.orderBy("x")
       val o = blk
@@ -860,7 +857,7 @@ object Diagnostics {
     Q("q_hill_tail",
       """WITH v AS (SELECT event_type, event_id,
         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
-        |           FROM events WHERE value > 0),
+        |           FROM events WHERE floor(value * 100 + 0.5) > 0),
         |r AS (SELECT event_type, v2,
         |             row_number() OVER (PARTITION BY event_type ORDER BY v2 DESC, event_id) AS rk
         |      FROM v),
@@ -877,8 +874,13 @@ object Diagnostics {
         |ORDER BY event_type""".stripMargin) { (s, d) =>
       val topk = udaf(new graft.functions.TopKAgg(101),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      // filter on the INTEGERIZED value: sub-half-cent positives round
+      // to v2 = 0 and a rank-101 zero would put ln(v/0) in the fold —
+      // inf-saturating garbage in Spark, a cast error in DuckDB (r12
+      // review); excluding them at the cents level kills the cliff on
+      // both sides identically
       val top = Tables.events(s, d)
-        .filter(col("value") > 0)
+        .filter(floor(col("value") * 100 + 0.5) > 0)
         .select(col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("v2"), col("event_id"))
         .groupBy("event_type")

@@ -55,9 +55,7 @@ object Graph {
     * branches with deployment config alone — same contract as
     * TextPipeline.connectedComponents' explicit checkpointDir param,
     * exercised for each iterative op in GraphScaleSpec. */
-  private[graft] def snapshot(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private[graft] def snapshot(df: DataFrame): DataFrame = Q.snapshot(df)
 
   /** Full unrounded rank table (int64 node id, pr) after [[Iterations]]
     * power-iteration rounds — the q_pagerank body before labeling /

@@ -32,12 +32,12 @@ object Inference {
 
   /** Day-index anchor shared with Statistics.TrendAnchor — events span
     * Jan 2024. */
-  private val Anchor = "2024-01-01"
+  private[ops] val Anchor = "2024-01-01"
 
   /** Daily event counts per type keyed by exact day index — the shared
     * (|types|×|days|)-row frame under the four series operators. One
     * map-side-partial agg; x and y are both exact int64. */
-  private def dailyCounts(s: SparkSession, d: String): DataFrame =
+  private[ops] def dailyCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"),
         datediff(col("ts").cast(DateType), to_date(lit(Anchor)))
@@ -45,7 +45,7 @@ object Inference {
       .agg(count(lit(1)).as("y"))
 
   /** DuckDB twin of [[dailyCounts]] (clones q_trend_fit's daily CTE). */
-  private def dailySql: String =
+  private[ops] def dailySql: String =
     s"""SELECT event_type,
        |       CAST(date_diff('day', DATE '$Anchor',
        |                      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,

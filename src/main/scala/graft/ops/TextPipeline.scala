@@ -292,7 +292,15 @@ object TextPipeline {
       pairs: DataFrame, maxRounds: Int = 30,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
+    // setCheckpointDir is SESSION-GLOBAL state: remember what was there
+    // and restore it on every exit path, or one explicit-dir CC call
+    // would silently flip every later Q.snapshot/Graph.snapshot in the
+    // session onto the reliable branch against a temp dir (r12 review).
+    val priorCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
+    def restoreCheckpointDir(): Unit =
+      if (checkpointDir.isDefined && priorCheckpointDir != sc.getCheckpointDir)
+        sc.setCheckpointDir(priorCheckpointDir.orNull)
     // checkpoint (not persist) on every iteration state: persist only
     // caches EXECUTION — the logical plan still nests every prior
     // round, and with 2-3 self-references per round Catalyst would
@@ -314,6 +322,7 @@ object TextPipeline {
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))
+    try {
     val edges = snapshot(
       pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
@@ -362,6 +371,7 @@ object TextPipeline {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds")
     (labels, round)
+    } finally restoreCheckpointDir()
   }
 
   def defs: Seq[QueryDef] = Seq(

@@ -97,8 +97,13 @@ object OffsetLedger {
     if (Files.exists(marker)) return // replayed epoch: already committed
     val epochPath = Paths.get(outDir, s"epoch=$epochId")
     if (Files.isDirectory(epochPath)) { // uncommitted remnant of a crashed attempt
-      Files.walk(epochPath).sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds open directory handles — close it, or a job
+      // cycling through crash-replays (this sink's whole purpose)
+      // leaks fds until GC (r12 review)
+      val walk = Files.walk(epochPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
     val cached = df.cache()
     try {
@@ -195,11 +200,28 @@ object KafkaSource {
     val t = json.trim
     require(t.startsWith("{") && t.endsWith("}"),
       s"startingOffsets must be a JSON object, got: $t")
-    val topics = TopicRe.findAllMatchIn(t).map { m =>
-      val parts = PartRe.findAllMatchIn(m.group(2))
+    // TOTALITY over the input, not just over what the regexes happen to
+    // match: a resume-positioning parser that silently drops a
+    // malformed partition entry ("p1":500, a truncated brace, trailing
+    // garbage) would reposition the stream at the WRONG offset instead
+    // of failing — the one thing an offset ledger must never do (r12
+    // review). After extracting entries, excise the matched spans and
+    // require only structural characters remain at both levels.
+    def residueOk(s: String): Boolean = s.forall(c => c == ',' || c.isWhitespace)
+    val body = t.stripPrefix("{").stripSuffix("}")
+    val topics = TopicRe.findAllMatchIn(body).map { m =>
+      val inner = m.group(2)
+      val parts = PartRe.findAllMatchIn(inner)
         .map(pm => pm.group(1).toInt -> pm.group(2).toLong).toMap
+      val innerResidue = PartRe.replaceAllIn(inner, "")
+      require(residueOk(innerResidue),
+        s"unparseable partition entries in startingOffsets near: $inner")
+      require(parts.nonEmpty, s"topic '${m.group(1)}' carries no partition offsets: $t")
       m.group(1) -> parts
     }.toMap
+    val outerResidue = TopicRe.replaceAllIn(body, "")
+    require(residueOk(outerResidue),
+      s"unparseable topic entries in startingOffsets near: $outerResidue")
     require(topics.nonEmpty, s"no topic entries in startingOffsets: $t")
     topics
   }

@@ -453,15 +453,18 @@ object Streams {
   /** Streaming new-vs-returning markers (s_new_returning) — the
     * streaming face of batch q_new_returning: per (user, day), one
     * emission tagging whether that day is the user's FIRST-seen day.
-    * State per user is ONE long (the first epoch-day) plus the set of
-    * days already emitted this... no — just the first day and the last
-    * emitted day, because days arrive in event-time order per user
-    * under the batch-twin contract (the processing-time approximation
-    * every streaming first-seen pipeline makes; a late-arriving
-    * EARLIER day cannot retract an emitted "new" marker — document,
-    * don't hide). Downstream, a per-day count of markers reproduces
-    * q_new_returning's active/new split exactly when arrival respects
-    * event order (StreamingSpec's twin assertion). */
+    * State per user is THREE longs: the first day ever observed, the
+    * max day observed, and a 64-bit mask of already-emitted days
+    * anchored at the max — so a LATE-ARRIVING earlier day inside the
+    * 64-day horizon still gets its activity marker (is_new = false;
+    * an emitted "new" flag is never retracted) and repeats dedup
+    * exactly, while state stays user-bounded, never history-bounded.
+    * Days more than 64 days behind the user's max observed day are
+    * dropped — the watermark-style lateness bound every bounded-state
+    * first-seen pipeline needs, here explicit. Downstream, a per-day
+    * count of markers reproduces q_new_returning's active/new split
+    * for any arrival order within the horizon (StreamingSpec asserts
+    * the twin equality including an out-of-order batch). */
   def newReturning(events: Dataset[Ev]): Dataset[DayMarker] = {
     import events.sparkSession.implicits._
     events
@@ -470,26 +473,39 @@ object Streams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[NewRetState]) =>
           val days = rows.map(e => e.ts.getTime / 86400000L).toSeq.distinct.sorted
-          val prev = state.getOption.getOrElse(NewRetState(Long.MaxValue, Long.MinValue))
-          // only days not yet emitted; exactly ONE day per user is ever
-          // marked new — the first day of a user with no prior state
-          val fresh = days.filter(_ > prev.lastEmitted)
-          val out = fresh.map { d =>
-            DayMarker(userId, d,
-              is_new = prev.firstDay == Long.MaxValue && d == fresh.head)
+          val prev = state.getOption.getOrElse(NewRetState(Long.MaxValue, Long.MinValue, 0L))
+          var first = prev.firstDay
+          var maxD = prev.maxDay
+          var mask = prev.mask // bit i set ⇔ day (maxD − i) already emitted
+          val out = Seq.newBuilder[DayMarker]
+          days.foreach { d =>
+            if (maxD == Long.MinValue) { // first day ever observed
+              out += DayMarker(userId, d, is_new = true)
+              first = d; maxD = d; mask = 1L
+            } else if (d > maxD) { // horizon advances
+              val shift = d - maxD
+              mask = if (shift >= 64) 0L else mask << shift
+              maxD = d
+              out += DayMarker(userId, d, is_new = false)
+              mask |= 1L
+            } else { // late or repeat day
+              val off = maxD - d
+              if (off < 64 && (mask & (1L << off)) == 0L) {
+                out += DayMarker(userId, d, is_new = false)
+                mask |= (1L << off)
+              } // off ≥ 64: beyond the lateness horizon — dropped
+            }
           }
-          if (fresh.nonEmpty) {
-            val first = if (prev.firstDay == Long.MaxValue) fresh.head else prev.firstDay
-            state.update(NewRetState(first, fresh.last))
-          }
-          out.iterator
+          state.update(NewRetState(first, maxD, mask))
+          out.result().iterator
       }
   }
 }
 
-/** Per-user first-seen state: the first epoch-day ever observed and
-  * the last day already emitted (dedup guard for repeat days). */
-final case class NewRetState(firstDay: Long, lastEmitted: Long)
+/** Per-user first-seen state: the first epoch-day ever observed, the
+  * max day observed, and a 64-bit emitted-day mask anchored at the max
+  * (the bounded out-of-order dedup horizon). */
+final case class NewRetState(firstDay: Long, maxDay: Long, mask: Long)
 
 /** One (user, day) activity marker with its new-user flag. */
 final case class DayMarker(user_id: Long, epoch_day: Long, is_new: Boolean)

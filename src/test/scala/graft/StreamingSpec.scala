@@ -107,28 +107,36 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[Ev]
     val q = Streams.newReturning(in.toDS())
       .writeStream.format("memory").queryName("t_newret").outputMode("update").start()
-    // three event-time-ordered batches: day 0 (users 1, 2), day 1
+    // three event-time-ordered batches — day 0 (users 1, 2), day 1
     // (returning 1, new 3 — plus a repeat of user 1 the dedup guard
-    // must not re-emit), day 2 (returning 2 and 3)
+    // must not re-emit), day 2 (returning 2 and 3) — then an
+    // OUT-OF-ORDER batch: user 2's day-1 activity arrives after its
+    // day 2 was already seen. The 64-day emitted-mask must still emit
+    // that late day's marker (is_new = false), not swallow it.
     def d(day: Int, min: Int) = day * 1440 + min
     val b1 = Seq(ev(1, d(0, 10), user = 1), ev(2, d(0, 20), user = 2))
     val b2 = Seq(ev(3, d(1, 5), user = 1), ev(4, d(1, 6), user = 1),
       ev(5, d(1, 30), user = 3))
     val b3 = Seq(ev(6, d(2, 0), user = 2), ev(7, d(2, 1), user = 3))
+    val b4 = Seq(ev(8, d(1, 40), user = 2))
     withQuery(q) {
       in.addData(b1: _*); q.processAllAvailable()
       in.addData(b2: _*); q.processAllAvailable()
       in.addData(b3: _*); q.processAllAvailable()
+      in.addData(b4: _*); q.processAllAvailable()
       val markers = spark.table("t_newret").as[graft.streaming.DayMarker].collect()
       // one marker per (user, day), exactly one new-flag per user
       assert(markers.map(m => (m.user_id, m.epoch_day)).distinct.length === markers.length)
       assert(markers.count(_.is_new) === 3)
+      assert(markers.exists(m => m.user_id == 2L && !m.is_new &&
+        markers.count(x => x.user_id == 2L) == 3),
+        "the late-arriving day must still produce its activity marker")
       val got = markers.groupBy(_.epoch_day).map { case (day, ms) =>
         day -> (ms.length.toLong, ms.count(_.is_new).toLong)
       }
       // the batch twin over the same rows
       val dir = tempDir("newret_twin")
-      (b1 ++ b2 ++ b3).toDS()
+      (b1 ++ b2 ++ b3 ++ b4).toDS()
         .selectExpr("event_id", "ts", "user_id", "event_type", "value",
           "'{}' AS props")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
