@@ -85,14 +85,20 @@ object TextPipeline {
     * yield no shingles. Dedup happens IN-ROW with array_distinct
     * (shingle duplicates only ever occur within one document), so no
     * shuffle is spent on it — at 100 TB that saves a full pass. */
+  /** The 3-word shingle ARRAY expression over a `words` column — the
+    * ONE home for the shingle construction, shared by the batch corpus
+    * pass below and the streaming decontam probe
+    * (streaming.Streams.decontamStream), so the two sides of the
+    * stream/batch decontam equivalence cannot drift (r12 review). */
+  private[graft] val ShingleArrayExpr: String =
+    """array_distinct(transform(sequence(0, size(words) - 3),
+      |               i -> concat_ws(' ', words[i], words[i+1], words[i+2])))""".stripMargin
+
   private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     withWords(Tables.load(s, d, "documents"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(expr(
-          """transform(sequence(0, size(words) - 3),
-            |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
-          .as("shingle"))
+        explode(expr(ShingleArrayExpr)).as("shingle"))
 
   /** Shingle-pair sufficient statistics — (d1, d2, inter, n1, n2) for
     * every same-lang candidate doc pair — with an optional

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -189,12 +189,16 @@ private[sources] class DocsReaderFactory(fields: Array[String])
     // text(id) is the expensive generator; when both `text` and
     // `n_chars` are projected, compute it once per row and derive both.
     val needsText = fields.exists(f => f == "text" || f == "n_chars")
+    // hoist the field view out of the row loop: fields.toIndexedSeq per
+    // row was a fresh wrapper + boxed map allocation on the scan's hot
+    // path (r12 review)
+    val fieldSeq = fields.toIndexedSeq
     new PartitionReader[InternalRow] {
       private var cur = start - 1
       override def next(): Boolean = { cur += 1; cur < end }
       override def get(): InternalRow = {
         val t = if (needsText) DocsSource.text(cur) else null
-        InternalRow.fromSeq(fields.toIndexedSeq.map(DocsSource.gen(cur, _, t)))
+        InternalRow.fromSeq(fieldSeq.map(DocsSource.gen(cur, _, t)))
       }
       override def close(): Unit = ()
     }
@@ -223,14 +227,28 @@ private[sources] class DocsMicroBatchStream(
   override def deserializeOffset(json: String): Offset = DocsOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
 
-  /** Admission-controlled advance: rowsPerBatch past the CHECKPOINTED
-    * start, never past totalRows — a bounded stream, so drains
-    * terminate. Driving progression off the engine-supplied start
-    * offset (not an in-memory cursor) is what makes restart correct:
-    * a recovered query resumes exactly at the WAL offset. */
+  /** Admission-controlled advance: the ENGINE-SUPPLIED limit past the
+    * checkpointed start, never past totalRows. Honoring the limit (not
+    * assuming our own default) matters for Trigger.Once/AvailableNow,
+    * where MicroBatchExecution passes allAvailable / a captured target
+    * and an implementation that blindly stepped rowsPerBatch would
+    * silently under-drain the single batch (r12 review). Driving
+    * progression off the engine-supplied start offset (not an
+    * in-memory cursor) is what makes restart correct: a recovered
+    * query resumes exactly at the WAL offset. */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    DocsOffset(math.min(totalRows, start.asInstanceOf[DocsOffset].pos + rowsPerBatch))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocsOffset].pos
+    def stepOf(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => r.maxRows()
+      case _: ReadAllAvailable => totalRows - s
+      case c: CompositeReadLimit =>
+        val steps = c.getReadLimits.toSeq.map(stepOf)
+        if (steps.isEmpty) rowsPerBatch else steps.min
+      case _ => rowsPerBatch // min-rows etc.: our default batch size
+    }
+    DocsOffset(math.min(totalRows, s + math.max(0L, stepOf(limit))))
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used for admission control")

@@ -24,8 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Protocol (Hadoop commit v2 / FileOutputCommitter shape, on the
   * public `connector.write` API only):
   *  - each task writes `part-<queryId>-<partition>-<taskId>` into a
-  *    hidden `_staging/` dir under the target — NEVER the target
-  *    itself, so readers can't observe half-written output. The
+  *    hidden PER-JOB `_staging/<queryId>/` dir under the target —
+  *    NEVER the target itself, so readers can't observe half-written
+  *    output and concurrent appends can't touch each other's staged
+  *    files; the manifest read-merge-move is serialized by a lock
+  *    file with stale-lock breaking. The
   *    queryId (a per-write UUID from [[LogicalWriteInfo]]) makes names
   *    unique ACROSS Spark applications — task ids restart at 0 in a
   *    new app, so without it a later append could collide with (and
@@ -103,8 +106,14 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
                                     failManifest: Boolean = false)
     extends BatchWrite {
 
+  // staging is PER-JOB (_staging/<queryId>/): two concurrent appends to
+  // the same target can no longer delete each other's staged files at
+  // commit time (r12 review). A crashed job's staging subdir lingers
+  // until manually cleaned — hidden, unmanifested, invisible to readers.
+  private def stagingDir = Paths.get(path, "_staging", queryId)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(Paths.get(path, "_staging"))
+    Files.createDirectories(stagingDir)
     new KvWriterFactory(path, queryId, failPartition)
   }
 
@@ -145,19 +154,27 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
       // merge with a prior append's manifest so the listing stays
       // complete; write-to-temp + ATOMIC_MOVE so a reader polling
       // _SUCCESS never observes a truncated or torn manifest and a crash
-      // mid-rewrite cannot lose the prior append's committed listing
+      // mid-rewrite cannot lose the prior append's committed listing.
+      // The read-merge-move sequence is serialized across concurrent
+      // committers by a lock file (create-exclusive; stale locks from a
+      // crashed committer are broken after 60 s), or two appends racing
+      // here would each merge against the OTHER's pre-commit manifest
+      // and the loser's entries would vanish from the listing (r12
+      // review).
       val manifest = Paths.get(path, "_SUCCESS")
-      val prior =
-        if (Files.exists(manifest))
-          new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-            .split("\n").filter(_.nonEmpty).toSeq
-        else Seq.empty
-      val tmp = Paths.get(path, "_staging", s"_SUCCESS.$queryId.tmp")
-      Files.write(tmp,
-        (prior ++ entries).sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-      // POSIX rename replaces an existing manifest atomically; after
-      // this point the write is committed and is never rolled back
-      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+      withManifestLock {
+        val prior =
+          if (Files.exists(manifest))
+            new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty).toSeq
+          else Seq.empty
+        val tmp = Paths.get(path, "_staging", queryId, s"_SUCCESS.tmp")
+        Files.write(tmp,
+          (prior ++ entries).sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        // POSIX rename replaces an existing manifest atomically; after
+        // this point the write is committed and is never rolled back
+        Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+      }
     } catch { case e: Throwable =>
       unpublish()
       throw e
@@ -167,10 +184,32 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
 
+  private def withManifestLock[T](body: => T): T = {
+    val lock = Paths.get(path, "_MANIFEST_LOCK")
+    val deadline = System.nanoTime() + 10_000_000_000L // 10 s acquire budget
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        val stale = try {
+          Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - 60_000
+        } catch { case _: java.io.IOException => false }
+        if (stale) Files.deleteIfExists(lock) // crashed committer — break it
+        else if (System.nanoTime() > deadline)
+          throw new IllegalStateException(s"graft-kv: manifest lock $lock held too long")
+        else Thread.sleep(10)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   private def deleteStaging(): Unit = {
-    val staging = new File(path, "_staging")
+    // only THIS job's staging subdir — a sibling append's staged files
+    // are not ours to remove
+    val staging = stagingDir.toFile
     Option(staging.listFiles()).foreach(_.foreach(_.delete()))
     staging.delete()
+    new File(path, "_staging").delete() // removes the root only when empty
   }
 }
 
@@ -186,14 +225,26 @@ private[sources] class KvWriter(path: String, queryId: String, partitionId: Int,
     extends DataWriter[InternalRow] {
 
   private val staged =
-    Paths.get(path, "_staging", s"part-$queryId-$partitionId-$taskId")
+    Paths.get(path, "_staging", queryId, s"part-$queryId-$partitionId-$taskId")
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
+
+  /** RFC4180 quoting: a value containing the delimiter, a quote or a
+    * line break is quoted (with "" for embedded quotes) — without it a
+    * legal value like "a,b" silently corrupted the record and broke
+    * the manifest's row accounting (r12 review). Standard RFC4180
+    * readers round-trip it; Spark's CSV reader needs
+    * .option("escape", "\"") (its default escape is backslash) and
+    * multiLine for embedded newlines. */
+  private def csvEscape(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 
   override def write(row: InternalRow): Unit = {
     if (failPartition.contains(partitionId) && KvSink.failedOnce.add(partitionId))
       throw new RuntimeException(s"injected failure in partition $partitionId")
-    out.write(s"${row.getLong(0)},${row.getUTF8String(1)}\n")
+    out.write(s"${row.getLong(0)},${csvEscape(row.getUTF8String(1).toString)}\n")
     rows += 1
   }
 

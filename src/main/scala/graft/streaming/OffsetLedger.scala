@@ -27,13 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object OffsetLedger {
 
-  /** One ledger row per committed epoch. */
-  final case class LedgerEntry(
-      epoch_id: Long,
-      n_rows: Long,
-      max_event_id: Long,
-      min_event_id: Long)
-
   private def ledgerRowPath(ledgerDir: String, epochId: Long) =
     Paths.get(ledgerDir, f"epoch_$epochId%09d.json")
 
@@ -159,8 +152,11 @@ object OffsetLedger {
       epochs.forEachRemaining { p =>
         val name = p.getFileName.toString
         if (name.startsWith("epoch_") && name.endsWith(".json")) {
-          val e = name.stripPrefix("epoch_").stripSuffix(".json").toLong
-          if (best.forall(_ < e)) best = Some(e)
+          // foreign files read() tolerates (epoch_summary.json) must
+          // not crash the resume audit either — skip non-numeric names
+          // the same way read() drops their content (r12 review)
+          name.stripPrefix("epoch_").stripSuffix(".json").toLongOption
+            .foreach(e => if (best.forall(_ < e)) best = Some(e))
         }
       }
       best
@@ -209,21 +205,28 @@ object KafkaSource {
     // require only structural characters remain at both levels.
     def residueOk(s: String): Boolean = s.forall(c => c == ',' || c.isWhitespace)
     val body = t.stripPrefix("{").stripSuffix("}")
-    val topics = TopicRe.findAllMatchIn(body).map { m =>
+    val topicSeq = TopicRe.findAllMatchIn(body).map { m =>
       val inner = m.group(2)
-      val parts = PartRe.findAllMatchIn(inner)
-        .map(pm => pm.group(1).toInt -> pm.group(2).toLong).toMap
+      val partSeq = PartRe.findAllMatchIn(inner)
+        .map(pm => pm.group(1).toInt -> pm.group(2).toLong).toSeq
       val innerResidue = PartRe.replaceAllIn(inner, "")
       require(residueOk(innerResidue),
         s"unparseable partition entries in startingOffsets near: $inner")
-      require(parts.nonEmpty, s"topic '${m.group(1)}' carries no partition offsets: $t")
-      m.group(1) -> parts
-    }.toMap
+      require(partSeq.nonEmpty, s"topic '${m.group(1)}' carries no partition offsets: $t")
+      // a duplicated partition key means two candidate resume positions
+      // — .toMap would silently keep the last one, repositioning the
+      // stream at an arbitrary winner (r12 review)
+      require(partSeq.map(_._1).distinct.length == partSeq.length,
+        s"duplicate partition keys in startingOffsets for '${m.group(1)}': $inner")
+      m.group(1) -> partSeq.toMap
+    }.toSeq
     val outerResidue = TopicRe.replaceAllIn(body, "")
     require(residueOk(outerResidue),
       s"unparseable topic entries in startingOffsets near: $outerResidue")
-    require(topics.nonEmpty, s"no topic entries in startingOffsets: $t")
-    topics
+    require(topicSeq.nonEmpty, s"no topic entries in startingOffsets: $t")
+    require(topicSeq.map(_._1).distinct.length == topicSeq.length,
+      s"duplicate topic keys in startingOffsets: $t")
+    topicSeq.toMap
   }
 
   /** Out-of-range recovery — the reference pattern's explicit

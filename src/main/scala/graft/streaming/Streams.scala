@@ -121,11 +121,12 @@ object Streams {
     val ho = holdoutShingles.groupBy("lang").agg(collect_set(col("shingle")).as("ho"))
     docs
       .withColumn("words", split(col("text"), " "))
+      // the shingle construction is TextPipeline's — one home, so the
+      // stream probe and the batch q_decontam can never drift
       .withColumn("shingles", expr(
-        """CASE WHEN size(words) >= 3
-          |     THEN array_distinct(transform(sequence(0, size(words) - 3),
-          |                         i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
-          |     ELSE array() END""".stripMargin))
+        s"""CASE WHEN size(words) >= 3
+           |     THEN ${graft.ops.TextPipeline.ShingleArrayExpr}
+           |     ELSE array() END""".stripMargin))
       .join(broadcast(ho), Seq("lang"), "left")
       .filter(col("ho").isNull || !arrays_overlap(col("shingles"), col("ho")))
       .select("doc_id", "lang", "text")
@@ -252,7 +253,7 @@ object Streams {
           var buf = prev.touches
           var maxEs = prev.maxEs
           val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
-          def esOf(e: Ev): Long = e.ts.getTime / 1000L
+          def esOf(e: Ev): Long = Math.floorDiv(e.ts.getTime, 1000L) // floor, not truncate: pre-epoch parity with unix_timestamp
           // same overflow contract as Q.packedOrd: an id outside the
           // pack slot would corrupt both the last-touch ordering and
           // the ord/PackBase second recovery the pruning divides by
@@ -382,7 +383,7 @@ object Streams {
           // with the same (es, event_id) newest-wins rule as the batch
           // window, so arrival order never matters
           rows.foreach { e =>
-            val es = e.ts.getTime / 1000
+            val es = Math.floorDiv(e.ts.getTime, 1000L) // floor: batch twin uses CAST(ts AS LONG), which floors
             val newer = cur.forall(c =>
               es > c.es || (es == c.es && e.event_id > c.event_id))
             if (newer)
@@ -453,18 +454,23 @@ object Streams {
   /** Streaming new-vs-returning markers (s_new_returning) — the
     * streaming face of batch q_new_returning: per (user, day), one
     * emission tagging whether that day is the user's FIRST-seen day.
-    * State per user is THREE longs: the first day ever observed, the
-    * max day observed, and a 64-bit mask of already-emitted days
-    * anchored at the max — so a LATE-ARRIVING earlier day inside the
-    * 64-day horizon still gets its activity marker (is_new = false;
-    * an emitted "new" flag is never retracted) and repeats dedup
-    * exactly, while state stays user-bounded, never history-bounded.
-    * Days more than 64 days behind the user's max observed day are
-    * dropped — the watermark-style lateness bound every bounded-state
-    * first-seen pipeline needs, here explicit. Downstream, a per-day
-    * count of markers reproduces q_new_returning's active/new split
-    * for any arrival order within the horizon (StreamingSpec asserts
-    * the twin equality including an out-of-order batch). */
+    * State per user is TWO longs: the max day observed and a 64-bit
+    * mask of already-emitted days anchored at it — so a LATE-ARRIVING
+    * earlier day inside the 64-day horizon still gets its activity
+    * marker (is_new = false) and repeats dedup exactly, while state
+    * stays user-bounded, never history-bounded. Days more than 64
+    * days behind the user's max observed day drop — the
+    * watermark-style lateness bound every bounded-state first-seen
+    * pipeline needs, here explicit. Semantics scope (r12 review): the
+    * new-flag lands on the first OBSERVED day and is never retracted,
+    * so the per-day split equals batch q_new_returning exactly when
+    * each user's earliest event-time day is also the first to ARRIVE
+    * for that user (later days may arrive in any order within the
+    * horizon); a user whose chronologically-first day arrives late
+    * keeps its marker (active counts still match) but carries
+    * is_new = false — the processing-time approximation every
+    * no-retraction streaming first-seen pipeline makes. StreamingSpec
+    * asserts the twin equality including an out-of-order batch. */
   def newReturning(events: Dataset[Ev]): Dataset[DayMarker] = {
     import events.sparkSession.implicits._
     events
@@ -472,16 +478,15 @@ object Streams {
       .flatMapGroupsWithState[NewRetState, DayMarker](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[NewRetState]) =>
-          val days = rows.map(e => e.ts.getTime / 86400000L).toSeq.distinct.sorted
-          val prev = state.getOption.getOrElse(NewRetState(Long.MaxValue, Long.MinValue, 0L))
-          var first = prev.firstDay
+          val days = rows.map(e => Math.floorDiv(e.ts.getTime, 86400000L)).toSeq.distinct.sorted // floor: date_trunc parity for pre-epoch ts
+          val prev = state.getOption.getOrElse(NewRetState(Long.MinValue, 0L))
           var maxD = prev.maxDay
           var mask = prev.mask // bit i set ⇔ day (maxD − i) already emitted
           val out = Seq.newBuilder[DayMarker]
           days.foreach { d =>
             if (maxD == Long.MinValue) { // first day ever observed
               out += DayMarker(userId, d, is_new = true)
-              first = d; maxD = d; mask = 1L
+              maxD = d; mask = 1L
             } else if (d > maxD) { // horizon advances
               val shift = d - maxD
               mask = if (shift >= 64) 0L else mask << shift
@@ -496,16 +501,16 @@ object Streams {
               } // off ≥ 64: beyond the lateness horizon — dropped
             }
           }
-          state.update(NewRetState(first, maxD, mask))
+          state.update(NewRetState(maxD, mask))
           out.result().iterator
       }
   }
 }
 
-/** Per-user first-seen state: the first epoch-day ever observed, the
-  * max day observed, and a 64-bit emitted-day mask anchored at the max
-  * (the bounded out-of-order dedup horizon). */
-final case class NewRetState(firstDay: Long, maxDay: Long, mask: Long)
+/** Per-user first-seen state: the max epoch-day observed and a 64-bit
+  * emitted-day mask anchored at it (the bounded out-of-order dedup
+  * horizon). maxDay == Long.MinValue means "no day seen yet". */
+final case class NewRetState(maxDay: Long, mask: Long)
 
 /** One (user, day) activity marker with its new-user flag. */
 final case class DayMarker(user_id: Long, epoch_day: Long, is_new: Boolean)

@@ -335,6 +335,16 @@ class LedgerSpec extends SparkSpec {
     assert(res.passed, s"parse∘render identity failed: ${res.status}")
     intercept[IllegalArgumentException](KafkaSource.parseStartingOffsetsJson("earliest"))
     intercept[IllegalArgumentException](KafkaSource.parseStartingOffsetsJson("{}"))
+    // totality: unparseable or ambiguous entries must REJECT, never
+    // silently reposition the stream (r12 review)
+    intercept[IllegalArgumentException](
+      KafkaSource.parseStartingOffsetsJson("""{"docs":{"0":100,"p1":500}}"""))
+    intercept[IllegalArgumentException](
+      KafkaSource.parseStartingOffsetsJson("""{"t":{"0":100,"0":200}}"""))
+    intercept[IllegalArgumentException](
+      KafkaSource.parseStartingOffsetsJson("""{"t":{"0":1},"t":{"0":2}}"""))
+    intercept[IllegalArgumentException](
+      KafkaSource.parseStartingOffsetsJson("""{"t":{"0":1} garbage}"""))
     // graft-docs layer: plain long and single-partition JSON both land
     // on the same position; multi-partition JSON is a config error
     assert(graft.sources.DocsSource.parseStartingOffset("300") === 300L)

@@ -176,6 +176,46 @@ class SourcesSpec extends SparkSpec {
     assert(manifestAfter === manifestBefore)
   }
 
+  test("graft-kv quotes delimiter/quote/newline values so legal strings round-trip") {
+    import spark.implicits._
+    val dir = tempDir("graft_kv_escape")
+    val vals = Seq((1L, "a,b"), (2L, "say \"hi\""), (3L, "multi\nline"), (4L, "plain"))
+    vals.toDF("key", "value").coalesce(1)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath)
+    // multiLine handles the quoted embedded newline; escape='"' selects
+    // RFC4180 doubled-quote semantics (Spark's default escape is
+    // backslash — see the KvWriter.csvEscape scaladoc)
+    val back = spark.read.schema("key LONG, value STRING")
+      .option("multiLine", "true").option("escape", "\"").csv(parts: _*)
+      .as[(Long, String)].collect().toSet
+    assert(back === vals.toSet,
+      s"RFC4180 quoting must round-trip every legal (key, value): $back")
+    // the manifest counts LOGICAL rows, not physical lines
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS"))).trim.split("\n")
+    assert(manifest.map(_.split(":")(1).toLong).sum === 4L)
+  }
+
+  test("graft-docs Trigger.AvailableNow drains the whole bounded stream in spite of rowsPerBatch") {
+    // the admission-control fix (r12 review): the engine's
+    // ReadAllAvailable/composite limit must win over the source's own
+    // rowsPerBatch default, or a run-once drain silently stops early
+    val out = tempDir("graft_docs_once_out")
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", 300).option("rowsPerBatch", 100)
+      .load()
+      .writeStream.format("parquet")
+      .option("checkpointLocation", tempDir("graft_docs_once_ckpt"))
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.read.parquet(out).count() === 300,
+      "an available-now drain must admit every remaining row")
+  }
+
   test("graft-docs batch read: deterministic rows across the requested partitions") {
     val df = spark.read.format("graft-docs")
       .option("rows", 1000).option("partitions", 8).load()
