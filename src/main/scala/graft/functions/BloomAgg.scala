@@ -20,6 +20,12 @@ class BloomAgg(words: Int, wordBits: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   override def zero: Array[Long] = new Array[Long](words)
   override def reduce(b: Array[Long], p: Long): Array[Long] = {
+    // range-check the position: a negative p would silently set an
+    // ARBITRARY bit via Java's shift masking (1L << -5 == 1L << 59) —
+    // bloom false positives with no signal — and an oversized p a
+    // mid-job AIOOBE with a cryptic stack (r12 review)
+    require(p >= 0 && p < words.toLong * wordBits,
+      s"bloom bit position $p outside [0, ${words.toLong * wordBits})")
     b((p / wordBits).toInt) |= 1L << (p % wordBits).toInt
     b
   }

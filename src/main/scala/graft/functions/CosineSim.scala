@@ -61,6 +61,10 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element is a malformed embedding → NULL score (checked
+      // explicitly: UnsafeArrayData.getFloat would silently read 0.0
+      // under codegen while the interpreted path NPEs — r12 review)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -79,7 +83,9 @@ case class CosineSim(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      // same guards as nullSafeEval: ragged or zero-norm input → null
+      // same guards as nullSafeEval: ragged, null-element or zero-norm
+      // input → null (the isNullAt check keeps codegen and interpreted
+      // paths value-identical — r12 review)
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -87,14 +93,17 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    }
          |  }
          |}
        """.stripMargin
@@ -118,20 +127,32 @@ object CosineSim {
   * .config("spark.sql.extensions", "graft.functions.GraftExtensions").
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // wrong arity must be an analysis-time error, not a silently-ignored
+  // extra argument or a raw IndexOutOfBounds (r12 review)
+  private def arity(name: String, n: Int)(children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n arguments, got ${children.length}")
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("cosine_sim", 2)(children); CosineSim(c(0), c(1)) }))
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
-      (children: Seq[Expression]) => ZOrder2(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("zorder2", 2)(children); ZOrder2(c(0), c(1)) }))
     ext.injectFunction((
       new FunctionIdentifier("interval_match"),
       new ExpressionInfo(classOf[graft.plans.IntervalMatch].getName, "interval_match"),
-      (children: Seq[Expression]) =>
-        graft.plans.IntervalMatch(children.head, children(1), children(2))))
+      (children: Seq[Expression]) => {
+        val c = arity("interval_match", 3)(children)
+        graft.plans.IntervalMatch(c(0), c(1), c(2)) }))
     // plans an inner join whose condition is a single interval_match as
     // graft.plans.BroadcastRangeJoinExec (binary-searched build side);
     // any other shape falls through to Spark's own planner

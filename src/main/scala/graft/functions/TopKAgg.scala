@@ -44,8 +44,15 @@ private[functions] object TopKBuffer {
 class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k > 0)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // Double.compare, not `>`: under IEEE `>` a NaN score is never
+  // "better" than anything AND nothing beats it once buffered, so a
+  // NaN-last buffer silently rejects real high scores; Double.compare's
+  // total order (NaN greatest) matches Spark's ORDER BY score DESC
+  // semantics in the window twin (r12 review).
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[Scored] = Vector.empty
 
@@ -78,8 +85,27 @@ final case class ScoredStr(score: Double, id: String)
 class TopKStrAgg(k: Int) extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
   require(k > 0)
 
-  private def better(a: ScoredStr, b: ScoredStr): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // same Double.compare total order as TopKAgg; the string tie-break
+  // compares UTF-8 BYTES (unsigned) — Java String `<` is UTF-16
+  // code-unit order, which disagrees with Spark/DuckDB binary string
+  // order for supplementary characters (r12 review).
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def better(a: ScoredStr, b: ScoredStr): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && utf8Less(a.id, b.id))
+  }
 
   override def zero: Seq[ScoredStr] = Vector.empty
 

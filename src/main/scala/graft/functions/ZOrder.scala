@@ -83,7 +83,11 @@ object ZOrder2 {
     * the DuckDB oracle and the Spark-arithmetic equality twin, so all
     * three formulations share one arithmetic definition. */
   def spreadSql(e: String): String = {
-    val s0 = s"(($e) & 65535)"
+    // force the chain into int64 from the first operand: fed an INT32
+    // column, the whole spread would otherwise stay 32-bit and the
+    // final `<< 1` in zorderSql silently wraps negative for y ≥ 32768
+    // while the native ZOrder2 returns the positive long (r12 review)
+    val s0 = s"((CAST($e AS BIGINT)) & 65535)"
     val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"      // 0x00FF00FF
     val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"     // 0x0F0F0F0F
     val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"     // 0x33333333

@@ -66,7 +66,16 @@ class RangeJoinStrategy extends SparkStrategy {
     case Join(left, right, Inner, Some(im @ IntervalMatch(v, lo, hi)), _)
         if v.references.subsetOf(left.outputSet) &&
           lo.references.subsetOf(right.outputSet) &&
-          hi.references.subsetOf(right.outputSet) =>
+          hi.references.subsetOf(right.outputSet) &&
+          // the exec driver-collects + broadcasts the build side, so
+          // claim the join only when the optimizer's size estimate fits
+          // the broadcast threshold — an oversized interval dim falls
+          // through to Spark's own BNLJ plan instead of OOMing the
+          // driver (r12 review); <= 0 means broadcasting is disabled
+          {
+            val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+            thr > 0 && right.stats.sizeInBytes <= thr
+          } =>
       BroadcastRangeJoinExec(v, lo, hi, planLater(left), planLater(right)) :: Nil
     case _ => Nil
   }
@@ -95,7 +104,16 @@ case class BroadcastRangeJoinExec(
       val l = loB.eval(r)
       val h = hiB.eval(r)
       if (l == null || h == null) None
-      else Some((l.asInstanceOf[Double], h.asInstanceOf[Double], r))
+      else {
+        val ld = l.asInstanceOf[Double]
+        val hd = h.asInstanceOf[Double]
+        // a NaN bound matches nothing under interval_match (every
+        // comparison is false) — but left in the build it would poison
+        // the prefix-max (math.max propagates NaN) and stop the
+        // leftward walk early, silently DROPPING matches from other
+        // intervals (r12 review); filter it like the nulls
+        if (ld.isNaN || hd.isNaN) None else Some((ld, hd, r))
+      }
     }.sortBy(_._1)
     val los = built.map(_._1)
     val his = built.map(_._2)
