@@ -89,17 +89,21 @@ class TopKStrAgg(k: Int) extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[Score
   // compares UTF-8 BYTES (unsigned) — Java String `<` is UTF-16
   // code-unit order, which disagrees with Spark/DuckDB binary string
   // order for supplementary characters (r12 review).
+  // allocation-free code-point walk (UTF-8 byte order ≡ code-point
+  // order): the first byte-array formulation allocated two arrays per
+  // comparison inside the O(k) insertion scan and read 1.8x on
+  // q_ngram_freq's vocab-sized insert stream
   private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
     var i = 0
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
     }
-    x.length < y.length
+    (a.length - i) < (b.length - j)
   }
 
   private def better(a: ScoredStr, b: ScoredStr): Boolean = {
