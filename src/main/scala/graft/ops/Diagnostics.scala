@@ -1158,6 +1158,52 @@ object Diagnostics {
           .otherwise(0L).as("depth"))
         .groupBy("depth").agg(count(lit(1)).as("n_users"))
         .orderBy("depth")
+    },
+
+    // Cross-source duplication provenance: the ≥0.8-Jaccard near-dup
+    // pairs of q_dedup_near rolled up by SOURCE pair — "which feeds
+    // copy each other" (within-source pairs included as the diagonal),
+    // the question that turns a dedup pass into a data-sourcing
+    // decision (drop the mirroring feed, don't pay to dedup it
+    // forever). Rides nearDupPairs' df-capped candidate machinery
+    // unchanged (ONE shinglePairStats pass, the cap-invariance
+    // precondition documented at q_dedup_roi); the catalog joins are
+    // left UNHINTED — the near-dup pair set is the small side, so AQE
+    // broadcasts IT against the corpus-sized (doc_id, source) catalog
+    // (hinting the catalog would be exactly backwards at 100 TB); the
+    // rollup lands on ≤|sources|² keys.
+    Q("q_source_dup_matrix",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                             AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |nd AS (SELECT p.d1, p.d2
+        |       FROM pairs p
+        |       JOIN cnt c1 ON p.d1 = c1.doc_id
+        |       JOIN cnt c2 ON p.d2 = c2.doc_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.8),
+        |m AS (SELECT least(da.source, db.source) AS source_1,
+        |             greatest(da.source, db.source) AS source_2
+        |      FROM nd JOIN documents da ON nd.d1 = da.doc_id
+        |              JOIN documents db ON nd.d2 = db.doc_id)
+        |SELECT source_1, source_2, count(*) AS n_pairs
+        |FROM m
+        |GROUP BY 1, 2
+        |ORDER BY source_1, source_2""".stripMargin) { (s, d) =>
+      val cat = Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+      TextPipeline.nearDupPairs(s, d, dfCap = Some(128L))
+        .join(cat.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
+        .join(cat.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
+        .select(least(col("sa"), col("sb")).as("source_1"),
+          greatest(col("sa"), col("sb")).as("source_2"))
+        .groupBy("source_1", "source_2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_1", "source_2")
     }
   )
 }
