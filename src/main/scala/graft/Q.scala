@@ -3,25 +3,28 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A named query with an optional DuckDB oracle.
+/** A named query with its DuckDB oracle.
   *
   * Keeping the Spark implementation and the oracle SQL side by side is
   * the main defense against the driver's hash-compare: column names,
-  * rounding formulas and ordering must match in both.
+  * rounding formulas and ordering must match in both. The oracle is
+  * structurally REQUIRED (a plain String, not an Option): a rows-only
+  * query cannot exist in this codebase — even approximate/LSH ops
+  * declare an oracle over a derived exact quantity (recall bands,
+  * error bounds), and streaming ops ship as their batch twins here
+  * with the streaming halves verified by StreamingSpec/LedgerSpec.
+  * SurveyContractSpec additionally pins queries ↔ oracles ↔ §2 rows
+  * in both directions. (The r12 `noOracle` escape hatch is deleted,
+  * not just unused — backsliding is now a compile error.)
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: String)
 
 object Q {
   def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, Some(oracle))
-
-  /** No DuckDB oracle (streaming / approximate / LSH ops) — the driver
-    * records a weaker rows-only check; scalatest covers semantics. */
-  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, None)
+    QueryDef(name, fn, oracle)
 
   // ---- parity helpers -----------------------------------------------------
   // Spark's round() is HALF_UP on the decimal string while DuckDB rounds the

@@ -35,7 +35,8 @@ object SparkEntry {
     allDefs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Total by construction — QueryDef.oracle
+    * is a required field, so queries.keySet == oracleSql.keySet. */
   def oracleSql: Map[String, String] =
-    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allDefs.map(q => q.name -> q.oracle).toMap
 }

@@ -27,8 +27,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    hidden PER-JOB `_staging/<queryId>/` dir under the target —
   *    NEVER the target itself, so readers can't observe half-written
   *    output and concurrent appends can't touch each other's staged
-  *    files; the manifest read-merge-move is serialized by a lock
-  *    file with stale-lock breaking. The
+  *    files; the manifest read-merge-move is serialized by an OS
+  *    advisory lock on `_MANIFEST_LOCK` (crash-released by the
+  *    kernel, so no staleness heuristic to race on). The
   *    queryId (a per-write UUID from [[LogicalWriteInfo]]) makes names
   *    unique ACROSS Spark applications — task ids restart at 0 in a
   *    new app, so without it a later append could collide with (and
@@ -101,6 +102,12 @@ private[sources] class KvTable(options: CaseInsensitiveStringMap)
 private[sources] case class KvCommitMessage(stagedPath: String, rows: Long)
     extends WriterCommitMessage
 
+private[sources] object KvBatchWrite {
+  /** Per-lock-path monitors: same-JVM committers must serialize BEFORE
+    * touching the POSIX lock (see [[KvBatchWrite.withManifestLock]]). */
+  val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
 private[sources] class KvBatchWrite(path: String, queryId: String,
                                     failPartition: Option[Int],
                                     failManifest: Boolean = false)
@@ -156,11 +163,10 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
       // _SUCCESS never observes a truncated or torn manifest and a crash
       // mid-rewrite cannot lose the prior append's committed listing.
       // The read-merge-move sequence is serialized across concurrent
-      // committers by a lock file (create-exclusive; stale locks from a
-      // crashed committer are broken after 60 s), or two appends racing
-      // here would each merge against the OTHER's pre-commit manifest
-      // and the loser's entries would vanish from the listing (r12
-      // review).
+      // committers by withManifestLock (OS advisory lock, see its doc),
+      // or two appends racing here would each merge against the OTHER's
+      // pre-commit manifest and the loser's entries would vanish from
+      // the listing (r12 review).
       val manifest = Paths.get(path, "_SUCCESS")
       withManifestLock {
         val prior =
@@ -184,23 +190,43 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
 
+  /** Serializes the manifest read-merge-move across committers with an
+    * OS advisory lock (`FileChannel.tryLock`) instead of the r12
+    * create-exclusive file + mtime-staleness break. The staleness
+    * heuristic had an unfixable race: committer B, acting on a stale
+    * reading taken BEFORE committer A broke the lock and re-created a
+    * fresh one, could delete A's fresh lock and acquire too — two
+    * committers then ran the read-merge-move concurrently, the exact
+    * lost-update the lock exists to prevent. The OS lock has no
+    * staleness concept to race on: a crashed committer's lock is
+    * released by the kernel when its fds close, so breaking is never
+    * needed. Same-JVM committers (the local[32] reality) serialize on a
+    * per-path monitor first, because POSIX file locks are per-process
+    * (a second tryLock in the same JVM throws OverlappingFileLock
+    * instead of waiting). The `_MANIFEST_LOCK` file itself is never
+    * deleted — unlinking a file others are about to lock re-opens the
+    * two-holders race (each locks a different inode); a permanent
+    * underscore-hidden 0-byte file is the boring, correct choice. */
   private def withManifestLock[T](body: => T): T = {
     val lock = Paths.get(path, "_MANIFEST_LOCK")
-    val deadline = System.nanoTime() + 10_000_000_000L // 10 s acquire budget
-    var held = false
-    while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        val stale = try {
-          Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - 60_000
-        } catch { case _: java.io.IOException => false }
-        if (stale) Files.deleteIfExists(lock) // crashed committer — break it
-        else if (System.nanoTime() > deadline)
-          throw new IllegalStateException(s"graft-kv: manifest lock $lock held too long")
-        else Thread.sleep(10)
-      }
+    val monitor = KvBatchWrite.jvmLocks.computeIfAbsent(lock.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lock,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val deadline = System.nanoTime() + 60_000_000_000L // 60 s acquire budget
+        var fl: java.nio.channels.FileLock = null
+        while (fl == null) {
+          fl = ch.tryLock()
+          if (fl == null) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(s"graft-kv: manifest lock $lock held too long")
+            Thread.sleep(10)
+          }
+        }
+        try body finally fl.release()
+      } finally ch.close()
     }
-    try body finally Files.deleteIfExists(lock)
   }
 
   private def deleteStaging(): Unit = {

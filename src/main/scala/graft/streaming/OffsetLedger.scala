@@ -83,13 +83,27 @@ object OffsetLedger {
     * crash-between-kv-commit-and-marker window that plain append would
     * turn into duplicates. Marker-present replays skip entirely, as in
     * [[sink]]. Content per epoch is deterministic, so clear-and-rewrite
-    * is idempotent at any retry depth. */
+    * is idempotent at any retry depth.
+    *
+    * Reader contract: kv part files are RFC4180-quoted CSV (see
+    * KvWriter.csvEscape), so a Spark CSV consumer must set
+    * `.option("escape", "\"").option("multiLine", "true")` — Spark's
+    * defaults (backslash escape, single-line) corrupt values with
+    * embedded quotes or newlines. */
   def kvSink(outDir: String, ledgerDir: String)(df: DataFrame, epochId: Long): Unit = {
     Files.createDirectories(Paths.get(ledgerDir))
     val marker = ledgerRowPath(ledgerDir, epochId)
     if (Files.exists(marker)) return // replayed epoch: already committed
     val epochPath = Paths.get(outDir, s"epoch=$epochId")
     if (Files.isDirectory(epochPath)) { // uncommitted remnant of a crashed attempt
+      // _SUCCESS goes FIRST: the reverse-path walk below deletes
+      // `part-*` before `_SUCCESS` ('p' sorts after '_'), so a reader
+      // polling the manifest mid-replay could observe _SUCCESS listing
+      // already-deleted part files — a transient breach of "readers of
+      // the manifest never see a half-written epoch". Removing the
+      // manifest makes the epoch invisible to manifest-gated readers
+      // before any data file disappears (r12 advice).
+      Files.deleteIfExists(epochPath.resolve("_SUCCESS"))
       // Files.walk holds open directory handles — close it, or a job
       // cycling through crash-replays (this sink's whole purpose)
       // leaks fds until GC (r12 review)

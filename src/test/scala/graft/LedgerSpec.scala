@@ -24,7 +24,13 @@ class LedgerSpec extends SparkSpec {
       val paths = scala.jdk.CollectionConverters.IteratorHasAsScala(partFiles).asScala
         .filter(p => p.getFileName.toString.startsWith("part-")).map(_.toString).toSeq
       if (paths.isEmpty) Set.empty
-      else spark.read.schema(kvReadDDL).csv(paths: _*)
+      // the kv reader contract (KvWriter.csvEscape scaladoc): RFC4180
+      // quoting, so Spark CSV needs escape=" (its default is backslash)
+      // and multiLine for values with embedded newlines — without them
+      // a value like `a"b` or `a\nb` round-trips corrupted
+      else spark.read.schema(kvReadDDL)
+        .option("escape", "\"").option("multiLine", "true")
+        .csv(paths: _*)
         .as[(Long, String)].collect().toSet
     }
     // drive two epochs through the real engine
