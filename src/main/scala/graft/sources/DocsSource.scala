@@ -26,12 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    exactly like a parquet directory would at 100 TB (no driver-side
   *    row generation, each executor materializes only its slice);
   *  - **micro-batch streaming**: `spark.readStream.format("graft-docs")
-  *    .option("rowsPerBatch", k)` — a monotone long offset advances by
-  *    `k` per batch (capped by optional `rows`), mirroring the
-  *    reference's offset-tracked-source contract: offsets are JSON in
-  *    the checkpoint WAL, restart resumes from the last committed
-  *    offset, and each (start, end] range re-plans to the same rows —
-  *    deterministic replay, the property an offset ledger needs.
+  *    .option("rowsPerBatch", k)` — per-partition monotone offsets
+  *    advance by `k` rows total per batch (capped by optional `rows`),
+  *    mirroring the reference's offset-tracked-source contract: offsets
+  *    are JSON in the checkpoint WAL, restart resumes from the last
+  *    committed positions, and each (start, end] range re-plans to the
+  *    same rows — deterministic replay, the property an offset ledger
+  *    needs. `topicPartitions = N` (default 1) splits the corpus into
+  *    N logical partitions (id residue classes mod N), each with its
+  *    OWN offset — the reference's `Map[TopicPartition, Long]`
+  *    artifact — independently positionable from a ledger via the
+  *    Kafka-shaped `startingOffset` JSON.
   *
   * Column pruning is honored ([[DocsScanBuilder.pruneColumns]]): a
   * `select("doc_id")` never materializes the text payload — the same
@@ -89,27 +94,34 @@ object DocsSource {
     h & Long.MaxValue
   }
 
-  /** `startingOffset` option → initial stream position. Two accepted
-    * shapes, both the reference's: a plain long (row position), or the
-    * ledger's Kafka-shaped resume JSON `{"topic":{"0":N}}` as emitted
-    * by [[graft.streaming.KafkaSource.startingOffsetsJson]] (and fed
-    * through `clampToRange` first by a careful caller). graft-docs is a
-    * single logical topic-partition (its offset is ONE monotone row
-    * position — the `partitions` option only fans out each admitted
-    * (start, end] range for parallel read), so the JSON form must carry
-    * exactly one topic with exactly one partition; anything else is a
-    * config error worth failing loudly at stream construction. */
-  def parseStartingOffset(s: String): Long = {
+  /** `startingOffset` option → initial per-partition stream positions.
+    * Two accepted shapes, both the reference's: a plain long (row
+    * position — only meaningful for a single-topic-partition source),
+    * or the ledger's Kafka-shaped resume JSON `{"topic":{"0":N,…}}` as
+    * emitted by [[graft.streaming.KafkaSource.startingOffsetsJson]]
+    * (and fed through `clampToRange` first by a careful caller). The
+    * JSON form must carry exactly one topic; it may position any
+    * SUBSET of the source's `topicPartitions` (unnamed partitions
+    * start at 0 — Kafka's "no stored offset → starting position"
+    * rule), but naming a partition the source doesn't have is a config
+    * error worth failing loudly at stream construction. */
+  def parseStartingOffsets(s: String, nParts: Int): Map[Int, Long] = {
     val t = s.trim
     if (t.startsWith("{")) {
       val topics = graft.streaming.KafkaSource.parseStartingOffsetsJson(t)
       require(topics.size == 1,
         s"graft-docs takes exactly one topic in startingOffset, got ${topics.keySet}")
       val parts = topics.head._2
-      require(parts.size == 1,
-        s"graft-docs is single-partition; startingOffset carried partitions ${parts.keySet}")
-      parts.head._2
-    } else t.toLong
+      val unknown = parts.keySet.filterNot(p => p >= 0 && p < nParts)
+      require(unknown.isEmpty,
+        s"startingOffset names partitions $unknown outside this source's [0, $nParts)")
+      parts
+    } else {
+      require(nParts == 1,
+        s"a plain-long startingOffset is ambiguous over $nParts topic partitions — " +
+          "use the per-partition JSON form")
+      Map(0 -> t.toLong)
+    }
   }
 }
 
@@ -143,17 +155,31 @@ private[sources] class DocsScan(options: CaseInsensitiveStringMap, required: Str
   private val rows = options.getLong("rows", 1000L)
   private val partitions = math.max(1, options.getInt("partitions", 4))
   private val rowsPerBatch = options.getLong("rowsPerBatch", 100L)
+  // LOGICAL topic-partitions (streaming): partition p owns the id
+  // residue class {o·N + p}, each with its own monotone offset — the
+  // reference's Map[TopicPartition, Long] semantic. Distinct from the
+  // `partitions` option, which is the PHYSICAL read fan-out of an
+  // admitted range (a Kafka topic-partition is the offset unit; file
+  // splits are the parallelism unit — graft-docs keeps both).
+  private val topicPartitions = math.max(1, options.getInt("topicPartitions", 1))
   // Ledger-positioned start (streaming only). Parsed EAGERLY at scan
   // build so a malformed resume JSON fails at query construction, not
-  // in the first micro-batch. Clamped into [0, rows]: the external
-  // clampToRange handles broker-range drift; this bound is the
-  // source's own "don't start past the end" invariant.
-  private val startingOffset = math.min(rows, math.max(0L,
-    Option(options.get("startingOffset")).map(DocsSource.parseStartingOffset).getOrElse(0L)))
+  // in the first micro-batch. Each position is clamped into
+  // [0, rowsOf(p)]: the external clampToRange handles broker-range
+  // drift; this bound is the source's own "don't start past the end"
+  // invariant.
+  private val startingOffsets: Map[Int, Long] = {
+    val parsed = Option(options.get("startingOffset"))
+      .map(DocsSource.parseStartingOffsets(_, topicPartitions)).getOrElse(Map.empty[Int, Long])
+    (0 until topicPartitions).map { p =>
+      p -> math.min(DocsScan.rowsOf(rows, topicPartitions, p), math.max(0L, parsed.getOrElse(p, 0L)))
+    }.toMap
+  }
 
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-docs rows=$rows partitions=$partitions readSchema=${required.simpleString}"
+    s"graft-docs rows=$rows partitions=$partitions topicPartitions=$topicPartitions " +
+      s"readSchema=${required.simpleString}"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -163,29 +189,39 @@ private[sources] class DocsScan(options: CaseInsensitiveStringMap, required: Str
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DocsMicroBatchStream(rows, rowsPerBatch, partitions, required.fieldNames,
-      startingOffset)
+    new DocsMicroBatchStream(rows, rowsPerBatch, partitions, topicPartitions,
+      required.fieldNames, startingOffsets)
 }
 
 private[sources] object DocsScan {
-  /** Contiguous id ranges, one per partition — the planning shape a
-    * file source gets from its splits. */
+  /** Contiguous id ranges, one per physical split — the planning shape
+    * a file source gets from its splits (stride 1, base 0). */
   def slices(start: Long, end: Long, parts: Int): Array[InputPartition] = {
     val total = math.max(0L, end - start)
     (0 until parts).iterator.map { i =>
       val lo = start + i * total / parts
       val hi = start + (i + 1) * total / parts
-      DocsRange(lo, hi)
+      DocsStride(lo, hi, 0L, 1L)
     }.filter(r => r.end > r.start).toArray[InputPartition]
   }
+
+  /** Rows owned by logical partition p of n over a `rows`-id corpus:
+    * the residue classes id ≡ p (mod n) partition [0, rows) exactly,
+    * so multi-partition coverage unions to the single-partition corpus
+    * (gap-free by construction, asserted in SourcesSpec). */
+  def rowsOf(rows: Long, n: Int, p: Int): Long =
+    rows / n + (if (p < (rows % n).toInt) 1L else 0L)
 }
 
-private[sources] case class DocsRange(start: Long, end: Long) extends InputPartition
+/** Offsets [start, end) of logical partition `base` (stride = number of
+  * topic partitions): row o materializes doc id `o·stride + base`. */
+private[sources] case class DocsStride(start: Long, end: Long, base: Long, stride: Long)
+    extends InputPartition
 
 private[sources] class DocsReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val DocsRange(start, end) = partition
+    val DocsStride(start, end, base, stride) = partition
     // text(id) is the expensive generator; when both `text` and
     // `n_chars` are projected, compute it once per row and derive both.
     val needsText = fields.exists(f => f == "text" || f == "n_chars")
@@ -197,65 +233,126 @@ private[sources] class DocsReaderFactory(fields: Array[String])
       private var cur = start - 1
       override def next(): Boolean = { cur += 1; cur < end }
       override def get(): InternalRow = {
-        val t = if (needsText) DocsSource.text(cur) else null
-        InternalRow.fromSeq(fieldSeq.map(DocsSource.gen(cur, _, t)))
+        val id = cur * stride + base
+        val t = if (needsText) DocsSource.text(id) else null
+        InternalRow.fromSeq(fieldSeq.map(DocsSource.gen(id, _, t)))
       }
       override def close(): Unit = ()
     }
   }
 }
 
-/** Monotone long offset: `json()` is the row position — human-readable
-  * in the checkpoint WAL, trivially diffable against an external
-  * ledger (the reference stored exactly this shape per partition). */
-private[sources] case class DocsOffset(pos: Long) extends Offset {
-  override def json(): String = pos.toString
+/** Per-partition monotone positions — the reference's
+  * Map[TopicPartition, Long] artifact, human-readable in the checkpoint
+  * WAL and trivially diffable against an external ledger. A
+  * single-partition source serializes the bare position (`"300"`), the
+  * exact r12 WAL format, so existing checkpoints resume unchanged;
+  * multi-partition sources serialize the Kafka-inner-map shape
+  * (`{"0":120,"1":80}`, partition order sorted for stable WAL bytes). */
+private[sources] case class DocsOffset(positions: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    if (positions.keySet == Set(0)) positions(0).toString
+    else positions.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+private[sources] object DocsOffset {
+  def single(pos: Long): DocsOffset = DocsOffset(Map(0 -> pos))
+  def parse(json: String): DocsOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val inner = t.stripPrefix("{").stripSuffix("}").trim
+      val entries = if (inner.isEmpty) Map.empty[Int, Long]
+      else inner.split(",").map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+      }.toMap
+      DocsOffset(entries)
+    } else single(t.toLong)
+  }
 }
 
 private[sources] class DocsMicroBatchStream(
-    totalRows: Long, rowsPerBatch: Long, partitions: Int, fields: Array[String],
-    startingOffset: Long = 0L)
+    totalRows: Long, rowsPerBatch: Long, partitions: Int, topicPartitions: Int,
+    fields: Array[String], startingOffsets: Map[Int, Long])
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  private def rowsOf(p: Int): Long = DocsScan.rowsOf(totalRows, topicPartitions, p)
+  private def positionsOf(o: Offset): Map[Int, Long] = {
+    val m = o.asInstanceOf[DocsOffset].positions
+    // a WAL written by an older single-partition run carries only
+    // partition 0; missing partitions start at 0 (Kafka's rule)
+    (0 until topicPartitions).map(p => p -> m.getOrElse(p, 0L)).toMap
+  }
+
   /** Consulted by MicroBatchExecution ONLY when the checkpoint WAL is
-    * empty — a fresh query starts at the ledger-supplied position, a
+    * empty — a fresh query starts at the ledger-supplied positions, a
     * recovered query resumes from its WAL regardless of the option.
     * This is exactly Kafka's `startingOffsets` contract, and the half
     * of the reference pattern (external-store positioning) that the
     * WAL does not subsume. */
-  override def initialOffset(): Offset = DocsOffset(startingOffset)
-  override def deserializeOffset(json: String): Offset = DocsOffset(json.trim.toLong)
+  override def initialOffset(): Offset = DocsOffset(startingOffsets)
+  override def deserializeOffset(json: String): Offset = DocsOffset.parse(json)
   override def commit(end: Offset): Unit = ()
 
   /** Admission-controlled advance: the ENGINE-SUPPLIED limit past the
-    * checkpointed start, never past totalRows. Honoring the limit (not
-    * assuming our own default) matters for Trigger.Once/AvailableNow,
-    * where MicroBatchExecution passes allAvailable / a captured target
-    * and an implementation that blindly stepped rowsPerBatch would
-    * silently under-drain the single batch (r12 review). Driving
-    * progression off the engine-supplied start offset (not an
-    * in-memory cursor) is what makes restart correct: a recovered
-    * query resumes exactly at the WAL offset. */
+    * checkpointed start, never past each partition's end. Honoring the
+    * limit (not assuming our own default) matters for
+    * Trigger.Once/AvailableNow, where MicroBatchExecution passes
+    * allAvailable / a captured target and an implementation that
+    * blindly stepped rowsPerBatch would silently under-drain the
+    * single batch (r12 review). The row budget spreads over live
+    * partitions by a greedy ceil-share (each takes min(remaining,
+    * ceil(budget/liveLeft)), leftovers flow to later partitions), so a
+    * ReadAllAvailable budget — the total remaining — always drains
+    * EVERY partition even when one is far behind the others (the
+    * clamped-resume skew case). Driving progression off the
+    * engine-supplied start offset (not an in-memory cursor) is what
+    * makes restart correct: a recovered query resumes exactly at the
+    * WAL positions. */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[DocsOffset].pos
+    val s = positionsOf(start)
+    val totalRemaining = (0 until topicPartitions).map(p => rowsOf(p) - s(p)).sum
     def stepOf(l: ReadLimit): Long = l match {
       case r: ReadMaxRows => r.maxRows()
-      case _: ReadAllAvailable => totalRows - s
+      case _: ReadAllAvailable => totalRemaining
       case c: CompositeReadLimit =>
         val steps = c.getReadLimits.toSeq.map(stepOf)
         if (steps.isEmpty) rowsPerBatch else steps.min
       case _ => rowsPerBatch // min-rows etc.: our default batch size
     }
-    DocsOffset(math.min(totalRows, s + math.max(0L, stepOf(limit))))
+    var budget = math.min(totalRemaining, math.max(0L, stepOf(limit)))
+    val live = (0 until topicPartitions).filter(p => s(p) < rowsOf(p))
+    var left = live.size
+    val advanced = scala.collection.mutable.Map(s.toSeq: _*)
+    live.foreach { p =>
+      val share = if (left == 0 || budget <= 0) 0L else (budget + left - 1) / left
+      val adv = math.min(rowsOf(p) - s(p), share)
+      advanced(p) = s(p) + adv
+      budget -= adv
+      left -= 1
+    }
+    DocsOffset(advanced.toMap)
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used for admission control")
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    DocsScan.slices(start.asInstanceOf[DocsOffset].pos,
-      end.asInstanceOf[DocsOffset].pos, partitions)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = positionsOf(start)
+    val e = positionsOf(end)
+    if (topicPartitions == 1)
+      // single logical partition: fan the admitted range out over the
+      // physical split count, exactly like the batch path
+      DocsScan.slices(s(0), e(0), partitions)
+    else
+      // one split per logical partition (the Kafka planning shape): the
+      // per-partition ranges ARE the parallelism
+      (0 until topicPartitions).iterator
+        .map(p => DocsStride(s(p), e(p), p.toLong, topicPartitions.toLong))
+        .filter(r => r.end > r.start).toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocsReaderFactory(fields)

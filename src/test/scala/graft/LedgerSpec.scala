@@ -352,11 +352,22 @@ class LedgerSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       KafkaSource.parseStartingOffsetsJson("""{"t":{"0":1} garbage}"""))
     // graft-docs layer: plain long and single-partition JSON both land
-    // on the same position; multi-partition JSON is a config error
-    assert(graft.sources.DocsSource.parseStartingOffset("300") === 300L)
-    assert(graft.sources.DocsSource.parseStartingOffset("""{"docs":{"0":300}}""") === 300L)
+    // on the same position; multi-partition JSON positions each
+    // partition independently; a SUBSET positions only the named ones
+    // (the rest start at 0, Kafka's rule); naming a partition the
+    // source doesn't have is a config error, as is the ambiguous
+    // plain-long form over a multi-partition source
+    assert(graft.sources.DocsSource.parseStartingOffsets("300", 1) === Map(0 -> 300L))
+    assert(graft.sources.DocsSource.parseStartingOffsets("""{"docs":{"0":300}}""", 1) ===
+      Map(0 -> 300L))
+    assert(graft.sources.DocsSource.parseStartingOffsets("""{"docs":{"0":1,"1":2}}""", 2) ===
+      Map(0 -> 1L, 1 -> 2L))
+    assert(graft.sources.DocsSource.parseStartingOffsets("""{"docs":{"1":7}}""", 3) ===
+      Map(1 -> 7L))
     intercept[IllegalArgumentException](
-      graft.sources.DocsSource.parseStartingOffset("""{"docs":{"0":1,"1":2}}"""))
+      graft.sources.DocsSource.parseStartingOffsets("""{"docs":{"0":1,"1":2}}""", 1))
+    intercept[IllegalArgumentException](
+      graft.sources.DocsSource.parseStartingOffsets("300", 2))
   }
 
   test("clampToRange recovers out-of-range stored offsets and reports every adjustment") {

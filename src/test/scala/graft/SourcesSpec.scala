@@ -351,4 +351,94 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("graft_clamp_latest").isEmpty,
       "a stream positioned at latest over a drained range must admit zero rows")
   }
+
+  test("per-partition clamp resumes a multi-partition stream gap-free through MicroBatchExecution") {
+    // The reference's ACTUAL artifact — a Map[TopicPartition, Long] —
+    // driven through the real engine with partitions in DIFFERENT
+    // states: partition 0's stored offset is in-range and resumes
+    // exactly there; partition 1's is corrupted past the live range,
+    // clamps to latest, and admits nothing — loudly. The r12 engine
+    // path was single-partition-only; this closes that gap.
+    import graft.streaming.{KafkaSource, OffsetLedger}
+    val out1 = tempDir("graft_mp_out1"); val led1 = tempDir("graft_mp_led1")
+    val out2 = tempDir("graft_mp_out2"); val led2 = tempDir("graft_mp_led2")
+
+    def run(rows: Int, startingOffsets: Option[String], out: String, led: String,
+            ckpt: String): Unit = {
+      val rd = spark.readStream.format("graft-docs")
+        .option("rows", rows).option("rowsPerBatch", 40)
+        .option("topicPartitions", 2)
+      val q = startingOffsets.fold(rd)(j => rd.option("startingOffset", j)).load()
+        .select(col("doc_id").as("event_id"), col("lang"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(OffsetLedger.sink(out, led) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: both partitions drain a 100-row corpus (50 offsets each;
+    // p0 owns even ids, p1 odd — residue classes mod 2)
+    val ckpt1 = tempDir("graft_mp_ckpt1")
+    run(100, None, out1, led1, ckpt1)
+    val run1 = spark.read.parquet(s"$out1/epoch=*")
+    assert(run1.count() === 100L)
+    assert(run1.agg(countDistinct("event_id")).head().getLong(0) === 100L)
+    // WAL batch 0 committed the PER-PARTITION map end: the 40-row
+    // budget ceil-shares 20/20 over the two live partitions
+    val wal1Batch0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt1, "offsets", "0")))
+    assert(wal1Batch0.linesIterator.toSeq.last.trim === """{"0":20,"1":20}""",
+      s"batch 0 must admit 20 offsets per partition; WAL said:\n$wal1Batch0")
+
+    // phase 2: reconstruct per-partition stored offsets the reference
+    // way — p0's from the sink data (max even id 98 → offset 50, the
+    // honest ledger read), p1's HAND-CORRUPTED to 500 (a ledger from a
+    // topic since truncated/recreated — the out-of-range case)
+    val p0Stored = run1.filter(col("event_id") % 2 === 0)
+      .agg(max("event_id")).head().getLong(0) / 2 + 1
+    assert(p0Stored === 50L)
+    val (clamped, adjustments) = KafkaSource.clampToRange(
+      stored = Map(0 -> p0Stored, 1 -> 500L),
+      earliest = Map(0 -> 0L, 1 -> 0L),
+      latest = Map(0 -> 150L, 1 -> 150L)) // the grown 300-row corpus: 150 offsets each
+    assert(clamped === Map(0 -> 50L, 1 -> 150L))
+    assert(adjustments.size === 1 && adjustments.head.contains("resetting to latest"),
+      s"the p1 truncation must be reported, not silent: $adjustments")
+
+    // phase 3: FRESH checkpoint, positioned by the per-partition JSON,
+    // over the grown corpus
+    val ckpt2 = tempDir("graft_mp_ckpt2")
+    run(300, Some(KafkaSource.startingOffsetsJson("docs", clamped)), out2, led2, ckpt2)
+    val run2 = spark.read.parquet(s"$out2/epoch=*")
+    // p0 resumed at offset 50: even ids 100..298 exactly, no replay of
+    // 0..98; p1 clamped to latest: NOT ONE odd id admitted
+    assert(run2.filter(col("event_id") % 2 === 1).isEmpty,
+      "partition 1 clamped to latest must admit nothing")
+    assert(run2.count() === 100L)
+    assert(run2.agg(min("event_id"), max("event_id")).head() ===
+      org.apache.spark.sql.Row(100L, 298L))
+    // WAL-level proof the engine planned FROM the clamped map: batch
+    // 0's end advances only the live partition 0 (40-offset budget,
+    // partition 1 pinned at its clamped 150)
+    val wal2Batch0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt2, "offsets", "0")))
+    assert(wal2Batch0.linesIterator.toSeq.last.trim === """{"0":90,"1":150}""",
+      s"batch 0 must admit (50, 90] on p0 only; WAL said:\n$wal2Batch0")
+
+    // partition 0's coverage across both runs is gap-free: every even
+    // id 0..298 exactly once
+    val p0All = run1.select("event_id").union(run2.select("event_id"))
+      .filter(col("event_id") % 2 === 0)
+    assert(p0All.count() === 150L)
+    assert(p0All.agg(countDistinct("event_id")).head().getLong(0) === 150L)
+    assert(p0All.agg(min("event_id"), max("event_id")).head() ===
+      org.apache.spark.sql.Row(0L, 298L))
+    // and the streamed multi-partition content equals the batch read of
+    // the same id set (residue classes change the PLANNING, not the data)
+    val batchTwin = spark.read.format("graft-docs").option("rows", 300).load()
+      .select(col("doc_id").as("event_id"), col("lang"))
+      .filter(col("event_id") % 2 === 0 && col("event_id") >= 100)
+    assert(run2.select("event_id", "lang").except(batchTwin).isEmpty &&
+      batchTwin.except(run2.select("event_id", "lang")).isEmpty)
+  }
 }
