@@ -90,7 +90,18 @@ object OffsetLedger {
     * `.option("escape", "\"").option("multiLine", "true")` — Spark's
     * defaults (backslash escape, single-line) corrupt values with
     * embedded quotes or newlines. */
-  def kvSink(outDir: String, ledgerDir: String)(df: DataFrame, epochId: Long): Unit = {
+  def kvSink(outDir: String, ledgerDir: String)(df: DataFrame, epochId: Long): Unit =
+    kvSinkImpl(outDir, ledgerDir, None)(df, epochId)
+
+  /** [[kvSink]] with the crash-window test hook, mirroring [[sinkImpl]]:
+    * `haltAfterDataForEpoch` hard-kills the JVM right between the kv
+    * table's 2PC commit (sub-table + _SUCCESS manifest fully landed)
+    * and the ledger marker write — the exact window the clear-and-
+    * rewrite recipe claims to close. tools.SoakCrashKv drives it in a
+    * child JVM and audits the replay from a fresh process. */
+  private[graft] def kvSinkImpl(outDir: String, ledgerDir: String,
+                                haltAfterDataForEpoch: Option[Long])
+                               (df: DataFrame, epochId: Long): Unit = {
     Files.createDirectories(Paths.get(ledgerDir))
     val marker = ledgerRowPath(ledgerDir, epochId)
     if (Files.exists(marker)) return // replayed epoch: already committed
@@ -120,6 +131,8 @@ object OffsetLedger {
         coalesce(min(col("key")), lit(-1L))).head()
       cached.write.format("graft-kv")
         .option("path", epochPath.toString).mode(SaveMode.Append).save()
+      if (haltAfterDataForEpoch.contains(epochId))
+        Runtime.getRuntime.halt(137) // simulated kill -9 in the 2PC-commit→marker window
       val entry =
         s"""{"epoch_id":$epochId,"n_rows":${stats.getLong(0)},""" +
           s""""max_event_id":${stats.getLong(1)},"min_event_id":${stats.getLong(2)}}"""

@@ -31,10 +31,16 @@ class CorpusScaleSpec extends SparkSpec {
   private val Cap = 128L
 
   /** Synthetic documents dir at `n` docs: "h0 h1 h2" hot prefix + an
-    * 8-word tail, unique per doc except docs (10k, 10k+1) share one. */
-  private def synthDir(n: Int, hotPrefix: Boolean): String = {
-    val dir = tempDir(s"corpus_scale_${n}_$hotPrefix")
+    * 8-word tail, unique per doc except docs (10k, 10k+1) share one.
+    * `wideSource` pads the source labels to ~300 bytes each, making the
+    * (doc_id, source) catalog the HEAVY side relative to the near-dup
+    * pair set — the 100 TB size asymmetry, reproduced at test scale so
+    * AQE's build-side choice is the one that matters there. */
+  private def synthDir(n: Int, hotPrefix: Boolean, wideSource: Boolean = false): String = {
+    val dir = tempDir(s"corpus_scale_${n}_${hotPrefix}_$wideSource")
     val pre = if (hotPrefix) "concat('h0 h1 h2 ', tail)" else "tail"
+    val src = if (wideSource) "concat('src_', doc_id % 7, '_', repeat('x', 300))"
+      else "'synth'"
     spark.range(n)
       .selectExpr(
         "id AS doc_id",
@@ -44,7 +50,7 @@ class CorpusScaleSpec extends SparkSpec {
         "doc_id",
         s"""concat_ws(' ', transform(sequence(0, 7), j -> concat('u', tid, 'x', j))) AS tail""")
       .selectExpr("doc_id", s"$pre AS text", "'en' AS lang",
-        "'synth' AS source", s"CAST(length($pre) AS LONG) AS n_chars")
+        s"$src AS source", s"CAST(length($pre) AS LONG) AS n_chars")
       .coalesce(2)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -122,6 +128,152 @@ class CorpusScaleSpec extends SparkSpec {
     assert(c1 >= 30L && c1 <= 60L, s"1x lsh candidates $c1 — planted dups missed or noisy")
     assert(c10 >= 300L && c10 <= 600L, s"10x lsh candidates $c10")
     assert(c10 <= 20L * c1, s"lsh candidate growth $c1 -> $c10 is super-linear")
+  }
+
+  // ---- r13: slope/plan assertions for the r12 heavy cluster ---------------
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+  import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+  /** Every node of the EXECUTED plan, descending through AQE wrappers,
+    * materialized query stages and exchange reuse (plain .collect stops
+    * at stage boundaries, which is exactly where the interesting joins
+    * live). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def allNodes(df: DataFrame): Seq[SparkPlan] =
+    flatten(df.queryExecution.executedPlan)
+
+  test("q_dup_cluster_sizes: the second CC pass stays round-bounded on LSH-bounded edges at 10x") {
+    // the op's scale story is (a) its edge set is the LSH candidate
+    // graph (linear per the banding test above, never all-pairs) and
+    // (b) the CC loop converges in O(log diameter) rounds that do NOT
+    // grow with corpus size — both measured here on the planted-dup
+    // corpus (2-node components: fused seeding reaches fixpoint, one
+    // confirming round proves it)
+    val d1 = synthDir(300, hotPrefix = false)
+    val d10 = synthDir(3000, hotPrefix = false)
+    def rounds(d: String): Int =
+      ops.TextPipeline.connectedComponentsWithRounds(
+        ops.TextPipeline.lshCandidatePairs(spark, d))._2
+    val (r1, r10) = (rounds(d1), rounds(d10))
+    assert(r1 <= 2, s"2-node components should converge in <=2 rounds, took $r1")
+    assert(r10 <= r1 + 1, s"CC rounds grew with corpus size: $r1 -> $r10 — " +
+      "the log-diameter bound is broken")
+    // and the histogram itself: docs conserved, dup clusters linear
+    def hist(d: String, n: Long): Unit = {
+      val rows = SparkEntry.queries("q_dup_cluster_sizes")(spark, d).collect()
+      val docs = rows.map(r => r.getAs[Long]("n_docs")).sum
+      assert(docs === n, s"cluster histogram lost docs: $docs != $n")
+      val dupClusters = rows.filter(_.getAs[Long]("cluster_size") >= 2L)
+        .map(_.getAs[Long]("n_clusters")).sum
+      assert(dupClusters >= n / 10 && dupClusters <= n / 5,
+        s"planted ${n / 10} dup clusters, histogram says $dupClusters")
+    }
+    hist(d1, 300L)
+    hist(d10, 3000L)
+  }
+
+  test("q_minhash_est_err probes candidates only — never the quadratic pair join") {
+    // the r12 rewrite's contract, asserted on the ADVERSARIAL corpus
+    // where the uncapped form explodes: the truth side reads exactly
+    // one cell per LSH candidate (C(300,2) = 44,850 pairs exist; the
+    // hot shingle links all of them; only candidates are probed)
+    val d = synthDir(300, hotPrefix = true)
+    val out = SparkEntry.queries("q_minhash_est_err")(spark, d)
+    val rows = out.collect()
+    val probed = rows.map(_.getAs[Long]("n_pairs")).sum
+    val cands = ops.TextPipeline.lshCandidatePairs(spark, d).count()
+    assert(probed === cands,
+      s"est-err grid covers $probed pairs but LSH proposed $cands — " +
+        "a non-candidate pair leaked into the truth side")
+    assert(probed < 5000L,
+      s"$probed pairs probed on a 300-doc corpus — quadratic territory (44,850)")
+    // structural half: NO join in the executed plan keys on a shingle —
+    // the quadratic hazard's signature join (banding joins key on
+    // (lang, band, band_key); truth joins key on doc ids)
+    val shingleKeyed = allNodes(out).collect {
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+    }.flatten.flatMap(_.references.toSeq).filter(_.name == "shingle")
+    assert(shingleKeyed.isEmpty,
+      "a join keyed on `shingle` is the uncapped all-pairs hazard — est_err must not have one")
+  }
+
+  test("q_source_dup_matrix broadcasts the pair side, never the catalog, under AQE at 10x") {
+    // the op's 100 TB argument: the near-dup pair set is tiny, the
+    // (doc_id, source) catalog is corpus-sized — AQE must build the
+    // broadcast from the PAIRS. The corpus reproduces the scale
+    // asymmetry (wide source labels make the catalog ~1 MB vs tens of
+    // KB of pairs), static broadcast is disabled so the catalog can't
+    // sneak under the planner's threshold, and the adaptive threshold
+    // sits BETWEEN the two sides' sizes — the catalog cannot qualify
+    // as a build side, exactly its position at scale.
+    val d10 = synthDir(3000, hotPrefix = false, wideSource = true)
+    val conf = spark.conf
+    val prior = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "256KB")
+    try {
+      val df = SparkEntry.queries("q_source_dup_matrix")(spark, d10)
+      df.collect()
+      def isCatalogScan(p: SparkPlan): Boolean = p match {
+        case leaf if leaf.children.isEmpty && !leaf.isInstanceOf[QueryStageExec] =>
+          leaf.output.exists(_.name == "source") && leaf.output.exists(_.name == "doc_id")
+        case _ => false
+      }
+      def isJoin(p: SparkPlan): Boolean = p.isInstanceOf[BroadcastHashJoinExec] ||
+        p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+      // a join's OWN side: descend without crossing another join — a
+      // catalog scan beyond a nested join belongs to THAT join's
+      // question, not this one's (join 2's build side legitimately
+      // contains join 1's already-joined catalog rows)
+      def reach(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+          case other => other.children
+        }
+        p +: kids.filterNot(isJoin).flatMap(reach)
+      }
+      val nodes = allNodes(df)
+      val unbroadcast = nodes.collect {
+        case j: SortMergeJoinExec if reach(j.left).exists(isCatalogScan) ||
+          reach(j.right).exists(isCatalogScan) => j
+        case j: ShuffledHashJoinExec if reach(j.left).exists(isCatalogScan) ||
+          reach(j.right).exists(isCatalogScan) => j
+      }
+      assert(unbroadcast.isEmpty,
+        s"catalog joins must convert to broadcast under AQE, found:\n${unbroadcast.mkString("\n")}")
+      val catalogBhjs = nodes.collect {
+        case b: BroadcastHashJoinExec if reach(b.left).exists(isCatalogScan) ||
+          reach(b.right).exists(isCatalogScan) => b
+      }
+      assert(catalogBhjs.size >= 2,
+        s"expected the two (d1, d2) catalog joins as BHJs, found ${catalogBhjs.size}")
+      catalogBhjs.foreach { b =>
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        assert(!reach(build).exists(isCatalogScan),
+          "the CATALOG was broadcast — exactly backwards at 100 TB; the pair side must build:\n" + b)
+      }
+    } finally prior.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("capped near-dup wall-clock stays near-linear at 10x docs") {

@@ -439,7 +439,7 @@ class OverflowHeadroomSpec extends SparkSpec {
     val audited = sites.map(_.op).toSet
     // shared helpers whose scaling sites are audited under their op
     val helperHomes = Map("Inference.scala" -> "q_cat_entropy")
-    val unaudited = Files.list(opsDir).iterator().asScala
+    val flagged = Files.list(opsDir).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val src = new String(Files.readAllBytes(p))
         val blocks = src.split("""Q\("""").toSeq match {
@@ -452,12 +452,30 @@ class OverflowHeadroomSpec extends SparkSpec {
           if flag.findFirstMatchIn(body).exists { m =>
             val lo = math.max(0, m.start - 80)
             intish.findFirstIn(body.slice(lo, math.min(body.length, m.end + 80))).isDefined
-          } && !audited.contains(name) =>
-          s"${p.getFileName}:$name"
+          } =>
+          p.getFileName.toString -> name
         }
       }.toSeq
+    val unaudited = flagged.collect {
+      case (file, name) if !audited.contains(name) => s"$file:$name"
+    }
     assert(unaudited.isEmpty,
       s"integer-scaling sites with no headroom audit row: ${unaudited.mkString(", ")} — " +
         "add a Site entry with a growth model and claimed max SF")
+    // Canaries: the scanner must positively FIND known sites in every
+    // family file that carries them — a regex drift that stopped
+    // matching (say, a reformatted lattice expression) would otherwise
+    // silently void the whole audit while this test stays green. One
+    // anchor per file, including the post-audit Diagnostics additions
+    // (r12 verdict item).
+    val found = flagged.toSet
+    for (canary <- Seq(
+        "Diagnostics.scala" -> "q_ljung_box", "Diagnostics.scala" -> "q_hurst",
+        "Diagnostics.scala" -> "q_js_divergence", "Statistics.scala" -> "q_anova",
+        "Timeseries.scala" -> "q_markov_stationary", "Lexicon.scala" -> "q_zipf_fit",
+        "TextPipeline.scala" -> "q_bigram_logprob", "Inference.scala" -> "q_cat_entropy"))
+      assert(found.contains(canary),
+        s"scanner no longer detects the known lattice site $canary — the flag regex " +
+          "has drifted from the house scaling idiom; fix the scan, not the canary")
   }
 }
