@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation DECISION operators (round 13, SURVEY §2.15): the ops
+  * that turn the dedup/profiling families' measurements into the
+  * actionable artifacts a pipeline actually ships — the per-cluster
+  * keeper list, the boilerplate-prefix exposure per feed, and the
+  * vocabulary coverage curve that sizes a tokenizer.
+  *
+  * Scale notes: everything here RIDES already-bounded frames — the LSH
+  * candidate graph (never all-pairs), prefix-keyed and vocab-keyed
+  * aggregations (Zipf-bounded, orders of magnitude below the corpus),
+  * and catalog joins where AQE broadcasts the SMALL derived side
+  * against the corpus-sized catalog (the q_source_dup_matrix
+  * precedent, asserted in CorpusScaleSpec). No new shuffle shape is
+  * introduced by this file.
+  */
+object Curation {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Keeper-per-cluster dedup decision: for every near-dup cluster
+    // (connected components over the LSH candidate graph — exactly
+    // q_dup_clusters' partition), elect the doc to KEEP (longest
+    // n_chars, tie → smallest doc_id) and report how many the decision
+    // drops. This is the artifact the "keeper-per-cluster vs pairwise"
+    // strategy question (q_dup_cluster_sizes) resolves into. Spark
+    // side: the CC label frame is LSH-bounded and joins the
+    // corpus-sized catalog UNHINTED so AQE broadcasts the small side;
+    // the keeper window runs over the tiny labeled frame only.
+    Q("q_dedup_keepers",
+      "WITH RECURSIVE " + TextPipeline.LshPairCtes + """,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM cands
+        |          UNION ALL
+        |          SELECT d2, d1 FROM cands),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS lbl FROM nodes
+        |          UNION
+        |          SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY 1),
+        |k AS (SELECT c.lbl AS cluster_id, c.id AS doc, d.n_chars,
+        |             row_number() OVER (PARTITION BY c.lbl
+        |                                ORDER BY d.n_chars DESC, c.id) AS rk,
+        |             count(*) OVER (PARTITION BY c.lbl) AS sz
+        |      FROM comp c JOIN documents d ON c.id = d.doc_id)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |       CAST(doc AS BIGINT) AS keeper_doc,
+        |       CAST(n_chars AS BIGINT) AS keeper_chars,
+        |       CAST(sz AS BIGINT) AS cluster_size,
+        |       CAST(sz - 1 AS BIGINT) AS n_dropped
+        |FROM k WHERE rk = 1
+        |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val comp = TextPipeline.connectedComponents(TextPipeline.lshCandidatePairs(s, d))
+        .withColumnRenamed("id", "doc_id")
+      val cat = Tables.load(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val byCluster = Window.partitionBy("lbl")
+      comp.join(cat, "doc_id")
+        .withColumn("rk", row_number().over(
+          byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("sz", count(lit(1)).over(byCluster))
+        .filter(col("rk") === 1)
+        .select(col("lbl").as("cluster_id"), col("doc_id").as("keeper_doc"),
+          col("n_chars").as("keeper_chars"), col("sz").as("cluster_size"),
+          (col("sz") - 1).as("n_dropped"))
+        .orderBy("cluster_id")
+    },
+
+    // Boilerplate-prefix exposure per source: the share of each feed's
+    // documents whose normalized 4-word opening is shared with at
+    // least one other document ANYWHERE in the corpus — the cheap
+    // header/template detector that runs before anyone pays for
+    // shingle dedup (a feed with 60% shared prefixes is wrapping its
+    // payloads in boilerplate; strip it, don't dedup it). Two
+    // prefix-keyed aggs — the prefix domain is Zipf-bounded like a
+    // vocabulary — joined on the prefix key; the rollup lands on
+    // |sources| rows.
+    Q("q_prefix_dup",
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT source, array_to_string(ws[1:4], ' ') AS prefix
+        |      FROM w WHERE len(ws) >= 4),
+        |g AS (SELECT prefix, count(*) AS n FROM p GROUP BY 1),
+        |sp AS (SELECT source, prefix, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT sp.source AS source,
+        |       CAST(sum(sp.n) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN g.n >= 2 THEN sp.n ELSE 0 END) AS BIGINT) AS n_shared_prefix,
+        |       floor((CAST(sum(CASE WHEN g.n >= 2 THEN sp.n ELSE 0 END) AS DOUBLE) / sum(sp.n))*1000000+0.5)/1000000 AS share
+        |FROM sp JOIN g ON sp.prefix = g.prefix
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val p = Tables.load(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(col("source"), concat_ws(" ", slice(col("ws"), 1, 4)).as("prefix"))
+      val g = p.groupBy("prefix").agg(count(lit(1)).as("gn"))
+      val sp = p.groupBy("source", "prefix").agg(count(lit(1)).as("n"))
+      val sharedN = sum(when(col("gn") >= 2, col("n")).otherwise(0L))
+      sp.join(g, "prefix")
+        .groupBy("source")
+        .agg(sum("n").as("n_docs"), sharedN.as("n_shared_prefix"),
+          Q.r6(sharedN.cast("double") / sum("n")).as("share"))
+        .orderBy("source")
+    },
+
+    // Vocabulary coverage curve: the fraction of all token OCCURRENCES
+    // covered by the k most frequent types, k ∈ {10, 100, 1000} — the
+    // diminishing-returns readout that sizes a tokenizer vocabulary
+    // (and the integral twin of q_zipf_fit's slope: a steep Zipf makes
+    // tiny vocabularies cover most of the mass). One vocab-keyed agg;
+    // the rank window and the 3-point conditional rollup both run over
+    // the VOCAB frame only — the corpus is touched exactly once.
+    Q("q_vocab_coverage",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+        |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM c),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM c),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k),
+        |j AS (SELECT ks.k AS k,
+        |             CAST(sum(CASE WHEN r.rk <= ks.k THEN r.c ELSE 0 END) AS BIGINT) AS covered
+        |      FROM r CROSS JOIN ks GROUP BY 1)
+        |SELECT CAST(j.k AS BIGINT) AS k, j.covered, tot.n AS total_tokens,
+        |       tot.v AS n_types,
+        |       floor((CAST(j.covered AS DOUBLE) / tot.n)*1000000+0.5)/1000000 AS coverage
+        |FROM j CROSS JOIN tot
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      // rank + totals over the VOCAB frame (Zipf-bounded); the
+      // unpartitioned window is legal here for the same reason
+      // q_vocab-family rollups are — its input is never corpus-sized
+      val r = c
+        .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+      r.select(col("rk"), col("c"), col("n"), col("v"),
+          explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+        .groupBy("k")
+        .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(0L)).as("covered"),
+          max("n").as("total_tokens"), max("v").as("n_types"))
+        .select(col("k"), col("covered"), col("total_tokens"), col("n_types"),
+          Q.r6(col("covered").cast("double") / col("total_tokens")).as("coverage"))
+        .orderBy("k")
+    }
+  )
+}

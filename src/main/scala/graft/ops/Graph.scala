@@ -545,6 +545,67 @@ object Graph {
             col("sxx"), col("syy"))).as("assortativity"))
     },
 
+    // Modularity of the BRAND partition over the co-purchase graph
+    // (round 13): Q = Σ_b [e_bb/m − (d_b/2m)²] — do bought-together
+    // clusters align with the catalog's brand taxonomy, the one-number
+    // answer to "is an externally-given grouping a real community
+    // structure" (CC components would be degenerate here: every edge
+    // is intra-component by definition, so the partition under test
+    // must come from OUTSIDE the connectivity — the brand column).
+    // Spark: ONE shared edge list feeds the degree table and the
+    // intra-brand census; both brand joins are catalog-keyed; each
+    // brand's term is bounded by 1 in magnitude, so the 1e-12 lattice
+    // fold over ≤|brands| rows is SF-invariant (OverflowHeadroomSpec
+    // row) and the cross-row reduction stays order-free int64.
+    Q("q_graph_modularity",
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |deg AS (SELECT node, count(*) AS dg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |nb AS (SELECT p.p_brand AS brand, CAST(sum(d.dg) AS BIGINT) AS db
+        |       FROM deg d JOIN part p ON d.node = p.p_partkey GROUP BY 1),
+        |ib AS (SELECT pa.p_brand AS brand, CAST(count(*) AS BIGINT) AS ebb
+        |       FROM e JOIN part pa ON e.a = pa.p_partkey
+        |              JOIN part pb ON e.b = pb.p_partkey
+        |       WHERE pa.p_brand = pb.p_brand GROUP BY 1),
+        |terms AS (SELECT nb.brand,
+        |                 CAST(floor((CAST(COALESCE(ib.ebb, 0) AS DOUBLE) / m.m -
+        |                             (CAST(nb.db AS DOUBLE) / (2 * m.m)) *
+        |                             (CAST(nb.db AS DOUBLE) / (2 * m.m))) * 1e12 + 0.5)
+        |                   AS BIGINT) AS t12
+        |          FROM nb LEFT JOIN ib ON nb.brand = ib.brand CROSS JOIN m)
+        |SELECT m.m AS n_edges, CAST(count(*) AS BIGINT) AS n_brands,
+        |       ${Q.sqlR6("sum(t12) / 1e12")} AS modularity
+        |FROM terms CROSS JOIN m
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = coPairs(s, d).transform(snapshot)
+      val brand = Tables.load(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val mRow = e.agg(count(lit(1)).as("m"))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val nb = deg.join(brand, deg("node") === brand("p_partkey"))
+        .groupBy(col("p_brand").as("brand")).agg(sum("dg").as("db"))
+      val ib = e
+        .join(brand.select(col("p_partkey").as("a"), col("p_brand").as("ba")), "a")
+        .join(brand.select(col("p_partkey").as("b"), col("p_brand").as("bb")), "b")
+        .filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("ebb"))
+      nb.join(ib, Seq("brand"), "left")
+        .crossJoin(broadcast(mRow))
+        .select(col("m"),
+          floor((coalesce(col("ebb"), lit(0L)).cast("double") / col("m") -
+            (col("db").cast("double") / (lit(2) * col("m"))) *
+              (col("db").cast("double") / (lit(2) * col("m")))) * lit(1e12) + 0.5)
+            .cast("long").as("t12"))
+        .groupBy(col("m").as("n_edges"))
+        .agg(count(lit(1)).as("n_brands"), Q.r6(sum("t12") / lit(1e12)).as("modularity"))
+        .select(col("n_edges"), col("n_brands"), col("modularity"))
+    },
+
     // Bounded k-core peeling (round 11): [[KcoreRounds]] parallel peel
     // rounds toward the 3-core of the co-purchase graph, reporting the
     // (surviving nodes, surviving edges) trajectory per round — the

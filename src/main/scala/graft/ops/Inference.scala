@@ -37,7 +37,7 @@ object Inference {
   /** Daily event counts per type keyed by exact day index — the shared
     * (|types|×|days|)-row frame under the four series operators. One
     * map-side-partial agg; x and y are both exact int64. */
-  private[ops] def dailyCounts(s: SparkSession, d: String): DataFrame =
+  private[graft] def dailyCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"),
         datediff(col("ts").cast(DateType), to_date(lit(Anchor)))

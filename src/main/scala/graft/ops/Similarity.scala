@@ -537,6 +537,125 @@ object Similarity {
         .orderBy("label")
     },
 
+    // Embedding outlier screen (round 13): the 10 vectors LEAST
+    // cosine-aligned with their own label's centroid — mislabeled or
+    // encoder-corrupted rows, the per-row complement of q_embed_norms'
+    // aggregate QA and q_centroid_shift's drift check. The centroid
+    // values are r6-ROUNDED before the comparison pass (the
+    // q_centroid_shift precedent: rounding the shared operand is what
+    // makes the cross-engine dot products agree), the (label, dim)
+    // centroid frame is tiny and broadcasts against the corpus-sized
+    // exploded vectors, the per-vector agg collapses 64 rows that
+    // never leave their input partition, and the global bottom-10 is a
+    // TakeOrdered — the corpus is scanned once and never sorted.
+    // Selection uses the ROUNDED cosine with the vec_id tie-break, so
+    // the top-10 boundary is ulp-proof.
+    Q("q_embed_outliers",
+      """WITH x AS (SELECT vec_id, label,
+        |                  unnest(list_transform(range(1, len(embedding) + 1),
+        |                         i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        |           FROM embeddings),
+        |c AS (SELECT label, s.dim AS dim,
+        |             floor((avg(s.v))*1000000+0.5)/1000000 AS c
+        |      FROM x GROUP BY 1, 2),
+        |j AS (SELECT x.vec_id, x.label,
+        |             sum(x.s.v * c.c) AS dot, sum(x.s.v * x.s.v) AS nv,
+        |             sum(c.c * c.c) AS nc
+        |      FROM x JOIN c ON x.label = c.label AND x.s.dim = c.dim
+        |      GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |       floor((dot / (sqrt(nv) * sqrt(nc)))*1000000+0.5)/1000000 AS cos_centroid
+        |FROM j
+        |ORDER BY cos_centroid, vec_id
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val x = widened(Tables.load(s, d, "embeddings"))
+        .select(col("vec_id"), col("label"), posexplode(col("de")).as(Seq("dim", "v")))
+      val c = x.groupBy("label", "dim").agg(Q.r6(avg(col("v"))).as("c"))
+      x.join(c, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("v") * col("c")).as("dot"),
+          sum(col("v") * col("v")).as("nv"),
+          sum(col("c") * col("c")).as("nc"))
+        .select(col("vec_id"), col("label"),
+          Q.r6(col("dot") / (sqrt(col("nv")) * sqrt(col("nc")))).as("cos_centroid"))
+        .orderBy(col("cos_centroid"), col("vec_id"))
+        .limit(10)
+    },
+
+    // Simplified silhouette per label (round 13): s_i = (cos_own −
+    // cos_nearest_other) / max(1−cos_own, 1−cos_nearest_other) in
+    // cosine distance against the r6-rounded label centroids — the
+    // one-number answer to "are the labels actually separated in
+    // embedding space", aggregated to (mean silhouette, misfit count)
+    // per label. The centroid-based simplification is what runs at
+    // corpus scale: per-vector work is |labels| dot products, never a
+    // pairwise pass. Spark: ONE posexploded corpus scan joins the
+    // broadcast (label×dim) centroid frame on dim alone — the
+    // |labels|-fold fan-out flows through one (vec, centroid) agg
+    // keyed by ids (labels is a small enum, so the fan-out is a
+    // constant factor, not a growth term); per-vector scores are
+    // 1e6-lattice ints before the label rollup, so the cross-vector
+    // mean is exact int64 in both engines.
+    Q("q_silhouette",
+      """WITH x AS (SELECT vec_id, label,
+        |                  unnest(list_transform(range(1, len(embedding) + 1),
+        |                         i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+        |           FROM embeddings),
+        |c AS (SELECT label AS cl, s.dim AS dim,
+        |             floor((avg(s.v))*1000000+0.5)/1000000 AS c
+        |      FROM x GROUP BY 1, 2),
+        |p AS (SELECT x.vec_id, x.label, c.cl,
+        |             sum(x.s.v * c.c) AS dot, sum(x.s.v * x.s.v) AS nv,
+        |             sum(c.c * c.c) AS nc
+        |      FROM x JOIN c ON x.s.dim = c.dim
+        |      GROUP BY 1, 2, 3),
+        |cz AS (SELECT vec_id, label, cl,
+        |              floor((dot / (sqrt(nv) * sqrt(nc)))*1000000+0.5)/1000000 AS cos
+        |       FROM p),
+        |v AS (SELECT vec_id, label,
+        |             max(CASE WHEN cl = label THEN cos END) AS cos_own,
+        |             max(CASE WHEN cl <> label THEN cos END) AS cos_other
+        |      FROM cz GROUP BY 1, 2),
+        |sv AS (SELECT vec_id, label,
+        |              CASE WHEN cos_other IS NULL THEN NULL
+        |                   WHEN greatest(1 - cos_own, 1 - cos_other) <= 0 THEN CAST(0 AS BIGINT)
+        |                   ELSE CAST(floor((cos_own - cos_other) /
+        |                          greatest(1 - cos_own, 1 - cos_other) * 1e6 + 0.5) AS BIGINT)
+        |              END AS s6
+        |       FROM v)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(count(s6) AS BIGINT) AS n_scored,
+        |       floor((CAST(sum(s6) AS DOUBLE) / (count(s6) * 1e6))*1000000+0.5)/1000000 AS mean_silhouette,
+        |       CAST(sum(CASE WHEN s6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+        |FROM sv
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val x = widened(Tables.load(s, d, "embeddings"))
+        .select(col("vec_id"), col("label"), posexplode(col("de")).as(Seq("dim", "v")))
+      val c = x.groupBy(col("label").as("cl"), col("dim"))
+        .agg(Q.r6(avg(col("v"))).as("c"))
+      val p = x.join(c, Seq("dim"))
+        .groupBy("vec_id", "label", "cl")
+        .agg(sum(col("v") * col("c")).as("dot"),
+          sum(col("v") * col("v")).as("nv"), sum(col("c") * col("c")).as("nc"))
+        .withColumn("cos", Q.r6(col("dot") / (sqrt(col("nv")) * sqrt(col("nc")))))
+      val v = p.groupBy("vec_id", "label")
+        .agg(max(when(col("cl") === col("label"), col("cos"))).as("cos_own"),
+          max(when(col("cl") =!= col("label"), col("cos"))).as("cos_other"))
+      val den = greatest(lit(1) - col("cos_own"), lit(1) - col("cos_other"))
+      v.withColumn("s6",
+          when(col("cos_other").isNull, lit(null))
+            .when(den <= 0, lit(0L))
+            .otherwise(floor((col("cos_own") - col("cos_other")) / den * 1e6 + 0.5)
+              .cast("long")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), count(col("s6")).as("n_scored"),
+          Q.r6(sum("s6").cast("double") / (count(col("s6")) * lit(1e6)))
+            .as("mean_silhouette"),
+          sum(when(col("s6") < 0, 1L).otherwise(0L)).as("n_misfit"))
+        .orderBy("label")
+    },
+
     // Hybrid retrieval fusion — reciprocal rank fusion (RRF, k=60) of a
     // dense ranking (cosine vs the vec_id-0 probe embedding) and a
     // sparse ranking (global-idf BM25 vs a fixed query term set), the

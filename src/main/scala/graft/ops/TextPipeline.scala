@@ -200,7 +200,7 @@ object TextPipeline {
     * notes for the construction). Referenced by the q_minhash_lsh
     * oracle and, under WITH RECURSIVE, by q_dup_clusters, so the two
     * oracles cannot drift from each other. */
-  private val LshPairCtes: String =
+  private[ops] val LshPairCtes: String =
     """w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
       |sh AS (SELECT DISTINCT doc_id, lang,
       |              unnest(list_transform(range(1, len(words) - 1),

@@ -401,6 +401,88 @@ class OverflowHeadroomSpec extends SparkSpec {
               .as("a"))
           .groupBy("source").agg((sum("a") * 1e9).as("m"))
           .agg(max("m"))
+      })),
+
+    Site("q_graph_modularity", "1e12", "Σ_b floor((e_bb/m − (d_b/2m)²)·1e12) over ≤|brands| rows",
+      "const (each term bounded by 1 in magnitude; ≤25 brands)", 1e9,
+      _ => 25 * 1e12 * 2,
+      Some((s, d) => dmax {
+        // |sum| ≤ Σ|t12|; mirror the op's term with abs
+        val e = ops.Graph.coPairs(s, d)
+        val brand = Tables.load(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val m = e.count().toDouble
+        val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val nb = deg.join(brand, deg("node") === brand("p_partkey"))
+          .groupBy(col("p_brand").as("brand")).agg(sum("dg").as("db"))
+        val ib = e
+          .join(brand.select(col("p_partkey").as("a"), col("p_brand").as("ba")), "a")
+          .join(brand.select(col("p_partkey").as("b"), col("p_brand").as("bb")), "b")
+          .filter(col("ba") === col("bb"))
+          .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("ebb"))
+        nb.join(ib, Seq("brand"), "left")
+          .select((abs(coalesce(col("ebb"), lit(0L)).cast("double") / m -
+            (col("db").cast("double") / (2 * m)) * (col("db").cast("double") / (2 * m)))
+            * 1e12).as("a"))
+          .agg(sum("a"))
+      })),
+
+    Site("q_page_hinkley", "1e6", "running Σ floor((y − ȳ_t)·1e6) per type (the ONE sequential int64 accumulation)",
+      "linear (|y − ȳ| ≤ max daily count ∝ SF; ≤366 days)", 1000.0,
+      sf => 366.0 * evN(sf) * 1e6 * 2,
+      Some((s, d) => dmax {
+        // |m6| ≤ Σ|t6|; mirror the op's per-day deviation with abs
+        val wx = Window.partitionBy("event_type").orderBy("x")
+        val run = wx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast(DateType), to_date(lit("2024-01-01")))
+              .cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("cn", count(lit(1)).over(run))
+          .withColumn("cs", sum("y").over(run))
+          .select(col("event_type"),
+            abs(floor((col("y") - col("cs").cast("double") / col("cn")) * 1e6 + 0.5))
+              .as("a"))
+          .groupBy("event_type").agg(sum("a").as("m"))
+          .agg(max("m"))
+      })),
+
+    Site("q_revenue_bridge", "1e2", "per-brand Σ integer-cent terms (shared Pricing.partYear lattice; price_index rides the same cents)",
+      "linear (total lineitem revenue in cents ∝ SF)", 1e4,
+      sf => liN(sf) * 4e6 * 2, // ≤ ~$40k/row in cents
+      Some((s, d) => dmax {
+        // every bridge/index accumulator is bounded by the total cents
+        Tables.load(s, d, "lineitem")
+          .select(floor(col("l_extendedprice") * 1e2 + 0.5).cast("long").as("c"))
+          .agg(sum("c"))
+      })),
+
+    Site("q_price_index", "1e2", "per-year Σ cent-lattice cross products (p_t·q₀, p₀·q_t ≈ transaction cents)",
+      "linear (matched-part revenue ≤ total revenue in cents ∝ SF)", 1e4,
+      sf => liN(sf) * 4e6 * 2,
+      None), // same bound and corpus anchor as q_revenue_bridge above
+
+    Site("q_adf", "int64 sums", "B = n·Σy²_{t−1} − (Σy)² per type (variance_ratio's n·Σd² legs are strictly smaller)",
+      "quadratic in SF (daily counts ∝ SF; ≤366 days fixed)", 300.0,
+      sf => 400.0 * 400.0 * math.pow(evN(sf) / 100, 2) * 2,
+      Some((s, d) => dmax {
+        val lg = ops.Inference.dailyCounts(s, d)
+          .withColumn("yp", lag("y", 1).over(
+            Window.partitionBy("event_type").orderBy("x")))
+          .filter(col("yp").isNotNull)
+        lg.groupBy("event_type")
+          .agg((count(lit(1)) * sum(col("yp") * col("yp"))).as("m"))
+          .agg(max("m"))
+      })),
+
+    Site("q_silhouette", "1e6", "per-label Σ|s6| over 1e6-lattice silhouette scores (|s| ≤ 1)",
+      "linear (embeddings rows per label; label skew floors the small-SF anchor)", 1e5,
+      sf => (2e4 * math.max(sf, 5e-3)) * 1e6 * 2,
+      Some((s, d) => dmax {
+        Tables.load(s, d, "embeddings")
+          .groupBy("label").agg((count(lit(1)) * 1e6).as("m"))
+          .agg(max("m"))
       }))
   )
 
@@ -438,7 +520,8 @@ class OverflowHeadroomSpec extends SparkSpec {
     val opsDir = Paths.get("src/main/scala/graft/ops")
     val audited = sites.map(_.op).toSet
     // shared helpers whose scaling sites are audited under their op
-    val helperHomes = Map("Inference.scala" -> "q_cat_entropy")
+    val helperHomes = Map("Inference.scala" -> "q_cat_entropy",
+      "Pricing.scala" -> "q_revenue_bridge")
     val flagged = Files.list(opsDir).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val src = new String(Files.readAllBytes(p))
