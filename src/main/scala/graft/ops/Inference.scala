@@ -32,7 +32,7 @@ object Inference {
 
   /** Day-index anchor shared with Statistics.TrendAnchor — events span
     * Jan 2024. */
-  private[ops] val Anchor = "2024-01-01"
+  private[graft] val Anchor = "2024-01-01"
 
   /** Daily event counts per type keyed by exact day index — the shared
     * (|types|×|days|)-row frame under the four series operators. One

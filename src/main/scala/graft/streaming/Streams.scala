@@ -505,6 +505,62 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Streaming Page–Hinkley drift monitor (s_page_hinkley) — the
+    * incremental face of batch q_page_hinkley: per event type, the
+    * exact integer-lattice recurrence m6 += ⌊(y_d − ȳ_d)·1e6 + ½⌋,
+    * PH = max(m6 − min m6), evaluated over DAILY counts with day-close
+    * semantics: a day folds into the recurrence when a LATER day first
+    * arrives for that type (until then its count keeps absorbing
+    * events), and each fold emits the running (n_days, ph, drift_day)
+    * profile — exactly the prefix the batch op would report over the
+    * closed days, because both walk the same int64 lattice in the same
+    * day order. State per type is eight longs (the open day + the
+    * sufficient statistics), never a history. Days arriving behind the
+    * open day drop — the same explicit lateness bound as
+    * [[newReturning]]; the batch-twin equality (StreamingSpec) holds
+    * whenever days first-arrive in event-time order, which is what a
+    * monitor consuming a live feed sees. Day indices share
+    * ops.Inference.Anchor so drift_day matches the batch op's x. */
+  def pageHinkley(events: Dataset[Ev]): Dataset[PhMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PhState, PhMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[PhState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            PhState(Long.MinValue, 0L, 0L, 0L, 0L, Long.MaxValue, 0L, Long.MinValue))
+          val out = Seq.newBuilder[PhMark]
+          def fold(): Unit = { // close the open day into the recurrence
+            val n = st.n + 1
+            val s = st.s + st.openCount
+            val m6 = st.m6 +
+              math.floor((st.openCount - s.toDouble / n) * 1e6 + 0.5).toLong
+            val mn = math.min(st.mn, m6)
+            // strict > keeps the EARLIEST argmax day (the batch op's
+            // ORDER BY ph6 DESC, x tie-break); the first fold seeds it
+            val (ph6, drift) =
+              if (m6 - mn > st.ph6) (m6 - mn, st.openDay)
+              else if (st.driftDay == Long.MinValue) (st.ph6, st.openDay)
+              else (st.ph6, st.driftDay)
+            out += PhMark(typ, st.openDay, st.openCount, n, ph6 / 1e6, drift)
+            st = PhState(Long.MinValue, 0L, n, s, m6, mn, ph6, drift)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
 
 /** Per-user first-seen state: the max epoch-day observed and a 64-bit
@@ -514,3 +570,14 @@ final case class NewRetState(maxDay: Long, mask: Long)
 
 /** One (user, day) activity marker with its new-user flag. */
 final case class DayMarker(user_id: Long, epoch_day: Long, is_new: Boolean)
+
+/** Per-type Page–Hinkley monitor state: the still-open day and its
+  * running count, plus the exact int64 sufficient statistics of the
+  * closed-day recurrence (n, Σy, m6, min m6, max drift, argmax day).
+  * openDay == Long.MinValue means "no day open". */
+final case class PhState(openDay: Long, openCount: Long, n: Long, s: Long,
+                         m6: Long, mn: Long, ph6: Long, driftDay: Long)
+
+/** One closed-day emission of the running Page–Hinkley profile. */
+final case class PhMark(event_type: String, day_closed: Long, y: Long,
+                        n_days: Long, ph: Double, drift_day: Long)

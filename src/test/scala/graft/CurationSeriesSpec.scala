@@ -203,6 +203,103 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows(1000L).getAs[Double]("coverage") === 1.0)
   }
 
+  // ---- stationarity screens -----------------------------------------------
+
+  test("q_adf: perfect mean reversion reads gamma -2 with NULL t; a noisy series matches OLS") {
+    // rev: y_t = 30 - y_{t-1} exactly → slope -2, zero residual → the
+    // BC - A² = 0 guard must yield NULL t (perfect fit has no s.e.)
+    val dir = eventsDir(Seq("rev", "noisy"), 4, {
+      case ("rev", d) => if (d % 2 == 0) 10 else 20
+      case (_, d) => Seq(10, 11, 10, 12)(d)
+    })
+    val rows = q("q_adf", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows("rev").getAs[Double]("gamma") === -2.0)
+    assert(rows("rev").isNullAt(rows("rev").fieldIndex("t_stat")),
+      "a perfect fit (zero residual) must yield NULL t")
+    // noisy: pairs (x=10,z=+1),(11,-1),(10,+2): A=-5, B=2, C=14 →
+    // gamma = -2.5, t = -5·√1/√(2·14-25) = -5/√3
+    assert(rows("noisy").getAs[Double]("gamma") === -2.5)
+    assert(math.abs(rows("noisy").getAs[Double]("t_stat") - (-5.0 / math.sqrt(3.0))) < 1e-5)
+  }
+
+  test("q_variance_ratio: alternation reads VR 0, constant diffs NULL, growth matches closed form") {
+    val dir = eventsDir(Seq("alt", "trend", "grow"), 5, {
+      case ("alt", d) => if (d % 2 == 0) 10 else 20
+      case ("trend", d) => 10 * (d + 1) // constant +10 diffs: var1 = 0
+      case (_, d) => 1 << d // 1,2,4,8,16
+    })
+    val rows = q("q_variance_ratio", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // alt: 2-day diffs are all zero → VR = 0, z = (0-1)·√4 = -2
+    assert(rows("alt").getAs[Double]("vr") === 0.0)
+    assert(rows("alt").getAs[Double]("z") === -2.0)
+    assert(rows("trend").isNullAt(rows("trend").fieldIndex("vr")),
+      "zero 1-day variance must guard to NULL")
+    // grow: var1 = 115/12, var2 = 21 → VR = 252/230
+    assert(math.abs(rows("grow").getAs[Double]("vr") - 252.0 / 230) < 1e-5)
+    assert(math.abs(rows("grow").getAs[Double]("z") - (252.0 / 230 - 1) * 2) < 1e-5)
+  }
+
+  // ---- pricing ------------------------------------------------------------
+
+  /** Synthetic lineitem+part dir from (partkey, qty, extprice, year, brand). */
+  private def salesDir(rows: Seq[(Long, Double, Double, Int, String)]): String = {
+    val dir = tempDir("cs_sales")
+    import spark.implicits._
+    rows.map { case (pk, qty, ext, yr, _) => (pk, qty, ext, s"$yr-06-15 00:00:00") }
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "ship")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        to_timestamp(col("ship")).as("l_shipdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    rows.map { case (pk, _, _, _, b) => (pk, b) }.distinct
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("q_revenue_bridge: volume/price legs telescope to the delta; new and lost parts split out") {
+    val dir = salesDir(Seq(
+      (1L, 10.0, 100.0, 1997, "X"), (1L, 20.0, 300.0, 1998, "X"),
+      (2L, 5.0, 50.0, 1998, "X"), // new in 1998
+      (3L, 2.0, 80.0, 1997, "Y"))) // lost after 1997
+    val rows = q("q_revenue_bridge", dir).collect()
+      .map(r => r.getAs[String]("brand") -> r).toMap
+    val x = rows("X")
+    // part 1: p0 = $10/u, p1 = $15/u → volume 10·10 = $100, price 5·20 = $100
+    assert(x.getAs[Double]("rev_prev") === 100.0)
+    assert(x.getAs[Double]("rev_curr") === 350.0)
+    assert(x.getAs[Double]("delta") === 250.0)
+    assert(x.getAs[Double]("volume_effect") === 100.0)
+    assert(x.getAs[Double]("price_effect") === 100.0)
+    assert(x.getAs[Double]("new_effect") === 50.0)
+    assert(x.getAs[Double]("lost_effect") === 0.0)
+    assert(x.getAs[Double]("volume_effect") + x.getAs[Double]("price_effect") +
+      x.getAs[Double]("new_effect") + x.getAs[Double]("lost_effect") ===
+      x.getAs[Double]("delta"), "the bridge must tie out")
+    val y = rows("Y")
+    assert(y.getAs[Double]("lost_effect") === -80.0)
+    assert(y.getAs[Double]("delta") === -80.0)
+  }
+
+  test("q_price_index: the base year anchors at 1.0 and the matched-basket math is exact") {
+    val dir = salesDir(Seq(
+      (1L, 10.0, 100.0, 1995, "X"), (1L, 5.0, 75.0, 1996, "X"), // $10 → $15/u
+      (2L, 10.0, 100.0, 1995, "X"), (2L, 20.0, 100.0, 1996, "X"))) // $10 → $5/u
+    val rows = q("q_price_index", dir).collect()
+      .map(r => r.getAs[Long]("year") -> r).toMap
+    assert(rows(1995L).getAs[Double]("laspeyres") === 1.0)
+    assert(rows(1995L).getAs[Double]("paasche") === 1.0)
+    assert(rows(1995L).getAs[Double]("fisher") === 1.0)
+    // 1996: L = (1500·10 + 500·10)/20000 = 1.0 (the base basket nets
+    // out), P = 17500/(1000·5 + 1000·20) = 0.7 (substitution bias)
+    assert(rows(1996L).getAs[Long]("n_parts") === 2L)
+    assert(rows(1996L).getAs[Double]("laspeyres") === 1.0)
+    assert(rows(1996L).getAs[Double]("paasche") === 0.7)
+    assert(rows(1996L).getAs[Double]("fisher") ===
+      math.floor(math.sqrt(0.7) * 1e6 + 0.5) / 1e6)
+  }
+
   // ---- graph & embeddings -------------------------------------------------
 
   test("q_graph_modularity: two single-brand components score Q = 1/2") {
@@ -222,6 +319,49 @@ class CurationSeriesSpec extends SparkSpec {
     assert(row.getAs[Long]("n_brands") === 2L)
     // m=2; per brand: e_bb=1, d_b=2 → Q = 2·(1/2 − (2/4)²) = 1/2
     assert(row.getAs[Double]("modularity") === 0.5)
+  }
+
+  test("q_silhouette: separated labels score 1.0; a mislabeled vector lands at -1 and counts as misfit") {
+    import spark.implicits._
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val clean = tempDir("cs_sil")
+    ((0 until 3).map(i => (i.toLong, e1, 0)) ++ Seq((10L, e2, 1), (11L, e2, 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$clean/embeddings.parquet")
+    val cr = q("q_silhouette", clean).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    // orthogonal centroids: cos_own = 1, cos_other = 0 → s = 1 for all
+    assert(cr(0).getAs[Double]("mean_silhouette") === 1.0)
+    assert(cr(1).getAs[Double]("mean_silhouette") === 1.0)
+    assert(cr(0).getAs[Long]("n_misfit") === 0L)
+
+    val dirty = tempDir("cs_sil2")
+    ((0 until 3).map(i => (i.toLong, e1, 0)) ++
+      Seq((10L, e2, 1), (11L, e2, 1), (12L, e1, 1))) // 12 is mislabeled
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dirty/embeddings.parquet")
+    val dr = q("q_silhouette", dirty).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(dr(1).getAs[Long]("n_misfit") === 1L,
+      "the mislabeled vector must count as a misfit (s < 0)")
+    assert(dr(0).getAs[Long]("n_misfit") === 0L)
+    // independent replication of the exact rounded-centroid recurrence
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(v: Array[Double], c: Array[Double]) = r6(
+      v.zip(c).map { case (a, b) => a * b }.sum /
+        (math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum)))
+    def s6(own: Double, other: Double): Long = {
+      val den = math.max(1 - own, 1 - other)
+      if (den <= 0) 0L else math.floor((own - other) / den * 1e6 + 0.5).toLong
+    }
+    val c0 = Array(1.0, 0.0, 0.0, 0.0)
+    val c1 = Array(r6(1.0 / 3), r6(2.0 / 3), 0.0, 0.0)
+    val v1 = Array(0.0, 1.0, 0.0, 0.0) // the two correct label-1 vectors
+    val vm = Array(1.0, 0.0, 0.0, 0.0) // the mislabeled one
+    val expect = r6((2 * s6(cos(v1, c1), cos(v1, c0)) +
+      s6(cos(vm, c1), cos(vm, c0))).toDouble / (3 * 1e6))
+    assert(dr(1).getAs[Double]("mean_silhouette") === expect)
   }
 
   test("q_embed_outliers: the anti-aligned vector ranks first with cosine −1") {

@@ -150,6 +150,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_page_hinkley emissions replay the batch q_page_hinkley prefix exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.pageHinkley(in.toDS())
+      .writeStream.format("memory").queryName("t_ph").outputMode("update").start()
+    // click: level shift 10→30 at day 3; view: flat 4/day. Days arrive
+    // in order across batches, with one batch boundary INSIDE day 2
+    // (the open-day count must keep absorbing) and one behind-horizon
+    // straggler for day 0 that must drop without disturbing the state.
+    def d(day: Int, i: Int) = day * 1440 + i
+    def dayEvs(day: Int, typ: String, n: Int, base: Long) =
+      (0 until n).map(i => ev(base + i, d(day, i), user = 1, typ = typ))
+    val counts = Map(0 -> 10, 1 -> 10, 2 -> 10, 3 -> 30, 4 -> 30, 5 -> 30)
+    withQuery(q) {
+      var id = 100L
+      // feed days 0..5 one batch per day, splitting day 2 across two batches
+      for (day <- 0 to 5) {
+        val evs = dayEvs(day, "click", counts(day), id) ++
+          dayEvs(day, "view", 4, id + 1000)
+        id += 2000
+        if (day == 2) {
+          in.addData(evs.take(5): _*); q.processAllAvailable()
+          in.addData(evs.drop(5): _*); q.processAllAvailable()
+        } else { in.addData(evs: _*); q.processAllAvailable() }
+        if (day == 4) { // behind-horizon straggler: day 0 again
+          in.addData(ev(id, d(0, 100), user = 1, typ = "click")); id += 1
+          q.processAllAvailable()
+        }
+      }
+      // sentinel day 6 closes day 5 so every data day is folded
+      in.addData(ev(id, d(6, 0), user = 1, typ = "click"),
+        ev(id + 1, d(6, 0), user = 1, typ = "view"))
+      q.processAllAvailable()
+      val marks = spark.table("t_ph").as[graft.streaming.PhMark].collect()
+      // per type: 6 closed days, contiguous n_days, per-day counts intact
+      for (t <- Seq("click", "view")) {
+        val ms = marks.filter(_.event_type == t).sortBy(_.n_days)
+        assert(ms.map(_.n_days).toSeq === (1L to 6L),
+          s"$t must fold exactly days 0..5 in order")
+        assert(ms.map(_.y).sum === (if (t == "click") 120L else 24L),
+          "the straggler must drop and the split day must still total")
+      }
+      // the final emission per type IS the batch statistic over days 0..5
+      val dir = tempDir("ph_twin")
+      val batchRows = (0 to 5).flatMap { day =>
+        dayEvs(day, "click", counts(day), 5000L + day * 100) ++
+          dayEvs(day, "view", 4, 8000L + day * 100)
+      }
+      batchRows.toDS()
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+          "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_page_hinkley")(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("drift_day"), r.getAs[Double]("ph"))))
+        .toMap
+      val streamed = marks.groupBy(_.event_type).map { case (t, ms) =>
+        val last = ms.maxBy(_.n_days)
+        t -> ((last.n_days, last.drift_day, last.ph))
+      }
+      // day indices share ops.Inference.Anchor in BOTH engines (UTC
+      // floor-div vs datediff over the same rows) — exact equality
+      assert(streamed === batch,
+        s"streaming profile $streamed diverges from the batch statistic $batch")
+      assert(batch("click")._3 > 10.0, "the 10→30 shift must accumulate real drift")
+      assert(batch("view")._3 === 0.0, "a flat series reads zero drift")
+    }
+  }
+
   test("s_merge_upsert streaming state equals batch mergeUpsert over the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
