@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
@@ -959,6 +960,142 @@ object Analytics {
           Q.r4((col("prev_active") - coalesce(col("returning_users"), lit(0L))).cast("double") /
             col("prev_active")).as("churn_rate"))
         .orderBy("day")
+    },
+
+    // 2×2 odds ratio with the Woolf CI (round 13): does clicking
+    // associate with high-value purchasing at the USER grain —
+    // exposure = any click, outcome = any purchase ≥ $150 (q_abtest's
+    // conversion bar), OR = ad/bc with the log-scale CI exp(ln OR ±
+    // 1.96·√(1/a+1/b+1/c+1/d)). The case-control companion to
+    // q_abtest's two-proportion z (same cells, the OR frame is what a
+    // risk analyst quotes). ONE user-grain agg (map-side partial) to
+    // four exact int64 cells, then a single-row shared tree; any zero
+    // cell NULLs the estimate (the Woolf variance is undefined there).
+    Q("q_odds_ratio",
+      """WITH u AS (SELECT user_id,
+        |                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ex,
+        |                  max(CASE WHEN event_type = 'purchase' AND value >= 150
+        |                           THEN 1 ELSE 0 END) AS conv
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT CAST(sum(ex * conv) AS BIGINT) AS a,
+        |             CAST(sum(ex * (1 - conv)) AS BIGINT) AS b,
+        |             CAST(sum((1 - ex) * conv) AS BIGINT) AS c,
+        |             CAST(sum((1 - ex) * (1 - conv)) AS BIGINT) AS d
+        |      FROM u)
+        |SELECT a, b, c, d,
+        |       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |         floor(((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))*1000000+0.5)/1000000
+        |       END AS odds_ratio,
+        |       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |         floor((exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)) -
+        |                    1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)))*1000000+0.5)/1000000
+        |       END AS ci_lo,
+        |       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |         floor((exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)) +
+        |                    1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)))*1000000+0.5)/1000000
+        |       END AS ci_hi
+        |FROM c""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("ex"),
+          max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
+            .otherwise(0)).as("conv"))
+      val cells = u.agg(
+        sum(col("ex") * col("conv")).as("a"),
+        sum(col("ex") * (lit(1) - col("conv"))).as("b"),
+        sum((lit(1) - col("ex")) * col("conv")).as("c"),
+        sum((lit(1) - col("ex")) * (lit(1) - col("conv"))).as("d"))
+      val pos = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+      val or = (col("a").cast("double") * col("d")) / (col("b").cast("double") * col("c"))
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("d"))
+      cells.select(col("a"), col("b"), col("c"), col("d"),
+        when(pos, Q.r6(or)).as("odds_ratio"),
+        when(pos, Q.r6(exp(log(or) - lit(1.96) * se))).as("ci_lo"),
+        when(pos, Q.r6(exp(log(or) + lit(1.96) * se))).as("ci_hi"))
+    },
+
+    // Decile lift/gains curve (round 13): rank users by total event
+    // volume into activity deciles, read each decile's high-value
+    // conversion rate against the base rate — "how concentrated is
+    // conversion in the most active users", the targeting-value
+    // readout behind every outreach-sizing decision (cum_gain at
+    // decile k = share of all converters reachable by targeting the
+    // top k/10). The oracle states it as ntile(10) ORDER BY (vol
+    // DESC, user_id); the Spark side computes the IDENTICAL rank
+    // scalably — a global ntile would single-partition every user, so
+    // instead the bounded vol count-grid carries cumulative offsets
+    // (broadcast), each user's global rank is offset + row_number
+    // WITHIN its vol cohort (partitioned, never global), and the
+    // standard ntile bucket formula (first N mod 10 buckets one
+    // larger) maps ranks to deciles in exact int64.
+    Q("q_lift_curve",
+      """WITH u AS (SELECT user_id, count(*) AS vol,
+        |                  max(CASE WHEN event_type = 'purchase' AND value >= 150
+        |                           THEN 1 ELSE 0 END) AS conv
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT conv, ntile(10) OVER (ORDER BY vol DESC, user_id) AS decile FROM u),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(conv) AS BIGINT) AS n_conv
+        |      FROM t GROUP BY 1),
+        |w AS (SELECT decile, n_users, n_conv,
+        |             CAST(sum(n_conv) OVER (ORDER BY decile) AS BIGINT) AS cum_conv,
+        |             CAST(sum(n_conv) OVER () AS BIGINT) AS tot_conv,
+        |             CAST(sum(n_users) OVER () AS BIGINT) AS tot_users
+        |      FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_users, n_conv,
+        |       floor((CAST(n_conv AS DOUBLE) / n_users)*1000000+0.5)/1000000 AS conv_rate,
+        |       CASE WHEN tot_conv > 0 THEN
+        |         floor(((CAST(n_conv AS DOUBLE) / n_users) /
+        |                (CAST(tot_conv AS DOUBLE) / tot_users))*1000000+0.5)/1000000
+        |       END AS lift,
+        |       CASE WHEN tot_conv > 0 THEN
+        |         floor((CAST(cum_conv AS DOUBLE) / tot_conv)*1000000+0.5)/1000000
+        |       END AS cum_gain
+        |FROM w
+        |ORDER BY decile""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("vol"),
+          max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
+            .otherwise(0)).as("conv"))
+        .transform(Q.snapshot)
+      // bounded vol grid → cumulative rank offsets (higher vol first)
+      val grid = u.groupBy("vol").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy(col("vol").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val nRow = u.agg(count(lit(1)).as("nu"))
+      // Column./ is double division — exact integer division via the
+      // exact-multiple form (a − a%b is divisible, and the quotient
+      // stays far below 2^53)
+      def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+      val r = col("off") + col("rw") // the global (vol desc, user_id) rank
+      val q10 = idiv(col("nu"), lit(10L))
+      val rem = col("nu") % 10
+      val decile =
+        when(r <= rem * (q10 + 1), idiv(r - 1, q10 + 1) + 1)
+          .otherwise(rem + idiv(r - 1 - rem * (q10 + 1), q10) + 1)
+      val g = u.join(broadcast(grid.select("vol", "off")), "vol")
+        .withColumn("rw", row_number().over(
+          Window.partitionBy("vol").orderBy("user_id")))
+        .crossJoin(broadcast(nRow))
+        .withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      val w = g
+        .withColumn("cum_conv", sum("n_conv").over(
+          Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot_conv", sum("n_conv").over(Window.partitionBy()))
+        .withColumn("tot_users", sum("n_users").over(Window.partitionBy()))
+      w.select(col("decile"), col("n_users"), col("n_conv"),
+          Q.r6(col("n_conv").cast("double") / col("n_users")).as("conv_rate"),
+          when(col("tot_conv") > 0,
+            Q.r6((col("n_conv").cast("double") / col("n_users")) /
+              (col("tot_conv").cast("double") / col("tot_users")))).as("lift"),
+          when(col("tot_conv") > 0,
+            Q.r6(col("cum_conv").cast("double") / col("tot_conv"))).as("cum_gain"))
+        .orderBy("decile")
     }
   )
 }

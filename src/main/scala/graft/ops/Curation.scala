@@ -143,6 +143,59 @@ object Curation {
         .select(col("k"), col("covered"), col("total_tokens"), col("n_types"),
           Q.r6(col("covered").cast("double") / col("total_tokens")).as("coverage"))
         .orderBy("k")
+    },
+
+    // Per-source content novelty (round 13): the share of each feed's
+    // distinct 3-shingles that appear NOWHERE else in the corpus —
+    // "how much unique content does this source actually contribute",
+    // the acquisition-value complement of q_prefix_dup's boilerplate
+    // exposure and q_source_overlap's pairwise containment (a feed can
+    // be boilerplate-free yet still 95% re-statable from the others).
+    // Rides the SAME (lang, shingle)-keyed df exchange the dedup
+    // family shuffles on — df == 1 is exact under any df cap since
+    // capping only drops HIGH-df shingles from candidate generation;
+    // per-doc fractions hit the 1e6 lattice before the source mean.
+    // (Spark side: df comes from a count window ON the (lang, shingle)
+    // exchange — the q_cross_doc_ngram one-shuffle form — never an
+    // agg + corpus-sized join-back.)
+    Q("q_doc_novelty",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |df AS (SELECT lang, shingle, count(*) AS df FROM sh GROUP BY 1, 2),
+        |pd AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |              CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq
+        |       FROM sh JOIN df ON sh.lang = df.lang AND sh.shingle = df.shingle
+        |       GROUP BY 1),
+        |sd AS (SELECT d.source, pd.n_sh, pd.uniq,
+        |              CAST(floor((CAST(pd.uniq AS DOUBLE) / pd.n_sh) * 1e6 + 0.5) AS BIGINT) AS f6
+        |       FROM pd JOIN documents d ON pd.doc_id = d.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(uniq) AS BIGINT) AS unique_shingles,
+        |       CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+        |       floor((CAST(sum(uniq) AS DOUBLE) / sum(n_sh))*1000000+0.5)/1000000 AS novelty,
+        |       floor((CAST(sum(f6) AS DOUBLE) / (count(*) * 1e6))*1000000+0.5)/1000000 AS mean_doc_novelty
+        |FROM sd
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val pd = TextPipeline.shingles(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "shingle")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("uniq"))
+      val cat = Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+      pd.join(cat, "doc_id")
+        .withColumn("f6",
+          floor((col("uniq").cast("double") / col("n_sh")) * lit(1e6) + 0.5).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("uniq").as("unique_shingles"),
+          sum("n_sh").as("total_shingles"),
+          Q.r6(sum("uniq").cast("double") / sum("n_sh")).as("novelty"),
+          Q.r6(sum("f6").cast("double") / (count(lit(1)) * lit(1e6)))
+            .as("mean_doc_novelty"))
+        .orderBy("source")
     }
   )
 }

@@ -376,6 +376,172 @@ object SeriesTests {
           when(ok, Q.r6(vr)).as("vr"),
           when(ok, Q.r6((vr - 1) * sqrt(col("n1").cast("double")))).as("z"))
         .orderBy("event_type")
+    },
+
+    // Rolling 7-day Pearson correlation per type PAIR over the shared
+    // daily frame: the decoupling detector — two volumes that track
+    // each other all quarter except one week is a signal the
+    // full-series correlation (q_corr_matrix's day-grid cousin)
+    // averages away. Reports, per unordered pair, the full-series
+    // correlation plus the weakest 7-day window and its day. The pair
+    // join runs on the COLLAPSED daily frame (|types|²·days rows —
+    // types is a small enum), windows are 7-row int64 sums, and the
+    // weakest window is located on the 1e6-lattice correlation with
+    // the day tie-break, so the argmin is ulp-proof.
+    Q("q_rolling_corr",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |j AS (SELECT a.event_type AS ta, b.event_type AS tb, a.x,
+         |             a.y AS ya, b.y AS yb
+         |      FROM daily a JOIN daily b ON a.x = b.x AND a.event_type < b.event_type),
+         |w AS (SELECT ta, tb, x, ya, yb,
+         |             CAST(count(*) OVER r7 AS BIGINT) AS n7,
+         |             CAST(sum(ya) OVER r7 AS BIGINT) AS sx,
+         |             CAST(sum(yb) OVER r7 AS BIGINT) AS sy,
+         |             CAST(sum(ya * ya) OVER r7 AS BIGINT) AS sxx,
+         |             CAST(sum(yb * yb) OVER r7 AS BIGINT) AS syy,
+         |             CAST(sum(ya * yb) OVER r7 AS BIGINT) AS sxy
+         |      FROM j
+         |      WINDOW r7 AS (PARTITION BY ta, tb ORDER BY x
+         |                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         |c AS (SELECT ta, tb, x,
+         |             CAST(floor((CAST(n7 * sxy - sx * sy AS DOUBLE) /
+         |                    (sqrt(CAST(n7 * sxx - sx * sx AS DOUBLE)) *
+         |                     sqrt(CAST(n7 * syy - sy * sy AS DOUBLE)))) * 1e6 + 0.5)
+         |               AS BIGINT) AS c6
+         |      FROM w
+         |      WHERE n7 = 7 AND n7 * sxx - sx * sx > 0 AND n7 * syy - sy * sy > 0),
+         |mn AS (SELECT ta, tb, x, c6,
+         |              row_number() OVER (PARTITION BY ta, tb ORDER BY c6, x) AS rk
+         |       FROM c),
+         |f AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(ya) AS BIGINT) AS sx, CAST(sum(yb) AS BIGINT) AS sy,
+         |             CAST(sum(ya * ya) AS BIGINT) AS sxx,
+         |             CAST(sum(yb * yb) AS BIGINT) AS syy,
+         |             CAST(sum(ya * yb) AS BIGINT) AS sxy
+         |      FROM j GROUP BY 1, 2)
+         |SELECT f.ta AS type_a, f.tb AS type_b, f.n AS n_days,
+         |       CASE WHEN f.n * f.sxx - f.sx * f.sx > 0
+         |             AND f.n * f.syy - f.sy * f.sy > 0 THEN
+         |         ${Q.sqlR6("CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE) / " +
+                   "(sqrt(CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE)) * " +
+                   "sqrt(CAST(f.n * f.syy - f.sy * f.sy AS DOUBLE)))")}
+         |       END AS corr_full,
+         |       mn.c6 / 1e6 AS min_corr7, mn.x AS min_corr_day
+         |FROM f LEFT JOIN mn ON f.ta = mn.ta AND f.tb = mn.tb AND mn.rk = 1
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d)
+      val a = daily.select(col("event_type").as("ta"), col("x"), col("y").as("ya"))
+      val b = daily.select(col("event_type").as("tb"), col("x"), col("y").as("yb"))
+      val j = a.join(b, Seq("x")).filter(col("ta") < col("tb")).transform(Q.snapshot)
+      val r7 = Window.partitionBy("ta", "tb").orderBy("x").rowsBetween(-6, 0)
+      val w = j
+        .withColumn("n7", count(lit(1)).over(r7))
+        .withColumn("sx", sum("ya").over(r7)).withColumn("sy", sum("yb").over(r7))
+        .withColumn("sxx", sum(col("ya") * col("ya")).over(r7))
+        .withColumn("syy", sum(col("yb") * col("yb")).over(r7))
+        .withColumn("sxy", sum(col("ya") * col("yb")).over(r7))
+      val vxx = col("n7") * col("sxx") - col("sx") * col("sx")
+      val vyy = col("n7") * col("syy") - col("sy") * col("sy")
+      val mn = w.filter(col("n7") === 7 && vxx > 0 && vyy > 0)
+        .withColumn("c6",
+          floor((col("n7") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(vxx.cast("double")) * sqrt(vyy.cast("double"))) * lit(1e6) + 0.5)
+            .cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("ta", "tb").orderBy(col("c6"), col("x"))))
+        .filter(col("rk") === 1)
+        .select(col("ta"), col("tb"), col("c6"), col("x").as("min_corr_day"))
+      val f = j.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"), sum("ya").as("sx"), sum("yb").as("sy"),
+          sum(col("ya") * col("ya")).as("sxx"), sum(col("yb") * col("yb")).as("syy"),
+          sum(col("ya") * col("yb")).as("sxy"))
+      val fxx = col("n") * col("sxx") - col("sx") * col("sx")
+      val fyy = col("n") * col("syy") - col("sy") * col("sy")
+      f.join(mn, Seq("ta", "tb"), "left")
+        .select(col("ta").as("type_a"), col("tb").as("type_b"), col("n").as("n_days"),
+          when(fxx > 0 && fyy > 0,
+            Q.r6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(fxx.cast("double")) * sqrt(fyy.cast("double"))))).as("corr_full"),
+          (col("c6") / lit(1e6)).as("min_corr7"), col("min_corr_day"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Cook's distance influence screen on the daily trend fit per
+    // type: which single day most moves the fitted OLS line —
+    // D_i = e_i²·h_i / (p·s²·(1−h_i)²) with leverage h_i = 1/n +
+    // (x_i − x̄)²/Sxx, p = 2 — the "is the trend one weird day"
+    // companion to q_grubbs' level outlier and q_trend_fit's slope.
+    // Every per-day quantity derives from the SAME exact int64
+    // sufficient statistics through one mirrored tree, so the doubles
+    // are bit-identical cross-engine and the argmax ranks on (D desc,
+    // day) without a lattice — D is unbounded (h → 1 explodes it), so
+    // flooring it onto an int lattice is exactly what must NOT happen
+    // here; determinism comes from the shared tree instead.
+    Q("q_cooks_distance",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM daily GROUP BY 1),
+         |z AS (SELECT d.event_type, d.x, d.y, t.n,
+         |             CAST(t.n * t.sxx - t.sx * t.sx AS DOUBLE) AS bxx,
+         |             CAST(t.n * t.sxy - t.sx * t.sy AS DOUBLE) AS bxy,
+         |             CAST(t.n * t.syy - t.sy * t.sy AS DOUBLE) AS byy,
+         |             CAST(t.n * d.x - t.sx AS DOUBLE) AS dx,
+         |             CAST(t.n * d.y - t.sy AS DOUBLE) AS dy
+         |      FROM daily d JOIN t ON d.event_type = t.event_type),
+         |e AS (SELECT event_type, x, y, n,
+         |             (dy - (bxy / bxx) * dx) / n AS res,
+         |             1.0 / n + (dx / n) * (dx / n) / (bxx / n) AS h,
+         |             (byy - (bxy / bxx) * bxy) / (n * (n - 2)) AS s2
+         |      FROM z WHERE n >= 4 AND bxx > 0),
+         |dd AS (SELECT event_type, x, y, res, h,
+         |              CASE WHEN s2 > 0 AND h < 1 THEN
+         |                res * res * h / (2 * s2 * (1 - h) * (1 - h))
+         |              END AS d,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY
+         |                CASE WHEN s2 > 0 AND h < 1 THEN
+         |                  res * res * h / (2 * s2 * (1 - h) * (1 - h))
+         |                END DESC NULLS LAST, x) AS rk
+         |       FROM e)
+         |SELECT event_type, x AS influential_day, y AS day_count,
+         |       ${Q.sqlR6("d")} AS cooks_d, ${Q.sqlR6("h")} AS leverage,
+         |       ${Q.sqlR6("res")} AS residual
+         |FROM dd WHERE rk = 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val t = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val z = daily.join(t, "event_type")
+        .select(col("event_type"), col("x"), col("y"), col("n"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("bxx"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("bxy"),
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("byy"),
+          (col("n") * col("x") - col("sx")).cast("double").as("dx"),
+          (col("n") * col("y") - col("sy")).cast("double").as("dy"))
+      val e = z.filter(col("n") >= 4 && col("bxx") > 0)
+        .select(col("event_type"), col("x"), col("y"), col("n"),
+          ((col("dy") - (col("bxy") / col("bxx")) * col("dx")) / col("n")).as("res"),
+          (lit(1.0) / col("n") +
+            (col("dx") / col("n")) * (col("dx") / col("n")) / (col("bxx") / col("n")))
+            .as("h"),
+          ((col("byy") - (col("bxy") / col("bxx")) * col("bxy")) /
+            (col("n") * (col("n") - 2))).as("s2"))
+      val dExpr = when(col("s2") > 0 && col("h") < 1,
+        col("res") * col("res") * col("h") /
+          (lit(2) * col("s2") * (lit(1) - col("h")) * (lit(1) - col("h"))))
+      e.withColumn("d", dExpr)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("d").desc_nulls_last, col("x"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("x").as("influential_day"),
+          col("y").as("day_count"), Q.r6(col("d")).as("cooks_d"),
+          Q.r6(col("h")).as("leverage"), Q.r6(col("res")).as("residual"))
+        .orderBy("event_type")
     }
   )
 }

@@ -241,6 +241,113 @@ class CurationSeriesSpec extends SparkSpec {
     assert(math.abs(rows("grow").getAs[Double]("z") - (252.0 / 230 - 1) * 2) < 1e-5)
   }
 
+  /** Synthetic events dir from explicit (event_id, day, user, type, value). */
+  private def rawEventsDir(rows: Seq[(Long, Int, Long, String, Double)]): String = {
+    val dir = tempDir("cs_raw")
+    import spark.implicits._
+    rows.toDF("event_id", "d", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(col("d"), lit(1), lit(0), lit(0))).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_rolling_corr: aligned trends read +1, mirrored trends -1, ties resolve to the first window") {
+    // up: 1..8, up2: 2..16 (collinear), dn: 8..1 (anti) over 8 days —
+    // every complete 7-day window ties, so the argmin tie-break must
+    // land on the FIRST complete window (day 6)
+    val dir = eventsDir(Seq("up", "up2", "dn"), 8, {
+      case ("up", d) => d + 1
+      case ("up2", d) => 2 * (d + 1)
+      case (_, d) => 8 - d
+    })
+    val rows = q("q_rolling_corr", dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(rows.keySet === Set(("dn", "up"), ("dn", "up2"), ("up", "up2")))
+    val pos = rows(("up", "up2"))
+    assert(pos.getAs[Long]("n_days") === 8L)
+    assert(pos.getAs[Double]("corr_full") === 1.0)
+    assert(pos.getAs[Double]("min_corr7") === 1.0)
+    assert(pos.getAs[Long]("min_corr_day") === 6L,
+      "all windows tie at +1: the day tie-break must pick the first complete window")
+    assert(rows(("dn", "up")).getAs[Double]("corr_full") === -1.0)
+    assert(rows(("dn", "up")).getAs[Double]("min_corr7") === -1.0)
+  }
+
+  test("q_cooks_distance: a mid-series spike dominates influence; the closed form matches") {
+    // flat 10 with a +14 spike at day 3 of 7: b = 0, ybar = 12,
+    // SSE = 168, h3 = 1/7 → D3 = 144·(1/7)/(2·33.6·(6/7)²) = 5/12
+    val dir = eventsDir(Seq("spiky"), 7, {
+      case (_, 3) => 24
+      case _ => 10
+    })
+    val row = q("q_cooks_distance", dir).head()
+    assert(row.getAs[Long]("influential_day") === 3L)
+    assert(row.getAs[Long]("day_count") === 24L)
+    assert(math.abs(row.getAs[Double]("cooks_d") - 5.0 / 12) < 1e-5)
+    assert(math.abs(row.getAs[Double]("leverage") - 1.0 / 7) < 1e-5)
+    assert(math.abs(row.getAs[Double]("residual") - 12.0) < 1e-5)
+  }
+
+  test("q_odds_ratio: one user per cell gives OR 1 with the Woolf interval") {
+    val dir = rawEventsDir(Seq(
+      (1L, 0, 1L, "click", 1.0), (2L, 0, 1L, "purchase", 200.0), // a: exposed+conv
+      (3L, 0, 2L, "click", 1.0), // b: exposed only
+      (4L, 0, 3L, "purchase", 200.0), // c: conv only
+      (5L, 0, 4L, "view", 1.0))) // d: neither
+    val row = q("q_odds_ratio", dir).head()
+    assert((row.getAs[Long]("a"), row.getAs[Long]("b"),
+      row.getAs[Long]("c"), row.getAs[Long]("d")) === ((1L, 1L, 1L, 1L)))
+    assert(row.getAs[Double]("odds_ratio") === 1.0)
+    assert(math.abs(row.getAs[Double]("ci_lo") - math.exp(-1.96 * 2)) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ci_hi") - math.exp(1.96 * 2)) < 1e-5)
+  }
+
+  test("q_lift_curve: converters concentrate lift in their deciles and the gains curve is exact") {
+    // 20 users, vol = 21-u (distinct) → deciles of exactly 2 users in
+    // user order; converters are users 1 (decile 1) and 11 (decile 6)
+    val rows20 = (1 to 20).flatMap { u =>
+      val evs = (0 until (21 - u)).map(i =>
+        (u * 100L + i, i % 5, u.toLong, "view", 1.0))
+      if (u == 1 || u == 11) evs :+ (u * 100L + 99, 0, u.toLong, "purchase", 200.0)
+      else evs
+    }
+    val rows = q("q_lift_curve", rawEventsDir(rows20)).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(rows.size === 10)
+    assert(rows.values.map(_.getAs[Long]("n_users")).toSet === Set(2L))
+    // base rate 2/20 = 0.1; converting deciles read rate 0.5 → lift 5
+    for (d <- Seq(1L, 6L)) {
+      assert(rows(d).getAs[Long]("n_conv") === 1L)
+      assert(rows(d).getAs[Double]("conv_rate") === 0.5)
+      assert(rows(d).getAs[Double]("lift") === 5.0)
+    }
+    assert(rows(2L).getAs[Double]("lift") === 0.0)
+    assert(rows(1L).getAs[Double]("cum_gain") === 0.5)
+    assert(rows(5L).getAs[Double]("cum_gain") === 0.5)
+    assert(rows(6L).getAs[Double]("cum_gain") === 1.0)
+    assert(rows(10L).getAs[Double]("cum_gain") === 1.0)
+  }
+
+  test("q_doc_novelty: duplicated shingles zero a source's novelty; unique content reads 1") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d", "s1"), (1L, "a b c d", "s1"), // all shingles df=2
+      (2L, "x y z w", "s2"))) // all shingles unique
+    val rows = q("q_doc_novelty", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("s1").getAs[Long]("n_docs") === 2L)
+    assert(rows("s1").getAs[Long]("unique_shingles") === 0L)
+    assert(rows("s1").getAs[Long]("total_shingles") === 4L)
+    assert(rows("s1").getAs[Double]("novelty") === 0.0)
+    assert(rows("s1").getAs[Double]("mean_doc_novelty") === 0.0)
+    assert(rows("s2").getAs[Double]("novelty") === 1.0)
+    assert(rows("s2").getAs[Double]("mean_doc_novelty") === 1.0)
+  }
+
   // ---- pricing ------------------------------------------------------------
 
   /** Synthetic lineitem+part dir from (partkey, qty, extprice, year, brand). */

@@ -476,6 +476,18 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max("m"))
       })),
 
+    Site("q_rolling_corr", "1e6", "per-window c6 = floor(corr·1e6+½) (never summed; the full-series n·Σxy legs share q_adf's quadratic model)",
+      "const (|corr| ≤ 1 by construction)", 300.0, _ => 2e6, None),
+
+    Site("q_doc_novelty", "1e6", "per-source Σf6 over 1e6-lattice per-doc unique-shingle fractions (f ≤ 1)",
+      "linear (documents rows per source)", 1e5,
+      sf => docN(sf) * 1e6 * 2,
+      Some((s, d) => dmax {
+        Tables.load(s, d, "documents")
+          .groupBy("source").agg((count(lit(1)) * 1e6).as("m"))
+          .agg(max("m"))
+      })),
+
     Site("q_silhouette", "1e6", "per-label Σ|s6| over 1e6-lattice silhouette scores (|s| ≤ 1)",
       "linear (embeddings rows per label; label skew floors the small-SF anchor)", 1e5,
       sf => (2e4 * math.max(sf, 5e-3)) * 1e6 * 2,
