@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,9 +109,23 @@ object Curation {
     // covered by the k most frequent types, k ∈ {10, 100, 1000} — the
     // diminishing-returns readout that sizes a tokenizer vocabulary
     // (and the integral twin of q_zipf_fit's slope: a steep Zipf makes
-    // tiny vocabularies cover most of the mass). One vocab-keyed agg;
-    // the rank window and the 3-point conditional rollup both run over
-    // the VOCAB frame only — the corpus is touched exactly once.
+    // tiny vocabularies cover most of the mass). Shape (r14 rewrite):
+    // coverage needs ranks ≤ 1000 ONLY, and the vocabulary is NOT a
+    // bounded frame — Heaps' law (q_heaps_fit: V(n) ≈ K·n^β) grows it
+    // as a power of corpus size, 10⁸–10⁹ types at 100 TB — so the r13
+    // whole-vocab rank window (empty partition spec ⇒ one reducer
+    // sorting every type) is exactly the shape r8 purged from
+    // q_ngram_freq. Instead ONE global aggregate over the vocab count
+    // frame computes all three sufficient pieces in a single pass:
+    // total token mass (sum), type count, and the top-1000 (count,
+    // token) pairs via the bounded-buffer TopKStrAgg — map-side
+    // partials ship ≤1000 rows per partition, the (c DESC, token ASC)
+    // buffer order IS the oracle's rank order, and the rank/conditional
+    // rollup then runs over the ≤1000-row exploded frame only.
+    // Exactness: counts are integers (exact in double far past any
+    // corpus), and the covered sums are tie-break-INVARIANT at the
+    // k-boundaries (tied types have equal counts by definition), so the
+    // engine and the oracle agree to the bit.
     Q("q_vocab_coverage",
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
@@ -128,14 +143,17 @@ object Curation {
       val c = Tables.load(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      // rank + totals over the VOCAB frame (Zipf-bounded); the
-      // unpartitioned window is legal here for the same reason
-      // q_vocab-family rollups are — its input is never corpus-sized
-      val r = c
-        .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
-        .withColumn("n", sum("c").over(Window.partitionBy()))
-        .withColumn("v", count(lit(1)).over(Window.partitionBy()))
-      r.select(col("rk"), col("c"), col("n"), col("v"),
+      // one pass over the vocab frame: totals + the bounded top-1000.
+      // TopKStrAgg's (score DESC, token UTF-8 ASC) buffer order is the
+      // oracle's row_number(ORDER BY c DESC, w) order, so pos+1 IS rk.
+      val top1000 = udaf(new graft.functions.TopKStrAgg(1000),
+        Encoders.product[graft.functions.ScoredStr])
+      val st = c.agg(sum("c").as("n"), count(lit(1)).as("v"),
+        top1000(col("c").cast("double"), col("w")).as("top"))
+      st.select(col("n"), col("v"), posexplode(col("top")))
+        .select(col("n"), col("v"), (col("pos") + 1).as("rk"),
+          col("col.score").cast("long").as("c"))
+        .select(col("n"), col("v"), col("rk"), col("c"),
           explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
         .groupBy("k")
         .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(0L)).as("covered"),

@@ -285,6 +285,42 @@ private[sources] class DocsMicroBatchStream(
     (0 until topicPartitions).map(p => p -> m.getOrElse(p, 0L)).toMap
   }
 
+  /** A WAL offset whose partition-key set disagrees with this source's
+    * `topicPartitions` means the option CHANGED across restarts of the
+    * same checkpoint. Silently adapting would be data corruption, not
+    * flexibility: backfilling a missing partition at 0 replays rows the
+    * old layout already consumed (ids re-shard across residue classes),
+    * and dropping an extra stored key silently reinterprets the id
+    * space. Kafka fails this class of source-config mismatch loudly at
+    * restart; so do we — at WAL deserialization, before any batch is
+    * planned. The ONE tolerated mismatch is the documented bare-long /
+    * `{"0":N}` form (an older single-partition WAL, indistinguishable
+    * from a deliberate single-partition layout) — and changing
+    * `topicPartitions` on it is still caught, because a multi-partition
+    * run immediately re-serializes the full map, so only the very first
+    * restart after an UPGRADE hits this branch. Partition-count growth
+    * is supported through the LEDGER path instead (fresh checkpoint +
+    * `startingOffset` via clampToRange, whose new-partitions-adopt-
+    * earliest rule makes the growth explicit and reported — see
+    * SourcesSpec's topic-growth test), never by mutating a live WAL. */
+  private def requireCompatible(m: Map[Int, Long]): Unit = {
+    val outside = m.keySet.filterNot(p => p >= 0 && p < topicPartitions)
+    if (outside.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-docs: checkpointed offset names partitions ${outside.toSeq.sorted.mkString(",")} " +
+          s"outside this source's [0, $topicPartitions) — topicPartitions was changed across " +
+          "restarts of the same checkpoint. Start a fresh checkpoint (position it from a ledger " +
+          "via startingOffset) instead of reinterpreting committed offsets.")
+    if (m.keySet != Set(0) && m.size != topicPartitions)
+      throw new IllegalStateException(
+        s"graft-docs: checkpointed offset carries ${m.size} partition keys " +
+          s"(${m.keySet.toSeq.sorted.mkString(",")}) but the source is configured with " +
+          s"topicPartitions=$topicPartitions — the option was changed across restarts of the " +
+          "same checkpoint, which would replay or skip rows as ids re-shard across residue " +
+          "classes. Only the documented single-partition (bare-long / {\"0\":N}) upgrade is " +
+          "accepted; for partition growth, start a fresh checkpoint positioned from a ledger.")
+  }
+
   /** Consulted by MicroBatchExecution ONLY when the checkpoint WAL is
     * empty — a fresh query starts at the ledger-supplied positions, a
     * recovered query resumes from its WAL regardless of the option.
@@ -292,7 +328,13 @@ private[sources] class DocsMicroBatchStream(
     * of the reference pattern (external-store positioning) that the
     * WAL does not subsume. */
   override def initialOffset(): Offset = DocsOffset(startingOffsets)
-  override def deserializeOffset(json: String): Offset = DocsOffset.parse(json)
+  override def deserializeOffset(json: String): Offset = {
+    val o = DocsOffset.parse(json)
+    // WAL recovery is the one path where a stored offset can meet a
+    // RECONFIGURED source — validate before any batch is planned
+    requireCompatible(o.positions)
+    o
+  }
   override def commit(end: Offset): Unit = ()
 
   /** Admission-controlled advance: the ENGINE-SUPPLIED limit past the
@@ -302,14 +344,20 @@ private[sources] class DocsMicroBatchStream(
     * allAvailable / a captured target and an implementation that
     * blindly stepped rowsPerBatch would silently under-drain the
     * single batch (r12 review). The row budget spreads over live
-    * partitions by a greedy ceil-share (each takes min(remaining,
-    * ceil(budget/liveLeft)), leftovers flow to later partitions), so a
-    * ReadAllAvailable budget — the total remaining — always drains
-    * EVERY partition even when one is far behind the others (the
-    * clamped-resume skew case). Driving progression off the
-    * engine-supplied start offset (not an in-memory cursor) is what
-    * makes restart correct: a recovered query resumes exactly at the
-    * WAL positions. */
+    * partitions by WATER-FILLING: partitions are visited in ascending
+    * remaining-rows order (partition index breaks ties for determinism)
+    * and each takes min(remaining, ceil(budget/liveLeft)). Visiting the
+    * smallest remainder first is what makes the fill provably complete:
+    * at every step ceil(budget/left) ≥ the smallest remainder whenever
+    * budget ≥ total remaining, so a ReadAllAvailable budget — the total
+    * remaining — drains EVERY partition. The r13 ascending-INDEX greedy
+    * did not have that property (remaining=[100,1], budget=101: p0 took
+    * ceil(101/2)=51, p1 took 1, and the leftover 49 never flowed back
+    * to p0 — under Trigger.Once/AvailableNow, which capture this offset
+    * as the query's final target, those rows were never admitted).
+    * Driving progression off the engine-supplied start offset (not an
+    * in-memory cursor) is what makes restart correct: a recovered query
+    * resumes exactly at the WAL positions. */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = positionsOf(start)
@@ -324,6 +372,7 @@ private[sources] class DocsMicroBatchStream(
     }
     var budget = math.min(totalRemaining, math.max(0L, stepOf(limit)))
     val live = (0 until topicPartitions).filter(p => s(p) < rowsOf(p))
+      .sortBy(p => (rowsOf(p) - s(p), p))
     var left = live.size
     val advanced = scala.collection.mutable.Map(s.toSeq: _*)
     live.foreach { p =>

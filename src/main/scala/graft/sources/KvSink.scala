@@ -209,7 +209,13 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
     * underscore-hidden 0-byte file is the boring, correct choice. */
   private def withManifestLock[T](body: => T): T = {
     val lock = Paths.get(path, "_MANIFEST_LOCK")
-    val monitor = KvBatchWrite.jvmLocks.computeIfAbsent(lock.toString, _ => new Object)
+    // monitor key is the NORMALIZED absolute path: two same-JVM writers
+    // configured with different spellings of one sink dir (relative vs
+    // absolute, trailing slash, ./ segments) must map to the SAME
+    // monitor, or both would reach tryLock concurrently and the second
+    // would see the first's lock as an overlap, not a wait (r13 review)
+    val monitor = KvBatchWrite.jvmLocks.computeIfAbsent(
+      lock.toAbsolutePath.normalize.toString, _ => new Object)
     monitor.synchronized {
       val ch = java.nio.channels.FileChannel.open(lock,
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
@@ -217,7 +223,12 @@ private[sources] class KvBatchWrite(path: String, queryId: String,
         val deadline = System.nanoTime() + 60_000_000_000L // 60 s acquire budget
         var fl: java.nio.channels.FileLock = null
         while (fl == null) {
-          fl = ch.tryLock()
+          // OverlappingFileLockException = same-JVM holder the monitor
+          // didn't serialize (e.g. a path spelling normalize can't unify,
+          // like a symlink alias) — retry like the held-by-other-process
+          // case rather than failing the commit
+          fl = try ch.tryLock()
+               catch { case _: java.nio.channels.OverlappingFileLockException => null }
           if (fl == null) {
             if (System.nanoTime() > deadline)
               throw new IllegalStateException(s"graft-kv: manifest lock $lock held too long")

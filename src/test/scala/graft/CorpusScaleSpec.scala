@@ -276,6 +276,78 @@ class CorpusScaleSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_keepers broadcasts the CC label frame, never the catalog, under AQE at 10x") {
+    // keepers' one catalog contact is comp.join(cat, "doc_id") — the
+    // LSH-bounded label frame (docs WITH a near-dup candidate, ~20% of
+    // the planted corpus) against the full (doc_id, n_chars) catalog.
+    // At 100 TB the catalog is corpus-sized and the label frame is
+    // dedup-bounded; AQE must build the broadcast from the LABELS. The
+    // adaptive threshold is pinned BETWEEN the two sides' measured
+    // sizes so the catalog cannot qualify as a build side — its exact
+    // position at scale (the q_source_dup_matrix precedent).
+    val d10 = synthDir(3000, hotPrefix = false)
+    val conf = spark.conf
+    val prior = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "24KB")
+    try {
+      val df = SparkEntry.queries("q_dedup_keepers")(spark, d10)
+      df.collect()
+      // the catalog leaf reads (doc_id, n_chars) from parquet; the
+      // label side is the checkpointed CC output (a LogicalRDD leaf)
+      def isCatalogScan(p: SparkPlan): Boolean = p match {
+        case leaf if leaf.children.isEmpty && !leaf.isInstanceOf[QueryStageExec] =>
+          leaf.output.exists(_.name == "n_chars")
+        case _ => false
+      }
+      val nodes = allNodes(df)
+      val catalogJoins = nodes.collect {
+        case j: BroadcastHashJoinExec
+          if flatten(j.left).exists(isCatalogScan) || flatten(j.right).exists(isCatalogScan) => j
+      }
+      assert(catalogJoins.nonEmpty,
+        s"catalog join must convert to broadcast under AQE:\n${nodes.mkString("\n")}")
+      catalogJoins.foreach { b =>
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        assert(!flatten(build).exists(isCatalogScan),
+          "the CATALOG was broadcast — exactly backwards at 100 TB; the label frame must build:\n" + b)
+      }
+      // no unconverted shuffle join may touch the catalog either
+      val unbroadcast = nodes.collect {
+        case j: SortMergeJoinExec
+          if flatten(j.left).exists(isCatalogScan) || flatten(j.right).exists(isCatalogScan) => j
+        case j: ShuffledHashJoinExec
+          if flatten(j.left).exists(isCatalogScan) || flatten(j.right).exists(isCatalogScan) => j
+      }
+      assert(unbroadcast.isEmpty,
+        s"catalog joins must convert to broadcast under AQE, found:\n${unbroadcast.mkString("\n")}")
+    } finally prior.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("doc-novelty's df == 1 signal is invariant under a binding df cap") {
+    // q_doc_novelty's scale story leans on this algebra: a df cap drops
+    // WHOLE (lang, shingle) groups from the stream, so surviving
+    // groups' counts are untouched and the df == 1 (unique-content) set
+    // is bit-identical under any cap >= 1 — measured here on the
+    // adversarial corpus where the cap BINDS (hot shingle df = 300)
+    val d = synthDir(300, hotPrefix = true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "shingle")
+    def uniqSet(sh: org.apache.spark.sql.DataFrame) =
+      sh.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") === 1).select("doc_id", "shingle")
+    val sh = ops.TextPipeline.shingles(spark, d)
+    val full = uniqSet(sh)
+    val capped = uniqSet(
+      sh.withColumn("df0", count(lit(1)).over(w)).filter(col("df0") <= Cap).drop("df0"))
+    assert(full.except(capped).isEmpty && capped.except(full).isEmpty,
+      "df == 1 set changed under a binding cap — the novelty signal is not cap-invariant")
+    assert(full.count() > 0L, "the planted corpus must contain unique shingles")
+  }
+
   test("capped near-dup wall-clock stays near-linear at 10x docs") {
     val d1 = synthDir(300, hotPrefix = true)
     val d10 = synthDir(3000, hotPrefix = true)

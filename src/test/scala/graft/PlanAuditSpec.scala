@@ -1007,6 +1007,102 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("l_orderkey") && !plan.contains("CartesianProduct"))
   }
 
+  test("no 2.15 plan runs an empty-partition-spec window over a content-growing frame") {
+    // The r13 q_vocab_coverage defect, generalized into a regression
+    // net: a Window with an EMPTY partition spec funnels its whole
+    // input through one reducer, which is only legal when that input
+    // is domain-bounded — collapsed first by an aggregate over
+    // domain-bounded keys (days, event types, languages, literal grid
+    // points), or cut by a limit/bounded top-k. An aggregate grouped
+    // by a CONTENT key (token, shingle, gram, doc id, prefix) does NOT
+    // bound anything — Heaps' law grows the vocabulary as a power of
+    // corpus size — and that is exactly the shape this walk rejects:
+    // the first collapsing operator below every global window must be
+    // a limit or a non-content-keyed aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    val r13Ids = Seq("q_dedup_keepers", "q_prefix_dup", "q_vocab_coverage",
+      "q_runs_test", "q_turning_points", "q_poisson_dispersion", "q_grubbs",
+      "q_page_hinkley", "q_graph_modularity", "q_embed_outliers", "q_adf",
+      "q_variance_ratio", "q_revenue_bridge", "q_price_index", "q_silhouette",
+      "q_rolling_corr", "q_cooks_distance", "q_odds_ratio", "q_lift_curve",
+      "q_doc_novelty")
+    val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
+      "band_key", "h", "text")
+    r13Ids.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      plan.foreach {
+        case win: LWindow if win.partitionSpec.isEmpty =>
+          // pre-order collectFirst = the TOPMOST collapsing operator
+          // under the window — the one whose output the window sorts
+          win.child.collectFirst {
+            case a: Aggregate => Left(a)
+            case l: GlobalLimit => Right(l)
+          } match {
+            case Some(Left(a)) =>
+              val content = a.groupingExpressions
+                .flatMap(_.references.toSeq.map(_.name)).filter(contentKeys)
+              assert(content.isEmpty,
+                s"$name: global window consumes an aggregate grouped by content " +
+                  s"key(s) ${content.distinct.mkString(",")} — a Heaps-law-growing " +
+                  s"frame through one reducer:\n$plan")
+            case Some(Right(_)) => // bounded by a limit — fine
+            case None =>
+              fail(s"$name: global window with no collapsing operator below it:\n$plan")
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("q_vocab_coverage pushes its top-1000 into partial aggregation over ONE corpus scan") {
+    // the r14 rewrite's contract: totals + the bounded top-1000 come
+    // from a single global aggregate over the vocab count frame —
+    // TopKStrAgg partials ship <=1000 rows per partition, and no
+    // window or second scan touches the vocabulary
+    val plan = SparkEntry.queries("q_vocab_coverage")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_topkstragg"),
+      s"top-1000 buffer must combine map-side (partial mode):\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"coverage must be one corpus pass, found $scans:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window may touch the vocabulary frame:\n$plan")
+  }
+
+  test("q_doc_novelty computes df on the window's own (lang, shingle) exchange — no join back") {
+    // the q_cross_doc_ngram one-shuffle form, asserted for novelty: df
+    // rides the ONE content-keyed exchange as a window count; an agg +
+    // corpus-sized join-back would re-shuffle the shingle payload a
+    // second time. The only joins allowed key on doc_id (the bounded
+    // per-doc rollup meeting the catalog).
+    val plan = SparkEntry.queries("q_doc_novelty")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shingleExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("shingle"))
+    assert(shingleExchanges === 1,
+      s"expected exactly one (lang, shingle)-keyed exchange, got $shingleExchanges:\n$plan")
+    val shingleKeyedJoin = plan.linesIterator
+      .exists(l => l.contains("Join") && l.contains("shingle#"))
+    assert(!shingleKeyedJoin,
+      s"shingle df must come from the window, never a join back:\n$plan")
+  }
+
+  test("q_prefix_dup keys every exchange on the prefix domain — the corpus never joins back") {
+    // both aggs (global prefix counts, per-source prefix counts) and
+    // the join between them live in the Zipf-bounded prefix keyspace;
+    // a doc-keyed join-back would drag the corpus through a second
+    // content-sized shuffle. doc_id must not appear ANYWHERE in the
+    // plan (the projection drops it at the scan).
+    val plan = SparkEntry.queries("q_prefix_dup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("doc_id"),
+      s"prefix exposure must never key on doc identity:\n$plan")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(l => l.contains("prefix") || l.contains("source")),
+      s"every exchange must stay in the (prefix, source) keyspace:\n${hashEx.mkString("\n")}")
+  }
+
   test("round-12 series diagnostics ride the daily frame's single exchange") {
     // ljung_box / pacf / sax_motifs / hurst all collapse the corpus to
     // the (|types|x|days|) daily frame first; everything after must
