@@ -561,7 +561,91 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Streaming keeper election (s_dedup_keepers) — the incremental face
+    * of batch q_dedup_keepers: as LSH candidate pairs ARRIVE (the
+    * production shape generates them per micro-batch by banding each
+    * new document's MinHash signature against the signature store — the
+    * same bounded candidate generation as the batch pipeline), the
+    * per-cluster keeper table re-resolves without recomputing CC from
+    * scratch. State is a FLATTENED union-find forest over exactly the
+    * docs that have appeared in a candidate pair — the LSH-bounded
+    * frame batch CC materializes, never the corpus — with each node
+    * carrying its n_chars; roots are component-minimum doc ids, so the
+    * streaming cluster_id equals the batch min-label id by
+    * construction, order-independently (the min of a set does not
+    * depend on arrival order, and neither does max-(n_chars, −id)
+    * keeper election). Grouped by LANG: banded candidates never cross
+    * languages, so each language's forest is an independent state
+    * partition — the same horizontal scaling axis as the batch
+    * shuffle's lang-scoped keys. Each trigger emits that language's
+    * full re-resolved keeper table, version-stamped (the skyline
+    * emission contract) so a sink or test isolates the newest
+    * resolution; StreamingSpec proves the final emissions equal batch
+    * q_dedup_keepers over the SAME candidate pair set fed out of
+    * order. */
+  def dedupKeepersStream(pairs: Dataset[KeeperPair]): Dataset[KeeperOut] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[KeeperForest, KeeperOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[KeeperPair], state: GroupState[KeeperForest]) =>
+          val prev = state.getOption.getOrElse(KeeperForest(0L, Nil))
+          val parent = scala.collection.mutable.LongMap[Long]()
+          val chars = scala.collection.mutable.LongMap[Long]()
+          prev.nodes.foreach { n => parent(n.id) = n.parent; chars(n.id) = n.chars }
+          // find with full path compression — the stored forest is flat
+          // (every parent IS a root), so chains only form within a batch
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          rows.foreach { p =>
+            if (!parent.contains(p.d1)) { parent(p.d1) = p.d1; chars(p.d1) = p.c1 }
+            if (!parent.contains(p.d2)) { parent(p.d2) = p.d2; chars(p.d2) = p.c2 }
+            val r1 = find(p.d1); val r2 = find(p.d2)
+            if (r1 != r2) {
+              // union under the SMALLER root id: the component minimum
+              // stays the root, so cluster ids match batch min-label CC
+              if (r1 < r2) parent(r2) = r1 else parent(r1) = r2
+            }
+          }
+          val ver = prev.ver + 1
+          val members = parent.keys.toSeq.groupBy(find)
+          val out = members.toSeq.map { case (root, ms) =>
+            // keeper = longest doc, tie -> smallest id (the batch
+            // row_number(ORDER BY n_chars DESC, id) election)
+            val keeper = ms.maxBy(d => (chars(d), -d))
+            KeeperOut(ver, lang, root, keeper, chars(keeper),
+              ms.size.toLong, ms.size.toLong - 1L)
+          }.sortBy(_.cluster_id)
+          // store the forest FLATTENED (parent = root) so next batch's
+          // finds are O(1) and state size is exactly one node per doc
+          state.update(KeeperForest(ver,
+            parent.keys.toSeq.sorted.map(id => UfNode(id, find(id), chars(id)))))
+          out.iterator
+      }
+  }
 }
+
+/** One LSH candidate pair for the streaming keeper election, carrying
+  * both docs' lengths (banded candidates never cross languages, so one
+  * lang tags the pair). */
+final case class KeeperPair(lang: String, d1: Long, c1: Long, d2: Long, c2: Long)
+
+/** Per-lang union-find forest over candidate docs, stored flat
+  * (parent = component-minimum root), with each node's n_chars. */
+final case class UfNode(id: Long, parent: Long, chars: Long)
+final case class KeeperForest(ver: Long, nodes: Seq[UfNode])
+
+/** One keeper-table row emission, tagged with the emission version. */
+final case class KeeperOut(ver: Long, lang: String, cluster_id: Long,
+                           keeper_doc: Long, keeper_chars: Long,
+                           cluster_size: Long, n_dropped: Long)
 
 /** Per-user first-seen state: the max epoch-day observed and a 64-bit
   * emitted-day mask anchored at it (the bounded out-of-order dedup

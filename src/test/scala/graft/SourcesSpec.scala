@@ -441,4 +441,164 @@ class SourcesSpec extends SparkSpec {
     assert(run2.select("event_id", "lang").except(batchTwin).isEmpty &&
       batchTwin.except(run2.select("event_id", "lang")).isEmpty)
   }
+
+  test("ReadAllAvailable water-fills SKEWED partitions — one batch drains every row") {
+    // The r13 ascending-index greedy under-drained exactly this shape:
+    // remaining = [100, 1] with a ReadAllAvailable budget of 101 gave
+    // p0 ceil(101/2) = 51, p1 its 1, and the leftover 49 never flowed
+    // back — under a single-batch trigger those rows were simply never
+    // admitted (ADVICE r13, high). Trigger.Once (deprecated but still
+    // the one trigger that runs EXACTLY one ReadAllAvailable batch
+    // through MicroBatchExecution) makes the drain-or-lose semantics
+    // directly observable: the fixed water-filling (ascending-remaining
+    // visit order) must admit all 101 rows in that one batch.
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = tempDir("graft_wf_ckpt")
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", 300).option("rowsPerBatch", 10)
+      .option("topicPartitions", 2)
+      // p0 at offset 50 of 150 (100 left), p1 at 149 of 150 (1 left)
+      .option("startingOffset", """{"docs":{"0":50,"1":149}}""")
+      .load()
+      .writeStream.format("memory").queryName("graft_waterfill")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("graft_waterfill")
+    // p0 offsets 50..149 → even ids 100..298; p1 offset 149 → id 299
+    assert(got.count() === 101L,
+      s"single ReadAllAvailable batch must drain all 101 remaining rows, got ${got.count()}")
+    assert(got.agg(countDistinct("doc_id")).head().getLong(0) === 101L)
+    assert(got.agg(min("doc_id"), max("doc_id")).head() ===
+      org.apache.spark.sql.Row(100L, 299L))
+    // WAL: the one committed batch's end is FULL drain on both partitions
+    val wal = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "offsets", "0")))
+    assert(wal.linesIterator.toSeq.last.trim === """{"0":150,"1":150}""",
+      s"batch 0 must end at full drain; WAL said:\n$wal")
+  }
+
+  test("changing topicPartitions across restarts of one checkpoint fails loudly at recovery") {
+    // ADVICE r13 (medium): positionsOf used to backfill missing
+    // partitions at 0 and drop extra WAL keys — an upgrade 2→3 would
+    // replay already-consumed rows as ids re-shard across residue
+    // classes, and 2→1 would silently reinterpret the id space. Kafka
+    // fails this config mismatch loudly at restart; deserializeOffset
+    // now does too, before any batch is planned.
+    def run(ckpt: String, parts: Int): Unit = {
+      val q = spark.readStream.format("graft-docs")
+        .option("rows", 100).option("rowsPerBatch", 40)
+        .option("topicPartitions", parts)
+        .load()
+        .writeStream
+        // foreachBatch, not memory: the memory sink refuses checkpoint
+        // RECOVERY outright, which would mask the source-side validation
+        // this test exists to reach
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val ckpt = tempDir("graft_mismatch_ckpt")
+    run(ckpt, 2) // commits {"0":50,"1":50}-shaped offsets to the WAL
+    // growth 2 → 3: multi-key offset with the wrong key count
+    val grow = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ckpt, 3)
+    }
+    assert(grow.getMessage.contains("topicPartitions") ||
+      Option(grow.getCause).exists(_.getMessage.contains("topicPartitions")),
+      s"growth restart must name the changed option: ${grow.getMessage}")
+    // shrink 2 → 1: stored keys fall outside [0, 1)
+    val shrink = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ckpt, 1)
+    }
+    assert(shrink.getMessage.contains("outside this source") ||
+      Option(shrink.getCause).exists(_.getMessage.contains("outside this source")),
+      s"shrink restart must reject the out-of-range keys: ${shrink.getMessage}")
+    // and the unchanged config still recovers cleanly from that WAL
+    run(ckpt, 2)
+  }
+
+  test("topic growth 1 -> 2 resumes through the LEDGER path: p0 at its stored offset, p1 at earliest") {
+    // Kafka topic growth, the last REF-S offset semantic not driven
+    // through the engine: partition count changes are NEVER a WAL
+    // mutation (the test above makes that loud) — they go through a
+    // FRESH checkpoint positioned from the external ledger, where
+    // clampToRange's new-partitions-adopt-earliest rule makes the
+    // growth explicit and REPORTED. This drives that rule through a
+    // real MicroBatchExecution: the grown source resumes partition 0
+    // exactly at its stored offset and starts partition 1 at earliest,
+    // covering both partitions' offset ranges gap-free. (Offsets are
+    // per-partition ROW positions: graft-docs re-shards ids across
+    // residue classes on growth, which is exactly why the implicit WAL
+    // path is rejected and this explicit, adjustment-reporting path is
+    // the supported one.)
+    import graft.streaming.{KafkaSource, OffsetLedger}
+    val out1 = tempDir("graft_grow_out1"); val led1 = tempDir("graft_grow_led1")
+    val out2 = tempDir("graft_grow_out2"); val led2 = tempDir("graft_grow_led2")
+
+    def run(rows: Int, parts: Int, startingOffsets: Option[String], out: String,
+            led: String, ckpt: String): Unit = {
+      val rd = spark.readStream.format("graft-docs")
+        .option("rows", rows).option("rowsPerBatch", 40)
+        .option("topicPartitions", parts)
+      val q = startingOffsets.fold(rd)(j => rd.option("startingOffset", j)).load()
+        .select(col("doc_id").as("event_id"), col("lang"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(OffsetLedger.sink(out, led) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: single-partition topic, 100-row corpus fully drained;
+    // the ledger's stored position is offset 100 on partition 0
+    run(100, 1, None, out1, led1, tempDir("graft_grow_ckpt1"))
+    val storedPos = spark.read.parquet(s"$out1/epoch=*")
+      .agg(max("event_id")).head().getLong(0) + 1L
+    assert(storedPos === 100L)
+
+    // phase 2: the topic GREW to 2 partitions (and to 300 rows); the
+    // ledger still knows only partition 0 — clampToRange must resume it
+    // unchanged and adopt earliest for the new partition, reporting it
+    val (clamped, adjustments) = KafkaSource.clampToRange(
+      stored = Map(0 -> storedPos),
+      earliest = Map(0 -> 0L, 1 -> 0L),
+      latest = Map(0 -> 150L, 1 -> 150L))
+    assert(clamped === Map(0 -> 100L, 1 -> 0L))
+    assert(adjustments.size === 1 &&
+      adjustments.head.contains("no stored offset, starting at earliest"),
+      s"the adopted partition must be reported, not silent: $adjustments")
+
+    // phase 3: FRESH checkpoint over the grown source, positioned by
+    // the clamped per-partition JSON
+    val ckpt2 = tempDir("graft_grow_ckpt2")
+    run(300, 2, Some(KafkaSource.startingOffsetsJson("docs", clamped)), out2, led2, ckpt2)
+    val run2 = spark.read.parquet(s"$out2/epoch=*")
+    // p0 resumed at offset 100: even ids 200..298 (50 rows), nothing
+    // below; p1 adopted earliest: ALL odd ids 1..299 (150 rows)
+    assert(run2.count() === 200L)
+    val p0 = run2.filter(col("event_id") % 2 === 0)
+    assert(p0.count() === 50L)
+    assert(p0.agg(min("event_id"), max("event_id")).head() ===
+      org.apache.spark.sql.Row(200L, 298L))
+    val p1 = run2.filter(col("event_id") % 2 === 1)
+    assert(p1.count() === 150L)
+    assert(p1.agg(countDistinct("event_id")).head().getLong(0) === 150L)
+    assert(p1.agg(min("event_id"), max("event_id")).head() ===
+      org.apache.spark.sql.Row(1L, 299L))
+    // WAL-level proof the engine planned FROM the grown map: batch 0's
+    // 40-row budget water-fills remaining [50, 150] smallest-first —
+    // p0 takes ceil(40/2)=20, p1 the rest
+    val wal2Batch0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt2, "offsets", "0")))
+    assert(wal2Batch0.linesIterator.toSeq.last.trim === """{"0":120,"1":20}""",
+      s"batch 0 must admit 20 offsets per partition from the clamped map; WAL said:\n$wal2Batch0")
+    // gap-free per-partition OFFSET coverage across the growth: p0's
+    // [0,100) came from run 1, [100,150) from run 2; p1's [0,150) is
+    // all run 2 — together the full grown corpus with no offset gap
+    assert(run2.agg(countDistinct("event_id")).head().getLong(0) === 200L)
+    val led2Df = OffsetLedger.read(spark, led2)
+    assert(led2Df.agg(sum("n_rows")).head().getLong(0) === 200L)
+  }
 }

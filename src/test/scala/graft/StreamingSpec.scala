@@ -150,6 +150,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_dedup_keepers emissions re-resolve to the batch keeper table from out-of-order pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{KeeperOut, KeeperPair}
+    // the REAL candidate set: sf0.001's LSH pairs, enriched with each
+    // side's length from the catalog (same-lang by banding construction)
+    val cat = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val pairs = ops.TextPipeline.lshCandidatePairs(spark, sfDir)
+      .join(cat.select(col("doc_id").as("d1"), col("lang"),
+        col("n_chars").as("c1")), Seq("d1"))
+      .join(cat.select(col("doc_id").as("d2"), col("n_chars").as("c2")), Seq("d2"))
+      .select("lang", "d1", "c1", "d2", "c2").as[KeeperPair].collect()
+    assert(pairs.nonEmpty, "sf0.001 must plant at least one candidate pair")
+    // deterministic scramble: a Lehmer mix of the pair key, so chain
+    // edges arrive split across chunks and far out of id order — the
+    // arrival-order-independence the union-find claims
+    val mixed = pairs.sortBy(p => (p.d1 * 48271L + p.d2 * 16807L) % 2147483647L)
+    val chunks = mixed.grouped(math.max(1, mixed.length / 3 + 1)).toSeq
+    val in = MemoryStream[KeeperPair]
+    val q = Streams.dedupKeepersStream(in.toDS())
+      .writeStream.format("memory").queryName("t_keepers").outputMode("update").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      // at-least-once replay: re-deliver the first chunk — the forest
+      // must absorb the duplicates without changing any cluster
+      in.addData(chunks.head: _*); q.processAllAvailable()
+      val outs = spark.table("t_keepers").as[KeeperOut].collect()
+      def table(os: Seq[KeeperOut]) = os.map(o => o.cluster_id ->
+        ((o.keeper_doc, o.keeper_chars, o.cluster_size, o.n_dropped))).toMap
+      // newest emission per lang = that lang's max version
+      val finals = table(outs.groupBy(_.lang).toSeq.flatMap { case (_, ms) =>
+        ms.filter(_.ver == ms.map(_.ver).max) })
+      // replay-invariance, per lang the replayed chunk actually touched:
+      // its post-replay emission must equal its last pre-replay one —
+      // re-delivered pairs are already absorbed in the forest
+      val replayLangs = chunks.head.map(_.lang).toSet
+      outs.groupBy(_.lang).foreach { case (lang, ms) =>
+        if (replayLangs(lang)) {
+          val vs = ms.map(_.ver).distinct.sorted
+          assert(vs.length >= 2, s"$lang must have a pre-replay emission")
+          assert(table(ms.filter(_.ver == vs.last)) ===
+            table(ms.filter(_.ver == vs(vs.length - 2))),
+            s"replayed pairs moved a cluster in $lang")
+        }
+      }
+      val batch = SparkEntry.queries("q_dedup_keepers")(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("cluster_id") ->
+          ((r.getAs[Long]("keeper_doc"), r.getAs[Long]("keeper_chars"),
+            r.getAs[Long]("cluster_size"), r.getAs[Long]("n_dropped")))).toMap
+      assert(finals === batch,
+        s"streamed keeper table diverges from batch q_dedup_keepers")
+    }
+  }
+
   test("s_page_hinkley emissions replay the batch q_page_hinkley prefix exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
