@@ -214,6 +214,85 @@ object Curation {
           Q.r6(sum("f6").cast("double") / (count(lit(1)) * lit(1e6)))
             .as("mean_doc_novelty"))
         .orderBy("source")
+    },
+
+    // Incremental ingest dedup (round 14) — the operation a DAILY
+    // pipeline actually runs: the corpus is already deduped; a NEW
+    // batch arrives; classify each incoming doc against the EXISTING
+    // corpus only. Split: the top 20% of doc ids are "incoming" (the
+    // newest ingest), the rest "existing" — a deterministic id
+    // threshold both engines derive from the same count. Per incoming
+    // doc: 'exact' (byte-identical text exists, smallest matching
+    // existing id reported), else 'near' (a df-capped shingle-Jaccard
+    // ≥ 0.8 match to an existing doc — the exact q_dedup_near
+    // machinery, filtered to cross-split pairs), else 'new'.
+    // Intra-batch duplicates are deliberately out of scope (that is
+    // q_dedup_exact/near over the batch alone); this op answers "what
+    // does the NEW data add". Scale: the exact pass is one md5-keyed
+    // hash join; the near pass rides shinglePairStats' capped
+    // candidate generation (cross-split filter is a pushdown on the
+    // pair frame, and at 100 TB the production form indexes the
+    // existing side's signatures once — the shape s_dedup_keepers'
+    // doc notes spell out). Oracle runs the UNCAPPED pair SQL; the
+    // declared Spark entry runs the cap-128 path, result-identical
+    // per SkewSpec's cap-invariance bound.
+    Q("q_dedup_incremental",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                             AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |nd AS (SELECT p.d1, p.d2
+        |       FROM pairs p
+        |       JOIN cnt c1 ON p.d1 = c1.doc_id
+        |       JOIN cnt c2 ON p.d2 = c2.doc_id
+        |       WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.8),
+        |t AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS t FROM documents),
+        |inc AS (SELECT doc_id FROM documents, t WHERE doc_id >= t.t),
+        |ex AS (SELECT i.doc_id, CAST(min(e.doc_id) AS BIGINT) AS m
+        |       FROM documents i JOIN documents e ON md5(i.text) = md5(e.text), t
+        |       WHERE i.doc_id >= t.t AND e.doc_id < t.t
+        |       GROUP BY 1),
+        |nr AS (SELECT nd.d2 AS doc_id, CAST(min(nd.d1) AS BIGINT) AS m
+        |       FROM nd, t WHERE nd.d1 < t.t AND nd.d2 >= t.t
+        |       GROUP BY 1)
+        |SELECT inc.doc_id,
+        |       CASE WHEN ex.m IS NOT NULL THEN 'exact'
+        |            WHEN nr.m IS NOT NULL THEN 'near'
+        |            ELSE 'new' END AS status,
+        |       coalesce(ex.m, nr.m) AS match_doc
+        |FROM inc
+        |LEFT JOIN ex ON inc.doc_id = ex.doc_id
+        |LEFT JOIN nr ON inc.doc_id = nr.doc_id
+        |ORDER BY inc.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      // parquet metadata count — the same deterministic threshold the
+      // oracle's scalar subquery computes
+      val t = docs.count() * 8L / 10L
+      val incoming = docs.filter(col("doc_id") >= t)
+      val existing = docs.filter(col("doc_id") < t)
+      val ex = incoming
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .join(existing.select(md5(col("text").cast("binary")).as("h"),
+          col("doc_id").as("m")), "h")
+        .groupBy("doc_id").agg(min("m").as("ex_m"))
+      val nr = TextPipeline.nearDupPairs(s, d, dfCap = Some(128L))
+        .filter(col("d1") < t && col("d2") >= t)
+        .groupBy(col("d2").as("doc_id")).agg(min("d1").as("nr_m"))
+      incoming.select("doc_id")
+        .join(ex, Seq("doc_id"), "left")
+        .join(nr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_m").isNotNull, "exact")
+            .when(col("nr_m").isNotNull, "near")
+            .otherwise("new").as("status"),
+          coalesce(col("ex_m"), col("nr_m")).as("match_doc"))
+        .orderBy("doc_id")
     }
   )
 }

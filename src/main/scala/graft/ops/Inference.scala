@@ -699,6 +699,62 @@ object Inference {
         Q.r6(mde / col("p")).as("mde_rel"))
     },
 
+    // McNemar's paired test (round 14) — did the POPULATION of
+    // converters change across the cuped split, user by user? Unlike
+    // q_abtest/q_welch_t (independent samples), this is the PAIRED
+    // design: each user is their own control, the 2×2 table counts
+    // (purchased pre?, purchased post?) per user, and only the
+    // DISCORDANT cells (n01: gained, n10: lost) carry signal —
+    // χ² = (n10−n01)²/(n10+n01), plus the continuity-corrected form.
+    // All five cells are exact int64 from one user-key agg; the two
+    // statistics are single divisions of exact integers (NULL when no
+    // user switched — both engines agree on the empty-signal case).
+    // Scale: one map-side-partial user collapse, 1-row output.
+    Q("q_mcnemar",
+      s"""WITH u AS (SELECT user_id,
+         |                  max(CASE WHEN event_type = 'purchase'
+         |                            AND CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+         |                           THEN 1 ELSE 0 END) AS p1,
+         |                  max(CASE WHEN event_type = 'purchase'
+         |                            AND CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16'
+         |                           THEN 1 ELSE 0 END) AS p2
+         |           FROM events GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |             CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |             CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |             CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |             CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+         |      FROM u)
+         |SELECT n_users, n00, n01, n10, n11,
+         |       CASE WHEN n01 + n10 > 0
+         |            THEN ${Q.sqlR6("CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)")}
+         |       END AS mcnemar,
+         |       CASE WHEN n01 + n10 > 0
+         |            THEN ${Q.sqlR6("CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE) / (n10 + n01)")}
+         |       END AS mcnemar_cc
+         |FROM t""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DateType
+      val day = col("ts").cast(DateType)
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "purchase" &&
+            day < to_date(lit("2024-01-16")), 1).otherwise(0)).as("p1"),
+          max(when(col("event_type") === "purchase" &&
+            day >= to_date(lit("2024-01-16")), 1).otherwise(0)).as("p2"))
+      val t = u.agg(count(lit(1)).as("n_users"),
+        sum(when(col("p1") === 0 && col("p2") === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("p1") === 0 && col("p2") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("p1") === 1 && col("p2") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("p1") === 1 && col("p2") === 1, 1L).otherwise(0L)).as("n11"))
+      val disc = col("n10") + col("n01")
+      t.select(col("n_users"), col("n00"), col("n01"), col("n10"), col("n11"),
+        when(disc > 0, Q.r6(((col("n10") - col("n01")) * (col("n10") - col("n01")))
+          .cast("double") / disc)).as("mcnemar"),
+        when(disc > 0, Q.r6(((abs(col("n10") - col("n01")) - 1) *
+          (abs(col("n10") - col("n01")) - 1)).cast("double") / disc)).as("mcnemar_cc"))
+    },
+
     // CUPED variance reduction (round 11): the industry-standard
     // pre-experiment covariate adjustment — each user's post-period
     // purchase spend is debiased by θ·(pre − mean_pre) with θ =

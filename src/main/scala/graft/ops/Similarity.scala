@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -343,6 +343,105 @@ object Similarity {
         .filter(cos >= 0.35)
         .select(col("v1"), col("v2"), Q.r4(cos).as("score"))
         .orderBy("v1", "v2")
+    },
+
+    // kNN-graph reciprocity (round 14) — the embedding-quality
+    // diagnostic that needs the GRAPH, not just neighbor lists: over
+    // the banded sign-sketch candidate pairs (the q_dedup_embed
+    // blocking — never all-pairs), each vector's top-5 candidates by
+    // rounded cosine form a directed kNN graph; the fraction of edges
+    // that are MUTUAL (u ∈ knn(v) ∧ v ∈ knn(u)) separates genuine
+    // neighborhood structure from hubness (a hub is many vectors'
+    // neighbor but reciprocates almost none), and the same-label edge
+    // share reads out cluster coherence per label. Determinism: scores
+    // hit the 1e-6 lattice BEFORE ranking (identical doubles both
+    // engines; ties break on cand id), so the edge SET is
+    // oracle-exact. Shape: bucket-keyed candidate join, per-node top-5
+    // via the bounded-buffer TopKAgg (map-side partials, ≤5 rows per
+    // node per partition — no per-node window sort), the edge frame
+    // snapshot once for its three consumers (mutual self-join two
+    // sides + the label rollup), id-keyed label joins, |labels|-row
+    // output.
+    Q("q_knn_reciprocity",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+        |${(0 until EmbedBands).map(g => s"                  ${embedBandSql(g)} AS b$g").mkString(",\n")}
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, de, ${(0 until EmbedBands).map("b" + _).mkString(", ")},
+        |             sqrt(list_inner_product(de, de)) AS nrm FROM e),
+        |bands AS (SELECT vec_id, t.band,
+        |                 ${(0 until EmbedBands).map {
+             case g if g < EmbedBands - 1 => s"WHEN $g THEN b$g"
+             case g => s"ELSE b$g"
+           }.mkString("CASE t.band ", " ", " END")} AS bv
+        |          FROM n, (SELECT unnest(range(0, $EmbedBands)) AS band) t),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        |sc AS (SELECT c.v1, c.v2,
+        |              floor((list_inner_product(x.de, y.de) / (x.nrm * y.nrm))*1000000+0.5)/1000000 AS score
+        |       FROM cand c JOIN n x ON x.vec_id = c.v1 JOIN n y ON y.vec_id = c.v2),
+        |dir AS (SELECT v1 AS src, v2 AS dst, score FROM sc
+        |        UNION ALL
+        |        SELECT v2, v1, score FROM sc),
+        |ed AS (SELECT src, dst FROM (
+        |         SELECT src, dst,
+        |                row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
+        |         FROM dir) WHERE rk <= 5),
+        |mu AS (SELECT a.src, a.dst FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src)
+        |SELECT ls.label AS label,
+        |       CAST(count(DISTINCT ed.src) AS BIGINT) AS n_nodes,
+        |       CAST(count(*) AS BIGINT) AS n_edges,
+        |       CAST(count(mu.src) AS BIGINT) AS n_mutual,
+        |       ${Q.sqlR6("CAST(count(mu.src) AS DOUBLE) / count(*)")} AS reciprocity,
+        |       ${Q.sqlR6("CAST(sum(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS intra_label
+        |FROM ed
+        |JOIN embeddings ls ON ed.src = ls.vec_id
+        |JOIN embeddings ld ON ed.dst = ld.vec_id
+        |LEFT JOIN mu ON ed.src = mu.src AND ed.dst = mu.dst
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.functions.CosineSim.cosine_sim
+      val e = Tables.load(s, d, "embeddings")
+      val bandStructs = (0 until EmbedBands).map { g =>
+        struct(lit(g).as("band"), embedBandVal(g).as("bv"))
+      }
+      val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .distinct()
+      val sc = cand
+        .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+        .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+        .select(col("v1"), col("v2"),
+          Q.r6(cosine_sim(col("e1"), col("e2"))).as("score"))
+      val dir = sc.select(col("v1").as("src"), col("v2").as("dst"), col("score"))
+        .unionAll(sc.select(col("v2").as("src"), col("v1").as("dst"), col("score")))
+      val topk = udaf(new graft.functions.TopKAgg(5),
+        Encoders.product[graft.functions.Scored])
+      val edges = dir.groupBy("src")
+        .agg(topk(col("score"), col("dst")).as("top"))
+        .select(col("src"), explode(col("top")).as("t"))
+        .select(col("src"), col("t.id").as("dst"))
+        .transform(Q.snapshot) // three consumers: mutual ×2 + the rollup
+      val mu = edges.as("m1").join(edges.as("m2"),
+          col("m1.src") === col("m2.dst") && col("m1.dst") === col("m2.src"))
+        .select(col("m1.src").as("src"), col("m1.dst").as("dst"), lit(1L).as("mut"))
+      val lab = e.select(col("vec_id"), col("label"))
+      edges
+        .join(lab.select(col("vec_id").as("src"), col("label").as("ls")), "src")
+        .join(lab.select(col("vec_id").as("dst"), col("label").as("ld")), "dst")
+        .join(mu, Seq("src", "dst"), "left")
+        .groupBy(col("ls").as("label"))
+        .agg(countDistinct("src").as("n_nodes"), count(lit(1)).as("n_edges"),
+          sum(coalesce(col("mut"), lit(0L))).as("n_mutual"),
+          Q.r6(sum(coalesce(col("mut"), lit(0L))).cast("double") / count(lit(1)))
+            .as("reciprocity"),
+          Q.r6(sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("intra_label"))
+        .orderBy("label")
     },
 
     // Approximate kNN via random-projection LSH (spark.ml) — the scale

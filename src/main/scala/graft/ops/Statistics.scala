@@ -697,6 +697,72 @@ object Statistics {
         Q.r6(twoU / (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
     },
 
+    // Kruskal–Wallis H across ALL event types (round 14) — the
+    // k-sample generalization of q_mann_whitney's two-sample rank test:
+    // does ANY type's value distribution stochastically differ? Same
+    // exactness machinery: on the bounded distinct-cents grid, DOUBLED
+    // average ranks (2·cb + t + 1 per tie run) make every per-group
+    // rank sum r2_g = 2·R_g an exact int64, as is the tie term
+    // Σ(t³−t). The one cross-group reduction of non-integers —
+    // Σ_g R_g²/n_g — uses the q_anova order-free move: each group's
+    // r2_g²/(4·n_g) is floored to the UNIT lattice before the k-row
+    // sum, so summation order cannot shift a bit (identical integers
+    // in both engines; the ≤k/2 absolute floor error is ~1e-9 relative
+    // at any real N and, being identical on both sides, can never
+    // split the r6 rounding). Headroom: Σ R²/n ≤ N³ — 1e15 at sf0.1,
+    // inside int64 with 9000× room (OverflowHeadroomSpec row). Shape:
+    // corpus → (type, cents) grid agg, one running window over the
+    // distinct-cents frame, k-row group frame, single-row output.
+    Q("q_kruskal_wallis",
+      s"""WITH v AS (SELECT event_type AS g,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+         |           FROM events),
+         |c AS (SELECT g, v100, count(*) AS c FROM v GROUP BY 1, 2),
+         |tv AS (SELECT v100, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+         |tr AS (SELECT v100, t,
+         |              CAST(coalesce(sum(t) OVER (ORDER BY v100
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                   AS BIGINT) AS cb
+         |       FROM tv),
+         |gr AS (SELECT c.g, CAST(sum(c.c) AS BIGINT) AS n_g,
+         |              CAST(sum(c.c * (2 * tr.cb + tr.t + 1)) AS BIGINT) AS r2
+         |       FROM c JOIN tr ON c.v100 = tr.v100 GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+         |              CAST(sum(CAST(floor(CAST(r2 AS DOUBLE) * r2 / (4.0 * n_g) + 0.5) AS BIGINT)) AS BIGINT) AS b0
+         |       FROM gr),
+         |tc AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM tv)
+         |SELECT st.k, st.n,
+         |       ${Q.sqlR6("12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1)")} AS h,
+         |       ${Q.sqlR6("(12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1)) / (1.0 - CAST(tc.ties AS DOUBLE) / (CAST(st.n AS DOUBLE) * st.n * st.n - st.n))")} AS h_tie_adj,
+         |       ${Q.sqlR6("(12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1) - st.k + 1) / (st.n - st.k)")} AS epsilon_sq
+         |FROM st CROSS JOIN tc""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        .groupBy("g", "v100").agg(count(lit(1)).as("c"))
+      val tv = c.groupBy("v100").agg(sum("c").as("t"))
+      val wb = Window.orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tr = tv.select(col("v100"), col("t"),
+        coalesce(sum("t").over(wb), lit(0L)).as("cb"))
+      val gr = c.join(tr, "v100")
+        .groupBy("g")
+        .agg(sum("c").as("n_g"),
+          sum(col("c") * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
+      val st = gr.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum(floor(col("r2").cast("double") * col("r2") / (lit(4.0) * col("n_g")) + 0.5)
+          .cast("long")).as("b0"))
+      val tc = tv.agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val h = lit(12.0) / (col("n") * (col("n") + lit(1.0))) * col("b0") -
+        lit(3.0) * (col("n") + 1)
+      st.crossJoin(broadcast(tc))
+        .select(col("k"), col("n"),
+          Q.r6(h).as("h"),
+          Q.r6(h / (lit(1.0) - col("ties").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") - col("n")))).as("h_tie_adj"),
+          Q.r6((h - col("k") + 1) / (col("n") - col("k"))).as("epsilon_sq"))
+    },
+
     // Spearman rank correlation over the three SMALL-domain lineitem
     // measures (round 10) — the monotone-dependence screen Pearson
     // (q_corr_matrix) cannot see. Heavy ties are the interesting case:

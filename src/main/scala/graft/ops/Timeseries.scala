@@ -447,6 +447,66 @@ object Timeseries {
         .orderBy("event_type", "k")
     },
 
+    // Seasonal-naive forecast accuracy (round 14) — MASE of the lag-7
+    // (weekly) seasonal-naive forecast against the lag-1 naive baseline
+    // per event type: mase < 1 means "same weekday last week" predicts
+    // the daily series better than "yesterday" — the one-number readout
+    // that decides whether a weekly cycle is worth modeling (the
+    // decision twin of q_acf's lag-7 peak and q_seasonal_strength's
+    // variance split). Exactness: daily counts are ints, |y−lag| sums
+    // are exact int64 (linear in Σy), and the two MAE divisions + their
+    // ratio run the same double ops on identical integers in both
+    // engines. Shape: the (|types|×|days|)-key daily agg is the one
+    // corpus shuffle; both lag columns ride a single per-type window
+    // over that calendar-bounded frame; |types|-row output.
+    Q("q_mase",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, y,
+         |             lag(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS y1,
+         |             lag(y, 7) OVER (PARTITION BY event_type ORDER BY x) AS y7
+         |      FROM daily),
+         |t AS (SELECT event_type,
+         |             CAST(count(*) AS BIGINT) AS n_days,
+         |             CAST(sum(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) ELSE 0 END) AS BIGINT) AS s1,
+         |             CAST(sum(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |             CAST(sum(CASE WHEN y7 IS NOT NULL THEN abs(y - y7) ELSE 0 END) AS BIGINT) AS s7,
+         |             CAST(sum(CASE WHEN y7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c7
+         |      FROM l GROUP BY 1)
+         |SELECT event_type, n_days,
+         |       ${Q.sqlR6("CAST(s1 AS DOUBLE) / c1")} AS mae_naive,
+         |       ${Q.sqlR6("CAST(s7 AS DOUBLE) / c7")} AS mae_seasonal,
+         |       ${Q.sqlR6("(CAST(s7 AS DOUBLE) / c7) / (CAST(s1 AS DOUBLE) / c1)")} AS mase
+         |FROM t
+         |WHERE c1 > 0 AND c7 > 0
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+      val t = daily
+        .withColumn("y1", lag("y", 1).over(wx))
+        .withColumn("y7", lag("y", 7).over(wx))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("y1").isNotNull, abs(col("y") - col("y1"))).otherwise(0L)).as("s1"),
+          sum(when(col("y1").isNotNull, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("y7").isNotNull, abs(col("y") - col("y7"))).otherwise(0L)).as("s7"),
+          sum(when(col("y7").isNotNull, 1L).otherwise(0L)).as("c7"))
+      t.filter(col("c1") > 0 && col("c7") > 0)
+        .select(col("event_type"), col("n_days"),
+          Q.r6(col("s1").cast("double") / col("c1")).as("mae_naive"),
+          Q.r6(col("s7").cast("double") / col("c7")).as("mae_seasonal"),
+          Q.r6((col("s7").cast("double") / col("c7")) /
+            (col("s1").cast("double") / col("c1"))).as("mase"))
+        .orderBy("event_type")
+    },
+
     // CUSUM changepoint scan per event_type (round 10) — where did the
     // daily volume's level shift? The classic statistic is the maximum
     // absolute deviation of the cumulative sum from its fitted line:

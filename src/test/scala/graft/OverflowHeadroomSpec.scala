@@ -266,6 +266,26 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("s").cast("double") * col("s")))
       })),
 
+    Site("q_kruskal_wallis", "unit floor", "b0 = Σ_g ⌊R_g²/n_g + ½⌋ ≤ N³ (cross-group rank-power sum)",
+      "SF³ (R_g ≤ n_g·N ⇒ Σ R²/n ≤ N³); DECIMAL needed past the ceiling", 1.0,
+      sf => math.pow(evN(sf), 3) + 1e6,
+      Some((s, d) => dmax {
+        // the actual b0 at sf0.001: per-type doubled rank sums over the
+        // cents grid, squared into the unit-floored cross-group sum
+        val c = Tables.events(s, d)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+          .groupBy("g", "v100").agg(count(lit(1)).as("c"))
+        val tv = c.groupBy("v100").agg(sum("c").as("t"))
+        val wb = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, -1)
+        val tr = tv.select(col("v100"), col("t"),
+          coalesce(sum("t").over(wb), lit(0L)).as("cb"))
+        c.join(tr, "v100").groupBy("g")
+          .agg(sum("c").as("n_g"),
+            sum(col("c") * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
+          .agg(sum(col("r2").cast("double") * col("r2") / (lit(4.0) * col("n_g"))))
+      })),
+
     Site("q_spearman", "ranks", "Σ c·rx·ry ≤ 4n³ (cross rank-product sum)",
       "SF³ — anchored 6.03e16 @ sf0.1; DECIMAL needed past the ceiling", 0.3,
       sf => 6.03e16 * math.pow(sf / 0.1, 3) * 2,
