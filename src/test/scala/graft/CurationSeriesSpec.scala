@@ -486,4 +486,98 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("cos_centroid") === -1.0)
     assert(rows.last.getAs[Double]("cos_centroid") === 1.0)
   }
+
+  // ---- round-14 additions -------------------------------------------------
+
+  test("q_mase: an exact weekly cycle scores zero; a linear trend scores exactly 7") {
+    // weekly: counts repeat with period 7 ⇒ every lag-7 error is 0 ⇒
+    // mae_seasonal = 0, mase = 0. trend: y_d = d+1 ⇒ |y−lag1| = 1 and
+    // |y−lag7| = 7 everywhere ⇒ mase = 7 exactly.
+    val pattern = Array(5, 10, 3, 8, 2, 7, 4)
+    val dir = eventsDir(Seq("weekly", "trend"), 21, {
+      case ("weekly", d) => pattern(d % 7)
+      case (_, d) => d + 1
+    })
+    val rows = q("q_mase", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val wk = rows("weekly")
+    assert(wk.getAs[Long]("n_days") === 21L)
+    assert(wk.getAs[Double]("mae_seasonal") === 0.0)
+    assert(wk.getAs[Double]("mase") === 0.0)
+    assert(wk.getAs[Double]("mae_naive") > 0.0)
+    val tr = rows("trend")
+    assert(tr.getAs[Double]("mae_naive") === 1.0)
+    assert(tr.getAs[Double]("mae_seasonal") === 7.0)
+    assert(tr.getAs[Double]("mase") === 7.0)
+  }
+
+  test("q_mcnemar counts the planted discordant users exactly") {
+    // 40 users: 10 purchase pre-only (n10), 5 post-only (n01), 10 both
+    // (n11), 15 click-only (n00). χ² = (10−5)²/15, cc = (|5|−1)²/15.
+    val dir = tempDir("cs_mcnemar")
+    import spark.implicits._
+    val pre = "2024-01-10 12:00:00"; val post = "2024-01-20 12:00:00"
+    val rows = (0 until 40).flatMap { u =>
+      val (p1, p2) =
+        if (u < 10) (true, false)
+        else if (u < 15) (false, true)
+        else if (u < 25) (true, true)
+        else (false, false)
+      Seq(
+        if (p1) (u.toLong * 2, pre, u.toLong, "purchase", 10.0)
+        else (u.toLong * 2, pre, u.toLong, "click", 1.0),
+        if (p2) (u.toLong * 2 + 1, post, u.toLong, "purchase", 10.0)
+        else (u.toLong * 2 + 1, post, u.toLong, "click", 1.0))
+    }
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("""{"k": 1}""").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q_mcnemar", dir).head()
+    assert(r.getAs[Long]("n_users") === 40L)
+    assert(r.getAs[Long]("n00") === 15L && r.getAs[Long]("n01") === 5L &&
+      r.getAs[Long]("n10") === 10L && r.getAs[Long]("n11") === 10L)
+    assert(r.getAs[Double]("mcnemar") === math.floor(25.0 / 15 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("mcnemar_cc") === math.floor(16.0 / 15 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("q_mcnemar is NULL when no user switches") {
+    val dir = tempDir("cs_mcnemar_null")
+    import spark.implicits._
+    (0 until 6).map(u => (u.toLong, "2024-01-10 12:00:00", u.toLong, "click", 1.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q_mcnemar", dir).head()
+    assert(r.getAs[Long]("n00") === 6L)
+    assert(r.isNullAt(r.fieldIndex("mcnemar")) && r.isNullAt(r.fieldIndex("mcnemar_cc")),
+      "zero discordant users must read NULL, not a division blow-up")
+  }
+
+  test("q_dedup_incremental classifies planted exact / near / new incoming docs") {
+    // 15 docs ⇒ threshold = 12: incoming {12, 13, 14}. 12 is a byte
+    // copy of 2 (exact, match 2); 13 is 3 with one appended word
+    // (9 shared shingles of 10 ⇒ jaccard 0.9 ≥ 0.8 — near, match 3);
+    // 14 shares nothing (new, NULL match).
+    val texts = (0 until 12).map { i =>
+      (0 until 12).map(w => s"t${i}w$w").mkString(" ") // 12 distinct words each
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"src${i % 3}") } ++
+      Seq(
+        (12L, texts(2), "ingest"),
+        (13L, texts(3) + " tailword", "ingest"),
+        (14L, (0 until 12).map(w => s"freshw$w").mkString(" "), "ingest"))
+    val dir = docsDir(docs)
+    val rows = q("q_dedup_incremental", dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(12L, 13L, 14L),
+      "exactly the top-20% ids are the incoming batch")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(12L).getAs[String]("status") === "exact")
+    assert(byId(12L).getAs[Long]("match_doc") === 2L)
+    assert(byId(13L).getAs[String]("status") === "near")
+    assert(byId(13L).getAs[Long]("match_doc") === 3L)
+    assert(byId(14L).getAs[String]("status") === "new")
+    assert(byId(14L).isNullAt(byId(14L).fieldIndex("match_doc")))
+  }
 }

@@ -1491,4 +1491,60 @@ class TwinAndPropertySpec extends SparkSpec {
       assert(cooc <= math.min(cnt(a), cnt(b)), s"cooc exceeds a side's order count: $r")
     }
   }
+
+  test("q_kruskal_wallis matches an independent average-rank replication on the real corpus") {
+    // ground truth computed the TEXTBOOK way (collect all cents values,
+    // assign average ranks in Scala, H with the standard tie
+    // correction) — no shared code with the query's doubled-rank /
+    // unit-floored formulation, so a mistake in either side surfaces
+    val r = q("q_kruskal_wallis").head()
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = vals.length
+    // average rank per distinct value
+    val rankOf = vals.map(_._2).sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(_._2 + 1).sum.toDouble / xs.length
+      }
+    val groups = vals.groupBy(_._1)
+    val sumRsqOverN = groups.values.map { g =>
+      val rsum = g.map(x => rankOf(x._2)).sum
+      rsum * rsum / g.length
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * sumRsqOverN - 3.0 * (n + 1)
+    val ties = vals.map(_._2).groupBy(identity).values
+      .map(t => t.length.toLong).map(t => t * t * t - t).sum
+    val hAdj = h / (1.0 - ties.toDouble / (n.toDouble * n * n - n))
+    assert(r.getAs[Long]("k") === groups.size.toLong)
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(math.abs(r.getAs[Double]("h") - h) < 1e-3,
+      s"H ${r.getAs[Double]("h")} diverges from the textbook replication $h")
+    assert(math.abs(r.getAs[Double]("h_tie_adj") - hAdj) < 1e-3)
+  }
+
+  test("q_knn_reciprocity reads 1.0 on planted tight clusters and sees no cross-cluster edge") {
+    // two sign-separated clusters (every band key differs), 3 vectors
+    // each: banding proposes only within-cluster candidates, top-5
+    // covers the whole cluster, every edge is mutual and same-label
+    val dir = tempDir("tp_knn_recip")
+    import spark.implicits._
+    def vec(sign: Float, jitter: Int): Array[Float] =
+      Array.tabulate(64)(i => sign * (1f + 0.01f * ((i + jitter) % 5)))
+    val rows = (0 until 3).map(i => (i.toLong, vec(1f, i), 0)) ++
+      (3 until 6).map(i => (i.toLong, vec(-1f, i), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_knn_reciprocity")(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    for (l <- Seq(0, 1)) {
+      val r = out(l)
+      assert(r.getAs[Long]("n_nodes") === 3L)
+      assert(r.getAs[Long]("n_edges") === 6L, "each node links its 2 cluster mates")
+      assert(r.getAs[Long]("n_mutual") === 6L)
+      assert(r.getAs[Double]("reciprocity") === 1.0)
+      assert(r.getAs[Double]("intra_label") === 1.0,
+        "a cross-cluster edge leaked through the sign banding")
+    }
+  }
 }
