@@ -59,6 +59,7 @@ object BenchFloors {
     "q_char_entropy" -> 0.096,
     "q_chunk_cdc" -> 0.444,
     "q_churn" -> 0.342,
+    "q_cochran_q" -> 0.54, // r14 TimeQuery warm-min harvest
     "q_cohens_d" -> 0.095,
     "q_cohort_ltv" -> 0.251,
     "q_context_fit" -> 0.102,
@@ -67,6 +68,7 @@ object BenchFloors {
     "q_corpus_pipeline" -> 0.335,
     "q_corpus_yield" -> 0.221,
     "q_corr_matrix" -> 0.167,
+    "q_countmin_err" -> 0.825, // r14 TimeQuery warm-min harvest
     "q_cramers_v" -> 0.084,
     "q_cross_doc_ngram" -> 0.523,
     "q_cuped" -> 0.081,
@@ -160,6 +162,7 @@ object BenchFloors {
     "q_kendall_tau" -> 1.082,
     "q_knn_ivf" -> 2.774,
     "q_knn_lsh" -> 0.898,
+    "q_knn_recall_curve" -> 0.882, // r14 TimeQuery warm-min harvest
     "q_knn_reciprocity" -> 1.581, // r14 TimeQuery warm-min harvest
     "q_ks_test" -> 0.178,
     "q_kruskal_wallis" -> 0.586, // r14 TimeQuery warm-min harvest
@@ -228,6 +231,7 @@ object BenchFloors {
     "q_seasonality" -> 0.108,
     "q_session_batch" -> 0.303,
     "q_sessionize" -> 0.055,
+    "q_shard_skew" -> 0.46, // r14 TimeQuery warm-min harvest
     "q_shingle_df_profile" -> 0.726, // r12 TimeQuery warm-min harvest
     "q_ship_lag" -> 0.376, // r12 TimeQuery warm-min harvest
     "q_silhouette" -> 0.303, // r13 TimeQuery warm-min harvest

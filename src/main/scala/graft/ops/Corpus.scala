@@ -353,6 +353,49 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Output-shard skew audit (round 14) — before a 100 TB job writes,
+    // the question is whether its hash layout balances: assign every
+    // doc its content-hash shard (md5(doc_id) mod 64 — the same
+    // reshuffle-proof bucketing q_sample_split keys on) and read out
+    // per-shard docs, bytes, byte share, and skew = bytes/mean. A
+    // shard at skew 2 means one writer task runs 2× the others — the
+    // straggler the layout planner fixes BEFORE the write, not after.
+    // Shape: one map-side-partial agg onto the fixed 64-key grid; the
+    // total rides a broadcast single-row join; 64-row output at any
+    // corpus size. Hash arithmetic is the proven conv()/instr pairing,
+    // exact in both engines.
+    Q("q_shard_skew",
+      """WITH s AS (SELECT ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |                 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |                 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |                 + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 64 AS shard,
+        |                 n_chars
+        |          FROM documents),
+        |g AS (SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS bytes
+        |      FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(bytes) AS BIGINT) AS total FROM g)
+        |SELECT g.shard, g.n_docs, g.bytes,
+        |       floor((CAST(g.bytes AS DOUBLE) / t.total)*1000000+0.5)/1000000 AS share,
+        |       floor((CAST(g.bytes AS DOUBLE) * 64 / t.total)*1000000+0.5)/1000000 AS skew
+        |FROM g CROSS JOIN t
+        |ORDER BY shard""".stripMargin) { (s, d) =>
+      val shard = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 64")
+      // single scan: the total is a window aggregate over the 64-row
+      // grid (the q_benford move), not a second corpus pass
+      Tables.load(s, d, "documents")
+        .select(shard.as("shard"), col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+        .withColumn("total",
+          sum("bytes").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("shard"), col("n_docs"), col("bytes"),
+          Q.r6(col("bytes").cast("double") / col("total")).as("share"),
+          Q.r6(col("bytes").cast("double") * 64 / col("total")).as("skew"))
+        .orderBy("shard")
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // per language, the 5 docs with the largest ln(u)/w key, u a
     // deterministic md5-derived uniform and w = n_chars — longer docs

@@ -755,6 +755,48 @@ object Inference {
           (abs(col("n10") - col("n01")) - 1)).cast("double") / disc)).as("mcnemar_cc"))
     },
 
+    // Cochran's Q (round 14) — q_mcnemar generalized to k treatments:
+    // over the users × event-types binary participation matrix (did
+    // user i ever do type j?), does participation DIFFER across types
+    // beyond what per-user activity levels explain?
+    // Q = (k−1)·(k·ΣG² − (ΣG)²) / (k·ΣL − ΣL²) with G the per-type
+    // column sums and L the per-user row sums — every sufficient sum
+    // an exact int64, one mirrored division (NULL when all users hit
+    // all types: zero within-block variance). Scale: one (user, type)
+    // distinct collapse (map-side partials), then user-keyed and
+    // type-keyed rollups of that |users|·k frame; single-row output.
+    Q("q_cochran_q",
+      s"""WITH x AS (SELECT user_id, event_type FROM events GROUP BY 1, 2),
+         |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events),
+         |li AS (SELECT user_id, CAST(count(*) AS BIGINT) AS l FROM x GROUP BY 1),
+         |gj AS (SELECT event_type, CAST(count(*) AS BIGINT) AS g FROM x GROUP BY 1),
+         |su AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |              CAST(sum(l) AS BIGINT) AS sl, CAST(sum(l * l) AS BIGINT) AS sll
+         |       FROM li),
+         |st AS (SELECT CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg
+         |       FROM gj)
+         |SELECT kk.k, su.n_users,
+         |       CASE WHEN kk.k * su.sl - su.sll > 0
+         |            THEN ${Q.sqlR6("(kk.k - 1) * (kk.k * CAST(st.sgg AS DOUBLE) - CAST(st.sg AS DOUBLE) * st.sg) / (kk.k * su.sl - su.sll)")}
+         |       END AS q
+         |FROM kk CROSS JOIN su CROSS JOIN st""".stripMargin) { (s, d) =>
+      val x = Tables.events(s, d)
+        .select("user_id", "event_type").distinct()
+        .transform(Q.snapshot) // feeds the user rollup, type rollup and k
+      val su = x.groupBy("user_id").agg(count(lit(1)).as("l"))
+        .agg(count(lit(1)).as("n_users"), sum("l").as("sl"),
+          sum(col("l") * col("l")).as("sll"))
+      val st = x.groupBy("event_type").agg(count(lit(1)).as("g"))
+        .agg(sum("g").as("sg"), sum(col("g") * col("g")).as("sgg"),
+          count(lit(1)).as("k"))
+      val den = col("k") * col("sl") - col("sll")
+      su.crossJoin(broadcast(st))
+        .select(col("k"), col("n_users"),
+          when(den > 0,
+            Q.r6((col("k") - 1) * (col("k") * col("sgg").cast("double") -
+              col("sg").cast("double") * col("sg")) / den)).as("q"))
+    },
+
     // CUPED variance reduction (round 11): the industry-standard
     // pre-experiment covariate adjustment — each user's post-period
     // purchase spend is debiased by θ·(pre − mean_pre) with θ =

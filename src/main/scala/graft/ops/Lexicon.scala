@@ -33,6 +33,17 @@ object Lexicon {
     * DuckDB, which is the whole point (hash-stable sampling oracle). */
   private val LehmerSql = "(doc_id * 48271) % 2147483647"
 
+  /** DuckDB twin of the Spark-side CMS cell hash
+    * `conv(substring(md5('d:' || tok), 1, 4), 16, 10) % 256`: the
+    * proven instr-arithmetic hex4 parse (q_sample_stratified pairing)
+    * over the depth-salted token hash. */
+  private def cmsCellSql(d: String, tok: String): String = {
+    val h = s"md5(CAST($d AS VARCHAR) || ':' || $tok)"
+    (0 until 4).map(i =>
+      s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+      .mkString("(", " + ", ") % 256")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Inverted index over the corpus: per token, document frequency,
@@ -216,6 +227,60 @@ object Lexicon {
         .select(col("lang"), col("source"),
           (col("pos") + 1).cast("long").as("rk"), col("col.id").as("doc_id"))
         .orderBy("lang", "source", "rk")
+    },
+
+    // Count-min sketch with an exact error audit (round 14) — the
+    // mergeable frequency sketch a streaming/multi-pass pipeline keeps
+    // when the vocabulary itself is too wide to hold: depth 4 × width
+    // 256 counters, row d hashing each token by md5("d:" || token)
+    // (deterministic, engine-portable — the q_minhash_est_err move
+    // applied to frequencies), estimate = min over rows. The audit
+    // reports, for the top-20 true tokens, the estimate next to the
+    // exact count and the overestimate (CMS never underestimates —
+    // asserted in tests; expected overshoot ≈ Σcnt·depth/width per
+    // row). Shape: ONE vocab agg snapshot feeds both the 1024-cell
+    // grid (in-row ×4 depth fan-out, map-side partials onto FIXED
+    // keys) and the bounded top-20 TakeOrdered; estimates join the
+    // broadcast grid. Nothing after the vocab collapse grows with the
+    // corpus, and the grid is 1024 int64 cells at any scale.
+    Q("q_countmin_err",
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         |dd AS (SELECT unnest(range(0, 4)) AS d),
+         |cells AS (SELECT c.cnt, dd.d, ${cmsCellSql("dd.d", "c.tok")} AS cell
+         |          FROM c CROSS JOIN dd),
+         |grid AS (SELECT d, cell, CAST(sum(cnt) AS BIGINT) AS cs
+         |         FROM cells GROUP BY 1, 2),
+         |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20),
+         |tc AS (SELECT top.tok, top.cnt, dd.d, ${cmsCellSql("dd.d", "top.tok")} AS cell
+         |       FROM top CROSS JOIN dd),
+         |est AS (SELECT tc.tok, tc.cnt, CAST(min(g.cs) AS BIGINT) AS est
+         |        FROM tc JOIN grid g ON g.d = tc.d AND g.cell = tc.cell
+         |        GROUP BY 1, 2)
+         |SELECT tok AS token, cnt AS true_cnt, est AS est_cnt,
+         |       CAST(est - cnt AS BIGINT) AS overest
+         |FROM est
+         |ORDER BY true_cnt DESC, token""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .transform(Q.snapshot) // feeds the grid AND the top-20
+      def cellCol(dRow: Int): org.apache.spark.sql.Column =
+        expr(s"CAST(conv(substring(md5(concat('$dRow:', tok)), 1, 4), 16, 10) AS BIGINT) % 256")
+      val depthStructs = (0 until 4).map { dRow =>
+        struct(lit(dRow.toLong).as("d"), cellCol(dRow).as("cell"))
+      }
+      def fanOut(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("tok"), col("cnt"), explode(array(depthStructs: _*)).as("dc"))
+        .select(col("tok"), col("cnt"), col("dc.d").as("d"), col("dc.cell").as("cell"))
+      val grid = fanOut(c).groupBy("d", "cell").agg(sum("cnt").as("cs"))
+      val top = c.orderBy(col("cnt").desc, col("tok")).limit(20)
+      fanOut(top)
+        .join(broadcast(grid), Seq("d", "cell"))
+        .groupBy("tok", "cnt").agg(min("cs").as("est"))
+        .select(col("tok").as("token"), col("cnt").as("true_cnt"),
+          col("est").as("est_cnt"), (col("est") - col("cnt")).as("overest"))
+        .orderBy(col("true_cnt").desc, col("token"))
     },
 
     // Zipf-law fit over the corpus unigram frequency spectrum (round

@@ -444,6 +444,102 @@ object Similarity {
         .orderBy("label")
     },
 
+    // Candidate-recall curve (round 14) — the tuning readout for the
+    // sign-sketch blocking itself: recall@k (k ∈ {1, 5, 10}) of the
+    // banded candidates against exact brute-force truth over the 10
+    // probe vectors. Unlike q_knn_lsh/q_knn_ivf (engine-specific hash
+    // families ⇒ recall-BAND oracles), every piece here is
+    // deterministic in both engines — md5-free sign bands, cosine on
+    // the 1e-6 lattice before ranking, id tie-breaks — so the curve
+    // itself is hash-compared, not just floored. This is the number
+    // that decides band width W and band count B before anyone runs
+    // the full dedup (the q_lsh_tuning question asked of the EMBEDDING
+    // blocking). Shape: truth is probe-bounded (|probes|×|corpus|,
+    // probes broadcast — the q_sim_brute contract); the approximate
+    // side ranks only the probes' bucket-bounded candidates; both
+    // windows partition by probe (10 keys, bounded rows); the k grid
+    // is an in-row 3-literal explode.
+    Q("q_knn_recall_curve",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+        |${(0 until EmbedBands).map(g => s"                  ${embedBandSql(g)} AS b$g").mkString(",\n")}
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, de, ${(0 until EmbedBands).map("b" + _).mkString(", ")},
+        |             sqrt(list_inner_product(de, de)) AS nrm FROM e),
+        |bands AS (SELECT vec_id, t.band,
+        |                 ${(0 until EmbedBands).map {
+             case g if g < EmbedBands - 1 => s"WHEN $g THEN b$g"
+             case g => s"ELSE b$g"
+           }.mkString("CASE t.band ", " ", " END")} AS bv
+        |          FROM n, (SELECT unnest(range(0, $EmbedBands)) AS band) t),
+        |sc0 AS (SELECT p.vec_id AS p, c.vec_id AS c,
+        |               floor((list_inner_product(p.de, c.de) / (p.nrm * c.nrm))*1000000+0.5)/1000000 AS score
+        |        FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |truth AS (SELECT p, c, rk FROM (
+        |            SELECT p, c, row_number() OVER (PARTITION BY p ORDER BY score DESC, c) AS rk
+        |            FROM sc0) WHERE rk <= 10),
+        |cand AS (SELECT DISTINCT a.vec_id AS p, b.vec_id AS c
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv
+        |          AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |appr AS (SELECT p, c, rk FROM (
+        |            SELECT s.p, s.c,
+        |                   row_number() OVER (PARTITION BY s.p ORDER BY s.score DESC, s.c) AS rk
+        |            FROM sc0 s JOIN cand ON s.p = cand.p AND s.c = cand.c) WHERE rk <= 10),
+        |ks AS (SELECT unnest([1, 5, 10]) AS k),
+        |j AS (SELECT ks.k AS k,
+        |             CAST(count(*) AS BIGINT) AS n_truth,
+        |             CAST(sum(CASE WHEN ap.rk IS NOT NULL AND ap.rk <= ks.k
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |      FROM ks JOIN truth t ON t.rk <= ks.k
+        |      LEFT JOIN appr ap ON ap.p = t.p AND ap.c = t.c
+        |      GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, n_truth, n_hit,
+        |       ${Q.sqlR6("CAST(n_hit AS DOUBLE) / n_truth")} AS recall
+        |FROM j
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      import graft.functions.CosineSim.cosine_sim
+      val e = Tables.load(s, d, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("p"), col("embedding").as("pe"))
+      val cands = e.select(col("vec_id").as("c"), col("embedding").as("ce"))
+      val w = Window.partitionBy("p").orderBy(col("score").desc, col("c"))
+      val truth = cands.crossJoin(broadcast(probes))
+        .filter(col("p") =!= col("c"))
+        .select(col("p"), col("c"), Q.r6(cosine_sim(col("pe"), col("ce"))).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("p", "c", "rk")
+      val bandStructs = (0 until EmbedBands).map { g =>
+        struct(lit(g).as("band"), embedBandVal(g).as("bv"))
+      }
+      val bands = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+      val candPairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < 10 && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("p"), col("b.vec_id").as("c"))
+        .distinct()
+      val appr = candPairs
+        .join(broadcast(probes), "p")
+        .join(cands, "c")
+        .select(col("p"), col("c"), Q.r6(cosine_sim(col("pe"), col("ce"))).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("p"), col("c"), col("rk").as("ark"))
+      truth
+        .select(col("p"), col("c"), col("rk"),
+          explode(array(lit(1), lit(5), lit(10))).as("k"))
+        .filter(col("rk") <= col("k"))
+        .join(appr, Seq("p", "c"), "left")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("ark").isNotNull && col("ark") <= col("k"), 1L).otherwise(0L))
+            .as("n_hit"))
+        .select(col("k").cast("long").as("k"), col("n_truth"), col("n_hit"),
+          Q.r6(col("n_hit").cast("double") / col("n_truth")).as("recall"))
+        .orderBy("k")
+    },
+
     // Approximate kNN via random-projection LSH (spark.ml) — the scale
     // path when bucketed exact cosine is still too wide. The hash
     // family is engine-specific, so neighbor lists can't hash-match a

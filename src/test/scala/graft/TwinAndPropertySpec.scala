@@ -1523,6 +1523,75 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("h_tie_adj") - hAdj) < 1e-3)
   }
 
+  test("q_countmin_err never underestimates and its true counts match an exact recount") {
+    val rows = q("q_countmin_err").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overest") >= 0L,
+        s"CMS must never underestimate: $r")
+      assert(r.getAs[Long]("est_cnt") ===
+        r.getAs[Long]("true_cnt") + r.getAs[Long]("overest"))
+    }
+    // independent recount of the reported top token
+    val top = rows.head
+    val exact = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === top.getAs[String]("token")).count()
+    assert(exact === top.getAs[Long]("true_cnt"))
+    // and the rows really are the global top-20 in (cnt DESC, token) order
+    val cnts = rows.map(_.getAs[Long]("true_cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse)
+  }
+
+  test("q_knn_recall_curve hits are monotone in k with exact truth sizes") {
+    val rows = q("q_knn_recall_curve").collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(rows.keySet === Set(1L, 5L, 10L))
+    for ((k, r) <- rows) {
+      assert(r.getAs[Long]("n_truth") === 10 * k, "10 probes × k truth rows each")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+    }
+    // truth and candidate sets both grow with k ⇒ the intersection does
+    assert(rows(1L).getAs[Long]("n_hit") <= rows(5L).getAs[Long]("n_hit"))
+    assert(rows(5L).getAs[Long]("n_hit") <= rows(10L).getAs[Long]("n_hit"))
+  }
+
+  test("q_shard_skew conserves docs and bytes across the 64-shard grid") {
+    val rows = q("q_shard_skew").collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.map(_.getAs[Long]("bytes")).sum ===
+      docs.agg(sum("n_chars")).head().getLong(0))
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares must sum to ~1: $shareSum")
+    rows.foreach(r => assert(r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 64))
+  }
+
+  test("q_cochran_q: hand-computed 4×2 design reads exactly 2.0; saturated design is NULL") {
+    import spark.implicits._
+    def write(dir: String, pairs: Seq[(Long, String)]): Unit =
+      pairs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, "2024-01-10 12:00:00", u, t, 1.0)
+      }.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // G = (4, 2), L = (2, 1, 1, 2): Q = 1·(2·20 − 36) / (2·6 − 10) = 2
+    val d1 = tempDir("tp_cochran")
+    write(d1, Seq(0L -> "a", 0L -> "b", 1L -> "a", 2L -> "a", 3L -> "a", 3L -> "b"))
+    val r1 = SparkEntry.queries("q_cochran_q")(spark, d1).head()
+    assert(r1.getAs[Long]("k") === 2L && r1.getAs[Long]("n_users") === 4L)
+    assert(r1.getAs[Double]("q") === 2.0)
+    // every user does every type ⇒ zero within-block variance ⇒ NULL
+    val d2 = tempDir("tp_cochran_sat")
+    write(d2, for (u <- 0L to 2L; t <- Seq("a", "b")) yield u -> t)
+    val r2 = SparkEntry.queries("q_cochran_q")(spark, d2).head()
+    assert(r2.isNullAt(r2.fieldIndex("q")),
+      "a saturated participation matrix must read NULL, not a 0/0")
+  }
+
   test("q_knn_reciprocity reads 1.0 on planted tight clusters and sees no cross-cluster edge") {
     // two sign-separated clusters (every band key differs), 3 vectors
     // each: banding proposes only within-cluster candidates, top-5
