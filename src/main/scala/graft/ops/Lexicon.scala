@@ -44,6 +44,19 @@ object Lexicon {
       .mkString("(", " + ", ") % 256")
   }
 
+  /** CMS geometry + the ONE home of the Spark-side cell hash, shared by
+    * batch q_countmin_err and the streaming face (Streams.countmin) so
+    * the two grids can never drift: row `d` of [[CmsDepth]] buckets
+    * token `tok` at conv(md5("d:"‖tok)[0:4], 16) mod [[CmsWidth]]. */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 256
+  private[graft] def cmsCellCol(dRow: Int): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substring(md5(concat('$dRow:', tok)), 1, 4), 16, 10) AS BIGINT) % $CmsWidth")
+  private[graft] def cmsDepthStructs: Seq[org.apache.spark.sql.Column] =
+    (0 until CmsDepth).map { dRow =>
+      struct(lit(dRow.toLong).as("d"), cmsCellCol(dRow).as("cell"))
+    }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Inverted index over the corpus: per token, document frequency,
@@ -265,13 +278,8 @@ object Lexicon {
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .transform(Q.snapshot) // feeds the grid AND the top-20
-      def cellCol(dRow: Int): org.apache.spark.sql.Column =
-        expr(s"CAST(conv(substring(md5(concat('$dRow:', tok)), 1, 4), 16, 10) AS BIGINT) % 256")
-      val depthStructs = (0 until 4).map { dRow =>
-        struct(lit(dRow.toLong).as("d"), cellCol(dRow).as("cell"))
-      }
       def fanOut(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("tok"), col("cnt"), explode(array(depthStructs: _*)).as("dc"))
+        .select(col("tok"), col("cnt"), explode(array(cmsDepthStructs: _*)).as("dc"))
         .select(col("tok"), col("cnt"), col("dc.d").as("d"), col("dc.cell").as("cell"))
       val grid = fanOut(c).groupBy("d", "cell").agg(sum("cnt").as("cs"))
       val top = c.orderBy(col("cnt").desc, col("tok")).limit(20)

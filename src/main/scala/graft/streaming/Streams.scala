@@ -562,6 +562,27 @@ object Streams {
       }
   }
 
+  /** Streaming count-min sketch (s_countmin) — the incremental face of
+    * batch q_countmin_err's frequency sketch, and the canonical
+    * mergeable-counter streaming aggregate: each arriving document's
+    * tokens fan out in-row to their (depth, cell) grid coordinates
+    * (Lexicon.cmsDepthStructs — ONE home for the hash, so the
+    * streaming and batch grids cannot drift) and a plain streaming
+    * groupBy sums occurrences per cell. State is the DOMAIN-bounded
+    * 4×256 counter grid — the s_cat_entropy/s_tail pattern: counts are
+    * mergeable state, the min-over-rows ESTIMATE is not, so estimation
+    * divides out at read time from the emitted grid through the same
+    * min fold as the batch op. Runs forever at any rate; StreamingSpec
+    * proves the final grid (and the top-20 estimates derived from it)
+    * equal batch q_countmin_err over the same documents. */
+  def countminGrid(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(array(graft.ops.Lexicon.cmsDepthStructs: _*)).as("dc"))
+      .select(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .groupBy("d", "cell")
+      .agg(count(lit(1)).as("cs"))
+
   /** Streaming keeper election (s_dedup_keepers) — the incremental face
     * of batch q_dedup_keepers: as LSH candidate pairs ARRIVE (the
     * production shape generates them per micro-batch by banding each

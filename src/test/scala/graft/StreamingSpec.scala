@@ -150,6 +150,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_countmin's streamed grid equals the batch CMS and reproduces its estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, count, explode, lit, split}
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("text").as[String].collect()
+    val chunks = texts.grouped(texts.length / 3 + 1).toSeq
+    val in = MemoryStream[String]
+    val q = Streams.countminGrid(in.toDS().toDF("text"))
+      .writeStream.format("memory").queryName("t_cms").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = spark.table("t_cms").collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[Long]("cell")) -> r.getAs[Long]("cs")).toMap
+      // the batch grid over the same documents — mergeable counters must
+      // land identically whatever the arrival slicing
+      val batchGrid = Tables.load(spark, sfDir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(explode(array(ops.Lexicon.cmsDepthStructs: _*)).as("dc"))
+        .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+        .agg(count(lit(1)).as("cs"))
+        .collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[Long]("cell")) -> r.getAs[Long]("cs")).toMap
+      assert(grid === batchGrid, "streamed CMS grid diverges from the batch grid")
+      // read-time estimation: min over an INDEPENDENT Scala replication
+      // of the row hash — validates the mapping, not just the plumbing —
+      // must reproduce batch q_countmin_err's estimates exactly
+      def cell(dd: Int, tok: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$dd:$tok".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 256
+      }
+      val est = SparkEntry.queries("q_countmin_err")(spark, sfDir).collect()
+      assert(est.length === 20)
+      est.foreach { r =>
+        val tok = r.getAs[String]("token")
+        val streamed = (0 until 4).map(dd => grid((dd.toLong, cell(dd, tok)))).min
+        assert(streamed === r.getAs[Long]("est_cnt"),
+          s"read-time estimate for '$tok' diverges from the batch audit")
+      }
+    }
+  }
+
   test("s_dedup_keepers emissions re-resolve to the batch keeper table from out-of-order pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
