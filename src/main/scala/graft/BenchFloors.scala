@@ -41,6 +41,7 @@ object BenchFloors {
     "q_assoc_rules" -> 1.57,
     "q_attribution" -> 0.559,
     "q_audience_overlap" -> 0.349,
+    "q_bartlett" -> 0.374, // r14 TimeQuery warm-min harvest
     "q_basket_size_dist" -> 0.362, // r12 TimeQuery warm-min harvest
     "q_benford" -> 0.186,
     "q_bigram_logprob" -> 1.194,
@@ -57,6 +58,7 @@ object BenchFloors {
     "q_centroid_shift" -> 0.371,
     "q_changepoint" -> 0.244,
     "q_char_entropy" -> 0.096,
+    "q_chisq_trend" -> 0.239, // r14 TimeQuery warm-min harvest
     "q_chunk_cdc" -> 0.444,
     "q_churn" -> 0.342,
     "q_cochran_q" -> 0.54, // r14 TimeQuery warm-min harvest
@@ -248,6 +250,7 @@ object BenchFloors {
     "q_source_dup_matrix" -> 1.385, // r12 TimeQuery warm-min harvest
     "q_source_overlap" -> 1.996,
     "q_spearman" -> 0.216,
+    "q_split_leakage" -> 0.792, // r14 TimeQuery warm-min harvest
     "q_stickiness" -> 0.319,
     "q_stopword_profile" -> 0.113,
     "q_str" -> 0.05,

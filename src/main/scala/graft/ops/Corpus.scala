@@ -353,6 +353,67 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Train→eval split leakage (round 14) — the generalization-validity
+    // check that runs the moment q_sample_split assigns splits: for
+    // each held-out split (val, test), what share of its documents'
+    // distinct shingles ALREADY APPEARS in train, and how many docs are
+    // outright leaky (≥50% of their shingles in train)? High leakage
+    // means eval scores measure memorization of near-duplicated
+    // content, not generalization — the within-corpus complement of
+    // q_decontam's external-benchmark check. Split assignment is the
+    // exact q_sample_split md5 rule computed IN-ROW on the shingle
+    // frame (no doc join); the one content-keyed shuffle is the
+    // (lang, shingle) train-probe join — same-lang scoping as the
+    // dedup family. Rollups land on 2 rows.
+    Q("q_split_leakage",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |                   ELSE 'test' END AS split,
+        |              unnest(list_transform(range(1, len(words) - 1),
+        |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w WHERE len(words) >= 3),
+        |tr AS (SELECT DISTINCT lang, shingle FROM sh WHERE split = 'train'),
+        |ev AS (SELECT s.split, s.doc_id, count(*) AS n_sh,
+        |              sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |       FROM sh s LEFT JOIN tr t ON s.lang = t.lang AND s.shingle = t.shingle
+        |       WHERE s.split <> 'train'
+        |       GROUP BY 1, 2)
+        |SELECT split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(sum(n_hit) AS BIGINT) AS in_train,
+        |       floor((CAST(sum(n_hit) AS DOUBLE) / sum(n_sh))*1000000+0.5)/1000000 AS shingle_leak_share,
+        |       CAST(sum(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs,
+        |       floor((CAST(sum(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END) AS DOUBLE) / count(*))*1000000+0.5)/1000000 AS leaky_doc_share
+        |FROM ev
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      // the exact q_sample_split hash rule, applied in-row on the
+      // shingle frame's doc_id
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val split = when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+      val sh = TextPipeline.shingles(s, d).withColumn("split", split)
+      val tr = sh.filter(col("split") === "train")
+        .select("lang", "shingle").distinct()
+        .withColumn("hit", lit(1L))
+      val ev = sh.filter(col("split") =!= "train")
+        .join(tr, Seq("lang", "shingle"), "left")
+        .groupBy("split", "doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      ev.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_shingles"),
+          sum("n_hit").as("in_train"),
+          Q.r6(sum("n_hit").cast("double") / sum("n_sh")).as("shingle_leak_share"),
+          sum(when(lit(2) * col("n_hit") >= col("n_sh"), 1L).otherwise(0L))
+            .as("n_leaky_docs"),
+          Q.r6(sum(when(lit(2) * col("n_hit") >= col("n_sh"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("leaky_doc_share"))
+        .orderBy("split")
+    },
+
     // Output-shard skew audit (round 14) — before a 100 TB job writes,
     // the question is whether its hash layout balances: assign every
     // doc its content-hash shard (md5(doc_id) mod 64 — the same

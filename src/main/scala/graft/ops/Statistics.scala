@@ -763,6 +763,101 @@ object Statistics {
           Q.r6((h - col("k") + 1) / (col("n") - col("k"))).as("epsilon_sq"))
     },
 
+    // Bartlett's test of variance homogeneity across event types
+    // (round 14) — the gate in front of q_anova: its F statistic
+    // assumes equal group variances, and Bartlett is the classical
+    // (normality-sensitive) check beside q_brown_forsythe's robust
+    // median variant. Exactness: groups collapse to exact int64
+    // (n, Σv, Σv²); the three cross-group reductions of non-integers —
+    // within-group SS, (n−1)·ln S², 1/(n−1) — are integer-scaled PER
+    // GROUP before their k-row sums (1e6/1e6/1e12 lattices — the
+    // q_anova b6 move), so summation order cannot move a bit; the
+    // statistic is then one mirrored double tree over identical
+    // integers. Degenerate groups (n < 2 or zero variance — an exact
+    // INTEGER n·Σv² − (Σv)² ≤ 0 check, no ln(0) hazard) are excluded
+    // in both engines. Shape: one |types|-key map-side-partial agg,
+    // k-row frame, single-row output.
+    Q("q_bartlett",
+      s"""WITH m AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+         |g0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+         |       FROM m GROUP BY 1),
+         |g AS (SELECT n,
+         |             CAST(floor((ss - CAST(s AS DOUBLE) * s / n) * 1e6 + 0.5) AS BIGINT) AS w6,
+         |             CAST(floor((n - 1) * ln((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) * 1e6 + 0.5) AS BIGINT) AS lt6,
+         |             CAST(floor(1e12 / (n - 1) + 0.5) AS BIGINT) AS inv12
+         |      FROM g0 WHERE n >= 2 AND n * ss - s * s > 0),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         |             CAST(sum(w6) AS BIGINT) AS sw6, CAST(sum(lt6) AS BIGINT) AS slt6,
+         |             CAST(sum(inv12) AS BIGINT) AS sinv12
+         |      FROM g)
+         |SELECT k, nn AS n,
+         |       ${Q.sqlR6("((nn - k) * ln(sw6 / 1e6 / (nn - k)) - slt6 / 1e6) / (1.0 + (sinv12 / 1e12 - 1.0 / (nn - k)) / (3.0 * (k - 1)))")} AS bartlett_t
+         |FROM t WHERE k >= 2""".stripMargin) { (s, d) =>
+      val g0 = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+      val ssw = col("ss") - col("s").cast("double") * col("s") / col("n")
+      val g = g0
+        .filter(col("n") >= 2 && col("n") * col("ss") - col("s") * col("s") > 0)
+        .select(col("n"),
+          floor(ssw * lit(1e6) + 0.5).cast("long").as("w6"),
+          floor((col("n") - 1) * log(ssw / (col("n") - 1)) * lit(1e6) + 0.5)
+            .cast("long").as("lt6"),
+          floor(lit(1e12) / (col("n") - 1) + 0.5).cast("long").as("inv12"))
+      val t = g.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+        sum("w6").as("sw6"), sum("lt6").as("slt6"), sum("inv12").as("sinv12"))
+      t.filter(col("k") >= 2)
+        .select(col("k"), col("nn").as("n"),
+          Q.r6(((col("nn") - col("k")) *
+            log(col("sw6") / lit(1e6) / (col("nn") - col("k"))) -
+            col("slt6") / lit(1e6)) /
+            (lit(1.0) + (col("sinv12") / lit(1e12) -
+              lit(1.0) / (col("nn") - col("k"))) /
+              (lit(3.0) * (col("k") - 1)))).as("bartlett_t"))
+    },
+
+    // Cochran–Armitage trend test (round 14) — is the purchase SHARE
+    // monotone across the ordered weekday axis? q_cramers_v sees
+    // association; this sees DIRECTION, with weekday index 1..7 as the
+    // score vector. Every sufficient statistic is an exact int64 from
+    // one 7-key agg (N, R, Σw·n, Σw²·n, Σw·r); the numerator
+    // N·Σwr − R·Σwn is exact int64 arithmetic, and z is ONE mirrored
+    // division over those integers — no lattice needed anywhere.
+    // Spark `weekday()+1` ↔ DuckDB `isodow` (the q_cramers_v pairing).
+    Q("q_chisq_trend",
+      s"""WITH e AS (SELECT CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS w,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+         |           FROM events),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS r
+         |      FROM e GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+         |             CAST(sum(w * n) AS BIGINT) AS swn,
+         |             CAST(sum(w * w * n) AS BIGINT) AS swwn,
+         |             CAST(sum(w * r) AS BIGINT) AS swr
+         |      FROM c)
+         |SELECT nn AS n, rr AS n_purchase,
+         |       ${Q.sqlR6("(CAST(nn AS DOUBLE) * swr - CAST(rr AS DOUBLE) * swn) / sqrt(CAST(rr AS DOUBLE) * (nn - rr) / nn * (CAST(nn AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn))")} AS z,
+         |       ${Q.sqlR6("(CAST(nn AS DOUBLE) * swr - CAST(rr AS DOUBLE) * swn) * (CAST(nn AS DOUBLE) * swr - CAST(rr AS DOUBLE) * swn) / (CAST(rr AS DOUBLE) * (nn - rr) / nn * (CAST(nn AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn))")} AS chi2
+         |FROM t""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DateType
+      val t = Tables.events(s, d)
+        .select((weekday(col("ts").cast(DateType)) + 1).cast("long").as("w"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("r"))
+        .groupBy("w").agg(count(lit(1)).as("n"), sum("r").as("r"))
+        .agg(sum("n").as("nn"), sum("r").as("rr"),
+          sum(col("w") * col("n")).as("swn"),
+          sum(col("w") * col("w") * col("n")).as("swwn"),
+          sum(col("w") * col("r")).as("swr"))
+      val num = col("nn").cast("double") * col("swr") - col("rr").cast("double") * col("swn")
+      val den = col("rr").cast("double") * (col("nn") - col("rr")) / col("nn") *
+        (col("nn").cast("double") * col("swwn") - col("swn").cast("double") * col("swn"))
+      t.select(col("nn").as("n"), col("rr").as("n_purchase"),
+        Q.r6(num / sqrt(den)).as("z"),
+        Q.r6(num * num / den).as("chi2"))
+    },
+
     // Spearman rank correlation over the three SMALL-domain lineitem
     // measures (round 10) — the monotone-dependence screen Pearson
     // (q_corr_matrix) cannot see. Heavy ties are the interesting case:

@@ -266,6 +266,19 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("s").cast("double") * col("s")))
       })),
 
+    Site("q_bartlett", "1e6/1e12", "sw6 = Σ_g ⌊SSW_g·1e6⌋ (binding); lt6/inv12 strictly smaller",
+      "linear (SSW ≤ Σv² ≈ v̄²·N)", 100.0,
+      sf => 2.5e15 * sf * 4 + 1e9,
+      Some((s, d) => dmax {
+        val g = Tables.events(s, d)
+          .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"),
+            sum(col("v") * col("v")).as("ss"))
+        g.filter(col("n") >= 2)
+          .agg(sum(abs((col("ss") - col("s").cast("double") * col("s") / col("n")) * 1e6)))
+      })),
+
     Site("q_kruskal_wallis", "unit floor", "b0 = Σ_g ⌊R_g²/n_g + ½⌋ ≤ N³ (cross-group rank-power sum)",
       "SF³ (R_g ≤ n_g·N ⇒ Σ R²/n ≤ N³); DECIMAL needed past the ceiling", 1.0,
       sf => math.pow(evN(sf), 3) + 1e6,

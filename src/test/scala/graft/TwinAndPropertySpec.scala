@@ -1592,6 +1592,73 @@ class TwinAndPropertySpec extends SparkSpec {
       "a saturated participation matrix must read NULL, not a 0/0")
   }
 
+  test("q_bartlett matches a hand-computed two-group design") {
+    import spark.implicits._
+    // a: values 1,1,3,3 (SSW=4), b: 0,0,4,4 (SSW=16): Sp²=20/6,
+    // T = [6·ln(10/3) − (3·ln(4/3) + 3·ln(16/3))] / (1 + (2/3 − 1/6)/3)
+    val dir = tempDir("tp_bartlett")
+    val vals = Seq(("a", 1.0), ("a", 1.0), ("a", 3.0), ("a", 3.0),
+      ("b", 0.0), ("b", 0.0), ("b", 4.0), ("b", 4.0))
+    vals.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, "2024-01-10 12:00:00", i.toLong, t, v)
+    }.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_bartlett")(spark, dir).head()
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 8L)
+    // replicate through the SAME per-group lattice the op commits to
+    def lat(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val sw = lat(4.0) + lat(16.0)
+    val slt = (math.floor(3 * math.log(4.0 / 3) * 1e6 + 0.5) +
+      math.floor(3 * math.log(16.0 / 3) * 1e6 + 0.5)) / 1e6
+    val c = 1.0 + (math.floor(1e12 / 3 + 0.5) * 2 / 1e12 - 1.0 / 6) / 3.0
+    val expect = (6 * math.log(sw / 6) - slt) / c
+    assert(math.abs(r.getAs[Double]("bartlett_t") - expect) < 1e-5)
+  }
+
+  test("q_chisq_trend reads the planted monotone weekday trend with z² = χ²") {
+    import spark.implicits._
+    // Jan 1..7 2024 = Mon..Sun (w = 1..7); n_w = 10 events, r_w = w
+    // purchases: num = 70·140 − 28·280 = 1960,
+    // den = 28·42/70 · (70·1400 − 280²) = 329280
+    val dir = tempDir("tp_catrend")
+    val rows = for (w <- 1 to 7; i <- 0 until 10) yield
+      ((w * 100 + i).toLong, f"2024-01-0$w 12:${i}%02d:00", i.toLong,
+        if (i < w) "purchase" else "click", 1.0)
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_chisq_trend")(spark, dir).head()
+    assert(r.getAs[Long]("n") === 70L && r.getAs[Long]("n_purchase") === 28L)
+    val z = 1960.0 / math.sqrt(329280.0)
+    assert(r.getAs[Double]("z") === math.floor(z * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("chi2") === math.floor(z * z * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("z") > 0, "an increasing share must read a positive trend")
+  }
+
+  test("q_split_leakage's doc universe agrees with q_sample_split and its shares are sane") {
+    val splits = q("q_sample_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val eligible = Tables.load(spark, sfDir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = eligible.toSeq.map(splits).groupBy(identity)
+      .map { case (s, xs) => s -> xs.size.toLong }
+    val rows = q("q_split_leakage").collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet === Set("test", "val"))
+    for ((s, r) <- rows) {
+      assert(r.getAs[Long]("n_docs") === expected(s),
+        s"$s doc count diverges from the q_sample_split assignment")
+      val share = r.getAs[Double]("shingle_leak_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("in_train") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("n_leaky_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q_knn_reciprocity reads 1.0 on planted tight clusters and sees no cross-cluster edge") {
     // two sign-separated clusters (every band key differs), 3 vectors
     // each: banding proposes only within-cluster candidates, top-5
