@@ -1103,6 +1103,54 @@ class PlanAuditSpec extends SparkSpec {
       s"every exchange must stay in the (prefix, source) keyspace:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_split_leakage's only content-keyed shuffle is the train-probe join") {
+    // the shingle frames meet once, keyed on (lang, shingle) — one
+    // exchange per join side; everything after collapses to per-doc
+    // then 2-row rollups. A doc-keyed join back to the corpus (the
+    // shape q_doc_novelty's window form exists to avoid) would add
+    // content-sized shuffles beyond these two.
+    val plan = SparkEntry.queries("q_split_leakage")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shingleExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("shingle"))
+    // at test scale the train-distinct side broadcasts (1 exchange for
+    // its distinct); at scale both sides shuffle on the key (2) — any
+    // MORE means a third content-sized pass crept in
+    assert(shingleExchanges >= 1 && shingleExchanges <= 2,
+      s"expected only the (lang, shingle) join's exchanges, got $shingleExchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the split rule must be computed in-row, never via a doc_id join
+    // back to a second documents scan: the only parquet scans are the
+    // two shingle-frame reads (train side + eval side)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 2, s"split must derive in-row from md5(doc_id), found $scans scans:\n$plan")
+  }
+
+  test("q_countmin_err rides its vocab snapshot: fixed-grid agg, broadcast grid, bounded top-20") {
+    val plan = SparkEntry.queries("q_countmin_err")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus was scanned ONCE at snapshot build; the remaining plan
+    // reads only the materialized vocab frame
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 0,
+      s"grid and top-20 must both ride the vocab snapshot, found $scans scans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded TakeOrdered, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 1024-cell grid must broadcast to the top-20 probes:\n$plan")
+  }
+
+  test("q_shard_skew is one scan onto the fixed shard grid") {
+    val plan = SparkEntry.queries("q_shard_skew")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"one corpus pass expected, found $scans:\n$plan")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("shard")),
+      s"the only hash exchange is the 64-key shard agg:\n${hashEx.mkString("\n")}")
+  }
+
   test("round-12 series diagnostics ride the daily frame's single exchange") {
     // ljung_box / pacf / sax_motifs / hurst all collapse the corpus to
     // the (|types|x|days|) daily frame first; everything after must
