@@ -139,6 +139,7 @@ object BenchFloors {
     "q_hurst" -> 0.312,
     "q_hybrid_rrf" -> 0.62,
     "q_image_phash" -> 0.543,
+    "q_image_resize" -> 0.595, // r14 TimeQuery warm-min harvest
     "q_interpurchase" -> 0.835,
     "q_intersect" -> 0.13,
     "q_intersect_all" -> 0.154,

@@ -349,8 +349,104 @@ object Multimodal {
         .select(col("doc_id"), col("width"), col("height"), col("phash"),
           col("n_same_hash"))
         .orderBy("doc_id")
+    },
+
+    // Thumbnail resize (round 14) — the remaining first-class media
+    // transform of the builder brief's decode/extract/RESIZE/sample
+    // list: every image is nearest-neighbor-resampled to a FIXED 4×3
+    // thumbnail on the DECODED raster (src pixel (⌊i·w/4⌋, ⌊j·h/3⌋)
+    // for thumb cell (i, j) — the standard NN downscale), reported as
+    // the exact integer luminance mass of the 12 sampled pixels plus a
+    // 12-bit brightness mask (bit k ⇔ cell k out-brightens the thumb
+    // mean under a cross-multiplied INTEGER comparison — zero floats).
+    // Same oracle strength as q_image_phash: DuckDB re-derives the
+    // sampled pixels arithmetically from the closed-form raster, so
+    // the value the Spark side must reach through real PNG bytes
+    // (encode → stream → imageio decode → resample) is checked
+    // pixel-exactly. At 100 TB the shape is the decode pipeline's:
+    // repartition once for blob sizing, per-partition codec batches,
+    // no shuffle after — thumbnails are the standard pre-embedding
+    // normalization pass.
+    Q("q_image_resize",
+      """WITH g AS (SELECT d.doc_id,
+        |                  CAST(4 + d.doc_id % 13 AS BIGINT) AS w,
+        |                  CAST(3 + d.n_chars % 7 AS BIGINT) AS h,
+        |                  t.i, u.j
+        |           FROM documents d,
+        |                UNNEST(range(0, 4)) AS t(i),
+        |                UNNEST(range(0, 3)) AS u(j)),
+        |p AS (SELECT doc_id, w, h, j * 4 + i AS k,
+        |             (i * w) // 4 AS x, (j * h) // 3 AS y
+        |      FROM g),
+        |l AS (SELECT doc_id, w, h, k,
+        |             299 * ((doc_id * 31 + x * 7 + y * 13) % 256)
+        |           + 587 * ((doc_id * 17 + x * 11 + y * 3) % 256)
+        |           + 114 * ((doc_id + x * y) % 256) AS lum
+        |      FROM p),
+        |m AS (SELECT doc_id, w, h, k, lum,
+        |             CAST(sum(lum) OVER (PARTITION BY doc_id) AS BIGINT) AS ts
+        |      FROM l)
+        |SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       CAST(max(ts) AS BIGINT) AS thumb_sum,
+        |       CAST(sum(CASE WHEN lum * 12 > ts
+        |                     THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS thumb_hash
+        |FROM m
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
+        .toDF()
+        .repartition(col("doc_id")) // size decode partitions; no shuffle after
+        .as[MediaIn]
+        .mapPartitions(decodeResize)
+        .toDF()
+        .select("doc_id", "width", "height", "thumb_sum", "thumb_hash")
+        .orderBy("doc_id")
     }
   )
+
+  /** Per-image 4×3 nearest-neighbor thumbnail row (see q_image_resize). */
+  final case class MediaThumb(doc_id: Long, width: Int, height: Int,
+                              thumb_sum: Long, thumb_hash: Long)
+
+  /** REAL decode → fixed 4×3 nearest-neighbor thumbnail: parses the PNG
+    * stream, samples src pixel (⌊i·w/4⌋, ⌊j·h/3⌋) per thumb cell,
+    * accumulates exact INTEGER luminance (299r + 587g + 114b) and sets
+    * mask bit k = j·4+i iff the cell out-brightens the thumbnail mean
+    * under the cross-multiplied integer comparison lum·12 > Σlum —
+    * zero floats, so the oracle's arithmetic pixel re-derivation must
+    * match bit-for-bit. */
+  private def decodeResize(rows: Iterator[MediaIn]): Iterator[MediaThumb] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lums = new Array[Long](12)
+      var j = 0
+      while (j < 3) {
+        var i = 0
+        while (i < 4) {
+          val p = img.getRGB(i * w / 4, j * h / 3)
+          lums(j * 4 + i) =
+            299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+          i += 1
+        }
+        j += 1
+      }
+      val ts = lums.sum
+      var mask = 0L
+      var k = 0
+      while (k < 12) {
+        if (lums(k) * 12 > ts) mask |= (1L << k)
+        k += 1
+      }
+      MediaThumb(r.doc_id, w, h, ts, mask)
+    }
+  }
 
   /** Per-image 4-bit quadrant hash row (see q_image_phash). */
   final case class MediaQuadHash(doc_id: Long, width: Int, height: Int, phash: Long)
