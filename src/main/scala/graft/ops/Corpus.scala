@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators for LLM training-data pipelines
@@ -44,27 +45,38 @@ object Corpus {
       s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (9 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** ONE home for the deterministic train/val/test assignment — the
+    * Spark rule and its SQL twin — shared by q_sample_split and
+    * q_split_leakage so a threshold retune can never desynchronize the
+    * split an eval set was CUT on from the split leakage is MEASURED
+    * on (the LshPairCtes/cmsDepthStructs one-home pattern; r14
+    * review). Bucket = first md5 byte of the doc key compared as hex
+    * text: 'cd' = 205/256 ≈ 80% train, 'e6' = 230/256 ≈ +10% val,
+    * rest test. */
+  private[ops] val SplitCaseSql: String =
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' " +
+      "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' " +
+      "ELSE 'test' END"
+  private[ops] def splitCol: Column = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
-    // Deterministic train/val/test split: bucket = first md5 byte of the
-    // doc key, compared as hex text (lexicographic order on [0-9a-f] IS
-    // numeric order, and md5 hex is identical in Spark and DuckDB).
-    // 'cd' = 205/256 ≈ 80% train, 'e6' = 230/256 ≈ +10% val, rest test.
-    // Content-hash splitting is reshuffle-proof and join-free: the same
-    // doc lands in the same split on any cluster layout, at any scale —
-    // unlike rand()-based sampling, which is nondeterministic under
-    // retries. Pure map-side; no shuffle at all.
+    // Deterministic train/val/test split (rule: SplitCaseSql/splitCol
+    // above — md5 hex is identical in Spark and DuckDB, and
+    // lexicographic order on [0-9a-f] IS numeric order). Content-hash
+    // splitting is reshuffle-proof and join-free: the same doc lands in
+    // the same split on any cluster layout, at any scale — unlike
+    // rand()-based sampling, which is nondeterministic under retries.
+    // Pure map-side; no shuffle at all.
     Q("q_sample_split",
-      """SELECT doc_id,
-        |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-        |            ELSE 'test' END AS split
+      s"""SELECT doc_id, $SplitCaseSql AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
       Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          when(h < "cd", "train").when(h < "e6", "val").otherwise("test").as("split"))
+        .select(col("doc_id"), splitCol.as("split"))
         .orderBy("doc_id")
     },
 
@@ -366,11 +378,9 @@ object Corpus {
     // (lang, shingle) train-probe join — same-lang scoping as the
     // dedup family. Rollups land on 2 rows.
     Q("q_split_leakage",
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang,
-        |              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-        |                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-        |                   ELSE 'test' END AS split,
+        |              $SplitCaseSql AS split,
         |              unnest(list_transform(range(1, len(words) - 1),
         |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
         |       FROM w WHERE len(words) >= 3),
@@ -390,11 +400,9 @@ object Corpus {
         |FROM ev
         |GROUP BY 1
         |ORDER BY 1""".stripMargin) { (s, d) =>
-      // the exact q_sample_split hash rule, applied in-row on the
-      // shingle frame's doc_id
-      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
-      val split = when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
-      val sh = TextPipeline.shingles(s, d).withColumn("split", split)
+      // the exact q_sample_split hash rule (shared splitCol — one
+      // home), applied in-row on the shingle frame's doc_id
+      val sh = TextPipeline.shingles(s, d).withColumn("split", splitCol)
       val tr = sh.filter(col("split") === "train")
         .select("lang", "shingle").distinct()
         .withColumn("hit", lit(1L))

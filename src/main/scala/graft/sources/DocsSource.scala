@@ -280,8 +280,12 @@ private[sources] class DocsMicroBatchStream(
   private def rowsOf(p: Int): Long = DocsScan.rowsOf(totalRows, topicPartitions, p)
   private def positionsOf(o: Offset): Map[Int, Long] = {
     val m = o.asInstanceOf[DocsOffset].positions
-    // a WAL written by an older single-partition run carries only
-    // partition 0; missing partitions start at 0 (Kafka's rule)
+    // every offset reaching here carries the full key set: engine
+    // offsets are built full-map, and WAL recovery is validated by
+    // requireCompatible before use. The getOrElse(0) is defense in
+    // depth only — "unknown partitions start at earliest" semantics
+    // live in the startingOffset option (parseStartingOffsets), never
+    // in WAL reinterpretation (r14 review).
     (0 until topicPartitions).map(p => p -> m.getOrElse(p, 0L)).toMap
   }
 
@@ -293,33 +297,26 @@ private[sources] class DocsMicroBatchStream(
     * and dropping an extra stored key silently reinterprets the id
     * space. Kafka fails this class of source-config mismatch loudly at
     * restart; so do we — at WAL deserialization, before any batch is
-    * planned. The ONE tolerated mismatch is the documented bare-long /
-    * `{"0":N}` form (an older single-partition WAL, indistinguishable
-    * from a deliberate single-partition layout) — and changing
-    * `topicPartitions` on it is still caught, because a multi-partition
-    * run immediately re-serializes the full map, so only the very first
-    * restart after an UPGRADE hits this branch. Partition-count growth
-    * is supported through the LEDGER path instead (fresh checkpoint +
+    * planned, by requiring the stored key set to be EXACTLY
+    * [0, topicPartitions). No single-partition carve-out: a bare-long /
+    * `{"0":N}` WAL meeting topicPartitions > 1 can only be a
+    * 1 → N change (a multi-partition run always serializes its full
+    * map), and that is the exact replay-corruption case — the first
+    * formulation exempted it and so accepted the one mismatch it
+    * claimed to reject (r14 review). Partition-count growth is
+    * supported through the LEDGER path instead (fresh checkpoint +
     * `startingOffset` via clampToRange, whose new-partitions-adopt-
     * earliest rule makes the growth explicit and reported — see
     * SourcesSpec's topic-growth test), never by mutating a live WAL. */
-  private def requireCompatible(m: Map[Int, Long]): Unit = {
-    val outside = m.keySet.filterNot(p => p >= 0 && p < topicPartitions)
-    if (outside.nonEmpty)
+  private def requireCompatible(m: Map[Int, Long]): Unit =
+    if (m.keySet != (0 until topicPartitions).toSet)
       throw new IllegalStateException(
-        s"graft-docs: checkpointed offset names partitions ${outside.toSeq.sorted.mkString(",")} " +
-          s"outside this source's [0, $topicPartitions) — topicPartitions was changed across " +
-          "restarts of the same checkpoint. Start a fresh checkpoint (position it from a ledger " +
-          "via startingOffset) instead of reinterpreting committed offsets.")
-    if (m.keySet != Set(0) && m.size != topicPartitions)
-      throw new IllegalStateException(
-        s"graft-docs: checkpointed offset carries ${m.size} partition keys " +
-          s"(${m.keySet.toSeq.sorted.mkString(",")}) but the source is configured with " +
-          s"topicPartitions=$topicPartitions — the option was changed across restarts of the " +
-          "same checkpoint, which would replay or skip rows as ids re-shard across residue " +
-          "classes. Only the documented single-partition (bare-long / {\"0\":N}) upgrade is " +
-          "accepted; for partition growth, start a fresh checkpoint positioned from a ledger.")
-  }
+        s"graft-docs: checkpointed offset carries partition keys " +
+          s"{${m.keySet.toSeq.sorted.mkString(",")}} but the source is configured with " +
+          s"topicPartitions=$topicPartitions (expects {${(0 until topicPartitions).mkString(",")}}) " +
+          "— the option was changed across restarts of the same checkpoint, which would replay " +
+          "or skip rows as ids re-shard across residue classes. Start a fresh checkpoint " +
+          "(positioned from a ledger via startingOffset) instead of reinterpreting committed offsets.")
 
   /** Consulted by MicroBatchExecution ONLY when the checkpoint WAL is
     * empty — a fresh query starts at the ledger-supplied positions, a

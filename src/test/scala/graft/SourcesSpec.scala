@@ -509,15 +509,30 @@ class SourcesSpec extends SparkSpec {
     assert(grow.getMessage.contains("topicPartitions") ||
       Option(grow.getCause).exists(_.getMessage.contains("topicPartitions")),
       s"growth restart must name the changed option: ${grow.getMessage}")
-    // shrink 2 → 1: stored keys fall outside [0, 1)
+    // shrink 2 → 1: stored keys {0,1} are not the expected {0}
     val shrink = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       run(ckpt, 1)
     }
-    assert(shrink.getMessage.contains("outside this source") ||
-      Option(shrink.getCause).exists(_.getMessage.contains("outside this source")),
-      s"shrink restart must reject the out-of-range keys: ${shrink.getMessage}")
+    assert(shrink.getMessage.contains("topicPartitions") ||
+      Option(shrink.getCause).exists(_.getMessage.contains("topicPartitions")),
+      s"shrink restart must reject the key-set mismatch: ${shrink.getMessage}")
     // and the unchanged config still recovers cleanly from that WAL
     run(ckpt, 2)
+    // the r14-review hole: a SINGLE-partition WAL (bare-long offsets —
+    // the only shape that could ever masquerade as a legitimate
+    // "upgrade") restarted at topicPartitions=3 is the one case a
+    // {0}-carve-out would wave through, replaying every id ≢ 0 (mod 3)
+    // as duplicates — it must be rejected like any other change
+    val ckpt1p = tempDir("graft_mismatch_ckpt1p")
+    run(ckpt1p, 1) // bare-long WAL entries
+    val grow1toN = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ckpt1p, 3)
+    }
+    assert(grow1toN.getMessage.contains("topicPartitions") ||
+      Option(grow1toN.getCause).exists(_.getMessage.contains("topicPartitions")),
+      s"the 1 -> N restart must fail loudly: ${grow1toN.getMessage}")
+    // and the single-partition config itself still recovers
+    run(ckpt1p, 1)
   }
 
   test("topic growth 1 -> 2 resumes through the LEDGER path: p0 at its stored offset, p1 at earliest") {
