@@ -39,6 +39,51 @@ object Bench {
     fails ++ top ++ rotating
   }
 
+  private[graft] def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private[graft] def fmt(d: Double, scale: Int): String =
+    BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
+  /** The ONE driver-parsed line for a round, extracted pure so
+    * BenchRotationSpec can SIMULATE consecutive rounds against the real
+    * surface: tries the full map at decreasing precision, then
+    * renderTop at decreasing k (2-step, so a line that would fit 98
+    * entries is not cut to 90), first fit under the ~1950-char driver
+    * parse budget wins. The realized k is what the 3-round rotation
+    * guarantee actually runs on — which is why the spec simulates this
+    * function instead of assuming k = 100. */
+  private[graft] def driverLine(runs: Seq[(String, Either[String, Double])],
+                                roundIdx: Int, sfName: String): String = {
+    val total = fmt(runs.map(_._2.getOrElse(0.0)).sum, 3)
+    val partial = if (runs.exists(_._2.isLeft)) """"partial":true,""" else ""
+    // error text is capped HARD in the driver line (the full message
+    // goes to stderr at the failure site): every error char comes out
+    // of the same ~1950-char budget the rotating tail needs, and a
+    // couple of verbose exceptions would otherwise evict dozens of
+    // per-query timings from driver-side attribution
+    val errList = runs.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e.take(60)) }
+    val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
+    def render(scale: Int, stripPrefix: Boolean): String = {
+      val qs = runs.map { case (k, v) =>
+        jstr(if (stripPrefix) k.stripPrefix("q_") else k) + ":" + v.fold(_ => "null", fmt(_, scale))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs$errs,"sf":"$sfName"}"""
+    }
+    def renderTop(k: Int): String = {
+      val kept = keptNames(runs, k, roundIdx)
+      val omitted = runs.length - kept.length
+      val qs = kept.map { case (n, v) =>
+        jstr(n.stripPrefix("q_")) + ":" + v.fold(_ => "null", fmt(_, 1))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs,"q_omitted":$omitted$errs,"sf":"$sfName"}"""
+    }
+    (Seq(render(2, false), render(2, true), render(1, true)) ++
+      (100 to 10 by -2).map(renderTop))
+      .find(_.length <= 1950).getOrElse(renderTop(10))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,7 +110,12 @@ object Bench {
         : Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable => Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}") }
+      catch { case e: Throwable =>
+        // full text to stderr; the driver line carries a capped head
+        System.err.println(s"[bench] FAILED: ${e.getClass.getName}: " +
+          String.valueOf(e.getMessage).take(500))
+        Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
     // A best-of-2 that is STILL slow is usually two back-to-back hits
     // from the same contention burst (BENCH_r04: q_decontam read 7.7 s
@@ -105,55 +155,16 @@ object Bench {
         })
       case other => other
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // The driver keeps only a bounded TAIL (~2000 chars) of stdout and
-    // parses the LAST line: every BENCH_r0N so far recorded "parsed":
-    // null because sbt's success trailer sat below the JSON (fixed in
-    // build.sbt), and r03/r04 additionally lost the leading
-    // "metric"/"value" fields to the 2000-char cap. So the whole line
-    // must fit the window: per-query times render at 2 decimals with
-    // trailing zeros stripped, dropping to 1 decimal if the surface
-    // ever grows past the budget (totals always keep 3).
-    def fmt(d: Double, scale: Int) =
-      BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.stripTrailingZeros.toPlainString
-    // Failed queries are null (a -1.0 reads like a plausible timing);
-    // the exception text lives in "errors", omitted when empty. Total
-    // sums successful queries only; "partial" appears exactly when
-    // failures were excluded, so the headline can't silently
-    // understate runtime.
-    val total = fmt(runs.map(_._2.getOrElse(0.0)).sum, 3)
-    val partial = if (runs.exists(_._2.isLeft)) """"partial":true,""" else ""
-    val errList = runs.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
-    val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
-    // At 99 queries the full-name 2-decimal map is ~2090 chars — over
-    // budget — so the fallbacks trade, in order: the redundant "q_" key
-    // prefix (every bench query carries it; "agg_hash" ≡ "q_agg_hash"),
-    // then a decimal of per-query precision. Never the total's.
-    val sfName = sfDir.split('/').last
-    def render(scale: Int, stripPrefix: Boolean): String = {
-      val qs = runs.map { case (k, v) =>
-        jstr(if (stripPrefix) k.stripPrefix("q_") else k) + ":" + v.fold(_ => "null", fmt(_, scale))
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs$errs,"sf":"$sfName"}"""
-    }
-    // Last-resort fallback once the surface outgrows even the 1-decimal
-    // stripped-prefix render (first hit at 114 queries): keep every
-    // failure, the K/2 most expensive entries, and a ROTATING window of
-    // the cheap tail, and say how many were dropped — the total stays
-    // exact and the line stays parseable, which beats a complete map
-    // the driver truncates into nothing. Without the rotation, r10's
-    // 94 omitted queries were permanently invisible to driver-side
-    // regression attribution: the same cheap half fell below the
-    // top-100 bar every round. The rotation index is the count of
+    // parses the LAST line — the whole line must fit that window. The
+    // precision/key-prefix/top-K fallback ladder lives in driverLine
+    // (pure, spec-simulated); the rotation index is the count of
     // committed BENCH_r*.json files — the driver adds exactly one per
-    // round, so consecutive rounds report consecutive windows and the
-    // full surface cycles through in ceil(tail/(K/2)) rounds (~3 at
-    // today's 194-query surface) with zero reliance on wall-clock.
-    // resolve the repo root by walking up to build.sbt rather than
+    // round, so consecutive rounds report consecutive windows.
+    // Resolve the repo root by walking up to build.sbt rather than
     // trusting the cwd: launched from a wrapper directory, "." holds no
     // BENCH files and the rotation would silently freeze at window 0 —
-    // the exact permanently-invisible-tail problem it exists to fix
+    // the exact permanently-invisible-tail problem it exists to fix.
     val roundIdx: Int = Iterator
       .iterate(new java.io.File(".").getAbsoluteFile)(_.getParentFile)
       .takeWhile(_ != null)
@@ -161,14 +172,7 @@ object Bench {
       .flatMap(dir => Option(dir.listFiles))
       .map(_.count(f => f.getName.matches("BENCH_r\\d+\\.json")))
       .getOrElse(0)
-    def renderTop(k: Int): String = {
-      val kept = Bench.keptNames(runs, k, roundIdx)
-      val omitted = runs.length - kept.length
-      val qs = kept.map { case (n, v) =>
-        jstr(n.stripPrefix("q_")) + ":" + v.fold(_ => "null", fmt(_, 1))
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs,"q_omitted":$omitted$errs,"sf":"$sfName"}"""
-    }
+    val sfName = sfDir.split('/').last
     // Full per-query map for the FLOOR harvest (tools/gen_floors.py) —
     // printed BEFORE the driver-parsed line so the driver's bounded
     // stdout tail still ends with the budgeted metric line. Without
@@ -179,10 +183,7 @@ object Bench {
       jstr(k) + ":" + v.fold(_ => "null", fmt(_, 3))
     }.mkString("{", ",", "}")
     println(s"""{"metric":"floors_all","queries":$floorQs,"sf":"$sfName"}""")
-    val line = (Seq(render(2, false), render(2, true), render(1, true)) ++
-      (100 to 10 by -10).map(renderTop))
-      .find(_.length <= 1950).getOrElse(renderTop(10))
-    println(line)
+    println(driverLine(runs, roundIdx, sfName))
     spark.stop()
     if (runs.exists(_._2.isLeft)) sys.exit(1)
   }

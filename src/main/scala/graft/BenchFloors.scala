@@ -20,7 +20,7 @@ object BenchFloors {
     "q_abtest" -> 0.092,
     "q_acf" -> 0.535,
     "q_activity_islands" -> 0.187,
-    "q_adf" -> 0.466, // r13 TimeQuery warm-min harvest
+    "q_adf" -> 0.363, // r13 TimeQuery warm-min harvest
     "q_agg_approx_distinct" -> 0.169,
     "q_agg_approx_pct" -> 0.164,
     "q_agg_approx_topk" -> 0.176,
@@ -41,7 +41,7 @@ object BenchFloors {
     "q_assoc_rules" -> 1.57,
     "q_attribution" -> 0.559,
     "q_audience_overlap" -> 0.349,
-    "q_bartlett" -> 0.374, // r14 TimeQuery warm-min harvest
+    "q_bartlett" -> 0.241, // r14 TimeQuery warm-min harvest
     "q_basket_size_dist" -> 0.362, // r12 TimeQuery warm-min harvest
     "q_benford" -> 0.186,
     "q_bigram_logprob" -> 1.194,
@@ -58,19 +58,19 @@ object BenchFloors {
     "q_centroid_shift" -> 0.371,
     "q_changepoint" -> 0.244,
     "q_char_entropy" -> 0.096,
-    "q_chisq_trend" -> 0.239, // r14 TimeQuery warm-min harvest
+    "q_chisq_trend" -> 0.107, // r14 TimeQuery warm-min harvest
     "q_chunk_cdc" -> 0.444,
     "q_churn" -> 0.342,
-    "q_cochran_q" -> 0.54, // r14 TimeQuery warm-min harvest
+    "q_cochran_q" -> 0.262, // r14 TimeQuery warm-min harvest
     "q_cohens_d" -> 0.095,
     "q_cohort_ltv" -> 0.251,
     "q_context_fit" -> 0.102,
     "q_cooccur_lift" -> 0.514,
-    "q_cooks_distance" -> 0.615, // r13 TimeQuery warm-min harvest
+    "q_cooks_distance" -> 0.298, // r13 TimeQuery warm-min harvest
     "q_corpus_pipeline" -> 0.335,
     "q_corpus_yield" -> 0.221,
     "q_corr_matrix" -> 0.167,
-    "q_countmin_err" -> 0.825, // r14 TimeQuery warm-min harvest
+    "q_countmin_err" -> 0.429, // r14 TimeQuery warm-min harvest
     "q_cramers_v" -> 0.084,
     "q_cross_doc_ngram" -> 0.523,
     "q_cuped" -> 0.081,
@@ -84,7 +84,7 @@ object BenchFloors {
     "q_dedup_embed" -> 0.415,
     "q_dedup_exact" -> 0.106,
     "q_dedup_fuzzy" -> 0.259,
-    "q_dedup_incremental" -> 0.753, // r14 TimeQuery warm-min harvest
+    "q_dedup_incremental" -> 0.268, // r14 TimeQuery warm-min harvest
     "q_dedup_keepers" -> 2.213, // r13 first harvest (contended run; re-min later)
     "q_dedup_latest" -> 0.226,
     "q_dedup_near" -> 1.056,
@@ -94,7 +94,7 @@ object BenchFloors {
     "q_distinct_rollup" -> 0.12,
     "q_diurnal" -> 0.118,
     "q_doc_chunk" -> 0.072,
-    "q_doc_novelty" -> 0.899, // r13 TimeQuery warm-min harvest
+    "q_doc_novelty" -> 0.848, // r13 TimeQuery warm-min harvest
     "q_dormancy" -> 0.128, // r12 TimeQuery warm-min harvest
     "q_drawdown" -> 0.177,
     "q_drift_tvd" -> 0.266,
@@ -138,8 +138,8 @@ object BenchFloors {
     "q_holt_linear" -> 0.123,
     "q_hurst" -> 0.312,
     "q_hybrid_rrf" -> 0.62,
-    "q_image_phash" -> 0.543,
-    "q_image_resize" -> 0.595, // r14 TimeQuery warm-min harvest
+    "q_image_phash" -> 0.508,
+    "q_image_resize" -> 0.471, // r14 TimeQuery warm-min harvest
     "q_interpurchase" -> 0.835,
     "q_intersect" -> 0.13,
     "q_intersect_all" -> 0.154,
@@ -165,15 +165,15 @@ object BenchFloors {
     "q_kendall_tau" -> 1.082,
     "q_knn_ivf" -> 2.774,
     "q_knn_lsh" -> 0.898,
-    "q_knn_recall_curve" -> 0.882, // r14 TimeQuery warm-min harvest
-    "q_knn_reciprocity" -> 1.581, // r14 TimeQuery warm-min harvest
+    "q_knn_recall_curve" -> 0.477, // r14 TimeQuery warm-min harvest
+    "q_knn_reciprocity" -> 0.934, // r14 TimeQuery warm-min harvest
     "q_ks_test" -> 0.178,
-    "q_kruskal_wallis" -> 0.586, // r14 TimeQuery warm-min harvest
+    "q_kruskal_wallis" -> 0.321, // r14 TimeQuery warm-min harvest
     "q_label_affinity" -> 0.172,
     "q_lang_confusion" -> 0.243, // r12 TimeQuery warm-min harvest
     "q_lang_id" -> 0.063,
     "q_length_profile" -> 0.088,
-    "q_lift_curve" -> 0.826, // r13 TimeQuery warm-min harvest
+    "q_lift_curve" -> 0.471, // r13 TimeQuery warm-min harvest
     "q_ljung_box" -> 0.213,
     "q_lorenz" -> 0.381,
     "q_lsh_tuning" -> 2.551,
@@ -181,8 +181,8 @@ object BenchFloors {
     "q_mann_whitney" -> 0.076,
     "q_map_json" -> 0.052,
     "q_markov_stationary" -> 0.401,
-    "q_mase" -> 0.561, // r14 TimeQuery warm-min harvest
-    "q_mcnemar" -> 0.424, // r14 TimeQuery warm-min harvest
+    "q_mase" -> 0.235, // r14 TimeQuery warm-min harvest
+    "q_mcnemar" -> 0.097, // r14 TimeQuery warm-min harvest
     "q_math" -> 0.074,
     "q_merge_upsert" -> 0.309,
     "q_minhash_est_err" -> 1.426, // r12 probe-bounded truth side (array_intersect, no uncapped pair join)
@@ -194,7 +194,7 @@ object BenchFloors {
     "q_mutual_info" -> 0.136,
     "q_new_returning" -> 0.124, // r12 TimeQuery warm-min harvest
     "q_ngram_freq" -> 0.422,
-    "q_odds_ratio" -> 0.238, // r13 TimeQuery warm-min harvest
+    "q_odds_ratio" -> 0.1, // r13 TimeQuery warm-min harvest
     "q_ohlc" -> 0.135,
     "q_pacf" -> 0.215,
     "q_pack_sequences" -> 0.052,
@@ -218,10 +218,10 @@ object BenchFloors {
     "q_revenue_bridge" -> 0.288, // r13 TimeQuery warm-min harvest
     "q_rfm" -> 0.085,
     "q_rle_zorder" -> 0.111,
-    "q_rolling_corr" -> 0.919, // r13 TimeQuery warm-min harvest
+    "q_rolling_corr" -> 0.45, // r13 TimeQuery warm-min harvest
     "q_rolling_median" -> 0.05,
     "q_rsi" -> 0.163,
-    "q_runs_test" -> 0.275, // r13 first harvest
+    "q_runs_test" -> 0.202, // r13 first harvest
     "q_sample_split" -> 0.05,
     "q_sample_stratified" -> 0.172,
     "q_sample_weighted" -> 0.112,
@@ -234,7 +234,7 @@ object BenchFloors {
     "q_seasonality" -> 0.108,
     "q_session_batch" -> 0.303,
     "q_sessionize" -> 0.055,
-    "q_shard_skew" -> 0.46, // r14 TimeQuery warm-min harvest
+    "q_shard_skew" -> 0.137, // r14 TimeQuery warm-min harvest
     "q_shingle_df_profile" -> 0.726, // r12 TimeQuery warm-min harvest
     "q_ship_lag" -> 0.376, // r12 TimeQuery warm-min harvest
     "q_silhouette" -> 0.303, // r13 TimeQuery warm-min harvest
@@ -250,8 +250,9 @@ object BenchFloors {
     "q_source_dsv2" -> 0.07,
     "q_source_dup_matrix" -> 1.385, // r12 TimeQuery warm-min harvest
     "q_source_overlap" -> 1.996,
+    "q_source_xent" -> 0.678, // r14 TimeQuery warm-min harvest
     "q_spearman" -> 0.216,
-    "q_split_leakage" -> 0.792, // r14 TimeQuery warm-min harvest
+    "q_split_leakage" -> 0.339, // r14 TimeQuery warm-min harvest
     "q_stickiness" -> 0.319,
     "q_stopword_profile" -> 0.113,
     "q_str" -> 0.05,
@@ -277,7 +278,7 @@ object BenchFloors {
     "q_union_distinct" -> 0.112,
     "q_unpivot" -> 0.078,
     "q_variance_ratio" -> 0.101, // r13 TimeQuery warm-min harvest
-    "q_vocab_coverage" -> 0.414, // r14 post-rewrite harvest (TopKStrAgg single-pass form)
+    "q_vocab_coverage" -> 0.224, // r14 post-rewrite harvest (TopKStrAgg single-pass form)
     "q_weighted_median" -> 1.125,
     "q_welch_t" -> 0.068,
     "q_wilson_lb" -> 0.236,

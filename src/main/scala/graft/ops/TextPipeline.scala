@@ -1051,6 +1051,69 @@ object TextPipeline {
     // plain shuffle join that scales with the vocabulary; the per-doc
     // sum then keys on doc_id. In production the word stats are a
     // precomputed model table and the first aggregation pass drops out.
+    // Per-source cross-entropy under the TRAIN-split unigram model
+    // (round 14) — "which feeds look unlike the data we train on": an
+    // add-1-smoothed unigram LM is fit on the q_sample_split train
+    // docs ONLY (the shared Corpus.SplitCaseSql/splitCol rule — one
+    // home, so the model's universe is exactly the split the eval sets
+    // were cut on), then EVERY doc's tokens are scored against it and
+    // rolled up per source: token count, OOV share (tokens absent from
+    // the train vocabulary — the coverage half of the readout), and
+    // cross-entropy in nats (perplexity = e^xent, left to the reader —
+    // exp() is the one libm call the PARITY rules don't vouch for).
+    // Exactness: each row's tf·ln(p) contribution is integer-scaled to
+    // 1e-9 BEFORE the per-source sum (the q_bigram_logprob lattice),
+    // so the cross-row reduction is order-free int64. Shape: one
+    // (lang, word) tf agg, a train-filtered model agg off it, a
+    // vocab-keyed LEFT probe join (unseen ⇒ cw 0), per-lang totals
+    // broadcast, |sources|-row output.
+    Q("q_source_xent",
+      s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+        |trw AS (SELECT lang, word, CAST(sum(tf) AS BIGINT) AS cw
+        |        FROM tf WHERE ${Corpus.SplitCaseSql} = 'train' GROUP BY 1, 2),
+        |trl AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+        |        FROM trw GROUP BY 1),
+        |sc AS (SELECT d.source, tf.tf, coalesce(trw.cw, 0) AS cw, trl.n, trl.v
+        |       FROM tf
+        |       JOIN documents d ON tf.doc_id = d.doc_id
+        |       LEFT JOIN trw ON tf.lang = trw.lang AND tf.word = trw.word
+        |       JOIN trl ON tf.lang = trl.lang),
+        |lp AS (SELECT source, tf, cw,
+        |              CAST(floor(tf * ln((CAST(cw AS DOUBLE) + 1) / (n + v)) * 1e9 + 0.5) AS BIGINT) AS lp9
+        |       FROM sc)
+        |SELECT source,
+        |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN cw = 0 THEN tf ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |       ${Q.sqlR6("CAST(sum(CASE WHEN cw = 0 THEN tf ELSE 0 END) AS DOUBLE) / sum(tf)")} AS oov_rate,
+        |       ${Q.sqlR6("-(CAST(sum(lp9) AS DOUBLE) / 1e9) / sum(tf)")} AS xent
+        |FROM lp
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val tf = withWords(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+        .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+      val trw = tf.filter(Corpus.splitCol === "train")
+        .groupBy("lang", "word").agg(sum("tf").as("cw"))
+      val trl = trw.groupBy("lang").agg(sum("cw").as("n"), count(lit(1)).as("v"))
+      val cat = Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+      tf.join(cat, "doc_id")
+        .join(trw, Seq("lang", "word"), "left")
+        .join(broadcast(trl), "lang")
+        .select(col("source"), col("tf"),
+          coalesce(col("cw"), lit(0L)).as("cw"), col("n"), col("v"))
+        .withColumn("lp9",
+          floor(col("tf") * log((col("cw").cast("double") + 1) / (col("n") + col("v"))) *
+            lit(1e9) + 0.5).cast("long"))
+        .groupBy("source")
+        .agg(sum("tf").cast("long").as("n_tokens"),
+          sum(when(col("cw") === 0, col("tf")).otherwise(0L)).cast("long").as("oov_tokens"),
+          Q.r6(sum(when(col("cw") === 0, col("tf")).otherwise(0L)).cast("double") /
+            sum("tf")).as("oov_rate"),
+          Q.r6(-(sum("lp9").cast("double") / lit(1e9)) / sum("tf")).as("xent"))
+        .orderBy("source")
+    },
+
     Q("q_unigram_logprob",
       """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM t GROUP BY 1, 2, 3),

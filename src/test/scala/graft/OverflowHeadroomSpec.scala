@@ -266,6 +266,20 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("s").cast("double") * col("s")))
       })),
 
+    Site("q_source_xent", "1e9", "per-source Σ⌊tf·ln(p)·1e9⌋ (|ln p| ≤ ln(n+v) — log-linear in tokens)",
+      "linear×log (measured 2.44e14 @ sf0.001 over ALL sources — the probe is the conservative whole-corpus sum)", 7.0,
+      sf => 6e17 * sf + 1e9,
+      Some((s, d) => dmax {
+        val tf = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+        val trl = tf.groupBy("lang")
+          .agg(sum("tf").as("n"), countDistinct("word").as("v"))
+        tf.join(broadcast(trl), "lang")
+          .select(abs(col("tf") * log((col("n") + col("v")).cast("double")) * 1e9).as("m"))
+          .agg(sum("m"))
+      })),
+
     Site("q_bartlett", "1e6/1e12", "sw6 = Σ_g ⌊SSW_g·1e6⌋ (binding); lt6/inv12 strictly smaller",
       "linear (SSW ≤ Σv² ≈ v̄²·N)", 100.0,
       sf => 2.5e15 * sf * 4 + 1e9,
