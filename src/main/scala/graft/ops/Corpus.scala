@@ -53,11 +53,11 @@ object Corpus {
     * review). Bucket = first md5 byte of the doc key compared as hex
     * text: 'cd' = 205/256 ≈ 80% train, 'e6' = 230/256 ≈ +10% val,
     * rest test. */
-  private[ops] val SplitCaseSql: String =
+  private[graft] val SplitCaseSql: String =
     "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' " +
       "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' " +
       "ELSE 'test' END"
-  private[ops] def splitCol: Column = {
+  private[graft] def splitCol: Column = {
     val h = substring(md5(col("doc_id").cast("string")), 1, 2)
     when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
   }

@@ -583,6 +583,46 @@ object Streams {
       .groupBy("d", "cell")
       .agg(count(lit(1)).as("cs"))
 
+  /** Streaming train-model scoring (s_source_xent) — the incremental
+    * face of batch q_source_xent, and the production shape of "is this
+    * live feed drifting away from what we train on": the unigram train
+    * model is STATIC (fit once on the committed train split; re-read
+    * per micro-batch like any slowly-changing dim), each arriving
+    * document's per-doc term frequencies are computed IN-ROW (the
+    * document arrives whole, so the (doc, word) tf lattice is exactly
+    * the batch op's — floor(tf·ln p·1e9) per pair, never per
+    * occurrence, which is what makes the sums bit-equal), the model
+    * joins broadcast, and a plain streaming groupBy keeps per-source
+    * exact int64 sums (lp9, tokens, oov) — |sources|-bounded state,
+    * runs forever at any rate. Cross-entropy divides out at read time
+    * (the s_cat_entropy mergeable-state pattern). StreamingSpec
+    * streams the corpus in chunks and proves the final per-source
+    * sums reproduce batch q_source_xent exactly. */
+  def sourceXentStream(docs: DataFrame, trainModel: DataFrame,
+                       langTotals: DataFrame): DataFrame = {
+    val tf = docs
+      .withColumn("words", split(col("text"), " "))
+      // in-row per-doc tf: distinct words × their counts — identical
+      // values to the batch (doc, lang, word) groupBy
+      .select(col("source"), col("lang"),
+        explode(expr(
+          "transform(array_distinct(words), w -> struct(w AS word, size(filter(words, x -> x = w)) AS tf))"))
+          .as("p"))
+      .select(col("source"), col("lang"), col("p.word").as("word"),
+        col("p.tf").cast("long").as("tf"))
+    tf.join(broadcast(trainModel), Seq("lang", "word"), "left")
+      .join(broadcast(langTotals), "lang")
+      .select(col("source"), col("tf"),
+        coalesce(col("cw"), lit(0L)).as("cw"), col("n"), col("v"))
+      .withColumn("lp9",
+        floor(col("tf") * log((col("cw").cast("double") + 1) / (col("n") + col("v"))) *
+          lit(1e9) + 0.5).cast("long"))
+      .groupBy("source")
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("cw") === 0, col("tf")).otherwise(0L)).as("oov_tokens"),
+        sum("lp9").as("lp9"))
+  }
+
   /** Streaming keeper election (s_dedup_keepers) — the incremental face
     * of batch q_dedup_keepers: as LSH candidate pairs ARRIVE (the
     * production shape generates them per micro-batch by banding each

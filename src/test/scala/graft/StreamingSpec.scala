@@ -194,6 +194,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_source_xent's streamed per-source sums reproduce the batch cross-entropy exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, explode, floor, lit, split, sum}
+    // the STATIC train model, built exactly as the batch op builds it
+    val tfAll = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+    val trainModel = tfAll.filter(ops.Corpus.splitCol === "train")
+      .groupBy("lang", "word").agg(sum("tf").as("cw"))
+    val langTotals = trainModel.groupBy("lang")
+      .agg(sum("cw").as("n"), count(lit(1)).as("v"))
+    // stream the whole corpus (source, lang, text) in three chunks
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("source", "lang", "text").as[(String, String, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, String, String)]
+    val q = Streams.sourceXentStream(
+        in.toDS().toDF("source", "lang", "text"), trainModel, langTotals)
+      .writeStream.format("memory").queryName("t_xent").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("t_xent").collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"), r.getAs[Long]("lp9"))))
+        .toMap
+      val batch = SparkEntry.queries("q_source_xent")(spark, sfDir).collect()
+      assert(batch.nonEmpty && streamed.keySet === batch.map(_.getAs[String]("source")).toSet)
+      batch.foreach { b =>
+        val (nt, oov, lp9) = streamed(b.getAs[String]("source"))
+        assert(nt === b.getAs[Long]("n_tokens"))
+        assert(oov === b.getAs[Long]("oov_tokens"))
+        // the read-time projections over the exact int sums must equal
+        // the batch op's r6 columns to the bit
+        assert(math.floor(-(lp9 / 1e9) / nt * 1e6 + 0.5) / 1e6 ===
+          b.getAs[Double]("xent"), s"xent diverges for ${b.getAs[String]("source")}")
+        assert(math.floor(oov.toDouble / nt * 1e6 + 0.5) / 1e6 ===
+          b.getAs[Double]("oov_rate"))
+      }
+    }
+  }
+
   test("s_dedup_keepers emissions re-resolve to the batch keeper table from out-of-order pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
