@@ -62,6 +62,11 @@ object Corpus {
     when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
   }
 
+  /** ONE home for the content-hash shard assignment (q_shard_skew and
+    * its streaming face — the grids cannot drift). */
+  private[graft] def shardCol: Column = expr(
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 64")
+
   def defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split (rule: SplitCaseSql/splitCol
@@ -449,12 +454,10 @@ object Corpus {
         |       floor((CAST(g.bytes AS DOUBLE) * 64 / t.total)*1000000+0.5)/1000000 AS skew
         |FROM g CROSS JOIN t
         |ORDER BY shard""".stripMargin) { (s, d) =>
-      val shard = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 64")
       // single scan: the total is a window aggregate over the 64-row
       // grid (the q_benford move), not a second corpus pass
       Tables.load(s, d, "documents")
-        .select(shard.as("shard"), col("n_chars"))
+        .select(shardCol.as("shard"), col("n_chars"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
         .withColumn("total",

@@ -583,6 +583,21 @@ object Streams {
       .groupBy("d", "cell")
       .agg(count(lit(1)).as("cs"))
 
+  /** Streaming shard-skew monitor (s_shard_skew) — the incremental face
+    * of batch q_shard_skew: as documents arrive, per-shard doc and byte
+    * counters accumulate on the FIXED 64-key content-hash grid
+    * (Corpus.shardCol — one home, the grids cannot drift), so a live
+    * ingest sees its output layout's balance BEFORE the write job runs.
+    * State is 64 rows of two int64 counters — the mergeable-grid
+    * pattern; share/skew divide out at read time from the emitted
+    * grid. StreamingSpec proves the final grid equals the batch op's
+    * per-shard (n_docs, bytes) exactly. */
+  def shardSkewStream(docs: DataFrame): DataFrame =
+    docs
+      .select(graft.ops.Corpus.shardCol.as("shard"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+
   /** Streaming train-model scoring (s_source_xent) — the incremental
     * face of batch q_source_xent, and the production shape of "is this
     * live feed drifting away from what we train on": the unigram train

@@ -194,6 +194,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_shard_skew's streamed grid equals the batch per-shard layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.shardSkewStream(in.toDS().toDF("doc_id", "n_chars"))
+      .writeStream.format("memory").queryName("t_shard").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("t_shard").collect()
+        .map(r => r.getAs[Long]("shard") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("bytes")))).toMap
+      val batch = SparkEntry.queries("q_shard_skew")(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("shard") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("bytes")))).toMap
+      assert(streamed === batch, "streamed shard grid diverges from the batch layout")
+    }
+  }
+
   test("s_source_xent's streamed per-source sums reproduce the batch cross-entropy exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
