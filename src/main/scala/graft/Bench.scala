@@ -33,7 +33,21 @@ object Bench {
     val rotating =
       if (pool.isEmpty || want == 0) Seq.empty
       else {
-        val start = (want.toLong * roundIdx % pool.length).toInt
+        // Grid rotation (r14): the window start advances on a FIXED
+        // G-quarter grid instead of by `want`. The realized window
+        // width floats a few slots round-to-round (kept names differ
+        // in width, error text spends the same line budget), and a
+        // stride that floats WITH it can alias so that one pool band
+        // falls in NO round's window at any horizon — at 287 queries,
+        // want alternating 84/82 left a 26-query band permanently
+        // unreported (the r14 phase-10 trap). G is derived from want
+        // minus an 8-slot slack, so a ±8 fluctuation cannot move it,
+        // and the round covers quarter (roundIdx mod G) fully:
+        // want ≥ ⌈P/G⌉ by construction.
+        val g = math.max(1,
+          math.ceil(pool.length.toDouble / math.max(1, want - 8)).toInt)
+        val quarter = (pool.length + g - 1) / g
+        val start = (roundIdx % g) * quarter % pool.length
         (pool.drop(start) ++ pool.take(start)).take(want)
       }
     fails ++ top ++ rotating

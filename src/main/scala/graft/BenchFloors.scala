@@ -114,10 +114,12 @@ object BenchFloors {
     "q_filter_interval" -> 0.082,
     "q_filter_null" -> 0.073,
     "q_filter_pred" -> 0.074,
+    "q_friedman" -> 0.470, // r14 extension harvest (TimeQuery warm-min, sf0.1)
     "q_funnel" -> 0.297,
     "q_funnel_time" -> 0.302,
     "q_gapfill" -> 0.127,
     "q_gini" -> 0.106,
+    "q_granger" -> 0.526, // r14 extension harvest
     "q_graph_assortativity" -> 1.37,
     "q_graph_bfs" -> 2.799,
     "q_graph_butterflies" -> 2.013,
@@ -135,6 +137,7 @@ object BenchFloors {
     "q_hhi" -> 0.162,
     "q_hill_tail" -> 0.18, // r12 TimeQuery warm-min harvest
     "q_hist" -> 0.107,
+    "q_hodges_lehmann" -> 0.408, // r14 extension harvest
     "q_holt_linear" -> 0.123,
     "q_hurst" -> 0.312,
     "q_hybrid_rrf" -> 0.62,
@@ -178,6 +181,7 @@ object BenchFloors {
     "q_lorenz" -> 0.381,
     "q_lsh_tuning" -> 2.551,
     "q_mad_outliers" -> 0.478,
+    "q_mann_kendall" -> 0.568, // r14 extension harvest
     "q_mann_whitney" -> 0.076,
     "q_map_json" -> 0.052,
     "q_markov_stationary" -> 0.401,
@@ -188,6 +192,7 @@ object BenchFloors {
     "q_minhash_est_err" -> 1.426, // r12 probe-bounded truth side (array_intersect, no uncapped pair join)
     "q_minhash_lsh" -> 1.071,
     "q_mix_weights" -> 0.091,
+    "q_moods_median" -> 0.699, // r14 extension harvest (sorted-array median form)
     "q_multimodal" -> 0.102,
     "q_multimodal_decode" -> 0.375,
     "q_multimodal_frames" -> 0.764,
@@ -270,6 +275,7 @@ object BenchFloors {
     "q_topk" -> 0.149,
     "q_topk_agg" -> 0.385,
     "q_trend_fit" -> 0.088,
+    "q_tukey_hsd" -> 0.471, // r14 extension harvest
     "q_tumbling_batch" -> 0.152,
     "q_turning_points" -> 0.112, // r13 first harvest
     "q_unigram_logprob" -> 0.441,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, QueryDef}
+import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -542,6 +542,375 @@ object SeriesTests {
           col("y").as("day_count"), Q.r6(col("d")).as("cooks_d"),
           Q.r6(col("h")).as("leverage"), Q.r6(col("res")).as("residual"))
         .orderBy("event_type")
+    },
+
+    // Mann–Kendall trend test per type: S = Σ_{i<j} sign(y_j − y_i)
+    // over the daily counts with the tie-corrected normal z — the
+    // nonparametric "is there ANY monotone trend" screen that holds
+    // where q_trend_fit's OLS slope is distorted by outliers and
+    // q_runs_test only sees sign flips. The pair frame is the
+    // day-window-bounded C(|days|,2) per type (the q_theil_sen join,
+    // never corpus-sized); S, the tie term Σt(t−1)(2t+5) and
+    // Var·18 = n(n−1)(2n+5) − ties are all exact int64 (≤366 days ⇒
+    // far inside headroom), and z applies the standard ±1 continuity
+    // correction through one mirrored tree. NULL z on zero variance
+    // (constant series).
+    Q("q_mann_kendall",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |p AS (SELECT a.event_type,
+         |             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+         |      FROM daily a JOIN daily b
+         |        ON a.event_type = b.event_type AND a.x < b.x),
+         |s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s FROM p GROUP BY 1),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+         |tg AS (SELECT event_type,
+         |              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+         |       FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+         |             FROM daily GROUP BY 1, 2) GROUP BY 1)
+         |SELECT n.event_type, n.n AS n_days, s.s AS s,
+         |       CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - tg.tie > 0 THEN
+         |         ${Q.sqlR6("(s.s - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END) / " +
+                   "sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - tg.tie) / 18.0)")}
+         |       END AS z
+         |FROM n JOIN s ON n.event_type = s.event_type
+         |       JOIN tg ON n.event_type = tg.event_type
+         |ORDER BY n.event_type""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
+      val sdf = a.join(b, Seq("event_type")).filter(col("xa") < col("xb"))
+        .groupBy("event_type")
+        .agg(sum(when(col("yb") > col("ya"), 1L)
+          .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s"))
+      val ndf = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val tg = daily.groupBy("event_type", "y").agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie"))
+      val vn = col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie")
+      val sign = when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L)
+      ndf.join(sdf, "event_type").join(tg, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("s"),
+          when(vn > 0, Q.r6((col("s") - sign) / sqrt(vn / lit(18.0)))).as("z"))
+        .orderBy("event_type")
+    },
+
+    // Mood's median test across types: does any type's daily-volume
+    // DISTRIBUTION sit above or below the others' — counts above the
+    // pooled grand median per type, one 2×k chi-square. The location
+    // complement of q_kruskal_wallis' rank test (median test ignores
+    // everything but the above/below bit, so one heavy-tailed type
+    // can't dominate). The grand median picks the explicit middle
+    // elements of ONE sorted-array aggregate over the domain-bounded
+    // daily frame (≤ |types|·366 int64 cells — bounded state, the
+    // bounded-buffer-agg family; never either engine's median(), and
+    // no global sort exec at all). Each type's a²/n_g contribution
+    // hits the 1e6 lattice BEFORE the cross-type sum (the q_anova b6
+    // move; OverflowHeadroomSpec row) so the reduction is order-free
+    // int64. NULL chi2 when every count is on one side of the median.
+    Q("q_moods_median",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |md AS (SELECT CAST(ys[CAST(floor((len(ys) + 1) / 2.0) AS BIGINT)] +
+         |              ys[CAST(floor((len(ys) + 2) / 2.0) AS BIGINT)] AS DOUBLE) / 2 AS m
+         |       FROM (SELECT list_sort(list(y)) AS ys FROM daily)),
+         |g AS (SELECT d.event_type, CAST(count(*) AS BIGINT) AS ng,
+         |             CAST(sum(CASE WHEN d.y > md.m THEN 1 ELSE 0 END) AS BIGINT) AS a
+         |      FROM daily d, md GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+         |             CAST(sum(a) AS BIGINT) AS aa,
+         |             CAST(sum(CAST(floor(CAST(a * a AS DOUBLE) / ng * 1e6 + 0.5)
+         |               AS BIGINT)) AS BIGINT) AS b6
+         |      FROM g)
+         |SELECT t.k AS n_types, t.n AS n_days, md.m AS grand_median,
+         |       CASE WHEN t.aa > 0 AND t.aa < t.n THEN
+         |         ${Q.sqlR6("(CAST(t.n AS DOUBLE) * t.n / (t.aa * (t.n - t.aa))) * " +
+                   "(t.b6 / 1e6 - CAST(t.aa AS DOUBLE) * t.aa / t.n)")}
+         |       END AS chi2
+         |FROM t, md""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val ys = array_sort(collect_list("y"))
+      val md = daily.agg(ys.as("ys"))
+        .select(((element_at(col("ys"), floor((size(col("ys")) + 1) / 2.0).cast("int")) +
+          element_at(col("ys"), floor((size(col("ys")) + 2) / 2.0).cast("int")))
+          .cast("double") / 2).as("m"))
+      val g = daily.crossJoin(broadcast(md))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), first("m").as("m"),
+          sum(when(col("y") > col("m"), 1L).otherwise(0L)).as("a"))
+      val t = g.agg(count(lit(1)).as("k"), sum("ng").as("n"), sum("a").as("aa"),
+        sum(floor((col("a") * col("a")).cast("double") / col("ng") * lit(1e6) + 0.5)
+          .cast("long")).as("b6"), first("m").as("grand_median"))
+      t.select(col("k").as("n_types"), col("n").as("n_days"), col("grand_median"),
+        when(col("aa") > 0 && col("aa") < col("n"),
+          Q.r6((col("n").cast("double") * col("n") / (col("aa") * (col("n") - col("aa")))) *
+            (col("b6") / lit(1e6) - col("aa").cast("double") * col("aa") / col("n"))))
+          .as("chi2"))
+    },
+
+    // Friedman rank test over the DENSE (day × type) block design:
+    // within each day, rank the types by volume (average ranks under
+    // ties, carried as exact 2×rank ints), then test whether any
+    // type's mean rank departs from (k+1)/2 — "is the daily volume
+    // ORDERING of the types stable", the within-day complement of
+    // q_kruskal_wallis' pooled ranks. Days a type logged nothing are
+    // ZERO-fill cells (the dense grid — types × observed days, both
+    // domain-bounded enums, broadcast cross join), which is what makes
+    // the block design complete. 2·avgrank = 2·rank() + tiecount − 1
+    // keeps every rank sum exact int64; the tie correction
+    // C = 1 − Σ(t³−t)/(nk(k²−1)) folds exact int64 tie cubes.
+    Q("q_friedman",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |r AS (SELECT event_type,
+         |             CAST(2 * rank() OVER (PARTITION BY x ORDER BY y)
+         |               + count(*) OVER (PARTITION BY x, y) - 1 AS BIGINT) AS r2
+         |      FROM grid),
+         |rs AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j FROM r GROUP BY 1),
+         |km AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |              CAST(sum(r2j * r2j) AS BIGINT) AS sr2 FROM rs),
+         |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie
+         |       FROM (SELECT x, y, CAST(count(*) AS BIGINT) AS t
+         |             FROM grid GROUP BY 1, 2)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy)
+         |SELECT nn.n AS n_days, km.k AS n_types,
+         |       CASE WHEN km.k >= 2 THEN
+         |         ${Q.sqlR6("3.0 * km.sr2 / (nn.n * km.k * (km.k + 1)) - " +
+                   "3.0 * nn.n * (km.k + 1)")}
+         |       END AS q,
+         |       CASE WHEN km.k >= 2 AND nn.n * km.k * (km.k * km.k - 1) > tt.tie THEN
+         |         ${Q.sqlR6("(3.0 * km.sr2 / (nn.n * km.k * (km.k + 1)) - " +
+                   "3.0 * nn.n * (km.k + 1)) / " +
+                   "(1 - CAST(tt.tie AS DOUBLE) / (nn.n * km.k * (km.k * km.k - 1)))")}
+         |       END AS q_tie_corrected
+         |FROM nn, km, tt""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val ty = daily.select("event_type").distinct()
+      val dy = daily.select("x").distinct().transform(Q.snapshot)
+      val grid = ty.crossJoin(broadcast(dy))
+        .join(daily, Seq("event_type", "x"), "left")
+        .select(col("event_type"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+        .transform(Q.snapshot)
+      val r2 = (lit(2) * rank().over(Window.partitionBy("x").orderBy("y")) +
+        count(lit(1)).over(Window.partitionBy("x", "y")) - 1).cast("long")
+      val km = grid.withColumn("r2", r2)
+        .groupBy("event_type").agg(sum("r2").as("r2j"))
+        .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("sr2"))
+      val tt = grid.groupBy("x", "y").agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+      val nn = dy.agg(count(lit(1)).as("n"))
+      val qRaw = lit(3.0) * col("sr2") / (col("n") * col("k") * (col("k") + 1)) -
+        lit(3.0) * col("n") * (col("k") + 1)
+      val corr = lit(1) - col("tie").cast("double") /
+        (col("n") * col("k") * (col("k") * col("k") - 1))
+      nn.crossJoin(broadcast(km)).crossJoin(broadcast(tt))
+        .select(col("n").as("n_days"), col("k").as("n_types"),
+          when(col("k") >= 2, Q.r6(qRaw)).as("q"),
+          when(col("k") >= 2 &&
+            col("n") * col("k") * (col("k") * col("k") - 1) > col("tie"),
+            Q.r6(qRaw / corr)).as("q_tie_corrected"))
+    },
+
+    // Tukey HSD post-hoc screen: the studentized-range statistic
+    // q = |ȳ_a − ȳ_b| / √(MSW/2 · (1/n_a + 1/n_b)) for every type
+    // pair, sharing q_anova's within-group variance — the "WHICH pair
+    // differs" follow-up q_anova's single F deliberately doesn't
+    // answer. Reuses q_anova's exact machinery verbatim: per-type
+    // (n, Σv, Σv²) int64 stats, each group's s²/n on the 1e6 lattice
+    // before the cross-group sum (the shared OverflowHeadroomSpec
+    // bound), MSW through one mirrored tree; the pair fan-out is the
+    // |types|² broadcast nested loop over the collapsed stats frame.
+    Q("q_tukey_hsd",
+      s"""WITH m AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+         |      FROM m GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         |             CAST(sum(ss) AS BIGINT) AS sstot,
+         |             CAST(sum(CAST(floor(CAST(s * s AS DOUBLE) / n * 1e6 + 0.5)
+         |               AS BIGINT)) AS BIGINT) AS b6
+         |      FROM g)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |       ${Q.sqlR6("CAST(a.s AS DOUBLE) / a.n")} AS mean_a,
+         |       ${Q.sqlR6("CAST(b.s AS DOUBLE) / b.n")} AS mean_b,
+         |       CASE WHEN t.nn > t.k AND t.sstot - t.b6 / 1e6 > 0 THEN
+         |         ${Q.sqlR6("abs(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / " +
+                   "sqrt((t.sstot - t.b6 / 1e6) / (t.nn - t.k) / 2 * (1.0 / a.n + 1.0 / b.n))")}
+         |       END AS q_stat
+         |FROM g a, g b, t
+         |WHERE a.event_type < b.event_type
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          sum(col("v") * col("v")).as("ss"))
+        .transform(Q.snapshot)
+      val t = g.agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("ss").as("sstot"),
+        sum(floor((col("s") * col("s")).cast("double") / col("n") * lit(1e6) + 0.5)
+          .cast("long")).as("b6"))
+      val a = g.select(col("event_type").as("type_a"), col("n").as("na"), col("s").as("sa"))
+      val b = g.select(col("event_type").as("type_b"), col("n").as("nb"), col("s").as("sb"))
+      val meanA = col("sa").cast("double") / col("na")
+      val meanB = col("sb").cast("double") / col("nb")
+      val ssw = col("sstot") - col("b6") / lit(1e6)
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .crossJoin(broadcast(t))
+        .select(col("type_a"), col("type_b"),
+          Q.r6(meanA).as("mean_a"), Q.r6(meanB).as("mean_b"),
+          when(col("nn") > col("k") && ssw > 0,
+            Q.r6(abs(meanA - meanB) /
+              sqrt(ssw / (col("nn") - col("k")) / lit(2) *
+                (lit(1.0) / col("na") + lit(1.0) / col("nb"))))).as("q_stat"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Hodges–Lehmann pseudo-median per type: the median of the Walsh
+    // averages (y_i + y_j)/2 over all day pairs i ≤ j — the robust
+    // location estimate consistent with the Wilcoxon machinery
+    // (q_mann_whitney), sitting between the mean (outlier-fragile)
+    // and the raw median (throws away magnitude). Walsh pairs are the
+    // day-window-bounded C(|days|+1, 2) per type; each 2×average is
+    // an exact int sum, the median picks explicit middle ranks (the
+    // q_theil_sen idiom), and /4 at the end is a dyadic-exact double
+    // in both engines — no rounding lattice needed anywhere.
+    Q("q_hodges_lehmann",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |wp AS (SELECT a.event_type, a.y + b.y AS w2
+         |       FROM daily a JOIN daily b
+         |         ON a.event_type = b.event_type AND a.x <= b.x),
+         |rk AS (SELECT event_type, w2,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY w2) AS rn,
+         |              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+         |       FROM wp),
+         |hl AS (SELECT event_type, np,
+         |              CAST(sum(w2) AS DOUBLE) / count(*) / 2 AS hl
+         |       FROM rk
+         |       WHERE rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+         |          OR rn = CAST(floor((np + 2) / 2.0) AS BIGINT)
+         |       GROUP BY 1, 2),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1)
+         |SELECT hl.event_type, n.n AS n_days, hl.np AS n_pairs, hl.hl
+         |FROM hl JOIN n ON hl.event_type = n.event_type
+         |ORDER BY hl.event_type""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
+      val w = Window.partitionBy("event_type")
+      val rk = a.join(b, Seq("event_type")).filter(col("xa") <= col("xb"))
+        .select(col("event_type"), (col("ya") + col("yb")).as("w2"))
+        .withColumn("rn", row_number().over(w.orderBy("w2")))
+        .withColumn("np", count(lit(1)).over(w))
+      val hl = rk.filter(col("rn") === floor((col("np") + 1) / 2.0).cast("long") ||
+          col("rn") === floor((col("np") + 2) / 2.0).cast("long"))
+        .groupBy("event_type", "np")
+        .agg((sum("w2").cast("double") / count(lit(1)) / lit(2)).as("hl"))
+      val n = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+      hl.join(n, "event_type")
+        .select(col("event_type"), col("n").as("n_days"),
+          col("np").as("n_pairs"), col("hl"))
+        .orderBy("event_type")
+    },
+
+    // Lag-1 Granger causality F per DIRECTED type pair: does
+    // yesterday's cause-volume improve today's effect-volume forecast
+    // beyond the effect's own yesterday — F from RSS_restricted
+    // (w on u) vs RSS_unrestricted (w on u, v) over the day-aligned
+    // pair frame; the predictive-direction complement of q_xcorr's
+    // symmetric lag correlation. The 2×2 normal equations collapse to
+    // exact int64 moment stats M_pq = n·Σpq − Σp·Σq on the
+    // (|types|²×days)-bounded aligned frame (q_adf's headroom family —
+    // daily counts ≤366 days); M·M products move to DOUBLE for the
+    // determinant and residuals only (the q_ar1/q_adf precedent), and
+    // F = (RSS_r − RSS_u)·(n−3)/RSS_u rides one mirrored tree (the
+    // common /n of both RSS forms cancels). NULL on degenerate
+    // variance (constant series), a singular normal matrix, or an
+    // exact fit (RSS_u = 0 — infinite F).
+    Q("q_granger",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |j AS (SELECT a.event_type AS cause, b.event_type AS effect, a.x,
+         |             a.y AS ya, b.y AS yb
+         |      FROM daily a JOIN daily b
+         |        ON a.x = b.x AND a.event_type <> b.event_type),
+         |l AS (SELECT cause, effect, yb AS w,
+         |             lag(yb) OVER (PARTITION BY cause, effect ORDER BY x) AS u,
+         |             lag(ya) OVER (PARTITION BY cause, effect ORDER BY x) AS v
+         |      FROM j),
+         |t AS (SELECT cause, effect, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+         |             CAST(sum(w) AS BIGINT) AS sw,
+         |             CAST(sum(u * u) AS BIGINT) AS suu,
+         |             CAST(sum(v * v) AS BIGINT) AS svv,
+         |             CAST(sum(w * w) AS BIGINT) AS sww,
+         |             CAST(sum(u * v) AS BIGINT) AS suv,
+         |             CAST(sum(u * w) AS BIGINT) AS suw,
+         |             CAST(sum(v * w) AS BIGINT) AS svw
+         |      FROM l WHERE u IS NOT NULL AND v IS NOT NULL GROUP BY 1, 2),
+         |mm AS (SELECT cause, effect, n,
+         |              n * suu - su * su AS muu, n * svv - sv * sv AS mvv,
+         |              n * sww - sw * sw AS mww, n * suv - su * sv AS muv,
+         |              n * suw - su * sw AS muw, n * svw - sv * sw AS mvw
+         |       FROM t),
+         |f0 AS (SELECT cause, effect, n, muu, muw, mww, mvw,
+         |              CAST(muu AS DOUBLE) * mvv - CAST(muv AS DOUBLE) * muv AS dd,
+         |              CAST(muw AS DOUBLE) * mvv - CAST(mvw AS DOUBLE) * muv AS bn,
+         |              CAST(mvw AS DOUBLE) * muu - CAST(muw AS DOUBLE) * muv AS cn
+         |       FROM mm),
+         |f1 AS (SELECT cause, effect, n, muu, muw, mww, dd,
+         |              CASE WHEN dd > 0 THEN
+         |                mww - (bn / dd) * muw - (cn / dd) * mvw
+         |              END AS ru
+         |       FROM f0)
+         |SELECT cause, effect, n AS n_days,
+         |       CASE WHEN n >= 4 AND muu > 0 AND dd > 0 AND ru > 0 THEN
+         |         ${Q.sqlR6("((mww - CAST(muw AS DOUBLE) * muw / muu) - ru) * (n - 3) / ru")}
+         |       END AS f_stat
+         |FROM f1
+         |ORDER BY cause, effect""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val a = daily.select(col("event_type").as("cause"), col("x"), col("y").as("ya"))
+      val b = daily.select(col("event_type").as("effect"), col("x"), col("y").as("yb"))
+      val wp = Window.partitionBy("cause", "effect").orderBy("x")
+      val l = a.join(b, Seq("x")).filter(col("cause") =!= col("effect"))
+        .withColumn("u", lag("yb", 1).over(wp))
+        .withColumn("v", lag("ya", 1).over(wp))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .select(col("cause"), col("effect"), col("yb").as("w"), col("u"), col("v"))
+      val t = l.groupBy("cause", "effect")
+        .agg(count(lit(1)).as("n"), sum("u").as("su"), sum("v").as("sv"),
+          sum("w").as("sw"), sum(col("u") * col("u")).as("suu"),
+          sum(col("v") * col("v")).as("svv"), sum(col("w") * col("w")).as("sww"),
+          sum(col("u") * col("v")).as("suv"), sum(col("u") * col("w")).as("suw"),
+          sum(col("v") * col("w")).as("svw"))
+      val mm = t.select(col("cause"), col("effect"), col("n"),
+        (col("n") * col("suu") - col("su") * col("su")).as("muu"),
+        (col("n") * col("svv") - col("sv") * col("sv")).as("mvv"),
+        (col("n") * col("sww") - col("sw") * col("sw")).as("mww"),
+        (col("n") * col("suv") - col("su") * col("sv")).as("muv"),
+        (col("n") * col("suw") - col("su") * col("sw")).as("muw"),
+        (col("n") * col("svw") - col("sv") * col("sw")).as("mvw"))
+      val f0 = mm.select(col("cause"), col("effect"), col("n"),
+        col("muu"), col("muw"), col("mww"), col("mvw"),
+        (col("muu").cast("double") * col("mvv") -
+          col("muv").cast("double") * col("muv")).as("dd"),
+        (col("muw").cast("double") * col("mvv") -
+          col("mvw").cast("double") * col("muv")).as("bn"),
+        (col("mvw").cast("double") * col("muu") -
+          col("muw").cast("double") * col("muv")).as("cn"))
+      // the CASE guard doubles as the ANSI-mode division shield: a
+      // singular normal matrix (dd = 0 — any constant series) would
+      // otherwise throw DIVIDE_BY_ZERO before the outer guard runs
+      val f1 = f0.withColumn("ru",
+        when(col("dd") > 0,
+          col("mww") - (col("bn") / col("dd")) * col("muw") -
+            (col("cn") / col("dd")) * col("mvw")))
+      f1.select(col("cause"), col("effect"), col("n").as("n_days"),
+          when(col("n") >= 4 && col("muu") > 0 && col("dd") > 0 && col("ru") > 0,
+            Q.r6((col("mww") - col("muw").cast("double") * col("muw") / col("muu") -
+              col("ru")) * (col("n") - 3) / col("ru"))).as("f_stat"))
+        .orderBy("cause", "effect")
     }
   )
 }

@@ -10,9 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * surface Bench reports a rotating subset of per-query times
   * ([[Bench.keptNames]]). These tests pin the invariant that makes the
   * subsetting safe: no query can stay invisible to driver-side
-  * regression attribution for more than 3 consecutive rounds — the r10
-  * frozen-tail bug (and the r11 4-round cycle) as a failing check
-  * rather than a verdict finding.
+  * regression attribution for more than FOUR consecutive rounds — the
+  * r10 frozen-tail bug as a failing check rather than a verdict
+  * finding. (The cycle was 3 through round 13; the r14 renegotiation
+  * moved rotation onto a fixed G-quarter grid after the floating
+  * stride aliased at 287 queries — want alternating 84/82 across
+  * rounds left a 26-query band unreported at ANY horizon. The grid
+  * trades the nominal clean-3 for a variance-proof 4 that also
+  * holds under persistent failures, which previously degraded to 7.)
   */
 class BenchRotationSpec extends AnyFunSuite {
 
@@ -28,14 +33,15 @@ class BenchRotationSpec extends AnyFunSuite {
     }
   }
 
-  test("three consecutive rounds always cover the full query surface") {
+  test("four consecutive rounds always cover the full query surface") {
     // Property over surface size, timing draw, failure pattern and
-    // rotation phase: the union of keptNames over rounds r, r+1, r+2
-    // is the whole surface. Holds by construction — the top-slot cap
-    // sizes the rotating window to ≥⌈pool/3⌉ — as long as N ≤ 3k.
-    // Guarantee bound: N + 2·fails ≤ 3k (failures consume a kept slot
-    // AND shrink the rotating window). Cases beyond it are excluded —
-    // the "current surface fits" test below polices the live margin.
+    // rotation phase: the union of keptNames over rounds r..r+3 is the
+    // whole surface. Holds by construction on the G-quarter grid —
+    // G = ⌈pool/(want−8)⌉ caps the quarter at want−8+1 ≤ want, so the
+    // round with residue i covers quarter i fully and G ≤ 4 whenever
+    // N + 2·fails ≤ 3k (failures consume a kept slot AND shrink the
+    // rotating window). Cases beyond the bound are excluded — the
+    // "current surface fits" test below polices the live margin.
     val k = 100
     for {
       n <- Seq(101, 150, 221, 250, 299)
@@ -45,12 +51,12 @@ class BenchRotationSpec extends AnyFunSuite {
       runs = mkRuns(n, failEvery, seed)
       if n + 2 * runs.count(_._2.isLeft) <= 3 * k
     } {
-      val union = (base to base + 2)
+      val union = (base to base + 3)
         .flatMap(r => Bench.keptNames(runs, k, r).map(_._1)).toSet
       val missing = runs.map(_._1).toSet -- union
       assert(missing.isEmpty,
         s"n=$n failEvery=$failEvery seed=$seed base=$base left " +
-          s"${missing.size} queries unreported for 3 rounds: " +
+          s"${missing.size} queries unreported for 4 rounds: " +
           missing.toSeq.sorted.take(5).mkString(", "))
     }
   }
@@ -67,17 +73,18 @@ class BenchRotationSpec extends AnyFunSuite {
     }
   }
 
-  test("the current surface still fits the 3-round rotation guarantee under the real driver line") {
+  test("the current surface still fits the 4-round rotation guarantee under the real driver line") {
     // The bound N + 2·fails ≤ 3k is only as good as the k the ~1950-char
-    // line actually AFFORDS — and that k now floats (driverLine tries
+    // line actually AFFORDS — and that k floats (driverLine tries
     // k = 100, 98, … and keeps the first fit), so the honest check is a
     // SIMULATION of the exact chooser on the real surface: committed
     // floors ×1.3 as the timing draw (a typical mild-contention round),
-    // every rotation phase 0..11, and a 10-failure variant — any 3
-    // consecutive rounds must report every query at least once. When
-    // the surface outgrows what the line affords, this fails loudly and
-    // the render budget must be renegotiated — silently stretching the
-    // cycle is the one outcome this spec exists to prevent.
+    // every rotation phase 0..11, plus a persistent-failure variant —
+    // any 4 consecutive rounds must report every query at least once
+    // (the r14 grid renegotiation: see the class doc). When the surface
+    // outgrows what the line affords, this fails loudly and the render
+    // budget must be renegotiated — silently stretching the cycle is
+    // the one outcome this spec exists to prevent.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val meta = Set("metric", "total", "value", "unit", "queries",
       "q_omitted", "sf", "partial", "errors")
@@ -103,39 +110,39 @@ class BenchRotationSpec extends AnyFunSuite {
                 : Either[String, Double]
               else v)
     }
-    // clean rounds: 3-round coverage, every phase — the primary
-    // guarantee, and the one every real driver round so far has run
-    // under (no bench failure has ever been committed). Rounds with
-    // PERSISTENT failures degrade honestly: each failure occupies a
-    // kept slot, shrinks the rotating window AND spends line budget on
-    // its (capped) error text, so at 281 queries the want ≥ ⌈pool/3⌉
-    // arithmetic no longer closes inside 1950 chars — measured horizon
-    // with 4 failures repeating every round is 6-7 rounds, asserted
-    // here at 7 so the degradation is a tested bound, not a silent
-    // stretch. (A failing round also exits nonzero — the loud signal —
-    // and a failure persisting 7 rounds is a broken operator, not a
-    // starved rotation.)
+    // The G-quarter grid covers clean AND persistently-failing rounds
+    // in the SAME 4-round horizon: failures occupy kept slots, shrink
+    // the rotating window and spend line budget on their (capped)
+    // error text, but the 8-slot slack in G absorbs the shrinkage at
+    // this surface (want ~82-84 with 4 fails vs quarter 71). Under the
+    // pre-r14 floating stride the same failure load degraded to 7
+    // rounds — and at 287 queries aliased into a PERMANENT 26-query
+    // hole; both horizons are asserted at 4 so any regression is a
+    // failing spec, not a silent stretch. (A failing round also exits
+    // nonzero — the loud signal — and a failure persisting 4 rounds is
+    // a broken operator, not a starved rotation.)
     for (base <- 0 to 11) {
-      val union3 = (base to base + 2).flatMap(r => reported(clean, r)).toSet
-      val missing3 = stripped -- union3
-      assert(missing3.isEmpty,
-        s"phase $base clean: ${missing3.size} queries unreported across 3 rounds: " +
-          missing3.toSeq.sorted.take(5).mkString(", "))
-      val union7 = (base to base + 6).flatMap(r => reported(withFails, r)).toSet
-      val missing7 = stripped -- union7
-      assert(missing7.isEmpty,
-        s"phase $base with ${withFails.count(_._2.isLeft)} fails: ${missing7.size} " +
-          s"queries unreported across 7 rounds: ${missing7.toSeq.sorted.take(5).mkString(", ")}")
+      val union4 = (base to base + 3).flatMap(r => reported(clean, r)).toSet
+      val missing4 = stripped -- union4
+      assert(missing4.isEmpty,
+        s"phase $base clean: ${missing4.size} queries unreported across 4 rounds: " +
+          missing4.toSeq.sorted.take(5).mkString(", "))
+      val union4f = (base to base + 3).flatMap(r => reported(withFails, r)).toSet
+      val missing4f = stripped -- union4f
+      assert(missing4f.isEmpty,
+        s"phase $base with ${withFails.count(_._2.isLeft)} fails: ${missing4f.size} " +
+          s"queries unreported across 4 rounds: ${missing4f.toSeq.sorted.take(5).mkString(", ")}")
     }
   }
 
-  test("committed BENCH history: every 3-round window under the capped rotation covers the surface") {
+  test("committed BENCH history: every 4-round window under the capped rotation covers the surface") {
     // The history half of the check: walk the driver-committed
-    // BENCH_r*.json files and, for every window of 3 consecutive rounds
+    // BENCH_r*.json files and, for every window of 4 consecutive rounds
     // recorded AFTER the capped rotation shipped (round 12), assert the
     // union of driver-parsed query keys covers every query reported in
-    // any of the three (keys are prefix-stripped in the driver line).
-    // Vacuously green until round 14 produces the first full window;
+    // any of the four (keys are prefix-stripped in the driver line; the
+    // window is 4 per the r14 grid renegotiation — see the class doc).
+    // Vacuously green until round 16 produces the first full window;
     // from then on a frozen rotation index or a regressed cap turns
     // into a failing spec the round it happens.
     val re = "BENCH_r(\\d+)\\.json".r
@@ -161,9 +168,9 @@ class BenchRotationSpec extends AnyFunSuite {
     // one that vanishes from a full window means the rotation froze
     // (or the cap regressed). Current-round additions are naturally
     // exempt — they have no older sighting.
-    if (parsed.size >= 4) {
-      val window = parsed.takeRight(3)
-      val older = parsed.dropRight(3).flatMap(_._2).toSet
+    if (parsed.size >= 5) {
+      val window = parsed.takeRight(4)
+      val older = parsed.dropRight(4).flatMap(_._2).toSet
       val union = window.flatMap(_._2).toSet
       val missing = older -- union
       assert(missing.isEmpty,

@@ -580,4 +580,86 @@ class CurationSeriesSpec extends SparkSpec {
     assert(byId(14L).getAs[String]("status") === "new")
     assert(byId(14L).isNullAt(byId(14L).fieldIndex("match_doc")))
   }
+
+  // ---- round-14 k-sample / trend screening battery ------------------------
+
+  test("q_mann_kendall: a strict trend scores S = C(n,2); alternation cancels to 0") {
+    val rows = q("q_mann_kendall", altTrendDir()).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val tr = rows("trend") // counts 1..9 strictly increasing
+    assert(tr.getAs[Long]("n_days") === 9L)
+    assert(tr.getAs[Long]("s") === 36L, "all 36 day pairs ascend")
+    // no ties: Var = 9·8·23/18 = 92; z = (36 − 1)/√92
+    assert(math.abs(tr.getAs[Double]("z") - 35.0 / math.sqrt(92.0)) < 1e-5)
+    val alt = rows("alt") // 10,20,10,… — ascending and descending pairs cancel
+    assert(alt.getAs[Long]("s") === 0L)
+    assert(alt.getAs[Double]("z") === 0.0, "S = 0 keeps the continuity correction at 0")
+  }
+
+  test("q_friedman: a fixed within-day ordering reaches the maximum Q = n(k−1)") {
+    val dir = eventsDir(Seq("lo", "mid", "hi"), 4, {
+      case ("lo", _) => 1
+      case ("mid", _) => 2
+      case (_, _) => 3
+    })
+    val r = q("q_friedman", dir).collect().head
+    assert(r.getAs[Long]("n_days") === 4L && r.getAs[Long]("n_types") === 3L)
+    // per-day ranks always (1,2,3): ΣR² = 4²+8²+12² = 224;
+    // Q = 12·224/(4·3·4) − 3·4·4 = 56 − 48 = 8 = n(k−1)
+    assert(r.getAs[Double]("q") === 8.0)
+    assert(r.getAs[Double]("q_tie_corrected") === 8.0, "no ties: correction is identity")
+  }
+
+  test("q_moods_median: two separated types produce the closed-form 2×k chi-square") {
+    val dir = eventsDir(Seq("a", "b"), 9, { case ("a", _) => 1; case (_, _) => 3 })
+    val r = q("q_moods_median", dir).collect().head
+    assert(r.getAs[Long]("n_types") === 2L && r.getAs[Long]("n_days") === 18L)
+    // pooled middle ranks 9,10 of nine 1s then nine 3s → (1+3)/2
+    assert(r.getAs[Double]("grand_median") === 2.0)
+    // a=(0 of 9 above), b=(9 of 9): χ² = (18²/(9·9))·(9 − 81/18) = 18
+    assert(r.getAs[Double]("chi2") === 18.0)
+  }
+
+  test("q_tukey_hsd: identical groups score q = 0; separated groups match the closed form") {
+    val same = eventsDir(Seq("p", "r"), 9, (_, _) => 4) // both values {0,1,2,3}×9
+    val r0 = q("q_tukey_hsd", same).collect().head
+    assert(r0.getAs[Double]("mean_a") === 1.5 && r0.getAs[Double]("mean_b") === 1.5)
+    assert(r0.getAs[Double]("q_stat") === 0.0)
+    val sep = eventsDir(Seq("hi", "lo"), 9, { case ("lo", _) => 2; case (_, _) => 4 })
+    val r1 = q("q_tukey_hsd", sep).collect().head // type_a=hi (1.5), type_b=lo (0.5)
+    assert(r1.getAs[Double]("mean_a") === 1.5 && r1.getAs[Double]("mean_b") === 0.5)
+    // SSW = 135 − (81e6 + 4.5e6)/1e6 = 49.5 over nn−k = 52 dof
+    val expect = 1.0 / math.sqrt(49.5 / 52 / 2 * (1.0 / 36 + 1.0 / 18))
+    assert(math.abs(r1.getAs[Double]("q_stat") - expect) < 1e-5)
+  }
+
+  test("q_hodges_lehmann: a symmetric series' pseudo-median is its center") {
+    val dir = eventsDir(Seq("sym"), 9, (_, d) => d + 1) // counts 1..9
+    val r = q("q_hodges_lehmann", dir).collect().head
+    assert(r.getAs[Long]("n_days") === 9L && r.getAs[Long]("n_pairs") === 45L)
+    // Walsh averages of a symmetric set are symmetric about the center
+    assert(r.getAs[Double]("hl") === 5.0)
+  }
+
+  test("q_granger: a planted lag-1 dependence is directional; constant series are NULL") {
+    // e(d) = c(d−1) + (d%2): today's e IS yesterday's c plus parity
+    // noise, while c never reads e; k is constant (zero variance).
+    val c = (0 until 12).map(d => 5 + (d * 3) % 7)
+    val e = 1 +: (1 until 12).map(d => c(d - 1) + (d % 2))
+    val dir = eventsDir(Seq("c", "e", "k"), 12, {
+      case ("c", d) => c(d)
+      case ("e", d) => e(d)
+      case (_, _) => 3
+    })
+    val rows = q("q_granger", dir).collect()
+      .map(r => (r.getAs[String]("cause"), r.getAs[String]("effect")) -> r).toMap
+    assert(rows.size === 6, "every directed pair of 3 types")
+    val fwd = rows(("c", "e")).getAs[Double]("f_stat")
+    val rev = rows(("e", "c")).getAs[Double]("f_stat")
+    assert(math.abs(fwd - 228.514093) < 1e-3, s"forward F, got $fwd")
+    assert(rev < 1.0, s"reverse F must be noise-sized, got $rev")
+    // a zero-variance regressor makes the normal matrix singular
+    val kc = rows(("k", "e"))
+    assert(kc.isNullAt(kc.fieldIndex("f_stat")), "constant cause → NULL, not a blow-up")
+  }
 }

@@ -266,6 +266,21 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("s").cast("double") * col("s")))
       })),
 
+    Site("q_tukey_hsd", "1e6", "raw s·s before the 1e6-lattice s²/n partial (q_anova's exact machinery, same m frame)",
+      "SF² — anchored 9.87e11 @ sf0.1", 100.0,
+      sf => 9.87e11 * math.pow(sf / 0.1, 2) * 4,
+      None), // same bound, corpus anchor and probe frame as q_anova above
+
+    Site("q_moods_median", "1e6", "b6 = Σ⌊a²/n_g·1e6+½⌋ over ≤|types| groups (a ≤ n_g ≤ 366 days)",
+      "const (days ≤ 366 fixed, types enum-bounded — SF-invariant)", 300.0,
+      _ => 20 * 366 * 1e6 * 2,
+      Some((s, d) => dmax {
+        // a²/n_g ≤ n_g: bound the lattice mass by Σ n_g·1e6 directly
+        ops.Inference.dailyCounts(s, d)
+          .groupBy("event_type").agg((count(lit(1)) * 1e6).as("m"))
+          .agg(sum("m"))
+      })),
+
     Site("q_source_xent", "1e9", "per-source Σ⌊tf·ln(p)·1e9⌋ (|ln p| ≤ ln(n+v) — log-linear in tokens)",
       "linear×log (measured 2.44e14 @ sf0.001 over ALL sources — the probe is the conservative whole-corpus sum)", 7.0,
       sf => 6e17 * sf + 1e9,

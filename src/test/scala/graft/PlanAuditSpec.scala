@@ -1025,7 +1025,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_page_hinkley", "q_graph_modularity", "q_embed_outliers", "q_adf",
       "q_variance_ratio", "q_revenue_bridge", "q_price_index", "q_silhouette",
       "q_rolling_corr", "q_cooks_distance", "q_odds_ratio", "q_lift_curve",
-      "q_doc_novelty")
+      "q_doc_novelty",
+      // round-14 series-screening additions — q_moods_median's global
+      // median ranks are exactly the shape this walk certifies: the
+      // one-reducer sort consumes the (type, day)-keyed daily agg
+      "q_mann_kendall", "q_moods_median", "q_friedman", "q_tukey_hsd",
+      "q_hodges_lehmann", "q_granger")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
