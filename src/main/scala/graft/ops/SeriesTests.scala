@@ -23,6 +23,37 @@ import org.apache.spark.sql.functions._
   */
 object SeriesTests {
 
+  /** The Tukey HSD pair fold over a per-type (event_type, n, s, ss)
+    * stats frame — ONE home shared by batch q_tukey_hsd and the
+    * s_tukey_hsd streaming read-time view (streaming.Streams.tukeyStats
+    * maintains the stats grid incrementally; the studentized-range
+    * statistic never lives in state because it isn't mergeable —
+    * (n, Σv, Σv²) are). Each group's s²/n hits the 1e6 lattice BEFORE
+    * the cross-group sum (the q_anova b6 move), so MSW's reduction is
+    * order-free int64; the pair fan-out is a |types|² broadcast nested
+    * loop over the collapsed frame. */
+  private[graft] def tukeyOf(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = Q.snapshot(stats)
+    val t = g.agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("ss").as("sstot"),
+      sum(floor((col("s") * col("s")).cast("double") / col("n") * lit(1e6) + 0.5)
+        .cast("long")).as("b6"))
+    val a = g.select(col("event_type").as("type_a"), col("n").as("na"), col("s").as("sa"))
+    val b = g.select(col("event_type").as("type_b"), col("n").as("nb"), col("s").as("sb"))
+    val meanA = col("sa").cast("double") / col("na")
+    val meanB = col("sb").cast("double") / col("nb")
+    val ssw = col("sstot") - col("b6") / lit(1e6)
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(t))
+      .select(col("type_a"), col("type_b"),
+        Q.r6(meanA).as("mean_a"), Q.r6(meanB).as("mean_b"),
+        when(col("nn") > col("k") && ssw > 0,
+          Q.r6(abs(meanA - meanB) /
+            sqrt(ssw / (col("nn") - col("k")) / lit(2) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))))).as("q_stat"))
+      .orderBy("type_a", "type_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Wald–Wolfowitz runs test on the SIGNS of day-over-day volume
@@ -742,29 +773,11 @@ object SeriesTests {
          |FROM g a, g b, t
          |WHERE a.event_type < b.event_type
          |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
-      val g = Tables.events(s, d)
+      tukeyOf(Tables.events(s, d)
         .select(col("event_type"), floor(col("value")).cast("long").as("v"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("v").as("s"),
-          sum(col("v") * col("v")).as("ss"))
-        .transform(Q.snapshot)
-      val t = g.agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("ss").as("sstot"),
-        sum(floor((col("s") * col("s")).cast("double") / col("n") * lit(1e6) + 0.5)
-          .cast("long")).as("b6"))
-      val a = g.select(col("event_type").as("type_a"), col("n").as("na"), col("s").as("sa"))
-      val b = g.select(col("event_type").as("type_b"), col("n").as("nb"), col("s").as("sb"))
-      val meanA = col("sa").cast("double") / col("na")
-      val meanB = col("sb").cast("double") / col("nb")
-      val ssw = col("sstot") - col("b6") / lit(1e6)
-      a.join(broadcast(b), col("type_a") < col("type_b"))
-        .crossJoin(broadcast(t))
-        .select(col("type_a"), col("type_b"),
-          Q.r6(meanA).as("mean_a"), Q.r6(meanB).as("mean_b"),
-          when(col("nn") > col("k") && ssw > 0,
-            Q.r6(abs(meanA - meanB) /
-              sqrt(ssw / (col("nn") - col("k")) / lit(2) *
-                (lit(1.0) / col("na") + lit(1.0) / col("nb"))))).as("q_stat"))
-        .orderBy("type_a", "type_b")
+          sum(col("v") * col("v")).as("ss")))
     },
 
     // Hodges–Lehmann pseudo-median per type: the median of the Walsh

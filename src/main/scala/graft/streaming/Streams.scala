@@ -562,6 +562,86 @@ object Streams {
       }
   }
 
+  /** Streaming Mann–Kendall trend monitor (s_mann_kendall) — the
+    * incremental face of batch q_mann_kendall: per event type,
+    * S = Σ_{i<j} sign(y_j − y_i) over DAILY counts with the same
+    * day-close semantics as [[pageHinkley]] (a day folds when a LATER
+    * day first arrives; behind-horizon stragglers drop). Each fold
+    * adds the closing day's Σ sign(y − y_old) over the CLOSED days in
+    * O(closed days) and re-derives the tie term from the bounded
+    * count-of-counts map, then emits the running (n_days, s, z)
+    * profile — exactly what the batch op reports over the closed-day
+    * prefix, because S, ties and 18·Var are exact int64 in both and z
+    * walks the identical IEEE tree ((s∓1)/√(vn/18), r6-floored).
+    * State per type is the open day plus the multiset of closed daily
+    * counts — CALENDAR-bounded (≤366 longs), never stream-length
+    * bounded; day indices share ops.Inference.Anchor with the batch
+    * twin. */
+  def mannKendall(events: Dataset[Ev]): Dataset[MkMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MkState, MkMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[MkState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            MkState(Long.MinValue, 0L, 0L, 0L, Map.empty))
+          val out = Seq.newBuilder[MkMark]
+          def fold(): Unit = { // close the open day into the statistic
+            val y = st.openCount
+            val s = st.s + st.counts.iterator
+              .map { case (yo, t) => t * java.lang.Long.signum(y - yo) }.sum
+            val counts = st.counts.updated(y, st.counts.getOrElse(y, 0L) + 1L)
+            val n = st.n + 1
+            val tie = counts.valuesIterator
+              .map(t => t * (t - 1) * (2 * t + 5)).sum
+            val vn = n * (n - 1) * (2 * n + 5) - tie
+            // the batch z tree, mirrored: continuity-corrected normal
+            // approximation on exact int64 (S, Var·18), r6 at the end
+            val z =
+              if (vn <= 0) None
+              else {
+                val sg = java.lang.Long.signum(s).toLong
+                Some(math.floor(
+                  (s - sg) / math.sqrt(vn / 18.0) * 1000000 + 0.5) / 1000000)
+              }
+            out += MkMark(typ, st.openDay, y, n, s, z)
+            st = MkState(Long.MinValue, 0L, n, s, counts)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming Tukey HSD stats grid (s_tukey_hsd) — the streaming face
+    * of batch q_tukey_hsd, split the s_cat_entropy way: the stream
+    * maintains only the per-type (n, Σv, Σv²) moment grid (associative,
+    * partial-mergeable — |types| rows of three longs), because the
+    * studentized-range statistic is not mergeable state; the MSW and
+    * every pair's q divide out AT READ TIME through the exact batch
+    * fold (ops.SeriesTests.tukeyOf — shared code, so the twins cannot
+    * drift, including the 1e6-lattice s²/n partials). */
+  def tukeyStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+
+  /** Read-time Tukey HSD projection over a [[tukeyStats]] grid. */
+  def tukeyOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.tukeyOf(grid)
+
   /** Streaming count-min sketch (s_countmin) — the incremental face of
     * batch q_countmin_err's frequency sketch, and the canonical
     * mergeable-counter streaming aggregate: each arriving document's
@@ -741,3 +821,15 @@ final case class PhState(openDay: Long, openCount: Long, n: Long, s: Long,
 /** One closed-day emission of the running Page–Hinkley profile. */
 final case class PhMark(event_type: String, day_closed: Long, y: Long,
                         n_days: Long, ph: Double, drift_day: Long)
+
+/** Per-type Mann–Kendall monitor state: the open (day, count) pair,
+  * the running (n, S), and the multiset of closed daily counts (the
+  * tie groups and the sign-comparison base) — calendar-bounded.
+  * openDay == Long.MinValue means "no day open". */
+final case class MkState(openDay: Long, openCount: Long, n: Long, s: Long,
+                         counts: Map[Long, Long])
+
+/** One closed-day emission of the running Mann–Kendall profile;
+  * z is None while the variance is degenerate (all counts tied). */
+final case class MkMark(event_type: String, day_closed: Long, y: Long,
+                        n_days: Long, s: Long, z: Option[Double])

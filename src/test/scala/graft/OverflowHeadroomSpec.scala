@@ -595,7 +595,10 @@ class OverflowHeadroomSpec extends SparkSpec {
     val audited = sites.map(_.op).toSet
     // shared helpers whose scaling sites are audited under their op
     val helperHomes = Map("Inference.scala" -> "q_cat_entropy",
-      "Pricing.scala" -> "q_revenue_bridge")
+      "Pricing.scala" -> "q_revenue_bridge",
+      // SeriesTests.tukeyOf carries the shared s²/n lattice (batch
+      // q_tukey_hsd + the s_tukey_hsd read-time view) above the Q blocks
+      "SeriesTests.scala" -> "q_tukey_hsd")
     val flagged = Files.list(opsDir).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val src = new String(Files.readAllBytes(p))

@@ -384,6 +384,100 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_mann_kendall emissions replay the batch q_mann_kendall prefix exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.mannKendall(in.toDS())
+      .writeStream.format("memory").queryName("t_mk").outputMode("update").start()
+    // click: strictly rising 5,10,15,…,30 (S = C(6,2) = 15, no ties);
+    // view: 4,4,4,… (all tied ⇒ S = 0 and the variance degenerates to
+    // NULL z). One batch boundary INSIDE day 2 and one behind-horizon
+    // straggler for day 0, like the Page–Hinkley twin.
+    def d(day: Int, i: Int) = day * 1440 + i
+    def dayEvs(day: Int, typ: String, n: Int, base: Long) =
+      (0 until n).map(i => ev(base + i, d(day, i), user = 1, typ = typ))
+    withQuery(q) {
+      var id = 100L
+      for (day <- 0 to 5) {
+        val evs = dayEvs(day, "click", (day + 1) * 5, id) ++
+          dayEvs(day, "view", 4, id + 1000)
+        id += 2000
+        if (day == 2) {
+          in.addData(evs.take(5): _*); q.processAllAvailable()
+          in.addData(evs.drop(5): _*); q.processAllAvailable()
+        } else { in.addData(evs: _*); q.processAllAvailable() }
+        if (day == 4) { // behind-horizon straggler: day 0 again
+          in.addData(ev(id, d(0, 100), user = 1, typ = "click")); id += 1
+          q.processAllAvailable()
+        }
+      }
+      // sentinel day 6 closes day 5 so every data day is folded
+      in.addData(ev(id, d(6, 0), user = 1, typ = "click"),
+        ev(id + 1, d(6, 0), user = 1, typ = "view"))
+      q.processAllAvailable()
+      val marks = spark.table("t_mk").as[graft.streaming.MkMark].collect()
+      for (t <- Seq("click", "view")) {
+        val ms = marks.filter(_.event_type == t).sortBy(_.n_days)
+        assert(ms.map(_.n_days).toSeq === (1L to 6L),
+          s"$t must fold exactly days 0..5 in order")
+        assert(ms.map(_.y).sum === (if (t == "click") 105L else 24L),
+          "the straggler must drop and the split day must still total")
+      }
+      // the final emission per type IS the batch statistic over days 0..5
+      val dir = tempDir("mk_twin")
+      val batchRows = (0 to 5).flatMap { day =>
+        dayEvs(day, "click", (day + 1) * 5, 5000L + day * 100) ++
+          dayEvs(day, "view", 4, 8000L + day * 100)
+      }
+      batchRows.toDS()
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+          "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_mann_kendall")(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("s"),
+            Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double]))))
+        .toMap
+      val streamed = marks.groupBy(_.event_type).map { case (t, ms) =>
+        val last = ms.maxBy(_.n_days)
+        t -> ((last.n_days, last.s, last.z))
+      }
+      assert(streamed === batch,
+        s"streaming MK profile $streamed diverges from the batch statistic $batch")
+      assert(batch("click")._2 === 15L, "strictly rising: S = C(6,2)")
+      assert(batch("view")._3.isEmpty, "an all-tied series has no variance: z NULL")
+    }
+  }
+
+  test("streaming Tukey stats grid reproduces the batch q_tukey_hsd exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Ev]
+    val q = Streams.tukeyStats(in.toDF())
+      .writeStream.format("memory").queryName("t_tukey").outputMode("complete").start()
+    withQuery(q) {
+      // replay the real sf0.001 events split across two batches: a
+      // type's moments must MERGE across batches, not overwrite
+      val rows = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = Streams.tukeyOf(spark.table("t_tukey"))
+        .select("type_a", "type_b", "mean_a", "mean_b", "q_stat")
+        .as[(String, String, Double, Double, Double)].collect().toSet
+      val batch = SparkEntry.queries("q_tukey_hsd")(spark, sfDir)
+        .select("type_a", "type_b", "mean_a", "mean_b", "q_stat")
+        .as[(String, String, Double, Double, Double)].collect().toSet
+      assert(streamed === batch,
+        "read-time HSD over the incremental moment grid must equal the batch screen")
+    }
+  }
+
   test("s_merge_upsert streaming state equals batch mergeUpsert over the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
