@@ -208,6 +208,7 @@ object BenchFloors {
     "q_partial_corr" -> 0.122,
     "q_pca_power" -> 0.103,
     "q_peak_detection" -> 0.143,
+    "q_pettitt" -> 0.416, // r14 extension harvest (TimeQuery warm-min, sf0.1)
     "q_pivot" -> 0.087,
     "q_poisson_dispersion" -> 0.138, // r13 first harvest
     "q_prefix_dup" -> 0.273, // r13 first harvest
@@ -235,6 +236,7 @@ object BenchFloors {
     "q_scan_parquet" -> 0.05,
     "q_scan_pruned" -> 0.06,
     "q_scd2" -> 0.221,
+    "q_seasonal_mk" -> 0.441, // r14 extension harvest (TimeQuery warm-min, sf0.1)
     "q_seasonal_strength" -> 0.163,
     "q_seasonality" -> 0.108,
     "q_session_batch" -> 0.303,

@@ -924,6 +924,125 @@ object SeriesTests {
             Q.r6((col("mww") - col("muw").cast("double") * col("muw") / col("muu") -
               col("ru")) * (col("n") - 3) / col("ru"))).as("f_stat"))
         .orderBy("cause", "effect")
+    },
+
+    // Seasonal Mann–Kendall per type: the MK sign statistic computed
+    // WITHIN each day-of-week stratum and summed — the trend screen
+    // that is immune to weekly seasonality (a strong Mon/Sun cycle
+    // reads as trend to plain q_mann_kendall's cross-day pairs but
+    // cancels here, because pairs never cross strata). S = Σ_k S_k,
+    // 18·Var = Σ_k [n_k(n_k−1)(2n_k+5) − ties_k], z continuity-
+    // corrected through the exact q_mann_kendall tree. The stratum key
+    // is x mod 7 (the anchor is a Monday, so the residue IS the
+    // weekday — and the same integer arithmetic in both engines).
+    Q("q_seasonal_mk",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |dw AS (SELECT event_type, x % 7 AS dow, x, y FROM daily),
+         |p AS (SELECT a.event_type,
+         |             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+         |      FROM dw a JOIN dw b
+         |        ON a.event_type = b.event_type AND a.dow = b.dow AND a.x < b.x),
+         |s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s FROM p GROUP BY 1),
+         |v AS (SELECT dw.event_type,
+         |             CAST(sum(nn * (nn - 1) * (2 * nn + 5)) AS BIGINT) AS vraw
+         |      FROM (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nn
+         |            FROM dw GROUP BY 1, 2) dw GROUP BY 1),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY 1),
+         |tg AS (SELECT event_type,
+         |              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+         |       FROM (SELECT event_type, dow, y, CAST(count(*) AS BIGINT) AS t
+         |             FROM dw GROUP BY 1, 2, 3) GROUP BY 1)
+         |SELECT n.event_type, n.n AS n_days, s.s AS s,
+         |       CASE WHEN v.vraw - tg.tie > 0 THEN
+         |         ${Q.sqlR6("(s.s - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END) / " +
+                   "sqrt((v.vraw - tg.tie) / 18.0)")}
+         |       END AS z
+         |FROM n JOIN s ON n.event_type = s.event_type
+         |       JOIN v ON n.event_type = v.event_type
+         |       JOIN tg ON n.event_type = tg.event_type
+         |ORDER BY n.event_type""".stripMargin) { (s, d) =>
+      val dw = Inference.dailyCounts(s, d)
+        .withColumn("dow", col("x") % 7).transform(Q.snapshot)
+      val a = dw.select(col("event_type"), col("dow"),
+        col("x").as("xa"), col("y").as("ya"))
+      val b = dw.select(col("event_type"), col("dow"),
+        col("x").as("xb"), col("y").as("yb"))
+      val sdf = a.join(b, Seq("event_type", "dow")).filter(col("xa") < col("xb"))
+        .groupBy("event_type")
+        .agg(sum(when(col("yb") > col("ya"), 1L)
+          .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s"))
+      val ndf = dw.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val v = dw.groupBy("event_type", "dow").agg(count(lit(1)).as("nn"))
+        .groupBy("event_type")
+        .agg(sum(col("nn") * (col("nn") - 1) * (lit(2) * col("nn") + 5)).as("vraw"))
+      val tg = dw.groupBy("event_type", "dow", "y").agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie"))
+      val vn = col("vraw") - col("tie")
+      val sign = when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L)
+      ndf.join(sdf, "event_type").join(v, "event_type").join(tg, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("s"),
+          when(vn > 0, Q.r6((col("s") - sign) / sqrt(vn / lit(18.0)))).as("z"))
+        .orderBy("event_type")
+    },
+
+    // Pettitt changepoint test per type: U_t = 2·Σ_{i≤t} r_i − t(n+1)
+    // over the average ranks of the daily counts, K = max|U_t| with
+    // the day achieving it — the rank-based (outlier-immune) shift
+    // locator beside q_changepoint's mean-split and q_cusum's
+    // deviation path; p_exponent = 6K²/(n³+n²) is the −ln of the
+    // classical approximate p, emitted as pure arithmetic so no
+    // transcendental has to agree across engines. Ranks ride the
+    // exact 2·avgrank ints (the q_friedman move), the running sum and
+    // t(n+1) subtraction stay int64, and the argmax ranks on
+    // (|U| desc, day) — all windows partitioned by type over the
+    // collapsed daily frame.
+    Q("q_pettitt",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |r AS (SELECT event_type, x,
+         |             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+         |               + count(*) OVER (PARTITION BY event_type, y) - 1 AS BIGINT) AS r2
+         |      FROM daily),
+         |u AS (SELECT event_type, x,
+         |             CAST(sum(r2) OVER w AS BIGINT)
+         |               - CAST(row_number() OVER w2 AS BIGINT) *
+         |                 (CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) + 1) AS ut,
+         |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |      FROM r
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY x
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             w2 AS (PARTITION BY event_type ORDER BY x)),
+         |k AS (SELECT event_type, x, ut, n,
+         |             row_number() OVER (PARTITION BY event_type
+         |                                ORDER BY abs(ut) DESC, x) AS rk
+         |      FROM u)
+         |SELECT event_type, n AS n_days, abs(ut) AS k_stat, x AS change_day,
+         |       CASE WHEN n >= 2 THEN
+         |         ${Q.sqlR6("6.0 * abs(ut) * abs(ut) / " +
+                   "(CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)")}
+         |       END AS p_exponent
+         |FROM k WHERE rk = 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val wt = Window.partitionBy("event_type")
+      val run = wt.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = Inference.dailyCounts(s, d)
+        .withColumn("r2",
+          (lit(2) * rank().over(wt.orderBy("y")) +
+            count(lit(1)).over(Window.partitionBy("event_type", "y")) - 1).cast("long"))
+      val u = r
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("ut",
+          sum("r2").over(run) - row_number().over(wt.orderBy("x")).cast("long") *
+            (col("n") + 1))
+      u.withColumn("rk", row_number().over(wt.orderBy(abs(col("ut")).desc, col("x"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          abs(col("ut")).as("k_stat"), col("x").as("change_day"),
+          when(col("n") >= 2,
+            Q.r6(lit(6.0) * abs(col("ut")) * abs(col("ut")) /
+              (col("n").cast("double") * col("n") * col("n") +
+                col("n").cast("double") * col("n")))).as("p_exponent"))
+        .orderBy("event_type")
     }
   )
 }

@@ -662,4 +662,36 @@ class CurationSeriesSpec extends SparkSpec {
     val kc = rows(("k", "e"))
     assert(kc.isNullAt(kc.fieldIndex("f_stat")), "constant cause → NULL, not a blow-up")
   }
+
+  test("q_seasonal_mk: a pure weekly cycle cancels; a trend survives deseasonalization") {
+    val dir = eventsDir(Seq("cycle", "trend"), 14, {
+      case ("cycle", d) => (d % 7) * 2 + 2 // counts depend on weekday only
+      case (_, d) => d + 1                 // strictly increasing
+    })
+    val rows = q("q_seasonal_mk", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val cy = rows("cycle") // within every stratum the two days tie: S=0, Var=0
+    assert(cy.getAs[Long]("s") === 0L)
+    assert(cy.isNullAt(cy.fieldIndex("z")), "an exact cycle has zero within-stratum variance")
+    val tr = rows("trend") // one ascending pair per stratum: S=7, 18·Var=7·18
+    assert(tr.getAs[Long]("s") === 7L)
+    assert(math.abs(tr.getAs[Double]("z") - 6.0 / math.sqrt(7.0)) < 1e-5)
+  }
+
+  test("q_pettitt: a level shift peaks |U| at the break; a constant series reads zero") {
+    val dir = eventsDir(Seq("shift", "flat"), 8, {
+      case ("shift", d) => if (d < 4) 10 else 30
+      case (_, _) => 5
+    })
+    val rows = q("q_pettitt", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val sh = rows("shift")
+    // ranks: four 10s (avg 2.5), four 30s (avg 6.5); U_4 = 2·10 − 4·9 = −16
+    assert(sh.getAs[Long]("k_stat") === 16L && sh.getAs[Long]("change_day") === 3L)
+    // 6·16²/(8³+8²) = 1536/576
+    assert(math.abs(sh.getAs[Double]("p_exponent") - 1536.0 / 576.0) < 1e-5)
+    val fl = rows("flat") // all tied: U_t ≡ 0, earliest day wins the argmax tie
+    assert(fl.getAs[Long]("k_stat") === 0L && fl.getAs[Long]("change_day") === 0L)
+    assert(fl.getAs[Double]("p_exponent") === 0.0)
+  }
 }
