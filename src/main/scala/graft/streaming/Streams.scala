@@ -623,6 +623,132 @@ object Streams {
       }
   }
 
+  /** Streaming seasonal Mann–Kendall monitor (s_seasonal_mk) — the
+    * incremental face of batch q_seasonal_mk: the MK sign statistic
+    * computed WITHIN each day-of-week stratum (x % 7 — the anchor is a
+    * Monday, and Scala/Spark/DuckDB agree on sign-of-dividend %, so the
+    * residue IS the weekday in every engine) and summed, with the
+    * [[mannKendall]] day-close semantics. A closing day compares only
+    * against closed days in its OWN stratum, so a weekly cycle cancels
+    * instead of reading as trend; S, per-stratum ties and 18·Var stay
+    * exact int64 and z walks the identical batch IEEE tree. State per
+    * type is the open day plus the per-(stratum, count) multiset of
+    * closed days — 7× the [[mannKendall]] bound, still
+    * calendar-bounded, never stream-length bounded. */
+  def seasonalMannKendall(events: Dataset[Ev]): Dataset[MkMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SmkState, MkMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[SmkState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            SmkState(Long.MinValue, 0L, 0L, 0L, Nil))
+          val out = Seq.newBuilder[MkMark]
+          def fold(): Unit = { // close the open day into ITS stratum
+            val k = st.openDay % 7
+            val y = st.openCount
+            val s = st.s + st.counts.iterator.filter(_.dow == k)
+              .map(c => c.t * java.lang.Long.signum(y - c.y)).sum
+            val counts =
+              if (st.counts.exists(c => c.dow == k && c.y == y))
+                st.counts.map(c =>
+                  if (c.dow == k && c.y == y) c.copy(t = c.t + 1) else c)
+              else st.counts :+ SmkCnt(k, y, 1L)
+            val n = st.n + 1
+            // 18·Var = Σ_k n_k(n_k−1)(2n_k+5) − Σ_{k,y} t(t−1)(2t+5)
+            val vraw = counts.groupBy(_.dow).valuesIterator
+              .map { cs => val nk = cs.iterator.map(_.t).sum
+                nk * (nk - 1) * (2 * nk + 5) }.sum
+            val tie = counts.iterator.map(c => c.t * (c.t - 1) * (2 * c.t + 5)).sum
+            val vn = vraw - tie
+            val z =
+              if (vn <= 0) None
+              else {
+                val sg = java.lang.Long.signum(s).toLong
+                Some(math.floor(
+                  (s - sg) / math.sqrt(vn / 18.0) * 1000000 + 0.5) / 1000000)
+              }
+            out += MkMark(typ, st.openDay, y, n, s, z)
+            st = SmkState(Long.MinValue, 0L, n, s, counts)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming Pettitt changepoint monitor (s_pettitt) — the
+    * incremental face of batch q_pettitt: each day-close re-ranks the
+    * closed daily counts (competition ranks off a sorted cumulative
+    * count map — the exact 2·avgrank ints of the batch window) and
+    * walks U_t = Σ_{i≤t} r2_i − t(n+1) in day order, emitting the
+    * running (K = max|U_t|, break day, p_exponent) profile. Ranks are
+    * NOT mergeable state (a new day shifts every rank), so state is the
+    * ordered closed (day, count) series itself — one pair per closed
+    * calendar day, the same daily-frame bound the batch window
+    * consumes; the O(n log n) re-rank per fold is over that bounded
+    * frame, never the event stream. Strict > on |U| keeps the EARLIEST
+    * break day (the batch (|U| DESC, x) tie-break); p_exponent =
+    * 6K²/(n³+n²) stays transcendental-free on the shared r6 lattice. */
+  def pettitt(events: Dataset[Ev]): Dataset[PtMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PtState, PtMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[PtState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(PtState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[PtMark]
+          def fold(): Unit = { // close the open day, re-rank, walk U_t
+            val closed = st.days :+ PtDay(st.openDay, st.openCount)
+            val n = closed.size.toLong
+            val cnt = closed.groupBy(_.y).view.mapValues(_.size.toLong).toMap
+            // competition-rank ints: r2(y) = 2·(#less) + #same + 1
+            //                              = 2·rank + #same − 1
+            val less = {
+              var acc = 0L
+              cnt.keys.toSeq.sorted.map { y => val l = acc; acc += cnt(y); y -> l }.toMap
+            }
+            var run = 0L; var best = 0L; var bestDay = closed.head.x; var t = 0L
+            closed.foreach { p =>
+              run += 2 * less(p.y) + cnt(p.y) + 1
+              t += 1
+              val ut = run - t * (n + 1)
+              if (math.abs(ut) > best) { best = math.abs(ut); bestDay = p.x }
+            }
+            val pexp =
+              if (n >= 2)
+                Some(math.floor(6.0 * best * best /
+                  (n.toDouble * n * n + n.toDouble * n) * 1000000 + 0.5) / 1000000)
+              else None
+            out += PtMark(typ, st.openDay, st.openCount, n, best, bestDay, pexp)
+            st = PtState(Long.MinValue, 0L, closed)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Tukey HSD stats grid (s_tukey_hsd) — the streaming face
     * of batch q_tukey_hsd, split the s_cat_entropy way: the stream
     * maintains only the per-type (n, Σv, Σv²) moment grid (associative,
@@ -833,3 +959,27 @@ final case class MkState(openDay: Long, openCount: Long, n: Long, s: Long,
   * z is None while the variance is degenerate (all counts tied). */
 final case class MkMark(event_type: String, day_closed: Long, y: Long,
                         n_days: Long, s: Long, z: Option[Double])
+
+/** One (weekday stratum, daily count) multiset cell of the seasonal
+  * Mann–Kendall state: t closed days in stratum dow had count y. */
+final case class SmkCnt(dow: Long, y: Long, t: Long)
+
+/** Per-type seasonal Mann–Kendall state: the open (day, count) pair,
+  * the running (n, S), and the per-stratum closed-count multiset —
+  * calendar-bounded (7 strata × the distinct daily counts). */
+final case class SmkState(openDay: Long, openCount: Long, n: Long, s: Long,
+                          counts: Seq[SmkCnt])
+
+/** One closed (day, count) pair of the Pettitt state's ordered series. */
+final case class PtDay(x: Long, y: Long)
+
+/** Per-type Pettitt state: the open (day, count) pair plus the ordered
+  * closed daily series — one pair per closed calendar day (ranks are
+  * not mergeable, so the series IS the sufficient statistic). */
+final case class PtState(openDay: Long, openCount: Long, days: Seq[PtDay])
+
+/** One closed-day emission of the running Pettitt profile; p_exponent
+  * is None until two days have closed. */
+final case class PtMark(event_type: String, day_closed: Long, y: Long,
+                        n_days: Long, k_stat: Long, change_day: Long,
+                        p_exponent: Option[Double])

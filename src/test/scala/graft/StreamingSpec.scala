@@ -450,6 +450,146 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_seasonal_mk strata cancel a weekly cycle and keep a trend, batch-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.seasonalMannKendall(in.toDS())
+      .writeStream.format("memory").queryName("t_smk").outputMode("update").start()
+    // 14 days = two per weekday stratum. cycle: counts depend on the
+    // day-of-week only, so both days of every stratum TIE (S = 0, zero
+    // within-stratum variance ⇒ z NULL); trend: strictly rising, one
+    // ascending pair per stratum (S = 7, 18·Var = 7·18 ⇒ z = 6/√7).
+    def d(day: Int, i: Int) = day * 1440 + i
+    def dayEvs(day: Int, typ: String, n: Int, base: Long) =
+      (0 until n).map(i => ev(base + i, d(day, i), user = 1, typ = typ))
+    def nOf(typ: String, day: Int) =
+      if (typ == "cycle") (day % 7) * 2 + 2 else day + 1
+    withQuery(q) {
+      var id = 100L
+      for (day <- 0 to 13) {
+        val evs = dayEvs(day, "cycle", nOf("cycle", day), id) ++
+          dayEvs(day, "trend", nOf("trend", day), id + 1000)
+        id += 2000
+        if (day == 5) { // batch boundary inside a day
+          in.addData(evs.take(3): _*); q.processAllAvailable()
+          in.addData(evs.drop(3): _*); q.processAllAvailable()
+        } else { in.addData(evs: _*); q.processAllAvailable() }
+        if (day == 9) { // behind-horizon straggler: day 1 again
+          in.addData(ev(id, d(1, 200), user = 1, typ = "trend")); id += 1
+          q.processAllAvailable()
+        }
+      }
+      // sentinel day 14 closes day 13 so every data day is folded
+      in.addData(ev(id, d(14, 0), user = 1, typ = "cycle"),
+        ev(id + 1, d(14, 0), user = 1, typ = "trend"))
+      q.processAllAvailable()
+      val marks = spark.table("t_smk").as[graft.streaming.MkMark].collect()
+      for (t <- Seq("cycle", "trend")) {
+        val ms = marks.filter(_.event_type == t).sortBy(_.n_days)
+        assert(ms.map(_.n_days).toSeq === (1L to 14L),
+          s"$t must fold exactly days 0..13 in order")
+        assert(ms.map(_.y).sum === (0 to 13).map(nOf(t, _)).sum.toLong,
+          "the straggler must drop and the split day must still total")
+      }
+      // the final emission per type IS the batch statistic over days 0..13
+      val dir = tempDir("smk_twin")
+      val batchRows = (0 to 13).flatMap { day =>
+        dayEvs(day, "cycle", nOf("cycle", day), 5000L + day * 100) ++
+          dayEvs(day, "trend", nOf("trend", day), 8000L + day * 100)
+      }
+      batchRows.toDS()
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+          "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_seasonal_mk")(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("s"),
+            Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double]))))
+        .toMap
+      val streamed = marks.groupBy(_.event_type).map { case (t, ms) =>
+        val last = ms.maxBy(_.n_days)
+        t -> ((last.n_days, last.s, last.z))
+      }
+      assert(streamed === batch,
+        s"streaming seasonal-MK profile $streamed diverges from batch $batch")
+      assert(batch("cycle")._2 === 0L && batch("cycle")._3.isEmpty,
+        "an exact weekly cycle cancels: S = 0, degenerate variance")
+      assert(batch("trend")._2 === 7L, "one ascending pair per stratum: S = 7")
+      assert(math.abs(batch("trend")._3.get - 6.0 / math.sqrt(7.0)) < 1e-5)
+    }
+  }
+
+  test("s_pettitt emissions locate the batch break day exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.pettitt(in.toDS())
+      .writeStream.format("memory").queryName("t_pettitt").outputMode("update").start()
+    // shift: 10/day for four days then 30/day (K = 16 at the 4th day);
+    // flat: 5/day (U ≡ 0, earliest day wins the argmax tie).
+    def d(day: Int, i: Int) = day * 1440 + i
+    def dayEvs(day: Int, typ: String, n: Int, base: Long) =
+      (0 until n).map(i => ev(base + i, d(day, i), user = 1, typ = typ))
+    def nOf(typ: String, day: Int) = if (typ == "shift" && day >= 4) 30 else if (typ == "shift") 10 else 5
+    withQuery(q) {
+      var id = 100L
+      for (day <- 0 to 7) {
+        val evs = dayEvs(day, "shift", nOf("shift", day), id) ++
+          dayEvs(day, "flat", nOf("flat", day), id + 1000)
+        id += 2000
+        if (day == 4) { // batch boundary inside the first post-break day
+          in.addData(evs.take(7): _*); q.processAllAvailable()
+          in.addData(evs.drop(7): _*); q.processAllAvailable()
+        } else { in.addData(evs: _*); q.processAllAvailable() }
+        if (day == 6) { // behind-horizon straggler: day 0 again
+          in.addData(ev(id, d(0, 300), user = 1, typ = "shift")); id += 1
+          q.processAllAvailable()
+        }
+      }
+      // sentinel day 8 closes day 7 so every data day is folded
+      in.addData(ev(id, d(8, 0), user = 1, typ = "shift"),
+        ev(id + 1, d(8, 0), user = 1, typ = "flat"))
+      q.processAllAvailable()
+      val marks = spark.table("t_pettitt").as[graft.streaming.PtMark].collect()
+      for (t <- Seq("shift", "flat")) {
+        val ms = marks.filter(_.event_type == t).sortBy(_.n_days)
+        assert(ms.map(_.n_days).toSeq === (1L to 8L),
+          s"$t must fold exactly days 0..7 in order")
+        assert(ms.map(_.y).sum === (0 to 7).map(nOf(t, _)).sum.toLong,
+          "the straggler must drop and the split day must still total")
+      }
+      // the final emission per type IS the batch statistic over days 0..7
+      val dir = tempDir("pettitt_twin")
+      val batchRows = (0 to 7).flatMap { day =>
+        dayEvs(day, "shift", nOf("shift", day), 5000L + day * 100) ++
+          dayEvs(day, "flat", nOf("flat", day), 8000L + day * 100)
+      }
+      batchRows.toDS()
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+          "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_pettitt")(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("k_stat"),
+            r.getAs[Long]("change_day"),
+            Option(r.get(r.fieldIndex("p_exponent"))).map(_.asInstanceOf[Double]))))
+        .toMap
+      val streamed = marks.groupBy(_.event_type).map { case (t, ms) =>
+        val last = ms.maxBy(_.n_days)
+        t -> ((last.n_days, last.k_stat, last.change_day, last.p_exponent))
+      }
+      assert(streamed === batch,
+        s"streaming Pettitt profile $streamed diverges from batch $batch")
+      val sh = batch("shift")
+      assert(sh._2 === 16L, "four 10s then four 30s: K = |2·10 − 4·9| = 16")
+      assert(sh._3 === streamed("shift")._3 &&
+        sh._3 - batch("flat")._3 === 3L, "the break sits on the 4th day")
+      assert(math.abs(sh._4.get - 1536.0 / 576.0) < 1e-5, "6K²/(n³+n²) exactly")
+      assert(batch("flat")._2 === 0L, "a constant series reads zero")
+    }
+  }
+
   test("streaming Tukey stats grid reproduces the batch q_tukey_hsd exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
