@@ -59,10 +59,12 @@ object BenchFloors {
     "q_changepoint" -> 0.244,
     "q_char_entropy" -> 0.096,
     "q_chisq_trend" -> 0.107, // r14 TimeQuery warm-min harvest
+    "q_chow" -> 0.541, // r14 TimeQuery warm-min harvest
     "q_chunk_cdc" -> 0.444,
     "q_churn" -> 0.342,
     "q_cochran_q" -> 0.262, // r14 TimeQuery warm-min harvest
     "q_cohens_d" -> 0.095,
+    "q_cohens_kappa" -> 0.727, // r14 TimeQuery warm-min harvest
     "q_cohort_ltv" -> 0.251,
     "q_context_fit" -> 0.102,
     "q_cooccur_lift" -> 0.514,
@@ -98,8 +100,10 @@ object BenchFloors {
     "q_dormancy" -> 0.128, // r12 TimeQuery warm-min harvest
     "q_drawdown" -> 0.177,
     "q_drift_tvd" -> 0.266,
+    "q_dunn" -> 0.825, // r14 TimeQuery warm-min harvest
     "q_dup_cluster_sizes" -> 2.036,
     "q_dup_clusters" -> 1.703,
+    "q_durbin_watson" -> 0.670, // r14 TimeQuery warm-min harvest
     "q_elasticity" -> 0.115,
     "q_embed_norms" -> 0.101, // r12 TimeQuery warm-min harvest
     "q_embed_outliers" -> 0.308, // r13 first harvest
@@ -186,8 +190,8 @@ object BenchFloors {
     "q_map_json" -> 0.052,
     "q_markov_stationary" -> 0.401,
     "q_mase" -> 0.235, // r14 TimeQuery warm-min harvest
-    "q_mcnemar" -> 0.097, // r14 TimeQuery warm-min harvest
     "q_math" -> 0.074,
+    "q_mcnemar" -> 0.097, // r14 TimeQuery warm-min harvest
     "q_merge_upsert" -> 0.309,
     "q_minhash_est_err" -> 1.426, // r12 probe-bounded truth side (array_intersect, no uncapped pair join)
     "q_minhash_lsh" -> 1.071,

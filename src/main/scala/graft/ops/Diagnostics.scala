@@ -983,45 +983,82 @@ object Diagnostics {
     // tie-break chain as q_lang_id (shared text by construction),
     // collapsed map-side onto ≤|langs|² cells.
     Q("q_lang_confusion",
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
         |p AS (SELECT lang AS true_lang,
-        |             CASE
-        |               WHEN len(list_filter(words, x -> x IN ('small', 'data', 'scan'))) >=
-        |                    greatest(len(list_filter(words, x -> x IN ('column', 'sort', 'key'))),
-        |                             len(list_filter(words, x -> x IN ('line', 'part', 'hash'))),
-        |                             len(list_filter(words, x -> x IN ('order', 'query', 'group')))) THEN 'de'
-        |               WHEN len(list_filter(words, x -> x IN ('column', 'sort', 'key'))) >=
-        |                    greatest(len(list_filter(words, x -> x IN ('line', 'part', 'hash'))),
-        |                             len(list_filter(words, x -> x IN ('order', 'query', 'group')))) THEN 'en'
-        |               WHEN len(list_filter(words, x -> x IN ('line', 'part', 'hash'))) >=
-        |                    len(list_filter(words, x -> x IN ('order', 'query', 'group'))) THEN 'es'
-        |               ELSE 'fr' END AS pred_lang
+        |             ${TextPipeline.predLangSql} AS pred_lang
         |      FROM w),
         |c AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
         |SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
         |       floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY true_lang))*10000+0.5)/10000 AS share_of_true
         |FROM c
         |ORDER BY true_lang, pred_lang""".stripMargin) { (s, d) =>
-      def score(markers: Seq[String]): org.apache.spark.sql.Column = {
-        val set = markers.map(m => s"'$m'").mkString(", ")
-        size(expr(s"filter(words, x -> x IN ($set))")).cast("long")
-      }
-      val de = score(Seq("small", "data", "scan"))
-      val en = score(Seq("column", "sort", "key"))
-      val es = score(Seq("line", "part", "hash"))
-      val fr = score(Seq("order", "query", "group"))
       Tables.load(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
         .select(col("lang").as("true_lang"),
-          when(de >= greatest(en, es, fr), "de")
-            .when(en >= greatest(es, fr), "en")
-            .when(es >= fr, "es")
-            .otherwise("fr").as("pred_lang"))
+          TextPipeline.predLangCol.as("pred_lang"))
         .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
         .withColumn("share_of_true",
           Q.r4(col("n").cast("double") /
             sum("n").over(Window.partitionBy("true_lang"))))
         .orderBy("true_lang", "pred_lang")
+    },
+
+    // Cohen's kappa between the declared document language and the
+    // marker-word classifier's prediction — the chance-corrected
+    // agreement SCALAR on top of q_lang_confusion's matrix: raw
+    // agreement p_o flatters a skewed corpus (predicting the majority
+    // label scores high by luck), so the curation gate wants
+    // κ = (p_o − p_e)/(1 − p_e) with p_e the marginal-product chance
+    // rate. Both raters and the cell/marginal counts are exact int64,
+    // so κ = (N·agree − Σ_l row_l·col_l)/(N² − Σ_l row_l·col_l) is
+    // PURE RATIONAL arithmetic — no transcendental, no lattice; the
+    // one double division happens once per scalar at the end. The
+    // prediction expression is TextPipeline.predLangCol — the same
+    // single home as q_lang_id/q_lang_confusion, so the three readouts
+    // cannot drift. Shape: one corpus scan onto the ≤|langs|² cell
+    // grid, marginals from the cells, single-row output.
+    Q("q_cohens_kappa",
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT lang AS true_lang,
+        |             ${TextPipeline.predLangSql} AS pred_lang
+        |      FROM w),
+        |c AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2),
+        |rt AS (SELECT true_lang AS l, CAST(sum(n) AS BIGINT) AS r FROM c GROUP BY 1),
+        |ct AS (SELECT pred_lang AS l, CAST(sum(n) AS BIGINT) AS m FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |             CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS agree
+        |      FROM c),
+        |pe AS (SELECT CAST(coalesce(sum(rt.r * ct.m), 0) AS BIGINT) AS penum
+        |       FROM rt JOIN ct ON rt.l = ct.l)
+        |SELECT t.nn AS n_docs, t.agree AS n_agree,
+        |       ${Q.sqlR6("CAST(t.agree AS DOUBLE) / t.nn")} AS po,
+        |       ${Q.sqlR6("CAST(pe.penum AS DOUBLE) / (CAST(t.nn AS DOUBLE) * t.nn)")} AS pe,
+        |       CASE WHEN t.nn * t.nn > pe.penum THEN
+        |         ${Q.sqlR6("CAST(t.nn * t.agree - pe.penum AS DOUBLE) / (t.nn * t.nn - pe.penum)")}
+        |       END AS kappa
+        |FROM t CROSS JOIN pe""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("lang").as("true_lang"),
+          TextPipeline.predLangCol.as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .transform(Q.snapshot)
+      val rt = c.groupBy(col("true_lang").as("l")).agg(sum("n").as("r"))
+      val ct = c.groupBy(col("pred_lang").as("l")).agg(sum("n").as("m"))
+      val t = c.agg(sum("n").as("nn"),
+        sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L))
+          .as("agree"))
+      val pe = rt.join(ct, "l")
+        .agg(coalesce(sum(col("r") * col("m")), lit(0L)).as("penum"))
+      t.crossJoin(broadcast(pe))
+        .select(col("nn").as("n_docs"), col("agree").as("n_agree"),
+          Q.r6(col("agree").cast("double") / col("nn")).as("po"),
+          Q.r6(col("penum").cast("double") /
+            (col("nn").cast("double") * col("nn"))).as("pe"),
+          when(col("nn") * col("nn") > col("penum"),
+            Q.r6((col("nn") * col("agree") - col("penum")).cast("double") /
+              (col("nn") * col("nn") - col("penum")))).as("kappa"))
     },
 
     // Shingle document-frequency profile: how many blocking shingles

@@ -1043,6 +1043,170 @@ object SeriesTests {
               (col("n").cast("double") * col("n") * col("n") +
                 col("n").cast("double") * col("n")))).as("p_exponent"))
         .orderBy("event_type")
+    },
+
+    // Durbin–Watson residual-autocorrelation screen on the daily trend
+    // fit per type: DW = Σ(e_t − e_{t−1})²/Σe_t² over the OLS
+    // residuals of y~x — the "is the trend line hiding serial
+    // structure" gate in front of q_trend_fit's slope (DW ≈ 2 clean,
+    // → 0 positive autocorrelation, → 4 alternation). No residual is
+    // ever materialized: with b = bxy/bxx, e_t − e_{t−1} = Δy − b·Δx
+    // and Σe² = (byy − b·bxy)/n, so the whole statistic collapses to
+    // DW = n·(Suu − 2b·Suv + b²·Svv)/(byy − b·bxy) where Suu/Suv/Svv
+    // are exact int64 sums of consecutive-day differences (one lag
+    // window over the collapsed daily frame) and the rest is the
+    // q_cooks_distance moment tree — identical doubles from identical
+    // integers in both engines. rho1 ≈ 1 − DW/2 rides the same tree.
+    Q("q_durbin_watson",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM daily GROUP BY 1),
+         |df AS (SELECT event_type, y - lag(y) OVER w AS u, x - lag(x) OVER w AS v
+         |       FROM daily
+         |       WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+         |s AS (SELECT event_type, CAST(sum(u * u) AS BIGINT) AS suu,
+         |             CAST(sum(u * v) AS BIGINT) AS suv,
+         |             CAST(sum(v * v) AS BIGINT) AS svv
+         |      FROM df WHERE u IS NOT NULL GROUP BY 1),
+         |m AS (SELECT t.event_type, t.n, s.suu, s.suv, s.svv,
+         |             CAST(t.n * t.sxx - t.sx * t.sx AS DOUBLE) AS bxx,
+         |             CAST(t.n * t.sxy - t.sx * t.sy AS DOUBLE) AS bxy,
+         |             CAST(t.n * t.syy - t.sy * t.sy AS DOUBLE) AS byy
+         |      FROM t JOIN s ON t.event_type = s.event_type)
+         |SELECT event_type, n AS n_days,
+         |       CASE WHEN n >= 3 AND bxx > 0 THEN ${Q.sqlR6("bxy / bxx")} END AS slope,
+         |       CASE WHEN n >= 3 AND bxx > 0 AND byy - (bxy / bxx) * bxy > 0 THEN
+         |         ${Q.sqlR6("n * (suu - 2 * (bxy / bxx) * suv + (bxy / bxx) * (bxy / bxx) * svv) / (byy - (bxy / bxx) * bxy)")}
+         |       END AS dw,
+         |       CASE WHEN n >= 3 AND bxx > 0 AND byy - (bxy / bxx) * bxy > 0 THEN
+         |         ${Q.sqlR6("1 - n * (suu - 2 * (bxy / bxx) * suv + (bxy / bxx) * (bxy / bxx) * svv) / (byy - (bxy / bxx) * bxy) / 2")}
+         |       END AS rho1
+         |FROM m
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val t = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val w = Window.partitionBy("event_type").orderBy("x")
+      val sd = daily
+        .select(col("event_type"), (col("y") - lag("y", 1).over(w)).as("u"),
+          (col("x") - lag("x", 1).over(w)).as("v"))
+        .filter(col("u").isNotNull)
+        .groupBy("event_type")
+        .agg(sum(col("u") * col("u")).as("suu"), sum(col("u") * col("v")).as("suv"),
+          sum(col("v") * col("v")).as("svv"))
+      val m = t.join(sd, "event_type")
+        .select(col("event_type"), col("n"), col("suu"), col("suv"), col("svv"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("bxx"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("bxy"),
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("byy"))
+      val b = col("bxy") / col("bxx")
+      val sse = col("byy") - b * col("bxy")
+      val dw = col("n") * (col("suu") - lit(2) * b * col("suv") + b * b * col("svv")) / sse
+      val ok = col("n") >= 3 && col("bxx") > 0
+      m.select(col("event_type"), col("n").as("n_days"),
+          when(ok, Q.r6(b)).as("slope"),
+          when(ok && sse > 0, Q.r6(dw)).as("dw"),
+          when(ok && sse > 0, Q.r6(lit(1) - dw / lit(2))).as("rho1"))
+        .orderBy("event_type")
+    },
+
+    // Chow structural-break F per type at the mid-series split: does
+    // ONE trend line explain the daily counts, or do the first and
+    // second halves want different lines — the parametric complement
+    // of q_pettitt's rank shift locator and q_changepoint's mean
+    // split (Chow moves on SLOPE changes those two can't see). The
+    // split is rn·2 ≤ n (pure integer — no engine's float division
+    // involved); each segment collapses to exact int64 moments, its
+    // SSE = (byy − (bxy/bxx)·bxy)/n comes off the q_cooks_distance
+    // tree, the pooled moments are the segment sums, and
+    // F = ((SSEp − SSE1 − SSE2)/2)/((SSE1 + SSE2)/(n − 4)) is one
+    // mirrored tree over those three doubles (explicit two-operand
+    // additions — fixed order, no reduction). Segment slopes emit
+    // beside F so the readout says HOW the line broke.
+    Q("q_chow",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |rn AS (SELECT event_type, x, y,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         |              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |       FROM daily),
+         |g AS (SELECT event_type, CASE WHEN rn * 2 <= n THEN 1 ELSE 2 END AS seg,
+         |             CAST(count(*) AS BIGINT) AS ng,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(y * y) AS BIGINT) AS syy,
+         |             CAST(max(x) AS BIGINT) AS mx
+         |      FROM rn GROUP BY 1, 2),
+         |e AS (SELECT event_type, seg, ng, mx,
+         |             CAST(ng * sxx - sx * sx AS DOUBLE) AS bxx,
+         |             CAST(ng * sxy - sx * sy AS DOUBLE) AS bxy,
+         |             CAST(ng * syy - sy * sy AS DOUBLE) AS byy
+         |      FROM g),
+         |p AS (SELECT event_type, CAST(sum(ng) AS BIGINT) AS n,
+         |             CAST(sum(ng) * sum(sxx) - sum(sx) * sum(sx) AS DOUBLE) AS bxx,
+         |             CAST(sum(ng) * sum(sxy) - sum(sx) * sum(sy) AS DOUBLE) AS bxy,
+         |             CAST(sum(ng) * sum(syy) - sum(sy) * sum(sy) AS DOUBLE) AS byy
+         |      FROM g GROUP BY 1),
+         |j AS (SELECT p.event_type, p.n, a.ng AS n1, b.ng AS n2, a.mx AS split_day,
+         |             a.bxx AS xx1, a.bxy AS xy1, a.byy AS yy1,
+         |             b.bxx AS xx2, b.bxy AS xy2, b.byy AS yy2,
+         |             p.bxx AS xxp, p.bxy AS xyp, p.byy AS yyp
+         |      FROM p JOIN e a ON p.event_type = a.event_type AND a.seg = 1
+         |             JOIN e b ON p.event_type = b.event_type AND b.seg = 2)
+         |SELECT event_type, n AS n_days, n1, n2, split_day,
+         |       CASE WHEN xx1 > 0 THEN ${Q.sqlR6("xy1 / xx1")} END AS slope1,
+         |       CASE WHEN xx2 > 0 THEN ${Q.sqlR6("xy2 / xx2")} END AS slope2,
+         |       CASE WHEN n1 >= 3 AND n2 >= 3 AND xx1 > 0 AND xx2 > 0 AND xxp > 0
+         |                 AND (yy1 - (xy1 / xx1) * xy1) / n1 + (yy2 - (xy2 / xx2) * xy2) / n2 > 0 THEN
+         |         ${Q.sqlR6("(((yyp - (xyp / xxp) * xyp) / n - ((yy1 - (xy1 / xx1) * xy1) / n1 + (yy2 - (xy2 / xx2) * xy2) / n2)) / 2) / (((yy1 - (xy1 / xx1) * xy1) / n1 + (yy2 - (xy2 / xx2) * xy2) / n2) / (n - 4))")}
+         |       END AS f_stat
+         |FROM j
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val wt = Window.partitionBy("event_type")
+      val g = daily
+        .withColumn("rn", row_number().over(wt.orderBy("x")))
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("seg", when(col("rn") * 2 <= col("n"), 1).otherwise(2))
+        .groupBy("event_type", "seg")
+        .agg(count(lit(1)).as("ng"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"), max("x").as("mx"))
+        .transform(Q.snapshot)
+      def bcols(pre: String) = Seq(
+        (col("ng") * col("sxx") - col("sx") * col("sx")).cast("double").as(s"xx$pre"),
+        (col("ng") * col("sxy") - col("sx") * col("sy")).cast("double").as(s"xy$pre"),
+        (col("ng") * col("syy") - col("sy") * col("sy")).cast("double").as(s"yy$pre"))
+      val e1 = g.filter(col("seg") === 1)
+        .select(Seq(col("event_type"), col("ng").as("n1"), col("mx").as("split_day")) ++
+          bcols("1"): _*)
+      val e2 = g.filter(col("seg") === 2)
+        .select(Seq(col("event_type"), col("ng").as("n2")) ++ bcols("2"): _*)
+      val p = g.groupBy("event_type")
+        .agg(sum("ng").as("ng"), sum("sx").as("sx"), sum("sy").as("sy"),
+          sum("sxx").as("sxx"), sum("sxy").as("sxy"), sum("syy").as("syy"))
+        .select(Seq(col("event_type"), col("ng").as("n")) ++ bcols("p"): _*)
+      def sse(xx: String, xy: String, yy: String, n: org.apache.spark.sql.Column) =
+        (col(yy) - (col(xy) / col(xx)) * col(xy)) / n
+      val s1 = sse("xx1", "xy1", "yy1", col("n1"))
+      val s2 = sse("xx2", "xy2", "yy2", col("n2"))
+      val sp = sse("xxp", "xyp", "yyp", col("n"))
+      val sw = s1 + s2
+      p.join(e1, "event_type").join(e2, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("n1"), col("n2"),
+          col("split_day"),
+          when(col("xx1") > 0, Q.r6(col("xy1") / col("xx1"))).as("slope1"),
+          when(col("xx2") > 0, Q.r6(col("xy2") / col("xx2"))).as("slope2"),
+          when(col("n1") >= 3 && col("n2") >= 3 && col("xx1") > 0 &&
+              col("xx2") > 0 && col("xxp") > 0 && sw > 0,
+            Q.r6(((sp - sw) / lit(2)) / (sw / (col("n") - 4)))).as("f_stat"))
+        .orderBy("event_type")
     }
   )
 }

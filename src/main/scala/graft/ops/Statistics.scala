@@ -763,6 +763,74 @@ object Statistics {
           Q.r6((h - col("k") + 1) / (col("n") - col("k"))).as("epsilon_sq"))
     },
 
+    // Dunn's post-hoc pairwise rank test across event types — WHICH
+    // pair differs after q_kruskal_wallis' single H says "some pair
+    // does" (the rank-world twin of q_tukey_hsd's role after q_anova).
+    // z_ij = (R̄_i − R̄_j)/√(V·(1/n_i + 1/n_j)) with the tie-adjusted
+    // pooled-rank variance V = N(N+1)/12 − Σ(t³−t)/(12(N−1)). Rides
+    // KW's exact machinery verbatim: doubled average ranks on the
+    // bounded distinct-cents grid make every group rank sum r2 = 2·R
+    // an exact int64, as are N and the tie term; each pair's z is then
+    // one mirrored double tree over those integers, and the pair
+    // fan-out is a |types|² broadcast nested loop over the collapsed
+    // |types|-row stats frame — never the corpus.
+    Q("q_dunn",
+      s"""WITH v AS (SELECT event_type AS g,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+         |           FROM events),
+         |c AS (SELECT g, v100, count(*) AS c FROM v GROUP BY 1, 2),
+         |tv AS (SELECT v100, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+         |tr AS (SELECT v100, t,
+         |              CAST(coalesce(sum(t) OVER (ORDER BY v100
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                   AS BIGINT) AS cb
+         |       FROM tv),
+         |gr AS (SELECT c.g, CAST(sum(c.c) AS BIGINT) AS n_g,
+         |              CAST(sum(c.c * (2 * tr.cb + tr.t + 1)) AS BIGINT) AS r2
+         |       FROM c JOIN tr ON c.v100 = tr.v100 GROUP BY 1),
+         |st AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM gr),
+         |tc AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM tv)
+         |SELECT a.g AS type_a, b.g AS type_b, a.n_g AS n_a, b.n_g AS n_b,
+         |       ${Q.sqlR6("a.r2 / (2.0 * a.n_g)")} AS mean_rank_a,
+         |       ${Q.sqlR6("b.r2 / (2.0 * b.n_g)")} AS mean_rank_b,
+         |       CASE WHEN st.n > 1
+         |                 AND st.n * (st.n + 1) / 12.0 - tc.ties / (12.0 * (st.n - 1)) > 0 THEN
+         |         ${Q.sqlR6("(a.r2 / (2.0 * a.n_g) - b.r2 / (2.0 * b.n_g)) / sqrt((st.n * (st.n + 1) / 12.0 - tc.ties / (12.0 * (st.n - 1))) * (1.0 / a.n_g + 1.0 / b.n_g))")}
+         |       END AS z
+         |FROM gr a JOIN gr b ON a.g < b.g CROSS JOIN st CROSS JOIN tc
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        .groupBy("g", "v100").agg(count(lit(1)).as("c"))
+      val tv = c.groupBy("v100").agg(sum("c").as("t")).transform(Q.snapshot)
+      val wb = Window.orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tr = tv.select(col("v100"), col("t"),
+        coalesce(sum("t").over(wb), lit(0L)).as("cb"))
+      val gr = c.join(tr, "v100")
+        .groupBy("g")
+        .agg(sum("c").as("n_g"),
+          sum(col("c") * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
+        .transform(Q.snapshot)
+      val st = gr.agg(sum("n_g").as("n"))
+      val tc = tv.agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val a = gr.select(col("g").as("type_a"), col("n_g").as("n_a"), col("r2").as("r2a"))
+      val b = gr.select(col("g").as("type_b"), col("n_g").as("n_b"), col("r2").as("r2b"))
+      val vt = col("n") * (col("n") + 1) / lit(12.0) -
+        col("ties") / (lit(12.0) * (col("n") - 1))
+      val ra = col("r2a") / (lit(2.0) * col("n_a"))
+      val rb = col("r2b") / (lit(2.0) * col("n_b"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .crossJoin(broadcast(st)).crossJoin(broadcast(tc))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          Q.r6(ra).as("mean_rank_a"), Q.r6(rb).as("mean_rank_b"),
+          when(col("n") > 1 && vt > 0,
+            Q.r6((ra - rb) / sqrt(vt * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+            .as("z"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Bartlett's test of variance homogeneity across event types
     // (round 14) — the gate in front of q_anova: its F statistic
     // assumes equal group variances, and Bartlett is the classical

@@ -41,6 +41,54 @@ object TextPipeline {
   private[ops] val SimhashBands = 4
   private[ops] val SimhashBandBits = SimhashBits / SimhashBands // 16
 
+  /** The marker-word language classifier — ONE home for the scoring
+    * lists and the argmax precedence, shared by q_lang_id (per-doc
+    * prediction), q_lang_confusion (the confusion matrix) and
+    * q_cohens_kappa (the chance-corrected agreement scalar), so the
+    * three readouts can never disagree about what "predicted" means.
+    * Both sides expect a `words` list column. */
+  private[ops] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("small", "data", "scan"),
+    "en" -> Seq("column", "sort", "key"),
+    "es" -> Seq("line", "part", "hash"),
+    "fr" -> Seq("order", "query", "group"))
+
+  /** DuckDB score expression for one marker list. */
+  private[ops] def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(words, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  /** DuckDB twin of [[predLangCol]] — the fixed CASE precedence
+    * (de ≥ rest, then en ≥ rest, …) that makes the argmax
+    * deterministic in both engines. Single-line so it embeds in any
+    * stripMargin oracle. */
+  private[ops] val predLangSql: String = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScoreSql(ms) }
+    scores.init.zipWithIndex.map { case ((l, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      val bound = if (rest.size > 1) s"greatest(${rest.mkString(", ")})" else rest.head
+      s"WHEN $s >= $bound THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${scores.last._1}' END")
+  }
+
+  /** Spark score column for one marker list (expects `words`). */
+  private[ops] def langScoreCol(markers: Seq[String]): Column =
+    size(expr(s"filter(words, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")}))"))
+      .cast("long")
+
+  /** Spark twin of [[predLangSql]]. */
+  private[ops] def predLangCol: Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScoreCol(ms) }
+    val cases = scores.init.zipWithIndex.map { case ((l, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      (s >= (if (rest.size > 1) greatest(rest: _*) else rest.head), l)
+    }
+    cases.tail
+      .foldLeft(when(cases.head._1, cases.head._2)) {
+        case (acc, (c, l)) => acc.when(c, l)
+      }
+      .otherwise(scores.last._1)
+  }
+
   /** DuckDB twin of q_dedup_simhash, generated from the same bit layout
     * so the two sides cannot drift. */
   private[ops] def simhashOracle: String = {
@@ -820,41 +868,18 @@ object TextPipeline {
     // in both engines. The point graded here is the operator plumbing —
     // scoring + argmax over a document stream — not classifier quality.
     Q("q_lang_id",
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
         |SELECT doc_id, lang AS true_lang,
-        |       CAST(len(list_filter(words, x -> x IN ('small', 'data', 'scan'))) AS BIGINT) AS s_de,
-        |       CAST(len(list_filter(words, x -> x IN ('column', 'sort', 'key'))) AS BIGINT) AS s_en,
-        |       CAST(len(list_filter(words, x -> x IN ('line', 'part', 'hash'))) AS BIGINT) AS s_es,
-        |       CAST(len(list_filter(words, x -> x IN ('order', 'query', 'group'))) AS BIGINT) AS s_fr,
-        |       CASE
-        |         WHEN len(list_filter(words, x -> x IN ('small', 'data', 'scan'))) >=
-        |              greatest(len(list_filter(words, x -> x IN ('column', 'sort', 'key'))),
-        |                       len(list_filter(words, x -> x IN ('line', 'part', 'hash'))),
-        |                       len(list_filter(words, x -> x IN ('order', 'query', 'group')))) THEN 'de'
-        |         WHEN len(list_filter(words, x -> x IN ('column', 'sort', 'key'))) >=
-        |              greatest(len(list_filter(words, x -> x IN ('line', 'part', 'hash'))),
-        |                       len(list_filter(words, x -> x IN ('order', 'query', 'group')))) THEN 'en'
-        |         WHEN len(list_filter(words, x -> x IN ('line', 'part', 'hash'))) >=
-        |              len(list_filter(words, x -> x IN ('order', 'query', 'group'))) THEN 'es'
-        |         ELSE 'fr' END AS pred_lang
+        |${LangMarkers.map { case (l, ms) =>
+             s"       CAST(${langScoreSql(ms)} AS BIGINT) AS s_$l," }.mkString("\n")}
+        |       $predLangSql AS pred_lang
         |FROM w
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      def score(markers: Seq[String]): Column = {
-        val set = markers.map(m => s"'$m'").mkString(", ")
-        size(expr(s"filter(words, x -> x IN ($set))")).cast("long")
-      }
-      val de = score(Seq("small", "data", "scan"))
-      val en = score(Seq("column", "sort", "key"))
-      val es = score(Seq("line", "part", "hash"))
-      val fr = score(Seq("order", "query", "group"))
       withWords(Tables.load(s, d, "documents"))
         .select(
-          col("doc_id"), col("lang").as("true_lang"),
-          de.as("s_de"), en.as("s_en"), es.as("s_es"), fr.as("s_fr"),
-          when(de >= greatest(en, es, fr), "de")
-            .when(en >= greatest(es, fr), "en")
-            .when(es >= fr, "es")
-            .otherwise("fr").as("pred_lang"))
+          Seq(col("doc_id"), col("lang").as("true_lang")) ++
+            LangMarkers.map { case (l, ms) => langScoreCol(ms).as(s"s_$l") } :+
+            predLangCol.as("pred_lang"): _*)
         .orderBy("doc_id")
     },
 

@@ -678,6 +678,115 @@ class CurationSeriesSpec extends SparkSpec {
     assert(math.abs(tr.getAs[Double]("z") - 6.0 / math.sqrt(7.0)) < 1e-5)
   }
 
+  /** Independent OLS replication: slope, intercept, SSE via explicit
+    * residuals — a different formula path from the ops' moment
+    * identities, so agreement is real evidence. */
+  private def ols(pts: Seq[(Int, Int)]): (Double, Double, Double) = {
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1.toDouble).sum; val sy = pts.map(_._2.toDouble).sum
+    val sxx = pts.map(p => p._1.toDouble * p._1).sum
+    val sxy = pts.map(p => p._1.toDouble * p._2).sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val sse = pts.map { case (x, y) => val e = y - a - b * x; e * e }.sum
+    (b, a, sse)
+  }
+
+  test("q_durbin_watson matches an explicit-residual replication; exact fits read NULL") {
+    val saw = Seq(9, 11, 9, 11, 9, 11, 9, 11) // alternation → DW ≈ 4
+    val dir = eventsDir(Seq("saw", "flat", "line"), 8, {
+      case ("saw", d) => saw(d)
+      case ("flat", _) => 5
+      case (_, d) => 3 + 2 * d // exact line: zero residuals
+    })
+    val rows = q("q_durbin_watson", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val (b, a, _) = ols(saw.indices.map(d => d -> saw(d)))
+    val e = saw.indices.map(d => saw(d) - a - b * d)
+    val dw = e.sliding(2).map { case Seq(p, n) => (n - p) * (n - p) }.sum /
+      e.map(v => v * v).sum
+    val sw = rows("saw")
+    assert(math.abs(sw.getAs[Double]("slope") - b) < 1e-5)
+    assert(math.abs(sw.getAs[Double]("dw") - dw) < 1e-5, s"op vs replication $dw")
+    assert(dw > 3.0, "alternating residuals push DW toward 4")
+    assert(math.abs(sw.getAs[Double]("rho1") - (1 - dw / 2)) < 1e-5)
+    val fl = rows("flat") // zero variance: slope 0, DW undefined
+    assert(fl.getAs[Double]("slope") === 0.0 && fl.isNullAt(fl.fieldIndex("dw")))
+    val ln = rows("line") // exact fit: zero SSE, DW undefined, slope exact
+    assert(ln.getAs[Double]("slope") === 2.0 && ln.isNullAt(ln.fieldIndex("dw")))
+  }
+
+  test("q_chow matches a two-segment replication; exact twin lines read NULL F") {
+    val kink = Seq(10, 12, 11, 13, 12, 20, 25, 31, 35, 41) // noisy slope break at d=5
+    val dir = eventsDir(Seq("kink", "twoline"), 10, {
+      case ("kink", d) => kink(d)
+      case (_, d) => if (d < 5) 10 else 15 + 5 * (d - 5) // both halves EXACT lines
+    })
+    val rows = q("q_chow", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val pts = kink.indices.map(d => d -> kink(d))
+    val (p1, p2) = pts.splitAt(5) // rn·2 ≤ n puts days 0..4 in segment 1
+    val (b1, _, s1) = ols(p1); val (b2, _, s2) = ols(p2); val (_, _, sp) = ols(pts)
+    val f = ((sp - s1 - s2) / 2) / ((s1 + s2) / (pts.size - 4))
+    val kk = rows("kink")
+    assert(kk.getAs[Long]("n1") === 5L && kk.getAs[Long]("n2") === 5L)
+    assert(kk.getAs[Long]("split_day") === 4L, "segment 1 ends at day 4")
+    assert(math.abs(kk.getAs[Double]("slope1") - b1) < 1e-5)
+    assert(math.abs(kk.getAs[Double]("slope2") - b2) < 1e-5)
+    assert(math.abs(kk.getAs[Double]("f_stat") - f) < 1e-4, s"op vs replication $f")
+    assert(f > 10.0, "a real slope break must read large")
+    val tl = rows("twoline") // exact fits: SSEs all zero → F undefined
+    assert(tl.getAs[Double]("slope1") === 0.0 && tl.getAs[Double]("slope2") === 5.0)
+    assert(tl.isNullAt(tl.fieldIndex("f_stat")))
+  }
+
+  test("q_dunn: separated value blocks give closed-form mean ranks and z") {
+    val dir = tempDir("dunn_events")
+    import spark.implicits._
+    // three types, four events each, values 1.0 / 2.0 / 3.0: type a
+    // holds pooled ranks 1-4 (mean 2.5), b 5-8 (6.5), c 9-12 (10.5);
+    // ties Σ(t³−t) = 3·60 = 180, V = 13 − 180/132 = 128/11, and
+    // z_ab = −4/√(64/11) = −√11/2, z_ac = −√11 exactly.
+    val rows = for (t <- Seq("a", "b", "c"); i <- 0 until 4)
+      yield (t.hashCode.toLong * 10 + i, t, Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)(t))
+    rows.toDF("event_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp '2024-01-01 00:00:00' AS ts",
+        "CAST(1 AS BIGINT) AS user_id", "event_type", "value", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_dunn", dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Double]("mean_rank_a") === 2.5 &&
+      ab.getAs[Double]("mean_rank_b") === 6.5)
+    assert(math.abs(ab.getAs[Double]("z") + math.sqrt(11.0) / 2) < 1e-5)
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Double]("mean_rank_b") === 10.5)
+    assert(math.abs(ac.getAs[Double]("z") + math.sqrt(11.0)) < 1e-5)
+    val bc = out(("b", "c"))
+    assert(math.abs(bc.getAs[Double]("z") + math.sqrt(11.0) / 2) < 1e-5)
+  }
+
+  test("q_cohens_kappa: a planted confusion matrix gives the exact rational kappa") {
+    val dir = tempDir("kappa_docs")
+    import spark.implicits._
+    // true langs (en,en,de,fr); predictions (en,en,en,fr) → N=4,
+    // agree=3, rows en2/de1/fr1, cols en3/fr1, pe_num = 2·3+1·1 = 7:
+    // po = 3/4, pe = 7/16, κ = (12−7)/(16−7) = 5/9.
+    val docs = Seq(
+      (1L, "column sort key", "en"), (2L, "column sort key", "en"),
+      (3L, "column sort", "de"), (4L, "order query", "fr"))
+    docs.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = q("q_cohens_kappa", dir).head()
+    assert(r.getAs[Long]("n_docs") === 4L && r.getAs[Long]("n_agree") === 3L)
+    assert(r.getAs[Double]("po") === 0.75)
+    assert(r.getAs[Double]("pe") === 0.4375)
+    assert(math.abs(r.getAs[Double]("kappa") - 5.0 / 9.0) < 1e-6)
+  }
+
   test("q_pettitt: a level shift peaks |U| at the break; a constant series reads zero") {
     val dir = eventsDir(Seq("shift", "flat"), 8, {
       case ("shift", d) => if (d < 4) 10 else 30

@@ -1030,7 +1030,11 @@ class PlanAuditSpec extends SparkSpec {
       // median ranks are exactly the shape this walk certifies: the
       // one-reducer sort consumes the (type, day)-keyed daily agg
       "q_mann_kendall", "q_moods_median", "q_friedman", "q_tukey_hsd",
-      "q_hodges_lehmann", "q_granger", "q_seasonal_mk", "q_pettitt")
+      "q_hodges_lehmann", "q_granger", "q_seasonal_mk", "q_pettitt",
+      // q_dunn's pooled-rank running window rides the bounded
+      // distinct-cents grid (the q_kruskal_wallis exchange); the
+      // DW/Chow windows are type-partitioned over the daily frame
+      "q_durbin_watson", "q_chow", "q_dunn", "q_cohens_kappa")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
