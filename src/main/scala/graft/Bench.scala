@@ -76,8 +76,13 @@ object Bench {
     // goes to stderr at the failure site): every error char comes out
     // of the same ~1950-char budget the rotating tail needs, and a
     // couple of verbose exceptions would otherwise evict dozens of
-    // per-query timings from driver-side attribution
-    val errList = runs.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e.take(60)) }
+    // per-query timings from driver-side attribution. 32 chars covers
+    // the exception class — the r14 renegotiation at the 295-query
+    // surface: the previous 60-char cap cost ~6 rotating slots under
+    // 4 persistent failures, dropping the realized want below the
+    // G-grid's 8-slot slack band and flipping G between 4 and 5
+    // round-to-round (BenchRotationSpec caught the stretched horizon).
+    val errList = runs.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e.take(32)) }
     val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
     def render(scale: Int, stripPrefix: Boolean): String = {
       val qs = runs.map { case (k, v) =>

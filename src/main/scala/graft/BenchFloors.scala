@@ -174,6 +174,7 @@ object BenchFloors {
     "q_knn_lsh" -> 0.898,
     "q_knn_recall_curve" -> 0.477, // r14 TimeQuery warm-min harvest
     "q_knn_reciprocity" -> 0.934, // r14 TimeQuery warm-min harvest
+    "q_kpss" -> 0.446, // r14 TimeQuery warm-min harvest
     "q_ks_test" -> 0.178,
     "q_kruskal_wallis" -> 0.321, // r14 TimeQuery warm-min harvest
     "q_label_affinity" -> 0.172,
@@ -208,6 +209,7 @@ object BenchFloors {
     "q_pacf" -> 0.215,
     "q_pack_sequences" -> 0.052,
     "q_page_hinkley" -> 0.238, // r13 first harvest
+    "q_page_trend" -> 0.636, // r14 TimeQuery warm-min harvest
     "q_pagerank" -> 2.592,
     "q_partial_corr" -> 0.122,
     "q_pca_power" -> 0.103,

@@ -1207,6 +1207,133 @@ object SeriesTests {
               col("xx2") > 0 && col("xxp") > 0 && sw > 0,
             Q.r6(((sp - sw) / lit(2)) / (sw / (col("n") - 4)))).as("f_stat"))
         .orderBy("event_type")
+    },
+
+    // KPSS stationarity screen (level form, lag-0 long-run variance)
+    // per type — the NULL-reversed partner of q_adf: ADF's null is a
+    // unit root (failing to reject says nothing), KPSS's null is
+    // stationarity, so the PAIR is the classic joint verdict (both
+    // reject → neither model fits; ADF rejects + KPSS doesn't →
+    // stationary; the reverse → unit root). η = ΣS_t²/(n²σ̂²) over the
+    // partial sums S_t of the demeaned daily counts. Exactness:
+    // n·S_t = n·cum_t − t·Σy is exact int64 off one running window;
+    // each row's (nS_t)² would overflow int64, so it squares in DOUBLE
+    // (identically in both engines) and floors onto a DATA-SCALED unit
+    // lattice BEFORE the cross-row sum (the q_kruskal_wallis b0 move):
+    // the divisor D = max(1, ⌊byy0/1e6⌋) is a deterministic integer
+    // from the same stats pass, so the lattice is RELATIVE — exact at
+    // toy scale (D = 1), ~1e-7-relative error at any volume (the ≤n/2
+    // unit floor error over η's n²·byy0/D-unit magnitude), and the
+    // summed B = Σ⌊(nS)²/D⌉ ≤ η·n²·1e6 stays ≥50× inside int64 even
+    // at 30 years of sf0.1 volume. η divides out of B·D/(n²·byy0) in
+    // one mirrored tree; S_n = 0 by construction — the window's own
+    // checksum.
+    Q("q_kpss",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(y * y) AS BIGINT) AS syy,
+         |             greatest(1, CAST(floor((CAST(count(*) AS BIGINT) * sum(y * y)
+         |               - CAST(sum(y) AS BIGINT) * sum(y)) / 1e6) AS BIGINT)) AS dd
+         |      FROM daily GROUP BY 1),
+         |c AS (SELECT d.event_type, t.n, t.sy, t.syy, t.dd,
+         |             t.n * CAST(sum(d.y) OVER w AS BIGINT)
+         |               - CAST(row_number() OVER w2 AS BIGINT) * t.sy AS ns
+         |      FROM daily d JOIN t ON d.event_type = t.event_type
+         |      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.x
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             w2 AS (PARTITION BY d.event_type ORDER BY d.x)),
+         |b AS (SELECT event_type, n, sy, syy, dd,
+         |             CAST(sum(CAST(floor(CAST(ns AS DOUBLE) * ns / dd + 0.5)
+         |               AS BIGINT)) AS BIGINT) AS bsum
+         |      FROM c GROUP BY 1, 2, 3, 4, 5)
+         |SELECT event_type, n AS n_days,
+         |       CASE WHEN n >= 2 AND n * syy - sy * sy > 0 THEN
+         |         ${Q.sqlR6("CAST(bsum AS DOUBLE) * dd / (CAST(n AS DOUBLE) * n * (n * syy - sy * sy))")}
+         |       END AS eta
+         |FROM b
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val wt = Window.partitionBy("event_type")
+      val run = wt.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = Inference.dailyCounts(s, d)
+      val t = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+        .withColumn("dd", greatest(lit(1L),
+          floor((col("n") * col("syy") - col("sy") * col("sy")) / lit(1e6))
+            .cast("long")))
+      val b = daily.join(t, "event_type")
+        .withColumn("ns",
+          col("n") * sum("y").over(run) -
+            row_number().over(wt.orderBy("x")).cast("long") * col("sy"))
+        .groupBy("event_type", "n", "sy", "syy", "dd")
+        .agg(sum(floor(col("ns").cast("double") * col("ns") / col("dd") + 0.5)
+          .cast("long")).as("bsum"))
+      val byy0 = col("n") * col("syy") - col("sy") * col("sy")
+      b.select(col("event_type"), col("n").as("n_days"),
+          when(col("n") >= 2 && byy0 > 0,
+            Q.r6(col("bsum").cast("double") * col("dd") /
+              (col("n").cast("double") * col("n") * byy0))).as("eta"))
+        .orderBy("event_type")
+    },
+
+    // Page's L trend test over the q_friedman block design: with the
+    // event types in their LEXICOGRAPHIC order as the hypothesized
+    // ordering, L = Σ_j j·R_j weights each type's within-day rank sum
+    // by its position — a monotone drift of the daily volume ORDERING
+    // toward (or away from) the alphabet reads as |z| where Friedman's
+    // omnibus Q only says "some ordering difference exists". Reuses
+    // the dense zero-filled (day × type) grid and exact 2·avgrank ints
+    // verbatim; 2L = Σ j·r2j stays int64, μ_L = nk(k+1)²/4 and
+    // σ²_L = nk²(k+1)(k²−1)/144 are the classical no-tie moments
+    // (documented approximation under ties — identical in both
+    // engines), and z = (L−μ)/σ is one mirrored tree.
+    Q("q_page_trend",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT event_type,
+         |              CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+         |       FROM (SELECT DISTINCT event_type FROM daily)),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, ty.j, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |r AS (SELECT event_type, j,
+         |             CAST(2 * rank() OVER (PARTITION BY x ORDER BY y)
+         |               + count(*) OVER (PARTITION BY x, y) - 1 AS BIGINT) AS r2
+         |      FROM grid),
+         |rs AS (SELECT event_type, j, CAST(sum(r2) AS BIGINT) AS r2j
+         |       FROM r GROUP BY 1, 2),
+         |km AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |              CAST(sum(j * r2j) AS BIGINT) AS l2 FROM rs),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy)
+         |SELECT nn.n AS n_days, km.k AS n_types,
+         |       ${Q.sqlR6("km.l2 / 2.0")} AS l_stat,
+         |       CASE WHEN km.k >= 3 AND nn.n >= 1 THEN
+         |         ${Q.sqlR6("(km.l2 / 2.0 - nn.n * km.k * (km.k + 1) * (km.k + 1) / 4.0) / " +
+                   "sqrt(nn.n * CAST(km.k AS DOUBLE) * km.k * (km.k + 1) * (km.k * km.k - 1) / 144.0)")}
+         |       END AS z
+         |FROM nn, km""".stripMargin) { (s, d) =>
+      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
+      val ty = daily.select("event_type").distinct()
+        .withColumn("j", row_number().over(Window.orderBy("event_type")).cast("long"))
+      val dy = daily.select("x").distinct().transform(Q.snapshot)
+      val grid = ty.crossJoin(broadcast(dy))
+        .join(daily, Seq("event_type", "x"), "left")
+        .select(col("event_type"), col("j"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+        .transform(Q.snapshot)
+      val r2 = (lit(2) * rank().over(Window.partitionBy("x").orderBy("y")) +
+        count(lit(1)).over(Window.partitionBy("x", "y")) - 1).cast("long")
+      val km = grid.withColumn("r2", r2)
+        .groupBy("event_type", "j").agg(sum("r2").as("r2j"))
+        .agg(count(lit(1)).as("k"), sum(col("j") * col("r2j")).as("l2"))
+      val nn = dy.agg(count(lit(1)).as("n"))
+      val lStat = col("l2") / lit(2.0)
+      val mu = col("n") * col("k") * (col("k") + 1) * (col("k") + 1) / lit(4.0)
+      val sg = sqrt(col("n") * col("k").cast("double") * col("k") * (col("k") + 1) *
+        (col("k") * col("k") - 1) / lit(144.0))
+      nn.crossJoin(broadcast(km))
+        .select(col("n").as("n_days"), col("k").as("n_types"),
+          Q.r6(lStat).as("l_stat"),
+          when(col("k") >= 3 && col("n") >= 1, Q.r6((lStat - mu) / sg)).as("z"))
     }
   )
 }

@@ -749,6 +749,71 @@ object Streams {
       }
   }
 
+  /** Streaming Durbin–Watson monitor (s_durbin_watson) — the
+    * incremental face of batch q_durbin_watson, and the counterpoint
+    * to [[pettitt]]'s series-valued state: because the batch op
+    * collapses DW onto moment sums and LAG-DIFF sums, every statistic
+    * here is MERGEABLE — state per type is thirteen longs (the open
+    * day, the last CLOSED (day, count) pair, six moment sums, three
+    * diff sums) no matter how many days close. Each fold adds the
+    * closing day to the moments, accumulates (Δy, Δx) products
+    * against the previous closed day, and emits the running
+    * (slope, DW, rho1) profile through the exact batch tree —
+    * identical doubles from identical int64, NULL until n ≥ 3 and the
+    * fit is non-degenerate. */
+  def durbinWatson(events: Dataset[Ev]): Dataset[DwMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DwState, DwMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[DwState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(DwState(Long.MinValue, 0L,
+            Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[DwMark]
+          def fold(): Unit = { // close the open day into the sums
+            val x = st.openDay; val y = st.openCount
+            val (suu, suv, svv) =
+              if (st.lastX == Long.MinValue) (st.suu, st.suv, st.svv)
+              else {
+                val u = y - st.lastY; val v = x - st.lastX
+                (st.suu + u * u, st.suv + u * v, st.svv + v * v)
+              }
+            val n = st.n + 1
+            val sx = st.sx + x; val sy = st.sy + y
+            val sxx = st.sxx + x * x; val sxy = st.sxy + x * y
+            val syy = st.syy + y * y
+            // the exact batch tree on the int64 moments
+            val bxx = (n * sxx - sx * sx).toDouble
+            val bxy = (n * sxy - sx * sy).toDouble
+            val byy = (n * syy - sy * sy).toDouble
+            def r6(d: Double) = math.floor(d * 1000000 + 0.5) / 1000000
+            val ok = n >= 3 && bxx > 0
+            val b = bxy / bxx
+            val sse = byy - b * bxy
+            val dw = n * (suu - 2 * b * suv + b * b * svv) / sse
+            out += DwMark(typ, x, y, n,
+              if (ok) Some(r6(b)) else None,
+              if (ok && sse > 0) Some(r6(dw)) else None,
+              if (ok && sse > 0) Some(r6(1 - dw / 2)) else None)
+            st = DwState(Long.MinValue, 0L, x, y, n, sx, sy, sxx, sxy, syy,
+              suu, suv, svv)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Tukey HSD stats grid (s_tukey_hsd) — the streaming face
     * of batch q_tukey_hsd, split the s_cat_entropy way: the stream
     * maintains only the per-type (n, Σv, Σv²) moment grid (associative,
@@ -983,3 +1048,19 @@ final case class PtState(openDay: Long, openCount: Long, days: Seq[PtDay])
 final case class PtMark(event_type: String, day_closed: Long, y: Long,
                         n_days: Long, k_stat: Long, change_day: Long,
                         p_exponent: Option[Double])
+
+/** Per-type Durbin–Watson state: the open (day, count) pair, the last
+  * CLOSED (day, count) pair (the lag anchor), and the nine int64
+  * accumulators (n + six moment sums + three lag-diff sums) — thirteen
+  * longs total, mergeable forever. lastX == Long.MinValue means "no
+  * day closed yet". */
+final case class DwState(openDay: Long, openCount: Long,
+                         lastX: Long, lastY: Long, n: Long,
+                         sx: Long, sy: Long, sxx: Long, sxy: Long, syy: Long,
+                         suu: Long, suv: Long, svv: Long)
+
+/** One closed-day emission of the running Durbin–Watson profile;
+  * slope/dw/rho1 are None until n ≥ 3 and the fit is non-degenerate. */
+final case class DwMark(event_type: String, day_closed: Long, y: Long,
+                        n_days: Long, slope: Option[Double],
+                        dw: Option[Double], rho1: Option[Double])

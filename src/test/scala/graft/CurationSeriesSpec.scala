@@ -787,6 +787,43 @@ class CurationSeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("kappa") - 5.0 / 9.0) < 1e-6)
   }
 
+  test("q_kpss: a hand-computed partial-sum case is exact; a trend dwarfs noise") {
+    val dir = eventsDir(Seq("pair", "trend", "noise"), 2, {
+      case ("pair", d) => if (d == 0) 1 else 3
+      case _ => 1 // placeholder; trend/noise use the 12-day dir below
+    })
+    // pair: y = [1,3] → nS = [2·1−1·4, 0] = [−2, 0]; byy0 = 2·10−16 = 4;
+    // η = Σ(nS)²/(n²·byy0) = 4/(4·4) = 0.25 exactly
+    val r2 = q("q_kpss", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(r2("pair").getAs[Double]("eta") === 0.25)
+    val dir2 = eventsDir(Seq("trend", "noise"), 12, {
+      case ("trend", d) => 2 + 3 * d                 // drifting level
+      case (_, d) => 10 + (if (d % 2 == 0) 1 else -1) // mean-reverting wiggle
+    })
+    val rows = q("q_kpss", dir2).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("eta")).toMap
+    assert(rows("trend") > 5 * rows("noise"),
+      s"a drifting level must read far less stationary: $rows")
+    assert(rows("noise") < 0.2, "an alternating series hugs its mean")
+  }
+
+  test("q_page_trend: alphabet-aligned daily orderings give the closed-form L") {
+    // three types, four days, volumes always a < b < c: within every
+    // day ranks are 1,2,3 (r2 = 2,4,6), so R = (4,8,12)·2/2 and
+    // 2L = 1·8 + 2·16 + 3·24 = 112 → L = 56 = max; μ = 4·3·16/4 = 48,
+    // σ² = 4·9·4·8/144 = 8 → z = (56−48)/√8 = 2√2
+    val dir = eventsDir(Seq("a", "b", "c"), 4, {
+      case ("a", d) => 1 + d
+      case ("b", d) => 5 + d
+      case (_, d) => 9 + d
+    })
+    val r = q("q_page_trend", dir).head()
+    assert(r.getAs[Long]("n_days") === 4L && r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Double]("l_stat") === 56.0)
+    assert(math.abs(r.getAs[Double]("z") - 2 * math.sqrt(2.0)) < 1e-5)
+  }
+
   test("q_pettitt: a level shift peaks |U| at the break; a constant series reads zero") {
     val dir = eventsDir(Seq("shift", "flat"), 8, {
       case ("shift", d) => if (d < 4) 10 else 30

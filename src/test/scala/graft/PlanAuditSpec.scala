@@ -1034,7 +1034,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_dunn's pooled-rank running window rides the bounded
       // distinct-cents grid (the q_kruskal_wallis exchange); the
       // DW/Chow windows are type-partitioned over the daily frame
-      "q_durbin_watson", "q_chow", "q_dunn", "q_cohens_kappa")
+      "q_durbin_watson", "q_chow", "q_dunn", "q_cohens_kappa",
+      // q_page_trend's lexicographic-weight window collapses the
+      // distinct-type enum; q_kpss's windows are all type-partitioned
+      "q_kpss", "q_page_trend")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>

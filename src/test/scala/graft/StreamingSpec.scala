@@ -590,6 +590,74 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_durbin_watson thirteen-long state replays the batch statistic exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.durbinWatson(in.toDS())
+      .writeStream.format("memory").queryName("t_dw").outputMode("update").start()
+    // saw: alternating 9/11 counts (residuals alternate → DW → 4);
+    // line: exact 3+2d fit (zero SSE → NULL DW, slope exactly 2).
+    def d(day: Int, i: Int) = day * 1440 + i
+    def dayEvs(day: Int, typ: String, n: Int, base: Long) =
+      (0 until n).map(i => ev(base + i, d(day, i), user = 1, typ = typ))
+    def nOf(typ: String, day: Int) =
+      if (typ == "saw") (if (day % 2 == 0) 9 else 11) else 3 + 2 * day
+    withQuery(q) {
+      var id = 100L
+      for (day <- 0 to 7) {
+        val evs = dayEvs(day, "saw", nOf("saw", day), id) ++
+          dayEvs(day, "line", nOf("line", day), id + 1000)
+        id += 2000
+        if (day == 3) { // batch boundary inside a day
+          in.addData(evs.take(4): _*); q.processAllAvailable()
+          in.addData(evs.drop(4): _*); q.processAllAvailable()
+        } else { in.addData(evs: _*); q.processAllAvailable() }
+        if (day == 5) { // behind-horizon straggler: day 0 again
+          in.addData(ev(id, d(0, 70), user = 1, typ = "saw")); id += 1
+          q.processAllAvailable()
+        }
+      }
+      // sentinel day 8 closes day 7 so every data day is folded
+      in.addData(ev(id, d(8, 0), user = 1, typ = "saw"),
+        ev(id + 1, d(8, 0), user = 1, typ = "line"))
+      q.processAllAvailable()
+      val marks = spark.table("t_dw").as[graft.streaming.DwMark].collect()
+      for (t <- Seq("saw", "line")) {
+        val ms = marks.filter(_.event_type == t).sortBy(_.n_days)
+        assert(ms.map(_.n_days).toSeq === (1L to 8L),
+          s"$t must fold exactly days 0..7 in order")
+        assert(ms.map(_.y).sum === (0 to 7).map(nOf(t, _)).sum.toLong,
+          "the straggler must drop and the split day must still total")
+      }
+      // the final emission per type IS the batch statistic over days 0..7
+      val dir = tempDir("dw_twin")
+      val batchRows = (0 to 7).flatMap { day =>
+        dayEvs(day, "saw", nOf("saw", day), 5000L + day * 100) ++
+          dayEvs(day, "line", nOf("line", day), 8000L + day * 100)
+      }
+      batchRows.toDS()
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+          "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def opt(r: org.apache.spark.sql.Row, f: String): Option[Double] =
+        Option(r.get(r.fieldIndex(f))).map(_.asInstanceOf[Double])
+      val batch = SparkEntry.queries("q_durbin_watson")(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), opt(r, "slope"), opt(r, "dw"), opt(r, "rho1"))))
+        .toMap
+      val streamed = marks.groupBy(_.event_type).map { case (t, ms) =>
+        val last = ms.maxBy(_.n_days)
+        t -> ((last.n_days, last.slope, last.dw, last.rho1))
+      }
+      assert(streamed === batch,
+        s"streaming DW profile $streamed diverges from batch $batch")
+      assert(batch("saw")._3.get > 3.0, "alternating residuals push DW toward 4")
+      assert(batch("line")._2.get === 2.0 && batch("line")._3.isEmpty,
+        "an exact fit has slope 2 and undefined DW")
+    }
+  }
+
   test("streaming Tukey stats grid reproduces the batch q_tukey_hsd exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
