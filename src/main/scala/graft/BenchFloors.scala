@@ -154,6 +154,7 @@ object BenchFloors {
     "q_item_cosine" -> 1.085,
     "q_ivm_refresh" -> 0.119,
     "q_jarque_bera" -> 0.096,
+    "q_jonckheere" -> 0.831, // r14 TimeQuery warm-min harvest
     "q_join_anti" -> 0.121,
     "q_join_asof" -> 0.066,
     "q_join_bhj" -> 0.234,
@@ -277,6 +278,7 @@ object BenchFloors {
     "q_theil" -> 0.159,
     "q_theil_sen" -> 0.21,
     "q_time_weighted" -> 0.221,
+    "q_token_budget_trim" -> 0.569, // r14 TimeQuery warm-min harvest
     "q_token_count" -> 0.082,
     "q_token_diversity" -> 0.056,
     "q_token_len_hist" -> 0.127,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators for LLM training-data pipelines
@@ -627,6 +628,78 @@ object Corpus {
         .select(col("lang"), col("tokens"), col("share"),
           Q.r6(col("tstar") * col("share") / col("tokens")).as("fraction"),
           floor(col("tstar") * col("share") + 0.5).cast("long").as("sampled_tokens"))
+        .orderBy("lang")
+    },
+
+    // Token-budget quality trim per language: fill HALF of each
+    // language's token mass with its highest-quality documents and
+    // report where the budget binds — the planning readout behind "we
+    // can only afford X tokens of this source; what quality bar does
+    // that buy". The 100 TB shape is the point: ranking every document
+    // through a per-lang sort would put a corpus-sized frame through
+    // one reducer per language, so the quality score (the exact
+    // q_quality_score heuristic, one home: TextPipeline.qualityOnWords)
+    // is floored onto its ×10⁴ lattice and the corpus collapses to a
+    // ≤|langs|×10⁴-cell (lang, q4) grid by ONE map-side-partial agg;
+    // the cumulative walk, the binding bucket q*, and the kept/partial
+    // masses all run over that bounded grid. Per-doc admission inside
+    // the q* bucket is a write-time concern (doc_id order); the
+    // planning summary deliberately never materializes it.
+    Q("q_token_budget_trim",
+      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+         |q AS (SELECT lang,
+         |             CAST(floor(${TextPipeline.qualityOnWordsSql} * 10000 + 0.5)
+         |               AS BIGINT) AS q4,
+         |             CAST(len(words) AS BIGINT) AS tok
+         |      FROM w WHERE len(words) > 0),
+         |g AS (SELECT lang, q4, CAST(count(*) AS BIGINT) AS docs,
+         |             CAST(sum(tok) AS BIGINT) AS toks
+         |      FROM q GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS total,
+         |             CAST(floor(sum(toks) / 2) AS BIGINT) AS budget
+         |      FROM g GROUP BY 1),
+         |c AS (SELECT g.lang, g.q4, g.docs, g.toks, t.total, t.budget,
+         |             CAST(sum(g.toks) OVER (PARTITION BY g.lang ORDER BY g.q4 DESC
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                  AS BIGINT) AS cu
+         |      FROM g JOIN t ON g.lang = t.lang),
+         |f AS (SELECT lang, total, budget,
+         |             CAST(sum(CASE WHEN cu <= budget THEN docs ELSE 0 END) AS BIGINT) AS docs_full,
+         |             CAST(sum(CASE WHEN cu <= budget THEN toks ELSE 0 END) AS BIGINT) AS tokens_full,
+         |             max(CASE WHEN cu - toks < budget AND cu > budget THEN q4 END) AS qstar4,
+         |             max(CASE WHEN cu - toks < budget AND cu > budget
+         |                      THEN budget - (cu - toks) END) AS partial_left
+         |      FROM c GROUP BY 1, 2, 3)
+         |SELECT lang, total AS total_tokens, budget, docs_full, tokens_full,
+         |       qstar4 / 10000.0 AS q_star, partial_left
+         |FROM f
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      val g = Tables.load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) > 0)
+        .select(col("lang"),
+          floor(TextPipeline.qualityOnWordsCol * 10000 + 0.5).cast("long").as("q4"),
+          size(col("words")).cast("long").as("tok"))
+        .groupBy("lang", "q4")
+        .agg(count(lit(1)).as("docs"), sum("tok").as("toks"))
+        .transform(Q.snapshot)
+      val t = g.groupBy("lang")
+        .agg(sum("toks").as("total"),
+          floor(sum("toks") / lit(2)).cast("long").as("budget"))
+      val cu = sum("toks").over(Window.partitionBy("lang").orderBy(col("q4").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val c = g.join(t, "lang").withColumn("cu", cu)
+      val isPartial = col("cu") - col("toks") < col("budget") && col("cu") > col("budget")
+      c.groupBy("lang", "total", "budget")
+        .agg(
+          sum(when(col("cu") <= col("budget"), col("docs")).otherwise(0L)).as("docs_full"),
+          sum(when(col("cu") <= col("budget"), col("toks")).otherwise(0L)).as("tokens_full"),
+          max(when(isPartial, col("q4"))).as("qstar4"),
+          max(when(isPartial, col("budget") - (col("cu") - col("toks"))))
+            .as("partial_left"))
+        .select(col("lang"), col("total").as("total_tokens"), col("budget"),
+          col("docs_full"), col("tokens_full"),
+          (col("qstar4") / lit(10000.0)).as("q_star"), col("partial_left"))
         .orderBy("lang")
     },
 

@@ -28,6 +28,30 @@ object Diagnostics {
   private val TrendAnchor = Inference.Anchor
   private def dailyCounts(s: SparkSession, d: String): DataFrame =
     Inference.dailyCounts(s, d)
+
+  /** The Cohen's-kappa fold over a (true_lang, pred_lang, n) cell grid
+    * — ONE home shared by batch q_cohens_kappa and the s_cohens_kappa
+    * streaming read-time view (streaming.Streams.kappaCells maintains
+    * the cell grid incrementally; κ never lives in state because it
+    * isn't mergeable — the int64 cell counts are). Pure rational int64
+    * until the final divisions. */
+  private[graft] def kappaOf(c: DataFrame): DataFrame = {
+    val rt = c.groupBy(col("true_lang").as("l")).agg(sum("n").as("r"))
+    val ct = c.groupBy(col("pred_lang").as("l")).agg(sum("n").as("m"))
+    val t = c.agg(sum("n").as("nn"),
+      sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("agree"))
+    val pe = rt.join(ct, "l")
+      .agg(coalesce(sum(col("r") * col("m")), lit(0L)).as("penum"))
+    t.crossJoin(broadcast(pe))
+      .select(col("nn").as("n_docs"), col("agree").as("n_agree"),
+        Q.r6(col("agree").cast("double") / col("nn")).as("po"),
+        Q.r6(col("penum").cast("double") /
+          (col("nn").cast("double") * col("nn"))).as("pe"),
+        when(col("nn") * col("nn") > col("penum"),
+          Q.r6((col("nn") * col("agree") - col("penum")).cast("double") /
+            (col("nn") * col("nn") - col("penum")))).as("kappa"))
+  }
   private val dailySql: String = Inference.dailySql
 
   /** The q_acf estimator for lag k as a SQL expression over the exact
@@ -1044,21 +1068,7 @@ object Diagnostics {
           TextPipeline.predLangCol.as("pred_lang"))
         .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
         .transform(Q.snapshot)
-      val rt = c.groupBy(col("true_lang").as("l")).agg(sum("n").as("r"))
-      val ct = c.groupBy(col("pred_lang").as("l")).agg(sum("n").as("m"))
-      val t = c.agg(sum("n").as("nn"),
-        sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L))
-          .as("agree"))
-      val pe = rt.join(ct, "l")
-        .agg(coalesce(sum(col("r") * col("m")), lit(0L)).as("penum"))
-      t.crossJoin(broadcast(pe))
-        .select(col("nn").as("n_docs"), col("agree").as("n_agree"),
-          Q.r6(col("agree").cast("double") / col("nn")).as("po"),
-          Q.r6(col("penum").cast("double") /
-            (col("nn").cast("double") * col("nn"))).as("pe"),
-          when(col("nn") * col("nn") > col("penum"),
-            Q.r6((col("nn") * col("agree") - col("penum")).cast("double") /
-              (col("nn") * col("nn") - col("penum")))).as("kappa"))
+      kappaOf(c)
     },
 
     // Shingle document-frequency profile: how many blocking shingles

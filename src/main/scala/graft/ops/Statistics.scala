@@ -831,6 +831,87 @@ object Statistics {
         .orderBy("type_a", "type_b")
     },
 
+    // Jonckheere–Terpstra ordered-alternative test across event types
+    // (lexicographic order as the hypothesized ordering — the same
+    // convention as q_page_trend, which plays this role in the BLOCK
+    // design while JT plays it in q_kruskal_wallis' pooled design):
+    // J = Σ_{i<j} U_ij accumulates every ordered pair's Mann–Whitney
+    // count, so a monotone drift of the value distributions along the
+    // type order reads as z where KW's H only says "they differ".
+    // Exactness: on the DENSE (type × distinct-cents) grid (the
+    // q_friedman zero-fill move — cumulative-below must be defined at
+    // every grid value, not just the group's own), 2U_ij = Σ_v
+    // (2·c_j·cb_i + c_j·c_i) is exact int64, as are N and Σn_g²(2n_g+3);
+    // the classical no-tie moments (documented approximation under
+    // ties) walk one mirrored tree, with N²(2N+3) squared in DOUBLE
+    // (identical in both engines — int64 would overflow at ~12× this
+    // volume). Shape: cents-grid agg → |types|·|grid| dense frame →
+    // pair join on the grid value (j_a < j_b) → single row.
+    Q("q_jonckheere",
+      s"""WITH v AS (SELECT event_type AS g,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+         |           FROM events),
+         |c AS (SELECT g, v100, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+         |gr AS (SELECT g, CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS j
+         |       FROM (SELECT DISTINCT g FROM c)),
+         |dv AS (SELECT DISTINCT v100 FROM c),
+         |dense AS (SELECT gr.g, gr.j, dv.v100, COALESCE(c.c, 0) AS c
+         |          FROM gr CROSS JOIN dv
+         |          LEFT JOIN c ON c.g = gr.g AND c.v100 = dv.v100),
+         |cb AS (SELECT g, j, v100, c,
+         |              CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v100
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                   AS BIGINT) AS below
+         |       FROM dense),
+         |u AS (SELECT CAST(sum(2 * b.c * a.below + b.c * a.c) AS BIGINT) AS j2
+         |      FROM cb a JOIN cb b ON a.v100 = b.v100 AND a.j < b.j),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS nn,
+         |             CAST(sum(ng * ng) AS BIGINT) AS sn2,
+         |             CAST(sum(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+         |      FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM c GROUP BY 1))
+         |SELECT n.k AS n_types, n.nn AS n, ${Q.sqlR6("u.j2 / 2.0")} AS j_stat,
+         |       CASE WHEN n.k >= 2
+         |                 AND CAST(n.nn AS DOUBLE) * n.nn * (2 * n.nn + 3) - n.sn23 > 0 THEN
+         |         ${Q.sqlR6("(u.j2 / 2.0 - (n.nn * n.nn - n.sn2) / 4.0) / " +
+                   "sqrt((CAST(n.nn AS DOUBLE) * n.nn * (2 * n.nn + 3) - n.sn23) / 72.0)")}
+         |       END AS z
+         |FROM u CROSS JOIN n""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        .groupBy("g", "v100").agg(count(lit(1)).as("c"))
+        .transform(Q.snapshot)
+      val gr = c.select("g").distinct()
+        .withColumn("j", row_number().over(Window.orderBy("g")).cast("long"))
+      val dv = c.select("v100").distinct()
+      val dense = gr.crossJoin(broadcast(dv))
+        .join(c, Seq("g", "v100"), "left")
+        .select(col("g"), col("j"), col("v100"), coalesce(col("c"), lit(0L)).as("c"))
+      val wb = Window.partitionBy("g").orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cb = dense.withColumn("below", coalesce(sum("c").over(wb), lit(0L)))
+        .transform(Q.snapshot)
+      val a = cb.select(col("j").as("ja"), col("v100"), col("c").as("ca"),
+        col("below").as("belowa"))
+      val b = cb.select(col("j").as("jb"), col("v100"), col("c").as("cbv"))
+      val u = a.join(b, Seq("v100")).filter(col("ja") < col("jb"))
+        .agg(sum(lit(2) * col("cbv") * col("belowa") + col("cbv") * col("ca"))
+          .as("j2"))
+      val n = c.groupBy("g").agg(sum("c").as("ng"))
+        .agg(count(lit(1)).as("k"), sum("ng").as("nn"),
+          sum(col("ng") * col("ng")).as("sn2"),
+          sum(col("ng") * col("ng") * (lit(2) * col("ng") + 3)).as("sn23"))
+      val varj = col("nn").cast("double") * col("nn") * (lit(2) * col("nn") + 3) -
+        col("sn23")
+      val jStat = col("j2") / lit(2.0)
+      val mu = (col("nn") * col("nn") - col("sn2")) / lit(4.0)
+      u.crossJoin(broadcast(n))
+        .select(col("k").as("n_types"), col("nn").as("n"),
+          Q.r6(jStat).as("j_stat"),
+          when(col("k") >= 2 && varj > 0,
+            Q.r6((jStat - mu) / sqrt(varj / lit(72.0)))).as("z"))
+    },
+
     // Bartlett's test of variance homogeneity across event types
     // (round 14) — the gate in front of q_anova: its F statistic
     // assumes equal group variances, and Bartlett is the classical

@@ -76,7 +76,7 @@ object TextPipeline {
       .cast("long")
 
   /** Spark twin of [[predLangSql]]. */
-  private[ops] def predLangCol: Column = {
+  private[graft] def predLangCol: Column = {
     val scores = LangMarkers.map { case (l, ms) => l -> langScoreCol(ms) }
     val cases = scores.init.zipWithIndex.map { case ((l, s), i) =>
       val rest = scores.drop(i + 1).map(_._2)
@@ -88,6 +88,24 @@ object TextPipeline {
       }
       .otherwise(scores.last._1)
   }
+
+  /** The q_quality_score heuristic as a single words-inline expression
+    * — the home shared by q_token_budget_trim's quality lattice (the
+    * q_quality_score oracle spells the same formula over its own ttr/
+    * stop_ratio CTE columns; the shared ×10⁴ lattice makes any drift an
+    * oracle failure). Both sides expect a `words` list column with
+    * len(words) > 0. */
+  private[ops] val qualityOnWordsSql: String =
+    "(0.5 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) + " +
+      "0.3 * (1 - CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words)) + " +
+      "0.2 * least(CAST(len(words) AS DOUBLE) / 100, 1.0))"
+
+  /** Spark twin of [[qualityOnWordsSql]]. */
+  private[ops] def qualityOnWordsCol: Column =
+    lit(0.5) * (size(array_distinct(col("words"))).cast("double") / size(col("words"))) +
+      lit(0.3) * (lit(1) - size(expr("filter(words, x -> x IN ('the', 'a'))"))
+        .cast("double") / size(col("words"))) +
+      lit(0.2) * least(size(col("words")).cast("double") / 100, lit(1.0))
 
   /** DuckDB twin of q_dedup_simhash, generated from the same bit layout
     * so the two sides cannot drift. */

@@ -833,6 +833,30 @@ object Streams {
   def tukeyOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.tukeyOf(grid)
 
+  /** Streaming Cohen's-kappa cell grid (s_cohens_kappa) — the
+    * incremental face of batch q_cohens_kappa: each arriving document
+    * is classified IN-ROW by the shared marker-word predictor
+    * (TextPipeline.predLangCol — one home, the raters cannot drift)
+    * and a plain streaming groupBy keeps the (true, predicted) cell
+    * counts. State is the ≤|langs|²-cell grid — the mergeable-grid
+    * pattern (s_cat_entropy/s_countmin): counts are mergeable state,
+    * κ is not, so agreement divides out at read time through the SAME
+    * Diagnostics.kappaOf fold the batch op routes through. Runs
+    * forever at any rate; StreamingSpec streams the corpus in chunks
+    * and proves the final grid reproduces batch q_cohens_kappa
+    * exactly. */
+  def kappaCells(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("lang").as("true_lang"),
+        graft.ops.TextPipeline.predLangCol.as("pred_lang"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+
+  /** Read-time Cohen's-kappa projection over a [[kappaCells]] grid. */
+  def kappaOf(grid: DataFrame): DataFrame =
+    graft.ops.Diagnostics.kappaOf(grid)
+
   /** Streaming count-min sketch (s_countmin) — the incremental face of
     * batch q_countmin_err's frequency sketch, and the canonical
     * mergeable-counter streaming aggregate: each arriving document's

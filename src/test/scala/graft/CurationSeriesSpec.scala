@@ -824,6 +824,54 @@ class CurationSeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z") - 2 * math.sqrt(2.0)) < 1e-5)
   }
 
+  test("q_token_budget_trim: planted quality buckets give the exact binding bar") {
+    val dir = tempDir("trim_docs")
+    import spark.implicits._
+    // en: two q4=8080 docs (8 tokens) + two q4=1330 docs; budget = 8
+    // → the top bucket fits EXACTLY (no partial, q_star NULL).
+    // de: 6-token q4=8120 + 2-token q4=8040 + 2-token q4=2540; budget
+    // = 5 → the first bucket already overflows: zero full, partial
+    // q_star = 0.812 with 5 tokens left for write-time admission.
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4", "en"), (2L, "y1 y2 y3 y4", "en"),
+      (3L, "the the the the", "en"), (4L, "a a a a", "en"),
+      (5L, "x1 x2 x3 x4 x5 x6", "de"), (6L, "b1 b2", "de"),
+      (7L, "the the", "de"))
+    docs.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = q("q_token_budget_trim", dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = rows("en")
+    assert(en.getAs[Long]("total_tokens") === 16L && en.getAs[Long]("budget") === 8L)
+    assert(en.getAs[Long]("docs_full") === 2L && en.getAs[Long]("tokens_full") === 8L)
+    assert(en.isNullAt(en.fieldIndex("q_star")), "an exact fit has no partial bucket")
+    val de = rows("de")
+    assert(de.getAs[Long]("total_tokens") === 10L && de.getAs[Long]("budget") === 5L)
+    assert(de.getAs[Long]("docs_full") === 0L && de.getAs[Long]("tokens_full") === 0L)
+    assert(math.abs(de.getAs[Double]("q_star") - 0.812) < 1e-9)
+    assert(de.getAs[Long]("partial_left") === 5L)
+  }
+
+  test("q_jonckheere: fully ordered value blocks give the maximal J and closed-form z") {
+    val dir = tempDir("jt_events")
+    import spark.implicits._
+    // the q_dunn fixture: a<b<c with values 1/2/3, four events each —
+    // every ordered pair is concordant: J = 3·16 = 48 = max;
+    // μ = (144−48)/4 = 24, σ² = (144·27 − 3·16·11)/72 = 3360/72
+    val rows = for (t <- Seq("a", "b", "c"); i <- 0 until 4)
+      yield (t.hashCode.toLong * 10 + i, t, Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)(t))
+    rows.toDF("event_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp '2024-01-01 00:00:00' AS ts",
+        "CAST(1 AS BIGINT) AS user_id", "event_type", "value", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q_jonckheere", dir).head()
+    assert(r.getAs[Long]("n_types") === 3L && r.getAs[Long]("n") === 12L)
+    assert(r.getAs[Double]("j_stat") === 48.0)
+    assert(math.abs(r.getAs[Double]("z") - 24.0 / math.sqrt(3360.0 / 72)) < 1e-5)
+  }
+
   test("q_pettitt: a level shift peaks |U| at the break; a constant series reads zero") {
     val dir = eventsDir(Seq("shift", "flat"), 8, {
       case ("shift", d) => if (d < 4) 10 else 30

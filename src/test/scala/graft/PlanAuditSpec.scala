@@ -1037,7 +1037,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_durbin_watson", "q_chow", "q_dunn", "q_cohens_kappa",
       // q_page_trend's lexicographic-weight window collapses the
       // distinct-type enum; q_kpss's windows are all type-partitioned
-      "q_kpss", "q_page_trend")
+      "q_kpss", "q_page_trend",
+      // q_jonckheere's type-index window collapses the distinct-type
+      // enum; q_token_budget_trim's walk is lang-partitioned over the
+      // bounded (lang, q4) quality grid
+      "q_jonckheere", "q_token_budget_trim")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>

@@ -194,6 +194,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_cohens_kappa's streamed cell grid reproduces the batch agreement exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("text", "lang").as[(String, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, String)]
+    val q = Streams.kappaCells(in.toDS().toDF("text", "lang"))
+      .writeStream.format("memory").queryName("t_kappa").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      // κ divides out at read time through the SAME Diagnostics.kappaOf
+      // fold the batch op routes through — one home, twins cannot drift
+      val streamed = Streams.kappaOf(spark.table("t_kappa")).head()
+      val batch = SparkEntry.queries("q_cohens_kappa")(spark, sfDir).head()
+      for (f <- Seq("n_docs", "n_agree"))
+        assert(streamed.getAs[Long](f) === batch.getAs[Long](f), f)
+      for (f <- Seq("po", "pe", "kappa"))
+        assert(streamed.getAs[Double](f) === batch.getAs[Double](f), f)
+    }
+  }
+
   test("s_shard_skew's streamed grid equals the batch per-shard layout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
