@@ -64,6 +64,100 @@ object Statistics {
       (sqrt(n * sxx.cast("double") - sx.cast("double") * sx) *
         sqrt(n * syy.cast("double") - sy.cast("double") * sy))
 
+  /** The three pooled-rank screens as folds over a (g, v100, c) value
+    * grid — ONE home each, shared by the batch queries below and the
+    * s_rank_grid streaming read-time views (streaming.Streams.rankGrid
+    * maintains the grid incrementally; none of the statistics live in
+    * state because ranks aren't mergeable — the int64 cell counts
+    * are). All three keep the repo's exactness machinery: doubled
+    * average ranks off the cumulative-below window, int64 rank sums
+    * and tie terms, mirrored double trees at the end. */
+  private[graft] def kruskalWallisOf(c: DataFrame): DataFrame = {
+    val tv = c.groupBy("v100").agg(sum("c").as("t"))
+    val wb = Window.orderBy("v100")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tr = tv.select(col("v100"), col("t"),
+      coalesce(sum("t").over(wb), lit(0L)).as("cb"))
+    val gr = c.join(tr, "v100")
+      .groupBy("g")
+      .agg(sum("c").as("n_g"),
+        sum(col("c") * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
+    val st = gr.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+      sum(floor(col("r2").cast("double") * col("r2") / (lit(4.0) * col("n_g")) + 0.5)
+        .cast("long")).as("b0"))
+    val tc = tv.agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val h = lit(12.0) / (col("n") * (col("n") + lit(1.0))) * col("b0") -
+      lit(3.0) * (col("n") + 1)
+    st.crossJoin(broadcast(tc))
+      .select(col("k"), col("n"),
+        Q.r6(h).as("h"),
+        Q.r6(h / (lit(1.0) - col("ties").cast("double") /
+          (col("n").cast("double") * col("n") * col("n") - col("n")))).as("h_tie_adj"),
+        Q.r6((h - col("k") + 1) / (col("n") - col("k"))).as("epsilon_sq"))
+  }
+
+  private[graft] def dunnOf(c: DataFrame): DataFrame = {
+    val tv = c.groupBy("v100").agg(sum("c").as("t")).transform(Q.snapshot)
+    val wb = Window.orderBy("v100")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tr = tv.select(col("v100"), col("t"),
+      coalesce(sum("t").over(wb), lit(0L)).as("cb"))
+    val gr = c.join(tr, "v100")
+      .groupBy("g")
+      .agg(sum("c").as("n_g"),
+        sum(col("c") * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
+      .transform(Q.snapshot)
+    val st = gr.agg(sum("n_g").as("n"))
+    val tc = tv.agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val a = gr.select(col("g").as("type_a"), col("n_g").as("n_a"), col("r2").as("r2a"))
+    val b = gr.select(col("g").as("type_b"), col("n_g").as("n_b"), col("r2").as("r2b"))
+    val vt = col("n") * (col("n") + 1) / lit(12.0) -
+      col("ties") / (lit(12.0) * (col("n") - 1))
+    val ra = col("r2a") / (lit(2.0) * col("n_a"))
+    val rb = col("r2b") / (lit(2.0) * col("n_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(st)).crossJoin(broadcast(tc))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        Q.r6(ra).as("mean_rank_a"), Q.r6(rb).as("mean_rank_b"),
+        when(col("n") > 1 && vt > 0,
+          Q.r6((ra - rb) / sqrt(vt * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+          .as("z"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private[graft] def jonckheereOf(cIn: DataFrame): DataFrame = {
+    val c = cIn.transform(Q.snapshot)
+    val gr = c.select("g").distinct()
+      .withColumn("j", row_number().over(Window.orderBy("g")).cast("long"))
+    val dv = c.select("v100").distinct()
+    val dense = gr.crossJoin(broadcast(dv))
+      .join(c, Seq("g", "v100"), "left")
+      .select(col("g"), col("j"), col("v100"), coalesce(col("c"), lit(0L)).as("c"))
+    val wb = Window.partitionBy("g").orderBy("v100")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cb = dense.withColumn("below", coalesce(sum("c").over(wb), lit(0L)))
+      .transform(Q.snapshot)
+    val a = cb.select(col("j").as("ja"), col("v100"), col("c").as("ca"),
+      col("below").as("belowa"))
+    val b = cb.select(col("j").as("jb"), col("v100"), col("c").as("cbv"))
+    val u = a.join(b, Seq("v100")).filter(col("ja") < col("jb"))
+      .agg(sum(lit(2) * col("cbv") * col("belowa") + col("cbv") * col("ca"))
+        .as("j2"))
+    val n = c.groupBy("g").agg(sum("c").as("ng"))
+      .agg(count(lit(1)).as("k"), sum("ng").as("nn"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("ng") * col("ng") * (lit(2) * col("ng") + 3)).as("sn23"))
+    val varj = col("nn").cast("double") * col("nn") * (lit(2) * col("nn") + 3) -
+      col("sn23")
+    val jStat = col("j2") / lit(2.0)
+    val mu = (col("nn") * col("nn") - col("sn2")) / lit(4.0)
+    u.crossJoin(broadcast(n))
+      .select(col("k").as("n_types"), col("nn").as("n"),
+        Q.r6(jStat).as("j_stat"),
+        when(col("k") >= 2 && varj > 0,
+          Q.r6((jStat - mu) / sqrt(varj / lit(72.0)))).as("z"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Per-type linear trend of daily event volume: ordinary least
@@ -736,31 +830,10 @@ object Statistics {
          |       ${Q.sqlR6("(12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1)) / (1.0 - CAST(tc.ties AS DOUBLE) / (CAST(st.n AS DOUBLE) * st.n * st.n - st.n))")} AS h_tie_adj,
          |       ${Q.sqlR6("(12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1) - st.k + 1) / (st.n - st.k)")} AS epsilon_sq
          |FROM st CROSS JOIN tc""".stripMargin) { (s, d) =>
-      val c = Tables.events(s, d)
+      kruskalWallisOf(Tables.events(s, d)
         .select(col("event_type").as("g"),
           floor(col("value") * 100 + 0.5).cast("long").as("v100"))
-        .groupBy("g", "v100").agg(count(lit(1)).as("c"))
-      val tv = c.groupBy("v100").agg(sum("c").as("t"))
-      val wb = Window.orderBy("v100")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val tr = tv.select(col("v100"), col("t"),
-        coalesce(sum("t").over(wb), lit(0L)).as("cb"))
-      val gr = c.join(tr, "v100")
-        .groupBy("g")
-        .agg(sum("c").as("n_g"),
-          sum(col("c") * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
-      val st = gr.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
-        sum(floor(col("r2").cast("double") * col("r2") / (lit(4.0) * col("n_g")) + 0.5)
-          .cast("long")).as("b0"))
-      val tc = tv.agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-      val h = lit(12.0) / (col("n") * (col("n") + lit(1.0))) * col("b0") -
-        lit(3.0) * (col("n") + 1)
-      st.crossJoin(broadcast(tc))
-        .select(col("k"), col("n"),
-          Q.r6(h).as("h"),
-          Q.r6(h / (lit(1.0) - col("ties").cast("double") /
-            (col("n").cast("double") * col("n") * col("n") - col("n")))).as("h_tie_adj"),
-          Q.r6((h - col("k") + 1) / (col("n") - col("k"))).as("epsilon_sq"))
+        .groupBy("g", "v100").agg(count(lit(1)).as("c")))
     },
 
     // Dunn's post-hoc pairwise rank test across event types — WHICH
@@ -799,36 +872,10 @@ object Statistics {
          |       END AS z
          |FROM gr a JOIN gr b ON a.g < b.g CROSS JOIN st CROSS JOIN tc
          |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
-      val c = Tables.events(s, d)
+      dunnOf(Tables.events(s, d)
         .select(col("event_type").as("g"),
           floor(col("value") * 100 + 0.5).cast("long").as("v100"))
-        .groupBy("g", "v100").agg(count(lit(1)).as("c"))
-      val tv = c.groupBy("v100").agg(sum("c").as("t")).transform(Q.snapshot)
-      val wb = Window.orderBy("v100")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val tr = tv.select(col("v100"), col("t"),
-        coalesce(sum("t").over(wb), lit(0L)).as("cb"))
-      val gr = c.join(tr, "v100")
-        .groupBy("g")
-        .agg(sum("c").as("n_g"),
-          sum(col("c") * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
-        .transform(Q.snapshot)
-      val st = gr.agg(sum("n_g").as("n"))
-      val tc = tv.agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-      val a = gr.select(col("g").as("type_a"), col("n_g").as("n_a"), col("r2").as("r2a"))
-      val b = gr.select(col("g").as("type_b"), col("n_g").as("n_b"), col("r2").as("r2b"))
-      val vt = col("n") * (col("n") + 1) / lit(12.0) -
-        col("ties") / (lit(12.0) * (col("n") - 1))
-      val ra = col("r2a") / (lit(2.0) * col("n_a"))
-      val rb = col("r2b") / (lit(2.0) * col("n_b"))
-      a.join(broadcast(b), col("type_a") < col("type_b"))
-        .crossJoin(broadcast(st)).crossJoin(broadcast(tc))
-        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-          Q.r6(ra).as("mean_rank_a"), Q.r6(rb).as("mean_rank_b"),
-          when(col("n") > 1 && vt > 0,
-            Q.r6((ra - rb) / sqrt(vt * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
-            .as("z"))
-        .orderBy("type_a", "type_b")
+        .groupBy("g", "v100").agg(count(lit(1)).as("c")))
     },
 
     // Jonckheere–Terpstra ordered-alternative test across event types
@@ -876,40 +923,10 @@ object Statistics {
                    "sqrt((CAST(n.nn AS DOUBLE) * n.nn * (2 * n.nn + 3) - n.sn23) / 72.0)")}
          |       END AS z
          |FROM u CROSS JOIN n""".stripMargin) { (s, d) =>
-      val c = Tables.events(s, d)
+      jonckheereOf(Tables.events(s, d)
         .select(col("event_type").as("g"),
           floor(col("value") * 100 + 0.5).cast("long").as("v100"))
-        .groupBy("g", "v100").agg(count(lit(1)).as("c"))
-        .transform(Q.snapshot)
-      val gr = c.select("g").distinct()
-        .withColumn("j", row_number().over(Window.orderBy("g")).cast("long"))
-      val dv = c.select("v100").distinct()
-      val dense = gr.crossJoin(broadcast(dv))
-        .join(c, Seq("g", "v100"), "left")
-        .select(col("g"), col("j"), col("v100"), coalesce(col("c"), lit(0L)).as("c"))
-      val wb = Window.partitionBy("g").orderBy("v100")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cb = dense.withColumn("below", coalesce(sum("c").over(wb), lit(0L)))
-        .transform(Q.snapshot)
-      val a = cb.select(col("j").as("ja"), col("v100"), col("c").as("ca"),
-        col("below").as("belowa"))
-      val b = cb.select(col("j").as("jb"), col("v100"), col("c").as("cbv"))
-      val u = a.join(b, Seq("v100")).filter(col("ja") < col("jb"))
-        .agg(sum(lit(2) * col("cbv") * col("belowa") + col("cbv") * col("ca"))
-          .as("j2"))
-      val n = c.groupBy("g").agg(sum("c").as("ng"))
-        .agg(count(lit(1)).as("k"), sum("ng").as("nn"),
-          sum(col("ng") * col("ng")).as("sn2"),
-          sum(col("ng") * col("ng") * (lit(2) * col("ng") + 3)).as("sn23"))
-      val varj = col("nn").cast("double") * col("nn") * (lit(2) * col("nn") + 3) -
-        col("sn23")
-      val jStat = col("j2") / lit(2.0)
-      val mu = (col("nn") * col("nn") - col("sn2")) / lit(4.0)
-      u.crossJoin(broadcast(n))
-        .select(col("k").as("n_types"), col("nn").as("n"),
-          Q.r6(jStat).as("j_stat"),
-          when(col("k") >= 2 && varj > 0,
-            Q.r6((jStat - mu) / sqrt(varj / lit(72.0)))).as("z"))
+        .groupBy("g", "v100").agg(count(lit(1)).as("c")))
     },
 
     // Bartlett's test of variance homogeneity across event types

@@ -857,6 +857,35 @@ object Streams {
   def kappaOf(grid: DataFrame): DataFrame =
     graft.ops.Diagnostics.kappaOf(grid)
 
+  /** Streaming pooled-rank value grid (s_rank_grid) — ONE mergeable
+    * (type, cents, count) grid serving THREE read-time screens
+    * (s_kruskal_wallis, s_dunn, s_jonckheere): each arriving event's
+    * value floors onto the cents lattice in-row and a plain streaming
+    * groupBy keeps the cell counts. Ranks are NOT mergeable (a new
+    * value shifts every rank above it), which is exactly why the grid
+    * — not any rank statistic — is the state; all three statistics
+    * divide out at read time through the SAME Statistics.*Of folds the
+    * batch queries route through, so the six faces cannot drift.
+    * State is bounded by the distinct-cents domain × |types|. */
+  def rankGrid(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type").as("g"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+      .groupBy("g", "v100")
+      .agg(count(lit(1)).as("c"))
+
+  /** Read-time Kruskal–Wallis projection over a [[rankGrid]]. */
+  def kruskalWallisOf(grid: DataFrame): DataFrame =
+    graft.ops.Statistics.kruskalWallisOf(grid)
+
+  /** Read-time Dunn post-hoc projection over a [[rankGrid]]. */
+  def dunnOf(grid: DataFrame): DataFrame =
+    graft.ops.Statistics.dunnOf(grid)
+
+  /** Read-time Jonckheere–Terpstra projection over a [[rankGrid]]. */
+  def jonckheereOf(grid: DataFrame): DataFrame =
+    graft.ops.Statistics.jonckheereOf(grid)
+
   /** Streaming count-min sketch (s_countmin) — the incremental face of
     * batch q_countmin_err's frequency sketch, and the canonical
     * mergeable-counter streaming aggregate: each arriving document's

@@ -216,6 +216,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_rank_grid's one streamed grid reproduces KW, Dunn, and JT batch screens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.rankGrid(in.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("t_rank").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      // snapshot the sink view once: the folds self-join the grid, and
+      // a MemorySink View resolves conflicting references badly
+      val grid = Q.snapshot(spark.table("t_rank"))
+      // all three screens divide out of the SAME grid at read time,
+      // through the SAME folds the batch queries route through
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.kruskalWallisOf(grid)) ===
+        rows1(SparkEntry.queries("q_kruskal_wallis")(spark, sfDir)), "KW")
+      assert(rows1(Streams.dunnOf(grid)) ===
+        rows1(SparkEntry.queries("q_dunn")(spark, sfDir)), "Dunn")
+      assert(rows1(Streams.jonckheereOf(grid)) ===
+        rows1(SparkEntry.queries("q_jonckheere")(spark, sfDir)), "JT")
+    }
+  }
+
   test("s_shard_skew's streamed grid equals the batch per-shard layout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
