@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,35 @@ object Corpus {
     * its streaming face — the grids cannot drift). */
   private[graft] def shardCol: Column = expr(
     "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 64")
+
+  /** The budget-trim fold over a (lang, q4, docs, toks) quality grid —
+    * ONE home shared by batch q_token_budget_trim and the
+    * s_token_budget_trim streaming read-time view
+    * (streaming.Streams.trimGrid maintains the grid incrementally; the
+    * binding bucket isn't mergeable — the cell counts are). The walk,
+    * the binding bucket q*, and the kept/partial masses all run over
+    * the bounded grid. */
+  private[graft] def trimOf(gIn: DataFrame): DataFrame = {
+    val g = Q.snapshot(gIn)
+    val t = g.groupBy("lang")
+      .agg(sum("toks").as("total"),
+        floor(sum("toks") / lit(2)).cast("long").as("budget"))
+    val cu = sum("toks").over(Window.partitionBy("lang").orderBy(col("q4").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val c = g.join(t, "lang").withColumn("cu", cu)
+    val isPartial = col("cu") - col("toks") < col("budget") && col("cu") > col("budget")
+    c.groupBy("lang", "total", "budget")
+      .agg(
+        sum(when(col("cu") <= col("budget"), col("docs")).otherwise(0L)).as("docs_full"),
+        sum(when(col("cu") <= col("budget"), col("toks")).otherwise(0L)).as("tokens_full"),
+        max(when(isPartial, col("q4"))).as("qstar4"),
+        max(when(isPartial, col("budget") - (col("cu") - col("toks"))))
+          .as("partial_left"))
+      .select(col("lang"), col("total").as("total_tokens"), col("budget"),
+        col("docs_full"), col("tokens_full"),
+        (col("qstar4") / lit(10000.0)).as("q_star"), col("partial_left"))
+      .orderBy("lang")
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -674,33 +703,14 @@ object Corpus {
          |       qstar4 / 10000.0 AS q_star, partial_left
          |FROM f
          |ORDER BY lang""".stripMargin) { (s, d) =>
-      val g = Tables.load(s, d, "documents")
+      trimOf(Tables.load(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) > 0)
         .select(col("lang"),
           floor(TextPipeline.qualityOnWordsCol * 10000 + 0.5).cast("long").as("q4"),
           size(col("words")).cast("long").as("tok"))
         .groupBy("lang", "q4")
-        .agg(count(lit(1)).as("docs"), sum("tok").as("toks"))
-        .transform(Q.snapshot)
-      val t = g.groupBy("lang")
-        .agg(sum("toks").as("total"),
-          floor(sum("toks") / lit(2)).cast("long").as("budget"))
-      val cu = sum("toks").over(Window.partitionBy("lang").orderBy(col("q4").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      val c = g.join(t, "lang").withColumn("cu", cu)
-      val isPartial = col("cu") - col("toks") < col("budget") && col("cu") > col("budget")
-      c.groupBy("lang", "total", "budget")
-        .agg(
-          sum(when(col("cu") <= col("budget"), col("docs")).otherwise(0L)).as("docs_full"),
-          sum(when(col("cu") <= col("budget"), col("toks")).otherwise(0L)).as("tokens_full"),
-          max(when(isPartial, col("q4"))).as("qstar4"),
-          max(when(isPartial, col("budget") - (col("cu") - col("toks"))))
-            .as("partial_left"))
-        .select(col("lang"), col("total").as("total_tokens"), col("budget"),
-          col("docs_full"), col("tokens_full"),
-          (col("qstar4") / lit(10000.0)).as("q_star"), col("partial_left"))
-        .orderBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("tok").as("toks")))
     },
 
     // BM25 retrieval scoring (k1=1.2, b=0.75) of every document against

@@ -101,7 +101,7 @@ object TextPipeline {
       "0.2 * least(CAST(len(words) AS DOUBLE) / 100, 1.0))"
 
   /** Spark twin of [[qualityOnWordsSql]]. */
-  private[ops] def qualityOnWordsCol: Column =
+  private[graft] def qualityOnWordsCol: Column =
     lit(0.5) * (size(array_distinct(col("words"))).cast("double") / size(col("words"))) +
       lit(0.3) * (lit(1) - size(expr("filter(words, x -> x IN ('the', 'a'))"))
         .cast("double") / size(col("words"))) +

@@ -886,6 +886,151 @@ object Streams {
   def jonckheereOf(grid: DataFrame): DataFrame =
     graft.ops.Statistics.jonckheereOf(grid)
 
+  /** Streaming token-budget quality grid (s_token_budget_trim) — the
+    * incremental face of batch q_token_budget_trim: each arriving
+    * document's quality floors onto the ×10⁴ lattice IN-ROW (the
+    * shared TextPipeline.qualityOnWordsCol — one home) and a plain
+    * streaming groupBy keeps the (lang, q4) doc/token cell counts —
+    * ≤|langs|×10⁴ mergeable state. The binding budget bucket is NOT
+    * mergeable (every arrival can move it), so the planning readout
+    * divides out at read time through the SAME Corpus.trimOf fold the
+    * batch op routes through. */
+  def trimGrid(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) > 0)
+      .select(col("lang"),
+        floor(graft.ops.TextPipeline.qualityOnWordsCol * 10000 + 0.5)
+          .cast("long").as("q4"),
+        size(col("words")).cast("long").as("tok"))
+      .groupBy("lang", "q4")
+      .agg(count(lit(1)).as("docs"), sum("tok").as("toks"))
+
+  /** Read-time budget-trim projection over a [[trimGrid]]. */
+  def trimOf(grid: DataFrame): DataFrame =
+    graft.ops.Corpus.trimOf(grid)
+
+  /** Streaming KPSS monitor (s_kpss) — the incremental face of batch
+    * q_kpss. Every partial sum S_t is measured against the FINAL mean,
+    * so each day-close re-prices the whole path: like [[pettitt]], the
+    * state is the ordered closed (day, count) series itself (one pair
+    * per closed calendar day — the daily-frame bound), and each fold
+    * walks it through the EXACT batch tree — int64 n·S_t, the
+    * data-scaled lattice divisor D = max(1, ⌊byy0/1e6⌋), the order-free
+    * ⌊(nS)²/D⌉ sum, η = B·D/(n²·byy0) — so the running η profile is
+    * bit-equal to what batch q_kpss reports over the closed prefix. */
+  def kpss(events: Dataset[Ev]): Dataset[KpssMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PtState, KpssMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[PtState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(PtState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[KpssMark]
+          def fold(): Unit = { // close the open day, re-price the path
+            val closed = st.days :+ PtDay(st.openDay, st.openCount)
+            val n = closed.size.toLong
+            val sy = closed.iterator.map(_.y).sum
+            val syy = closed.iterator.map(p => p.y * p.y).sum
+            val byy0 = n * syy - sy * sy
+            val dd = math.max(1L, math.floor(byy0 / 1e6).toLong)
+            var cum = 0L; var t = 0L; var bsum = 0L
+            closed.foreach { p =>
+              cum += p.y; t += 1
+              val ns = n * cum - t * sy
+              bsum += math.floor(ns.toDouble * ns / dd + 0.5).toLong
+            }
+            val eta =
+              if (n >= 2 && byy0 > 0)
+                Some(math.floor(bsum.toDouble * dd /
+                  (n.toDouble * n * byy0) * 1000000 + 0.5) / 1000000)
+              else None
+            out += KpssMark(typ, st.openDay, st.openCount, n, eta)
+            st = PtState(Long.MinValue, 0L, closed)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming Chow monitor (s_chow) — the incremental face of batch
+    * q_chow: the mid-series split point MOVES with every closed day
+    * (rn·2 ≤ n re-partitions the halves), so like [[kpss]] the state
+    * is the ordered closed series and each fold re-splits it and walks
+    * the exact batch tree — per-segment int64 moments, SSEs off the
+    * shared q_cooks_distance identity, pooled = segment sums, explicit
+    * two-operand double additions. The running (split, slopes, F)
+    * profile is bit-equal to batch q_chow over the closed prefix. */
+  def chow(events: Dataset[Ev]): Dataset[ChowMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PtState, ChowMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[PtState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(PtState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[ChowMark]
+          def r6(d: Double) = math.floor(d * 1000000 + 0.5) / 1000000
+          def fold(): Unit = { // close the open day, re-split, re-fit
+            val closed = st.days :+ PtDay(st.openDay, st.openCount)
+            val n = closed.size.toLong
+            val (seg1, seg2) = closed.splitAt(((n / 2)).toInt) // rn·2 ≤ n
+            def moms(s: Seq[PtDay]): (Long, Double, Double, Double, Long) = {
+              val ng = s.size.toLong
+              val sx = s.iterator.map(_.x).sum; val sy = s.iterator.map(_.y).sum
+              val sxx = s.iterator.map(p => p.x * p.x).sum
+              val sxy = s.iterator.map(p => p.x * p.y).sum
+              val syy = s.iterator.map(p => p.y * p.y).sum
+              ((ng, (ng * sxx - sx * sx).toDouble, (ng * sxy - sx * sy).toDouble,
+                (ng * syy - sy * sy).toDouble, if (s.isEmpty) 0L else s.map(_.x).max))
+            }
+            val (n1, xx1, xy1, yy1, mx1) = moms(seg1)
+            val (n2, xx2, xy2, yy2, _) = moms(seg2)
+            val (np, xxp, xyp, yyp, _) = moms(closed)
+            def sse(xx: Double, xy: Double, yy: Double, ng: Long) =
+              (yy - (xy / xx) * xy) / ng
+            val s1 = sse(xx1, xy1, yy1, n1); val s2 = sse(xx2, xy2, yy2, n2)
+            val sp = sse(xxp, xyp, yyp, np)
+            val sw = s1 + s2
+            val slope1 = if (xx1 > 0) Some(r6(xy1 / xx1)) else None
+            val slope2 = if (xx2 > 0) Some(r6(xy2 / xx2)) else None
+            val f =
+              if (n1 >= 3 && n2 >= 3 && xx1 > 0 && xx2 > 0 && xxp > 0 && sw > 0)
+                Some(r6(((sp - sw) / 2) / (sw / (np - 4))))
+              else None
+            // batch emits only types with BOTH segments; n = 1 has no
+            // segment 1 (rn·2 = 2 > 1), mirrored here by n1 = 0
+            if (n1 > 0)
+              out += ChowMark(typ, st.openDay, st.openCount, n, n1, n2, mx1,
+                slope1, slope2, f)
+            st = PtState(Long.MinValue, 0L, closed)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming count-min sketch (s_countmin) — the incremental face of
     * batch q_countmin_err's frequency sketch, and the canonical
     * mergeable-counter streaming aggregate: each arriving document's
@@ -1101,6 +1246,18 @@ final case class PtState(openDay: Long, openCount: Long, days: Seq[PtDay])
 final case class PtMark(event_type: String, day_closed: Long, y: Long,
                         n_days: Long, k_stat: Long, change_day: Long,
                         p_exponent: Option[Double])
+
+/** One closed-day emission of the running KPSS profile; eta is None
+  * until two days have closed with nonzero variance. */
+final case class KpssMark(event_type: String, day_closed: Long, y: Long,
+                          n_days: Long, eta: Option[Double])
+
+/** One closed-day emission of the running Chow profile (emitted once
+  * both halves exist); slopes/F are None while degenerate. */
+final case class ChowMark(event_type: String, day_closed: Long, y: Long,
+                          n_days: Long, n1: Long, n2: Long, split_day: Long,
+                          slope1: Option[Double], slope2: Option[Double],
+                          f_stat: Option[Double])
 
 /** Per-type Durbin–Watson state: the open (day, count) pair, the last
   * CLOSED (day, count) pair (the lag anchor), and the nine int64

@@ -244,6 +244,112 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_token_budget_trim's streamed quality grid reproduces the batch planning readout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("text", "lang").as[(String, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, String)]
+    val q = Streams.trimGrid(in.toDF().toDF("text", "lang"))
+      .writeStream.format("memory").queryName("t_trim").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val streamed = rows1(Streams.trimOf(Q.snapshot(spark.table("t_trim"))))
+      val batch = rows1(SparkEntry.queries("q_token_budget_trim")(spark, sfDir))
+      assert(streamed === batch,
+        "read-time trim over the incremental quality grid must equal the batch plan")
+    }
+  }
+
+  test("s_kpss and s_chow series-state folds replay their batch statistics exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val inK = MemoryStream[Ev]
+    val qK = Streams.kpss(inK.toDS())
+      .writeStream.format("memory").queryName("t_kpss").outputMode("update").start()
+    val inC = MemoryStream[Ev]
+    val qC = Streams.chow(inC.toDS())
+      .writeStream.format("memory").queryName("t_chow").outputMode("update").start()
+    // drift: 2+3d (non-stationary, slope break absent); kink: flat 10
+    // then steep — Chow's F must fire while both halves stay exact-fit
+    // free; 10 days each, split mid-day 6, straggler after day 8.
+    val kink = Seq(10, 12, 11, 13, 12, 20, 25, 31, 35, 41)
+    def d(day: Int, i: Int) = day * 1440 + i
+    def dayEvs(day: Int, typ: String, n: Int, base: Long) =
+      (0 until n).map(i => ev(base + i, d(day, i), user = 1, typ = typ))
+    def nOf(typ: String, day: Int) = if (typ == "drift") 2 + 3 * day else kink(day)
+    try {
+      var id = 100L
+      for (day <- 0 to 9) {
+        val evs = dayEvs(day, "drift", nOf("drift", day), id) ++
+          dayEvs(day, "kink", nOf("kink", day), id + 1000)
+        id += 3000
+        if (day == 6) {
+          inK.addData(evs.take(9): _*); inC.addData(evs.take(9): _*)
+          qK.processAllAvailable(); qC.processAllAvailable()
+          inK.addData(evs.drop(9): _*); inC.addData(evs.drop(9): _*)
+          qK.processAllAvailable(); qC.processAllAvailable()
+        } else {
+          inK.addData(evs: _*); inC.addData(evs: _*)
+          qK.processAllAvailable(); qC.processAllAvailable()
+        }
+        if (day == 8) { // behind-horizon straggler
+          inK.addData(ev(id, d(1, 50), user = 1, typ = "drift"))
+          inC.addData(ev(id, d(1, 50), user = 1, typ = "drift")); id += 1
+          qK.processAllAvailable(); qC.processAllAvailable()
+        }
+      }
+      // sentinel closes day 9
+      inK.addData(ev(id, d(10, 0), user = 1, typ = "drift"),
+        ev(id + 1, d(10, 0), user = 1, typ = "kink"))
+      inC.addData(ev(id + 2, d(10, 0), user = 1, typ = "drift"),
+        ev(id + 3, d(10, 0), user = 1, typ = "kink"))
+      qK.processAllAvailable(); qC.processAllAvailable()
+      val dir = tempDir("kpss_chow_twin")
+      val batchRows = (0 to 9).flatMap { day =>
+        dayEvs(day, "drift", nOf("drift", day), 50000L + day * 100) ++
+          dayEvs(day, "kink", nOf("kink", day), 80000L + day * 100)
+      }
+      batchRows.toDS()
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+          "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // KPSS: final emission equals the batch eta exactly
+      val kMarks = spark.table("t_kpss").as[graft.streaming.KpssMark].collect()
+      val kBatch = SparkEntry.queries("q_kpss")(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"),
+            Option(r.get(r.fieldIndex("eta"))).map(_.asInstanceOf[Double])))).toMap
+      val kStreamed = kMarks.groupBy(_.event_type).map { case (t, ms) =>
+        val last = ms.maxBy(_.n_days); t -> ((last.n_days, last.eta))
+      }
+      assert(kStreamed === kBatch,
+        s"streaming KPSS profile $kStreamed diverges from batch $kBatch")
+      assert(kBatch("drift")._2.get > 0.5 && kBatch("kink")._2.get > 0.5,
+        "both planted non-stationary series must read high eta")
+      // Chow: final emission equals the batch split/slopes/F exactly
+      def opt(r: org.apache.spark.sql.Row, f: String): Option[Double] =
+        Option(r.get(r.fieldIndex(f))).map(_.asInstanceOf[Double])
+      val cMarks = spark.table("t_chow").as[graft.streaming.ChowMark].collect()
+      val cBatch = SparkEntry.queries("q_chow")(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+            r.getAs[Long]("split_day"), opt(r, "slope1"), opt(r, "slope2"),
+            opt(r, "f_stat")))).toMap
+      val cStreamed = cMarks.groupBy(_.event_type).map { case (t, ms) =>
+        val last = ms.maxBy(_.n_days)
+        t -> ((last.n_days, last.n1, last.n2, last.split_day, last.slope1,
+          last.slope2, last.f_stat))
+      }
+      assert(cStreamed === cBatch,
+        s"streaming Chow profile $cStreamed diverges from batch $cBatch")
+      assert(cBatch("kink")._7.get > 10.0, "the planted slope break must fire")
+    } finally { qK.stop(); qC.stop() }
+  }
+
   test("s_shard_skew's streamed grid equals the batch per-shard layout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
