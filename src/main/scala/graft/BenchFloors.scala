@@ -184,6 +184,7 @@ object BenchFloors {
     "q_length_profile" -> 0.088,
     "q_lift_curve" -> 0.471, // r13 TimeQuery warm-min harvest
     "q_ljung_box" -> 0.213,
+    "q_log_rank" -> 0.487, // r14 TimeQuery warm-min harvest
     "q_lorenz" -> 0.381,
     "q_lsh_tuning" -> 2.551,
     "q_mad_outliers" -> 0.478,
@@ -203,6 +204,7 @@ object BenchFloors {
     "q_multimodal_decode" -> 0.375,
     "q_multimodal_frames" -> 0.764,
     "q_mutual_info" -> 0.136,
+    "q_nelson_aalen" -> 0.372, // r14 TimeQuery warm-min harvest
     "q_new_returning" -> 0.124, // r12 TimeQuery warm-min harvest
     "q_ngram_freq" -> 0.422,
     "q_odds_ratio" -> 0.1, // r13 TimeQuery warm-min harvest

@@ -770,6 +770,172 @@ object Timeseries {
         .orderBy("t_hour")
     },
 
+    // Nelson–Aalen cumulative hazard of user lifetime (round 14) — the
+    // additive partner of q_kaplan_meier on the SAME duration frame
+    // (lifetime hours, 12h censor horizon): H(t) = Σ_{s≤t} d_s/n_s,
+    // the hazard mass accrued by hour t, plus its Klein variance
+    // Σ d/n² and the Fleming–Harrington survival exp(−H) — a second,
+    // independent estimator of the curve K-M builds multiplicatively
+    // (FH ≥ KM always; the two converge as n grows, so their gap is a
+    // small-sample honesty readout next to q_kaplan_meier). No ln
+    // anywhere: each term is a plain ratio, integer-scaled to 1e-9
+    // BEFORE the cumulative window so the running sums are order-free
+    // int64 — and d = n needs no special case (the term is just 1).
+    // Shape: one user_id-keyed agg (map-side partials), then windows
+    // over the ≤|hour-span| duration frame (domain-bounded).
+    Q("q_nelson_aalen",
+      s"""WITH u AS (SELECT user_id,
+         |                  min(${Q.sqlEpochSec("ts")}) AS fs,
+         |                  max(${Q.sqlEpochSec("ts")}) AS ls
+         |           FROM events GROUP BY 1),
+         |w AS (SELECT ls - fs AS life, CAST(max(ls) OVER () AS BIGINT) AS te, ls FROM u),
+         |f AS (SELECT CAST(floor(life / 3600.0) AS BIGINT) AS t_hour,
+         |             count(*) AS m,
+         |             CAST(sum(CASE WHEN te - ls > 43200 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+         |      FROM w GROUP BY 1),
+         |r AS (SELECT t_hour, dd,
+         |             CAST(sum(m) OVER () AS BIGINT)
+         |               - CAST(coalesce(sum(m) OVER (ORDER BY t_hour
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |               AS n_risk
+         |      FROM f),
+         |e AS (SELECT t_hour, dd, n_risk,
+         |             CAST(sum(CAST(floor(CAST(dd AS DOUBLE) / n_risk * 1e9 + 0.5) AS BIGINT))
+         |                  OVER (ORDER BY t_hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h9,
+         |             CAST(sum(CAST(floor(CAST(dd AS DOUBLE) / n_risk / n_risk * 1e9 + 0.5) AS BIGINT))
+         |                  OVER (ORDER BY t_hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v9
+         |      FROM r WHERE dd > 0)
+         |SELECT t_hour, n_risk, dd AS d_events,
+         |       ${Q.sqlR6("h9 / 1e9")} AS cum_hazard,
+         |       ${Q.sqlR6("v9 / 1e9")} AS hazard_var,
+         |       ${Q.sqlR6("exp(-(h9 / 1e9))")} AS survival_fh
+         |FROM e
+         |ORDER BY t_hour""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
+      val f = u
+        .withColumn("te", max("ls").over(Window.partitionBy()))
+        .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
+          when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+        .groupBy("t_hour")
+        .agg(count(lit(1)).as("m"), sum("churn").as("dd"))
+      val wcum = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
+      f.withColumn("n_risk",
+          sum("m").over(Window.partitionBy()) -
+            coalesce(sum("m").over(wbefore), lit(0L)))
+        .filter(col("dd") > 0)
+        .withColumn("h9",
+          sum(floor(col("dd").cast("double") / col("n_risk") * lit(1e9) + 0.5)
+            .cast("long")).over(wcum))
+        .withColumn("v9",
+          sum(floor(col("dd").cast("double") / col("n_risk") / col("n_risk") * lit(1e9) + 0.5)
+            .cast("long")).over(wcum))
+        .select(col("t_hour"), col("n_risk"), col("dd").as("d_events"),
+          Q.r6(col("h9") / lit(1e9)).as("cum_hazard"),
+          Q.r6(col("v9") / lit(1e9)).as("hazard_var"),
+          Q.r6(exp(-(col("h9") / lit(1e9)))).as("survival_fh"))
+        .orderBy("t_hour")
+    },
+
+    // Log-rank (Mantel–Cox) two-group survival comparison (round 14) —
+    // "do the two user populations churn at the same rate", the
+    // hypothesis test the K-M/N-A curves only let you eyeball. Groups
+    // are the deterministic user_id parity split (the house A/B key:
+    // q_abtest, q_welch_t); at every death hour the observed group-B
+    // deaths are compared against the hypergeometric expectation
+    // n1·d/n given the pooled risk set, V = (n1/n)(1−n1/n)·d(n−d)/
+    // (n−1), and chi2 = (O1−E1)²/V. Per-hour E and V terms are
+    // integer-scaled to 1e-9 BEFORE the cross-hour sum (order-free
+    // int64; per-term magnitude ≤ d ≤ n_users — OverflowHeadroomSpec
+    // row); censored users (12h horizon) leave the risk sets without
+    // ever entering d. Shape: one user_id-keyed agg, then windows +
+    // one single-row agg over the ≤|hour-span| duration frame.
+    Q("q_log_rank",
+      s"""WITH u AS (SELECT user_id,
+         |                  min(${Q.sqlEpochSec("ts")}) AS fs,
+         |                  max(${Q.sqlEpochSec("ts")}) AS ls
+         |           FROM events GROUP BY 1),
+         |w AS (SELECT user_id % 2 AS grp, ls - fs AS life,
+         |             CAST(max(ls) OVER () AS BIGINT) AS te, ls FROM u),
+         |f AS (SELECT CAST(floor(life / 3600.0) AS BIGINT) AS t_hour,
+         |             count(*) AS m,
+         |             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         |             CAST(sum(CASE WHEN te - ls > 43200 THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+         |             CAST(sum(CASE WHEN te - ls > 43200 AND grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+         |      FROM w GROUP BY 1),
+         |r AS (SELECT t_hour, dd, d1,
+         |             CAST(sum(m) OVER () AS BIGINT)
+         |               - CAST(coalesce(sum(m) OVER (ORDER BY t_hour
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |               AS n,
+         |             CAST(sum(m1) OVER () AS BIGINT)
+         |               - CAST(coalesce(sum(m1) OVER (ORDER BY t_hour
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |               AS n1
+         |      FROM f),
+         |t AS (SELECT CAST(sum(dd) AS BIGINT) AS d_total,
+         |             CAST(sum(d1) AS BIGINT) AS o1,
+         |             CAST(sum(CAST(floor(CAST(n1 AS DOUBLE) * dd / n * 1e9 + 0.5)
+         |               AS BIGINT)) AS BIGINT) AS e9,
+         |             CAST(sum(CASE WHEN n > 1 THEN
+         |               CAST(floor(CAST(n1 AS DOUBLE) / n * (1.0 - CAST(n1 AS DOUBLE) / n)
+         |                 * dd * (n - dd) / (n - 1) * 1e9 + 0.5) AS BIGINT)
+         |               ELSE 0 END) AS BIGINT) AS v9
+         |      FROM r WHERE dd > 0),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+         |             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1u
+         |      FROM w)
+         |SELECT g.nu - g.n1u AS n_users_a, g.n1u AS n_users_b,
+         |       t.d_total AS d_events, t.o1 AS observed_b,
+         |       ${Q.sqlR6("t.e9 / 1e9")} AS expected_b,
+         |       ${Q.sqlR6("t.v9 / 1e9")} AS variance,
+         |       CASE WHEN t.v9 > 0 THEN
+         |         ${Q.sqlR6("(t.o1 - t.e9 / 1e9) * (t.o1 - t.e9 / 1e9) / (t.v9 / 1e9)")}
+         |       END AS chi2
+         |FROM t, g""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
+      val w = u
+        .withColumn("te", max("ls").over(Window.partitionBy()))
+        .select((col("user_id") % 2).as("grp"), (col("ls") - col("fs")).as("life"),
+          col("te"), col("ls"))
+        .transform(Q.snapshot)
+      val f = w
+        .select(floor(col("life") / 3600.0).cast("long").as("t_hour"),
+          when(col("grp") === 1, 1L).otherwise(0L).as("g1"),
+          when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+        .groupBy("t_hour")
+        .agg(count(lit(1)).as("m"), sum("g1").as("m1"), sum("churn").as("dd"),
+          sum(col("g1") * col("churn")).as("d1"))
+      val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
+      val r = f
+        .withColumn("n",
+          sum("m").over(Window.partitionBy()) - coalesce(sum("m").over(wbefore), lit(0L)))
+        .withColumn("n1",
+          sum("m1").over(Window.partitionBy()) - coalesce(sum("m1").over(wbefore), lit(0L)))
+        .filter(col("dd") > 0)
+      val p1 = col("n1").cast("double") / col("n")
+      val t = r.agg(sum("dd").as("d_total"), sum("d1").as("o1"),
+        sum(floor(col("n1").cast("double") * col("dd") / col("n") * lit(1e9) + 0.5)
+          .cast("long")).as("e9"),
+        sum(when(col("n") > 1,
+          floor(p1 * (lit(1.0) - p1) * col("dd") * (col("n") - col("dd")) /
+            (col("n") - 1) * lit(1e9) + 0.5).cast("long")).otherwise(0L)).as("v9"))
+      val g = w.agg(count(lit(1)).as("nu"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1u"))
+      t.crossJoin(broadcast(g))
+        .select((col("nu") - col("n1u")).as("n_users_a"), col("n1u").as("n_users_b"),
+          col("d_total").as("d_events"), col("o1").as("observed_b"),
+          Q.r6(col("e9") / lit(1e9)).as("expected_b"),
+          Q.r6(col("v9") / lit(1e9)).as("variance"),
+          when(col("v9") > 0,
+            Q.r6((col("o1") - col("e9") / lit(1e9)) * (col("o1") - col("e9") / lit(1e9)) /
+              (col("v9") / lit(1e9)))).as("chi2"))
+    },
+
     // Goh–Barabási burstiness of inter-event times per event type
     // (round 10) — the temporal-clustering fingerprint: B = (σ−μ)/
     // (σ+μ) of the per-user gap distribution (B→−1 periodic, 0

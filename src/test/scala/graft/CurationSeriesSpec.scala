@@ -888,4 +888,80 @@ class CurationSeriesSpec extends SparkSpec {
     assert(fl.getAs[Long]("k_stat") === 0L && fl.getAs[Long]("change_day") === 0L)
     assert(fl.getAs[Double]("p_exponent") === 0.0)
   }
+
+  /** Events dir with explicit user lifetimes: each (user_id, lifeHours)
+    * pair gets two events at base+offsetH and base+offsetH+lifeHours,
+    * so fs/ls reconstruct the lifetime exactly; the latest ls holds
+    * the censor horizon (te − ls = 0 → censored), and any user ending
+    * > 12h before it is churned. */
+  private def survivalDir(prefix: String, users: Seq[(Long, Long, Long)]): String = {
+    val dir = tempDir(prefix)
+    import spark.implicits._
+    users.zipWithIndex.flatMap { case ((uid, off, life), i) =>
+      Seq((i.toLong * 2, off, uid, "visit", 1.0),
+        (i.toLong * 2 + 1, off + life, uid, "visit", 1.0))
+    }.toDF("event_id", "h", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(lit(0), col("h"), lit(0), lit(0))).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_nelson_aalen: planted lifetimes give exact hazard terms and FH survival") {
+    // lives 1h,2h (group irrelevant here),10h,11h churned + a censored
+    // sentinel (life 20h, holds the horizon): risk sets 5,4,3,2
+    val dir = survivalDir("cs_na", Seq(
+      (0L, 0L, 1L), (2L, 0L, 2L), (1L, 0L, 10L), (3L, 0L, 11L), (4L, 80L, 20L)))
+    val rows = q("q_nelson_aalen", dir).collect()
+    assert(rows.map(r => (r.getAs[Long]("t_hour"), r.getAs[Long]("n_risk"),
+      r.getAs[Long]("d_events"))).toSeq ===
+      Seq((1L, 5L, 1L), (2L, 4L, 1L), (10L, 3L, 1L), (11L, 2L, 1L)))
+    def t9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val h9 = Seq(1.0 / 5, 1.0 / 4, 1.0 / 3, 1.0 / 2).map(t9).scanLeft(0L)(_ + _).tail
+    val v9 = Seq(1.0 / 25, 1.0 / 16, 1.0 / 9, 1.0 / 4).map(t9).scanLeft(0L)(_ + _).tail
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("cum_hazard") === r6(h9(i) / 1e9), s"H at row $i")
+      assert(r.getAs[Double]("hazard_var") === r6(v9(i) / 1e9), s"V at row $i")
+      assert(r.getAs[Double]("survival_fh") === r6(math.exp(-(h9(i) / 1e9))), s"S at row $i")
+    }
+    // FH dominates the product-limit curve everywhere (exp(−x) ≥ 1−x)
+    val km = q("q_kaplan_meier", dir).collect().map(r => r.getAs[Double]("survival"))
+    rows.map(_.getAs[Double]("survival_fh")).zip(km).foreach { case (fh, s) =>
+      assert(fh >= s, "Fleming–Harrington must dominate Kaplan–Meier")
+    }
+  }
+
+  test("q_log_rank: separated groups match the hand hypergeometric; symmetric reads 0") {
+    // group A (even ids) dies at 1h,2h; group B (odd) at 10h,11h; one
+    // censored A sentinel at 20h → risk sets n=5,4,3,2 / n1=2,2,2,1
+    val sep = survivalDir("cs_lr_sep", Seq(
+      (0L, 0L, 1L), (2L, 0L, 2L), (1L, 0L, 10L), (3L, 0L, 11L), (4L, 80L, 20L)))
+    val r = q("q_log_rank", sep).head()
+    assert(r.getAs[Long]("n_users_a") === 3L && r.getAs[Long]("n_users_b") === 2L)
+    assert(r.getAs[Long]("d_events") === 4L && r.getAs[Long]("observed_b") === 2L)
+    def t9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val e9 = Seq(2.0 * 1 / 5, 2.0 * 1 / 4, 2.0 * 1 / 3, 1.0 * 1 / 2).map(t9).sum
+    val v9 = Seq((2.0 / 5) * (3.0 / 5) * 1 * 4 / 4, (2.0 / 4) * (2.0 / 4) * 1 * 3 / 3,
+      (2.0 / 3) * (1.0 / 3) * 1 * 2 / 2, (1.0 / 2) * (1.0 / 2) * 1 * 1 / 1).map(t9).sum
+    assert(r.getAs[Double]("expected_b") === r6(e9 / 1e9))
+    assert(r.getAs[Double]("variance") === r6(v9 / 1e9))
+    assert(r.getAs[Double]("chi2") ===
+      r6((2.0 - e9 / 1e9) * (2.0 - e9 / 1e9) / (v9 / 1e9)))
+    // identical lifetime distributions + one sentinel per group: the
+    // hypergeometric expectation matches O exactly → chi2 = 0
+    val sym = survivalDir("cs_lr_sym", Seq(
+      (0L, 0L, 1L), (1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 2L),
+      (4L, 80L, 20L), (5L, 80L, 20L)))
+    val rs = q("q_log_rank", sym).head()
+    assert(rs.getAs[Long]("observed_b") === 2L)
+    assert(rs.getAs[Double]("expected_b") === 2.0)
+    assert(rs.getAs[Double]("variance") > 0)
+    assert(rs.getAs[Double]("chi2") === 0.0,
+      "symmetric groups must read exactly zero, not a lattice residue")
+  }
 }

@@ -181,6 +181,45 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("c") * 3.34e6))
       })),
 
+    Site("q_nelson_aalen", "1e9", "running h9 = Σ d/n·1e9 (v9 = Σ d/n² is smaller)",
+      "log (each term ≤ 1; ≤ |hours| ≈ 2400 death-hour terms)", 1e6,
+      _ => 1e9 * 2400 + 1e5,
+      Some((s, d) => dmax {
+        val u = events(s, d).groupBy("user_id")
+          .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
+        val f = u.withColumn("te", max("ls").over(Window.partitionBy()))
+          .select(floor((col("ls") - col("fs")) / 3600.0).as("t_hour"),
+            when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+          .groupBy("t_hour").agg(count(lit(1)).as("m"), sum("churn").as("dd"))
+          .withColumn("n_risk", sum("m").over(Window.partitionBy()) -
+            coalesce(sum("m").over(Window.orderBy("t_hour")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("dd") > 0)
+        f.agg(sum(abs(col("dd").cast("double") / col("n_risk") * 1e9)))
+      })),
+
+    Site("q_log_rank", "1e9", "e9 = Σ n1·d/n·1e9 (per-term ≤ d; Σd ≤ n_users)",
+      "linear (Σ terms ≤ n_users = 1.5e6·sf)", 1000.0,
+      sf => 1e9 * (1.5e4 * sf * 100) + 1e5,
+      Some((s, d) => dmax {
+        val u = events(s, d).groupBy("user_id")
+          .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
+        val f = u.withColumn("te", max("ls").over(Window.partitionBy()))
+          .select(floor((col("ls") - col("fs")) / 3600.0).as("t_hour"),
+            when(col("user_id") % 2 === 1, 1L).otherwise(0L).as("g1"),
+            when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+          .groupBy("t_hour").agg(count(lit(1)).as("m"), sum("g1").as("m1"),
+            sum("churn").as("dd"))
+          .withColumn("n", sum("m").over(Window.partitionBy()) -
+            coalesce(sum("m").over(Window.orderBy("t_hour")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n1", sum("m1").over(Window.partitionBy()) -
+            coalesce(sum("m1").over(Window.orderBy("t_hour")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("dd") > 0)
+        f.agg(sum(abs(col("n1").cast("double") * col("dd") / col("n") * 1e9)))
+      })),
+
     Site("q_kaplan_meier", "1e9", "running lnsum9 = Σ ln(1−dd/n_risk)·1e9",
       "log (≤ |hours| · ln n_users terms)", 1e6,
       sf => 1e9 * 2400 * (ln(1.5e4 * sf * 100 + math.E) + 4),

@@ -791,7 +791,7 @@ class PlanAuditSpec extends SparkSpec {
     // both collapse the corpus with a hash aggregate FIRST; the
     // single-partition window exchange must sit above a HashAggregate,
     // never directly above the events scan
-    Seq("q_kaplan_meier", "q_mann_whitney").foreach { name =>
+    Seq("q_kaplan_meier", "q_mann_whitney", "q_nelson_aalen", "q_log_rank").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val idx = plan.indexOf("Exchange SinglePartition")
