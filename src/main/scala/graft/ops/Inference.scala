@@ -37,11 +37,14 @@ object Inference {
   /** Daily event counts per type keyed by exact day index — the shared
     * (|types|×|days|)-row frame under the four series operators. One
     * map-side-partial agg; x and y are both exact int64. */
+  /** Exact day index of an event ts against [[Anchor]] — one home for
+    * the batch daily frame and streaming.Streams.dailyGrid. */
+  private[graft] def dayIndexCol: Column =
+    datediff(col("ts").cast(DateType), to_date(lit(Anchor))).cast("long")
+
   private[graft] def dailyCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(col("event_type"),
-        datediff(col("ts").cast(DateType), to_date(lit(Anchor)))
-          .cast("long").as("x"))
+      .groupBy(col("event_type"), dayIndexCol.as("x"))
       .agg(count(lit(1)).as("y"))
 
   /** DuckDB twin of [[dailyCounts]] (clones q_trend_fit's daily CTE). */

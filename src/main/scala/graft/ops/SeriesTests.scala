@@ -54,6 +54,71 @@ object SeriesTests {
       .orderBy("type_a", "type_b")
   }
 
+  /** The Mood's-median fold over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_moods_median and the
+    * s_moods_median streaming read-time view
+    * (streaming.Streams.dailyGrid maintains the frame incrementally;
+    * the grand median is NOT mergeable — the daily cells are). The
+    * grand median picks explicit middle elements of one sorted-array
+    * aggregate over the domain-bounded frame; each type's a²/n_g hits
+    * the 1e6 lattice before the cross-type sum (q_anova b6 move). */
+  private[graft] def moodsMedianOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val daily = Q.snapshot(dailyIn)
+    val ys = array_sort(collect_list("y"))
+    val md = daily.agg(ys.as("ys"))
+      .select(((element_at(col("ys"), floor((size(col("ys")) + 1) / 2.0).cast("int")) +
+        element_at(col("ys"), floor((size(col("ys")) + 2) / 2.0).cast("int")))
+        .cast("double") / 2).as("m"))
+    val g = daily.crossJoin(broadcast(md))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ng"), first("m").as("m"),
+        sum(when(col("y") > col("m"), 1L).otherwise(0L)).as("a"))
+    val t = g.agg(count(lit(1)).as("k"), sum("ng").as("n"), sum("a").as("aa"),
+      sum(floor((col("a") * col("a")).cast("double") / col("ng") * lit(1e6) + 0.5)
+        .cast("long")).as("b6"), first("m").as("grand_median"))
+    t.select(col("k").as("n_types"), col("n").as("n_days"), col("grand_median"),
+      when(col("aa") > 0 && col("aa") < col("n"),
+        Q.r6((col("n").cast("double") * col("n") / (col("aa") * (col("n") - col("aa")))) *
+          (col("b6") / lit(1e6) - col("aa").cast("double") * col("aa") / col("n"))))
+        .as("chi2"))
+  }
+
+  /** The Friedman fold over a daily (event_type, x, y) count frame —
+    * ONE home shared by batch q_friedman and the s_friedman streaming
+    * read-time view. Within-day ranks are NOT mergeable (a new cell
+    * shifts its whole day's ranking) — the daily frame is — so the
+    * dense (type × day) grid, the 2·avgrank ints, and the tie cubes
+    * are all rebuilt here at read time from the frame. */
+  private[graft] def friedmanOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val daily = Q.snapshot(dailyIn)
+    val ty = daily.select("event_type").distinct()
+    val dy = daily.select("x").distinct().transform(Q.snapshot)
+    val grid = ty.crossJoin(broadcast(dy))
+      .join(daily, Seq("event_type", "x"), "left")
+      .select(col("event_type"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .transform(Q.snapshot)
+    val r2 = (lit(2) * rank().over(Window.partitionBy("x").orderBy("y")) +
+      count(lit(1)).over(Window.partitionBy("x", "y")) - 1).cast("long")
+    val km = grid.withColumn("r2", r2)
+      .groupBy("event_type").agg(sum("r2").as("r2j"))
+      .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("sr2"))
+    val tt = grid.groupBy("x", "y").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    val nn = dy.agg(count(lit(1)).as("n"))
+    val qRaw = lit(3.0) * col("sr2") / (col("n") * col("k") * (col("k") + 1)) -
+      lit(3.0) * col("n") * (col("k") + 1)
+    val corr = lit(1) - col("tie").cast("double") /
+      (col("n") * col("k") * (col("k") * col("k") - 1))
+    nn.crossJoin(broadcast(km)).crossJoin(broadcast(tt))
+      .select(col("n").as("n_days"), col("k").as("n_types"),
+        when(col("k") >= 2, Q.r6(qRaw)).as("q"),
+        when(col("k") >= 2 &&
+          col("n") * col("k") * (col("k") * col("k") - 1) > col("tie"),
+          Q.r6(qRaw / corr)).as("q_tie_corrected"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Wald–Wolfowitz runs test on the SIGNS of day-over-day volume
@@ -657,24 +722,7 @@ object SeriesTests {
                    "(t.b6 / 1e6 - CAST(t.aa AS DOUBLE) * t.aa / t.n)")}
          |       END AS chi2
          |FROM t, md""".stripMargin) { (s, d) =>
-      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
-      val ys = array_sort(collect_list("y"))
-      val md = daily.agg(ys.as("ys"))
-        .select(((element_at(col("ys"), floor((size(col("ys")) + 1) / 2.0).cast("int")) +
-          element_at(col("ys"), floor((size(col("ys")) + 2) / 2.0).cast("int")))
-          .cast("double") / 2).as("m"))
-      val g = daily.crossJoin(broadcast(md))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("ng"), first("m").as("m"),
-          sum(when(col("y") > col("m"), 1L).otherwise(0L)).as("a"))
-      val t = g.agg(count(lit(1)).as("k"), sum("ng").as("n"), sum("a").as("aa"),
-        sum(floor((col("a") * col("a")).cast("double") / col("ng") * lit(1e6) + 0.5)
-          .cast("long")).as("b6"), first("m").as("grand_median"))
-      t.select(col("k").as("n_types"), col("n").as("n_days"), col("grand_median"),
-        when(col("aa") > 0 && col("aa") < col("n"),
-          Q.r6((col("n").cast("double") * col("n") / (col("aa") * (col("n") - col("aa")))) *
-            (col("b6") / lit(1e6) - col("aa").cast("double") * col("aa") / col("n"))))
-          .as("chi2"))
+      moodsMedianOf(Inference.dailyCounts(s, d))
     },
 
     // Friedman rank test over the DENSE (day × type) block design:
@@ -717,31 +765,7 @@ object SeriesTests {
                    "(1 - CAST(tt.tie AS DOUBLE) / (nn.n * km.k * (km.k * km.k - 1)))")}
          |       END AS q_tie_corrected
          |FROM nn, km, tt""".stripMargin) { (s, d) =>
-      val daily = Inference.dailyCounts(s, d).transform(Q.snapshot)
-      val ty = daily.select("event_type").distinct()
-      val dy = daily.select("x").distinct().transform(Q.snapshot)
-      val grid = ty.crossJoin(broadcast(dy))
-        .join(daily, Seq("event_type", "x"), "left")
-        .select(col("event_type"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
-        .transform(Q.snapshot)
-      val r2 = (lit(2) * rank().over(Window.partitionBy("x").orderBy("y")) +
-        count(lit(1)).over(Window.partitionBy("x", "y")) - 1).cast("long")
-      val km = grid.withColumn("r2", r2)
-        .groupBy("event_type").agg(sum("r2").as("r2j"))
-        .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("sr2"))
-      val tt = grid.groupBy("x", "y").agg(count(lit(1)).as("t"))
-        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
-      val nn = dy.agg(count(lit(1)).as("n"))
-      val qRaw = lit(3.0) * col("sr2") / (col("n") * col("k") * (col("k") + 1)) -
-        lit(3.0) * col("n") * (col("k") + 1)
-      val corr = lit(1) - col("tie").cast("double") /
-        (col("n") * col("k") * (col("k") * col("k") - 1))
-      nn.crossJoin(broadcast(km)).crossJoin(broadcast(tt))
-        .select(col("n").as("n_days"), col("k").as("n_types"),
-          when(col("k") >= 2, Q.r6(qRaw)).as("q"),
-          when(col("k") >= 2 &&
-            col("n") * col("k") * (col("k") * col("k") - 1) > col("tie"),
-            Q.r6(qRaw / corr)).as("q_tie_corrected"))
+      friedmanOf(Inference.dailyCounts(s, d))
     },
 
     // Tukey HSD post-hoc screen: the studentized-range statistic

@@ -886,6 +886,29 @@ object Streams {
   def jonckheereOf(grid: DataFrame): DataFrame =
     graft.ops.Statistics.jonckheereOf(grid)
 
+  /** Streaming daily count grid — the mergeable (event_type, x, y)
+    * state behind the s_moods_median and s_friedman read-time faces:
+    * a plain streaming groupBy on the SAME exact day index the batch
+    * daily frame keys on (ops.Inference.dayIndexCol — one home), cell
+    * count bounded by |types| × |days| (both domain enums). Neither
+    * statistic is mergeable — the grand median shifts with every new
+    * day and a new cell re-ranks its whole day — which is exactly why
+    * the grid, not either statistic, is the state; both divide out at
+    * read time through the SAME SeriesTests folds the batch queries
+    * route through. */
+  def dailyGrid(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"))
+      .agg(count(lit(1)).as("y"))
+
+  /** Read-time Mood's-median projection over a [[dailyGrid]]. */
+  def moodsMedianOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.moodsMedianOf(grid)
+
+  /** Read-time Friedman projection over a [[dailyGrid]]. */
+  def friedmanOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.friedmanOf(grid)
+
   /** Streaming token-budget quality grid (s_token_budget_trim) — the
     * incremental face of batch q_token_budget_trim: each arriving
     * document's quality floors onto the ×10⁴ lattice IN-ROW (the

@@ -244,6 +244,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_daily_grid's one streamed grid reproduces Mood's median and Friedman batch screens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"))
+      .as[(java.sql.Timestamp, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.dailyGrid(in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("t_daily").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      // snapshot once: both folds branch the grid (grand-median cross
+      // join; the dense-grid self joins) and a MemorySink View
+      // resolves conflicting references badly
+      val grid = Q.snapshot(spark.table("t_daily"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.moodsMedianOf(grid)) ===
+        rows1(SparkEntry.queries("q_moods_median")(spark, sfDir)), "Mood's median")
+      assert(rows1(Streams.friedmanOf(grid)) ===
+        rows1(SparkEntry.queries("q_friedman")(spark, sfDir)), "Friedman")
+    }
+  }
+
   test("s_token_budget_trim's streamed quality grid reproduces the batch planning readout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
