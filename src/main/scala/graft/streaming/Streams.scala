@@ -814,6 +814,198 @@ object Streams {
       }
   }
 
+  /** Streaming Wald–Wolfowitz runs monitor (s_runs_test) — the
+    * incremental face of batch q_runs_test: the sign sequence folds
+    * LEFT-TO-RIGHT (each closed day compares only against the
+    * immediately previous closed count, and a run breaks only against
+    * the previous SIGN), so the state is SEVEN longs per type — the
+    * open pair, the last closed count, the last sign, and the three
+    * run counters — fully mergeable forever, the s_durbin_watson
+    * counterpoint to the series-state family. Equal-count days drop
+    * (no sign) exactly as in batch. */
+  def runsTest(events: Dataset[Ev]): Dataset[RunsMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunsState, RunsMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[RunsState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            RunsState(Long.MinValue, 0L, Long.MinValue, 0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[RunsMark]
+          def r6(d: Double) = math.floor(d * 1000000 + 0.5) / 1000000
+          def fold(): Unit = { // close the open day into the sign walk
+            val y = st.openCount
+            var (nu, nd, nr, sg) = (st.nUp, st.nDown, st.nRuns, st.lastSg)
+            if (st.lastY != Long.MinValue && y != st.lastY) {
+              val s = if (y > st.lastY) 1L else -1L
+              if (s == 1L) nu += 1 else nd += 1
+              if (sg == 0L || s != sg) nr += 1
+              sg = s
+            }
+            val n = nu + nd
+            val z =
+              if (nu > 0 && nd > 0)
+                Some(r6((nr - (2.0 * nu * nd / n + 1)) /
+                  math.sqrt(2.0 * nu * nd * (2.0 * nu * nd - n) /
+                    (n.toDouble * n * (n - 1)))))
+              else None
+            out += RunsMark(typ, st.openDay, y, nu, nd, nr, z)
+            st = RunsState(Long.MinValue, 0L, y, sg, nu, nd, nr)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming turning-points monitor (s_turning_points) — the
+    * incremental face of batch q_turning_points: a day's peak/valley
+    * verdict is final only when its SUCCESSOR closes, so each fold
+    * adjudicates the PREVIOUS closed day against its two neighbours.
+    * State is SIX longs per type (open pair, the last two closed
+    * counts, the day and turn counters) — fully mergeable forever. */
+  def turningPoints(events: Dataset[Ev]): Dataset[TurnMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TurnState, TurnMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[TurnState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            TurnState(Long.MinValue, 0L, Long.MinValue, Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[TurnMark]
+          def r6(d: Double) = math.floor(d * 1000000 + 0.5) / 1000000
+          def fold(): Unit = { // close the open day; adjudicate prev1
+            val y = st.openCount
+            val n = st.nDays + 1
+            val turns = st.nTurning + (
+              if (st.prev2 != Long.MinValue &&
+                ((st.prev1 > st.prev2 && st.prev1 > y) ||
+                  (st.prev1 < st.prev2 && st.prev1 < y))) 1L else 0L)
+            val z =
+              if (n >= 3)
+                Some(r6((turns - 2.0 * (n - 2) / 3) /
+                  math.sqrt((16.0 * n - 29) / 90)))
+              else None
+            out += TurnMark(typ, st.openDay, y, n, turns,
+              r6(2.0 * (n - 2) / 3), z)
+            st = TurnState(Long.MinValue, 0L, y, st.prev1, n, turns)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming Poisson-dispersion monitor (s_poisson_dispersion) — the
+    * incremental face of batch q_poisson_dispersion: the variance/mean
+    * index collapses onto three moment sums, so the state is FIVE
+    * longs per type, mergeable forever; each day-close walks the exact
+    * batch tree on the int64 moments. */
+  def poissonDispersion(events: Dataset[Ev]): Dataset[PoisMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PoisState, PoisMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[PoisState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(PoisState(Long.MinValue, 0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[PoisMark]
+          def r6(d: Double) = math.floor(d * 1000000 + 0.5) / 1000000
+          def fold(): Unit = { // close the open day into the moments
+            val y = st.openCount
+            val n = st.n + 1; val s = st.s + y; val ss = st.ss + y * y
+            val b = n * ss.toDouble - s.toDouble * s
+            val ok = s > 0 && n >= 2
+            out += PoisMark(typ, st.openDay, y, n, r6(s.toDouble / n),
+              if (ok) Some(r6(b / (s.toDouble * (n - 1)))) else None,
+              if (ok) Some(r6(b / s.toDouble)) else None)
+            st = PoisState(Long.MinValue, 0L, n, s, ss)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming Grubbs monitor (s_grubbs) — the incremental face of
+    * batch q_grubbs. The outlier day is the argmax of |n·y − s| under
+    * the FINAL moments, so every day-close can re-elect it: like
+    * [[pettitt]]/[[kpss]], the state is the ordered closed (day,
+    * count) series (daily-frame-bounded) and each fold re-scans it
+    * through the exact batch tree — int64 deviations, the earliest-day
+    * argmax tie-break, g on the shared population-variance form. */
+  def grubbs(events: Dataset[Ev]): Dataset[GrubbsMark] = {
+    import events.sparkSession.implicits._
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PtState, GrubbsMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[PtState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+          var st = state.getOption.getOrElse(PtState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[GrubbsMark]
+          def r6(d: Double) = math.floor(d * 1000000 + 0.5) / 1000000
+          def fold(): Unit = { // close the open day, re-elect the outlier
+            val closed = st.days :+ PtDay(st.openDay, st.openCount)
+            val n = closed.size.toLong
+            val s = closed.iterator.map(_.y).sum
+            val ss = closed.iterator.map(p => p.y * p.y).sum
+            // argmax |n·y − s|, earliest day breaking ties — the exact
+            // batch row_number() ORDER BY (a DESC, x)
+            val best = closed.minBy(p => (-math.abs(n * p.y - s), p.x))
+            val a = math.abs(n * best.y - s)
+            val g =
+              if (n >= 2 && n * ss > s * s)
+                Some(r6(a.toDouble / (n *
+                  math.sqrt((n * ss.toDouble - s.toDouble * s) /
+                    (n.toDouble * (n - 1))))))
+              else None
+            out += GrubbsMark(typ, st.openDay, st.openCount, n, best.x, best.y, g)
+            st = PtState(Long.MinValue, 0L, closed)
+          }
+          days.foreach { case (d, c) =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d, openCount = c)
+            else if (d == st.openDay) st = st.copy(openCount = st.openCount + c)
+            else if (d > st.openDay) { fold(); st = st.copy(openDay = d, openCount = c) }
+            // d < openDay: behind the fold horizon — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Tukey HSD stats grid (s_tukey_hsd) — the streaming face
     * of batch q_tukey_hsd, split the s_cat_entropy way: the stream
     * maintains only the per-type (n, Σv, Σv²) moment grid (associative,
@@ -1287,6 +1479,46 @@ final case class ChowMark(event_type: String, day_closed: Long, y: Long,
   * accumulators (n + six moment sums + three lag-diff sums) — thirteen
   * longs total, mergeable forever. lastX == Long.MinValue means "no
   * day closed yet". */
+/** Per-type runs-test state: the open pair, the last closed count,
+  * the last sign (0 = none yet), and the three run counters — seven
+  * longs, mergeable forever. */
+final case class RunsState(openDay: Long, openCount: Long, lastY: Long,
+                           lastSg: Long, nUp: Long, nDown: Long, nRuns: Long)
+
+/** One closed-day emission of the running runs-test profile; z is None
+  * until both sign classes are populated. */
+final case class RunsMark(event_type: String, day_closed: Long, y: Long,
+                          n_up: Long, n_down: Long, n_runs: Long,
+                          z: Option[Double])
+
+/** Per-type turning-points state: the open pair, the last two closed
+  * counts (MinValue sentinels), and the day/turn counters — six longs,
+  * mergeable forever. */
+final case class TurnState(openDay: Long, openCount: Long, prev1: Long,
+                           prev2: Long, nDays: Long, nTurning: Long)
+
+/** One closed-day emission of the running turning-points profile. */
+final case class TurnMark(event_type: String, day_closed: Long, y: Long,
+                          n_days: Long, n_turning: Long, expected: Double,
+                          z: Option[Double])
+
+/** Per-type Poisson-dispersion state: the open pair plus the three
+  * moment sums — five longs, mergeable forever. */
+final case class PoisState(openDay: Long, openCount: Long, n: Long,
+                           s: Long, ss: Long)
+
+/** One closed-day emission of the running dispersion profile. */
+final case class PoisMark(event_type: String, day_closed: Long, y: Long,
+                          n_days: Long, mean: Double,
+                          dispersion: Option[Double], chi2: Option[Double])
+
+/** One closed-day emission of the running Grubbs profile (the elected
+  * outlier day can move with every close — the argmax rides the FINAL
+  * moments, which is why the state is the closed series). */
+final case class GrubbsMark(event_type: String, day_closed: Long, y: Long,
+                            n_days: Long, outlier_day: Long,
+                            outlier_count: Long, g: Option[Double])
+
 final case class DwState(openDay: Long, openCount: Long,
                          lastX: Long, lastY: Long, n: Long,
                          sx: Long, sy: Long, sxx: Long, sxy: Long, syy: Long,

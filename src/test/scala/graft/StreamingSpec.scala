@@ -244,6 +244,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("the four screening monitors replay the corpus to their exact batch statistics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val anchorDay = java.time.LocalDate.parse(graft.ops.Inference.Anchor).toEpochDay
+    val maxDay = rows.map(e => Math.floorDiv(e.ts.getTime, 86400000L) - anchorDay).max
+    // one sentinel per type at maxDay+1 closes every real day
+    val sentinels = rows.map(_.event_type).distinct.zipWithIndex.map { case (t, i) =>
+      Ev(900000L + i, new java.sql.Timestamp((anchorDay + maxDay + 1) * 86400000L),
+        1L, t, 1.0)
+    }
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val inR = MemoryStream[Ev]; val inT = MemoryStream[Ev]
+    val inP = MemoryStream[Ev]; val inG = MemoryStream[Ev]
+    val qR = Streams.runsTest(inR.toDS())
+      .writeStream.format("memory").queryName("t_runs").outputMode("update").start()
+    val qT = Streams.turningPoints(inT.toDS())
+      .writeStream.format("memory").queryName("t_turn").outputMode("update").start()
+    val qP = Streams.poissonDispersion(inP.toDS())
+      .writeStream.format("memory").queryName("t_pois").outputMode("update").start()
+    val qG = Streams.grubbs(inG.toDS())
+      .writeStream.format("memory").queryName("t_grubbs").outputMode("update").start()
+    try {
+      for (b <- Seq(b1.toSeq, b2.toSeq, sentinels.toSeq)) {
+        inR.addData(b: _*); inT.addData(b: _*); inP.addData(b: _*); inG.addData(b: _*)
+        qR.processAllAvailable(); qT.processAllAvailable()
+        qP.processAllAvailable(); qG.processAllAvailable()
+      }
+      def opt(r: org.apache.spark.sql.Row, f: String): Option[Double] =
+        Option(r.get(r.fieldIndex(f))).map(_.asInstanceOf[Double])
+      def lastBy[M](ms: Array[M], typ: M => String, day: M => Long): Map[String, M] =
+        ms.groupBy(typ).map { case (t, xs) => t -> xs.maxBy(day) }
+      // runs
+      val rB = SparkEntry.queries("q_runs_test")(spark, sfDir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_up"), r.getAs[Long]("n_down"), r.getAs[Long]("n_runs"),
+            opt(r, "z")))).toMap
+      val rS = lastBy[graft.streaming.RunsMark](
+        spark.table("t_runs").as[graft.streaming.RunsMark].collect(),
+        _.event_type, _.day_closed)
+        .map { case (t, m) => t -> ((m.n_up, m.n_down, m.n_runs, m.z)) }
+      assert(rS === rB, s"runs monitor $rS diverges from batch $rB")
+      // turning points
+      val tB = SparkEntry.queries("q_turning_points")(spark, sfDir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("n_turning"),
+            r.getAs[Double]("expected"), opt(r, "z")))).toMap
+      val tS = lastBy[graft.streaming.TurnMark](
+        spark.table("t_turn").as[graft.streaming.TurnMark].collect(),
+        _.event_type, _.day_closed)
+        .map { case (t, m) => t -> ((m.n_days, m.n_turning, m.expected, m.z)) }
+      assert(tS === tB, s"turning monitor $tS diverges from batch $tB")
+      // Poisson dispersion
+      val pB = SparkEntry.queries("q_poisson_dispersion")(spark, sfDir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Double]("mean"),
+            opt(r, "dispersion"), opt(r, "chi2")))).toMap
+      val pS = lastBy[graft.streaming.PoisMark](
+        spark.table("t_pois").as[graft.streaming.PoisMark].collect(),
+        _.event_type, _.day_closed)
+        .map { case (t, m) => t -> ((m.n_days, m.mean, m.dispersion, m.chi2)) }
+      assert(pS === pB, s"dispersion monitor $pS diverges from batch $pB")
+      // Grubbs
+      val gB = SparkEntry.queries("q_grubbs")(spark, sfDir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("outlier_day"),
+            r.getAs[Long]("outlier_count"), opt(r, "g")))).toMap
+      val gS = lastBy[graft.streaming.GrubbsMark](
+        spark.table("t_grubbs").as[graft.streaming.GrubbsMark].collect(),
+        _.event_type, _.day_closed)
+        .map { case (t, m) => t -> ((m.n_days, m.outlier_day, m.outlier_count, m.g)) }
+      assert(gS === gB, s"grubbs monitor $gS diverges from batch $gB")
+    } finally { qR.stop(); qT.stop(); qP.stop(); qG.stop() }
+  }
+
   test("s_daily_grid's one streamed grid reproduces Mood's median and Friedman batch screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
