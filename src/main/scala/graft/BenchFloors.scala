@@ -137,6 +137,7 @@ object BenchFloors {
     "q_group_sample" -> 0.125,
     "q_grouped_regression" -> 0.211,
     "q_grubbs" -> 0.235, // r13 first harvest
+    "q_gumbel_maxima" -> 0.369, // r14 TimeQuery warm-min harvest
     "q_heaps_fit" -> 0.158,
     "q_hhi" -> 0.162,
     "q_hill_tail" -> 0.18, // r12 TimeQuery warm-min harvest
@@ -205,6 +206,7 @@ object BenchFloors {
     "q_multimodal_frames" -> 0.764,
     "q_mutual_info" -> 0.136,
     "q_nelson_aalen" -> 0.372, // r14 TimeQuery warm-min harvest
+    "q_nemenyi" -> 0.702, // r14 TimeQuery warm-min harvest
     "q_new_returning" -> 0.124, // r12 TimeQuery warm-min harvest
     "q_ngram_freq" -> 0.422,
     "q_odds_ratio" -> 0.1, // r13 TimeQuery warm-min harvest

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,8 +91,13 @@ object SeriesTests {
     * shifts its whole day's ranking) — the daily frame is — so the
     * dense (type × day) grid, the 2·avgrank ints, and the tie cubes
     * are all rebuilt here at read time from the frame. */
-  private[graft] def friedmanOf(dailyIn: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  /** The dense (type × day) block grid under the Friedman family —
+    * zero-fill cells for days a type logged nothing (what makes the
+    * block design complete), shared by [[friedmanOf]] and
+    * [[nemenyiOf]]. Returns the snapshotted grid and the distinct-day
+    * frame. */
+  private def denseGrid(dailyIn: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val daily = Q.snapshot(dailyIn)
     val ty = daily.select("event_type").distinct()
     val dy = daily.select("x").distinct().transform(Q.snapshot)
@@ -99,9 +105,19 @@ object SeriesTests {
       .join(daily, Seq("event_type", "x"), "left")
       .select(col("event_type"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
       .transform(Q.snapshot)
-    val r2 = (lit(2) * rank().over(Window.partitionBy("x").orderBy("y")) +
+    (grid, dy)
+  }
+
+  /** The within-day 2·avgrank expression over a [[denseGrid]] —
+    * 2·rank() + tiecount − 1 keeps every rank sum exact int64. */
+  private def r2Col: Column =
+    (lit(2) * rank().over(Window.partitionBy("x").orderBy("y")) +
       count(lit(1)).over(Window.partitionBy("x", "y")) - 1).cast("long")
-    val km = grid.withColumn("r2", r2)
+
+  private[graft] def friedmanOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val km = grid.withColumn("r2", r2Col)
       .groupBy("event_type").agg(sum("r2").as("r2j"))
       .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("sr2"))
     val tt = grid.groupBy("x", "y").agg(count(lit(1)).as("t"))
@@ -117,6 +133,36 @@ object SeriesTests {
         when(col("k") >= 2 &&
           col("n") * col("k") * (col("k") * col("k") - 1) > col("tie"),
           Q.r6(qRaw / corr)).as("q_tie_corrected"))
+  }
+
+  /** The Nemenyi post-hoc fold over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_nemenyi and the s_nemenyi
+    * streaming read-time view (the third face of
+    * streaming.Streams.dailyGrid). Mean ranks come from the SAME
+    * dense-grid 2·avgrank machinery as [[friedmanOf]]; the pair
+    * fan-out is the |types|² broadcast nested loop over the collapsed
+    * rank-sum frame. */
+  private[graft] def nemenyiOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val rs = grid.withColumn("r2", r2Col)
+      .groupBy("event_type").agg(sum("r2").as("r2j"))
+      .transform(Q.snapshot)
+    val kf = rs.agg(count(lit(1)).as("k"))
+    val nn = dy.agg(count(lit(1)).as("n"))
+    val a = rs.select(col("event_type").as("type_a"), col("r2j").as("r2a"))
+    val b = rs.select(col("event_type").as("type_b"), col("r2j").as("r2b"))
+    val meanA = col("r2a").cast("double") / (lit(2) * col("n"))
+    val meanB = col("r2b").cast("double") / (lit(2) * col("n"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(kf))
+      .select(col("type_a"), col("type_b"),
+        Q.r6(meanA).as("mean_rank_a"), Q.r6(meanB).as("mean_rank_b"),
+        when(col("n") > 0 && col("k") >= 2,
+          Q.r6(abs(meanA - meanB) /
+            sqrt(col("k").cast("double") * (col("k") + lit(1)) /
+              (lit(6.0) * col("n"))))).as("q_stat"))
+      .orderBy("type_a", "type_b")
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -766,6 +812,43 @@ object SeriesTests {
          |       END AS q_tie_corrected
          |FROM nn, km, tt""".stripMargin) { (s, d) =>
       friedmanOf(Inference.dailyCounts(s, d))
+    },
+
+    // Nemenyi post-hoc screen after Friedman: the rank-world Tukey for
+    // the BLOCK design — pairwise q = |R̄_a − R̄_b| / √(k(k+1)/(6n))
+    // over the mean within-day ranks, answering "WHICH types trade
+    // daily-volume ordering" the single Friedman Q deliberately
+    // doesn't (the exact q_dunn ↔ q_kruskal_wallis relationship, one
+    // design over). Rides the SAME dense-grid 2·avgrank machinery as
+    // q_friedman (shared denseGrid/r2Col — mean ranks cannot drift
+    // from the omnibus test); the pair fan-out is the |types|²
+    // broadcast nested loop over the collapsed rank-sum frame.
+    Q("q_nemenyi",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |r AS (SELECT event_type,
+         |             CAST(2 * rank() OVER (PARTITION BY x ORDER BY y)
+         |               + count(*) OVER (PARTITION BY x, y) - 1 AS BIGINT) AS r2
+         |      FROM grid),
+         |rs AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j FROM r GROUP BY 1),
+         |km AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rs),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |       ${Q.sqlR6("CAST(a.r2j AS DOUBLE) / (2 * nn.n)")} AS mean_rank_a,
+         |       ${Q.sqlR6("CAST(b.r2j AS DOUBLE) / (2 * nn.n)")} AS mean_rank_b,
+         |       CASE WHEN nn.n > 0 AND km.k >= 2 THEN
+         |         ${Q.sqlR6("abs(CAST(a.r2j AS DOUBLE) / (2 * nn.n) - " +
+                   "CAST(b.r2j AS DOUBLE) / (2 * nn.n)) / " +
+                   "sqrt(CAST(km.k AS DOUBLE) * (km.k + 1) / (6.0 * nn.n))")}
+         |       END AS q_stat
+         |FROM rs a, rs b, km, nn
+         |WHERE a.event_type < b.event_type
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      nemenyiOf(Inference.dailyCounts(s, d))
     },
 
     // Tukey HSD post-hoc screen: the studentized-range statistic

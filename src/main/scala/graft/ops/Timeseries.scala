@@ -985,6 +985,68 @@ object Timeseries {
         .orderBy("event_type")
     },
 
+    // Gumbel fit of daily PEAK hourly load per event type (round 14) —
+    // the extreme-value capacity-planning readout q_hill_tail's
+    // Pareto-on-values can't give: block maxima (the busiest hour of
+    // each day) follow a Gumbel law under broad conditions, and the
+    // method-of-moments fit β = σ√6/π, μ = m − γβ prices the question
+    // "how often will the peak hour exceed 2× its mean" as
+    // P = 1 − exp(−exp(−(2m−μ)/β)). Constants are IEEE literals in
+    // BOTH engines (π, Euler–Mascheroni γ — never an engine pi()); the
+    // block maxima and their moments (n, Σy, Σy²) are exact int64 off
+    // one (type, day, hour) agg, so only the final fit is floating
+    // point, through one mirrored tree. Shape: two stacked bounded-key
+    // aggs (≤|types|·|days|·24 then ≤|types|·|days| rows), map-side
+    // partials throughout, no window at all.
+    Q("q_gumbel_maxima",
+      s"""WITH hourly AS (SELECT event_type,
+         |                       CAST(date_diff('day', DATE '${Inference.Anchor}',
+         |                                      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                       CAST(hour(ts) AS BIGINT) AS hh, count(*) AS c
+         |                FROM events GROUP BY 1, 2, 3),
+         |dm AS (SELECT event_type, x, CAST(max(c) AS BIGINT) AS y
+         |       FROM hourly GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+         |      FROM dm GROUP BY 1),
+         |e AS (SELECT event_type, n, s, ss,
+         |             CAST(s AS DOUBLE) / n AS m,
+         |             (n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s) /
+         |               (CAST(n AS DOUBLE) * (n - 1)) AS v
+         |      FROM t),
+         |g AS (SELECT event_type, n, m, v,
+         |             sqrt(v * 6.0) / 3.141592653589793 AS beta
+         |      FROM e)
+         |SELECT event_type, n AS n_days, ${Q.sqlR6("m")} AS max_mean,
+         |       CASE WHEN n >= 2 AND v > 0 THEN ${Q.sqlR6("beta")} END AS beta,
+         |       CASE WHEN n >= 2 AND v > 0 THEN
+         |         ${Q.sqlR6("m - 0.5772156649015329 * beta")} END AS mu,
+         |       CASE WHEN n >= 2 AND v > 0 THEN
+         |         ${Q.sqlR6("1 - exp(-exp(-(2 * m - (m - 0.5772156649015329 * beta)) / beta))")}
+         |       END AS p_exceed_2x
+         |FROM g
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val t = Tables.events(s, d)
+        .groupBy(col("event_type"), Inference.dayIndexCol.as("x"),
+          hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type", "x")
+        .agg(max("c").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss"))
+      val m = col("s").cast("double") / col("n")
+      val v = (col("n") * col("ss").cast("double") - col("s").cast("double") * col("s")) /
+        (col("n").cast("double") * (col("n") - 1))
+      val beta = sqrt(v * lit(6.0)) / lit(3.141592653589793)
+      val mu = m - lit(0.5772156649015329) * beta
+      val ok = col("n") >= 2 && v > 0
+      t.select(col("event_type"), col("n").as("n_days"), Q.r6(m).as("max_mean"),
+          when(ok, Q.r6(beta)).as("beta"),
+          when(ok, Q.r6(mu)).as("mu"),
+          when(ok, Q.r6(lit(1) - exp(-exp(-(lit(2) * m - mu) / beta)))).as("p_exceed_2x"))
+        .orderBy("event_type")
+    },
+
     // Stationary distribution of the event-type Markov chain (round
     // 10): where does a user's session settle in the long run? Three
     // unrolled power-iteration steps π_{k+1} = π_k·P from the uniform

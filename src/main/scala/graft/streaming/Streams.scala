@@ -1101,6 +1101,10 @@ object Streams {
   def friedmanOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.friedmanOf(grid)
 
+  /** Read-time Nemenyi post-hoc projection over a [[dailyGrid]]. */
+  def nemenyiOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.nemenyiOf(grid)
+
   /** Streaming token-budget quality grid (s_token_budget_trim) — the
     * incremental face of batch q_token_budget_trim: each arriving
     * document's quality floors onto the ×10⁴ lattice IN-ROW (the

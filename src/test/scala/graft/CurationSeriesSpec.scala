@@ -910,6 +910,51 @@ class CurationSeriesSpec extends SparkSpec {
     dir
   }
 
+  test("q_nemenyi: a fixed within-day ordering gives the closed-form pairwise q") {
+    val dir = eventsDir(Seq("lo", "mid", "hi"), 4, {
+      case ("lo", _) => 1
+      case ("mid", _) => 2
+      case (_, _) => 3
+    })
+    val rows = q("q_nemenyi", dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    // per-day ranks always (hi=3, lo=1, mid=2): mean ranks 3, 1, 2;
+    // q = |Δmean| / sqrt(k(k+1)/(6n)) = |Δ| / sqrt(12/24) = |Δ|·√2
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val unit = math.sqrt(3.0 * 4 / (6.0 * 4))
+    val hiLo = rows(("hi", "lo"))
+    assert(hiLo.getAs[Double]("mean_rank_a") === 3.0 &&
+      hiLo.getAs[Double]("mean_rank_b") === 1.0)
+    assert(hiLo.getAs[Double]("q_stat") === r6(2.0 / unit))
+    assert(rows(("hi", "mid")).getAs[Double]("q_stat") === r6(1.0 / unit))
+    assert(rows(("lo", "mid")).getAs[Double]("q_stat") === r6(1.0 / unit))
+  }
+
+  test("q_gumbel_maxima: planted peak hours give the exact moment fit; constant is NULL") {
+    val dir = eventsDir(Seq("flat", "peaky"), 2, {
+      case ("flat", _) => 1   // one event/day → daily hourly-max ≡ 1
+      case ("peaky", 0) => 1  // max 1
+      case ("peaky", _) => 49 // 24·2+1 → hour 0 holds 3, others 2 → max 3
+    })
+    val rows = q("q_gumbel_maxima", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val fl = rows("flat") // zero variance: the fit is undefined, not 0/0
+    assert(fl.getAs[Long]("n_days") === 2L && fl.getAs[Double]("max_mean") === 1.0)
+    assert(fl.isNullAt(fl.fieldIndex("beta")) && fl.isNullAt(fl.fieldIndex("mu")) &&
+      fl.isNullAt(fl.fieldIndex("p_exceed_2x")))
+    val pk = rows("peaky") // maxima {1, 3}: m = 2, sample var = 2
+    val m = 2.0; val v = (2 * 10.0 - 4.0 * 4) / (2.0 * 1)
+    assert(v === 2.0)
+    val beta = math.sqrt(v * 6.0) / 3.141592653589793
+    val mu = m - 0.5772156649015329 * beta
+    assert(pk.getAs[Double]("max_mean") === 2.0)
+    assert(pk.getAs[Double]("beta") === r6(beta))
+    assert(pk.getAs[Double]("mu") === r6(mu))
+    assert(pk.getAs[Double]("p_exceed_2x") ===
+      r6(1 - math.exp(-math.exp(-(2 * m - mu) / beta))))
+  }
+
   test("q_nelson_aalen: planted lifetimes give exact hazard terms and FH survival") {
     // lives 1h,2h (group irrelevant here),10h,11h churned + a censored
     // sentinel (life 20h, holds the horizon): risk sets 5,4,3,2

@@ -1041,7 +1041,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_jonckheere's type-index window collapses the distinct-type
       // enum; q_token_budget_trim's walk is lang-partitioned over the
       // bounded (lang, q4) quality grid
-      "q_jonckheere", "q_token_budget_trim")
+      "q_jonckheere", "q_token_budget_trim",
+      // q_nemenyi rides q_friedman's day-partitioned rank windows over
+      // the dense grid; q_gumbel_maxima has no window at all
+      "q_nemenyi", "q_gumbel_maxima")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
