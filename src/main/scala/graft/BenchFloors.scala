@@ -77,6 +77,7 @@ object BenchFloors {
     "q_cross_doc_ngram" -> 0.523,
     "q_cuped" -> 0.081,
     "q_cusum" -> 0.198,
+    "q_dataset_card" -> 0.587, // r14 TimeQuery warm-min harvest
     "q_date" -> 0.064,
     "q_day_over_day" -> 0.132,
     "q_decay_score" -> 0.092,

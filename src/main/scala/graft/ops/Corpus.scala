@@ -1028,6 +1028,88 @@ object Corpus {
         .select("source", "n_docs", "dup_docs", "dup_rate", "tokens_total",
           "tokens_saved", "save_pct")
         .orderBy("source")
+    },
+
+    // Per-source dataset card (round 14) — the one-row-per-source
+    // summary a data curator reads before mixing: doc/lang/token
+    // volume, mean quality on the shared ×10⁴ lattice
+    // (TextPipeline.qualityOnWords — one home with trim/quality), the
+    // exact-duplicate share (md5 content hash — a doc counts as dup
+    // when its text appears anywhere in the corpus more than once,
+    // ACROSS sources, which is what makes the card an overlap readout
+    // too), and the EXACT median tokens per doc. The median never
+    // sorts documents: docs collapse onto a (source, token-count)
+    // grid — token count is a bounded integer domain like cents — and
+    // the explicit middle ranks come from cumulative sums over that
+    // grid (source-partitioned windows). Shape: ONE corpus scan, one
+    // md5-keyed shuffle for the dup counts (the established dedup
+    // exchange — bucketed, never one reducer), bounded frames after.
+    Q("q_dataset_card",
+      s"""WITH w AS (SELECT source, lang, text, md5(text) AS h,
+         |                  string_split(text, ' ') AS words FROM documents),
+         |b AS (SELECT source, lang, h, CAST(len(words) AS BIGINT) AS tok,
+         |             CASE WHEN len(words) > 0 THEN
+         |               CAST(floor(${TextPipeline.qualityOnWordsSql} * 10000 + 0.5)
+         |                 AS BIGINT) END AS q4
+         |      FROM w),
+         |dh AS (SELECT h, CAST(count(*) AS BIGINT) AS hc FROM b GROUP BY 1),
+         |j AS (SELECT b.source, b.lang, b.tok, b.q4, dh.hc
+         |      FROM b JOIN dh ON b.h = dh.h),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |             CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |             CAST(sum(q4) AS BIGINT) AS q4sum,
+         |             CAST(count(q4) AS BIGINT) AS qn,
+         |             CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |      FROM j GROUP BY 1),
+         |g AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1, 2),
+         |c AS (SELECT source, tok,
+         |             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY tok
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                  AS BIGINT) AS cum,
+         |             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+         |      FROM g),
+         |m AS (SELECT source,
+         |             min(CASE WHEN cum >= floor((n + 1) / 2.0) THEN tok END) AS m1,
+         |             min(CASE WHEN cum >= floor((n + 2) / 2.0) THEN tok END) AS m2
+         |      FROM c GROUP BY 1)
+         |SELECT t.source, t.n_docs, t.n_langs, t.total_tokens,
+         |       ${Q.sqlR6("CAST(t.q4sum AS DOUBLE) / t.qn / 10000.0")} AS mean_quality,
+         |       ${Q.sqlR6("CAST(t.n_dup AS DOUBLE) / t.n_docs")} AS exact_dup_share,
+         |       CAST(m.m1 + m.m2 AS DOUBLE) / 2 AS p50_tokens
+         |FROM t JOIN m ON t.source = m.source
+         |ORDER BY t.source""".stripMargin) { (s, d) =>
+      val b = Tables.load(s, d, "documents")
+        .select(col("source"), col("lang"), md5(col("text")).as("h"),
+          split(col("text"), " ").as("words"))
+        .select(col("source"), col("lang"), col("h"),
+          size(col("words")).cast("long").as("tok"),
+          when(size(col("words")) > 0,
+            floor(TextPipeline.qualityOnWordsCol * 10000 + 0.5).cast("long")).as("q4"))
+        .transform(Q.snapshot)
+      val dh = b.groupBy("h").agg(count(lit(1)).as("hc"))
+      val j = b.join(dh, "h").select("source", "lang", "tok", "q4", "hc")
+        .transform(Q.snapshot)
+      val t = j.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("tok").as("total_tokens"),
+        sum("q4").as("q4sum"), count(col("q4")).as("qn"),
+        sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_dup"))
+      val wcum = Window.partitionBy("source").orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = j.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wcum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(min(when(col("cum") >= floor((col("n") + 1) / 2.0), col("tok"))).as("m1"),
+          min(when(col("cum") >= floor((col("n") + 2) / 2.0), col("tok"))).as("m2"))
+      t.join(m, "source")
+        .select(col("source"), col("n_docs"), col("n_langs"), col("total_tokens"),
+          Q.r6(col("q4sum").cast("double") / col("qn") / lit(10000.0)).as("mean_quality"),
+          Q.r6(col("n_dup").cast("double") / col("n_docs")).as("exact_dup_share"),
+          ((col("m1") + col("m2")).cast("double") / 2).as("p50_tokens"))
+        .orderBy("source")
     }
   )
 

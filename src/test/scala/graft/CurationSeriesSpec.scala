@@ -910,6 +910,29 @@ class CurationSeriesSpec extends SparkSpec {
     dir
   }
 
+  test("q_dataset_card: planted sources read exact volume, quality, dup share, and median") {
+    // d1/d3 duplicate within A and d4 repeats the text in B — the dup
+    // flag counts CROSS-source occurrences, so all three are dups
+    val dir = docsDir(Seq(
+      (1L, "x y z", "A"), (2L, "d e", "A"), (3L, "x y z", "A"),
+      (4L, "x y z", "B"), (5L, "f g h i", "B")))
+    val rows = q("q_dataset_card", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    def q4(ws: Int) = // no stopwords, all-distinct words in every planted doc
+      math.floor((0.5 * 1.0 + 0.3 * 1.0 + 0.2 * math.min(ws / 100.0, 1.0)) * 10000 + 0.5)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val a = rows("A")
+    assert(a.getAs[Long]("n_docs") === 3L && a.getAs[Long]("n_langs") === 1L)
+    assert(a.getAs[Long]("total_tokens") === 8L)
+    assert(a.getAs[Double]("mean_quality") === r6((q4(3) + q4(2) + q4(3)) / 3 / 10000.0))
+    assert(a.getAs[Double]("exact_dup_share") === r6(2.0 / 3))
+    assert(a.getAs[Double]("p50_tokens") === 3.0, "middle of {2,3,3}")
+    val b = rows("B")
+    assert(b.getAs[Long]("n_docs") === 2L && b.getAs[Long]("total_tokens") === 7L)
+    assert(b.getAs[Double]("exact_dup_share") === 0.5, "d4's text lives in A too")
+    assert(b.getAs[Double]("p50_tokens") === 3.5, "even count averages the middle pair")
+  }
+
   test("q_nemenyi: a fixed within-day ordering gives the closed-form pairwise q") {
     val dir = eventsDir(Seq("lo", "mid", "hi"), 4, {
       case ("lo", _) => 1
