@@ -38,6 +38,33 @@ object Timeseries {
     * hash-comparable. */
   private val OrdSql = s"(${Q.sqlEpochSec("ts")} * 100000000 + event_id)"
 
+  /** The Gumbel block-maxima fold over a (event_type, x, hh, c) hourly
+    * count grid — ONE home shared by batch q_gumbel_maxima and the
+    * s_gumbel_maxima streaming read-time view
+    * (streaming.Streams.hourlyGrid maintains the grid incrementally;
+    * the fit is not mergeable — the hourly cells are). Block maxima and
+    * moments stay exact int64; only the final method-of-moments fit is
+    * floating point, with π and Euler–Mascheroni γ as IEEE literals. */
+  private[graft] def gumbelOf(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = hourly
+      .groupBy("event_type", "x")
+      .agg(max("c").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss"))
+    val m = col("s").cast("double") / col("n")
+    val v = (col("n") * col("ss").cast("double") - col("s").cast("double") * col("s")) /
+      (col("n").cast("double") * (col("n") - 1))
+    val beta = sqrt(v * lit(6.0)) / lit(3.141592653589793)
+    val mu = m - lit(0.5772156649015329) * beta
+    val ok = col("n") >= 2 && v > 0
+    t.select(col("event_type"), col("n").as("n_days"), Q.r6(m).as("max_mean"),
+        when(ok, Q.r6(beta)).as("beta"),
+        when(ok, Q.r6(mu)).as("mu"),
+        when(ok, Q.r6(lit(1) - exp(-exp(-(lit(2) * m - mu) / beta)))).as("p_exceed_2x"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Markov transition matrix over event types: per (cur, next) pair,
@@ -1026,25 +1053,10 @@ object Timeseries {
          |       END AS p_exceed_2x
          |FROM g
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val t = Tables.events(s, d)
+      gumbelOf(Tables.events(s, d)
         .groupBy(col("event_type"), Inference.dayIndexCol.as("x"),
           hour(col("ts")).cast("long").as("hh"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("event_type", "x")
-        .agg(max("c").as("y"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss"))
-      val m = col("s").cast("double") / col("n")
-      val v = (col("n") * col("ss").cast("double") - col("s").cast("double") * col("s")) /
-        (col("n").cast("double") * (col("n") - 1))
-      val beta = sqrt(v * lit(6.0)) / lit(3.141592653589793)
-      val mu = m - lit(0.5772156649015329) * beta
-      val ok = col("n") >= 2 && v > 0
-      t.select(col("event_type"), col("n").as("n_days"), Q.r6(m).as("max_mean"),
-          when(ok, Q.r6(beta)).as("beta"),
-          when(ok, Q.r6(mu)).as("mu"),
-          when(ok, Q.r6(lit(1) - exp(-exp(-(lit(2) * m - mu) / beta)))).as("p_exceed_2x"))
-        .orderBy("event_type")
+        .agg(count(lit(1)).as("c")))
     },
 
     // Stationary distribution of the event-type Markov chain (round

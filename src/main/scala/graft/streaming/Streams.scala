@@ -1105,6 +1105,24 @@ object Streams {
   def nemenyiOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.nemenyiOf(grid)
 
+  /** Streaming hourly count grid — the mergeable (type, day, hour,
+    * count) state behind the s_gumbel_maxima read-time face: a plain
+    * streaming groupBy on the batch day index + hour, bounded by
+    * |types| × |days| × 24. The extreme-value fit is NOT mergeable
+    * (every new cell can move a day's block maximum and the moments
+    * under the fit), which is why the grid is the state; the Gumbel
+    * parameters divide out at read time through the SAME
+    * Timeseries.gumbelOf fold the batch op routes through. */
+  def hourlyGrid(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"),
+        hour(col("ts")).cast("long").as("hh"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Read-time Gumbel block-maxima projection over an [[hourlyGrid]]. */
+  def gumbelOf(grid: DataFrame): DataFrame =
+    graft.ops.Timeseries.gumbelOf(grid)
+
   /** Streaming token-budget quality grid (s_token_budget_trim) — the
     * incremental face of batch q_token_budget_trim: each arriving
     * document's quality floors onto the ×10⁴ lattice IN-ROW (the

@@ -351,6 +351,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_gumbel_maxima's streamed hourly grid reproduces the batch extreme-value fit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("event_type"))
+      .as[(java.sql.Timestamp, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.hourlyGrid(in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("t_hourly").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_hourly"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.gumbelOf(grid)) ===
+        rows1(SparkEntry.queries("q_gumbel_maxima")(spark, sfDir)),
+        "read-time Gumbel fit over the incremental hourly grid must equal the batch op")
+    }
+  }
+
   test("s_token_budget_trim's streamed quality grid reproduces the batch planning readout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
