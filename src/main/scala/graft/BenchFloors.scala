@@ -302,6 +302,7 @@ object BenchFloors {
     "q_vocab_coverage" -> 0.224, // r14 post-rewrite harvest (TopKStrAgg single-pass form)
     "q_weighted_median" -> 1.125,
     "q_welch_t" -> 0.068,
+    "q_wilcoxon_signed" -> 0.604, // r14 TimeQuery warm-min harvest
     "q_wilson_lb" -> 0.236,
     "q_win_distinct" -> 0.052,
     "q_win_distinct_hll" -> 0.053,

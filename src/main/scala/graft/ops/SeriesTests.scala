@@ -165,6 +165,46 @@ object SeriesTests {
       .orderBy("type_a", "type_b")
   }
 
+  /** The Wilcoxon signed-rank fold over a daily (event_type, x, y)
+    * count frame — ONE home shared by batch q_wilcoxon_signed and the
+    * s_wilcoxon streaming read-time view (the fourth face of
+    * streaming.Streams.dailyGrid). Pairs every type pair BY DAY over
+    * the zero-filled dense grid (the Friedman block move — a day one
+    * type skipped is a 0, not a dropped pair), drops zero differences
+    * (standard treatment), ranks |d| with exact 2·avgrank ints, and
+    * applies the tie-corrected normal approximation. */
+  private[graft] def wilcoxonOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val a = grid.select(col("event_type").as("type_a"), col("x"), col("y").as("ya"))
+    val b = grid.select(col("event_type").as("type_b"), col("x"), col("y").as("yb"))
+    val nz = a.join(b, Seq("x")).filter(col("type_a") < col("type_b"))
+      .withColumn("d", col("ya") - col("yb"))
+      .filter(col("d") =!= 0)
+      .withColumn("ad", abs(col("d")))
+      .transform(Q.snapshot)
+    val wp = Window.partitionBy("type_a", "type_b")
+    val r2 = (lit(2) * rank().over(wp.orderBy("ad")) +
+      count(lit(1)).over(Window.partitionBy("type_a", "type_b", "ad")) - 1).cast("long")
+    val t = nz.withColumn("r2", r2)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2"))
+    val ties = nz.groupBy("type_a", "type_b", "ad").agg(count(lit(1)).as("t"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    val n = col("n")
+    val varW = n.cast("double") * (n + 1) * (lit(2) * n + 1) / 24.0 -
+      col("tie").cast("double") / 48.0
+    t.join(ties, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), n.as("n_nonzero"),
+        (col("w2").cast("double") / 2).as("w_plus"),
+        when(n >= 1 && varW > 0,
+          Q.r6((col("w2").cast("double") / 2 - n.cast("double") * (n + 1) / 4) /
+            sqrt(varW))).as("z"))
+      .orderBy("type_a", "type_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Wald–Wolfowitz runs test on the SIGNS of day-over-day volume
@@ -849,6 +889,53 @@ object SeriesTests {
          |WHERE a.event_type < b.event_type
          |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
       nemenyiOf(Inference.dailyCounts(s, d))
+    },
+
+    // Wilcoxon signed-rank per type pair, paired BY DAY (round 14) —
+    // the paired complement of q_mann_whitney's independent-samples
+    // rank test: "on the same days, does type A systematically out-log
+    // type B", robust to the shared daily level both ride. Pairs come
+    // from the zero-filled dense grid (the Friedman block move — a day
+    // one type skipped is a 0, not a dropped pair); zero differences
+    // drop (standard); |d| ranks are exact 2·avgrank ints; the normal
+    // approximation carries the Σ(t³−t)/48 tie correction. Shape: the
+    // grid self-join on the day key, then bounded (|types|²·|days|)
+    // frames with pair-partitioned windows only.
+    Q("q_wilcoxon_signed",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |             CAST(a.y - b.y AS BIGINT) AS d
+         |      FROM grid a JOIN grid b
+         |        ON a.x = b.x AND a.event_type < b.event_type),
+         |nz AS (SELECT type_a, type_b, d, abs(d) AS ad FROM p WHERE d <> 0),
+         |r AS (SELECT type_a, type_b, d,
+         |             CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY ad)
+         |               + count(*) OVER (PARTITION BY type_a, type_b, ad) - 1
+         |               AS BIGINT) AS r2
+         |      FROM nz),
+         |t AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2
+         |      FROM r GROUP BY 1, 2),
+         |tt AS (SELECT type_a, type_b, CAST(sum(t * t * t - t) AS BIGINT) AS tie
+         |       FROM (SELECT type_a, type_b, ad, CAST(count(*) AS BIGINT) AS t
+         |             FROM nz GROUP BY 1, 2, 3) GROUP BY 1, 2)
+         |SELECT t.type_a, t.type_b, t.n AS n_nonzero,
+         |       CAST(t.w2 AS DOUBLE) / 2 AS w_plus,
+         |       CASE WHEN t.n >= 1 AND
+         |                 CAST(t.n AS DOUBLE) * (t.n + 1) * (2 * t.n + 1) / 24.0
+         |                   - CAST(tt.tie AS DOUBLE) / 48.0 > 0 THEN
+         |         ${Q.sqlR6("(CAST(t.w2 AS DOUBLE) / 2 - CAST(t.n AS DOUBLE) * (t.n + 1) / 4) / " +
+                   "sqrt(CAST(t.n AS DOUBLE) * (t.n + 1) * (2 * t.n + 1) / 24.0 " +
+                   "- CAST(tt.tie AS DOUBLE) / 48.0)")}
+         |       END AS z
+         |FROM t JOIN tt ON t.type_a = tt.type_a AND t.type_b = tt.type_b
+         |ORDER BY t.type_a, t.type_b""".stripMargin) { (s, d) =>
+      wilcoxonOf(Inference.dailyCounts(s, d))
     },
 
     // Tukey HSD post-hoc screen: the studentized-range statistic

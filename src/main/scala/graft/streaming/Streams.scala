@@ -1105,6 +1105,10 @@ object Streams {
   def nemenyiOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.nemenyiOf(grid)
 
+  /** Read-time Wilcoxon signed-rank projection over a [[dailyGrid]]. */
+  def wilcoxonOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.wilcoxonOf(grid)
+
   /** Streaming hourly count grid — the mergeable (type, day, hour,
     * count) state behind the s_gumbel_maxima read-time face: a plain
     * streaming groupBy on the batch day index + hour, bounded by

@@ -978,6 +978,28 @@ class CurationSeriesSpec extends SparkSpec {
       r6(1 - math.exp(-math.exp(-(2 * m - mu) / beta))))
   }
 
+  test("q_wilcoxon_signed: dominant pairs hit the max W+; symmetric alternation reads z = 0") {
+    val dom = eventsDir(Seq("hi", "lo"), 4, {
+      case ("hi", d) => 2 * (d + 1) // 2,4,6,8
+      case (_, d) => d + 1          // 1,2,3,4 → d = 1,2,3,4 all positive
+    })
+    val r = q("q_wilcoxon_signed", dom).head()
+    assert(r.getAs[String]("type_a") === "hi" && r.getAs[String]("type_b") === "lo")
+    assert(r.getAs[Long]("n_nonzero") === 4L)
+    assert(r.getAs[Double]("w_plus") === 10.0, "all four ranks positive: W+ = n(n+1)/2")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("z") === r6(5.0 / math.sqrt(7.5)))
+    val sym = eventsDir(Seq("alt", "flat"), 4, {
+      case ("alt", d) => if (d % 2 == 0) 2 else 1
+      case (_, d) => if (d % 2 == 0) 1 else 2 // d = +1,−1,+1,−1
+    })
+    val rs = q("q_wilcoxon_signed", sym).head()
+    assert(rs.getAs[Long]("n_nonzero") === 4L)
+    assert(rs.getAs[Double]("w_plus") === 5.0, "two of four tied ranks (avg 2.5) positive")
+    assert(rs.getAs[Double]("z") === 0.0,
+      "W+ at its expectation must read exactly zero through the tie-corrected variance")
+  }
+
   test("q_nelson_aalen: planted lifetimes give exact hazard terms and FH survival") {
     // lives 1h,2h (group irrelevant here),10h,11h churned + a censored
     // sentinel (life 20h, holds the horizon): risk sets 5,4,3,2

@@ -1043,8 +1043,9 @@ class PlanAuditSpec extends SparkSpec {
       // bounded (lang, q4) quality grid
       "q_jonckheere", "q_token_budget_trim",
       // q_nemenyi rides q_friedman's day-partitioned rank windows over
-      // the dense grid; q_gumbel_maxima has no window at all
-      "q_nemenyi", "q_gumbel_maxima")
+      // the dense grid; q_gumbel_maxima has no window at all;
+      // q_wilcoxon_signed's rank windows partition by the type pair
+      "q_nemenyi", "q_gumbel_maxima", "q_wilcoxon_signed")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>

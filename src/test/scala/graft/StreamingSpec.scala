@@ -323,7 +323,7 @@ class StreamingSpec extends SparkSpec {
     } finally { qR.stop(); qT.stop(); qP.stop(); qG.stop() }
   }
 
-  test("s_daily_grid's one streamed grid reproduces Mood's median, Friedman, and Nemenyi") {
+  test("s_daily_grid's one streamed grid reproduces its four batch screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -348,6 +348,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_friedman")(spark, sfDir)), "Friedman")
       assert(rows1(Streams.nemenyiOf(grid)) ===
         rows1(SparkEntry.queries("q_nemenyi")(spark, sfDir)), "Nemenyi")
+      assert(rows1(Streams.wilcoxonOf(grid)) ===
+        rows1(SparkEntry.queries("q_wilcoxon_signed")(spark, sfDir)), "Wilcoxon")
     }
   }
 
