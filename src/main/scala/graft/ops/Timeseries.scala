@@ -38,6 +38,113 @@ object Timeseries {
     * hash-comparable. */
   private val OrdSql = s"(${Q.sqlEpochSec("ts")} * 100000000 + event_id)"
 
+  /** The Kaplan–Meier fold over a per-user (user_id, fs, ls) lifetime
+    * frame — ONE home shared by batch q_kaplan_meier and the
+    * s_kaplan_meier streaming read-time view
+    * (streaming.Streams.userLifeGrid maintains the frame — min/max ARE
+    * mergeable; the curve is not: the censor horizon te is the global
+    * max, so every arrival can re-censor everyone). */
+  private[graft] def kmOf(uIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val u = Q.snapshot(uIn)
+    val f = u
+      .withColumn("te", max("ls").over(Window.partitionBy()))
+      .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
+        when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+      .groupBy("t_hour")
+      .agg(count(lit(1)).as("m"), sum("churn").as("dd"))
+    val wcum = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
+    f.withColumn("n_risk",
+        sum("m").over(Window.partitionBy()) -
+          coalesce(sum("m").over(wbefore), lit(0L)))
+      .filter(col("dd") > 0)
+      .withColumn("hit0",
+        max(when(col("dd") === col("n_risk"), 1).otherwise(0)).over(wcum))
+      .withColumn("lnsum9",
+        sum(when(col("dd") === col("n_risk"), 0L)
+          .otherwise(floor(log(lit(1.0) - col("dd").cast("double") / col("n_risk")) *
+            lit(1e9) + 0.5).cast("long"))).over(wcum))
+      .select(col("t_hour"), col("n_risk"), col("dd").as("d_events"),
+        when(col("hit0") === 1, lit(0.0))
+          .otherwise(Q.r6(exp(col("lnsum9") / lit(1e9)))).as("survival"))
+      .orderBy("t_hour")
+  }
+
+  /** The Nelson–Aalen fold over the same per-user lifetime frame — ONE
+    * home shared by batch q_nelson_aalen and the s_nelson_aalen
+    * streaming read-time view. */
+  private[graft] def naOf(uIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val u = Q.snapshot(uIn)
+    val f = u
+      .withColumn("te", max("ls").over(Window.partitionBy()))
+      .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
+        when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+      .groupBy("t_hour")
+      .agg(count(lit(1)).as("m"), sum("churn").as("dd"))
+    val wcum = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
+    f.withColumn("n_risk",
+        sum("m").over(Window.partitionBy()) -
+          coalesce(sum("m").over(wbefore), lit(0L)))
+      .filter(col("dd") > 0)
+      .withColumn("h9",
+        sum(floor(col("dd").cast("double") / col("n_risk") * lit(1e9) + 0.5)
+          .cast("long")).over(wcum))
+      .withColumn("v9",
+        sum(floor(col("dd").cast("double") / col("n_risk") / col("n_risk") * lit(1e9) + 0.5)
+          .cast("long")).over(wcum))
+      .select(col("t_hour"), col("n_risk"), col("dd").as("d_events"),
+        Q.r6(col("h9") / lit(1e9)).as("cum_hazard"),
+        Q.r6(col("v9") / lit(1e9)).as("hazard_var"),
+        Q.r6(exp(-(col("h9") / lit(1e9)))).as("survival_fh"))
+      .orderBy("t_hour")
+  }
+
+  /** The log-rank fold over the same per-user lifetime frame — ONE
+    * home shared by batch q_log_rank and the s_log_rank streaming
+    * read-time view. */
+  private[graft] def logRankOf(uIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Q.snapshot(uIn)
+      .withColumn("te", max("ls").over(Window.partitionBy()))
+      .select((col("user_id") % 2).as("grp"), (col("ls") - col("fs")).as("life"),
+        col("te"), col("ls"))
+      .transform(Q.snapshot)
+    val f = w
+      .select(floor(col("life") / 3600.0).cast("long").as("t_hour"),
+        when(col("grp") === 1, 1L).otherwise(0L).as("g1"),
+        when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
+      .groupBy("t_hour")
+      .agg(count(lit(1)).as("m"), sum("g1").as("m1"), sum("churn").as("dd"),
+        sum(col("g1") * col("churn")).as("d1"))
+    val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
+    val r = f
+      .withColumn("n",
+        sum("m").over(Window.partitionBy()) - coalesce(sum("m").over(wbefore), lit(0L)))
+      .withColumn("n1",
+        sum("m1").over(Window.partitionBy()) - coalesce(sum("m1").over(wbefore), lit(0L)))
+      .filter(col("dd") > 0)
+    val p1 = col("n1").cast("double") / col("n")
+    val t = r.agg(sum("dd").as("d_total"), sum("d1").as("o1"),
+      sum(floor(col("n1").cast("double") * col("dd") / col("n") * lit(1e9) + 0.5)
+        .cast("long")).as("e9"),
+      sum(when(col("n") > 1,
+        floor(p1 * (lit(1.0) - p1) * col("dd") * (col("n") - col("dd")) /
+          (col("n") - 1) * lit(1e9) + 0.5).cast("long")).otherwise(0L)).as("v9"))
+    val g = w.agg(count(lit(1)).as("nu"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1u"))
+    t.crossJoin(broadcast(g))
+      .select((col("nu") - col("n1u")).as("n_users_a"), col("n1u").as("n_users_b"),
+        col("d_total").as("d_events"), col("o1").as("observed_b"),
+        Q.r6(col("e9") / lit(1e9)).as("expected_b"),
+        Q.r6(col("v9") / lit(1e9)).as("variance"),
+        when(col("v9") > 0,
+          Q.r6((col("o1") - col("e9") / lit(1e9)) * (col("o1") - col("e9") / lit(1e9)) /
+            (col("v9") / lit(1e9)))).as("chi2"))
+  }
+
   /** The Gumbel block-maxima fold over a (event_type, x, hh, c) hourly
     * count grid — ONE home shared by batch q_gumbel_maxima and the
     * s_gumbel_maxima streaming read-time view
@@ -770,31 +877,9 @@ object Timeseries {
          |       CASE WHEN hit0 = 1 THEN 0.0 ELSE ${Q.sqlR6("exp(lnsum9 / 1e9)")} END AS survival
          |FROM e
          |ORDER BY t_hour""".stripMargin) { (s, d) =>
-      val u = Tables.events(s, d)
+      kmOf(Tables.events(s, d)
         .groupBy("user_id")
-        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
-      val f = u
-        .withColumn("te", max("ls").over(Window.partitionBy()))
-        .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
-          when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
-        .groupBy("t_hour")
-        .agg(count(lit(1)).as("m"), sum("churn").as("dd"))
-      val wcum = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
-      f.withColumn("n_risk",
-          sum("m").over(Window.partitionBy()) -
-            coalesce(sum("m").over(wbefore), lit(0L)))
-        .filter(col("dd") > 0)
-        .withColumn("hit0",
-          max(when(col("dd") === col("n_risk"), 1).otherwise(0)).over(wcum))
-        .withColumn("lnsum9",
-          sum(when(col("dd") === col("n_risk"), 0L)
-            .otherwise(floor(log(lit(1.0) - col("dd").cast("double") / col("n_risk")) *
-              lit(1e9) + 0.5).cast("long"))).over(wcum))
-        .select(col("t_hour"), col("n_risk"), col("dd").as("d_events"),
-          when(col("hit0") === 1, lit(0.0))
-            .otherwise(Q.r6(exp(col("lnsum9") / lit(1e9)))).as("survival"))
-        .orderBy("t_hour")
+        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls")))
     },
 
     // Nelson–Aalen cumulative hazard of user lifetime (round 14) — the
@@ -838,32 +923,9 @@ object Timeseries {
          |       ${Q.sqlR6("exp(-(h9 / 1e9))")} AS survival_fh
          |FROM e
          |ORDER BY t_hour""".stripMargin) { (s, d) =>
-      val u = Tables.events(s, d)
+      naOf(Tables.events(s, d)
         .groupBy("user_id")
-        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
-      val f = u
-        .withColumn("te", max("ls").over(Window.partitionBy()))
-        .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
-          when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
-        .groupBy("t_hour")
-        .agg(count(lit(1)).as("m"), sum("churn").as("dd"))
-      val wcum = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
-      f.withColumn("n_risk",
-          sum("m").over(Window.partitionBy()) -
-            coalesce(sum("m").over(wbefore), lit(0L)))
-        .filter(col("dd") > 0)
-        .withColumn("h9",
-          sum(floor(col("dd").cast("double") / col("n_risk") * lit(1e9) + 0.5)
-            .cast("long")).over(wcum))
-        .withColumn("v9",
-          sum(floor(col("dd").cast("double") / col("n_risk") / col("n_risk") * lit(1e9) + 0.5)
-            .cast("long")).over(wcum))
-        .select(col("t_hour"), col("n_risk"), col("dd").as("d_events"),
-          Q.r6(col("h9") / lit(1e9)).as("cum_hazard"),
-          Q.r6(col("v9") / lit(1e9)).as("hazard_var"),
-          Q.r6(exp(-(col("h9") / lit(1e9)))).as("survival_fh"))
-        .orderBy("t_hour")
+        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls")))
     },
 
     // Log-rank (Mantel–Cox) two-group survival comparison (round 14) —
@@ -922,45 +984,9 @@ object Timeseries {
          |         ${Q.sqlR6("(t.o1 - t.e9 / 1e9) * (t.o1 - t.e9 / 1e9) / (t.v9 / 1e9)")}
          |       END AS chi2
          |FROM t, g""".stripMargin) { (s, d) =>
-      val u = Tables.events(s, d)
+      logRankOf(Tables.events(s, d)
         .groupBy("user_id")
-        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls"))
-      val w = u
-        .withColumn("te", max("ls").over(Window.partitionBy()))
-        .select((col("user_id") % 2).as("grp"), (col("ls") - col("fs")).as("life"),
-          col("te"), col("ls"))
-        .transform(Q.snapshot)
-      val f = w
-        .select(floor(col("life") / 3600.0).cast("long").as("t_hour"),
-          when(col("grp") === 1, 1L).otherwise(0L).as("g1"),
-          when(col("te") - col("ls") > 43200, 1L).otherwise(0L).as("churn"))
-        .groupBy("t_hour")
-        .agg(count(lit(1)).as("m"), sum("g1").as("m1"), sum("churn").as("dd"),
-          sum(col("g1") * col("churn")).as("d1"))
-      val wbefore = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, -1)
-      val r = f
-        .withColumn("n",
-          sum("m").over(Window.partitionBy()) - coalesce(sum("m").over(wbefore), lit(0L)))
-        .withColumn("n1",
-          sum("m1").over(Window.partitionBy()) - coalesce(sum("m1").over(wbefore), lit(0L)))
-        .filter(col("dd") > 0)
-      val p1 = col("n1").cast("double") / col("n")
-      val t = r.agg(sum("dd").as("d_total"), sum("d1").as("o1"),
-        sum(floor(col("n1").cast("double") * col("dd") / col("n") * lit(1e9) + 0.5)
-          .cast("long")).as("e9"),
-        sum(when(col("n") > 1,
-          floor(p1 * (lit(1.0) - p1) * col("dd") * (col("n") - col("dd")) /
-            (col("n") - 1) * lit(1e9) + 0.5).cast("long")).otherwise(0L)).as("v9"))
-      val g = w.agg(count(lit(1)).as("nu"),
-        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1u"))
-      t.crossJoin(broadcast(g))
-        .select((col("nu") - col("n1u")).as("n_users_a"), col("n1u").as("n_users_b"),
-          col("d_total").as("d_events"), col("o1").as("observed_b"),
-          Q.r6(col("e9") / lit(1e9)).as("expected_b"),
-          Q.r6(col("v9") / lit(1e9)).as("variance"),
-          when(col("v9") > 0,
-            Q.r6((col("o1") - col("e9") / lit(1e9)) * (col("o1") - col("e9") / lit(1e9)) /
-              (col("v9") / lit(1e9)))).as("chi2"))
+        .agg(min(Q.epochSec(col("ts"))).as("fs"), max(Q.epochSec(col("ts"))).as("ls")))
     },
 
     // Goh–Barabási burstiness of inter-event times per event type

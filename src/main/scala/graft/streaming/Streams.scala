@@ -1127,6 +1127,31 @@ object Streams {
   def gumbelOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.gumbelOf(grid)
 
+  /** Streaming per-user lifetime frame — the mergeable (user_id, fs,
+    * ls) state behind the three survival read-time faces
+    * (s_kaplan_meier / s_nelson_aalen / s_log_rank): first/last-seen
+    * are plain min/max — mergeable forever — while NO survival curve
+    * is mergeable state, because the censor horizon is the GLOBAL max
+    * last-seen: every arriving event can re-censor every user. The
+    * curves divide out at read time through the SAME Timeseries
+    * kmOf/naOf/logRankOf folds the batch ops route through. State is
+    * user-keyed (the s_new_returning bound — |users| rows of two
+    * longs). */
+  def userLifeGrid(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(min(unix_timestamp(col("ts"))).as("fs"),
+        max(unix_timestamp(col("ts"))).as("ls"))
+
+  /** Read-time Kaplan–Meier projection over a [[userLifeGrid]]. */
+  def kmOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.kmOf(grid)
+
+  /** Read-time Nelson–Aalen projection over a [[userLifeGrid]]. */
+  def naOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.naOf(grid)
+
+  /** Read-time log-rank projection over a [[userLifeGrid]]. */
+  def logRankOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.logRankOf(grid)
+
   /** Streaming token-budget quality grid (s_token_budget_trim) — the
     * incremental face of batch q_token_budget_trim: each arriving
     * document's quality floors onto the ×10⁴ lattice IN-ROW (the

@@ -353,6 +353,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_user_life's one streamed frame reproduces the three batch survival screens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("user_id"))
+      .as[(java.sql.Timestamp, Long)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streams.userLifeGrid(in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("t_ulife").outputMode("complete").start()
+    withQuery(q) {
+      // split mid-stream: a user's min/max must MERGE across batches —
+      // and the censor horizon must re-price once the last chunk lands
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_ulife"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.kmOf(grid)) ===
+        rows1(SparkEntry.queries("q_kaplan_meier")(spark, sfDir)), "Kaplan-Meier")
+      assert(rows1(Streams.naOf(grid)) ===
+        rows1(SparkEntry.queries("q_nelson_aalen")(spark, sfDir)), "Nelson-Aalen")
+      assert(rows1(Streams.logRankOf(grid)) ===
+        rows1(SparkEntry.queries("q_log_rank")(spark, sfDir)), "log-rank")
+    }
+  }
+
   test("s_gumbel_maxima's streamed hourly grid reproduces the batch extreme-value fit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
