@@ -73,6 +73,7 @@ object BenchFloors {
     "q_corpus_yield" -> 0.221,
     "q_corr_matrix" -> 0.167,
     "q_countmin_err" -> 0.429, // r14 TimeQuery warm-min harvest
+    "q_cramer_von_mises" -> 0.459, // r14 TimeQuery warm-min harvest
     "q_cramers_v" -> 0.084,
     "q_cross_doc_ngram" -> 0.523,
     "q_cuped" -> 0.081,

@@ -158,6 +158,57 @@ object Statistics {
           Q.r6((jStat - mu) / sqrt(varj / lit(72.0)))).as("z"))
   }
 
+  /** The Kolmogorov–Smirnov fold over a (v100, c1, c2) cents-grid
+    * count frame — ONE home shared by batch q_ks_test and the
+    * s_ks_test streaming read-time view (streaming.Streams.ksCells
+    * maintains the grid incrementally; the max-gap statistic is not
+    * mergeable — the cell counts are). Sample sizes are whole-frame
+    * window aggregates over the bounded distinct-cents frame. */
+  private[graft] def ksOf(cellsIn: DataFrame): DataFrame = {
+    // no snapshot here: the grid feeds ONE window chain, and batch
+    // q_ks_test's plan audit must see the v100 aggregate under the
+    // single-partition exchange (a lineage cut would hide it); the
+    // streaming call site snapshots its memory table before the fold
+    val c = cellsIn
+    val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.withColumn("r1", sum("c1").over(wv))
+      .withColumn("r2", sum("c2").over(wv))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+      .withColumn("dev", abs(col("r1") * col("n2") - col("r2") * col("n1")))
+      .withColumn("rn", row_number().over(Window.orderBy(col("dev").desc, col("v100"))))
+      .filter(col("rn") === 1)
+      .select(col("n1"), col("n2"),
+        Q.r6(col("dev").cast("double") / (col("n1") * col("n2"))).as("ks_d"),
+        (col("v100").cast("double") / 100).as("at_value"))
+  }
+
+  /** The Cramér–von Mises fold over the same (v100, c1, c2) grid —
+    * ONE home shared by batch q_cramer_von_mises and the
+    * s_cramer_von_mises streaming read-time view. Each pooled
+    * observation's squared ECDF gap is integer-scaled to 1e-9 BEFORE
+    * the cross-cell sum (order-free int64; per-term ≤ cell count —
+    * OverflowHeadroomSpec row). */
+  private[graft] def cvmOf(cellsIn: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val c = cellsIn
+    val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = c.withColumn("r1", sum("c1").over(wv))
+      .withColumn("r2", sum("c2").over(wv))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+    val gap = (col("r1") * col("n2") - col("r2") * col("n1")).cast("double") /
+      (col("n1").cast("double") * col("n2"))
+    val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
+      sum(floor((col("c1") + col("c2")) * gap * gap * lit(1e9) + 0.5)
+        .cast("long")).as("t9"))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6(col("n1").cast("double") * col("n2") /
+          ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2"))) *
+          (col("t9") / lit(1e9)))).as("t_stat"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Per-type linear trend of daily event volume: ordinary least
@@ -557,18 +608,52 @@ object Statistics {
           when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
       // single scan: sample sizes are whole-frame window aggregates over
       // the bounded distinct-cents frame — no re-aggregated totals join
-      val c = v.groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
-      val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.withColumn("r1", sum("c1").over(wv))
-        .withColumn("r2", sum("c2").over(wv))
-        .withColumn("n1", sum("c1").over(Window.partitionBy()))
-        .withColumn("n2", sum("c2").over(Window.partitionBy()))
-        .withColumn("dev", abs(col("r1") * col("n2") - col("r2") * col("n1")))
-        .withColumn("rn", row_number().over(Window.orderBy(col("dev").desc, col("v100"))))
-        .filter(col("rn") === 1)
-        .select(col("n1"), col("n2"),
-          Q.r6(col("dev").cast("double") / (col("n1") * col("n2"))).as("ks_d"),
-          (col("v100").cast("double") / 100).as("at_value"))
+      ksOf(v.groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2")))
+    },
+
+    // Cramér–von Mises two-sample statistic on q_ks_test's exact cents
+    // grid (round 14) — the INTEGRATED complement of KS's max gap:
+    // T = n1·n2/N² · Σ over pooled observations of (F1−F2)², sensitive
+    // to distribution-wide drift a single extreme cell can't dominate
+    // (and that KS's supremum rewards). Each pooled observation's
+    // squared ECDF gap floors onto the 1e-9 lattice BEFORE the
+    // cross-cell sum, so the reduction is order-free int64; the gap
+    // itself is the exact int64 cross-product (r1·n2 − r2·n1) under
+    // ONE division. Shape identical to q_ks_test: one scan, a bounded
+    // distinct-cents frame, whole-frame window totals.
+    Q("q_cramer_von_mises",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT v100, c1, c2,
+         |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
+         |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
+         |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         |             CAST(sum(c2) OVER () AS BIGINT) AS n2
+         |      FROM c),
+         |g AS (SELECT c1, c2, n1, n2,
+         |             CAST(r1 * n2 - r2 * n1 AS DOUBLE) /
+         |               (CAST(n1 AS DOUBLE) * n2) AS gap
+         |      FROM r),
+         |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         |             CAST(sum(CAST(floor((c1 + c2) * gap * gap * 1e9 + 0.5)
+         |               AS BIGINT)) AS BIGINT) AS t9
+         |      FROM g)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |         ${Q.sqlR6("CAST(n1 AS DOUBLE) * n2 / " +
+                   "(CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) * (t9 / 1e9)")}
+         |       END AS t_stat
+         |FROM t""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+      cvmOf(v.groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2")))
     },
 
     // One-way ANOVA of event value across event types (round 10) — does

@@ -46,7 +46,10 @@ object Timeseries {
     * max, so every arrival can re-censor everyone). */
   private[graft] def kmOf(uIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val u = Q.snapshot(uIn)
+    // no snapshot: one window chain reads the frame, and the plan
+    // audit must see the user_id aggregate under the single-partition
+    // exchange; streaming call sites snapshot their memory table first
+    val u = uIn
     val f = u
       .withColumn("te", max("ls").over(Window.partitionBy()))
       .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
@@ -76,7 +79,8 @@ object Timeseries {
     * streaming read-time view. */
   private[graft] def naOf(uIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val u = Q.snapshot(uIn)
+    // single chain — same no-snapshot rationale as [[kmOf]]
+    val u = uIn
     val f = u
       .withColumn("te", max("ls").over(Window.partitionBy()))
       .select(floor((col("ls") - col("fs")) / 3600.0).cast("long").as("t_hour"),
@@ -107,7 +111,11 @@ object Timeseries {
     * read-time view. */
   private[graft] def logRankOf(uIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val w = Q.snapshot(uIn)
+    // no outer snapshot (single consumer up to the projection; the
+    // audit must see the user_id aggregate under the te window); the
+    // INNER snapshot stays — w genuinely feeds two consumers (the
+    // death-hour grid and the group-size agg)
+    val w = uIn
       .withColumn("te", max("ls").over(Window.partitionBy()))
       .select((col("user_id") % 2).as("grp"), (col("ls") - col("fs")).as("life"),
         col("te"), col("ls"))

@@ -1143,6 +1143,28 @@ object Streams {
       .agg(min(unix_timestamp(col("ts"))).as("fs"),
         max(unix_timestamp(col("ts"))).as("ls"))
 
+  /** Streaming two-sample cents grid — the mergeable (v100, c1, c2)
+    * state behind the s_ks_test and s_cramer_von_mises read-time
+    * faces: a plain streaming groupBy on the cent lattice, bounded by
+    * the value domain. Neither statistic is mergeable (a new cell
+    * shifts every cumulative ECDF above it); both divide out at read
+    * time through the SAME Statistics.ksOf/cvmOf folds the batch
+    * queries route through. */
+  def ksCells(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+      .groupBy("v100")
+      .agg(sum("g1").as("c1"), sum("g2").as("c2"))
+
+  /** Read-time Kolmogorov–Smirnov projection over a [[ksCells]] grid. */
+  def ksOf(grid: DataFrame): DataFrame = graft.ops.Statistics.ksOf(grid)
+
+  /** Read-time Cramér–von Mises projection over a [[ksCells]] grid. */
+  def cvmOf(grid: DataFrame): DataFrame = graft.ops.Statistics.cvmOf(grid)
+
   /** Read-time Kaplan–Meier projection over a [[userLifeGrid]]. */
   def kmOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.kmOf(grid)
 

@@ -978,6 +978,32 @@ class CurationSeriesSpec extends SparkSpec {
       r6(1 - math.exp(-math.exp(-(2 * m - mu) / beta))))
   }
 
+  test("q_cramer_von_mises: separated samples read T = 1/2; identical samples read 0") {
+    import spark.implicits._
+    def mk(prefix: String, vals: Seq[(String, Double)]): String = {
+      val dir = tempDir(prefix)
+      vals.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, "2024-01-10 12:00:00", i.toLong, t, v)
+      }.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // all purchase mass below all click mass: the one interior pooled
+    // cell carries gap = 1 for its 2 observations → t9 = 2e9,
+    // T = (2·2/4²)·2 = 1/2
+    val sep = mk("cs_cvm_sep", Seq(("purchase", 1.0), ("purchase", 1.0),
+      ("click", 2.0), ("click", 2.0)))
+    val r = q("q_cramer_von_mises", sep).head()
+    assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Double]("t_stat") === 0.5)
+    // identical distributions: every cumulative gap is exactly zero
+    val same = mk("cs_cvm_same", Seq(("purchase", 1.0), ("purchase", 2.0),
+      ("click", 1.0), ("click", 2.0)))
+    assert(q("q_cramer_von_mises", same).head().getAs[Double]("t_stat") === 0.0)
+  }
+
   test("q_wilcoxon_signed: dominant pairs hit the max W+; symmetric alternation reads z = 0") {
     val dom = eventsDir(Seq("hi", "lo"), 4, {
       case ("hi", d) => 2 * (d + 1) // 2,4,6,8

@@ -181,6 +181,27 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("c") * 3.34e6))
       })),
 
+    Site("q_cramer_von_mises", "1e9", "t9 = Σ(c1+c2)·gap²·1e9 (gap ≤ 1)",
+      "linear (Σ terms ≤ pooled N = 2·evN/5)", 1000.0,
+      sf => 1e9 * evN(sf) + 1e5,
+      Some((s, d) => dmax {
+        val v = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+          .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+        val wv = Window.orderBy("v100")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = v.withColumn("r1", sum("c1").over(wv))
+          .withColumn("r2", sum("c2").over(wv))
+          .withColumn("n1", sum("c1").over(Window.partitionBy()))
+          .withColumn("n2", sum("c2").over(Window.partitionBy()))
+        val gap = (col("r1") * col("n2") - col("r2") * col("n1")).cast("double") /
+          (col("n1").cast("double") * col("n2"))
+        e.agg(sum(abs((col("c1") + col("c2")) * gap * gap * 1e9)))
+      })),
+
     Site("q_nelson_aalen", "1e9", "running h9 = Σ d/n·1e9 (v9 = Σ d/n² is smaller)",
       "log (each term ≤ 1; ≤ |hours| ≈ 2400 death-hour terms)", 1e6,
       _ => 1e9 * 2400 + 1e5,
@@ -637,7 +658,14 @@ class OverflowHeadroomSpec extends SparkSpec {
       "Pricing.scala" -> "q_revenue_bridge",
       // SeriesTests.tukeyOf carries the shared s²/n lattice (batch
       // q_tukey_hsd + the s_tukey_hsd read-time view) above the Q blocks
-      "SeriesTests.scala" -> "q_tukey_hsd")
+      "SeriesTests.scala" -> "q_tukey_hsd",
+      // Timeseries.kmOf/naOf/logRankOf share the survival-grid 1e9
+      // lattices audited under the q_kaplan_meier / q_nelson_aalen /
+      // q_log_rank Site rows (same fold, batch + streaming faces)
+      "Timeseries.scala" -> "q_kaplan_meier",
+      // Statistics.cvmOf carries the 1e-9 squared-ECDF-gap lattice
+      // audited under the q_cramer_von_mises Site row
+      "Statistics.scala" -> "q_cramer_von_mises")
     val flagged = Files.list(opsDir).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val src = new String(Files.readAllBytes(p))

@@ -1045,7 +1045,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_nemenyi rides q_friedman's day-partitioned rank windows over
       // the dense grid; q_gumbel_maxima has no window at all;
       // q_wilcoxon_signed's rank windows partition by the type pair
-      "q_nemenyi", "q_gumbel_maxima", "q_wilcoxon_signed")
+      "q_nemenyi", "q_gumbel_maxima", "q_wilcoxon_signed",
+      // q_cramer_von_mises' global ECDF windows ride q_ks_test's
+      // bounded distinct-cents frame (grouped by v100, a domain key)
+      "q_cramer_von_mises")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>

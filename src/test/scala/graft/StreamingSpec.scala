@@ -353,6 +353,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_ks_cells' one streamed grid reproduces the KS and Cramér-von Mises batch screens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.ksCells(in.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("t_kscells").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_kscells"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.ksOf(grid)) ===
+        rows1(SparkEntry.queries("q_ks_test")(spark, sfDir)), "KS")
+      assert(rows1(Streams.cvmOf(grid)) ===
+        rows1(SparkEntry.queries("q_cramer_von_mises")(spark, sfDir)), "CvM")
+    }
+  }
+
   test("s_user_life's one streamed frame reproduces the three batch survival screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
