@@ -4,32 +4,36 @@ object Bench {
 
   /** Pure selection half of renderTop: which (name, time) entries the
     * driver-parsed line reports at budget k for this roundIdx.
-    * Failures always; then the most expensive queries; then a rotating
-    * window of the remaining pool, keyed off roundIdx (= committed
-    * BENCH file count, +1 per round). The top-slot count is CAPPED at
-    * (3k − N − 2·fails)/2 — never more than k/2 — which sizes the
-    * rotating window to at least ⌈pool/3⌉, so under STABLE membership
-    * (same top/fail sets across the rounds) three consecutive rounds
-    * cycle the entire pool — fixing r10's frozen-tail blind spot and
-    * r11's 4-round cycle at the 221-query surface. Scope of the
-    * guarantee: per-round timing churn can hop boundary queries
-    * between `top` and the pool, shifting pool indices, so a query CAN
-    * evade the window longer on a noisy box — BenchRotationSpec's
-    * property proves the stable-membership bound, and its
-    * BENCH-history test is the retrospective backstop that catches any
-    * real starvation one round later. The bound degrades once
-    * N > 3k − 2·fails (≈300 queries at today's k=100) — at which point
-    * the spec fails loudly and the render budget itself needs
-    * rethinking, not just the split. */
+    * The most expensive queries always; then a rotating window of the
+    * remaining pool, keyed off roundIdx (= committed BENCH file count,
+    * +1 per round). Failed queries are NOT kept here — they ride the
+    * line's errors{} section, which driver-side key extraction reads
+    * the same way (the r14 renegotiation at the 308-query surface:
+    * rendering a failure BOTH as a null queries entry and as an errors
+    * entry double-spent ~17 line chars AND a kept slot each, and five
+    * persistent failures starved the rotation below its 4-round
+    * horizon). The top-slot count is CAPPED at (4k − N + fails − 35)/3
+    * — never more than k/2 — which sizes the rotating window to at
+    * least ⌈pool/4⌉ + 8 slack, so the G-quarter grid below covers the
+    * pool in at most FOUR consecutive rounds even as realized width
+    * fluctuates ±8. Scope of the guarantee: per-round timing churn can
+    * hop boundary queries between `top` and the pool, shifting pool
+    * indices, so a query CAN evade the window longer on a noisy box —
+    * BenchRotationSpec's property proves the stable-membership bound,
+    * and its BENCH-history test is the retrospective backstop that
+    * catches any real starvation one round later. The bound degrades
+    * once N − fails > 4·(k − 8) (≈368 queries at today's k=100) — at
+    * which point the spec fails loudly and the render budget itself
+    * needs rethinking, not just the split. */
   private[graft] def keptNames(runs: Seq[(String, Either[String, Double])], k: Int,
                                roundIdx: Int): Seq[(String, Either[String, Double])] = {
     val fails = runs.filter(_._2.isLeft)
     val topCap = math.max(0,
-      math.min(k / 2, (3 * k - runs.length - 2 * fails.length) / 2))
+      math.min(k / 2, (4 * k - runs.length + fails.length - 35) / 3))
     val top = runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(topCap)
     val topNames = (fails ++ top).map(_._1).toSet
     val pool = runs.filter(r => !topNames.contains(r._1)).sortBy(_._1)
-    val want = math.max(0, k - fails.length - top.length)
+    val want = math.max(0, k - top.length)
     val rotating =
       if (pool.isEmpty || want == 0) Seq.empty
       else {
@@ -50,7 +54,7 @@ object Bench {
         val start = (roundIdx % g) * quarter % pool.length
         (pool.drop(start) ++ pool.take(start)).take(want)
       }
-    fails ++ top ++ rotating
+    top ++ rotating
   }
 
   private[graft] def jstr(s: String): String =
@@ -92,7 +96,8 @@ object Bench {
     }
     def renderTop(k: Int): String = {
       val kept = keptNames(runs, k, roundIdx)
-      val omitted = runs.length - kept.length
+      // failures live in errs, not qs — they are reported, not omitted
+      val omitted = runs.length - kept.length - errList.length
       val qs = kept.map { case (n, v) =>
         jstr(n.stripPrefix("q_")) + ":" + v.fold(_ => "null", fmt(_, 1))
       }.mkString("{", ",", "}")
