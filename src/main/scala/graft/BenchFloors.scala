@@ -34,6 +34,7 @@ object BenchFloors {
     "q_agg_rollup" -> 0.177,
     "q_agg_stats" -> 0.149,
     "q_agg_weighted" -> 0.169,
+    "q_anderson_darling" -> 0.212, // r14 TimeQuery warm-min harvest
     "q_anomaly" -> 0.248,
     "q_anova" -> 0.087,
     "q_ar1" -> 0.212,
@@ -62,6 +63,7 @@ object BenchFloors {
     "q_chow" -> 0.541, // r14 TimeQuery warm-min harvest
     "q_chunk_cdc" -> 0.444,
     "q_churn" -> 0.342,
+    "q_cliffs_delta" -> 0.192, // r14 TimeQuery warm-min harvest
     "q_cochran_q" -> 0.262, // r14 TimeQuery warm-min harvest
     "q_cohens_d" -> 0.095,
     "q_cohens_kappa" -> 0.727, // r14 TimeQuery warm-min harvest
@@ -221,6 +223,7 @@ object BenchFloors {
     "q_partial_corr" -> 0.122,
     "q_pca_power" -> 0.103,
     "q_peak_detection" -> 0.143,
+    "q_periodogram" -> 0.708, // r14 TimeQuery warm-min harvest
     "q_pettitt" -> 0.416, // r14 extension harvest (TimeQuery warm-min, sf0.1)
     "q_pivot" -> 0.087,
     "q_poisson_dispersion" -> 0.138, // r13 first harvest
@@ -301,6 +304,7 @@ object BenchFloors {
     "q_unpivot" -> 0.078,
     "q_variance_ratio" -> 0.101, // r13 TimeQuery warm-min harvest
     "q_vocab_coverage" -> 0.224, // r14 post-rewrite harvest (TopKStrAgg single-pass form)
+    "q_wasserstein_1d" -> 0.204, // r14 TimeQuery warm-min harvest
     "q_weighted_median" -> 1.125,
     "q_welch_t" -> 0.068,
     "q_wilcoxon_signed" -> 0.604, // r14 TimeQuery warm-min harvest

@@ -1528,6 +1528,102 @@ object SeriesTests {
         .select(col("n").as("n_days"), col("k").as("n_types"),
           Q.r6(lStat).as("l_stat"),
           when(col("k") >= 3 && col("n") >= 1, Q.r6((lStat - mu) / sg)).as("z"))
+    },
+
+    // Per-type periodogram over the daily count series (round 14): the
+    // SPECTRAL complement of q_seasonality/q_acf — scan candidate
+    // periods p = 2..14 days and report the one carrying the most
+    // variance, plus the fraction it carries (1.0 = a pure sinusoid at
+    // that period, ~0 = white noise). Exactness: the dense grid's
+    // scaled residuals r = D·y − T are exact int64; cos/sin weights
+    // floor onto the 1e-6 lattice per (p, residue) angle — 104 fixed
+    // rational angles, none within 1e-3 of a rounding boundary
+    // (CurationSeriesSpec guards this), so both engines lattice
+    // identically — and A = Σ sr·c6, B = Σ sr·s6 are order-free int64
+    // folds. The residue trick makes the scan O(grid·13), never
+    // O(days²): cos(2πd/p) depends only on d mod p, so residue-class
+    // sums collapse the series before any trig touches it.
+    Q("q_periodogram",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+         |              CAST(sum(y) AS BIGINT) AS tt FROM grid GROUP BY 1),
+         |r AS (SELECT g.event_type, g.x, CAST(st.dd * g.y - st.tt AS BIGINT) AS r, st.dd
+         |      FROM grid g JOIN st USING (event_type)),
+         |ss AS (SELECT event_type, CAST(sum(r * r) AS BIGINT) AS ssr FROM r GROUP BY 1),
+         |rs AS (SELECT event_type, dd, p, x % p AS res, CAST(sum(r) AS BIGINT) AS sr
+         |       FROM r CROSS JOIN (SELECT CAST(range AS BIGINT) AS p FROM range(2, 15))
+         |       GROUP BY 1, 2, 3, 4),
+         |w AS (SELECT event_type, dd, p, sr,
+         |             CAST(floor(cos(2 * pi() * res / p) * 1e6 + 0.5) AS BIGINT) AS c6,
+         |             CAST(floor(sin(2 * pi() * res / p) * 1e6 + 0.5) AS BIGINT) AS s6
+         |      FROM rs),
+         |ab AS (SELECT event_type, p, CAST(max(dd) AS BIGINT) AS dd,
+         |              CAST(sum(sr * c6) AS BIGINT) AS a6,
+         |              CAST(sum(sr * s6) AS BIGINT) AS b6
+         |       FROM w GROUP BY 1, 2),
+         |fr AS (SELECT ab.event_type, p, dd, ssr,
+         |              CASE WHEN ssr > 0 THEN
+         |                (CAST(a6 AS DOUBLE) * a6 + CAST(b6 AS DOUBLE) * b6) * 2 /
+         |                  (1e12 * dd * ssr) END AS frac
+         |       FROM ab JOIN ss USING (event_type)),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |                    ORDER BY frac DESC NULLS LAST, p) AS rn FROM fr)
+         |SELECT event_type,
+         |       CASE WHEN ssr > 0 THEN p END AS best_period,
+         |       dd AS n_days,
+         |       CASE WHEN ssr > 0 THEN ${Q.sqlR6("frac")} END AS spectral_frac
+         |FROM top WHERE rn = 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      periodogramOf(Inference.dailyCounts(s, d))
     }
   )
+
+  /** The periodogram fold over a daily (event_type, x, y) count frame —
+    * ONE home shared by batch q_periodogram and the s_periodogram
+    * streaming read-time view (the FIFTH face of Streams.dailyGrid).
+    * The spectrum is not mergeable state — a new day shifts every
+    * residue-class sum — the daily grid is. */
+  private[graft] def periodogramOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val g = grid
+      .withColumn("dd", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("tt", sum("y").over(Window.partitionBy("event_type")))
+      .withColumn("r", col("dd") * col("y") - col("tt"))
+      .transform(Q.snapshot) // two consumers: the residue sums and ssr
+    val ss = g.groupBy("event_type").agg(sum(col("r") * col("r")).as("ssr"))
+    val rs = g
+      .select(col("event_type"), col("dd"), col("x"), col("r"),
+        explode(sequence(lit(2L), lit(14L))).as("p"))
+      .withColumn("res", col("x") % col("p"))
+      .groupBy("event_type", "dd", "p", "res")
+      .agg(sum("r").as("sr"))
+    val ang = lit(2) * lit(math.Pi) * col("res") / col("p")
+    val w = rs.select(col("event_type"), col("dd"), col("p"), col("sr"),
+      floor(cos(ang) * lit(1e6) + 0.5).cast("long").as("c6"),
+      floor(sin(ang) * lit(1e6) + 0.5).cast("long").as("s6"))
+    val ab = w.groupBy("event_type", "p")
+      .agg(max("dd").as("dd"),
+        sum(col("sr") * col("c6")).as("a6"),
+        sum(col("sr") * col("s6")).as("b6"))
+    val fr = ab.join(ss, "event_type")
+      .withColumn("frac",
+        when(col("ssr") > 0,
+          (col("a6").cast("double") * col("a6") +
+            col("b6").cast("double") * col("b6")) * 2 /
+            (lit(1e12) * col("dd") * col("ssr"))))
+    fr.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("frac").desc_nulls_last, col("p"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        when(col("ssr") > 0, col("p")).as("best_period"),
+        col("dd").as("n_days"),
+        when(col("ssr") > 0, Q.r6(col("frac"))).as("spectral_frac"))
+      .orderBy("event_type")
+  }
 }

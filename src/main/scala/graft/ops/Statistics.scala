@@ -209,6 +209,99 @@ object Statistics {
           (col("t9") / lit(1e9)))).as("t_stat"))
   }
 
+  /** The purchase-vs-click cents grid behind the five two-sample
+    * distribution screens (KS / CvM / W1 / AD / Cliff's δ) — ONE home
+    * for the projection + groupBy all five batch queries and the
+    * streaming ksCells state share: the corpus collapses to the
+    * ≤|cents-domain| distinct-value frame in one map-side-partial agg
+    * before any window touches it. */
+  private[graft] def centsGrid(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+      .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+
+  /** The 1-D Wasserstein (earth-mover) fold over the same (v100, c1,
+    * c2) grid — ONE home shared by batch q_wasserstein_1d and the
+    * s_wasserstein streaming read-time view. W1 = ∫|F1−F2| collapses
+    * onto Σ|r1·n2 − r2·n1|·(next_v − v), an EXACT int64 reduction
+    * (each term ≤ n1·n2·cell-width; OverflowHeadroomSpec row) — the
+    * one division happens on the final sum. */
+  private[graft] def w1Of(cellsIn: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val c = cellsIn
+    val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = c.withColumn("r1", sum("c1").over(wv))
+      .withColumn("r2", sum("c2").over(wv))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+      .withColumn("nxt", lead("v100", 1).over(Window.orderBy("v100")))
+    val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
+      coalesce(sum(when(col("nxt").isNotNull,
+        abs(col("r1") * col("n2") - col("r2") * col("n1")) *
+          (col("nxt") - col("v100")))), lit(0L)).as("tw"))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6(col("tw").cast("double") /
+          (col("n1").cast("double") * col("n2") * 100))).as("w1"))
+  }
+
+  /** The two-sample Anderson–Darling fold over the same (v100, c1, c2)
+    * grid — ONE home shared by batch q_anderson_darling and the
+    * s_anderson_darling streaming read-time view. The k=2
+    * Scholz–Stephens cell term collapses onto ONE cross-product:
+    * N·r_a − n_a·B shares |D| = |n2·r1 − n1·r2| for both samples, so
+    * A² = Σ m·D²/(n1·n2·B·(N−B)) over cells below the last (B < N).
+    * D is exact int64 and exact again as a double while |D| < 2^53
+    * (n1·n2 ≤ 9e15 ⇒ sf ≲ 470 — far above the claimed ceiling); each
+    * cell's contribution floors onto the 1e-9 lattice BEFORE the
+    * cross-cell sum (order-free int64; OverflowHeadroomSpec row). */
+  private[graft] def adOf(cellsIn: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val c = cellsIn
+    val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = c.withColumn("r1", sum("c1").over(wv))
+      .withColumn("r2", sum("c2").over(wv))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+    val bb = col("r1") + col("r2")
+    val nn = col("n1") + col("n2")
+    val dd = (col("n2") * col("r1") - col("n1") * col("r2")).cast("double")
+    val contrib = (col("c1") + col("c2")).cast("double") * dd * dd /
+      (col("n1").cast("double") * col("n2") *
+        (bb * (nn - bb)).cast("double"))
+    val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
+      coalesce(sum(when(bb < nn,
+        floor(contrib * lit(1e9) + 0.5).cast("long"))), lit(0L)).as("t9"))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6(col("t9") / lit(1e9))).as("a2"))
+  }
+
+  /** The Cliff's-delta fold over the same (v100, c1, c2) grid — ONE
+    * home shared by batch q_cliffs_delta and the s_cliffs_delta
+    * streaming read-time view. δ = P(X>Y) − P(X<Y) collapses onto
+    * Σ c1·((clicks strictly below) − (clicks strictly above)) — an
+    * EXACT int64 fold (|Σ| ≤ n1·n2), ties contributing zero; the one
+    * division happens on the final sum. */
+  private[graft] def cliffsOf(cellsIn: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val c = cellsIn
+    val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = c.withColumn("r2", sum("c2").over(wv))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+    val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
+      coalesce(sum(col("c1") * ((col("r2") - col("c2")) - (col("n2") - col("r2")))),
+        lit(0L)).as("s"))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6(col("s").cast("double") /
+          (col("n1").cast("double") * col("n2")))).as("delta"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Per-type linear trend of daily event volume: ordinary least
@@ -601,14 +694,9 @@ object Statistics {
          |       ${Q.sqlR6("CAST(dev AS DOUBLE) / (n1 * n2)")} AS ks_d,
          |       CAST(v100 AS DOUBLE) / 100 AS at_value
          |FROM w WHERE rn = 1""".stripMargin) { (s, d) =>
-      val v = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
       // single scan: sample sizes are whole-frame window aggregates over
       // the bounded distinct-cents frame — no re-aggregated totals join
-      ksOf(v.groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2")))
+      ksOf(centsGrid(s, d))
     },
 
     // Cramér–von Mises two-sample statistic on q_ks_test's exact cents
@@ -648,12 +736,115 @@ object Statistics {
                    "(CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) * (t9 / 1e9)")}
          |       END AS t_stat
          |FROM t""".stripMargin) { (s, d) =>
-      val v = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
-      cvmOf(v.groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2")))
+      cvmOf(centsGrid(s, d))
+    },
+
+    // 1-D Wasserstein (earth-mover) distance between the purchase and
+    // click value distributions (round 14) — the METRIC member of the
+    // two-sample family: where KS reads the worst single gap and CvM
+    // the average squared gap, W1 = ∫|F1−F2| dv prices the total mass
+    // × distance that would have to MOVE to equalize the
+    // distributions, in value units. Collapses onto
+    // Σ|r1·n2 − r2·n1|·Δv over consecutive grid cells — an EXACT
+    // int64 fold (no lattice anywhere); the one division happens on
+    // the final sum. Same shape as q_ks_test: one scan, the bounded
+    // distinct-cents frame, whole-frame window totals.
+    Q("q_wasserstein_1d",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT v100,
+         |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
+         |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
+         |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         |             CAST(sum(c2) OVER () AS BIGINT) AS n2,
+         |             lead(v100) OVER (ORDER BY v100) AS nxt
+         |      FROM c),
+         |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         |             CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL
+         |               THEN abs(r1 * n2 - r2 * n1) * (nxt - v100) END), 0) AS BIGINT) AS tw
+         |      FROM r)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |         ${Q.sqlR6("CAST(tw AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2 * 100)")}
+         |       END AS w1
+         |FROM t""".stripMargin) { (s, d) =>
+      w1Of(centsGrid(s, d))
+    },
+
+    // Two-sample Anderson–Darling A² between the purchase and click
+    // value distributions (round 14) — the TAIL-WEIGHTED member of the
+    // family: each cell's squared ECDF gap is divided by B·(N−B), so
+    // discrepancies in the distribution tails (where the pooled ECDF
+    // is near 0 or 1) count for more than the same gap mid-body —
+    // exactly what KS's supremum and CvM's flat average underweight.
+    // The k=2 Scholz–Stephens cell term collapses onto ONE exact
+    // cross-product |D| = |n2·r1 − n1·r2| shared by both samples:
+    // A² = Σ m·D²/(n1·n2·B·(N−B)) over cells with B < N, each cell's
+    // contribution floored onto the 1e-9 lattice BEFORE the order-free
+    // int64 sum. Same one-scan bounded-grid shape as q_ks_test.
+    Q("q_anderson_darling",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT v100, c1, c2,
+         |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
+         |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
+         |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         |             CAST(sum(c2) OVER () AS BIGINT) AS n2
+         |      FROM c),
+         |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         |             CAST(coalesce(sum(CASE WHEN r1 + r2 < n1 + n2 THEN
+         |               CAST(floor(CAST(c1 + c2 AS DOUBLE) *
+         |                 CAST(n2 * r1 - n1 * r2 AS DOUBLE) *
+         |                 CAST(n2 * r1 - n1 * r2 AS DOUBLE) /
+         |                 (CAST(n1 AS DOUBLE) * n2 *
+         |                  CAST((r1 + r2) * (n1 + n2 - r1 - r2) AS DOUBLE)) * 1e9 + 0.5)
+         |               AS BIGINT) END), 0) AS BIGINT) AS t9
+         |      FROM r)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |         ${Q.sqlR6("t9 / 1e9")}
+         |       END AS a2
+         |FROM t""".stripMargin) { (s, d) =>
+      adOf(centsGrid(s, d))
+    },
+
+    // Cliff's delta between the purchase and click value distributions
+    // (round 14) — the EFFECT-SIZE member of the family: while
+    // KS/CvM/AD/W1 ask "do the distributions differ", δ = P(X>Y) −
+    // P(X<Y) asks "by how much, in rank terms, and in which
+    // direction" — the ordinal effect size behind q_mann_whitney's
+    // significance test (δ = 2U/(n1·n2) − 1). Collapses onto
+    // Σ c1·(clicks-below − clicks-above) over the grid — an EXACT
+    // int64 fold, ties contributing zero, no lattice anywhere.
+    Q("q_cliffs_delta",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT c1, c2,
+         |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
+         |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         |             CAST(sum(c2) OVER () AS BIGINT) AS n2
+         |      FROM c),
+         |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         |             CAST(coalesce(sum(c1 * ((r2 - c2) - (n2 - r2))), 0) AS BIGINT) AS s
+         |      FROM r)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |         ${Q.sqlR6("CAST(s AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)")}
+         |       END AS delta
+         |FROM t""".stripMargin) { (s, d) =>
+      cliffsOf(centsGrid(s, d))
     },
 
     // One-way ANOVA of event value across event types (round 10) — does

@@ -1093,6 +1093,12 @@ object Streams {
       .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"))
       .agg(count(lit(1)).as("y"))
 
+  /** Read-time periodogram projection over a [[dailyGrid]] — the
+    * spectrum is not mergeable (a new day shifts every residue-class
+    * sum); the daily grid is. */
+  def periodogramOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.periodogramOf(grid)
+
   /** Read-time Mood's-median projection over a [[dailyGrid]]. */
   def moodsMedianOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.moodsMedianOf(grid)
@@ -1164,6 +1170,15 @@ object Streams {
 
   /** Read-time Cramér–von Mises projection over a [[ksCells]] grid. */
   def cvmOf(grid: DataFrame): DataFrame = graft.ops.Statistics.cvmOf(grid)
+
+  /** Read-time 1-D Wasserstein projection over a [[ksCells]] grid. */
+  def w1Of(grid: DataFrame): DataFrame = graft.ops.Statistics.w1Of(grid)
+
+  /** Read-time Anderson–Darling projection over a [[ksCells]] grid. */
+  def adOf(grid: DataFrame): DataFrame = graft.ops.Statistics.adOf(grid)
+
+  /** Read-time Cliff's-delta projection over a [[ksCells]] grid. */
+  def cliffsOf(grid: DataFrame): DataFrame = graft.ops.Statistics.cliffsOf(grid)
 
   /** Read-time Kaplan–Meier projection over a [[userLifeGrid]]. */
   def kmOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.kmOf(grid)

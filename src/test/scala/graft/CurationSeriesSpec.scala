@@ -978,7 +978,7 @@ class CurationSeriesSpec extends SparkSpec {
       r6(1 - math.exp(-math.exp(-(2 * m - mu) / beta))))
   }
 
-  test("q_cramer_von_mises: separated samples read T = 1/2; identical samples read 0") {
+  test("two-sample family (CvM/W1/AD/Cliffs): separated samples read their closed forms; identical samples read 0") {
     import spark.implicits._
     def mk(prefix: String, vals: Seq[(String, Double)]): String = {
       val dir = tempDir(prefix)
@@ -1002,6 +1002,64 @@ class CurationSeriesSpec extends SparkSpec {
     val same = mk("cs_cvm_same", Seq(("purchase", 1.0), ("purchase", 2.0),
       ("click", 1.0), ("click", 2.0)))
     assert(q("q_cramer_von_mises", same).head().getAs[Double]("t_stat") === 0.0)
+
+    // the other three faces of the same grid, on the same fixtures.
+    // Separated (all purchase mass at 1.0, all click mass at 2.0):
+    //  W1 = the 1.0 value-unit the mass must travel — exactly 1.0
+    //    (one interior cell: dev = 2·2, width = 100 cents → tw = 400,
+    //     400/(2·2·100) = 1);
+    //  AD: the one interior cell has m=2, D=4, B=2, N=4 →
+    //    2·16/(2·2·2·2) = 2.0;
+    //  Cliff's δ: every purchase sits BELOW every click → δ = −1.
+    val rw = q("q_wasserstein_1d", sep).head()
+    assert(rw.getAs[Long]("n1") === 2L && rw.getAs[Double]("w1") === 1.0)
+    assert(q("q_anderson_darling", sep).head().getAs[Double]("a2") === 2.0)
+    assert(q("q_cliffs_delta", sep).head().getAs[Double]("delta") === -1.0)
+    // identical distributions: all three read exactly zero
+    assert(q("q_wasserstein_1d", same).head().getAs[Double]("w1") === 0.0)
+    assert(q("q_anderson_darling", same).head().getAs[Double]("a2") === 0.0)
+    assert(q("q_cliffs_delta", same).head().getAs[Double]("delta") === 0.0)
+  }
+
+  test("q_periodogram: a planted weekly comb reads best_period 7 with the exact latticed fraction; constant series read NULL") {
+    // type "comb": 10 events on d ≡ 0 (mod 7), 3 otherwise, 28 days —
+    // a 7-periodic signal. Analytically frac(p=7) = 1/3 for the
+    // 1-in-7 comb (A_true = 4c, B = 0, Σr̃² = 24c²/7, c = 7); every
+    // non-multiple period carries ~0 and p=14 exactly 0 (a 7-periodic
+    // series has no energy at frequency 1/14 over 2 full 14-cycles).
+    // "flat" is constant → ssr = 0 → NULL best_period and frac.
+    val dir = eventsDir(Seq("comb", "flat"), 28, {
+      case ("comb", d) => if (d % 7 == 0) 10 else 3
+      case _           => 5
+    })
+    val rows = q("q_periodogram", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val comb = rows("comb")
+    assert(comb.getAs[Long]("best_period") === 7L)
+    assert(comb.getAs[Long]("n_days") === 28L)
+    // replicate the exact lattice arithmetic: D=28, T=4·10+24·3=112,
+    // r_d = 28·y − 112 ∈ {168, −28}; residue sums over p=7 then the
+    // 1e-6 cos/sin lattice
+    val d28 = (0 until 28).map(d => if (d % 7 == 0) 28L * 10 - 112 else 28L * 3 - 112)
+    val ssr = d28.map(r => r * r).sum
+    def l6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val sr = (0 until 7).map(res => (0 until 28).filter(_ % 7 == res).map(d28).sum)
+    val a6 = (0 until 7).map(res => sr(res) * l6(math.cos(2 * math.Pi * res / 7))).sum
+    val b6 = (0 until 7).map(res => sr(res) * l6(math.sin(2 * math.Pi * res / 7))).sum
+    val frac = (a6.toDouble * a6 + b6.toDouble * b6) * 2 / (1e12 * 28 * ssr)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(comb.getAs[Double]("spectral_frac") === r6(frac))
+    assert(math.abs(frac - 1.0 / 3) < 1e-4, s"analytic check: $frac vs 1/3")
+    assert(rows("flat").isNullAt(rows("flat").fieldIndex("best_period")))
+    assert(rows("flat").isNullAt(rows("flat").fieldIndex("spectral_frac")))
+    // lattice-boundary guard: none of the 104 fixed angles' cos/sin
+    // lands within 1e-3 of a .5 rounding boundary, so a last-ulp libm
+    // disagreement between engines cannot flip a lattice cell
+    val worst = (for {
+      p <- 2 to 14; res <- 0 until p
+      v <- Seq(math.cos(2 * math.Pi * res / p), math.sin(2 * math.Pi * res / p))
+    } yield math.abs(v * 1e6 + 0.5 - math.round(v * 1e6 + 0.5))).min
+    assert(worst > 1e-3, s"a trig lattice cell sits $worst from its boundary")
   }
 
   test("q_wilcoxon_signed: dominant pairs hit the max W+; symmetric alternation reads z = 0") {

@@ -202,6 +202,67 @@ class OverflowHeadroomSpec extends SparkSpec {
         e.agg(sum(abs((col("c1") + col("c2")) * gap * gap * 1e9)))
       })),
 
+    Site("q_periodogram", "1e6", "A = Σ sr·c6 over ≤14 residues (sr = residue-class Σ of r = D·y − T)",
+      "linear (|A| ≤ 1e6·Σ|r| ≤ 2e6·D·T; D = |days| ≈ 31, T = per-type events)", 1000.0,
+      sf => 2e6 * 31 * evN(sf) + 1e6,
+      Some((s, d) => dmax {
+        val daily = events(s, d).groupBy(col("event_type"),
+          datediff(col("day"), lit("2024-01-01").cast(DateType)).cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("dd", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("tt", sum("y").over(Window.partitionBy("event_type")))
+          .withColumn("r", col("dd") * col("y") - col("tt"))
+        // probe the worst |A| proxy: 1e6 · Σ|r| per type (≥ any residue fold)
+        daily.groupBy("event_type").agg(sum(abs(col("r")) * 1e6).as("m")).agg(max("m"))
+      })),
+
+    Site("q_wasserstein_1d", "exact int64", "tw = Σ|r1·n2−r2·n1|·Δv100 (no lattice)",
+      "quadratic (≤ n1·n2·cents-range; n1,n2 ≈ 0.2·evN, range ≤ 1e5)", 20.0,
+      sf => 1e4 * evN(sf) * evN(sf) + 1e5,
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+          .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+        val wv = Window.orderBy("v100")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = c.withColumn("r1", sum("c1").over(wv))
+          .withColumn("r2", sum("c2").over(wv))
+          .withColumn("n1", sum("c1").over(Window.partitionBy()))
+          .withColumn("n2", sum("c2").over(Window.partitionBy()))
+          .withColumn("nxt", lead("v100", 1).over(Window.orderBy("v100")))
+        e.agg(sum(when(col("nxt").isNotNull,
+          abs(col("r1") * col("n2") - col("r2") * col("n1")) *
+            (col("nxt") - col("v100")))))
+      })),
+
+    Site("q_anderson_darling", "1e9", "t9 = Σ m·D²/(n1·n2·B·(N−B))·1e9 (D exact as double to sf≈470)",
+      "n·ln n (tail weights sum harmonically: A² ≤ ~4·n1·n2·ln N/N)", 100.0,
+      sf => 1e9 * evN(sf) * (ln(evN(sf) + math.E) + 2),
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+          .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+        val wv = Window.orderBy("v100")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = c.withColumn("r1", sum("c1").over(wv))
+          .withColumn("r2", sum("c2").over(wv))
+          .withColumn("n1", sum("c1").over(Window.partitionBy()))
+          .withColumn("n2", sum("c2").over(Window.partitionBy()))
+        val bb = col("r1") + col("r2")
+        val nn = col("n1") + col("n2")
+        val dd = (col("n2") * col("r1") - col("n1") * col("r2")).cast("double")
+        e.agg(sum(when(bb < nn,
+          abs((col("c1") + col("c2")).cast("double") * dd * dd /
+            (col("n1").cast("double") * col("n2") *
+              (bb * (nn - bb)).cast("double")) * 1e9))))
+      })),
+
     Site("q_nelson_aalen", "1e9", "running h9 = Σ d/n·1e9 (v9 = Σ d/n² is smaller)",
       "log (each term ≤ 1; ≤ |hours| ≈ 2400 death-hour terms)", 1e6,
       _ => 1e9 * 2400 + 1e5,
@@ -663,8 +724,10 @@ class OverflowHeadroomSpec extends SparkSpec {
       // lattices audited under the q_kaplan_meier / q_nelson_aalen /
       // q_log_rank Site rows (same fold, batch + streaming faces)
       "Timeseries.scala" -> "q_kaplan_meier",
-      // Statistics.cvmOf carries the 1e-9 squared-ECDF-gap lattice
-      // audited under the q_cramer_von_mises Site row
+      // Statistics.cvmOf/adOf carry the 1e-9 ECDF-gap lattices audited
+      // under the q_cramer_von_mises / q_anderson_darling Site rows
+      // (same folds, batch + streaming faces; w1Of/cliffsOf are exact
+      // int64 with their own Site coverage)
       "Statistics.scala" -> "q_cramer_von_mises")
     val flagged = Files.list(opsDir).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>

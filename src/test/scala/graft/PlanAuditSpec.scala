@@ -1047,8 +1047,13 @@ class PlanAuditSpec extends SparkSpec {
       // q_wilcoxon_signed's rank windows partition by the type pair
       "q_nemenyi", "q_gumbel_maxima", "q_wilcoxon_signed",
       // q_cramer_von_mises' global ECDF windows ride q_ks_test's
-      // bounded distinct-cents frame (grouped by v100, a domain key)
-      "q_cramer_von_mises")
+      // bounded distinct-cents frame (grouped by v100, a domain key),
+      // as do the other three faces of the same grid
+      "q_cramer_von_mises", "q_wasserstein_1d", "q_anderson_darling",
+      "q_cliffs_delta",
+      // q_periodogram's windows (totals + argmax) all partition by
+      // event_type over the collapsed daily/period frames
+      "q_periodogram")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>

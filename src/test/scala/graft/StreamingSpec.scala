@@ -350,6 +350,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_nemenyi")(spark, sfDir)), "Nemenyi")
       assert(rows1(Streams.wilcoxonOf(grid)) ===
         rows1(SparkEntry.queries("q_wilcoxon_signed")(spark, sfDir)), "Wilcoxon")
+      assert(rows1(Streams.periodogramOf(grid)) ===
+        rows1(SparkEntry.queries("q_periodogram")(spark, sfDir)), "Periodogram")
     }
   }
 
@@ -372,6 +374,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_ks_test")(spark, sfDir)), "KS")
       assert(rows1(Streams.cvmOf(grid)) ===
         rows1(SparkEntry.queries("q_cramer_von_mises")(spark, sfDir)), "CvM")
+      assert(rows1(Streams.w1Of(grid)) ===
+        rows1(SparkEntry.queries("q_wasserstein_1d")(spark, sfDir)), "W1")
+      assert(rows1(Streams.adOf(grid)) ===
+        rows1(SparkEntry.queries("q_anderson_darling")(spark, sfDir)), "AD")
+      assert(rows1(Streams.cliffsOf(grid)) ===
+        rows1(SparkEntry.queries("q_cliffs_delta")(spark, sfDir)), "Cliffs")
     }
   }
 
