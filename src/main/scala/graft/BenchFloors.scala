@@ -234,6 +234,7 @@ object BenchFloors {
     "q_project" -> 0.05,
     "q_psi" -> 0.108,
     "q_quality_score" -> 0.079,
+    "q_quantile_skew" -> 0.365, // r14 TimeQuery warm-min harvest
     "q_quantize_embed" -> 0.082,
     "q_repetition" -> 0.392,
     "q_retention" -> 0.211,
@@ -294,6 +295,7 @@ object BenchFloors {
     "q_topk" -> 0.149,
     "q_topk_agg" -> 0.385,
     "q_trend_fit" -> 0.088,
+    "q_trimmed_mean" -> 0.252, // r14 TimeQuery warm-min harvest
     "q_tukey_hsd" -> 0.471, // r14 extension harvest
     "q_tumbling_batch" -> 0.152,
     "q_turning_points" -> 0.112, // r13 first harvest

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
@@ -1096,6 +1096,130 @@ object Analytics {
           when(col("tot_conv") > 0,
             Q.r6(col("cum_conv").cast("double") / col("tot_conv"))).as("cum_gain"))
         .orderBy("decile")
+    },
+
+    // 10%-trimmed mean of event value per type (round 14): the robust
+    // location readout beside q_winsorize (which CLIPS the tails — the
+    // trim DROPS them) and q_mad_outliers. Exactness: the corpus
+    // collapses onto the bounded (type, v100) cents grid; each cell's
+    // kept multiplicity is the integer overlap of its rank interval
+    // (cum−c, cum] with the kept band (k, n−k], so the trimmed sum is
+    // an exact int64 fold and the one division happens on it. Scale:
+    // per-type cumulative windows run over the DOMAIN-bounded grid,
+    // never raw events.
+    Q("q_trimmed_mean",
+      s"""WITH v AS (SELECT event_type,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100 FROM events),
+         |c AS (SELECT event_type, v100, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+         |r AS (SELECT event_type, v100, c,
+         |             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v100
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |      FROM c),
+         |k AS (SELECT *, CAST(floor(n / 10.0) AS BIGINT) AS k FROM r),
+         |s AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+         |             CAST(sum(v100 * GREATEST(0, LEAST(cum, n - k) -
+         |               GREATEST(cum - c, k))) AS BIGINT) AS ts100
+         |      FROM k GROUP BY 1)
+         |SELECT event_type, n,
+         |       ${Q.sqlR6("CAST(ts100 AS DOUBLE) / (100.0 * (n - 2 * k))")} AS trimmed_mean
+         |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      trimmedMeanOf(typeCents(s, d))
+    },
+
+    // Bowley (quartile) skewness of event value per type (round 14):
+    // the robust complement of q_jarque_bera's moment-based skew — a
+    // single far outlier moves moments, not quartiles. Lower-quantile
+    // convention (first value whose cumulative count reaches ⌈p·n⌉)
+    // keeps every quartile an INTEGER rank probe on the cents grid;
+    // the skew is one division of exact int64 cents. | NULL when the
+    // quartile range is degenerate (q3 = q1).
+    Q("q_quantile_skew",
+      s"""WITH v AS (SELECT event_type,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100 FROM events),
+         |c AS (SELECT event_type, v100, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+         |r AS (SELECT event_type, v100,
+         |             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v100
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |      FROM c),
+         |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |             CAST(min(CASE WHEN cum >= CAST(floor((n + 3) / 4.0) AS BIGINT)
+         |               THEN v100 END) AS BIGINT) AS q1,
+         |             CAST(min(CASE WHEN cum >= CAST(floor((n + 1) / 2.0) AS BIGINT)
+         |               THEN v100 END) AS BIGINT) AS q2,
+         |             CAST(min(CASE WHEN cum >= CAST(floor((3 * n + 3) / 4.0) AS BIGINT)
+         |               THEN v100 END) AS BIGINT) AS q3
+         |      FROM r GROUP BY 1)
+         |SELECT event_type, n,
+         |       CAST(q1 AS DOUBLE) / 100 AS q1_val,
+         |       CAST(q2 AS DOUBLE) / 100 AS median_val,
+         |       CAST(q3 AS DOUBLE) / 100 AS q3_val,
+         |       CASE WHEN q3 > q1 THEN
+         |         ${Q.sqlR6("CAST(q3 + q1 - 2 * q2 AS DOUBLE) / (q3 - q1)")}
+         |       END AS bowley
+         |FROM q ORDER BY event_type""".stripMargin) { (s, d) =>
+      bowleyOf(typeCents(s, d))
     }
   )
+
+  /** The per-type value cents grid behind the robust location/shape
+    * screens — ONE home for the projection + groupBy batch
+    * q_trimmed_mean / q_quantile_skew and the streaming
+    * Streams.typeCents state share. */
+  private[graft] def typeCents(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+      .groupBy("event_type", "v100").agg(count(lit(1)).as("c"))
+
+  /** The trimmed-mean fold over a (event_type, v100, c) cents grid —
+    * ONE home shared by batch q_trimmed_mean and the s_trimmed_mean
+    * streaming read-time view. The mean is not mergeable (a new cell
+    * shifts the trim band); the grid is. */
+  private[graft] def trimmedMeanOf(gridIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wv = Window.partitionBy("event_type").orderBy("v100")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = gridIn
+      .withColumn("cum", sum("c").over(wv))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("k", floor(col("n") / 10.0).cast("long"))
+    val kept = greatest(lit(0L),
+      least(col("cum"), col("n") - col("k")) - greatest(col("cum") - col("c"), col("k")))
+    e.groupBy("event_type")
+      .agg(max("n").as("n"), max("k").as("k"),
+        sum(col("v100") * kept).as("ts100"))
+      .select(col("event_type"), col("n"),
+        Q.r6(col("ts100").cast("double") /
+          (lit(100.0) * (col("n") - lit(2) * col("k")))).as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
+  /** The Bowley-skew fold over a (event_type, v100, c) cents grid —
+    * ONE home shared by batch q_quantile_skew and the s_quantile_skew
+    * streaming read-time view. Quartiles are integer rank probes
+    * (lower-quantile convention, first cum ≥ ⌈p·n⌉). */
+  private[graft] def bowleyOf(gridIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wv = Window.partitionBy("event_type").orderBy("v100")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = gridIn
+      .withColumn("cum", sum("c").over(wv))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    def probe(t: Column): Column = min(when(col("cum") >= t, col("v100")))
+    val q = e.groupBy("event_type")
+      .agg(max("n").as("n"),
+        probe(floor((col("n") + 3) / lit(4.0)).cast("long")).as("q1"),
+        probe(floor((col("n") + 1) / lit(2.0)).cast("long")).as("q2"),
+        probe(floor((lit(3) * col("n") + 3) / lit(4.0)).cast("long")).as("q3"))
+    q.select(col("event_type"), col("n"),
+        (col("q1").cast("double") / 100).as("q1_val"),
+        (col("q2").cast("double") / 100).as("median_val"),
+        (col("q3").cast("double") / 100).as("q3_val"),
+        when(col("q3") > col("q1"),
+          Q.r6((col("q3") + col("q1") - lit(2) * col("q2")).cast("double") /
+            (col("q3") - col("q1")))).as("bowley"))
+      .orderBy("event_type")
+  }
 }

@@ -1180,6 +1180,24 @@ object Streams {
   /** Read-time Cliff's-delta projection over a [[ksCells]] grid. */
   def cliffsOf(grid: DataFrame): DataFrame = graft.ops.Statistics.cliffsOf(grid)
 
+  /** Streaming per-type value cents grid — the mergeable
+    * (event_type, v100, c) state behind the s_trimmed_mean and
+    * s_quantile_skew read-time faces: a plain streaming groupBy on the
+    * cent lattice per type, bounded by |types| × the value domain.
+    * Neither statistic is mergeable (a new cell shifts the trim band /
+    * every quartile rank); the grid is. */
+  def typeCents(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+      .groupBy("event_type", "v100").agg(count(lit(1)).as("c"))
+
+  /** Read-time trimmed-mean projection over a [[typeCents]] grid. */
+  def trimmedMeanOf(grid: DataFrame): DataFrame =
+    graft.ops.Analytics.trimmedMeanOf(grid)
+
+  /** Read-time Bowley-skew projection over a [[typeCents]] grid. */
+  def bowleyOf(grid: DataFrame): DataFrame = graft.ops.Analytics.bowleyOf(grid)
+
   /** Read-time Kaplan–Meier projection over a [[userLifeGrid]]. */
   def kmOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.kmOf(grid)
 

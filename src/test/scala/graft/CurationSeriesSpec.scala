@@ -1062,6 +1062,40 @@ class CurationSeriesSpec extends SparkSpec {
     assert(worst > 1e-3, s"a trig lattice cell sits $worst from its boundary")
   }
 
+  test("robust value screens: a planted outlier leaves the trimmed mean; Bowley reads +1 on max right skew") {
+    import spark.implicits._
+    def mk(prefix: String, vals: Seq[(String, Double)]): String = {
+      val dir = tempDir(prefix)
+      vals.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, "2024-01-10 12:00:00", i.toLong, t, v)
+      }.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // n = 10, k = 1: the 1000.0 outlier and the 1.0 minimum both drop,
+    // trimmed mean = mean(2..9) = 5.5 (the raw mean is 103.9)
+    val trim = mk("cs_trim", (1 to 9).map(i => ("buy", i.toDouble)) :+ ("buy", 1000.0))
+    val rt = q("q_trimmed_mean", trim).head()
+    assert(rt.getAs[Long]("n") === 10L)
+    assert(rt.getAs[Double]("trimmed_mean") === 5.5)
+    // [1,1,1,2,10]: q1 = rank-2 probe = 1, median = rank-3 = 1,
+    // q3 = rank-4 = 2 → Bowley = (2 + 1 − 2)/(2 − 1) = +1 (max right
+    // skew); a symmetric [1,2,3] reads exactly 0
+    val skew = mk("cs_bowley", Seq(("a", 1.0), ("a", 1.0), ("a", 1.0),
+      ("a", 2.0), ("a", 10.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)))
+    val rows = q("q_quantile_skew", skew).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows("a").getAs[Double]("bowley") === 1.0)
+    assert(rows("a").getAs[Double]("median_val") === 1.0)
+    assert(rows("b").getAs[Double]("bowley") === 0.0)
+    // a constant series has q3 = q1 → NULL skew, not 0/0
+    val const = mk("cs_bowley_const", Seq(("c", 5.0), ("c", 5.0)))
+    assert(q("q_quantile_skew", const).head()
+      .isNullAt(q("q_quantile_skew", const).head().fieldIndex("bowley")))
+  }
+
   test("q_wilcoxon_signed: dominant pairs hit the max W+; symmetric alternation reads z = 0") {
     val dom = eventsDir(Seq("hi", "lo"), 4, {
       case ("hi", d) => 2 * (d + 1) // 2,4,6,8

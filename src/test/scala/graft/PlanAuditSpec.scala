@@ -1052,8 +1052,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_cramer_von_mises", "q_wasserstein_1d", "q_anderson_darling",
       "q_cliffs_delta",
       // q_periodogram's windows (totals + argmax) all partition by
-      // event_type over the collapsed daily/period frames
-      "q_periodogram")
+      // event_type over the collapsed daily/period frames, as do
+      // q_trimmed_mean/q_quantile_skew's rank windows over the
+      // bounded per-type cents grid
+      "q_periodogram", "q_trimmed_mean", "q_quantile_skew")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>

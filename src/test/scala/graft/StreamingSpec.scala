@@ -383,6 +383,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_type_cents' one streamed grid reproduces the trimmed-mean and Bowley batch screens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.typeCents(in.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("t_typecents").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_typecents"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.trimmedMeanOf(grid)) ===
+        rows1(SparkEntry.queries("q_trimmed_mean")(spark, sfDir)), "trimmed mean")
+      assert(rows1(Streams.bowleyOf(grid)) ===
+        rows1(SparkEntry.queries("q_quantile_skew")(spark, sfDir)), "Bowley")
+    }
+  }
+
   test("s_user_life's one streamed frame reproduces the three batch survival screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
