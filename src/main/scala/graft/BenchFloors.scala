@@ -119,6 +119,7 @@ object BenchFloors {
     "q_except_all" -> 0.168,
     "q_exists_subquery" -> 0.259,
     "q_exp_health" -> 0.076,
+    "q_filter_cascade" -> 0.484, // r14 TimeQuery warm-min harvest
     "q_filter_interval" -> 0.082,
     "q_filter_null" -> 0.073,
     "q_filter_pred" -> 0.074,
@@ -146,6 +147,7 @@ object BenchFloors {
     "q_hhi" -> 0.162,
     "q_hill_tail" -> 0.18, // r12 TimeQuery warm-min harvest
     "q_hist" -> 0.107,
+    "q_hits" -> 1.291, // r14 TimeQuery warm-min harvest
     "q_hodges_lehmann" -> 0.408, // r14 extension harvest
     "q_holt_linear" -> 0.123,
     "q_hurst" -> 0.312,

@@ -293,6 +293,66 @@ object Curation {
             .otherwise("new").as("status"),
           coalesce(col("ex_m"), col("nr_m")).as("match_doc"))
         .orderBy("doc_id")
+    },
+
+    // Filter-cascade attribution (round 14): the upset-plot readout
+    // behind every curation pipeline review — which FILTER COMBINATION
+    // holds each slice of the corpus, and at which stage of the fixed
+    // cascade (lang → length → quality → exact-dup) each slice would
+    // drop. Four flags per doc: the in-row marker-word language
+    // predictor agreeing with the recorded lang (shared
+    // TextPipeline.predLang — one home with q_lang_id/q_cohens_kappa),
+    // n_chars ≥ 200, the shared quality heuristic on its ×10⁴ lattice
+    // ≥ 0.62 (integer compare — engine-exact), and being the
+    // min-doc_id keeper of the md5 content group (the established
+    // dedup exchange). ONE content-hash shuffle + a 16-key grid agg;
+    // the cascade stage is derived IN-ROW from the flags, so the grid
+    // carries both readouts.
+    Q("q_filter_cascade",
+      s"""WITH w AS (SELECT doc_id, lang, n_chars, text,
+         |                  string_split(text, ' ') AS words FROM documents),
+         |f AS (SELECT doc_id,
+         |             CASE WHEN (${TextPipeline.predLangSql}) = lang
+         |               THEN 1 ELSE 0 END AS lang_ok,
+         |             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS len_ok,
+         |             CASE WHEN len(words) > 0 AND
+         |               CAST(floor(${TextPipeline.qualityOnWordsSql} * 10000 + 0.5) AS BIGINT)
+         |                 >= 6200 THEN 1 ELSE 0 END AS quality_ok,
+         |             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+         |               THEN 1 ELSE 0 END AS dup_ok
+         |      FROM w),
+         |g AS (SELECT lang_ok, len_ok, quality_ok, dup_ok,
+         |             CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM f GROUP BY 1, 2, 3, 4),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM g)
+         |SELECT lang_ok, len_ok, quality_ok, dup_ok, n_docs,
+         |       ${Q.sqlR6("CAST(n_docs AS DOUBLE) / tot")} AS share,
+         |       CASE WHEN lang_ok = 0 THEN 1 WHEN len_ok = 0 THEN 2
+         |            WHEN quality_ok = 0 THEN 3 WHEN dup_ok = 0 THEN 4
+         |            ELSE 0 END AS removed_at_stage
+         |FROM g CROSS JOIN t
+         |ORDER BY lang_ok, len_ok, quality_ok, dup_ok""".stripMargin) { (s, d) =>
+      val w = Tables.load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+      val f = w.select(
+        when(TextPipeline.predLangCol === col("lang"), 1L).otherwise(0L).as("lang_ok"),
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("len_ok"),
+        when(size(col("words")) > 0 &&
+          floor(TextPipeline.qualityOnWordsCol * 10000 + 0.5).cast("long") >= 6200,
+          1L).otherwise(0L).as("quality_ok"),
+        when(col("doc_id") ===
+          min("doc_id").over(Window.partitionBy(md5(col("text")))), 1L)
+          .otherwise(0L).as("dup_ok"))
+      f.groupBy("lang_ok", "len_ok", "quality_ok", "dup_ok")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("tot", sum("n_docs").over(Window.partitionBy()))
+        .select(col("lang_ok"), col("len_ok"), col("quality_ok"), col("dup_ok"),
+          col("n_docs"),
+          Q.r6(col("n_docs").cast("double") / col("tot")).as("share"),
+          when(col("lang_ok") === 0, 1L).when(col("len_ok") === 0, 2L)
+            .when(col("quality_ok") === 0, 3L).when(col("dup_ok") === 0, 4L)
+            .otherwise(0L).as("removed_at_stage"))
+        .orderBy("lang_ok", "len_ok", "quality_ok", "dup_ok")
     }
   )
 }

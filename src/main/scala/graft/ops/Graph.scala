@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the part–supplier bipartite graph implied by
@@ -637,6 +638,60 @@ object Graph {
           .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
       }
       rows.reduce(_.unionAll(_)).orderBy("round")
+    },
+
+    // HITS hubs & authorities on the part→supplier bipartite graph
+    // (round 14): the mutual-reinforcement companion to q_pagerank —
+    // a hub part is one linked to strong-authority suppliers and vice
+    // versa. Two full power-iteration rounds on EXACT int64 scores
+    // (h⁰ ≡ 1 ⇒ a¹ = indeg, h¹ = Σ a¹, a² = Σ h¹, h² = Σ a²): unlike
+    // pagerank's per-round double normalization, the iteration is
+    // integer all the way and the ONE division (max-normalization) is
+    // at read time — order-free in both engines, no r6-boundary risk.
+    // Growth per full round ≈ mean(deg_p)·mean(deg_s) — the headroom
+    // row claims the int64 ceiling. Shape: each step is one key-bounded
+    // shuffle of the distinct-pairs frame against a node-sized score
+    // frame (the q_pagerank join), top-10 per side via bounded windows.
+    Q("q_hits",
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |a1 AS (SELECT sk, CAST(count(*) AS BIGINT) AS v FROM pairs GROUP BY 1),
+         |h1 AS (SELECT pk, CAST(sum(v) AS BIGINT) AS v
+         |       FROM pairs JOIN a1 USING (sk) GROUP BY 1),
+         |a2 AS (SELECT sk, CAST(sum(v) AS BIGINT) AS v
+         |       FROM pairs JOIN h1 USING (pk) GROUP BY 1),
+         |h2 AS (SELECT pk, CAST(sum(v) AS BIGINT) AS v
+         |       FROM pairs JOIN a2 USING (sk) GROUP BY 1),
+         |th AS (SELECT 'hub' AS side, 'p:' || pk AS node, v,
+         |              row_number() OVER (ORDER BY v DESC, pk) AS rnk,
+         |              max(v) OVER () AS mx FROM h2),
+         |ta AS (SELECT 'authority' AS side, 's:' || sk AS node, v,
+         |              row_number() OVER (ORDER BY v DESC, sk) AS rnk,
+         |              max(v) OVER () AS mx FROM a2),
+         |u AS (SELECT * FROM th WHERE rnk <= 10
+         |      UNION ALL SELECT * FROM ta WHERE rnk <= 10)
+         |SELECT side, node, rnk AS rank,
+         |       ${Q.sqlR6("CAST(v AS DOUBLE) / mx")} AS score
+         |FROM u ORDER BY side, rank""".stripMargin) { (s, d) =>
+      val pairs = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct().transform(snapshot)
+      val a1 = pairs.groupBy("sk").agg(count(lit(1)).as("v"))
+      val h1 = pairs.join(a1, "sk").groupBy("pk").agg(sum("v").as("v"))
+      val a2 = pairs.join(h1, "pk").groupBy("sk").agg(sum("v").as("v"))
+      val h2 = pairs.join(a2, "sk").groupBy("pk").agg(sum("v").as("v"))
+      // top-10 via sort+limit (TakeOrderedAndProject — distributed
+      // top-k, never a global-window sort of the catalog-sized node
+      // frame); ranks and the max-normalizer then run over the
+      // 10-row frame only (rank 1 IS the global max)
+      def top(df: DataFrame, key: String, pfx: String, side: String): DataFrame =
+        df.orderBy(col("v").desc, col(key)).limit(10)
+          .withColumn("rnk", row_number().over(Window.orderBy(col("v").desc, col(key))))
+          .withColumn("mx", max("v").over(Window.partitionBy()))
+          .select(lit(side).as("side"),
+            concat(lit(pfx), col(key).cast("string")).as("node"),
+            col("rnk").as("rank"), Q.r6(col("v").cast("double") / col("mx")).as("score"))
+      top(h2, "pk", "p:", "hub").unionAll(top(a2, "sk", "s:", "authority"))
+        .orderBy("side", "rank")
     }
   )
 

@@ -1062,6 +1062,35 @@ class CurationSeriesSpec extends SparkSpec {
     assert(worst > 1e-3, s"a trig lattice cell sits $worst from its boundary")
   }
 
+  test("q_filter_cascade: five planted docs land in their five cells with the right cascade stages") {
+    // survivor text A; dup pair shares text B (doc 5 keeps, doc 6
+    // drops at stage 4); doc 2 has no en markers (predictor ties to
+    // 'de', lang = en → stage 1); doc 3 is short (stage 2); doc 4 is
+    // marker-led 'the'-spam (lang ok, long, quality 0.17 → stage 3)
+    def filler(pfx: String, n: Int) = (1 to n).map(i => f"$pfx$i%02d").mkString(" ")
+    val textA = "column sort key " + filler("wa", 50)
+    val textB = "column sort key " + filler("wb", 50)
+    val docs = Seq(
+      (1L, textA, "s1"),
+      (2L, filler("xn", 53), "s1"),
+      (3L, "column sort key za1 za2 za3", "s1"),
+      (4L, "column sort key " + Seq.fill(60)("the").mkString(" "), "s1"),
+      (5L, textB, "s1"),
+      (6L, textB, "s1"))
+    assert(textA.length >= 200 && docs(1)._2.length >= 200 && docs(3)._2.length >= 200)
+    val rows = q("q_filter_cascade", docsDir(docs)).collect().map { r =>
+      (r.getAs[Long]("lang_ok"), r.getAs[Long]("len_ok"),
+        r.getAs[Long]("quality_ok"), r.getAs[Long]("dup_ok")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("removed_at_stage"))
+    }.toMap
+    assert(rows((1L, 1L, 1L, 1L)) === ((2L, 0L)), "survivors: doc 1 + keeper 5")
+    assert(rows((0L, 1L, 1L, 1L)) === ((1L, 1L)), "doc 2 drops at lang")
+    assert(rows((1L, 0L, 1L, 1L)) === ((1L, 2L)), "doc 3 drops at length")
+    assert(rows((1L, 1L, 0L, 1L)) === ((1L, 3L)), "doc 4 drops at quality")
+    assert(rows((1L, 1L, 1L, 0L)) === ((1L, 4L)), "doc 6 drops at dup")
+    assert(rows.size === 5)
+  }
+
   test("robust value screens: a planted outlier leaves the trimmed mean; Bowley reads +1 on max right skew") {
     import spark.implicits._
     def mk(prefix: String, vals: Seq[(String, Double)]): String = {

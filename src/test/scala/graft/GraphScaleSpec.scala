@@ -44,6 +44,29 @@ class GraphScaleSpec extends SparkSpec {
     dir
   }
 
+  test("q_hits: a planted bipartite star reads the closed-form hub/authority ranking") {
+    // parts {1,2,3} × suppliers {10,20}: (1,10)(2,10)(3,10)(1,20).
+    // a¹ = indeg: s10=3, s20=1; h¹: p1=4, p2=p3=3;
+    // a²: s10=10, s20=4; h²: p1=14, p2=p3=10.
+    // Hubs: p1 1.0, then p2 before p3 on the id tie-break at 10/14;
+    // authorities: s10 1.0, s20 4/10.
+    import spark.implicits._
+    val dir = tempDir("hits_gt")
+    Seq((1L, 1L, 10L), (2L, 2L, 10L), (3L, 3L, 10L), (4L, 1L, 20L), (5L, 1L, 10L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey") // (1,10) repeated — DISTINCT drops it
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q_hits")(spark, dir).collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("node"), r.getAs[Double]("score"))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows(("hub", 1L)) === (("p:1", 1.0)))
+    assert(rows(("hub", 2L)) === (("p:2", r6(10.0 / 14))))
+    assert(rows(("hub", 3L)) === (("p:3", r6(10.0 / 14))))
+    assert(rows(("authority", 1L)) === (("s:10", 1.0)))
+    assert(rows(("authority", 2L)) === (("s:20", 0.4)))
+    assert(rows.size === 5)
+  }
+
   private def minTime(run: () => Long): (Double, Long) = {
     var rows = 0L
     val times = (1 to 2).map { _ =>

@@ -202,6 +202,18 @@ class OverflowHeadroomSpec extends SparkSpec {
         e.agg(sum(abs((col("c1") + col("c2")) * gap * gap * 1e9)))
       })),
 
+    Site("q_hits", "exact int64", "h² = ΣΣΣ indeg over 2 power rounds (no lattice)",
+      "const-ish (≤ maxdeg_p²·maxdeg_s² — TPC-H degrees are SF-invariant: "
+        + "suppliers and parts scale WITH lineitem)", 1e6, _ => 1e9,
+      Some((s, d) => dmax {
+        val pairs = Tables.load(s, d, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+        val a1 = pairs.groupBy("sk").agg(count(lit(1)).as("v"))
+        val h1 = pairs.join(a1, "sk").groupBy("pk").agg(sum("v").as("v"))
+        val a2 = pairs.join(h1, "pk").groupBy("sk").agg(sum("v").as("v"))
+        pairs.join(a2, "sk").groupBy("pk").agg(sum("v").as("v")).agg(max("v"))
+      })),
+
     Site("q_periodogram", "1e6", "A = Σ sr·c6 over ≤14 residues (sr = residue-class Σ of r = D·y − T)",
       "linear (|A| ≤ 1e6·Σ|r| ≤ 2e6·D·T; D = |days| ≈ 31, T = per-type events)", 1000.0,
       sf => 2e6 * 31 * evN(sf) + 1e6,

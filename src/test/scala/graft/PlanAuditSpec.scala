@@ -1055,7 +1055,14 @@ class PlanAuditSpec extends SparkSpec {
       // event_type over the collapsed daily/period frames, as do
       // q_trimmed_mean/q_quantile_skew's rank windows over the
       // bounded per-type cents grid
-      "q_periodogram", "q_trimmed_mean", "q_quantile_skew")
+      "q_periodogram", "q_trimmed_mean", "q_quantile_skew",
+      // q_filter_cascade's one global window (the total) consumes the
+      // 16-cell flag grid; the md5 keeper window is content-hash
+      // partitioned over the corpus — the established dedup exchange
+      "q_filter_cascade",
+      // q_hits' rank/max windows consume sort+limit(10) frames
+      // (TakeOrderedAndProject — never a catalog-sized window sort)
+      "q_hits")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
