@@ -111,6 +111,7 @@ object BenchFloors {
     "q_elasticity" -> 0.115,
     "q_embed_norms" -> 0.101, // r12 TimeQuery warm-min harvest
     "q_embed_outliers" -> 0.308, // r13 first harvest
+    "q_energy_dist" -> 0.205, // r14 TimeQuery warm-min harvest
     "q_entropy_rate" -> 0.45,
     "q_event_path" -> 0.334,
     "q_event_transitions" -> 0.253,
@@ -144,6 +145,7 @@ object BenchFloors {
     "q_grubbs" -> 0.235, // r13 first harvest
     "q_gumbel_maxima" -> 0.369, // r14 TimeQuery warm-min harvest
     "q_heaps_fit" -> 0.158,
+    "q_hellinger" -> 0.224, // r14 TimeQuery warm-min harvest
     "q_hhi" -> 0.162,
     "q_hill_tail" -> 0.18, // r12 TimeQuery warm-min harvest
     "q_hist" -> 0.107,

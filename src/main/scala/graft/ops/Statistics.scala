@@ -280,6 +280,65 @@ object Statistics {
         Q.r6(col("t9") / lit(1e9))).as("a2"))
   }
 
+  /** The Hellinger fold over the same (v100, c1, c2) grid — ONE home
+    * shared by batch q_hellinger and the s_hellinger streaming
+    * read-time view. The PMF member of the two-sample family: the
+    * Bhattacharyya coefficient BC = Σ√(p·q) sums per-CELL mass overlap
+    * (CDF members integrate gaps), H² = 1 − BC. Each cell's
+    * √(c1·c2)/(√n1·√n2) term floors onto the 1e-9 lattice BEFORE the
+    * order-free int64 sum; BC ≤ 1 so the accumulator is const-bounded. */
+  private[graft] def hellingerOf(cellsIn: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val c = cellsIn
+    val e = c.withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+    val term = sqrt(col("c1").cast("double") * col("c2")) /
+      (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))
+    val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
+      coalesce(sum(floor(term * lit(1e9) + 0.5).cast("long")), lit(0L)).as("bc9"))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6(col("bc9") / lit(1e9))).as("bhattacharyya"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6(lit(1) - col("bc9") / lit(1e9))).as("hellinger_sq"))
+  }
+
+  /** The energy-distance fold over the same (v100, c1, c2) grid — ONE
+    * home shared by batch q_energy_dist and the s_energy_dist
+    * streaming read-time view. In 1-D every pairwise expectation
+    * collapses onto a CDF integral — E|X−Y| = ∫ F1(1−F2) + F2(1−F1) —
+    * so D = 2·E|XY| − E|XX| − E|YY| needs THREE exact int64 segment
+    * sums over the grid (terms ≤ n1·n2·cell-width, the q_wasserstein_1d
+    * bound), never an O(cells²) pair expansion. The three divisions
+    * happen on the final sums. */
+  private[graft] def energyOf(cellsIn: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val c = cellsIn
+    val wv = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = c.withColumn("r1", sum("c1").over(wv))
+      .withColumn("r2", sum("c2").over(wv))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+      .withColumn("w", lead("v100", 1).over(Window.orderBy("v100")) - col("v100"))
+    // the w-is-null last cell contributes nothing but stays in the agg
+    // so a single-cell grid still reports its n1/n2
+    val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
+      coalesce(sum(when(col("w").isNotNull,
+        col("w") * (col("r1") * (col("n2") - col("r2")) +
+          col("r2") * (col("n1") - col("r1"))))), lit(0L)).as("axy"),
+      coalesce(sum(when(col("w").isNotNull,
+        col("w") * lit(2) * col("r1") * (col("n1") - col("r1")))), lit(0L)).as("bxx"),
+      coalesce(sum(when(col("w").isNotNull,
+        col("w") * lit(2) * col("r2") * (col("n2") - col("r2")))), lit(0L)).as("cyy"))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6((lit(2) * col("axy").cast("double") /
+            (col("n1").cast("double") * col("n2")) -
+          col("bxx").cast("double") / (col("n1").cast("double") * col("n1")) -
+          col("cyy").cast("double") / (col("n2").cast("double") * col("n2"))) /
+          lit(100.0))).as("energy_d"))
+  }
+
   /** The Cliff's-delta fold over the same (v100, c1, c2) grid — ONE
     * home shared by batch q_cliffs_delta and the s_cliffs_delta
     * streaming read-time view. δ = P(X>Y) − P(X<Y) collapses onto
@@ -845,6 +904,77 @@ object Statistics {
          |       END AS delta
          |FROM t""".stripMargin) { (s, d) =>
       cliffsOf(centsGrid(s, d))
+    },
+
+    // Hellinger distance between the purchase and click value
+    // distributions (round 14) — the PMF member of the two-sample
+    // family: the Bhattacharyya coefficient BC = Σ√(p·q) rewards
+    // per-cell mass OVERLAP where the CDF members (KS/CvM/AD/W1)
+    // integrate cumulative gaps, so a distribution that re-shuffles
+    // mass among nearby cells moves Hellinger long before it moves W1.
+    // Each cell's √(c1·c2)/(√n1·√n2) floors onto the 1e-9 lattice
+    // BEFORE the order-free int64 sum (BC ≤ 1 ⇒ const-bounded).
+    Q("q_hellinger",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT c1, c2,
+         |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         |             CAST(sum(c2) OVER () AS BIGINT) AS n2
+         |      FROM c),
+         |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         |             CAST(coalesce(sum(CAST(floor(sqrt(CAST(c1 AS DOUBLE) * c2) /
+         |               (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) * 1e9 + 0.5)
+         |               AS BIGINT)), 0) AS BIGINT) AS bc9
+         |      FROM r)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN ${Q.sqlR6("bc9 / 1e9")} END AS bhattacharyya,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN ${Q.sqlR6("1 - bc9 / 1e9")} END AS hellinger_sq
+         |FROM t""".stripMargin) { (s, d) =>
+      hellingerOf(centsGrid(s, d))
+    },
+
+    // Energy distance between the purchase and click value
+    // distributions (round 14) — the PAIRWISE-EXPECTATION member of
+    // the family: D = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, the statistic
+    // behind the energy two-sample test, zero iff the distributions
+    // coincide. In 1-D every expectation collapses onto a CDF
+    // integral (E|X−Y| = ∫ F1(1−F2) + F2(1−F1) dv), so THREE exact
+    // int64 segment sums over the grid replace the O(cells²) pair
+    // expansion; the three divisions happen on the final sums.
+    Q("q_energy_dist",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT v100,
+         |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
+         |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
+         |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         |             CAST(sum(c2) OVER () AS BIGINT) AS n2,
+         |             lead(v100) OVER (ORDER BY v100) - v100 AS w
+         |      FROM c),
+         |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         |             CAST(coalesce(sum(CASE WHEN w IS NOT NULL THEN
+         |               w * (r1 * (n2 - r2) + r2 * (n1 - r1)) END), 0) AS BIGINT) AS axy,
+         |             CAST(coalesce(sum(CASE WHEN w IS NOT NULL THEN
+         |               w * 2 * r1 * (n1 - r1) END), 0) AS BIGINT) AS bxx,
+         |             CAST(coalesce(sum(CASE WHEN w IS NOT NULL THEN
+         |               w * 2 * r2 * (n2 - r2) END), 0) AS BIGINT) AS cyy
+         |      FROM r)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |         ${Q.sqlR6("(2 * CAST(axy AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) - " +
+                   "CAST(bxx AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1) - " +
+                   "CAST(cyy AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2)) / 100.0")}
+         |       END AS energy_d
+         |FROM t""".stripMargin) { (s, d) =>
+      energyOf(centsGrid(s, d))
     },
 
     // One-way ANOVA of event value across event types (round 10) — does

@@ -1180,6 +1180,12 @@ object Streams {
   /** Read-time Cliff's-delta projection over a [[ksCells]] grid. */
   def cliffsOf(grid: DataFrame): DataFrame = graft.ops.Statistics.cliffsOf(grid)
 
+  /** Read-time Hellinger projection over a [[ksCells]] grid. */
+  def hellingerOf(grid: DataFrame): DataFrame = graft.ops.Statistics.hellingerOf(grid)
+
+  /** Read-time energy-distance projection over a [[ksCells]] grid. */
+  def energyOf(grid: DataFrame): DataFrame = graft.ops.Statistics.energyOf(grid)
+
   /** Streaming per-type value cents grid — the mergeable
     * (event_type, v100, c) state behind the s_trimmed_mean and
     * s_quantile_skew read-time faces: a plain streaming groupBy on the

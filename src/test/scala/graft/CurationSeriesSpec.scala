@@ -1019,6 +1019,19 @@ class CurationSeriesSpec extends SparkSpec {
     assert(q("q_wasserstein_1d", same).head().getAs[Double]("w1") === 0.0)
     assert(q("q_anderson_darling", same).head().getAs[Double]("a2") === 0.0)
     assert(q("q_cliffs_delta", same).head().getAs[Double]("delta") === 0.0)
+
+    // the PMF and pairwise-expectation members on the same fixtures.
+    // Separated: zero per-cell mass overlap → BC = 0, H² = 1; energy
+    // D = 2·E|X−Y| − 0 − 0 = 2·(the 1.0 value-unit distance) = 2.
+    val rh = q("q_hellinger", sep).head()
+    assert(rh.getAs[Double]("bhattacharyya") === 0.0)
+    assert(rh.getAs[Double]("hellinger_sq") === 1.0)
+    assert(q("q_energy_dist", sep).head().getAs[Double]("energy_d") === 2.0)
+    // identical: full overlap (BC = 1, H² = 0) and zero energy
+    val rh2 = q("q_hellinger", same).head()
+    assert(rh2.getAs[Double]("bhattacharyya") === 1.0)
+    assert(rh2.getAs[Double]("hellinger_sq") === 0.0)
+    assert(q("q_energy_dist", same).head().getAs[Double]("energy_d") === 0.0)
   }
 
   test("q_periodogram: a planted weekly comb reads best_period 7 with the exact latticed fraction; constant series read NULL") {

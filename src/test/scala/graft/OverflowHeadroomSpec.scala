@@ -275,6 +275,32 @@ class OverflowHeadroomSpec extends SparkSpec {
               (bb * (nn - bb)).cast("double")) * 1e9))))
       })),
 
+    Site("q_hellinger", "1e9", "bc9 = Σ√(p·q)·1e9 (BC ≤ 1 by Cauchy–Schwarz)",
+      "const", 1e9, _ => 2e9, None),
+
+    Site("q_energy_dist", "exact int64",
+      "axy/bxx/cyy = Σ w·(cross-rank products) (no lattice)",
+      "quadratic (each ≤ 2·n1·n2·cents-range — double the q_wasserstein_1d bound, so the ceiling sits at sf 14, not 20)", 14.0,
+      sf => 2e4 * evN(sf) * evN(sf) + 1e5,
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+          .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+        val wv = Window.orderBy("v100")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = c.withColumn("r1", sum("c1").over(wv))
+          .withColumn("r2", sum("c2").over(wv))
+          .withColumn("n1", sum("c1").over(Window.partitionBy()))
+          .withColumn("n2", sum("c2").over(Window.partitionBy()))
+          .withColumn("w", lead("v100", 1).over(Window.orderBy("v100")) - col("v100"))
+        e.agg(sum(when(col("w").isNotNull,
+          abs(col("w") * (col("r1") * (col("n2") - col("r2")) +
+            col("r2") * (col("n1") - col("r1")))))))
+      })),
+
     Site("q_nelson_aalen", "1e9", "running h9 = Σ d/n·1e9 (v9 = Σ d/n² is smaller)",
       "log (each term ≤ 1; ≤ |hours| ≈ 2400 death-hour terms)", 1e6,
       _ => 1e9 * 2400 + 1e5,

@@ -1050,7 +1050,7 @@ class PlanAuditSpec extends SparkSpec {
       // bounded distinct-cents frame (grouped by v100, a domain key),
       // as do the other three faces of the same grid
       "q_cramer_von_mises", "q_wasserstein_1d", "q_anderson_darling",
-      "q_cliffs_delta",
+      "q_cliffs_delta", "q_hellinger", "q_energy_dist",
       // q_periodogram's windows (totals + argmax) all partition by
       // event_type over the collapsed daily/period frames, as do
       // q_trimmed_mean/q_quantile_skew's rank windows over the

@@ -380,6 +380,10 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_anderson_darling")(spark, sfDir)), "AD")
       assert(rows1(Streams.cliffsOf(grid)) ===
         rows1(SparkEntry.queries("q_cliffs_delta")(spark, sfDir)), "Cliffs")
+      assert(rows1(Streams.hellingerOf(grid)) ===
+        rows1(SparkEntry.queries("q_hellinger")(spark, sfDir)), "Hellinger")
+      assert(rows1(Streams.energyOf(grid)) ===
+        rows1(SparkEntry.queries("q_energy_dist")(spark, sfDir)), "Energy")
     }
   }
 
