@@ -44,6 +44,89 @@ object Timeseries {
     * (streaming.Streams.userLifeGrid maintains the frame — min/max ARE
     * mergeable; the curve is not: the censor horizon te is the global
     * max, so every arrival can re-censor everyone). */
+  /** The CUSUM fold over a daily (event_type, x, y) count frame — ONE
+    * home shared by batch q_cusum and the s_cusum streaming read-time
+    * view (the dailyGrid family): the max deviation is not mergeable —
+    * a new day re-prices every prefix against the final total — the
+    * daily grid is. Per-type totals ride the SAME window partitioning
+    * as the prefix sums; dev = |n·pre − t·s| is exact int64. */
+  private[graft] def cusumOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wt = Window.partitionBy("event_type")
+    val wx = wt.orderBy("x")
+    val dev = dailyIn
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum("y").over(wt))
+      .withColumn("pre", sum("y").over(wx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(wx).cast("long"))
+      .withColumn("dev", abs(col("n") * col("pre") - col("t") * col("s")))
+    dev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("dev").desc, col("x"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        date_format(date_add(to_date(lit(TrendAnchor)), col("x").cast("int")), "yyyy-MM-dd")
+          .as("change_day"),
+        Q.r6(col("dev").cast("double") / col("n")).as("cusum_max"))
+      .orderBy("event_type")
+  }
+
+  /** The EWMA fold over the same daily frame — ONE home shared by
+    * batch q_ewma and the s_ewma streaming read-time view. Each day's
+    * full history arrives as a window collect_list over the
+    * calendar-bounded per-type frame and the unrolled terms fold
+    * IN-ROW on the 1e6 lattice — same int64 term set as the oracle's
+    * triangular join. */
+  private[graft] def ewmaOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wx = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyIn
+      .withColumn("hist", collect_list(struct(col("x"), col("y"))).over(wx))
+      // seed on the type's FIRST OBSERVED day (hist is x-ordered, so
+      // element 1 is it) — an absolute x=0 seed would silently
+      // under-weight every type whose series starts after the anchor
+      .withColumn("lp6", expr(
+        """aggregate(hist, CAST(0 AS BIGINT),
+          |  (acc, e) -> acc + CAST(floor((CASE WHEN e.x = element_at(hist, 1).x
+          |                                     THEN pow(0.7, x - element_at(hist, 1).x) * e.y
+          |                                     ELSE 0.3 * pow(0.7, x - e.x) * e.y END) * 1e6 + 0.5) AS BIGINT))""".stripMargin))
+      .select(col("event_type"), col("x").as("day_idx"), col("y"),
+        Q.r4(col("lp6") / lit(1e6)).as("ewma"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  /** The ACF fold over the same daily frame — ONE home shared by batch
+    * q_acf and the s_acf streaming read-time view. Seven row-leads
+    * bucketed by DAY difference cover every day-lag ≤ 7 even with
+    * missing days; all sufficient statistics exact int64. */
+  private[graft] def acfOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wt = Window.partitionBy("event_type")
+    val wx = wt.orderBy("x")
+    val withLeads = (1 to 7).foldLeft(
+      dailyIn
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("s", sum("y").over(wt))
+        .withColumn("ss", sum(col("y") * col("y")).over(wt))) { (df, j) =>
+      df.withColumn(s"x$j", lead("x", j).over(wx))
+        .withColumn(s"y$j", lead("y", j).over(wx))
+    }
+    withLeads
+      .selectExpr("event_type", "n", "s", "ss", "y",
+        "stack(7, x1 - x, y1, x2 - x, y2, x3 - x, y3, x4 - x, y4, x5 - x, y5, x6 - x, y6, x7 - x, y7) AS (k, yk)")
+      .filter(col("yk").isNotNull && col("k").between(1, 7))
+      .groupBy("event_type", "k")
+      .agg(sum(col("y") * col("yk")).as("pk"),
+        sum("y").as("ak"), sum("yk").as("bk"),
+        max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
+      .select(col("event_type"), col("k"),
+        Q.r6((col("n") * col("n") * col("pk") - col("n") * col("s") * (col("ak") + col("bk")) +
+          (col("n") - col("k")) * col("s") * col("s")).cast("double") /
+          (col("n") * col("n") * col("ss") - col("n") * col("s") * col("s"))).as("acf"))
+      .orderBy("event_type", "k")
+  }
+
   private[graft] def kmOf(uIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // no snapshot: one window chain reads the frame, and the plan
@@ -558,35 +641,9 @@ object Timeseries {
       // its DAY difference (not its row offset) — for any day-pair ≤7
       // days apart the row distance is ≤ the day distance, so seven
       // row-leads always cover every day-lag ≤7 even if days go
-      // missing. One corpus scan, one exchange, no self-join.
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
-            .cast("long").as("x"))
-        .agg(count(lit(1)).as("y"))
-      val wt = Window.partitionBy("event_type")
-      val wx = wt.orderBy("x")
-      val withLeads = (1 to 7).foldLeft(
-        daily
-          .withColumn("n", count(lit(1)).over(wt))
-          .withColumn("s", sum("y").over(wt))
-          .withColumn("ss", sum(col("y") * col("y")).over(wt))) { (df, j) =>
-        df.withColumn(s"x$j", lead("x", j).over(wx))
-          .withColumn(s"y$j", lead("y", j).over(wx))
-      }
-      withLeads
-        .selectExpr("event_type", "n", "s", "ss", "y",
-          "stack(7, x1 - x, y1, x2 - x, y2, x3 - x, y3, x4 - x, y4, x5 - x, y5, x6 - x, y6, x7 - x, y7) AS (k, yk)")
-        .filter(col("yk").isNotNull && col("k").between(1, 7))
-        .groupBy("event_type", "k")
-        .agg(sum(col("y") * col("yk")).as("pk"),
-          sum("y").as("ak"), sum("yk").as("bk"),
-          max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
-        .select(col("event_type"), col("k"),
-          Q.r6((col("n") * col("n") * col("pk") - col("n") * col("s") * (col("ak") + col("bk")) +
-            (col("n") - col("k")) * col("s") * col("s")).cast("double") /
-            (col("n") * col("n") * col("ss") - col("n") * col("s") * col("s"))).as("acf"))
-        .orderBy("event_type", "k")
+      // missing. One corpus scan, one exchange, no self-join. (Fold
+      // factored for the s_acf streaming face.)
+      acfOf(Inference.dailyCounts(s, d))
     },
 
     // Seasonal-naive forecast accuracy (round 14) — MASE of the lag-7
@@ -684,29 +741,10 @@ object Timeseries {
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       // Single-scan shape: the per-type totals are window aggregates on
       // the SAME partitioning as the prefix sums — no re-aggregated
-      // totals join, no second corpus scan.
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
-            .cast("long").as("x"))
-        .agg(count(lit(1)).as("y"))
-      val wt = Window.partitionBy("event_type")
-      val wx = wt.orderBy("x")
-      val dev = daily
-        .withColumn("n", count(lit(1)).over(wt))
-        .withColumn("s", sum("y").over(wt))
-        .withColumn("pre", sum("y").over(wx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("t", row_number().over(wx).cast("long"))
-        .withColumn("dev", abs(col("n") * col("pre") - col("t") * col("s")))
-      dev
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("dev").desc, col("x"))))
-        .filter(col("rn") === 1)
-        .select(col("event_type"), col("n").as("n_days"),
-          date_format(date_add(to_date(lit(TrendAnchor)), col("x").cast("int")), "yyyy-MM-dd")
-            .as("change_day"),
-          Q.r6(col("dev").cast("double") / col("n")).as("cusum_max"))
-        .orderBy("event_type")
+      // totals join, no second corpus scan. (Fold factored for the
+      // s_cusum streaming face — Inference.dailyCounts is the same
+      // frame this body built inline before round 14.)
+      cusumOf(Inference.dailyCounts(s, d))
     },
 
     // Exponentially weighted moving average of the per-type daily
@@ -739,30 +777,9 @@ object Timeseries {
          |GROUP BY event_type, x
          |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
       // Single-scan shape (the oracle keeps the triangular-join
-      // formulation): each day's full history arrives as a window
-      // collect_list over the calendar-bounded per-type frame and the
-      // unrolled terms fold IN-ROW — same int64 term set as the join,
-      // one corpus scan, one exchange, no self-join.
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
-            .cast("long").as("x"))
-        .agg(count(lit(1)).as("y"))
-      val wx = Window.partitionBy("event_type").orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("hist", collect_list(struct(col("x"), col("y"))).over(wx))
-        // seed on the type's FIRST OBSERVED day (hist is x-ordered, so
-        // element 1 is it) — an absolute x=0 seed would silently
-        // under-weight every type whose series starts after the anchor
-        .withColumn("lp6", expr(
-          """aggregate(hist, CAST(0 AS BIGINT),
-            |  (acc, e) -> acc + CAST(floor((CASE WHEN e.x = element_at(hist, 1).x
-            |                                     THEN pow(0.7, x - element_at(hist, 1).x) * e.y
-            |                                     ELSE 0.3 * pow(0.7, x - e.x) * e.y END) * 1e6 + 0.5) AS BIGINT))""".stripMargin))
-        .select(col("event_type"), col("x").as("day_idx"), col("y"),
-          Q.r4(col("lp6") / lit(1e6)).as("ewma"))
-        .orderBy("event_type", "day_idx")
+      // formulation) — see [[ewmaOf]], factored for the s_ewma
+      // streaming face.
+      ewmaOf(Inference.dailyCounts(s, d))
     },
 
     // Local-peak detection in the per-type daily series (round 10):

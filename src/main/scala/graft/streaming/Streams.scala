@@ -1093,6 +1093,17 @@ object Streams {
       .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"))
       .agg(count(lit(1)).as("y"))
 
+  /** Read-time CUSUM projection over a [[dailyGrid]] — the max
+    * deviation re-prices every prefix at each day-close; the grid is
+    * the mergeable state. */
+  def cusumOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.cusumOf(grid)
+
+  /** Read-time EWMA projection over a [[dailyGrid]]. */
+  def ewmaOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.ewmaOf(grid)
+
+  /** Read-time ACF projection over a [[dailyGrid]]. */
+  def acfOf(grid: DataFrame): DataFrame = graft.ops.Timeseries.acfOf(grid)
+
   /** Read-time periodogram projection over a [[dailyGrid]] — the
     * spectrum is not mergeable (a new day shifts every residue-class
     * sum); the daily grid is. */

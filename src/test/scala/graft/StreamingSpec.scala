@@ -352,6 +352,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_wilcoxon_signed")(spark, sfDir)), "Wilcoxon")
       assert(rows1(Streams.periodogramOf(grid)) ===
         rows1(SparkEntry.queries("q_periodogram")(spark, sfDir)), "Periodogram")
+      assert(rows1(Streams.cusumOf(grid)) ===
+        rows1(SparkEntry.queries("q_cusum")(spark, sfDir)), "CUSUM")
+      assert(rows1(Streams.ewmaOf(grid)) ===
+        rows1(SparkEntry.queries("q_ewma")(spark, sfDir)), "EWMA")
+      assert(rows1(Streams.acfOf(grid)) ===
+        rows1(SparkEntry.queries("q_acf")(spark, sfDir)), "ACF")
     }
   }
 
