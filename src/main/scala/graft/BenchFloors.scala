@@ -224,6 +224,7 @@ object BenchFloors {
     "q_page_hinkley" -> 0.238, // r13 first harvest
     "q_page_trend" -> 0.636, // r14 TimeQuery warm-min harvest
     "q_pagerank" -> 2.592,
+    "q_paired_t" -> 0.698, // r14 TimeQuery warm-min harvest
     "q_partial_corr" -> 0.122,
     "q_pca_power" -> 0.103,
     "q_peak_detection" -> 0.143,

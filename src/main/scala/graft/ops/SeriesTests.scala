@@ -205,6 +205,31 @@ object SeriesTests {
       .orderBy("type_a", "type_b")
   }
 
+  /** The paired-t fold over a daily (event_type, x, y) count frame —
+    * ONE home shared by batch q_paired_t and the s_paired_t streaming
+    * read-time view: the PARAMETRIC twin of [[wilcoxonOf]] on the
+    * identical day-paired dense grid (zero diffs KEPT here — the t
+    * test has no zero-drop convention). Σd and Σd² are exact int64;
+    * the one formula tree divides at the end; NULL t on a zero-variance
+    * pair (an exact constant offset), not 0/0. */
+  private[graft] def pairedTOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val a = grid.select(col("event_type").as("type_a"), col("x"), col("y").as("ya"))
+    val b = grid.select(col("event_type").as("type_b"), col("x"), col("y").as("yb"))
+    val d = col("ya") - col("yb")
+    val t = a.join(b, Seq("x")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"), sum(d).as("sd"), sum(d * d).as("sdd"))
+    val varNum = col("sdd").cast("double") - col("sd").cast("double") * col("sd") / col("n")
+    t.select(col("type_a"), col("type_b"), col("n").as("n_days"),
+        Q.r6(col("sd").cast("double") / col("n")).as("mean_diff"),
+        when(col("n") >= 2 && varNum > 0,
+          Q.r6((col("sd").cast("double") / col("n")) /
+            sqrt(varNum / ((col("n") - 1) * col("n"))))).as("t_stat"))
+      .orderBy("type_a", "type_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Wald–Wolfowitz runs test on the SIGNS of day-over-day volume
@@ -936,6 +961,41 @@ object SeriesTests {
          |FROM t JOIN tt ON t.type_a = tt.type_a AND t.type_b = tt.type_b
          |ORDER BY t.type_a, t.type_b""".stripMargin) { (s, d) =>
       wilcoxonOf(Inference.dailyCounts(s, d))
+    },
+
+    // Paired t test on day-paired volumes per type pair (round 14):
+    // the PARAMETRIC twin of q_wilcoxon_signed on the identical
+    // zero-filled dense grid — Wilcoxon ranks the |diffs| (outlier-
+    // immune), the t test weighs them (power under normality); run
+    // side by side, disagreement flags heavy-tailed diffs. Zero diffs
+    // are KEPT (no zero-drop convention in the t world). Σd and Σd²
+    // exact int64; NULL t on an exact constant offset (variance 0).
+    Q("q_paired_t",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |             CAST(a.y - b.y AS BIGINT) AS d
+         |      FROM grid a JOIN grid b
+         |        ON a.x = b.x AND a.event_type < b.event_type),
+         |t AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(d) AS BIGINT) AS sd,
+         |             CAST(sum(d * d) AS BIGINT) AS sdd
+         |      FROM p GROUP BY 1, 2)
+         |SELECT type_a, type_b, n AS n_days,
+         |       ${Q.sqlR6("CAST(sd AS DOUBLE) / n")} AS mean_diff,
+         |       CASE WHEN n >= 2 AND
+         |                 CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n > 0 THEN
+         |         ${Q.sqlR6("(CAST(sd AS DOUBLE) / n) / " +
+                   "sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / " +
+                   "((n - 1) * n))")}
+         |       END AS t_stat
+         |FROM t
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      pairedTOf(Inference.dailyCounts(s, d))
     },
 
     // Tukey HSD post-hoc screen: the studentized-range statistic

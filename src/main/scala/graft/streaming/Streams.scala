@@ -1093,6 +1093,10 @@ object Streams {
       .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"))
       .agg(count(lit(1)).as("y"))
 
+  /** Read-time paired-t projection over a [[dailyGrid]]. */
+  def pairedTOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.pairedTOf(grid)
+
   /** Read-time CUSUM projection over a [[dailyGrid]] — the max
     * deviation re-prices every prefix at each day-close; the grid is
     * the mergeable state. */

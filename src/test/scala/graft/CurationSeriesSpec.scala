@@ -1138,6 +1138,28 @@ class CurationSeriesSpec extends SparkSpec {
       .isNullAt(q("q_quantile_skew", const).head().fieldIndex("bowley")))
   }
 
+  test("q_paired_t: a growing gap reads t = sqrt(15); a constant offset reads NULL, not 0/0") {
+    // hi = 2(d+1), lo = d+1 over 4 days: d_i = 1,2,3,4 → n = 4,
+    // Σd = 10, Σd² = 30, mean = 2.5, var = 5/3, t = 2.5/√(5/12) = √15
+    val dom = eventsDir(Seq("hi", "lo"), 4, {
+      case ("hi", d) => 2 * (d + 1)
+      case (_, d)    => d + 1
+    })
+    val r = q("q_paired_t", dom).head()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Double]("mean_diff") === 2.5)
+    assert(r.getAs[Double]("t_stat") === r6(math.sqrt(15)))
+    // constant offset: every diff is exactly 3 → variance 0 → NULL
+    val const = eventsDir(Seq("hi", "lo"), 4, {
+      case ("hi", _) => 5
+      case _         => 2
+    })
+    val rc = q("q_paired_t", const).head()
+    assert(rc.getAs[Double]("mean_diff") === 3.0)
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")))
+  }
+
   test("q_wilcoxon_signed: dominant pairs hit the max W+; symmetric alternation reads z = 0") {
     val dom = eventsDir(Seq("hi", "lo"), 4, {
       case ("hi", d) => 2 * (d + 1) // 2,4,6,8

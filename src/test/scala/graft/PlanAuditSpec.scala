@@ -1046,6 +1046,9 @@ class PlanAuditSpec extends SparkSpec {
       // the dense grid; q_gumbel_maxima has no window at all;
       // q_wilcoxon_signed's rank windows partition by the type pair
       "q_nemenyi", "q_gumbel_maxima", "q_wilcoxon_signed",
+      // q_paired_t has no window at all — the dense-grid pair agg
+      // collapses straight to |types|² sufficient statistics
+      "q_paired_t",
       // q_cramer_von_mises' global ECDF windows ride q_ks_test's
       // bounded distinct-cents frame (grouped by v100, a domain key),
       // as do the other three faces of the same grid

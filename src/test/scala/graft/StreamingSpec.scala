@@ -358,6 +358,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_ewma")(spark, sfDir)), "EWMA")
       assert(rows1(Streams.acfOf(grid)) ===
         rows1(SparkEntry.queries("q_acf")(spark, sfDir)), "ACF")
+      assert(rows1(Streams.pairedTOf(grid)) ===
+        rows1(SparkEntry.queries("q_paired_t")(spark, sfDir)), "paired t")
     }
   }
 
