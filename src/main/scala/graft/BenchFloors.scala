@@ -53,6 +53,7 @@ object BenchFloors {
     "q_boxplot" -> 0.532,
     "q_brown_forsythe" -> 0.195,
     "q_burstiness" -> 0.325,
+    "q_capture_recapture" -> 1.8, // r14 TimeQuery warm-min harvest
     "q_case_cast" -> 0.065,
     "q_cat_entropy" -> 0.159,
     "q_centroid" -> 0.167,

@@ -353,6 +353,43 @@ object Curation {
             .when(col("quality_ok") === 0, 3L).when(col("dup_ok") === 0, 4L)
             .otherwise(0L).as("removed_at_stage"))
         .orderBy("lang_ok", "len_ok", "quality_ok", "dup_ok")
+    },
+
+    // Capture–recapture dedup-recall estimation (round 14): the "how
+    // many near-dup pairs did we MISS" question no single detector can
+    // answer about itself. The MinHash-LSH candidate list and the
+    // SimHash candidate list are two independent captures of the same
+    // underlying duplicate-pair population; the Chapman estimator
+    // N̂ = (nA+1)(nB+1)/(nAB+1) − 1 sizes that population from their
+    // overlap, and nAB/nB (resp. nAB/nA) estimates each detector's
+    // recall. Both pair lists are the EXISTING bounded machinery
+    // (banded self-joins, never all-pairs — one home each with
+    // q_minhash_lsh / q_dedup_simhash); the overlap is one join on the
+    // (d1, d2) pair key; the readout is a single row.
+    Q("q_capture_recapture",
+      "WITH " + TextPipeline.LshPairCtes + ",\n" + TextPipeline.SimhashPairCtes + s""",
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM cands),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM spairs),
+        |nab AS (SELECT CAST(count(*) AS BIGINT) AS nab
+        |        FROM cands c JOIN spairs s ON c.d1 = s.d1 AND c.d2 = s.d2)
+        |SELECT na AS n_lsh, nb AS n_simhash, nab AS n_both,
+        |       ${Q.sqlR6("(CAST(na + 1 AS DOUBLE) * (nb + 1) / (nab + 1)) - 1")} AS chapman_est,
+        |       CASE WHEN nb > 0 THEN ${Q.sqlR6("CAST(nab AS DOUBLE) / nb")} END AS est_recall_lsh,
+        |       CASE WHEN na > 0 THEN ${Q.sqlR6("CAST(nab AS DOUBLE) / na")} END AS est_recall_simhash
+        |FROM na, nb, nab""".stripMargin) { (s, d) =>
+      val a = TextPipeline.lshCandidatePairs(s, d).select("d1", "d2")
+      val b = TextPipeline.simhashCandidatePairs(s, d).select("d1", "d2")
+      val na = a.agg(count(lit(1)).as("na"))
+      val nb = b.agg(count(lit(1)).as("nb"))
+      val nab = a.join(b, Seq("d1", "d2")).agg(count(lit(1)).as("nab"))
+      na.crossJoin(broadcast(nb)).crossJoin(broadcast(nab))
+        .select(col("na").as("n_lsh"), col("nb").as("n_simhash"), col("nab").as("n_both"),
+          Q.r6((col("na") + 1).cast("double") * (col("nb") + 1) / (col("nab") + 1) - 1)
+            .as("chapman_est"),
+          when(col("nb") > 0,
+            Q.r6(col("nab").cast("double") / col("nb"))).as("est_recall_lsh"),
+          when(col("na") > 0,
+            Q.r6(col("nab").cast("double") / col("na"))).as("est_recall_simhash"))
     }
   )
 }

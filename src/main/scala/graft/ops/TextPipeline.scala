@@ -107,9 +107,12 @@ object TextPipeline {
         .cast("double") / size(col("words"))) +
       lit(0.2) * least(size(col("words")).cast("double") / 100, lit(1.0))
 
-  /** DuckDB twin of q_dedup_simhash, generated from the same bit layout
-    * so the two sides cannot drift. */
-  private[ops] def simhashOracle: String = {
+  /** The simhash candidate-pair CTE chain (up to `spairs`: d1, d2,
+    * n_bands), generated from the same bit layout as the Spark side so
+    * the two cannot drift — ONE home for the q_dedup_simhash oracle
+    * and q_capture_recapture's two-list overlap (CTE names are
+    * s-prefixed so they compose with [[LshPairCtes]] in one WITH). */
+  private[ops] def SimhashPairCtes: String = {
     val votes = (0 until SimhashBits).map { b =>
       val k = b / 4 + 1; val j = b % 4
       s"sum(((instr('0123456789abcdef', substring(h, $k, 1)) - 1) // ${1 << j}) % 2 * 2 - 1) AS v$b"
@@ -123,22 +126,27 @@ object TextPipeline {
       case g if g < SimhashBands - 1 => s"WHEN $g THEN b$g"
       case g => s"ELSE b$g"
     }.mkString("CASE t.band ", " ", " END")
-    s"""WITH wrd AS (SELECT doc_id, lang, md5(unnest(string_split(text, ' '))) AS h
-       |             FROM documents WHERE len(string_split(text, ' ')) > 0),
-       |v AS (SELECT doc_id, lang,
+    s"""swrd AS (SELECT doc_id, lang, md5(unnest(string_split(text, ' '))) AS h
+       |         FROM documents WHERE len(string_split(text, ' ')) > 0),
+       |sv AS (SELECT doc_id, lang,
        |        $votes
-       |      FROM wrd GROUP BY 1, 2),
-       |sig AS (SELECT doc_id, lang,
+       |      FROM swrd GROUP BY 1, 2),
+       |ssig AS (SELECT doc_id, lang,
        |             $bandVals
-       |        FROM v),
-       |bands AS (SELECT doc_id, lang, t.band, $bandCase AS bv
-       |          FROM sig, (SELECT unnest(range(0, $SimhashBands)) AS band) t)
-       |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
-       |FROM bands a JOIN bands b
-       |  ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2
-       |ORDER BY d1, d2""".stripMargin
+       |        FROM sv),
+       |sbands AS (SELECT doc_id, lang, t.band, $bandCase AS bv
+       |           FROM ssig, (SELECT unnest(range(0, $SimhashBands)) AS band) t),
+       |spairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+       |           FROM sbands a JOIN sbands b
+       |             ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv
+       |            AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)""".stripMargin
   }
+
+  /** DuckDB twin of q_dedup_simhash, riding [[SimhashPairCtes]]. */
+  private[ops] def simhashOracle: String =
+    "WITH " + SimhashPairCtes +
+      "\nSELECT d1, d2, n_bands FROM spairs\nORDER BY d1, d2"
 
   /** words = whitespace-split text (the corpus is pre-normalized
     * lowercase; a production pipeline would lower/strip punctuation
@@ -305,6 +313,46 @@ object TextPipeline {
       min(substring(col("h0"), i * 4 + 1, 4)).as(s"mh$i")
     }
     sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  /** SimHash candidate pairs (d1 < d2, n_bands), Spark side of
+    * [[SimhashPairCtes]] — ONE home for the declared q_dedup_simhash
+    * body and q_capture_recapture's second capture list. Votes for bit
+    * (k, j) come from bit j of hex nibble k of md5(w) — the 16
+    * fingerprint nibbles are parsed ONCE into two 32-bit words (conv
+    * is codegen'd), per-bit extraction is pure integer arithmetic (the
+    * per-bit substring+instr form did 64 string scans per word
+    * occurrence — 2× the whole query's cost at sf0.1). */
+  private[graft] def simhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val wrd = withWords(Tables.load(s, d, "documents"))
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
+      .withColumn("h", md5(col("w").cast("binary")))
+      .withColumn("h1", expr("conv(substring(h, 1, 8), 16, 10)").cast("long"))
+      .withColumn("h2", expr("conv(substring(h, 9, 8), 16, 10)").cast("long"))
+      .select(col("doc_id"), col("lang"), col("h1"), col("h2"))
+    val votes = (0 until SimhashBits).map { b =>
+      val k = b / 4 + 1; val j = b % 4
+      val (word, kk) = if (k <= 8) ("h1", k) else ("h2", k - 8)
+      val weight = (1L << (4 * (8 - kk))) * (1L << j)
+      sum(expr(s"($word div ${weight}L) % 2") * 2 - 1).as(s"v$b")
+    }
+    val bandVal = (g: Int) => (0 until SimhashBandBits).map { i =>
+      when(col(s"v${g * SimhashBandBits + i}") > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    val bandStructs = (0 until SimhashBands).map { g =>
+      struct(lit(g).as("band"), bandVal(g).as("bv"))
+    }
+    val bands = wrd.groupBy("doc_id", "lang").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
   }
 
   private[graft] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
@@ -747,44 +795,7 @@ object TextPipeline {
     // band-keyed self-join: linear scans, blocked pairs, unbounded
     // keyspace.
     Q("q_dedup_simhash", TextPipeline.simhashOracle) { (s, d) =>
-      val wrd = withWords(Tables.load(s, d, "documents"))
-        .filter(size(col("words")) > 0)
-        .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
-        .withColumn("h", md5(col("w").cast("binary")))
-        // parse the 16 fingerprint nibbles ONCE into two 32-bit words
-        // (conv is codegen'd); per-bit extraction below is then pure
-        // integer arithmetic. The previous per-bit substring+instr did
-        // 64 string scans per word occurrence — 2× the whole query's
-        // cost at sf0.1. Bit values are unchanged: nibble k of word
-        // ⌈k/8⌉ sits at weight 16^(8 - ((k-1)%8 + 1)).
-        .withColumn("h1", expr("conv(substring(h, 1, 8), 16, 10)").cast("long"))
-        .withColumn("h2", expr("conv(substring(h, 9, 8), 16, 10)").cast("long"))
-        .select(col("doc_id"), col("lang"), col("h1"), col("h2"))
-      // vote for bit (k,j): ±1 from bit j of hex nibble k of md5(w) —
-      // same (k, j) layout as simhashOracle, extracted arithmetically
-      val votes = (0 until SimhashBits).map { b =>
-        val k = b / 4 + 1; val j = b % 4
-        val (word, kk) = if (k <= 8) ("h1", k) else ("h2", k - 8)
-        val weight = (1L << (4 * (8 - kk))) * (1L << j)
-        sum(expr(s"($word div ${weight}L) % 2") * 2 - 1).as(s"v$b")
-      }
-      val bandVal = (g: Int) => (0 until SimhashBandBits).map { i =>
-        when(col(s"v${g * SimhashBandBits + i}") > 0, 1 << i).otherwise(0)
-      }.reduce(_ + _)
-      val bandStructs = (0 until SimhashBands).map { g =>
-        struct(lit(g).as("band"), bandVal(g).as("bv"))
-      }
-      val bands = wrd.groupBy("doc_id", "lang").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bv").as("bv"))
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b,
-          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy("d1", "d2")
+      simhashCandidatePairs(s, d).orderBy("d1", "d2")
     },
 
     // Fuzzy (edit-distance) near-dup candidates: levenshtein over a

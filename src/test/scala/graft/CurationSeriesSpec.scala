@@ -1104,6 +1104,28 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows.size === 5)
   }
 
+  test("q_capture_recapture: a SimHash-only permuted pair gives the asymmetric Chapman closed form") {
+    // docs 1,2 identical → caught by BOTH detectors (same shingles,
+    // same word bag). docs 3,4 are word-for-word REVERSALS: SimHash is
+    // order-free (identical bag → identical signature → caught) while
+    // the 3-shingle MinHash sees disjoint shingle sets (missed).
+    // doc 5 is unrelated filler. nA = 1, nB = 2, nAB = 1 →
+    // Chapman = (2·3/2) − 1 = 2, recall_lsh = 1/2, recall_simhash = 1.
+    val fwd = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val rev = fwd.split(" ").reverse.mkString(" ")
+    val both = "column sort key merge scan filter"
+    val docs = Seq((1L, both, "s1"), (2L, both, "s1"),
+      (3L, fwd, "s1"), (4L, rev, "s1"),
+      (5L, "zulu yankee xray whiskey victor uniform", "s1"))
+    val r = q("q_capture_recapture", docsDir(docs)).head()
+    assert(r.getAs[Long]("n_lsh") === 1L)
+    assert(r.getAs[Long]("n_simhash") === 2L)
+    assert(r.getAs[Long]("n_both") === 1L)
+    assert(r.getAs[Double]("chapman_est") === 2.0)
+    assert(r.getAs[Double]("est_recall_lsh") === 0.5)
+    assert(r.getAs[Double]("est_recall_simhash") === 1.0)
+  }
+
   test("robust value screens: a planted outlier leaves the trimmed mean; Bowley reads +1 on max right skew") {
     import spark.implicits._
     def mk(prefix: String, vals: Seq[(String, Double)]): String = {

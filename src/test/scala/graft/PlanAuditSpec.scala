@@ -1065,7 +1065,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_filter_cascade",
       // q_hits' rank/max windows consume sort+limit(10) frames
       // (TakeOrderedAndProject — never a catalog-sized window sort)
-      "q_hits")
+      "q_hits",
+      // q_capture_recapture has no window — three count aggregates
+      // over the two bounded banded-candidate lists
+      "q_capture_recapture")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
