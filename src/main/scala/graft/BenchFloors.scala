@@ -69,6 +69,7 @@ object BenchFloors {
     "q_cohens_d" -> 0.095,
     "q_cohens_kappa" -> 0.727, // r14 TimeQuery warm-min harvest
     "q_cohort_ltv" -> 0.251,
+    "q_compaction_plan" -> 0.339, // r14 TimeQuery warm-min harvest
     "q_context_fit" -> 0.102,
     "q_cooccur_lift" -> 0.514,
     "q_cooks_distance" -> 0.298, // r13 TimeQuery warm-min harvest

@@ -390,6 +390,45 @@ object Curation {
             Q.r6(col("nab").cast("double") / col("nb"))).as("est_recall_lsh"),
           when(col("na") > 0,
             Q.r6(col("nab").cast("double") / col("na"))).as("est_recall_simhash"))
+    },
+
+    // Compaction plan over the per-source shard layout (round 14): the
+    // lakehouse-maintenance readout behind OPTIMIZE/rewrite jobs —
+    // given the 64-shard layout q_shard_skew monitors, group each
+    // source's shards (in shard order) into next-fit output files cut
+    // at a 32 KiB target, and report every planned file's input count,
+    // bytes, and fill ratio. The next-fit cut is ONE cumulative window
+    // per source (bin = start-offset ÷ target, exact int64) — the
+    // sequential-looking bin assignment never leaves SQL. Scale: the
+    // shard frame is ≤ |sources|×64 rows regardless of corpus size;
+    // the corpus collapses onto it in one map-side agg.
+    Q("q_compaction_plan",
+      s"""WITH f AS (SELECT source, doc_id % 64 AS shard,
+         |                  CAST(sum(n_chars) AS BIGINT) AS bytes
+         |           FROM documents GROUP BY 1, 2),
+         |c AS (SELECT source, shard, bytes,
+         |             CAST(sum(bytes) OVER (PARTITION BY source ORDER BY shard
+         |               ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS start_off
+         |      FROM f),
+         |b AS (SELECT source, CAST(start_off // 32768 AS BIGINT) AS bin,
+         |             shard, bytes FROM c)
+         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_inputs,
+         |       CAST(sum(bytes) AS BIGINT) AS bytes,
+         |       ${Q.sqlR6("CAST(sum(bytes) AS DOUBLE) / 32768")} AS fill
+         |FROM b GROUP BY 1, 2
+         |ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val f = Tables.load(s, d, "documents")
+        .groupBy(col("source"), (col("doc_id") % 64).as("shard"))
+        .agg(sum("n_chars").as("bytes"))
+      val w = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.withColumn("start_off", sum("bytes").over(w) - col("bytes"))
+        .withColumn("bin", floor(col("start_off") / 32768.0).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_inputs"), sum("bytes").as("bytes"))
+        .select(col("source"), col("bin"), col("n_inputs"), col("bytes"),
+          Q.r6(col("bytes").cast("double") / 32768).as("fill"))
+        .orderBy("source", "bin")
     }
   )
 }

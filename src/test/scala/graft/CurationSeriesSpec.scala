@@ -1126,6 +1126,21 @@ class CurationSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("est_recall_simhash") === 1.0)
   }
 
+  test("q_compaction_plan: three 20000-byte shards cut into next-fit bins at the 32 KiB target") {
+    // doc_ids 0,1,2 land in shards 0,1,2; start offsets 0, 20000,
+    // 40000 → bins 0, 0, 1: bin 0 holds 2 inputs / 40000 bytes
+    // (overfull, fill ≈ 1.22), bin 1 holds the remainder
+    val body = "x" * 20000
+    val docs = Seq((0L, body, "s1"), (1L, body, "s1"), (2L, body, "s1"))
+    val rows = q("q_compaction_plan", docsDir(docs)).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_inputs"), r.getAs[Long]("bytes"), r.getAs[Double]("fill"))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows(0L) === ((2L, 40000L, r6(40000.0 / 32768))))
+    assert(rows(1L) === ((1L, 20000L, r6(20000.0 / 32768))))
+    assert(rows.size === 2)
+  }
+
   test("robust value screens: a planted outlier leaves the trimmed mean; Bowley reads +1 on max right skew") {
     import spark.implicits._
     def mk(prefix: String, vals: Seq[(String, Double)]): String = {

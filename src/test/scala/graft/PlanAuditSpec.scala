@@ -1068,7 +1068,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_hits",
       // q_capture_recapture has no window — three count aggregates
       // over the two bounded banded-candidate lists
-      "q_capture_recapture")
+      "q_capture_recapture",
+      // q_compaction_plan's one window partitions by source over the
+      // ≤|sources|×64 shard frame
+      "q_compaction_plan")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
