@@ -307,7 +307,12 @@ object Curation {
     // min-doc_id keeper of the md5 content group (the established
     // dedup exchange). ONE content-hash shuffle + a 16-key grid agg;
     // the cascade stage is derived IN-ROW from the flags, so the grid
-    // carries both readouts.
+    // carries both readouts. The body routes through the SAME
+    // cascadeCells/cascadeOf pair the s_filter_cascade streaming face
+    // uses: the dup split needs only COUNTS per content group (one
+    // keeper + n−1 dups), so the (md5, flags) grid is the mergeable
+    // state and the keeper window disappears entirely — map-side
+    // partial aggregation instead of a content-hash window sort.
     Q("q_filter_cascade",
       s"""WITH w AS (SELECT doc_id, lang, n_chars, text,
          |                  string_split(text, ' ') AS words FROM documents),
@@ -332,27 +337,7 @@ object Curation {
          |            ELSE 0 END AS removed_at_stage
          |FROM g CROSS JOIN t
          |ORDER BY lang_ok, len_ok, quality_ok, dup_ok""".stripMargin) { (s, d) =>
-      val w = Tables.load(s, d, "documents")
-        .withColumn("words", split(col("text"), " "))
-      val f = w.select(
-        when(TextPipeline.predLangCol === col("lang"), 1L).otherwise(0L).as("lang_ok"),
-        when(col("n_chars") >= 200, 1L).otherwise(0L).as("len_ok"),
-        when(size(col("words")) > 0 &&
-          floor(TextPipeline.qualityOnWordsCol * 10000 + 0.5).cast("long") >= 6200,
-          1L).otherwise(0L).as("quality_ok"),
-        when(col("doc_id") ===
-          min("doc_id").over(Window.partitionBy(md5(col("text")))), 1L)
-          .otherwise(0L).as("dup_ok"))
-      f.groupBy("lang_ok", "len_ok", "quality_ok", "dup_ok")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("tot", sum("n_docs").over(Window.partitionBy()))
-        .select(col("lang_ok"), col("len_ok"), col("quality_ok"), col("dup_ok"),
-          col("n_docs"),
-          Q.r6(col("n_docs").cast("double") / col("tot")).as("share"),
-          when(col("lang_ok") === 0, 1L).when(col("len_ok") === 0, 2L)
-            .when(col("quality_ok") === 0, 3L).when(col("dup_ok") === 0, 4L)
-            .otherwise(0L).as("removed_at_stage"))
-        .orderBy("lang_ok", "len_ok", "quality_ok", "dup_ok")
+      cascadeOf(cascadeCells(Tables.load(s, d, "documents")))
     },
 
     // Capture–recapture dedup-recall estimation (round 14): the "how
@@ -431,4 +416,61 @@ object Curation {
         .orderBy("source", "bin")
     }
   )
+
+  /** The cascade cell grid — ONE home for the projection + groupBy
+    * batch q_filter_cascade and the streaming s_filter_cascade state
+    * share: three in-row flags plus the content hash, collapsed to a
+    * (h, flags) → (n, min_doc) grid by one map-side-partial agg. The
+    * min_doc is carried because identical TEXT does not imply an
+    * identical RECORDED lang — a content group can span flag combos,
+    * and the one keeper (the group-wide min doc_id) must land in the
+    * right cell. Works on a batch table and a streaming DataFrame
+    * alike (a plain mergeable aggregate). */
+  private[graft] def cascadeCells(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        when(TextPipeline.predLangCol === col("lang"), 1L).otherwise(0L).as("lang_ok"),
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("len_ok"),
+        when(size(col("words")) > 0 &&
+          floor(TextPipeline.qualityOnWordsCol * 10000 + 0.5).cast("long") >= 6200,
+          1L).otherwise(0L).as("quality_ok"))
+      .groupBy("h", "lang_ok", "len_ok", "quality_ok")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+
+  /** The cascade fold over a [[cascadeCells]] grid — ONE home shared
+    * by batch q_filter_cascade and the s_filter_cascade streaming
+    * read-time view. Per content hash, the subgroup holding the
+    * group-wide min doc_id contributes one keeper (dup_ok = 1) and
+    * n−1 dups; every other subgroup is all-dups — counts + subgroup
+    * mins reproduce the batch md5-keeper window exactly, which is why
+    * the grid, not any keeper table, is the mergeable state. The one
+    * window here partitions by the hash over the ALREADY-COLLAPSED
+    * grid (≤16 rows per hash), not the corpus. */
+  private[graft] def cascadeOf(cellsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val r = cellsIn.withColumn("rn",
+      row_number().over(Window.partitionBy("h").orderBy("min_doc")))
+    val g = r.groupBy("lang_ok", "len_ok", "quality_ok")
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("grps"), sum("n").as("docs"))
+    // both cells of a flag combo expand IN-ROW (no union, no second
+    // consumer): (dup_ok = 1, keepers) and (dup_ok = 0, dups)
+    g.select(col("lang_ok"), col("len_ok"), col("quality_ok"),
+        explode(array(
+          struct(lit(1L).as("dup_ok"), col("grps").as("n_docs")),
+          struct(lit(0L).as("dup_ok"), (col("docs") - col("grps")).as("n_docs"))))
+          .as("cell"))
+      .select(col("lang_ok"), col("len_ok"), col("quality_ok"),
+        col("cell.dup_ok").as("dup_ok"), col("cell.n_docs").as("n_docs"))
+      .filter(col("n_docs") > 0)
+      .withColumn("tot", sum("n_docs").over(Window.partitionBy()))
+      .select(col("lang_ok"), col("len_ok"), col("quality_ok"), col("dup_ok"),
+        col("n_docs"),
+        Q.r6(col("n_docs").cast("double") / col("tot")).as("share"),
+        when(col("lang_ok") === 0, 1L).when(col("len_ok") === 0, 2L)
+          .when(col("quality_ok") === 0, 3L).when(col("dup_ok") === 0, 4L)
+          .otherwise(0L).as("removed_at_stage"))
+      .orderBy("lang_ok", "len_ok", "quality_ok", "dup_ok")
+  }
 }

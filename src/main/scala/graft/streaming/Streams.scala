@@ -1201,6 +1201,18 @@ object Streams {
   /** Read-time energy-distance projection over a [[ksCells]] grid. */
   def energyOf(grid: DataFrame): DataFrame = graft.ops.Statistics.energyOf(grid)
 
+  /** Streaming filter-cascade cell grid — the mergeable (content-hash,
+    * flags) state behind the s_filter_cascade read-time face: three
+    * in-row flags + md5, a plain streaming groupBy bounded by distinct
+    * contents. The 16-cell attribution is NOT mergeable (a duplicate
+    * arriving re-splits its group's keeper/dup counts); the grid is.
+    * One home with batch q_filter_cascade (Curation.cascadeCells). */
+  def cascadeCells(docs: DataFrame): DataFrame =
+    graft.ops.Curation.cascadeCells(docs)
+
+  /** Read-time filter-cascade projection over a [[cascadeCells]] grid. */
+  def cascadeOf(grid: DataFrame): DataFrame = graft.ops.Curation.cascadeOf(grid)
+
   /** Streaming per-type value cents grid — the mergeable
     * (event_type, v100, c) state behind the s_trimmed_mean and
     * s_quantile_skew read-time faces: a plain streaming groupBy on the

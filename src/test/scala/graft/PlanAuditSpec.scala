@@ -1060,8 +1060,8 @@ class PlanAuditSpec extends SparkSpec {
       // bounded per-type cents grid
       "q_periodogram", "q_trimmed_mean", "q_quantile_skew",
       // q_filter_cascade's one global window (the total) consumes the
-      // 16-cell flag grid; the md5 keeper window is content-hash
-      // partitioned over the corpus — the established dedup exchange
+      // 16-cell flag grid; the keeper-election window is content-hash
+      // partitioned over the ALREADY-COLLAPSED (h, flags) grid
       "q_filter_cascade",
       // q_hits' rank/max windows consume sort+limit(10) frames
       // (TakeOrderedAndProject — never a catalog-sized window sort)

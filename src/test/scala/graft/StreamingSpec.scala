@@ -395,6 +395,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_filter_cascade's streamed (hash, flags) grid reproduces the batch cascade attribution") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, String, String, Long)]
+    val q = Streams.cascadeCells(in.toDF().toDF("doc_id", "text", "lang", "n_chars"))
+      .writeStream.format("memory").queryName("t_cascade").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_cascade"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.cascadeOf(grid)) ===
+        rows1(SparkEntry.queries("q_filter_cascade")(spark, sfDir)))
+    }
+  }
+
   test("s_type_cents' one streamed grid reproduces the trimmed-mean and Bowley batch screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
