@@ -402,20 +402,34 @@ object Curation {
          |       ${Q.sqlR6("CAST(sum(bytes) AS DOUBLE) / 32768")} AS fill
          |FROM b GROUP BY 1, 2
          |ORDER BY source, bin""".stripMargin) { (s, d) =>
-      val f = Tables.load(s, d, "documents")
-        .groupBy(col("source"), (col("doc_id") % 64).as("shard"))
-        .agg(sum("n_chars").as("bytes"))
-      val w = Window.partitionBy("source").orderBy("shard")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      f.withColumn("start_off", sum("bytes").over(w) - col("bytes"))
-        .withColumn("bin", floor(col("start_off") / 32768.0).cast("long"))
-        .groupBy("source", "bin")
-        .agg(count(lit(1)).as("n_inputs"), sum("bytes").as("bytes"))
-        .select(col("source"), col("bin"), col("n_inputs"), col("bytes"),
-          Q.r6(col("bytes").cast("double") / 32768).as("fill"))
-        .orderBy("source", "bin")
+      compactionOf(shardBytes(Tables.load(s, d, "documents")))
     }
   )
+
+  /** The per-source shard byte grid — ONE home for batch
+    * q_compaction_plan and the streaming s_compaction_plan state:
+    * ≤|sources|×64 rows, a plain mergeable sum. */
+  private[graft] def shardBytes(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.groupBy(col("source"), (col("doc_id") % 64).as("shard"))
+      .agg(sum("n_chars").as("bytes"))
+
+  /** The next-fit compaction fold over a [[shardBytes]] grid — ONE
+    * home shared by batch q_compaction_plan and the s_compaction_plan
+    * streaming read-time view (bin boundaries re-price as bytes grow,
+    * so the PLAN is not mergeable — the byte grid is). */
+  private[graft] def compactionOf(gridIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gridIn.withColumn("start_off", sum("bytes").over(w) - col("bytes"))
+      .withColumn("bin", floor(col("start_off") / 32768.0).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_inputs"), sum("bytes").as("bytes"))
+      .select(col("source"), col("bin"), col("n_inputs"), col("bytes"),
+        Q.r6(col("bytes").cast("double") / 32768).as("fill"))
+      .orderBy("source", "bin")
+  }
 
   /** The cascade cell grid — ONE home for the projection + groupBy
     * batch q_filter_cascade and the streaming s_filter_cascade state

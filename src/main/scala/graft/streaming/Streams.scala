@@ -1201,6 +1201,18 @@ object Streams {
   /** Read-time energy-distance projection over a [[ksCells]] grid. */
   def energyOf(grid: DataFrame): DataFrame = graft.ops.Statistics.energyOf(grid)
 
+  /** Streaming per-source shard byte grid — the mergeable state behind
+    * the s_compaction_plan read-time face (≤|sources|×64 rows; the
+    * next-fit PLAN is not mergeable — bin boundaries re-price as bytes
+    * grow — the grid is). One home with batch q_compaction_plan. */
+  def shardBytes(docs: DataFrame): DataFrame =
+    graft.ops.Curation.shardBytes(docs)
+
+  /** Read-time next-fit compaction projection over a [[shardBytes]]
+    * grid. */
+  def compactionOf(grid: DataFrame): DataFrame =
+    graft.ops.Curation.compactionOf(grid)
+
   /** Streaming filter-cascade cell grid — the mergeable (content-hash,
     * flags) state behind the s_filter_cascade read-time face: three
     * in-row flags + md5, a plain streaming groupBy bounded by distinct

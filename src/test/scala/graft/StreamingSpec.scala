@@ -416,6 +416,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_compaction_plan's streamed shard-byte grid reproduces the batch next-fit plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val q = Streams.shardBytes(in.toDF().toDF("doc_id", "source", "n_chars"))
+      .writeStream.format("memory").queryName("t_shardbytes").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_shardbytes"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.compactionOf(grid)) ===
+        rows1(SparkEntry.queries("q_compaction_plan")(spark, sfDir)))
+    }
+  }
+
   test("s_type_cents' one streamed grid reproduces the trimmed-mean and Bowley batch screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
