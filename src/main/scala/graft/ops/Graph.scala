@@ -672,28 +672,35 @@ object Graph {
          |SELECT side, node, rnk AS rank,
          |       ${Q.sqlR6("CAST(v AS DOUBLE) / mx")} AS score
          |FROM u ORDER BY side, rank""".stripMargin) { (s, d) =>
-      val pairs = Tables.load(s, d, "lineitem")
+      hitsOf(Tables.load(s, d, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct().transform(snapshot)
-      val a1 = pairs.groupBy("sk").agg(count(lit(1)).as("v"))
-      val h1 = pairs.join(a1, "sk").groupBy("pk").agg(sum("v").as("v"))
-      val a2 = pairs.join(h1, "pk").groupBy("sk").agg(sum("v").as("v"))
-      val h2 = pairs.join(a2, "sk").groupBy("pk").agg(sum("v").as("v"))
-      // top-10 via sort+limit (TakeOrderedAndProject — distributed
-      // top-k, never a global-window sort of the catalog-sized node
-      // frame); ranks and the max-normalizer then run over the
-      // 10-row frame only (rank 1 IS the global max)
-      def top(df: DataFrame, key: String, pfx: String, side: String): DataFrame =
-        df.orderBy(col("v").desc, col(key)).limit(10)
-          .withColumn("rnk", row_number().over(Window.orderBy(col("v").desc, col(key))))
-          .withColumn("mx", max("v").over(Window.partitionBy()))
-          .select(lit(side).as("side"),
-            concat(lit(pfx), col(key).cast("string")).as("node"),
-            col("rnk").as("rank"), Q.r6(col("v").cast("double") / col("mx")).as("score"))
-      top(h2, "pk", "p:", "hub").unionAll(top(a2, "sk", "s:", "authority"))
-        .orderBy("side", "rank")
+        .distinct())
     }
   )
+
+  /** The HITS fold over a distinct (pk, sk) pair frame — ONE home
+    * shared by batch q_hits and the s_hits streaming read-time view
+    * (the pair SET is the mergeable state; the power iteration is
+    * not — a new edge re-prices every score). Two full rounds on
+    * exact int64; top-10 via sort+limit (TakeOrderedAndProject —
+    * never a catalog-sized window sort); ranks and the max-normalizer
+    * run over the 10-row frame only (rank 1 IS the global max). */
+  private[graft] def hitsOf(pairsIn: DataFrame): DataFrame = {
+    val pairs = snapshot(pairsIn)
+    val a1 = pairs.groupBy("sk").agg(count(lit(1)).as("v"))
+    val h1 = pairs.join(a1, "sk").groupBy("pk").agg(sum("v").as("v"))
+    val a2 = pairs.join(h1, "pk").groupBy("sk").agg(sum("v").as("v"))
+    val h2 = pairs.join(a2, "sk").groupBy("pk").agg(sum("v").as("v"))
+    def top(df: DataFrame, key: String, pfx: String, side: String): DataFrame =
+      df.orderBy(col("v").desc, col(key)).limit(10)
+        .withColumn("rnk", row_number().over(Window.orderBy(col("v").desc, col(key))))
+        .withColumn("mx", max("v").over(Window.partitionBy()))
+        .select(lit(side).as("side"),
+          concat(lit(pfx), col(key).cast("string")).as("node"),
+          col("rnk").as("rank"), Q.r6(col("v").cast("double") / col("mx")).as("score"))
+    top(h2, "pk", "p:", "hub").unionAll(top(a2, "sk", "s:", "authority"))
+      .orderBy("side", "rank")
+  }
 
   /** Peel-round budget and core order for q_graph_kcore. 8 rounds
     * converge on every observed scale factor (InferenceSpec asserts

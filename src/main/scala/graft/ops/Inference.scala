@@ -42,6 +42,66 @@ object Inference {
   private[graft] def dayIndexCol: Column =
     datediff(col("ts").cast(DateType), to_date(lit(Anchor))).cast("long")
 
+  /** The AR(1) fold over a daily (event_type, x, y) count frame — ONE
+    * home shared by batch q_ar1 and the s_ar1 streaming read-time view
+    * (a new day's lag pair shifts the whole fit; the grid is the
+    * mergeable state). Sufficient statistics exact int64 over the lag
+    * pairs; the fit divides at the end. */
+  private[graft] def ar1Of(dailyIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("x")
+    val lg = dailyIn
+      .withColumn("yp", lag("y", 1).over(w))
+      .filter(col("yp").isNotNull)
+    val st = lg.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("yp").as("sx"), sum("y").as("sy"),
+        sum(col("yp") * col("y")).as("sxy"),
+        sum(col("yp") * col("yp")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
+    val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
+    st.select(col("event_type"), col("n"),
+        Q.r6(sxyN.cast("double") / sxxN).as("phi"),
+        Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
+          .as("intercept"),
+        Q.r6((sxyN.cast("double") * sxyN) /
+          (sxxN.cast("double") * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** The mean-split changepoint fold over the same daily frame — ONE
+    * home shared by batch q_changepoint and the s_changepoint
+    * streaming read-time view (every close re-prices every candidate
+    * split against the new total; the grid is the state). */
+  private[graft] def changepointOf(dailyIn: DataFrame): DataFrame = {
+    val we = Window.partitionBy("event_type")
+    val wo = we.orderBy("x")
+    val w = dailyIn
+      .withColumn("s1", sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n1", row_number().over(wo).cast("long"))
+      .withColumn("stot", sum("y").over(we))
+      .withColumn("nt", count(lit(1)).over(we))
+    val cand = w.filter(col("n1") < col("nt"))
+      .select(col("event_type"), col("x"), col("n1"),
+        (col("nt") - col("n1")).as("n2"), col("s1"),
+        (col("stot") - col("s1")).as("s2"),
+        (col("s1").cast("double") * col("s1") / col("n1") +
+          (col("stot") - col("s1")).cast("double") * (col("stot") - col("s1")) /
+            (col("nt") - col("n1")) -
+          col("stot").cast("double") * col("stot") / col("nt")).as("bv"))
+    cand
+      .withColumn("rk", row_number().over(we.orderBy(col("bv").desc, col("x"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(date_add(to_date(lit(Anchor)), col("x").cast("int")), "yyyy-MM-dd")
+          .as("split_day"),
+        col("n1").as("n_left"), col("n2").as("n_right"),
+        Q.r4(col("s1").cast("double") / col("n1")).as("mean_left"),
+        Q.r4(col("s2").cast("double") / col("n2")).as("mean_right"),
+        Q.r4(col("bv")).as("between_var"))
+      .orderBy("event_type")
+  }
+
   private[graft] def dailyCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"), dayIndexCol.as("x"))
@@ -340,25 +400,7 @@ object Inference {
          |       ${Q.sqlR6("(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)) / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))")} AS r2
          |FROM st
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("event_type").orderBy("x")
-      val lg = dailyCounts(s, d)
-        .withColumn("yp", lag("y", 1).over(w))
-        .filter(col("yp").isNotNull)
-      val st = lg.groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum("yp").as("sx"), sum("y").as("sy"),
-          sum(col("yp") * col("y")).as("sxy"),
-          sum(col("yp") * col("yp")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-      val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
-      val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
-      st.select(col("event_type"), col("n"),
-          Q.r6(sxyN.cast("double") / sxxN).as("phi"),
-          Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
-            .as("intercept"),
-          Q.r6((sxyN.cast("double") * sxyN) /
-            (sxxN.cast("double") * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
-        .orderBy("event_type")
+      ar1Of(dailyCounts(s, d))
     },
 
     // Lagged cross-correlation between the view and purchase daily
@@ -445,32 +487,7 @@ object Inference {
          |       ${Q.sqlR4("bv")} AS between_var
          |FROM top WHERE rk = 1
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val we = Window.partitionBy("event_type")
-      val wo = we.orderBy("x")
-      val w = dailyCounts(s, d)
-        .withColumn("s1", sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("n1", row_number().over(wo).cast("long"))
-        .withColumn("stot", sum("y").over(we))
-        .withColumn("nt", count(lit(1)).over(we))
-      val cand = w.filter(col("n1") < col("nt"))
-        .select(col("event_type"), col("x"), col("n1"),
-          (col("nt") - col("n1")).as("n2"), col("s1"),
-          (col("stot") - col("s1")).as("s2"),
-          (col("s1").cast("double") * col("s1") / col("n1") +
-            (col("stot") - col("s1")).cast("double") * (col("stot") - col("s1")) /
-              (col("nt") - col("n1")) -
-            col("stot").cast("double") * col("stot") / col("nt")).as("bv"))
-      cand
-        .withColumn("rk", row_number().over(we.orderBy(col("bv").desc, col("x"))))
-        .filter(col("rk") === 1)
-        .select(col("event_type"),
-          date_format(date_add(to_date(lit(Anchor)), col("x").cast("int")), "yyyy-MM-dd")
-            .as("split_day"),
-          col("n1").as("n_left"), col("n2").as("n_right"),
-          Q.r4(col("s1").cast("double") / col("n1")).as("mean_left"),
-          Q.r4(col("s2").cast("double") / col("n2")).as("mean_right"),
-          Q.r4(col("bv")).as("between_var"))
-        .orderBy("event_type")
+      changepointOf(dailyCounts(s, d))
     },
 
     // Poisson-bootstrap confidence interval for mean purchase value

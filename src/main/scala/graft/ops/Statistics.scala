@@ -209,6 +209,28 @@ object Statistics {
           (col("t9") / lit(1e9)))).as("t_stat"))
   }
 
+  /** The OLS trend fold over a daily (event_type, x, y) count frame —
+    * ONE home shared by batch q_trend_fit and the s_trend_fit
+    * streaming read-time view: all five sufficient statistics are
+    * exact int64 over the grid; the fit divides at the end. */
+  private[graft] def trendFitOf(dailyIn: DataFrame): DataFrame = {
+    val st = dailyIn.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
+    val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
+    st.select(col("event_type"), col("n"),
+        Q.r6(sxyN.cast("double") / sxxN).as("slope"),
+        Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
+          .as("intercept"),
+        Q.r6((sxyN * sxyN).cast("double") /
+          (sxxN * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      .orderBy("event_type")
+  }
+
   /** The purchase-vs-click cents grid behind the five two-sample
     * distribution screens (KS / CvM / W1 / AD / Cliff's δ) — ONE home
     * for the projection + groupBy all five batch queries and the
@@ -385,26 +407,9 @@ object Statistics {
          |       ${Q.sqlR6("CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2
          |FROM st
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
-            .cast("long").as("x"))
-        .agg(count(lit(1)).as("y"))
-      val st = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-      val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
-      val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
-      st.select(col("event_type"), col("n"),
-          Q.r6(sxyN.cast("double") / sxxN).as("slope"),
-          Q.r6((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / sxxN)
-            .as("intercept"),
-          Q.r6((sxyN * sxyN).cast("double") /
-            (sxxN * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
-        .orderBy("event_type")
+      // fold factored for the s_trend_fit streaming face —
+      // Inference.dailyCounts is the same frame this body built inline
+      trendFitOf(Inference.dailyCounts(s, d))
     },
 
     // Per-group OLS regression (round 10): slope / intercept / r² of

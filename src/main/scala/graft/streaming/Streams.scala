@@ -1093,6 +1093,17 @@ object Streams {
       .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"))
       .agg(count(lit(1)).as("y"))
 
+  /** Read-time OLS trend projection over a [[dailyGrid]]. */
+  def trendFitOf(grid: DataFrame): DataFrame =
+    graft.ops.Statistics.trendFitOf(grid)
+
+  /** Read-time AR(1) projection over a [[dailyGrid]]. */
+  def ar1Of(grid: DataFrame): DataFrame = graft.ops.Inference.ar1Of(grid)
+
+  /** Read-time mean-split changepoint projection over a [[dailyGrid]]. */
+  def changepointOf(grid: DataFrame): DataFrame =
+    graft.ops.Inference.changepointOf(grid)
+
   /** Read-time paired-t projection over a [[dailyGrid]]. */
   def pairedTOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.pairedTOf(grid)
@@ -1200,6 +1211,20 @@ object Streams {
 
   /** Read-time energy-distance projection over a [[ksCells]] grid. */
   def energyOf(grid: DataFrame): DataFrame = graft.ops.Statistics.energyOf(grid)
+
+  /** Streaming part–supplier pair grid — the mergeable edge-set state
+    * behind the s_hits read-time face: a plain streaming groupBy on
+    * the (pk, sk) key (count irrelevant — key existence IS the
+    * distinct edge). The power iteration is not mergeable — a new
+    * edge re-prices every score — the edge set is. */
+  def pairGrid(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .groupBy("pk", "sk").agg(count(lit(1)).as("n"))
+
+  /** Read-time HITS projection over a [[pairGrid]]. */
+  def hitsOf(grid: DataFrame): DataFrame =
+    graft.ops.Graph.hitsOf(grid.select("pk", "sk"))
 
   /** Streaming per-source shard byte grid — the mergeable state behind
     * the s_compaction_plan read-time face (≤|sources|×64 rows; the

@@ -360,6 +360,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_acf")(spark, sfDir)), "ACF")
       assert(rows1(Streams.pairedTOf(grid)) ===
         rows1(SparkEntry.queries("q_paired_t")(spark, sfDir)), "paired t")
+      assert(rows1(Streams.trendFitOf(grid)) ===
+        rows1(SparkEntry.queries("q_trend_fit")(spark, sfDir)), "trend fit")
+      assert(rows1(Streams.ar1Of(grid)) ===
+        rows1(SparkEntry.queries("q_ar1")(spark, sfDir)), "AR(1)")
+      assert(rows1(Streams.changepointOf(grid)) ===
+        rows1(SparkEntry.queries("q_changepoint")(spark, sfDir)), "changepoint")
     }
   }
 
@@ -413,6 +419,26 @@ class StreamingSpec extends SparkSpec {
         df.collect().map(_.toSeq.map(String.valueOf)).toSeq
       assert(rows1(Streams.cascadeOf(grid)) ===
         rows1(SparkEntry.queries("q_filter_cascade")(spark, sfDir)))
+    }
+  }
+
+  test("s_hits' streamed edge set reproduces the batch hub/authority ranking") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).as[(Long, Long)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.pairGrid(in.toDF().toDF("l_partkey", "l_suppkey"))
+      .writeStream.format("memory").queryName("t_pairs").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_pairs"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.hitsOf(grid)) ===
+        rows1(SparkEntry.queries("q_hits")(spark, sfDir)))
     }
   }
 
