@@ -28,8 +28,13 @@ object Bench {
   private[graft] def keptNames(runs: Seq[(String, Either[String, Double])], k: Int,
                                roundIdx: Int): Seq[(String, Either[String, Double])] = {
     val fails = runs.filter(_._2.isLeft)
-    val topCap = math.max(0,
+    // a 0/1-slot top tier is worse than none: as the realized k
+    // oscillates ±2 with kept-name lengths, a tiny tier flips the pool
+    // SIZE round-to-round, shifting every quarter boundary (the r14 #4
+    // aliasing at 318 queries) — below 8 slots the tier is dropped
+    val topCapRaw = math.max(0,
       math.min(k / 2, (4 * k - runs.length + fails.length - 35) / 3))
+    val topCap = if (topCapRaw < 8) 0 else topCapRaw
     val top = runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(topCap)
     val topNames = (fails ++ top).map(_._1).toSet
     val pool = runs.filter(r => !topNames.contains(r._1)).sortBy(_._1)
@@ -38,21 +43,24 @@ object Bench {
       if (pool.isEmpty || want == 0) Seq.empty
       else {
         // Grid rotation (r14): the window start advances on a FIXED
-        // G-quarter grid instead of by `want`. The realized window
-        // width floats a few slots round-to-round (kept names differ
-        // in width, error text spends the same line budget), and a
-        // stride that floats WITH it can alias so that one pool band
-        // falls in NO round's window at any horizon — at 287 queries,
-        // want alternating 84/82 left a 26-query band permanently
-        // unreported (the r14 phase-10 trap). G is derived from want
-        // minus an 8-slot slack, so a ±8 fluctuation cannot move it,
-        // and the round covers quarter (roundIdx mod G) fully:
-        // want ≥ ⌈P/G⌉ by construction.
-        val g = math.max(1,
-          math.ceil(pool.length.toDouble / math.max(1, want - 8)).toInt)
-        val quarter = (pool.length + g - 1) / g
-        val start = (roundIdx % g) * quarter % pool.length
-        (pool.drop(start) ++ pool.take(start)).take(want)
+        // 4-quarter grid whenever the budget affords it — G derived
+        // from the REALIZED width flips 4↔5 as k oscillates with
+        // kept-name lengths (the r14 #4 trap at 318 queries: g floats,
+        // one pool band falls in NO round's window at any horizon), so
+        // G is PINNED at 4 while want ≥ ⌈P/4⌉ and each round covers
+        // its quarter fully. When the surface outgrows the budget
+        // (want < ⌈P/4⌉) the degraded stride below keeps reporting,
+        // and BenchRotationSpec fails loudly — its purpose.
+        val quarter = (pool.length + 3) / 4
+        if (want >= quarter) {
+          val start = (roundIdx % 4) * quarter % pool.length
+          (pool.drop(start) ++ pool.take(start)).take(want)
+        } else {
+          val g = math.max(1, math.ceil(pool.length.toDouble / want).toInt)
+          val q2 = (pool.length + g - 1) / g
+          val start = (roundIdx % g) * q2 % pool.length
+          (pool.drop(start) ++ pool.take(start)).take(want)
+        }
       }
     top ++ rotating
   }
@@ -80,13 +88,17 @@ object Bench {
     // goes to stderr at the failure site): every error char comes out
     // of the same ~1950-char budget the rotating tail needs, and a
     // couple of verbose exceptions would otherwise evict dozens of
-    // per-query timings from driver-side attribution. 32 chars covers
-    // the exception class — the r14 renegotiation at the 295-query
-    // surface: the previous 60-char cap cost ~6 rotating slots under
-    // 4 persistent failures, dropping the realized want below the
-    // G-grid's 8-slot slack band and flipping G between 4 and 5
-    // round-to-round (BenchRotationSpec caught the stretched horizon).
-    val errList = runs.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e.take(32)) }
+    // per-query timings from driver-side attribution. The leading
+    // package path is stripped before the 32-char cap (renegotiation
+    // #4 at the 318-query surface: "java.lang." spent a third of the
+    // cap saying nothing — the SIMPLE class name + message head is
+    // strictly more informative per char, and the ~10 chars × 5 fails
+    // bought back the ~3 kept slots the 4-round grid needed). Earlier
+    // renegotiations: 60→32 cap at 295 queries; errors-only reporting
+    // at 308.
+    val errList = runs.collect { case (k, Left(e)) =>
+      jstr(k) + ":" + jstr(e.replaceFirst("^([a-z0-9_]+\\.)+(?=[A-Z])", "").take(32))
+    }
     val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
     def render(scale: Int, stripPrefix: Boolean): String = {
       val qs = runs.map { case (k, v) =>

@@ -260,6 +260,7 @@ object BenchFloors {
     "q_scan_parquet" -> 0.05,
     "q_scan_pruned" -> 0.06,
     "q_scd2" -> 0.221,
+    "q_seasonal_anomaly" -> 0.487, // r14 TimeQuery warm-min harvest
     "q_seasonal_mk" -> 0.441, // r14 extension harvest (TimeQuery warm-min, sf0.1)
     "q_seasonal_strength" -> 0.163,
     "q_seasonality" -> 0.108,

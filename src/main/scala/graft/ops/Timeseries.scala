@@ -1463,6 +1463,80 @@ object Timeseries {
         .orderBy("event_type", "day_idx")
     },
 
+    // Seasonally-adjusted anomaly days per type (round 14): the outlier
+    // screen q_anomaly's raw z-score gets WRONG on cyclic series — a
+    // normal Saturday peak z-flags every week — so this one flags days
+    // whose DECOMPOSITION RESIDUAL exceeds the robust MAD fence
+    // (|r| > 3·1.4826·median|r|, the q_mad_outliers rule applied after
+    // the q_decompose frame removes trend + weekly cycle). Exactness:
+    // the residual is the exact int64 ratio (d7·sc − sd7)/(7·sc) —
+    // identical trees ⇒ identical doubles ⇒ engine-consistent ranking;
+    // the median|r| is an explicit middle-rank probe on the
+    // type-partitioned daily frame (the q_moods_median move). Scale:
+    // everything after the one map-side daily agg runs on the
+    // |types|×|days| frame.
+    Q("q_seasonal_anomaly",
+      s"""WITH daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, x, y,
+         |             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+         |                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+         |             count(*) OVER (PARTITION BY event_type ORDER BY x
+         |                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+         |      FROM daily),
+         |f AS (SELECT event_type, x, y, t7, 7 * y - t7 AS d7 FROM w WHERE n7 = 7),
+         |sn AS (SELECT event_type, x % 7 AS ph, CAST(sum(d7) AS BIGINT) AS sd7, count(*) AS sc
+         |       FROM f GROUP BY 1, 2),
+         |r AS (SELECT f.event_type, f.x,
+         |             CAST(d7 * sc - sd7 AS DOUBLE) / (7 * sc) AS resid
+         |      FROM f JOIN sn ON f.event_type = sn.event_type AND f.x % 7 = sn.ph),
+         |rk AS (SELECT event_type, x, resid, abs(resid) AS ar,
+         |              row_number() OVER (PARTITION BY event_type
+         |                                 ORDER BY abs(resid), x) AS rn,
+         |              count(*) OVER (PARTITION BY event_type) AS n
+         |       FROM r),
+         |md AS (SELECT event_type,
+         |              CAST(min(CASE WHEN rn * 2 >= n + (n % 2) THEN ar END) AS DOUBLE) AS med
+         |       FROM rk GROUP BY 1),
+         |fl AS (SELECT rk.event_type, x, resid, ar, n,
+         |              CASE WHEN ar > 4.4478 * med THEN 1 ELSE 0 END AS hit,
+         |              row_number() OVER (PARTITION BY rk.event_type
+         |                                 ORDER BY ar DESC, x) AS wr
+         |       FROM rk JOIN md ON rk.event_type = md.event_type)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+         |       CAST(sum(hit) AS BIGINT) AS n_anomalies,
+         |       strftime(DATE '$TrendAnchor' + CAST(max(CASE WHEN wr = 1 THEN x END)
+         |         AS INTEGER), '%Y-%m-%d') AS worst_day,
+         |       ${Q.sqlR6("max(CASE WHEN wr = 1 THEN resid END)")} AS worst_residual
+         |FROM fl GROUP BY 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val r = decomposedFrame(s, d)
+        .select(col("event_type"), col("x"),
+          ((col("d7") * col("sc") - col("sd7")).cast("double") /
+            (lit(7) * col("sc"))).as("resid"))
+        .withColumn("ar", abs(col("resid")))
+      val wt = Window.partitionBy("event_type")
+      val rk = r
+        .withColumn("rn", row_number().over(wt.orderBy(col("ar"), col("x"))))
+        .withColumn("n", count(lit(1)).over(wt))
+      // lower median |r|: first rank with 2·rn ≥ n + (n mod 2)
+      val md = rk.groupBy("event_type")
+        .agg(min(when(col("rn") * 2 >= col("n") + (col("n") % 2), col("ar")))
+          .cast("double").as("med"))
+      rk.join(md, "event_type")
+        .withColumn("hit", when(col("ar") > lit(4.4478) * col("med"), 1L).otherwise(0L))
+        .withColumn("wr", row_number().over(wt.orderBy(col("ar").desc, col("x"))))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"), sum("hit").as("n_anomalies"),
+          date_format(date_add(to_date(lit(TrendAnchor)),
+            max(when(col("wr") === 1, col("x"))).cast("int")), "yyyy-MM-dd").as("worst_day"),
+          Q.r6(max(when(col("wr") === 1, col("resid")))).as("worst_residual"))
+        .orderBy("event_type")
+    },
+
     // Seasonal / trend strength per event type (round 11) — Hyndman's
     // STL strength measures over the SAME classical decomposition as
     // q_decompose (shared frame, shared integer ingredients):

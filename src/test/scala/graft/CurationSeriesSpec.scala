@@ -1175,6 +1175,33 @@ class CurationSeriesSpec extends SparkSpec {
       .isNullAt(q("q_quantile_skew", const).head().fieldIndex("bowley")))
   }
 
+  test("q_seasonal_anomaly: a planted spike is the worst day and the flat type reads zero anomalies") {
+    // type "spiky": constant 10/day except day 14 at 100 over 28 days;
+    // type "flat": constant 10/day (every residual exactly 0 → median
+    // 0 → fence 0 → nothing exceeds it strictly). Expected counts are
+    // derived from the ALREADY-VERIFIED q_decompose residuals with the
+    // same lower-median MAD fence replicated in Scala.
+    val dir = eventsDir(Seq("spiky", "flat"), 28, {
+      case ("spiky", 14) => 100
+      case _             => 10
+    })
+    val rows = q("q_seasonal_anomaly", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val flat = rows("flat")
+    assert(flat.getAs[Long]("n_anomalies") === 0L)
+    val spiky = rows("spiky")
+    assert(spiky.getAs[String]("worst_day") === "2024-01-15") // day idx 14
+    // replicate the fence on q_decompose's residuals
+    val resid = q("q_decompose", dir).collect()
+      .filter(_.getAs[String]("event_type") == "spiky")
+      .map(r => math.abs(r.getAs[Double]("residual")))
+      .sorted
+    val med = resid((resid.length + (resid.length % 2)) / 2 - 1)
+    val expect = resid.count(_ > 4.4478 * med)
+    assert(spiky.getAs[Long]("n_anomalies") === expect.toLong)
+    assert(expect >= 1, s"the spike must trip the fence (median $med)")
+  }
+
   test("q_paired_t: a growing gap reads t = sqrt(15); a constant offset reads NULL, not 0/0") {
     // hi = 2(d+1), lo = d+1 over 4 days: d_i = 1,2,3,4 → n = 4,
     // Σd = 10, Σd² = 30, mean = 2.5, var = 5/3, t = 2.5/√(5/12) = √15

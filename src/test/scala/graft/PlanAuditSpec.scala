@@ -1071,7 +1071,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_capture_recapture",
       // q_compaction_plan's one window partitions by source over the
       // ≤|sources|×64 shard frame
-      "q_compaction_plan")
+      "q_compaction_plan",
+      // q_seasonal_anomaly's rank/fence windows all partition by
+      // event_type over the collapsed decomposition frame
+      "q_seasonal_anomaly")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
