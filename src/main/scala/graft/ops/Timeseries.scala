@@ -1455,12 +1455,7 @@ object Timeseries {
          |       ${Q.sqlR6("d7 / 7.0 - sd7 / (7.0 * sc)")} AS residual
          |FROM f JOIN sn ON f.event_type = sn.event_type AND f.x % 7 = sn.ph
          |ORDER BY f.event_type, day_idx""".stripMargin) { (s, d) =>
-      decomposedFrame(s, d)
-        .select(col("event_type"), col("x").as("day_idx"), col("y"),
-          Q.r6(col("t7") / 7.0).as("trend"),
-          Q.r6(col("sd7") / (lit(7.0) * col("sc"))).as("seasonal"),
-          Q.r6(col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))).as("residual"))
-        .orderBy("event_type", "day_idx")
+      decomposeOf(Inference.dailyCounts(s, d))
     },
 
     // Seasonally-adjusted anomaly days per type (round 14): the outlier
@@ -1513,28 +1508,7 @@ object Timeseries {
          |       ${Q.sqlR6("max(CASE WHEN wr = 1 THEN resid END)")} AS worst_residual
          |FROM fl GROUP BY 1
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val r = decomposedFrame(s, d)
-        .select(col("event_type"), col("x"),
-          ((col("d7") * col("sc") - col("sd7")).cast("double") /
-            (lit(7) * col("sc"))).as("resid"))
-        .withColumn("ar", abs(col("resid")))
-      val wt = Window.partitionBy("event_type")
-      val rk = r
-        .withColumn("rn", row_number().over(wt.orderBy(col("ar"), col("x"))))
-        .withColumn("n", count(lit(1)).over(wt))
-      // lower median |r|: first rank with 2·rn ≥ n + (n mod 2)
-      val md = rk.groupBy("event_type")
-        .agg(min(when(col("rn") * 2 >= col("n") + (col("n") % 2), col("ar")))
-          .cast("double").as("med"))
-      rk.join(md, "event_type")
-        .withColumn("hit", when(col("ar") > lit(4.4478) * col("med"), 1L).otherwise(0L))
-        .withColumn("wr", row_number().over(wt.orderBy(col("ar").desc, col("x"))))
-        .groupBy("event_type")
-        .agg(max("n").as("n_days"), sum("hit").as("n_anomalies"),
-          date_format(date_add(to_date(lit(TrendAnchor)),
-            max(when(col("wr") === 1, col("x"))).cast("int")), "yyyy-MM-dd").as("worst_day"),
-          Q.r6(max(when(col("wr") === 1, col("resid")))).as("worst_residual"))
-        .orderBy("event_type")
+      seasonalAnomalyOf(Inference.dailyCounts(s, d))
     },
 
     // Seasonal / trend strength per event type (round 11) — Hyndman's
@@ -1586,46 +1560,96 @@ object Timeseries {
          |       ${Q.sqlR6("CASE WHEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * stt - stv * stv) > 0 THEN 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (n * stt - stv * stv) ELSE 0.0 END")} AS trend_strength
          |FROM st
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val v = decomposedFrame(s, d).select(col("event_type"),
-        floor((col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
-          .cast("long").as("r3v"),
-        floor((col("d7") / 7.0) * lit(1e3) + 0.5).cast("long").as("s3v"),
-        floor((col("y") - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
-          .cast("long").as("t3v"))
-      val st = v.groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum("r3v").as("sr"), sum(col("r3v") * col("r3v")).as("srr"),
-          sum("s3v").as("ss"), sum(col("s3v") * col("s3v")).as("sss"),
-          sum("t3v").as("stv"), sum(col("t3v") * col("t3v")).as("stt"))
-      val vr = col("n") * col("srr") - col("sr") * col("sr")
-      def strength(den: Column): Column = {
-        val f = lit(1.0) - vr.cast("double") / den
-        when(f > 0, f).otherwise(lit(0.0))
-      }
-      st.select(col("event_type"), col("n").as("n_days"),
-          Q.r6(strength(col("n") * col("sss") - col("ss") * col("ss")))
-            .as("seasonal_strength"),
-          Q.r6(strength(col("n") * col("stt") - col("stv") * col("stv")))
-            .as("trend_strength"))
-        .orderBy("event_type")
+      seasonalStrengthOf(Inference.dailyCounts(s, d))
     }
   )
+
+  /** The MAD-fence anomaly fold over a daily grid — ONE home shared by
+    * batch q_seasonal_anomaly and the s_seasonal_anomaly streaming
+    * read-time view. */
+  private[graft] def seasonalAnomalyOf(dailyIn: DataFrame): DataFrame = {
+    val r = decomposedOf(dailyIn)
+      .select(col("event_type"), col("x"),
+        ((col("d7") * col("sc") - col("sd7")).cast("double") /
+          (lit(7) * col("sc"))).as("resid"))
+      .withColumn("ar", abs(col("resid")))
+    val wt = Window.partitionBy("event_type")
+    val rk = r
+      .withColumn("rn", row_number().over(wt.orderBy(col("ar"), col("x"))))
+      .withColumn("n", count(lit(1)).over(wt))
+    // lower median |r|: first rank with 2·rn ≥ n + (n mod 2)
+    val md = rk.groupBy("event_type")
+      .agg(min(when(col("rn") * 2 >= col("n") + (col("n") % 2), col("ar")))
+        .cast("double").as("med"))
+    rk.join(md, "event_type")
+      .withColumn("hit", when(col("ar") > lit(4.4478) * col("med"), 1L).otherwise(0L))
+      .withColumn("wr", row_number().over(wt.orderBy(col("ar").desc, col("x"))))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"), sum("hit").as("n_anomalies"),
+        date_format(date_add(to_date(lit(TrendAnchor)),
+          max(when(col("wr") === 1, col("x"))).cast("int")), "yyyy-MM-dd").as("worst_day"),
+        Q.r6(max(when(col("wr") === 1, col("resid")))).as("worst_residual"))
+      .orderBy("event_type")
+  }
+
+  /** The decomposition readout fold over a daily grid — ONE home
+    * shared by batch q_decompose and the s_decompose streaming
+    * read-time view. */
+  private[graft] def decomposeOf(dailyIn: DataFrame): DataFrame =
+    decomposedOf(dailyIn)
+      .select(col("event_type"), col("x").as("day_idx"), col("y"),
+        Q.r6(col("t7") / 7.0).as("trend"),
+        Q.r6(col("sd7") / (lit(7.0) * col("sc"))).as("seasonal"),
+        Q.r6(col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))).as("residual"))
+      .orderBy("event_type", "day_idx")
+
+  /** The STL-strength fold over a daily grid — ONE home shared by
+    * batch q_seasonal_strength and the s_seasonal_strength streaming
+    * read-time view. */
+  private[graft] def seasonalStrengthOf(dailyIn: DataFrame): DataFrame = {
+    val v = decomposedOf(dailyIn).select(col("event_type"),
+      floor((col("d7") / 7.0 - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
+        .cast("long").as("r3v"),
+      floor((col("d7") / 7.0) * lit(1e3) + 0.5).cast("long").as("s3v"),
+      floor((col("y") - col("sd7") / (lit(7.0) * col("sc"))) * lit(1e3) + 0.5)
+        .cast("long").as("t3v"))
+    val st = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("r3v").as("sr"), sum(col("r3v") * col("r3v")).as("srr"),
+        sum("s3v").as("ss"), sum(col("s3v") * col("s3v")).as("sss"),
+        sum("t3v").as("stv"), sum(col("t3v") * col("t3v")).as("stt"))
+    val vr = col("n") * col("srr") - col("sr") * col("sr")
+    def strength(den: Column): Column = {
+      val f = lit(1.0) - vr.cast("double") / den
+      when(f > 0, f).otherwise(lit(0.0))
+    }
+    st.select(col("event_type"), col("n").as("n_days"),
+        Q.r6(strength(col("n") * col("sss") - col("ss") * col("ss")))
+          .as("seasonal_strength"),
+        Q.r6(strength(col("n") * col("stt") - col("stv") * col("stv")))
+          .as("trend_strength"))
+      .orderBy("event_type")
+  }
 
   /** The classical 7-day decomposition frame — event_type, x, y, t7
     * (centered 7-day sum), d7 (7y − t7), sd7/sc (per-phase detrended
     * sums) — the shared integer ingredients under q_decompose's
-    * per-day components and q_seasonal_strength's variance ratios.
-    * The seasonal means come from a window over the already-bounded
-    * frame (the oracle's sn join, without re-aggregating). */
-  private def decomposedFrame(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"),
-        datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
-          .cast("long").as("x"))
-      .agg(count(lit(1)).as("y"))
+    * per-day components, q_seasonal_strength's variance ratios and
+    * q_seasonal_anomaly's MAD fence. The seasonal means come from a
+    * window over the already-bounded frame (the oracle's sn join,
+    * without re-aggregating). Split into [[decomposedOf]] (the fold a
+    * streaming dailyGrid can feed) and this batch wrapper. */
+  private def decomposedFrame(s: SparkSession, d: String): DataFrame =
+    decomposedOf(Inference.dailyCounts(s, d))
+
+  /** [[decomposedFrame]]'s fold over a daily (event_type, x, y) count
+    * frame — the home the s_decompose / s_seasonal_strength /
+    * s_seasonal_anomaly streaming read-time views share with the three
+    * batch queries. */
+  private[graft] def decomposedOf(dailyIn: DataFrame): DataFrame = {
     val w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
     val wp = Window.partitionBy(col("event_type"), col("x") % 7)
-    daily
+    dailyIn
       .withColumn("t7", sum("y").over(w7))
       .withColumn("n7", count(lit(1)).over(w7))
       .filter(col("n7") === 7)

@@ -1093,6 +1093,19 @@ object Streams {
       .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"))
       .agg(count(lit(1)).as("y"))
 
+  /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
+  def decomposeOf(grid: DataFrame): DataFrame =
+    graft.ops.Timeseries.decomposeOf(grid)
+
+  /** Read-time STL-strength projection over a [[dailyGrid]]. */
+  def seasonalStrengthOf(grid: DataFrame): DataFrame =
+    graft.ops.Timeseries.seasonalStrengthOf(grid)
+
+  /** Read-time MAD-fence seasonal-anomaly projection over a
+    * [[dailyGrid]]. */
+  def seasonalAnomalyOf(grid: DataFrame): DataFrame =
+    graft.ops.Timeseries.seasonalAnomalyOf(grid)
+
   /** Read-time OLS trend projection over a [[dailyGrid]]. */
   def trendFitOf(grid: DataFrame): DataFrame =
     graft.ops.Statistics.trendFitOf(grid)

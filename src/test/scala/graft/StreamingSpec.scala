@@ -366,6 +366,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_ar1")(spark, sfDir)), "AR(1)")
       assert(rows1(Streams.changepointOf(grid)) ===
         rows1(SparkEntry.queries("q_changepoint")(spark, sfDir)), "changepoint")
+      assert(rows1(Streams.decomposeOf(grid)) ===
+        rows1(SparkEntry.queries("q_decompose")(spark, sfDir)), "decompose")
+      assert(rows1(Streams.seasonalStrengthOf(grid)) ===
+        rows1(SparkEntry.queries("q_seasonal_strength")(spark, sfDir)), "strength")
+      assert(rows1(Streams.seasonalAnomalyOf(grid)) ===
+        rows1(SparkEntry.queries("q_seasonal_anomaly")(spark, sfDir)), "seasonal anomaly")
     }
   }
 
