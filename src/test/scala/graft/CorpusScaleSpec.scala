@@ -362,4 +362,25 @@ class CorpusScaleSpec extends SparkSpec {
         f"${t10 / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
     info(f"capped shinglePairStats: 1x $t1%.2f s, 10x $t10%.2f s")
   }
+
+  test("q_capture_recapture wall-clock stays near-linear at 10x docs") {
+    // both capture lists are banded self-joins (minhash bands, simhash
+    // bands) and the overlap is one pair-key join — nothing in the
+    // composition may reintroduce a quadratic. The hot-prefix corpus
+    // is the adversarial case: the shared 3-word opener pushes every
+    // doc toward the same minhash band keys unless banding keeps
+    // discrimination from the unique tails.
+    val d1 = synthDir(300, hotPrefix = true)
+    val d10 = synthDir(3000, hotPrefix = true)
+    def run(d: String): Long =
+      SparkEntry.queries("q_capture_recapture")(spark, d).count()
+    run(d1) // warm codegen/plans
+    val (t1, _) = minTime(() => run(d1))
+    val (t10, _) = minTime(() => run(d10))
+    val bound = 30.0 * math.max(t1, 0.4)
+    assert(t10 <= bound,
+      f"capture-recapture took $t10%.2f s at 10x vs $t1%.2f s at 1x — growth " +
+        f"${t10 / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
+    info(f"capture-recapture: 1x $t1%.2f s, 10x $t10%.2f s")
+  }
 }
