@@ -93,7 +93,7 @@ object BenchFloors {
     "q_dedup_exact" -> 0.106,
     "q_dedup_fuzzy" -> 0.259,
     "q_dedup_incremental" -> 0.268, // r14 TimeQuery warm-min harvest
-    "q_dedup_keepers" -> 2.213, // r13 first harvest (contended run; re-min later)
+    "q_dedup_keepers" -> 1.95, // r14 close min-merge (bench_r14g)
     "q_dedup_latest" -> 0.226,
     "q_dedup_near" -> 1.056,
     "q_dedup_roi" -> 0.178,
@@ -102,18 +102,18 @@ object BenchFloors {
     "q_distinct_rollup" -> 0.12,
     "q_diurnal" -> 0.118,
     "q_doc_chunk" -> 0.072,
-    "q_doc_novelty" -> 0.848, // r13 TimeQuery warm-min harvest
+    "q_doc_novelty" -> 0.55, // r14 close min-merge (bench_r14g)
     "q_dormancy" -> 0.128, // r12 TimeQuery warm-min harvest
     "q_drawdown" -> 0.177,
     "q_drift_tvd" -> 0.266,
-    "q_dunn" -> 0.825, // r14 TimeQuery warm-min harvest
+    "q_dunn" -> 0.65, // r14 close min-merge (bench_r14g)
     "q_dup_cluster_sizes" -> 2.036,
     "q_dup_clusters" -> 1.703,
-    "q_durbin_watson" -> 0.670, // r14 TimeQuery warm-min harvest
+    "q_durbin_watson" -> 0.35, // r14 close min-merge (bench_r14g)
     "q_elasticity" -> 0.115,
     "q_embed_norms" -> 0.101, // r12 TimeQuery warm-min harvest
     "q_embed_outliers" -> 0.308, // r13 first harvest
-    "q_energy_dist" -> 0.205, // r14 TimeQuery warm-min harvest
+    "q_energy_dist" -> 0.15, // r14 close min-merge (bench_r14g)
     "q_entropy_rate" -> 0.45,
     "q_event_path" -> 0.334,
     "q_event_transitions" -> 0.253,
@@ -126,33 +126,33 @@ object BenchFloors {
     "q_filter_interval" -> 0.082,
     "q_filter_null" -> 0.073,
     "q_filter_pred" -> 0.074,
-    "q_friedman" -> 0.470, // r14 extension harvest (TimeQuery warm-min, sf0.1)
+    "q_friedman" -> 0.35, // r14 close min-merge (bench_r14g)
     "q_funnel" -> 0.297,
     "q_funnel_time" -> 0.302,
     "q_gapfill" -> 0.127,
     "q_gini" -> 0.106,
-    "q_granger" -> 0.526, // r14 extension harvest
-    "q_graph_assortativity" -> 1.37,
+    "q_granger" -> 0.25, // r14 close min-merge (bench_r14g)
+    "q_graph_assortativity" -> 1.35, // r14 close min-merge (bench_r14g)
     "q_graph_bfs" -> 2.799,
-    "q_graph_butterflies" -> 2.013,
+    "q_graph_butterflies" -> 1.85, // r14 close min-merge (bench_r14g)
     "q_graph_clustering" -> 1.351,
     "q_graph_components" -> 3.096,
     "q_graph_degree" -> 1.201,
     "q_graph_jaccard" -> 1.189,
     "q_graph_kcore" -> 1.782,
-    "q_graph_modularity" -> 1.556, // r13 first harvest
+    "q_graph_modularity" -> 1.15, // r14 close min-merge (bench_r14g)
     "q_graph_triangles" -> 1.165,
     "q_group_sample" -> 0.125,
     "q_grouped_regression" -> 0.211,
     "q_grubbs" -> 0.235, // r13 first harvest
-    "q_gumbel_maxima" -> 0.369, // r14 TimeQuery warm-min harvest
-    "q_heaps_fit" -> 0.158,
-    "q_hellinger" -> 0.224, // r14 TimeQuery warm-min harvest
+    "q_gumbel_maxima" -> 0.15, // r14 close min-merge (bench_r14g)
+    "q_heaps_fit" -> 0.15, // r14 close min-merge (bench_r14g)
+    "q_hellinger" -> 0.15, // r14 close min-merge (bench_r14g)
     "q_hhi" -> 0.162,
     "q_hill_tail" -> 0.18, // r12 TimeQuery warm-min harvest
     "q_hist" -> 0.107,
     "q_hits" -> 1.291, // r14 TimeQuery warm-min harvest
-    "q_hodges_lehmann" -> 0.408, // r14 extension harvest
+    "q_hodges_lehmann" -> 0.25, // r14 close min-merge (bench_r14g)
     "q_holt_linear" -> 0.123,
     "q_hurst" -> 0.312,
     "q_hybrid_rrf" -> 0.62,
@@ -160,12 +160,12 @@ object BenchFloors {
     "q_image_resize" -> 0.471, // r14 TimeQuery warm-min harvest
     "q_interpurchase" -> 0.835,
     "q_intersect" -> 0.13,
-    "q_intersect_all" -> 0.154,
+    "q_intersect_all" -> 0.15, // r14 close min-merge (bench_r14g)
     "q_inverted_index" -> 0.582,
     "q_item_cosine" -> 1.085,
     "q_ivm_refresh" -> 0.119,
     "q_jarque_bera" -> 0.096,
-    "q_jonckheere" -> 0.831, // r14 TimeQuery warm-min harvest
+    "q_jonckheere" -> 0.65, // r14 close min-merge (bench_r14g)
     "q_join_anti" -> 0.121,
     "q_join_asof" -> 0.066,
     "q_join_bhj" -> 0.234,
@@ -182,11 +182,11 @@ object BenchFloors {
     "q_js_divergence" -> 0.228,
     "q_kaplan_meier" -> 0.138,
     "q_kendall_tau" -> 1.082,
-    "q_knn_ivf" -> 2.774,
-    "q_knn_lsh" -> 0.898,
-    "q_knn_recall_curve" -> 0.477, // r14 TimeQuery warm-min harvest
-    "q_knn_reciprocity" -> 0.934, // r14 TimeQuery warm-min harvest
-    "q_kpss" -> 0.446, // r14 TimeQuery warm-min harvest
+    "q_knn_ivf" -> 2.55, // r14 close min-merge (bench_r14g)
+    "q_knn_lsh" -> 0.85, // r14 close min-merge (bench_r14g)
+    "q_knn_recall_curve" -> 0.35, // r14 close min-merge (bench_r14g)
+    "q_knn_reciprocity" -> 0.75, // r14 close min-merge (bench_r14g)
+    "q_kpss" -> 0.25, // r14 close min-merge (bench_r14g)
     "q_ks_test" -> 0.178,
     "q_kruskal_wallis" -> 0.321, // r14 TimeQuery warm-min harvest
     "q_label_affinity" -> 0.172,
@@ -197,7 +197,7 @@ object BenchFloors {
     "q_ljung_box" -> 0.213,
     "q_log_rank" -> 0.487, // r14 TimeQuery warm-min harvest
     "q_lorenz" -> 0.381,
-    "q_lsh_tuning" -> 2.551,
+    "q_lsh_tuning" -> 2.45, // r14 close min-merge (bench_r14g)
     "q_mad_outliers" -> 0.478,
     "q_mann_kendall" -> 0.568, // r14 extension harvest
     "q_mann_whitney" -> 0.076,
@@ -225,7 +225,7 @@ object BenchFloors {
     "q_pack_sequences" -> 0.052,
     "q_page_hinkley" -> 0.238, // r13 first harvest
     "q_page_trend" -> 0.636, // r14 TimeQuery warm-min harvest
-    "q_pagerank" -> 2.592,
+    "q_pagerank" -> 2.55, // r14 close min-merge (bench_r14g)
     "q_paired_t" -> 0.698, // r14 TimeQuery warm-min harvest
     "q_partial_corr" -> 0.122,
     "q_pca_power" -> 0.103,
@@ -281,7 +281,7 @@ object BenchFloors {
     "q_sort_multi" -> 0.05,
     "q_source_dsv2" -> 0.07,
     "q_source_dup_matrix" -> 1.385, // r12 TimeQuery warm-min harvest
-    "q_source_overlap" -> 1.996,
+    "q_source_overlap" -> 1.85, // r14 close min-merge (bench_r14g)
     "q_source_xent" -> 0.678, // r14 TimeQuery warm-min harvest
     "q_spearman" -> 0.216,
     "q_split_leakage" -> 0.339, // r14 TimeQuery warm-min harvest
