@@ -289,6 +289,7 @@ object BenchFloors {
     "q_stopword_profile" -> 0.113,
     "q_str" -> 0.05,
     "q_tail_exact" -> 0.094,
+    "q_target_encode" -> 0.449, // r14 TimeQuery warm-min harvest
     "q_text_fingerprint" -> 0.409,
     "q_text_pii" -> 0.05,
     "q_text_stats" -> 0.171,

@@ -1127,6 +1127,52 @@ object Analytics {
       trimmedMeanOf(typeCents(s, d))
     },
 
+    // Smoothed target encoding of brand → line revenue (round 14): the
+    // ML-feature-prep staple — encode a categorical by the target mean,
+    // shrunk toward the global prior by a pseudo-count so rare brands
+    // don't memorize noise: enc = (Σy + m·prior)/(n + m), m = 20.
+    // Beside it the LEAVE-ONE-OUT stability readout: the variance of
+    // the per-row LOO estimates (S−yᵢ)/(n−1) collapses onto
+    // Var(y)/(n−1)² — a pure moment identity, so the leakage-audit
+    // number costs NOTHING beyond the (n, Σy, Σy²) the encoding
+    // already aggregates (no per-row second pass). Exactness: y =
+    // ⌊l_extendedprice⌋ keeps every Σ and square exact int64 (the
+    // q_anova integerization; ss ≤ 1e10·|lineitem| ⇒ ceiling sf ≈ 77);
+    // divisions at the end through mirrored trees. Scale: one
+    // catalog join + a |brands|-key agg; the global prior is a window
+    // over the bounded brand frame.
+    Q("q_target_encode",
+      s"""WITH j AS (SELECT p.p_brand, CAST(floor(l.l_extendedprice) AS BIGINT) AS y
+         |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+         |      FROM j GROUP BY 1),
+         |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS nt,
+         |             CAST(sum(s) OVER () AS BIGINT) AS st FROM g)
+         |SELECT p_brand, n,
+         |       ${Q.sqlR6(s"(CAST(s AS DOUBLE) + $TePrior * (CAST(st AS DOUBLE) / nt)) / (n + $TePrior)")} AS enc,
+         |       CASE WHEN n >= 2 THEN
+         |         ${Q.sqlR6("sqrt(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) / " +
+                   "(CAST(n - 1 AS DOUBLE) * (n - 1)))")}
+         |       END AS loo_sd
+         |FROM t ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val j = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), floor(col("l_extendedprice")).cast("long").as("y"))
+        .join(Tables.load(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      val g = j.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss"))
+        .withColumn("nt", sum("n").over(Window.partitionBy()))
+        .withColumn("st", sum("s").over(Window.partitionBy()))
+      g.select(col("p_brand"), col("n"),
+          Q.r6((col("s").cast("double") + lit(TePrior) *
+            (col("st").cast("double") / col("nt"))) / (col("n") + TePrior)).as("enc"),
+          when(col("n") >= 2,
+            Q.r6(sqrt(((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n")) /
+              col("n")) / ((col("n") - 1).cast("double") * (col("n") - 1))))).as("loo_sd"))
+        .orderBy("p_brand")
+    },
+
     // Bowley (quartile) skewness of event value per type (round 14):
     // the robust complement of q_jarque_bera's moment-based skew — a
     // single far outlier moves moments, not quartiles. Lower-quantile
@@ -1162,6 +1208,9 @@ object Analytics {
       bowleyOf(typeCents(s, d))
     }
   )
+
+  /** Smoothing pseudo-count for q_target_encode. */
+  private val TePrior = 20
 
   /** The per-type value cents grid behind the robust location/shape
     * screens — ONE home for the projection + groupBy batch

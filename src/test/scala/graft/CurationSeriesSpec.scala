@@ -1175,6 +1175,25 @@ class CurationSeriesSpec extends SparkSpec {
       .isNullAt(q("q_quantile_skew", const).head().fieldIndex("bowley")))
   }
 
+  test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
+    import spark.implicits._
+    val dir = tempDir("cs_tenc")
+    // brand A: revenues 10, 20; brand B: 30 → N = 3, prior = 20;
+    // encA = (30 + 20·20)/22 = 430/22, looA sd = √(var(10,20)/1) = 5;
+    // encB = 430/21, looB NULL (n = 1)
+    Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("l_partkey", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val rows = q("q_target_encode", dir).collect()
+      .map(r => r.getAs[String]("p_brand") -> r).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(rows("A").getAs[Double]("enc") === r6(430.0 / 22))
+    assert(rows("A").getAs[Double]("loo_sd") === 5.0)
+    assert(rows("B").getAs[Double]("enc") === r6(430.0 / 21))
+    assert(rows("B").isNullAt(rows("B").fieldIndex("loo_sd")))
+  }
+
   test("q_seasonal_anomaly: a planted spike is the worst day and the flat type reads zero anomalies") {
     // type "spiky": constant 10/day except day 14 at 100 over 28 days;
     // type "flat": constant 10/day (every residual exactly 0 → median

@@ -1074,7 +1074,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_compaction_plan",
       // q_seasonal_anomaly's rank/fence windows all partition by
       // event_type over the collapsed decomposition frame
-      "q_seasonal_anomaly")
+      "q_seasonal_anomaly",
+      // q_target_encode's global-prior windows consume the bounded
+      // |brands|-key aggregate
+      "q_target_encode")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
