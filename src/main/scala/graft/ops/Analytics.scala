@@ -1156,21 +1156,13 @@ object Analytics {
                    "(CAST(n - 1 AS DOUBLE) * (n - 1)))")}
          |       END AS loo_sd
          |FROM t ORDER BY p_brand""".stripMargin) { (s, d) =>
-      val j = Tables.load(s, d, "lineitem")
-        .select(col("l_partkey"), floor(col("l_extendedprice")).cast("long").as("y"))
-        .join(Tables.load(s, d, "part").select(col("p_partkey"), col("p_brand")),
-          col("l_partkey") === col("p_partkey"))
-      val g = j.groupBy("p_brand")
-        .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss"))
-        .withColumn("nt", sum("n").over(Window.partitionBy()))
-        .withColumn("st", sum("s").over(Window.partitionBy()))
-      g.select(col("p_brand"), col("n"),
-          Q.r6((col("s").cast("double") + lit(TePrior) *
-            (col("st").cast("double") / col("nt"))) / (col("n") + TePrior)).as("enc"),
-          when(col("n") >= 2,
-            Q.r6(sqrt(((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n")) /
-              col("n")) / ((col("n") - 1).cast("double") * (col("n") - 1))))).as("loo_sd"))
-        .orderBy("p_brand")
+      targetEncodeOf(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_partkey"), floor(col("l_extendedprice")).cast("long").as("y"))
+          .join(Tables.load(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss")))
     },
 
     // Bowley (quartile) skewness of event value per type (round 14):
@@ -1221,6 +1213,24 @@ object Analytics {
     Tables.events(s, d)
       .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v100"))
       .groupBy("event_type", "v100").agg(count(lit(1)).as("c"))
+
+  /** The target-encoding fold over a (p_brand, n, s, ss) stats grid —
+    * ONE home shared by batch q_target_encode and the s_target_encode
+    * streaming read-time view (the grid is mergeable moments; the
+    * encoding is not — the global prior shifts with every row). */
+  private[graft] def targetEncodeOf(gridIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = gridIn
+      .withColumn("nt", sum("n").over(Window.partitionBy()))
+      .withColumn("st", sum("s").over(Window.partitionBy()))
+    g.select(col("p_brand"), col("n"),
+        Q.r6((col("s").cast("double") + lit(TePrior) *
+          (col("st").cast("double") / col("nt"))) / (col("n") + TePrior)).as("enc"),
+        when(col("n") >= 2,
+          Q.r6(sqrt(((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n")) /
+            col("n")) / ((col("n") - 1).cast("double") * (col("n") - 1))))).as("loo_sd"))
+      .orderBy("p_brand")
+  }
 
   /** The trimmed-mean fold over a (event_type, v100, c) cents grid —
     * ONE home shared by batch q_trimmed_mean and the s_trimmed_mean

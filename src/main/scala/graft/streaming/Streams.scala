@@ -1225,6 +1225,25 @@ object Streams {
   /** Read-time energy-distance projection over a [[ksCells]] grid. */
   def energyOf(grid: DataFrame): DataFrame = graft.ops.Statistics.energyOf(grid)
 
+  /** Streaming brand target-stats grid — the mergeable (p_brand, n, s,
+    * ss) moment state behind the s_target_encode read-time face: a
+    * stream-STATIC join against the part catalog (the enrich-join
+    * shape) followed by a plain streaming groupBy on the bounded brand
+    * key. The encoding is not mergeable — the global prior shifts with
+    * every arriving row — the moments are. One home with batch
+    * q_target_encode (Analytics.targetEncodeOf). */
+  def teCells(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"), floor(col("l_extendedprice")).cast("long").as("y"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss"))
+
+  /** Read-time target-encoding projection over a [[teCells]] grid. */
+  def targetEncodeOf(grid: DataFrame): DataFrame =
+    graft.ops.Analytics.targetEncodeOf(grid)
+
   /** Streaming part–supplier pair grid — the mergeable edge-set state
     * behind the s_hits read-time face: a plain streaming groupBy on
     * the (pk, sk) key (count irrelevant — key existence IS the

@@ -428,6 +428,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_target_encode's stream-static brand moments reproduce the batch encoding") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice")).as[(Long, Double)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val part = Tables.load(spark, sfDir, "part") // the STATIC side
+    val in = MemoryStream[(Long, Double)]
+    val q = Streams.teCells(in.toDF().toDF("l_partkey", "l_extendedprice"), part)
+      .writeStream.format("memory").queryName("t_tecells").outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_tecells"))
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.targetEncodeOf(grid)) ===
+        rows1(SparkEntry.queries("q_target_encode")(spark, sfDir)))
+    }
+  }
+
   test("s_hits' streamed edge set reproduces the batch hub/authority ranking") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
