@@ -234,6 +234,7 @@ object BenchFloors {
     "q_pettitt" -> 0.416, // r14 extension harvest (TimeQuery warm-min, sf0.1)
     "q_pivot" -> 0.087,
     "q_poisson_dispersion" -> 0.138, // r13 first harvest
+    "q_power_analysis" -> 0.183, // r14 TimeQuery warm-min harvest
     "q_prefix_dup" -> 0.273, // r13 first harvest
     "q_price_index" -> 0.679, // r13 TimeQuery warm-min harvest
     "q_profile" -> 1.452,

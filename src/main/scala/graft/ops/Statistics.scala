@@ -911,6 +911,68 @@ object Statistics {
       cliffsOf(centsGrid(s, d))
     },
 
+    // Two-sample power analysis for the purchase-vs-click mean gap
+    // (round 14): the experiment-PLANNING readout beside q_welch_t's
+    // testing one — "how many observations per arm would a NEW
+    // experiment need to detect the currently-observed effect at
+    // α = 0.05 two-sided with power 0.8": n = ⌈2·σ̄²·(z_{α/2}+z_β)²/δ²⌉
+    // with z constants as IEEE literals in both engines
+    // (transcendental-free — no Φ anywhere). Moments exact int64 on
+    // the cents lattice; NULL when the observed δ is exactly zero (a
+    // zero effect cannot be sized). ONE corpus scan, two-key agg.
+    Q("q_power_analysis",
+      s"""WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(v100) AS BIGINT) AS s,
+         |             CAST(sum(v100 * v100) AS BIGINT) AS ss
+         |      FROM v GROUP BY 1),
+         |p AS (SELECT max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+         |             max(CASE WHEN event_type = 'purchase' THEN s END) AS s1,
+         |             max(CASE WHEN event_type = 'purchase' THEN ss END) AS ss1,
+         |             max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+         |             max(CASE WHEN event_type = 'click' THEN s END) AS s2,
+         |             max(CASE WHEN event_type = 'click' THEN ss END) AS ss2
+         |      FROM g),
+         |m AS (SELECT n1, n2,
+         |             CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS delta,
+         |             ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
+         |              + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / 2 AS var2
+         |      FROM p)
+         |SELECT n1, n2,
+         |       ${Q.sqlR6("delta / 100")} AS observed_delta,
+         |       ${Q.sqlR6("sqrt(var2) / 100")} AS pooled_sd,
+         |       CASE WHEN delta <> 0 THEN
+         |         CAST(ceil(2 * var2 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+         |           / (delta * delta)) AS BIGINT)
+         |       END AS n_required_per_arm
+         |FROM m""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v100").as("s"),
+          sum(col("v100") * col("v100")).as("ss"))
+      def pick(t: String, c: String) =
+        max(when(col("event_type") === t, col(c)))
+      val p = g.agg(
+        pick("purchase", "n").as("n1"), pick("purchase", "s").as("s1"),
+        pick("purchase", "ss").as("ss1"),
+        pick("click", "n").as("n2"), pick("click", "s").as("s2"),
+        pick("click", "ss").as("ss2"))
+      val delta = col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")
+      val var2 = ((col("ss1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) /
+          (col("n1") - 1) +
+        (col("ss2").cast("double") - col("s2").cast("double") * col("s2") / col("n2")) /
+          (col("n2") - 1)) / 2
+      p.select(col("n1"), col("n2"),
+        Q.r6(delta / 100).as("observed_delta"),
+        Q.r6(sqrt(var2) / 100).as("pooled_sd"),
+        when(delta =!= 0,
+          ceil(lit(2) * var2 * ((lit(1.959964) + 0.841621) * (lit(1.959964) + 0.841621)) /
+            (delta * delta)).cast("long")).as("n_required_per_arm"))
+    },
+
     // Hellinger distance between the purchase and click value
     // distributions (round 14) — the PMF member of the two-sample
     // family: the Bhattacharyya coefficient BC = Σ√(p·q) rewards

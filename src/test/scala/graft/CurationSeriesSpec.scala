@@ -1175,6 +1175,34 @@ class CurationSeriesSpec extends SparkSpec {
       .isNullAt(q("q_quantile_skew", const).head().fieldIndex("bowley")))
   }
 
+  test("q_power_analysis: the closed-form fixture sizes 16 per arm; a zero effect reads NULL") {
+    import spark.implicits._
+    def mk(prefix: String, vals: Seq[(String, Double)]): String = {
+      val dir = tempDir(prefix)
+      vals.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, "2024-01-10 12:00:00", i.toLong, t, v)
+      }.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // purchase {1, 3} (mean 2, s² = 2·10⁴ cents²), click {1, 1}
+    // (mean 1, s² = 0): δ = 100 cents, σ̄² = 10⁴ →
+    // n = ⌈2·10⁴·(1.959964 + 0.841621)²/10⁴⌉ = ⌈15.698⌉ = 16
+    val d = mk("cs_power", Seq(("purchase", 1.0), ("purchase", 3.0),
+      ("click", 1.0), ("click", 1.0)))
+    val r = q("q_power_analysis", d).head()
+    assert(r.getAs[Double]("observed_delta") === 1.0)
+    assert(r.getAs[Double]("pooled_sd") === 1.0)
+    assert(r.getAs[Long]("n_required_per_arm") === 16L)
+    // identical means: a zero effect cannot be sized
+    val z = mk("cs_power_zero", Seq(("purchase", 2.0), ("purchase", 4.0),
+      ("click", 3.0), ("click", 3.0)))
+    val rz = q("q_power_analysis", z).head()
+    assert(rz.isNullAt(rz.fieldIndex("n_required_per_arm")))
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")

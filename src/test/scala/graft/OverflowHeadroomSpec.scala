@@ -801,7 +801,12 @@ class OverflowHeadroomSpec extends SparkSpec {
         "Diagnostics.scala" -> "q_ljung_box", "Diagnostics.scala" -> "q_hurst",
         "Diagnostics.scala" -> "q_js_divergence", "Statistics.scala" -> "q_anova",
         "Timeseries.scala" -> "q_markov_stationary", "Lexicon.scala" -> "q_zipf_fit",
-        "TextPipeline.scala" -> "q_bigram_logprob", "Inference.scala" -> "q_cat_entropy"))
+        "TextPipeline.scala" -> "q_bigram_logprob", "Inference.scala" -> "q_cat_entropy",
+        // round-14 family anchors: the CvM/AD 1e-9 ECDF lattices and
+        // the periodogram's 1e6 trig lattice
+        "Statistics.scala" -> "q_cramer_von_mises",
+        "Statistics.scala" -> "q_anderson_darling",
+        "SeriesTests.scala" -> "q_periodogram"))
       assert(found.contains(canary),
         s"scanner no longer detects the known lattice site $canary — the flag regex " +
           "has drifted from the house scaling idiom; fix the scan, not the canary")

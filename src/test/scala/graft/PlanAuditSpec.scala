@@ -1076,8 +1076,8 @@ class PlanAuditSpec extends SparkSpec {
       // event_type over the collapsed decomposition frame
       "q_seasonal_anomaly",
       // q_target_encode's global-prior windows consume the bounded
-      // |brands|-key aggregate
-      "q_target_encode")
+      // |brands|-key aggregate; q_power_analysis has no window at all
+      "q_target_encode", "q_power_analysis")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>
