@@ -361,6 +361,58 @@ object Statistics {
           lit(100.0))).as("energy_d"))
   }
 
+  /** The Mann–Whitney fold over the same (v100, c1, c2) grid — ONE
+    * home shared by batch q_mann_whitney and the s_mann_whitney
+    * streaming read-time view. Doubled average ranks (2·cb + t + 1 per
+    * tie run) keep every rank sum exact int64; U, z and the
+    * rank-biserial divide out at the end. */
+  private[graft] def mwOf(cellsIn: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val c = cellsIn
+    val wb = Window.orderBy("v100")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = c
+      .select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"))
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * (lit(2) * col("cb") + col("t") + 1)).as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val twoU = col("r1x2") - col("n1") * (col("n1") + 1) -
+      col("n1").cast("double") * col("n2")
+    t.select(col("n1"), col("n2"),
+      Q.r6((col("r1x2") - col("n1") * (col("n1") + 1)) / lit(2.0)).as("u1"),
+      Q.r6(twoU / (lit(2.0) * sqrt(col("n1").cast("double") * col("n2") / lit(12.0) *
+        ((col("n1") + col("n2") + 1) - col("ties").cast("double") /
+          ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1))))))
+        .as("z"),
+      Q.r6(twoU / (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
+  }
+
+  /** The power-analysis fold over the same (v100, c1, c2) grid — ONE
+    * home shared by batch q_power_analysis and the s_power_analysis
+    * streaming read-time view: per-group moments derive EXACTLY from
+    * the cell counts (Σ c·v100 and Σ c·v100² equal the raw-row sums),
+    * so the planning readout rides the same mergeable state as the
+    * eight distribution screens. */
+  private[graft] def powerOf(cellsIn: DataFrame): DataFrame = {
+    val p = cellsIn.agg(
+      sum("c1").as("n1"), sum(col("c1") * col("v100")).as("s1"),
+      sum(col("c1") * col("v100") * col("v100")).as("ss1"),
+      sum("c2").as("n2"), sum(col("c2") * col("v100")).as("s2"),
+      sum(col("c2") * col("v100") * col("v100")).as("ss2"))
+    val delta = col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")
+    val var2 = ((col("ss1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) /
+        (col("n1") - 1) +
+      (col("ss2").cast("double") - col("s2").cast("double") * col("s2") / col("n2")) /
+        (col("n2") - 1)) / 2
+    p.select(col("n1"), col("n2"),
+      Q.r6(delta / 100).as("observed_delta"),
+      Q.r6(sqrt(var2) / 100).as("pooled_sd"),
+      when(delta =!= 0,
+        ceil(lit(2) * var2 * ((lit(1.959964) + 0.841621) * (lit(1.959964) + 0.841621)) /
+          (delta * delta)).cast("long")).as("n_required_per_arm"))
+  }
+
   /** The Cliff's-delta fold over the same (v100, c1, c2) grid — ONE
     * home shared by batch q_cliffs_delta and the s_cliffs_delta
     * streaming read-time view. δ = P(X>Y) − P(X<Y) collapses onto
@@ -947,30 +999,9 @@ object Statistics {
          |           / (delta * delta)) AS BIGINT)
          |       END AS n_required_per_arm
          |FROM m""".stripMargin) { (s, d) =>
-      val g = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("v100"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("v100").as("s"),
-          sum(col("v100") * col("v100")).as("ss"))
-      def pick(t: String, c: String) =
-        max(when(col("event_type") === t, col(c)))
-      val p = g.agg(
-        pick("purchase", "n").as("n1"), pick("purchase", "s").as("s1"),
-        pick("purchase", "ss").as("ss1"),
-        pick("click", "n").as("n2"), pick("click", "s").as("s2"),
-        pick("click", "ss").as("ss2"))
-      val delta = col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")
-      val var2 = ((col("ss1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) /
-          (col("n1") - 1) +
-        (col("ss2").cast("double") - col("s2").cast("double") * col("s2") / col("n2")) /
-          (col("n2") - 1)) / 2
-      p.select(col("n1"), col("n2"),
-        Q.r6(delta / 100).as("observed_delta"),
-        Q.r6(sqrt(var2) / 100).as("pooled_sd"),
-        when(delta =!= 0,
-          ceil(lit(2) * var2 * ((lit(1.959964) + 0.841621) * (lit(1.959964) + 0.841621)) /
-            (delta * delta)).cast("long")).as("n_required_per_arm"))
+      // routed through the shared cents grid — per-group moments derive
+      // exactly from the cell counts (Σ c·v100, Σ c·v100²)
+      powerOf(centsGrid(s, d))
     },
 
     // Hellinger distance between the purchase and click value
@@ -1239,29 +1270,9 @@ object Statistics {
          |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n1 + n2 + 1) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))")} AS z,
          |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) * n2)")} AS rank_biserial
          |FROM t""".stripMargin) { (s, d) =>
-      val c = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
-        .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
-      val wb = Window.orderBy("v100")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val t = c
-        .select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
-          coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"))
-        .agg(sum("c1").as("n1"), sum("c2").as("n2"),
-          sum(col("c1") * (lit(2) * col("cb") + col("t") + 1)).as("r1x2"),
-          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-      val twoU = col("r1x2") - col("n1") * (col("n1") + 1) -
-        col("n1").cast("double") * col("n2")
-      t.select(col("n1"), col("n2"),
-        Q.r6((col("r1x2") - col("n1") * (col("n1") + 1)) / lit(2.0)).as("u1"),
-        Q.r6(twoU / (lit(2.0) * sqrt(col("n1").cast("double") * col("n2") / lit(12.0) *
-          ((col("n1") + col("n2") + 1) - col("ties").cast("double") /
-            ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1))))))
-          .as("z"),
-        Q.r6(twoU / (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
+      // routed through the shared cents grid since round 14 — the
+      // NINTH statistic the one (v100, c1, c2) exchange serves
+      mwOf(centsGrid(s, d))
     },
 
     // Kruskal–Wallis H across ALL event types (round 14) — the

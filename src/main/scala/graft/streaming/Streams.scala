@@ -1219,6 +1219,12 @@ object Streams {
   /** Read-time Cliff's-delta projection over a [[ksCells]] grid. */
   def cliffsOf(grid: DataFrame): DataFrame = graft.ops.Statistics.cliffsOf(grid)
 
+  /** Read-time Mann–Whitney projection over a [[ksCells]] grid. */
+  def mwOf(grid: DataFrame): DataFrame = graft.ops.Statistics.mwOf(grid)
+
+  /** Read-time power-analysis projection over a [[ksCells]] grid. */
+  def powerOf(grid: DataFrame): DataFrame = graft.ops.Statistics.powerOf(grid)
+
   /** Read-time Hellinger projection over a [[ksCells]] grid. */
   def hellingerOf(grid: DataFrame): DataFrame = graft.ops.Statistics.hellingerOf(grid)
 

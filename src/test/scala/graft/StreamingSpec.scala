@@ -404,6 +404,10 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_hellinger")(spark, sfDir)), "Hellinger")
       assert(rows1(Streams.energyOf(grid)) ===
         rows1(SparkEntry.queries("q_energy_dist")(spark, sfDir)), "Energy")
+      assert(rows1(Streams.mwOf(grid)) ===
+        rows1(SparkEntry.queries("q_mann_whitney")(spark, sfDir)), "Mann-Whitney")
+      assert(rows1(Streams.powerOf(grid)) ===
+        rows1(SparkEntry.queries("q_power_analysis")(spark, sfDir)), "power")
     }
   }
 
