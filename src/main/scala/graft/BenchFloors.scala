@@ -286,6 +286,7 @@ object BenchFloors {
     "q_source_xent" -> 0.678, // r14 TimeQuery warm-min harvest
     "q_spearman" -> 0.216,
     "q_split_leakage" -> 0.339, // r14 TimeQuery warm-min harvest
+    "q_sprt" -> 0.188, // r14 TimeQuery warm-min harvest
     "q_stickiness" -> 0.319,
     "q_stopword_profile" -> 0.113,
     "q_str" -> 0.05,

@@ -950,6 +950,91 @@ object Inference {
       c.select(col("day"), col("n").as("n_users"), col("c").as("n_converted"),
           Q.r6(p).as("p_hat"), Q.r6(lb).as("wilson_lb"))
         .orderBy(Q.r6(lb).desc, col("day"))
+    },
+
+    // Wald SPRT over the daily purchase-vs-click conversion rate
+    // (round 14): the SEQUENTIAL complement of q_power_analysis's
+    // fixed-n sizing — monitor the cumulative log-likelihood ratio of
+    // H1: p = 0.55 against H0: p = 0.45 day by day, decide the first
+    // day the Wald boundaries ±ln 19 (α = β = 0.05) are crossed, and
+    // report 'continue' (NULL day) if the trajectory never leaves the
+    // corridor. Determinism: the per-day term k·L1 + (n−k)·L0 uses L
+    // constants computed ONCE in Scala and embedded as the same IEEE
+    // literals in both engines (the q_gumbel_maxima move); the running
+    // sum accumulates in window order — identical sequences ⇒ identical
+    // doubles ⇒ identical crossing days. A perfectly balanced day adds
+    // EXACTLY zero (L1 = −L0 for symmetric hypotheses), so a 50/50
+    // stream reads 'continue' with llr ≡ 0.0, not a residue. Scale:
+    // everything runs on the |days|-row conversion frame.
+    Q("q_sprt", {
+      val L1 = math.log(SprtP1 / SprtP0)
+      val L0 = math.log((1 - SprtP1) / (1 - SprtP0))
+      val bound = math.log(19.0)
+      s"""WITH daily AS ($dailySql),
+         |d AS (SELECT x,
+         |             CAST(sum(CASE WHEN event_type = 'purchase' THEN y ELSE 0 END) AS BIGINT) AS k,
+         |             CAST(sum(y) AS BIGINT) AS n
+         |      FROM daily WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+         |c AS (SELECT x,
+         |             sum(k * $L1 + (n - k) * $L0) OVER (ORDER BY x
+         |               ROWS UNBOUNDED PRECEDING) AS llr
+         |      FROM d),
+         |h AS (SELECT x, llr,
+         |             CASE WHEN llr >= $bound THEN 1
+         |                  WHEN llr <= ${-bound} THEN -1 ELSE 0 END AS hit
+         |      FROM c),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |             CAST(min(CASE WHEN hit = 1 THEN x END) AS BIGINT) AS up_x,
+         |             CAST(min(CASE WHEN hit = -1 THEN x END) AS BIGINT) AS dn_x,
+         |             max_by(llr, x) AS final_llr
+         |      FROM h)
+         |SELECT n_days,
+         |       CASE WHEN up_x IS NOT NULL AND (dn_x IS NULL OR up_x < dn_x) THEN 'accept_h1'
+         |            WHEN dn_x IS NOT NULL THEN 'accept_h0'
+         |            ELSE 'continue' END AS decision,
+         |       strftime(DATE '$Anchor' + CAST(CASE
+         |         WHEN up_x IS NOT NULL AND (dn_x IS NULL OR up_x < dn_x) THEN up_x
+         |         ELSE dn_x END AS INT), '%Y-%m-%d') AS decision_day,
+         |       ${Q.sqlR6("final_llr")} AS final_llr
+         |FROM t""".stripMargin
+    }) { (s, d) =>
+      sprtOf(dailyCounts(s, d))
     }
   )
+
+  /** SPRT hypotheses — symmetric around 0.5 so a balanced day adds
+    * exactly zero log-likelihood. */
+  private val SprtP0 = 0.45
+  private val SprtP1 = 0.55
+
+  /** The SPRT fold over a daily (event_type, x, y) count frame — ONE
+    * home shared by batch q_sprt and the s_sprt streaming read-time
+    * view (the trajectory re-prices from the first day at every close;
+    * the daily grid is the mergeable state). */
+  private[graft] def sprtOf(dailyIn: DataFrame): DataFrame = {
+    val l1 = math.log(SprtP1 / SprtP0)
+    val l0 = math.log((1 - SprtP1) / (1 - SprtP0))
+    val bound = math.log(19.0)
+    val d = dailyIn.filter(col("event_type").isin("purchase", "click"))
+      .groupBy("x")
+      .agg(sum(when(col("event_type") === "purchase", col("y")).otherwise(0L)).as("k"),
+        sum("y").as("n"))
+    val c = d.withColumn("llr",
+        sum(col("k") * lit(l1) + (col("n") - col("k")) * lit(l0))
+          .over(Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("hit", when(col("llr") >= bound, 1L)
+        .when(col("llr") <= -bound, -1L).otherwise(0L))
+    val t = c.agg(count(lit(1)).as("n_days"),
+      min(when(col("hit") === 1, col("x"))).as("up_x"),
+      min(when(col("hit") === -1, col("x"))).as("dn_x"),
+      max_by(col("llr"), col("x")).as("final_llr"))
+    val h1First = col("up_x").isNotNull && (col("dn_x").isNull || col("up_x") < col("dn_x"))
+    t.select(col("n_days"),
+      when(h1First, "accept_h1").when(col("dn_x").isNotNull, "accept_h0")
+        .otherwise("continue").as("decision"),
+      date_format(date_add(to_date(lit(Anchor)),
+        when(h1First, col("up_x")).otherwise(col("dn_x")).cast("int")), "yyyy-MM-dd")
+        .as("decision_day"),
+      Q.r6(col("final_llr")).as("final_llr"))
+  }
 }

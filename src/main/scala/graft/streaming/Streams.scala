@@ -1093,6 +1093,11 @@ object Streams {
       .groupBy(col("event_type"), graft.ops.Inference.dayIndexCol.as("x"))
       .agg(count(lit(1)).as("y"))
 
+  /** Read-time Wald-SPRT projection over a [[dailyGrid]] — the
+    * sequential decision re-prices from day one at every close; the
+    * grid is the mergeable state. */
+  def sprtOf(grid: DataFrame): DataFrame = graft.ops.Inference.sprtOf(grid)
+
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.decomposeOf(grid)

@@ -1175,6 +1175,25 @@ class CurationSeriesSpec extends SparkSpec {
       .isNullAt(q("q_quantile_skew", const).head().fieldIndex("bowley")))
   }
 
+  test("q_sprt: an all-purchase stream accepts H1 on the computable day; a balanced one continues at llr exactly 0") {
+    // 5 purchases/day, no clicks: each day adds 5·ln(11/9) ≈ 1.0034 to
+    // the LLR, crossing ln 19 ≈ 2.944 on day index 2 → 2024-01-03
+    val up = eventsDir(Seq("purchase"), 5, (_, _) => 5)
+    val r = q("q_sprt", up).head()
+    assert(r.getAs[String]("decision") === "accept_h1")
+    assert(r.getAs[String]("decision_day") === "2024-01-03")
+    // perfectly balanced days add EXACTLY zero (L1 = −L0 for the
+    // symmetric hypotheses) — llr is 0.0, not a float residue
+    val bal = eventsDir(Seq("purchase", "click"), 6, (_, _) => 4)
+    val rb = q("q_sprt", bal).head()
+    assert(rb.getAs[String]("decision") === "continue")
+    assert(rb.isNullAt(rb.fieldIndex("decision_day")))
+    assert(rb.getAs[Double]("final_llr") === 0.0)
+    // all-click: H0 accepted symmetrically on the same day index
+    val dn = eventsDir(Seq("click"), 5, (_, _) => 5)
+    assert(q("q_sprt", dn).head().getAs[String]("decision") === "accept_h0")
+  }
+
   test("q_power_analysis: the closed-form fixture sizes 16 per arm; a zero effect reads NULL") {
     import spark.implicits._
     def mk(prefix: String, vals: Seq[(String, Double)]): String = {

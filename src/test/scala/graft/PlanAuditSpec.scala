@@ -1076,8 +1076,10 @@ class PlanAuditSpec extends SparkSpec {
       // event_type over the collapsed decomposition frame
       "q_seasonal_anomaly",
       // q_target_encode's global-prior windows consume the bounded
-      // |brands|-key aggregate; q_power_analysis has no window at all
-      "q_target_encode", "q_power_analysis")
+      // |brands|-key aggregate; q_power_analysis has no window at all;
+      // q_sprt's running LLR window consumes the |days|-key conversion
+      // aggregate (x, a domain key)
+      "q_target_encode", "q_power_analysis", "q_sprt")
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
     r13Ids.foreach { name =>

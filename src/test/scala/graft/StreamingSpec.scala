@@ -372,6 +372,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_seasonal_strength")(spark, sfDir)), "strength")
       assert(rows1(Streams.seasonalAnomalyOf(grid)) ===
         rows1(SparkEntry.queries("q_seasonal_anomaly")(spark, sfDir)), "seasonal anomaly")
+      assert(rows1(Streams.sprtOf(grid)) ===
+        rows1(SparkEntry.queries("q_sprt")(spark, sfDir)), "SPRT")
     }
   }
 
