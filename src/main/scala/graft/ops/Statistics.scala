@@ -91,8 +91,13 @@ object Statistics {
     st.crossJoin(broadcast(tc))
       .select(col("k"), col("n"),
         Q.r6(h).as("h"),
-        Q.r6(h / (lit(1.0) - col("ties").cast("double") /
-          (col("n").cast("double") * col("n") * col("n") - col("n")))).as("h_tie_adj"),
+        // all mass in ONE cell ⇒ ties = n³−n exactly and the
+        // correction denominator is 0 — NULL in both engines (the
+        // dunnOf/friedmanOf guard, mirrored in the SQL twin)
+        when(col("ties").cast("double") <
+            col("n").cast("double") * col("n") * col("n") - col("n"),
+          Q.r6(h / (lit(1.0) - col("ties").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") - col("n"))))).as("h_tie_adj"),
         Q.r6((h - col("k") + 1) / (col("n") - col("k"))).as("epsilon_sq"))
   }
 
@@ -379,12 +384,15 @@ object Statistics {
         sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
     val twoU = col("r1x2") - col("n1") * (col("n1") + 1) -
       col("n1").cast("double") * col("n2")
+    // one all-tied run ⇒ the tie-corrected variance is exactly 0 and
+    // z is 0/0 (NaN in Spark, NULL in DuckDB) — guard like dunnOf/
+    // wilcoxonOf, same formula tree factored once
+    val varU = col("n1").cast("double") * col("n2") / lit(12.0) *
+      ((col("n1") + col("n2") + 1) - col("ties").cast("double") /
+        ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1)))
     t.select(col("n1"), col("n2"),
       Q.r6((col("r1x2") - col("n1") * (col("n1") + 1)) / lit(2.0)).as("u1"),
-      Q.r6(twoU / (lit(2.0) * sqrt(col("n1").cast("double") * col("n2") / lit(12.0) *
-        ((col("n1") + col("n2") + 1) - col("ties").cast("double") /
-          ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1))))))
-        .as("z"),
+      when(varU > 0, Q.r6(twoU / (lit(2.0) * sqrt(varU)))).as("z"),
       Q.r6(twoU / (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
   }
 
@@ -405,10 +413,15 @@ object Statistics {
         (col("n1") - 1) +
       (col("ss2").cast("double") - col("s2").cast("double") * col("s2") / col("n2")) /
         (col("n2") - 1)) / 2
+    // n>=2 per arm or the (n-1) variance divisor is 0/negative-free
+    // garbage: Spark would emit Infinity/NaN where DuckDB's 0-division
+    // yields NULL — the guard makes both engines answer NULL, the
+    // pairedTOf/gumbelOf convention
+    val ok = col("n1") >= 2 && col("n2") >= 2
     p.select(col("n1"), col("n2"),
-      Q.r6(delta / 100).as("observed_delta"),
-      Q.r6(sqrt(var2) / 100).as("pooled_sd"),
-      when(delta =!= 0,
+      when(col("n1") >= 1 && col("n2") >= 1, Q.r6(delta / 100)).as("observed_delta"),
+      when(ok, Q.r6(sqrt(var2) / 100)).as("pooled_sd"),
+      when(ok && delta =!= 0,
         ceil(lit(2) * var2 * ((lit(1.959964) + 0.841621) * (lit(1.959964) + 0.841621)) /
           (delta * delta)).cast("long")).as("n_required_per_arm"))
   }
@@ -992,9 +1005,9 @@ object Statistics {
          |              + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / 2 AS var2
          |      FROM p)
          |SELECT n1, n2,
-         |       ${Q.sqlR6("delta / 100")} AS observed_delta,
-         |       ${Q.sqlR6("sqrt(var2) / 100")} AS pooled_sd,
-         |       CASE WHEN delta <> 0 THEN
+         |       CASE WHEN n1 >= 1 AND n2 >= 1 THEN ${Q.sqlR6("delta / 100")} END AS observed_delta,
+         |       CASE WHEN n1 >= 2 AND n2 >= 2 THEN ${Q.sqlR6("sqrt(var2) / 100")} END AS pooled_sd,
+         |       CASE WHEN n1 >= 2 AND n2 >= 2 AND delta <> 0 THEN
          |         CAST(ceil(2 * var2 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
          |           / (delta * delta)) AS BIGINT)
          |       END AS n_required_per_arm
@@ -1267,7 +1280,7 @@ object Statistics {
          |      FROM r)
          |SELECT n1, n2,
          |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1)) / 2.0")} AS u1,
-         |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n1 + n2 + 1) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))")} AS z,
+         |       CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n1 + n2 + 1) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) > 0 THEN ${Q.sqlR6("(r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n1 + n2 + 1) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))")} END AS z,
          |       ${Q.sqlR6("(r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) * n2)")} AS rank_biserial
          |FROM t""".stripMargin) { (s, d) =>
       // routed through the shared cents grid since round 14 — the
@@ -1311,7 +1324,7 @@ object Statistics {
          |tc AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM tv)
          |SELECT st.k, st.n,
          |       ${Q.sqlR6("12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1)")} AS h,
-         |       ${Q.sqlR6("(12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1)) / (1.0 - CAST(tc.ties AS DOUBLE) / (CAST(st.n AS DOUBLE) * st.n * st.n - st.n))")} AS h_tie_adj,
+         |       CASE WHEN CAST(tc.ties AS DOUBLE) < CAST(st.n AS DOUBLE) * st.n * st.n - st.n THEN ${Q.sqlR6("(12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1)) / (1.0 - CAST(tc.ties AS DOUBLE) / (CAST(st.n AS DOUBLE) * st.n * st.n - st.n))")} END AS h_tie_adj,
          |       ${Q.sqlR6("(12.0 / (st.n * (st.n + 1.0)) * st.b0 - 3.0 * (st.n + 1) - st.k + 1) / (st.n - st.k)")} AS epsilon_sq
          |FROM st CROSS JOIN tc""".stripMargin) { (s, d) =>
       kruskalWallisOf(Tables.events(s, d)
