@@ -16,7 +16,7 @@ package graft
   */
 object BenchFloors {
   val floor: Map[String, Double] = Map(
-    "q_abc_class" -> 0.403,
+    "q_abc_class" -> 0.438,
     "q_abtest" -> 0.092,
     "q_acf" -> 0.535,
     "q_activity_islands" -> 0.187,

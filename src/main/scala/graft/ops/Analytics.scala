@@ -604,11 +604,18 @@ object Analytics {
     // int64 CENTS, the running sum is an int64 fold under the
     // (rev DESC, partkey) total order, and the class thresholds are
     // INTEGER comparisons (cum·100 vs total·80 / total·95) — no double
-    // exists anywhere a boundary could flip. Shape: the corpus
-    // collapses to the per-part agg FIRST (map-side partials onto
-    // catalog-bounded keys); the rank/cumsum windows and the scalar
-    // total all ride the bounded part frame, the honest cost of an
-    // exact global ABC cut.
+    // exists anywhere a boundary could flip. Shape (round 15 — the
+    // q_lift_curve two-pass band-offset form): the corpus collapses to
+    // the per-part agg FIRST (map-side partials onto catalog-bounded
+    // keys); each part then gets a magnitude BAND — bit-length and
+    // top-7-bits of cents packed into one int64, a MONOTONE function
+    // of cents with ≤64·128 possible values — so the ≤8192-row band
+    // grid carries the global prefix sums (revenue mass + part count
+    // in strictly-higher bands, broadcast back), and the rank/cumsum
+    // windows partition BY BAND. No window's input scales with the
+    // part catalog: (band DESC, cents DESC, partkey) IS the global
+    // (cents DESC, partkey) order, recovered as offset + in-band
+    // row_number / running sum, all exact int64.
     Q("q_abc_class",
       s"""WITH p AS (SELECT l_partkey,
          |                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
@@ -630,12 +637,27 @@ object Analytics {
         .groupBy("l_partkey")
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
           .cast("long")).cast("long").as("cents"))
-      val wo = Window.orderBy(col("cents").desc, col("l_partkey"))
-      val w = p
-        .withColumn("cum", sum("cents").over(
-          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
-        .withColumn("total", sum("cents").over(Window.partitionBy()).cast("long"))
-        .withColumn("rk", row_number().over(wo).cast("long"))
+        // bin() is the exact integer bit-length path (no double log2
+        // near a power-of-2 boundary); band = lb·200 + top-7-bits is
+        // monotone: within one lb the shift is constant, and lb+1's
+        // floor 200(lb+1)+min(sub) clears lb's ceiling for every lb
+        .withColumn("lb", length(bin(col("cents"))).cast("long"))
+        .withColumn("band",
+          col("lb") * 200 + expr("shiftright(cents, CAST(greatest(lb - 7, 0L) AS INT))"))
+        .transform(Q.snapshot)
+      val wg = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grid = p.groupBy("band")
+        .agg(sum("cents").as("bsum"), count(lit(1)).as("bcnt"))
+        .select(col("band"),
+          coalesce(sum("bsum").over(wg), lit(0L)).as("cum_off"),
+          coalesce(sum("bcnt").over(wg), lit(0L)).as("rk_off"),
+          sum("bsum").over(Window.partitionBy()).cast("long").as("total"))
+      val wb = Window.partitionBy("band").orderBy(col("cents").desc, col("l_partkey"))
+      val w = p.join(broadcast(grid), "band")
+        .withColumn("cum", (col("cum_off") + sum("cents").over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))).cast("long"))
+        .withColumn("rk", (col("rk_off") + row_number().over(wb)).cast("long"))
       w.select(col("l_partkey"), col("rk"),
           Q.r2(col("cents") / lit(100.0)).as("revenue"),
           Q.r6(col("cum").cast("double") / col("total")).as("cum_share"),

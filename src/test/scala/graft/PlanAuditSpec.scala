@@ -1007,82 +1007,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("l_orderkey") && !plan.contains("CartesianProduct"))
   }
 
-  test("no 2.15 plan runs an empty-partition-spec window over a content-growing frame") {
-    // The r13 q_vocab_coverage defect, generalized into a regression
-    // net: a Window with an EMPTY partition spec funnels its whole
-    // input through one reducer, which is only legal when that input
-    // is domain-bounded — collapsed first by an aggregate over
-    // domain-bounded keys (days, event types, languages, literal grid
-    // points), or cut by a limit/bounded top-k. An aggregate grouped
-    // by a CONTENT key (token, shingle, gram, doc id, prefix) does NOT
-    // bound anything — Heaps' law grows the vocabulary as a power of
-    // corpus size — and that is exactly the shape this walk rejects:
-    // the first collapsing operator below every global window must be
-    // a limit or a non-content-keyed aggregate.
+  test("NO declared plan runs an empty-partition-spec window over a content-growing frame") {
+    // The r13 q_vocab_coverage defect, generalized into a FULL-SURFACE
+    // net (round 15 — the r14 verdict's #2: the previous ~60-ID
+    // allowlist let q_abc_class's single-reducer cumulative window
+    // hide for three rounds): a Window with an EMPTY partition spec
+    // funnels its whole input through one reducer, which is only legal
+    // when that input is domain-bounded — collapsed first by an
+    // aggregate over domain-bounded keys (days, event types,
+    // languages, magnitude bands, literal grid points), or cut by a
+    // limit/bounded top-k. An aggregate grouped by a CONTENT key
+    // (token, shingle, gram, doc id, prefix) does NOT bound anything —
+    // Heaps' law grows the vocabulary as a power of corpus size — and
+    // that is exactly the shape this walk rejects: the first
+    // collapsing operator below every global window must be a limit or
+    // a non-content-keyed aggregate, for EVERY name in
+    // SparkEntry.queries.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
-    val r13Ids = Seq("q_dedup_keepers", "q_prefix_dup", "q_vocab_coverage",
-      "q_runs_test", "q_turning_points", "q_poisson_dispersion", "q_grubbs",
-      "q_page_hinkley", "q_graph_modularity", "q_embed_outliers", "q_adf",
-      "q_variance_ratio", "q_revenue_bridge", "q_price_index", "q_silhouette",
-      "q_rolling_corr", "q_cooks_distance", "q_odds_ratio", "q_lift_curve",
-      "q_doc_novelty",
-      // round-14 series-screening additions — q_moods_median's global
-      // median ranks are exactly the shape this walk certifies: the
-      // one-reducer sort consumes the (type, day)-keyed daily agg
-      "q_mann_kendall", "q_moods_median", "q_friedman", "q_tukey_hsd",
-      "q_hodges_lehmann", "q_granger", "q_seasonal_mk", "q_pettitt",
-      // q_dunn's pooled-rank running window rides the bounded
-      // distinct-cents grid (the q_kruskal_wallis exchange); the
-      // DW/Chow windows are type-partitioned over the daily frame
-      "q_durbin_watson", "q_chow", "q_dunn", "q_cohens_kappa",
-      // q_page_trend's lexicographic-weight window collapses the
-      // distinct-type enum; q_kpss's windows are all type-partitioned
-      "q_kpss", "q_page_trend",
-      // q_jonckheere's type-index window collapses the distinct-type
-      // enum; q_token_budget_trim's walk is lang-partitioned over the
-      // bounded (lang, q4) quality grid
-      "q_jonckheere", "q_token_budget_trim",
-      // q_nemenyi rides q_friedman's day-partitioned rank windows over
-      // the dense grid; q_gumbel_maxima has no window at all;
-      // q_wilcoxon_signed's rank windows partition by the type pair
-      "q_nemenyi", "q_gumbel_maxima", "q_wilcoxon_signed",
-      // q_paired_t has no window at all — the dense-grid pair agg
-      // collapses straight to |types|² sufficient statistics
-      "q_paired_t",
-      // q_cramer_von_mises' global ECDF windows ride q_ks_test's
-      // bounded distinct-cents frame (grouped by v100, a domain key),
-      // as do the other three faces of the same grid
-      "q_cramer_von_mises", "q_wasserstein_1d", "q_anderson_darling",
-      "q_cliffs_delta", "q_hellinger", "q_energy_dist",
-      // q_periodogram's windows (totals + argmax) all partition by
-      // event_type over the collapsed daily/period frames, as do
-      // q_trimmed_mean/q_quantile_skew's rank windows over the
-      // bounded per-type cents grid
-      "q_periodogram", "q_trimmed_mean", "q_quantile_skew",
-      // q_filter_cascade's one global window (the total) consumes the
-      // 16-cell flag grid; the keeper-election window is content-hash
-      // partitioned over the ALREADY-COLLAPSED (h, flags) grid
-      "q_filter_cascade",
-      // q_hits' rank/max windows consume sort+limit(10) frames
-      // (TakeOrderedAndProject — never a catalog-sized window sort)
-      "q_hits",
-      // q_capture_recapture has no window — three count aggregates
-      // over the two bounded banded-candidate lists
-      "q_capture_recapture",
-      // q_compaction_plan's one window partitions by source over the
-      // ≤|sources|×64 shard frame
-      "q_compaction_plan",
-      // q_seasonal_anomaly's rank/fence windows all partition by
-      // event_type over the collapsed decomposition frame
-      "q_seasonal_anomaly",
-      // q_target_encode's global-prior windows consume the bounded
-      // |brands|-key aggregate; q_power_analysis has no window at all;
-      // q_sprt's running LLR window consumes the |days|-key conversion
-      // aggregate (x, a domain key)
-      "q_target_encode", "q_power_analysis", "q_sprt")
+    // Queries this net cannot express a verdict for (their global
+    // window rides a frame bounded by something the walk cannot see,
+    // e.g. an already-audited snapshot). This set must only SHRINK;
+    // every addition needs a written rationale on its own line and a
+    // dedicated plan test elsewhere in this suite.
+    val exempt = Set.empty[String]
     val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
       "band_key", "h", "text")
-    r13Ids.foreach { name =>
+    (SparkEntry.queries.keySet -- exempt).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
       plan.foreach {
         case win: LWindow if win.partitionSpec.isEmpty =>
@@ -1106,6 +1056,35 @@ class PlanAuditSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  test("q_abc_class windows partition by band; only the band grid rides a global window") {
+    // the round-15 rewrite's contract (the q_lift_curve two-pass
+    // band-offset form): the ONLY empty-partition-spec windows consume
+    // the ≤8192-key band grid, the per-part rank/cumsum windows
+    // partition BY BAND, and the offset grid arrives broadcast
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q_abc_class")(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    lp.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        val agg = w.child.collectFirst { case a: Aggregate => a }
+          .getOrElse(fail(s"global window with no aggregate below:\n$lp"))
+        val keys = agg.groupingExpressions.flatMap(_.references.toSeq.map(_.name)).distinct
+        assert(keys == Seq("band"),
+          s"only the band grid may ride a global window, got keys $keys:\n$lp")
+      case _ =>
+    }
+    val partWins = lp.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+    assert(partWins.nonEmpty, s"the rank/cumsum windows must partition by band:\n$lp")
+    partWins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+      assert(keys == Seq("band"),
+        s"part-frame windows must partition by band, got $keys:\n$lp")
+    }
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastExchange"),
+      s"the offset grid must arrive broadcast:\n$phys")
   }
 
   test("q_vocab_coverage pushes its top-1000 into partial aggregation over ONE corpus scan") {
