@@ -4,65 +4,79 @@ object Bench {
 
   /** Pure selection half of renderTop: which (name, time) entries the
     * driver-parsed line reports at budget k for this roundIdx.
-    * The most expensive queries always; then a rotating window of the
-    * remaining pool, keyed off roundIdx (= committed BENCH file count,
-    * +1 per round). Failed queries are NOT kept here — they ride the
-    * line's errors{} section, which driver-side key extraction reads
-    * the same way (the r14 renegotiation at the 308-query surface:
-    * rendering a failure BOTH as a null queries entry and as an errors
-    * entry double-spent ~17 line chars AND a kept slot each, and five
-    * persistent failures starved the rotation below its 4-round
-    * horizon). The top-slot count is CAPPED at (4k − N + fails − 35)/3
-    * — never more than k/2 — which sizes the rotating window to at
-    * least ⌈pool/4⌉ + 8 slack, so the G-quarter grid below covers the
-    * pool in at most FOUR consecutive rounds even as realized width
-    * fluctuates ±8. Scope of the guarantee: per-round timing churn can
-    * hop boundary queries between `top` and the pool, shifting pool
-    * indices, so a query CAN evade the window longer on a noisy box —
-    * BenchRotationSpec's property proves the stable-membership bound,
-    * and its BENCH-history test is the retrospective backstop that
-    * catches any real starvation one round later. The bound degrades
-    * once N − fails > 4·(k − 8) (≈368 queries at today's k=100) — at
-    * which point the spec fails loudly and the render budget itself
-    * needs rethinking, not just the split. */
+    * The 8 most expensive queries always; then this round's segment of
+    * a char-balanced 4-way grid over the whole surface, keyed off
+    * roundIdx (= committed BENCH file count, +1 per round). Failed
+    * queries are NOT kept here — they ride the line's errors{}
+    * section, which driver-side key extraction reads the same way
+    * (the r14 renegotiation at the 308-query surface: rendering a
+    * failure BOTH as a null queries entry and as an errors entry
+    * double-spent ~17 line chars AND a kept slot each). History of the
+    * grid: r14 pinned a count-quartered grid with a k-derived top
+    * tier, which held while realized k fluctuated ±8; the r15
+    * 400-name simulation showed the fluctuation reaching ±24 (a
+    * segment dense in long names costs more chars, so the chooser
+    * lands on a smaller k for exactly that round) and the k-coupled
+    * pool boundaries punched a 42-name hole no horizon closes. r15
+    * therefore made every grid input k-INDEPENDENT: fixed top-8,
+    * segments balanced by rendered char cost over abbreviated names
+    * ([[shortName]]), k ceiling raised to 150. Guarantee: any 4
+    * consecutive rounds cover the surface while one segment's char
+    * cost (≈ total/4) fits the line — ≈460 queries at today's name
+    * mix; BenchRotationSpec simulates the exact chooser on the real
+    * surface plus a 400-name projection and fails loudly first. */
   private[graft] def keptNames(runs: Seq[(String, Either[String, Double])], k: Int,
                                roundIdx: Int): Seq[(String, Either[String, Double])] = {
-    val fails = runs.filter(_._2.isLeft)
-    // a 0/1-slot top tier is worse than none: as the realized k
-    // oscillates ±2 with kept-name lengths, a tiny tier flips the pool
-    // SIZE round-to-round, shifting every quarter boundary (the r14 #4
-    // aliasing at 318 queries) — below 8 slots the tier is dropped
-    val topCapRaw = math.max(0,
-      math.min(k / 2, (4 * k - runs.length + fails.length - 35) / 3))
-    val topCap = if (topCapRaw < 8) 0 else topCapRaw
-    val top = runs.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(topCap)
-    val topNames = (fails ++ top).map(_._1).toSet
-    val pool = runs.filter(r => !topNames.contains(r._1)).sortBy(_._1)
+    val ok = runs.filter(_._2.isRight)
+    // Top tier: FIXED 8 slots (r15 renegotiation). The r14 k-derived
+    // cap looked harmless but made POOL MEMBERSHIP a function of the
+    // realized k, which fluctuates with the char cost of each round's
+    // window — at a 400-name simulation the fluctuation hit ±24 slots
+    // and the shifting quarter boundaries punched a 42-name hole that
+    // NO horizon closes. Eight stable slots keep heavy-query
+    // attribution every round without perturbing the grid below.
+    val top = ok.sortBy(-_._2.getOrElse(0.0)).take(math.min(8, math.max(0, k)))
+    val topNames = top.map(_._1).toSet
+    // The pool includes the top names (they dedupe out of their own
+    // segment) so segment boundaries cannot move when timings do.
+    val pool = ok.sortBy(_._1)
+    if (pool.isEmpty) return top
+    // Char-balanced quarters: entry i goes to segment
+    // ⌊charsBefore(i)·4/totalChars⌋, where an entry's cost is its
+    // RENDERED footprint (shortName + quotes/colon/comma + ~3-char
+    // value). Boundaries depend only on the NAME SET — every round
+    // computes the same grid, round r renders segment r%4 in full,
+    // and a name-cost-heavy quarter simply holds fewer entries
+    // instead of overflowing the line. Union of the 4 segments = the
+    // pool by construction, so 4 consecutive rounds cover everything
+    // (BenchRotationSpec simulates this on the real surface AND a
+    // 400-name projection). take(want) below can only truncate if
+    // one segment alone outgrows the whole line budget — at which
+    // point the spec fails loudly and the budget needs renegotiating.
+    val costs = pool.map { case (n, _) => shortName(n).length + 7 }
+    val total = costs.sum.toDouble
+    var cum = 0
+    val segOf = costs.map { c => val s = math.min(3, (cum * 4 / total).toInt); cum += c; s }
+    val seg = pool.indices.collect { case i if segOf(i) == roundIdx % 4 => pool(i) }
     val want = math.max(0, k - top.length)
-    val rotating =
-      if (pool.isEmpty || want == 0) Seq.empty
-      else {
-        // Grid rotation (r14): the window start advances on a FIXED
-        // 4-quarter grid whenever the budget affords it — G derived
-        // from the REALIZED width flips 4↔5 as k oscillates with
-        // kept-name lengths (the r14 #4 trap at 318 queries: g floats,
-        // one pool band falls in NO round's window at any horizon), so
-        // G is PINNED at 4 while want ≥ ⌈P/4⌉ and each round covers
-        // its quarter fully. When the surface outgrows the budget
-        // (want < ⌈P/4⌉) the degraded stride below keeps reporting,
-        // and BenchRotationSpec fails loudly — its purpose.
-        val quarter = (pool.length + 3) / 4
-        if (want >= quarter) {
-          val start = (roundIdx % 4) * quarter % pool.length
-          (pool.drop(start) ++ pool.take(start)).take(want)
-        } else {
-          val g = math.max(1, math.ceil(pool.length.toDouble / want).toInt)
-          val q2 = (pool.length + g - 1) / g
-          val start = (roundIdx % g) * q2 % pool.length
-          (pool.drop(start) ++ pool.take(start)).take(want)
-        }
-      }
-    top ++ rotating
+    top ++ seg.filterNot(e => topNames(e._1)).take(want)
+  }
+
+  /** Rendered-key abbreviation (r15 renegotiation: the 321-query
+    * surface outgrew the ~1950-char line at full names). Strip `q_`,
+    * then: single-segment names keep their first 6 chars; multi-
+    * segment names keep the first 4 chars of EVERY segment. The rule
+    * is set-independent (a name's rendering never changes as the
+    * surface grows), idempotent (normalizing an already-short key is a
+    * no-op — what lets BenchRotationSpec's history test compare pre-
+    * and post-r15 BENCH files), and injective on the current surface
+    * (a spec asserts this; a colliding NEW name must be renamed at
+    * authoring time). Avg rendered entry drops 17.8 → ~15 chars,
+    * lifting the realized k to ~123. */
+  private[graft] def shortName(n: String): String = {
+    val s = n.stripPrefix("q_")
+    val segs = s.split('_')
+    if (segs.length == 1) s.take(6) else segs.map(_.take(4)).mkString("_")
   }
 
   private[graft] def jstr(s: String): String =
@@ -111,12 +125,12 @@ object Bench {
       // failures live in errs, not qs — they are reported, not omitted
       val omitted = runs.length - kept.length - errList.length
       val qs = kept.map { case (n, v) =>
-        jstr(n.stripPrefix("q_")) + ":" + v.fold(_ => "null", fmt(_, 1))
+        jstr(shortName(n)) + ":" + v.fold(_ => "null", fmt(_, 1))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs,"q_omitted":$omitted$errs,"sf":"$sfName"}"""
     }
     (Seq(render(2, false), render(2, true), render(1, true)) ++
-      (100 to 10 by -2).map(renderTop))
+      (150 to 10 by -2).map(renderTop))
       .find(_.length <= 1950).getOrElse(renderTop(10))
   }
 

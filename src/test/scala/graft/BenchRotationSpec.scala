@@ -36,14 +36,13 @@ class BenchRotationSpec extends AnyFunSuite {
   test("four consecutive rounds always cover the full query surface") {
     // Property over surface size, timing draw, failure pattern and
     // rotation phase: the union of keptNames over rounds r..r+3, plus
-    // the failures (which ride the line's errors{} section — the r14
-    // renegotiation removed their double-spent null queries entries),
-    // is the whole surface. Holds by construction on the G-quarter
-    // grid — G = ⌈pool/(want−8)⌉ caps the quarter at want−8+1 ≤ want,
-    // so the round with residue i covers quarter i fully and G ≤ 4
-    // whenever N − fails ≤ 4·(k − 8). Cases beyond the bound are
-    // excluded — the "current surface fits" test below polices the
-    // live margin.
+    // the failures (which ride the line's errors{} section), is the
+    // whole surface. Holds by construction on the r15 char-balanced
+    // grid: the 4 segments partition the pool, round r%4 renders its
+    // segment in full, and with equal-cost synthetic names a segment
+    // holds ≈(N−fails)/4 entries ≤ want = k−8 whenever
+    // N − fails ≤ 4·(k − 8). Cases beyond the bound are excluded —
+    // the "current surface fits" test below polices the live margin.
     val k = 100
     for {
       n <- Seq(101, 150, 221, 250, 299, 340)
@@ -63,12 +62,12 @@ class BenchRotationSpec extends AnyFunSuite {
     }
   }
 
-  test("the most expensive queries are reported every round") {
+  test("the 8 most expensive queries are reported every round") {
     // Attribution for regressions that matter most must not rotate:
-    // every round keeps the top slots (cap permitting).
+    // every round keeps the fixed top-8 tier (r15: the tier size is
+    // k-independent so pool segment boundaries cannot move with it).
     val runs = mkRuns(221, 0, 3L)
-    val topCap = (4 * 100 - 221 - 35) / 3
-    val expensive = runs.sortBy(-_._2.getOrElse(0.0)).take(topCap).map(_._1).toSet
+    val expensive = runs.sortBy(-_._2.getOrElse(0.0)).take(8).map(_._1).toSet
     (0 to 5).foreach { r =>
       val kept = Bench.keptNames(runs, 100, r).map(_._1).toSet
       assert(expensive.subsetOf(kept), s"round $r dropped a top query")
@@ -94,10 +93,12 @@ class BenchRotationSpec extends AnyFunSuite {
     def reported(runs: Seq[(String, Either[String, Double])], r: Int): Set[String] = {
       val line = Bench.driverLine(runs, r, "sf0.1")
       assert(line.length <= 1950, s"round $r line busts the driver budget: ${line.length}")
+      // normalize through shortName (idempotent): queries keys are
+      // already abbreviated, errors keys carry the full name
       keyRe.findAllMatchIn(line).map(_.group(1)).toSet
-        .diff(meta).map(_.stripPrefix("q_"))
+        .diff(meta).map(Bench.shortName)
     }
-    val stripped = names.map(_.stripPrefix("q_")).toSet
+    val stripped = names.map(Bench.shortName).toSet
     // failure margin: 5 scattered failures (i % 76 over the current
     // surface). A failure no longer costs a kept slot — it rides the
     // errors{} section only (r14 renegotiation #3: the old null-entry
@@ -164,7 +165,11 @@ class BenchRotationSpec extends AnyFunSuite {
       val idx = txt.indexOf("\"parsed\"")
       if (idx < 0) None
       else Some(n -> keyRe.findAllMatchIn(txt.drop(idx))
-        .map(_.group(1)).filterNot(Set("value", "q_omitted", "n", "rc", "cpus", "sf")).toSet)
+        .map(_.group(1)).filterNot(Set("value", "q_omitted", "n", "rc", "cpus", "sf"))
+        // normalize pre-r15 full names and post-r15 abbreviated keys
+        // onto one alphabet (shortName is idempotent, so this is safe
+        // on both sides of the renegotiation)
+        .map(Bench.shortName).toSet)
     }
     // A key reported in OLDER rounds existed then, so a healthy
     // rotation must surface it again within any later 3-round window;
@@ -179,6 +184,54 @@ class BenchRotationSpec extends AnyFunSuite {
       assert(missing.isEmpty,
         s"rounds ${window.map(_._1).mkString(",")} never re-reported " +
           s"previously-benched queries: ${missing.toSeq.sorted.mkString(", ")}")
+    }
+  }
+
+  test("shortName is injective on the declared surface and idempotent") {
+    // The r15 rendered-key abbreviation is set-independent by design,
+    // so the ONLY way it can break is a NEW query name colliding with
+    // an existing one post-abbreviation — this test makes that a
+    // compile-adjacent failure at authoring time (rename the new
+    // query), never a silent merge of two queries' bench attribution.
+    val names = SparkEntry.queries.keys.toSeq
+    val byShort = names.groupBy(Bench.shortName)
+    val collisions = byShort.filter(_._2.size > 1)
+    assert(collisions.isEmpty,
+      s"shortName collisions — rename the newer query: $collisions")
+    names.foreach { n =>
+      val s = Bench.shortName(n)
+      assert(Bench.shortName(s) == s, s"shortName not idempotent on $n -> $s")
+    }
+  }
+
+  test("a simulated 400-query surface still rotates fully in 4 rounds") {
+    // The r14 verdict's renegotiation gate: the guarantee must survive
+    // one more round of ~50 additions BEFORE those additions land.
+    // Surface = the real 321 names at floors ×1.3 plus 79 synthetic
+    // names drawn with the real distribution's shape (two 4-char
+    // segments + index), timed at a plausible 0.2-1.5 s.
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val synth = (0 until (400 - real.length)).map(i => f"q_next_face_$i%03d")
+    val runs: Seq[(String, Either[String, Double])] =
+      (real.map(n => n -> (Right(BenchFloors.floor.getOrElse(n, 0.2) * 1.3)
+          : Either[String, Double])) ++
+        synth.zipWithIndex.map { case (n, i) =>
+          n -> (Right(0.2 + (i % 14) * 0.1): Either[String, Double]) }).sortBy(_._1)
+    val meta = Set("metric", "total", "value", "unit", "queries",
+      "q_omitted", "sf", "partial", "errors")
+    val keyRe = """"([a-z0-9_]+)":""".r
+    def reported(r: Int): Set[String] = {
+      val line = Bench.driverLine(runs, r, "sf0.1")
+      assert(line.length <= 1950, s"round $r line busts the driver budget: ${line.length}")
+      keyRe.findAllMatchIn(line).map(_.group(1)).toSet.diff(meta).map(Bench.shortName)
+    }
+    val all = runs.map(t => Bench.shortName(t._1)).toSet
+    for (base <- 0 to 7) {
+      val union4 = (base to base + 3).flatMap(reported).toSet
+      val missing = all -- union4
+      assert(missing.isEmpty,
+        s"phase $base: ${missing.size} of 400 unreported across 4 rounds: " +
+          missing.toSeq.sorted.take(5).mkString(", "))
     }
   }
 }
