@@ -383,4 +383,29 @@ class CorpusScaleSpec extends SparkSpec {
         f"${t10 / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
     info(f"capture-recapture: 1x $t1%.2f s, 10x $t10%.2f s")
   }
+
+  test("q_capture_recapture keeps BOTH candidate lists banded at 10x (plan)") {
+    // The r14 verdict's 6a as a spec: the wall-clock bound above can
+    // hide a quadratic behind a fast box, so pin the SHAPE — each
+    // capture list's self-join must carry its band discriminator in
+    // the equi keys (minhash band_key, simhash bv), never lang alone
+    // (a per-lang all-pairs in disguise), and nothing in the overlap
+    // composition may plan a cartesian.
+    val d10 = synthDir(3000, hotPrefix = true)
+    val plan = SparkEntry.queries("q_capture_recapture")(spark, d10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate machinery degraded to an all-pairs join:\n$plan")
+    // exactly the two scalar readout crosses (na×nb, ×nab — 1-row
+    // frames) may nest-loop; a third BNLJ means a candidate list
+    // degraded from its banded hash join
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2,
+      s"$bnlj nested-loop joins — a capture list degraded from banded hash join:\n$plan")
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("band_key")),
+      s"minhash capture list lost its band_key equi-join:\n${joinLines.mkString("\n")}")
+    assert(joinLines.exists(_.contains("bv")),
+      s"simhash capture list lost its bv equi-join:\n${joinLines.mkString("\n")}")
+  }
 }

@@ -67,6 +67,30 @@ class GraphScaleSpec extends SparkSpec {
     assert(rows.size === 5)
   }
 
+  test("q_hits stays key-bounded with no catalog-sized window at 10x parts") {
+    // The r14 verdict's 6b as a spec: the two power-iteration rounds
+    // must remain hash joins on the node keys (sk/pk) — a nested-loop
+    // or cartesian would re-price scores quadratically — and every
+    // window must consume a sort+limit frame (TakeOrderedAndProject),
+    // never a catalog-sized sort through one reducer.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val dir = synthDir(10)
+    val df = SparkEntry.queries("q_hits")(spark, dir)
+    val lp = df.queryExecution.optimizedPlan
+    lp.foreach {
+      case w: LWindow =>
+        assert(w.child.collectFirst { case l: GlobalLimit => l }.nonEmpty,
+          s"a q_hits window consumes an unlimited frame at 10x:\n$lp")
+      case _ =>
+    }
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"score-frame join degraded from a key-bounded hash join:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as sort+limit pushdown:\n$phys")
+  }
+
   private def minTime(run: () => Long): (Double, Long) = {
     var rows = 0L
     val times = (1 to 2).map { _ =>
