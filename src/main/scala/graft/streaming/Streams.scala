@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -1539,6 +1540,72 @@ object Streams {
       .agg(sum("tf").as("n_tokens"),
         sum(when(col("cw") === 0, col("tf")).otherwise(0L)).as("oov_tokens"),
         sum("lp9").as("lp9"))
+  }
+
+  /** Streaming incremental ingest dedup (s_dedup_incremental) — the
+    * streaming face of batch q_dedup_incremental: each ARRIVING doc is
+    * classified against the EXISTING deduped corpus as 'exact' (byte-
+    * identical text already present — smallest matching existing id),
+    * 'near' (shingle-Jaccard ≥ 0.8 against an existing doc) or 'new'.
+    * All corpus knowledge arrives as STATIC frames broadcast per
+    * micro-batch: the md5 → min-id map, the df-capped (lang, shingle)
+    * → existing-doc candidate index (cap 128 — the shinglePairStats
+    * skew bound: a stop-phrase shingle shared by k docs would
+    * contribute k candidate rows per arriving doc), and the per-doc
+    * exact shingle SET the intersection is recomputed from in-row
+    * (the dfCap contract: the cap changes which pairs are DISCOVERED,
+    * never a reported count). The stream needs ONE update-mode
+    * aggregation keyed by the arriving doc id — no candidate dedup,
+    * because duplicate (doc, candidate) rows agree on the in-row
+    * Jaccard and min() absorbs them. State: one row per arriving doc
+    * (each doc lives in exactly one micro-batch, so its final
+    * classification rides that batch's update; production ages the
+    * map out by watermark). The candidate index is built from the
+    * EXISTING side only — the only side a production signature store
+    * can know; result-identical to the batch twin's corpus-wide df
+    * while every shingle df ≤ cap (SkewSpec's cap-invariance bound,
+    * max df 14 at sf0.1). Intra-batch duplicates are out of scope by
+    * the same contract as the batch operator. */
+  def dedupIncrementalStream(docs: DataFrame, existing: DataFrame): DataFrame = {
+    val sh = s"""CASE WHEN size(words) >= 3
+                |     THEN ${graft.ops.TextPipeline.ShingleArrayExpr}
+                |     ELSE array() END""".stripMargin
+    val exDocs = existing
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("e_set", expr(sh))
+      .select(col("doc_id").as("e_id"), col("lang").as("e_lang"),
+        md5(col("text").cast("binary")).as("h"), col("e_set"))
+    val md5Map = exDocs.groupBy("h").agg(min("e_id").as("ex_m"))
+    val eSets = exDocs.select(col("e_id"), col("e_set"),
+      size(col("e_set")).cast("long").as("e_n"))
+    val index = exDocs
+      .select(col("e_id"), col("e_lang"), explode(col("e_set")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy("e_lang", "shingle")))
+      .filter(col("df") <= 128)
+      .select(col("e_lang").as("lang"), col("shingle"), col("e_id"))
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(sh))
+      .withColumn("n_a", size(col("shingles")).cast("long"))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .join(broadcast(md5Map), Seq("h"), "left")
+      .select(col("doc_id"), col("lang"), col("shingles"), col("n_a"), col("ex_m"))
+      .withColumn("shingle", explode_outer(col("shingles")))
+      .join(broadcast(index), Seq("lang", "shingle"), "left")
+      .join(broadcast(eSets), Seq("e_id"), "left")
+      .withColumn("inter",
+        size(array_intersect(col("shingles"), col("e_set"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n_a") + col("e_n") - col("inter")))
+      .groupBy("doc_id")
+      .agg(min("ex_m").as("ex_m"),
+        min(when(col("jac") >= 0.8, col("e_id"))).as("nr_m"))
+      .select(col("doc_id"),
+        when(col("ex_m").isNotNull, "exact")
+          .when(col("nr_m").isNotNull, "near")
+          .otherwise("new").as("status"),
+        coalesce(col("ex_m"), col("nr_m")).as("match_doc"))
   }
 
   /** Streaming keeper election (s_dedup_keepers) — the incremental face

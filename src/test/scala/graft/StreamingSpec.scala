@@ -737,6 +737,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_dedup_incremental classifications equal batch q_dedup_incremental on the prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the batch operator's own split: existing = ids below the 80%
+    // threshold (the static corpus state), incoming = the newest 20%
+    // fed through the stream in scrambled thirds — classification is
+    // per-doc against the static side only, so arrival order and
+    // batch boundaries must not matter
+    val docsAll = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val t = docsAll.count() * 8L / 10L
+    val existing = docsAll.filter(col("doc_id") < t)
+    val incoming = docsAll.filter(col("doc_id") >= t)
+      .as[(Long, String, String)].collect()
+    assert(incoming.nonEmpty, "sf must have an incoming split")
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streams
+      .dedupIncrementalStream(in.toDF().toDF("doc_id", "lang", "text"), existing)
+      .writeStream.format("memory").queryName("t_incdedup")
+      .outputMode("update").start()
+    withQuery(q) {
+      val mixed = incoming.sortBy(r => (r._1 * 48271L) % 2147483647L)
+      mixed.grouped(math.max(1, mixed.length / 3 + 1)).foreach { g =>
+        in.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "status", "match_doc").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val streamed = canon(spark.table("t_incdedup"))
+      val batch = canon(SparkEntry.queries("q_dedup_incremental")(spark, sfDir))
+      assert(streamed === batch,
+        "stream-static classification must equal the batch prefix run")
+    }
+  }
+
   test("s_dedup_keepers emissions re-resolve to the batch keeper table from out-of-order pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
