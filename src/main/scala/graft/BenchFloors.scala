@@ -41,6 +41,7 @@ object BenchFloors {
     "q_array" -> 0.081,
     "q_assoc_rules" -> 1.57,
     "q_attribution" -> 0.559,
+    "q_auc_roc" -> 0.178, // r15 TimeQuery warm-min harvest
     "q_audience_overlap" -> 0.349,
     "q_bartlett" -> 0.241, // r14 TimeQuery warm-min harvest
     "q_basket_size_dist" -> 0.362, // r12 TimeQuery warm-min harvest
@@ -51,8 +52,10 @@ object BenchFloors {
     "q_bollinger" -> 0.2,
     "q_bootstrap_ci" -> 0.146,
     "q_boxplot" -> 0.532,
+    "q_brier" -> 0.505, // r15 TimeQuery warm-min harvest
     "q_brown_forsythe" -> 0.195,
     "q_burstiness" -> 0.325,
+    "q_calibration" -> 0.333, // r15 TimeQuery warm-min harvest
     "q_capture_recapture" -> 1.8, // r14 TimeQuery warm-min harvest
     "q_case_cast" -> 0.065,
     "q_cat_entropy" -> 0.159,
@@ -235,6 +238,7 @@ object BenchFloors {
     "q_pivot" -> 0.087,
     "q_poisson_dispersion" -> 0.138, // r13 first harvest
     "q_power_analysis" -> 0.183, // r14 TimeQuery warm-min harvest
+    "q_pr_auc" -> 0.188, // r15 TimeQuery warm-min harvest
     "q_prefix_dup" -> 0.273, // r13 first harvest
     "q_price_index" -> 0.679, // r13 TimeQuery warm-min harvest
     "q_profile" -> 1.452,

@@ -366,22 +366,28 @@ object Statistics {
           lit(100.0))).as("energy_d"))
   }
 
+  /** Doubled-midrank sufficient statistics over a (v100, c1, c2)
+    * grid — (n1, n2, r1x2 = 2·R1, ties = Σ(t³−t)), all exact int64.
+    * The ONE home of the rank-sum machinery both mwOf and aucOf
+    * consume (AUC IS U/(n1·n2), so the two must share the fold). */
+  private def rankSumStats(c: DataFrame): DataFrame = {
+    // single window chain — same no-snapshot rationale as [[ksOf]]
+    val wb = Window.orderBy("v100")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    c.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"))
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * (lit(2) * col("cb") + col("t") + 1)).as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+  }
+
   /** The Mann–Whitney fold over the same (v100, c1, c2) grid — ONE
     * home shared by batch q_mann_whitney and the s_mann_whitney
     * streaming read-time view. Doubled average ranks (2·cb + t + 1 per
     * tie run) keep every rank sum exact int64; U, z and the
     * rank-biserial divide out at the end. */
   private[graft] def mwOf(cellsIn: DataFrame): DataFrame = {
-    // single window chain — same no-snapshot rationale as [[ksOf]]
-    val c = cellsIn
-    val wb = Window.orderBy("v100")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val t = c
-      .select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
-        coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"))
-      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
-        sum(col("c1") * (lit(2) * col("cb") + col("t") + 1)).as("r1x2"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val t = rankSumStats(cellsIn)
     val twoU = col("r1x2") - col("n1") * (col("n1") + 1) -
       col("n1").cast("double") * col("n2")
     // one all-tied run ⇒ the tie-corrected variance is exactly 0 and
@@ -424,6 +430,123 @@ object Statistics {
       when(ok && delta =!= 0,
         ceil(lit(2) * var2 * ((lit(1.959964) + 0.841621) * (lit(1.959964) + 0.841621)) /
           (delta * delta)).cast("long")).as("n_required_per_arm"))
+  }
+
+  /** Exact ROC-AUC over the same (v100, c1, c2) grid — ONE home shared
+    * by batch q_auc_roc and the s_auc_roc streaming read-time view.
+    * AUC = P(s⁺ > s⁻) + ½·P(tie) IS the Mann–Whitney U normalized by
+    * n1·n2, so it rides [[rankSumStats]]' doubled-midrank machinery
+    * verbatim: AUC = (r1x2 − n1·(n1+1)) / (2·n1·n2) — integer to the
+    * last bit before the ONE division. Gini (accuracy ratio) =
+    * 2·AUC − 1. Positives = purchases, negatives = clicks, score =
+    * the cents value. */
+  private[graft] def aucOf(cellsIn: DataFrame): DataFrame = {
+    val t = rankSumStats(cellsIn)
+    val auc = (col("r1x2") - col("n1") * (col("n1") + 1)) /
+      (lit(2.0) * (col("n1").cast("double") * col("n2")))
+    val okA = col("n1") > 0 && col("n2") > 0
+    t.select(col("n1"), col("n2"),
+      when(okA, Q.r6(auc)).as("auc"),
+      when(okA, Q.r6(lit(2.0) * auc - 1)).as("gini"))
+  }
+
+  /** Average precision (PR-AUC) over the same grid — ONE home shared
+    * by batch q_pr_auc and the s_pr_auc streaming read-time view.
+    * Tied-score blocks arrive TOGETHER in descending cents order and
+    * precision is measured at block END — the deterministic tie
+    * convention (a micro-ordering inside a tie run would be
+    * arbitrary): AP = Σ_blocks c1·(cum1/cumt) / n1. Each block's
+    * c1·precision floors onto the 1e-6 lattice BEFORE the order-free
+    * int64 sum (Σ ≤ 1e6·n1 — linear headroom, OverflowHeadroomSpec
+    * row); prevalence n1/N rides along as the AP baseline. */
+  private[graft] def prAucOf(cellsIn: DataFrame): DataFrame = {
+    val wd = Window.orderBy(col("v100").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = cellsIn.select(col("c1"), col("c2"),
+      sum("c1").over(wd).as("cum1"),
+      sum(col("c1") + col("c2")).over(wd).as("cumt"))
+    val t = r.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      sum(floor(col("c1").cast("double") * col("cum1") / col("cumt") * 1e6 + 0.5)
+        .cast("long")).as("ap6"))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0,
+        Q.r6(col("ap6").cast("double") / (col("n1") * lit(1e6)))).as("pr_auc"),
+      when(col("n1") + col("n2") > 0,
+        Q.r6(col("n1").cast("double") / (col("n1") + col("n2")))).as("prevalence"))
+  }
+
+  /** Fixed-width calibration bins over the same grid — the shared
+    * frame under q_brier and q_calibration (and their streaming
+    * faces). Scores normalize to s = v100/mx (mx = the grid's max
+    * cents — a broadcast-scalar window over the bounded cell frame);
+    * bin = ⌊s·10⌋ capped at 9 — RANGE deciles, not quantiles, so the
+    * binning needs no rank machinery and is engine-exact (v100·10/mx
+    * hits an integer boundary only when mx divides v100·10, where
+    * IEEE division is exact in both engines). Per bin: n, positives,
+    * Σ(c·v100) (for the mean predicted score) and the pre-binned
+    * Brier cell sum Σ⌊(c1·(s−1)² + c2·s²)·1e6⌉ — every cross-row
+    * reduction int64. */
+  private def calibCells(cellsIn: DataFrame): DataFrame = {
+    val cw = cellsIn.withColumn("mx", max("v100").over(Window.partitionBy()))
+    val s = col("v100").cast("double") / col("mx")
+    cw.select(col("c1"), col("c2"), col("v100"), col("mx"),
+        least(floor(col("v100") * 10 / col("mx")), lit(9.0)).cast("long").as("bin"),
+        floor((col("c1") * (s - 1) * (s - 1) + col("c2") * s * s) * 1e6 + 0.5)
+          .cast("long").as("bs6"))
+      .groupBy("bin")
+      .agg(max("mx").as("mx"),
+        sum(col("c1") + col("c2")).as("nb"), sum("c1").as("pb"),
+        sum((col("c1") + col("c2")) * col("v100")).as("svb"),
+        sum("bs6").as("bs6"))
+  }
+
+  /** Brier score + its binned decomposition over the same grid — ONE
+    * home shared by batch q_brier and the s_brier streaming read-time
+    * view. BS = Σ cells [c1·(s−1)² + c2·s²]/N on the 1e-6 lattice;
+    * reliability/resolution are the Murphy decomposition over the 10
+    * fixed-width [[calibCells]] bins (Σ nb·(s̄b−ȳb)² / N and
+    * Σ nb·(ȳb−ȳ)² / N, per-bin terms latticed before the ≤10-row
+    * sum), uncertainty = ȳ(1−ȳ). The binned rel−res+unc reconstructs
+    * BS only up to within-bin variance — documented, both engines
+    * compute the same four numbers. */
+  private[graft] def brierOf(cellsIn: DataFrame): DataFrame = {
+    val b = calibCells(cellsIn)
+      .withColumn("n", sum("nb").over(Window.partitionBy()))
+      .withColumn("n1", sum("pb").over(Window.partitionBy()))
+    val sb = col("svb").cast("double") / (col("nb") * col("mx"))
+    val yb = col("pb").cast("double") / col("nb")
+    val y = col("n1").cast("double") / col("n")
+    val t = b.select(col("n"), col("n1"), col("bs6"),
+        floor(col("nb") * (sb - yb) * (sb - yb) * 1e6 + 0.5).cast("long").as("rel6"),
+        floor(col("nb") * (yb - y) * (yb - y) * 1e6 + 0.5).cast("long").as("res6"))
+      .groupBy("n", "n1")
+      .agg(sum("bs6").as("bs6"), sum("rel6").as("rel6"), sum("res6").as("res6"))
+    val y2 = col("n1").cast("double") / col("n")
+    t.select(col("n"), col("n1"),
+      when(col("n") > 0, Q.r6(col("bs6").cast("double") / (col("n") * lit(1e6)))).as("brier"),
+      when(col("n") > 0, Q.r6(col("rel6").cast("double") / (col("n") * lit(1e6)))).as("reliability"),
+      when(col("n") > 0, Q.r6(col("res6").cast("double") / (col("n") * lit(1e6)))).as("resolution"),
+      when(col("n") > 0, Q.r6(y2 * (lit(1) - y2))).as("uncertainty"))
+  }
+
+  /** Reliability table + ECE over the same grid — ONE home shared by
+    * batch q_calibration and the s_calibration streaming read-time
+    * view: per fixed-width score bin the mean predicted score and the
+    * observed positive rate, plus the expected calibration error
+    * ECE = Σ nb·|s̄b−ȳb| / N (per-bin terms latticed, the global sum
+    * a window over the ≤10-bin frame). */
+  private[graft] def calibrationOf(cellsIn: DataFrame): DataFrame = {
+    val b = calibCells(cellsIn)
+      .withColumn("n", sum("nb").over(Window.partitionBy()))
+    val sb = col("svb").cast("double") / (col("nb") * col("mx"))
+    val yb = col("pb").cast("double") / col("nb")
+    b.withColumn("e6",
+        floor(col("nb") * abs(sb - yb) * 1e6 + 0.5).cast("long"))
+      .withColumn("ece6", sum("e6").over(Window.partitionBy()))
+      .select(col("bin"), col("nb").as("n"), col("pb").as("n_pos"),
+        Q.r6(sb).as("mean_pred"), Q.r6(yb).as("frac_pos"),
+        Q.r6(col("ece6").cast("double") / (col("n") * lit(1e6))).as("ece"))
+      .orderBy("bin")
   }
 
   /** The Cliff's-delta fold over the same (v100, c1, c2) grid — ONE
@@ -1015,6 +1138,143 @@ object Statistics {
       // routed through the shared cents grid — per-group moments derive
       // exactly from the cell counts (Σ c·v100, Σ c·v100²)
       powerOf(centsGrid(s, d))
+    },
+
+    // Exact ROC-AUC of "value predicts purchase-vs-click" (round 15) —
+    // the model-evaluation face of the rank machinery: AUC IS the
+    // Mann-Whitney U normalized by n1·n2, so it rides q_mann_whitney's
+    // doubled-midrank fold on the SAME bounded distinct-cents grid —
+    // (r1x2 − n1(n1+1))/(2·n1·n2), integer to the last bit before the
+    // one division; Gini/accuracy-ratio = 2·AUC − 1. Shape: corpus →
+    // domain-bounded grid, one running window, single-row output.
+    Q("q_auc_roc",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT c1, c2, c1 + c2 AS t,
+         |             CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v100
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                  AS BIGINT) AS cb
+         |      FROM c),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         |             CAST(sum(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1x2
+         |      FROM r)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN ${Q.sqlR6("(r1x2 - n1 * (n1 + 1)) / (2.0 * (CAST(n1 AS DOUBLE) * n2))")} END AS auc,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN ${Q.sqlR6("2.0 * ((r1x2 - n1 * (n1 + 1)) / (2.0 * (CAST(n1 AS DOUBLE) * n2))) - 1")} END AS gini
+         |FROM t""".stripMargin) { (s, d) =>
+      aucOf(centsGrid(s, d))
+    },
+
+    // Average precision / PR-AUC of the same scoring task (round 15) —
+    // the imbalanced-class companion of q_auc_roc (AUC rewards
+    // ranking; AP weights by precision where positives actually
+    // land). Deterministic tie convention: tied-score blocks arrive
+    // together in descending cents order, precision measured at block
+    // END; AP = Σ c1·(cum1/cumt)/n1 with each block's term on the
+    // 1e-6 lattice before the order-free int64 sum. Prevalence rides
+    // along as the AP baseline. Same grid, one descending window.
+    Q("q_pr_auc",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |r AS (SELECT c1, c2,
+         |             CAST(sum(c1) OVER (ORDER BY v100 DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         |             CAST(sum(c1 + c2) OVER (ORDER BY v100 DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt
+         |      FROM c),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         |             CAST(sum(CAST(floor(CAST(c1 AS DOUBLE) * cum1 / cumt * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ap6
+         |      FROM r)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 THEN ${Q.sqlR6("CAST(ap6 AS DOUBLE) / (n1 * 1e6)")} END AS pr_auc,
+         |       CASE WHEN n1 + n2 > 0 THEN ${Q.sqlR6("CAST(n1 AS DOUBLE) / (n1 + n2)")} END AS prevalence
+         |FROM t""".stripMargin) { (s, d) =>
+      prAucOf(centsGrid(s, d))
+    },
+
+    // Brier score + Murphy decomposition of the same scoring task
+    // (round 15): treat the range-normalized cents value s = v100/mx
+    // as a purchase "probability" and ask how well calibrated it is —
+    // BS = Σ[c1·(s−1)² + c2·s²]/N on the 1e-6 lattice, reliability =
+    // Σ nb·(s̄b−ȳb)²/N and resolution = Σ nb·(ȳb−ȳ)²/N over the 10
+    // fixed-width q_calibration bins (per-bin terms latticed before
+    // the ≤10-row sum), uncertainty = ȳ(1−ȳ). The binned rel−res+unc
+    // reconstructs BS only up to within-bin variance (documented —
+    // both engines compute the same four numbers). RANGE deciles, not
+    // quantiles: the binning needs no rank machinery and v100·10/mx
+    // hits an integer boundary only when mx divides v100·10, where
+    // IEEE division is exact in both engines.
+    Q("q_brier",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |m AS (SELECT c1, c2, v100, CAST(max(v100) OVER () AS BIGINT) AS mx FROM c),
+         |p AS (SELECT c1, c2, v100, mx,
+         |             CAST(LEAST(floor(v100 * 10 / mx), 9) AS BIGINT) AS bin,
+         |             CAST(floor((c1 * (CAST(v100 AS DOUBLE) / mx - 1) * (CAST(v100 AS DOUBLE) / mx - 1) + c2 * (CAST(v100 AS DOUBLE) / mx) * (CAST(v100 AS DOUBLE) / mx)) * 1e6 + 0.5) AS BIGINT) AS bs6
+         |      FROM m),
+         |b AS (SELECT bin, CAST(max(mx) AS BIGINT) AS mx, CAST(sum(c1 + c2) AS BIGINT) AS nb,
+         |             CAST(sum(c1) AS BIGINT) AS pb,
+         |             CAST(sum((c1 + c2) * v100) AS BIGINT) AS svb,
+         |             CAST(sum(bs6) AS BIGINT) AS bs6
+         |      FROM p GROUP BY 1),
+         |w AS (SELECT *, CAST(sum(nb) OVER () AS BIGINT) AS n,
+         |             CAST(sum(pb) OVER () AS BIGINT) AS n1 FROM b),
+         |t AS (SELECT n, n1, CAST(sum(bs6) AS BIGINT) AS bs6,
+         |             CAST(sum(CAST(floor(nb * (CAST(svb AS DOUBLE) / (nb * mx) - CAST(pb AS DOUBLE) / nb) * (CAST(svb AS DOUBLE) / (nb * mx) - CAST(pb AS DOUBLE) / nb) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rel6,
+         |             CAST(sum(CAST(floor(nb * (CAST(pb AS DOUBLE) / nb - CAST(n1 AS DOUBLE) / n) * (CAST(pb AS DOUBLE) / nb - CAST(n1 AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS res6
+         |      FROM w GROUP BY 1, 2)
+         |SELECT n, n1,
+         |       CASE WHEN n > 0 THEN ${Q.sqlR6("CAST(bs6 AS DOUBLE) / (n * 1e6)")} END AS brier,
+         |       CASE WHEN n > 0 THEN ${Q.sqlR6("CAST(rel6 AS DOUBLE) / (n * 1e6)")} END AS reliability,
+         |       CASE WHEN n > 0 THEN ${Q.sqlR6("CAST(res6 AS DOUBLE) / (n * 1e6)")} END AS resolution,
+         |       CASE WHEN n > 0 THEN ${Q.sqlR6("(CAST(n1 AS DOUBLE) / n) * (1 - CAST(n1 AS DOUBLE) / n)")} END AS uncertainty
+         |FROM t""".stripMargin) { (s, d) =>
+      brierOf(centsGrid(s, d))
+    },
+
+    // Reliability table + expected calibration error (round 15) — the
+    // per-bin readout under q_brier's single-row decomposition: for
+    // each fixed-width score decile the mean predicted score and the
+    // observed purchase rate, plus ECE = Σ nb·|s̄b−ȳb|/N (per-bin
+    // terms on the 1e-6 lattice, the global sum a window over the
+    // ≤10-bin frame). ≤10 output rows.
+    Q("q_calibration",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |m AS (SELECT c1, c2, v100, CAST(max(v100) OVER () AS BIGINT) AS mx FROM c),
+         |p AS (SELECT c1, c2, v100, mx,
+         |             CAST(LEAST(floor(v100 * 10 / mx), 9) AS BIGINT) AS bin,
+         |             CAST(floor((c1 * (CAST(v100 AS DOUBLE) / mx - 1) * (CAST(v100 AS DOUBLE) / mx - 1) + c2 * (CAST(v100 AS DOUBLE) / mx) * (CAST(v100 AS DOUBLE) / mx)) * 1e6 + 0.5) AS BIGINT) AS bs6
+         |      FROM m),
+         |b AS (SELECT bin, CAST(max(mx) AS BIGINT) AS mx, CAST(sum(c1 + c2) AS BIGINT) AS nb,
+         |             CAST(sum(c1) AS BIGINT) AS pb,
+         |             CAST(sum((c1 + c2) * v100) AS BIGINT) AS svb,
+         |             CAST(sum(bs6) AS BIGINT) AS bs6
+         |      FROM p GROUP BY 1),
+         |w AS (SELECT *, CAST(sum(nb) OVER () AS BIGINT) AS n FROM b),
+         |e AS (SELECT *, CAST(floor(nb * abs(CAST(svb AS DOUBLE) / (nb * mx) - CAST(pb AS DOUBLE) / nb) * 1e6 + 0.5) AS BIGINT) AS e6 FROM w),
+         |f AS (SELECT *, CAST(sum(e6) OVER () AS BIGINT) AS ece6 FROM e)
+         |SELECT bin, nb AS n, pb AS n_pos,
+         |       ${Q.sqlR6("CAST(svb AS DOUBLE) / (nb * mx)")} AS mean_pred,
+         |       ${Q.sqlR6("CAST(pb AS DOUBLE) / nb")} AS frac_pos,
+         |       ${Q.sqlR6("CAST(ece6 AS DOUBLE) / (n * 1e6)")} AS ece
+         |FROM f
+         |ORDER BY bin""".stripMargin) { (s, d) =>
+      calibrationOf(centsGrid(s, d))
     },
 
     // Hellinger distance between the purchase and click value

@@ -1237,6 +1237,23 @@ object Streams {
   /** Read-time energy-distance projection over a [[ksCells]] grid. */
   def energyOf(grid: DataFrame): DataFrame = graft.ops.Statistics.energyOf(grid)
 
+  /** Read-time exact-AUC projection over a [[ksCells]] grid (the
+    * Mann–Whitney machinery normalized — s_auc_roc). */
+  def aucOf(grid: DataFrame): DataFrame = graft.ops.Statistics.aucOf(grid)
+
+  /** Read-time average-precision projection over a [[ksCells]] grid
+    * (s_pr_auc). */
+  def prAucOf(grid: DataFrame): DataFrame = graft.ops.Statistics.prAucOf(grid)
+
+  /** Read-time Brier-decomposition projection over a [[ksCells]] grid
+    * (s_brier). */
+  def brierOf(grid: DataFrame): DataFrame = graft.ops.Statistics.brierOf(grid)
+
+  /** Read-time reliability-table/ECE projection over a [[ksCells]]
+    * grid (s_calibration). */
+  def calibrationOf(grid: DataFrame): DataFrame =
+    graft.ops.Statistics.calibrationOf(grid)
+
   /** Streaming brand target-stats grid — the mergeable (p_brand, n, s,
     * ss) moment state behind the s_target_encode read-time face: a
     * stream-STATIC join against the part catalog (the enrich-join

@@ -1222,6 +1222,45 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rz.isNullAt(rz.fieldIndex("n_required_per_arm")))
   }
 
+  test("evaluation metrics: the 4-event fixture reads closed-form AUC/AP/ECE/Brier") {
+    import spark.implicits._
+    // purchases {3.00, 2.00}, clicks {1.00, 2.00} (cents 300/200 vs
+    // 100/200): AUC = (1 + 1 + 1 + ½)/4 = 0.875, Gini = 0.75;
+    // AP blocks desc: prec 1 at 300, 2/3 at 200 → (1e6 + 666667)/2e6
+    // → 0.833334 on the lattice; prevalence 0.5. mx = 300 → bins
+    // 3/6/9; ECE = (⌊1e6/3⌉·2)/4e6 → 0.166667; Brier = 0.166667 with
+    // reliability 0.041667, resolution 0.125, uncertainty 0.25 (s is
+    // constant within every bin, so rel − res + unc ties out exactly).
+    val dir = tempDir("cs_evalm")
+    Seq(("purchase", 3.0), ("purchase", 2.0), ("click", 1.0), ("click", 2.0))
+      .zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, "2024-01-10 12:00:00", i.toLong, t, v)
+      }.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val auc = q("q_auc_roc", dir).head()
+    assert(auc.getAs[Double]("auc") === 0.875)
+    assert(auc.getAs[Double]("gini") === 0.75)
+    val ap = q("q_pr_auc", dir).head()
+    assert(ap.getAs[Double]("pr_auc") === 0.833334)
+    assert(ap.getAs[Double]("prevalence") === 0.5)
+    val cal = q("q_calibration", dir).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(cal.keySet === Set(3L, 6L, 9L))
+    assert(cal(3L).getAs[Double]("mean_pred") === 0.333333)
+    assert(cal(3L).getAs[Double]("frac_pos") === 0.0)
+    assert(cal(6L).getAs[Double]("mean_pred") === 0.666667)
+    assert(cal(6L).getAs[Double]("frac_pos") === 0.5)
+    assert(cal(9L).getAs[Double]("frac_pos") === 1.0)
+    assert(cal(3L).getAs[Double]("ece") === 0.166667)
+    val br = q("q_brier", dir).head()
+    assert(br.getAs[Double]("brier") === 0.166667)
+    assert(br.getAs[Double]("reliability") === 0.041667)
+    assert(br.getAs[Double]("resolution") === 0.125)
+    assert(br.getAs[Double]("uncertainty") === 0.25)
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")

@@ -202,6 +202,55 @@ class OverflowHeadroomSpec extends SparkSpec {
         e.agg(sum(abs((col("c1") + col("c2")) * gap * gap * 1e9)))
       })),
 
+    Site("q_pr_auc", "1e6", "ap6 = Σ⌊c1·(cum1/cumt)·1e6⌉ (precision ≤ 1)",
+      "linear (Σ terms ≤ 1e6·n1; n1 ≈ 0.2·evN)", 1000.0,
+      sf => 1e6 * evN(sf) + 1e5,
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+          .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+        val wd = Window.orderBy(col("v100").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c.select(col("c1"),
+            sum("c1").over(wd).as("cum1"),
+            sum(col("c1") + col("c2")).over(wd).as("cumt"))
+          .agg(sum(abs(col("c1").cast("double") * col("cum1") / col("cumt") * 1e6)))
+      })),
+
+    Site("q_brier", "1e6", "bs6/rel6/res6 = Σ⌊term·1e6⌉ (each term ≤ its cell/bin count)",
+      "linear (every accumulator ≤ 1e6·N; N = pooled 2·evN/5)", 1000.0,
+      sf => 1e6 * evN(sf) + 1e5,
+      Some((s, d) => dmax {
+        // the raw-cell BS sum is the largest of the three accumulators'
+        // bounds (rel/res ride the SAME nb weights over ≤10 bins)
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+          .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+          .withColumn("mx", max("v100").over(Window.partitionBy()))
+        val sc = col("v100").cast("double") / col("mx")
+        c.agg(sum(abs((col("c1") * (sc - 1) * (sc - 1) + col("c2") * sc * sc) * 1e6)))
+      })),
+
+    Site("q_calibration", "1e6", "ece6 = Σ⌊nb·|s̄b−ȳb|·1e6⌉ over ≤10 bins (|δ| ≤ 1)",
+      "linear (Σ ≤ 1e6·N; N = pooled 2·evN/5)", 1000.0,
+      sf => 1e6 * evN(sf) + 1e5,
+      Some((s, d) => dmax {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g2"))
+          .groupBy("v100").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+        // worst-case proxy ≥ the binned fold: Σ over cells of count·1e6
+        c.agg(sum(abs((col("c1") + col("c2")) * lit(1e6))))
+      })),
+
     Site("q_hits", "exact int64", "h² = ΣΣΣ indeg over 2 power rounds (no lattice)",
       "const-ish (≤ maxdeg_p²·maxdeg_s² — TPC-H degrees are SF-invariant: "
         + "suppliers and parts scale WITH lineitem)", 1e6, _ => 1e9,

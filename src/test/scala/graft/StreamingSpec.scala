@@ -410,6 +410,14 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_mann_whitney")(spark, sfDir)), "Mann-Whitney")
       assert(rows1(Streams.powerOf(grid)) ===
         rows1(SparkEntry.queries("q_power_analysis")(spark, sfDir)), "power")
+      assert(rows1(Streams.aucOf(grid)) ===
+        rows1(SparkEntry.queries("q_auc_roc")(spark, sfDir)), "AUC")
+      assert(rows1(Streams.prAucOf(grid)) ===
+        rows1(SparkEntry.queries("q_pr_auc")(spark, sfDir)), "PR-AUC")
+      assert(rows1(Streams.brierOf(grid)) ===
+        rows1(SparkEntry.queries("q_brier")(spark, sfDir)), "Brier")
+      assert(rows1(Streams.calibrationOf(grid)) ===
+        rows1(SparkEntry.queries("q_calibration")(spark, sfDir)), "calibration")
     }
   }
 
