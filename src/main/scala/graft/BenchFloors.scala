@@ -214,10 +214,12 @@ object BenchFloors {
     "q_minhash_lsh" -> 1.071,
     "q_mix_weights" -> 0.091,
     "q_moods_median" -> 0.699, // r14 extension harvest (sorted-array median form)
+    "q_mrr" -> 0.608, // r15 TimeQuery warm-min harvest
     "q_multimodal" -> 0.102,
     "q_multimodal_decode" -> 0.375,
     "q_multimodal_frames" -> 0.764,
     "q_mutual_info" -> 0.136,
+    "q_ndcg" -> 0.861, // r15 TimeQuery warm-min harvest
     "q_nelson_aalen" -> 0.372, // r14 TimeQuery warm-min harvest
     "q_nemenyi" -> 0.702, // r14 TimeQuery warm-min harvest
     "q_new_returning" -> 0.124, // r12 TimeQuery warm-min harvest
@@ -239,6 +241,7 @@ object BenchFloors {
     "q_poisson_dispersion" -> 0.138, // r13 first harvest
     "q_power_analysis" -> 0.183, // r14 TimeQuery warm-min harvest
     "q_pr_auc" -> 0.188, // r15 TimeQuery warm-min harvest
+    "q_precision_at_k" -> 0.685, // r15 TimeQuery warm-min harvest
     "q_prefix_dup" -> 0.273, // r13 first harvest
     "q_price_index" -> 0.679, // r13 TimeQuery warm-min harvest
     "q_profile" -> 1.452,

@@ -1,0 +1,244 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top-k retrieval-quality metrics (round 15, SURVEY §2.16): NDCG@10,
+  * MRR@10 and P@10/R@10 over one deterministic ranking task — per
+  * nation, rank suppliers by TRAIN-period revenue (shipdate ≤ 1997)
+  * and score the ranking against TEST-period revenue (≥ 1998) as the
+  * relevance signal. The task is the "does past revenue retrieve
+  * future revenue" backtest every recommender/curation pipeline runs;
+  * queries = nations (a constant-cardinality dimension), documents =
+  * suppliers (catalog-scaled).
+  *
+  * Determinism: revenue is exact int64 cents per period; the
+  * predicted order is (train DESC, suppkey ASC) — a total order on
+  * integers; the log2 discount weights are IEEE literals embedded in
+  * BOTH engines (the q_power_analysis move — no transcendental is
+  * ever evaluated), and every DCG term floors onto the 1e-6 lattice
+  * before the ≤10-term per-nation sum. Scale: the corpus collapses to
+  * the (nation, supplier) frame first (keyed shuffle, map-side
+  * partials); top-10 selection is the bounded-buffer TopKAgg (partial
+  * aggregation ships ≤10 rows per partition — never a per-nation
+  * window sort over the supplier catalog); everything downstream
+  * rides ≤ 25·10-row frames, and the macro averages are windows over
+  * the ≤25-row nation frame.
+  */
+object Ranking {
+
+  /** 1/log2(i+1) for ranks 1..10 — shortest-round-trip IEEE literals,
+    * identical text in the SQL twins. */
+  private val W: Seq[Double] = Seq(
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163,
+    0.3562071871080222, 0.3333333333333333, 0.31546487678572877,
+    0.3010299956639812, 0.2890648263178879)
+
+  /** element_at is 1-based, so rank indexes the literal array directly. */
+  private def wOf(rk: Column): Column =
+    element_at(array(W.map(lit): _*), rk.cast("int"))
+
+  private val wSql: String =
+    "CASE rk " + W.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN $w" }.mkString(" ") + " END"
+
+  /** Per (nation, supplier): exact train/test revenue cents. ONE fact
+    * scan, supplier join keyed on suppkey (the dim scales with the
+    * catalog — never broadcast), the 25-row nation dim broadcast. */
+  private def base(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+      .cast("long")
+    Tables.load(s, d, "lineitem")
+      .join(Tables.load(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_suppkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) <= 1997, cents).otherwise(0L)).as("train"),
+        sum(when(year(col("l_shipdate")) >= 1998, cents).otherwise(0L)).as("test"))
+  }
+
+  private val baseSql: String =
+    """SELECT n.n_name, l.l_suppkey,
+      |       CAST(sum(CASE WHEN year(l.l_shipdate) <= 1997
+      |                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+      |                     ELSE 0 END) AS BIGINT) AS train,
+      |       CAST(sum(CASE WHEN year(l.l_shipdate) >= 1998
+      |                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+      |                     ELSE 0 END) AS BIGINT) AS test
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Bounded-buffer top-10 per nation under (score DESC, suppkey ASC),
+    * exploded to (n_name, rk, l_suppkey) — the TopKAgg shape, so the
+    * shuffle carries ≤10 rows per (nation × partition) instead of a
+    * per-nation window sort over the supplier catalog. */
+  private def top10(b: DataFrame, scoreCol: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(10),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    b.groupBy("n_name")
+      .agg(topk(col(scoreCol).cast("double"), col("l_suppkey")).as("top"))
+      .select(col("n_name"), posexplode(col("top")))
+      .select(col("n_name"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").cast("long").as("l_suppkey"),
+        col("col").getField("score").cast("long").as("sc"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // NDCG@10 of the train→test supplier ranking (round 15): DCG with
+    // linear gain (test cents — the graded-relevance convention that
+    // stays exact where 2^rel−1 would overflow any lattice) discounted
+    // by the literal 1/log2(i+1) table; ideal ranking = the same
+    // bounded top-10 under (test DESC, suppkey). Per-term 1e-6 lattice
+    // → exact int64 per-nation sums → ONE division; the macro mean
+    // rides the ≤25-row nation frame. Nations whose test window is
+    // empty read NULL (an all-zero ideal cannot normalize).
+    Q("q_ndcg",
+      s"""WITH b AS ($baseSql),
+         |p AS (SELECT n_name, l_suppkey, test,
+         |             CAST(row_number() OVER (PARTITION BY n_name
+         |                    ORDER BY train DESC, l_suppkey) AS BIGINT) AS rk
+         |      FROM b),
+         |w AS (SELECT n_name, test, $wSql AS wt FROM p WHERE rk <= 10),
+         |d AS (SELECT n_name,
+         |             CAST(sum(CAST(floor(test * wt * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dcg6
+         |      FROM w GROUP BY 1),
+         |pi AS (SELECT n_name, l_suppkey, test,
+         |              CAST(row_number() OVER (PARTITION BY n_name
+         |                     ORDER BY test DESC, l_suppkey) AS BIGINT) AS rk
+         |       FROM b),
+         |wi AS (SELECT n_name, test, $wSql AS wt FROM pi WHERE rk <= 10),
+         |di AS (SELECT n_name,
+         |              CAST(sum(CAST(floor(test * wt * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS idcg6
+         |       FROM wi GROUP BY 1),
+         |j AS (SELECT d.n_name, d.dcg6, di.idcg6,
+         |             CASE WHEN di.idcg6 > 0
+         |               THEN CAST(floor(CAST(d.dcg6 AS DOUBLE) / di.idcg6 * 1e6 + 0.5) AS BIGINT)
+         |             END AS n6
+         |      FROM d JOIN di ON d.n_name = di.n_name),
+         |g AS (SELECT *, CAST(sum(n6) OVER () AS BIGINT) AS s6,
+         |             CAST(count(n6) OVER () AS BIGINT) AS nn FROM j)
+         |SELECT n_name,
+         |       CASE WHEN idcg6 > 0 THEN ${Q.sqlR6("CAST(dcg6 AS DOUBLE) / idcg6")} END AS ndcg_10,
+         |       ${Q.sqlR6("CAST(s6 AS DOUBLE) / (nn * 1e6)")} AS mean_ndcg
+         |FROM g
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val b = Q.snapshot(base(s, d))
+      def dcgOf(top: DataFrame, out: String): DataFrame = top
+        .join(b.select(col("n_name"), col("l_suppkey"), col("test")),
+          Seq("n_name", "l_suppkey"), "left")
+        .groupBy("n_name")
+        .agg(sum(floor(col("test") * wOf(col("rk")) * 1e6 + 0.5).cast("long")).as(out))
+      val d6 = dcgOf(top10(b, "train"), "dcg6")
+      val i6 = dcgOf(top10(b, "test"), "idcg6")
+      import org.apache.spark.sql.expressions.Window
+      val j = d6.join(i6, "n_name")
+        .withColumn("n6", when(col("idcg6") > 0,
+          floor(col("dcg6").cast("double") / col("idcg6") * 1e6 + 0.5).cast("long")))
+      j.withColumn("s6", sum("n6").over(Window.partitionBy()))
+        .withColumn("nn", count("n6").over(Window.partitionBy()))
+        .select(col("n_name"),
+          when(col("idcg6") > 0,
+            Q.r6(col("dcg6").cast("double") / col("idcg6"))).as("ndcg_10"),
+          Q.r6(col("s6").cast("double") / (col("nn") * lit(1e6))).as("mean_ndcg"))
+        .orderBy("n_name")
+    },
+
+    // MRR@10 of the same ranking (round 15): per nation the reciprocal
+    // rank of the FIRST predicted supplier with any test revenue
+    // (0 when none of the top-10 has any — the standard @10 cutoff),
+    // and the global MRR over all nations. 1/rk terms floor onto the
+    // 1e-6 lattice before the ≤25-row cross-nation sum.
+    Q("q_mrr",
+      s"""WITH b AS ($baseSql),
+         |p AS (SELECT n_name, l_suppkey, test,
+         |             CAST(row_number() OVER (PARTITION BY n_name
+         |                    ORDER BY train DESC, l_suppkey) AS BIGINT) AS rk
+         |      FROM b),
+         |f AS (SELECT n_name, CAST(min(CASE WHEN test > 0 THEN rk END) AS BIGINT) AS frk
+         |      FROM p WHERE rk <= 10 GROUP BY 1),
+         |r AS (SELECT n_name, frk,
+         |             CASE WHEN frk IS NOT NULL
+         |               THEN CAST(floor(1.0 / frk * 1e6 + 0.5) AS BIGINT)
+         |               ELSE 0 END AS rr6
+         |      FROM f),
+         |g AS (SELECT *, CAST(sum(rr6) OVER () AS BIGINT) AS s6,
+         |             CAST(count(*) OVER () AS BIGINT) AS nn FROM r)
+         |SELECT n_name, frk AS first_rel_rank,
+         |       CASE WHEN frk IS NOT NULL THEN ${Q.sqlR6("1.0 / frk")} ELSE 0 END AS rr,
+         |       ${Q.sqlR6("CAST(s6 AS DOUBLE) / (nn * 1e6)")} AS mrr
+         |FROM g
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Q.snapshot(base(s, d))
+      top10(b, "train")
+        .join(b.select(col("n_name"), col("l_suppkey"), col("test")),
+          Seq("n_name", "l_suppkey"), "left")
+        .groupBy("n_name")
+        .agg(min(when(col("test") > 0, col("rk"))).as("frk"))
+        .withColumn("rr6", when(col("frk").isNotNull,
+          floor(lit(1.0) / col("frk") * 1e6 + 0.5).cast("long")).otherwise(0L))
+        .withColumn("s6", sum("rr6").over(Window.partitionBy()))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .select(col("n_name"), col("frk").as("first_rel_rank"),
+          when(col("frk").isNotNull, Q.r6(lit(1.0) / col("frk"))).otherwise(lit(0.0)).as("rr"),
+          Q.r6(col("s6").cast("double") / (col("nn") * lit(1e6))).as("mrr"))
+        .orderBy("n_name")
+    },
+
+    // P@10 / R@10 of the same ranking (round 15): hits = predicted
+    // top-10 suppliers with any test revenue; precision uses the fixed
+    // k = 10 denominator (a nation fielding fewer than 10 suppliers is
+    // penalized — the standard convention, documented), recall divides
+    // by the nation's total relevant count; the macro-averaged P@10
+    // rides exact hit counts (Σ hits / (10·nations)), never a sum of
+    // rounded doubles. NULL recall where a nation has no relevant
+    // suppliers at all.
+    Q("q_precision_at_k",
+      s"""WITH b AS ($baseSql),
+         |p AS (SELECT n_name, l_suppkey, test,
+         |             CAST(row_number() OVER (PARTITION BY n_name
+         |                    ORDER BY train DESC, l_suppkey) AS BIGINT) AS rk
+         |      FROM b),
+         |h AS (SELECT n_name,
+         |             CAST(sum(CASE WHEN test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |      FROM p WHERE rk <= 10 GROUP BY 1),
+         |nr AS (SELECT n_name,
+         |              CAST(sum(CASE WHEN test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+         |       FROM b GROUP BY 1),
+         |j AS (SELECT h.n_name, h.hits, nr.n_rel
+         |      FROM h JOIN nr ON h.n_name = nr.n_name),
+         |g AS (SELECT *, CAST(sum(hits) OVER () AS BIGINT) AS sh,
+         |             CAST(count(*) OVER () AS BIGINT) AS nn FROM j)
+         |SELECT n_name, hits AS hits_at_10, n_rel,
+         |       ${Q.sqlR6("CAST(hits AS DOUBLE) / 10")} AS p_at_10,
+         |       CASE WHEN n_rel > 0 THEN ${Q.sqlR6("CAST(hits AS DOUBLE) / n_rel")} END AS r_at_10,
+         |       ${Q.sqlR6("CAST(sh AS DOUBLE) / (nn * 10)")} AS macro_p10
+         |FROM g
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Q.snapshot(base(s, d))
+      val h = top10(b, "train")
+        .join(b.select(col("n_name"), col("l_suppkey"), col("test")),
+          Seq("n_name", "l_suppkey"), "left")
+        .groupBy("n_name")
+        .agg(sum(when(col("test") > 0, 1L).otherwise(0L)).as("hits"))
+      val nr = b.groupBy("n_name")
+        .agg(sum(when(col("test") > 0, 1L).otherwise(0L)).as("n_rel"))
+      h.join(nr, "n_name")
+        .withColumn("sh", sum("hits").over(Window.partitionBy()))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .select(col("n_name"), col("hits").as("hits_at_10"), col("n_rel"),
+          Q.r6(col("hits").cast("double") / lit(10)).as("p_at_10"),
+          when(col("n_rel") > 0,
+            Q.r6(col("hits").cast("double") / col("n_rel"))).as("r_at_10"),
+          Q.r6(col("sh").cast("double") / (col("nn") * lit(10))).as("macro_p10"))
+        .orderBy("n_name")
+    })
+}

@@ -1261,6 +1261,47 @@ class CurationSeriesSpec extends SparkSpec {
     assert(br.getAs[Double]("uncertainty") === 0.25)
   }
 
+  test("ranking metrics: the 3-supplier fixture reads closed-form NDCG/MRR/P@10") {
+    import spark.implicits._
+    // one nation, suppliers 1/2/3 with (train, test) cents
+    // (300, 0), (200, 100), (100, 400): predicted order 1,2,3 →
+    // DCG6 = ⌊100·w2·1e6⌉ + ⌊400·w3·1e6⌉ = 63092975 + 200000000;
+    // ideal order 3,2,1 → IDCG6 = 400000000 + 63092975.
+    // First relevant predicted rank = 2 → RR = 0.5; hits = 2 of
+    // n_rel = 2 → P@10 = 0.2, R@10 = 1.0.
+    val dir = tempDir("cs_rank")
+    Seq(
+      (1L, "1997-03-01 00:00:00", 3.0),
+      (2L, "1997-03-01 00:00:00", 2.0),
+      (3L, "1997-03-01 00:00:00", 1.0),
+      (2L, "1998-03-01 00:00:00", 1.0),
+      (3L, "1998-03-01 00:00:00", 4.0))
+      .toDF("l_suppkey", "sd", "l_extendedprice")
+      .select(col("l_suppkey"), to_timestamp(col("sd")).as("l_shipdate"),
+        col("l_extendedprice"), lit(0.0).as("l_discount"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 0), (2L, 0), (3L, 0)).toDF("s_suppkey", "s_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((0, "ALPHA")).toDF("n_nationkey", "n_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val nd = q("q_ndcg", dir).head()
+    val expNdcg = r6(263092975.0 / 463092975.0)
+    assert(nd.getAs[Double]("ndcg_10") === expNdcg)
+    assert(nd.getAs[Double]("mean_ndcg") ===
+      r6(math.floor(263092975.0 / 463092975.0 * 1e6 + 0.5) / 1e6))
+    val mr = q("q_mrr", dir).head()
+    assert(mr.getAs[Long]("first_rel_rank") === 2L)
+    assert(mr.getAs[Double]("rr") === 0.5)
+    assert(mr.getAs[Double]("mrr") === 0.5)
+    val pk = q("q_precision_at_k", dir).head()
+    assert(pk.getAs[Long]("hits_at_10") === 2L)
+    assert(pk.getAs[Long]("n_rel") === 2L)
+    assert(pk.getAs[Double]("p_at_10") === 0.2)
+    assert(pk.getAs[Double]("r_at_10") === 1.0)
+    assert(pk.getAs[Double]("macro_p10") === 0.2)
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")

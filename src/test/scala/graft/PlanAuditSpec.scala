@@ -1087,6 +1087,25 @@ class PlanAuditSpec extends SparkSpec {
       s"the offset grid must arrive broadcast:\n$phys")
   }
 
+  test("ranking metrics push their top-10 into TopKAgg partials, never a supplier window sort") {
+    // q_ndcg/q_mrr/q_precision_at_k select each nation's top-10 via
+    // the bounded-buffer aggregator (map-side partials ship <=10 rows
+    // per nation x partition); a row_number window would shuffle-sort
+    // the whole supplier frame into 25 partitions — the shape this
+    // family exists to avoid at catalog scale.
+    Seq("q_ndcg", "q_mrr", "q_precision_at_k").foreach { name =>
+      val phys = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.toString.toLowerCase
+      assert(phys.contains("partial_topkagg"),
+        s"$name: top-10 must combine map-side through TopKAgg:\n$phys")
+      // the only windows are the macro-average folds over the <=25-row
+      // nation frame; none may sort a supplier-keyed frame
+      val winLines = phys.linesIterator.filter(_.contains("window")).toSeq
+      assert(!winLines.exists(_.contains("l_suppkey")),
+        s"$name: a window consumes the supplier frame:\n${winLines.mkString("\n")}")
+    }
+  }
+
   test("q_vocab_coverage pushes its top-1000 into partial aggregation over ONE corpus scan") {
     // the r14 rewrite's contract: totals + the bounded top-1000 come
     // from a single global aggregate over the vocab count frame —
