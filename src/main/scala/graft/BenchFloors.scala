@@ -73,6 +73,7 @@ object BenchFloors {
     "q_cohens_kappa" -> 0.727, // r14 TimeQuery warm-min harvest
     "q_cohort_ltv" -> 0.251,
     "q_compaction_plan" -> 0.339, // r14 TimeQuery warm-min harvest
+    "q_completeness" -> 0.351, // r15 TimeQuery warm-min harvest
     "q_context_fit" -> 0.102,
     "q_cooccur_lift" -> 0.514,
     "q_cooks_distance" -> 0.298, // r13 TimeQuery warm-min harvest
@@ -125,6 +126,7 @@ object BenchFloors {
     "q_except_all" -> 0.168,
     "q_exists_subquery" -> 0.259,
     "q_exp_health" -> 0.076,
+    "q_fd_violations" -> 0.277, // r15 TimeQuery warm-min harvest
     "q_filter_cascade" -> 0.484, // r14 TimeQuery warm-min harvest
     "q_filter_interval" -> 0.082,
     "q_filter_null" -> 0.073,
@@ -255,6 +257,7 @@ object BenchFloors {
     "q_retention" -> 0.211,
     "q_revenue_bridge" -> 0.288, // r13 TimeQuery warm-min harvest
     "q_rfm" -> 0.085,
+    "q_ri_audit" -> 0.266, // r15 TimeQuery warm-min harvest
     "q_rle_zorder" -> 0.111,
     "q_rolling_corr" -> 0.45, // r13 TimeQuery warm-min harvest
     "q_rolling_median" -> 0.05,

@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit operators (round 15, SURVEY §2.17): the checks a
+  * lakehouse runs BEFORE analytics trusts a drop — referential
+  * integrity across the star schema's FK edges, functional-dependency
+  * strength for declared key candidates, and per-column completeness.
+  * All three are pure integer counting (no float ever crosses a row
+  * boundary except the final rate divisions), so cross-engine parity
+  * is structural.
+  *
+  * Scale shapes: RI collapses each child table to its (key, rows)
+  * frame FIRST (map-side partials onto key-bounded frames), then
+  * left-anti probes the parent key set — keyed joins only, no
+  * broadcast of catalog-scaled dims; FD strength is a two-stage
+  * (x, y) → x aggregation (the dominant-y count is a max over counts,
+  * so tie-breaking never touches values); completeness is one
+  * conditional-agg pass per table unpivoted to a fixed ~20-row
+  * readout.
+  */
+object Audit {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Referential-integrity audit over the star schema's four FK
+    // edges (round 15): for each edge the child row count, the
+    // distinct child keys, the orphan rows/keys (child keys with no
+    // parent) and the orphan-row rate. Each child collapses to its
+    // (key, rows) frame before the anti-join probe, so the parent
+    // side is only ever joined against a key-bounded frame.
+    Q("q_ri_audit",
+      s"""WITH e1 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+         |o1 AS (SELECT 'lineitem.l_orderkey->orders' AS relation,
+         |              CAST(sum(c) AS BIGINT) AS n_rows,
+         |              CAST(count(*) AS BIGINT) AS n_keys,
+         |              CAST(coalesce(sum(CASE WHEN o.o_orderkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
+         |              CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
+         |       FROM e1 LEFT JOIN orders o ON e1.k = o.o_orderkey),
+         |e2 AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+         |o2 AS (SELECT 'lineitem.l_partkey->part' AS relation,
+         |              CAST(sum(c) AS BIGINT) AS n_rows,
+         |              CAST(count(*) AS BIGINT) AS n_keys,
+         |              CAST(coalesce(sum(CASE WHEN p.p_partkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
+         |              CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
+         |       FROM e2 LEFT JOIN part p ON e2.k = p.p_partkey),
+         |e3 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+         |o3 AS (SELECT 'lineitem.l_suppkey->supplier' AS relation,
+         |              CAST(sum(c) AS BIGINT) AS n_rows,
+         |              CAST(count(*) AS BIGINT) AS n_keys,
+         |              CAST(coalesce(sum(CASE WHEN s.s_suppkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
+         |              CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
+         |       FROM e3 LEFT JOIN supplier s ON e3.k = s.s_suppkey),
+         |e4 AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+         |o4 AS (SELECT 'orders.o_custkey->customer' AS relation,
+         |              CAST(sum(c) AS BIGINT) AS n_rows,
+         |              CAST(count(*) AS BIGINT) AS n_keys,
+         |              CAST(coalesce(sum(CASE WHEN cu.c_custkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
+         |              CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
+         |       FROM e4 LEFT JOIN customer cu ON e4.k = cu.c_custkey),
+         |u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+         |      UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4)
+         |SELECT relation, n_rows, n_keys, orphan_rows, orphan_keys,
+         |       ${Q.sqlR6("CAST(orphan_rows AS DOUBLE) / n_rows")} AS orphan_rate
+         |FROM u
+         |ORDER BY relation""".stripMargin) { (s, d) =>
+      def edge(rel: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String): DataFrame = {
+        val ck = child.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        ck.join(parent.select(col(pkey)), col("k") === col(pkey), "left")
+          .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+            coalesce(sum(when(col(pkey).isNull, col("c"))), lit(0L)).as("orphan_rows"),
+            sum(when(col(pkey).isNull, 1L).otherwise(0L)).as("orphan_keys"))
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_keys"),
+            col("orphan_rows"), col("orphan_keys"))
+      }
+      val li = Tables.load(s, d, "lineitem")
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          Tables.load(s, d, "orders"), "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.load(s, d, "part"), "p_partkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.load(s, d, "supplier"), "s_suppkey"))
+        .unionAll(edge("orders.o_custkey->customer", Tables.load(s, d, "orders"),
+          "o_custkey", Tables.load(s, d, "customer"), "c_custkey"))
+        .withColumn("orphan_rate",
+          Q.r6(col("orphan_rows").cast("double") / col("n_rows")))
+        .orderBy("relation")
+    },
+
+    // Functional-dependency strength audit (round 15): for each
+    // declared candidate X→Y, how far the data is from satisfying it —
+    // violating rows = rows outside each X-group's DOMINANT Y (the g3
+    // error measure from the FD-discovery literature), violating LHS
+    // = X values seeing >1 distinct Y. The dominant count is a max
+    // over per-(x,y) counts, so ties never consult values and the
+    // readout is pure int64. Two-stage keyed aggregation per FD; a
+    // true key (p_partkey→p_brand) reads strength 1 as the control.
+    Q("q_fd_violations",
+      s"""WITH f1 AS (SELECT p_partkey AS x, p_brand AS y FROM part),
+         |g1 AS (SELECT x, y, count(*) AS c FROM f1 GROUP BY 1, 2),
+         |h1 AS (SELECT x, sum(c) AS rows_x, max(c) AS dom, count(*) AS ny FROM g1 GROUP BY 1),
+         |a1 AS (SELECT 'part.p_partkey->p_brand' AS fd,
+         |              CAST(count(*) AS BIGINT) AS n_lhs,
+         |              CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lhs_violating,
+         |              CAST(sum(rows_x) AS BIGINT) AS n_rows,
+         |              CAST(sum(rows_x - dom) AS BIGINT) AS n_violating_rows
+         |       FROM h1),
+         |f2 AS (SELECT p_brand AS x, p_type AS y FROM part),
+         |g2 AS (SELECT x, y, count(*) AS c FROM f2 GROUP BY 1, 2),
+         |h2 AS (SELECT x, sum(c) AS rows_x, max(c) AS dom, count(*) AS ny FROM g2 GROUP BY 1),
+         |a2 AS (SELECT 'part.p_brand->p_type' AS fd,
+         |              CAST(count(*) AS BIGINT) AS n_lhs,
+         |              CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lhs_violating,
+         |              CAST(sum(rows_x) AS BIGINT) AS n_rows,
+         |              CAST(sum(rows_x - dom) AS BIGINT) AS n_violating_rows
+         |       FROM h2),
+         |f3 AS (SELECT l_orderkey AS x, l_suppkey AS y FROM lineitem),
+         |g3 AS (SELECT x, y, count(*) AS c FROM f3 GROUP BY 1, 2),
+         |h3 AS (SELECT x, sum(c) AS rows_x, max(c) AS dom, count(*) AS ny FROM g3 GROUP BY 1),
+         |a3 AS (SELECT 'lineitem.l_orderkey->l_suppkey' AS fd,
+         |              CAST(count(*) AS BIGINT) AS n_lhs,
+         |              CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lhs_violating,
+         |              CAST(sum(rows_x) AS BIGINT) AS n_rows,
+         |              CAST(sum(rows_x - dom) AS BIGINT) AS n_violating_rows
+         |       FROM h3),
+         |f4 AS (SELECT user_id AS x, event_type AS y FROM events),
+         |g4 AS (SELECT x, y, count(*) AS c FROM f4 GROUP BY 1, 2),
+         |h4 AS (SELECT x, sum(c) AS rows_x, max(c) AS dom, count(*) AS ny FROM g4 GROUP BY 1),
+         |a4 AS (SELECT 'events.user_id->event_type' AS fd,
+         |              CAST(count(*) AS BIGINT) AS n_lhs,
+         |              CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lhs_violating,
+         |              CAST(sum(rows_x) AS BIGINT) AS n_rows,
+         |              CAST(sum(rows_x - dom) AS BIGINT) AS n_violating_rows
+         |       FROM h4),
+         |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         |      UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+         |SELECT fd, n_lhs, n_lhs_violating, n_rows, n_violating_rows,
+         |       ${Q.sqlR6("1 - CAST(n_violating_rows AS DOUBLE) / n_rows")} AS fd_strength
+         |FROM u
+         |ORDER BY fd""".stripMargin) { (s, d) =>
+      def fd(name: String, df: DataFrame, x: String, y: String): DataFrame =
+        df.select(col(x).as("x"), col(y).as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c"))
+          .groupBy("x").agg(sum("c").as("rows_x"), max("c").as("dom"),
+            count(lit(1)).as("ny"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_lhs_violating"),
+            sum("rows_x").as("n_rows"),
+            sum(col("rows_x") - col("dom")).as("n_violating_rows"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_lhs_violating"),
+            col("n_rows"), col("n_violating_rows"))
+      val part = Tables.load(s, d, "part")
+      fd("part.p_partkey->p_brand", part, "p_partkey", "p_brand")
+        .unionAll(fd("part.p_brand->p_type", part, "p_brand", "p_type"))
+        .unionAll(fd("lineitem.l_orderkey->l_suppkey",
+          Tables.load(s, d, "lineitem"), "l_orderkey", "l_suppkey"))
+        .unionAll(fd("events.user_id->event_type",
+          Tables.events(s, d), "user_id", "event_type"))
+        .withColumn("fd_strength",
+          Q.r6(lit(1) - col("n_violating_rows").cast("double") / col("n_rows")))
+        .orderBy("fd")
+    },
+
+    // Per-column completeness audit (round 15): for a fixed column
+    // manifest over orders/lineitem/events/documents, the row count,
+    // null count, blank count (strings only — trimmed-empty; NULL for
+    // non-strings) and the completeness rate. One conditional-agg
+    // pass per table, unpivoted to the fixed readout — the profile a
+    // pipeline gates ingest on.
+    Q("q_completeness",
+      s"""WITH m AS (
+         |  SELECT 'orders' AS tbl, 'o_orderkey' AS col_name, count(*) AS n_rows,
+         |         count(*) - count(o_orderkey) AS n_null, CAST(NULL AS BIGINT) AS n_blank FROM orders
+         |  UNION ALL SELECT 'orders', 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         |         sum(CASE WHEN trim(o_orderstatus) = '' THEN 1 ELSE 0 END) FROM orders
+         |  UNION ALL SELECT 'orders', 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         |         CAST(NULL AS BIGINT) FROM orders
+         |  UNION ALL SELECT 'orders', 'o_orderdate', count(*), count(*) - count(o_orderdate),
+         |         CAST(NULL AS BIGINT) FROM orders
+         |  UNION ALL SELECT 'lineitem', 'l_orderkey', count(*), count(*) - count(l_orderkey),
+         |         CAST(NULL AS BIGINT) FROM lineitem
+         |  UNION ALL SELECT 'lineitem', 'l_quantity', count(*), count(*) - count(l_quantity),
+         |         CAST(NULL AS BIGINT) FROM lineitem
+         |  UNION ALL SELECT 'lineitem', 'l_returnflag', count(*), count(*) - count(l_returnflag),
+         |         sum(CASE WHEN trim(l_returnflag) = '' THEN 1 ELSE 0 END) FROM lineitem
+         |  UNION ALL SELECT 'events', 'event_id', count(*), count(*) - count(event_id),
+         |         CAST(NULL AS BIGINT) FROM events
+         |  UNION ALL SELECT 'events', 'event_type', count(*), count(*) - count(event_type),
+         |         sum(CASE WHEN trim(event_type) = '' THEN 1 ELSE 0 END) FROM events
+         |  UNION ALL SELECT 'events', 'value', count(*), count(*) - count(value),
+         |         CAST(NULL AS BIGINT) FROM events
+         |  UNION ALL SELECT 'events', 'props', count(*), count(*) - count(props),
+         |         sum(CASE WHEN trim(props) = '' THEN 1 ELSE 0 END) FROM events
+         |  UNION ALL SELECT 'documents', 'text', count(*), count(*) - count(text),
+         |         sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) FROM documents
+         |  UNION ALL SELECT 'documents', 'lang', count(*), count(*) - count(lang),
+         |         sum(CASE WHEN trim(lang) = '' THEN 1 ELSE 0 END) FROM documents
+         |  UNION ALL SELECT 'documents', 'source', count(*), count(*) - count(source),
+         |         sum(CASE WHEN trim(source) = '' THEN 1 ELSE 0 END) FROM documents)
+         |SELECT tbl, col_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |       CAST(n_null AS BIGINT) AS n_null, CAST(n_blank AS BIGINT) AS n_blank,
+         |       ${Q.sqlR6("1 - CAST(n_null AS DOUBLE) / n_rows")} AS completeness
+         |FROM m
+         |ORDER BY tbl, col_name""".stripMargin) { (s, d) =>
+      def audit(tbl: String, df: DataFrame,
+                cols: Seq[(String, Boolean)]): DataFrame = {
+        val aggs = cols.flatMap { case (c, isStr) =>
+          Seq(count(lit(1)).as(s"${c}__rows"),
+            (count(lit(1)) - count(col(c))).as(s"${c}__null")) :+
+            (if (isStr) sum(when(trim(col(c)) === "", 1L).otherwise(0L)).as(s"${c}__blank")
+             else lit(null).cast("long").as(s"${c}__blank"))
+        }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map { case (c, _) =>
+          s"'$c', ${c}__rows, ${c}__null, ${c}__blank"
+        }.mkString(", ")
+        one.select(lit(tbl).as("tbl"),
+          expr(s"stack(${cols.size}, $stacked) AS (col_name, n_rows, n_null, n_blank)"))
+          .select(col("tbl"), col("col_name"), col("n_rows").cast("long").as("n_rows"),
+            col("n_null").cast("long").as("n_null"),
+            col("n_blank").cast("long").as("n_blank"))
+      }
+      audit("orders", Tables.load(s, d, "orders"),
+          Seq(("o_orderkey", false), ("o_orderstatus", true),
+            ("o_totalprice", false), ("o_orderdate", false)))
+        .unionAll(audit("lineitem", Tables.load(s, d, "lineitem"),
+          Seq(("l_orderkey", false), ("l_quantity", false), ("l_returnflag", true))))
+        .unionAll(audit("events", Tables.events(s, d),
+          Seq(("event_id", false), ("event_type", true),
+            ("value", false), ("props", true))))
+        .unionAll(audit("documents", Tables.load(s, d, "documents"),
+          Seq(("text", true), ("lang", true), ("source", true))))
+        .withColumn("completeness",
+          Q.r6(lit(1) - col("n_null").cast("double") / col("n_rows")))
+        .orderBy("tbl", "col_name")
+    })
+}

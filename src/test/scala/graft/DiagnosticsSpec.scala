@@ -406,4 +406,78 @@ class DiagnosticsSpec extends SparkSpec {
       assert(r.getAs[String]("top_token").nonEmpty)
     }
   }
+
+  test("audit trio: planted orphans, FD breaks and nulls read their exact counts") {
+    import spark.implicits._
+    val dir = tempDir("diag_audit")
+    // lineitem: order 3 and part 7 are orphans; order 1 uses two
+    // suppliers (the one FD break); supplier keys {5, 6} all resolve
+    Seq((1L, 1L, 5L), (1L, 2L, 6L), (2L, 7L, 5L), (3L, 1L, 5L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_returnflag", lit("N"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L), (2L, 99L)).toDF("o_orderkey", "o_custkey")
+      .withColumn("o_orderstatus", lit("O")).withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderdate", to_timestamp(lit("1997-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(10L)).toDF("c_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "A", "T1"), (2L, "A", "T2"), (3L, "B", "T3"))
+      .toDF("p_partkey", "p_brand", "p_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(Tuple1(5L), Tuple1(6L)).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // events: user 1 sees two types (FD break); one NULL props row
+    Seq((1L, 1L, "click", Some("{}")), (2L, 1L, "view", None),
+      (3L, 2L, "click", Some("{}")))
+      .toDF("event_id", "user_id", "event_type", "props")
+      .withColumn("ts", to_timestamp(lit("2024-01-02 08:00:00")))
+      .withColumn("value", lit(1.0))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // documents: one whitespace-only text (a blank, not a null)
+    Seq((1L, "real words here", "en", "src0"), (2L, "  ", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+    val ri = run("q_ri_audit", dir).collect()
+      .map(r => r.getAs[String]("relation") -> r).toMap
+    def riRow(rel: String) = {
+      val r = ri(rel)
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("orphan_rows"), r.getAs[Long]("orphan_keys"))
+    }
+    assert(riRow("lineitem.l_orderkey->orders") === ((4L, 3L, 1L, 1L)))
+    assert(riRow("lineitem.l_partkey->part") === ((4L, 3L, 1L, 1L)))
+    assert(riRow("lineitem.l_suppkey->supplier") === ((4L, 2L, 0L, 0L)))
+    assert(riRow("orders.o_custkey->customer") === ((2L, 2L, 1L, 1L)))
+    assert(ri("orders.o_custkey->customer").getAs[Double]("orphan_rate") === 0.5)
+
+    val fd = run("q_fd_violations", dir).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    def fdRow(k: String) = {
+      val r = fd(k)
+      (r.getAs[Long]("n_lhs"), r.getAs[Long]("n_lhs_violating"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_violating_rows"))
+    }
+    assert(fdRow("part.p_partkey->p_brand") === ((3L, 0L, 3L, 0L)))
+    assert(fd("part.p_partkey->p_brand").getAs[Double]("fd_strength") === 1.0)
+    assert(fdRow("part.p_brand->p_type") === ((2L, 1L, 3L, 1L)))
+    assert(fd("part.p_brand->p_type").getAs[Double]("fd_strength") === r6(2.0 / 3))
+    assert(fdRow("lineitem.l_orderkey->l_suppkey") === ((3L, 1L, 4L, 1L)))
+    assert(fdRow("events.user_id->event_type") === ((2L, 1L, 3L, 1L)))
+
+    val co = run("q_completeness", dir).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("col_name")) -> r).toMap
+    val props = co(("events", "props"))
+    assert(props.getAs[Long]("n_null") === 1L)
+    assert(props.getAs[Double]("completeness") === r6(2.0 / 3))
+    val text = co(("documents", "text"))
+    assert(text.getAs[Long]("n_null") === 0L)
+    assert(text.getAs[Long]("n_blank") === 1L)
+    assert(co(("lineitem", "l_quantity")).getAs[Long]("n_null") === 0L)
+    assert(co.size === 14)
+  }
 }
