@@ -210,6 +210,7 @@ object BenchFloors {
     "q_markov_stationary" -> 0.401,
     "q_mase" -> 0.235, // r14 TimeQuery warm-min harvest
     "q_math" -> 0.074,
+    "q_matrix_profile" -> 0.457, // r15 TimeQuery warm-min harvest
     "q_mcnemar" -> 0.097, // r14 TimeQuery warm-min harvest
     "q_merge_upsert" -> 0.309,
     "q_minhash_est_err" -> 1.426, // r12 probe-bounded truth side (array_intersect, no uncapped pair join)

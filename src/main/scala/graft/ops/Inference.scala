@@ -999,8 +999,97 @@ object Inference {
          |FROM t""".stripMargin
     }) { (s, d) =>
       sprtOf(dailyCounts(s, d))
+    },
+
+    // Matrix profile over the per-type daily count series (round 15,
+    // m = 3, exact Euclidean): for every 3-consecutive-day window the
+    // distance to its nearest non-trivial neighbor (|i−j| ≥ m — the
+    // standard exclusion), collapsed to the MOTIF (the closest pair —
+    // the series' most repeated weekly shape) and the DISCORD (the
+    // window farthest from everything — the strongest 3-day anomaly).
+    // Distances are exact int64 sums of squared count gaps, so both
+    // argmins are pure integer picks under the (d2, i, j) struct
+    // order — no float ever crosses a row. Shape: the pair frame is
+    // CALENDAR-bounded (|days|² per type, the q_periodogram class),
+    // never corpus-bounded; the lead windows partition by type.
+    Q("q_matrix_profile",
+      s"""WITH daily AS ($dailySql),
+         |sub AS (SELECT event_type, x AS i, y AS a0,
+         |               lead(x, 1) OVER (PARTITION BY event_type ORDER BY x) AS x1,
+         |               lead(x, 2) OVER (PARTITION BY event_type ORDER BY x) AS x2,
+         |               lead(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS a1,
+         |               lead(y, 2) OVER (PARTITION BY event_type ORDER BY x) AS a2
+         |        FROM daily),
+         |ss AS (SELECT event_type, i, a0, a1, a2 FROM sub
+         |       WHERE x1 = i + 1 AND x2 = i + 2),
+         |pr AS (SELECT a.event_type, a.i, b.i AS j,
+         |              (a.a0-b.a0)*(a.a0-b.a0) + (a.a1-b.a1)*(a.a1-b.a1)
+         |                + (a.a2-b.a2)*(a.a2-b.a2) AS d2
+         |       FROM ss a JOIN ss b ON a.event_type = b.event_type
+         |                          AND abs(a.i - b.i) >= 3),
+         |pf AS (SELECT event_type, i, d2, j,
+         |              row_number() OVER (PARTITION BY event_type, i ORDER BY d2, j) AS rn
+         |       FROM pr),
+         |p1 AS (SELECT event_type, i, d2, j FROM pf WHERE rn = 1),
+         |mo AS (SELECT event_type, i, j, d2,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY d2, i, j) AS rn
+         |       FROM p1),
+         |di AS (SELECT event_type, i, d2,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY d2 DESC, i) AS rn
+         |       FROM p1),
+         |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_profiled FROM p1 GROUP BY 1)
+         |SELECT np.event_type, np.n_profiled,
+         |       CAST(mo.i AS BIGINT) AS motif_i, CAST(mo.j AS BIGINT) AS motif_j,
+         |       CAST(mo.d2 AS BIGINT) AS motif_d2,
+         |       CAST(di.i AS BIGINT) AS discord_i, CAST(di.d2 AS BIGINT) AS discord_d2
+         |FROM np
+         |JOIN mo ON np.event_type = mo.event_type AND mo.rn = 1
+         |JOIN di ON np.event_type = di.event_type AND di.rn = 1
+         |ORDER BY np.event_type""".stripMargin) { (s, d) =>
+      matrixProfileOf(dailyCounts(s, d))
     }
   )
+
+  /** The matrix-profile fold (m = 3) over a daily (event_type, x, y)
+    * count frame — ONE home shared by batch q_matrix_profile and the
+    * s_matrix_profile streaming read-time view (a new day shifts every
+    * window's nearest neighbor; the daily grid is the mergeable
+    * state). Per-window minima, the motif pair and the discord are
+    * integer argmins under (d2, i, j) struct order. */
+  private[graft] def matrixProfileOf(dailyIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("x")
+    val sub = dailyIn
+      .withColumn("x1", lead("x", 1).over(w))
+      .withColumn("x2", lead("x", 2).over(w))
+      .withColumn("a1", lead("y", 1).over(w))
+      .withColumn("a2", lead("y", 2).over(w))
+      .filter(col("x1") === col("x") + 1 && col("x2") === col("x") + 2)
+      .select(col("event_type"), col("x").as("i"),
+        col("y").as("a0"), col("a1"), col("a2"))
+    val bb = sub.select(col("event_type"), col("i").as("j"),
+      col("a0").as("b0"), col("a1").as("b1"), col("a2").as("b2"))
+    val pairs = sub.join(bb, Seq("event_type"))
+      .filter(abs(col("i") - col("j")) >= 3)
+      .withColumn("d2",
+        (col("a0") - col("b0")) * (col("a0") - col("b0")) +
+          (col("a1") - col("b1")) * (col("a1") - col("b1")) +
+          (col("a2") - col("b2")) * (col("a2") - col("b2")))
+    val prof = pairs.groupBy(col("event_type"), col("i"))
+      .agg(min(struct(col("d2"), col("j"))).as("p"))
+      .select(col("event_type"), col("i"),
+        col("p").getField("d2").as("pd2"), col("p").getField("j").as("pj"))
+    prof.groupBy("event_type")
+      .agg(count(lit(1)).as("n_profiled"),
+        min(struct(col("pd2").as("d2"), col("i"), col("pj").as("j"))).as("mo"),
+        min(struct((-col("pd2")).as("nd"), col("i"))).as("di"))
+      .select(col("event_type"), col("n_profiled"),
+        col("mo").getField("i").as("motif_i"),
+        col("mo").getField("j").as("motif_j"),
+        col("mo").getField("d2").as("motif_d2"),
+        col("di").getField("i").as("discord_i"),
+        (-col("di").getField("nd")).as("discord_d2"))
+      .orderBy("event_type")
+  }
 
   /** SPRT hypotheses — symmetric around 0.5 so a balanced day adds
     * exactly zero log-likelihood. */

@@ -1099,6 +1099,13 @@ object Streams {
     * grid is the mergeable state. */
   def sprtOf(grid: DataFrame): DataFrame = graft.ops.Inference.sprtOf(grid)
 
+  /** Read-time matrix-profile projection over a [[dailyGrid]] — a new
+    * day shifts every window's nearest neighbor, so motif/discord
+    * re-price at read time; the grid is the mergeable state
+    * (s_matrix_profile). */
+  def matrixProfileOf(grid: DataFrame): DataFrame =
+    graft.ops.Inference.matrixProfileOf(grid)
+
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.decomposeOf(grid)

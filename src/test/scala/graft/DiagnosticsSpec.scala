@@ -480,4 +480,20 @@ class DiagnosticsSpec extends SparkSpec {
     assert(co(("lineitem", "l_quantity")).getAs[Long]("n_null") === 0L)
     assert(co.size === 14)
   }
+
+  test("q_matrix_profile: planted repeat + spike read the closed-form motif and discord") {
+    // counts [1,2,3,5, 1,2,3,5, 5,5,50,5, 5,5]: windows 0 and 4 are the
+    // identical (1,2,3) — motif d2 = 0 under the (d2, i, j) tie order;
+    // window 9 = (5,50,5) is the discord, its nearest admissible
+    // neighbor being window 6 = (3,5,5) at 4 + 45^2 + 0 = 2029.
+    val c = Array(1, 2, 3, 5, 1, 2, 3, 5, 5, 5, 50, 5, 5, 5)
+    val dir = eventsDir(Seq("wave"), c.length, (_, d) => c(d))
+    val r = run("q_matrix_profile", dir).head()
+    assert(r.getAs[Long]("n_profiled") === 12L)
+    assert(r.getAs[Long]("motif_i") === 0L)
+    assert(r.getAs[Long]("motif_j") === 4L)
+    assert(r.getAs[Long]("motif_d2") === 0L)
+    assert(r.getAs[Long]("discord_i") === 9L)
+    assert(r.getAs[Long]("discord_d2") === 2029L)
+  }
 }

@@ -323,7 +323,7 @@ class StreamingSpec extends SparkSpec {
     } finally { qR.stop(); qT.stop(); qP.stop(); qG.stop() }
   }
 
-  test("s_daily_grid's one streamed grid reproduces its four batch screens") {
+  test("s_daily_grid's one streamed grid reproduces its five batch screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -374,6 +374,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_seasonal_anomaly")(spark, sfDir)), "seasonal anomaly")
       assert(rows1(Streams.sprtOf(grid)) ===
         rows1(SparkEntry.queries("q_sprt")(spark, sfDir)), "SPRT")
+      assert(rows1(Streams.matrixProfileOf(grid)) ===
+        rows1(SparkEntry.queries("q_matrix_profile")(spark, sfDir)), "matrix profile")
     }
   }
 
