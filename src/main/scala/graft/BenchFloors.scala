@@ -251,6 +251,7 @@ object BenchFloors {
     "q_profile_approx" -> 1.823,
     "q_project" -> 0.05,
     "q_psi" -> 0.108,
+    "q_qini" -> 0.506, // r15 TimeQuery warm-min harvest
     "q_quality_score" -> 0.079,
     "q_quantile_skew" -> 0.365, // r14 TimeQuery warm-min harvest
     "q_quantize_embed" -> 0.082,

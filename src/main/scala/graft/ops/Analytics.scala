@@ -1082,27 +1082,7 @@ object Analytics {
           max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
             .otherwise(0)).as("conv"))
         .transform(Q.snapshot)
-      // bounded vol grid → cumulative rank offsets (higher vol first)
-      val grid = u.groupBy("vol").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum("cnt").over(
-          Window.orderBy(col("vol").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val nRow = u.agg(count(lit(1)).as("nu"))
-      // Column./ is double division — exact integer division via the
-      // exact-multiple form (a − a%b is divisible, and the quotient
-      // stays far below 2^53)
-      def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
-      val r = col("off") + col("rw") // the global (vol desc, user_id) rank
-      val q10 = idiv(col("nu"), lit(10L))
-      val rem = col("nu") % 10
-      val decile =
-        when(r <= rem * (q10 + 1), idiv(r - 1, q10 + 1) + 1)
-          .otherwise(rem + idiv(r - 1 - rem * (q10 + 1), q10) + 1)
-      val g = u.join(broadcast(grid.select("vol", "off")), "vol")
-        .withColumn("rw", row_number().over(
-          Window.partitionBy("vol").orderBy("user_id")))
-        .crossJoin(broadcast(nRow))
-        .withColumn("decile", decile)
+      val g = withVolDecile(u)
         .groupBy("decile")
         .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
       val w = g
@@ -1117,6 +1097,69 @@ object Analytics {
               (col("tot_conv").cast("double") / col("tot_users")))).as("lift"),
           when(col("tot_conv") > 0,
             Q.r6(col("cum_conv").cast("double") / col("tot_conv"))).as("cum_gain"))
+        .orderBy("decile")
+    },
+
+    // Qini uplift curve by volume decile (round 15): q_lift_curve's
+    // response curve, split by a deterministic treatment assignment
+    // (user_id parity — the reproducible A/B hash every user carries)
+    // into the INCREMENTAL-conversions readout: qini(d) = cumConv_T −
+    // cumConv_C·cumN_T/cumN_C, the absolute-number Qini curve, plus
+    // the per-decile cumulative uplift rate. Bucketing goes through
+    // the SAME withVolDecile band-offset ntile as q_lift_curve (one
+    // home — the two curves cannot disagree), so every window rides a
+    // bounded frame; cum sums are exact int64 over the 10-row decile
+    // frame and the two divisions happen last, NULL-guarded when a
+    // cumulative control arm is empty.
+    Q("q_qini",
+      s"""WITH u AS (SELECT user_id, count(*) AS vol,
+         |                  max(CASE WHEN event_type = 'purchase' AND value >= 150
+         |                           THEN 1 ELSE 0 END) AS conv,
+         |                  user_id % 2 AS trt
+         |           FROM events GROUP BY 1),
+         |t AS (SELECT conv, trt, ntile(10) OVER (ORDER BY vol DESC, user_id) AS decile FROM u),
+         |g AS (SELECT decile, CAST(sum(trt) AS BIGINT) AS n_t,
+         |             CAST(sum(1 - trt) AS BIGINT) AS n_c,
+         |             CAST(sum(trt * conv) AS BIGINT) AS conv_t,
+         |             CAST(sum((1 - trt) * conv) AS BIGINT) AS conv_c
+         |      FROM t GROUP BY 1),
+         |w AS (SELECT decile, n_t, n_c, conv_t, conv_c,
+         |             CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT) AS cn_t,
+         |             CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT) AS cn_c,
+         |             CAST(sum(conv_t) OVER (ORDER BY decile) AS BIGINT) AS cc_t,
+         |             CAST(sum(conv_c) OVER (ORDER BY decile) AS BIGINT) AS cc_c
+         |      FROM g)
+         |SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, conv_t, conv_c,
+         |       CASE WHEN cn_c > 0 THEN ${Q.sqlR6("cc_t - CAST(cc_c AS DOUBLE) * cn_t / cn_c")} END AS qini,
+         |       CASE WHEN cn_t > 0 AND cn_c > 0 THEN ${Q.sqlR6("CAST(cc_t AS DOUBLE) / cn_t - CAST(cc_c AS DOUBLE) / cn_c")} END AS uplift
+         |FROM w
+         |ORDER BY decile""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("vol"),
+          max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
+            .otherwise(0)).as("conv"))
+        .withColumn("trt", col("user_id") % 2)
+        .transform(Q.snapshot)
+      val g = withVolDecile(u)
+        .groupBy("decile")
+        .agg(sum("trt").as("n_t"), sum(lit(1) - col("trt")).as("n_c"),
+          sum(col("trt") * col("conv")).as("conv_t"),
+          sum((lit(1) - col("trt")) * col("conv")).as("conv_c"))
+      val wo = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cn_t", sum("n_t").over(wo))
+        .withColumn("cn_c", sum("n_c").over(wo))
+        .withColumn("cc_t", sum("conv_t").over(wo))
+        .withColumn("cc_c", sum("conv_c").over(wo))
+        .select(col("decile").cast("long").as("decile"),
+          col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+          when(col("cn_c") > 0,
+            Q.r6(col("cc_t") - col("cc_c").cast("double") * col("cn_t") / col("cn_c")))
+            .as("qini"),
+          when(col("cn_t") > 0 && col("cn_c") > 0,
+            Q.r6(col("cc_t").cast("double") / col("cn_t") -
+              col("cc_c").cast("double") / col("cn_c"))).as("uplift"))
         .orderBy("decile")
     },
 
@@ -1230,6 +1273,36 @@ object Analytics {
     * screens — ONE home for the projection + groupBy batch
     * q_trimmed_mean / q_quantile_skew and the streaming
     * Streams.typeCents state share. */
+  /** Exact vol-decile assignment for a per-user (user_id, vol, …)
+    * frame — the q_lift_curve two-pass band-offset ntile (bounded vol
+    * grid → broadcast rank offsets → in-band row_number → the exact
+    * ntile bucket formula in int64), factored to ONE home in round 15
+    * so q_lift_curve and q_qini can never disagree on bucketing.
+    * Extra columns ride along untouched. */
+  private def withVolDecile(u: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // bounded vol grid → cumulative rank offsets (higher vol first)
+    val grid = u.groupBy("vol").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy(col("vol").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nRow = u.agg(count(lit(1)).as("nu"))
+    // Column./ is double division — exact integer division via the
+    // exact-multiple form (a − a%b is divisible, and the quotient
+    // stays far below 2^53)
+    def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val r = col("off") + col("rw") // the global (vol desc, user_id) rank
+    val q10 = idiv(col("nu"), lit(10L))
+    val rem = col("nu") % 10
+    val decile =
+      when(r <= rem * (q10 + 1), idiv(r - 1, q10 + 1) + 1)
+        .otherwise(rem + idiv(r - 1 - rem * (q10 + 1), q10) + 1)
+    u.join(broadcast(grid.select("vol", "off")), "vol")
+      .withColumn("rw", row_number().over(
+        Window.partitionBy("vol").orderBy("user_id")))
+      .crossJoin(broadcast(nRow))
+      .withColumn("decile", decile)
+  }
+
   private[graft] def typeCents(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     Tables.events(s, d)

@@ -1302,6 +1302,36 @@ class CurationSeriesSpec extends SparkSpec {
     assert(pk.getAs[Double]("macro_p10") === 0.2)
   }
 
+  test("q_qini: the 4-user fixture reads the closed-form incremental-conversion curve") {
+    import spark.implicits._
+    // users by volume: u3 (4 ev, T, conv), u1 (3 ev, T), u2 (2 ev, C,
+    // conv), u0 (1 ev, C) → deciles 1..4. Control arm is empty through
+    // decile 2 (qini NULL); d3: qini = 1 − 1·2/1 = −1, uplift = −0.5;
+    // d4: qini = 0, uplift = 0.
+    val dir = tempDir("cs_qini")
+    val evs =
+      Seq((3L, "purchase", 200.0)) ++ Seq.fill(3)((3L, "click", 1.0)) ++
+        Seq.fill(3)((1L, "click", 1.0)) ++
+        Seq((2L, "purchase", 200.0), (2L, "click", 1.0)) ++
+        Seq((0L, "click", 1.0))
+    evs.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-10 12:00:00")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = q("q_qini", dir).collect().map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L))
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("qini")))
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("qini")))
+    assert(rows(3L).getAs[Double]("qini") === -1.0)
+    assert(rows(3L).getAs[Double]("uplift") === -0.5)
+    assert(rows(4L).getAs[Double]("qini") === 0.0)
+    assert(rows(4L).getAs[Double]("uplift") === 0.0)
+    assert(rows(1L).getAs[Long]("n_t") === 1L)
+    assert(rows(3L).getAs[Long]("conv_c") === 1L)
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")
