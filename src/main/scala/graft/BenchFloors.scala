@@ -47,6 +47,7 @@ object BenchFloors {
     "q_basket_size_dist" -> 0.362, // r12 TimeQuery warm-min harvest
     "q_benford" -> 0.186,
     "q_bigram_logprob" -> 1.194,
+    "q_blocking_quality" -> 1.697, // r15 TimeQuery warm-min harvest
     "q_bloom_decontam" -> 1.276,
     "q_bm25" -> 0.698,
     "q_bollinger" -> 0.2,

@@ -377,6 +377,59 @@ object Curation {
             Q.r6(col("nab").cast("double") / col("na"))).as("est_recall_simhash"))
     },
 
+    // Blocking-quality audit of the MinHash-LSH candidate generation
+    // (round 15): the entity-resolution evaluation pair — PAIRS
+    // COMPLETENESS (what share of the true Jaccard-≥0.8 pairs the
+    // banding discovers), candidate precision (what share of
+    // candidates are true), and the REDUCTION RATIO (how far below
+    // the n(n−1)/2 all-pairs cross the candidate count sits). The
+    // truth side is the exact near-dup machinery (df-capped candidate
+    // discovery + exact intersection recompute — result-identical to
+    // uncapped per SkewSpec); this is the OFFLINE harness a dedup
+    // team runs at sample scale to certify a banding config before
+    // trusting it at 100 TB, priced accordingly. All counts int64;
+    // three divisions on the final scalars.
+    Q("q_blocking_quality",
+      "WITH " + TextPipeline.LshPairCtes + s""",
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+        |                             AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |truth AS (SELECT p.d1, p.d2
+        |          FROM pairs p
+        |          JOIN cnt c1 ON p.d1 = c1.doc_id
+        |          JOIN cnt c2 ON p.d2 = c2.doc_id
+        |          WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.8),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cands),
+        |ntp AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |       FROM cands c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT n_candidates, n_true_pairs, n_hit,
+        |       CASE WHEN n_true_pairs > 0 THEN ${Q.sqlR6("CAST(n_hit AS DOUBLE) / n_true_pairs")} END AS pairs_completeness,
+        |       CASE WHEN n_candidates > 0 THEN ${Q.sqlR6("CAST(n_hit AS DOUBLE) / n_candidates")} END AS candidate_precision,
+        |       CASE WHEN n > 1 THEN ${Q.sqlR6("1 - n_candidates / (CAST(n AS DOUBLE) * (n - 1) / 2)")} END AS reduction_ratio
+        |FROM nc, ntp, nh, nd""".stripMargin) { (s, d) =>
+      val cand = TextPipeline.lshCandidatePairs(s, d).select("d1", "d2")
+      val truth = TextPipeline.nearDupPairs(s, d, dfCap = Some(128L)).select("d1", "d2")
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val ntp = truth.agg(count(lit(1)).as("n_true_pairs"))
+      val nh = cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+      val nd = Tables.load(s, d, "documents").agg(count(lit(1)).as("n"))
+      nc.crossJoin(broadcast(ntp)).crossJoin(broadcast(nh)).crossJoin(broadcast(nd))
+        .select(col("n_candidates"), col("n_true_pairs"), col("n_hit"),
+          when(col("n_true_pairs") > 0,
+            Q.r6(col("n_hit").cast("double") / col("n_true_pairs")))
+            .as("pairs_completeness"),
+          when(col("n_candidates") > 0,
+            Q.r6(col("n_hit").cast("double") / col("n_candidates")))
+            .as("candidate_precision"),
+          when(col("n") > 1,
+            Q.r6(lit(1) - col("n_candidates") /
+              (col("n").cast("double") * (col("n") - 1) / 2))).as("reduction_ratio"))
+    },
+
     // Compaction plan over the per-source shard layout (round 14): the
     // lakehouse-maintenance readout behind OPTIMIZE/rewrite jobs —
     // given the 64-shard layout q_shard_skew monitors, group each

@@ -1332,6 +1332,31 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows(3L).getAs[Long]("conv_c") === 1L)
   }
 
+  test("q_blocking_quality: an identical pair among strangers reads PC=1, RR=1-1/6") {
+    import spark.implicits._
+    // docs 1 and 2 are byte-identical (Jaccard 1 — in truth AND in the
+    // banding, since identical shingle sets give identical signatures);
+    // docs 3/4 share no shingle with anything. n = 4 → 6 possible
+    // pairs, 1 candidate, 1 true, 1 hit.
+    val dir = tempDir("cs_blockq")
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "s0"),
+      (2L, "alpha beta gamma delta", "en", "s0"),
+      (3L, "one two three four five", "en", "s0"),
+      (4L, "cinq six sept huit neuf", "fr", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val r = q("q_blocking_quality", dir).head()
+    assert(r.getAs[Long]("n_candidates") === 1L)
+    assert(r.getAs[Long]("n_true_pairs") === 1L)
+    assert(r.getAs[Long]("n_hit") === 1L)
+    assert(r.getAs[Double]("pairs_completeness") === 1.0)
+    assert(r.getAs[Double]("candidate_precision") === 1.0)
+    assert(r.getAs[Double]("reduction_ratio") === r6(1 - 1.0 / 6))
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")
