@@ -201,6 +201,7 @@ object BenchFloors {
     "q_length_profile" -> 0.088,
     "q_lift_curve" -> 0.471, // r13 TimeQuery warm-min harvest
     "q_ljung_box" -> 0.213,
+    "q_lm_dirichlet" -> 0.643, // r15 TimeQuery warm-min harvest
     "q_log_rank" -> 0.487, // r14 TimeQuery warm-min harvest
     "q_lorenz" -> 0.381,
     "q_lsh_tuning" -> 2.45, // r14 close min-merge (bench_r14g)

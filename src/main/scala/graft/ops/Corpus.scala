@@ -779,6 +779,68 @@ object Corpus {
         .orderBy("lang", "rk")
     },
 
+    // Dirichlet-smoothed query-likelihood retrieval (round 15, μ=2000)
+    // — the language-modeling ranker beside q_bm25's probabilistic
+    // one: score(d) = Σ_q ln((tf + μ·cf_q/|C|)/(dl + μ)) with the
+    // collection model scoped per language, out-of-collection query
+    // terms contributing zero (the standard OOV drop, mirrored as
+    // CASE). Same 100 TB shape as q_bm25: in-row term frequencies
+    // (no (doc, term) explode), ONE tiny per-lang stats agg broadcast
+    // back (cf per term + total tokens), per-lang top-10 through the
+    // bounded-buffer TopKAgg; the corpus is scanned once and never
+    // shuffled. Scores are negative log-likelihoods — ranking is
+    // (r4 score DESC, doc_id), the q_tfidf determinism recipe.
+    Q("q_lm_dirichlet",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |f AS (SELECT doc_id, lang, len(words) AS dl,
+        |             CAST(len(list_filter(words, x -> x = 'data')) AS DOUBLE) AS tf1,
+        |             CAST(len(list_filter(words, x -> x = 'query')) AS DOUBLE) AS tf2,
+        |             CAST(len(list_filter(words, x -> x = 'scan')) AS DOUBLE) AS tf3
+        |      FROM w),
+        |st AS (SELECT lang, CAST(sum(dl) AS BIGINT) AS toks,
+        |              CAST(sum(tf1) AS BIGINT) AS cf1,
+        |              CAST(sum(tf2) AS BIGINT) AS cf2,
+        |              CAST(sum(tf3) AS BIGINT) AS cf3
+        |       FROM f GROUP BY 1),
+        |sc AS (SELECT f.doc_id, f.lang,
+        |              floor((
+        |                CASE WHEN st.cf1 > 0 THEN ln((f.tf1 + 2000.0 * st.cf1 / st.toks) / (f.dl + 2000.0)) ELSE 0 END
+        |              + CASE WHEN st.cf2 > 0 THEN ln((f.tf2 + 2000.0 * st.cf2 / st.toks) / (f.dl + 2000.0)) ELSE 0 END
+        |              + CASE WHEN st.cf3 > 0 THEN ln((f.tf3 + 2000.0 * st.cf3 / st.toks) / (f.dl + 2000.0)) ELSE 0 END
+        |              )*10000+0.5)/10000 AS score
+        |       FROM f JOIN st ON f.lang = st.lang),
+        |r AS (SELECT lang, doc_id, score,
+        |             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+        |      FROM sc)
+        |SELECT lang, doc_id, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      val terms = Seq("data", "query", "scan")
+      def tf(t: String) = size(expr(s"filter(words, x -> x = '$t')")).cast("double")
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("lang"), size(col("words")).as("dl"),
+          tf(terms(0)).as("tf1"), tf(terms(1)).as("tf2"), tf(terms(2)).as("tf3"))
+      val cfAggs = terms.indices.map(i => sum(col(s"tf${i + 1}")).cast("long").as(s"cf${i + 1}"))
+      val statAggs = Seq(sum("dl").cast("long").as("toks")) ++ cfAggs
+      val stats = base.groupBy("lang").agg(statAggs.head, statAggs.tail: _*)
+      def part(i: Int) = {
+        val cfc = col(s"cf$i"); val tfc = col(s"tf$i")
+        when(cfc > 0,
+          log((tfc + lit(2000.0) * cfc / col("toks")) / (col("dl") + lit(2000.0))))
+          .otherwise(lit(0))
+      }
+      val top10 = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      base.join(broadcast(stats), "lang")
+        .select(col("lang"), col("doc_id"), Q.r4(part(1) + part(2) + part(3)).as("score"))
+        .groupBy("lang").agg(top10(col("score"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.id").as("doc_id"), col("col.score").as("score"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    },
+
     // Sequence packing — GPT-style concatenate-and-cut: documents are
     // laid out end-to-end in a deterministic order and the token stream
     // is cut every SeqBudget tokens, so every training sequence is full

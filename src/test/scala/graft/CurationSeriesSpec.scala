@@ -1357,6 +1357,31 @@ class CurationSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("reduction_ratio") === r6(1 - 1.0 / 6))
   }
 
+  test("q_lm_dirichlet: the 3-doc fixture reads its closed-form query likelihoods") {
+    import spark.implicits._
+    // en corpus: d1 "data data query x", d2 "data y z w", d3 "a b c d"
+    // → toks 12, cf(data)=3, cf(query)=1, cf(scan)=0 (OOV → zero
+    // contribution). Scores replicate the exact formula tree.
+    val dir = tempDir("cs_lmd")
+    Seq((1L, "data data query x"), (2L, "data y z w"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def sc(tf1: Double, tf2: Double, dl: Double) =
+      r4(math.log((tf1 + 2000.0 * 3 / 12) / (dl + 2000.0)) +
+        math.log((tf2 + 2000.0 * 1 / 12) / (dl + 2000.0)))
+    val rows = q("q_lm_dirichlet", dir).collect()
+      .map(r => r.getAs[Long]("rk") -> (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toMap
+    assert(rows(1L) === ((1L, sc(2, 1, 4))))
+    assert(rows(2L) === ((2L, sc(1, 0, 4))))
+    assert(rows(3L) === ((3L, sc(0, 0, 4))))
+    assert(rows.size === 3)
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")
