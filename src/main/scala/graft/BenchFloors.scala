@@ -245,6 +245,7 @@ object BenchFloors {
     "q_pivot" -> 0.087,
     "q_poisson_dispersion" -> 0.138, // r13 first harvest
     "q_power_analysis" -> 0.183, // r14 TimeQuery warm-min harvest
+    "q_ppl_bucket" -> 3.586, // r15 TimeQuery warm-min harvest
     "q_pr_auc" -> 0.188, // r15 TimeQuery warm-min harvest
     "q_precision_at_k" -> 0.685, // r15 TimeQuery warm-min harvest
     "q_prefix_dup" -> 0.273, // r13 first harvest

@@ -430,6 +430,104 @@ object Curation {
               (col("n").cast("double") * (col("n") - 1) / 2))).as("reduction_ratio"))
     },
 
+    // Perplexity-band bucketing (round 15) — the CCNet curation move:
+    // train a char-trigram LM per language ON THE CORPUS ITSELF, score
+    // every document's mean per-trigram log-likelihood, and cut each
+    // language into head/middle/tail TERCILES of that score (low
+    // perplexity = head — the fluent third; high = tail — the third a
+    // pipeline routes to review or drops). Self-training means no
+    // unseen trigram exists, so no smoothing constant enters the
+    // formula. Determinism: each distinct trigram's ln(c/T) floors
+    // onto the 1e-9 lattice ONCE, per-doc sums are tf-weighted int64
+    // folds, the per-doc mean quantizes to the 1e-4 lattice (m4), and
+    // the tercile cuts are exact first-crossings over the (lang, m4)
+    // grid — LATTICE-bounded (≤ the m4 value range), never
+    // doc-bounded, the q_token_budget_trim shape. Scale: trigram
+    // counting collapses map-side onto the charset³-bounded key; the
+    // scoring join broadcasts that domain-bounded model.
+    Q("q_ppl_bucket",
+      s"""WITH tri AS (SELECT doc_id, lang,
+         |                    unnest(list_transform(range(1, len(text) - 1),
+         |                           i -> substr(text, i, 3))) AS tri
+         |             FROM documents WHERE len(text) >= 3),
+         |g AS (SELECT doc_id, lang, tri, CAST(count(*) AS BIGINT) AS tf
+         |      FROM tri GROUP BY 1, 2, 3),
+         |lm AS (SELECT lang, tri, CAST(sum(tf) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM lm GROUP BY 1),
+         |term AS (SELECT lm.lang, lm.tri,
+         |                CAST(floor(ln(CAST(lm.c AS DOUBLE) / tot.t) * 1e9 + 0.5) AS BIGINT) AS t9
+         |         FROM lm JOIN tot ON lm.lang = tot.lang),
+         |ds AS (SELECT g.doc_id, g.lang,
+         |              CAST(sum(g.tf * term.t9) AS BIGINT) AS lp9,
+         |              CAST(sum(g.tf) AS BIGINT) AS n
+         |       FROM g JOIN term ON g.lang = term.lang AND g.tri = term.tri
+         |       GROUP BY 1, 2),
+         |dm AS (SELECT doc_id, lang,
+         |              CAST(floor(CAST(lp9 AS DOUBLE) / (n * 1e9) * 1e4 + 0.5) AS BIGINT) AS m4
+         |       FROM ds),
+         |gr AS (SELECT lang, m4, CAST(count(*) AS BIGINT) AS cnt FROM dm GROUP BY 1, 2),
+         |cw AS (SELECT lang, m4, cnt,
+         |              CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY m4
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |              CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS nl
+         |       FROM gr),
+         |cuts AS (SELECT lang,
+         |                CAST(min(CASE WHEN cum * 3 >= nl THEN m4 END) AS BIGINT) AS t1,
+         |                CAST(min(CASE WHEN cum * 3 >= 2 * nl THEN m4 END) AS BIGINT) AS t2
+         |         FROM cw GROUP BY 1),
+         |bk AS (SELECT dm.lang,
+         |              CASE WHEN dm.m4 <= cuts.t1 THEN 'tail'
+         |                   WHEN dm.m4 <= cuts.t2 THEN 'middle'
+         |                   ELSE 'head' END AS bucket,
+         |              dm.m4
+         |       FROM dm JOIN cuts ON dm.lang = cuts.lang)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       ${Q.sqlR6("CAST(sum(m4) AS DOUBLE) / (count(*) * 1e4)")} AS mean_lp
+         |FROM bk
+         |GROUP BY 1, 2
+         |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.load(s, d, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("tri"))
+        .groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("tf"))
+        .transform(Q.snapshot)
+      val lm = g.groupBy("lang", "tri").agg(sum("tf").as("c"))
+      val tot = lm.groupBy("lang").agg(sum("c").as("t"))
+      val term = lm.join(broadcast(tot), "lang")
+        .select(col("lang"), col("tri"),
+          floor(log(col("c").cast("double") / col("t")) * 1e9 + 0.5)
+            .cast("long").as("t9"))
+      val dm = g.join(broadcast(term), Seq("lang", "tri"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("tf") * col("t9")).as("lp9"), sum("tf").as("n"))
+        .select(col("doc_id"), col("lang"),
+          floor(col("lp9").cast("double") / (col("n") * lit(1e9)) * 1e4 + 0.5)
+            .cast("long").as("m4"))
+        .transform(Q.snapshot)
+      val cw = dm.groupBy("lang", "m4").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("lang").orderBy("m4")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nl", sum("cnt").over(Window.partitionBy("lang")))
+      val cuts = cw.groupBy("lang")
+        .agg(min(when(col("cum") * 3 >= col("nl"), col("m4"))).as("t1"),
+          min(when(col("cum") * 3 >= lit(2) * col("nl"), col("m4"))).as("t2"))
+      dm.join(broadcast(cuts), "lang")
+        .select(col("lang"),
+          when(col("m4") <= col("t1"), "tail")
+            .when(col("m4") <= col("t2"), "middle")
+            .otherwise("head").as("bucket"),
+          col("m4"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          Q.r6(sum("m4").cast("double") / (count(lit(1)) * lit(1e4))).as("mean_lp"))
+        .orderBy("lang", "bucket")
+    },
+
     // Compaction plan over the per-source shard layout (round 14): the
     // lakehouse-maintenance readout behind OPTIMIZE/rewrite jobs —
     // given the 64-shard layout q_shard_skew monitors, group each

@@ -1382,6 +1382,35 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows.size === 3)
   }
 
+  test("q_ppl_bucket: the three-tier fixture terciles into head/middle/tail exactly") {
+    import spark.implicits._
+    // six en docs, 4 trigrams each: two all-"aaa" (the most probable
+    // trigram, c=10 of T=24), two mixed, two all-rare (c=2 each). The
+    // self-trained model puts the repeats at the top: buckets must be
+    // exactly {head: the aaaaaa pair, middle: aaabbb, tail: abcdef}.
+    val dir = tempDir("cs_pplb")
+    Seq((1L, "aaaaaa"), (2L, "aaaaaa"), (3L, "aaabbb"), (4L, "aaabbb"),
+      (5L, "abcdef"), (6L, "abcdef"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def t9(c: Long) = math.floor(math.log(c.toDouble / 24) * 1e9 + 0.5)
+    def m4(lp9: Double, n: Long) = math.floor(lp9 / (n * 1e9) * 1e4 + 0.5)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val m4Head = m4(4 * t9(10), 4)                    // aaaaaa: 4x "aaa"
+    val m4Mid = m4(t9(10) + 3 * t9(2), 4)             // aaa + aab/abb/bbb
+    val m4Tail = m4(4 * t9(2), 4)                     // four rare trigrams
+    val rows = q("q_ppl_bucket", dir).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_lp"))).toMap
+    assert(rows.keySet === Set("head", "middle", "tail"))
+    assert(rows("head") === ((2L, r6(2 * m4Head / (2 * 1e4)))))
+    assert(rows("middle") === ((2L, r6(2 * m4Mid / (2 * 1e4)))))
+    assert(rows("tail") === ((2L, r6(2 * m4Tail / (2 * 1e4)))))
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")
