@@ -160,6 +160,7 @@ object BenchFloors {
     "q_hits" -> 1.291, // r14 TimeQuery warm-min harvest
     "q_hodges_lehmann" -> 0.25, // r14 close min-merge (bench_r14g)
     "q_holt_linear" -> 0.123,
+    "q_holt_winters" -> 0.266, // r15 TimeQuery warm-min harvest
     "q_hurst" -> 0.312,
     "q_hybrid_rrf" -> 0.62,
     "q_image_phash" -> 0.508,

@@ -1419,6 +1419,78 @@ object Timeseries {
         .orderBy("event_type", "day_idx")
     },
 
+    // Additive Holt-Winters smoothing of the per-type daily series
+    // (round 15, α=β=γ=0.5, season length 7): q_holt_linear's
+    // level+trend recursion extended with a 7-slot seasonal state —
+    // l_t = α(y_t − s_{t−7}) + (1−α)(l+b), b_t = β(l_t − l) + (1−β)b,
+    // s_t = γ(y_t − l_t) + (1−γ)s_{t−7} — seeded l₁ = y₁, b₁ = 0,
+    // s = 0⃗ (the first week behaves like Holt while the seasonal
+    // indices build; documented, both engines share the seed). The
+    // seasonal slot is the CALENDAR phase x % 7 (gap-proof — a missing
+    // day cannot shift later days' phases). Determinism: the oracle
+    // runs the recursion as a recursive CTE carrying the LIST state;
+    // Spark folds the same arithmetic left-to-right in-row over each
+    // day's window collect_list — identical IEEE ops in identical
+    // order, so levels agree to the bit. One-step forecast = l + b +
+    // s[(x+1) mod 7]. Shape: one corpus scan onto the (|types|×|days|)
+    // frame; the history window is calendar-bounded.
+    Q("q_holt_winters",
+      s"""WITH RECURSIVE daily AS (SELECT event_type,
+         |                      CAST(date_diff('day', DATE '$TrendAnchor',
+         |                                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                      count(*) AS y
+         |               FROM events GROUP BY 1, 2),
+         |seq AS (SELECT event_type, x, y,
+         |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS rn
+         |        FROM daily),
+         |rec AS (SELECT event_type, rn, x, y, CAST(y AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+         |               list_transform(range(0, 7), j -> CAST(0 AS DOUBLE)) AS s
+         |        FROM seq WHERE rn = 1
+         |        UNION ALL
+         |        SELECT s2.event_type, s2.rn, s2.x, s2.y,
+         |               0.5 * (s2.y - r.s[(s2.x % 7) + 1]) + 0.5 * (r.l + r.b),
+         |               0.5 * ((0.5 * (s2.y - r.s[(s2.x % 7) + 1]) + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+         |               list_transform(range(0, 7), j -> CASE WHEN j = s2.x % 7
+         |                 THEN 0.5 * (s2.y - (0.5 * (s2.y - r.s[(s2.x % 7) + 1]) + 0.5 * (r.l + r.b))) + 0.5 * r.s[(s2.x % 7) + 1]
+         |                 ELSE r.s[j + 1] END)
+         |        FROM rec r JOIN seq s2 ON s2.event_type = r.event_type AND s2.rn = r.rn + 1)
+         |SELECT event_type, x AS day_idx, y,
+         |       ${Q.sqlR6("l")} AS level, ${Q.sqlR6("b")} AS trend,
+         |       ${Q.sqlR6("s[(x % 7) + 1]")} AS season,
+         |       ${Q.sqlR6("l + b + s[((x + 1) % 7) + 1]")} AS forecast
+         |FROM rec
+         |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast(DateType), to_date(lit(TrendAnchor)))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("hist",
+          collect_list(struct(col("y"), (col("x") % 7).as("ph"))).over(wx))
+        .withColumn("st", expr(
+          """aggregate(hist,
+            |  named_struct('f', CAST(0 AS INT), 'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+            |               's', transform(sequence(0, 6), j -> CAST(0 AS DOUBLE))),
+            |  (acc, e) -> CASE WHEN acc.f = 0
+            |    THEN named_struct('f', 1, 'l', CAST(e.y AS DOUBLE), 'b', CAST(0 AS DOUBLE), 's', acc.s)
+            |    ELSE named_struct('f', 1,
+            |      'l', 0.5 * (e.y - element_at(acc.s, CAST(e.ph AS INT) + 1)) + 0.5 * (acc.l + acc.b),
+            |      'b', 0.5 * ((0.5 * (e.y - element_at(acc.s, CAST(e.ph AS INT) + 1)) + 0.5 * (acc.l + acc.b)) - acc.l) + 0.5 * acc.b,
+            |      's', transform(sequence(0, 6), j -> CASE WHEN j = e.ph
+            |        THEN 0.5 * (e.y - (0.5 * (e.y - element_at(acc.s, CAST(e.ph AS INT) + 1)) + 0.5 * (acc.l + acc.b))) + 0.5 * element_at(acc.s, CAST(e.ph AS INT) + 1)
+            |        ELSE element_at(acc.s, CAST(j AS INT) + 1) END))
+            |    END)""".stripMargin))
+        .select(col("event_type"), col("x").as("day_idx"), col("y"),
+          Q.r6(col("st.l")).as("level"), Q.r6(col("st.b")).as("trend"),
+          Q.r6(element_at(col("st.s"), (col("x") % 7 + 1).cast("int"))).as("season"),
+          Q.r6(col("st.l") + col("st.b") +
+            element_at(col("st.s"), ((col("x") + 1) % 7 + 1).cast("int"))).as("forecast"))
+        .orderBy("event_type", "day_idx")
+    },
+
     // Classical additive decomposition of the per-type daily series
     // (round 10): y = trend + seasonal + residual, with trend = the
     // centered 7-OBSERVATION moving average (row semantics on both

@@ -496,4 +496,26 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r.getAs[Long]("discord_i") === 9L)
     assert(r.getAs[Long]("discord_d2") === 2029L)
   }
+
+  test("q_holt_winters: the gapped fixture replays the exact recursion by hand") {
+    // counts 10, 20, 30 on days 0-2, a 5-day gap, then 12 on day 8
+    // (calendar phase 1 — must reuse day 1's seasonal slot 2.5, not a
+    // sequential index): every level/trend/season below is the hand
+    // recursion at alpha=beta=gamma=0.5, all exact binary fractions.
+    val c = Array(10, 20, 30, 0, 0, 0, 0, 0, 12)
+    val dir = eventsDir(Seq("hw"), c.length, (_, d) => c(d))
+    val rows = run("q_holt_winters", dir).collect()
+      .map(r => r.getAs[Long]("day_idx") -> r).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 8L))
+    def chk(d: Long, l: Double, b: Double, s: Double, f: Double): Unit = {
+      assert(rows(d).getAs[Double]("level") === l, s"level d$d")
+      assert(rows(d).getAs[Double]("trend") === b, s"trend d$d")
+      assert(rows(d).getAs[Double]("season") === s, s"season d$d")
+      assert(rows(d).getAs[Double]("forecast") === f, s"forecast d$d")
+    }
+    chk(0L, 10.0, 0.0, 0.0, 10.0)
+    chk(1L, 15.0, 2.5, 2.5, 17.5)
+    chk(2L, 23.75, 5.625, 3.125, 29.375)
+    chk(8L, 19.4375, 0.65625, -2.46875, 23.21875)
+  }
 }
