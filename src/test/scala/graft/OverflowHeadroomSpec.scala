@@ -251,6 +251,35 @@ class OverflowHeadroomSpec extends SparkSpec {
         c.agg(sum(abs((col("c1") + col("c2")) * lit(1e6))))
       })),
 
+    Site("q_ndcg", "1e6", "dcg6/idcg6 = Σ⌊test·w·1e6⌉ over ≤10 terms (w ≤ 1)",
+      "const-ish (≤ 10·1e6·max supplier-period revenue; TPC-H lineitems "
+        + "per supplier are SF-invariant, so per-supplier cents plateau)", 1e6,
+      _ => 8e16,
+      Some((s, d) => dmax {
+        Tables.load(s, d, "lineitem")
+          .filter(year(col("l_shipdate")) >= 1998)
+          .groupBy("l_suppkey")
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long")).as("c"))
+          .agg(max(col("c") * 1e7)) // 10 terms × 1e6 lattice
+      })),
+
+    Site("q_mrr", "1e6", "rr6 = ⌊(1/rk)·1e6⌉ summed over nations",
+      "const (Σ ≤ 1e6·|nations| = 2.5e7)", 1e9, _ => 1e9, None),
+
+    Site("q_ppl_bucket", "1e9/1e4", "per-doc lp9 = Σ tf·⌊ln(c/T)·1e9⌉; bucket Σm4",
+      "lp9 ≤ n_tri·ln(T)·1e9 (doc length bounded, T log-grows); "
+        + "Σm4 ≤ docs·|mean lp|·1e4 — linear", 1e6,
+      sf => 4e13 + 2e10 * sf,
+      Some((s, d) => dmax {
+        // upper bound of any |lp9|: (longest doc's trigram count) ×
+        // (the rarest trigram's |ln p|·1e9 = ln(T)·1e9)
+        val docs = Tables.load(s, d, "documents").filter(length(col("text")) >= 3)
+        val t = docs.select(col("lang"), (length(col("text")) - 2).as("nt"))
+          .groupBy("lang").agg(sum("nt").as("tt"), max("nt").as("mx"))
+        t.agg(max(col("mx") * log(col("tt").cast("double")) * 1e9))
+      })),
+
     Site("q_hits", "exact int64", "h² = ΣΣΣ indeg over 2 power rounds (no lattice)",
       "const-ish (≤ maxdeg_p²·maxdeg_s² — TPC-H degrees are SF-invariant: "
         + "suppliers and parts scale WITH lineitem)", 1e6, _ => 1e9,
