@@ -75,6 +75,7 @@ object BenchFloors {
     "q_cohort_ltv" -> 0.251,
     "q_compaction_plan" -> 0.339, // r14 TimeQuery warm-min harvest
     "q_completeness" -> 0.351, // r15 TimeQuery warm-min harvest
+    "q_confusion_matrix" -> 0.165, // r15 TimeQuery warm-min harvest
     "q_context_fit" -> 0.102,
     "q_cooccur_lift" -> 0.514,
     "q_cooks_distance" -> 0.298, // r13 TimeQuery warm-min harvest

@@ -475,6 +475,38 @@ object Statistics {
         Q.r6(col("n1").cast("double") / (col("n1") + col("n2")))).as("prevalence"))
   }
 
+  /** Confusion matrix + threshold metrics over the same grid — ONE
+    * home shared by batch q_confusion_matrix and the s_confusion
+    * streaming read-time view. Predicted-positive is the INTEGER
+    * comparison v100·2 ≥ mx (score ≥ half the range — no float ever
+    * touches the decision boundary), so TP/FP/FN/TN are pure int64
+    * conditional sums; precision/recall/F1/accuracy/MCC divide out at
+    * the end, NULL-guarded on their zero margins. */
+  private[graft] def confusionOf(cellsIn: DataFrame): DataFrame = {
+    val cw = cellsIn.withColumn("mx", max("v100").over(Window.partitionBy()))
+    val pos = col("v100") * 2 >= col("mx")
+    val t = cw.agg(
+      sum(when(pos, col("c1")).otherwise(0L)).as("tp"),
+      sum(when(!pos, col("c1")).otherwise(0L)).as("fn"),
+      sum(when(pos, col("c2")).otherwise(0L)).as("fp"),
+      sum(when(!pos, col("c2")).otherwise(0L)).as("tn"))
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    val mccDen = sqrt((col("tp") + col("fp")).cast("double") * (col("tp") + col("fn")) *
+      (col("tn") + col("fp")) * (col("tn") + col("fn")))
+    t.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0,
+        Q.r6(col("tp").cast("double") / (col("tp") + col("fp")))).as("precision"),
+      when(col("tp") + col("fn") > 0,
+        Q.r6(col("tp").cast("double") / (col("tp") + col("fn")))).as("recall"),
+      when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+        Q.r6(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")))).as("f1"),
+      when(n > 0, Q.r6((col("tp") + col("tn")).cast("double") / n)).as("accuracy"),
+      when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+          (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+        Q.r6((col("tp").cast("double") * col("tn") -
+          col("fp").cast("double") * col("fn")) / mccDen)).as("mcc"))
+  }
+
   /** Fixed-width calibration bins over the same grid — the shared
     * frame under q_brier and q_calibration (and their streaming
     * faces). Scores normalize to s = v100/mx (mx = the grid's max
@@ -1196,6 +1228,37 @@ object Statistics {
          |       CASE WHEN n1 + n2 > 0 THEN ${Q.sqlR6("CAST(n1 AS DOUBLE) / (n1 + n2)")} END AS prevalence
          |FROM t""".stripMargin) { (s, d) =>
       prAucOf(centsGrid(s, d))
+    },
+
+    // Confusion matrix at the half-range threshold (round 15): the
+    // hard-decision face of the q_auc_roc scoring task — predicted
+    // positive ⟺ v100·2 ≥ mx, an INTEGER comparison (no float touches
+    // the boundary), so TP/FP/FN/TN are exact int64 conditional sums
+    // over the shared grid; precision/recall/F1/accuracy/MCC divide
+    // out at the end, NULL on their zero margins. Single-row readout.
+    Q("q_confusion_matrix",
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+         |      FROM v GROUP BY 1),
+         |m AS (SELECT c1, c2, v100, CAST(max(v100) OVER () AS BIGINT) AS mx FROM c),
+         |t AS (SELECT CAST(sum(CASE WHEN v100 * 2 >= mx THEN c1 ELSE 0 END) AS BIGINT) AS tp,
+         |             CAST(sum(CASE WHEN NOT (v100 * 2 >= mx) THEN c1 ELSE 0 END) AS BIGINT) AS fn,
+         |             CAST(sum(CASE WHEN v100 * 2 >= mx THEN c2 ELSE 0 END) AS BIGINT) AS fp,
+         |             CAST(sum(CASE WHEN NOT (v100 * 2 >= mx) THEN c2 ELSE 0 END) AS BIGINT) AS tn
+         |      FROM m)
+         |SELECT tp, fp, fn, tn,
+         |       CASE WHEN tp + fp > 0 THEN ${Q.sqlR6("CAST(tp AS DOUBLE) / (tp + fp)")} END AS precision,
+         |       CASE WHEN tp + fn > 0 THEN ${Q.sqlR6("CAST(tp AS DOUBLE) / (tp + fn)")} END AS recall,
+         |       CASE WHEN 2 * tp + fp + fn > 0 THEN ${Q.sqlR6("2.0 * tp / (2 * tp + fp + fn)")} END AS f1,
+         |       CASE WHEN tp + fp + fn + tn > 0 THEN ${Q.sqlR6("CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)")} END AS accuracy,
+         |       CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+         |         THEN ${Q.sqlR6("(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn))")}
+         |       END AS mcc
+         |FROM t""".stripMargin) { (s, d) =>
+      confusionOf(centsGrid(s, d))
     },
 
     // Brier score + Murphy decomposition of the same scoring task

@@ -1261,6 +1261,11 @@ object Streams {
   def calibrationOf(grid: DataFrame): DataFrame =
     graft.ops.Statistics.calibrationOf(grid)
 
+  /** Read-time confusion-matrix projection over a [[ksCells]] grid
+    * (s_confusion). */
+  def confusionOf(grid: DataFrame): DataFrame =
+    graft.ops.Statistics.confusionOf(grid)
+
   /** Streaming brand target-stats grid — the mergeable (p_brand, n, s,
     * ss) moment state behind the s_target_encode read-time face: a
     * stream-STATIC join against the part catalog (the enrich-join

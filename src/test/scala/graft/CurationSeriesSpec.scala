@@ -1259,6 +1259,18 @@ class CurationSeriesSpec extends SparkSpec {
     assert(br.getAs[Double]("reliability") === 0.041667)
     assert(br.getAs[Double]("resolution") === 0.125)
     assert(br.getAs[Double]("uncertainty") === 0.25)
+    // half-range threshold: mx=300 → positive at cents 300/200, not
+    // 100: TP=2, FN=0, FP=1, TN=1 → P=2/3, R=1, F1=0.8, ACC=0.75,
+    // MCC = 2/√12
+    val cm = q("q_confusion_matrix", dir).head()
+    assert((cm.getAs[Long]("tp"), cm.getAs[Long]("fp"),
+      cm.getAs[Long]("fn"), cm.getAs[Long]("tn")) === ((2L, 1L, 0L, 1L)))
+    assert(cm.getAs[Double]("precision") === 0.666667)
+    assert(cm.getAs[Double]("recall") === 1.0)
+    assert(cm.getAs[Double]("f1") === 0.8)
+    assert(cm.getAs[Double]("accuracy") === 0.75)
+    assert(cm.getAs[Double]("mcc") ===
+      math.floor(2.0 / math.sqrt(12.0) * 1e6 + 0.5) / 1e6)
   }
 
   test("ranking metrics: the 3-supplier fixture reads closed-form NDCG/MRR/P@10") {

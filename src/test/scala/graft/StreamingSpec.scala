@@ -420,6 +420,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_brier")(spark, sfDir)), "Brier")
       assert(rows1(Streams.calibrationOf(grid)) ===
         rows1(SparkEntry.queries("q_calibration")(spark, sfDir)), "calibration")
+      assert(rows1(Streams.confusionOf(grid)) ===
+        rows1(SparkEntry.queries("q_confusion_matrix")(spark, sfDir)), "confusion")
     }
   }
 
