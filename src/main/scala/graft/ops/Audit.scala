@@ -23,6 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
+  /** The audited column manifest per table (name, isString) — one home
+    * for the batch q_completeness and the s_completeness streaming
+    * face's events slice. */
+  private[graft] val EventsCols: Seq[(String, Boolean)] =
+    Seq(("event_id", false), ("event_type", true), ("value", false), ("props", true))
+
+  /** Conditional-count aggregates for one table's manifest — the
+    * MERGEABLE half of the completeness audit (a single global row of
+    * int64 counters; the s_completeness streaming state). */
+  private[graft] def completenessAggs(cols: Seq[(String, Boolean)]) =
+    cols.flatMap { case (c, isStr) =>
+      Seq(count(lit(1)).as(s"${c}__rows"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__null")) :+
+        (if (isStr) sum(when(trim(col(c)) === "", 1L).otherwise(0L)).as(s"${c}__blank")
+         else lit(null).cast("long").as(s"${c}__blank"))
+    }
+
+  /** Unpivot + rate projection over a [[completenessAggs]] row — the
+    * read-time half shared by the batch query and the streaming
+    * face. */
+  private[graft] def completenessStack(tbl: String, one: DataFrame,
+                                       cols: Seq[(String, Boolean)]): DataFrame = {
+    val stacked = cols.map { case (c, _) =>
+      s"'$c', ${c}__rows, ${c}__null, ${c}__blank"
+    }.mkString(", ")
+    one.select(lit(tbl).as("tbl"),
+      expr(s"stack(${cols.size}, $stacked) AS (col_name, n_rows, n_null, n_blank)"))
+      .select(col("tbl"), col("col_name"), col("n_rows").cast("long").as("n_rows"),
+        col("n_null").cast("long").as("n_null"),
+        col("n_blank").cast("long").as("n_blank"))
+  }
+
+  /** Full one-table audit = aggs + stack + rate; the batch assembly. */
+  private[graft] def completenessOf(tbl: String, df: DataFrame,
+                                    cols: Seq[(String, Boolean)]): DataFrame = {
+    val aggs = completenessAggs(cols)
+    completenessStack(tbl, df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Referential-integrity audit over the star schema's four FK
@@ -205,33 +244,13 @@ object Audit {
          |       ${Q.sqlR6("1 - CAST(n_null AS DOUBLE) / n_rows")} AS completeness
          |FROM m
          |ORDER BY tbl, col_name""".stripMargin) { (s, d) =>
-      def audit(tbl: String, df: DataFrame,
-                cols: Seq[(String, Boolean)]): DataFrame = {
-        val aggs = cols.flatMap { case (c, isStr) =>
-          Seq(count(lit(1)).as(s"${c}__rows"),
-            (count(lit(1)) - count(col(c))).as(s"${c}__null")) :+
-            (if (isStr) sum(when(trim(col(c)) === "", 1L).otherwise(0L)).as(s"${c}__blank")
-             else lit(null).cast("long").as(s"${c}__blank"))
-        }
-        val one = df.agg(aggs.head, aggs.tail: _*)
-        val stacked = cols.map { case (c, _) =>
-          s"'$c', ${c}__rows, ${c}__null, ${c}__blank"
-        }.mkString(", ")
-        one.select(lit(tbl).as("tbl"),
-          expr(s"stack(${cols.size}, $stacked) AS (col_name, n_rows, n_null, n_blank)"))
-          .select(col("tbl"), col("col_name"), col("n_rows").cast("long").as("n_rows"),
-            col("n_null").cast("long").as("n_null"),
-            col("n_blank").cast("long").as("n_blank"))
-      }
-      audit("orders", Tables.load(s, d, "orders"),
+      completenessOf("orders", Tables.load(s, d, "orders"),
           Seq(("o_orderkey", false), ("o_orderstatus", true),
             ("o_totalprice", false), ("o_orderdate", false)))
-        .unionAll(audit("lineitem", Tables.load(s, d, "lineitem"),
+        .unionAll(completenessOf("lineitem", Tables.load(s, d, "lineitem"),
           Seq(("l_orderkey", false), ("l_quantity", false), ("l_returnflag", true))))
-        .unionAll(audit("events", Tables.events(s, d),
-          Seq(("event_id", false), ("event_type", true),
-            ("value", false), ("props", true))))
-        .unionAll(audit("documents", Tables.load(s, d, "documents"),
+        .unionAll(completenessOf("events", Tables.events(s, d), EventsCols))
+        .unionAll(completenessOf("documents", Tables.load(s, d, "documents"),
           Seq(("text", true), ("lang", true), ("source", true))))
         .withColumn("completeness",
           Q.r6(lit(1) - col("n_null").cast("double") / col("n_rows")))

@@ -1266,6 +1266,26 @@ object Streams {
   def confusionOf(grid: DataFrame): DataFrame =
     graft.ops.Statistics.confusionOf(grid)
 
+  /** Streaming per-column completeness counters over the events feed
+    * (s_completeness) — the state is ONE global row of int64
+    * conditional counts (rows / nulls / trimmed blanks per audited
+    * column), fully mergeable and constant-size at any rate; the
+    * ingest-quality gate a pipeline watches live. Shares
+    * [[graft.ops.Audit.completenessAggs]] with the batch audit so the
+    * two cannot drift. */
+  def completenessCounts(events: DataFrame): DataFrame = {
+    val aggs = graft.ops.Audit.completenessAggs(graft.ops.Audit.EventsCols)
+    events.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read-time unpivot + rate projection over a
+    * [[completenessCounts]] row — delegates to the SAME stack the
+    * batch q_completeness runs. */
+  def completenessOf(one: DataFrame): DataFrame =
+    graft.ops.Audit.completenessStack("events", one, graft.ops.Audit.EventsCols)
+      .withColumn("completeness",
+        graft.Q.r6(lit(1) - col("n_null").cast("double") / col("n_rows")))
+
   /** Streaming brand target-stats grid — the mergeable (p_brand, n, s,
     * ss) moment state behind the s_target_encode read-time face: a
     * stream-STATIC join against the part catalog (the enrich-join

@@ -749,6 +749,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_completeness counters equal the batch events audit including planted nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("s_complete")
+    // the twin input: real sf events plus one blank-type/null-props
+    // row and one blank-props row, written once for the batch run and
+    // streamed in two chunks for the incremental one
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-05 08:00:00")
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double, String)].collect().toSeq
+    val crafted = Seq(
+      (9000001L, ts0, 1L, "", 1.0, null.asInstanceOf[String]),
+      (9000002L, ts0, 2L, "click", 2.0, "  "))
+    val all = base ++ crafted
+    all.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq("orders", "lineitem", "documents").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val q = graft.streaming.Streams
+      .completenessCounts(in.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("t_complete")
+      .outputMode("complete").start()
+    withQuery(q) {
+      val (a, b) = all.splitAt(all.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSet
+      val streamed = rows(graft.streaming.Streams
+        .completenessOf(Q.snapshot(spark.table("t_complete"))))
+      val batch = rows(SparkEntry.queries("q_completeness")(spark, dir)
+        .filter(col("tbl") === "events"))
+      assert(streamed === batch,
+        "incremental counters must equal the batch events audit")
+    }
+  }
+
   test("s_dedup_incremental classifications equal batch q_dedup_incremental on the prefix") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
