@@ -135,6 +135,29 @@ object SeriesTests {
           Q.r6(qRaw / corr)).as("q_tie_corrected"))
   }
 
+  /** The Kendall's-W fold over a daily (event_type, x, y) count frame
+    * — ONE home shared by batch q_kendall_w and the s_kendall_w
+    * streaming read-time view (the dailyGrid is the mergeable state;
+    * every new day re-ranks its own block only, but W re-prices
+    * globally). Same denseGrid/r2Col machinery as [[friedmanOf]]. */
+  private[graft] def kendallWOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val km = grid.withColumn("r2", r2Col)
+      .groupBy("event_type").agg(sum("r2").as("r2j"))
+      .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("sr2"))
+    val tt = grid.groupBy("x", "y").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    val nn = dy.agg(count(lit(1)).as("n"))
+    val den = col("n").cast("double") * col("n") * col("k") *
+      (col("k") * col("k") - 1) - col("n").cast("double") * col("tie")
+    val num = lit(3.0) * col("sr2") -
+      lit(3.0) * col("n") * col("n") * col("k") * (col("k") + 1) * (col("k") + 1)
+    nn.crossJoin(broadcast(km)).crossJoin(broadcast(tt))
+      .select(col("n").as("n_days"), col("k").as("n_types"),
+        when(col("k") >= 2 && den > 0, Q.r6(num / den)).as("w"))
+  }
+
   /** The Nemenyi post-hoc fold over a daily (event_type, x, y) count
     * frame — ONE home shared by batch q_nemenyi and the s_nemenyi
     * streaming read-time view (the third face of
@@ -877,6 +900,40 @@ object SeriesTests {
          |       END AS q_tie_corrected
          |FROM nn, km, tt""".stripMargin) { (s, d) =>
       friedmanOf(Inference.dailyCounts(s, d))
+    },
+
+    // Kendall's coefficient of concordance W (round 15): the
+    // EFFECT-SIZE face of q_friedman's significance test — how much
+    // the daily blocks AGREE on the ordering of the event types
+    // (W = 1: every day ranks the types identically; W = 0: no
+    // agreement), tie-corrected: W = (12·ΣR_j² − 3n²k(k+1)²) /
+    // (n²k(k²−1) − n·Σ(t³−t)). Rides the SAME dense-grid doubled-rank
+    // machinery (shared denseGrid/r2Col — 12·ΣR² = 3·Σr2² exactly),
+    // so all inputs to the ONE mirrored double tree are exact int64.
+    Q("q_kendall_w",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |r AS (SELECT event_type,
+         |             CAST(2 * rank() OVER (PARTITION BY x ORDER BY y)
+         |               + count(*) OVER (PARTITION BY x, y) - 1 AS BIGINT) AS r2
+         |      FROM grid),
+         |rs AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j FROM r GROUP BY 1),
+         |km AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |              CAST(sum(r2j * r2j) AS BIGINT) AS sr2 FROM rs),
+         |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie
+         |       FROM (SELECT x, y, CAST(count(*) AS BIGINT) AS t
+         |             FROM grid GROUP BY 1, 2)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy)
+         |SELECT nn.n AS n_days, km.k AS n_types,
+         |       CASE WHEN km.k >= 2 AND CAST(nn.n AS DOUBLE) * nn.n * km.k * (km.k * km.k - 1) - CAST(nn.n AS DOUBLE) * tt.tie > 0 THEN
+         |         ${Q.sqlR6("(3.0 * km.sr2 - 3.0 * nn.n * nn.n * km.k * (km.k + 1) * (km.k + 1)) / (CAST(nn.n AS DOUBLE) * nn.n * km.k * (km.k * km.k - 1) - CAST(nn.n AS DOUBLE) * tt.tie)")}
+         |       END AS w
+         |FROM nn, km, tt""".stripMargin) { (s, d) =>
+      kendallWOf(Inference.dailyCounts(s, d))
     },
 
     // Nemenyi post-hoc screen after Friedman: the rank-world Tukey for

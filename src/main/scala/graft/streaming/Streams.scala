@@ -1106,6 +1106,12 @@ object Streams {
   def matrixProfileOf(grid: DataFrame): DataFrame =
     graft.ops.Inference.matrixProfileOf(grid)
 
+  /** Read-time Kendall's-W projection over a [[dailyGrid]] — the
+    * concordance re-prices globally as days close; the grid is the
+    * mergeable state (s_kendall_w). */
+  def kendallWOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.kendallWOf(grid)
+
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.decomposeOf(grid)

@@ -518,4 +518,18 @@ class DiagnosticsSpec extends SparkSpec {
     chk(2L, 23.75, 5.625, 3.125, 29.375)
     chk(8L, 19.4375, 0.65625, -2.46875, 23.21875)
   }
+
+  test("q_kendall_w: perfect and reversed daily orderings read W = 1 and W = 0") {
+    // perfect: A outranks B on all 3 days (no ties) -> W = 1;
+    // reversed: A > B on day 0, B > A on day 1 -> rank sums equal, W = 0
+    val d1 = eventsDir(Seq("A", "B"), 3, (t, d) => if (t == "A") d + 2 else 1)
+    val r1 = run("q_kendall_w", d1).head()
+    assert(r1.getAs[Long]("n_days") === 3L)
+    assert(r1.getAs[Long]("n_types") === 2L)
+    assert(r1.getAs[Double]("w") === 1.0)
+    val d2 = eventsDir(Seq("A", "B"), 2,
+      (t, d) => if ((t == "A") == (d == 0)) 5 else 1)
+    val r2 = run("q_kendall_w", d2).head()
+    assert(r2.getAs[Double]("w") === 0.0)
+  }
 }
