@@ -384,6 +384,25 @@ class CorpusScaleSpec extends SparkSpec {
     info(f"capture-recapture: 1x $t1%.2f s, 10x $t10%.2f s")
   }
 
+  test("q_ppl_bucket wall-clock stays near-linear at 10x docs") {
+    // the trigram model is charset³-bounded, so the only corpus-scaled
+    // work is the explode + the broadcast scoring join — a superlinear
+    // reading here means the model stopped broadcasting or the tercile
+    // grid grew content-keyed
+    val d1 = synthDir(300, hotPrefix = false)
+    val d10 = synthDir(3000, hotPrefix = false)
+    def run(d: String): Long =
+      SparkEntry.queries("q_ppl_bucket")(spark, d).count()
+    run(d1) // warm codegen/plans
+    val (t1, _) = minTime(() => run(d1))
+    val (t10, _) = minTime(() => run(d10))
+    val bound = 30.0 * math.max(t1, 0.4)
+    assert(t10 <= bound,
+      f"ppl bucketing took $t10%.2f s at 10x vs $t1%.2f s at 1x — growth " +
+        f"${t10 / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
+    info(f"ppl_bucket: 1x $t1%.2f s, 10x $t10%.2f s")
+  }
+
   test("q_capture_recapture keeps BOTH candidate lists banded at 10x (plan)") {
     // The r14 verdict's 6a as a spec: the wall-clock bound above can
     // hide a quadratic behind a fast box, so pin the SHAPE — each
