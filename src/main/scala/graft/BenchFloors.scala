@@ -352,6 +352,7 @@ object BenchFloors {
     "q_win_topk_group" -> 0.381,
     "q_window_funnel" -> 0.334, // r12 TimeQuery warm-min harvest
     "q_winsorize" -> 0.175,
+    "q_woe_iv" -> 0.43, // r15 TimeQuery warm-min harvest
     "q_xcorr" -> 0.174,
     "q_zipf_fit" -> 0.113,
     "q_zorder" -> 0.101,

@@ -1192,6 +1192,64 @@ object Analytics {
       trimmedMeanOf(typeCents(s, d))
     },
 
+    // Weight-of-evidence / information value of brand vs return risk
+    // (round 15): the credit-scoring companion of q_target_encode —
+    // per brand, WoE = ln(gs/bs) over the half-adjusted class shares
+    // gs = (good+0.5)/(G+0.5k), bs = (bad+0.5)/(B+0.5k) (the standard
+    // zero-cell adjustment, k = |brands|), with each brand's IV
+    // contribution (gs−bs)·WoE and the global IV. Label: bad = a
+    // returned line (l_returnflag = 'R'). Exactness: counts are pure
+    // int64 off one fact-scan agg; the shares/WoE/IV are mirrored
+    // double trees on the |brands|-row frame, per-brand IV terms
+    // floor onto the 1e-9 lattice before the bounded-frame window
+    // sum. Scale: one part-keyed catalog join, |brands|-key agg,
+    // windows only over that bounded frame.
+    Q("q_woe_iv",
+      s"""WITH j AS (SELECT p.p_brand,
+         |                  CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+         |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         |g AS (SELECT p_brand, CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         |             CAST(sum(bad) AS BIGINT) AS n_bad
+         |      FROM j GROUP BY 1),
+         |t AS (SELECT *, CAST(sum(n_good) OVER () AS BIGINT) AS gt,
+         |             CAST(sum(n_bad) OVER () AS BIGINT) AS bt,
+         |             CAST(count(*) OVER () AS BIGINT) AS k
+         |      FROM g),
+         |w AS (SELECT *,
+         |             ln(((n_good + 0.5) / (gt + 0.5 * k)) / ((n_bad + 0.5) / (bt + 0.5 * k))) AS woe,
+         |             CAST(floor((((n_good + 0.5) / (gt + 0.5 * k)) - ((n_bad + 0.5) / (bt + 0.5 * k))) * ln(((n_good + 0.5) / (gt + 0.5 * k)) / ((n_bad + 0.5) / (bt + 0.5 * k))) * 1e9 + 0.5) AS BIGINT) AS iv9
+         |      FROM t),
+         |f AS (SELECT *, CAST(sum(iv9) OVER () AS BIGINT) AS ivt9 FROM w)
+         |SELECT p_brand, n_good, n_bad,
+         |       ${Q.sqlR6("woe")} AS woe,
+         |       ${Q.sqlR6("iv9 / 1e9")} AS iv_term,
+         |       ${Q.sqlR6("ivt9 / 1e9")} AS iv
+         |FROM f
+         |ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val g = Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"))
+        .groupBy("p_brand")
+        .agg(sum(lit(1) - col("bad")).as("n_good"), sum("bad").as("n_bad"))
+      val t = g
+        .withColumn("gt", sum("n_good").over(Window.partitionBy()))
+        .withColumn("bt", sum("n_bad").over(Window.partitionBy()))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      val gs = (col("n_good") + 0.5) / (col("gt") + lit(0.5) * col("k"))
+      val bs = (col("n_bad") + 0.5) / (col("bt") + lit(0.5) * col("k"))
+      val woe = log(gs / bs)
+      t.withColumn("woe", woe)
+        .withColumn("iv9", floor((gs - bs) * woe * 1e9 + 0.5).cast("long"))
+        .withColumn("ivt9", sum("iv9").over(Window.partitionBy()))
+        .select(col("p_brand"), col("n_good"), col("n_bad"),
+          Q.r6(col("woe")).as("woe"),
+          Q.r6(col("iv9") / lit(1e9)).as("iv_term"),
+          Q.r6(col("ivt9") / lit(1e9)).as("iv"))
+        .orderBy("p_brand")
+    },
+
     // Smoothed target encoding of brand → line revenue (round 14): the
     // ML-feature-prep staple — encode a categorical by the target mean,
     // shrunk toward the global prior by a pseudo-count so rare brands

@@ -1423,6 +1423,32 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows("tail") === ((2L, r6(2 * m4Tail / (2 * 1e4)))))
   }
 
+  test("q_woe_iv: the two-brand fixture reads its closed-form WoE and IV") {
+    import spark.implicits._
+    // brand A: 2 good + 1 bad; brand B: 2 good + 0 bad → G=4, B=1,
+    // k=2: gsA = 2.5/5, bsA = 1.5/2, woeA = ln(2/3);
+    // gsB = 2.5/5, bsB = 0.5/2, woeB = ln 2.
+    val dir = tempDir("cs_woe")
+    Seq((1L, "N"), (1L, "N"), (1L, "R"), (2L, "N"), (2L, "A"))
+      .toDF("l_partkey", "l_returnflag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def iv9(gs: Double, bs: Double) =
+      math.floor((gs - bs) * math.log(gs / bs) * 1e9 + 0.5)
+    val ivA = iv9(0.5, 0.75); val ivB = iv9(0.5, 0.25)
+    val rows = q("q_woe_iv", dir).collect()
+      .map(r => r.getAs[String]("p_brand") -> r).toMap
+    assert(rows("A").getAs[Long]("n_good") === 2L)
+    assert(rows("A").getAs[Long]("n_bad") === 1L)
+    assert(rows("A").getAs[Double]("woe") === r6(math.log(0.5 / 0.75)))
+    assert(rows("B").getAs[Double]("woe") === r6(math.log(0.5 / 0.25)))
+    assert(rows("A").getAs[Double]("iv_term") === r6(ivA / 1e9))
+    assert(rows("B").getAs[Double]("iv_term") === r6(ivB / 1e9))
+    assert(rows("A").getAs[Double]("iv") === r6((ivA + ivB) / 1e9))
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")
