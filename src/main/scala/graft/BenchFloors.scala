@@ -191,6 +191,7 @@ object BenchFloors {
     "q_kaplan_meier" -> 0.138,
     "q_kendall_tau" -> 1.082,
     "q_kendall_w" -> 0.557, // r15 TimeQuery warm-min harvest
+    "q_keyphrase" -> 0.97, // r15 TimeQuery warm-min harvest
     "q_knn_ivf" -> 2.55, // r14 close min-merge (bench_r14g)
     "q_knn_lsh" -> 0.85, // r14 close min-merge (bench_r14g)
     "q_knn_recall_curve" -> 0.35, // r14 close min-merge (bench_r14g)

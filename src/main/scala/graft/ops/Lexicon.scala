@@ -346,6 +346,78 @@ object Lexicon {
         Q.r6(num * num / (den *
           (col("n") * col("syy").cast("double") -
             col("sy").cast("double") * col("sy")))).as("r2"))
+    },
+
+    // RAKE-lite keyword extraction per language (round 15): stopwords
+    // are DATA-DRIVEN — each language's top-10 tokens by frequency
+    // (exactly the list q_stopword_profile sizes) — documents split
+    // into stopword-delimited phrases (gaps-and-islands on token
+    // positions), and every candidate word scores degree/frequency,
+    // where degree sums the LENGTHS of the phrases the word occurs in
+    // (RAKE's co-occurrence credit: words living in long content
+    // phrases outrank isolated ones). Determinism: degree and freq are
+    // exact int64, the score is one division of them (identical
+    // doubles rank identically in both engines), ties break on the
+    // token's UTF-8 order; both the stop set and the top-10 keywords
+    // ride bounded-buffer TopK partials — no vocabulary-sized rank
+    // window anywhere (the Heaps-law discipline). Shape: one corpus
+    // token explode, position windows partitioned BY DOC (each tiny),
+    // token-keyed aggs, ≤10·|langs| output rows.
+    Q("q_keyphrase",
+      """WITH t AS (SELECT doc_id, lang,
+        |                  unnest(string_split(text, ' ')) AS w,
+        |                  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |           FROM documents),
+        |cnt AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |stp AS (SELECT lang, w FROM (
+        |          SELECT lang, w,
+        |                 row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+        |          FROM cnt) WHERE rk <= 10),
+        |ns AS (SELECT t.doc_id, t.lang, t.w, t.pos,
+        |              CAST(t.pos - row_number() OVER (PARTITION BY t.doc_id
+        |                     ORDER BY t.pos) AS BIGINT) AS grp
+        |       FROM t ANTI JOIN stp ON t.lang = stp.lang AND t.w = stp.w),
+        |ph AS (SELECT doc_id, lang, w, grp,
+        |              CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS l
+        |       FROM ns),
+        |ws AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq,
+        |              CAST(sum(l) AS BIGINT) AS degree
+        |       FROM ph GROUP BY 1, 2),
+        |r AS (SELECT lang, w, freq, degree,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY CAST(degree AS DOUBLE) / freq DESC, w) AS rk
+        |      FROM ws)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, w AS keyword, freq, degree,
+        |       floor((CAST(degree AS DOUBLE) / freq)*1000000+0.5)/1000000 AS score
+        |FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      val topk10 = udaf(new graft.functions.TopKStrAgg(10),
+        Encoders.product[graft.functions.ScoredStr])
+      val t = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val stops = t.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(topk10(col("c").cast("double"), col("w")).as("st"))
+        .select(col("lang"), expr("transform(st, x -> x.id)").as("stops"))
+      val ns = t.join(broadcast(stops), Seq("lang"))
+        .filter(!array_contains(col("stops"), col("w")))
+        .withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      val ws = ns
+        .withColumn("l", count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+        .groupBy("lang", "w")
+        .agg(count(lit(1)).as("freq"), sum("l").as("degree"))
+      val top = ws
+        .groupBy("lang")
+        .agg(topk10((col("degree").cast("double") / col("freq")), col("w")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("w"))
+      ws.join(broadcast(top), Seq("lang", "w"))
+        .select(col("lang"), col("rk"), col("w").as("keyword"),
+          col("freq"), col("degree"),
+          Q.r6(col("degree").cast("double") / col("freq")).as("score"))
+        .orderBy("lang", "rk")
     }
   )
 }

@@ -1449,6 +1449,29 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows("A").getAs[Double]("iv") === r6((ivA + ivB) / 1e9))
   }
 
+  test("q_keyphrase: the filler-corpus fixture reads its closed-form RAKE scores") {
+    import spark.implicits._
+    // ten filler tokens dominate frequency (the data-driven stop set);
+    // doc 6 then holds one 2-word phrase "alpha beta" and the isolated
+    // "gamma": degree/freq = 2/1, 2/1, 1/1 → ranks alpha, beta, gamma.
+    val dir = tempDir("cs_rake")
+    val filler = (0 until 10).map(i => s"f$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, filler)) :+ (6L, "f0 alpha beta f1 gamma")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = q("q_keyphrase", dir).collect()
+      .map(r => r.getAs[Long]("rk") ->
+        (r.getAs[String]("keyword"), r.getAs[Long]("freq"),
+          r.getAs[Long]("degree"), r.getAs[Double]("score"))).toMap
+    assert(rows.size === 3)
+    assert(rows(1L) === (("alpha", 1L, 2L, 2.0)))
+    assert(rows(2L) === (("beta", 1L, 2L, 2.0)))
+    assert(rows(3L) === (("gamma", 1L, 1L, 1.0)))
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")
