@@ -117,6 +117,7 @@ object BenchFloors {
     "q_dup_clusters" -> 1.703,
     "q_durbin_watson" -> 0.35, // r14 close min-merge (bench_r14g)
     "q_elasticity" -> 0.115,
+    "q_embed_dim" -> 1.905, // r15 TimeQuery warm-min harvest
     "q_embed_norms" -> 0.101, // r12 TimeQuery warm-min harvest
     "q_embed_outliers" -> 0.308, // r13 first harvest
     "q_energy_dist" -> 0.15, // r14 close min-merge (bench_r14g)

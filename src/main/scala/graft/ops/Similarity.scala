@@ -777,6 +777,76 @@ object Similarity {
         .limit(10)
     },
 
+    // Effective dimensionality of the embedding corpus (round 15):
+    // the participation ratio PR = (Σλ)²/Σλ² of the covariance
+    // spectrum — "how many directions actually carry variance" (64 =
+    // isotropic, ~1 = collapsed), the encoder-health readout beside
+    // q_embed_norms/q_pca_power. NO eigendecomposition: Σλ = tr(C)
+    // and Σλ² = ‖C‖²_F come straight from covariance entries, and
+    // every cross-row reduction is EXACT — coordinates quantize to
+    // the 1e-3 lattice (the q_embed_norms move), so the (j,k) product
+    // sums and marginals are int64 to the bit; M_jk = n·Σxⱼxₖ −
+    // Σxⱼ·Σxₖ = n²·cov stays integer, the trace is a 64-term int64
+    // sum, and the 2080 Frobenius terms floor onto the unit lattice
+    // before their bounded-frame sum. Shape: per-row in-row expansion
+    // of the 2080 upper-triangle products (n·d² work — linear in n,
+    // map-side partials onto the 2080-key grid), one 64-row broadcast
+    // join; PR is scale-invariant so the lattice factor divides out.
+    Q("q_embed_dim",
+      s"""WITH e AS (SELECT vec_id,
+         |                  list_transform(embedding, v -> CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS x3
+         |           FROM embeddings),
+         |p AS (SELECT unnest(flatten(list_transform(range(0, 64), j ->
+         |             list_transform(range(j, 64), k ->
+         |               {'j': j, 'k': k, 'p': x3[j + 1] * x3[k + 1]})))) AS t
+         |      FROM e),
+         |sp AS (SELECT t.j AS j, t.k AS k, CAST(sum(t.p) AS BIGINT) AS sp FROM p GROUP BY 1, 2),
+         |m1 AS (SELECT unnest(list_transform(range(0, 64), j -> {'j': j, 'v': x3[j + 1]})) AS u
+         |       FROM e),
+         |s1 AS (SELECT u.j AS j, CAST(sum(u.v) AS BIGINT) AS s1 FROM m1 GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |mm AS (SELECT sp.j, sp.k, nn.n AS n,
+         |              nn.n * sp.sp - a.s1 * b.s1 AS m
+         |       FROM sp JOIN s1 a ON sp.j = a.j JOIN s1 b ON sp.k = b.j CROSS JOIN nn),
+         |ag AS (SELECT CAST(max(n) AS BIGINT) AS n,
+         |              CAST(sum(CASE WHEN j = k THEN m ELSE 0 END) AS BIGINT) AS tr,
+         |              CAST(sum(CAST(floor((CASE WHEN j = k THEN 1 ELSE 2 END) * (CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * n)) * (CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * n)) + 0.5) AS BIGINT)) AS BIGINT) AS f2
+         |       FROM mm)
+         |SELECT n, CAST(64 AS BIGINT) AS dim,
+         |       ${Q.sqlR6("CAST(tr AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e6")} AS trace_var,
+         |       CASE WHEN f2 > 0 THEN ${Q.sqlR4("(CAST(tr AS DOUBLE) / (CAST(n AS DOUBLE) * n)) * (CAST(tr AS DOUBLE) / (CAST(n AS DOUBLE) * n)) / f2")} END AS effective_dim
+         |FROM ag""".stripMargin) { (s, d) =>
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(v * 1000 + 0.5) AS BIGINT))").as("x3"))
+        .transform(Q.snapshot)
+      val sp = e.select(explode(expr(
+          """flatten(transform(sequence(0, 63), j ->
+            |  transform(sequence(j, 63), k ->
+            |    named_struct('j', j, 'k', k,
+            |                 'p', element_at(x3, j + 1) * element_at(x3, k + 1)))))""".stripMargin))
+          .as("t"))
+        .select(col("t.j").as("j"), col("t.k").as("k"), col("t.p").as("p"))
+        .groupBy("j", "k").agg(sum("p").as("sp"))
+      val s1 = e.select(posexplode(col("x3")).as(Seq("j0", "v")))
+        .groupBy("j0").agg(sum("v").as("s1"))
+      val nDf = e.agg(count(lit(1)).as("n"))
+      val mm = sp
+        .join(broadcast(s1.select(col("j0").as("j"), col("s1").as("s1a"))), Seq("j"))
+        .join(broadcast(s1.select(col("j0").as("k"), col("s1").as("s1b"))), Seq("k"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("m", col("n") * col("sp") - col("s1a") * col("s1b"))
+      val covd = col("m").cast("double") / (col("n").cast("double") * col("n"))
+      val w = when(col("j") === col("k"), lit(1)).otherwise(lit(2))
+      val ag = mm.agg(max("n").as("n"),
+        sum(when(col("j") === col("k"), col("m")).otherwise(0L)).as("tr"),
+        sum(floor(w * covd * covd + 0.5).cast("long")).as("f2"))
+      val trc = col("tr").cast("double") / (col("n").cast("double") * col("n"))
+      ag.select(col("n"), lit(64L).as("dim"),
+        Q.r6(trc / lit(1e6)).as("trace_var"),
+        when(col("f2") > 0, Q.r4(trc * trc / col("f2"))).as("effective_dim"))
+    },
+
     // Simplified silhouette per label (round 13): s_i = (cos_own −
     // cos_nearest_other) / max(1−cos_own, 1−cos_nearest_other) in
     // cosine distance against the r6-rounded label centroids — the

@@ -1472,6 +1472,31 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows(3L) === (("gamma", 1L, 1L, 1.0)))
   }
 
+  test("q_embed_dim: planted rank-1 and rank-2 spectra read effective_dim 1 and 2") {
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def vec(vals: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); vals.foreach { case (i, v) => a(i) = v }; a
+    }
+    // all variance in dim 0 → PR = 1; unit variance → trace_var = 1
+    val d1 = tempDir("cs_edim1")
+    write(d1, Seq(1L -> vec(0 -> 1f), 2L -> vec(0 -> -1f),
+      3L -> vec(0 -> 1f), 4L -> vec(0 -> -1f)))
+    val r1 = q("q_embed_dim", d1).head()
+    assert(r1.getAs[Double]("effective_dim") === 1.0)
+    assert(r1.getAs[Double]("trace_var") === 1.0)
+    // two independent equal-variance dims → PR = 2
+    val d2 = tempDir("cs_edim2")
+    write(d2, Seq(
+      1L -> vec(0 -> 1f, 1 -> 1f), 2L -> vec(0 -> 1f, 1 -> -1f),
+      3L -> vec(0 -> -1f, 1 -> 1f), 4L -> vec(0 -> -1f, 1 -> -1f)))
+    val r2 = q("q_embed_dim", d2).head()
+    assert(r2.getAs[Double]("effective_dim") === 2.0)
+    assert(r2.getAs[Double]("trace_var") === 2.0)
+  }
+
   test("q_target_encode: the two-brand fixture reads its exact shrunk means and LOO sd") {
     import spark.implicits._
     val dir = tempDir("cs_tenc")

@@ -251,6 +251,36 @@ class OverflowHeadroomSpec extends SparkSpec {
         c.agg(sum(abs((col("c1") + col("c2")) * lit(1e6))))
       })),
 
+    Site("q_woe_iv", "1e9", "iv9 = Σ⌊(gs−bs)·WoE·1e9⌉ over |brands| cells",
+      "const (each |term| ≤ |WoE|max ≈ ln(2(G+B)) — shares ≤ 1; ≤25 brands)",
+      1e6, sf => 25e9 * (ln(2 * liN(sf) + math.E) + 1), None),
+
+    Site("q_embed_dim", "1e3/unit", "M_jk = n·Σx3ⱼx3ₖ − Σx3ⱼ·Σx3ₖ (= n²·cov); f2 = Σ⌊w·cov²⌉ over 2080 cells",
+      "quadratic in vectors (|M| ≤ 2n²·1e6; n ≈ 5e4·sf); f2 const-bounded (cov ≤ 2e6)", 25.0,
+      sf => {
+        val n = 5e4 * sf
+        2 * n * n * 1e6 + 9e15
+      },
+      Some((s, d) => dmax {
+        val e = Tables.load(s, d, "embeddings")
+          .select(expr("transform(embedding, v -> CAST(floor(v * 1000 + 0.5) AS BIGINT))").as("x3"))
+        val sp = e.select(explode(expr(
+            """flatten(transform(sequence(0, 63), j ->
+              |  transform(sequence(j, 63), k ->
+              |    named_struct('j', j, 'k', k,
+              |                 'p', element_at(x3, j + 1) * element_at(x3, k + 1)))))""".stripMargin))
+            .as("t"))
+          .select(col("t.j").as("j"), col("t.k").as("k"), col("t.p").as("p"))
+          .groupBy("j", "k").agg(sum("p").as("sp"))
+        val s1 = e.select(posexplode(col("x3")).as(Seq("j0", "v")))
+          .groupBy("j0").agg(sum("v").as("s1"))
+        val nDf = e.agg(count(lit(1)).as("n"))
+        sp.join(s1.select(col("j0").as("j"), col("s1").as("s1a")), Seq("j"))
+          .join(s1.select(col("j0").as("k"), col("s1").as("s1b")), Seq("k"))
+          .crossJoin(nDf)
+          .agg(max(abs(col("n") * col("sp") - col("s1a") * col("s1b"))))
+      })),
+
     Site("q_ndcg", "1e6", "dcg6/idcg6 = Σ⌊test·w·1e6⌉ over ≤10 terms (w ≤ 1)",
       "const-ish (≤ 10·1e6·max supplier-period revenue; TPC-H lineitems "
         + "per supplier are SF-invariant, so per-supplier cents plateau)", 1e6,
