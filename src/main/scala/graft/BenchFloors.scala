@@ -315,6 +315,7 @@ object BenchFloors {
     "q_text_fingerprint" -> 0.409,
     "q_text_pii" -> 0.05,
     "q_text_stats" -> 0.171,
+    "q_textrank" -> 1.734, // r15 TimeQuery warm-min harvest
     "q_tfidf" -> 0.631,
     "q_theil" -> 0.159,
     "q_theil_sen" -> 0.21,

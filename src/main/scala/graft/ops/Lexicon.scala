@@ -348,6 +348,103 @@ object Lexicon {
             col("sy").cast("double") * col("sy")))).as("r2"))
     },
 
+    // TextRank keyword scoring per language (round 15): PageRank
+    // (d = 0.85, 3 unrolled rounds — the q_pagerank recipe verbatim)
+    // over the word co-occurrence graph, edges between words within
+    // token distance ≤ 2 (the window-2 TextRank construction),
+    // undirected and deduplicated, self-loops dropped. The
+    // graph-centrality companion of q_keyphrase's frequency scoring:
+    // a word bridging many distinct contexts outranks one repeated in
+    // a single template. Every iteration is one (lang, word)-keyed
+    // join + agg on the snapshot edge frame (vocabulary-pair-bounded,
+    // Zipf² — orders below the corpus); readout ranks the 1e-6-rounded
+    // score with the word tie-break through per-lang bounded-buffer
+    // TopK partials (no vocab-sized rank window).
+    Q("q_textrank",
+      """WITH t AS (SELECT doc_id, lang,
+        |                  unnest(string_split(text, ' ')) AS w,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |adj AS (SELECT lang, w,
+        |               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM t),
+        |pr0 AS (SELECT lang, w AS a, w1 AS b FROM adj WHERE w1 IS NOT NULL AND w <> w1
+        |        UNION ALL
+        |        SELECT lang, w, w2 FROM adj WHERE w2 IS NOT NULL AND w <> w2),
+        |und AS (SELECT DISTINCT lang, LEAST(a, b) AS a, GREATEST(a, b) AS b FROM pr0),
+        |edges AS (SELECT lang, a AS src, b AS dst FROM und
+        |          UNION ALL SELECT lang, b, a FROM und),
+        |deg AS (SELECT lang, src, count(*) AS outdeg FROM edges GROUP BY 1, 2),
+        |nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM deg GROUP BY 1),
+        |it0 AS (SELECT d.lang, d.src AS node, 1.0 / nn.n AS pr
+        |        FROM deg d JOIN nn ON d.lang = nn.lang),
+        |it1 AS (SELECT e.lang, e.dst AS node,
+        |               0.15 / nn.n + 0.85 * sum(r.pr / d.outdeg) AS pr
+        |        FROM edges e JOIN it0 r ON e.lang = r.lang AND e.src = r.node
+        |                     JOIN deg d ON e.lang = d.lang AND e.src = d.src
+        |                     JOIN nn ON e.lang = nn.lang
+        |        GROUP BY e.lang, e.dst, nn.n),
+        |it2 AS (SELECT e.lang, e.dst AS node,
+        |               0.15 / nn.n + 0.85 * sum(r.pr / d.outdeg) AS pr
+        |        FROM edges e JOIN it1 r ON e.lang = r.lang AND e.src = r.node
+        |                     JOIN deg d ON e.lang = d.lang AND e.src = d.src
+        |                     JOIN nn ON e.lang = nn.lang
+        |        GROUP BY e.lang, e.dst, nn.n),
+        |it3 AS (SELECT e.lang, e.dst AS node,
+        |               0.15 / nn.n + 0.85 * sum(r.pr / d.outdeg) AS pr
+        |        FROM edges e JOIN it2 r ON e.lang = r.lang AND e.src = r.node
+        |                     JOIN deg d ON e.lang = d.lang AND e.src = d.src
+        |                     JOIN nn ON e.lang = nn.lang
+        |        GROUP BY e.lang, e.dst, nn.n),
+        |rk AS (SELECT lang, node, floor(pr*1000000+0.5)/1000000 AS pr6,
+        |              row_number() OVER (PARTITION BY lang
+        |                ORDER BY floor(pr*1000000+0.5)/1000000 DESC, node) AS rk
+        |       FROM it3)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, node AS word, pr6 AS textrank
+        |FROM rk WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      val t = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val adj = t
+        .withColumn("w1", lead("w", 1).over(wd))
+        .withColumn("w2", lead("w", 2).over(wd))
+      val pr0 = adj.filter(col("w1").isNotNull && col("w") =!= col("w1"))
+        .select(col("lang"), col("w").as("a"), col("w1").as("b"))
+        .unionAll(adj.filter(col("w2").isNotNull && col("w") =!= col("w2"))
+          .select(col("lang"), col("w").as("a"), col("w2").as("b")))
+      val und = pr0.select(col("lang"),
+        least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val edges = und.select(col("lang"), col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("lang"), col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy("lang", "src").agg(count(lit(1)).as("outdeg"))
+      val e = edges.join(deg, Seq("lang", "src")).transform(Q.snapshot)
+      val nn = deg.groupBy("lang").agg(count(lit(1)).as("n"))
+      var ranks = deg.select(col("lang"), col("src").as("node"))
+        .join(broadcast(nn), Seq("lang"))
+        .select(col("lang"), col("node"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        ranks = e
+          .join(ranks.withColumnRenamed("node", "src"), Seq("lang", "src"))
+          .groupBy(col("lang"), col("dst").as("node"))
+          .agg(sum(col("pr") / col("outdeg")).as("mass"))
+          .join(broadcast(nn), Seq("lang"))
+          .select(col("lang"), col("node"),
+            (lit(0.15) / col("n") + lit(0.85) * col("mass")).as("pr"))
+      }
+      val topk10 = udaf(new graft.functions.TopKStrAgg(10),
+        Encoders.product[graft.functions.ScoredStr])
+      ranks.select(col("lang"), col("node"), Q.r6(col("pr")).as("pr6"))
+        .groupBy("lang").agg(topk10(col("pr6"), col("node")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("word"), col("col.score").as("textrank"))
+        .orderBy("lang", "rk")
+    },
+
     // RAKE-lite keyword extraction per language (round 15): stopwords
     // are DATA-DRIVEN — each language's top-10 tokens by frequency
     // (exactly the list q_stopword_profile sizes) — documents split

@@ -1449,6 +1449,36 @@ class CurationSeriesSpec extends SparkSpec {
     assert(rows("A").getAs[Double]("iv") === r6((ivA + ivB) / 1e9))
   }
 
+  test("q_textrank: the 4-word path replays three PageRank rounds by hand") {
+    import spark.implicits._
+    // "a b c d" under window 2 → edges ab, bc, cd, ac, bd; degrees
+    // 2,3,3,2. An independent plain-Scala replication of the three
+    // damped rounds must match the distributed run (symmetry pairs
+    // b=c and a=d tie on the 1e-6 lattice, so word order decides).
+    val dir = tempDir("cs_trank")
+    Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val adj = Map("a" -> Seq("b", "c"), "b" -> Seq("a", "c", "d"),
+      "c" -> Seq("a", "b", "d"), "d" -> Seq("b", "c"))
+    var pr = adj.keys.map(_ -> 0.25).toMap
+    for (_ <- 1 to 3)
+      pr = adj.map { case (w, ns) =>
+        w -> (0.15 / 4 + 0.85 * ns.map(u => pr(u) / adj(u).size).sum)
+      }
+    val rows = q("q_textrank", dir).collect()
+      .map(r => r.getAs[Long]("rk") ->
+        (r.getAs[String]("word"), r.getAs[Double]("textrank"))).toMap
+    assert(rows.size === 4)
+    assert(rows(1L)._1 === "b"); assert(rows(2L)._1 === "c")
+    assert(rows(3L)._1 === "a"); assert(rows(4L)._1 === "d")
+    rows.values.foreach { case (w, v) =>
+      assert(math.abs(v - pr(w)) < 2e-6, s"$w: $v vs ${pr(w)}")
+    }
+  }
+
   test("q_keyphrase: the filler-corpus fixture reads its closed-form RAKE scores") {
     import spark.implicits._
     // ten filler tokens dominate frequency (the data-driven stop set);
