@@ -55,6 +55,7 @@ object BenchFloors {
     "q_boxplot" -> 0.399,
     "q_brier" -> 0.213, // r15 TimeQuery warm-min harvest
     "q_brown_forsythe" -> 0.195,
+    "q_burst_detect" -> 0.336, // r15 TimeQuery warm-min harvest
     "q_burstiness" -> 0.325,
     "q_calibration" -> 0.167, // r15 TimeQuery warm-min harvest
     "q_capture_recapture" -> 1.8, // r14 TimeQuery warm-min harvest
@@ -137,6 +138,7 @@ object BenchFloors {
     "q_friedman" -> 0.255, // r14 close min-merge (bench_r14g)
     "q_funnel" -> 0.297,
     "q_funnel_time" -> 0.302,
+    "q_gap_hist" -> 0.395, // r15 TimeQuery warm-min harvest
     "q_gapfill" -> 0.127,
     "q_gini" -> 0.106,
     "q_granger" -> 0.19, // r14 close min-merge (bench_r14g)

@@ -1192,6 +1192,50 @@ object Analytics {
       trimmedMeanOf(typeCents(s, d))
     },
 
+    // Inter-event gap histogram (round 15): the distribution every
+    // sessionization threshold is read off — per user, the seconds
+    // between consecutive events (any type), bucketed onto log2 bands
+    // via the exact integer BIT-LENGTH path (no double log anywhere,
+    // the q_abc_class move), with each band's share and the cumulative
+    // share (the knee locates the session gap; q_sessionize's 1800 s
+    // sits in band 10/11). Gaps are exact int64 epoch-second
+    // differences under the (es, event_id) total order; the histogram
+    // is LATTICE-bounded (≤ ~32 bands). One user_id exchange, then
+    // windows over the bounded band grid only.
+    Q("q_gap_hist",
+      s"""WITH e AS (SELECT user_id, event_id, ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |g AS (SELECT user_id,
+         |             es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap
+         |      FROM e),
+         |b AS (SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket
+         |      FROM g WHERE gap IS NOT NULL),
+         |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps FROM b GROUP BY 1),
+         |w AS (SELECT bucket, n_gaps,
+         |             CAST(sum(n_gaps) OVER () AS BIGINT) AS tot,
+         |             CAST(sum(n_gaps) OVER (ORDER BY bucket
+         |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM c)
+         |SELECT bucket, n_gaps,
+         |       ${Q.sqlR6("CAST(n_gaps AS DOUBLE) / tot")} AS share,
+         |       ${Q.sqlR6("CAST(cum AS DOUBLE) / tot")} AS cum_share
+         |FROM w
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val wu = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), Q.epochSec(col("ts")).as("es"))
+        .withColumn("gap", col("es") - lag("es", 1).over(wu))
+        .filter(col("gap").isNotNull)
+        .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+      c.withColumn("tot", sum("n_gaps").over(Window.partitionBy()))
+        .withColumn("cum", sum("n_gaps").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket"), col("n_gaps"),
+          Q.r6(col("n_gaps").cast("double") / col("tot")).as("share"),
+          Q.r6(col("cum").cast("double") / col("tot")).as("cum_share"))
+        .orderBy("bucket")
+    },
+
     // Weight-of-evidence / information value of brand vs return risk
     // (round 15): the credit-scoring companion of q_target_encode —
     // per brand, WoE = ln(gs/bs) over the half-adjusted class shares

@@ -1001,6 +1001,73 @@ object Inference {
       sprtOf(dailyCounts(s, d))
     },
 
+    // Kleinberg-style burst detection over the per-type daily series
+    // (round 15, forward-filtered 2-state automaton): each day is
+    // labeled quiet (rate λ₀ = the type's mean daily count) or
+    // BURSTING (λ₁ = 2λ₀) by the cheaper cumulative cost path, with
+    // Poisson-shaped emission costs λ_s − y·ln λ_s (the y! term
+    // cancels between states) and a symmetric switching penalty
+    // γ = 1. Forward FILTERING, not Viterbi smoothing — the label at
+    // day t uses days ≤ t only (the streamable convention,
+    // documented). Determinism: both engines run the identical
+    // left-to-right float recursion — the oracle as a recursive CTE,
+    // Spark as the in-row fold over each day's window collect_list
+    // (the q_holt_winters machinery) — so costs agree to the bit; the
+    // tie c1 = c0 reads quiet in both. Shape: one corpus scan onto
+    // the daily frame; per-type λ arrives broadcast.
+    Q("q_burst_detect",
+      s"""WITH RECURSIVE daily AS ($dailySql),
+         |lam AS (SELECT event_type, CAST(sum(y) AS DOUBLE) / count(*) AS l0
+         |        FROM daily GROUP BY 1),
+         |lx AS (SELECT event_type, l0, ln(l0) AS ll0, 2 * l0 AS l1, ln(2 * l0) AS ll1
+         |       FROM lam),
+         |seq AS (SELECT d.event_type, d.x, d.y, lx.l0, lx.ll0, lx.l1, lx.ll1,
+         |               CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.x) AS BIGINT) AS rn
+         |        FROM daily d JOIN lx ON d.event_type = lx.event_type),
+         |rec AS (SELECT event_type, rn, x, y, l0, ll0, l1, ll1,
+         |               l0 - y * ll0 AS c0, 1.0 + l1 - y * ll1 AS c1
+         |        FROM seq WHERE rn = 1
+         |        UNION ALL
+         |        SELECT s.event_type, s.rn, s.x, s.y, s.l0, s.ll0, s.l1, s.ll1,
+         |               LEAST(r.c0, r.c1 + 1.0) + (s.l0 - s.y * s.ll0),
+         |               LEAST(r.c1, r.c0 + 1.0) + (s.l1 - s.y * s.ll1)
+         |        FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1),
+         |lab AS (SELECT event_type, x, y,
+         |               CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS burst
+         |        FROM rec)
+         |SELECT event_type, x AS day_idx, y, CAST(burst AS BIGINT) AS burst,
+         |       CAST(sum(burst) OVER (PARTITION BY event_type) AS BIGINT) AS n_burst_days
+         |FROM lab
+         |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val lam = daily.groupBy("event_type")
+        .agg((sum("y").cast("double") / count(lit(1))).as("l0"))
+        .select(col("event_type"), col("l0"), log(col("l0")).as("ll0"),
+          (lit(2) * col("l0")).as("l1"), log(lit(2) * col("l0")).as("ll1"))
+      val wx = Window.partitionBy("event_type").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(lam), "event_type")
+        .withColumn("hist", collect_list(col("y")).over(wx))
+        .withColumn("st", expr(
+          """aggregate(hist,
+            |  named_struct('f', CAST(0 AS INT), 'c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS DOUBLE)),
+            |  (acc, y) -> CASE WHEN acc.f = 0
+            |    THEN named_struct('f', 1,
+            |      'c0', l0 - y * ll0,
+            |      'c1', 1.0 + l1 - y * ll1)
+            |    ELSE named_struct('f', 1,
+            |      'c0', LEAST(acc.c0, acc.c1 + 1.0) + (l0 - y * ll0),
+            |      'c1', LEAST(acc.c1, acc.c0 + 1.0) + (l1 - y * ll1))
+            |    END)""".stripMargin))
+        .withColumn("burst",
+          when(col("st.c1") < col("st.c0"), 1L).otherwise(0L))
+        .withColumn("n_burst_days",
+          sum("burst").over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("x").as("day_idx"), col("y"),
+          col("burst"), col("n_burst_days"))
+        .orderBy("event_type", "day_idx")
+    },
+
     // Matrix profile over the per-type daily count series (round 15,
     // m = 3, exact Euclidean): for every 3-consecutive-day window the
     // distance to its nearest non-trivial neighbor (|i−j| ≥ m — the

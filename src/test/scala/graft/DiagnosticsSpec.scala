@@ -532,4 +532,61 @@ class DiagnosticsSpec extends SparkSpec {
     val r2 = run("q_kendall_w", d2).head()
     assert(r2.getAs[Double]("w") === 0.0)
   }
+
+  test("q_burst_detect: a planted spike replays the two-state filter by hand") {
+    // flat [5x7] never bursts; spike [5,5,5,50,50,5,5] bursts exactly
+    // on the two 50-days per the independent plain-Scala replay of
+    // the forward recursion.
+    def replay(ys: Seq[Int]): Seq[Long] = {
+      val l0 = ys.sum.toDouble / ys.length
+      val ll0 = math.log(l0); val ll1 = math.log(2 * l0); val l1 = 2 * l0
+      var c0 = 0.0; var c1 = 0.0; var first = true
+      ys.map { y =>
+        if (first) { c0 = l0 - y * ll0; c1 = 1.0 + l1 - y * ll1; first = false }
+        else {
+          val n0 = math.min(c0, c1 + 1.0) + (l0 - y * ll0)
+          val n1 = math.min(c1, c0 + 1.0) + (l1 - y * ll1)
+          c0 = n0; c1 = n1
+        }
+        if (c1 < c0) 1L else 0L
+      }
+    }
+    val flat = Array(5, 5, 5, 5, 5, 5, 5)
+    val spike = Array(5, 5, 5, 50, 50, 5, 5)
+    val dir = eventsDir(Seq("flat", "spike"), 7,
+      (t, d) => if (t == "flat") flat(d) else spike(d))
+    val rows = run("q_burst_detect", dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_idx")) -> r).toMap
+    val fExp = replay(flat.toIndexedSeq); val sExp = replay(spike.toIndexedSeq)
+    (0 until 7).foreach { d =>
+      assert(rows(("flat", d.toLong)).getAs[Long]("burst") === fExp(d), s"flat d$d")
+      assert(rows(("spike", d.toLong)).getAs[Long]("burst") === sExp(d), s"spike d$d")
+    }
+    assert(sExp === Seq(0L, 0L, 0L, 1L, 1L, 0L, 0L), "the spike days and only they burst")
+    assert(rows(("spike", 0L)).getAs[Long]("n_burst_days") === 2L)
+    assert(rows(("flat", 0L)).getAs[Long]("n_burst_days") === 0L)
+  }
+
+  test("q_gap_hist: planted gaps land in their exact bit-length bands") {
+    import spark.implicits._
+    // one user at epoch offsets 0, 1, 4, 1000 → gaps 1, 3, 996 →
+    // bands len(bin(g+1))-1 = 1, 2, 9; shares 1/3 each
+    val dir = tempDir("diag_gaps")
+    Seq(0L, 1L, 4L, 1000L).zipWithIndex.map { case (off, i) => (i.toLong, off) }
+      .toDF("event_id", "off")
+      .select(col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), lit(0), col("off"))).as("ts"),
+        lit(1L).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = run("q_gap_hist", dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Double]("cum_share"))).toMap
+    assert(rows.keySet === Set(1L, 2L, 9L))
+    assert(rows(1L) === ((1L, r6(1.0 / 3))))
+    assert(rows(2L) === ((1L, r6(2.0 / 3))))
+    assert(rows(9L) === ((1L, 1.0)))
+  }
 }
