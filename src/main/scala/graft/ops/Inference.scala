@@ -1039,33 +1039,7 @@ object Inference {
          |       CAST(sum(burst) OVER (PARTITION BY event_type) AS BIGINT) AS n_burst_days
          |FROM lab
          |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
-      val daily = dailyCounts(s, d)
-      val lam = daily.groupBy("event_type")
-        .agg((sum("y").cast("double") / count(lit(1))).as("l0"))
-        .select(col("event_type"), col("l0"), log(col("l0")).as("ll0"),
-          (lit(2) * col("l0")).as("l1"), log(lit(2) * col("l0")).as("ll1"))
-      val wx = Window.partitionBy("event_type").orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.join(broadcast(lam), "event_type")
-        .withColumn("hist", collect_list(col("y")).over(wx))
-        .withColumn("st", expr(
-          """aggregate(hist,
-            |  named_struct('f', CAST(0 AS INT), 'c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS DOUBLE)),
-            |  (acc, y) -> CASE WHEN acc.f = 0
-            |    THEN named_struct('f', 1,
-            |      'c0', l0 - y * ll0,
-            |      'c1', 1.0 + l1 - y * ll1)
-            |    ELSE named_struct('f', 1,
-            |      'c0', LEAST(acc.c0, acc.c1 + 1.0) + (l0 - y * ll0),
-            |      'c1', LEAST(acc.c1, acc.c0 + 1.0) + (l1 - y * ll1))
-            |    END)""".stripMargin))
-        .withColumn("burst",
-          when(col("st.c1") < col("st.c0"), 1L).otherwise(0L))
-        .withColumn("n_burst_days",
-          sum("burst").over(Window.partitionBy("event_type")))
-        .select(col("event_type"), col("x").as("day_idx"), col("y"),
-          col("burst"), col("n_burst_days"))
-        .orderBy("event_type", "day_idx")
+      burstDetectOf(dailyCounts(s, d))
     },
 
     // Matrix profile over the per-type daily count series (round 15,
@@ -1116,6 +1090,41 @@ object Inference {
       matrixProfileOf(dailyCounts(s, d))
     }
   )
+
+  /** The burst-filter fold over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_burst_detect and the
+    * s_burst_detect streaming read-time view (a late-closing day
+    * re-prices λ and the whole cost recursion; the daily grid is the
+    * mergeable state). */
+  private[graft] def burstDetectOf(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn
+    val lam = daily.groupBy("event_type")
+      .agg((sum("y").cast("double") / count(lit(1))).as("l0"))
+      .select(col("event_type"), col("l0"), log(col("l0")).as("ll0"),
+        (lit(2) * col("l0")).as("l1"), log(lit(2) * col("l0")).as("ll1"))
+    val wx = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(lam), "event_type")
+      .withColumn("hist", collect_list(col("y")).over(wx))
+      .withColumn("st", expr(
+        """aggregate(hist,
+          |  named_struct('f', CAST(0 AS INT), 'c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS DOUBLE)),
+          |  (acc, y) -> CASE WHEN acc.f = 0
+          |    THEN named_struct('f', 1,
+          |      'c0', l0 - y * ll0,
+          |      'c1', 1.0 + l1 - y * ll1)
+          |    ELSE named_struct('f', 1,
+          |      'c0', LEAST(acc.c0, acc.c1 + 1.0) + (l0 - y * ll0),
+          |      'c1', LEAST(acc.c1, acc.c0 + 1.0) + (l1 - y * ll1))
+          |    END)""".stripMargin))
+      .withColumn("burst",
+        when(col("st.c1") < col("st.c0"), 1L).otherwise(0L))
+      .withColumn("n_burst_days",
+        sum("burst").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("x").as("day_idx"), col("y"),
+        col("burst"), col("n_burst_days"))
+      .orderBy("event_type", "day_idx")
+  }
 
   /** The matrix-profile fold (m = 3) over a daily (event_type, x, y)
     * count frame — ONE home shared by batch q_matrix_profile and the

@@ -1112,6 +1112,12 @@ object Streams {
   def kendallWOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.kendallWOf(grid)
 
+  /** Read-time burst-filter projection over a [[dailyGrid]] — a
+    * closing day re-prices λ and the whole cost recursion; the grid
+    * is the mergeable state (s_burst_detect). */
+  def burstDetectOf(grid: DataFrame): DataFrame =
+    graft.ops.Inference.burstDetectOf(grid)
+
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.decomposeOf(grid)

@@ -323,7 +323,7 @@ class StreamingSpec extends SparkSpec {
     } finally { qR.stop(); qT.stop(); qP.stop(); qG.stop() }
   }
 
-  test("s_daily_grid's one streamed grid reproduces its six batch screens") {
+  test("s_daily_grid's one streamed grid reproduces its seven batch screens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -378,6 +378,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_matrix_profile")(spark, sfDir)), "matrix profile")
       assert(rows1(Streams.kendallWOf(grid)) ===
         rows1(SparkEntry.queries("q_kendall_w")(spark, sfDir)), "Kendall W")
+      assert(rows1(Streams.burstDetectOf(grid)) ===
+        rows1(SparkEntry.queries("q_burst_detect")(spark, sfDir)), "burst filter")
     }
   }
 
