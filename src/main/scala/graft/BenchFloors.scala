@@ -309,6 +309,7 @@ object BenchFloors {
     "q_spearman" -> 0.216,
     "q_split_leakage" -> 0.222, // r14 TimeQuery warm-min harvest
     "q_sprt" -> 0.073, // r14 TimeQuery warm-min harvest
+    "q_srm" -> 0.144, // r15 TimeQuery warm-min harvest
     "q_stickiness" -> 0.25,
     "q_stopword_profile" -> 0.113,
     "q_str" -> 0.05,
@@ -326,6 +327,7 @@ object BenchFloors {
     "q_token_count" -> 0.082,
     "q_token_diversity" -> 0.056,
     "q_token_len_hist" -> 0.127,
+    "q_token_novelty" -> 0.472, // r15 TimeQuery warm-min harvest
     "q_topk" -> 0.149,
     "q_topk_agg" -> 0.385,
     "q_trend_fit" -> 0.088,

@@ -430,6 +430,66 @@ object Curation {
               (col("n").cast("double") * (col("n") - 1) / 2))).as("reduction_ratio"))
     },
 
+    // Token-novelty curve over ingest order (round 15): slice the
+    // corpus into ten doc-id deciles (the ingest axis) and ask, per
+    // slice, what share of its token OCCURRENCES are tokens the
+    // corpus has never seen before — the freshness curve that tells a
+    // data team whether a new drop still adds vocabulary or just
+    // repeats the old one (slice 0 reads 1.0 by definition; a flat
+    // tail near 0 means the source went stale). Also per slice: new
+    // TYPES and the cumulative vocabulary (the Heaps curve resampled
+    // on the ingest axis). Determinism: the decile is exact integer
+    // division of doc_id·10 by max_id+1 (the idiv exact-multiple
+    // form); token first-slice is a min over the (slice, token) count
+    // frame. Shape: token-keyed aggs (vocab-bounded, Zipf), one
+    // token-keyed join, windows only over the 10-row slice frame.
+    Q("q_token_novelty",
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |t AS (SELECT (d.doc_id * 10) // (mx.m + 1) AS bucket,
+         |             unnest(string_split(d.text, ' ')) AS w
+         |      FROM documents d, mx),
+         |c AS (SELECT bucket, w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |f AS (SELECT w, CAST(min(bucket) AS BIGINT) AS fb FROM c GROUP BY 1),
+         |j AS (SELECT c.bucket, CAST(sum(c.c) AS BIGINT) AS n_tokens,
+         |             CAST(sum(CASE WHEN f.fb = c.bucket THEN c.c ELSE 0 END) AS BIGINT) AS novel_tokens
+         |      FROM c JOIN f ON c.w = f.w GROUP BY 1),
+         |nt AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_types FROM f GROUP BY 1),
+         |g AS (SELECT j.bucket, j.n_tokens, j.novel_tokens,
+         |             CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types
+         |      FROM j LEFT JOIN nt ON j.bucket = nt.bucket),
+         |wc AS (SELECT *, CAST(sum(new_types) OVER (ORDER BY bucket
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types FROM g)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_tokens, novel_tokens,
+         |       ${Q.sqlR6("CAST(novel_tokens AS DOUBLE) / n_tokens")} AS novelty_share,
+         |       new_types, cum_types
+         |FROM wc
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.Column
+      def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+      val mx = Tables.load(s, d, "documents").agg(max("doc_id").as("m"))
+      val t = Tables.load(s, d, "documents").crossJoin(broadcast(mx))
+        .select(idiv(col("doc_id") * 10, col("m") + 1).as("bucket"),
+          explode(split(col("text"), " ")).as("w"))
+      val c = t.groupBy("bucket", "w").agg(count(lit(1)).as("c"))
+        .transform(Q.snapshot)
+      val f = c.groupBy("w").agg(min("bucket").as("fb"))
+      val j = c.join(f, "w")
+        .groupBy("bucket")
+        .agg(sum("c").as("n_tokens"),
+          sum(when(col("fb") === col("bucket"), col("c")).otherwise(0L))
+            .as("novel_tokens"))
+      val nt = f.groupBy(col("fb").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      j.join(nt, Seq("bucket"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_types", sum("new_types").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket"), col("n_tokens"), col("novel_tokens"),
+          Q.r6(col("novel_tokens").cast("double") / col("n_tokens")).as("novelty_share"),
+          col("new_types"), col("cum_types"))
+        .orderBy("bucket")
+    },
+
     // Perplexity-band bucketing (round 15) — the CCNet curation move:
     // train a char-trigram LM per language ON THE CORPUS ITSELF, score
     // every document's mean per-trigram log-likelihood, and cut each

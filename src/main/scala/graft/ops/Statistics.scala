@@ -700,6 +700,35 @@ object Statistics {
         .orderBy("n_name")
     },
 
+    // Sample-ratio-mismatch gate (round 15): the sanity check that
+    // MUST pass before q_abtest/q_cuped/q_qini are readable — is the
+    // user_id-parity assignment actually delivering the designed
+    // 50/50 split? For two equal-expectation cells the chi-square
+    // collapses to (n_t − n_c)²/N; the flag compares it against the
+    // df=1 α=0.05 critical value 3.841459 as an IEEE literal in both
+    // engines (transcendental-free). Counts are distinct users —
+    // pure int64 off one user-keyed agg; single-row readout.
+    Q("q_srm",
+      s"""WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS trt FROM events),
+         |c AS (SELECT CAST(sum(trt) AS BIGINT) AS n_t,
+         |             CAST(sum(1 - trt) AS BIGINT) AS n_c FROM u)
+         |SELECT n_t, n_c,
+         |       CASE WHEN n_t + n_c > 0 THEN ${Q.sqlR6("CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c)")} END AS chi2,
+         |       CASE WHEN n_t + n_c > 0 THEN
+         |         CAST(CASE WHEN CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c) > 3.841459 THEN 1 ELSE 0 END AS BIGINT)
+         |       END AS srm_flag
+         |FROM c""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("user_id"), (col("user_id") % 2).as("trt")).distinct()
+        .agg(sum("trt").as("n_t"), sum(lit(1) - col("trt")).as("n_c"))
+      val chi2 = ((col("n_t") - col("n_c")) * (col("n_t") - col("n_c")))
+        .cast("double") / (col("n_t") + col("n_c"))
+      c.select(col("n_t"), col("n_c"),
+        when(col("n_t") + col("n_c") > 0, Q.r6(chi2)).as("chi2"),
+        when(col("n_t") + col("n_c") > 0,
+          when(chi2 > 3.841459, 1L).otherwise(0L)).as("srm_flag"))
+    },
+
     // Hash-split A/B test: users split into two variants by user_id
     // parity (any deterministic hash works — parity keeps the twin
     // trivially identical), conversion = reached a high-value purchase

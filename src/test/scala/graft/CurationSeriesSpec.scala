@@ -1479,6 +1479,54 @@ class CurationSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q_srm: a balanced split reads chi2 1/3, an all-treatment split flags") {
+    import spark.implicits._
+    def mk(prefix: String, users: Seq[Long]): String = {
+      val dir = tempDir(prefix)
+      users.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("event_id", "user_id")
+        .withColumn("ts", to_timestamp(lit("2024-01-10 12:00:00")))
+        .withColumn("event_type", lit("click")).withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val r1 = q("q_srm", mk("cs_srm1", Seq(0L, 1L, 2L))).head()
+    assert((r1.getAs[Long]("n_t"), r1.getAs[Long]("n_c")) === ((1L, 2L)))
+    assert(r1.getAs[Double]("chi2") === math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6)
+    assert(r1.getAs[Long]("srm_flag") === 0L)
+    val r2 = q("q_srm", mk("cs_srm2", (0 until 10).map(i => 2L * i + 1))).head()
+    assert((r2.getAs[Long]("n_t"), r2.getAs[Long]("n_c")) === ((10L, 0L)))
+    assert(r2.getAs[Double]("chi2") === 10.0)
+    assert(r2.getAs[Long]("srm_flag") === 1L)
+  }
+
+  test("q_token_novelty: the 10-doc fixture reads its exact freshness curve") {
+    import spark.implicits._
+    // ids 0..9 → one doc per slice (mx = 9). Slice 0 introduces {a, b},
+    // slice 1 half-repeats ("a c"), slice 2 repeats fully; the tail is
+    // all "a" → novelty 1.0, 0.5, 0.0, then zeros; cum types 2, 3, 3…
+    val dir = tempDir("cs_tnov")
+    val texts = Seq("a b", "a c", "a b") ++ Seq.fill(7)("a")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = q("q_token_novelty", dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(rows.size === 10)
+    assert(rows(0L).getAs[Double]("novelty_share") === 1.0)
+    assert(rows(0L).getAs[Long]("new_types") === 2L)
+    assert(rows(1L).getAs[Double]("novelty_share") === 0.5)
+    assert(rows(2L).getAs[Double]("novelty_share") === 0.0)
+    assert(rows(9L).getAs[Double]("novelty_share") === 0.0)
+    assert(rows(2L).getAs[Long]("cum_types") === 3L)
+    assert(rows(9L).getAs[Long]("cum_types") === 3L)
+  }
+
   test("q_keyphrase: the filler-corpus fixture reads its closed-form RAKE scores") {
     import spark.implicits._
     // ten filler tokens dominate frequency (the data-driven stop set);
