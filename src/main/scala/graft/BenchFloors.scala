@@ -25,7 +25,7 @@ object BenchFloors {
     "q_agg_approx_pct" -> 0.164,
     "q_agg_approx_topk" -> 0.176,
     "q_agg_collect" -> 0.167,
-    "q_agg_cube" -> 0.207,
+    "q_agg_cube" -> 0.155,
     "q_agg_distinct" -> 0.164,
     "q_agg_filtered" -> 0.151,
     "q_agg_gsets" -> 0.154,
@@ -39,20 +39,20 @@ object BenchFloors {
     "q_anova" -> 0.087,
     "q_ar1" -> 0.212,
     "q_array" -> 0.081,
-    "q_assoc_rules" -> 1.438,
+    "q_assoc_rules" -> 1.351,
     "q_attribution" -> 0.408,
     "q_auc_roc" -> 0.09, // r15 TimeQuery warm-min harvest
     "q_audience_overlap" -> 0.268,
     "q_bartlett" -> 0.152, // r14 TimeQuery warm-min harvest
-    "q_basket_size_dist" -> 0.362, // r12 TimeQuery warm-min harvest
+    "q_basket_size_dist" -> 0.297, // r12 TimeQuery warm-min harvest
     "q_benford" -> 0.186,
     "q_bigram_logprob" -> 1.002,
     "q_blocking_quality" -> 1.697, // r15 TimeQuery warm-min harvest
     "q_bloom_decontam" -> 1.049,
-    "q_bm25" -> 0.528,
+    "q_bm25" -> 0.47,
     "q_bollinger" -> 0.133,
     "q_bootstrap_ci" -> 0.146,
-    "q_boxplot" -> 0.399,
+    "q_boxplot" -> 0.346,
     "q_brier" -> 0.213, // r15 TimeQuery warm-min harvest
     "q_brown_forsythe" -> 0.128,
     "q_burst_detect" -> 0.156, // r15 TimeQuery warm-min harvest
@@ -88,21 +88,21 @@ object BenchFloors {
     "q_cramers_v" -> 0.084,
     "q_cross_doc_ngram" -> 0.397,
     "q_cuped" -> 0.081,
-    "q_cusum" -> 0.198,
-    "q_dataset_card" -> 0.395, // r14 TimeQuery warm-min harvest
+    "q_cusum" -> 0.145,
+    "q_dataset_card" -> 0.306, // r14 TimeQuery warm-min harvest
     "q_date" -> 0.064,
     "q_day_over_day" -> 0.132,
     "q_decay_score" -> 0.092,
-    "q_decompose" -> 0.179,
+    "q_decompose" -> 0.122,
     "q_decontam" -> 0.603,
     "q_dedup_containment" -> 0.998,
-    "q_dedup_embed" -> 0.415,
+    "q_dedup_embed" -> 0.328,
     "q_dedup_exact" -> 0.106,
     "q_dedup_fuzzy" -> 0.259,
-    "q_dedup_incremental" -> 0.213, // r14 TimeQuery warm-min harvest
-    "q_dedup_keepers" -> 1.648, // r14 close min-merge (bench_r14g)
-    "q_dedup_latest" -> 0.226,
-    "q_dedup_near" -> 1.056,
+    "q_dedup_incremental" -> 0.143, // r14 TimeQuery warm-min harvest
+    "q_dedup_keepers" -> 1.538, // r14 close min-merge (bench_r14g)
+    "q_dedup_latest" -> 0.174,
+    "q_dedup_near" -> 1.001,
     "q_dedup_roi" -> 0.178,
     "q_dedup_simhash" -> 1.187,
     "q_dedup_threshold_curve" -> 0.169,
@@ -118,7 +118,7 @@ object BenchFloors {
     "q_dup_clusters" -> 1.435,
     "q_durbin_watson" -> 0.164, // r14 close min-merge (bench_r14g)
     "q_elasticity" -> 0.115,
-    "q_embed_dim" -> 1.905, // r15 TimeQuery warm-min harvest
+    "q_embed_dim" -> 1.843, // r15 TimeQuery warm-min harvest
     "q_embed_norms" -> 0.101, // r12 TimeQuery warm-min harvest
     "q_embed_outliers" -> 0.206, // r13 first harvest
     "q_energy_dist" -> 0.085, // r14 close min-merge (bench_r14g)
@@ -131,18 +131,18 @@ object BenchFloors {
     "q_exists_subquery" -> 0.205,
     "q_exp_health" -> 0.076,
     "q_fd_violations" -> 0.088, // r15 TimeQuery warm-min harvest
-    "q_filter_cascade" -> 0.428, // r14 TimeQuery warm-min harvest
+    "q_filter_cascade" -> 0.376, // r14 TimeQuery warm-min harvest
     "q_filter_interval" -> 0.082,
     "q_filter_null" -> 0.073,
     "q_filter_pred" -> 0.074,
-    "q_friedman" -> 0.255, // r14 close min-merge (bench_r14g)
+    "q_friedman" -> 0.188, // r14 close min-merge (bench_r14g)
     "q_funnel" -> 0.297,
     "q_funnel_time" -> 0.236,
     "q_gap_hist" -> 0.213, // r15 TimeQuery warm-min harvest
     "q_gapfill" -> 0.127,
     "q_gini" -> 0.106,
     "q_granger" -> 0.19, // r14 close min-merge (bench_r14g)
-    "q_graph_assortativity" -> 1.152, // r14 close min-merge (bench_r14g)
+    "q_graph_assortativity" -> 1.071, // r14 close min-merge (bench_r14g)
     "q_graph_bfs" -> 2.155,
     "q_graph_butterflies" -> 1.555, // r14 close min-merge (bench_r14g)
     "q_graph_clustering" -> 1.222,
@@ -150,8 +150,8 @@ object BenchFloors {
     "q_graph_degree" -> 1.085,
     "q_graph_jaccard" -> 0.981,
     "q_graph_kcore" -> 1.627,
-    "q_graph_modularity" -> 1.15, // r14 close min-merge (bench_r14g)
-    "q_graph_triangles" -> 1.165,
+    "q_graph_modularity" -> 1.063, // r14 close min-merge (bench_r14g)
+    "q_graph_triangles" -> 1.058,
     "q_group_sample" -> 0.125,
     "q_grouped_regression" -> 0.211,
     "q_grubbs" -> 0.15, // r13 first harvest
@@ -189,10 +189,10 @@ object BenchFloors {
     "q_join_range_native" -> 0.223,
     "q_join_semi" -> 0.144,
     "q_join_smj" -> 0.34,
-    "q_join_theta" -> 0.278,
+    "q_join_theta" -> 0.224,
     "q_js_divergence" -> 0.228,
     "q_kaplan_meier" -> 0.138,
-    "q_kendall_tau" -> 1.082,
+    "q_kendall_tau" -> 1.018,
     "q_kendall_w" -> 0.217, // r15 TimeQuery warm-min harvest
     "q_keyphrase" -> 0.595, // r15 TimeQuery warm-min harvest
     "q_knn_ivf" -> 2.37, // r14 close min-merge (bench_r14g)
@@ -210,8 +210,8 @@ object BenchFloors {
     "q_ljung_box" -> 0.213,
     "q_lm_dirichlet" -> 0.334, // r15 TimeQuery warm-min harvest
     "q_log_rank" -> 0.215, // r14 TimeQuery warm-min harvest
-    "q_lorenz" -> 0.381,
-    "q_lsh_tuning" -> 2.312, // r14 close min-merge (bench_r14g)
+    "q_lorenz" -> 0.31,
+    "q_lsh_tuning" -> 2.226, // r14 close min-merge (bench_r14g)
     "q_mad_outliers" -> 0.385,
     "q_mann_kendall" -> 0.206, // r14 extension harvest
     "q_mann_whitney" -> 0.076,
@@ -222,13 +222,13 @@ object BenchFloors {
     "q_matrix_profile" -> 0.188, // r15 TimeQuery warm-min harvest
     "q_mcnemar" -> 0.097, // r14 TimeQuery warm-min harvest
     "q_merge_upsert" -> 0.256,
-    "q_minhash_est_err" -> 1.201, // r12 probe-bounded truth side (array_intersect, no uncapped pair join)
+    "q_minhash_est_err" -> 1.086, // r12 probe-bounded truth side (array_intersect, no uncapped pair join)
     "q_minhash_lsh" -> 0.956,
     "q_mix_weights" -> 0.091,
-    "q_moods_median" -> 0.178, // r14 extension harvest (sorted-array median form)
+    "q_moods_median" -> 0.125, // r14 extension harvest (sorted-array median form)
     "q_mrr" -> 0.327, // r15 TimeQuery warm-min harvest
     "q_multimodal" -> 0.102,
-    "q_multimodal_decode" -> 0.375,
+    "q_multimodal_decode" -> 0.323,
     "q_multimodal_frames" -> 0.709,
     "q_mutual_info" -> 0.136,
     "q_ndcg" -> 0.391, // r15 TimeQuery warm-min harvest
@@ -247,7 +247,7 @@ object BenchFloors {
     "q_partial_corr" -> 0.122,
     "q_pca_power" -> 0.103,
     "q_peak_detection" -> 0.143,
-    "q_periodogram" -> 0.36, // r14 TimeQuery warm-min harvest
+    "q_periodogram" -> 0.287, // r14 TimeQuery warm-min harvest
     "q_pettitt" -> 0.156, // r14 extension harvest (TimeQuery warm-min, sf0.1)
     "q_pivot" -> 0.087,
     "q_poisson_dispersion" -> 0.087, // r13 first harvest
@@ -261,7 +261,7 @@ object BenchFloors {
     "q_profile_approx" -> 1.666,
     "q_project" -> 0.05,
     "q_psi" -> 0.108,
-    "q_qini" -> 0.294, // r15 TimeQuery warm-min harvest
+    "q_qini" -> 0.243, // r15 TimeQuery warm-min harvest
     "q_quality_score" -> 0.079,
     "q_quantile_skew" -> 0.075, // r14 TimeQuery warm-min harvest
     "q_quantize_embed" -> 0.082,
@@ -294,7 +294,7 @@ object BenchFloors {
     "q_ship_lag" -> 0.303, // r12 TimeQuery warm-min harvest
     "q_silhouette" -> 0.238, // r13 TimeQuery warm-min harvest
     "q_sim_brute" -> 0.301,
-    "q_sim_expr" -> 0.227,
+    "q_sim_expr" -> 0.152,
     "q_simpson_diversity" -> 0.149,
     "q_sketch_rollup" -> 0.184,
     "q_skew_agg" -> 0.083,
@@ -303,18 +303,18 @@ object BenchFloors {
     "q_sliding_batch" -> 0.189,
     "q_sort_multi" -> 0.05,
     "q_source_dsv2" -> 0.07,
-    "q_source_dup_matrix" -> 1.251, // r12 TimeQuery warm-min harvest
+    "q_source_dup_matrix" -> 1.123, // r12 TimeQuery warm-min harvest
     "q_source_overlap" -> 1.563, // r14 close min-merge (bench_r14g)
     "q_source_xent" -> 0.394, // r14 TimeQuery warm-min harvest
     "q_spearman" -> 0.216,
     "q_split_leakage" -> 0.222, // r14 TimeQuery warm-min harvest
     "q_sprt" -> 0.073, // r14 TimeQuery warm-min harvest
-    "q_srm" -> 0.144, // r15 TimeQuery warm-min harvest
+    "q_srm" -> 0.05, // r15 TimeQuery warm-min harvest
     "q_stickiness" -> 0.25,
     "q_stopword_profile" -> 0.113,
     "q_str" -> 0.05,
     "q_tail_exact" -> 0.094,
-    "q_target_encode" -> 0.225, // r14 TimeQuery warm-min harvest
+    "q_target_encode" -> 0.162, // r14 TimeQuery warm-min harvest
     "q_text_fingerprint" -> 0.409,
     "q_text_pii" -> 0.05,
     "q_text_stats" -> 0.171,
@@ -327,15 +327,15 @@ object BenchFloors {
     "q_token_count" -> 0.082,
     "q_token_diversity" -> 0.056,
     "q_token_len_hist" -> 0.127,
-    "q_token_novelty" -> 0.472, // r15 TimeQuery warm-min harvest
+    "q_token_novelty" -> 0.245, // r15 TimeQuery warm-min harvest
     "q_topk" -> 0.149,
-    "q_topk_agg" -> 0.385,
+    "q_topk_agg" -> 0.315,
     "q_trend_fit" -> 0.088,
     "q_trimmed_mean" -> 0.073, // r14 TimeQuery warm-min harvest
     "q_tukey_hsd" -> 0.137, // r14 extension harvest
     "q_tumbling_batch" -> 0.152,
     "q_turning_points" -> 0.112, // r13 first harvest
-    "q_unigram_logprob" -> 0.441,
+    "q_unigram_logprob" -> 0.385,
     "q_union_all" -> 0.067,
     "q_union_byname" -> 0.061,
     "q_union_distinct" -> 0.112,
@@ -357,7 +357,7 @@ object BenchFloors {
     "q_win_rank" -> 0.05,
     "q_win_running" -> 0.05,
     "q_win_topk_group" -> 0.381,
-    "q_window_funnel" -> 0.334, // r12 TimeQuery warm-min harvest
+    "q_window_funnel" -> 0.252, // r12 TimeQuery warm-min harvest
     "q_winsorize" -> 0.175,
     "q_woe_iv" -> 0.232, // r15 TimeQuery warm-min harvest
     "q_xcorr" -> 0.174,
