@@ -831,6 +831,13 @@ class StreamingSpec extends SparkSpec {
       val batch = canon(SparkEntry.queries("q_dedup_incremental")(spark, sfDir))
       assert(streamed === batch,
         "stream-static classification must equal the batch prefix run")
+      // at-least-once replay: re-deliver the first chunk — every fold
+      // in the face (min over matches) is idempotent, so the update
+      // stream may re-emit rows but never a DIFFERENT classification
+      in.addData(mixed.take(math.max(1, mixed.length / 3 + 1)).toIndexedSeq)
+      q.processAllAvailable()
+      assert(canon(spark.table("t_incdedup")) === batch,
+        "replayed rows must not change any classification")
     }
   }
 
