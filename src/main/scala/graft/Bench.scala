@@ -37,9 +37,16 @@ object Bench {
     // attribution every round without perturbing the grid below.
     val top = ok.sortBy(-_._2.getOrElse(0.0)).take(math.min(8, math.max(0, k)))
     val topNames = top.map(_._1).toSet
-    // The pool includes the top names (they dedupe out of their own
-    // segment) so segment boundaries cannot move when timings do.
-    val pool = ok.sortBy(_._1)
+    // The pool is ALL names — failed ones included (they render via
+    // errors{}, not here, but they keep their grid slot) and the top
+    // names included (they dedupe out of their own segment) — so
+    // segment boundaries cannot move when timings OR the failure set
+    // do. (The first r15 cut excluded failures from the pool; a query
+    // failing only in the rounds its segment came up would then shift
+    // every later boundary by its char cost and alias a neighbor out
+    // of all four windows — the same class of hole the k-derived top
+    // tier had.)
+    val pool = runs.sortBy(_._1)
     if (pool.isEmpty) return top
     // Char-balanced quarters: entry i goes to segment
     // ⌊charsBefore(i)·4/totalChars⌋, where an entry's cost is its
@@ -50,14 +57,17 @@ object Bench {
     // instead of overflowing the line. Union of the 4 segments = the
     // pool by construction, so 4 consecutive rounds cover everything
     // (BenchRotationSpec simulates this on the real surface AND a
-    // 400-name projection). take(want) below can only truncate if
-    // one segment alone outgrows the whole line budget — at which
-    // point the spec fails loudly and the budget needs renegotiating.
+    // 400-name projection, with constant AND round-varying failure
+    // sets). take(want) below can only truncate if one segment alone
+    // outgrows the whole line budget — at which point the spec fails
+    // loudly and the budget needs renegotiating.
     val costs = pool.map { case (n, _) => shortName(n).length + 7 }
     val total = costs.sum.toDouble
     var cum = 0
     val segOf = costs.map { c => val s = math.min(3, (cum * 4 / total).toInt); cum += c; s }
-    val seg = pool.indices.collect { case i if segOf(i) == roundIdx % 4 => pool(i) }
+    val seg = pool.indices.collect {
+      case i if segOf(i) == roundIdx % 4 && pool(i)._2.isRight => pool(i)
+    }
     val want = math.max(0, k - top.length)
     top ++ seg.filterNot(e => topNames(e._1)).take(want)
   }

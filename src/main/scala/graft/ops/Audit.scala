@@ -68,8 +68,11 @@ object Audit {
     // edges (round 15): for each edge the child row count, the
     // distinct child keys, the orphan rows/keys (child keys with no
     // parent) and the orphan-row rate. Each child collapses to its
-    // (key, rows) frame before the anti-join probe, so the parent
-    // side is only ever joined against a key-bounded frame.
+    // (key, rows) frame first, and the probe runs against the parent
+    // KEY SET (distinct — a parent whose own PK is duplicated must
+    // not fan the child frame out and inflate the very counts this
+    // audit reports), so both sides of the left probe are
+    // key-bounded.
     Q("q_ri_audit",
       s"""WITH e1 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
          |o1 AS (SELECT 'lineitem.l_orderkey->orders' AS relation,
@@ -77,28 +80,28 @@ object Audit {
          |              CAST(count(*) AS BIGINT) AS n_keys,
          |              CAST(coalesce(sum(CASE WHEN o.o_orderkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
          |              CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
-         |       FROM e1 LEFT JOIN orders o ON e1.k = o.o_orderkey),
+         |       FROM e1 LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON e1.k = o.o_orderkey),
          |e2 AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
          |o2 AS (SELECT 'lineitem.l_partkey->part' AS relation,
          |              CAST(sum(c) AS BIGINT) AS n_rows,
          |              CAST(count(*) AS BIGINT) AS n_keys,
          |              CAST(coalesce(sum(CASE WHEN p.p_partkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
          |              CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
-         |       FROM e2 LEFT JOIN part p ON e2.k = p.p_partkey),
+         |       FROM e2 LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON e2.k = p.p_partkey),
          |e3 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
          |o3 AS (SELECT 'lineitem.l_suppkey->supplier' AS relation,
          |              CAST(sum(c) AS BIGINT) AS n_rows,
          |              CAST(count(*) AS BIGINT) AS n_keys,
          |              CAST(coalesce(sum(CASE WHEN s.s_suppkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
          |              CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
-         |       FROM e3 LEFT JOIN supplier s ON e3.k = s.s_suppkey),
+         |       FROM e3 LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON e3.k = s.s_suppkey),
          |e4 AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
          |o4 AS (SELECT 'orders.o_custkey->customer' AS relation,
          |              CAST(sum(c) AS BIGINT) AS n_rows,
          |              CAST(count(*) AS BIGINT) AS n_keys,
          |              CAST(coalesce(sum(CASE WHEN cu.c_custkey IS NULL THEN c END), 0) AS BIGINT) AS orphan_rows,
          |              CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
-         |       FROM e4 LEFT JOIN customer cu ON e4.k = cu.c_custkey),
+         |       FROM e4 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) cu ON e4.k = cu.c_custkey),
          |u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2
          |      UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4)
          |SELECT relation, n_rows, n_keys, orphan_rows, orphan_keys,
@@ -108,7 +111,7 @@ object Audit {
       def edge(rel: String, child: DataFrame, key: String,
                parent: DataFrame, pkey: String): DataFrame = {
         val ck = child.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-        ck.join(parent.select(col(pkey)), col("k") === col(pkey), "left")
+        ck.join(parent.select(col(pkey)).distinct(), col("k") === col(pkey), "left")
           .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
             coalesce(sum(when(col(pkey).isNull, col("c"))), lit(0L)).as("orphan_rows"),
             sum(when(col(pkey).isNull, 1L).otherwise(0L)).as("orphan_keys"))

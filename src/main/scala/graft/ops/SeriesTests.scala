@@ -114,7 +114,12 @@ object SeriesTests {
     (lit(2) * rank().over(Window.partitionBy("x").orderBy("y")) +
       count(lit(1)).over(Window.partitionBy("x", "y")) - 1).cast("long")
 
-  private[graft] def friedmanOf(dailyIn: org.apache.spark.sql.DataFrame)
+  /** Block-design doubled-rank sufficient statistics over a daily
+    * (event_type, x, y) frame — (n, k, sr2 = Σ(2R_j)², tie = Σ(t³−t))
+    * crossed into ONE single-row frame; the shared home under
+    * [[friedmanOf]] and [[kendallWOf]] so the omnibus test and its
+    * effect size can never disagree on the rank machinery. */
+  private def blockRankStats(dailyIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val (grid, dy) = denseGrid(dailyIn)
     val km = grid.withColumn("r2", r2Col)
@@ -123,11 +128,16 @@ object SeriesTests {
     val tt = grid.groupBy("x", "y").agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
     val nn = dy.agg(count(lit(1)).as("n"))
+    nn.crossJoin(broadcast(km)).crossJoin(broadcast(tt))
+  }
+
+  private[graft] def friedmanOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val qRaw = lit(3.0) * col("sr2") / (col("n") * col("k") * (col("k") + 1)) -
       lit(3.0) * col("n") * (col("k") + 1)
     val corr = lit(1) - col("tie").cast("double") /
       (col("n") * col("k") * (col("k") * col("k") - 1))
-    nn.crossJoin(broadcast(km)).crossJoin(broadcast(tt))
+    blockRankStats(dailyIn)
       .select(col("n").as("n_days"), col("k").as("n_types"),
         when(col("k") >= 2, Q.r6(qRaw)).as("q"),
         when(col("k") >= 2 &&
@@ -142,18 +152,11 @@ object SeriesTests {
     * globally). Same denseGrid/r2Col machinery as [[friedmanOf]]. */
   private[graft] def kendallWOf(dailyIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val (grid, dy) = denseGrid(dailyIn)
-    val km = grid.withColumn("r2", r2Col)
-      .groupBy("event_type").agg(sum("r2").as("r2j"))
-      .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("sr2"))
-    val tt = grid.groupBy("x", "y").agg(count(lit(1)).as("t"))
-      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
-    val nn = dy.agg(count(lit(1)).as("n"))
     val den = col("n").cast("double") * col("n") * col("k") *
       (col("k") * col("k") - 1) - col("n").cast("double") * col("tie")
     val num = lit(3.0) * col("sr2") -
       lit(3.0) * col("n") * col("n") * col("k") * (col("k") + 1) * (col("k") + 1)
-    nn.crossJoin(broadcast(km)).crossJoin(broadcast(tt))
+    blockRankStats(dailyIn)
       .select(col("n").as("n_days"), col("k").as("n_types"),
         when(col("k") >= 2 && den > 0, Q.r6(num / den)).as("w"))
   }

@@ -242,6 +242,19 @@ object Statistics {
     * streaming ksCells state share: the corpus collapses to the
     * ≤|cents-domain| distinct-value frame in one map-side-partial agg
     * before any window touches it. */
+  /** DuckDB twin of [[centsGrid]] — the shared `v`/`c` CTE prefix
+    * every cents-grid oracle opens with (13 users at r15). ONE home:
+    * a change to the cents rounding or the purchase/click filter
+    * lands everywhere or nowhere (the TextPipeline.LshPairCtes
+    * discipline). */
+  private[ops] val CentsGridSql: String =
+    """v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+      |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+      |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+      |           FROM events WHERE event_type IN ('purchase', 'click')),
+      |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+      |      FROM v GROUP BY 1)""".stripMargin
+
   private[graft] def centsGrid(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "click"))
@@ -518,18 +531,22 @@ object Statistics {
     * Σ(c·v100) (for the mean predicted score) and the pre-binned
     * Brier cell sum Σ⌊(c1·(s−1)² + c2·s²)·1e6⌉ — every cross-row
     * reduction int64. */
-  private def calibCells(cellsIn: DataFrame): DataFrame = {
+  private def calibCells(cellsIn: DataFrame, withBrier: Boolean): DataFrame = {
     val cw = cellsIn.withColumn("mx", max("v100").over(Window.partitionBy()))
     val s = col("v100").cast("double") / col("mx")
-    cw.select(col("c1"), col("c2"), col("v100"), col("mx"),
-        least(floor(col("v100") * 10 / col("mx")), lit(9.0)).cast("long").as("bin"),
-        floor((col("c1") * (s - 1) * (s - 1) + col("c2") * s * s) * 1e6 + 0.5)
-          .cast("long").as("bs6"))
-      .groupBy("bin")
-      .agg(max("mx").as("mx"),
-        sum(col("c1") + col("c2")).as("nb"), sum("c1").as("pb"),
-        sum((col("c1") + col("c2")) * col("v100")).as("svb"),
-        sum("bs6").as("bs6"))
+    val base = Seq(col("c1"), col("c2"), col("v100"), col("mx"),
+      least(floor(col("v100") * 10 / col("mx")), lit(9.0)).cast("long").as("bin"))
+    // the Brier cell term is opt-in: q_calibration/s_calibration never
+    // read it, so they skip the per-cell floor + multiplies entirely
+    val cols = if (withBrier)
+      base :+ floor((col("c1") * (s - 1) * (s - 1) + col("c2") * s * s) * 1e6 + 0.5)
+        .cast("long").as("bs6")
+    else base
+    val aggs = Seq(max("mx").as("mx"),
+      sum(col("c1") + col("c2")).as("nb"), sum("c1").as("pb"),
+      sum((col("c1") + col("c2")) * col("v100")).as("svb")) ++
+      (if (withBrier) Seq(sum("bs6").as("bs6")) else Nil)
+    cw.select(cols: _*).groupBy("bin").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Brier score + its binned decomposition over the same grid — ONE
@@ -542,7 +559,7 @@ object Statistics {
     * BS only up to within-bin variance — documented, both engines
     * compute the same four numbers. */
   private[graft] def brierOf(cellsIn: DataFrame): DataFrame = {
-    val b = calibCells(cellsIn)
+    val b = calibCells(cellsIn, withBrier = true)
       .withColumn("n", sum("nb").over(Window.partitionBy()))
       .withColumn("n1", sum("pb").over(Window.partitionBy()))
     val sb = col("svb").cast("double") / (col("nb") * col("mx"))
@@ -568,7 +585,7 @@ object Statistics {
     * ECE = Σ nb·|s̄b−ȳb| / N (per-bin terms latticed, the global sum
     * a window over the ≤10-bin frame). */
   private[graft] def calibrationOf(cellsIn: DataFrame): DataFrame = {
-    val b = calibCells(cellsIn)
+    val b = calibCells(cellsIn, withBrier = false)
       .withColumn("n", sum("nb").over(Window.partitionBy()))
     val sb = col("svb").cast("double") / (col("nb") * col("mx"))
     val yb = col("pb").cast("double") / col("nb")
@@ -990,12 +1007,7 @@ object Statistics {
     // windows over that bounded frame, and the winner row is an
     // integer argmax with a smallest-value tie-break.
     Q("q_ks_test",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
          |r AS (SELECT v100,
          |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
@@ -1023,12 +1035,7 @@ object Statistics {
     // ONE division. Shape identical to q_ks_test: one scan, a bounded
     // distinct-cents frame, whole-frame window totals.
     Q("q_cramer_von_mises",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT v100, c1, c2,
          |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
          |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
@@ -1063,12 +1070,7 @@ object Statistics {
     // the final sum. Same shape as q_ks_test: one scan, the bounded
     // distinct-cents frame, whole-frame window totals.
     Q("q_wasserstein_1d",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT v100,
          |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
          |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
@@ -1100,12 +1102,7 @@ object Statistics {
     // contribution floored onto the 1e-9 lattice BEFORE the order-free
     // int64 sum. Same one-scan bounded-grid shape as q_ks_test.
     Q("q_anderson_darling",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT v100, c1, c2,
          |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
          |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
@@ -1138,12 +1135,7 @@ object Statistics {
     // Σ c1·(clicks-below − clicks-above) over the grid — an EXACT
     // int64 fold, ties contributing zero, no lattice anywhere.
     Q("q_cliffs_delta",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT c1, c2,
          |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
          |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
@@ -1209,12 +1201,7 @@ object Statistics {
     // one division; Gini/accuracy-ratio = 2·AUC − 1. Shape: corpus →
     // domain-bounded grid, one running window, single-row output.
     Q("q_auc_roc",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT c1, c2, c1 + c2 AS t,
          |             CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v100
          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1239,12 +1226,7 @@ object Statistics {
     // 1e-6 lattice before the order-free int64 sum. Prevalence rides
     // along as the AP baseline. Same grid, one descending window.
     Q("q_pr_auc",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT c1, c2,
          |             CAST(sum(c1) OVER (ORDER BY v100 DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
          |             CAST(sum(c1 + c2) OVER (ORDER BY v100 DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt
@@ -1266,12 +1248,7 @@ object Statistics {
     // over the shared grid; precision/recall/F1/accuracy/MCC divide
     // out at the end, NULL on their zero margins. Single-row readout.
     Q("q_confusion_matrix",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |m AS (SELECT c1, c2, v100, CAST(max(v100) OVER () AS BIGINT) AS mx FROM c),
          |t AS (SELECT CAST(sum(CASE WHEN v100 * 2 >= mx THEN c1 ELSE 0 END) AS BIGINT) AS tp,
          |             CAST(sum(CASE WHEN NOT (v100 * 2 >= mx) THEN c1 ELSE 0 END) AS BIGINT) AS fn,
@@ -1303,12 +1280,7 @@ object Statistics {
     // hits an integer boundary only when mx divides v100·10, where
     // IEEE division is exact in both engines.
     Q("q_brier",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |m AS (SELECT c1, c2, v100, CAST(max(v100) OVER () AS BIGINT) AS mx FROM c),
          |p AS (SELECT c1, c2, v100, mx,
          |             CAST(LEAST(floor(v100 * 10 / mx), 9) AS BIGINT) AS bin,
@@ -1341,21 +1313,14 @@ object Statistics {
     // terms on the 1e-6 lattice, the global sum a window over the
     // ≤10-bin frame). ≤10 output rows.
     Q("q_calibration",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |m AS (SELECT c1, c2, v100, CAST(max(v100) OVER () AS BIGINT) AS mx FROM c),
          |p AS (SELECT c1, c2, v100, mx,
-         |             CAST(LEAST(floor(v100 * 10 / mx), 9) AS BIGINT) AS bin,
-         |             CAST(floor((c1 * (CAST(v100 AS DOUBLE) / mx - 1) * (CAST(v100 AS DOUBLE) / mx - 1) + c2 * (CAST(v100 AS DOUBLE) / mx) * (CAST(v100 AS DOUBLE) / mx)) * 1e6 + 0.5) AS BIGINT) AS bs6
+         |             CAST(LEAST(floor(v100 * 10 / mx), 9) AS BIGINT) AS bin
          |      FROM m),
          |b AS (SELECT bin, CAST(max(mx) AS BIGINT) AS mx, CAST(sum(c1 + c2) AS BIGINT) AS nb,
          |             CAST(sum(c1) AS BIGINT) AS pb,
-         |             CAST(sum((c1 + c2) * v100) AS BIGINT) AS svb,
-         |             CAST(sum(bs6) AS BIGINT) AS bs6
+         |             CAST(sum((c1 + c2) * v100) AS BIGINT) AS svb
          |      FROM p GROUP BY 1),
          |w AS (SELECT *, CAST(sum(nb) OVER () AS BIGINT) AS n FROM b),
          |e AS (SELECT *, CAST(floor(nb * abs(CAST(svb AS DOUBLE) / (nb * mx) - CAST(pb AS DOUBLE) / nb) * 1e6 + 0.5) AS BIGINT) AS e6 FROM w),
@@ -1378,12 +1343,7 @@ object Statistics {
     // Each cell's √(c1·c2)/(√n1·√n2) floors onto the 1e-9 lattice
     // BEFORE the order-free int64 sum (BC ≤ 1 ⇒ const-bounded).
     Q("q_hellinger",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT c1, c2,
          |             CAST(sum(c1) OVER () AS BIGINT) AS n1,
          |             CAST(sum(c2) OVER () AS BIGINT) AS n2
@@ -1409,12 +1369,7 @@ object Statistics {
     // int64 segment sums over the grid replace the O(cells²) pair
     // expansion; the three divisions happen on the final sums.
     Q("q_energy_dist",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT v100,
          |             CAST(sum(c1) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r1,
          |             CAST(sum(c2) OVER (ORDER BY v100 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r2,
@@ -1615,12 +1570,7 @@ object Statistics {
     // corpus → distinct-cents frame (domain-bounded, not
     // corpus-bounded), running windows over that frame, one-row output.
     Q("q_mann_whitney",
-      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
-         |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
-         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
-         |           FROM events WHERE event_type IN ('purchase', 'click')),
-         |c AS (SELECT v100, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
-         |      FROM v GROUP BY 1),
+      s"""WITH $CentsGridSql,
          |r AS (SELECT c1, c2, c1 + c2 AS t,
          |             CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v100
          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -1608,12 +1608,17 @@ object Streams {
     * classified against the EXISTING deduped corpus as 'exact' (byte-
     * identical text already present — smallest matching existing id),
     * 'near' (shingle-Jaccard ≥ 0.8 against an existing doc) or 'new'.
-    * All corpus knowledge arrives as STATIC frames broadcast per
-    * micro-batch: the md5 → min-id map, the df-capped (lang, shingle)
-    * → existing-doc candidate index (cap 128 — the shinglePairStats
-    * skew bound: a stop-phrase shingle shared by k docs would
-    * contribute k candidate rows per arriving doc), and the per-doc
-    * exact shingle SET the intersection is recomputed from in-row
+    * All corpus knowledge arrives as STATIC frames joined per
+    * micro-batch UNHINTED — the md5 → min-id map, the df-capped
+    * (lang, shingle) → existing-doc candidate index (cap 128 — the
+    * shinglePairStats skew bound: a stop-phrase shingle shared by k
+    * docs would contribute k candidate rows per arriving doc), and
+    * the per-doc exact shingle SET the intersection is recomputed
+    * from in-row. Unhinted is the point: these frames scale with the
+    * EXISTING CORPUS, so the planner broadcasts them only while they
+    * fit and falls back to keyed shuffles at real scale (the
+    * q_dedup_keepers AQE discipline — never force-broadcast a
+    * catalog-scaled side)
     * (the dfCap contract: the cap changes which pairs are DISCOVERED,
     * never a reported count). The stream needs ONE update-mode
     * aggregation keyed by the arriving doc id — no candidate dedup,
@@ -1650,11 +1655,11 @@ object Streams {
       .withColumn("shingles", expr(sh))
       .withColumn("n_a", size(col("shingles")).cast("long"))
       .withColumn("h", md5(col("text").cast("binary")))
-      .join(broadcast(md5Map), Seq("h"), "left")
+      .join(md5Map, Seq("h"), "left")
       .select(col("doc_id"), col("lang"), col("shingles"), col("n_a"), col("ex_m"))
       .withColumn("shingle", explode_outer(col("shingles")))
-      .join(broadcast(index), Seq("lang", "shingle"), "left")
-      .join(broadcast(eSets), Seq("e_id"), "left")
+      .join(index, Seq("lang", "shingle"), "left")
+      .join(eSets, Seq("e_id"), "left")
       .withColumn("inter",
         size(array_intersect(col("shingles"), col("e_set"))).cast("long"))
       .withColumn("jac", col("inter").cast("double") /

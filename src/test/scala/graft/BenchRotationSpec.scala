@@ -125,6 +125,17 @@ class BenchRotationSpec extends AnyFunSuite {
     // failing spec, not a silent stretch. (A failing round also exits
     // nonzero — the loud signal — and a failure persisting 4 rounds is
     // a broken operator, not a starved rotation.)
+    // round-VARYING failures (the r15 review's aliasing case): a
+    // query failing only in some rounds must not shift the char grid
+    // and alias a neighbor out of all four windows — boundaries are
+    // computed over ALL names, pass or fail
+    def withFailsAt(r: Int): Seq[(String, Either[String, Double])] =
+      clean.zipWithIndex.map { case ((n, v), i) =>
+        n -> (if ((i + 29 * r) % 76 == 0)
+                Left("java.lang.RuntimeException: flapping bench failure")
+                  : Either[String, Double]
+              else v)
+      }
     for (base <- 0 to 11) {
       val union4 = (base to base + 3).flatMap(r => reported(clean, r)).toSet
       val missing4 = stripped -- union4
@@ -136,6 +147,11 @@ class BenchRotationSpec extends AnyFunSuite {
       assert(missing4f.isEmpty,
         s"phase $base with ${withFails.count(_._2.isLeft)} fails: ${missing4f.size} " +
           s"queries unreported across 4 rounds: ${missing4f.toSeq.sorted.take(5).mkString(", ")}")
+      val union4v = (base to base + 3).flatMap(r => reported(withFailsAt(r), r)).toSet
+      val missing4v = stripped -- union4v
+      assert(missing4v.isEmpty,
+        s"phase $base flapping fails: ${missing4v.size} queries unreported " +
+          s"across 4 rounds: ${missing4v.toSeq.sorted.take(5).mkString(", ")}")
     }
   }
 
@@ -206,10 +222,11 @@ class BenchRotationSpec extends AnyFunSuite {
 
   test("a simulated 400-query surface still rotates fully in 4 rounds") {
     // The r14 verdict's renegotiation gate: the guarantee must survive
-    // one more round of ~50 additions BEFORE those additions land.
-    // Surface = the real 321 names at floors ×1.3 plus 79 synthetic
-    // names drawn with the real distribution's shape (two 4-char
-    // segments + index), timed at a plausible 0.2-1.5 s.
+    // the NEXT round's additions BEFORE they land. Surface = every
+    // real declared name at floors ×1.3, topped up to 400 with
+    // synthetic names of the real distribution's shape (two 4-char
+    // segments + index; 53 at the r15-close 347), timed at a
+    // plausible 0.2-1.5 s.
     val real = SparkEntry.queries.keys.toSeq.sorted
     val synth = (0 until (400 - real.length)).map(i => f"q_next_face_$i%03d")
     val runs: Seq[(String, Either[String, Double])] =

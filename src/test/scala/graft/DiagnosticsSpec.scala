@@ -422,7 +422,9 @@ class DiagnosticsSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
     Seq(Tuple1(10L)).toDF("c_custkey")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
-    Seq((1L, "A", "T1"), (2L, "A", "T2"), (3L, "B", "T3"))
+    // part 3 is DUPLICATED — the dirty-parent case the RI probe must
+    // not fan out on (counts below stay keyed, not row-multiplied)
+    Seq((1L, "A", "T1"), (2L, "A", "T2"), (3L, "B", "T3"), (3L, "B", "T3"))
       .toDF("p_partkey", "p_brand", "p_type")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
     Seq(Tuple1(5L), Tuple1(6L)).toDF("s_suppkey")
@@ -462,10 +464,10 @@ class DiagnosticsSpec extends SparkSpec {
       (r.getAs[Long]("n_lhs"), r.getAs[Long]("n_lhs_violating"),
         r.getAs[Long]("n_rows"), r.getAs[Long]("n_violating_rows"))
     }
-    assert(fdRow("part.p_partkey->p_brand") === ((3L, 0L, 3L, 0L)))
+    assert(fdRow("part.p_partkey->p_brand") === ((3L, 0L, 4L, 0L)))
     assert(fd("part.p_partkey->p_brand").getAs[Double]("fd_strength") === 1.0)
-    assert(fdRow("part.p_brand->p_type") === ((2L, 1L, 3L, 1L)))
-    assert(fd("part.p_brand->p_type").getAs[Double]("fd_strength") === r6(2.0 / 3))
+    assert(fdRow("part.p_brand->p_type") === ((2L, 1L, 4L, 1L)))
+    assert(fd("part.p_brand->p_type").getAs[Double]("fd_strength") === 0.75)
     assert(fdRow("lineitem.l_orderkey->l_suppkey") === ((3L, 1L, 4L, 1L)))
     assert(fdRow("events.user_id->event_type") === ((2L, 1L, 3L, 1L)))
 
