@@ -1221,19 +1221,11 @@ object Analytics {
          |FROM w
          |ORDER BY bucket""".stripMargin) { (s, d) =>
       val wu = Window.partitionBy("user_id").orderBy("es", "event_id")
-      val c = Tables.events(s, d)
+      gapHistOf(Tables.events(s, d)
         .select(col("user_id"), col("event_id"), Q.epochSec(col("ts")).as("es"))
         .withColumn("gap", col("es") - lag("es", 1).over(wu))
         .filter(col("gap").isNotNull)
-        .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
-      c.withColumn("tot", sum("n_gaps").over(Window.partitionBy()))
-        .withColumn("cum", sum("n_gaps").over(
-          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("bucket"), col("n_gaps"),
-          Q.r6(col("n_gaps").cast("double") / col("tot")).as("share"),
-          Q.r6(col("cum").cast("double") / col("tot")).as("cum_share"))
-        .orderBy("bucket")
+        .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket")))
     },
 
     // Weight-of-evidence / information value of brand vs return risk
@@ -1403,6 +1395,23 @@ object Analytics {
         Window.partitionBy("vol").orderBy("user_id")))
       .crossJoin(broadcast(nRow))
       .withColumn("decile", decile)
+  }
+
+  /** The gap-histogram fold over a per-gap band frame — ONE home
+    * shared by batch q_gap_hist and the s_gap_hist streaming
+    * emissions (the band stream is the mergeable part; shares and the
+    * cumulative knee divide out at read time over the ≤ ~32-band
+    * lattice grid). */
+  private[graft] def gapHistOf(bands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = bands.groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+    c.withColumn("tot", sum("n_gaps").over(Window.partitionBy()))
+      .withColumn("cum", sum("n_gaps").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("n_gaps"),
+        Q.r6(col("n_gaps").cast("double") / col("tot")).as("share"),
+        Q.r6(col("cum").cast("double") / col("tot")).as("cum_share"))
+      .orderBy("bucket")
   }
 
   private[graft] def typeCents(s: SparkSession, d: String)

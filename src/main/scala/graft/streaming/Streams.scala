@@ -1674,6 +1674,41 @@ object Streams {
         coalesce(col("ex_m"), col("nr_m")).as("match_doc"))
   }
 
+  /** Streaming inter-event gap bands (s_gap_hist) — the live face of
+    * batch q_gap_hist: per user, ONE row of state (the last seen
+    * (es, event_id)) turns each arriving event into its gap's exact
+    * log2 band (bit-length arithmetic — the same integer path as the
+    * batch bin() route), emitted append-mode; the histogram, shares
+    * and the session-threshold knee divide out at read time through
+    * the SAME Analytics.gapHistOf fold the batch query runs. Within a
+    * micro-batch events sort by (es, event_id); ACROSS batches the
+    * face assumes event-time-ordered ingestion per user (the
+    * s_new_returning convention — a late event would pair with the
+    * wrong neighbor, exactly as it would in any online gap monitor).
+    * State is user-bounded, never stream-bounded. */
+  def gapBandsStream(events: Dataset[GapEvent]): Dataset[GapBand] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapBand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[GapEvent], state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.es, e.event_id))
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[GapBand]()
+          sorted.foreach { e =>
+            prev.foreach { p =>
+              val gap = e.es - p.es
+              // bit-length − 1 of (gap + 1): identical to the batch
+              // length(bin(gap + 1)) − 1 for every gap ≥ 0
+              out += GapBand(uid, 63L - java.lang.Long.numberOfLeadingZeros(gap + 1))
+            }
+            prev = Some(GapState(e.es, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming keeper election (s_dedup_keepers) — the incremental face
     * of batch q_dedup_keepers: as LSH candidate pairs ARRIVE (the
     * production shape generates them per micro-batch by banding each
@@ -1748,6 +1783,15 @@ object Streams {
   * both docs' lengths (banded candidates never cross languages, so one
   * lang tags the pair). */
 final case class KeeperPair(lang: String, d1: Long, c1: Long, d2: Long, c2: Long)
+
+/** One arriving event for the streaming gap monitor. */
+final case class GapEvent(user_id: Long, es: Long, event_id: Long)
+
+/** Per-user last-seen event — the whole s_gap_hist state. */
+final case class GapState(es: Long, eid: Long)
+
+/** One emitted gap band (exact log2 bucket of the seconds gap). */
+final case class GapBand(user_id: Long, bucket: Long)
 
 /** Per-lang union-find forest over candidate docs, stored flat
   * (parent = component-minimum root), with each node's n_chars. */

@@ -841,6 +841,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_gap_hist band emissions fold to the batch gap histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{GapBand, GapEvent}
+    // event-time-ordered ingestion (the face's documented contract):
+    // the whole sf corpus sorted by (es, event_id), split into three
+    // chunks so most users' gaps straddle a batch boundary
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), Q.epochSec(col("ts")).as("es"), col("event_id"))
+      .as[GapEvent].collect().sortBy(e => (e.es, e.event_id))
+    val chunks = evs.grouped(evs.length / 3 + 1).toSeq
+    val in = MemoryStream[GapEvent]
+    val q = graft.streaming.Streams.gapBandsStream(in.toDS())
+      .writeStream.format("memory").queryName("t_gapbands")
+      .outputMode("append").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val streamed = rows1(graft.ops.Analytics.gapHistOf(
+        Q.snapshot(spark.table("t_gapbands").select("bucket"))))
+      val batch = rows1(SparkEntry.queries("q_gap_hist")(spark, sfDir))
+      assert(streamed === batch,
+        "per-user stateful gap bands must fold to the batch histogram")
+    }
+  }
+
   test("s_dedup_keepers emissions re-resolve to the batch keeper table from out-of-order pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
