@@ -403,6 +403,26 @@ class CorpusScaleSpec extends SparkSpec {
     info(f"ppl_bucket: 1x $t1%.2f s, 10x $t10%.2f s")
   }
 
+  test("q_textrank and q_keyphrase wall-clock stay near-linear at 10x docs") {
+    // both ops key every shuffle on the vocabulary (Zipf-bounded), so
+    // 10x docs must not go superlinear: textrank's edge frame is
+    // vocab-pair-bounded and its 3 iterations are (lang, word)-keyed
+    // joins; keyphrase's stop set and top-10 ride bounded TopK buffers
+    val d1 = synthDir(300, hotPrefix = false)
+    val d10 = synthDir(3000, hotPrefix = false)
+    Seq("q_textrank", "q_keyphrase").foreach { name =>
+      def run(d: String): Long = SparkEntry.queries(name)(spark, d).count()
+      run(d1) // warm codegen/plans
+      val (t1, _) = minTime(() => run(d1))
+      val (t10, _) = minTime(() => run(d10))
+      val bound = 30.0 * math.max(t1, 0.4)
+      assert(t10 <= bound,
+        f"$name took $t10%.2f s at 10x vs $t1%.2f s at 1x — growth " +
+          f"${t10 / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
+      info(f"$name: 1x $t1%.2f s, 10x $t10%.2f s")
+    }
+  }
+
   test("q_capture_recapture keeps BOTH candidate lists banded at 10x (plan)") {
     // The r14 verdict's 6a as a spec: the wall-clock bound above can
     // hide a quadratic behind a fast box, so pin the SHAPE — each
