@@ -1674,6 +1674,27 @@ object Streams {
         coalesce(col("ex_m"), col("nr_m")).as("match_doc"))
   }
 
+  /** Streaming brand-risk counters (s_woe_iv) — the live face of
+    * batch q_woe_iv: arriving lineitem rows join the static part
+    * catalog UNHINTED (catalog-scaled — the planner broadcasts only
+    * while it fits) and fold into the per-brand (n_good, n_bad)
+    * counter grid, fully mergeable (complete/update mode,
+    * |brands|-bounded state); WoE and IV re-price globally as totals
+    * move, so they divide out at read time through the SAME
+    * Analytics.woeOf fold the batch query runs. */
+  def brandRiskCounts(lines: DataFrame, part: DataFrame): DataFrame =
+    lines
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"))
+      .groupBy("p_brand")
+      .agg(sum(lit(1) - col("bad")).as("n_good"), sum("bad").as("n_bad"))
+
+  /** Read-time WoE/IV projection over a [[brandRiskCounts]] grid —
+    * delegates to the SAME fold as batch q_woe_iv. */
+  def woeOf(grid: DataFrame): DataFrame = graft.ops.Analytics.woeOf(grid)
+
   /** Streaming inter-event gap bands (s_gap_hist) — the live face of
     * batch q_gap_hist: per user, ONE row of state (the last seen
     * (es, event_id)) turns each arriving event into its gap's exact

@@ -841,6 +841,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_woe_iv counters fold to the batch WoE/IV table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"))
+      .as[(Long, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val part = Tables.load(spark, sfDir, "part")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams
+      .brandRiskCounts(in.toDF().toDF("l_partkey", "l_returnflag"), part)
+      .writeStream.format("memory").queryName("t_brandrisk")
+      .outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val streamed = rows1(graft.streaming.Streams.woeOf(
+        Q.snapshot(spark.table("t_brandrisk"))))
+      val batch = rows1(SparkEntry.queries("q_woe_iv")(spark, sfDir))
+      assert(streamed === batch,
+        "incremental brand-risk counters must fold to the batch WoE/IV table")
+    }
+  }
+
   test("s_gap_hist band emissions fold to the batch gap histogram") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
