@@ -54,6 +54,31 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** The WoE/IV fold over a (p_brand, n_good, n_bad) risk grid — ONE
+    * home shared by batch q_woe_iv and the s_woe_iv streaming
+    * read-time view (the grid is the mergeable state: per-brand
+    * good/bad counters; shares, WoE and IV re-price globally as
+    * totals move, so they divide out at read time over the
+    * \|brands\|-row frame). */
+  private[graft] def woeOf(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = g
+      .withColumn("gt", sum("n_good").over(Window.partitionBy()))
+      .withColumn("bt", sum("n_bad").over(Window.partitionBy()))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+    val gs = (col("n_good") + 0.5) / (col("gt") + lit(0.5) * col("k"))
+    val bs = (col("n_bad") + 0.5) / (col("bt") + lit(0.5) * col("k"))
+    val woe = log(gs / bs)
+    t.withColumn("woe", woe)
+      .withColumn("iv9", floor((gs - bs) * woe * 1e9 + 0.5).cast("long"))
+      .withColumn("ivt9", sum("iv9").over(Window.partitionBy()))
+      .select(col("p_brand"), col("n_good"), col("n_bad"),
+        Q.r6(col("woe")).as("woe"),
+        Q.r6(col("iv9") / lit(1e9)).as("iv_term"),
+        Q.r6(col("ivt9") / lit(1e9)).as("iv"))
+      .orderBy("p_brand")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Conversion funnel view → click → purchase: per user the earliest
@@ -1380,31 +1405,6 @@ object Analytics {
         Window.partitionBy("vol").orderBy("user_id")))
       .crossJoin(broadcast(nRow))
       .withColumn("decile", decile)
-  }
-
-  /** The WoE/IV fold over a (p_brand, n_good, n_bad) risk grid — ONE
-    * home shared by batch q_woe_iv and the s_woe_iv streaming
-    * read-time view (the grid is the mergeable state: per-brand
-    * good/bad counters; shares, WoE and IV re-price globally as
-    * totals move, so they divide out at read time over the
-    * \|brands\|-row frame). */
-  private[graft] def woeOf(g: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val t = g
-      .withColumn("gt", sum("n_good").over(Window.partitionBy()))
-      .withColumn("bt", sum("n_bad").over(Window.partitionBy()))
-      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
-    val gs = (col("n_good") + 0.5) / (col("gt") + lit(0.5) * col("k"))
-    val bs = (col("n_bad") + 0.5) / (col("bt") + lit(0.5) * col("k"))
-    val woe = log(gs / bs)
-    t.withColumn("woe", woe)
-      .withColumn("iv9", floor((gs - bs) * woe * 1e9 + 0.5).cast("long"))
-      .withColumn("ivt9", sum("iv9").over(Window.partitionBy()))
-      .select(col("p_brand"), col("n_good"), col("n_bad"),
-        Q.r6(col("woe")).as("woe"),
-        Q.r6(col("iv9") / lit(1e9)).as("iv_term"),
-        Q.r6(col("ivt9") / lit(1e9)).as("iv"))
-      .orderBy("p_brand")
   }
 
   /** The gap-histogram fold over a per-gap band frame — ONE home

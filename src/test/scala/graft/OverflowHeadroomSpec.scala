@@ -863,6 +863,10 @@ class OverflowHeadroomSpec extends SparkSpec {
     // shared helpers whose scaling sites are audited under their op
     val helperHomes = Map("Inference.scala" -> "q_cat_entropy",
       "Pricing.scala" -> "q_revenue_bridge",
+      // Analytics' head helpers carry woeOf's shared 1e9 IV lattice,
+      // audited under the q_woe_iv Site row (one fold, batch +
+      // streaming faces)
+      "Analytics.scala" -> "q_woe_iv",
       // SeriesTests.tukeyOf carries the shared s²/n lattice (batch
       // q_tukey_hsd + the s_tukey_hsd read-time view) above the Q blocks
       "SeriesTests.scala" -> "q_tukey_hsd",
