@@ -258,5 +258,53 @@ object Audit {
         .withColumn("completeness",
           Q.r6(lit(1) - col("n_null").cast("double") / col("n_rows")))
         .orderBy("tbl", "col_name")
+    },
+
+    // Candidate-key discovery audit over orders (round 15): per
+    // column, the EXACT distinct-value count, null count and
+    // uniqueness ratio, with is_key = 1 when the column is a
+    // null-free total key — the PK-discovery pass q_fd_violations
+    // assumes already ran. Values unpivot to (column, value-string)
+    // — string casts are injective per engine, so the distinct COUNTS
+    // agree cross-engine even where the rendered strings differ — and
+    // collapse through ONE map-side-partial (column, value) agg, then
+    // a 6-row readout; pure integer counting (the exact path; an
+    // ultra-wide audit at 100 TB swaps in q_profile_approx's HLL
+    // sketches, documented trade).
+    Q("q_key_candidates",
+      s"""WITH u AS (
+         |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+         |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+         |  UNION ALL SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+         |  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+         |  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+         |  UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders),
+         |g AS (SELECT col_name, v, count(*) AS c FROM u GROUP BY 1, 2),
+         |a AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+         |             CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT) AS n_null,
+         |             CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct
+         |      FROM g GROUP BY 1)
+         |SELECT col_name, n_rows, n_null, n_distinct,
+         |       CASE WHEN n_rows - n_null > 0 THEN
+         |         ${Q.sqlR6("CAST(n_distinct AS DOUBLE) / (n_rows - n_null)")} END AS uniqueness,
+         |       CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT) AS is_key
+         |FROM a
+         |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val pairs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+      Tables.load(s, d, "orders")
+        .select(expr(s"stack(${cols.size}, $pairs) AS (col_name, v)"))
+        .groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+        .groupBy("col_name")
+        .agg(sum("c").as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+          when(col("n_rows") - col("n_null") > 0,
+            Q.r6(col("n_distinct").cast("double") /
+              (col("n_rows") - col("n_null")))).as("uniqueness"),
+          when(col("n_distinct") === col("n_rows"), 1L).otherwise(0L).as("is_key"))
+        .orderBy("col_name")
     })
 }

@@ -1251,6 +1251,53 @@ object Diagnostics {
           greatest(col("sa"), col("sb")).as("source_2"))
         .groupBy("source_1", "source_2").agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_1", "source_2")
+    },
+
+    // Distinct-n diversity per source (round 15): distinct-1 =
+    // |unique unigrams|/tokens and distinct-2 = |unique bigrams|/
+    // bigrams — the Li et al. generation-diversity metric applied to
+    // feed QA: a templated or mode-collapsed source reads LOW
+    // distinct-2 even when q_token_diversity's per-doc TTR and
+    // q_cross_doc_ngram's dup share (which needs ≥2 DOCS to fire)
+    // both look healthy, because repetition INSIDE one source's
+    // documents collapses the bigram set. Exact int64 counts off two
+    // vocab-keyed aggs (in-row bigram expansion — the shingles shape,
+    // width 2), two IEEE divisions per |sources|-row readout.
+    Q("q_distinct_ngrams",
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+         |u AS (SELECT source, unnest(words) AS g FROM w),
+         |a1 AS (SELECT source, CAST(sum(c) AS BIGINT) AS t1, CAST(count(*) AS BIGINT) AS u1
+         |       FROM (SELECT source, g, count(*) AS c FROM u GROUP BY 1, 2) GROUP BY 1),
+         |b AS (SELECT source, unnest(list_transform(range(1, len(words)),
+         |             i -> words[i] || ' ' || words[i+1])) AS g
+         |      FROM w WHERE len(words) >= 2),
+         |a2 AS (SELECT source, CAST(sum(c) AS BIGINT) AS t2, CAST(count(*) AS BIGINT) AS u2
+         |       FROM (SELECT source, g, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY 1)
+         |SELECT a1.source, a1.t1 AS n_tokens, a1.u1 AS uniq_1,
+         |       COALESCE(a2.t2, 0) AS n_bigrams, COALESCE(a2.u2, 0) AS uniq_2,
+         |       ${Q.sqlR6("CAST(a1.u1 AS DOUBLE) / a1.t1")} AS distinct_1,
+         |       CASE WHEN a2.t2 > 0 THEN ${Q.sqlR6("CAST(a2.u2 AS DOUBLE) / a2.t2")} END AS distinct_2
+         |FROM a1 LEFT JOIN a2 ON a1.source = a2.source
+         |ORDER BY a1.source""".stripMargin) { (s, d) =>
+      val w = Tables.load(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("words"))
+      val a1 = w.select(col("source"), explode(col("words")).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(sum("c").as("t1"), count(lit(1)).as("u1"))
+      val a2 = w.filter(size(col("words")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))"))
+          .as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(sum("c").as("t2"), count(lit(1)).as("u2"))
+      a1.join(a2, Seq("source"), "left")
+        .select(col("source"), col("t1").as("n_tokens"), col("u1").as("uniq_1"),
+          coalesce(col("t2"), lit(0L)).as("n_bigrams"),
+          coalesce(col("u2"), lit(0L)).as("uniq_2"),
+          Q.r6(col("u1").cast("double") / col("t1")).as("distinct_1"),
+          when(col("t2") > 0,
+            Q.r6(col("u2").cast("double") / col("t2"))).as("distinct_2"))
+        .orderBy("source")
     }
   )
 }

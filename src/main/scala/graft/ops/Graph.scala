@@ -675,6 +675,67 @@ object Graph {
       hitsOf(Tables.load(s, d, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct())
+    },
+
+    // Resource-allocation link prediction over the co-purchase graph
+    // (round 15): RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w) — the
+    // common-neighbor score that discounts hub-mediated evidence
+    // (Zhou/Lü/Zhang's RA index, the log-free sibling of Adamic–Adar:
+    // 1/deg needs no transcendental, so cross-engine parity is
+    // structural). Scored for NON-edges only — pairs the support
+    // threshold has not already connected — which is the "what should
+    // we bundle next" readout next to q_graph_jaccard's scoring of
+    // existing edges. Each wedge's credit floors onto the 1e-6
+    // lattice per common neighbor BEFORE the per-pair sum (order-free
+    // int64; ra6 ≤ deg_max·5e5). Scale: wedges expand per common
+    // neighbor w with deg(w) ≤ [[DegCap]] — hubs beyond the cap carry
+    // ≤ 1/128 credit each but quadratic generation cost, the
+    // q_graph_butterflies bound applied to scoring (documented
+    // truncation, mirrored in the oracle); the pair frame is
+    // support-graph-bounded, the readout a top-20 sort+limit.
+    Q("q_graph_ra",
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT a.pk AS a, b.pk AS b
+         |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |adj AS (SELECT a AS n, b AS x FROM e UNION ALL SELECT b, a FROM e),
+         |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS degw FROM adj GROUP BY 1),
+         |w AS (SELECT adj.n, adj.x, dg.degw FROM adj JOIN dg USING (n)
+         |      WHERE dg.degw BETWEEN 2 AND $DegCap),
+         |p AS (SELECT w1.x AS a, w2.x AS b, w1.degw
+         |      FROM w w1 JOIN w w2 ON w1.n = w2.n AND w1.x < w2.x),
+         |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         |              CAST(sum(CAST(floor((1.0 / degw) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ra6
+         |       FROM p GROUP BY 1, 2),
+         |nw AS (SELECT sc.* FROM sc ANTI JOIN e ON sc.a = e.a AND sc.b = e.b)
+         |SELECT a, b, n_common, ${Q.sqlR6("ra6 / 1e6")} AS ra
+         |FROM nw
+         |ORDER BY ra6 DESC, a, b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val e = coPairs(s, d).transform(snapshot)
+      val adj = e.select(col("a").as("n"), col("b").as("x"))
+        .unionAll(e.select(col("b").as("n"), col("a").as("x")))
+      // neighbor lists per candidate common neighbor, hub-capped; the
+      // pair expansion streams through the coPairsWithSupport
+      // generator shape (posexplode + slice — codegen'd, never a
+      // materialized C(deg,2) struct array)
+      val nbrs = adj.groupBy("n").agg(sort_array(collect_set(col("x"))).as("xs"))
+        .filter(size(col("xs")).between(2, DegCap))
+        .select(size(col("xs")).cast("long").as("degw"), col("xs"))
+      val pairs = nbrs
+        .select(col("degw"), col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
+        .select(col("degw"), col("a"),
+          explode(slice(col("xs"), col("i") + lit(2),
+            size(col("xs")) - col("i") - lit(1))).as("b"))
+      val sc = pairs
+        .withColumn("cr6", floor((lit(1.0) / col("degw")) * lit(1e6) + 0.5).cast("long"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"), sum("cr6").as("ra6"))
+      sc.join(e, Seq("a", "b"), "left_anti")
+        .orderBy(col("ra6").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("n_common"),
+          Q.r6(col("ra6") / lit(1e6)).as("ra"))
     }
   )
 

@@ -515,6 +515,87 @@ object Lexicon {
           col("freq"), col("degree"),
           Q.r6(col("degree").cast("double") / col("freq")).as("score"))
         .orderBy("lang", "rk")
+    },
+
+    // Chao1 vocabulary-richness estimator + Good–Turing sample
+    // coverage per language (round 15): the "how much vocabulary is
+    // still unseen" readout a curation team runs BEFORE deciding
+    // whether more crawl is worth buying — chao1 = V + f1(f1−1)/
+    // (2(f2+1)) (the bias-corrected form: defined even when no type
+    // occurs exactly twice) extrapolates total vocabulary from the
+    // hapax/dis-legomena ratio, and coverage = 1 − f1/N is Good &
+    // Turing's estimate of the token mass already seen. The
+    // diminishing-returns companion of q_heaps_fit's growth exponent
+    // (that fits the curve; this one reads its asymptote). Every
+    // sufficient statistic (V, N, f1, f2) is an exact int64 count off
+    // one (lang, token) agg with map-side partials; the two divisions
+    // are single IEEE ops on exact integers — nothing to lattice.
+    // Scale: the only shuffle is vocabulary-keyed (Zipf — orders
+    // below the corpus), the readout is |langs| rows, no window.
+    Q("q_chao1",
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |tf AS (SELECT lang, tok, count(*) AS c FROM w GROUP BY 1, 2),
+         |a AS (SELECT lang,
+         |             CAST(sum(c) AS BIGINT) AS n,
+         |             CAST(count(*) AS BIGINT) AS v,
+         |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |      FROM tf GROUP BY 1)
+         |SELECT lang, n AS n_tokens, v AS n_types, f1, f2,
+         |       ${Q.sqlR2("v + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))")} AS chao1,
+         |       ${Q.sqlR6("1.0 - CAST(f1 AS DOUBLE) / n")} AS coverage
+         |FROM a
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum("c").as("n"), count(lit(1)).as("v"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("lang"), col("n").as("n_tokens"), col("v").as("n_types"),
+          col("f1"), col("f2"),
+          Q.r2(col("v") + col("f1").cast("double") * (col("f1") - 1) /
+            (lit(2.0) * (col("f2") + 1))).as("chao1"),
+          Q.r6(lit(1.0) - col("f1").cast("double") / col("n")).as("coverage"))
+        .orderBy("lang")
+    },
+
+    // Yule's characteristic K per language (round 15): K = 10⁴·(Σc² −
+    // N)/N² over the term-frequency spectrum — the classical
+    // repetitiveness constant (scale-invariant under corpus growth for
+    // genuinely Zipfian text), which spikes on templated or
+    // boilerplate-heavy sources where q_token_diversity's per-doc TTR
+    // still looks healthy. Same (lang, token) agg as q_chao1; Σc² is
+    // an exact int64 fold (c_max·N ≤ N² ≈ 9e12 per language at sf1 —
+    // int64 holds to sf ≈ 300 even for degenerate single-token
+    // corpora; Zipfian text sits orders below that), and K is one
+    // IEEE tree over two exact integers in both engines.
+    Q("q_yule_k",
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |tf AS (SELECT lang, tok, count(*) AS c FROM w GROUP BY 1, 2),
+         |a AS (SELECT lang,
+         |             CAST(sum(c) AS BIGINT) AS n,
+         |             CAST(count(*) AS BIGINT) AS v,
+         |             CAST(sum(c * c) AS BIGINT) AS m2
+         |      FROM tf GROUP BY 1)
+         |SELECT lang, n AS n_tokens, v AS n_types, m2,
+         |       ${Q.sqlR6("1e4 * (CAST(m2 AS DOUBLE) - n) / (CAST(n AS DOUBLE) * n)")} AS yule_k
+         |FROM a
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum("c").as("n"), count(lit(1)).as("v"),
+          sum(col("c") * col("c")).as("m2"))
+        .select(col("lang"), col("n").as("n_tokens"), col("v").as("n_types"),
+          col("m2"),
+          Q.r6(lit(1e4) * (col("m2").cast("double") - col("n")) /
+            (col("n").cast("double") * col("n"))).as("yule_k"))
+        .orderBy("lang")
     }
   )
 }

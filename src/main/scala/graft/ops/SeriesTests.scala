@@ -1700,6 +1700,201 @@ object SeriesTests {
          |FROM top WHERE rn = 1
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       periodogramOf(Inference.dailyCounts(s, d))
+    },
+
+    // Quade test over the q_friedman block design (round 15): the
+    // weighted within-block rank test — each day's within-day ranks
+    // are weighted by the RANK OF THE DAY'S RANGE across days, so
+    // high-signal days (big spread between types) dominate where
+    // Friedman counts every day equally; the more powerful k-sample
+    // test when effects scale with block level. Exactness: within-day
+    // ranks ride the shared 2·avgrank ints (r2 = 2R), day weights the
+    // same doubled-midrank trick over the |days|-row range frame
+    // (q2 = 2Q), so S2 = q2·(r2−(k+1)) = 4·Q·(R−(k+1)/2) is exact
+    // int64 and F = (n−1)·ΣT_j² / (n·ΣS2² − ΣT_j²) is one mirrored
+    // IEEE tree over three exact int64 sums (all calendar-bounded:
+    // S2 ≤ 4nk). The range-rank window consumes the |days|-row
+    // aggregate frame — never the corpus.
+    Q("q_quade",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |r AS (SELECT event_type, x,
+         |             CAST(2 * rank() OVER (PARTITION BY x ORDER BY y)
+         |               + count(*) OVER (PARTITION BY x, y) - 1 AS BIGINT) AS r2
+         |      FROM grid),
+         |rg AS (SELECT x, CAST(max(y) - min(y) AS BIGINT) AS rng FROM grid GROUP BY 1),
+         |qw AS (SELECT x, CAST(2 * rank() OVER (ORDER BY rng)
+         |               + count(*) OVER (PARTITION BY rng) - 1 AS BIGINT) AS q2
+         |       FROM rg),
+         |km AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy),
+         |sx AS (SELECT r.event_type, CAST(qw.q2 * (r.r2 - (km.k + 1)) AS BIGINT) AS s2
+         |       FROM r JOIN qw USING (x), km),
+         |tj AS (SELECT event_type, CAST(sum(s2) AS BIGINT) AS tj,
+         |              CAST(sum(s2 * s2) AS BIGINT) AS a2
+         |       FROM sx GROUP BY 1),
+         |ag AS (SELECT CAST(sum(tj * tj) AS BIGINT) AS b16,
+         |              CAST(sum(a2) AS BIGINT) AS a16 FROM tj)
+         |SELECT nn.n AS n_days, km.k AS n_types,
+         |       CASE WHEN nn.n * ag.a16 - ag.b16 > 0 THEN
+         |         ${Q.sqlR6("(nn.n - 1) * CAST(ag.b16 AS DOUBLE) / (nn.n * ag.a16 - ag.b16)")}
+         |       END AS quade_f
+         |FROM nn, km, ag""".stripMargin) { (s, d) =>
+      quadeOf(Inference.dailyCounts(s, d))
+    },
+
+    // Cronbach's alpha over the day×type block design (round 15):
+    // treating the event types as ITEMS and the days as CASES, α =
+    // k/(k−1)·(1 − Σᵢσᵢ²/σ_total²) asks whether the types move
+    // TOGETHER day to day — the internal-consistency number behind
+    // q_kendall_w's rank concordance (α reads covariance structure
+    // the rank test flattens; α < 0 = types anti-move). Exactness:
+    // every variance clears its fraction as n·Σy² − (Σy)² — exact
+    // int64 on the dense grid (vt ≈ n²·Σsd², int64 to sf ≈ 500) —
+    // and α is ONE mirrored IEEE tree over two exact integers. Scale:
+    // two grid aggs (type-keyed, day-keyed), single-row output.
+    Q("q_cronbach_alpha",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |iv AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(vi) AS BIGINT) AS sv
+         |       FROM (SELECT event_type,
+         |                    CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vi
+         |             FROM grid GROUP BY 1)),
+         |tv AS (SELECT CAST(count(*) * sum(sd * sd) - sum(sd) * sum(sd) AS BIGINT) AS vt
+         |       FROM (SELECT x, CAST(sum(y) AS BIGINT) AS sd FROM grid GROUP BY 1)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy)
+         |SELECT nn.n AS n_days, iv.k AS n_types,
+         |       CASE WHEN iv.k >= 2 AND tv.vt > 0 THEN
+         |         ${Q.sqlR6("iv.k / (iv.k - 1.0) * (1 - CAST(iv.sv AS DOUBLE) / tv.vt)")}
+         |       END AS alpha
+         |FROM nn, iv, tv""".stripMargin) { (s, d) =>
+      cronbachOf(Inference.dailyCounts(s, d))
+    },
+
+    // Yule–Walker AR(2) fit of per-type daily volume (round 15): the
+    // second-order extension of q_ar1 — φ₁ = r₁(1−r₂)/(1−r₁²),
+    // φ₂ = (r₂−r₁²)/(1−r₁²) from the lag-1/lag-2 autocorrelations,
+    // which separates momentum from oscillation (φ₂ < 0: overshoot-
+    // and-correct dynamics q_ar1's single pole cannot express).
+    // Exactness: on the DENSE zero-filled grid the scaled residual
+    // r_d = n·y_d − s is exact int64, every lag cross-sum is exact
+    // int64 (c_k expanded as n²·p_k − n·s·(a_k+b_k) + (n−k)·s² — the
+    // q_acf clearing), and both φ reduce to integer-ratio trees:
+    // φ₁ = c₁(c₀−c₂)/(c₀²−c₁²), φ₂ = (c₂c₀−c₁²)/(c₀²−c₁²), with the
+    // quadratic products taken in doubles OVER EXACT INT64 (identical
+    // IEEE both engines; c₀ ≈ n²·Σy² holds int64 to sf ≈ 800 — n is
+    // the CALENDAR, only cell counts grow). One grid pass, two
+    // type-partitioned leads, |types|-row output.
+    Q("q_yule_walker",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |ld AS (SELECT event_type, y,
+         |              lead(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS y1,
+         |              lead(y, 2) OVER (PARTITION BY event_type ORDER BY x) AS y2
+         |       FROM grid),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss,
+         |              CAST(sum(CASE WHEN y1 IS NOT NULL THEN y * y1 END) AS BIGINT) AS p1,
+         |              CAST(sum(CASE WHEN y1 IS NOT NULL THEN y END) AS BIGINT) AS a1,
+         |              CAST(sum(y1) AS BIGINT) AS b1,
+         |              CAST(sum(CASE WHEN y2 IS NOT NULL THEN y * y2 END) AS BIGINT) AS p2,
+         |              CAST(sum(CASE WHEN y2 IS NOT NULL THEN y END) AS BIGINT) AS a2,
+         |              CAST(sum(y2) AS BIGINT) AS b2
+         |       FROM ld GROUP BY 1),
+         |c AS (SELECT event_type, n,
+         |             CAST(n * n * ss - n * s * s AS BIGINT) AS c0,
+         |             CAST(n * n * p1 - n * s * (a1 + b1) + (n - 1) * s * s AS BIGINT) AS c1,
+         |             CAST(n * n * p2 - n * s * (a2 + b2) + (n - 2) * s * s AS BIGINT) AS c2
+         |      FROM st)
+         |SELECT event_type, n AS n_days,
+         |       CASE WHEN c0 > 0 THEN ${Q.sqlR6("CAST(c1 AS DOUBLE) / c0")} END AS r1,
+         |       CASE WHEN c0 > 0 THEN ${Q.sqlR6("CAST(c2 AS DOUBLE) / c0")} END AS r2,
+         |       CASE WHEN CAST(c0 AS DOUBLE) * c0 - CAST(c1 AS DOUBLE) * c1 > 0 THEN
+         |         ${Q.sqlR6("CAST(c1 AS DOUBLE) * (c0 - c2) / (CAST(c0 AS DOUBLE) * c0 - CAST(c1 AS DOUBLE) * c1)")}
+         |       END AS phi1,
+         |       CASE WHEN CAST(c0 AS DOUBLE) * c0 - CAST(c1 AS DOUBLE) * c1 > 0 THEN
+         |         ${Q.sqlR6("(CAST(c2 AS DOUBLE) * c0 - CAST(c1 AS DOUBLE) * c1) / (CAST(c0 AS DOUBLE) * c0 - CAST(c1 AS DOUBLE) * c1)")}
+         |       END AS phi2
+         |FROM c
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      yuleWalkerOf(Inference.dailyCounts(s, d))
+    },
+
+    // Normalized spectral entropy of per-type daily volume (round 15):
+    // the PREDICTABILITY screen over q_periodogram's spectrum — H =
+    // −Σ p_k ln p_k / ln(13) over the 13 candidate-period powers
+    // (p = 2..14), plus the peak share. H → 0: one period carries all
+    // the variance (a pure cycle — forecastable); H → 1: flat spectrum
+    // (white noise — don't bother fitting q_holt_winters). Exactness:
+    // each period's variance share rides the SAME one-IEEE-tree `frac`
+    // as q_periodogram, floors onto a 1e-6 lattice per (type, period)
+    // row, so the normalizer tot6 is an order-free int64 sum; each
+    // entropy term then floors onto the 1e-9 lattice before the
+    // 13-term fold (the q_cat_entropy move), and the ln(13) normalizer
+    // is an IEEE literal in both engines. Scale: everything below the
+    // daily grid is a 13-row-per-type frame.
+    Q("q_spectral_entropy",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+         |              CAST(sum(y) AS BIGINT) AS tt FROM grid GROUP BY 1),
+         |r AS (SELECT g.event_type, g.x, CAST(st.dd * g.y - st.tt AS BIGINT) AS r, st.dd
+         |      FROM grid g JOIN st USING (event_type)),
+         |ss AS (SELECT event_type, CAST(sum(r * r) AS BIGINT) AS ssr FROM r GROUP BY 1),
+         |rs AS (SELECT event_type, dd, p, x % p AS res, CAST(sum(r) AS BIGINT) AS sr
+         |       FROM r CROSS JOIN (SELECT CAST(range AS BIGINT) AS p FROM range(2, 15))
+         |       GROUP BY 1, 2, 3, 4),
+         |w AS (SELECT event_type, dd, p, sr,
+         |             CAST(floor(cos(2 * pi() * res / p) * 1e6 + 0.5) AS BIGINT) AS c6,
+         |             CAST(floor(sin(2 * pi() * res / p) * 1e6 + 0.5) AS BIGINT) AS s6
+         |      FROM rs),
+         |ab AS (SELECT event_type, p, CAST(max(dd) AS BIGINT) AS dd,
+         |              CAST(sum(sr * c6) AS BIGINT) AS a6,
+         |              CAST(sum(sr * s6) AS BIGINT) AS b6
+         |       FROM w GROUP BY 1, 2),
+         |fr AS (SELECT ab.event_type, p, dd, ssr,
+         |              CASE WHEN ssr > 0 THEN
+         |                (CAST(a6 AS DOUBLE) * a6 + CAST(b6 AS DOUBLE) * b6) * 2 /
+         |                  (1e12 * dd * ssr) END AS frac
+         |       FROM ab JOIN ss USING (event_type)),
+         |f AS (SELECT event_type, dd,
+         |             CASE WHEN ssr > 0 THEN CAST(floor(frac * 1e6 + 0.5) AS BIGINT)
+         |                  ELSE 0 END AS f6
+         |      FROM fr),
+         |t AS (SELECT event_type, CAST(max(dd) AS BIGINT) AS dd,
+         |             CAST(sum(f6) AS BIGINT) AS tot6, CAST(max(f6) AS BIGINT) AS mx6
+         |      FROM f GROUP BY 1),
+         |e AS (SELECT f.event_type,
+         |             CASE WHEN f.f6 > 0 AND t.tot6 > 0 THEN
+         |               CAST(floor(CAST(f.f6 AS DOUBLE) / t.tot6 *
+         |                 ln(CAST(t.tot6 AS DOUBLE) / f.f6) * 1e9 + 0.5) AS BIGINT)
+         |             ELSE 0 END AS e9
+         |      FROM f JOIN t USING (event_type)),
+         |h AS (SELECT event_type, CAST(sum(e9) AS BIGINT) AS h9 FROM e GROUP BY 1)
+         |SELECT t.event_type, t.dd AS n_days,
+         |       CASE WHEN t.tot6 > 0 THEN
+         |         ${Q.sqlR6("h9 / 1e9 / 2.5649493574615367")} END AS spectral_entropy,
+         |       CASE WHEN t.tot6 > 0 THEN
+         |         ${Q.sqlR6("CAST(mx6 AS DOUBLE) / tot6")} END AS peak_share
+         |FROM t JOIN h USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      spectralEntropyOf(Inference.dailyCounts(s, d))
     }
   )
 
@@ -1709,6 +1904,24 @@ object SeriesTests {
     * The spectrum is not mergeable state — a new day shifts every
     * residue-class sum — the daily grid is. */
   private[graft] def periodogramOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fr = periodogramFrame(dailyIn)
+    fr.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("frac").desc_nulls_last, col("p"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        when(col("ssr") > 0, col("p")).as("best_period"),
+        col("dd").as("n_days"),
+        when(col("ssr") > 0, Q.r6(col("frac"))).as("spectral_frac"))
+      .orderBy("event_type")
+  }
+
+  /** The (event_type, p, dd, ssr, frac) variance-share frame under the
+    * spectral pair — 13 candidate periods per type, `frac` the one
+    * mirrored IEEE tree over exact int64 A/B sums. Shared by
+    * [[periodogramOf]] (argmax readout) and [[spectralEntropyOf]]
+    * (distribution readout) so the two spectra can never drift. */
+  private def periodogramFrame(dailyIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val (grid, _) = denseGrid(dailyIn)
     val g = grid
@@ -1731,19 +1944,137 @@ object SeriesTests {
       .agg(max("dd").as("dd"),
         sum(col("sr") * col("c6")).as("a6"),
         sum(col("sr") * col("s6")).as("b6"))
-    val fr = ab.join(ss, "event_type")
+    ab.join(ss, "event_type")
       .withColumn("frac",
         when(col("ssr") > 0,
           (col("a6").cast("double") * col("a6") +
             col("b6").cast("double") * col("b6")) * 2 /
             (lit(1e12) * col("dd") * col("ssr"))))
-    fr.withColumn("rn", row_number().over(Window.partitionBy("event_type")
-        .orderBy(col("frac").desc_nulls_last, col("p"))))
-      .filter(col("rn") === 1)
+  }
+
+  /** ln(13) as a shortest-round-trip IEEE literal — the q_ndcg
+    * discount-table move: the normalizer is embedded, never evaluated,
+    * so libm can't disagree across engines. */
+  private val Ln13 = 2.5649493574615367
+
+  /** The spectral-entropy fold over a daily (event_type, x, y) frame —
+    * ONE home shared by batch q_spectral_entropy and the
+    * s_spectral_entropy streaming read-time view (the spectrum is not
+    * mergeable; the daily grid is). Each period's variance share
+    * floors onto a 1e-6 lattice (order-free int64 normalizer), each
+    * entropy term onto 1e-9 before the 13-term fold. */
+  private[graft] def spectralEntropyOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val f = periodogramFrame(dailyIn)
+      .select(col("event_type"), col("dd"),
+        when(col("ssr") > 0, floor(col("frac") * lit(1e6) + 0.5).cast("long"))
+          .otherwise(0L).as("f6"))
+    val t = f.groupBy("event_type")
+      .agg(max("dd").as("dd"), sum("f6").as("tot6"), max("f6").as("mx6"))
+    val e = f.join(t.select(col("event_type"), col("tot6")), "event_type")
       .select(col("event_type"),
-        when(col("ssr") > 0, col("p")).as("best_period"),
-        col("dd").as("n_days"),
-        when(col("ssr") > 0, Q.r6(col("frac"))).as("spectral_frac"))
+        when(col("f6") > 0 && col("tot6") > 0,
+          floor(col("f6").cast("double") / col("tot6") *
+            log(col("tot6").cast("double") / col("f6")) * lit(1e9) + 0.5).cast("long"))
+          .otherwise(0L).as("e9"))
+      .groupBy("event_type").agg(sum("e9").as("h9"))
+    t.join(e, "event_type")
+      .select(col("event_type"), col("dd").as("n_days"),
+        when(col("tot6") > 0,
+          Q.r6(col("h9") / lit(1e9) / lit(Ln13))).as("spectral_entropy"),
+        when(col("tot6") > 0,
+          Q.r6(col("mx6").cast("double") / col("tot6"))).as("peak_share"))
       .orderBy("event_type")
+  }
+
+  /** The Yule–Walker AR(2) fold over a daily (event_type, x, y) frame —
+    * ONE home shared by batch q_yule_walker and the s_yule_walker
+    * streaming read-time view (a new day shifts every lag cross-sum;
+    * the daily grid is the mergeable state). All three autocovariance
+    * numerators are exact int64 via the q_acf fraction clearing; the
+    * φ trees run in doubles over exact integers only. */
+  private[graft] def yuleWalkerOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val st = grid
+      .withColumn("y1", lead("y", 1).over(wx))
+      .withColumn("y2", lead("y", 2).over(wx))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("ss"),
+        sum(when(col("y1").isNotNull, col("y") * col("y1"))).as("p1"),
+        sum(when(col("y1").isNotNull, col("y"))).as("a1"),
+        sum(col("y1")).as("b1"),
+        sum(when(col("y2").isNotNull, col("y") * col("y2"))).as("p2"),
+        sum(when(col("y2").isNotNull, col("y"))).as("a2"),
+        sum(col("y2")).as("b2"))
+    val c = st.select(col("event_type"), col("n"),
+      (col("n") * col("n") * col("ss") - col("n") * col("s") * col("s")).as("c0"),
+      (col("n") * col("n") * col("p1") - col("n") * col("s") * (col("a1") + col("b1")) +
+        (col("n") - 1) * col("s") * col("s")).as("c1"),
+      (col("n") * col("n") * col("p2") - col("n") * col("s") * (col("a2") + col("b2")) +
+        (col("n") - 2) * col("s") * col("s")).as("c2"))
+    val den = col("c0").cast("double") * col("c0") - col("c1").cast("double") * col("c1")
+    c.select(col("event_type"), col("n").as("n_days"),
+      when(col("c0") > 0, Q.r6(col("c1").cast("double") / col("c0"))).as("r1"),
+      when(col("c0") > 0, Q.r6(col("c2").cast("double") / col("c0"))).as("r2"),
+      when(den > 0,
+        Q.r6(col("c1").cast("double") * (col("c0") - col("c2")) / den)).as("phi1"),
+      when(den > 0,
+        Q.r6((col("c2").cast("double") * col("c0") -
+          col("c1").cast("double") * col("c1")) / den)).as("phi2"))
+      .orderBy("event_type")
+  }
+
+  /** The Cronbach-alpha fold over a daily (event_type, x, y) frame —
+    * ONE home shared by batch q_cronbach_alpha and the
+    * s_cronbach_alpha streaming read-time view (a new day shifts every
+    * item variance AND the day-total variance; the daily grid is the
+    * mergeable state). Fractions cleared as n·Σy² − (Σy)² — exact
+    * int64 both levels; α is one mirrored IEEE tree. */
+  private[graft] def cronbachOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val iv = grid.groupBy("event_type")
+      .agg((count(lit(1)) * sum(col("y") * col("y")) -
+        sum("y") * sum("y")).as("vi"))
+      .agg(count(lit(1)).as("k"), sum("vi").as("sv"))
+    val tv = grid.groupBy("x").agg(sum("y").as("sd"))
+      .agg((count(lit(1)) * sum(col("sd") * col("sd")) -
+        sum("sd") * sum("sd")).as("vt"))
+    dy.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(iv)).crossJoin(broadcast(tv))
+      .select(col("n").as("n_days"), col("k").as("n_types"),
+        when(col("k") >= 2 && col("vt") > 0,
+          Q.r6(col("k") / (col("k") - lit(1.0)) *
+            (lit(1) - col("sv").cast("double") / col("vt")))).as("alpha"))
+  }
+
+  /** The Quade fold over a daily (event_type, x, y) frame — ONE home
+    * shared by batch q_quade and the s_quade streaming read-time view
+    * (a new day re-weights every block; the daily grid is the
+    * mergeable state). Doubled ranks keep S2 = q2·(r2−(k+1)) exact
+    * int64; the day-weight window consumes the |days|-row range
+    * aggregate, never the corpus. */
+  private[graft] def quadeOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val r = grid.withColumn("r2", r2Col).select("event_type", "x", "r2")
+    val rg = grid.groupBy("x").agg((max("y") - min("y")).as("rng"))
+    val qw = rg.select(col("x"),
+      (lit(2) * rank().over(Window.orderBy("rng")) +
+        count(lit(1)).over(Window.partitionBy("rng")) - 1).cast("long").as("q2"))
+    val km = grid.select("event_type").distinct().agg(count(lit(1)).as("k"))
+    val ag = r.join(qw, "x").crossJoin(broadcast(km))
+      .select(col("event_type"), (col("q2") * (col("r2") - (col("k") + 1))).as("s2"))
+      .groupBy("event_type")
+      .agg(sum("s2").as("tj"), sum(col("s2") * col("s2")).as("a2"))
+      .agg(sum(col("tj") * col("tj")).as("b16"), sum("a2").as("a16"))
+    dy.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(km)).crossJoin(broadcast(ag))
+      .select(col("n").as("n_days"), col("k").as("n_types"),
+        when(col("n") * col("a16") - col("b16") > 0,
+          Q.r6((col("n") - 1) * col("b16").cast("double") /
+            (col("n") * col("a16") - col("b16")))).as("quade_f"))
   }
 }

@@ -415,6 +415,107 @@ object Statistics {
       Q.r6(twoU / (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
   }
 
+  /** The Ansari–Bradley fold over the same (v100, c1, c2) grid — ONE
+    * home shared by batch q_ansari_bradley and the s_ansari_bradley
+    * streaming read-time view: the two-sample SCALE test next to
+    * mwOf's location test (same grid, same running-count window). The
+    * AB score of position i is min(i, N+1−i) — small at both tails —
+    * so a dispersed group collects a SMALL score sum. Tie runs take
+    * the exact average score via the closed-form prefix
+    * f(x) = Σ_{i≤x} min(i, N+1−i) (pure integer-valued arithmetic,
+    * identical CASE tree in both engines); each run's group-1 share
+    * c1·(f(cb+t)−f(cb))/t floors onto a 1e-3 lattice before the
+    * order-free int64 fold (granularity 1e-3 absolute on a statistic
+    * of magnitude N²/8; ab3 ∝ SF²·1e3 — headroom row claims sf ≤ 300).
+    * z uses the classical no-tie moments (documented approximation
+    * under ties — identical in both engines, the q_page_trend move). */
+  private[graft] def abOf(cellsIn: DataFrame): DataFrame = {
+    val c = cellsIn
+    val wb = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, -1)
+    val e = c.select(col("c1"), (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"))
+      .withColumn("nn", sum("t").over(Window.partitionBy()))
+    // f(x) = Σ_{i=1..x} min(i, N+1−i): x(x+1)/2 up to the peak h =
+    // ⌊(N+1)/2⌋, then the mirrored descending tail — integer-valued
+    // doubles throughout (exact in IEEE far past any claimed SF)
+    def f(x: Column, n: Column): Column = {
+      val h = floor((n + 1) / lit(2.0))
+      when(x <= h, x * (x + 1) / lit(2.0))
+        .otherwise(h * (h + 1) / lit(2.0) +
+          ((n - h) * (n - h + 1) - (n - x) * (n - x + 1)) / lit(2.0))
+    }
+    val sRun = f(col("cb") + col("t"), col("nn")) - f(col("cb"), col("nn"))
+    val t = e
+      .withColumn("ab3",
+        floor(col("c1") * sRun / col("t") * lit(1e3) + 0.5).cast("long"))
+      .agg(sum("c1").as("n1"), (max("nn") - sum("c1")).as("n2"),
+        coalesce(sum("ab3"), lit(0L)).as("ab3"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val nn = col("n1") + col("n2")
+    val even = nn % 2 === 0
+    val mu = when(even, n1 * (nn + 2) / lit(4.0))
+      .otherwise(n1 * (nn + 1) * (nn + 1) / (lit(4.0) * nn))
+    val varAb = when(even,
+      n1 * n2 * (nn + 2) * (nn - 2) / (lit(48.0) * (nn - 1)))
+      .otherwise(n1 * n2 * (nn + 1) * (lit(3.0) + nn.cast("double") * nn) /
+        (lit(48.0) * nn * nn))
+    t.select(col("n1"), col("n2"),
+      Q.r6(col("ab3") / lit(1e3)).as("ab"),
+      when(col("n1") > 0 && col("n2") > 0 && varAb > 0,
+        Q.r6((col("ab3") / lit(1e3) - mu) / sqrt(varAb))).as("z"))
+  }
+
+  /** The Brunner–Munzel fold over the same (v100, c1, c2) grid — ONE
+    * home shared by batch q_brunner_munzel and the s_brunner_munzel
+    * streaming read-time view: the heteroscedastic replacement for
+    * mwOf when the two groups differ in spread (the classical MW z
+    * assumes exchangeable variances; BM studentizes with per-group
+    * rank variances and a Welch-type df). Every rank quantity rides
+    * doubled midranks (overall r2 = 2cb+t+1; within-group r2wᵢ =
+    * 2cbᵢ+cᵢ+1) so the deviation d = (r2−r2w)/2 + (nᵢ+1)/2 − R̄ᵢ is
+    * ONE IEEE tree over exact int64; each cell's c·d² floors onto the
+    * UNIT lattice before the order-free int64 fold (u ≤ N³ — the
+    * q_spearman growth class; headroom row claims sf ≤ 3, beyond
+    * which the deviation sums need DECIMAL). */
+  private[graft] def bmOf(cellsIn: DataFrame): DataFrame = {
+    val c = cellsIn
+    val wb = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val e = c.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"),
+        coalesce(sum("c1").over(wb), lit(0L)).as("cb1"),
+        coalesce(sum("c2").over(wb), lit(0L)).as("cb2"))
+      .withColumn("r2c", lit(2) * col("cb") + col("t") + 1)
+      .withColumn("n1", sum("c1").over(wAll))
+      .withColumn("n2", sum("c2").over(wAll))
+      .withColumn("rx2", sum(col("c1") * col("r2c")).over(wAll))
+      .withColumn("ry2", sum(col("c2") * col("r2c")).over(wAll))
+    val d1 = (col("r2c") - (lit(2) * col("cb1") + col("c1") + 1)) / lit(2.0) +
+      (col("n1") + 1) / lit(2.0) - col("rx2") / (lit(2.0) * col("n1"))
+    val d2 = (col("r2c") - (lit(2) * col("cb2") + col("c2") + 1)) / lit(2.0) +
+      (col("n2") + 1) / lit(2.0) - col("ry2") / (lit(2.0) * col("n2"))
+    val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
+      max("rx2").as("rx2"), max("ry2").as("ry2"),
+      coalesce(sum(floor(col("c1") * d1 * d1 + 0.5).cast("long")), lit(0L)).as("u1"),
+      coalesce(sum(floor(col("c2") * d2 * d2 + 0.5).cast("long")), lit(0L)).as("u2"))
+    val nn = col("n1") + col("n2")
+    val rbar1 = col("rx2") / (lit(2.0) * col("n1"))
+    val rbar2 = col("ry2") / (lit(2.0) * col("n2"))
+    val s1 = col("u1") / (col("n1") - lit(1.0))
+    val s2 = col("u2") / (col("n2") - lit(1.0))
+    val v = col("n1") * s1 + col("n2") * s2
+    val dfDen = (col("n1") * s1) * (col("n1") * s1) / (col("n1") - lit(1.0)) +
+      (col("n2") * s2) * (col("n2") * s2) / (col("n2") - lit(1.0))
+    t.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Q.r6((rbar2 - (col("n2") + 1) / lit(2.0)) / col("n1"))).as("p_hat"),
+      when(col("n1") >= 2 && col("n2") >= 2 && v > 0,
+        Q.r6(col("n1") * col("n2") * (rbar2 - rbar1) / nn / sqrt(v))).as("w"),
+      when(col("n1") >= 2 && col("n2") >= 2 && dfDen > 0,
+        Q.r2(v * v / dfDen)).as("df"))
+  }
+
   /** The power-analysis fold over the same (v100, c1, c2) grid — ONE
     * home shared by batch q_power_analysis and the s_power_analysis
     * streaming read-time view: per-group moments derive EXACTLY from
@@ -1588,6 +1689,119 @@ object Statistics {
       // routed through the shared cents grid since round 14 — the
       // NINTH statistic the one (v100, c1, c2) exchange serves
       mwOf(centsGrid(s, d))
+    },
+
+    // Ansari–Bradley two-sample scale test (round 15): do purchase and
+    // click values differ in DISPERSION — the rank test q_mann_whitney
+    // cannot see (AB scores min(i, N+1−i) peak at the median, so a
+    // group pushed into the tails collects a SMALL score sum;
+    // z < 0 ⇒ group 1 more dispersed). Same shared cents grid, same
+    // single running-count window; tie runs take their exact average
+    // score via the closed-form prefix f(x) = Σ min(i, N+1−i), each
+    // run's share latticed to 1e-3 before the order-free int64 fold;
+    // the z moments are the classical no-tie forms (documented
+    // approximation under ties, identical in both engines).
+    Q("q_ansari_bradley",
+      s"""WITH $CentsGridSql,
+         |r AS (SELECT c1, c1 + c2 AS t,
+         |             CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v100
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                  AS BIGINT) AS cb
+         |      FROM c),
+         |r2 AS (SELECT c1, t, cb, CAST(sum(t) OVER () AS BIGINT) AS nn FROM r),
+         |s AS (SELECT c1, t,
+         |             (CASE WHEN cb + t <= floor((nn + 1) / 2.0)
+         |                THEN (cb + t) * (cb + t + 1) / 2.0
+         |                ELSE floor((nn + 1) / 2.0) * (floor((nn + 1) / 2.0) + 1) / 2.0 +
+         |                  ((nn - floor((nn + 1) / 2.0)) * (nn - floor((nn + 1) / 2.0) + 1) -
+         |                   (nn - cb - t) * (nn - cb - t + 1)) / 2.0 END
+         |              -
+         |              CASE WHEN cb <= floor((nn + 1) / 2.0)
+         |                THEN cb * (cb + 1) / 2.0
+         |                ELSE floor((nn + 1) / 2.0) * (floor((nn + 1) / 2.0) + 1) / 2.0 +
+         |                  ((nn - floor((nn + 1) / 2.0)) * (nn - floor((nn + 1) / 2.0) + 1) -
+         |                   (nn - cb) * (nn - cb + 1)) / 2.0 END) AS srun,
+         |             nn
+         |      FROM r2),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |             CAST(max(nn) - sum(c1) AS BIGINT) AS n2,
+         |             CAST(coalesce(sum(CAST(floor(c1 * srun / t * 1e3 + 0.5) AS BIGINT)), 0) AS BIGINT) AS ab3
+         |      FROM s)
+         |SELECT n1, n2, ${Q.sqlR6("ab3 / 1e3")} AS ab,
+         |       CASE WHEN n1 > 0 AND n2 > 0 AND
+         |         (CASE WHEN (n1 + n2) % 2 = 0
+         |            THEN CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 2) * (n1 + n2 - 2) / (48.0 * (n1 + n2 - 1))
+         |            ELSE CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) * (3.0 + CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) / (48.0 * (n1 + n2) * (n1 + n2)) END) > 0
+         |       THEN ${Q.sqlR6(
+                 "(ab3 / 1e3 - CASE WHEN (n1 + n2) % 2 = 0 " +
+                 "THEN CAST(n1 AS DOUBLE) * (n1 + n2 + 2) / 4.0 " +
+                 "ELSE CAST(n1 AS DOUBLE) * (n1 + n2 + 1) * (n1 + n2 + 1) / (4.0 * (n1 + n2)) END) / " +
+                 "sqrt(CASE WHEN (n1 + n2) % 2 = 0 " +
+                 "THEN CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 2) * (n1 + n2 - 2) / (48.0 * (n1 + n2 - 1)) " +
+                 "ELSE CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) * (3.0 + CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) / (48.0 * (n1 + n2) * (n1 + n2)) END)")}
+         |       END AS z
+         |FROM t""".stripMargin) { (s, d) =>
+      abOf(centsGrid(s, d))
+    },
+
+    // Brunner–Munzel test between purchase and click values (round
+    // 15): the heteroscedastic replacement for q_mann_whitney — BM
+    // studentizes the rank mean gap with PER-GROUP rank variances and
+    // a Welch-type df, so unequal spreads (exactly what
+    // q_ansari_bradley detects) no longer invalidate the location
+    // test; p_hat is the common-language effect P(X1 < X2) + ½ties.
+    // Same shared cents grid; overall AND within-group doubled
+    // midranks off one window chain; each cell's c·d² floors onto the
+    // UNIT lattice before the order-free int64 fold (headroom row:
+    // SF³, claimed sf ≤ 3 — the q_spearman class).
+    Q("q_brunner_munzel",
+      s"""WITH $CentsGridSql,
+         |r AS (SELECT c1, c2, c1 + c2 AS t,
+         |             CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v100
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                  AS BIGINT) AS cb,
+         |             CAST(coalesce(sum(c1) OVER (ORDER BY v100
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                  AS BIGINT) AS cb1,
+         |             CAST(coalesce(sum(c2) OVER (ORDER BY v100
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                  AS BIGINT) AS cb2
+         |      FROM c),
+         |r2 AS (SELECT *, CAST(2 * cb + t + 1 AS BIGINT) AS r2c,
+         |              CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         |              CAST(sum(c2) OVER () AS BIGINT) AS n2,
+         |              CAST(sum(c1 * (2 * cb + t + 1)) OVER () AS BIGINT) AS rx2,
+         |              CAST(sum(c2 * (2 * cb + t + 1)) OVER () AS BIGINT) AS ry2
+         |       FROM r),
+         |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         |             CAST(max(rx2) AS BIGINT) AS rx2, CAST(max(ry2) AS BIGINT) AS ry2,
+         |             CAST(coalesce(sum(CAST(floor(c1 *
+         |               ((r2c - (2 * cb1 + c1 + 1)) / 2.0 + (n1 + 1) / 2.0 - rx2 / (2.0 * n1)) *
+         |               ((r2c - (2 * cb1 + c1 + 1)) / 2.0 + (n1 + 1) / 2.0 - rx2 / (2.0 * n1))
+         |               + 0.5) AS BIGINT)), 0) AS BIGINT) AS u1,
+         |             CAST(coalesce(sum(CAST(floor(c2 *
+         |               ((r2c - (2 * cb2 + c2 + 1)) / 2.0 + (n2 + 1) / 2.0 - ry2 / (2.0 * n2)) *
+         |               ((r2c - (2 * cb2 + c2 + 1)) / 2.0 + (n2 + 1) / 2.0 - ry2 / (2.0 * n2))
+         |               + 0.5) AS BIGINT)), 0) AS BIGINT) AS u2
+         |      FROM r2)
+         |SELECT n1, n2,
+         |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |         ${Q.sqlR6("(ry2 / (2.0 * n2) - (n2 + 1) / 2.0) / n1")} END AS p_hat,
+         |       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+         |         n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0)) > 0 THEN
+         |         ${Q.sqlR6("n1 * n2 * (ry2 / (2.0 * n2) - rx2 / (2.0 * n1)) / (n1 + n2) / " +
+                   "sqrt(n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0)))")}
+         |       END AS w,
+         |       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+         |         (n1 * (u1 / (n1 - 1.0))) * (n1 * (u1 / (n1 - 1.0))) / (n1 - 1.0) +
+         |         (n2 * (u2 / (n2 - 1.0))) * (n2 * (u2 / (n2 - 1.0))) / (n2 - 1.0) > 0 THEN
+         |         ${Q.sqlR2("(n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0))) * " +
+                   "(n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0))) / " +
+                   "((n1 * (u1 / (n1 - 1.0))) * (n1 * (u1 / (n1 - 1.0))) / (n1 - 1.0) + " +
+                   "(n2 * (u2 / (n2 - 1.0))) * (n2 * (u2 / (n2 - 1.0))) / (n2 - 1.0))")}
+         |       END AS df
+         |FROM t""".stripMargin) { (s, d) =>
+      bmOf(centsGrid(s, d))
     },
 
     // Kruskal–Wallis H across ALL event types (round 14) — the

@@ -1179,6 +1179,40 @@ object Streams {
   def wilcoxonOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.wilcoxonOf(grid)
 
+  /** Read-time Ansari–Bradley projection over the [[ksCells]] grid —
+    * the scale test re-ranks every tie run as cells arrive; the
+    * (v100, c1, c2) grid is the mergeable state (s_ansari_bradley). */
+  def abOf(grid: DataFrame): DataFrame = graft.ops.Statistics.abOf(grid)
+
+  /** Read-time Brunner–Munzel projection over the [[ksCells]] grid —
+    * both rank layers re-price as cells arrive; the (v100, c1, c2)
+    * grid is the mergeable state (s_brunner_munzel). */
+  def bmOf(grid: DataFrame): DataFrame = graft.ops.Statistics.bmOf(grid)
+
+  /** Read-time Quade projection over a [[dailyGrid]] — a new day
+    * re-weights every block (its range enters the day ranking); the
+    * grid is the mergeable state (s_quade). */
+  def quadeOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.quadeOf(grid)
+
+  /** Read-time Yule–Walker AR(2) projection over a [[dailyGrid]] — a
+    * new day shifts every lag cross-sum; the grid is the mergeable
+    * state (s_yule_walker). */
+  def yuleWalkerOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.yuleWalkerOf(grid)
+
+  /** Read-time spectral-entropy projection over a [[dailyGrid]] — the
+    * spectrum is not mergeable (a new day shifts every residue-class
+    * sum); the grid is (s_spectral_entropy). */
+  def spectralEntropyOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.spectralEntropyOf(grid)
+
+  /** Read-time Cronbach-alpha projection over a [[dailyGrid]] — a new
+    * day shifts every item variance and the day-total variance; the
+    * grid is the mergeable state (s_cronbach_alpha). */
+  def cronbachOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.cronbachOf(grid)
+
   /** Streaming hourly count grid — the mergeable (type, day, hour,
     * count) state behind the s_gumbel_maxima read-time face: a plain
     * streaming groupBy on the batch day index + hour, bounded by

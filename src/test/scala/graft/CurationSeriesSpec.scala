@@ -1075,6 +1075,99 @@ class CurationSeriesSpec extends SparkSpec {
     assert(worst > 1e-3, s"a trig lattice cell sits $worst from its boundary")
   }
 
+  test("q_quade: range-weighted perfect consistency reads the closed-form F") {
+    // k=2, n=3 days: lo = d+1, hi = 3(d+1) — ranges 2, 4, 6 rank the
+    // days 1, 2, 3 (q2 = 2, 4, 6); within-day ranks always (lo, hi) =
+    // (1, 2) so r2−(k+1) = ∓1 and S2 = ∓q2: T_lo = −12, T_hi = 12,
+    // ΣT² = 288, ΣS2² = 112 ⇒ F = 2·288/(3·112 − 288) = 12
+    val dir = eventsDir(Seq("lo", "hi"), 3, {
+      case ("lo", d) => d + 1
+      case (_, d)    => 3 * (d + 1)
+    })
+    val r = q("q_quade", dir).collect().head
+    assert(r.getAs[Long]("n_days") === 3L && r.getAs[Long]("n_types") === 2L)
+    assert(r.getAs[Double]("quade_f") === 12.0)
+    // fully tied design: every S2 = 0 ⇒ the F denominator vanishes ⇒ NULL
+    val tied = eventsDir(Seq("a", "b"), 3, (_, _) => 5)
+    val rt = q("q_quade", tied).collect().head
+    assert(rt.isNullAt(rt.fieldIndex("quade_f")))
+  }
+
+  test("q_yule_walker: an alternating series reads the closed-form AR(2) poles") {
+    // osc: 10,20,10,20 over 4 days — centered ±5 ⇒ c0=1600, c1=−1200,
+    // c2=800 (scaled residuals 4y−60 = ∓20): r1=−0.75, r2=0.5,
+    // φ1 = c1(c0−c2)/(c0²−c1²) = −6/7, φ2 = (c2c0−c1²)/(c0²−c1²) = −1/7
+    val dir = eventsDir(Seq("osc", "flat"), 4, {
+      case ("osc", d) => if (d % 2 == 0) 10 else 20
+      case _          => 5
+    })
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = q("q_yule_walker", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val o = rows("osc")
+    assert(o.getAs[Long]("n_days") === 4L)
+    assert(o.getAs[Double]("r1") === -0.75)
+    assert(o.getAs[Double]("r2") === 0.5)
+    assert(o.getAs[Double]("phi1") === r6(-6.0 / 7))
+    assert(o.getAs[Double]("phi2") === r6(-1.0 / 7))
+    // constant series: c0 = 0 ⇒ every readout NULL
+    val f = rows("flat")
+    for (c <- Seq("r1", "r2", "phi1", "phi2"))
+      assert(f.isNullAt(f.fieldIndex(c)), s"flat $c")
+  }
+
+  test("q_cronbach_alpha: co-moving items read 1, anti-moving items the closed-form negative") {
+    // B = A + 1 day over day: item variances 6 + 6, day-total variance
+    // 24 ⇒ α = 2·(1 − 12/24) = 1 (perfect internal consistency)
+    val dir = eventsDir(Seq("A", "B"), 3, {
+      case ("A", d) => d
+      case (_, d)   => d + 1
+    })
+    val r = q("q_cronbach_alpha", dir).collect().head
+    assert(r.getAs[Long]("n_days") === 3L && r.getAs[Long]("n_types") === 2L)
+    assert(r.getAs[Double]("alpha") === 1.0)
+    // A = (0,1,2), B = (2,0,1): item variances 6 + 6, day totals
+    // (2,1,3) ⇒ vt = 6 ⇒ α = 2·(1 − 12/6) = −2 (items anti-move)
+    val anti = eventsDir(Seq("A", "B"), 3, {
+      case ("A", d) => d
+      case (_, d)   => (d + 2) % 3
+    })
+    assert(q("q_cronbach_alpha", anti).collect().head.getAs[Double]("alpha") === -2.0)
+  }
+
+  test("q_spectral_entropy: the weekly comb replays the exact lattice pipeline; flat reads NULL") {
+    // independent plain-Scala replica of the latticed spectrum →
+    // shares → entropy fold, on the q_periodogram comb fixture
+    val dir = eventsDir(Seq("comb", "flat"), 28, {
+      case ("comb", d) => if (d % 7 == 0) 10 else 3
+      case _           => 5
+    })
+    val d28 = (0 until 28).map(d => if (d % 7 == 0) 28L * 10 - 112 else 28L * 3 - 112)
+    val ssr = d28.map(r => r * r).sum
+    def l6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val f6 = (2 to 14).map { p =>
+      val sr = (0 until p).map(res => (0 until 28).filter(_ % p == res).map(d28).sum)
+      val a6 = (0 until p).map(res => sr(res) * l6(math.cos(2 * math.Pi * res / p))).sum
+      val b6 = (0 until p).map(res => sr(res) * l6(math.sin(2 * math.Pi * res / p))).sum
+      val frac = (a6.toDouble * a6 + b6.toDouble * b6) * 2 / (1e12 * 28 * ssr)
+      math.floor(frac * 1e6 + 0.5).toLong
+    }
+    val tot6 = f6.sum
+    val e9 = f6.filter(_ > 0).map(v =>
+      math.floor(v.toDouble / tot6 * math.log(tot6.toDouble / v) * 1e9 + 0.5).toLong)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expectH = r6(e9.sum / 1e9 / 2.5649493574615367)
+    val expectPeak = r6(f6.max.toDouble / tot6)
+    val rows = q("q_spectral_entropy", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows("comb").getAs[Double]("spectral_entropy") === expectH)
+    assert(rows("comb").getAs[Double]("peak_share") === expectPeak)
+    assert(rows("comb").getAs[Long]("n_days") === 28L)
+    val f = rows("flat")
+    assert(f.isNullAt(f.fieldIndex("spectral_entropy")))
+    assert(f.isNullAt(f.fieldIndex("peak_share")))
+  }
+
   test("q_filter_cascade: five planted docs land in their five cells with the right cascade stages") {
     // survivor text A; dup pair shares text B (doc 5 keeps, doc 6
     // drops at stage 4); doc 2 has no en markers (predictor ties to

@@ -185,6 +185,147 @@ class DiagnosticsSpec extends SparkSpec {
     assert(real.getAs[Double]("beta") >= 0 && real.getAs[Double]("beta") < 1)
   }
 
+  test("q_distinct_ngrams: templated, diverse and single-token sources read their exact ratios") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val dir = docsDir(Seq(
+      (0L, "a a a a", "mono"),   // 4 tokens / 1 type; 3 bigrams all "a a"
+      (1L, "w x y z", "uniq"),   // all distinct both levels
+      (2L, "solo", "single")))   // no bigram exists
+    val m = run("q_distinct_ngrams", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("mono").getAs[Long]("n_tokens") === 4L)
+    assert(m("mono").getAs[Long]("uniq_1") === 1L)
+    assert(m("mono").getAs[Long]("n_bigrams") === 3L)
+    assert(m("mono").getAs[Long]("uniq_2") === 1L)
+    assert(m("mono").getAs[Double]("distinct_1") === 0.25)
+    assert(m("mono").getAs[Double]("distinct_2") === r6(1.0 / 3))
+    assert(m("uniq").getAs[Double]("distinct_1") === 1.0)
+    assert(m("uniq").getAs[Double]("distinct_2") === 1.0)
+    assert(m("single").getAs[Long]("n_bigrams") === 0L)
+    assert(m("single").isNullAt(m("single").fieldIndex("distinct_2")))
+  }
+
+  test("q_ansari_bradley: tails vs middle reads the closed-form score and z") {
+    import spark.implicits._
+    def eventsOf(name: String, rows: Seq[(Long, String, Double)]): String = {
+      val dir = tempDir(name)
+      rows.toDF("event_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-02 08:00:00")))
+        .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // purchases in the tails {1, 4}, clicks in the middle {2, 3}:
+    // scores 1,2,2,1 ⇒ AB = 2; μ = 2·6/4 = 3, σ² = 1/3 ⇒ z = −√3
+    val r = run("q_ansari_bradley", eventsOf("diag_ab",
+      Seq((1L, "purchase", 1.0), (2L, "click", 2.0),
+        (3L, "click", 3.0), (4L, "purchase", 4.0)))).head()
+    assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Double]("ab") === 2.0)
+    assert(r.getAs[Double]("z") === r6(-math.sqrt(3.0)))
+    // one all-tied run: every observation takes the average score
+    // 6/4 ⇒ AB = 3 = μ exactly ⇒ z = 0
+    val rt = run("q_ansari_bradley", eventsOf("diag_ab_tied",
+      Seq((1L, "purchase", 1.0), (2L, "click", 1.0),
+        (3L, "click", 1.0), (4L, "purchase", 1.0)))).head()
+    assert(rt.getAs[Double]("ab") === 3.0)
+    assert(rt.getAs[Double]("z") === 0.0)
+  }
+
+  test("q_brunner_munzel: tails-vs-middle and separated fixtures read the closed forms") {
+    import spark.implicits._
+    def eventsOf(name: String, rows: Seq[(Long, String, Double)]): String = {
+      val dir = tempDir(name)
+      rows.toDF("event_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-02 08:00:00")))
+        .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // purchases {1, 4} (tails), clicks {2, 3}: R̄1 = R̄2 = 2.5 ⇒ W = 0;
+    // S1² = 2, S2² = 0 ⇒ df = V²/((n1·S1²)²/(n1−1)) = 16/16 = 1;
+    // p_hat = (2.5 − 1.5)/2 = 0.5
+    val r = run("q_brunner_munzel", eventsOf("diag_bm",
+      Seq((1L, "purchase", 1.0), (2L, "click", 2.0),
+        (3L, "click", 3.0), (4L, "purchase", 4.0)))).head()
+    assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Double]("p_hat") === 0.5)
+    assert(r.getAs[Double]("w") === 0.0)
+    assert(r.getAs[Double]("df") === 1.0)
+    // complete separation {1,2} vs {3,4}: both rank variances vanish ⇒
+    // W and df are NULL (degenerate), p_hat reads 1 exactly
+    val rs = run("q_brunner_munzel", eventsOf("diag_bm_sep",
+      Seq((1L, "purchase", 1.0), (2L, "purchase", 2.0),
+        (3L, "click", 3.0), (4L, "click", 4.0)))).head()
+    assert(rs.getAs[Double]("p_hat") === 1.0)
+    assert(rs.isNullAt(rs.fieldIndex("w")))
+    assert(rs.isNullAt(rs.fieldIndex("df")))
+  }
+
+  test("q_key_candidates: planted duplicates and nulls read their exact uniqueness") {
+    import spark.implicits._
+    val dir = tempDir("diag_keycand")
+    Seq(
+      (1L, 10L, "O", 100.0, "1995-01-01 00:00:00", Some("1-URGENT")),
+      (2L, 10L, "O", 100.0, "1996-01-01 00:00:00", None),
+      (3L, 20L, "F", 200.0, "1995-01-01 00:00:00", Some("1-URGENT")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "ds", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("ds"))).drop("ds")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val m = run("q_key_candidates", dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    def chk(c: String, nNull: Long, nDist: Long, uniq: Double, isKey: Long) = {
+      assert(m(c).getAs[Long]("n_rows") === 3L, s"$c rows")
+      assert(m(c).getAs[Long]("n_null") === nNull, s"$c nulls")
+      assert(m(c).getAs[Long]("n_distinct") === nDist, s"$c distinct")
+      assert(m(c).getAs[Double]("uniqueness") === uniq, s"$c uniqueness")
+      assert(m(c).getAs[Long]("is_key") === isKey, s"$c is_key")
+    }
+    chk("o_orderkey", 0L, 3L, 1.0, 1L)
+    chk("o_custkey", 0L, 2L, r6(2.0 / 3), 0L)
+    chk("o_orderstatus", 0L, 2L, r6(2.0 / 3), 0L)
+    chk("o_totalprice", 0L, 2L, r6(2.0 / 3), 0L)
+    chk("o_orderdate", 0L, 2L, r6(2.0 / 3), 0L)
+    chk("o_orderpriority", 1L, 1L, 0.5, 0L)
+    assert(m.size === 6)
+  }
+
+  test("q_chao1: the hapax/dis-legomena ratio reads the closed-form estimate") {
+    // "a a b c" + "a d": tf a=3, b=c=d=1 ⇒ N=6, V=4, f1=3, f2=0
+    // ⇒ chao1 = 4 + 3·2/(2·1) = 7.0, coverage = 1 − 3/6 = 0.5
+    val dir = docsDir(Seq((0L, "a a b c", "s"), (1L, "a d", "s")))
+    val r = run("q_chao1", dir).head()
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[Long]("n_types") === 4L)
+    assert(r.getAs[Long]("f1") === 3L)
+    assert(r.getAs[Long]("f2") === 0L)
+    assert(r.getAs[Double]("chao1") === 7.0)
+    assert(r.getAs[Double]("coverage") === 0.5)
+    // a fully saturated vocabulary (no hapaxes) estimates chao1 = V,
+    // coverage = 1 — nothing left unseen
+    val sat = docsDir(Seq((0L, "x x y y", "s")))
+    val r2 = run("q_chao1", sat).head()
+    assert(r2.getAs[Double]("chao1") === 2.0)
+    assert(r2.getAs[Double]("coverage") === 1.0)
+  }
+
+  test("q_yule_k: a known tf spectrum reads the closed-form constant") {
+    // "a a b c": tf a=2, b=c=1 ⇒ N=4, m2=6 ⇒ K = 1e4·(6−4)/16 = 1250
+    val r = run("q_yule_k", docsDir(Seq((0L, "a a b c", "s")))).head()
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Long]("m2") === 6L)
+    assert(r.getAs[Double]("yule_k") === 1250.0)
+    // all-unique tokens repeat nothing: m2 = N ⇒ K = 0 exactly
+    val uniq = docsDir(Seq((0L, (0 until 20).map(i => s"u$i").mkString(" "), "s")))
+    assert(run("q_yule_k", uniq).head().getAs[Double]("yule_k") === 0.0)
+  }
+
   test("q_cross_doc_ngram: identical docs share everything, unique docs nothing") {
     val shared = (0 until 12).map(j => s"c$j").mkString(" ")
     val dir = docsDir(

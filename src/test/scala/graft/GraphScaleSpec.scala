@@ -67,6 +67,43 @@ class GraphScaleSpec extends SparkSpec {
     assert(rows.size === 5)
   }
 
+  test("q_graph_ra: a planted wedge scores the non-edge, a triangle yields nothing") {
+    import spark.implicits._
+    // star: edges (1,2) and (1,3) at support 2 ⇒ the only candidate is
+    // the non-edge (2,3) through common neighbor 1 (deg 2): ra = 1/2
+    val star = tempDir("ra_star")
+    (Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L)))
+      .map { case (o, pk) => (o, pk, 1L) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$star/lineitem.parquet")
+    val rows = SparkEntry.queries("q_graph_ra")(spark, star).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("a") === 2L)
+    assert(rows(0).getAs[Long]("b") === 3L)
+    assert(rows(0).getAs[Long]("n_common") === 1L)
+    assert(rows(0).getAs[Double]("ra") === 0.5)
+    // triangle: every common-neighbor pair is ALREADY an edge ⇒ empty
+    val tri = tempDir("ra_tri")
+    (for (o <- 1L to 2L; pair <- Seq((o * 10, Seq(1L, 2L)), (o * 10 + 1, Seq(1L, 3L)),
+        (o * 10 + 2, Seq(2L, 3L))); pk <- pair._2) yield (pair._1, pk, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tri/lineitem.parquet")
+    assert(SparkEntry.queries("q_graph_ra")(spark, tri).isEmpty)
+  }
+
+  test("q_graph_ra: a hub past DegCap generates no wedges (the quadratic bound)") {
+    import spark.implicits._
+    // hub 0 joined to 129 leaves at support 2: deg(0) = 129 > 128 ⇒ the
+    // hub is excluded as a common neighbor and every leaf has deg 1 ⇒
+    // the scored pair frame is EMPTY, not C(129, 2)
+    val dir = tempDir("ra_hub")
+    (for (i <- 1L to 129L; rep <- 0L to 1L; pk <- Seq(0L, i))
+      yield (i * 2 + rep, pk, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(SparkEntry.queries("q_graph_ra")(spark, dir).isEmpty)
+  }
+
   test("q_hits stays key-bounded with no catalog-sized window at 10x parts") {
     // The r14 verdict's 6b as a spec: the two power-iteration rounds
     // must remain hash joins on the node keys (sk/pk) — a nested-loop

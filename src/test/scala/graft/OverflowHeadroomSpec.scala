@@ -310,6 +310,79 @@ class OverflowHeadroomSpec extends SparkSpec {
         t.agg(max(col("mx") * log(col("tt").cast("double")) * 1e9))
       })),
 
+    Site("q_brunner_munzel", "unit",
+      "u1/u2 = Σ floor(c·d²) ≤ N³ over the cents grid (d ≤ N rank deviations)",
+      "SF³ (N ∝ SF) — at sf ≥ 4 the deviation sums need DECIMAL (the q_spearman class)",
+      3, sf => math.pow(0.4 * evN(sf), 3),
+      Some((s, d) => dmax {
+        // the REAL binding u on the shipped corpus via the shared fold's
+        // own arithmetic: recompute Σ c·d² per group, take the max
+        val c = graft.ops.Statistics.centsGrid(s, d)
+        val wb = Window.orderBy("v100")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy()
+        val e = c.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+            coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"),
+            coalesce(sum("c1").over(wb), lit(0L)).as("cb1"),
+            coalesce(sum("c2").over(wb), lit(0L)).as("cb2"))
+          .withColumn("r2c", lit(2) * col("cb") + col("t") + 1)
+          .withColumn("n1", sum("c1").over(wAll))
+          .withColumn("n2", sum("c2").over(wAll))
+          .withColumn("rx2", sum(col("c1") * col("r2c")).over(wAll))
+          .withColumn("ry2", sum(col("c2") * col("r2c")).over(wAll))
+        val d1 = (col("r2c") - (lit(2) * col("cb1") + col("c1") + 1)) / lit(2.0) +
+          (col("n1") + 1) / lit(2.0) - col("rx2") / (lit(2.0) * col("n1"))
+        val d2 = (col("r2c") - (lit(2) * col("cb2") + col("c2") + 1)) / lit(2.0) +
+          (col("n2") + 1) / lit(2.0) - col("ry2") / (lit(2.0) * col("n2"))
+        e.agg(greatest(
+          coalesce(sum(floor(col("c1") * d1 * d1 + 0.5).cast("long")), lit(0L)),
+          coalesce(sum(floor(col("c2") * d2 * d2 + 0.5).cast("long")), lit(0L))).cast("double"))
+      })),
+
+    Site("q_ansari_bradley", "1e3",
+      "ab3 = Σ floor(c1·S_run/t·1e3) ≤ (N²/2)·1e3 over the cents grid (N = "
+        + "purchase+click rows)",
+      "SF² (N ∝ SF)", 200, sf => math.pow(0.4 * evN(sf), 2) / 2 * 1e3,
+      Some((s, d) => dmax {
+        // the REAL ab3 on the shipped corpus, recovered from the
+        // reported statistic: ab3 = ab·1e3
+        graft.ops.Statistics.abOf(graft.ops.Statistics.centsGrid(s, d))
+          .agg(max(col("ab") * 1e3))
+      })),
+
+    Site("q_spectral_entropy", "1e6/1e9",
+      "tot6 = Σ 13 variance shares ≤ 1.3e7; h9 = Σ p·ln(1/p)·1e9 ≤ ln(13)·1e9 "
+        + "(shared periodogramFrame lattice rides q_periodogram's audited trig site)",
+      "const (entropy ≤ ln 13, shares ≤ 1 each)", 1e9, _ => 3e9,
+      Some((s, d) => dmax {
+        // the REAL h9 on the shipped corpus, recovered from the
+        // reported normalized entropy: h9 = H·ln(13)·1e9
+        graft.ops.SeriesTests.spectralEntropyOf(
+          graft.ops.Inference.dailyCounts(s, d))
+          .agg(max(col("spectral_entropy") * 2.5649493574615367 * 1e9))
+      })),
+
+    Site("q_graph_ra", "1e6", "per-pair ra6 = Σ floor(1e6/deg(w)) over common neighbors",
+      "const-ish (ra6 ≤ n_common·5e5 ≤ deg_max·5e5 — a pair's common neighbors are "
+        + "bounded by its endpoint degrees, and TPC-H co-purchase degrees are "
+        + "SF-invariant: orders and parts both scale with lineitem)", 1e6, _ => 1e12,
+      Some((s, d) => dmax {
+        // bound probe: deg_max of the support graph × the max per-w
+        // credit (deg(w) ≥ 2 ⇒ credit ≤ 5e5)
+        val e = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
+          .groupBy("o").agg(collect_set("pk").as("pks"))
+          .select(explode(col("pks")).as("a"), col("pks"))
+          .select(col("a"), explode(col("pks")).as("b"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+          .filter(col("cooc") >= 2)
+        val adj = e.select(col("a").as("n"), col("b").as("x"))
+          .unionAll(e.select(col("b").as("n"), col("a").as("x")))
+        adj.groupBy("n").agg(count(lit(1)).as("degw"))
+          .agg(max(lit(5e5) * col("degw")))
+      })),
+
     Site("q_hits", "exact int64", "h² = ΣΣΣ indeg over 2 power rounds (no lattice)",
       "const-ish (≤ maxdeg_p²·maxdeg_s² — TPC-H degrees are SF-invariant: "
         + "suppliers and parts scale WITH lineitem)", 1e6, _ => 1e9,

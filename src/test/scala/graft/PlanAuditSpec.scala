@@ -918,6 +918,22 @@ class PlanAuditSpec extends SparkSpec {
       s"count tables should broadcast at test scale:\n$plan")
   }
 
+  test("q_graph_ra expands wedges in-row under the hub cap and top-20s via TakeOrdered") {
+    // common-neighbor pairs come from the per-node sorted-array
+    // expansion (posexplode + slice — never an adjacency self-join),
+    // the deg ≤ 128 cap bounds the quadratic term, and the readout is
+    // a driver-bounded TakeOrderedAndProject, not a global sort
+    val df = SparkEntry.queries("q_graph_ra")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert(plan.contains("Generate posexplode"),
+      s"wedge pairs must come from the in-row expansion:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a bounded TakeOrdered, not a full sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window may touch the pair frame:\n$plan")
+  }
+
   test("q_bootstrap_ci reads events ONCE with the purchase filter pushed down") {
     // the whole bootstrap is one scan: the B=20 fan-out is an in-row
     // generator, n_rows rides the replica aggregate (a separate count

@@ -323,7 +323,7 @@ class StreamingSpec extends SparkSpec {
     } finally { qR.stop(); qT.stop(); qP.stop(); qG.stop() }
   }
 
-  test("s_daily_grid's one streamed grid reproduces its seven batch screens") {
+  test("s_daily_grid's one streamed grid reproduces every batch screen it serves") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -380,6 +380,14 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_kendall_w")(spark, sfDir)), "Kendall W")
       assert(rows1(Streams.burstDetectOf(grid)) ===
         rows1(SparkEntry.queries("q_burst_detect")(spark, sfDir)), "burst filter")
+      assert(rows1(Streams.quadeOf(grid)) ===
+        rows1(SparkEntry.queries("q_quade")(spark, sfDir)), "Quade")
+      assert(rows1(Streams.yuleWalkerOf(grid)) ===
+        rows1(SparkEntry.queries("q_yule_walker")(spark, sfDir)), "Yule-Walker")
+      assert(rows1(Streams.spectralEntropyOf(grid)) ===
+        rows1(SparkEntry.queries("q_spectral_entropy")(spark, sfDir)), "spectral entropy")
+      assert(rows1(Streams.cronbachOf(grid)) ===
+        rows1(SparkEntry.queries("q_cronbach_alpha")(spark, sfDir)), "Cronbach alpha")
     }
   }
 
@@ -426,6 +434,10 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_calibration")(spark, sfDir)), "calibration")
       assert(rows1(Streams.confusionOf(grid)) ===
         rows1(SparkEntry.queries("q_confusion_matrix")(spark, sfDir)), "confusion")
+      assert(rows1(Streams.abOf(grid)) ===
+        rows1(SparkEntry.queries("q_ansari_bradley")(spark, sfDir)), "Ansari-Bradley")
+      assert(rows1(Streams.bmOf(grid)) ===
+        rows1(SparkEntry.queries("q_brunner_munzel")(spark, sfDir)), "Brunner-Munzel")
     }
   }
 
