@@ -426,7 +426,7 @@ object Statistics {
     * identical CASE tree in both engines); each run's group-1 share
     * c1·(f(cb+t)−f(cb))/t floors onto a 1e-3 lattice before the
     * order-free int64 fold (granularity 1e-3 absolute on a statistic
-    * of magnitude N²/8; ab3 ∝ SF²·1e3 — headroom row claims sf ≤ 300).
+    * of magnitude N²/8; ab3 ∝ SF²·1e3 — headroom row claims sf ≤ 200).
     * z uses the classical no-tie moments (documented approximation
     * under ties — identical in both engines, the q_page_trend move). */
   private[graft] def abOf(cellsIn: DataFrame): DataFrame = {
@@ -478,11 +478,16 @@ object Statistics {
     * UNIT lattice before the order-free int64 fold (u ≤ N³ — the
     * q_spearman growth class; headroom row claims sf ≤ 3, beyond
     * which the deviation sums need DECIMAL). */
-  private[graft] def bmOf(cellsIn: DataFrame): DataFrame = {
-    val c = cellsIn
+  /** The (cells → doubled-midrank deviation) frame under [[bmOf]] —
+    * per grid row: both running counts, overall/within doubled
+    * midranks, the window totals, and the per-group deviations d1/d2.
+    * Exposed so OverflowHeadroomSpec's q_brunner_munzel probe audits
+    * the SAME arithmetic the fold accumulates (a probe that
+    * re-implemented the pipeline would keep auditing stale math). */
+  private[graft] def bmDevFrame(cellsIn: DataFrame): DataFrame = {
     val wb = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
-    val e = c.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+    cellsIn.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
         coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"),
         coalesce(sum("c1").over(wb), lit(0L)).as("cb1"),
         coalesce(sum("c2").over(wb), lit(0L)).as("cb2"))
@@ -491,10 +496,18 @@ object Statistics {
       .withColumn("n2", sum("c2").over(wAll))
       .withColumn("rx2", sum(col("c1") * col("r2c")).over(wAll))
       .withColumn("ry2", sum(col("c2") * col("r2c")).over(wAll))
-    val d1 = (col("r2c") - (lit(2) * col("cb1") + col("c1") + 1)) / lit(2.0) +
-      (col("n1") + 1) / lit(2.0) - col("rx2") / (lit(2.0) * col("n1"))
-    val d2 = (col("r2c") - (lit(2) * col("cb2") + col("c2") + 1)) / lit(2.0) +
-      (col("n2") + 1) / lit(2.0) - col("ry2") / (lit(2.0) * col("n2"))
+      .withColumn("d1",
+        (col("r2c") - (lit(2) * col("cb1") + col("c1") + 1)) / lit(2.0) +
+          (col("n1") + 1) / lit(2.0) - col("rx2") / (lit(2.0) * col("n1")))
+      .withColumn("d2",
+        (col("r2c") - (lit(2) * col("cb2") + col("c2") + 1)) / lit(2.0) +
+          (col("n2") + 1) / lit(2.0) - col("ry2") / (lit(2.0) * col("n2")))
+  }
+
+  private[graft] def bmOf(cellsIn: DataFrame): DataFrame = {
+    val e = bmDevFrame(cellsIn)
+    val d1 = col("d1")
+    val d2 = col("d2")
     val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
       max("rx2").as("rx2"), max("ry2").as("ry2"),
       coalesce(sum(floor(col("c1") * d1 * d1 + 0.5).cast("long")), lit(0L)).as("u1"),

@@ -58,6 +58,19 @@ class DiagnosticsSpec extends SparkSpec {
     dir
   }
 
+  /** Minimal events dir from explicit (event_id, event_type, value) —
+    * the fixture under the cents-grid two-sample tests. */
+  private def valuedEventsDir(name: String, rows: Seq[(Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = tempDir(name)
+    rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-02 08:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   private def run(name: String, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
@@ -207,19 +220,10 @@ class DiagnosticsSpec extends SparkSpec {
 
   test("q_ansari_bradley: tails vs middle reads the closed-form score and z") {
     import spark.implicits._
-    def eventsOf(name: String, rows: Seq[(Long, String, Double)]): String = {
-      val dir = tempDir(name)
-      rows.toDF("event_id", "event_type", "value")
-        .withColumn("ts", to_timestamp(lit("2024-01-02 08:00:00")))
-        .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-      dir
-    }
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     // purchases in the tails {1, 4}, clicks in the middle {2, 3}:
     // scores 1,2,2,1 ⇒ AB = 2; μ = 2·6/4 = 3, σ² = 1/3 ⇒ z = −√3
-    val r = run("q_ansari_bradley", eventsOf("diag_ab",
+    val r = run("q_ansari_bradley", valuedEventsDir("diag_ab",
       Seq((1L, "purchase", 1.0), (2L, "click", 2.0),
         (3L, "click", 3.0), (4L, "purchase", 4.0)))).head()
     assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 2L)
@@ -227,7 +231,7 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r.getAs[Double]("z") === r6(-math.sqrt(3.0)))
     // one all-tied run: every observation takes the average score
     // 6/4 ⇒ AB = 3 = μ exactly ⇒ z = 0
-    val rt = run("q_ansari_bradley", eventsOf("diag_ab_tied",
+    val rt = run("q_ansari_bradley", valuedEventsDir("diag_ab_tied",
       Seq((1L, "purchase", 1.0), (2L, "click", 1.0),
         (3L, "click", 1.0), (4L, "purchase", 1.0)))).head()
     assert(rt.getAs[Double]("ab") === 3.0)
@@ -236,19 +240,10 @@ class DiagnosticsSpec extends SparkSpec {
 
   test("q_brunner_munzel: tails-vs-middle and separated fixtures read the closed forms") {
     import spark.implicits._
-    def eventsOf(name: String, rows: Seq[(Long, String, Double)]): String = {
-      val dir = tempDir(name)
-      rows.toDF("event_id", "event_type", "value")
-        .withColumn("ts", to_timestamp(lit("2024-01-02 08:00:00")))
-        .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-      dir
-    }
     // purchases {1, 4} (tails), clicks {2, 3}: R̄1 = R̄2 = 2.5 ⇒ W = 0;
     // S1² = 2, S2² = 0 ⇒ df = V²/((n1·S1²)²/(n1−1)) = 16/16 = 1;
     // p_hat = (2.5 − 1.5)/2 = 0.5
-    val r = run("q_brunner_munzel", eventsOf("diag_bm",
+    val r = run("q_brunner_munzel", valuedEventsDir("diag_bm",
       Seq((1L, "purchase", 1.0), (2L, "click", 2.0),
         (3L, "click", 3.0), (4L, "purchase", 4.0)))).head()
     assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 2L)
@@ -257,7 +252,7 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r.getAs[Double]("df") === 1.0)
     // complete separation {1,2} vs {3,4}: both rank variances vanish ⇒
     // W and df are NULL (degenerate), p_hat reads 1 exactly
-    val rs = run("q_brunner_munzel", eventsOf("diag_bm_sep",
+    val rs = run("q_brunner_munzel", valuedEventsDir("diag_bm_sep",
       Seq((1L, "purchase", 1.0), (2L, "purchase", 2.0),
         (3L, "click", 3.0), (4L, "click", 4.0)))).head()
     assert(rs.getAs[Double]("p_hat") === 1.0)

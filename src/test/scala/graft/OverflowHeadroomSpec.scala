@@ -315,28 +315,16 @@ class OverflowHeadroomSpec extends SparkSpec {
       "SF³ (N ∝ SF) — at sf ≥ 4 the deviation sums need DECIMAL (the q_spearman class)",
       3, sf => math.pow(0.4 * evN(sf), 3),
       Some((s, d) => dmax {
-        // the REAL binding u on the shipped corpus via the shared fold's
-        // own arithmetic: recompute Σ c·d² per group, take the max
-        val c = graft.ops.Statistics.centsGrid(s, d)
-        val wb = Window.orderBy("v100")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wAll = Window.partitionBy()
-        val e = c.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
-            coalesce(sum(col("c1") + col("c2")).over(wb), lit(0L)).as("cb"),
-            coalesce(sum("c1").over(wb), lit(0L)).as("cb1"),
-            coalesce(sum("c2").over(wb), lit(0L)).as("cb2"))
-          .withColumn("r2c", lit(2) * col("cb") + col("t") + 1)
-          .withColumn("n1", sum("c1").over(wAll))
-          .withColumn("n2", sum("c2").over(wAll))
-          .withColumn("rx2", sum(col("c1") * col("r2c")).over(wAll))
-          .withColumn("ry2", sum(col("c2") * col("r2c")).over(wAll))
-        val d1 = (col("r2c") - (lit(2) * col("cb1") + col("c1") + 1)) / lit(2.0) +
-          (col("n1") + 1) / lit(2.0) - col("rx2") / (lit(2.0) * col("n1"))
-        val d2 = (col("r2c") - (lit(2) * col("cb2") + col("c2") + 1)) / lit(2.0) +
-          (col("n2") + 1) / lit(2.0) - col("ry2") / (lit(2.0) * col("n2"))
+        // the REAL binding u on the shipped corpus through the SAME
+        // deviation frame the fold accumulates (Statistics.bmDevFrame —
+        // an inline re-implementation would keep auditing stale math)
+        val e = graft.ops.Statistics.bmDevFrame(
+          graft.ops.Statistics.centsGrid(s, d))
         e.agg(greatest(
-          coalesce(sum(floor(col("c1") * d1 * d1 + 0.5).cast("long")), lit(0L)),
-          coalesce(sum(floor(col("c2") * d2 * d2 + 0.5).cast("long")), lit(0L))).cast("double"))
+          coalesce(sum(floor(col("c1") * col("d1") * col("d1") + 0.5)
+            .cast("long")), lit(0L)),
+          coalesce(sum(floor(col("c2") * col("d2") * col("d2") + 0.5)
+            .cast("long")), lit(0L))).cast("double"))
       })),
 
     Site("q_ansari_bradley", "1e3",
