@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryDef, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
@@ -941,14 +941,16 @@ object Analytics {
          |       ${Q.sqlR6("CAST(n AS DOUBLE) / tot")} AS share
          |FROM w
          |ORDER BY event_type, hh""".stripMargin) { (s, d) =>
-      val we = Window.partitionBy("event_type")
-      Tables.events(s, d)
-        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hh"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("tot", sum("n").over(we))
-        .select(col("event_type"), col("hh"), col("n"),
-          Q.r6(col("n").cast("double") / col("tot")).as("share"))
-        .orderBy("event_type", "hh")
+      // routed through the shared (type, day, hour) grid since round
+      // 15 — the SAME mergeable frame streaming.Streams.hourlyGrid
+      // maintains, so s_diurnal's read-time projection can never
+      // drift from this batch op (the day dimension rolls up inside
+      // diurnalOf; the extra key costs |days|× more grid cells, all
+      // domain-bounded)
+      diurnalOf(Tables.events(s, d)
+        .groupBy(col("event_type"), Inference.dayIndexCol.as("x"),
+          hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("c")))
     },
 
     // Day-over-day user churn (round 11): per day, how many of
@@ -1496,5 +1498,19 @@ object Analytics {
           Q.r6((col("q3") + col("q1") - lit(2) * col("q2")).cast("double") /
             (col("q3") - col("q1")))).as("bowley"))
       .orderBy("event_type")
+  }
+
+  /** The diurnal-profile fold over a (event_type, x, hh, c) hourly
+    * grid — ONE home shared by batch q_diurnal and the s_diurnal
+    * streaming read-time view (the shares re-normalize as any hour's
+    * count grows; the hourly grid — the SAME state s_gumbel_maxima
+    * reads — is mergeable). The day dimension rolls up first, then
+    * one |types|-partitioned total window over the ≤|types|×24 frame. */
+  private[graft] def diurnalOf(gridIn: DataFrame): DataFrame = {
+    gridIn.groupBy("event_type", "hh").agg(sum("c").as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("hh"), col("n"),
+        Q.r6(col("n").cast("double") / col("tot")).as("share"))
+      .orderBy("event_type", "hh")
   }
 }

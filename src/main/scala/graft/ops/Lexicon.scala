@@ -562,6 +562,68 @@ object Lexicon {
         .orderBy("lang")
     },
 
+    // Word-bigram conditional entropy per language (round 15):
+    // H(W₂|W₁) = Σ (c₁₂/N)·ln(c₁·/c₁₂) in nats over the in-document
+    // word-bigram counts — how predictable the NEXT word is given the
+    // current one; the lexical twin of q_entropy_rate's event-chain
+    // number and the sequence-level signal q_char_entropy (characters)
+    // and q_yule_k (unigram repetition) cannot see: templated text
+    // reads LOW H even with a healthy vocabulary. Evenness divides by
+    // ln(V₁) (the uniform-transition bound over observed first words).
+    // Exactness: every count is int64 off one (lang, w1, w2) agg (the
+    // bigram shape — vocabulary²-bounded, Zipf²); each cell's term
+    // integer-scales to 1e-9 BEFORE the cross-cell sum (the
+    // q_cat_entropy move), so the reduction is an order-free int64
+    // fold; ln(V₁) is one libm call per language on an exact integer.
+    Q("q_word_entropy",
+      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+         |b AS (SELECT lang, unnest(list_transform(range(1, len(words)),
+         |             i -> words[i])) AS w1,
+         |             unnest(list_transform(range(1, len(words)),
+         |             i -> words[i+1])) AS w2
+         |      FROM w WHERE len(words) >= 2),
+         |c12 AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+         |c1 AS (SELECT lang, w1, CAST(sum(c) AS BIGINT) AS c1 FROM c12 GROUP BY 1, 2),
+         |t AS (SELECT c12.lang,
+         |             CAST(sum(c12.c) AS BIGINT) AS n,
+         |             CAST(count(DISTINCT c12.w1) AS BIGINT) AS v1,
+         |             CAST(sum(CAST(floor(CAST(c12.c AS DOUBLE) / st.n *
+         |               ln(CAST(c1.c1 AS DOUBLE) / c12.c) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+         |      FROM c12
+         |      JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1
+         |      JOIN (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c12 GROUP BY 1) st
+         |        ON c12.lang = st.lang
+         |      GROUP BY 1)
+         |SELECT lang, n AS n_bigrams, v1 AS n_first_words,
+         |       ${Q.sqlR6("h9 / 1e9")} AS h_cond,
+         |       CASE WHEN v1 > 1 THEN ${Q.sqlR6("h9 / 1e9 / ln(CAST(v1 AS DOUBLE))")} END AS evenness
+         |FROM t
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      val b = Tables.load(s, d, "documents")
+        .select(col("lang"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("lang"), explode(expr(
+          """transform(sequence(0, size(words) - 2),
+            |          i -> struct(words[i] AS w1, words[i+1] AS w2))""".stripMargin))
+          .as("bg"))
+        .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = b.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c"))
+        .transform(Q.snapshot) // feeds the margin, the total and the fold
+      val c1 = c12.groupBy("lang", "w1").agg(sum("c").as("c1"))
+      val st = c12.groupBy("lang").agg(sum("c").as("n"))
+      c12.join(c1, Seq("lang", "w1")).join(st, "lang")
+        .groupBy("lang")
+        .agg(max("n").as("n"), countDistinct("w1").as("v1"),
+          sum(floor(col("c").cast("double") / col("n") *
+            log(col("c1").cast("double") / col("c")) * lit(1e9) + 0.5)
+            .cast("long")).as("h9"))
+        .select(col("lang"), col("n").as("n_bigrams"), col("v1").as("n_first_words"),
+          Q.r6(col("h9") / lit(1e9)).as("h_cond"),
+          when(col("v1") > 1,
+            Q.r6(col("h9") / lit(1e9) / log(col("v1").cast("double")))).as("evenness"))
+        .orderBy("lang")
+    },
+
     // Yule's characteristic K per language (round 15): K = 10⁴·(Σc² −
     // N)/N² over the term-frequency spectrum — the classical
     // repetitiveness constant (scale-invariant under corpus growth for

@@ -1779,6 +1779,49 @@ object SeriesTests {
       cronbachOf(Inference.dailyCounts(s, d))
     },
 
+    // One-way intraclass correlation ICC(1,1) over the day×type block
+    // design (round 15): targets = days, measurements = types — how
+    // much of the hourly-volume variance is BETWEEN days versus noise
+    // within a day; the absolute-agreement companion of
+    // q_cronbach_alpha's consistency (α is blind to a constant offset
+    // between types; ICC is not). Exactness: both mean squares clear
+    // their fractions — MSB rides A = Σ(n·s_d − S)², MSW rides
+    // B = Σ(k·y − s_d)², both exact int64 on the dense grid — and
+    // ICC = (MSB−MSW)/(MSB+(k−1)·MSW) is one mirrored IEEE tree.
+    // ICC ∈ [−1/(k−1), 1]. Two grid aggs, single-row output.
+    Q("q_icc",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |ds AS (SELECT x, CAST(sum(y) AS BIGINT) AS sd FROM grid GROUP BY 1),
+         |km AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy),
+         |tot AS (SELECT CAST(sum(sd) AS BIGINT) AS s FROM ds),
+         |aa AS (SELECT CAST(sum((nn.n * sd - tot.s) * (nn.n * sd - tot.s)) AS BIGINT) AS a
+         |       FROM ds, nn, tot),
+         |bb AS (SELECT CAST(sum((km.k * g.y - ds.sd) * (km.k * g.y - ds.sd)) AS BIGINT) AS b
+         |       FROM grid g JOIN ds ON g.x = ds.x, km)
+         |SELECT nn.n AS n_days, km.k AS n_types,
+         |       CASE WHEN nn.n >= 2 AND km.k >= 2 THEN
+         |         ${Q.sqlR6("CAST(aa.a AS DOUBLE) / (km.k * nn.n * nn.n * (nn.n - 1))")} END AS msb,
+         |       CASE WHEN nn.n >= 2 AND km.k >= 2 THEN
+         |         ${Q.sqlR6("CAST(bb.b AS DOUBLE) / (km.k * km.k * nn.n * (km.k - 1))")} END AS msw,
+         |       CASE WHEN nn.n >= 2 AND km.k >= 2 AND
+         |         CAST(aa.a AS DOUBLE) / (km.k * nn.n * nn.n * (nn.n - 1)) +
+         |         (km.k - 1) * (CAST(bb.b AS DOUBLE) / (km.k * km.k * nn.n * (km.k - 1))) > 0 THEN
+         |         ${Q.sqlR6(
+                   "(CAST(aa.a AS DOUBLE) / (km.k * nn.n * nn.n * (nn.n - 1)) - " +
+                   "CAST(bb.b AS DOUBLE) / (km.k * km.k * nn.n * (km.k - 1))) / " +
+                   "(CAST(aa.a AS DOUBLE) / (km.k * nn.n * nn.n * (nn.n - 1)) + " +
+                   "(km.k - 1) * (CAST(bb.b AS DOUBLE) / (km.k * km.k * nn.n * (km.k - 1))))")}
+         |       END AS icc
+         |FROM nn, km, aa, bb""".stripMargin) { (s, d) =>
+      iccOf(Inference.dailyCounts(s, d))
+    },
+
     // Yule–Walker AR(2) fit of per-type daily volume (round 15): the
     // second-order extension of q_ar1 — φ₁ = r₁(1−r₂)/(1−r₁²),
     // φ₂ = (r₂−r₁²)/(1−r₁²) from the lag-1/lag-2 autocorrelations,
@@ -2048,6 +2091,36 @@ object SeriesTests {
         when(col("k") >= 2 && col("vt") > 0,
           Q.r6(col("k") / (col("k") - lit(1.0)) *
             (lit(1) - col("sv").cast("double") / col("vt")))).as("alpha"))
+  }
+
+  /** The ICC(1,1) fold over a daily (event_type, x, y) frame — ONE
+    * home shared by batch q_icc and the s_icc streaming read-time
+    * view (a new day shifts both mean squares; the daily grid is the
+    * mergeable state). A and B clear every fraction — exact int64. */
+  private[graft] def iccOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val ds = grid.groupBy("x").agg(sum("y").as("sd")).transform(Q.snapshot)
+    val km = grid.select("event_type").distinct().agg(count(lit(1)).as("k"))
+    val nn = dy.agg(count(lit(1)).as("n"))
+    val tot = ds.agg(sum("sd").as("s"))
+    val aa = ds.crossJoin(broadcast(nn)).crossJoin(broadcast(tot))
+      .agg(sum((col("n") * col("sd") - col("s")) *
+        (col("n") * col("sd") - col("s"))).as("a"))
+    val bb = grid.join(ds, "x").crossJoin(broadcast(km))
+      .agg(sum((col("k") * col("y") - col("sd")) *
+        (col("k") * col("y") - col("sd"))).as("b"))
+    val msb = col("a").cast("double") /
+      (col("k") * col("n") * col("n") * (col("n") - 1))
+    val msw = col("b").cast("double") /
+      (col("k") * col("k") * col("n") * (col("k") - 1))
+    nn.crossJoin(broadcast(km)).crossJoin(broadcast(aa)).crossJoin(broadcast(bb))
+      .select(col("n").as("n_days"), col("k").as("n_types"),
+        when(col("n") >= 2 && col("k") >= 2, Q.r6(msb)).as("msb"),
+        when(col("n") >= 2 && col("k") >= 2, Q.r6(msw)).as("msw"),
+        when(col("n") >= 2 && col("k") >= 2 &&
+          msb + (col("k") - 1) * msw > 0,
+          Q.r6((msb - msw) / (msb + (col("k") - 1) * msw))).as("icc"))
   }
 
   /** The Quade fold over a daily (event_type, x, y) frame — ONE home

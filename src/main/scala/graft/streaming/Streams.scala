@@ -1213,6 +1213,12 @@ object Streams {
   def cronbachOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.cronbachOf(grid)
 
+  /** Read-time ICC(1,1) projection over a [[dailyGrid]] — a new day
+    * shifts both mean squares; the grid is the mergeable state
+    * (s_icc). */
+  def iccOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.iccOf(grid)
+
   /** Streaming hourly count grid — the mergeable (type, day, hour,
     * count) state behind the s_gumbel_maxima read-time face: a plain
     * streaming groupBy on the batch day index + hour, bounded by
@@ -1230,6 +1236,12 @@ object Streams {
   /** Read-time Gumbel block-maxima projection over an [[hourlyGrid]]. */
   def gumbelOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.gumbelOf(grid)
+
+  /** Read-time diurnal-profile projection over an [[hourlyGrid]] —
+    * the shares re-normalize as any hour's count grows; the grid is
+    * the mergeable state (s_diurnal). */
+  def diurnalOf(grid: DataFrame): DataFrame =
+    graft.ops.Analytics.diurnalOf(grid)
 
   /** Streaming per-user lifetime frame — the mergeable (user_id, fs,
     * ls) state behind the three survival read-time faces

@@ -1135,6 +1135,24 @@ class CurationSeriesSpec extends SparkSpec {
     assert(q("q_cronbach_alpha", anti).collect().head.getAs[Double]("alpha") === -2.0)
   }
 
+  test("q_icc: perfect day agreement reads 1, a pure type offset reads the k=2 floor") {
+    // A = B = d+1: every within-day pair agrees exactly ⇒ MSW = 0,
+    // MSB = 72/(2·9·2) = 2 ⇒ ICC = 1
+    val agree = eventsDir(Seq("A", "B"), 3, { case (_, d) => d + 1 })
+    val r = q("q_icc", agree).collect().head
+    assert(r.getAs[Long]("n_days") === 3L && r.getAs[Long]("n_types") === 2L)
+    assert(r.getAs[Double]("msb") === 2.0)
+    assert(r.getAs[Double]("msw") === 0.0)
+    assert(r.getAs[Double]("icc") === 1.0)
+    // A = d+1, B = 3−d: day sums constant ⇒ MSB = 0, MSW = 4/3 ⇒
+    // ICC = −1, the exact −1/(k−1) floor at k = 2
+    val anti = eventsDir(Seq("A", "B"), 3, {
+      case ("A", d) => d + 1
+      case (_, d)   => 3 - d
+    })
+    assert(q("q_icc", anti).collect().head.getAs[Double]("icc") === -1.0)
+  }
+
   test("q_spectral_entropy: the weekly comb replays the exact lattice pipeline; flat reads NULL") {
     // independent plain-Scala replica of the latticed spectrum →
     // shares → entropy fold, on the q_periodogram comb fixture

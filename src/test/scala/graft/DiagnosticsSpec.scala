@@ -309,6 +309,26 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r2.getAs[Double]("coverage") === 1.0)
   }
 
+  test("q_word_entropy: a deterministic chain reads exactly 0; branching replays the lattice") {
+    // "x y x y": every first word has ONE continuation ⇒ H(W2|W1) = 0
+    val det = run("q_word_entropy", docsDir(Seq((0L, "x y x y", "s")))).head()
+    assert(det.getAs[Long]("n_bigrams") === 3L)
+    assert(det.getAs[Double]("h_cond") === 0.0)
+    // "a b a b a c": c12 = {(a,b):2, (b,a):2, (a,c):1}, c1 = {a:3, b:2}
+    // — replicate the per-cell 1e-9 lattice fold independently
+    val r = run("q_word_entropy", docsDir(Seq((0L, "a b a b a c", "s")))).head()
+    val cells = Seq((2L, 3L), (2L, 2L), (1L, 3L)) // (c12, c1)
+    val n = 5.0
+    val h9 = cells.map { case (c, c1) =>
+      math.floor(c / n * math.log(c1.toDouble / c) * 1e9 + 0.5).toLong
+    }.sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_bigrams") === 5L)
+    assert(r.getAs[Long]("n_first_words") === 2L)
+    assert(r.getAs[Double]("h_cond") === r6(h9 / 1e9))
+    assert(r.getAs[Double]("evenness") === r6(h9 / 1e9 / math.log(2.0)))
+  }
+
   test("q_yule_k: a known tf spectrum reads the closed-form constant") {
     // "a a b c": tf a=2, b=c=1 ⇒ N=4, m2=6 ⇒ K = 1e4·(6−4)/16 = 1250
     val r = run("q_yule_k", docsDir(Seq((0L, "a a b c", "s")))).head()

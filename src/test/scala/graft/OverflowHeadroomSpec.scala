@@ -310,6 +310,16 @@ class OverflowHeadroomSpec extends SparkSpec {
         t.agg(max(col("mx") * log(col("tt").cast("double")) * 1e9))
       })),
 
+    Site("q_word_entropy", "1e9",
+      "per-lang h9 = Σ (c12/N)·ln(c1/c12)·1e9 ≤ ln(N)·1e9 (conditional entropy "
+        + "bounded by the log of the bigram mass)",
+      "log (H ≤ ln N)", 1e9, sf => math.log(30 * docN(sf)) * 1e9,
+      Some((s, d) => dmax {
+        // the REAL h9, recovered from the reported nats: h9 = H·1e9
+        SparkEntry.queries("q_word_entropy")(s, d)
+          .agg(max(col("h_cond") * 1e9))
+      })),
+
     Site("q_brunner_munzel", "unit",
       "u1/u2 = Σ floor(c·d²) ≤ N³ over the cents grid (d ≤ N rank deviations)",
       "SF³ (N ∝ SF) — at sf ≥ 4 the deviation sums need DECIMAL (the q_spearman class)",

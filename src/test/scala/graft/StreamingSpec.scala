@@ -388,6 +388,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_spectral_entropy")(spark, sfDir)), "spectral entropy")
       assert(rows1(Streams.cronbachOf(grid)) ===
         rows1(SparkEntry.queries("q_cronbach_alpha")(spark, sfDir)), "Cronbach alpha")
+      assert(rows1(Streams.iccOf(grid)) ===
+        rows1(SparkEntry.queries("q_icc")(spark, sfDir)), "ICC")
     }
   }
 
@@ -592,6 +594,9 @@ class StreamingSpec extends SparkSpec {
       assert(rows1(Streams.gumbelOf(grid)) ===
         rows1(SparkEntry.queries("q_gumbel_maxima")(spark, sfDir)),
         "read-time Gumbel fit over the incremental hourly grid must equal the batch op")
+      assert(rows1(Streams.diurnalOf(grid)) ===
+        rows1(SparkEntry.queries("q_diurnal")(spark, sfDir)),
+        "read-time diurnal shares over the same hourly grid must equal the batch op")
     }
   }
 
