@@ -351,6 +351,53 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Per-channel color statistics (round 15) — the feature-extraction
+    // primitive between q_multimodal_decode's normalized means and
+    // q_image_phash's luminance hash: EXACT integer sums of the raw
+    // 0-255 R/G/B bytes over the decoded raster, plus the dominant
+    // channel (argmax, r ≻ g ≻ b tie-break — the color-cast screen a
+    // vision-data pipeline gates ingest on). Same oracle strength as
+    // q_image_phash: DuckDB re-derives every pixel arithmetically from
+    // the closed-form raster, so the value the Spark side must reach
+    // through REAL PNG bytes (encode → imageio decode → sum) is
+    // checked pixel-exactly. Same 100 TB shape as the decode pipeline:
+    // one repartition for blob sizing, per-partition codec batches,
+    // nothing after the per-doc rollup grows with pixel count.
+    Q("q_image_channel_stats",
+      """WITH px AS (SELECT d.doc_id,
+        |                   CAST(4 + d.doc_id % 13 AS INT) AS w,
+        |                   CAST(3 + d.n_chars % 7 AS INT) AS h,
+        |                   t.x, u.y
+        |            FROM documents d,
+        |                 UNNEST(range(0, 4 + d.doc_id % 13)) AS t(x),
+        |                 UNNEST(range(0, 3 + d.n_chars % 7)) AS u(y)),
+        |c AS (SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |             CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |             CAST(sum((doc_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+        |             CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_b
+        |      FROM px GROUP BY 1)
+        |SELECT doc_id, width, height, sum_r, sum_g, sum_b,
+        |       CASE WHEN sum_r >= sum_g AND sum_r >= sum_b THEN 'r'
+        |            WHEN sum_g >= sum_b THEN 'g' ELSE 'b' END AS dominant
+        |FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
+        .toDF()
+        .repartition(col("doc_id")) // size decode partitions; no shuffle after
+        .as[MediaIn]
+        .mapPartitions(decodeChannelSums)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          when(col("sum_r") >= col("sum_g") && col("sum_r") >= col("sum_b"), "r")
+            .when(col("sum_g") >= col("sum_b"), "g").otherwise("b").as("dominant"))
+        .orderBy("doc_id")
+    },
+
     // Thumbnail resize (round 14) — the remaining first-class media
     // transform of the builder brief's decode/extract/RESIZE/sample
     // list: every image is nearest-neighbor-resampled to a FIXED 4×3
@@ -457,6 +504,35 @@ object Multimodal {
     * quadrant out-brightens the image under the cross-multiplied
     * integer comparison s_q·n > s·n_q — zero floats, so the DuckDB
     * oracle's arithmetic pixel re-derivation must match bit-for-bit. */
+  final case class MediaChannels(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL decode to exact per-channel byte sums — the q_image_phash
+    * loop reading raw 0-255 channel values instead of the luminance
+    * blend (all int64; no float ever touches a pixel). */
+  private def decodeChannelSums(rows: Iterator[MediaIn]): Iterator[MediaChannels] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xFF
+          sg += (p >> 8) & 0xFF
+          sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      MediaChannels(r.doc_id, w, h, sr, sg, sb)
+    }
+  }
+
   private def decodeQuadHash(rows: Iterator[MediaIn]): Iterator[MediaQuadHash] = {
     javax.imageio.ImageIO.setUseCache(false)
     rows.map { r =>

@@ -266,6 +266,67 @@ object Similarity {
         .orderBy("probe_id", "rnk")
     },
 
+    // Nearest-neighbor margin audit (round 15): per probe, the gap
+    // between its top-1 and top-2 cosine scores — Lowe's ratio test
+    // ((1−s1)/(1−s2), LOW = confident) plus the absolute margin and
+    // whether the top-1 neighbor's LABEL agrees with the probe's —
+    // the calibration readout that decides where q_dedup_embed's
+    // threshold and q_knn_lsh's shortlists can be trusted (a match
+    // with ratio ≈ 1 is a coin flip regardless of its score). Scores
+    // round to the r4 lattice BEFORE ranking (round-before-top-k), so
+    // margins and ratios are lattice-exact in both engines. Shape:
+    // the q_sim_brute probe-bounded audit (50 broadcast probes
+    // against the catalog — brute by design; the scale path stays
+    // LSH/IVF, this op CALIBRATES them on a bounded sample).
+    Q("q_knn_margin",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |n AS (SELECT vec_id, label, de, sqrt(list_inner_product(de, de)) AS nrm FROM e),
+        |s AS (SELECT p.vec_id AS probe_id, p.label AS plabel,
+        |             c.vec_id AS cand_id, c.label AS clabel,
+        |             floor((list_inner_product(p.de, c.de) / (p.nrm * c.nrm))*10000+0.5)/10000 AS score
+        |      FROM n p JOIN n c ON p.vec_id < 50 AND p.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rnk
+        |      FROM s),
+        |p2 AS (SELECT probe_id,
+        |              max(CASE WHEN rnk = 1 THEN cand_id END) AS top1_id,
+        |              max(CASE WHEN rnk = 1 THEN score END) AS s1,
+        |              max(CASE WHEN rnk = 2 THEN score END) AS s2,
+        |              max(CASE WHEN rnk = 1 AND clabel = plabel THEN 1 ELSE 0 END) AS label_match
+        |       FROM r WHERE rnk <= 2 GROUP BY 1)
+        |SELECT probe_id, top1_id, s1, s2,
+        |       floor((s1 - s2)*1000000+0.5)/1000000 AS margin,
+        |       CASE WHEN s2 < 1 THEN floor(((1 - s1) / (1 - s2))*1000000+0.5)/1000000 END AS lowe_ratio,
+        |       CAST(label_match AS BIGINT) AS label_match
+        |FROM p2
+        |ORDER BY probe_id""".stripMargin) { (s, d) =>
+      val e = widened(Tables.load(s, d, "embeddings"))
+        .withColumn("nrm", sqrt(dot("de", "de")))
+      val probes = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+          col("de").as("pde"), col("nrm").as("pnrm"))
+      val cands = e.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+        col("de").as("cde"), col("nrm").as("cnrm"))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+      cands.crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("plabel"), col("cand_id"), col("clabel"),
+          Q.r4(dot("pde", "cde") / (col("pnrm") * col("cnrm"))).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .groupBy("probe_id")
+        .agg(max(when(col("rnk") === 1, col("cand_id"))).as("top1_id"),
+          max(when(col("rnk") === 1, col("score"))).as("s1"),
+          max(when(col("rnk") === 2, col("score"))).as("s2"),
+          max(when(col("rnk") === 1 && col("clabel") === col("plabel"), 1L)
+            .otherwise(0L)).as("label_match"))
+        .select(col("probe_id"), col("top1_id"), col("s1"), col("s2"),
+          Q.r6(col("s1") - col("s2")).as("margin"),
+          when(col("s2") < 1,
+            Q.r6((lit(1) - col("s1")) / (lit(1) - col("s2")))).as("lowe_ratio"),
+          col("label_match"))
+        .orderBy("probe_id")
+    },
+
     // Same query as q_sim_brute, computed by the native codegen'd
     // CosineSim expression (one fused loop, no intermediate arrays)
     // instead of higher-order functions. Value-identical per-element

@@ -428,6 +428,32 @@ class CurationSeriesSpec extends SparkSpec {
     assert(row.getAs[Double]("modularity") === 0.5)
   }
 
+  test("q_knn_margin: planted geometry reads the closed-form margins, ratios and label hits") {
+    import spark.implicits._
+    // 0:[1,0] L0, 1:[1,0] L0, 2:[0.6,0.8] L1, 3:[0,1] L1 — all probes
+    val dir = tempDir("cs_knnm")
+    Seq((0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(0.6f, 0.8f), 1), (3L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val m = q("q_knn_margin", dir).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r).toMap
+    def chk(p: Long, top1: Long, margin: Double, lowe: Double, lm: Long) = {
+      assert(m(p).getAs[Long]("top1_id") === top1, s"probe $p top1")
+      assert(m(p).getAs[Double]("margin") === margin, s"probe $p margin")
+      assert(m(p).getAs[Double]("lowe_ratio") === lowe, s"probe $p ratio")
+      assert(m(p).getAs[Long]("label_match") === lm, s"probe $p label")
+    }
+    // probes 0/1: exact twin at cos 1, runner-up 0.6 ⇒ ratio 0 (confident)
+    chk(0L, 1L, 0.4, 0.0, 1L)
+    chk(1L, 0L, 0.4, 0.0, 1L)
+    // probe 2: top-1 [0,1] at 0.8, runner-up 0.6 ⇒ ratio 0.5
+    chk(2L, 3L, 0.2, 0.5, 1L)
+    // probe 3: top-1 [0.6,0.8] at 0.8, runner-up 0 ⇒ ratio 0.2
+    chk(3L, 2L, 0.8, 0.2, 1L)
+    assert(m.size === 4)
+  }
+
   test("q_silhouette: separated labels score 1.0; a mislabeled vector lands at -1 and counts as misfit") {
     import spark.implicits._
     val e1 = Array(1f, 0f, 0f, 0f)

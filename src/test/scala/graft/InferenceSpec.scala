@@ -440,6 +440,34 @@ class InferenceSpec extends SparkSpec {
       "all four quadrants cannot each out-brighten the whole image")
   }
 
+  test("q_image_channel_stats replays the closed-form raster sums through the real codec") {
+    // independent plain-Scala replica of the raster formula — the
+    // Spark side must reach the same integers through encode → PNG
+    // bytes → imageio decode → per-pixel accumulation
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = q("q_image_channel_stats").collect()
+    assert(rows.length === docs.size)
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = (4 + (id % 13).toInt, 3 + (docs(id) % 7).toInt)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 31 + x * 7 + y * 13) % 256
+        sg += (id * 17 + x * 11 + y * 3) % 256
+        sb += (id + x.toLong * y) % 256
+      }
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("sum_r") === sr, s"doc $id R")
+      assert(r.getAs[Long]("sum_g") === sg, s"doc $id G")
+      assert(r.getAs[Long]("sum_b") === sb, s"doc $id B")
+      val dom = r.getAs[String]("dominant")
+      val expect = if (sr >= sg && sr >= sb) "r" else if (sg >= sb) "g" else "b"
+      assert(dom === expect, s"doc $id dominant")
+    }
+  }
+
   test("q_interpurchase gap counts obey the per-customer lag identity") {
     // total gaps = orders - customers-with-orders (each customer's
     // first order anchors, the rest produce one gap each)
