@@ -82,23 +82,32 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
+      val (sr, sg, sb) = channelSums(img)
       val n = (w * h).toFloat * 255f
       val (mr, mg, mb) = (sr / n, sg / n, sb / n)
       val lum = 0.299f * mr + 0.587f * mg + 0.114f * mb
       MediaFeatures(r.doc_id, r.mime, r.payload.length,
         Array(w.toFloat, h.toFloat, mr, mg, mb, lum))
     }
+  }
+
+  /** Exact per-channel byte sums over a decoded raster — the ONE
+    * pixel-accumulation loop under [[decodePng]] and
+    * [[decodeChannelSums]] (a codec-handling fix lands in both). */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
   }
 
   /** One sampled, DECODED frame of a media container. */
@@ -181,10 +190,12 @@ object Multimodal {
     }
   }
 
-  /** Full decode output (doc_id, mime, size_bytes, width, height,
-    * channel means, luminance) — the pre-r11 q_multimodal_decode body,
-    * kept whole for the GoldenSpec pin and downstream feature use. */
-  private[graft] def decodedFeatures(s: SparkSession, d: String): DataFrame = {
+  /** The PNG ingest prefix shared by every still-image operator:
+    * documents → deterministic real PNG payloads, repartitioned once
+    * for blob sizing (no shuffle after). ONE home — a codec-pipeline
+    * change (mime tag, partitioning) lands everywhere or nowhere. */
+  private def pngInputs(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaIn] = {
     import s.implicits._
     Tables.load(s, d, "documents")
       .select(col("doc_id"), col("n_chars"))
@@ -193,6 +204,14 @@ object Multimodal {
       .toDF()
       .repartition(col("doc_id")) // size decode partitions; no shuffle after
       .as[MediaIn]
+  }
+
+  /** Full decode output (doc_id, mime, size_bytes, width, height,
+    * channel means, luminance) — the pre-r11 q_multimodal_decode body,
+    * kept whole for the GoldenSpec pin and downstream feature use. */
+  private[graft] def decodedFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngInputs(s, d)
       .mapPartitions(decodePng)
       .toDF()
       .select(
@@ -335,13 +354,7 @@ object Multimodal {
         |FROM hb JOIN t ON hb.doc_id = t.doc_id
         |ORDER BY hb.doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val hashed = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
-        .toDF()
-        .repartition(col("doc_id")) // size decode partitions; no shuffle after
-        .as[MediaIn]
+      val hashed = pngInputs(s, d)
         .mapPartitions(decodeQuadHash)
         .toDF()
       hashed
@@ -382,13 +395,7 @@ object Multimodal {
         |FROM c
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
-        .toDF()
-        .repartition(col("doc_id")) // size decode partitions; no shuffle after
-        .as[MediaIn]
+      pngInputs(s, d)
         .mapPartitions(decodeChannelSums)
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
@@ -441,13 +448,7 @@ object Multimodal {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .mapPartitions(_.map { case (id, nc) => MediaIn(id, "image/png", encodePng(id, nc)) })
-        .toDF()
-        .repartition(col("doc_id")) // size decode partitions; no shuffle after
-        .as[MediaIn]
+      pngInputs(s, d)
         .mapPartitions(decodeResize)
         .toDF()
         .select("doc_id", "width", "height", "thumb_sum", "thumb_hash")
@@ -515,21 +516,8 @@ object Multimodal {
     rows.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
-      val (w, h) = (img.getWidth, img.getHeight)
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xFF
-          sg += (p >> 8) & 0xFF
-          sb += p & 0xFF
-          x += 1
-        }
-        y += 1
-      }
-      MediaChannels(r.doc_id, w, h, sr, sg, sb)
+      val (sr, sg, sb) = channelSums(img)
+      MediaChannels(r.doc_id, img.getWidth, img.getHeight, sr, sg, sb)
     }
   }
 

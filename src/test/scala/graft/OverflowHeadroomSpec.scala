@@ -310,6 +310,22 @@ class OverflowHeadroomSpec extends SparkSpec {
         t.agg(max(col("mx") * log(col("tt").cast("double")) * 1e9))
       })),
 
+    Site("q_icc", "exact int64",
+      "A = Σ(n·s_d − S)² over days (no lattice; B = Σ(k·y − s_d)² is orders below)",
+      "SF² (day sums ∝ SF; n, k are the calendar/type enums)",
+      200, sf => 31 * math.pow(31 * 33000 * sf, 2),
+      Some((s, d) => dmax {
+        // the REAL A and B, inverted from the fold's own mean squares:
+        // A = msb·k·n²·(n−1), B = msw·k²·n·(k−1) (r6 rounding is
+        // negligible at magnitude-audit precision)
+        graft.ops.SeriesTests.iccOf(graft.ops.Inference.dailyCounts(s, d))
+          .agg(max(greatest(
+            col("msb") * col("n_types") * col("n_days") * col("n_days") *
+              (col("n_days") - 1),
+            col("msw") * col("n_types") * col("n_types") * col("n_days") *
+              (col("n_types") - 1))))
+      })),
+
     Site("q_word_entropy", "1e9",
       "per-lang h9 = Σ (c12/N)·ln(c1/c12)·1e9 ≤ ln(N)·1e9 (conditional entropy "
         + "bounded by the log of the bigram mass)",
