@@ -1875,6 +1875,57 @@ object SeriesTests {
       yuleWalkerOf(Inference.dailyCounts(s, d))
     },
 
+    // Permutation entropy of per-type daily volume (round 15,
+    // Bandt–Pompe, order m = 3): classify every 3-consecutive-day
+    // window by its ORDINAL pattern (which of the 6 orderings the
+    // triple realizes, ties to the earlier day — the stable
+    // convention) and report the normalized Shannon entropy of the
+    // pattern distribution — the complexity screen that is invariant
+    // to any monotone transform of the level (q_spectral_entropy sees
+    // amplitude; this sees only shape): H → 0 = one repeated shape
+    // (trend/cycle), H → 1 = patternless. Exactness: the pattern
+    // index is ONE mirrored 5-arm CASE over integer comparisons
+    // (disjoint by trichotomy — arm order can't matter), counts are
+    // int64 off a (type, pattern ≤ 6) agg, each cell's (c/m)·ln(m/c)
+    // integer-scales to 1e-9 before the ≤6-term fold, and ln 6 is an
+    // IEEE literal. Two type-partitioned leads, 6-row frames after.
+    Q("q_perm_entropy",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |ld AS (SELECT event_type, y,
+         |              lead(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS y1,
+         |              lead(y, 2) OVER (PARTITION BY event_type ORDER BY x) AS y2
+         |       FROM grid),
+         |pt AS (SELECT event_type,
+         |              CASE WHEN y <= y1 AND y1 <= y2 THEN 0
+         |                   WHEN y <= y2 AND y2 < y1 THEN 1
+         |                   WHEN y1 < y AND y <= y2 THEN 2
+         |                   WHEN y1 <= y2 AND y2 < y THEN 3
+         |                   WHEN y2 < y AND y <= y1 THEN 4
+         |                   ELSE 5 END AS pat
+         |       FROM ld WHERE y2 IS NOT NULL),
+         |c AS (SELECT event_type, pat, CAST(count(*) AS BIGINT) AS c FROM pt GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS m,
+         |             CAST(max(c) AS BIGINT) AS mx FROM c GROUP BY 1),
+         |e AS (SELECT c.event_type,
+         |             CAST(sum(CAST(floor(CAST(c.c AS DOUBLE) / t.m *
+         |               ln(CAST(t.m AS DOUBLE) / c.c) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+         |      FROM c JOIN t USING (event_type) GROUP BY 1),
+         |tp AS (SELECT event_type, CAST(min(pat) AS BIGINT) AS top_pattern
+         |       FROM c JOIN t USING (event_type) WHERE c.c = t.mx GROUP BY 1)
+         |SELECT t.event_type, t.m AS n_triples,
+         |       CASE WHEN t.m > 0 THEN
+         |         ${Q.sqlR6("h9 / 1e9 / 1.791759469228055")} END AS perm_entropy,
+         |       tp.top_pattern
+         |FROM t JOIN e USING (event_type) JOIN tp USING (event_type)
+         |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+      permEntropyOf(Inference.dailyCounts(s, d))
+    },
+
     // Normalized spectral entropy of per-type daily volume (round 15):
     // the PREDICTABILITY screen over q_periodogram's spectrum — H =
     // −Σ p_k ln p_k / ln(13) over the 13 candidate-period powers
@@ -2066,6 +2117,45 @@ object SeriesTests {
       when(den > 0,
         Q.r6((col("c2").cast("double") * col("c0") -
           col("c1").cast("double") * col("c1")) / den)).as("phi2"))
+      .orderBy("event_type")
+  }
+
+  /** The permutation-entropy fold over a daily (event_type, x, y)
+    * frame — ONE home shared by batch q_perm_entropy and the
+    * s_perm_entropy streaming read-time view (a new day creates new
+    * triples and re-normalizes every pattern share; the daily grid is
+    * the mergeable state). */
+  private[graft] def permEntropyOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val pt = grid
+      .withColumn("y1", lead("y", 1).over(wx))
+      .withColumn("y2", lead("y", 2).over(wx))
+      .filter(col("y2").isNotNull)
+      .select(col("event_type"),
+        when(col("y") <= col("y1") && col("y1") <= col("y2"), 0)
+          .when(col("y") <= col("y2") && col("y2") < col("y1"), 1)
+          .when(col("y1") < col("y") && col("y") <= col("y2"), 2)
+          .when(col("y1") <= col("y2") && col("y2") < col("y"), 3)
+          .when(col("y2") < col("y") && col("y") <= col("y1"), 4)
+          .otherwise(5).cast("long").as("pat"))
+    val c = pt.groupBy("event_type", "pat").agg(count(lit(1)).as("c"))
+      .transform(Q.snapshot) // feeds the totals, the fold and the argmax
+    val t = c.groupBy("event_type").agg(sum("c").as("m"), max("c").as("mx"))
+    val e = c.join(t.select("event_type", "m"), "event_type")
+      .groupBy("event_type")
+      .agg(sum(floor(col("c").cast("double") / col("m") *
+        log(col("m").cast("double") / col("c")) * lit(1e9) + 0.5)
+        .cast("long")).as("h9"))
+    val tp = c.join(t.select("event_type", "mx"), "event_type")
+      .filter(col("c") === col("mx"))
+      .groupBy("event_type").agg(min("pat").as("top_pattern"))
+    t.join(e, "event_type").join(tp, "event_type")
+      .select(col("event_type"), col("m").as("n_triples"),
+        when(col("m") > 0,
+          Q.r6(col("h9") / lit(1e9) / lit(1.791759469228055))).as("perm_entropy"),
+        col("top_pattern"))
       .orderBy("event_type")
   }
 

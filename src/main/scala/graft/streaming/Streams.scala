@@ -1219,6 +1219,12 @@ object Streams {
   def iccOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.iccOf(grid)
 
+  /** Read-time permutation-entropy projection over a [[dailyGrid]] —
+    * a new day creates new ordinal triples and re-normalizes every
+    * pattern share; the grid is the mergeable state (s_perm_entropy). */
+  def permEntropyOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.permEntropyOf(grid)
+
   /** Streaming hourly count grid — the mergeable (type, day, hour,
     * count) state behind the s_gumbel_maxima read-time face: a plain
     * streaming groupBy on the batch day index + hour, bounded by

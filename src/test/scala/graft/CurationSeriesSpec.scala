@@ -1161,6 +1161,27 @@ class CurationSeriesSpec extends SparkSpec {
     assert(q("q_cronbach_alpha", anti).collect().head.getAs[Double]("alpha") === -2.0)
   }
 
+  test("q_perm_entropy: a monotone ramp reads 0, a strict alternation the two-pattern entropy") {
+    // trend: strictly increasing ⇒ every triple realizes pattern 012 ⇒
+    // H = 0, top_pattern 0; alt: 10,20,10,20 ⇒ triples alternate
+    // patterns 1 (acb: peak middle) and 2 (bac: valley middle) equally
+    // ⇒ H = ln 2 / ln 6 = log₆2, top_pattern 1 (count tie → min pat)
+    val dir = eventsDir(Seq("trend", "alt"), 4, {
+      case ("trend", d) => d + 1
+      case (_, d)       => if (d % 2 == 0) 10 else 20
+    })
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val m = q("q_perm_entropy", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(m("trend").getAs[Long]("n_triples") === 2L)
+    assert(m("trend").getAs[Double]("perm_entropy") === 0.0)
+    assert(m("trend").getAs[Long]("top_pattern") === 0L)
+    val e9 = 2 * math.floor(0.5 * math.log(2.0) * 1e9 + 0.5).toLong
+    assert(m("alt").getAs[Double]("perm_entropy") ===
+      r6(e9 / 1e9 / 1.791759469228055))
+    assert(m("alt").getAs[Long]("top_pattern") === 1L)
+  }
+
   test("q_icc: perfect day agreement reads 1, a pure type offset reads the k=2 floor") {
     // A = B = d+1: every within-day pair agrees exactly ⇒ MSW = 0,
     // MSB = 72/(2·9·2) = 2 ⇒ ICC = 1

@@ -310,6 +310,16 @@ class OverflowHeadroomSpec extends SparkSpec {
         t.agg(max(col("mx") * log(col("tt").cast("double")) * 1e9))
       })),
 
+    Site("q_perm_entropy", "1e9",
+      "per-type h9 = Σ (c/m)·ln(m/c)·1e9 ≤ ln(6)·1e9 over ≤6 pattern cells",
+      "const (entropy ≤ ln 6)", 1e9, _ => 2e9,
+      Some((s, d) => dmax {
+        // the REAL h9, recovered from the reported normalized entropy
+        graft.ops.SeriesTests.permEntropyOf(
+          graft.ops.Inference.dailyCounts(s, d))
+          .agg(max(col("perm_entropy") * 1.791759469228055 * 1e9))
+      })),
+
     Site("q_icc", "exact int64",
       "A = Σ(n·s_d − S)² over days (no lattice; B = Σ(k·y − s_d)² is orders below)",
       "SF² (day sums ∝ SF; n, k are the calendar/type enums)",

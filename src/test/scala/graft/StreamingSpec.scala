@@ -390,6 +390,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_cronbach_alpha")(spark, sfDir)), "Cronbach alpha")
       assert(rows1(Streams.iccOf(grid)) ===
         rows1(SparkEntry.queries("q_icc")(spark, sfDir)), "ICC")
+      assert(rows1(Streams.permEntropyOf(grid)) ===
+        rows1(SparkEntry.queries("q_perm_entropy")(spark, sfDir)), "permutation entropy")
     }
   }
 
