@@ -1918,8 +1918,7 @@ object SeriesTests {
          |tp AS (SELECT event_type, CAST(min(pat) AS BIGINT) AS top_pattern
          |       FROM c JOIN t USING (event_type) WHERE c.c = t.mx GROUP BY 1)
          |SELECT t.event_type, t.m AS n_triples,
-         |       CASE WHEN t.m > 0 THEN
-         |         ${Q.sqlR6("h9 / 1e9 / 1.791759469228055")} END AS perm_entropy,
+         |       ${Q.sqlR6("h9 / 1e9 / 1.791759469228055")} AS perm_entropy,
          |       tp.top_pattern
          |FROM t JOIN e USING (event_type) JOIN tp USING (event_type)
          |ORDER BY t.event_type""".stripMargin) { (s, d) =>
@@ -2152,9 +2151,10 @@ object SeriesTests {
       .filter(col("c") === col("mx"))
       .groupBy("event_type").agg(min("pat").as("top_pattern"))
     t.join(e, "event_type").join(tp, "event_type")
+      // no m > 0 guard: every emitted row aggregates >= 1 triple (a
+      // type with fewer than 3 grid days yields no row at all)
       .select(col("event_type"), col("m").as("n_triples"),
-        when(col("m") > 0,
-          Q.r6(col("h9") / lit(1e9) / lit(1.791759469228055))).as("perm_entropy"),
+        Q.r6(col("h9") / lit(1e9) / lit(1.791759469228055)).as("perm_entropy"),
         col("top_pattern"))
       .orderBy("event_type")
   }

@@ -314,7 +314,9 @@ class OverflowHeadroomSpec extends SparkSpec {
       "per-type h9 = Σ (c/m)·ln(m/c)·1e9 ≤ ln(6)·1e9 over ≤6 pattern cells",
       "const (entropy ≤ ln 6)", 1e9, _ => 2e9,
       Some((s, d) => dmax {
-        // the REAL h9, recovered from the reported normalized entropy
+        // h9 reconstructed from the r6-rounded readout (~1e3 absolute
+        // error — noise against the const ln(6)·1e9 bound this site
+        // audits; an exact recompute would re-derive the whole fold)
         graft.ops.SeriesTests.permEntropyOf(
           graft.ops.Inference.dailyCounts(s, d))
           .agg(max(col("perm_entropy") * 1.791759469228055 * 1e9))
