@@ -441,6 +441,23 @@ class CorpusScaleSpec extends SparkSpec {
     info(f"q_word_entropy: 1x $t1%.2f s, 10x $t10%.2f s")
   }
 
+  test("q_distinct_ngrams wall-clock stays near-linear at 10x docs") {
+    // both diversity levels key their shuffles on the n-gram
+    // vocabulary (unigram Zipf, bigram Zipf²); 10x docs must not go
+    // superlinear and the source rollup stays |sources|-bounded
+    val d1 = synthDir(300, hotPrefix = false)
+    val d10 = synthDir(3000, hotPrefix = false)
+    def run(d: String): Long = SparkEntry.queries("q_distinct_ngrams")(spark, d).count()
+    run(d1) // warm codegen/plans
+    val (t1, _) = minTime(() => run(d1))
+    val (t10, _) = minTime(() => run(d10))
+    val bound = 30.0 * math.max(t1, 0.4)
+    assert(t10 <= bound,
+      f"q_distinct_ngrams took $t10%.2f s at 10x vs $t1%.2f s at 1x — growth " +
+        f"${t10 / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
+    info(f"q_distinct_ngrams: 1x $t1%.2f s, 10x $t10%.2f s")
+  }
+
   test("q_capture_recapture keeps BOTH candidate lists banded at 10x (plan)") {
     // The r14 verdict's 6a as a spec: the wall-clock bound above can
     // hide a quadratic behind a fast box, so pin the SHAPE — each
