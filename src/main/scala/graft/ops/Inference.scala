@@ -1011,10 +1011,11 @@ object Inference {
     // day t uses days ≤ t only (the streamable convention,
     // documented). Determinism: both engines run the identical
     // left-to-right float recursion — the oracle as a recursive CTE,
-    // Spark as the in-row fold over each day's window collect_list
-    // (the q_holt_winters machinery) — so costs agree to the bit; the
-    // tie c1 = c0 reads quiet in both. Shape: one corpus scan onto
-    // the daily frame; per-type λ arrives broadcast.
+    // Spark as ONE linear aggregate() fold per type over the sorted
+    // day array (round 16; was a running collect_list window + a
+    // re-fold per output row, O(|days|²) per type) — so costs agree
+    // to the bit; the tie c1 = c0 reads quiet in both. Shape: one
+    // corpus scan onto the daily frame, one groupBy(event_type).
     Q("q_burst_detect",
       s"""WITH RECURSIVE daily AS ($dailySql),
          |lam AS (SELECT event_type, CAST(sum(y) AS DOUBLE) / count(*) AS l0
@@ -1097,32 +1098,52 @@ object Inference {
     * re-prices λ and the whole cost recursion; the daily grid is the
     * mergeable state). */
   private[graft] def burstDetectOf(dailyIn: DataFrame): DataFrame = {
-    val daily = dailyIn
-    val lam = daily.groupBy("event_type")
-      .agg((sum("y").cast("double") / count(lit(1))).as("l0"))
-      .select(col("event_type"), col("l0"), log(col("l0")).as("ll0"),
+    // ONE linear fold per type (round 16): the prior form materialized
+    // every prefix of the per-type daily series (collect_list over a
+    // running window) and re-ran the whole two-state cost recursion per
+    // output row — O(|days|²) work and memory per type where O(|days|)
+    // fits, and the s_burst_detect face re-paid it at every trigger.
+    // Now one sort_array(collect_list(struct(x, y))) per type carries
+    // the series, a single aggregate() fold emits the per-day burst
+    // label alongside the running (c0, c1) costs, and explode restores
+    // rows. The float recursion is textually identical term-for-term
+    // (l0 - y*ll0, LEAST(c0, c1+1.0) + …), so costs still agree with
+    // the recursive-CTE oracle to the bit; the burst label re-derives
+    // each day's NEW costs inside the struct (named_struct fields
+    // can't reference siblings) — same expressions, same values.
+    dailyIn.groupBy("event_type")
+      .agg((sum("y").cast("double") / count(lit(1))).as("l0"),
+        sort_array(collect_list(struct(col("x"), col("y")))).as("xs"))
+      .select(col("event_type"), col("xs"),
+        col("l0"), log(col("l0")).as("ll0"),
         (lit(2) * col("l0")).as("l1"), log(lit(2) * col("l0")).as("ll1"))
-    val wx = Window.partitionBy("event_type").orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.join(broadcast(lam), "event_type")
-      .withColumn("hist", collect_list(col("y")).over(wx))
-      .withColumn("st", expr(
-        """aggregate(hist,
-          |  named_struct('f', CAST(0 AS INT), 'c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS DOUBLE)),
-          |  (acc, y) -> CASE WHEN acc.f = 0
+      .withColumn("lab", expr(
+        """aggregate(xs,
+          |  named_struct('f', CAST(0 AS INT), 'c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS DOUBLE),
+          |    'out', CAST(array() AS ARRAY<STRUCT<x: BIGINT, y: BIGINT, burst: BIGINT>>)),
+          |  (acc, e) -> CASE WHEN acc.f = 0
           |    THEN named_struct('f', 1,
-          |      'c0', l0 - y * ll0,
-          |      'c1', 1.0 + l1 - y * ll1)
+          |      'c0', l0 - e.y * ll0,
+          |      'c1', 1.0 + l1 - e.y * ll1,
+          |      'out', array(named_struct('x', e.x, 'y', e.y,
+          |        'burst', CAST(CASE WHEN (1.0 + l1 - e.y * ll1) < (l0 - e.y * ll0)
+          |                      THEN 1 ELSE 0 END AS BIGINT))))
           |    ELSE named_struct('f', 1,
-          |      'c0', LEAST(acc.c0, acc.c1 + 1.0) + (l0 - y * ll0),
-          |      'c1', LEAST(acc.c1, acc.c0 + 1.0) + (l1 - y * ll1))
-          |    END)""".stripMargin))
-      .withColumn("burst",
-        when(col("st.c1") < col("st.c0"), 1L).otherwise(0L))
-      .withColumn("n_burst_days",
-        sum("burst").over(Window.partitionBy("event_type")))
-      .select(col("event_type"), col("x").as("day_idx"), col("y"),
-        col("burst"), col("n_burst_days"))
+          |      'c0', LEAST(acc.c0, acc.c1 + 1.0) + (l0 - e.y * ll0),
+          |      'c1', LEAST(acc.c1, acc.c0 + 1.0) + (l1 - e.y * ll1),
+          |      'out', array_append(acc.out, named_struct('x', e.x, 'y', e.y,
+          |        'burst', CAST(CASE WHEN LEAST(acc.c1, acc.c0 + 1.0) + (l1 - e.y * ll1)
+          |                             < LEAST(acc.c0, acc.c1 + 1.0) + (l0 - e.y * ll0)
+          |                      THEN 1 ELSE 0 END AS BIGINT))))
+          |    END,
+          |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"),
+        expr("aggregate(lab, CAST(0 AS BIGINT), (a, e) -> a + e.burst)")
+          .as("n_burst_days"),
+        explode(col("lab")).as("e"))
+      .select(col("event_type"), col("e.x").as("day_idx"),
+        col("e.y").as("y"), col("e.burst").as("burst"),
+        col("n_burst_days"))
       .orderBy("event_type", "day_idx")
   }
 

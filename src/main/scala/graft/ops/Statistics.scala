@@ -475,9 +475,13 @@ object Statistics {
     * doubled midranks (overall r2 = 2cb+t+1; within-group r2wᵢ =
     * 2cbᵢ+cᵢ+1) so the deviation d = (r2−r2w)/2 + (nᵢ+1)/2 − R̄ᵢ is
     * ONE IEEE tree over exact int64; each cell's c·d² floors onto the
-    * UNIT lattice before the order-free int64 fold (u ≤ N³ — the
-    * q_spearman growth class; headroom row claims sf ≤ 3, beyond
-    * which the deviation sums need DECIMAL). */
+    * 1e3 lattice (r16, matching the sibling ab3 fold — the unit
+    * lattice committed up to 0.5 per grid cell, invisibly to the
+    * oracle since both engines shared it) before the order-free int64
+    * fold (u ≤ N³·1e3 — the q_spearman growth class; headroom row
+    * claims sf ≤ 0.4, beyond which the deviation sums need DECIMAL
+    * — the finer lattice trades one decade of headroom for 500× less
+    * committed lattice error, the ADVICE r15 preference). */
   /** The (cells → doubled-midrank deviation) frame under [[bmOf]] —
     * per grid row: both running counts, overall/within doubled
     * midranks, the window totals, and the per-group deviations d1/d2.
@@ -496,12 +500,18 @@ object Statistics {
       .withColumn("n2", sum("c2").over(wAll))
       .withColumn("rx2", sum(col("c1") * col("r2c")).over(wAll))
       .withColumn("ry2", sum(col("c2") * col("r2c")).over(wAll))
-      .withColumn("d1",
+      // n > 0 guards (r16, ADVICE): on a corpus with zero purchase (or
+      // click) events rx2/(2·n1) is 0/0 = NaN — Spark's floor+cast
+      // yields NULL while DuckDB raises on CAST(floor(NaN) AS BIGINT),
+      // so the engines would diverge on a degenerate input instead of
+      // both emitting NULL-backed rows. The guard is mirrored as CASE
+      // WHEN in the oracle twin.
+      .withColumn("d1", when(col("n1") > 0,
         (col("r2c") - (lit(2) * col("cb1") + col("c1") + 1)) / lit(2.0) +
-          (col("n1") + 1) / lit(2.0) - col("rx2") / (lit(2.0) * col("n1")))
-      .withColumn("d2",
+          (col("n1") + 1) / lit(2.0) - col("rx2") / (lit(2.0) * col("n1"))))
+      .withColumn("d2", when(col("n2") > 0,
         (col("r2c") - (lit(2) * col("cb2") + col("c2") + 1)) / lit(2.0) +
-          (col("n2") + 1) / lit(2.0) - col("ry2") / (lit(2.0) * col("n2")))
+          (col("n2") + 1) / lit(2.0) - col("ry2") / (lit(2.0) * col("n2"))))
   }
 
   private[graft] def bmOf(cellsIn: DataFrame): DataFrame = {
@@ -510,13 +520,13 @@ object Statistics {
     val d2 = col("d2")
     val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
       max("rx2").as("rx2"), max("ry2").as("ry2"),
-      coalesce(sum(floor(col("c1") * d1 * d1 + 0.5).cast("long")), lit(0L)).as("u1"),
-      coalesce(sum(floor(col("c2") * d2 * d2 + 0.5).cast("long")), lit(0L)).as("u2"))
+      coalesce(sum(floor(col("c1") * d1 * d1 * lit(1e3) + 0.5).cast("long")), lit(0L)).as("u1"),
+      coalesce(sum(floor(col("c2") * d2 * d2 * lit(1e3) + 0.5).cast("long")), lit(0L)).as("u2"))
     val nn = col("n1") + col("n2")
     val rbar1 = col("rx2") / (lit(2.0) * col("n1"))
     val rbar2 = col("ry2") / (lit(2.0) * col("n2"))
-    val s1 = col("u1") / (col("n1") - lit(1.0))
-    val s2 = col("u2") / (col("n2") - lit(1.0))
+    val s1 = col("u1") / lit(1e3) / (col("n1") - lit(1.0))
+    val s2 = col("u2") / lit(1e3) / (col("n2") - lit(1.0))
     val v = col("n1") * s1 + col("n2") * s2
     val dfDen = (col("n1") * s1) * (col("n1") * s1) / (col("n1") - lit(1.0)) +
       (col("n2") * s2) * (col("n2") * s2) / (col("n2") - lit(1.0))
@@ -1765,8 +1775,12 @@ object Statistics {
     // test; p_hat is the common-language effect P(X1 < X2) + ½ties.
     // Same shared cents grid; overall AND within-group doubled
     // midranks off one window chain; each cell's c·d² floors onto the
-    // UNIT lattice before the order-free int64 fold (headroom row:
-    // SF³, claimed sf ≤ 3 — the q_spearman class).
+    // 1e3 lattice (r16 — the ab3 precision) before the order-free
+    // int64 fold (headroom row: SF³·1e3, claimed sf ≤ 0.4 — the
+    // q_spearman class shifted one decade by the finer lattice).
+    // Degenerate-group guard (r16): zero purchases or zero clicks
+    // NULL the deviations in BOTH engines (when()/CASE WHEN), so the
+    // engines degrade identically instead of NULL-vs-error.
     Q("q_brunner_munzel",
       s"""WITH $CentsGridSql,
          |r AS (SELECT c1, c2, c1 + c2 AS t,
@@ -1788,30 +1802,30 @@ object Statistics {
          |       FROM r),
          |t AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
          |             CAST(max(rx2) AS BIGINT) AS rx2, CAST(max(ry2) AS BIGINT) AS ry2,
-         |             CAST(coalesce(sum(CAST(floor(c1 *
+         |             CAST(coalesce(sum(CASE WHEN n1 > 0 THEN CAST(floor(c1 *
          |               ((r2c - (2 * cb1 + c1 + 1)) / 2.0 + (n1 + 1) / 2.0 - rx2 / (2.0 * n1)) *
          |               ((r2c - (2 * cb1 + c1 + 1)) / 2.0 + (n1 + 1) / 2.0 - rx2 / (2.0 * n1))
-         |               + 0.5) AS BIGINT)), 0) AS BIGINT) AS u1,
-         |             CAST(coalesce(sum(CAST(floor(c2 *
+         |               * 1e3 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS u1,
+         |             CAST(coalesce(sum(CASE WHEN n2 > 0 THEN CAST(floor(c2 *
          |               ((r2c - (2 * cb2 + c2 + 1)) / 2.0 + (n2 + 1) / 2.0 - ry2 / (2.0 * n2)) *
          |               ((r2c - (2 * cb2 + c2 + 1)) / 2.0 + (n2 + 1) / 2.0 - ry2 / (2.0 * n2))
-         |               + 0.5) AS BIGINT)), 0) AS BIGINT) AS u2
+         |               * 1e3 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS u2
          |      FROM r2)
          |SELECT n1, n2,
          |       CASE WHEN n1 > 0 AND n2 > 0 THEN
          |         ${Q.sqlR6("(ry2 / (2.0 * n2) - (n2 + 1) / 2.0) / n1")} END AS p_hat,
          |       CASE WHEN n1 >= 2 AND n2 >= 2 AND
-         |         n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0)) > 0 THEN
+         |         n1 * ((u1 / 1e3) / (n1 - 1.0)) + n2 * ((u2 / 1e3) / (n2 - 1.0)) > 0 THEN
          |         ${Q.sqlR6("n1 * n2 * (ry2 / (2.0 * n2) - rx2 / (2.0 * n1)) / (n1 + n2) / " +
-                   "sqrt(n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0)))")}
+                   "sqrt(n1 * ((u1 / 1e3) / (n1 - 1.0)) + n2 * ((u2 / 1e3) / (n2 - 1.0)))")}
          |       END AS w,
          |       CASE WHEN n1 >= 2 AND n2 >= 2 AND
-         |         (n1 * (u1 / (n1 - 1.0))) * (n1 * (u1 / (n1 - 1.0))) / (n1 - 1.0) +
-         |         (n2 * (u2 / (n2 - 1.0))) * (n2 * (u2 / (n2 - 1.0))) / (n2 - 1.0) > 0 THEN
-         |         ${Q.sqlR2("(n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0))) * " +
-                   "(n1 * (u1 / (n1 - 1.0)) + n2 * (u2 / (n2 - 1.0))) / " +
-                   "((n1 * (u1 / (n1 - 1.0))) * (n1 * (u1 / (n1 - 1.0))) / (n1 - 1.0) + " +
-                   "(n2 * (u2 / (n2 - 1.0))) * (n2 * (u2 / (n2 - 1.0))) / (n2 - 1.0))")}
+         |         (n1 * ((u1 / 1e3) / (n1 - 1.0))) * (n1 * ((u1 / 1e3) / (n1 - 1.0))) / (n1 - 1.0) +
+         |         (n2 * ((u2 / 1e3) / (n2 - 1.0))) * (n2 * ((u2 / 1e3) / (n2 - 1.0))) / (n2 - 1.0) > 0 THEN
+         |         ${Q.sqlR2("(n1 * ((u1 / 1e3) / (n1 - 1.0)) + n2 * ((u2 / 1e3) / (n2 - 1.0))) * " +
+                   "(n1 * ((u1 / 1e3) / (n1 - 1.0)) + n2 * ((u2 / 1e3) / (n2 - 1.0))) / " +
+                   "((n1 * ((u1 / 1e3) / (n1 - 1.0))) * (n1 * ((u1 / 1e3) / (n1 - 1.0))) / (n1 - 1.0) + " +
+                   "(n2 * ((u2 / 1e3) / (n2 - 1.0))) * (n2 * ((u2 / 1e3) / (n2 - 1.0))) / (n2 - 1.0))")}
          |       END AS df
          |FROM t""".stripMargin) { (s, d) =>
       bmOf(centsGrid(s, d))

@@ -348,10 +348,12 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("h_cond") * 1e9))
       })),
 
-    Site("q_brunner_munzel", "unit",
-      "u1/u2 = Σ floor(c·d²) ≤ N³ over the cents grid (d ≤ N rank deviations)",
-      "SF³ (N ∝ SF) — at sf ≥ 4 the deviation sums need DECIMAL (the q_spearman class)",
-      3, sf => math.pow(0.4 * evN(sf), 3),
+    Site("q_brunner_munzel", "1e3",
+      "u1/u2 = Σ floor(c·d²·1e3) ≤ N³·1e3 over the cents grid (d ≤ N rank "
+        + "deviations; r16 moved the fold from the unit lattice to ab3's 1e3)",
+      "SF³·1e3 (N ∝ SF) — at sf ≥ 0.5 the deviation sums need DECIMAL "
+        + "(the q_spearman class, one decade earlier for the finer lattice)",
+      0.4, sf => math.pow(0.4 * evN(sf), 3) * 1e3,
       Some((s, d) => dmax {
         // the REAL binding u on the shipped corpus through the SAME
         // deviation frame the fold accumulates (Statistics.bmDevFrame —
@@ -359,9 +361,9 @@ class OverflowHeadroomSpec extends SparkSpec {
         val e = graft.ops.Statistics.bmDevFrame(
           graft.ops.Statistics.centsGrid(s, d))
         e.agg(greatest(
-          coalesce(sum(floor(col("c1") * col("d1") * col("d1") + 0.5)
+          coalesce(sum(floor(col("c1") * col("d1") * col("d1") * lit(1e3) + 0.5)
             .cast("long")), lit(0L)),
-          coalesce(sum(floor(col("c2") * col("d2") * col("d2") + 0.5)
+          coalesce(sum(floor(col("c2") * col("d2") * col("d2") * lit(1e3) + 0.5)
             .cast("long")), lit(0L))).cast("double"))
       })),
 
