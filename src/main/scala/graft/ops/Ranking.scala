@@ -89,7 +89,149 @@ object Ranking {
         col("col").getField("score").cast("long").as("sc"))
   }
 
+  /** Tail sums T(m) = Σ_{d=m..10} 0.9^(d−1)/d of the RBO weight
+    * series — 10 shortest-round-trip IEEE literals, identical text in
+    * the SQL twin (the W-table move: no pow() is ever evaluated). A
+    * common supplier at ranks (ra, rb) joins every overlap set X_d for
+    * d ≥ max(ra, rb), so its total RBO contribution is exactly
+    * T(max(ra, rb)) — the Σ_d X_d·p^(d−1)/d double sum collapses to
+    * one bounded join with a literal lookup. */
+  private val RboT: Seq[Double] = {
+    val terms = (1 to 10).map(d => math.pow(0.9, d - 1) / d)
+    (1 to 10).map(m => terms.drop(m - 1).sum)
+  }
+
+  private def rboTOf(m: Column): Column =
+    element_at(array(RboT.map(lit): _*), m.cast("int"))
+
+  private val rboTSql: String =
+    "CASE m " + RboT.zipWithIndex.map { case (t, i) =>
+      s"WHEN ${i + 1} THEN $t" }.mkString(" ") + " END"
+
   def defs: Seq[QueryDef] = Seq(
+
+    // MAP@10 of the train→test supplier ranking (round 16): per nation
+    // the average precision over the predicted top-10 — Σ P@i at each
+    // HIT position i, divided by min(n_rel, 10) (the standard truncated
+    // denominator, so a nation with ≥10 relevant suppliers can still
+    // reach 1.0); plus the macro MAP over nations with any relevant
+    // supplier. P@i = cumhits/i is a running window over the ≤10-row
+    // per-nation frame (the bounded downstream the §2.16 header
+    // documents — never a catalog-sized sort); each P@i floors onto
+    // the 1e-6 lattice before the ≤10-term per-nation sum, and the
+    // macro mean rides exact int64 ap6 values over the ≤25-row nation
+    // frame. NULL where a nation has no relevant supplier (AP has no
+    // denominator). Rides the SAME base/top10 machinery as q_ndcg.
+    Q("q_map",
+      s"""WITH b AS ($baseSql),
+         |p AS (SELECT n_name, l_suppkey, test,
+         |             CAST(row_number() OVER (PARTITION BY n_name
+         |                    ORDER BY train DESC, l_suppkey) AS BIGINT) AS rk
+         |      FROM b),
+         |t AS (SELECT n_name, rk, test,
+         |             CAST(sum(CASE WHEN test > 0 THEN 1 ELSE 0 END) OVER (
+         |                    PARTITION BY n_name ORDER BY rk
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                  AS BIGINT) AS cumhits
+         |      FROM p WHERE rk <= 10),
+         |a AS (SELECT n_name,
+         |             CAST(coalesce(sum(CASE WHEN test > 0
+         |               THEN CAST(floor(CAST(cumhits AS DOUBLE) / rk * 1e6 + 0.5) AS BIGINT)
+         |               END), 0) AS BIGINT) AS psum6
+         |      FROM t GROUP BY 1),
+         |nr AS (SELECT n_name,
+         |              CAST(sum(CASE WHEN test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+         |       FROM b GROUP BY 1),
+         |j AS (SELECT a.n_name, a.psum6, nr.n_rel,
+         |             CASE WHEN nr.n_rel > 0
+         |               THEN CAST(floor(CAST(a.psum6 AS DOUBLE) /
+         |                      (CASE WHEN nr.n_rel < 10 THEN nr.n_rel ELSE 10 END) + 0.5)
+         |                    AS BIGINT)
+         |             END AS ap6
+         |      FROM a JOIN nr ON a.n_name = nr.n_name),
+         |g AS (SELECT *, CAST(sum(ap6) OVER () AS BIGINT) AS s6,
+         |             CAST(count(ap6) OVER () AS BIGINT) AS nn FROM j)
+         |SELECT n_name, n_rel,
+         |       CASE WHEN n_rel > 0 THEN ${Q.sqlR6("CAST(ap6 AS DOUBLE) / 1e6")} END AS ap_10,
+         |       ${Q.sqlR6("CAST(s6 AS DOUBLE) / (nn * 1e6)")} AS map_10
+         |FROM g
+         |ORDER BY n_name""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Q.snapshot(base(s, d))
+      val wn = Window.partitionBy("n_name").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val a = top10(b, "train")
+        .join(b.select(col("n_name"), col("l_suppkey"), col("test")),
+          Seq("n_name", "l_suppkey"), "left")
+        .withColumn("cumhits",
+          sum(when(col("test") > 0, 1L).otherwise(0L)).over(wn))
+        .groupBy("n_name")
+        .agg(coalesce(sum(when(col("test") > 0,
+          floor(col("cumhits").cast("double") / col("rk") * 1e6 + 0.5).cast("long"))),
+          lit(0L)).as("psum6"))
+      val nr = b.groupBy("n_name")
+        .agg(sum(when(col("test") > 0, 1L).otherwise(0L)).as("n_rel"))
+      a.join(nr, "n_name")
+        .withColumn("ap6", when(col("n_rel") > 0,
+          floor(col("psum6").cast("double") /
+            when(col("n_rel") < 10, col("n_rel")).otherwise(lit(10)) + 0.5).cast("long")))
+        .withColumn("s6", sum("ap6").over(Window.partitionBy()))
+        .withColumn("nn", count("ap6").over(Window.partitionBy()))
+        .select(col("n_name"), col("n_rel"),
+          when(col("n_rel") > 0, Q.r6(col("ap6").cast("double") / 1e6)).as("ap_10"),
+          Q.r6(col("s6").cast("double") / (col("nn") * lit(1e6))).as("map_10"))
+        .orderBy("n_name")
+    },
+
+    // RBO@10 (round 16): rank-biased overlap (p = 0.9, truncated at
+    // depth 10) between the TRAIN-revenue and TEST-revenue supplier
+    // rankings per nation — "how much does the retrieval order itself
+    // drift between periods", the list-similarity companion to
+    // q_ndcg's gain view. The Σ_d p^(d−1)·|A_d∩B_d|/d double sum
+    // collapses: a supplier in both top-10s at ranks (ra, rb) enters
+    // every depth d ≥ max(ra, rb), contributing the literal tail sum
+    // T(max(ra, rb)) — so the whole metric is one ≤10-row-per-side
+    // equi-join plus a 10-entry literal lookup, latticed to 1e-6
+    // before the per-nation sum and scaled by (1−p) at the end.
+    Q("q_rbo",
+      s"""WITH b AS ($baseSql),
+         |pa AS (SELECT n_name, l_suppkey,
+         |              CAST(row_number() OVER (PARTITION BY n_name
+         |                     ORDER BY train DESC, l_suppkey) AS BIGINT) AS ra
+         |       FROM b),
+         |pb AS (SELECT n_name, l_suppkey,
+         |              CAST(row_number() OVER (PARTITION BY n_name
+         |                     ORDER BY test DESC, l_suppkey) AS BIGINT) AS rb
+         |       FROM b),
+         |c AS (SELECT pa.n_name,
+         |             CAST(CASE WHEN pa.ra > pb.rb THEN pa.ra ELSE pb.rb END AS BIGINT) AS m
+         |      FROM pa JOIN pb ON pa.n_name = pb.n_name AND pa.l_suppkey = pb.l_suppkey
+         |      WHERE pa.ra <= 10 AND pb.rb <= 10),
+         |t AS (SELECT n_name,
+         |             CAST(sum(CAST(floor(($rboTSql) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
+         |             CAST(count(*) AS BIGINT) AS n_common
+         |      FROM c GROUP BY 1),
+         |nn AS (SELECT DISTINCT n_name FROM b)
+         |SELECT nn.n_name,
+         |       CAST(coalesce(t.n_common, 0) AS BIGINT) AS n_common,
+         |       ${Q.sqlR6("0.1 * coalesce(t.s6, 0) / 1e6")} AS rbo_10
+         |FROM nn LEFT JOIN t ON nn.n_name = t.n_name
+         |ORDER BY nn.n_name""".stripMargin) { (s, d) =>
+      val b = Q.snapshot(base(s, d))
+      val ta = top10(b, "train").select(col("n_name"), col("l_suppkey"), col("rk").as("ra"))
+      val tb = top10(b, "test").select(col("n_name"), col("l_suppkey"), col("rk").as("rb"))
+      val t = ta.join(tb, Seq("n_name", "l_suppkey"))
+        .select(col("n_name"), greatest(col("ra"), col("rb")).as("m"))
+        .groupBy("n_name")
+        .agg(sum(floor(rboTOf(col("m")) * 1e6 + 0.5).cast("long")).as("s6"),
+          count(lit(1)).as("n_common"))
+      b.select(col("n_name")).distinct()
+        .join(t, Seq("n_name"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          Q.r6(lit(0.1) * coalesce(col("s6"), lit(0L)) / lit(1e6)).as("rbo_10"))
+        .orderBy("n_name")
+    },
 
     // NDCG@10 of the train→test supplier ranking (round 15): DCG with
     // linear gain (test cents — the graded-relevance convention that

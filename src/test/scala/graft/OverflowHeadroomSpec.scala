@@ -297,6 +297,13 @@ class OverflowHeadroomSpec extends SparkSpec {
     Site("q_mrr", "1e6", "rr6 = ⌊(1/rk)·1e6⌉ summed over nations",
       "const (Σ ≤ 1e6·|nations| = 2.5e7)", 1e9, _ => 1e9, None),
 
+    Site("q_map", "1e6", "psum6 = Σ⌊(cumhits/rk)·1e6⌉ over ≤10 terms (P@i ≤ 1); "
+      + "ap6 ≤ 1e6; macro s6 ≤ 1e6·|nations|",
+      "const (Σ ≤ 2.5e7)", 1e9, _ => 1e9, None),
+
+    Site("q_rbo", "1e6", "s6 = Σ⌊T(m)·1e6⌉ over ≤10 common suppliers (T(1) < 2.4)",
+      "const (Σ ≤ 2.4e7 per nation)", 1e9, _ => 1e9, None),
+
     Site("q_ppl_bucket", "1e9/1e4", "per-doc lp9 = Σ tf·⌊ln(c/T)·1e9⌉; bucket Σm4",
       "lp9 ≤ n_tri·ln(T)·1e9 (doc length bounded, T log-grows); "
         + "Σm4 ≤ docs·|mean lp|·1e4 — linear", 1e6,
