@@ -306,5 +306,122 @@ object Audit {
               (col("n_rows") - col("n_null")))).as("uniqueness"),
           when(col("n_distinct") === col("n_rows"), 1L).otherwise(0L).as("is_key"))
         .orderBy("col_name")
+    },
+
+    // k-anonymity audit over the customer quasi-identifiers (round
+    // 16): QI = (nation, market segment, account-balance $1000 band) —
+    // the re-identification screen a privacy-conscious training
+    // pipeline runs before releasing per-customer aggregates. Every
+    // equivalence class is a QI cell; k = its size; the readout is the
+    // single-row risk profile (min k, classes/rows below k = 5, the
+    // at-risk row rate). Scale: the corpus collapses to the QI grid in
+    // ONE map-side-partial agg — the grid is DOMAIN-bounded (25
+    // nations × 5 segments × ~11 bands ≤ 1375 cells), so everything
+    // downstream is constant-size. The band is floor(acctbal/1000) —
+    // one IEEE division + floor, identical in both engines. Pure
+    // int64 counting to the final rate division.
+    Q("q_k_anonymity",
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+         |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |                  CAST(count(*) AS BIGINT) AS k
+         |           FROM customer GROUP BY 1, 2, 3)
+         |SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+         |       CAST(count(*) AS BIGINT) AS n_classes,
+         |       CAST(min(k) AS BIGINT) AS min_k,
+         |       CAST(coalesce(sum(CASE WHEN k < 5 THEN 1 END), 0) AS BIGINT) AS classes_below_5,
+         |       CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT) AS rows_below_5,
+         |       ${Q.sqlR6("CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS DOUBLE) / sum(k)")} AS risk_rate
+         |FROM g""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("k"))
+        .agg(sum("k").as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          min("k").as("min_k"),
+          coalesce(sum(when(col("k") < 5, 1L)), lit(0L)).as("classes_below_5"),
+          coalesce(sum(when(col("k") < 5, col("k"))), lit(0L)).as("rows_below_5"))
+        .select(col("n_rows"), col("n_classes"), col("min_k"),
+          col("classes_below_5"), col("rows_below_5"),
+          Q.r6(col("rows_below_5").cast("double") / col("n_rows")).as("risk_rate"))
+    },
+
+    // l-diversity audit (round 16): within each (nation, balance-band)
+    // QI class, how many DISTINCT market segments appear — the
+    // homogeneity-attack screen k-anonymity alone misses (a class of
+    // size 50 that is 100% one segment still leaks the attribute).
+    // l = exact distinct sensitive values per class; the readout is
+    // the single-row profile (min l, classes/rows with l < 3, the
+    // at-risk row rate). Same domain-bounded QI grid shape: one
+    // (nation, band, segment) agg (≤ 1375 cells), one (nation, band)
+    // rollup (≤ 275), single row out. Pure int64 counting.
+    Q("q_l_diversity",
+      s"""WITH c0 AS (SELECT c_nationkey,
+         |                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |                   c_mktsegment, CAST(count(*) AS BIGINT) AS c
+         |            FROM customer GROUP BY 1, 2, 3),
+         |g AS (SELECT c_nationkey, bal_band,
+         |             CAST(count(*) AS BIGINT) AS l,
+         |             CAST(sum(c) AS BIGINT) AS k
+         |      FROM c0 GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+         |       CAST(min(l) AS BIGINT) AS min_l,
+         |       CAST(coalesce(sum(CASE WHEN l < 3 THEN 1 END), 0) AS BIGINT) AS classes_l_below_3,
+         |       CAST(coalesce(sum(CASE WHEN l < 3 THEN k END), 0) AS BIGINT) AS rows_l_below_3,
+         |       ${Q.sqlR6("CAST(coalesce(sum(CASE WHEN l < 3 THEN k END), 0) AS DOUBLE) / sum(k)")} AS risk_rate
+         |FROM g""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("l"), sum("c").as("k"))
+        .agg(count(lit(1)).as("n_classes"),
+          min("l").as("min_l"),
+          coalesce(sum(when(col("l") < 3, 1L)), lit(0L)).as("classes_l_below_3"),
+          coalesce(sum(when(col("l") < 3, col("k"))), lit(0L)).as("rows_l_below_3"),
+          sum("k").as("nr"))
+        .select(col("n_classes"), col("min_l"),
+          col("classes_l_below_3"), col("rows_l_below_3"),
+          Q.r6(col("rows_l_below_3").cast("double") / col("nr")).as("risk_rate"))
+    },
+
+    // Partition-balance audit over the events day partitioning (round
+    // 16): the partition-health readout a 100 TB table needs BEFORE a
+    // backfill or repartition decision — rows per day-partition, the
+    // min/max/mean, the max/mean skew factor (the straggler predictor:
+    // one hot partition bounds the stage), and the coefficient of
+    // variation. Exact int64 (S, Σc², n) per-day counts off ONE
+    // map-side-partial agg onto the calendar-bounded day grid; the CV
+    // is sqrt(n·Σc² − S²)/S — integer arithmetic to the last
+    // operation (n·Σc² ≤ N²: the SF² headroom class, ~1e10 at sf0.1,
+    // 9 decades inside int64).
+    Q("q_partition_balance",
+      s"""WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |                  CAST(count(*) AS BIGINT) AS c
+         |           FROM events GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         |             CAST(sum(c) AS BIGINT) AS n_rows,
+         |             CAST(min(c) AS BIGINT) AS min_rows,
+         |             CAST(max(c) AS BIGINT) AS max_rows,
+         |             CAST(sum(c * c) AS BIGINT) AS q
+         |      FROM g)
+         |SELECT n_parts, n_rows, min_rows, max_rows,
+         |       ${Q.sqlR6("CAST(n_rows AS DOUBLE) / n_parts")} AS mean_rows,
+         |       ${Q.sqlR6("CAST(max_rows AS DOUBLE) * n_parts / n_rows")} AS skew,
+         |       ${Q.sqlR6("sqrt(CAST(n_parts * q - n_rows * n_rows AS DOUBLE)) / n_rows")} AS cv
+         |FROM a""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_parts"), sum("c").as("n_rows"),
+          min("c").as("min_rows"), max("c").as("max_rows"),
+          sum(col("c") * col("c")).as("q"))
+        .select(col("n_parts"), col("n_rows"), col("min_rows"), col("max_rows"),
+          Q.r6(col("n_rows").cast("double") / col("n_parts")).as("mean_rows"),
+          Q.r6(col("max_rows").cast("double") * col("n_parts") / col("n_rows")).as("skew"),
+          Q.r6(sqrt((col("n_parts") * col("q") - col("n_rows") * col("n_rows"))
+            .cast("double")) / col("n_rows")).as("cv"))
     })
 }
