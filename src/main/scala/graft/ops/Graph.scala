@@ -736,6 +736,57 @@ object Graph {
         .limit(20)
         .select(col("a"), col("b"), col("n_common"),
           Q.r6(col("ra6") / lit(1e6)).as("ra"))
+    },
+
+    // Adamic–Adar link prediction (round 16): q_graph_ra's sibling
+    // with the milder 1/ln(deg) damping — the standard LP baseline
+    // that keeps mid-degree common neighbors informative where RA
+    // crushes them. IDENTICAL machinery (hub-capped neighbor lists,
+    // in-row posexplode+slice pair expansion, non-edge anti-join,
+    // bounded top-20): only the per-witness weight changes, so the
+    // two scores can never drift structurally. ln(deg) is one libm
+    // call on an exact int (deg ≥ 2 → ln ≥ 0.693), identical IEEE in
+    // both engines (the q_word_entropy precedent), floored to 1e-6
+    // BEFORE the per-pair sum.
+    Q("q_adamic_adar",
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT a.pk AS a, b.pk AS b
+         |      FROM io a JOIN io b ON a.o = b.o AND a.pk < b.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |adj AS (SELECT a AS n, b AS x FROM e UNION ALL SELECT b, a FROM e),
+         |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS degw FROM adj GROUP BY 1),
+         |w AS (SELECT adj.n, adj.x, dg.degw FROM adj JOIN dg USING (n)
+         |      WHERE dg.degw BETWEEN 2 AND $DegCap),
+         |p AS (SELECT w1.x AS a, w2.x AS b, w1.degw
+         |      FROM w w1 JOIN w w2 ON w1.n = w2.n AND w1.x < w2.x),
+         |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         |              CAST(sum(CAST(floor((1.0 / ln(degw)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS aa6
+         |       FROM p GROUP BY 1, 2),
+         |nw AS (SELECT sc.* FROM sc ANTI JOIN e ON sc.a = e.a AND sc.b = e.b)
+         |SELECT a, b, n_common, ${Q.sqlR6("aa6 / 1e6")} AS aa
+         |FROM nw
+         |ORDER BY aa6 DESC, a, b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val e = coPairs(s, d).transform(snapshot)
+      val adj = e.select(col("a").as("n"), col("b").as("x"))
+        .unionAll(e.select(col("b").as("n"), col("a").as("x")))
+      val nbrs = adj.groupBy("n").agg(sort_array(collect_set(col("x"))).as("xs"))
+        .filter(size(col("xs")).between(2, DegCap))
+        .select(size(col("xs")).cast("long").as("degw"), col("xs"))
+      val pairs = nbrs
+        .select(col("degw"), col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
+        .select(col("degw"), col("a"),
+          explode(slice(col("xs"), col("i") + lit(2),
+            size(col("xs")) - col("i") - lit(1))).as("b"))
+      val sc = pairs
+        .withColumn("cr6", floor((lit(1.0) / log(col("degw"))) * lit(1e6) + 0.5).cast("long"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"), sum("cr6").as("aa6"))
+      sc.join(e, Seq("a", "b"), "left_anti")
+        .orderBy(col("aa6").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("n_common"),
+          Q.r6(col("aa6") / lit(1e6)).as("aa"))
     }
   )
 

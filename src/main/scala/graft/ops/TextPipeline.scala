@@ -972,6 +972,75 @@ object TextPipeline {
         .orderBy("source")
     },
 
+    // First-iteration BPE merge candidates (round 16): the top-20
+    // adjacent character pairs by corpus frequency — exactly the pair
+    // a byte-pair-encoding tokenizer trainer would merge first, and
+    // the readout that sizes how skewed the merge table's head is.
+    // Pairs come from an IN-ROW nested transform over each doc's words
+    // (no per-char explode ever shuffles), and the (pair) aggregation
+    // key is CHARSET²-bounded (≤ ~1300 cells on this corpus) — so one
+    // corpus scan collapses to a domain-bounded grid with map-side
+    // partials, and the top-20 is a sort+limit over that grid
+    // (TakeOrderedAndProject). Exact int64 counts; ties break on the
+    // pair string in both engines.
+    Q("q_bpe_merges",
+      """WITH w AS (SELECT list_filter(string_split(text, ' '), w -> len(w) >= 2) AS ws
+        |           FROM documents),
+        |p AS (SELECT unnest(flatten(list_transform(ws,
+        |               w -> list_transform(range(1, len(w)), i -> substring(w, i, 2))))) AS pair
+        |      FROM w)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p
+        |GROUP BY 1
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(expr(
+          "filter(split(text, ' '), w -> length(w) >= 2)").as("ws"))
+        .select(explode(expr(
+          """flatten(transform(ws,
+            |  w -> transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))))"""
+            .stripMargin)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    // Tokenizer fertility by language (round 16): tokens-per-word and
+    // chars-per-token under the BPE-ish regex lexer (q_token_count's
+    // three estimators, turned into the per-LANGUAGE efficiency
+    // readout a multilingual tokenizer budget is planned from — a
+    // high-fertility language pays more sequence length for the same
+    // text). One corpus scan, in-row tokenization, lang-keyed
+    // map-side partials; exact int64 token/word/char sums with the
+    // two ratios derived at the end.
+    Q("q_tokenizer_fertility",
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS words,
+         |                  regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks,
+         |                  n_chars
+         |           FROM documents)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(words)) AS BIGINT) AS n_words,
+         |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |       ${Q.sqlR6("CAST(sum(len(toks)) AS DOUBLE) / sum(len(words))")} AS fertility,
+         |       ${Q.sqlR6("CAST(sum(n_chars) AS DOUBLE) / sum(len(toks))")} AS chars_per_token
+         |FROM t
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      withWords(Tables.load(s, d, "documents"))
+        .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("words"))).as("n_words"),
+          sum(size(col("toks"))).as("n_tokens"),
+          sum(col("n_chars")).as("sc"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          Q.r6(col("n_tokens").cast("double") / col("n_words")).as("fertility"),
+          Q.r6(col("sc").cast("double") / col("n_tokens")).as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // Document fingerprinting: whole-text digest prefix + min/max shingle
     // hash (a 1-hash MinHash sketch — the rolling-hash fingerprint family
     // expressed with a portable hash).

@@ -397,6 +397,12 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("spectral_entropy") * 2.5649493574615367 * 1e9))
       })),
 
+    Site("q_adamic_adar", "1e6",
+      "per-pair aa6 = Σ floor(1e6/ln(deg(w))) over common neighbors (deg ≥ 2 ⇒ "
+        + "credit ≤ 1e6/ln 2 ≈ 1.443e6 — the q_graph_ra bound × 2.89)",
+      "const-ish (aa6 ≤ n_common·1.443e6 ≤ deg_max·1.443e6; same SF-invariant "
+        + "co-purchase degree argument as q_graph_ra)", 1e6, _ => 3e12, None),
+
     Site("q_graph_ra", "1e6", "per-pair ra6 = Σ floor(1e6/deg(w)) over common neighbors",
       "const-ish (ra6 ≤ n_common·5e5 ≤ deg_max·5e5 — a pair's common neighbors are "
         + "bounded by its endpoint degrees, and TPC-H co-purchase degrees are "
