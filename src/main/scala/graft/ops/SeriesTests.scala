@@ -1988,6 +1988,105 @@ object SeriesTests {
          |FROM t JOIN h USING (event_type)
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       spectralEntropyOf(Inference.dailyCounts(s, d))
+    },
+
+    // Sample entropy (m = 2, r = 0.2σ) of per-type daily volume
+    // (round 16): the regularity screen — B counts length-2 template
+    // pairs within Chebyshev tolerance r, A the length-3 survivors;
+    // SampEn = ln(B/A). Low = the series repeats itself (forecast
+    // it); high = irregular. Templates ride the DENSE grid (missing
+    // days are real zeros — the q_perm_entropy convention); the pair
+    // frame is |days|² per type, the accepted calendar-bounded
+    // q_matrix_profile class, never corpus-scaled. Exactness: A and B
+    // are pure INTEGER counts; the only float is the tolerance r =
+    // 0.2·sqrt((n·Σy²−S²))/n — ONE identical IEEE tree in both
+    // engines, so every |Δ| ≤ r comparison lands the same side.
+    Q("q_sampen",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+         |       FROM grid GROUP BY 1),
+         |rr AS (SELECT event_type, n,
+         |              0.2 * sqrt(CAST(n * q - s * s AS DOUBLE)) / n AS r
+         |       FROM st),
+         |sub AS (SELECT g.event_type, g.x AS i, g.y AS a0,
+         |               lead(g.y, 1) OVER (PARTITION BY g.event_type ORDER BY g.x) AS a1,
+         |               lead(g.y, 2) OVER (PARTITION BY g.event_type ORDER BY g.x) AS a2
+         |        FROM grid g),
+         |b2 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS b
+         |       FROM sub a JOIN sub b ON a.event_type = b.event_type AND a.i < b.i
+         |       JOIN rr ON rr.event_type = a.event_type
+         |       WHERE a.a1 IS NOT NULL AND b.a1 IS NOT NULL
+         |         AND abs(a.a0 - b.a0) <= rr.r AND abs(a.a1 - b.a1) <= rr.r
+         |       GROUP BY 1),
+         |a3 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS a
+         |       FROM sub a JOIN sub b ON a.event_type = b.event_type AND a.i < b.i
+         |       JOIN rr ON rr.event_type = a.event_type
+         |       WHERE a.a2 IS NOT NULL AND b.a2 IS NOT NULL
+         |         AND abs(a.a0 - b.a0) <= rr.r AND abs(a.a1 - b.a1) <= rr.r
+         |                                      AND abs(a.a2 - b.a2) <= rr.r
+         |       GROUP BY 1)
+         |SELECT rr.event_type, rr.n AS n_days, ${Q.sqlR6("rr.r")} AS r,
+         |       CAST(coalesce(b2.b, 0) AS BIGINT) AS b_pairs,
+         |       CAST(coalesce(a3.a, 0) AS BIGINT) AS a_pairs,
+         |       CASE WHEN coalesce(a3.a, 0) > 0 AND coalesce(b2.b, 0) > 0
+         |         THEN ${Q.sqlR6("ln(CAST(b2.b AS DOUBLE) / a3.a)")} END AS sampen
+         |FROM rr
+         |LEFT JOIN b2 ON rr.event_type = b2.event_type
+         |LEFT JOIN a3 ON rr.event_type = a3.event_type
+         |ORDER BY rr.event_type""".stripMargin) { (s, d) =>
+      sampenOf(Inference.dailyCounts(s, d))
+    },
+
+    // Theta-method one-step forecast of per-type daily volume (round
+    // 16): the M3-winning baseline — decompose into the exact linear
+    // trend (closed-form from int64 moment sums) and the theta = 2
+    // line ℓ_t = 2y_t − (a + b·x_t), smooth ℓ with SES (α = 0.2,
+    // seeded at the first value — ONE left-to-right float fold per
+    // type, the q_burst_detect shape), and combine: ŷ(next) =
+    // (ses + a + b·x_next)/2. The dense grid supplies real zeros for
+    // missing days; the trend and the collect_list arrive in the SAME
+    // per-type agg, so there is exactly one fold pass. Oracle runs the
+    // identical recursion as a recursive CTE — costs agree to the bit.
+    Q("q_theta_forecast",
+      s"""WITH RECURSIVE daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |              CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |              CAST(max(x) AS BIGINT) AS xmax
+         |       FROM grid GROUP BY 1),
+         |ab AS (SELECT event_type, n, xmax,
+         |              CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+         |              (sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n AS a
+         |       FROM st WHERE n >= 2 AND n * sxx - sx * sx > 0),
+         |seq AS (SELECT g.event_type, g.x, g.y, ab.a, ab.b, ab.n, ab.xmax,
+         |               CAST(row_number() OVER (PARTITION BY g.event_type ORDER BY g.x) AS BIGINT) AS rn
+         |        FROM grid g JOIN ab ON g.event_type = ab.event_type),
+         |rec AS (SELECT event_type, rn, a, b, n, xmax,
+         |               2 * y - (a + b * x) AS ses
+         |        FROM seq WHERE rn = 1
+         |        UNION ALL
+         |        SELECT s.event_type, s.rn, s.a, s.b, s.n, s.xmax,
+         |               0.2 * (2 * s.y - (s.a + s.b * s.x)) + 0.8 * r.ses
+         |        FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+         |SELECT event_type, n AS n_days,
+         |       ${Q.sqlR6("a")} AS trend_a, ${Q.sqlR6("b")} AS trend_b,
+         |       ${Q.sqlR6("ses")} AS ses_theta,
+         |       ${Q.sqlR6("(ses + a + b * (xmax + 1)) / 2")} AS forecast_next
+         |FROM rec
+         |WHERE rn = n
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      thetaForecastOf(Inference.dailyCounts(s, d))
     }
   )
 
@@ -2239,5 +2338,92 @@ object SeriesTests {
         when(col("n") * col("a16") - col("b16") > 0,
           Q.r6((col("n") - 1) * col("b16").cast("double") /
             (col("n") * col("a16") - col("b16")))).as("quade_f"))
+  }
+
+  /** The sample-entropy fold (m = 2, r = 0.2σ) over a daily
+    * (event_type, x, y) count frame — ONE home shared by batch
+    * q_sampen and the s_sampen streaming read-time view (a new day
+    * shifts σ and every template comparison; the daily grid is the
+    * mergeable state). A and B are exact integer pair counts over the
+    * dense grid's lead-window templates; ONE pair pass counts both
+    * template lengths with conditional sums (the oracle runs two
+    * joins — same counts). The only float is r, one identical IEEE
+    * tree in both engines. */
+  private[graft] def sampenOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val rr = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y") * col("y")).as("q"))
+      .select(col("event_type"), col("n"),
+        (lit(0.2) * sqrt((col("n") * col("q") - col("s") * col("s")).cast("double"))
+          / col("n")).as("r"))
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val sub = grid
+      .withColumn("a1", lead("y", 1).over(wx))
+      .withColumn("a2", lead("y", 2).over(wx))
+      .select(col("event_type"), col("x").as("i"), col("y").as("a0"),
+        col("a1"), col("a2"))
+      .transform(Q.snapshot) // feeds both sides of the pair self-join
+    val a = sub.as("a")
+    val b = sub.as("b")
+    val m2 = col("a.a1").isNotNull && col("b.a1").isNotNull &&
+      abs(col("a.a0") - col("b.a0")) <= col("r") &&
+      abs(col("a.a1") - col("b.a1")) <= col("r")
+    val m3 = col("a.a2").isNotNull && col("b.a2").isNotNull &&
+      abs(col("a.a0") - col("b.a0")) <= col("r") &&
+      abs(col("a.a1") - col("b.a1")) <= col("r") &&
+      abs(col("a.a2") - col("b.a2")) <= col("r")
+    val pairs = a
+      .join(b, col("a.event_type") === col("b.event_type") && col("a.i") < col("b.i"))
+      .join(broadcast(rr.select(col("event_type").as("re"), col("r"))),
+        col("a.event_type") === col("re"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(m2, 1L).otherwise(0L)).as("b_raw"),
+        sum(when(m3, 1L).otherwise(0L)).as("a_raw"))
+    rr.join(pairs, Seq("event_type"), "left")
+      .select(col("event_type"), col("n").as("n_days"), Q.r6(col("r")).as("r"),
+        coalesce(col("b_raw"), lit(0L)).as("b_pairs"),
+        coalesce(col("a_raw"), lit(0L)).as("a_pairs"),
+        when(coalesce(col("a_raw"), lit(0L)) > 0 && coalesce(col("b_raw"), lit(0L)) > 0,
+          Q.r6(log(col("b_raw").cast("double") / col("a_raw")))).as("sampen"))
+      .orderBy("event_type")
+  }
+
+  /** The theta-method fold over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_theta_forecast and the
+    * s_theta_forecast streaming read-time view (a new day re-fits the
+    * trend and re-runs the SES recursion; the daily grid is the
+    * mergeable state). Trend from exact int64 moment sums; the SES
+    * over the theta line is ONE left-to-right aggregate() fold per
+    * type, term-for-term identical to the oracle's recursive CTE. */
+  private[graft] def thetaForecastOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val per = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        max("x").as("xmax"),
+        sort_array(collect_list(struct(col("x"), col("y")))).as("xs"))
+      .filter(col("n") >= 2 && col("n") * col("sxx") - col("sx") * col("sx") > 0)
+    val bCol = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx").cast("double") * col("sx"))
+    per
+      .withColumn("b", bCol)
+      .withColumn("a", (col("sy") - col("b") * col("sx")) / col("n"))
+      .withColumn("ses", expr(
+        """aggregate(xs,
+          |  named_struct('f', CAST(0 AS INT), 's', CAST(0 AS DOUBLE)),
+          |  (acc, e) -> CASE WHEN acc.f = 0
+          |    THEN named_struct('f', 1, 's', 2 * e.y - (a + b * e.x))
+          |    ELSE named_struct('f', 1, 's', 0.2 * (2 * e.y - (a + b * e.x)) + 0.8 * acc.s)
+          |    END,
+          |  acc -> acc.s)""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        Q.r6(col("a")).as("trend_a"), Q.r6(col("b")).as("trend_b"),
+        Q.r6(col("ses")).as("ses_theta"),
+        Q.r6((col("ses") + col("a") + col("b") * (col("xmax") + 1)) / 2)
+          .as("forecast_next"))
+      .orderBy("event_type")
   }
 }

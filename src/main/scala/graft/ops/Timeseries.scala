@@ -1633,6 +1633,75 @@ object Timeseries {
          |FROM st
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       seasonalStrengthOf(Inference.dailyCounts(s, d))
+    },
+
+    // Croston's method over per-part shipment demand (round 16): the
+    // intermittent-demand forecaster a supply pipeline runs per SKU —
+    // most parts ship on a handful of scattered days, exactly the
+    // zero-inflated series where SES on the raw values collapses.
+    // Per demand day: z ← α·q + (1−α)·z (demand size EWMA) and
+    // p ← α·(x−x_prev) + (1−α)·p (inter-demand interval EWMA, seeded
+    // at 1.0 — the no-history convention, documented); forecast =
+    // z/p demand per day. α = 0.1. Shape: lineitem collapses to the
+    // (part, day) demand grid in ONE keyed agg (map-side partials);
+    // each part's fold is ONE left-to-right aggregate() over its
+    // sorted demand days (the q_burst_detect shape — per-part state,
+    // never a prefix window); the readout is the top-20 by forecast
+    // via sort+limit. Quantities are exact int64 (TPC-H quantities
+    // are whole); the EWMA recursion is term-for-term identical to
+    // the oracle's recursive CTE; the ordering key f6 floors the
+    // forecast to 1e-6 so the top-20 pick is an integer comparison.
+    Q("q_croston",
+      s"""WITH RECURSIVE dem AS (SELECT l_partkey AS pk,
+         |             CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS x,
+         |             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+         |      FROM lineitem GROUP BY 1, 2),
+         |seq AS (SELECT pk, x, q,
+         |               CAST(row_number() OVER (PARTITION BY pk ORDER BY x) AS BIGINT) AS rn,
+         |               CAST(count(*) OVER (PARTITION BY pk) AS BIGINT) AS nd
+         |        FROM dem),
+         |rec AS (SELECT pk, rn, nd, x, CAST(q AS DOUBLE) AS z, CAST(1.0 AS DOUBLE) AS p
+         |        FROM seq WHERE rn = 1
+         |        UNION ALL
+         |        SELECT s.pk, s.rn, s.nd, s.x,
+         |               0.1 * s.q + 0.9 * r.z,
+         |               0.1 * (s.x - r.x) + 0.9 * r.p
+         |        FROM rec r JOIN seq s ON s.pk = r.pk AND s.rn = r.rn + 1),
+         |f AS (SELECT pk, nd, z, p, z / p AS fc,
+         |             CAST(floor(z / p * 1e6 + 0.5) AS BIGINT) AS f6
+         |      FROM rec WHERE rn = nd)
+         |SELECT pk AS l_partkey, nd AS n_demand_days,
+         |       ${Q.sqlR6("z")} AS z_size, ${Q.sqlR6("p")} AS p_interval,
+         |       ${Q.sqlR6("fc")} AS forecast_per_day
+         |FROM f
+         |ORDER BY f6 DESC, pk
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val dem = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("pk"),
+          datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long").as("x"))
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+      dem.groupBy("pk")
+        .agg(count(lit(1)).as("nd"),
+          sort_array(collect_list(struct(col("x"), col("q")))).as("xs"))
+        .withColumn("st", expr(
+          """aggregate(xs,
+            |  named_struct('f', CAST(0 AS INT), 'px', CAST(0 AS BIGINT),
+            |    'z', CAST(0 AS DOUBLE), 'p', CAST(0 AS DOUBLE)),
+            |  (acc, e) -> CASE WHEN acc.f = 0
+            |    THEN named_struct('f', 1, 'px', e.x,
+            |      'z', CAST(e.q AS DOUBLE), 'p', CAST(1.0 AS DOUBLE))
+            |    ELSE named_struct('f', 1, 'px', e.x,
+            |      'z', 0.1 * e.q + 0.9 * acc.z,
+            |      'p', 0.1 * (e.x - acc.px) + 0.9 * acc.p)
+            |    END)""".stripMargin))
+        .select(col("pk"), col("nd"), col("st.z").as("z"), col("st.p").as("p"),
+          (col("st.z") / col("st.p")).as("fc"),
+          floor(col("st.z") / col("st.p") * 1e6 + 0.5).cast("long").as("f6"))
+        .orderBy(col("f6").desc, col("pk"))
+        .limit(20)
+        .select(col("pk").as("l_partkey"), col("nd").as("n_demand_days"),
+          Q.r6(col("z")).as("z_size"), Q.r6(col("p")).as("p_interval"),
+          Q.r6(col("fc")).as("forecast_per_day"))
     }
   )
 

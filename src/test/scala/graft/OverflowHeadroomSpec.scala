@@ -397,6 +397,20 @@ class OverflowHeadroomSpec extends SparkSpec {
           .agg(max(col("spectral_entropy") * 2.5649493574615367 * 1e9))
       })),
 
+    Site("q_theta_forecast", "(none own)",
+      "q_theta_forecast accumulates NO lattice of its own (int64 trend moments, "
+        + "one float SES fold, Q.r6 output rounding only); as SeriesTests' LAST "
+        + "Q block it inherits the file-trailing shared folds in the scanner — "
+        + "permEntropyOf/spectralEntropyOf 1e9 entropy lattices, audited under "
+        + "their own q_perm_entropy/q_spectral_entropy rows",
+      "const (see the owning rows)", 1e9, _ => 3e9, None),
+
+    Site("q_croston", "1e6",
+      "ordering key f6 = ⌊(z/p)·1e6⌉ per part (z ≤ max daily part demand, "
+        + "p ≥ 1 — intervals are ≥ 1 days and the seed is 1.0)",
+      "const-ish (per-part daily demand is SF-invariant: parts and lineitem "
+        + "both scale with SF)", 1e6, _ => 1e11, None),
+
     Site("q_adamic_adar", "1e6",
       "per-pair aa6 = Σ floor(1e6/ln(deg(w))) over common neighbors (deg ≥ 2 ⇒ "
         + "credit ≤ 1e6/ln 2 ≈ 1.443e6 — the q_graph_ra bound × 2.89)",
