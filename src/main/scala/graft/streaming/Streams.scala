@@ -1118,6 +1118,18 @@ object Streams {
   def burstDetectOf(grid: DataFrame): DataFrame =
     graft.ops.Inference.burstDetectOf(grid)
 
+  /** Read-time sample-entropy projection over a [[dailyGrid]] — a new
+    * day shifts σ and every template comparison; the grid is the
+    * mergeable state (s_sampen). */
+  def sampenOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.sampenOf(grid)
+
+  /** Read-time theta-forecast projection over a [[dailyGrid]] — a new
+    * day re-fits the trend and re-runs the SES recursion; the grid is
+    * the mergeable state (s_theta_forecast). */
+  def thetaForecastOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.thetaForecastOf(grid)
+
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.decomposeOf(grid)

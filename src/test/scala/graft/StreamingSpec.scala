@@ -392,6 +392,10 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_icc")(spark, sfDir)), "ICC")
       assert(rows1(Streams.permEntropyOf(grid)) ===
         rows1(SparkEntry.queries("q_perm_entropy")(spark, sfDir)), "permutation entropy")
+      assert(rows1(Streams.sampenOf(grid)) ===
+        rows1(SparkEntry.queries("q_sampen")(spark, sfDir)), "sample entropy")
+      assert(rows1(Streams.thetaForecastOf(grid)) ===
+        rows1(SparkEntry.queries("q_theta_forecast")(spark, sfDir)), "theta forecast")
     }
   }
 
