@@ -178,6 +178,69 @@ object Cdc {
           Q.r2(col("s")).as("total"), col("vmin"), col("vmax"),
           Q.r4(col("s") / col("n")).as("vavg"))
         .orderBy("o_orderpriority")
+    },
+
+    // Snapshot diff (round 16): the table-to-table reconciliation a
+    // lakehouse runs after every backfill/replication — classify each
+    // primary key as unchanged / changed / deleted / inserted between
+    // two snapshots and report the counts plus the changed-row rate.
+    // The "new" snapshot derives from orders by DETERMINISTIC mutation
+    // (the q_merge_upsert convention for synthesizing CDC inputs):
+    // keys ≡ 0 (mod 97) are deleted, surviving keys ≡ 0 (mod 89) get
+    // o_totalprice + 1.00, and keys ≡ 0 (mod 83) re-enter re-keyed
+    // +10⁹ as inserts. Comparison is ONE keyed FULL OUTER join on the
+    // PK with the value tuple compared as exact cents + status — pure
+    // int64/string equality, no hash, no float. Scale: both sides
+    // shuffle once on the PK; the readout is a single row.
+    Q("q_snapshot_diff",
+      s"""WITH oldv AS (SELECT o_orderkey AS k,
+         |                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price,
+         |                     o_orderstatus AS st
+         |              FROM orders),
+         |newv AS (SELECT k,
+         |                CASE WHEN k % 89 = 0 THEN price + 100 ELSE price END AS price,
+         |                st
+         |         FROM oldv WHERE k % 97 <> 0
+         |         UNION ALL
+         |         SELECT k + 1000000000, price, st FROM oldv WHERE k % 83 = 0),
+         |j AS (SELECT o.k AS ko, n.k AS kn,
+         |             CASE WHEN o.k IS NULL THEN 'inserted'
+         |                  WHEN n.k IS NULL THEN 'deleted'
+         |                  WHEN o.price = n.price AND o.st = n.st THEN 'unchanged'
+         |                  ELSE 'changed' END AS kind
+         |      FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k)
+         |SELECT CAST(sum(CASE WHEN kind = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         |       CAST(sum(CASE WHEN kind = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |       CAST(sum(CASE WHEN kind = 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         |       CAST(sum(CASE WHEN kind = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+         |       ${Q.sqlR6("CAST(sum(CASE WHEN kind = 'changed' THEN 1 ELSE 0 END) AS DOUBLE) / sum(CASE WHEN kind IN ('unchanged','changed') THEN 1 ELSE 0 END)")} AS change_rate
+         |FROM j""".stripMargin) { (s, d) =>
+      val oldv = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price"),
+          col("o_orderstatus").as("st"))
+        .transform(Q.snapshot) // feeds both snapshot sides once
+      val newv = oldv.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 89 === 0, col("price") + 100).otherwise(col("price")).as("price"),
+          col("st"))
+        .unionAll(oldv.filter(col("k") % 83 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("price"), col("st")))
+      val j = oldv.select(col("k").as("ko"), col("price").as("po"), col("st").as("so"))
+        .join(newv.select(col("k").as("kn"), col("price").as("pn"), col("st").as("sn")),
+          col("ko") === col("kn"), "full_outer")
+        .select(when(col("ko").isNull, "inserted")
+          .when(col("kn").isNull, "deleted")
+          .when(col("po") === col("pn") && col("so") === col("sn"), "unchanged")
+          .otherwise("changed").as("kind"))
+      j.agg(
+        sum(when(col("kind") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("kind") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("kind") === "deleted", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("kind") === "inserted", 1L).otherwise(0L)).as("n_inserted"),
+        Q.r6(sum(when(col("kind") === "changed", 1L).otherwise(0L)).cast("double") /
+          sum(when(col("kind").isin("unchanged", "changed"), 1L).otherwise(0L)))
+          .as("change_rate"))
     }
   )
 }

@@ -102,6 +102,19 @@ object Inference {
       .orderBy("event_type")
   }
 
+  /** O'Brien–Fleming boundaries 2.9626/√(k/5) for looks 1..5 —
+    * shortest-round-trip IEEE literals embedded in BOTH engines
+    * (computed once here; no sqrt is evaluated at query time — the
+    * q_power_analysis move). */
+  private[graft] val ObfBounds: Seq[Double] =
+    (1 to 5).map(k => 2.9626 / math.sqrt(k / 5.0))
+
+  private[graft] def obfBoundaryCol(k: Column): Column =
+    element_at(array(ObfBounds.map(lit): _*), k.cast("int"))
+
+  private[graft] val ObfSqlCases: String =
+    ObfBounds.zipWithIndex.map { case (b, i) => s"WHEN ${i + 1} THEN $b" }.mkString(" ")
+
   private[graft] def dailyCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"), dayIndexCol.as("x"))
@@ -999,6 +1012,181 @@ object Inference {
          |FROM t""".stripMargin
     }) { (s, d) =>
       sprtOf(dailyCounts(s, d))
+    },
+
+    // TOST equivalence test (round 16): the NON-inferiority readout a
+    // platform needs before shipping a "no change" — two one-sided
+    // Welch t's against the ±δ margin (δ = 5% of the pooled purchase
+    // mean, documented), declared equivalent when BOTH reject at the
+    // z-approximated 5% level (|t| > 1.6449, an IEEE literal in both
+    // engines — no t-CDF is evaluated, the q_power_analysis move).
+    // Arms are the §2.11 variant split over per-event purchase cents;
+    // exact int64 moments (n, Σv, Σv²) per arm, floats only in the
+    // final means/variances — the q_welch_t machinery pointed at the
+    // equivalence question.
+    Q("q_tost_equivalence",
+      s"""WITH v AS (SELECT user_id % 2 AS variant,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+         |           FROM events WHERE event_type = 'purchase'),
+         |s AS (SELECT CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |             CAST(sum(CASE WHEN variant = 1 THEN v2 ELSE 0 END) AS BIGINT) AS s1a,
+         |             CAST(sum(CASE WHEN variant = 1 THEN v2 * v2 ELSE 0 END) AS BIGINT) AS s2a,
+         |             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |             CAST(sum(CASE WHEN variant = 0 THEN v2 ELSE 0 END) AS BIGINT) AS s1b,
+         |             CAST(sum(CASE WHEN variant = 0 THEN v2 * v2 ELSE 0 END) AS BIGINT) AS s2b
+         |      FROM v),
+         |m AS (SELECT na, nb,
+         |             CAST(s1a AS DOUBLE) / na AS ma, CAST(s1b AS DOUBLE) / nb AS mb,
+         |             (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) / na * s1a) / (na - 1) AS va,
+         |             (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) / nb * s1b) / (nb - 1) AS vb,
+         |             0.05 * (CAST(s1a AS BIGINT) + s1b) / (na + nb) AS delta
+         |      FROM s WHERE na >= 2 AND nb >= 2),
+         |f AS (SELECT na, nb, ma, mb, delta,
+         |             sqrt(va / na + vb / nb) AS se,
+         |             (va / na + vb / nb) * (va / na + vb / nb) /
+         |               ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)) AS df
+         |      FROM m)
+         |SELECT na AS n_treat, nb AS n_ctrl,
+         |       ${Q.sqlR4("(ma - mb) / 100")} AS diff_usd,
+         |       ${Q.sqlR4("delta / 100")} AS margin_usd,
+         |       CASE WHEN se > 0 THEN ${Q.sqlR6("(ma - mb + delta) / se")} END AS t_lower,
+         |       CASE WHEN se > 0 THEN ${Q.sqlR6("(ma - mb - delta) / se")} END AS t_upper,
+         |       CASE WHEN se > 0 THEN ${Q.sqlR2("df")} END AS df,
+         |       CAST(CASE WHEN se > 0 AND (ma - mb + delta) / se > 1.6448536269514722
+         |                  AND (ma - mb - delta) / se < -1.6448536269514722
+         |            THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+         |FROM f""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v2"))
+      val st = v.agg(
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("na"),
+        sum(when(col("variant") === 1, col("v2")).otherwise(0L)).as("s1a"),
+        sum(when(col("variant") === 1, col("v2") * col("v2")).otherwise(0L)).as("s2a"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("variant") === 0, col("v2")).otherwise(0L)).as("s1b"),
+        sum(when(col("variant") === 0, col("v2") * col("v2")).otherwise(0L)).as("s2b"))
+      val m = st.filter(col("na") >= 2 && col("nb") >= 2)
+        .select(col("na"), col("nb"),
+          (col("s1a").cast("double") / col("na")).as("ma"),
+          (col("s1b").cast("double") / col("nb")).as("mb"),
+          ((col("s2a").cast("double") - col("s1a").cast("double") / col("na") * col("s1a"))
+            / (col("na") - 1)).as("va"),
+          ((col("s2b").cast("double") - col("s1b").cast("double") / col("nb") * col("s1b"))
+            / (col("nb") - 1)).as("vb"),
+          (lit(0.05) * (col("s1a") + col("s1b")) / (col("na") + col("nb"))).as("delta"))
+      val f = m.select(col("na"), col("nb"), col("ma"), col("mb"), col("delta"),
+        sqrt(col("va") / col("na") + col("vb") / col("nb")).as("se"),
+        ((col("va") / col("na") + col("vb") / col("nb")) *
+          (col("va") / col("na") + col("vb") / col("nb")) /
+          ((col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +
+           (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1))).as("df"))
+      val zc = lit(1.6448536269514722)
+      f.select(col("na").as("n_treat"), col("nb").as("n_ctrl"),
+        Q.r4((col("ma") - col("mb")) / 100).as("diff_usd"),
+        Q.r4(col("delta") / 100).as("margin_usd"),
+        when(col("se") > 0, Q.r6((col("ma") - col("mb") + col("delta")) / col("se"))).as("t_lower"),
+        when(col("se") > 0, Q.r6((col("ma") - col("mb") - col("delta")) / col("se"))).as("t_upper"),
+        when(col("se") > 0, Q.r2(col("df"))).as("df"),
+        when(col("se") > 0 &&
+          (col("ma") - col("mb") + col("delta")) / col("se") > zc &&
+          (col("ma") - col("mb") - col("delta")) / col("se") < -zc, 1L)
+          .otherwise(0L).as("equivalent"))
+    },
+
+    // Group-sequential monitoring with O'Brien–Fleming boundaries
+    // (round 16): five interim looks at calendar quintiles of the
+    // experiment window — at each look the cumulative Welch z of the
+    // variant purchase contrast against the OBF boundary
+    // 2.9626/√(k/5), the spending discipline that lets a platform
+    // peek early without inflating α. Boundaries are FIVE IEEE
+    // literals in both engines; look cutoffs are pure integer
+    // arithmetic on the observed day span. Shape: the corpus
+    // collapses to the calendar-bounded (variant, day) moment grid
+    // ONCE; each look is a filter+agg over that tiny grid.
+    Q("q_group_sequential",
+      s"""WITH g AS (SELECT user_id % 2 AS variant,
+         |                  CAST(date_diff('day', DATE '$Anchor',
+         |                                 CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |                  CAST(count(*) AS BIGINT) AS n,
+         |                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+         |                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+         |                           CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qv
+         |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |sp AS (SELECT min(x) AS xmin, max(x) AS xmax FROM g),
+         |lk AS (SELECT k,
+         |              sp.xmin - 1 + CAST(floor(k * (sp.xmax - sp.xmin + 1) / 5.0) AS BIGINT) AS cutoff
+         |       FROM (SELECT unnest([1, 2, 3, 4, 5]) AS k), sp),
+         |c AS (SELECT lk.k, lk.cutoff, g.variant,
+         |             CAST(sum(g.n) AS BIGINT) AS n,
+         |             CAST(sum(g.sv) AS BIGINT) AS s1,
+         |             CAST(sum(g.qv) AS BIGINT) AS s2
+         |      FROM lk JOIN g ON g.x <= lk.cutoff
+         |      GROUP BY 1, 2, 3),
+         |w AS (SELECT k, cutoff,
+         |             max(CASE WHEN variant = 1 THEN n END) AS na,
+         |             max(CASE WHEN variant = 1 THEN s1 END) AS s1a,
+         |             max(CASE WHEN variant = 1 THEN s2 END) AS s2a,
+         |             max(CASE WHEN variant = 0 THEN n END) AS nb,
+         |             max(CASE WHEN variant = 0 THEN s1 END) AS s1b,
+         |             max(CASE WHEN variant = 0 THEN s2 END) AS s2b
+         |      FROM c GROUP BY 1, 2),
+         |f AS (SELECT k, cutoff, na, nb,
+         |             CASE WHEN na >= 2 AND nb >= 2 THEN
+         |               (CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb) /
+         |               sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) / na * s1a) / (na - 1) / na +
+         |                    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) / nb * s1b) / (nb - 1) / nb)
+         |             END AS z,
+         |             CASE k $ObfSqlCases END AS obf
+         |      FROM w)
+         |SELECT CAST(k AS BIGINT) AS look, cutoff AS day_cutoff,
+         |       CAST(coalesce(na, 0) AS BIGINT) AS n_treat,
+         |       CAST(coalesce(nb, 0) AS BIGINT) AS n_ctrl,
+         |       CASE WHEN z IS NOT NULL THEN ${Q.sqlR6("z")} END AS z,
+         |       obf AS obf_boundary,
+         |       CAST(CASE WHEN z IS NOT NULL AND abs(z) > obf THEN 1 ELSE 0 END AS BIGINT) AS crossed
+         |FROM f
+         |ORDER BY look""".stripMargin) { (s, d) =>
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val g = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 2).as("variant"), dayIndexCol.as("x"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("sv"),
+          sum(cents * cents).as("qv"))
+        .transform(Q.snapshot) // feeds the span agg and every look
+      val sp = g.agg(min("x").as("xmin"), max("x").as("xmax"))
+      val lk = sp.select(explode(sequence(lit(1), lit(5))).as("k"),
+          col("xmin"), col("xmax"))
+        .select(col("k"),
+          (col("xmin") - 1 + floor(col("k") * (col("xmax") - col("xmin") + 1) / lit(5.0))
+            .cast("long")).as("cutoff"))
+      val c = broadcast(lk).join(g, g("x") <= lk("cutoff"))
+        .groupBy("k", "cutoff", "variant")
+        .agg(sum("n").as("n"), sum("sv").as("s1"), sum("qv").as("s2"))
+      val w = c.groupBy("k", "cutoff").agg(
+        max(when(col("variant") === 1, col("n"))).as("na"),
+        max(when(col("variant") === 1, col("s1"))).as("s1a"),
+        max(when(col("variant") === 1, col("s2"))).as("s2a"),
+        max(when(col("variant") === 0, col("n"))).as("nb"),
+        max(when(col("variant") === 0, col("s1"))).as("s1b"),
+        max(when(col("variant") === 0, col("s2"))).as("s2b"))
+      val z = when(col("na") >= 2 && col("nb") >= 2,
+        (col("s1a").cast("double") / col("na") - col("s1b").cast("double") / col("nb")) /
+          sqrt((col("s2a").cast("double") - col("s1a").cast("double") / col("na") * col("s1a"))
+              / (col("na") - 1) / col("na") +
+            (col("s2b").cast("double") - col("s1b").cast("double") / col("nb") * col("s1b"))
+              / (col("nb") - 1) / col("nb")))
+      w.withColumn("z", z)
+        .withColumn("obf", obfBoundaryCol(col("k")))
+        .select(col("k").cast("long").as("look"), col("cutoff").as("day_cutoff"),
+          coalesce(col("na"), lit(0L)).as("n_treat"),
+          coalesce(col("nb"), lit(0L)).as("n_ctrl"),
+          when(col("z").isNotNull, Q.r6(col("z"))).as("z"),
+          col("obf").as("obf_boundary"),
+          when(col("z").isNotNull && abs(col("z")) > col("obf"), 1L)
+            .otherwise(0L).as("crossed"))
+        .orderBy("look")
     },
 
     // Kleinberg-style burst detection over the per-type daily series
