@@ -2087,8 +2087,294 @@ object SeriesTests {
          |WHERE rn = n
          |ORDER BY event_type""".stripMargin) { (s, d) =>
       thetaForecastOf(Inference.dailyCounts(s, d))
+    },
+
+    // Rolling-origin one-step forecast backtest (round 16): the
+    // evaluation harness every forecasting family above feeds into —
+    // for each day past the first week, score three baseline
+    // forecasters (naive = lag-1, seasonal-naive = lag-7, ma7 = the
+    // trailing 7-day mean) against the realized count, per event type.
+    // All error sums are EXACT int64 (the ma7 residual is scaled by 7
+    // so the rational mean never materializes as a float before the
+    // readout); the winner ladder compares cross-multiplied integer
+    // sums, so "best" never depends on float division. Ties resolve
+    // naive > snaive > ma7 (the cheaper model wins a tie).
+    Q("q_backtest_naive",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |w AS (SELECT event_type, x, y,
+         |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS rn,
+         |             lag(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS fn,
+         |             lag(y, 7) OVER (PARTITION BY event_type ORDER BY x) AS fs,
+         |             sum(y) OVER (PARTITION BY event_type ORDER BY x
+         |                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS m7
+         |      FROM grid),
+         |e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(abs(y - fn)) AS BIGINT) AS sn,
+         |             CAST(sum(abs(y - fs)) AS BIGINT) AS ss,
+         |             CAST(sum(abs(7 * y - m7)) AS BIGINT) AS sm
+         |      FROM w WHERE rn >= 8 GROUP BY 1)
+         |SELECT ty.event_type, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_evals,
+         |       ${Q.sqlR4("CAST(e.sn AS DOUBLE) / e.n")} AS mae_naive,
+         |       ${Q.sqlR4("CAST(e.ss AS DOUBLE) / e.n")} AS mae_snaive,
+         |       ${Q.sqlR4("CAST(e.sm AS DOUBLE) / (7.0 * e.n)")} AS mae_ma7,
+         |       CASE WHEN e.n IS NULL THEN NULL
+         |            WHEN 7 * e.sn <= e.sm AND e.sn <= e.ss THEN 'naive'
+         |            WHEN 7 * e.ss <= e.sm THEN 'snaive'
+         |            ELSE 'ma7' END AS best
+         |FROM ty LEFT JOIN e ON ty.event_type = e.event_type
+         |ORDER BY ty.event_type""".stripMargin) { (s, d) =>
+      backtestNaiveOf(Inference.dailyCounts(s, d))
+    },
+
+    // MACD trend indicator on per-type daily volume (round 16): the
+    // EMA(12) − EMA(26) convergence-divergence line with its EMA(9)
+    // signal and histogram, plus the signal-crossover count — the
+    // classic momentum readout in TWO left-to-right folds per type
+    // (the q_theta_forecast shape): pass 1 carries the twin EMAs and
+    // emits the per-day MACD array; pass 2 folds (signal, prev hist
+    // sign, crossings) over that array. Both EMAs seed at the first
+    // day's count, so the first MACD is exactly 0.0 and seeds the
+    // signal; the oracle replays the identical recursion (EMA step,
+    // then signal step on the subtracted MACD) as a recursive CTE —
+    // every float agrees to the bit because the operation ORDER is
+    // mirrored, not just the formulas. Crossings count strict sign
+    // flips of the histogram (zero days carry the previous sign).
+    Q("q_macd",
+      s"""WITH RECURSIVE daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |seq AS (SELECT event_type, x, CAST(y AS DOUBLE) AS y,
+         |               CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS rn,
+         |               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |        FROM grid),
+         |rec AS (SELECT event_type, rn, n, y AS e12, y AS e26,
+         |               CAST(0 AS DOUBLE) AS sig, CAST(0 AS BIGINT) AS ps,
+         |               CAST(0 AS BIGINT) AS cr
+         |        FROM seq WHERE rn = 1
+         |        UNION ALL
+         |        SELECT event_type, rn, n, e12, e26, sig,
+         |               CASE WHEN hist > 0 THEN 1 WHEN hist < 0 THEN -1 ELSE ps END,
+         |               cr + CASE WHEN ps <> 0 AND hist <> 0 AND
+         |                 (CASE WHEN hist > 0 THEN 1 ELSE -1 END) <> ps THEN 1 ELSE 0 END
+         |        FROM (SELECT event_type, rn, n, e12, e26, sig, ps, cr,
+         |                     e12 - e26 - sig AS hist
+         |              FROM (SELECT event_type, rn, n, e12, e26,
+         |                           sig + 2.0 / 10 * (e12 - e26 - sig) AS sig, ps, cr
+         |                    FROM (SELECT s.event_type, s.rn, s.n,
+         |                                 r.e12 + 2.0 / 13 * (s.y - r.e12) AS e12,
+         |                                 r.e26 + 2.0 / 27 * (s.y - r.e26) AS e26,
+         |                                 r.sig AS sig, r.ps AS ps, r.cr AS cr
+         |                          FROM rec r JOIN seq s
+         |                            ON s.event_type = r.event_type AND s.rn = r.rn + 1) i1) i2) i3)
+         |SELECT event_type, n AS n_days,
+         |       ${Q.sqlR6("e12")} AS ema12, ${Q.sqlR6("e26")} AS ema26,
+         |       ${Q.sqlR6("e12 - e26")} AS macd, ${Q.sqlR6("sig")} AS signal,
+         |       ${Q.sqlR6("e12 - e26 - sig")} AS hist, cr AS n_cross
+         |FROM rec WHERE rn = n
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      macdOf(Inference.dailyCounts(s, d))
+    },
+
+    // Iterative 3-sigma clipping of per-type daily volume (round 16):
+    // the robust-mean workhorse every telemetry pipeline runs before
+    // trusting an average — three rounds of recomputing (mean, sd)
+    // over survivors and dropping days with |y − mean| > 3·sd. The
+    // survivor predicate is cross-multiplied so the integer side
+    // stays exact: |n·y − s| ≤ 3·n·sd with sd from the int64
+    // (n, Σy, Σy²) moments — one identical IEEE tree per round in
+    // both engines; zero-variance and n < 2 rounds keep everything.
+    // Three bounded rounds over the calendar-bounded grid — each a
+    // broadcast join of a 5-row stats frame, never a shuffle of the
+    // corpus.
+    Q("q_sigma_clip",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |r0 AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |       FROM ty CROSS JOIN dy
+         |       LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |t1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+         |       FROM r0 GROUP BY 1),
+         |r1 AS (SELECT r0.* FROM r0 JOIN t1 ON r0.event_type = t1.event_type
+         |       WHERE t1.n < 2 OR t1.n * t1.q - t1.s * t1.s <= 0 OR
+         |             abs(t1.n * r0.y - t1.s) <= 3.0 * t1.n *
+         |               sqrt(CAST(t1.n * t1.q - t1.s * t1.s AS DOUBLE) /
+         |                    (CAST(t1.n AS DOUBLE) * (t1.n - 1)))),
+         |t2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+         |       FROM r1 GROUP BY 1),
+         |r2 AS (SELECT r1.* FROM r1 JOIN t2 ON r1.event_type = t2.event_type
+         |       WHERE t2.n < 2 OR t2.n * t2.q - t2.s * t2.s <= 0 OR
+         |             abs(t2.n * r1.y - t2.s) <= 3.0 * t2.n *
+         |               sqrt(CAST(t2.n * t2.q - t2.s * t2.s AS DOUBLE) /
+         |                    (CAST(t2.n AS DOUBLE) * (t2.n - 1)))),
+         |t3 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+         |       FROM r2 GROUP BY 1),
+         |r3 AS (SELECT r2.* FROM r2 JOIN t3 ON r2.event_type = t3.event_type
+         |       WHERE t3.n < 2 OR t3.n * t3.q - t3.s * t3.s <= 0 OR
+         |             abs(t3.n * r2.y - t3.s) <= 3.0 * t3.n *
+         |               sqrt(CAST(t3.n * t3.q - t3.s * t3.s AS DOUBLE) /
+         |                    (CAST(t3.n AS DOUBLE) * (t3.n - 1)))),
+         |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+         |      FROM r3 GROUP BY 1)
+         |SELECT t1.event_type, t1.n AS n_days,
+         |       t2.n AS kept_r1, t3.n AS kept_r2, f.n AS kept_r3,
+         |       t1.n - f.n AS n_clipped,
+         |       ${Q.sqlR4("CAST(f.s AS DOUBLE) / f.n")} AS clipped_mean,
+         |       CASE WHEN f.n >= 2 AND f.n * f.q - f.s * f.s > 0 THEN
+         |         ${Q.sqlR6("sqrt(CAST(f.n * f.q - f.s * f.s AS DOUBLE) / " +
+                   "(CAST(f.n AS DOUBLE) * (f.n - 1)))")}
+         |       END AS clipped_sd
+         |FROM t1 JOIN t2 ON t1.event_type = t2.event_type
+         |JOIN t3 ON t1.event_type = t3.event_type
+         |JOIN f ON t1.event_type = f.event_type
+         |ORDER BY t1.event_type""".stripMargin) { (s, d) =>
+      sigmaClipOf(Inference.dailyCounts(s, d))
     }
   )
+
+  /** The rolling-origin backtest fold over a daily (event_type, x, y)
+    * count frame — ONE home shared by batch q_backtest_naive and a
+    * future streaming read-time face (the daily grid is the mergeable
+    * state; a new day appends one eval row per type). */
+  private[graft] def backtestNaiveOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val ty = grid.select("event_type").distinct()
+    val wo = Window.partitionBy("event_type").orderBy("x")
+    val w = grid
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("fn", lag("y", 1).over(wo))
+      .withColumn("fs", lag("y", 7).over(wo))
+      .withColumn("m7", sum("y").over(wo.rowsBetween(-7, -1)))
+    val e = w.filter(col("rn") >= 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("y") - col("fn"))).as("sn"),
+        sum(abs(col("y") - col("fs"))).as("ss"),
+        sum(abs(lit(7) * col("y") - col("m7"))).as("sm"))
+    ty.join(e, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_evals"),
+        Q.r4(col("sn").cast("double") / col("n")).as("mae_naive"),
+        Q.r4(col("ss").cast("double") / col("n")).as("mae_snaive"),
+        Q.r4(col("sm").cast("double") / (lit(7.0) * col("n"))).as("mae_ma7"),
+        when(col("n").isNull, lit(null).cast("string"))
+          .when(lit(7) * col("sn") <= col("sm") && col("sn") <= col("ss"), "naive")
+          .when(lit(7) * col("ss") <= col("sm"), "snaive")
+          .otherwise("ma7").as("best"))
+      .orderBy("event_type")
+  }
+
+  /** The MACD two-pass fold over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_macd and the s_macd streaming
+    * read-time view (a new day extends the recursion; the daily grid
+    * is the mergeable state). Pass 1 carries the twin EMAs and emits
+    * the per-day MACD array; pass 2 folds (signal, prev hist sign,
+    * crossings) over it — operation order term-for-term identical to
+    * the oracle's recursive CTE. */
+  private[graft] def macdOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("x"), col("y").cast("double").as("y")))).as("xs"))
+      // pass 1: twin EMAs seeded at the first count; emit macd_t = e12_t − e26_t
+      .withColumn("ems", expr(
+        """aggregate(xs,
+          |  named_struct('f', CAST(0 AS INT), 'e12', CAST(0 AS DOUBLE),
+          |               'e26', CAST(0 AS DOUBLE), 'ms', CAST(array() AS ARRAY<DOUBLE>)),
+          |  (acc, e) -> CASE WHEN acc.f = 0
+          |    THEN named_struct('f', 1, 'e12', e.y, 'e26', e.y,
+          |                      'ms', array(CAST(0 AS DOUBLE)))
+          |    ELSE named_struct('f', 1,
+          |      'e12', acc.e12 + 2.0D / 13 * (e.y - acc.e12),
+          |      'e26', acc.e26 + 2.0D / 27 * (e.y - acc.e26),
+          |      'ms', array_append(acc.ms,
+          |        (acc.e12 + 2.0D / 13 * (e.y - acc.e12)) - (acc.e26 + 2.0D / 27 * (e.y - acc.e26))))
+          |    END,
+          |  acc -> acc)""".stripMargin))
+      // pass 2: signal EMA over the macd array (seeds at macd_1 = 0.0),
+      // histogram sign carry + strict-flip crossing count
+      .withColumn("st", expr(
+        """aggregate(ems.ms,
+          |  named_struct('f', CAST(0 AS INT), 'sig', CAST(0 AS DOUBLE),
+          |               'ps', CAST(0 AS BIGINT), 'cr', CAST(0 AS BIGINT)),
+          |  (acc, m) -> CASE WHEN acc.f = 0
+          |    THEN named_struct('f', 1, 'sig', m, 'ps', CAST(0 AS BIGINT), 'cr', CAST(0 AS BIGINT))
+          |    ELSE named_struct('f', 1,
+          |      'sig', acc.sig + 2.0D / 10 * (m - acc.sig),
+          |      'ps', CASE WHEN m - (acc.sig + 2.0D / 10 * (m - acc.sig)) > 0 THEN CAST(1 AS BIGINT)
+          |                 WHEN m - (acc.sig + 2.0D / 10 * (m - acc.sig)) < 0 THEN CAST(-1 AS BIGINT)
+          |                 ELSE acc.ps END,
+          |      'cr', acc.cr + CASE WHEN acc.ps <> 0 AND
+          |          m - (acc.sig + 2.0D / 10 * (m - acc.sig)) <> 0 AND
+          |          (CASE WHEN m - (acc.sig + 2.0D / 10 * (m - acc.sig)) > 0 THEN 1 ELSE -1 END) <> acc.ps
+          |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+          |    END,
+          |  acc -> acc)""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        Q.r6(col("ems.e12")).as("ema12"), Q.r6(col("ems.e26")).as("ema26"),
+        Q.r6(col("ems.e12") - col("ems.e26")).as("macd"),
+        Q.r6(col("st.sig")).as("signal"),
+        Q.r6(col("ems.e12") - col("ems.e26") - col("st.sig")).as("hist"),
+        col("st.cr").as("n_cross"))
+      .orderBy("event_type")
+  }
+
+  /** The 3-round sigma-clip over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_sigma_clip and the
+    * s_sigma_clip streaming read-time view (the daily grid is the
+    * mergeable state; each round's stats frame is 5 rows, broadcast).
+    * Returns (per-round kept counts, clipped mean/sd). */
+  private[graft] def sigmaClipOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+
+    def stats(r: org.apache.spark.sql.DataFrame) =
+      r.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("s"), sum(col("y") * col("y")).as("q"))
+
+    def clip(r: org.apache.spark.sql.DataFrame, t: org.apache.spark.sql.DataFrame) =
+      r.join(broadcast(t), "event_type")
+        .filter(col("n") < 2 || col("n") * col("q") - col("s") * col("s") <= 0 ||
+          abs(col("n") * col("y") - col("s")) <= lit(3.0) * col("n") *
+            sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
+              (col("n").cast("double") * (col("n") - 1))))
+        .select(col("event_type"), col("x"), col("y"))
+
+    val t1 = Q.snapshot(stats(grid))
+    val r1 = clip(grid, t1)
+    val t2 = Q.snapshot(stats(r1))
+    val r2 = clip(r1, t2)
+    val t3 = Q.snapshot(stats(r2))
+    val r3 = clip(r2, t3)
+    val f = stats(r3)
+
+    t1.select(col("event_type"), col("n").as("n_days"))
+      .join(t2.select(col("event_type"), col("n").as("kept_r1")), "event_type")
+      .join(t3.select(col("event_type"), col("n").as("kept_r2")), "event_type")
+      .join(f.select(col("event_type"), col("n").as("kept_r3"),
+        col("s").as("fs"), col("q").as("fq")), "event_type")
+      .select(col("event_type"), col("n_days"), col("kept_r1"), col("kept_r2"),
+        col("kept_r3"), (col("n_days") - col("kept_r3")).as("n_clipped"),
+        Q.r4(col("fs").cast("double") / col("kept_r3")).as("clipped_mean"),
+        when(col("kept_r3") >= 2 && col("kept_r3") * col("fq") - col("fs") * col("fs") > 0,
+          Q.r6(sqrt((col("kept_r3") * col("fq") - col("fs") * col("fs")).cast("double") /
+            (col("kept_r3").cast("double") * (col("kept_r3") - 1))))).as("clipped_sd"))
+      .orderBy("event_type")
+  }
 
   /** The periodogram fold over a daily (event_type, x, y) count frame —
     * ONE home shared by batch q_periodogram and the s_periodogram

@@ -1130,6 +1130,24 @@ object Streams {
   def thetaForecastOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.thetaForecastOf(grid)
 
+  /** Read-time rolling-origin backtest projection over a [[dailyGrid]]
+    * — a closing day appends one eval row per type and can flip the
+    * winner; the grid is the mergeable state (s_backtest_naive). */
+  def backtestNaiveOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.backtestNaiveOf(grid)
+
+  /** Read-time MACD projection over a [[dailyGrid]] — a new day
+    * extends the twin-EMA and signal recursions; the grid is the
+    * mergeable state (s_macd). */
+  def macdOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.macdOf(grid)
+
+  /** Read-time 3σ-clip projection over a [[dailyGrid]] — a closing
+    * day re-prices every round's survivor set; the grid is the
+    * mergeable state (s_sigma_clip). */
+  def sigmaClipOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.sigmaClipOf(grid)
+
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.decomposeOf(grid)

@@ -399,8 +399,15 @@ class OverflowHeadroomSpec extends SparkSpec {
 
     Site("q_theta_forecast", "(none own)",
       "q_theta_forecast accumulates NO lattice of its own (int64 trend moments, "
-        + "one float SES fold, Q.r6 output rounding only); as SeriesTests' LAST "
-        + "Q block it inherits the file-trailing shared folds in the scanner — "
+        + "one float SES fold, Q.r6 output rounding only)",
+      "const (no lattice)", 1e9, _ => 3e9, None),
+
+    Site("q_sigma_clip", "(none own)",
+      "q_sigma_clip accumulates NO lattice of its own (exact int64 (n, Σy, Σy²) "
+        + "moments per round — Σy² is the binding term, the q_poisson_dispersion "
+        + "accumulator, ∝SF² via per-day-type counts; the survivor predicate is "
+        + "cross-multiplied |n·y − s| vs a float bound, no floor); as SeriesTests' "
+        + "LAST Q block it inherits the file-trailing shared folds in the scanner — "
         + "permEntropyOf/spectralEntropyOf 1e9 entropy lattices, audited under "
         + "their own q_perm_entropy/q_spectral_entropy rows",
       "const (see the owning rows)", 1e9, _ => 3e9, None),
@@ -410,6 +417,44 @@ class OverflowHeadroomSpec extends SparkSpec {
         + "p ≥ 1 — intervals are ≥ 1 days and the seed is 1.0)",
       "const-ish (per-part daily demand is SF-invariant: parts and lineitem "
         + "both scale with SF)", 1e6, _ => 1e11, None),
+
+    Site("q_fdr_bh", "cents", "whole-corpus Σv² of cent-integerized customer "
+        + "balances (tot CTE; v ≤ 1e6 cents so v² ≤ 1e12/row)",
+      "linear — anchored 4.62e15 @ sf0.1; at sf > ~30 the balance Σv² needs "
+        + "DECIMAL (the q_spearman class); the p9 lattice itself is ≤ 1e9 const",
+      30.0, sf => 4.62e15 * (sf / 0.1) * 3,
+      Some((s, d) => dmax {
+        Tables.load(s, d, "customer")
+          .select(floor(col("c_acctbal") * 100 + 0.5).as("v"))
+          .agg(sum(col("v").cast("double") * col("v")))
+      })),
+
+    Site("q_meta_fixed", "1e15/1e12/1e6", "cross-study Σ⌊w·1e15⌉ (binding "
+        + "lattice sum; w = 1/v grows ∝ n per study — anchored 2.33e7 @ sf0.1, "
+        + "so ~2.3e13 even at sf 1e5); the per-cell Σv² cents moments share "
+        + "q_fdr_bh's sf ≤ ~30 DECIMAL ceiling and bind first",
+      "linear in SF (w ∝ study n)", 30.0, sf => 2.33e7 * (sf / 0.1) * 10,
+      Some((s, d) => dmax {
+        val cv = Tables.load(s, d, "customer").select(col("c_nationkey"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("grp"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("v"))
+        val g = cv.groupBy("c_nationkey", "grp")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("q"))
+        g.groupBy("c_nationkey")
+          .agg(max(when(col("grp") === 1, col("n"))).as("n1"),
+            max(when(col("grp") === 1, col("s"))).as("s1"),
+            max(when(col("grp") === 1, col("q"))).as("q1"),
+            max(when(col("grp") === 0, col("n"))).as("n2"),
+            max(when(col("grp") === 0, col("s"))).as("s2"),
+            max(when(col("grp") === 0, col("q"))).as("q2"))
+          .filter(col("n1") >= 2 && col("n2") >= 2)
+          .select(((col("q1").cast("double") - col("s1").cast("double") / col("n1") * col("s1")) /
+            (col("n1") - 1) / col("n1") +
+            (col("q2").cast("double") - col("s2").cast("double") / col("n2") * col("s2")) /
+              (col("n2") - 1) / col("n2")).as("v"))
+          .filter(col("v") > 0)
+          .agg(sum(floor(lit(1.0) / col("v") * lit(1e15) + 0.5)))
+      })),
 
     Site("q_adamic_adar", "1e6",
       "per-pair aa6 = Σ floor(1e6/ln(deg(w))) over common neighbors (deg ≥ 2 ⇒ "

@@ -396,6 +396,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_sampen")(spark, sfDir)), "sample entropy")
       assert(rows1(Streams.thetaForecastOf(grid)) ===
         rows1(SparkEntry.queries("q_theta_forecast")(spark, sfDir)), "theta forecast")
+      assert(rows1(Streams.backtestNaiveOf(grid)) ===
+        rows1(SparkEntry.queries("q_backtest_naive")(spark, sfDir)), "backtest")
+      assert(rows1(Streams.macdOf(grid)) ===
+        rows1(SparkEntry.queries("q_macd")(spark, sfDir)), "MACD")
+      assert(rows1(Streams.sigmaClipOf(grid)) ===
+        rows1(SparkEntry.queries("q_sigma_clip")(spark, sfDir)), "sigma clip")
     }
   }
 
