@@ -72,21 +72,28 @@ object Bench {
     top ++ seg.filterNot(e => topNames(e._1)).take(want)
   }
 
-  /** Rendered-key abbreviation (r15 renegotiation: the 321-query
-    * surface outgrew the ~1950-char line at full names). Strip `q_`,
-    * then: single-segment names keep their first 6 chars; multi-
-    * segment names keep the first 4 chars of EVERY segment. The rule
-    * is set-independent (a name's rendering never changes as the
-    * surface grows), idempotent (normalizing an already-short key is a
-    * no-op — what lets BenchRotationSpec's history test compare pre-
-    * and post-r15 BENCH files), and injective on the current surface
-    * (a spec asserts this; a colliding NEW name must be renamed at
-    * authoring time). Avg rendered entry drops 17.8 → ~15 chars,
-    * lifting the realized k to ~123. */
+  /** Rendered-key abbreviation (r16 renegotiation: the 393-query
+    * surface outgrew the r15 4-char-segment rule — the chooser
+    * simulation left dedu_simh/dedu_roi/zorder unreported under a
+    * 6-failure round). Strip `q_`, then: single-segment names keep
+    * their first 6 chars; multi-segment names keep the first 3 chars
+    * of every segment EXCEPT the last, which keeps 4 (the last
+    * segment is where sibling names differ — win_range/win_rank is
+    * the pair that forbids a uniform 3). The rule is set-independent
+    * (a name's rendering never changes as the surface grows),
+    * idempotent (normalizing an already-short key is a no-op — r15
+    * keys like "dedu_simh" re-normalize to the same "ded_simh" their
+    * full names now render to, which is what lets BenchRotationSpec's
+    * history test compare pre- and post-renegotiation BENCH files),
+    * and injective on the current surface (a spec asserts this; a
+    * colliding NEW name must be renamed at authoring time). Avg
+    * rendered entry drops ~14.8 → ~14.2 chars — the simulated chooser
+    * covers the full surface in 4 rounds again, fails included. */
   private[graft] def shortName(n: String): String = {
     val s = n.stripPrefix("q_")
     val segs = s.split('_')
-    if (segs.length == 1) s.take(6) else segs.map(_.take(4)).mkString("_")
+    if (segs.length == 1) s.take(6)
+    else (segs.init.map(_.take(3)) :+ segs.last.take(4)).mkString("_")
   }
 
   private[graft] def jstr(s: String): String =

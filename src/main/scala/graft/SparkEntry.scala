@@ -20,7 +20,7 @@ object SparkEntry {
         ops.Statistics.defs ++ ops.Graph.defs ++ ops.Inference.defs ++
         ops.Diagnostics.defs ++ ops.Curation.defs ++ ops.SeriesTests.defs ++
         ops.Pricing.defs ++ ops.Ranking.defs ++ ops.Audit.defs ++ ops.Causal.defs ++
-        ops.Meta.defs
+        ops.Meta.defs ++ ops.Mixture.defs
     // a duplicate name would silently drop an implementation in the
     // Map build below — fail loudly instead
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

@@ -423,5 +423,155 @@ object Audit {
           Q.r6(col("max_rows").cast("double") * col("n_parts") / col("n_rows")).as("skew"),
           Q.r6(sqrt((col("n_parts") * col("q") - col("n_rows") * col("n_rows"))
             .cast("double")) / col("n_rows")).as("cv"))
+    },
+
+    // t-closeness audit (round 16): the third leg of the privacy trio —
+    // k-anonymity bounds re-identification, l-diversity bounds
+    // homogeneity, t-closeness bounds ATTRIBUTE INFERENCE: how far each
+    // (nation, balance-band) class's market-segment distribution drifts
+    // from the global one, measured as total variation distance (the
+    // equal-ground-distance EMD). The 20 worst classes plus their
+    // violation flag at t = 0.3. The five segment shares pivot to FIXED
+    // columns (max(CASE) — the domain is a 5-value enum), so each
+    // class's TVD is ONE fixed-order expression over exact integer
+    // counts — no float reduction whose order could differ; ranking is
+    // on the ROUNDED tvd with (nation, band) tie-breaks (ulp-proof, the
+    // q_graph_clustering move). Classes ≤ 275 — everything after the
+    // one corpus agg rides a bounded frame.
+    Q("q_t_closeness",
+      s"""WITH c0 AS (SELECT c_nationkey,
+         |                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |                   c_mktsegment, CAST(count(*) AS BIGINT) AS c
+         |            FROM customer GROUP BY 1, 2, 3),
+         |g AS (SELECT c_nationkey, bal_band, CAST(sum(c) AS BIGINT) AS k,
+         |             CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c ELSE 0 END) AS BIGINT) AS c1,
+         |             CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c ELSE 0 END) AS BIGINT) AS c2,
+         |             CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN c ELSE 0 END) AS BIGINT) AS c3,
+         |             CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c ELSE 0 END) AS BIGINT) AS c4,
+         |             CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c ELSE 0 END) AS BIGINT) AS c5
+         |      FROM c0 GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+         |             CAST(sum(c1) AS BIGINT) AS g1, CAST(sum(c2) AS BIGINT) AS g2,
+         |             CAST(sum(c3) AS BIGINT) AS g3, CAST(sum(c4) AS BIGINT) AS g4,
+         |             CAST(sum(c5) AS BIGINT) AS g5
+         |      FROM g),
+         |tv AS (SELECT g.c_nationkey, g.bal_band, g.k,
+         |              ${Q.sqlR6("0.5 * (" +
+                  "abs(CAST(g.c1 AS DOUBLE) / g.k - CAST(t.g1 AS DOUBLE) / t.n) + " +
+                  "abs(CAST(g.c2 AS DOUBLE) / g.k - CAST(t.g2 AS DOUBLE) / t.n) + " +
+                  "abs(CAST(g.c3 AS DOUBLE) / g.k - CAST(t.g3 AS DOUBLE) / t.n) + " +
+                  "abs(CAST(g.c4 AS DOUBLE) / g.k - CAST(t.g4 AS DOUBLE) / t.n) + " +
+                  "abs(CAST(g.c5 AS DOUBLE) / g.k - CAST(t.g5 AS DOUBLE) / t.n))")} AS tvd
+         |       FROM g CROSS JOIN t)
+         |SELECT c_nationkey AS nation_key, bal_band, k AS class_rows, tvd,
+         |       CASE WHEN tvd > 0.3 THEN 1 ELSE 0 END AS violates_t03
+         |FROM tv
+         |ORDER BY tvd DESC, nation_key, bal_band
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val c0 = Tables.load(s, d, "customer")
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("c"))
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val segCols = segs.zipWithIndex.map { case (sg, i) =>
+        sum(when(col("c_mktsegment") === sg, col("c")).otherwise(0L)).as(s"c${i + 1}")
+      }
+      val g = c0.groupBy("c_nationkey", "bal_band")
+        .agg(sum("c").as("k"), segCols: _*)
+        .transform(Q.snapshot)
+      val t = g.agg(sum("k").as("n"),
+        (1 to 5).map(i => sum(s"c$i").as(s"g$i")): _*)
+      val tvd = (1 to 5).map { i =>
+        abs(col(s"c$i").cast("double") / col("k") - col(s"g$i").cast("double") / col("n"))
+      }.reduce(_ + _)
+      g.crossJoin(broadcast(t))
+        .select(col("c_nationkey").as("nation_key"), col("bal_band"),
+          col("k").as("class_rows"), Q.r6(lit(0.5) * tvd).as("tvd"))
+        .withColumn("violates_t03", when(col("tvd") > 0.3, 1).otherwise(0))
+        .orderBy(col("tvd").desc, col("nation_key"), col("bal_band"))
+        .limit(20)
+    },
+
+    // Imputation-quality harness (round 16): mask a deterministic 10%
+    // of customer balances (c_custkey % 10 = 0 — reproducible, not
+    // sampled), train three imputers on the UNMASKED rows (global
+    // mean, per-nation mean, per-segment mean) and score them against
+    // the held-out truth — the backfill-strategy decision every
+    // data-quality pipeline makes before filling a column. Truth is
+    // int64 cents; each masked row's |error| and signed error floor
+    // onto the 1e3 lattice BEFORE the per-imputer sums (order-free
+    // int64); imputer tables are ≤25-row broadcasts. A nation with
+    // every row masked imputes NULL and is skipped identically in
+    // both engines (counted in n_unimputable).
+    Q("q_impute_quality",
+      s"""WITH cv AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+         |                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+         |                   CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS masked
+         |            FROM customer),
+         |gm AS (SELECT CAST(sum(v) AS DOUBLE) / count(*) AS m FROM cv WHERE masked = 0),
+         |nm AS (SELECT c_nationkey, CAST(sum(v) AS DOUBLE) / count(*) AS m
+         |       FROM cv WHERE masked = 0 GROUP BY 1),
+         |sm AS (SELECT c_mktsegment, CAST(sum(v) AS DOUBLE) / count(*) AS m
+         |       FROM cv WHERE masked = 0 GROUP BY 1),
+         |mk AS (SELECT cv.v, gm.m AS img, nm.m AS imn, sm.m AS ims
+         |       FROM cv CROSS JOIN gm
+         |       LEFT JOIN nm ON cv.c_nationkey = nm.c_nationkey
+         |       LEFT JOIN sm ON cv.c_mktsegment = sm.c_mktsegment
+         |       WHERE cv.masked = 1),
+         |f AS (SELECT 'global_mean' AS imputer,
+         |             CAST(count(img) AS BIGINT) AS n_scored,
+         |             CAST(count(*) - count(img) AS BIGINT) AS n_unimputable,
+         |             CAST(sum(CAST(floor(abs(v - img) * 1e3 + 0.5) AS BIGINT)) AS BIGINT) AS ae3,
+         |             CAST(sum(CAST(floor((img - v) * 1e3 + 0.5) AS BIGINT)) AS BIGINT) AS se3
+         |      FROM mk
+         |      UNION ALL
+         |      SELECT 'nation_mean', CAST(count(imn) AS BIGINT),
+         |             CAST(count(*) - count(imn) AS BIGINT),
+         |             CAST(sum(CAST(floor(abs(v - imn) * 1e3 + 0.5) AS BIGINT)) AS BIGINT),
+         |             CAST(sum(CAST(floor((imn - v) * 1e3 + 0.5) AS BIGINT)) AS BIGINT)
+         |      FROM mk
+         |      UNION ALL
+         |      SELECT 'segment_mean', CAST(count(ims) AS BIGINT),
+         |             CAST(count(*) - count(ims) AS BIGINT),
+         |             CAST(sum(CAST(floor(abs(v - ims) * 1e3 + 0.5) AS BIGINT)) AS BIGINT),
+         |             CAST(sum(CAST(floor((ims - v) * 1e3 + 0.5) AS BIGINT)) AS BIGINT)
+         |      FROM mk)
+         |SELECT imputer, n_scored, n_unimputable,
+         |       ${Q.sqlR4("CAST(ae3 AS DOUBLE) / 1e3 / n_scored")} AS mae_cents,
+         |       ${Q.sqlR4("CAST(se3 AS DOUBLE) / 1e3 / n_scored")} AS bias_cents
+         |FROM f
+         |ORDER BY imputer""".stripMargin) { (s, d) =>
+      val cv = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("v"),
+          when(col("c_custkey") % 10 === 0, 1).otherwise(0).as("masked"))
+        .transform(Q.snapshot)
+      val un = cv.filter(col("masked") === 0)
+      val gm = un.agg((sum("v").cast("double") / count(lit(1))).as("img"))
+      val nm = un.groupBy("c_nationkey")
+        .agg((sum("v").cast("double") / count(lit(1))).as("imn"))
+      val sm = un.groupBy("c_mktsegment")
+        .agg((sum("v").cast("double") / count(lit(1))).as("ims"))
+      val mk = cv.filter(col("masked") === 1)
+        .crossJoin(broadcast(gm))
+        .join(broadcast(nm), Seq("c_nationkey"), "left")
+        .join(broadcast(sm), Seq("c_mktsegment"), "left")
+        .select(col("v"), col("img"), col("imn"), col("ims"))
+        .transform(Q.snapshot)
+      def scoreOf(imp: String, name: String) =
+        mk.filter(col(imp).isNotNull)
+          .agg(count(col(imp)).as("n_scored"),
+            sum(floor(abs(col("v") - col(imp)) * lit(1e3) + 0.5).cast("long")).as("ae3"),
+            sum(floor((col(imp) - col("v")) * lit(1e3) + 0.5).cast("long")).as("se3"))
+          .crossJoin(broadcast(mk.agg(count(lit(1)).as("n_all"))))
+          .select(lit(name).as("imputer"), col("n_scored"),
+            (col("n_all") - col("n_scored")).as("n_unimputable"),
+            Q.r4(col("ae3").cast("double") / lit(1e3) / col("n_scored")).as("mae_cents"),
+            Q.r4(col("se3").cast("double") / lit(1e3) / col("n_scored")).as("bias_cents"))
+      scoreOf("img", "global_mean")
+        .unionByName(scoreOf("imn", "nation_mean"))
+        .unionByName(scoreOf("ims", "segment_mean"))
+        .orderBy("imputer")
     })
 }

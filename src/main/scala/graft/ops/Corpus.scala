@@ -1172,6 +1172,91 @@ object Corpus {
           Q.r6(col("n_dup").cast("double") / col("n_docs")).as("exact_dup_share"),
           ((col("m1") + col("m2")).cast("double") / 2).as("p50_tokens"))
         .orderBy("source")
+    },
+
+    // Interpolated Kneser–Ney bigram cross-entropy per source feed
+    // (round 16): the smoothing that actually wins LM benchmarks —
+    // absolute discount D = 0.75 off every bigram count, redistributed
+    // through the CONTINUATION unigram P_cont(w) = N1+(·w)/T (how many
+    // distinct contexts precede w — "Francisco" is frequent but
+    // follows only "San", so KN correctly refuses to predict it cold).
+    // The upgrade over q_bigram_logprob's Jelinek–Mercer mixture: the
+    // discount is count-aware and the backoff mass λ(u) =
+    // D·N1+(u·)/c(u) is exactly what the discount freed. Self-scored
+    // corpus ⇒ every doc bigram has c ≥ 1 ⇒ c − D > 0, no max() edge.
+    // Shapes: all model tables key on (lang, bigram)/(lang, word) —
+    // vocab²-bounded, shuffle-joined; per-TYPE log terms integer-scale
+    // to 1e-9 once, multiply by integer tf, and the per-source
+    // reduction is an order-free int64 fold (the q_source_xent
+    // discipline).
+    Q("q_kn_logprob",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |bo AS (SELECT doc_id, lang,
+        |              unnest(list_transform(range(1, len(words)),
+        |                     i -> words[i] || ' ' || words[i+1])) AS bigram
+        |       FROM t WHERE len(words) >= 2),
+        |tf AS (SELECT doc_id, lang, bigram, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bo GROUP BY 1, 2, 3),
+        |cb AS (SELECT lang, bigram, CAST(sum(tf) AS BIGINT) AS cb,
+        |              string_split(bigram, ' ')[1] AS u,
+        |              string_split(bigram, ' ')[2] AS w
+        |       FROM tf GROUP BY 1, 2),
+        |cu AS (SELECT lang, u, CAST(sum(cb) AS BIGINT) AS cu,
+        |              CAST(count(*) AS BIGINT) AS nf
+        |       FROM cb GROUP BY 1, 2),
+        |nw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS nw FROM cb GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM cb GROUP BY 1),
+        |pm AS (SELECT cb.lang, cb.bigram,
+        |              (cb.cb - 0.75) / cu.cu +
+        |              0.75 * (CAST(cu.nf AS DOUBLE) / cu.cu) *
+        |              (CAST(nw.nw AS DOUBLE) / tt.t) AS p
+        |       FROM cb
+        |       JOIN cu ON cb.lang = cu.lang AND cb.u = cu.u
+        |       JOIN nw ON cb.lang = nw.lang AND cb.w = nw.w
+        |       JOIN tt ON cb.lang = tt.lang),
+        |sc AS (SELECT tf.doc_id,
+        |              CAST(sum(tf.tf) AS BIGINT) AS nb,
+        |              CAST(sum(CAST(floor(tf.tf * ln(pm.p) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS lp9
+        |       FROM tf JOIN pm ON tf.lang = pm.lang AND tf.bigram = pm.bigram
+        |       GROUP BY 1),
+        |ds AS (SELECT doc_id, source FROM documents)
+        |SELECT ds.source, CAST(sum(sc.nb) AS BIGINT) AS n_bigrams,
+        |       floor((-(sum(sc.lp9) / 1e9) / sum(sc.nb))*1000000+0.5)/1000000 AS kn_xent
+        |FROM sc JOIN ds ON sc.doc_id = ds.doc_id
+        |GROUP BY 1
+        |ORDER BY ds.source""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val wd = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+      val tf = wd.select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+        .as("bigram"))
+        .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("tf"))
+        .transform(Q.snapshot)
+      val cb = tf.groupBy("lang", "bigram").agg(sum("tf").as("cb"))
+        .withColumn("u", split(col("bigram"), " ").getItem(0))
+        .withColumn("w", split(col("bigram"), " ").getItem(1))
+        .transform(Q.snapshot)
+      val cu = cb.groupBy("lang", "u").agg(sum("cb").as("cu"), count(lit(1)).as("nf"))
+      val nw = cb.groupBy("lang", "w").agg(count(lit(1)).as("nw"))
+      val tt = cb.groupBy("lang").agg(count(lit(1)).as("t"))
+      val pm = cb
+        .join(cu, Seq("lang", "u"))
+        .join(nw, Seq("lang", "w"))
+        .join(broadcast(tt), "lang")
+        .select(col("lang"), col("bigram"),
+          ((col("cb") - 0.75) / col("cu") +
+            lit(0.75) * (col("nf").cast("double") / col("cu")) *
+              (col("nw").cast("double") / col("t"))).as("p"))
+      val sc = tf.join(pm, Seq("lang", "bigram"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("nb"),
+          sum(floor(col("tf") * log(col("p")) * lit(1e9) + 0.5).cast("long")).as("lp9"))
+      sc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(sum("nb").cast("long").as("n_bigrams"),
+          Q.r6(-(sum("lp9").cast("double") / lit(1e9)) / sum("nb")).as("kn_xent"))
+        .orderBy("source")
     }
   )
 

@@ -614,6 +614,236 @@ object Curation {
          |FROM b GROUP BY 1, 2
          |ORDER BY source, bin""".stripMargin) { (s, d) =>
       compactionOf(shardBytes(Tables.load(s, d, "documents")))
+    },
+
+    // LSH-candidate VERIFICATION by full-text edit distance (round
+    // 16): the step a production dedup pipeline runs between pair
+    // discovery (q_minhash_lsh) and the keep/drop decision — banding
+    // admits false positives by construction, so every candidate pair
+    // is re-scored with the exact levenshtein distance over the full
+    // text, normalized to edit similarity 1 − d/max(len). The verified
+    // flag is the cross-multiplied integer comparison 5·d ≤ max(len)
+    // (sim ≥ 0.8) — no float decides it. Distance itself is an exact
+    // integer in both engines (same Wagner–Fischer semantics). Per-pair
+    // cost is len² on the BOUNDED candidate set — the expensive exact
+    // check runs on ~|corpus|·avg_band_collisions pairs, never
+    // all-pairs; that asymmetry is the whole point of LSH.
+    Q("q_dedup_verify",
+      "WITH " + graft.ops.TextPipeline.LshPairCtes + s""",
+        |t AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |v AS (SELECT c.d1, c.d2,
+        |             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+        |             greatest(ta.n_chars, tb.n_chars) AS mx
+        |      FROM cands c
+        |      JOIN t ta ON ta.doc_id = c.d1
+        |      JOIN t tb ON tb.doc_id = c.d2)
+        |SELECT d1, d2, dist,
+        |       ${Q.sqlR4("1.0 - CAST(dist AS DOUBLE) / mx")} AS edit_sim,
+        |       CASE WHEN 5 * dist <= mx THEN 1 ELSE 0 END AS verified
+        |FROM v
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val t = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n_chars"))
+      val ta = t.select(col("doc_id").as("d1"), col("text").as("t1"),
+        col("n_chars").as("len1"))
+      val tb = t.select(col("doc_id").as("d2"), col("text").as("t2"),
+        col("n_chars").as("len2"))
+      graft.ops.TextPipeline.lshCandidatePairs(s, d)
+        .join(ta, "d1").join(tb, "d2")
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .withColumn("mx", greatest(col("len1"), col("len2")))
+        .select(col("d1"), col("d2"), col("dist"),
+          Q.r4(lit(1.0) - col("dist").cast("double") / col("mx")).as("edit_sim"),
+          when(lit(5) * col("dist") <= col("mx"), 1).otherwise(0).as("verified"))
+        .orderBy("d1", "d2")
+    },
+
+    // BLEU-2 similarity of LSH candidate pairs (round 16): the
+    // MT-style n-gram precision readout over the SAME bounded
+    // candidate set — clipped unigram/bigram precision of the
+    // higher-id doc against the lower-id one, brevity penalty, and
+    // BLEU-2 = BP·√(p1·p2). Complements q_dedup_verify's edit view:
+    // BLEU sees bag-of-ngram overlap (reordering-tolerant), edit
+    // distance sees alignment. Clip sums are exact int64 Σmin(c_cand,
+    // c_ref); the only floats are the two precisions, one exp() and
+    // one sqrt — a single mirrored tree. Per-pair cost is the gram
+    // join on the bounded candidate set.
+    Q("q_bleu_pairs",
+      "WITH " + graft.ops.TextPipeline.LshPairCtes + s""",
+        |wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |u AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT doc_id, unnest(words) AS w FROM wd) GROUP BY 1, 2),
+        |ul AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM u GROUP BY 1),
+        |b2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT doc_id,
+        |                    unnest(list_transform(range(1, len(words)),
+        |                           i -> words[i] || ' ' || words[i+1])) AS g
+        |             FROM wd WHERE len(words) >= 2) GROUP BY 1, 2),
+        |bl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM b2 GROUP BY 1),
+        |m1 AS (SELECT c.d1, c.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+        |       FROM cands c
+        |       JOIN u a ON a.doc_id = c.d2
+        |       JOIN u b ON b.doc_id = c.d1 AND b.w = a.w
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT c.d1, c.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+        |       FROM cands c
+        |       JOIN b2 a ON a.doc_id = c.d2
+        |       JOIN b2 b ON b.doc_id = c.d1 AND b.g = a.g
+        |       GROUP BY 1, 2),
+        |f AS (SELECT c.d1, c.d2,
+        |             COALESCE(m1.m, 0) AS m1, COALESCE(m2.m, 0) AS m2,
+        |             ulr.n AS lr, ulc.n AS lc, blc.n AS bc
+        |      FROM cands c
+        |      JOIN ul ulr ON ulr.doc_id = c.d1
+        |      JOIN ul ulc ON ulc.doc_id = c.d2
+        |      JOIN bl blc ON blc.doc_id = c.d2
+        |      LEFT JOIN m1 ON m1.d1 = c.d1 AND m1.d2 = c.d2
+        |      LEFT JOIN m2 ON m2.d1 = c.d1 AND m2.d2 = c.d2)
+        |SELECT d1, d2,
+        |       ${Q.sqlR6("CAST(m1 AS DOUBLE) / lc")} AS p1_uni,
+        |       ${Q.sqlR6("CAST(m2 AS DOUBLE) / bc")} AS p2_bi,
+        |       ${Q.sqlR6("CASE WHEN lc > lr THEN 1.0 " +
+                "ELSE exp(1.0 - CAST(lr AS DOUBLE) / lc) END")} AS brevity,
+        |       CASE WHEN m1 > 0 AND m2 > 0 THEN
+        |         ${Q.sqlR6("(CASE WHEN lc > lr THEN 1.0 " +
+                  "ELSE exp(1.0 - CAST(lr AS DOUBLE) / lc) END) * " +
+                  "sqrt(CAST(m1 AS DOUBLE) / lc * (CAST(m2 AS DOUBLE) / bc))")}
+        |       ELSE 0.0 END AS bleu2
+        |FROM f
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val wd = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val u = wd.select(col("doc_id"), explode(col("words")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val ul = u.groupBy("doc_id").agg(sum("c").as("n"))
+      val b2 = wd.filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bl = b2.groupBy("doc_id").agg(sum("c").as("n"))
+      val cands = Q.snapshot(graft.ops.TextPipeline.lshCandidatePairs(s, d))
+      def clip(cnt: org.apache.spark.sql.DataFrame, key: String) = {
+        val a = cnt.select(col("doc_id").as("cd2"), col(key).as("ka"), col("c").as("ca"))
+        val b = cnt.select(col("doc_id").as("cd1"), col(key).as("kb"), col("c").as("cb"))
+        cands.join(a, col("cd2") === col("d2"))
+          .join(b, col("cd1") === col("d1") && col("kb") === col("ka"))
+          .groupBy("d1", "d2").agg(sum(least(col("ca"), col("cb"))).as("m"))
+      }
+      val m1 = clip(u, "w").withColumnRenamed("m", "m1")
+      val m2 = clip(b2, "g").withColumnRenamed("m", "m2")
+      val f = cands
+        .join(ul.select(col("doc_id").as("r1"), col("n").as("lr")), col("r1") === col("d1"))
+        .join(ul.select(col("doc_id").as("r2"), col("n").as("lc")), col("r2") === col("d2"))
+        .join(bl.select(col("doc_id").as("r3"), col("n").as("bc")), col("r3") === col("d2"))
+        .join(m1, Seq("d1", "d2"), "left")
+        .join(m2, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"),
+          coalesce(col("m1"), lit(0L)).as("m1"), coalesce(col("m2"), lit(0L)).as("m2"),
+          col("lr"), col("lc"), col("bc"))
+      val bp = when(col("lc") > col("lr"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("lr").cast("double") / col("lc")))
+      f.select(col("d1"), col("d2"),
+          Q.r6(col("m1").cast("double") / col("lc")).as("p1_uni"),
+          Q.r6(col("m2").cast("double") / col("bc")).as("p2_bi"),
+          Q.r6(bp).as("brevity"),
+          when(col("m1") > 0 && col("m2") > 0,
+            Q.r6(bp * sqrt(col("m1").cast("double") / col("lc") *
+              (col("m2").cast("double") / col("bc")))))
+            .otherwise(lit(0.0)).as("bleu2"))
+        .orderBy("d1", "d2")
+    },
+
+    // Fellegi–Sunter record-linkage weights (round 16): the
+    // probabilistic-linkage model behind every entity-resolution
+    // pipeline, fitted on the LSH candidate pairs — match proxy =
+    // identical text digest (the planted exact duplicates), field
+    // comparisons = source feed, length band (n_chars/50), 12-char
+    // prefix. m = P(agree|match) and u = P(agree|non-match) with
+    // +1/+2 Laplace smoothing (keeps every ratio finite and inside
+    // (0,1)), agreement weight ln(m/u), disagreement weight
+    // ln((1−m)/(1−u)) — the per-field evidence a scored linker sums.
+    // Everything reduces to SIX integer counts per field over the
+    // bounded candidate set; the weights are one mirrored ln tree on
+    // a 3-row readout.
+    Q("q_fellegi_sunter",
+      "WITH " + graft.ops.TextPipeline.LshPairCtes + s""",
+        |at AS (SELECT doc_id, source, n_chars // 50 AS lb,
+        |              substring(text, 1, 12) AS pre, md5(text) AS h
+        |       FROM documents),
+        |pr AS (SELECT c.d1, c.d2,
+        |              CASE WHEN a1.source = a2.source THEN 1 ELSE 0 END AS f_source,
+        |              CASE WHEN a1.lb = a2.lb THEN 1 ELSE 0 END AS f_len,
+        |              CASE WHEN a1.pre = a2.pre THEN 1 ELSE 0 END AS f_pre,
+        |              CASE WHEN a1.h = a2.h THEN 1 ELSE 0 END AS im
+        |       FROM cands c
+        |       JOIN at a1 ON a1.doc_id = c.d1
+        |       JOIN at a2 ON a2.doc_id = c.d2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(im) AS BIGINT) AS nm,
+        |             CAST(sum(CASE WHEN im = 1 THEN f_source ELSE 0 END) AS BIGINT) AS am_source,
+        |             CAST(sum(CASE WHEN im = 0 THEN f_source ELSE 0 END) AS BIGINT) AS au_source,
+        |             CAST(sum(CASE WHEN im = 1 THEN f_len ELSE 0 END) AS BIGINT) AS am_len,
+        |             CAST(sum(CASE WHEN im = 0 THEN f_len ELSE 0 END) AS BIGINT) AS au_len,
+        |             CAST(sum(CASE WHEN im = 1 THEN f_pre ELSE 0 END) AS BIGINT) AS am_pre,
+        |             CAST(sum(CASE WHEN im = 0 THEN f_pre ELSE 0 END) AS BIGINT) AS au_pre
+        |      FROM pr),
+        |fx AS (SELECT 'len_band' AS field, n, nm, am_len AS am, au_len AS au FROM g
+        |       UNION ALL
+        |       SELECT 'prefix12', n, nm, am_pre, au_pre FROM g
+        |       UNION ALL
+        |       SELECT 'source', n, nm, am_source, au_source FROM g),
+        |wt AS (SELECT field, n, nm, am, au,
+        |              CAST(am + 1 AS DOUBLE) / (nm + 2) AS m,
+        |              CAST(au + 1 AS DOUBLE) / (n - nm + 2) AS u
+        |       FROM fx)
+        |SELECT field, n AS n_pairs, nm AS n_match,
+        |       am AS n_agree_match, au AS n_agree_nonmatch,
+        |       ${Q.sqlR6("m")} AS m_prob, ${Q.sqlR6("u")} AS u_prob,
+        |       ${Q.sqlR6("ln(m / u)")} AS w_agree,
+        |       ${Q.sqlR6("ln((1.0 - m) / (1.0 - u))")} AS w_disagree
+        |FROM wt
+        |ORDER BY field""".stripMargin) { (s, d) =>
+      val at = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") / 50).cast("long").as("lb"),
+          substring(col("text"), 1, 12).as("pre"),
+          md5(col("text").cast("binary")).as("h"))
+      val a1 = at.select(col("doc_id").as("d1"), col("source").as("s1"),
+        col("lb").as("lb1"), col("pre").as("p1"), col("h").as("h1"))
+      val a2 = at.select(col("doc_id").as("d2"), col("source").as("s2"),
+        col("lb").as("lb2"), col("pre").as("p2"), col("h").as("h2"))
+      val pr = graft.ops.TextPipeline.lshCandidatePairs(s, d)
+        .join(a1, "d1").join(a2, "d2")
+        .select(
+          when(col("s1") === col("s2"), 1L).otherwise(0L).as("f_source"),
+          when(col("lb1") === col("lb2"), 1L).otherwise(0L).as("f_len"),
+          when(col("p1") === col("p2"), 1L).otherwise(0L).as("f_pre"),
+          when(col("h1") === col("h2"), 1L).otherwise(0L).as("im"))
+      val g = pr.agg(count(lit(1)).as("n"), sum("im").as("nm"),
+        sum(when(col("im") === 1, col("f_source")).otherwise(0L)).as("am_source"),
+        sum(when(col("im") === 0, col("f_source")).otherwise(0L)).as("au_source"),
+        sum(when(col("im") === 1, col("f_len")).otherwise(0L)).as("am_len"),
+        sum(when(col("im") === 0, col("f_len")).otherwise(0L)).as("au_len"),
+        sum(when(col("im") === 1, col("f_pre")).otherwise(0L)).as("am_pre"),
+        sum(when(col("im") === 0, col("f_pre")).otherwise(0L)).as("au_pre"))
+      val fx = g.select(explode(array(
+        struct(lit("len_band").as("field"), col("n"), col("nm"),
+          col("am_len").as("am"), col("au_len").as("au")),
+        struct(lit("prefix12").as("field"), col("n"), col("nm"),
+          col("am_pre").as("am"), col("au_pre").as("au")),
+        struct(lit("source").as("field"), col("n"), col("nm"),
+          col("am_source").as("am"), col("au_source").as("au")))).as("r"))
+        .select(col("r.field").as("field"), col("r.n").as("n"), col("r.nm").as("nm"),
+          col("r.am").as("am"), col("r.au").as("au"))
+      val w = fx
+        .withColumn("m", (col("am") + 1).cast("double") / (col("nm") + 2))
+        .withColumn("u", (col("au") + 1).cast("double") / (col("n") - col("nm") + 2))
+      w.select(col("field"), col("n").as("n_pairs"), col("nm").as("n_match"),
+          col("am").as("n_agree_match"), col("au").as("n_agree_nonmatch"),
+          Q.r6(col("m")).as("m_prob"), Q.r6(col("u")).as("u_prob"),
+          Q.r6(log(col("m") / col("u"))).as("w_agree"),
+          Q.r6(log((lit(1.0) - col("m")) / (lit(1.0) - col("u")))).as("w_disagree"))
+        .orderBy("field")
     }
   )
 

@@ -787,6 +787,143 @@ object Graph {
         .limit(20)
         .select(col("a"), col("b"), col("n_common"),
           Q.r6(col("aa6") / lit(1e6)).as("aa"))
+    },
+
+    // Harmonic closeness centrality of the top-5 hubs (round 16):
+    // multi-source BFS to depth 3 on the bipartite part–supplier
+    // graph, harmonic sum Σ 1/d over reached nodes — the
+    // disconnection-proof centrality (an unreachable node contributes
+    // 0, not ∞). Sources are the 5 highest-degree nodes ((deg DESC,
+    // id) — a total integer order); per-depth reach counts are exact
+    // integers and the harmonic sum uses the INTEGER weights
+    // ⌊1e6/d⌋ ∈ {1000000, 500000, 333333}, so the whole readout is
+    // int64. Scale: 5 simultaneous sources ride one frontier frame
+    // keyed (source, node); 3 bounded rounds of keyed joins with
+    // per-round snapshots — the q_graph_bfs recipe, never an
+    // all-pairs expansion.
+    Q("q_graph_closeness",
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sn
+        |                         FROM lineitem),
+        |edges AS (SELECT p AS src, sn AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT sn, p FROM pairs),
+        |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY 1),
+        |roots AS (SELECT src AS sid FROM deg ORDER BY dg DESC, src LIMIT 5),
+        |bfs AS (SELECT sid, sid AS id, 0 AS depth FROM roots
+        |        UNION
+        |        SELECT b.sid, e2.dst, b.depth + 1
+        |        FROM bfs b JOIN edges e2 ON e2.src = b.id WHERE b.depth < 3),
+        |md AS (SELECT sid, id, min(depth) AS depth FROM bfs GROUP BY 1, 2)
+        |SELECT sid AS source_node,
+        |       CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS reach_1,
+        |       CAST(sum(CASE WHEN depth = 2 THEN 1 ELSE 0 END) AS BIGINT) AS reach_2,
+        |       CAST(sum(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS BIGINT) AS reach_3,
+        |       floor((sum(CASE depth WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+        |                             WHEN 3 THEN 333333 ELSE 0 END) / 1e6)*1000000+0.5)/1000000
+        |         AS harmonic
+        |FROM md
+        |GROUP BY 1
+        |ORDER BY source_node""".stripMargin) { (s, d) =>
+      val pairs = Tables.load(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val ed = pairs.select(col("p").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("p").as("dst")))
+        .transform(snapshot)
+      val roots = ed.groupBy("src").agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src")).limit(5)
+        .select(col("src").as("sid"))
+        .transform(snapshot)
+      val seed = roots.select(col("sid"), col("sid").as("id"), lit(0L).as("depth"))
+        .transform(snapshot)
+      var frontiers = List(seed)
+      var frontier = seed
+      var h = 1
+      while (h <= 3 && !frontier.isEmpty) {
+        val visited = frontiers.reduce(_ unionAll _).select("sid", "id")
+        val nxt = frontier.join(ed, frontier("id") === ed("src"))
+          .select(col("sid"), col("dst").as("id")).distinct()
+          .join(visited, Seq("sid", "id"), "left_anti")
+          .withColumn("depth", lit(h.toLong))
+          .transform(snapshot)
+        frontiers = nxt :: frontiers
+        frontier = nxt
+        h += 1
+      }
+      frontiers.reduce(_ unionAll _)
+        .groupBy(col("sid").as("source_node"))
+        .agg(sum(when(col("depth") === 1, 1L).otherwise(0L)).as("reach_1"),
+          sum(when(col("depth") === 2, 1L).otherwise(0L)).as("reach_2"),
+          sum(when(col("depth") === 3, 1L).otherwise(0L)).as("reach_3"),
+          sum(when(col("depth") === 1, 1000000L).when(col("depth") === 2, 500000L)
+            .when(col("depth") === 3, 333333L).otherwise(0L)).as("h6"))
+        .select(col("source_node"), col("reach_1"), col("reach_2"), col("reach_3"),
+          Q.r6(col("h6") / lit(1e6)).as("harmonic"))
+        .orderBy("source_node")
+    },
+
+    // Label propagation communities (round 16): three SYNCHRONOUS
+    // rounds of "adopt the most frequent neighbor label" on the
+    // bipartite part–supplier graph, seeded with own ids — the
+    // community detector that needs no modularity objective
+    // (q_graph_modularity scores what this finds). Ties resolve
+    // (count DESC, label ASC) — a total integer order implemented as
+    // min_by over the packed struct in Spark and the identical
+    // window order in the oracle, so the rounds are deterministic and
+    // the engines agree label-for-label. Each round is one keyed join
+    // + one (node, label) count agg + one min_by per node (map-side
+    // partials; never a global sort); per-round snapshots cut the
+    // lineage exactly like the CC fixpoint. Output: the 20 largest
+    // communities after round 3.
+    Q("q_label_propagation",
+      """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sn
+        |               FROM lineitem),
+        |edges AS (SELECT p AS src, sn AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT sn, p FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS id FROM edges),
+        |lab0 AS (SELECT id, id AS lbl FROM l0),
+        |c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |       FROM edges e JOIN lab0 l ON e.src = l.id GROUP BY 1, 2),
+        |lab1 AS (SELECT id, lbl FROM
+        |         (SELECT id, lbl, row_number() OVER (PARTITION BY id
+        |                 ORDER BY c DESC, lbl) AS rk FROM c1) WHERE rk = 1),
+        |c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |       FROM edges e JOIN lab1 l ON e.src = l.id GROUP BY 1, 2),
+        |lab2 AS (SELECT id, lbl FROM
+        |         (SELECT id, lbl, row_number() OVER (PARTITION BY id
+        |                 ORDER BY c DESC, lbl) AS rk FROM c2) WHERE rk = 1),
+        |c3 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |       FROM edges e JOIN lab2 l ON e.src = l.id GROUP BY 1, 2),
+        |lab3 AS (SELECT id, lbl FROM
+        |         (SELECT id, lbl, row_number() OVER (PARTITION BY id
+        |                 ORDER BY c DESC, lbl) AS rk FROM c3) WHERE rk = 1)
+        |SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM lab3
+        |GROUP BY 1
+        |ORDER BY n_nodes DESC, community
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val pairs = Tables.load(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val ed = pairs.select(col("p").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("p").as("dst")))
+        .transform(snapshot)
+      var lab = ed.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .transform(snapshot)
+      for (_ <- 1 to 3) {
+        lab = ed.join(lab, ed("src") === lab("id"))
+          .groupBy(ed("dst").as("nid"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("nid").as("id"))
+          .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
+          .transform(snapshot)
+      }
+      lab.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(20)
     }
   )
 

@@ -382,5 +382,86 @@ object Ranking {
             Q.r6(col("hits").cast("double") / col("n_rel"))).as("r_at_10"),
           Q.r6(col("sh").cast("double") / (col("nn") * lit(10))).as("macro_p10"))
         .orderBy("n_name")
+    },
+
+    // Isotonic (PAV) calibration of event value → purchase probability
+    // (round 16): the best MONOTONE estimate of P(purchase | value
+    // band) — what a score calibrator ships when the reliability
+    // readout (q_calibration) shows raw rates zig-zagging. Values band
+    // onto the monotone integer key digits·100 + first-two-digits (the
+    // q_abc_class magnitude-band move — bounded ≤ ~2000 keys, never a
+    // rank over the corpus); the isotonic fit is the exact minimax
+    // formula iso(i) = max_{j≤i} min_{k≥i} rate(j..k) over the banded
+    // prefix sums — pure integer prefix counts, each interval rate ONE
+    // division, and min/max over identical doubles cannot disagree
+    // across engines. The grid³ interval expansion runs on the bounded
+    // band frame only; the corpus collapses once with map-side
+    // partials.
+    Q("q_isotonic",
+      s"""WITH sc AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         |                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |            FROM events),
+         |bd AS (SELECT length(CAST(v AS VARCHAR)) * 100 +
+         |              CAST(substring(CAST(v AS VARCHAR), 1, 2) AS BIGINT) AS band,
+         |              CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+         |       FROM sc GROUP BY 1),
+         |ix AS (SELECT band, n, s,
+         |              CAST(row_number() OVER (ORDER BY band) AS BIGINT) AS i,
+         |              CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cn,
+         |              CAST(sum(s) OVER (ORDER BY band) AS BIGINT) AS cs
+         |       FROM bd),
+         |iv AS (SELECT j.i AS j, k.i AS k,
+         |              CAST(k.cs - j.cs + j.s AS DOUBLE) /
+         |              (k.cn - j.cn + j.n) AS r
+         |       FROM ix j JOIN ix k ON j.i <= k.i),
+         |mn AS (SELECT iv.j, t.i, min(iv.r) AS m
+         |       FROM iv JOIN ix t ON iv.j <= t.i AND iv.k >= t.i
+         |       GROUP BY 1, 2),
+         |iso AS (SELECT i, max(m) AS iso FROM mn GROUP BY 1)
+         |SELECT ix.band, ix.n, ix.s AS n_pos,
+         |       ${Q.sqlR6("CAST(ix.s AS DOUBLE) / ix.n")} AS raw_rate,
+         |       ${Q.sqlR6("iso.iso")} AS iso_rate
+         |FROM ix JOIN iso ON ix.i = iso.i
+         |ORDER BY ix.band""".stripMargin) { (s, d) =>
+      isotonicOf(Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        .groupBy("g", "v100")
+        .agg(count(lit(1)).as("c")))
     })
+
+  /** The PAV minimax fit over a (g, v100, c) value grid — ONE home
+    * shared by batch q_isotonic and the s_isotonic streaming read-time
+    * view (the grid is streaming.Streams.rankGrid's mergeable state; a
+    * new event shifts its band's rate and every interval rate through
+    * it, so the fit re-prices at read time). */
+  private[graft] def isotonicOf(rg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bd = rg
+      .groupBy((length(col("v100").cast("string")) * 100 +
+        substring(col("v100").cast("string"), 1, 2).cast("long")).as("band"))
+      .agg(sum("c").as("n"),
+        sum(when(col("g") === "purchase", col("c")).otherwise(0L)).as("s"))
+    val wb = Window.orderBy("band")
+    val ix = Q.snapshot(bd
+      .withColumn("i", row_number().over(wb).cast("long"))
+      .withColumn("cn", sum("n").over(wb))
+      .withColumn("cs", sum("s").over(wb)))
+    val j = ix.select(col("i").as("j"), col("n").as("jn"), col("s").as("js"),
+      col("cn").as("jcn"), col("cs").as("jcs"))
+    val k = ix.select(col("i").as("k"), col("cn").as("kcn"), col("cs").as("kcs"))
+    val iv = j.join(broadcast(k), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("kcs") - col("jcs") + col("js")).cast("double") /
+          (col("kcn") - col("jcn") + col("jn"))).as("r"))
+    val mn = iv.join(broadcast(ix.select(col("i"))),
+        col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("j", "i").agg(min("r").as("m"))
+    val iso = mn.groupBy("i").agg(max("m").as("iso"))
+    ix.join(iso, "i")
+      .select(col("band"), col("n"), col("s").as("n_pos"),
+        Q.r6(col("s").cast("double") / col("n")).as("raw_rate"),
+        Q.r6(col("iso")).as("iso_rate"))
+      .orderBy("band")
+  }
 }

@@ -2241,8 +2241,264 @@ object SeriesTests {
          |JOIN f ON t1.event_type = f.event_type
          |ORDER BY t1.event_type""".stripMargin) { (s, d) =>
       sigmaClipOf(Inference.dailyCounts(s, d))
+    },
+
+    // Banded dynamic-time-warping distance between event-type pairs
+    // (round 16): DTW with a Sakoe–Chiba band of halfwidth 7 over the
+    // dense daily count series — which activity curves are the same
+    // shape, time-shift tolerated up to a week. The DP is PURE int64
+    // (|Δcount| costs, min/+ only, INF = 1e15 sentinel capped per
+    // cell), so the two engines' different evaluation strategies
+    // (Spark: one prev-row fold per pair, O(n·w²) with O(w) state;
+    // oracle: a linear band-index recursive CTE) must agree to the
+    // last bit. Alignment gain = L1 − DTW ≥ 0 quantifies what warping
+    // buys (the diagonal path IS the L1). The band is the scale
+    // story: O(n·w) cells per pair on the calendar-bounded grid,
+    // never the full n² DP, and the pair frame is |types|² — both
+    // domain-bounded.
+    Q("q_dtw",
+      s"""WITH RECURSIVE daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |ta AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              list(y ORDER BY x) AS ys
+         |       FROM grid GROUP BY 1),
+         |pr AS (SELECT a.event_type AS t1, b.event_type AS t2, a.n,
+         |              a.ys AS av, b.ys AS bv
+         |       FROM ta a JOIN ta b ON a.event_type < b.event_type),
+         |rec AS (SELECT t1, t2, n, av, bv, CAST(0 AS BIGINT) AS k,
+         |               [CASE WHEN 0 - 7 < 0 THEN CAST(1000000000000000 AS BIGINT)
+         |                     ELSE abs(av[1] - bv[1]) END] AS dp
+         |        FROM pr
+         |        UNION ALL
+         |        SELECT t1, t2, n, av, bv, k + 1,
+         |               list_append(dp, least(CAST(1000000000000000 AS BIGINT),
+         |                 CASE WHEN (k + 1) // 15 - 7 + (k + 1) % 15 < 0
+         |                        OR (k + 1) // 15 - 7 + (k + 1) % 15 >= n
+         |                      THEN CAST(1000000000000000 AS BIGINT)
+         |                      ELSE abs(av[(k + 1) // 15 + 1] -
+         |                               bv[(k + 1) // 15 - 7 + (k + 1) % 15 + 1]) +
+         |                        CASE WHEN (k + 1) // 15 = 0
+         |                              AND (k + 1) // 15 - 7 + (k + 1) % 15 = 0 THEN 0
+         |                        ELSE least(
+         |                          CASE WHEN k + 1 >= 15 THEN dp[k - 13]
+         |                               ELSE CAST(1000000000000000 AS BIGINT) END,
+         |                          CASE WHEN (k + 1) % 15 < 14 AND k + 1 >= 14 THEN dp[k - 12]
+         |                               ELSE CAST(1000000000000000 AS BIGINT) END,
+         |                          CASE WHEN (k + 1) % 15 > 0 THEN dp[k + 1]
+         |                               ELSE CAST(1000000000000000 AS BIGINT) END)
+         |                        END
+         |                 END))
+         |        FROM rec WHERE k + 1 < n * 15),
+         |fin AS (SELECT t1, t2, n, av, bv, dp FROM rec WHERE k = n * 15 - 1),
+         |l1 AS (SELECT t1, t2, n,
+         |              CAST(list_sum(list_transform(range(1, n + 1),
+         |                   i -> abs(av[i] - bv[i]))) AS BIGINT) AS l1,
+         |              CAST(dp[(n - 1) * 15 + 7 + 1] AS BIGINT) AS dtw
+         |       FROM fin)
+         |SELECT t1 AS type_a, t2 AS type_b, n AS n_days, dtw, l1,
+         |       l1 - dtw AS align_gain, ${Q.sqlR4("CAST(dtw AS DOUBLE) / n")} AS dtw_per_day
+         |FROM l1
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      dtwOf(Inference.dailyCounts(s, d))
+    },
+
+    // Haar-structured energy by scale (round 16): unnormalized Haar
+    // detail coefficients of per-type daily volume at the first five
+    // dyadic scales — d(block) = Σ(left half) − Σ(right half) over
+    // 2^k-day blocks — and each scale's share of the total detail
+    // energy. Where the variance LIVES in time-scale: day-to-day
+    // noise loads scale 1, the weekly cycle loads scales 2–3, drift
+    // loads 4–5. Coefficients and energies are PURE int64 (integer
+    // block sums, integer differences, integer squares); the only
+    // float is the share division at readout. One grouping per scale
+    // over the calendar-bounded grid — five cheap aggs, no window, no
+    // recursion.
+    Q("q_haar_energy",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |x0 AS (SELECT min(x) AS x0 FROM dy),
+         |grid AS (SELECT ty.event_type, dy.x - x0.x0 AS i, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy CROSS JOIN x0
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |lv AS (SELECT unnest(range(1, 6)) AS level),
+         |det AS (SELECT g.event_type, lv.level, g.i // (1 << lv.level) AS blk,
+         |               CAST(sum(CASE WHEN (g.i // (1 << (lv.level - 1))) % 2 = 0
+         |                             THEN g.y ELSE -g.y END) AS BIGINT) AS d
+         |        FROM grid g CROSS JOIN lv
+         |        GROUP BY 1, 2, 3),
+         |en AS (SELECT event_type, level, CAST(count(*) AS BIGINT) AS n_blocks,
+         |              CAST(sum(d * d) AS BIGINT) AS energy
+         |       FROM det GROUP BY 1, 2),
+         |tt AS (SELECT event_type, CAST(sum(energy) AS BIGINT) AS tot FROM en GROUP BY 1)
+         |SELECT en.event_type, en.level, en.n_blocks, en.energy,
+         |       CASE WHEN tt.tot > 0 THEN ${Q.sqlR6("CAST(en.energy AS DOUBLE) / tt.tot")}
+         |            END AS energy_share
+         |FROM en JOIN tt ON en.event_type = tt.event_type
+         |ORDER BY en.event_type, en.level""".stripMargin) { (s, d) =>
+      haarEnergyOf(Inference.dailyCounts(s, d))
+    },
+
+    // LOESS local-linear smoothing of per-type daily volume (round
+    // 16): at each day, a tricube-weighted least-squares line over the
+    // ±7-day neighborhood — the robust trend readout dashboards
+    // overlay on the raw series. Each fit's five weighted sums are
+    // integer-latticed to 1e6 per NEIGHBOR (the weight tree
+    // (1−(|Δ|/8)³)³ is pure IEEE from integer offsets, identical in
+    // both engines) so the ≤15-term reductions are order-free int64
+    // folds; the fitted value is one mirrored double tree over those
+    // five sums. Shape: a range self-join of the calendar grid onto
+    // its ±7 neighborhood — |days|·15 rows per type, calendar-bounded,
+    // one corpus scan.
+    Q("q_loess_trend",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |nb AS (SELECT t.event_type, t.x, t.y, s.x - t.x AS u, s.y AS sy,
+         |              (1 - (CAST(abs(s.x - t.x) AS DOUBLE) / 8) *
+         |                   (CAST(abs(s.x - t.x) AS DOUBLE) / 8) *
+         |                   (CAST(abs(s.x - t.x) AS DOUBLE) / 8)) *
+         |              (1 - (CAST(abs(s.x - t.x) AS DOUBLE) / 8) *
+         |                   (CAST(abs(s.x - t.x) AS DOUBLE) / 8) *
+         |                   (CAST(abs(s.x - t.x) AS DOUBLE) / 8)) *
+         |              (1 - (CAST(abs(s.x - t.x) AS DOUBLE) / 8) *
+         |                   (CAST(abs(s.x - t.x) AS DOUBLE) / 8) *
+         |                   (CAST(abs(s.x - t.x) AS DOUBLE) / 8)) AS w
+         |       FROM grid t JOIN grid s
+         |         ON t.event_type = s.event_type AND abs(s.x - t.x) <= 7),
+         |sm AS (SELECT event_type, x, max(y) AS y,
+         |              CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sw,
+         |              CAST(sum(CAST(floor(w * u * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS swu,
+         |              CAST(sum(CAST(floor(w * u * u * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS swuu,
+         |              CAST(sum(CAST(floor(w * sy * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS swy,
+         |              CAST(sum(CAST(floor(w * u * sy * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS swuy
+         |       FROM nb GROUP BY 1, 2)
+         |SELECT event_type, x AS day_idx, CAST(y AS BIGINT) AS y,
+         |       CASE WHEN CAST(sw AS DOUBLE) * swuu - CAST(swu AS DOUBLE) * swu > 0 THEN
+         |         ${Q.sqlR4("(CAST(swy AS DOUBLE) * swuu - CAST(swu AS DOUBLE) * swuy) / " +
+                   "(CAST(sw AS DOUBLE) * swuu - CAST(swu AS DOUBLE) * swu)")}
+         |       END AS loess
+         |FROM sm
+         |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      loessTrendOf(Inference.dailyCounts(s, d))
     }
   )
+
+  /** The banded-DTW fold over a daily (event_type, x, y) count frame —
+    * ONE home shared by batch q_dtw and the s_dtw streaming read-time
+    * view (a new day extends both series; the daily grid is the
+    * mergeable state). Sakoe–Chiba halfwidth 7 (band width 15); state
+    * is ONE previous band row per pair (O(w) memory, O(n·w²) work);
+    * all-integer min/+ DP, so it equals the oracle's linear-index
+    * recursion bit-for-bit. */
+  private[graft] def dtwOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val ta = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("transform(sort_array(collect_list(struct(x, y))), e -> e.y)").as("ys"))
+    val a = ta.select(col("event_type").as("t1"), col("n"), col("ys").as("av"))
+    val b = ta.select(col("event_type").as("t2"), col("n").as("nb"), col("ys").as("bv"))
+    val pr = a.join(broadcast(b), col("t1") < col("t2"))
+    // prev-row fold: for each row i the inner fold builds the 15-cell
+    // band row from the previous row (acc) and its own growing prefix
+    // (racc); INF = 1e15, capped per cell so sums never leave int64.
+    val dpExpr =
+      """aggregate(sequence(0, cast(n - 1 as int)),
+        |  CAST(array() AS ARRAY<BIGINT>),
+        |  (prev, i) -> aggregate(sequence(0, 14),
+        |    CAST(array() AS ARRAY<BIGINT>),
+        |    (row, off) -> array_append(row,
+        |      least(1000000000000000L,
+        |        CASE WHEN i - 7 + off < 0 OR i - 7 + off >= n
+        |             THEN 1000000000000000L
+        |             ELSE abs(av[i] - bv[i - 7 + off]) +
+        |               CASE WHEN i = 0 AND i - 7 + off = 0 THEN 0L
+        |               ELSE least(
+        |                 CASE WHEN size(prev) > 0 THEN prev[off]
+        |                      ELSE 1000000000000000L END,
+        |                 CASE WHEN size(prev) > 0 AND off < 14 THEN prev[off + 1]
+        |                      ELSE 1000000000000000L END,
+        |                 CASE WHEN off > 0 THEN row[off - 1]
+        |                      ELSE 1000000000000000L END)
+        |               END
+        |        END)),
+        |    row -> row),
+        |  prev -> prev[7])""".stripMargin
+    pr.withColumn("dtw", expr(dpExpr))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(av, bv, (p, q) -> abs(p - q)), 0L, (acc, e) -> acc + e)"))
+      .select(col("t1").as("type_a"), col("t2").as("type_b"), col("n").as("n_days"),
+        col("dtw"), col("l1"), (col("l1") - col("dtw")).as("align_gain"),
+        Q.r4(col("dtw").cast("double") / col("n")).as("dtw_per_day"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** The Haar-energy rollup over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_haar_energy and the
+    * s_haar_energy streaming read-time view (a new day shifts its
+    * block's coefficient at every scale; the daily grid is the
+    * mergeable state). */
+  private[graft] def haarEnergyOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val x0 = dy.agg(min("x").as("x0"))
+    val lv = (1 to 5).map(i => lit(i.toLong))
+    val det = grid.crossJoin(broadcast(x0))
+      .withColumn("i", col("x") - col("x0"))
+      .withColumn("level", explode(array(lv: _*)))
+      .withColumn("blk", (col("i") / expr("shiftleft(1L, cast(level as int))")).cast("long"))
+      .withColumn("half",
+        ((col("i") / expr("shiftleft(1L, cast(level as int) - 1)")).cast("long") % 2))
+      .groupBy("event_type", "level", "blk")
+      .agg(sum(when(col("half") === 0, col("y")).otherwise(-col("y"))).as("d"))
+    val en = det.groupBy("event_type", "level")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("d") * col("d")).as("energy"))
+      .transform(Q.snapshot)
+    val tt = en.groupBy("event_type").agg(sum("energy").as("tot"))
+    en.join(tt, "event_type")
+      .select(col("event_type"), col("level"), col("n_blocks"), col("energy"),
+        when(col("tot") > 0, Q.r6(col("energy").cast("double") / col("tot")))
+          .as("energy_share"))
+      .orderBy("event_type", "level")
+  }
+
+  /** The LOESS neighborhood fit over a daily (event_type, x, y) count
+    * frame — ONE home shared by batch q_loess_trend and the
+    * s_loess_trend streaming read-time view (a new day re-fits its
+    * ±7-day neighborhood; the daily grid is the mergeable state). */
+  private[graft] def loessTrendOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val t = grid.select(col("event_type"), col("x"), col("y"))
+    val sN = grid.select(col("event_type").as("se"), col("x").as("sx"), col("y").as("sy"))
+    val u = (col("sx") - col("x")).cast("long")
+    val au = abs(u).cast("double") / 8
+    val w3 = lit(1.0) - au * au * au
+    val w = w3 * w3 * w3
+    val nb = t.join(sN, col("event_type") === col("se") && abs(col("sx") - col("x")) <= 7)
+      .select(col("event_type"), col("x"), col("y"), u.as("u"), col("sy"), w.as("w"))
+    val sm = nb.groupBy("event_type", "x")
+      .agg(max("y").as("y"),
+        sum(floor(col("w") * lit(1e6) + 0.5).cast("long")).as("sw"),
+        sum(floor(col("w") * col("u") * lit(1e6) + 0.5).cast("long")).as("swu"),
+        sum(floor(col("w") * col("u") * col("u") * lit(1e6) + 0.5).cast("long")).as("swuu"),
+        sum(floor(col("w") * col("sy") * lit(1e6) + 0.5).cast("long")).as("swy"),
+        sum(floor(col("w") * col("u") * col("sy") * lit(1e6) + 0.5).cast("long")).as("swuy"))
+    val den = col("sw").cast("double") * col("swuu") - col("swu").cast("double") * col("swu")
+    sm.select(col("event_type"), col("x").as("day_idx"), col("y"),
+        when(den > 0,
+          Q.r4((col("swy").cast("double") * col("swuu") -
+            col("swu").cast("double") * col("swuy")) / den)).as("loess"))
+      .orderBy("event_type", "day_idx")
+  }
 
   /** The rolling-origin backtest fold over a daily (event_type, x, y)
     * count frame — ONE home shared by batch q_backtest_naive and a

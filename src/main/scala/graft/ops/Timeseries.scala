@@ -1702,6 +1702,99 @@ object Timeseries {
         .select(col("pk").as("l_partkey"), col("nd").as("n_demand_days"),
           Q.r6(col("z")).as("z_size"), Q.r6(col("p")).as("p_interval"),
           Q.r6(col("fc")).as("forecast_per_day"))
+    },
+
+    // Weibull fit of the interpurchase-gap distribution (round 16):
+    // median-rank regression — the probability-plot method — on
+    // ln(gap) vs ln(−ln(1−F)) with Bernard's approximation
+    // F = (r−0.3)/(n+0.4) at each gap value's average rank; slope =
+    // shape k (k<1 ⇒ bursty re-ordering, k≈1 ⇒ memoryless, k>1 ⇒
+    // rhythmic), scale λ = exp(−intercept/k) in days. The survival
+    // family's parametric summary beside q_kaplan_meier's
+    // nonparametric curve. Scale shape: gaps collapse onto the
+    // calendar-bounded distinct-gap grid FIRST (map-side partials);
+    // ranks are prefix sums over that grid, never a corpus sort; the
+    // five weighted regression sums are integer-latticed to 1e6 per
+    // CELL so the reduction is an order-free int64 fold; same-day
+    // repeat orders (gap 0) are excluded — ln needs gap ≥ 1.
+    Q("q_weibull_fit",
+      s"""WITH o AS (SELECT o_custkey,
+         |                  CAST(date_diff('day', DATE '1992-01-01',
+         |                                 CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS x
+         |           FROM orders),
+         |g AS (SELECT o_custkey,
+         |             x - lag(x) OVER (PARTITION BY o_custkey ORDER BY x) AS gap
+         |      FROM o),
+         |gc AS (SELECT gap, CAST(count(*) AS BIGINT) AS c
+         |       FROM g WHERE gap >= 1 GROUP BY 1),
+         |pr AS (SELECT gap, c,
+         |              CAST(sum(c) OVER (ORDER BY gap) AS BIGINT) AS cum,
+         |              CAST(sum(c) OVER () AS BIGINT) AS n,
+         |              CAST(count(*) OVER () AS BIGINT) AS kc
+         |       FROM gc),
+         |xy AS (SELECT gap, c, n, kc,
+         |              ln(CAST(gap AS DOUBLE)) AS xx,
+         |              ln(-ln(1.0 - (cum - c + (c + 1) / 2.0 - 0.3) / (n + 0.4))) AS yy
+         |       FROM pr),
+         |sm AS (SELECT max(n) AS n, max(kc) AS kc,
+         |              CAST(sum(c) AS BIGINT) AS sw,
+         |              CAST(sum(CAST(floor(c * xx * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx6,
+         |              CAST(sum(CAST(floor(c * yy * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sy6,
+         |              CAST(sum(CAST(floor(c * xx * xx * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxx6,
+         |              CAST(sum(CAST(floor(c * xx * yy * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sxy6
+         |       FROM xy),
+         |ft AS (SELECT n, kc, sw,
+         |              (sw * (CAST(sxy6 AS DOUBLE) / 1e6) -
+         |               (CAST(sx6 AS DOUBLE) / 1e6) * (CAST(sy6 AS DOUBLE) / 1e6)) /
+         |              (sw * (CAST(sxx6 AS DOUBLE) / 1e6) -
+         |               (CAST(sx6 AS DOUBLE) / 1e6) * (CAST(sx6 AS DOUBLE) / 1e6)) AS k,
+         |              CAST(sx6 AS DOUBLE) / 1e6 AS sx, CAST(sy6 AS DOUBLE) / 1e6 AS sy
+         |       FROM sm
+         |       WHERE kc >= 2 AND
+         |             sw * (CAST(sxx6 AS DOUBLE) / 1e6) -
+         |             (CAST(sx6 AS DOUBLE) / 1e6) * (CAST(sx6 AS DOUBLE) / 1e6) > 0)
+         |SELECT n AS n_gaps, kc AS k_cells, ${Q.sqlR4("k")} AS shape,
+         |       CASE WHEN k > 0 THEN
+         |         ${Q.sqlR2("exp(-((sy - k * sx) / sw) / k)")}
+         |       END AS scale_days
+         |FROM ft
+         |ORDER BY n_gaps""".stripMargin) { (s, d) =>
+      val wc = Window.partitionBy("o_custkey").orderBy("x")
+      val g = Tables.load(s, d, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast(DateType), to_date(lit("1992-01-01")))
+            .cast("long").as("x"))
+        .withColumn("gap", col("x") - lag("x", 1).over(wc))
+        .filter(col("gap") >= 1)
+      val gc = g.groupBy("gap").agg(count(lit(1)).as("c"))
+      val wg = Window.orderBy("gap")
+      val pr = gc
+        .withColumn("cum", sum("c").over(wg))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .withColumn("kc", count(lit(1)).over(Window.partitionBy()))
+      val xy = pr
+        .withColumn("xx", log(col("gap").cast("double")))
+        .withColumn("yy", log(-log(lit(1.0) -
+          (col("cum") - col("c") + (col("c") + 1) / lit(2.0) - 0.3) / (col("n") + 0.4))))
+      val sm = xy.agg(max("n").as("n"), max("kc").as("kc"),
+        sum("c").as("sw"),
+        sum(floor(col("c") * col("xx") * lit(1e6) + 0.5).cast("long")).as("sx6"),
+        sum(floor(col("c") * col("yy") * lit(1e6) + 0.5).cast("long")).as("sy6"),
+        sum(floor(col("c") * col("xx") * col("xx") * lit(1e6) + 0.5).cast("long")).as("sxx6"),
+        sum(floor(col("c") * col("xx") * col("yy") * lit(1e6) + 0.5).cast("long")).as("sxy6"))
+      val sx = col("sx6").cast("double") / lit(1e6)
+      val sy = col("sy6").cast("double") / lit(1e6)
+      val den = col("sw") * (col("sxx6").cast("double") / lit(1e6)) - sx * sx
+      val kCol = (col("sw") * (col("sxy6").cast("double") / lit(1e6)) - sx * sy) / den
+      sm.filter(col("kc") >= 2 && den > 0)
+        .withColumn("k", kCol)
+        .withColumn("sx", sx).withColumn("sy", sy)
+        .select(col("n").as("n_gaps"), col("kc").as("k_cells"),
+          Q.r4(col("k")).as("shape"),
+          when(col("k") > 0,
+            Q.r2(exp(-((col("sy") - col("k") * col("sx")) / col("sw")) / col("k"))))
+            .as("scale_days"))
+        .orderBy("n_gaps")
     }
   )
 

@@ -1071,6 +1071,29 @@ object Streams {
   def kruskalWallisOf(grid: DataFrame): DataFrame =
     graft.ops.Statistics.kruskalWallisOf(grid)
 
+  /** Read-time isotonic-calibration projection over a [[rankGrid]] —
+    * a new event shifts its band's rate and every minimax interval
+    * through it; the grid is the mergeable state (s_isotonic). */
+  def isotonicOf(grid: DataFrame): DataFrame =
+    graft.ops.Ranking.isotonicOf(grid)
+
+  /** Read-time 1-D k-means projection over a [[rankGrid]] — the
+    * purchase slice of the grid is the (v, c) domain frame; every
+    * arriving purchase re-prices the Lloyd rounds (s_kmeans_1d). */
+  def kmeans1dOf(grid: DataFrame): DataFrame =
+    graft.ops.Mixture.kmeansOf(purchaseSlice(grid))
+
+  /** Read-time 2-component-EM projection over a [[rankGrid]]
+    * (s_gmm_em). */
+  def gmmEmOf(grid: DataFrame): DataFrame =
+    graft.ops.Mixture.gmmOf(purchaseSlice(grid))
+
+  /** The purchase (v, c) slice of a [[rankGrid]] — the mixture
+    * models' bounded domain frame. */
+  private def purchaseSlice(grid: DataFrame): DataFrame =
+    grid.filter(col("g") === "purchase")
+      .groupBy(col("v100").as("v")).agg(sum("c").as("c"))
+
   /** Read-time Dunn post-hoc projection over a [[rankGrid]]. */
   def dunnOf(grid: DataFrame): DataFrame =
     graft.ops.Statistics.dunnOf(grid)
@@ -1147,6 +1170,24 @@ object Streams {
     * mergeable state (s_sigma_clip). */
   def sigmaClipOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.sigmaClipOf(grid)
+
+  /** Read-time banded-DTW projection over a [[dailyGrid]] — a new day
+    * extends every pair's DP band; the grid is the mergeable state
+    * (s_dtw). */
+  def dtwOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.dtwOf(grid)
+
+  /** Read-time Haar-energy projection over a [[dailyGrid]] — a new
+    * day shifts its block's coefficient at every scale; the grid is
+    * the mergeable state (s_haar_energy). */
+  def haarEnergyOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.haarEnergyOf(grid)
+
+  /** Read-time LOESS projection over a [[dailyGrid]] — a new day
+    * re-fits its ±7-day neighborhood; the grid is the mergeable state
+    * (s_loess_trend). */
+  def loessTrendOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.loessTrendOf(grid)
 
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =

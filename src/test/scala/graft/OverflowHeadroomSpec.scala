@@ -406,11 +406,20 @@ class OverflowHeadroomSpec extends SparkSpec {
       "q_sigma_clip accumulates NO lattice of its own (exact int64 (n, Σy, Σy²) "
         + "moments per round — Σy² is the binding term, the q_poisson_dispersion "
         + "accumulator, ∝SF² via per-day-type counts; the survivor predicate is "
-        + "cross-multiplied |n·y − s| vs a float bound, no floor); as SeriesTests' "
-        + "LAST Q block it inherits the file-trailing shared folds in the scanner — "
-        + "permEntropyOf/spectralEntropyOf 1e9 entropy lattices, audited under "
-        + "their own q_perm_entropy/q_spectral_entropy rows",
-      "const (see the owning rows)", 1e9, _ => 3e9, None),
+        + "cross-multiplied |n·y − s| vs a float bound, no floor)",
+      "const (no lattice)", 1e9, _ => 3e9, None),
+
+    Site("q_loess_trend", "1e6",
+      "per-fit weighted sums Σ⌊w·u·y·1e6⌉ over ≤15 neighbors (w ≤ 1, |u| ≤ 7, "
+        + "y = per-day-type count ∝ SF) — swuy ≈ 15·7·y·1e6 binds; as "
+        + "SeriesTests' LAST Q block it also inherits the file-trailing shared "
+        + "folds in the scanner — permEntropyOf/spectralEntropyOf 1e9 entropy "
+        + "lattices, audited under their own rows",
+      "linear in SF (y ≈ 6.7e3·SF per cell)", 1e5, sf => 15 * 7 * 6.7e3 * sf * 1e6 * 3,
+      Some((s, d) => dmax {
+        graft.ops.Inference.dailyCounts(s, d)
+          .agg(max(col("y")) * 15 * 7 * 1e6)
+      })),
 
     Site("q_croston", "1e6",
       "ordering key f6 = ⌊(z/p)·1e6⌉ per part (z ≤ max daily part demand, "
@@ -454,6 +463,55 @@ class OverflowHeadroomSpec extends SparkSpec {
               (col("n2") - 1) / col("n2")).as("v"))
           .filter(col("v") > 0)
           .agg(sum(floor(lit(1.0) / col("v") * lit(1e15) + 0.5)))
+      })),
+
+    Site("q_kn_logprob", "1e9", "per-source Σ⌊tf·ln(p)·1e9⌋ — the q_source_xent "
+        + "accumulator with the KN probability in place of add-one (|ln p| ≤ "
+        + "ln(cu/0.25) + continuation floor — same log-linear-in-tokens class)",
+      "linear×log (the q_source_xent model; KN p is bounded BELOW by the "
+        + "continuation term D·nf/cu·nw/T ≥ 0.75/cu·1/T so |ln p| grows as "
+        + "ln(cu·T) ≈ 2·ln(tokens))", 3.0,
+      sf => 1.2e18 * sf + 1e9,
+      Some((s, d) => dmax {
+        val tf = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+        val trl = tf.groupBy("lang")
+          .agg(sum("tf").as("n"), countDistinct("word").as("v"))
+        // conservative super-bound: 2× the unigram-model magnitude
+        // (|ln p_KN| ≤ ln(cu·T) ≤ 2·ln(n+v) per bigram token)
+        tf.join(broadcast(trl), "lang")
+          .select(abs(col("tf") * log((col("n") + col("v")).cast("double")) * 2e9).as("m"))
+          .agg(sum("m"))
+      })),
+
+    Site("q_weibull_fit", "1e6", "regression sums Σ⌊c·x·y·1e6⌉ over the "
+        + "distinct-gap grid (|x| = ln(gap) ≤ ln(calendar) ≈ 7.8, |y| = "
+        + "ln(−ln(1−F)) ≤ ~ln(ln(n)) + 8 at the tails; c ∝ SF per cell)",
+      "linear×log (Σ ≈ n_gaps·|x·y|·1e6 ≤ n_gaps·63e6; orders n = 1.5e6·SF)",
+      500.0, sf => 1.5e6 * sf * 63e6 * 3 + 1e6,
+      Some((s, d) => dmax {
+        // conservative super-bound: every gap at the max |x·y| envelope
+        Tables.load(s, d, "orders").agg(count(lit(1)).cast("double") * 63e6)
+      })),
+
+    Site("q_gmm_em", "1e9/1e3/1e0", "per-round responsibility moments — binding "
+        + "is Σ⌊c·r·v²⌉ ≤ Σc·v² (r ≤ 1; v ≤ ~49e3 cents ⇒ v² ≤ 2.4e9; purchase "
+        + "rows ∝ SF)",
+      "linear in SF (Σc·v² ≈ 2e5·SF·avg(v²))", 1000.0,
+      sf => 4.8e14 * sf * 3 + 1e9,
+      Some((s, d) => dmax {
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(floor(col("value") * 100 + 0.5).as("v"))
+          .agg(sum(col("v") * col("v")).cast("double"))
+      })),
+
+    Site("q_impute_quality", "1e3", "per-imputer Σ⌊|v−imp|·1e3⌉ over the masked "
+        + "10% (|err| ≤ 1e6 cents ⇒ ≤ 1e9 per row; masked rows = 1.5e4·SF)",
+      "linear in SF", 100.0, sf => 1.5e13 * sf * 3 + 1e6,
+      Some((s, d) => dmax {
+        Tables.load(s, d, "customer").filter(col("c_custkey") % 10 === 0)
+          .agg(count(lit(1)).cast("double") * 1e9)
       })),
 
     Site("q_adamic_adar", "1e6",

@@ -241,6 +241,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_dunn")(spark, sfDir)), "Dunn")
       assert(rows1(Streams.jonckheereOf(grid)) ===
         rows1(SparkEntry.queries("q_jonckheere")(spark, sfDir)), "JT")
+      assert(rows1(Streams.isotonicOf(grid)) ===
+        rows1(SparkEntry.queries("q_isotonic")(spark, sfDir)), "isotonic")
+      assert(rows1(Streams.kmeans1dOf(grid)) ===
+        rows1(SparkEntry.queries("q_kmeans_1d")(spark, sfDir)), "kmeans")
+      assert(rows1(Streams.gmmEmOf(grid)) ===
+        rows1(SparkEntry.queries("q_gmm_em")(spark, sfDir)), "GMM EM")
     }
   }
 
@@ -402,6 +408,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_macd")(spark, sfDir)), "MACD")
       assert(rows1(Streams.sigmaClipOf(grid)) ===
         rows1(SparkEntry.queries("q_sigma_clip")(spark, sfDir)), "sigma clip")
+      assert(rows1(Streams.dtwOf(grid)) ===
+        rows1(SparkEntry.queries("q_dtw")(spark, sfDir)), "banded DTW")
+      assert(rows1(Streams.haarEnergyOf(grid)) ===
+        rows1(SparkEntry.queries("q_haar_energy")(spark, sfDir)), "Haar energy")
+      assert(rows1(Streams.loessTrendOf(grid)) ===
+        rows1(SparkEntry.queries("q_loess_trend")(spark, sfDir)), "LOESS")
     }
   }
 
