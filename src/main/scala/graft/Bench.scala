@@ -129,15 +129,20 @@ object Bench {
     // of the same ~1950-char budget the rotating tail needs, and a
     // couple of verbose exceptions would otherwise evict dozens of
     // per-query timings from driver-side attribution. The leading
-    // package path is stripped before the 32-char cap (renegotiation
+    // package path is stripped before the 24-char cap (renegotiation
     // #4 at the 318-query surface: "java.lang." spent a third of the
     // cap saying nothing — the SIMPLE class name + message head is
-    // strictly more informative per char, and the ~10 chars × 5 fails
-    // bought back the ~3 kept slots the 4-round grid needed). Earlier
-    // renegotiations: 60→32 cap at 295 queries; errors-only reporting
-    // at 308.
+    // strictly more informative per char). Error KEYS render through
+    // shortName and the cap is 32→24 since the 405-query surface
+    // (renegotiation #6: the chooser simulation left did/zip_fit/
+    // zorder unreported under a 6-failure round with full-name error
+    // keys — ~14 chars × fails buys the kept slots back; the history
+    // test normalizes keys through the idempotent shortName, so pre-
+    // and post-renegotiation BENCH files still compare). Earlier:
+    // 60→32 cap at 295 queries; errors-only reporting at 308.
     val errList = runs.collect { case (k, Left(e)) =>
-      jstr(k) + ":" + jstr(e.replaceFirst("^([a-z0-9_]+\\.)+(?=[A-Z])", "").take(32))
+      jstr(shortName(k)) + ":" +
+        jstr(e.replaceFirst("^([a-z0-9_]+\\.)+(?=[A-Z])", "").take(24))
     }
     val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
     def render(scale: Int, stripPrefix: Boolean): String = {

@@ -1369,6 +1369,309 @@ object Analytics {
          |       END AS bowley
          |FROM q ORDER BY event_type""".stripMargin) { (s, d) =>
       bowleyOf(typeCents(s, d))
+    },
+
+    // Order-free Shapley channel attribution (round 16): the
+    // game-theoretic split of conversion credit across the four
+    // non-purchase channels — each user contributes their TOUCHED-SET
+    // bitmask, the coalition worth v(S) = conversions by users whose
+    // whole touch set fits inside S, and φ(i) sums the marginal
+    // v(S∪i) − v(S) under the exact Shapley weights. With n = 4
+    // channels the weights |S|!(3−|S|)!/4! are the rationals
+    // {6,2,2,6}/24, so φ·24 is PURE int64 — the entire computation
+    // after the one user-keyed agg is integer arithmetic over a
+    // 16-mask × 4-channel literal grid. Efficiency (Σφ = v(full) −
+    // v(∅)) holds as an integer identity.
+    Q("q_shapley_attribution",
+      s"""WITH u AS (SELECT user_id,
+         |                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) +
+         |                  2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) +
+         |                  4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) +
+         |                  8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mask,
+         |                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |           FROM events GROUP BY 1),
+         |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+         |              CAST(sum(conv) AS BIGINT) AS n_conv
+         |       FROM u GROUP BY 1),
+         |sg AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS st),
+         |v AS (SELECT sg.st, CAST(coalesce(sum(mc.n_conv), 0) AS BIGINT) AS v
+         |      FROM sg LEFT JOIN mc ON (mc.mask & sg.st) = mc.mask
+         |      GROUP BY 1),
+         |ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+         |                             ('error', CAST(2 AS BIGINT)),
+         |                             ('signup', CAST(4 AS BIGINT)),
+         |                             ('view', CAST(8 AS BIGINT))) AS t(channel, bit)),
+         |ph AS (SELECT ch.channel, ch.bit,
+         |              CAST(sum((CASE bit_count(sg.st)
+         |                          WHEN 0 THEN 6 WHEN 1 THEN 2
+         |                          WHEN 2 THEN 2 ELSE 6 END) *
+         |                       (vw.v - vo.v)) AS BIGINT) AS phi24
+         |       FROM ch JOIN sg ON (sg.st & ch.bit) = 0
+         |       JOIN v vo ON vo.st = sg.st
+         |       JOIN v vw ON vw.st = sg.st + ch.bit
+         |       GROUP BY 1, 2),
+         |tc AS (SELECT ch.channel,
+         |              CAST(coalesce(sum(mc.n_users), 0) AS BIGINT) AS n_touched,
+         |              CAST(coalesce(sum(mc.n_conv), 0) AS BIGINT) AS n_conv_touched
+         |       FROM ch LEFT JOIN mc ON (mc.mask & ch.bit) <> 0
+         |       GROUP BY 1),
+         |tot AS (SELECT CAST(sum(phi24) AS BIGINT) AS t FROM ph)
+         |SELECT ph.channel, tc.n_touched, tc.n_conv_touched,
+         |       ${Q.sqlR4("CAST(ph.phi24 AS DOUBLE) / 24")} AS shapley_conversions,
+         |       CASE WHEN tot.t > 0 THEN
+         |         ${Q.sqlR6("CAST(ph.phi24 AS DOUBLE) / tot.t")}
+         |       END AS share
+         |FROM ph JOIN tc ON ph.channel = tc.channel
+         |CROSS JOIN tot
+         |ORDER BY ph.channel""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg((max(when(col("event_type") === "click", 1).otherwise(0)) +
+          lit(2) * max(when(col("event_type") === "error", 1).otherwise(0)) +
+          lit(4) * max(when(col("event_type") === "signup", 1).otherwise(0)) +
+          lit(8) * max(when(col("event_type") === "view", 1).otherwise(0)))
+          .cast("long").as("mask"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      val mc = Q.snapshot(u.groupBy("mask")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv")))
+      val sg = Tables.events(s, d).sparkSession.range(0, 16)
+        .select(col("id").as("st"))
+      val v = Q.snapshot(sg.join(mc, mc("mask").bitwiseAND(col("st")) === mc("mask"), "left")
+        .groupBy("st").agg(coalesce(sum("n_conv"), lit(0L)).as("v")))
+      val ch = Tables.events(s, d).sparkSession
+        .createDataFrame(Seq(("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L)))
+        .toDF("channel", "bit")
+      val w24 = expr("CASE bit_count(st) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END")
+      val vo = v.select(col("st").as("so"), col("v").as("vo"))
+      val vw = v.select(col("st").as("sw"), col("v").as("vw"))
+      val ph = ch.join(broadcast(sg), col("st").bitwiseAND(col("bit")) === 0)
+        .join(broadcast(vo), col("so") === col("st"))
+        .join(broadcast(vw), col("sw") === col("st") + col("bit"))
+        .groupBy("channel", "bit")
+        .agg(sum(w24 * (col("vw") - col("vo"))).as("phi24"))
+      val tc = ch.join(broadcast(mc), mc("mask").bitwiseAND(ch("bit")) =!= 0, "left")
+        .groupBy("channel")
+        .agg(coalesce(sum("n_users"), lit(0L)).as("n_touched"),
+          coalesce(sum("n_conv"), lit(0L)).as("n_conv_touched"))
+      val tot = ph.agg(sum("phi24").as("t"))
+      ph.join(tc, "channel").crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_touched"), col("n_conv_touched"),
+          Q.r4(col("phi24").cast("double") / 24).as("shapley_conversions"),
+          when(col("t") > 0, Q.r6(col("phi24").cast("double") / col("t"))).as("share"))
+        .orderBy("channel")
+    },
+
+    // Markov removal-effect attribution (round 16): the
+    // first-order-chain credit split — build the journey chain
+    // (start → channels → conv/null, truncated at the FIRST purchase,
+    // non-converters terminate in null), then for each channel ask
+    // "how much conversion reach dies if this state is removed"
+    // (transitions into it redirect to null, un-renormalized — the
+    // standard removal semantics). Reach is a 12-step truncated-
+    // horizon mass propagation with conv/null self-absorbing; all 5
+    // chains (full + 4 removals) propagate in ONE chain-tagged frame,
+    // and every step's mass·prob products floor onto the 1e12 lattice
+    // BEFORE the per-state sums (the q_markov_stationary fold) — both
+    // engines carry bit-identical vectors between steps. Removal
+    // effects lattice to 1e9 before the share division, so the
+    // 4-row attribution readout is integer-decided.
+    Q("q_markov_attribution",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |k AS (SELECT user_id, event_id, event_type, es,
+         |             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY user_id ORDER BY es * 100000000 + event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+         |      FROM e),
+         |j AS (SELECT user_id,
+         |             CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS st,
+         |             row_number() OVER (PARTITION BY user_id
+         |                                ORDER BY es * 100000000 + event_id) AS rn,
+         |             lead(CASE WHEN event_type = 'purchase' THEN 'conv'
+         |                       ELSE event_type END) OVER (PARTITION BY user_id
+         |                                ORDER BY es * 100000000 + event_id) AS nxt
+         |      FROM k WHERE pb = 0),
+         |tr AS (SELECT 'start' AS cur, st AS nxt FROM j WHERE rn = 1
+         |       UNION ALL
+         |       SELECT st, nxt FROM j WHERE nxt IS NOT NULL
+         |       UNION ALL
+         |       SELECT st, 'null' FROM j WHERE nxt IS NULL AND st <> 'conv'),
+         |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+         |m AS (SELECT cur, nxt,
+         |             CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS prob
+         |      FROM c),
+         |ch AS (SELECT * FROM (VALUES (0, ''), (1, 'click'), (2, 'error'),
+         |                             (3, 'signup'), (4, 'view')) AS t(chain, removed)),
+         |ma AS (SELECT ch.chain, m.cur,
+         |              CASE WHEN m.nxt = ch.removed THEN 'null' ELSE m.nxt END AS nxt,
+         |              CAST(sum(CAST(floor(m.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS p12
+         |       FROM ch JOIN m ON m.cur <> ch.removed
+         |       GROUP BY 1, 2, 3
+         |       UNION ALL
+         |       SELECT chain, s.st, s.st, CAST(1000000000000 AS BIGINT)
+         |       FROM ch CROSS JOIN (SELECT 'conv' AS st UNION ALL SELECT 'null') s),
+         |mm AS (SELECT chain, cur, nxt, CAST(p12 AS DOUBLE) / 1e12 AS prob FROM ma),
+         |q0 AS (SELECT chain, 'start' AS st, 1.0 AS p FROM ch),
+         |${(1 to 12).map { st =>
+        val prev = if (st == 1) "q0" else s"q${st - 1}"
+        s"""p$st AS (SELECT mm.chain, mm.nxt AS st,
+           |             CAST(sum(CAST(floor($prev.p * mm.prob * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s12
+           |      FROM mm JOIN $prev ON $prev.chain = mm.chain AND $prev.st = mm.cur
+           |      GROUP BY 1, 2),
+           |q$st AS (SELECT chain, st, CAST(s12 AS DOUBLE) / 1e12 AS p FROM p$st)""".stripMargin
+      }.mkString(",\n")},
+         |rf AS (SELECT p AS reach FROM q12 WHERE chain = 0 AND st = 'conv'),
+         |rr AS (SELECT ch.removed AS channel,
+         |              coalesce(q.p, 0.0) AS reach_removed
+         |       FROM ch LEFT JOIN (SELECT chain, p FROM q12 WHERE st = 'conv') q
+         |         ON q.chain = ch.chain
+         |       WHERE ch.chain > 0),
+         |re AS (SELECT channel, reach_removed,
+         |              CASE WHEN rf.reach > 0 THEN
+         |                CAST(floor((rf.reach - reach_removed) / rf.reach * 1e9 + 0.5) AS BIGINT)
+         |              ELSE 0 END AS rem9,
+         |              rf.reach AS reach_full
+         |       FROM rr CROSS JOIN rf),
+         |tt AS (SELECT CAST(sum(rem9) AS BIGINT) AS t FROM re)
+         |SELECT re.channel, ${Q.sqlR6("re.reach_full")} AS reach_full,
+         |       ${Q.sqlR6("re.reach_removed")} AS reach_removed,
+         |       ${Q.sqlR6("CAST(re.rem9 AS DOUBLE) / 1e9")} AS removal_effect,
+         |       CASE WHEN tt.t > 0 THEN ${Q.sqlR6("CAST(re.rem9 AS DOUBLE) / tt.t")} END AS attribution
+         |FROM re CROSS JOIN tt
+         |ORDER BY re.channel""".stripMargin) { (s, d) =>
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("es") * Q.PackBase + col("event_id"))
+      val k = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Q.epochSec(col("ts")).as("es"))
+        .withColumn("pb", coalesce(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      val j = k.filter(col("pb") === 0)
+        .withColumn("st", when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")))
+        .withColumn("rn", row_number().over(wu))
+        .withColumn("nxt", lead("st", 1).over(wu))
+      val tr = j.filter(col("rn") === 1)
+        .select(lit("start").as("cur"), col("st").as("nxt"))
+        .unionAll(j.filter(col("nxt").isNotNull)
+          .select(col("st").as("cur"), col("nxt")))
+        .unionAll(j.filter(col("nxt").isNull && col("st") =!= "conv")
+          .select(col("st").as("cur"), lit("null").as("nxt")))
+      val c = tr.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val m = c.select(col("cur"), col("nxt"),
+        (col("n").cast("double") /
+          sum("n").over(Window.partitionBy("cur")).cast("long")).as("prob"))
+        .transform(Q.snapshot)
+      val sess = Tables.events(s, d).sparkSession
+      val ch = sess.createDataFrame(Seq((0, ""), (1, "click"), (2, "error"),
+        (3, "signup"), (4, "view"))).toDF("chain", "removed")
+      val absorb = sess.createDataFrame(Seq(("conv"), ("null")).map(Tuple1(_)))
+        .toDF("st")
+      val ma = broadcast(ch).join(m, col("cur") =!= col("removed"))
+        .groupBy(col("chain"),
+          col("cur"),
+          when(col("nxt") === col("removed"), "null").otherwise(col("nxt")).as("nx"))
+        .agg(sum(floor(col("prob") * lit(1e12) + 0.5).cast("long")).as("p12"))
+        .select(col("chain"), col("cur"), col("nx").as("nxt"), col("p12"))
+        .unionAll(broadcast(ch).crossJoin(broadcast(absorb))
+          .select(col("chain"), col("st").as("cur"), col("st").as("nxt"),
+            lit(1000000000000L).as("p12")))
+      val mm = Q.snapshot(ma.select(col("chain"), col("cur"), col("nxt"),
+        (col("p12").cast("double") / lit(1e12)).as("prob")))
+      var q = ch.select(col("chain"), lit("start").as("st"), lit(1.0).as("p"))
+      for (_ <- 1 to 12) {
+        q = mm.join(q.withColumnRenamed("st", "src"),
+            q("chain") === mm("chain") && col("src") === col("cur"))
+          .groupBy(mm("chain").as("chain2"), col("nxt"))
+          .agg(sum(floor(col("p") * col("prob") * lit(1e12) + 0.5).cast("long")).as("s12"))
+          .select(col("chain2").as("chain"), col("nxt").as("st"),
+            (col("s12").cast("double") / lit(1e12)).as("p"))
+      }
+      val q12 = Q.snapshot(q.filter(col("st") === "conv"))
+      val rf = q12.filter(col("chain") === 0).select(col("p").as("reach_full"))
+      val rr = ch.filter(col("chain") > 0)
+        .join(q12.select(col("chain"), col("p").as("reach_removed")), Seq("chain"), "left")
+        .select(col("removed").as("channel"),
+          coalesce(col("reach_removed"), lit(0.0)).as("reach_removed"))
+      val re = rr.crossJoin(broadcast(rf))
+        .withColumn("rem9",
+          when(col("reach_full") > 0,
+            floor((col("reach_full") - col("reach_removed")) / col("reach_full") *
+              lit(1e9) + 0.5).cast("long"))
+            .otherwise(0L))
+      val tt = re.agg(sum("rem9").as("t"))
+      re.crossJoin(broadcast(tt))
+        .select(col("channel"), Q.r6(col("reach_full")).as("reach_full"),
+          Q.r6(col("reach_removed")).as("reach_removed"),
+          Q.r6(col("rem9").cast("double") / lit(1e9)).as("removal_effect"),
+          when(col("t") > 0, Q.r6(col("rem9").cast("double") / col("t"))).as("attribution"))
+        .orderBy("channel")
+    },
+
+    // U-shaped (position-based) attribution (round 16): 40% of each
+    // conversion's credit to the first touch, 40% to the last, 20%
+    // split across the middle — the industry-default compromise
+    // between first- and last-touch, completing the attribution
+    // family (last/linear = q_attribution, game-theoretic =
+    // q_shapley_attribution, path-based = q_markov_attribution).
+    // Paths = each converting user's channel touches before their
+    // FIRST purchase; each touch's credit is a 1e6-latticed integer
+    // (1-touch paths 1e6, 2-touch 5e5/5e5, else 4e5/⌊2e5/(len−2)⌉/4e5)
+    // so per-channel credit is an order-free int64 fold.
+    Q("q_position_attribution",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  ${Q.sqlEpochSec("ts")} AS es FROM events),
+         |fp AS (SELECT user_id, min(es * 100000000 + event_id) AS ford
+         |       FROM e WHERE event_type = 'purchase' GROUP BY 1),
+         |tc AS (SELECT e.user_id, e.event_type,
+         |              row_number() OVER (PARTITION BY e.user_id
+         |                                 ORDER BY e.es * 100000000 + e.event_id) AS rn,
+         |              count(*) OVER (PARTITION BY e.user_id) AS len
+         |       FROM e JOIN fp ON e.user_id = fp.user_id
+         |       WHERE e.event_type <> 'purchase'
+         |         AND e.es * 100000000 + e.event_id < fp.ford),
+         |cr AS (SELECT event_type AS channel,
+         |              CASE WHEN len = 1 THEN 1000000
+         |                   WHEN len = 2 THEN 500000
+         |                   WHEN rn = 1 OR rn = len THEN 400000
+         |                   ELSE CAST(floor(200000.0 / (len - 2) + 0.5) AS BIGINT)
+         |              END AS c6
+         |       FROM tc),
+         |g AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         |             CAST(sum(c6) AS BIGINT) AS credit6
+         |      FROM cr GROUP BY 1),
+         |tt AS (SELECT CAST(sum(credit6) AS BIGINT) AS t FROM g)
+         |SELECT g.channel, g.n_touches,
+         |       ${Q.sqlR4("CAST(g.credit6 AS DOUBLE) / 1e6")} AS credit_conversions,
+         |       ${Q.sqlR6("CAST(g.credit6 AS DOUBLE) / tt.t")} AS share
+         |FROM g CROSS JOIN tt
+         |ORDER BY g.channel""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Q.epochSec(col("ts")).as("es"))
+        .withColumn("ord", col("es") * Q.PackBase + col("event_id"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ord").as("ford"))
+      val wu = Window.partitionBy("user_id").orderBy("ord")
+      val tc = e.join(fp, "user_id")
+        .filter(col("event_type") =!= "purchase" && col("ord") < col("ford"))
+        .withColumn("rn", row_number().over(wu))
+        .withColumn("len", count(lit(1)).over(Window.partitionBy("user_id")))
+      val g = tc.select(col("event_type").as("channel"),
+          when(col("len") === 1, 1000000L)
+            .when(col("len") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("len"), 400000L)
+            .otherwise(floor(lit(200000.0) / (col("len") - 2) + 0.5).cast("long")).as("c6"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"), sum("c6").as("credit6"))
+        .transform(Q.snapshot)
+      val tt = g.agg(sum("credit6").as("t"))
+      g.crossJoin(broadcast(tt))
+        .select(col("channel"), col("n_touches"),
+          Q.r4(col("credit6").cast("double") / lit(1e6)).as("credit_conversions"),
+          Q.r6(col("credit6").cast("double") / col("t")).as("share"))
+        .orderBy("channel")
     }
   )
 

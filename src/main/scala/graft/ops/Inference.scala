@@ -1277,6 +1277,91 @@ object Inference {
          |JOIN di ON np.event_type = di.event_type AND di.rn = 1
          |ORDER BY np.event_type""".stripMargin) { (s, d) =>
       matrixProfileOf(dailyCounts(s, d))
+    },
+
+    // Exact two-factor OLS (round 16): daily purchases regressed on
+    // daily clicks AND views — the first MULTIPLE regression on the
+    // surface (q_grouped_regression/q_trend_fit are simple), closed
+    // form via Cramer's rule over the centered moment matrix, plus R²
+    // and the collinearity VIF = 1/(1 − r₁₂²) that says whether the
+    // two regressors are distinguishable at all. The corpus collapses
+    // to the calendar-bounded day pivot ONCE; every S-moment is exact
+    // int64 (the SF² headroom class — n·Σx² of daily counts), cast to
+    // double only inside the one mirrored Cramer tree. Degenerate
+    // determinant (collinear regressors) → NULL coefficients in both
+    // engines.
+    Q("q_ols2",
+      s"""WITH daily AS ($dailySql),
+         |pv AS (SELECT x,
+         |              CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN y END), 0) AS BIGINT) AS yy,
+         |              CAST(coalesce(max(CASE WHEN event_type = 'click' THEN y END), 0) AS BIGINT) AS x1,
+         |              CAST(coalesce(max(CASE WHEN event_type = 'view' THEN y END), 0) AS BIGINT) AS x2
+         |       FROM daily GROUP BY 1),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |              CAST(sum(yy) AS BIGINT) AS sy,
+         |              CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |              CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |              CAST(sum(x1 * yy) AS BIGINT) AS s1y, CAST(sum(x2 * yy) AS BIGINT) AS s2y,
+         |              CAST(sum(yy * yy) AS BIGINT) AS syy
+         |       FROM pv),
+         |ce AS (SELECT n,
+         |              CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+         |              CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+         |              CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+         |              CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+         |              CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+         |              CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+         |              s1, s2, sy
+         |       FROM mo),
+         |ft AS (SELECT n, c11, c22, c12, cyy,
+         |              CASE WHEN c11 * c22 - c12 * c12 > 0 THEN
+         |                (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) END AS b1,
+         |              CASE WHEN c11 * c22 - c12 * c12 > 0 THEN
+         |                (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) END AS b2,
+         |              c1y, c2y, s1, s2, sy
+         |       FROM ce)
+         |SELECT n AS n_days, ${Q.sqlR6("b1")} AS beta_clicks, ${Q.sqlR6("b2")} AS beta_views,
+         |       ${Q.sqlR4("(sy - b1 * s1 - b2 * s2) / n")} AS intercept,
+         |       CASE WHEN cyy > 0 THEN ${Q.sqlR6("(b1 * c1y + b2 * c2y) / cyy")} END AS r2,
+         |       CASE WHEN c11 > 0 AND c22 > 0 AND c11 * c22 - c12 * c12 > 0 THEN
+         |         ${Q.sqlR4("1.0 / (1.0 - c12 * c12 / (c11 * c22))")}
+         |       END AS vif
+         |FROM ft""".stripMargin) { (s, d) =>
+      val pv = dailyCounts(s, d)
+        .groupBy("x")
+        .agg(coalesce(max(when(col("event_type") === "purchase", col("y"))), lit(0L)).as("yy"),
+          coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x1"),
+          coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("x2"))
+      val mo = pv.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("yy").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("yy")).as("s1y"), sum(col("x2") * col("yy")).as("s2y"),
+        sum(col("yy") * col("yy")).as("syy"))
+      val ce = mo.select(col("n"),
+        (col("n") * col("s11") - col("s1") * col("s1")).cast("double").as("c11"),
+        (col("n") * col("s22") - col("s2") * col("s2")).cast("double").as("c22"),
+        (col("n") * col("s12") - col("s1") * col("s2")).cast("double").as("c12"),
+        (col("n") * col("s1y") - col("s1") * col("sy")).cast("double").as("c1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy")).cast("double").as("c2y"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("cyy"),
+        col("s1"), col("s2"), col("sy"))
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val ft = ce
+        .withColumn("b1", when(det > 0,
+          (col("c1y") * col("c22") - col("c2y") * col("c12")) / det))
+        .withColumn("b2", when(det > 0,
+          (col("c2y") * col("c11") - col("c1y") * col("c12")) / det))
+      ft.select(col("n").as("n_days"),
+        Q.r6(col("b1")).as("beta_clicks"), Q.r6(col("b2")).as("beta_views"),
+        Q.r4((col("sy") - col("b1") * col("s1") - col("b2") * col("s2")) / col("n"))
+          .as("intercept"),
+        when(col("cyy") > 0,
+          Q.r6((col("b1") * col("c1y") + col("b2") * col("c2y")) / col("cyy"))).as("r2"),
+        when(col("c11") > 0 && col("c22") > 0 && det > 0,
+          Q.r4(lit(1.0) / (lit(1.0) - col("c12") * col("c12") / (col("c11") * col("c22")))))
+          .as("vif"))
     }
   )
 

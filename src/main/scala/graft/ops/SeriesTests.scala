@@ -2243,6 +2243,45 @@ object SeriesTests {
       sigmaClipOf(Inference.dailyCounts(s, d))
     },
 
+    // Empirical prediction interval for the naive forecast (round 16):
+    // the uncertainty companion to q_backtest_naive — per type, the
+    // exact p10/p90 of the historical one-step naive residuals
+    // (y_t − y_{t−1}) give the 80% interval around the next-day naive
+    // forecast y_last. PURE int64 end to end: residuals are integer
+    // count diffs collapsed onto a (type, resid, count) grid, the
+    // percentiles are first integer crossings (cum·10 ≥ n / ≥ 9n — no
+    // float percentile semantics), and the interval is integer
+    // addition. The residual grid is bounded by distinct diffs ≤
+    // calendar days per type.
+    Q("q_forecast_interval",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |ls AS (SELECT event_type, CAST(arg_max(y, x) AS BIGINT) AS y_last FROM grid GROUP BY 1),
+         |rs AS (SELECT event_type,
+         |              y - lag(y) OVER (PARTITION BY event_type ORDER BY x) AS e
+         |       FROM grid),
+         |rg AS (SELECT event_type, e, CAST(count(*) AS BIGINT) AS c
+         |       FROM rs WHERE e IS NOT NULL GROUP BY 1, 2),
+         |cu AS (SELECT event_type, e, c,
+         |              CAST(sum(c) OVER (PARTITION BY event_type ORDER BY e) AS BIGINT) AS cum,
+         |              CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |       FROM rg),
+         |pq AS (SELECT event_type, max(n) AS n_resid,
+         |              CAST(min(CASE WHEN cum * 10 >= n THEN e END) AS BIGINT) AS p10,
+         |              CAST(min(CASE WHEN cum * 10 >= 9 * n THEN e END) AS BIGINT) AS p90
+         |       FROM cu GROUP BY 1)
+         |SELECT pq.event_type, pq.n_resid, pq.p10 AS p10_resid, pq.p90 AS p90_resid,
+         |       ls.y_last AS forecast_naive,
+         |       ls.y_last + pq.p10 AS pi_lo, ls.y_last + pq.p90 AS pi_hi
+         |FROM pq JOIN ls ON pq.event_type = ls.event_type
+         |ORDER BY pq.event_type""".stripMargin) { (s, d) =>
+      forecastIntervalOf(Inference.dailyCounts(s, d))
+    },
+
     // Banded dynamic-time-warping distance between event-type pairs
     // (round 16): DTW with a Sakoe–Chiba band of halfwidth 7 over the
     // dense daily count series — which activity curves are the same
@@ -2390,6 +2429,37 @@ object SeriesTests {
       loessTrendOf(Inference.dailyCounts(s, d))
     }
   )
+
+  /** The naive-forecast interval fold over a daily (event_type, x, y)
+    * count frame — ONE home shared by batch q_forecast_interval and
+    * the s_forecast_interval streaming read-time view (a closing day
+    * appends one residual and can shift both crossings; the daily grid
+    * is the mergeable state). */
+  private[graft] def forecastIntervalOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val ls = grid.groupBy("event_type").agg(max_by(col("y"), col("x")).as("y_last"))
+    val wo = Window.partitionBy("event_type").orderBy("x")
+    val rg = grid
+      .withColumn("e", col("y") - lag("y", 1).over(wo))
+      .filter(col("e").isNotNull)
+      .groupBy("event_type", "e").agg(count(lit(1)).as("c"))
+    val we = Window.partitionBy("event_type").orderBy("e")
+    val cu = rg
+      .withColumn("cum", sum("c").over(we))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    val pq = cu.groupBy("event_type")
+      .agg(max("n").as("n_resid"),
+        min(when(col("cum") * 10 >= col("n"), col("e"))).as("p10"),
+        min(when(col("cum") * 10 >= lit(9) * col("n"), col("e"))).as("p90"))
+    pq.join(ls, "event_type")
+      .select(col("event_type"), col("n_resid"),
+        col("p10").as("p10_resid"), col("p90").as("p90_resid"),
+        col("y_last").as("forecast_naive"),
+        (col("y_last") + col("p10")).as("pi_lo"),
+        (col("y_last") + col("p90")).as("pi_hi"))
+      .orderBy("event_type")
+  }
 
   /** The banded-DTW fold over a daily (event_type, x, y) count frame —
     * ONE home shared by batch q_dtw and the s_dtw streaming read-time

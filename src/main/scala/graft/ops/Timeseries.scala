@@ -1795,6 +1795,70 @@ object Timeseries {
             Q.r2(exp(-((col("sy") - col("k") * col("sx")) / col("sw")) / col("k"))))
             .as("scale_days"))
         .orderBy("n_gaps")
+    },
+
+    // XYZ demand-variability classification (round 16): the
+    // coefficient-of-variation companion to q_abc_class — per part
+    // SKU, the CV of QUARTERLY demand over the full quarter calendar
+    // (missing quarters are real zeros; finer grains are all-Z on a
+    // sporadic order stream — measured, not guessed) bands parts into
+    // X (steady,
+    // cv ≤ 0.5), Y (variable, cv ≤ 1) and Z (sporadic) — the
+    // forecastability axis every inventory policy crosses with ABC.
+    // The band decision is CROSS-MULTIPLIED int64 (cv² = W(WQ−S²)/
+    // ((W−1)S²) vs ¼ and 1 — no float compares); only the three class
+    // shares divide at readout. Shape: lineitem collapses to the
+    // (part, week) demand grid with map-side partials, then ONE
+    // part-keyed agg against the broadcast quarter count — no window
+    // over the catalog, no dense part×quarter fill (zeros enter through
+    // W, not rows).
+    Q("q_xyz_class",
+      s"""WITH dem AS (SELECT l_partkey AS pk,
+         |                    CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) // 91 AS w,
+         |                    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+         |             FROM lineitem GROUP BY 1, 2),
+         |wk AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS nw FROM dem),
+         |st AS (SELECT pk, CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS qq
+         |       FROM dem GROUP BY 1),
+         |cl AS (SELECT pk, s,
+         |              CASE WHEN wk.nw < 2 OR
+         |                        4 * wk.nw * (wk.nw * qq - s * s) <= (wk.nw - 1) * s * s
+         |                     THEN 'X'
+         |                   WHEN wk.nw * (wk.nw * qq - s * s) <= (wk.nw - 1) * s * s
+         |                     THEN 'Y'
+         |                   ELSE 'Z' END AS cls
+         |       FROM st CROSS JOIN wk),
+         |g AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+         |             CAST(sum(s) AS BIGINT) AS total_demand
+         |      FROM cl GROUP BY 1),
+         |tt AS (SELECT CAST(sum(total_demand) AS BIGINT) AS t FROM g)
+         |SELECT g.cls AS xyz_class, g.n_parts, g.total_demand,
+         |       ${Q.sqlR6("CAST(g.total_demand AS DOUBLE) / tt.t")} AS demand_share
+         |FROM g CROSS JOIN tt
+         |ORDER BY xyz_class""".stripMargin) { (s, d) =>
+      val dem = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("pk"),
+          (datediff(col("l_shipdate").cast(DateType), to_date(lit("1992-01-01")))
+            .cast("long") / 91).cast("long").as("w"))
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+        .transform(Q.snapshot)
+      val wk = dem.agg(countDistinct("w").as("nw"))
+      val st = dem.groupBy("pk").agg(sum("q").as("s"), sum(col("q") * col("q")).as("qq"))
+      val cl = st.crossJoin(broadcast(wk))
+        .select(col("pk"), col("s"),
+          when(col("nw") < 2 ||
+            lit(4) * col("nw") * (col("nw") * col("qq") - col("s") * col("s")) <=
+              (col("nw") - 1) * col("s") * col("s"), "X")
+            .when(col("nw") * (col("nw") * col("qq") - col("s") * col("s")) <=
+              (col("nw") - 1) * col("s") * col("s"), "Y")
+            .otherwise("Z").as("cls"))
+      val g = Q.snapshot(cl.groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("s").as("total_demand")))
+      val tt = g.agg(sum("total_demand").as("t"))
+      g.crossJoin(broadcast(tt))
+        .select(col("cls").as("xyz_class"), col("n_parts"), col("total_demand"),
+          Q.r6(col("total_demand").cast("double") / col("t")).as("demand_share"))
+        .orderBy("xyz_class")
     }
   )
 

@@ -1189,6 +1189,12 @@ object Streams {
   def loessTrendOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.loessTrendOf(grid)
 
+  /** Read-time naive-forecast-interval projection over a [[dailyGrid]]
+    * — a closing day appends one residual and can shift both
+    * crossings; the grid is the mergeable state (s_forecast_interval). */
+  def forecastIntervalOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.forecastIntervalOf(grid)
+
   /** Read-time classical-decomposition projection over a [[dailyGrid]]. */
   def decomposeOf(grid: DataFrame): DataFrame =
     graft.ops.Timeseries.decomposeOf(grid)

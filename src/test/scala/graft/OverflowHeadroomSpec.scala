@@ -495,6 +495,21 @@ class OverflowHeadroomSpec extends SparkSpec {
         Tables.load(s, d, "orders").agg(count(lit(1)).cast("double") * 63e6)
       })),
 
+    Site("q_xyz_class", "(none own)",
+      "q_xyz_class accumulates NO lattice of its own (exact int64 (S, Σq²) "
+        + "per part with CROSS-MULTIPLIED band compares; per-part weekly demand "
+        + "is SF-invariant, the q_croston argument); as Timeseries' LAST Q "
+        + "block it inherits the file-trailing shared survival folds in the "
+        + "scanner — kmOf/naOf/logRankOf 1e9 lattices, audited under their own "
+        + "q_kaplan_meier/q_nelson_aalen/q_log_rank rows",
+      "const (see the owning rows)", 1e9, _ => 3e9, None),
+
+    Site("q_markov_attribution", "1e12/1e9", "per-step Σ⌊mass·prob·1e12⌉ per "
+        + "(chain, state) — mass ≤ 1 and ≤ 7 source states contribute, so each "
+        + "cell ≤ 7e12 regardless of SF (the q_markov_stationary bound); the "
+        + "rem9 share lattice is ≤ 1e9 const",
+      "const (probability mass, not counts)", 1e9, _ => 1e13, None),
+
     Site("q_gmm_em", "1e9/1e3/1e0", "per-round responsibility moments — binding "
         + "is Σ⌊c·r·v²⌉ ≤ Σc·v² (r ≤ 1; v ≤ ~49e3 cents ⇒ v² ≤ 2.4e9; purchase "
         + "rows ∝ SF)",

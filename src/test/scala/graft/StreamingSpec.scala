@@ -414,6 +414,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_haar_energy")(spark, sfDir)), "Haar energy")
       assert(rows1(Streams.loessTrendOf(grid)) ===
         rows1(SparkEntry.queries("q_loess_trend")(spark, sfDir)), "LOESS")
+      assert(rows1(Streams.forecastIntervalOf(grid)) ===
+        rows1(SparkEntry.queries("q_forecast_interval")(spark, sfDir)), "forecast PI")
     }
   }
 
