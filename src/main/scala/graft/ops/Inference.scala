@@ -1362,6 +1362,85 @@ object Inference {
         when(col("c11") > 0 && col("c22") > 0 && det > 0,
           Q.r4(lit(1.0) / (lit(1.0) - col("c12") * col("c12") / (col("c11") * col("c22")))))
           .as("vif"))
+    },
+
+    // Baron–Kenny mediation decomposition (round 16): does VIEW
+    // exposure drive purchases directly, or THROUGH click engagement?
+    // Total effect c (y~x), the a-path (m~x), and the two-factor
+    // direct/b paths (y ~ x + m via the q_ols2 Cramer tree); indirect
+    // = a·b, proportion mediated = a·b/c. Everything derives from ONE
+    // exact int64 moment matrix over the calendar-bounded day pivot
+    // (x = views, m = clicks, y = purchases) — one corpus collapse,
+    // one mirrored double tree, NULL-guarded degenerate denominators
+    // identical in both engines.
+    Q("q_mediation",
+      s"""WITH daily AS ($dailySql),
+         |pv AS (SELECT x,
+         |              CAST(coalesce(max(CASE WHEN event_type = 'view' THEN y END), 0) AS BIGINT) AS xv,
+         |              CAST(coalesce(max(CASE WHEN event_type = 'click' THEN y END), 0) AS BIGINT) AS mv,
+         |              CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN y END), 0) AS BIGINT) AS yv
+         |       FROM daily GROUP BY 1),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(mv) AS BIGINT) AS sm,
+         |              CAST(sum(yv) AS BIGINT) AS sy,
+         |              CAST(sum(xv * xv) AS BIGINT) AS sxx, CAST(sum(mv * mv) AS BIGINT) AS smm,
+         |              CAST(sum(xv * mv) AS BIGINT) AS sxm,
+         |              CAST(sum(xv * yv) AS BIGINT) AS sxy, CAST(sum(mv * yv) AS BIGINT) AS smy
+         |       FROM pv),
+         |ce AS (SELECT n,
+         |              CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+         |              CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+         |              CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
+         |              CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+         |              CAST(n * smy - sm * sy AS DOUBLE) AS cmy
+         |       FROM mo),
+         |ft AS (SELECT n,
+         |              CASE WHEN cxx > 0 THEN cxy / cxx END AS c_total,
+         |              CASE WHEN cxx > 0 THEN cxm / cxx END AS a_path,
+         |              CASE WHEN cxx * cmm - cxm * cxm > 0 THEN
+         |                (cxy * cmm - cmy * cxm) / (cxx * cmm - cxm * cxm) END AS c_direct,
+         |              CASE WHEN cxx * cmm - cxm * cxm > 0 THEN
+         |                (cmy * cxx - cxy * cxm) / (cxx * cmm - cxm * cxm) END AS b_path
+         |       FROM ce)
+         |SELECT n AS n_days, ${Q.sqlR6("c_total")} AS total_effect,
+         |       ${Q.sqlR6("c_direct")} AS direct_effect,
+         |       ${Q.sqlR6("a_path")} AS a_path, ${Q.sqlR6("b_path")} AS b_path,
+         |       ${Q.sqlR6("a_path * b_path")} AS indirect_effect,
+         |       CASE WHEN c_total <> 0 THEN
+         |         ${Q.sqlR6("a_path * b_path / c_total")}
+         |       END AS prop_mediated
+         |FROM ft""".stripMargin) { (s, d) =>
+      val pv = dailyCounts(s, d)
+        .groupBy("x")
+        .agg(coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("xv"),
+          coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("mv"),
+          coalesce(max(when(col("event_type") === "purchase", col("y"))), lit(0L)).as("yv"))
+      val mo = pv.agg(count(lit(1)).as("n"),
+        sum("xv").as("sx"), sum("mv").as("sm"), sum("yv").as("sy"),
+        sum(col("xv") * col("xv")).as("sxx"), sum(col("mv") * col("mv")).as("smm"),
+        sum(col("xv") * col("mv")).as("sxm"),
+        sum(col("xv") * col("yv")).as("sxy"), sum(col("mv") * col("yv")).as("smy"))
+      val ce = mo.select(col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("cxx"),
+        (col("n") * col("smm") - col("sm") * col("sm")).cast("double").as("cmm"),
+        (col("n") * col("sxm") - col("sx") * col("sm")).cast("double").as("cxm"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("cxy"),
+        (col("n") * col("smy") - col("sm") * col("sy")).cast("double").as("cmy"))
+      val det = col("cxx") * col("cmm") - col("cxm") * col("cxm")
+      val ft = ce.select(col("n"),
+        when(col("cxx") > 0, col("cxy") / col("cxx")).as("c_total"),
+        when(col("cxx") > 0, col("cxm") / col("cxx")).as("a_path"),
+        when(det > 0, (col("cxy") * col("cmm") - col("cmy") * col("cxm")) / det)
+          .as("c_direct"),
+        when(det > 0, (col("cmy") * col("cxx") - col("cxy") * col("cxm")) / det)
+          .as("b_path"))
+      ft.select(col("n").as("n_days"),
+        Q.r6(col("c_total")).as("total_effect"),
+        Q.r6(col("c_direct")).as("direct_effect"),
+        Q.r6(col("a_path")).as("a_path"), Q.r6(col("b_path")).as("b_path"),
+        Q.r6(col("a_path") * col("b_path")).as("indirect_effect"),
+        when(col("c_total") =!= 0,
+          Q.r6(col("a_path") * col("b_path") / col("c_total"))).as("prop_mediated"))
     }
   )
 

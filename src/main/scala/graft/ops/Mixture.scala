@@ -163,8 +163,122 @@ object Mixture {
          |       ${Q.sqlR2("sqrt(s1)")} AS sigma1_cents, ${Q.sqlR2("sqrt(s2)")} AS sigma2_cents
          |FROM p3""".stripMargin) { (s, d) =>
       gmmOf(grid(s, d))
+    },
+
+    // 1-D logistic regression of purchase propensity on event value
+    // (round 16): P(purchase | value) = σ(a + b·x), x = value/$100 —
+    // the PARAMETRIC companion to q_isotonic's shape-free fit, fitted
+    // with 3 Newton–Raphson (IRLS) steps from (0,0). Each step's
+    // gradient/Hessian cells floor onto the 1e6 lattice BEFORE the
+    // cross-cell sums (order-free int64), the 2×2 solve is one
+    // mirrored Cramer tree, and a degenerate Hessian keeps the
+    // previous iterate in both engines. Deviance reported from the
+    // final fit through the same per-cell lattice. The corpus
+    // collapses once onto the bounded (value-cents, type) grid.
+    Q("q_logistic_1d", {
+      val stepSql = (r: Int) => {
+        val p = if (r == 1) "w0" else s"w${r - 1}"
+        s"""g$r AS (SELECT cl.n, cl.s, cl.x,
+           |              1.0 / (1.0 + exp(-($p.a + $p.b * cl.x))) AS pr, $p.a AS a, $p.b AS b
+           |       FROM cl CROSS JOIN $p),
+           |h$r AS (SELECT max(a) AS a, max(b) AS b,
+           |              CAST(sum(CAST(floor((s - n * pr) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS u6,
+           |              CAST(sum(CAST(floor(x * (s - n * pr) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ux6,
+           |              CAST(sum(CAST(floor(n * pr * (1 - pr) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w6,
+           |              CAST(sum(CAST(floor(x * n * pr * (1 - pr) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS wx6,
+           |              CAST(sum(CAST(floor(x * x * n * pr * (1 - pr) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS wxx6
+           |       FROM g$r),
+           |w$r AS (SELECT CASE WHEN (CAST(w6 AS DOUBLE) / 1e6) * (CAST(wxx6 AS DOUBLE) / 1e6) -
+           |                        (CAST(wx6 AS DOUBLE) / 1e6) * (CAST(wx6 AS DOUBLE) / 1e6) > 0
+           |                    THEN a + ((CAST(u6 AS DOUBLE) / 1e6) * (CAST(wxx6 AS DOUBLE) / 1e6) -
+           |                              (CAST(ux6 AS DOUBLE) / 1e6) * (CAST(wx6 AS DOUBLE) / 1e6)) /
+           |                             ((CAST(w6 AS DOUBLE) / 1e6) * (CAST(wxx6 AS DOUBLE) / 1e6) -
+           |                              (CAST(wx6 AS DOUBLE) / 1e6) * (CAST(wx6 AS DOUBLE) / 1e6))
+           |                    ELSE a END AS a,
+           |               CASE WHEN (CAST(w6 AS DOUBLE) / 1e6) * (CAST(wxx6 AS DOUBLE) / 1e6) -
+           |                         (CAST(wx6 AS DOUBLE) / 1e6) * (CAST(wx6 AS DOUBLE) / 1e6) > 0
+           |                    THEN b + ((CAST(ux6 AS DOUBLE) / 1e6) * (CAST(w6 AS DOUBLE) / 1e6) -
+           |                              (CAST(u6 AS DOUBLE) / 1e6) * (CAST(wx6 AS DOUBLE) / 1e6)) /
+           |                             ((CAST(w6 AS DOUBLE) / 1e6) * (CAST(wxx6 AS DOUBLE) / 1e6) -
+           |                              (CAST(wx6 AS DOUBLE) / 1e6) * (CAST(wx6 AS DOUBLE) / 1e6))
+           |                    ELSE b END AS b
+           |        FROM h$r)""".stripMargin
+      }
+      s"""WITH rg AS (SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         |                   CAST(count(*) AS BIGINT) AS c
+         |            FROM events GROUP BY 1, 2),
+         |cl AS (SELECT v100, CAST(sum(c) AS BIGINT) AS n,
+         |              CAST(sum(CASE WHEN g = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s,
+         |              v100 / 10000.0 AS x
+         |       FROM rg GROUP BY 1),
+         |w0 AS (SELECT 0.0 AS a, 0.0 AS b),
+         |${(1 to 3).map(stepSql).mkString(",\n")},
+         |dv AS (SELECT CAST(sum(cl.n) AS BIGINT) AS n_events,
+         |              max(w3.a) AS a, max(w3.b) AS b,
+         |              CAST(sum(CAST(floor((cl.s * ln(1.0 / (1.0 + exp(-(w3.a + w3.b * cl.x)))) +
+         |                (cl.n - cl.s) * ln(1.0 - 1.0 / (1.0 + exp(-(w3.a + w3.b * cl.x))))) * 1e6
+         |                + 0.5) AS BIGINT)) AS BIGINT) AS ll6
+         |       FROM cl CROSS JOIN w3)
+         |SELECT n_events, ${Q.sqlR6("a")} AS intercept, ${Q.sqlR6("b")} AS slope_per_100usd,
+         |       ${Q.sqlR2("-2.0 * (CAST(ll6 AS DOUBLE) / 1e6)")} AS deviance
+         |FROM dv""".stripMargin
+    }) { (s, d) =>
+      logisticOf(Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        .groupBy("g", "v100")
+        .agg(count(lit(1)).as("c")))
     }
   )
+
+  /** The 3-step IRLS logistic fit over a (g, v100, c) value grid —
+    * ONE home shared by batch q_logistic_1d and the s_logistic_1d
+    * streaming read-time view (the grid is streaming.Streams.rankGrid's
+    * mergeable state). */
+  private[graft] def logisticOf(rg: DataFrame): DataFrame = {
+    val cl = Q.snapshot(rg.groupBy("v100")
+      .agg(sum("c").as("n"),
+        sum(when(col("g") === "purchase", col("c")).otherwise(0L)).as("s"))
+      .withColumn("x", col("v100") / lit(10000.0)))
+
+    def step(p: DataFrame): DataFrame = {
+      val pr = lit(1.0) / (lit(1.0) + exp(-(col("a") + col("b") * col("x"))))
+      val h = cl.crossJoin(broadcast(p))
+        .withColumn("pr", pr)
+        .agg(max("a").as("a"), max("b").as("b"),
+          sum(floor((col("s") - col("n") * col("pr")) * lit(1e6) + 0.5).cast("long")).as("u6"),
+          sum(floor(col("x") * (col("s") - col("n") * col("pr")) * lit(1e6) + 0.5)
+            .cast("long")).as("ux6"),
+          sum(floor(col("n") * col("pr") * (lit(1) - col("pr")) * lit(1e6) + 0.5)
+            .cast("long")).as("w6"),
+          sum(floor(col("x") * col("n") * col("pr") * (lit(1) - col("pr")) * lit(1e6) + 0.5)
+            .cast("long")).as("wx6"),
+          sum(floor(col("x") * col("x") * col("n") * col("pr") * (lit(1) - col("pr")) *
+            lit(1e6) + 0.5).cast("long")).as("wxx6"))
+      val w6 = col("w6").cast("double") / lit(1e6)
+      val wx6 = col("wx6").cast("double") / lit(1e6)
+      val wxx6 = col("wxx6").cast("double") / lit(1e6)
+      val u6 = col("u6").cast("double") / lit(1e6)
+      val ux6 = col("ux6").cast("double") / lit(1e6)
+      val det = w6 * wxx6 - wx6 * wx6
+      h.select(
+        when(det > 0, col("a") + (u6 * wxx6 - ux6 * wx6) / det).otherwise(col("a")).as("a"),
+        when(det > 0, col("b") + (ux6 * w6 - u6 * wx6) / det).otherwise(col("b")).as("b"))
+    }
+
+    val w0 = cl.sparkSession.range(1).select(lit(0.0).as("a"), lit(0.0).as("b"))
+    val w3 = Q.snapshot(step(Q.snapshot(step(Q.snapshot(step(w0))))))
+    val prF = lit(1.0) / (lit(1.0) + exp(-(col("a") + col("b") * col("x"))))
+    cl.crossJoin(broadcast(w3))
+      .withColumn("pr", prF)
+      .agg(sum("n").as("n_events"), max("a").as("a"), max("b").as("b"),
+        sum(floor((col("s") * log(col("pr")) +
+          (col("n") - col("s")) * log(lit(1.0) - col("pr"))) * lit(1e6) + 0.5)
+          .cast("long")).as("ll6"))
+      .select(col("n_events"), Q.r6(col("a")).as("intercept"),
+        Q.r6(col("b")).as("slope_per_100usd"),
+        Q.r2(lit(-2.0) * (col("ll6").cast("double") / lit(1e6))).as("deviance"))
+  }
 
   /** The k-means Lloyd rounds over a (v, c) cents grid — ONE home
     * shared by batch q_kmeans_1d and the s_kmeans_1d streaming

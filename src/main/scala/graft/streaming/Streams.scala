@@ -1088,6 +1088,12 @@ object Streams {
   def gmmEmOf(grid: DataFrame): DataFrame =
     graft.ops.Mixture.gmmOf(purchaseSlice(grid))
 
+  /** Read-time 1-D logistic-fit projection over a [[rankGrid]] —
+    * every arriving event shifts its cell and re-prices all three
+    * IRLS steps (s_logistic_1d). */
+  def logistic1dOf(grid: DataFrame): DataFrame =
+    graft.ops.Mixture.logisticOf(grid)
+
   /** The purchase (v, c) slice of a [[rankGrid]] — the mixture
     * models' bounded domain frame. */
   private def purchaseSlice(grid: DataFrame): DataFrame =

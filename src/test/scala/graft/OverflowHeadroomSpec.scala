@@ -510,6 +510,15 @@ class OverflowHeadroomSpec extends SparkSpec {
         + "rem9 share lattice is ≤ 1e9 const",
       "const (probability mass, not counts)", 1e9, _ => 1e13, None),
 
+    Site("q_logistic_1d", "1e6", "per-step IRLS gradient/Hessian cells — binding "
+        + "is Σ⌊x²·n·p(1−p)·1e6⌉ ≤ N·x²·2.5e5 (x ≤ ~5 — value/$100; events "
+        + "N = 1e6·SF); the deviance lattice shares the bound ×|ln p| ≤ ~7",
+      "linear in SF (Σ ≈ 6.3e12·SF at the x² envelope)", 100.0,
+      sf => 6.3e12 * sf * 3 + 1e6,
+      Some((s, d) => dmax {
+        Tables.events(s, d).agg(count(lit(1)).cast("double") * 25 * 2.5e5)
+      })),
+
     Site("q_gmm_em", "1e9/1e3/1e0", "per-round responsibility moments — binding "
         + "is Σ⌊c·r·v²⌉ ≤ Σc·v² (r ≤ 1; v ≤ ~49e3 cents ⇒ v² ≤ 2.4e9; purchase "
         + "rows ∝ SF)",

@@ -247,6 +247,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_kmeans_1d")(spark, sfDir)), "kmeans")
       assert(rows1(Streams.gmmEmOf(grid)) ===
         rows1(SparkEntry.queries("q_gmm_em")(spark, sfDir)), "GMM EM")
+      assert(rows1(Streams.logistic1dOf(grid)) ===
+        rows1(SparkEntry.queries("q_logistic_1d")(spark, sfDir)), "logistic")
     }
   }
 
