@@ -1672,6 +1672,60 @@ object Analytics {
           Q.r4(col("credit6").cast("double") / lit(1e6)).as("credit_conversions"),
           Q.r6(col("credit6").cast("double") / col("t")).as("share"))
         .orderBy("channel")
+    },
+
+    // Value-segment migration matrix (round 16): each user's purchase
+    // spend classes them (none / low / mid / high at fixed cents
+    // thresholds — per-user volume is SF-invariant by construction,
+    // the q_rfm convention) in the window's FIRST and SECOND half;
+    // the 16-cell transition matrix with row-conditional rates is the
+    // churn-and-upsell readout a CRM runs between periods. All spend
+    // sums exact int64 cents off ONE user-keyed agg (both halves in
+    // the same pass — no second corpus scan); rates divide the
+    // bounded 16-cell frame at readout.
+    Q("q_rfm_migration",
+      s"""WITH u AS (SELECT user_id,
+         |                  CAST(sum(CASE WHEN event_type = 'purchase' AND
+         |                                     ts < TIMESTAMP '2024-01-16'
+         |                                THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                                ELSE 0 END) AS BIGINT) AS s1,
+         |                  CAST(sum(CASE WHEN event_type = 'purchase' AND
+         |                                     ts >= TIMESTAMP '2024-01-16'
+         |                                THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                                ELSE 0 END) AS BIGINT) AS s2
+         |           FROM events GROUP BY 1),
+         |cl AS (SELECT CASE WHEN s1 = 0 THEN 'none' WHEN s1 < 25000 THEN 'low'
+         |                   WHEN s1 < 45000 THEN 'mid' ELSE 'high' END AS class_h1,
+         |              CASE WHEN s2 = 0 THEN 'none' WHEN s2 < 25000 THEN 'low'
+         |                   WHEN s2 < 45000 THEN 'mid' ELSE 'high' END AS class_h2
+         |       FROM u),
+         |g AS (SELECT class_h1, class_h2, CAST(count(*) AS BIGINT) AS n_users
+         |      FROM cl GROUP BY 1, 2),
+         |rt AS (SELECT class_h1, CAST(sum(n_users) AS BIGINT) AS row_n FROM g GROUP BY 1)
+         |SELECT g.class_h1, g.class_h2, g.n_users,
+         |       ${Q.sqlR6("CAST(g.n_users AS DOUBLE) / rt.row_n")} AS row_rate
+         |FROM g JOIN rt ON g.class_h1 = rt.class_h1
+         |ORDER BY g.class_h1, g.class_h2""".stripMargin) { (s, d) =>
+      val mid = lit("2024-01-16").cast("timestamp")
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase" && col("ts") < mid, cents)
+          .otherwise(0L)).as("s1"),
+          sum(when(col("event_type") === "purchase" && col("ts") >= mid, cents)
+            .otherwise(0L)).as("s2"))
+      def cls(c: org.apache.spark.sql.Column) =
+        when(c === 0, "none").when(c < 25000, "low")
+          .when(c < 45000, "mid").otherwise("high")
+      val g = Q.snapshot(u
+        .select(cls(col("s1")).as("class_h1"), cls(col("s2")).as("class_h2"))
+        .groupBy("class_h1", "class_h2")
+        .agg(count(lit(1)).as("n_users")))
+      val rt = g.groupBy("class_h1").agg(sum("n_users").as("row_n"))
+      g.join(broadcast(rt), "class_h1")
+        .select(col("class_h1"), col("class_h2"), col("n_users"),
+          Q.r6(col("n_users").cast("double") / col("row_n")).as("row_rate"))
+        .orderBy("class_h1", "class_h2")
     }
   )
 

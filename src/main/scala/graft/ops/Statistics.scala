@@ -2790,6 +2790,55 @@ object Statistics {
         .agg(max("t1").as("n_before"), max("t2").as("n_after"),
           Q.r6((sum("contrib") + max("miss") * max("mcontrib")) / lit(1e9)).as("psi"))
         .orderBy("event_type")
+    },
+
+    // Standardized Pearson residuals of the nation × market-segment
+    // contingency (round 16): WHICH cells drive the chi² — the
+    // diagnostic q_cramers_v's single-number association hides. Per
+    // cell r = (o − e)/√e with e = rowΣ·colΣ/n; the 20 largest |r|
+    // with the over/under direction. All counts exact int64 off one
+    // corpus agg onto the ≤125-cell bounded frame (marginals are
+    // windows over that frame, keyed by a 25-value / 5-value enum);
+    // e and r derive through one mirrored double tree and the
+    // ranking is on the ROUNDED |r| with (nation, segment)
+    // tie-breaks — ulp-proof.
+    Q("q_pearson_residuals",
+      s"""WITH c0 AS (SELECT c_nationkey, c_mktsegment,
+         |                   CAST(count(*) AS BIGINT) AS o
+         |            FROM customer GROUP BY 1, 2),
+         |mg AS (SELECT c_nationkey, c_mktsegment, o,
+         |              CAST(sum(o) OVER (PARTITION BY c_nationkey) AS BIGINT) AS rt,
+         |              CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS ct,
+         |              CAST(sum(o) OVER () AS BIGINT) AS n
+         |       FROM c0),
+         |rr AS (SELECT c_nationkey, c_mktsegment, o,
+         |              CAST(rt AS DOUBLE) * ct / n AS e,
+         |              (o - CAST(rt AS DOUBLE) * ct / n) /
+         |                sqrt(CAST(rt AS DOUBLE) * ct / n) AS r
+         |       FROM mg WHERE rt > 0 AND ct > 0)
+         |SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+         |       o AS observed, ${Q.sqlR4("e")} AS expected, ${Q.sqlR6("r")} AS residual,
+         |       CASE WHEN r > 0 THEN 1 ELSE -1 END AS direction
+         |FROM rr
+         |ORDER BY abs(${Q.sqlR6("r")}) DESC, nation_key, segment
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c0 = Tables.load(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("o"))
+      val mg = c0
+        .withColumn("rt", sum("o").over(Window.partitionBy("c_nationkey")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("c_mktsegment")))
+        .withColumn("n", sum("o").over(Window.partitionBy()))
+      val e = col("rt").cast("double") * col("ct") / col("n")
+      val r = (col("o") - e) / sqrt(e)
+      mg.filter(col("rt") > 0 && col("ct") > 0)
+        .select(col("c_nationkey").as("nation_key"),
+          col("c_mktsegment").as("segment"), col("o").as("observed"),
+          Q.r4(e).as("expected"), Q.r6(r).as("residual"),
+          when(r > 0, 1).otherwise(-1).as("direction"))
+        .orderBy(abs(col("residual")).desc, col("nation_key"), col("segment"))
+        .limit(20)
     }
   )
 }
