@@ -638,7 +638,8 @@ object Curation {
         |      JOIN t ta ON ta.doc_id = c.d1
         |      JOIN t tb ON tb.doc_id = c.d2)
         |SELECT d1, d2, dist,
-        |       ${Q.sqlR4("1.0 - CAST(dist AS DOUBLE) / mx")} AS edit_sim,
+        |       CASE WHEN mx > 0 THEN ${Q.sqlR4("1.0 - CAST(dist AS DOUBLE) / mx")}
+        |       END AS edit_sim,
         |       CASE WHEN 5 * dist <= mx THEN 1 ELSE 0 END AS verified
         |FROM v
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
@@ -653,7 +654,10 @@ object Curation {
         .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
         .withColumn("mx", greatest(col("len1"), col("len2")))
         .select(col("d1"), col("d2"), col("dist"),
-          Q.r4(lit(1.0) - col("dist").cast("double") / col("mx")).as("edit_sim"),
+          // mx > 0 guard (r17, ADVICE): a pair of two empty documents
+          // would divide 0/0 — NULL identically in both engines.
+          when(col("mx") > 0,
+            Q.r4(lit(1.0) - col("dist").cast("double") / col("mx"))).as("edit_sim"),
           when(lit(5) * col("dist") <= col("mx"), 1).otherwise(0).as("verified"))
         .orderBy("d1", "d2")
     },

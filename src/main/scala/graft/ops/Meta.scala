@@ -67,7 +67,12 @@ object Meta {
          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
          |               CAST(sum(q) AS BIGINT) AS q FROM g),
          |z AS (SELECT nn.n_name, g.n,
-         |             CASE WHEN g.n >= 2 AND tot.n - g.n >= 2 THEN
+         |             CASE WHEN g.n >= 2 AND tot.n - g.n >= 2 AND
+         |               (CAST(g.q AS DOUBLE) - CAST(g.s AS DOUBLE) / g.n * g.s) /
+         |                      (g.n - 1) / g.n +
+         |                    (CAST(tot.q - g.q AS DOUBLE) -
+         |                     CAST(tot.s - g.s AS DOUBLE) / (tot.n - g.n) * (tot.s - g.s)) /
+         |                      (tot.n - g.n - 1) / (tot.n - g.n) > 0 THEN
          |               (CAST(g.s AS DOUBLE) / g.n -
          |                CAST(tot.s - g.s AS DOUBLE) / (tot.n - g.n)) /
          |               sqrt((CAST(g.q AS DOUBLE) - CAST(g.s AS DOUBLE) / g.n * g.s) /
@@ -106,20 +111,25 @@ object Meta {
       val g = cv.groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("q"))
       val tot = g.agg(sum("n").as("tn"), sum("s").as("ts"), sum("q").as("tq"))
+      // Welch variance > 0 guard (r17, ADVICE): a constant-balance
+      // group AND complement give 0/0 = NaN whose floor+CAST is NULL
+      // in Spark but an error in DuckDB — both engines must emit NULL.
+      val welchVar =
+        (col("q").cast("double") - col("s").cast("double") / col("n") * col("s")) /
+          (col("n") - 1) / col("n") +
+          ((col("tq") - col("q")).cast("double") -
+            (col("ts") - col("s")).cast("double") / (col("tn") - col("n")) *
+              (col("ts") - col("s"))) /
+            (col("tn") - col("n") - 1) / (col("tn") - col("n"))
       val withZ = g
         .join(Tables.load(s, d, "nation").select(col("n_nationkey"), col("n_name")),
           col("n_nationkey") === col("c_nationkey"))
         .crossJoin(broadcast(tot))
         .withColumn("z",
-          when(col("n") >= 2 && col("tn") - col("n") >= 2,
+          when(col("n") >= 2 && col("tn") - col("n") >= 2 && welchVar > 0,
             (col("s").cast("double") / col("n") -
               (col("ts") - col("s")).cast("double") / (col("tn") - col("n"))) /
-              sqrt((col("q").cast("double") - col("s").cast("double") / col("n") * col("s")) /
-                (col("n") - 1) / col("n") +
-                ((col("tq") - col("q")).cast("double") -
-                  (col("ts") - col("s")).cast("double") / (col("tn") - col("n")) *
-                    (col("ts") - col("s"))) /
-                  (col("tn") - col("n") - 1) / (col("tn") - col("n")))))
+              sqrt(welchVar)))
         .withColumn("p9",
           when(col("z").isNotNull, floor(pTwoSided(col("z")) * lit(1e9) + 0.5).cast("long")))
       val ranked = withZ

@@ -132,7 +132,8 @@ object Mixture {
          |       FROM cum),
          |${(1 to 3).map { r =>
         val p = if (r == 1) "p0" else s"p${r - 1}"
-        s"""e$r AS (SELECT g.v, g.c,
+        s"""e$r AS (SELECT g.v, g.c, $p.m1 AS pm1, $p.m2 AS pm2,
+           |              $p.s1 AS ps1, $p.s2 AS ps2, $p.p1 AS pp1,
            |              CASE WHEN $p.p1 * (exp(-(g.v - $p.m1) * (g.v - $p.m1) / (2 * $p.s1)) / sqrt($p.s1)) +
            |                        (1 - $p.p1) * (exp(-(g.v - $p.m2) * (g.v - $p.m2) / (2 * $p.s2)) / sqrt($p.s2)) > 0
            |                   THEN $p.p1 * (exp(-(g.v - $p.m1) * (g.v - $p.m1) / (2 * $p.s1)) / sqrt($p.s1)) /
@@ -140,22 +141,34 @@ object Mixture {
            |                         (1 - $p.p1) * (exp(-(g.v - $p.m2) * (g.v - $p.m2) / (2 * $p.s2)) / sqrt($p.s2)))
            |                   ELSE 0.5 END AS r1
            |       FROM g CROSS JOIN $p),
-           |s$r AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |s$r AS (SELECT max(pm1) AS pm1, max(pm2) AS pm2, max(ps1) AS ps1,
+           |               max(ps2) AS ps2, max(pp1) AS pp1,
+           |               CAST(sum(c) AS BIGINT) AS n,
            |               CAST(sum(c * v) AS BIGINT) AS sv,
            |               CAST(sum(c * v * v) AS BIGINT) AS qv,
            |               CAST(sum(CAST(floor(c * r1 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS w9,
            |               CAST(sum(CAST(floor(c * r1 * v * 1e3 + 0.5) AS BIGINT)) AS BIGINT) AS wv3,
            |               CAST(sum(CAST(floor(c * r1 * v * v + 0.5) AS BIGINT)) AS BIGINT) AS wvv
            |        FROM e$r),
-           |p$r AS (SELECT (CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9) AS m1,
-           |               (CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9) AS m2,
-           |               greatest(CAST(wvv AS DOUBLE) / (CAST(w9 AS DOUBLE) / 1e9) -
-           |                 ((CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)) *
-           |                 ((CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)), 1.0) AS s1,
-           |               greatest((CAST(qv AS DOUBLE) - wvv) / (n - CAST(w9 AS DOUBLE) / 1e9) -
-           |                 ((CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)) *
-           |                 ((CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)), 1.0) AS s2,
-           |               (CAST(w9 AS DOUBLE) / 1e9) / n AS p1
+           |p$r AS (SELECT CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |                 (CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)
+           |               ELSE pm1 END AS m1,
+           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |                 (CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)
+           |               ELSE pm2 END AS m2,
+           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |                 greatest(CAST(wvv AS DOUBLE) / (CAST(w9 AS DOUBLE) / 1e9) -
+           |                   ((CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)) *
+           |                   ((CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)), 1.0)
+           |               ELSE ps1 END AS s1,
+           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |                 greatest((CAST(qv AS DOUBLE) - wvv) / (n - CAST(w9 AS DOUBLE) / 1e9) -
+           |                   ((CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)) *
+           |                   ((CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)), 1.0)
+           |               ELSE ps2 END AS s2,
+           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |                 (CAST(w9 AS DOUBLE) / 1e9) / n
+           |               ELSE pp1 END AS p1
            |        FROM s$r)""".stripMargin
       }.mkString(",\n")}
          |SELECT ${Q.sqlR6("p1")} AS pi_1,
@@ -213,12 +226,15 @@ object Mixture {
          |       FROM rg GROUP BY 1),
          |w0 AS (SELECT 0.0 AS a, 0.0 AS b),
          |${(1 to 3).map(stepSql).mkString(",\n")},
-         |dv AS (SELECT CAST(sum(cl.n) AS BIGINT) AS n_events,
-         |              max(w3.a) AS a, max(w3.b) AS b,
-         |              CAST(sum(CAST(floor((cl.s * ln(1.0 / (1.0 + exp(-(w3.a + w3.b * cl.x)))) +
-         |                (cl.n - cl.s) * ln(1.0 - 1.0 / (1.0 + exp(-(w3.a + w3.b * cl.x))))) * 1e6
+         |dvp AS (SELECT cl.n, cl.s, w3.a, w3.b,
+         |               least(greatest(1.0 / (1.0 + exp(-(w3.a + w3.b * cl.x))), 1e-12),
+         |                     1.0 - 1e-12) AS pr
+         |        FROM cl CROSS JOIN w3),
+         |dv AS (SELECT CAST(sum(n) AS BIGINT) AS n_events,
+         |              max(a) AS a, max(b) AS b,
+         |              CAST(sum(CAST(floor((s * ln(pr) + (n - s) * ln(1.0 - pr)) * 1e6
          |                + 0.5) AS BIGINT)) AS BIGINT) AS ll6
-         |       FROM cl CROSS JOIN w3)
+         |       FROM dvp)
          |SELECT n_events, ${Q.sqlR6("a")} AS intercept, ${Q.sqlR6("b")} AS slope_per_100usd,
          |       ${Q.sqlR2("-2.0 * (CAST(ll6 AS DOUBLE) / 1e6)")} AS deviance
          |FROM dv""".stripMargin
@@ -268,7 +284,14 @@ object Mixture {
 
     val w0 = cl.sparkSession.range(1).select(lit(0.0).as("a"), lit(0.0).as("b"))
     val w3 = Q.snapshot(step(Q.snapshot(step(Q.snapshot(step(w0))))))
-    val prF = lit(1.0) / (lit(1.0) + exp(-(col("a") + col("b") * col("x"))))
+    // Saturation clamp (r17, ADVICE): a saturated pr = 0/1 would send
+    // ln(pr)/ln(1−pr) to −inf whose lattice cast diverges between
+    // engines (DuckDB cast error vs Spark Long.MinValue); the clamp is
+    // mirrored in the oracle's dvp CTE and is a no-op at any |a+bx|
+    // reachable in 3 IRLS steps on cents-bounded x.
+    val prF = least(greatest(
+      lit(1.0) / (lit(1.0) + exp(-(col("a") + col("b") * col("x")))),
+      lit(1e-12)), lit(1.0) - lit(1e-12))
     cl.crossJoin(broadcast(w3))
       .withColumn("pr", prF)
       .agg(sum("n").as("n_events"), max("a").as("a"), max("b").as("b"),
@@ -353,7 +376,9 @@ object Mixture {
       val e = g.crossJoin(broadcast(p))
         .withColumn("r1", when(den > 0,
           col("p1") * phi(col("m1"), col("s1")) / den).otherwise(0.5))
-      val st = e.agg(sum("c").as("n"),
+      val st = e.agg(max("m1").as("pm1"), max("m2").as("pm2"),
+        max("s1").as("ps1"), max("s2").as("ps2"), max("p1").as("pp1"),
+        sum("c").as("n"),
         sum(col("c") * col("v")).as("sv"),
         sum(col("c") * col("v") * col("v")).as("qv"),
         sum(floor(col("c") * col("r1") * lit(1e9) + 0.5).cast("long")).as("w9"),
@@ -362,11 +387,18 @@ object Mixture {
       val w = col("w9").cast("double") / lit(1e9)
       val m1n = (col("wv3").cast("double") / lit(1e3)) / w
       val m2n = (col("sv") - col("wv3") / lit(1000L)).cast("double") / (col("n") - w)
-      st.select(m1n.as("m1"), m2n.as("m2"),
-        greatest(col("wvv").cast("double") / w - m1n * m1n, lit(1.0)).as("s1"),
-        greatest((col("qv").cast("double") - col("wvv")) / (col("n") - w) - m2n * m2n,
-          lit(1.0)).as("s2"),
-        (w / col("n")).as("p1"))
+      // Responsibility-collapse guard (r17, ADVICE): if ALL weight
+      // lands on one component (w9 = 0 or w9 = n·1e9) the M-step
+      // divides 0/0 — keep the previous iterate instead, identically
+      // in both engines (the logistic det>0 convention).
+      val ok = col("w9") > 0 && col("w9") < col("n") * lit(1000000000L)
+      st.select(when(ok, m1n).otherwise(col("pm1")).as("m1"),
+        when(ok, m2n).otherwise(col("pm2")).as("m2"),
+        when(ok, greatest(col("wvv").cast("double") / w - m1n * m1n, lit(1.0)))
+          .otherwise(col("ps1")).as("s1"),
+        when(ok, greatest((col("qv").cast("double") - col("wvv")) / (col("n") - w) -
+          m2n * m2n, lit(1.0))).otherwise(col("ps2")).as("s2"),
+        when(ok, w / col("n")).otherwise(col("pp1")).as("p1"))
     }
 
     val p3 = round(Q.snapshot(round(Q.snapshot(round(Q.snapshot(p0))))))

@@ -404,7 +404,7 @@ object Ranking {
          |bd AS (SELECT length(CAST(v AS VARCHAR)) * 100 +
          |              CAST(substring(CAST(v AS VARCHAR), 1, 2) AS BIGINT) AS band,
          |              CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
-         |       FROM sc GROUP BY 1),
+         |       FROM sc WHERE v >= 0 GROUP BY 1),
          |ix AS (SELECT band, n, s,
          |              CAST(row_number() OVER (ORDER BY band) AS BIGINT) AS i,
          |              CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cn,
@@ -437,7 +437,12 @@ object Ranking {
     * it, so the fit re-prices at read time). */
   private[graft] def isotonicOf(rg: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Non-negative value contract (r17, ADVICE): the digits·100 +
+    // first-two-digits band key is monotone in v only for v ≥ 0 — a
+    // negative cents value would silently break the isotonic-ordering
+    // premise, so it is excluded here and in the oracle's bd CTE.
     val bd = rg
+      .filter(col("v100") >= 0)
       .groupBy((length(col("v100").cast("string")) * 100 +
         substring(col("v100").cast("string"), 1, 2).cast("long")).as("band"))
       .agg(sum("c").as("n"),

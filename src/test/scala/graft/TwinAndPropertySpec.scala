@@ -1659,6 +1659,42 @@ class TwinAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("q_brunner_munzel on a zero-purchase corpus reads NULL stats, not a crash") {
+    // the r16 bmDevFrame guards: with n1 = 0 every purchase-side rank
+    // deviation is 0/0 — both engines must answer (0, n2, NULL, NULL,
+    // NULL) instead of Spark-NULL-vs-DuckDB-cast-error divergence
+    import spark.implicits._
+    val dir = tempDir("tp_bm_zero")
+    (1 to 6).map(i => (i.toLong, "2024-01-10 12:00:00", i.toLong, "click", i * 1.5))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_brunner_munzel")(spark, dir).head()
+    assert(r.getAs[Long]("n1") === 0L && r.getAs[Long]("n2") === 6L)
+    for (c <- Seq("p_hat", "w", "df"))
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c must be NULL on a zero-purchase corpus")
+  }
+
+  test("q_fdr_bh on constant balances reads NULL z/p and no rejections, not a crash") {
+    // the r17 Welch-variance guard: every customer holding the SAME
+    // balance zeroes both variance terms — z is 0/0 in the unguarded
+    // form (Spark NULL vs DuckDB cast error); the guarded readout is
+    // NULL z, NULL p, NULL bh_reject/bonf_reject on every family row
+    import spark.implicits._
+    val dir = tempDir("tp_fdr_const")
+    (0 until 12).map(i => (i.toLong, s"Customer#$i", i % 3, 100.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (0 to 2).map(k => (k, s"NATION$k", k))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val rows = SparkEntry.queries("q_fdr_bh")(spark, dir).collect()
+    assert(rows.length === 3)
+    for (r <- rows; c <- Seq("z", "p_value", "bh_reject", "bonf_reject"))
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c must be NULL on a constant-balance family")
+  }
+
   test("q_knn_reciprocity reads 1.0 on planted tight clusters and sees no cross-cluster edge") {
     // two sign-separated clusters (every band key differs), 3 vectors
     // each: banding proposes only within-cluster candidates, top-5
