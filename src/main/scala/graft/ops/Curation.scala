@@ -547,13 +547,25 @@ object Curation {
          |GROUP BY 1, 2
          |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Per-doc distinct (tri, tf) pairs built IN-ROW (r17 — the
+      // q_char_entropy sort + index-lambda run-length fold): the
+      // explode emits only each doc's DISTINCT trigrams, so the first
+      // exchange shrinks by the in-doc repetition factor and the
+      // (doc, lang, tri) groupBy exchange disappears entirely.
       val g = Tables.load(s, d, "documents")
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-            .as("tri"))
-        .groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("tf"))
+          expr("array_sort(transform(sequence(1, length(text) - 2)," +
+            " i -> substring(text, i, 3)))").as("tris"))
+        .withColumn("nt", size(col("tris")))
+        .withColumn("starts", expr(
+          "filter(sequence(0, nt - 1), i -> i = 0 OR tris[i] <> get(tris, i - 1))"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(starts, (st, j) ->
+            |  struct(get(tris, st) AS tri,
+            |         CAST(coalesce(get(starts, j + 1), nt) - st AS BIGINT) AS tf))"""
+            .stripMargin)).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.tri").as("tri"), col("p.tf").as("tf"))
         .transform(Q.snapshot)
       val lm = g.groupBy("lang", "tri").agg(sum("tf").as("c"))
       val tot = lm.groupBy("lang").agg(sum("c").as("t"))
