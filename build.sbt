@@ -3,6 +3,13 @@ ThisBuild / version := "0.1.0"
 name := "spark_streaming_kafka_offsetspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Kafka wire activation (KafkaWireSpec): point SPARK_KAFKA_JARS at a
+// directory holding spark-sql-kafka-0-10 + kafka-clients jars and set
+// GRAFT_KAFKA_BOOTSTRAP=host:port — the wire spec then runs with zero
+// code changes. Absent the env var this contributes nothing.
+Compile / unmanagedJars ++= sys.env.get("SPARK_KAFKA_JARS")
+  .map(dir => (file(dir) ** "*.jar").classpath)
+  .getOrElse(Seq.empty)
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -30,9 +30,14 @@ class KafkaWireSpec extends SparkSpec {
 
   private def gate(): Unit = {
     assume(connectorPresent,
-      "spark-sql-kafka-0-10 connector not on the classpath — wire test skipped (design-only per SURVEY §0.3)")
+      "spark-sql-kafka-0-10 connector not on the classpath — to activate, set " +
+        "SPARK_KAFKA_JARS=<dir with spark-sql-kafka-0-10 + kafka-clients jars> " +
+        "(build.sbt adds it to the classpath) and GRAFT_KAFKA_BOOTSTRAP=host:port, " +
+        "then re-run; recipe documented in BASELINE.md (design-only per SURVEY §0.3)")
     assume(bootstrap.isDefined,
-      "GRAFT_KAFKA_BOOTSTRAP not set — no broker to test against; wire test skipped")
+      "GRAFT_KAFKA_BOOTSTRAP not set — no broker to test against; set " +
+        "GRAFT_KAFKA_BOOTSTRAP=host:port (and SPARK_KAFKA_JARS if the connector " +
+        "jar is not already on the classpath) to run the wire test")
   }
 
   test("kafka wire: batch write then offset-positioned streaming read honors the ledger resume JSON") {
