@@ -231,6 +231,22 @@ class StreamingSpec extends SparkSpec {
       // snapshot the sink view once: the folds self-join the grid, and
       // a MemorySink View resolves conflicting references badly
       val grid = Q.snapshot(spark.table("t_rank"))
+      // state-size pin (r17, verdict #5): the materialized state is
+      // exactly one row per occupied (type, cent) cell — bounded by
+      // |types| × |cents-domain|, never by corpus size. SURVEY §2.9's
+      // boundedness argument for all 7 rankGrid faces, asserted.
+      val ev = Tables.events(spark, sfDir)
+      val occupied = ev.select(col("event_type"),
+        org.apache.spark.sql.functions.floor(col("value") * 100 + 0.5).cast("long"))
+        .distinct().count()
+      val nTypes = ev.select("event_type").distinct().count()
+      val centsDom = ev.select(
+        org.apache.spark.sql.functions.floor(col("value") * 100 + 0.5).cast("long"))
+        .distinct().count()
+      assert(grid.count() === occupied,
+        "rankGrid state must hold exactly one row per occupied (type, cent) cell")
+      assert(grid.count() <= nTypes * centsDom,
+        s"rankGrid state exceeded its |types|×|cents| bound ($nTypes × $centsDom)")
       // all three screens divide out of the SAME grid at read time,
       // through the SAME folds the batch queries route through
       def rows1(df: org.apache.spark.sql.DataFrame) =
@@ -348,6 +364,18 @@ class StreamingSpec extends SparkSpec {
       // join; the dense-grid self joins) and a MemorySink View
       // resolves conflicting references badly
       val grid = Q.snapshot(spark.table("t_daily"))
+      // state-size pin (r17, verdict #5): one row per occupied
+      // (type, day) cell, bounded by |types| × |days| — the documented
+      // boundedness argument for all 23 dailyGrid faces, asserted.
+      val ev = Tables.events(spark, sfDir)
+      val occupied = ev.select(col("event_type"),
+        graft.ops.Inference.dayIndexCol).distinct().count()
+      val nTypes = ev.select("event_type").distinct().count()
+      val nDays = ev.select(graft.ops.Inference.dayIndexCol).distinct().count()
+      assert(grid.count() === occupied,
+        "dailyGrid state must hold exactly one row per occupied (type, day) cell")
+      assert(grid.count() <= nTypes * nDays,
+        s"dailyGrid state exceeded its |types|×|days| bound ($nTypes × $nDays)")
       def rows1(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq.map(String.valueOf)).toSeq
       assert(rows1(Streams.moodsMedianOf(grid)) ===
@@ -434,6 +462,17 @@ class StreamingSpec extends SparkSpec {
     withQuery(q) {
       chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
       val grid = Q.snapshot(spark.table("t_kscells"))
+      // state-size pin (r17, verdict #5): one row per occupied cent of
+      // the purchase∪click value domain — bounded by |cents-domain|,
+      // never by corpus size; the 16 ksCells faces' boundedness
+      // argument, asserted.
+      val occupied = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(org.apache.spark.sql.functions.floor(col("value") * 100 + 0.5)
+          .cast("long"))
+        .distinct().count()
+      assert(grid.count() === occupied,
+        "ksCells state must hold exactly one row per occupied cent cell")
       def rows1(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq.map(String.valueOf)).toSeq
       assert(rows1(Streams.ksOf(grid)) ===
