@@ -477,11 +477,11 @@ object Statistics {
     * ONE IEEE tree over exact int64; each cell's c·d² floors onto the
     * 1e3 lattice (r16, matching the sibling ab3 fold — the unit
     * lattice committed up to 0.5 per grid cell, invisibly to the
-    * oracle since both engines shared it) before the order-free int64
-    * fold (u ≤ N³·1e3 — the q_spearman growth class; headroom row
-    * claims sf ≤ 0.4, beyond which the deviation sums need DECIMAL
-    * — the finer lattice trades one decade of headroom for 500× less
-    * committed lattice error, the ADVICE r15 preference). */
+    * oracle since both engines shared it) before an order-free
+    * DECIMAL(38,0) fold (r17: u ≤ N³·1e3, the q_spearman growth class,
+    * was the repo's tightest int64 ceiling at sf ≤ 0.4 — the decimal
+    * width lifts the cliff ~19 decades while staying exact, since
+    * double→decimal conversion and decimal addition never round). */
   /** The (cells → doubled-midrank deviation) frame under [[bmOf]] —
     * per grid row: both running counts, overall/within doubled
     * midranks, the window totals, and the per-group deviations d1/d2.
@@ -518,10 +518,20 @@ object Statistics {
     val e = bmDevFrame(cellsIn)
     val d1 = col("d1")
     val d2 = col("d2")
+    // u1/u2 ride DECIMAL(38,0), not int64 (r17): the c·d² tie-run sums
+    // grow ∝ N³·1e3 — the repo's tightest int64 ceiling (sf ≤ 0.4).
+    // The decimal fold is still order-free and engine-exact (each cell
+    // floors the SAME IEEE double; double→decimal is exact; decimal
+    // sums don't round) and lifts the overflow cliff to the 1e38
+    // width. Past 2^53 the per-cell lattice GRANULARITY coarsens to
+    // ULP size — identically in both engines (the header note in
+    // OverflowHeadroomSpec), so parity survives any realistic SF.
     val t = e.agg(max("n1").as("n1"), max("n2").as("n2"),
       max("rx2").as("rx2"), max("ry2").as("ry2"),
-      coalesce(sum(floor(col("c1") * d1 * d1 * lit(1e3) + 0.5).cast("long")), lit(0L)).as("u1"),
-      coalesce(sum(floor(col("c2") * d2 * d2 * lit(1e3) + 0.5).cast("long")), lit(0L)).as("u2"))
+      coalesce(sum(floor(col("c1") * d1 * d1 * lit(1e3) + 0.5).cast("decimal(38,0)")),
+        lit(0L)).as("u1"),
+      coalesce(sum(floor(col("c2") * d2 * d2 * lit(1e3) + 0.5).cast("decimal(38,0)")),
+        lit(0L)).as("u2"))
     val nn = col("n1") + col("n2")
     val rbar1 = col("rx2") / (lit(2.0) * col("n1"))
     val rbar2 = col("ry2") / (lit(2.0) * col("n2"))
@@ -1775,9 +1785,10 @@ object Statistics {
     // test; p_hat is the common-language effect P(X1 < X2) + ½ties.
     // Same shared cents grid; overall AND within-group doubled
     // midranks off one window chain; each cell's c·d² floors onto the
-    // 1e3 lattice (r16 — the ab3 precision) before the order-free
-    // int64 fold (headroom row: SF³·1e3, claimed sf ≤ 0.4 — the
-    // q_spearman class shifted one decade by the finer lattice).
+    // 1e3 lattice (r16 — the ab3 precision) before an order-free
+    // DECIMAL(38,0) fold (r17 — the N³·1e3 growth was the repo's
+    // tightest int64 ceiling at sf ≤ 0.4; decimal lifts the cliff to
+    // the 1e38 width with bit-identical outputs).
     // Degenerate-group guard (r16): zero purchases or zero clicks
     // NULL the deviations in BOTH engines (when()/CASE WHEN), so the
     // engines degrade identically instead of NULL-vs-error.
@@ -1805,11 +1816,11 @@ object Statistics {
          |             CAST(coalesce(sum(CASE WHEN n1 > 0 THEN CAST(floor(c1 *
          |               ((r2c - (2 * cb1 + c1 + 1)) / 2.0 + (n1 + 1) / 2.0 - rx2 / (2.0 * n1)) *
          |               ((r2c - (2 * cb1 + c1 + 1)) / 2.0 + (n1 + 1) / 2.0 - rx2 / (2.0 * n1))
-         |               * 1e3 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS u1,
+         |               * 1e3 + 0.5) AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS u1,
          |             CAST(coalesce(sum(CASE WHEN n2 > 0 THEN CAST(floor(c2 *
          |               ((r2c - (2 * cb2 + c2 + 1)) / 2.0 + (n2 + 1) / 2.0 - ry2 / (2.0 * n2)) *
          |               ((r2c - (2 * cb2 + c2 + 1)) / 2.0 + (n2 + 1) / 2.0 - ry2 / (2.0 * n2))
-         |               * 1e3 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS u2
+         |               * 1e3 + 0.5) AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS u2
          |      FROM r2)
          |SELECT n1, n2,
          |       CASE WHEN n1 > 0 AND n2 > 0 THEN

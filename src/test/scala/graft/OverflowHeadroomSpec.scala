@@ -64,7 +64,11 @@ class OverflowHeadroomSpec extends SparkSpec {
       growth: String,
       claimedMaxSf: Double,
       model: Double => Double,
-      probe: Option[(SparkSession, String) => Double])
+      probe: Option[(SparkSession, String) => Double],
+      // accumulator capacity: int64 by default; a site whose fold rides
+      // DECIMAL(38,0) (r17: q_brunner_munzel) audits against the
+      // decimal width instead — same 2x headroom discipline
+      maxAbs: Double = MaxAbs)
 
   private val sites: Seq[Site] = Seq(
 
@@ -357,10 +361,12 @@ class OverflowHeadroomSpec extends SparkSpec {
 
     Site("q_brunner_munzel", "1e3",
       "u1/u2 = Σ floor(c·d²·1e3) ≤ N³·1e3 over the cents grid (d ≤ N rank "
-        + "deviations; r16 moved the fold from the unit lattice to ab3's 1e3)",
-      "SF³·1e3 (N ∝ SF) — at sf ≥ 0.5 the deviation sums need DECIMAL "
-        + "(the q_spearman class, one decade earlier for the finer lattice)",
-      0.4, sf => math.pow(0.4 * evN(sf), 3) * 1e3,
+        + "deviations), folded in DECIMAL(38,0) since r17 — the N³ growth "
+        + "was the repo's tightest int64 ceiling (sf ≤ 0.4)",
+      "SF³·1e3 (N ∝ SF) against the 1e38 decimal width — past 2^53 the "
+        + "per-cell lattice coarsens to ULP size identically in both "
+        + "engines (header note); the overflow cliff itself is gone",
+      40, sf => math.pow(0.4 * evN(sf), 3) * 1e3,
       Some((s, d) => dmax {
         // the REAL binding u on the shipped corpus through the SAME
         // deviation frame the fold accumulates (Statistics.bmDevFrame —
@@ -369,10 +375,11 @@ class OverflowHeadroomSpec extends SparkSpec {
           graft.ops.Statistics.centsGrid(s, d))
         e.agg(greatest(
           coalesce(sum(floor(col("c1") * col("d1") * col("d1") * lit(1e3) + 0.5)
-            .cast("long")), lit(0L)),
+            .cast("decimal(38,0)")), lit(0L)),
           coalesce(sum(floor(col("c2") * col("d2") * col("d2") * lit(1e3) + 0.5)
-            .cast("long")), lit(0L))).cast("double"))
-      })),
+            .cast("decimal(38,0)")), lit(0L))).cast("double"))
+      }),
+      maxAbs = 1e38 / 2.0),
 
     Site("q_ansari_bradley", "1e3",
       "ab3 = Σ floor(c1·S_run/t·1e3) ≤ (N²/2)·1e3 over the cents grid (N = "
@@ -1085,8 +1092,8 @@ class OverflowHeadroomSpec extends SparkSpec {
   test("every claimed SF ceiling keeps its binding accumulator inside int64 with 2x headroom") {
     val failures = sites.flatMap { st =>
       val m = st.model(st.claimedMaxSf)
-      if (m <= MaxAbs) None
-      else Some(f"${st.op}: model(${st.claimedMaxSf}) = $m%.3e > $MaxAbs%.3e")
+      if (m <= st.maxAbs) None
+      else Some(f"${st.op}: model(${st.claimedMaxSf}) = $m%.3e > ${st.maxAbs}%.3e")
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // and none is vacuous: the model must be a real magnitude
