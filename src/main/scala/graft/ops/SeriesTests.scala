@@ -2427,6 +2427,124 @@ object SeriesTests {
          |FROM sm
          |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
       loessTrendOf(Inference.dailyCounts(s, d))
+    },
+
+    // Cox–Stuart trend test per event type (round 17): the SIGN-test
+    // complement of q_mann_kendall — pair day i with day i + ⌈n/2⌉ on
+    // the dense grid (odd middle dropped, the textbook convention),
+    // count later-half wins, and read the binomial z = (2S⁺ − m)/√m.
+    // Monotone-invariant like MK but ONE comparison per pair instead
+    // of n²/2: the cheap screen a monitoring tier runs per tick.
+    // Everything is exact int64 (positions via row_number on the
+    // shared day frame, the pair offset an integer division); ties
+    // drop from m in both engines; z is one mirrored tree.
+    Q("q_cox_stuart",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy),
+         |p AS (SELECT event_type,
+         |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY x)
+         |                  AS BIGINT) AS i, y
+         |      FROM grid),
+         |pr AS (SELECT a.event_type,
+         |              CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS plus,
+         |              CASE WHEN b.y <> a.y THEN 1 ELSE 0 END AS nontied
+         |       FROM p a CROSS JOIN n
+         |       JOIN p b ON b.event_type = a.event_type
+         |              AND b.i = a.i + (n.n + 1) // 2
+         |       WHERE a.i * 2 <= n.n),
+         |g AS (SELECT event_type, CAST(sum(plus) AS BIGINT) AS n_plus,
+         |             CAST(sum(nontied) AS BIGINT) AS m
+         |      FROM pr GROUP BY 1)
+         |SELECT g.event_type, n.n AS n_days, g.m AS n_pairs, g.n_plus,
+         |       CASE WHEN g.m > 0 THEN
+         |         ${Q.sqlR6("(2.0 * g.n_plus - g.m) / sqrt(CAST(g.m AS DOUBLE))")}
+         |       END AS z
+         |FROM g CROSS JOIN n
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      coxStuartOf(Inference.dailyCounts(s, d))
+    },
+
+    // Bartels rank test per event type (round 17): the rank von
+    // Neumann ratio RVN = Σ(r_i − r_{i+1})² / Σ(r_i − r̄)² — the
+    // RANDOMNESS screen q_runs_test approximates with signs, here with
+    // full rank information (catches slow drifts runs miss). Doubled
+    // midranks (2·cb + t + 1 per tie run) keep every rank exact int64
+    // and make the mean doubled rank EXACTLY n + 1, so numerator and
+    // denominator are both order-free integer folds; RVN is one
+    // division and z studentizes with the asymptotic Var = 4(n−2)/
+    // (n²−1). RVN → 2 is random; ≪2 trending; ≫2 oscillating.
+    Q("q_bartels_rank",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dy),
+         |tv AS (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+         |       FROM grid GROUP BY 1, 2),
+         |tr AS (SELECT event_type, y, t,
+         |              CAST(coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY y
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                   AS BIGINT) AS cb
+         |       FROM tv),
+         |r AS (SELECT g.event_type, g.x, CAST(2 * tr.cb + tr.t + 1 AS BIGINT) AS r2
+         |      FROM grid g JOIN tr ON g.event_type = tr.event_type AND g.y = tr.y),
+         |ld AS (SELECT event_type, r2,
+         |              lead(r2) OVER (PARTITION BY event_type ORDER BY x) AS r2n
+         |       FROM r),
+         |nm AS (SELECT event_type, CAST(sum((r2 - r2n) * (r2 - r2n)) AS BIGINT) AS nm2
+         |       FROM ld WHERE r2n IS NOT NULL GROUP BY 1),
+         |dd AS (SELECT r.event_type,
+         |              CAST(sum((r.r2 - n.n - 1) * (r.r2 - n.n - 1)) AS BIGINT) AS d2
+         |       FROM r CROSS JOIN n GROUP BY 1)
+         |SELECT dd.event_type, n.n AS n_days,
+         |       CASE WHEN dd.d2 > 0 THEN
+         |         ${Q.sqlR6("CAST(nm.nm2 AS DOUBLE) / dd.d2")} END AS rvn,
+         |       CASE WHEN dd.d2 > 0 AND n.n > 2 THEN
+         |         ${Q.sqlR6("(CAST(nm.nm2 AS DOUBLE) / dd.d2 - 2.0) / " +
+                   "sqrt(4.0 * (n.n - 2) / (CAST(n.n AS DOUBLE) * n.n - 1))")}
+         |       END AS z
+         |FROM dd JOIN nm USING (event_type) CROSS JOIN n
+         |ORDER BY dd.event_type""".stripMargin) { (s, d) =>
+      bartelsOf(Inference.dailyCounts(s, d))
+    },
+
+    // Pinball (quantile) loss of the one-day-ahead naive forecast
+    // (round 17): scores ŷ_x = y_{x−1} as a q10/q50/q90 QUANTILE
+    // forecaster — the metric that grades q_forecast_interval's bands
+    // the way q_backtest_naive's MAE grades the point forecast
+    // (pinball at q50 IS MAE/2). Exact to the last bit: with τ = k/10,
+    // 10·Σloss = k·Σd⁺ + (10−k)·Σd⁻ over integer residuals d — two
+    // int64 folds serve all three quantiles, one division each.
+    Q("q_pinball",
+      s"""WITH daily AS (${Inference.dailySql}),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |dy AS (SELECT DISTINCT x FROM daily),
+         |grid AS (SELECT ty.event_type, dy.x, COALESCE(d.y, 0) AS y
+         |         FROM ty CROSS JOIN dy
+         |         LEFT JOIN daily d ON d.event_type = ty.event_type AND d.x = dy.x),
+         |ld AS (SELECT event_type, y,
+         |              lag(y) OVER (PARTITION BY event_type ORDER BY x) AS yp
+         |       FROM grid),
+         |dd AS (SELECT event_type, CAST(y - yp AS BIGINT) AS d
+         |       FROM ld WHERE yp IS NOT NULL),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         |             CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS dp,
+         |             CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT) AS dn
+         |      FROM dd GROUP BY 1)
+         |SELECT event_type, m AS n_forecasts,
+         |       ${Q.sqlR6("(1.0 * dp + 9.0 * dn) / (10.0 * m)")} AS pinball_q10,
+         |       ${Q.sqlR6("(5.0 * dp + 5.0 * dn) / (10.0 * m)")} AS pinball_q50,
+         |       ${Q.sqlR6("(9.0 * dp + 1.0 * dn) / (10.0 * m)")} AS pinball_q90
+         |FROM g
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      pinballOf(Inference.dailyCounts(s, d))
     }
   )
 
@@ -2867,6 +2985,96 @@ object SeriesTests {
       .select(col("event_type"), col("m").as("n_triples"),
         Q.r6(col("h9") / lit(1e9) / lit(1.791759469228055)).as("perm_entropy"),
         col("top_pattern"))
+      .orderBy("event_type")
+  }
+
+  /** The Cox–Stuart fold over a daily (event_type, x, y) frame — ONE
+    * home shared by batch q_cox_stuart and the s_cox_stuart streaming
+    * read-time view (a closing day re-pairs the whole series — the
+    * offset ⌈n/2⌉ moves — so the test re-prices at read time; the
+    * daily grid is the mergeable state). */
+  private[graft] def coxStuartOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val n = dy.agg(count(lit(1)).as("n"))
+    val p = grid.withColumn("i",
+      row_number().over(Window.partitionBy("event_type").orderBy("x")).cast("long"))
+    val a = p.select(col("event_type"), col("i"), col("y").as("ya"))
+      .crossJoin(broadcast(n))
+      .filter(col("i") * 2 <= col("n"))
+      .withColumn("j", expr("i + (n + 1) div 2"))
+    val b = p.select(col("event_type").as("bt"), col("i").as("bj"), col("y").as("yb"))
+    a.join(b, col("event_type") === col("bt") && col("j") === col("bj"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        sum(when(col("yb") > col("ya"), 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("yb") =!= col("ya"), 1L).otherwise(0L)).as("m"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("m").as("n_pairs"), col("n_plus"),
+        when(col("m") > 0, Q.r6((lit(2.0) * col("n_plus") - col("m")) /
+          sqrt(col("m").cast("double")))).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** The Bartels rank-von-Neumann fold over a daily (event_type, x, y)
+    * frame — ONE home shared by batch q_bartels_rank and the
+    * s_bartels_rank streaming read-time view (a new day re-ranks the
+    * series; the daily grid is the mergeable state). Doubled midranks
+    * make the mean doubled rank exactly n + 1, so both quadratic sums
+    * are exact int64. */
+  private[graft] def bartelsOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, dy) = denseGrid(dailyIn)
+    val n = dy.agg(count(lit(1)).as("n"))
+    val wy = Window.partitionBy("event_type").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tr = grid.groupBy("event_type", "y").agg(count(lit(1)).as("t"))
+      .withColumn("cb", coalesce(sum("t").over(wy), lit(0L)))
+    val r = grid.join(tr, Seq("event_type", "y"))
+      .select(col("event_type"), col("x"),
+        (lit(2) * col("cb") + col("t") + 1).as("r2"))
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val nm = r.withColumn("r2n", lead("r2", 1).over(wx))
+      .filter(col("r2n").isNotNull)
+      .groupBy("event_type")
+      .agg(sum((col("r2") - col("r2n")) * (col("r2") - col("r2n"))).as("nm2"))
+    val dd = r.crossJoin(broadcast(n))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        sum((col("r2") - col("n") - 1) * (col("r2") - col("n") - 1)).as("d2"))
+    dd.join(nm, "event_type")
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("d2") > 0, Q.r6(col("nm2").cast("double") / col("d2"))).as("rvn"),
+        when(col("d2") > 0 && col("n") > 2,
+          Q.r6((col("nm2").cast("double") / col("d2") - 2.0) /
+            sqrt(lit(4.0) * (col("n") - 2) /
+              (col("n").cast("double") * col("n") - 1)))).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** The pinball-loss fold over a daily (event_type, x, y) frame —
+    * ONE home shared by batch q_pinball and the s_pinball streaming
+    * read-time view (a closing day adds one residual; the daily grid
+    * is the mergeable state). Two int64 residual folds (Σd⁺, Σd⁻)
+    * serve all three quantile losses exactly. */
+  private[graft] def pinballOf(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (grid, _) = denseGrid(dailyIn)
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val g = grid.withColumn("yp", lag("y", 1).over(wx))
+      .filter(col("yp").isNotNull)
+      .withColumn("d", (col("y") - col("yp")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("d") > 0, col("d")).otherwise(0L)).as("dp"),
+        sum(when(col("d") < 0, -col("d")).otherwise(0L)).as("dn"))
+    g.select(col("event_type"), col("m").as("n_forecasts"),
+      Q.r6((lit(1.0) * col("dp") + lit(9.0) * col("dn")) / (lit(10.0) * col("m")))
+        .as("pinball_q10"),
+      Q.r6((lit(5.0) * col("dp") + lit(5.0) * col("dn")) / (lit(10.0) * col("m")))
+        .as("pinball_q50"),
+      Q.r6((lit(9.0) * col("dp") + lit(1.0) * col("dn")) / (lit(10.0) * col("m")))
+        .as("pinball_q90"))
       .orderBy("event_type")
   }
 

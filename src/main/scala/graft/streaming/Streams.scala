@@ -1308,6 +1308,25 @@ object Streams {
   def permEntropyOf(grid: DataFrame): DataFrame =
     graft.ops.SeriesTests.permEntropyOf(grid)
 
+  /** Read-time Cox–Stuart trend projection over a [[dailyGrid]] — a
+    * closing day moves the pair offset ⌈n/2⌉ and re-pairs the whole
+    * series, so the sign test re-prices at read time; the daily grid
+    * is the mergeable state (s_cox_stuart). */
+  def coxStuartOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.coxStuartOf(grid)
+
+  /** Read-time Bartels rank-von-Neumann projection over a
+    * [[dailyGrid]] — a new day re-ranks the series; the daily grid is
+    * the mergeable state (s_bartels_rank). */
+  def bartelsOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.bartelsOf(grid)
+
+  /** Read-time pinball-loss projection over a [[dailyGrid]] — a
+    * closing day adds one naive-forecast residual; the daily grid is
+    * the mergeable state (s_pinball). */
+  def pinballOf(grid: DataFrame): DataFrame =
+    graft.ops.SeriesTests.pinballOf(grid)
+
   /** Streaming hourly count grid — the mergeable (type, day, hour,
     * count) state behind the s_gumbel_maxima read-time face: a plain
     * streaming groupBy on the batch day index + hour, bounded by

@@ -81,6 +81,52 @@ class DiagnosticsSpec extends SparkSpec {
     ((h & Long.MaxValue) % m).toInt
   }
 
+  test("q_cox_stuart: a monotone ramp reads the exact binomial z; a flat series is NULL") {
+    // "a" counts 1..8 over 8 days: offset ⌈8/2⌉ = 4, all four pairs
+    // increase ⇒ S⁺ = m = 4, z = (8 − 4)/√4 = 2; "b" constant ⇒ every
+    // pair ties out of m ⇒ z NULL
+    val dir = eventsDir(Seq("a", "b"), 8, (t, d) => if (t == "a") d + 1 else 5)
+    val out = run("q_cox_stuart", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_days") === 8L && a.getAs[Long]("n_pairs") === 4L)
+    assert(a.getAs[Long]("n_plus") === 4L)
+    assert(a.getAs[Double]("z") === 2.0)
+    val b = out("b")
+    assert(b.getAs[Long]("n_pairs") === 0L)
+    assert(b.isNullAt(b.fieldIndex("z")), "an all-tied pairing must read NULL z")
+  }
+
+  test("q_bartels_rank: a ramp reads RVN 1/6, an alternation reads RVN 3.5") {
+    def lat6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // ramp 1..8: doubled ranks 2i, NM2 = 4·7 = 28, D2 = Σ(2i−9)² = 168
+    val ramp = eventsDir(Seq("a"), 8, (_, d) => d + 1)
+    val r = run("q_bartels_rank", ramp).head()
+    assert(r.getAs[Long]("n_days") === 8L)
+    assert(r.getAs[Double]("rvn") === lat6(28.0 / 168))
+    assert(r.getAs[Double]("z") ===
+      lat6((28.0 / 168 - 2.0) / math.sqrt(4.0 * 6 / 63)))
+    // alternation 10,20,10,20,...: tied midranks r2 ∈ {5, 13},
+    // NM2 = 64·7 = 448, D2 = 8·16 = 128 ⇒ RVN = 3.5 (oscillating > 2)
+    val alt = eventsDir(Seq("a"), 8, (_, d) => if (d % 2 == 0) 10 else 20)
+    val ra = run("q_bartels_rank", alt).head()
+    assert(ra.getAs[Double]("rvn") === 3.5)
+    assert(ra.getAs[Double]("z") === lat6(1.5 / math.sqrt(4.0 * 6 / 63)))
+  }
+
+  test("q_pinball: hand-built residuals read the exact three quantile losses") {
+    // counts 10, 13, 13, 9 ⇒ residuals +3, 0, −4 ⇒ Σd⁺ = 3, Σd⁻ = 4:
+    // q10 = (3 + 36)/30, q50 = 35/30 (= MAE/2), q90 = (27 + 4)/30
+    def lat6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val counts = Seq(10, 13, 13, 9)
+    val dir = eventsDir(Seq("a"), 4, (_, d) => counts(d))
+    val r = run("q_pinball", dir).head()
+    assert(r.getAs[Long]("n_forecasts") === 3L)
+    assert(r.getAs[Double]("pinball_q10") === lat6(39.0 / 30))
+    assert(r.getAs[Double]("pinball_q50") === lat6(35.0 / 30))
+    assert(r.getAs[Double]("pinball_q90") === lat6(31.0 / 30))
+  }
+
   test("q_ljung_box separates white noise from a strong weekly cycle") {
     val noisy = eventsDir(Seq("a"), 60, (_, d) => 50 + mix(1, d, 11))
     val weekly = eventsDir(Seq("a"), 60, (_, d) => if (d % 7 < 2) 200 else 20)

@@ -366,7 +366,7 @@ class StreamingSpec extends SparkSpec {
       val grid = Q.snapshot(spark.table("t_daily"))
       // state-size pin (r17, verdict #5): one row per occupied
       // (type, day) cell, bounded by |types| × |days| — the documented
-      // boundedness argument for all 23 dailyGrid faces, asserted.
+      // boundedness argument for all 26 dailyGrid faces, asserted.
       val ev = Tables.events(spark, sfDir)
       val occupied = ev.select(col("event_type"),
         graft.ops.Inference.dayIndexCol).distinct().count()
@@ -446,6 +446,12 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_loess_trend")(spark, sfDir)), "LOESS")
       assert(rows1(Streams.forecastIntervalOf(grid)) ===
         rows1(SparkEntry.queries("q_forecast_interval")(spark, sfDir)), "forecast PI")
+      assert(rows1(Streams.coxStuartOf(grid)) ===
+        rows1(SparkEntry.queries("q_cox_stuart")(spark, sfDir)), "Cox-Stuart")
+      assert(rows1(Streams.bartelsOf(grid)) ===
+        rows1(SparkEntry.queries("q_bartels_rank")(spark, sfDir)), "Bartels RVN")
+      assert(rows1(Streams.pinballOf(grid)) ===
+        rows1(SparkEntry.queries("q_pinball")(spark, sfDir)), "pinball")
     }
   }
 
