@@ -924,6 +924,65 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(20)
+    },
+
+    // Rich-club profile of the part–supplier graph (round 17): at each
+    // degree threshold k ∈ {2, 4, 8, 16}, how densely do the
+    // high-degree nodes interconnect? Bipartite density = rich edges /
+    // (rich parts × rich suppliers) — a rising curve means the hubs
+    // form a core (supply concentration risk); flat means hubs spread.
+    // Everything is exact int64: two node-keyed degree aggs, the edge
+    // frame joins its endpoint degrees (node-keyed exchanges, never a
+    // pair join), and the 4-row threshold frame fans out bounded
+    // conditional counts; density is one readout division per k.
+    Q("q_graph_rich_club",
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sn FROM lineitem),
+         |dp AS (SELECT p, CAST(count(*) AS BIGINT) AS dp FROM pairs GROUP BY 1),
+         |ds AS (SELECT sn, CAST(count(*) AS BIGINT) AS ds FROM pairs GROUP BY 1),
+         |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+         |e AS (SELECT pr.p, pr.sn, dp.dp, ds.ds
+         |      FROM pairs pr JOIN dp ON pr.p = dp.p JOIN ds ON pr.sn = ds.sn),
+         |g AS (SELECT ks.k,
+         |             CAST(count(CASE WHEN e.dp > ks.k AND e.ds > ks.k THEN 1 END)
+         |                  AS BIGINT) AS rich_edges
+         |      FROM e CROSS JOIN ks GROUP BY 1),
+         |np AS (SELECT ks.k, CAST(count(CASE WHEN dp.dp > ks.k THEN 1 END)
+         |                         AS BIGINT) AS n_rich_parts
+         |       FROM dp CROSS JOIN ks GROUP BY 1),
+         |ns AS (SELECT ks.k, CAST(count(CASE WHEN ds.ds > ks.k THEN 1 END)
+         |                         AS BIGINT) AS n_rich_supps
+         |       FROM ds CROSS JOIN ks GROUP BY 1)
+         |SELECT CAST(g.k AS BIGINT) AS k, np.n_rich_parts, ns.n_rich_supps,
+         |       g.rich_edges,
+         |       CASE WHEN np.n_rich_parts * ns.n_rich_supps > 0 THEN
+         |         ${Q.sqlR6("CAST(g.rich_edges AS DOUBLE) / " +
+                   "(np.n_rich_parts * ns.n_rich_supps)")}
+         |       END AS density
+         |FROM g JOIN np USING (k) JOIN ns USING (k)
+         |ORDER BY k""".stripMargin) { (s, d) =>
+      val pairs = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sn"))
+        .distinct()
+        .transform(snapshot)
+      val dp = pairs.groupBy("p").agg(count(lit(1)).as("dp"))
+      val ds = pairs.groupBy("sn").agg(count(lit(1)).as("ds"))
+      val ks = explode(array(lit(2L), lit(4L), lit(8L), lit(16L))).as("k")
+      val g = pairs.join(dp, "p").join(ds, "sn")
+        .select(col("dp"), col("ds"), ks)
+        .groupBy("k")
+        .agg(sum(when(col("dp") > col("k") && col("ds") > col("k"), 1L)
+          .otherwise(0L)).as("rich_edges"))
+      val np = dp.select(col("dp"), ks).groupBy("k")
+        .agg(sum(when(col("dp") > col("k"), 1L).otherwise(0L)).as("n_rich_parts"))
+      val ns = ds.select(col("ds"), ks).groupBy("k")
+        .agg(sum(when(col("ds") > col("k"), 1L).otherwise(0L)).as("n_rich_supps"))
+      g.join(np, "k").join(ns, "k")
+        .select(col("k"), col("n_rich_parts"), col("n_rich_supps"),
+          col("rich_edges"),
+          when(col("n_rich_parts") * col("n_rich_supps") > 0,
+            Q.r6(col("rich_edges").cast("double") /
+              (col("n_rich_parts") * col("n_rich_supps")))).as("density"))
+        .orderBy("k")
     }
   )
 

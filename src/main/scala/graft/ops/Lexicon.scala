@@ -658,6 +658,94 @@ object Lexicon {
           Q.r6(lit(1e4) * (col("m2").cast("double") - col("n")) /
             (col("n").cast("double") * col("n"))).as("yule_k"))
         .orderBy("lang")
+    },
+
+    // Word-length histogram per language (round 17): token counts by
+    // length band 1..15 (15 = "15+") plus each band's share and the
+    // language's exact mean token length — the cheapest corpus
+    // FINGERPRINT (a tokenizer/mojibake regression or a language
+    // mislabel shifts the profile before any statistical screen
+    // fires). Pure integers until the two readout divisions; the
+    // explode collapses map-side onto the ≤ |langs|·15 band domain —
+    // the smallest possible exchange for a corpus-wide profile.
+    Q("q_word_len_hist",
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |b AS (SELECT lang, least(length(tok), 15) AS wlen,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(length(tok)) AS BIGINT) AS chars
+         |      FROM w GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot,
+         |             CAST(sum(chars) AS BIGINT) AS tchars
+         |      FROM b GROUP BY 1)
+         |SELECT b.lang, CAST(b.wlen AS BIGINT) AS wlen, b.n AS n_words,
+         |       ${Q.sqlR6("CAST(b.n AS DOUBLE) / t.tot")} AS share,
+         |       ${Q.sqlR4("CAST(t.tchars AS DOUBLE) / t.tot")} AS mean_len
+         |FROM b JOIN t USING (lang)
+         |ORDER BY lang, wlen""".stripMargin) { (s, d) =>
+      val b = Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), least(length(col("tok")), lit(15)).as("wlen"))
+        .agg(count(lit(1)).as("n"), sum(length(col("tok"))).as("chars"))
+      val t = b.groupBy("lang").agg(sum("n").as("tot"), sum("chars").as("tchars"))
+      b.join(t, "lang")
+        .select(col("lang"), col("wlen").cast("long").as("wlen"),
+          col("n").as("n_words"),
+          Q.r6(col("n").cast("double") / col("tot")).as("share"),
+          Q.r4(col("tchars").cast("double") / col("tot")).as("mean_len"))
+        .orderBy("lang", "wlen")
+    },
+
+    // Character-class profile per source (round 17): shares of digit /
+    // uppercase / space / other-class characters and mean document
+    // length — the encoding/boilerplate fingerprint a feed audit reads
+    // before any tokenizer runs (a source whose digit share doubles
+    // started shipping tables; an upper-share spike is shouting or
+    // OCR). Per-doc class counts are single-pass regexp strips IN-ROW
+    // (no explode at all — the q_char_entropy zero-shuffle ethos);
+    // the one exchange is the |sources|-bounded rollup of exact int64
+    // counts; shares are readout divisions.
+    Q("q_punct_profile",
+      s"""WITH c AS (SELECT source,
+         |                  CAST(length(text) AS BIGINT) AS n,
+         |                  CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |                       AS BIGINT) AS dg,
+         |                  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         |                       AS BIGINT) AS up,
+         |                  CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+         |                       AS BIGINT) AS sp,
+         |                  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+         |                       AS BIGINT) AS ot
+         |           FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(n) AS BIGINT) AS n_chars,
+         |             CAST(sum(dg) AS BIGINT) AS dg, CAST(sum(up) AS BIGINT) AS up,
+         |             CAST(sum(sp) AS BIGINT) AS sp, CAST(sum(ot) AS BIGINT) AS ot
+         |      FROM c GROUP BY 1)
+         |SELECT source, n_docs, n_chars,
+         |       ${Q.sqlR6("CAST(dg AS DOUBLE) / n_chars")} AS digit_share,
+         |       ${Q.sqlR6("CAST(up AS DOUBLE) / n_chars")} AS upper_share,
+         |       ${Q.sqlR6("CAST(sp AS DOUBLE) / n_chars")} AS space_share,
+         |       ${Q.sqlR6("CAST(ot AS DOUBLE) / n_chars")} AS other_share,
+         |       ${Q.sqlR2("CAST(n_chars AS DOUBLE) / n_docs")} AS mean_doc_chars
+         |FROM g
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      def strip(pat: String) = length(regexp_replace(col("text"), pat, "")).cast("long")
+      Tables.load(s, d, "documents")
+        .select(col("source"), length(col("text")).cast("long").as("n"),
+          strip("[^0-9]").as("dg"), strip("[^A-Z]").as("up"),
+          strip("[^ ]").as("sp"), strip("[A-Za-z0-9 ]").as("ot"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
+          sum("dg").as("dg"), sum("up").as("up"),
+          sum("sp").as("sp"), sum("ot").as("ot"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          Q.r6(col("dg").cast("double") / col("n_chars")).as("digit_share"),
+          Q.r6(col("up").cast("double") / col("n_chars")).as("upper_share"),
+          Q.r6(col("sp").cast("double") / col("n_chars")).as("space_share"),
+          Q.r6(col("ot").cast("double") / col("n_chars")).as("other_share"),
+          Q.r2(col("n_chars").cast("double") / col("n_docs")).as("mean_doc_chars"))
+        .orderBy("source")
     }
   )
 }

@@ -81,6 +81,35 @@ class DiagnosticsSpec extends SparkSpec {
     ((h & Long.MaxValue) % m).toInt
   }
 
+  test("q_word_len_hist: a planted token mix reads exact bands, shares and mean") {
+    def lat(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    // tokens: a(1) bb(2) ccc(3) dddd(4) a(1) + one 20-char token → band 15
+    val dir = docsDir(Seq(
+      (1L, "a bb ccc", "s1"),
+      (2L, "dddd a " + "x" * 20, "s1")))
+    val rows = run("q_word_len_hist", dir).collect()
+      .map(r => r.getAs[Long]("wlen") -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 15L))
+    assert(rows(1L).getAs[Long]("n_words") === 2L)
+    assert(rows(15L).getAs[Long]("n_words") === 1L)
+    assert(rows(1L).getAs[Double]("share") === lat(2.0 / 6, 1e6))
+    // mean length uses TRUE lengths (the 20-char token counts as 20)
+    assert(rows(1L).getAs[Double]("mean_len") === lat(31.0 / 6, 1e4))
+  }
+
+  test("q_punct_profile: a hand-built char mix reads exact class shares") {
+    def lat6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // "Ab1 c." = 6 chars: digit 1, upper 1, space 1, other (the dot) 1
+    val dir = docsDir(Seq((1L, "Ab1 c.", "s1")))
+    val r = run("q_punct_profile", dir).head()
+    assert(r.getAs[Long]("n_docs") === 1L && r.getAs[Long]("n_chars") === 6L)
+    assert(r.getAs[Double]("digit_share") === lat6(1.0 / 6))
+    assert(r.getAs[Double]("upper_share") === lat6(1.0 / 6))
+    assert(r.getAs[Double]("space_share") === lat6(1.0 / 6))
+    assert(r.getAs[Double]("other_share") === lat6(1.0 / 6))
+    assert(r.getAs[Double]("mean_doc_chars") === 6.0)
+  }
+
   test("q_cox_stuart: a monotone ramp reads the exact binomial z; a flat series is NULL") {
     // "a" counts 1..8 over 8 days: offset ⌈8/2⌉ = 4, all four pairs
     // increase ⇒ S⁺ = m = 4, z = (8 − 4)/√4 = 2; "b" constant ⇒ every

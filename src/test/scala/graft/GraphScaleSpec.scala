@@ -44,6 +44,32 @@ class GraphScaleSpec extends SparkSpec {
     dir
   }
 
+  test("q_graph_rich_club: a planted double star reads the exact rich core") {
+    // P1–{S1..S5} and S1–{P2..P5}: deg(P1) = deg(S1) = 5, all others 1.
+    // k = 2 and k = 4: rich sets {P1} × {S1}, one rich edge ⇒ density 1;
+    // k = 8 and 16: no rich node ⇒ zero counts and NULL density
+    val dir = tempDir("graph_rich_club")
+    import spark.implicits._
+    val edges = (1L to 5L).map(s => (1L, s)) ++ (2L to 5L).map(p => (p, 1L))
+    edges.zipWithIndex.map { case ((p, s), i) => (i.toLong, p, s) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q_graph_rich_club")(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(rows.keySet === Set(2L, 4L, 8L, 16L))
+    for (k <- Seq(2L, 4L)) {
+      assert(rows(k).getAs[Long]("n_rich_parts") === 1L)
+      assert(rows(k).getAs[Long]("n_rich_supps") === 1L)
+      assert(rows(k).getAs[Long]("rich_edges") === 1L)
+      assert(rows(k).getAs[Double]("density") === 1.0)
+    }
+    for (k <- Seq(8L, 16L)) {
+      assert(rows(k).getAs[Long]("rich_edges") === 0L)
+      assert(rows(k).isNullAt(rows(k).fieldIndex("density")),
+        "an empty rich set must read NULL density, not 0/0")
+    }
+  }
+
   test("q_hits: a planted bipartite star reads the closed-form hub/authority ranking") {
     // parts {1,2,3} × suppliers {10,20}: (1,10)(2,10)(3,10)(1,20).
     // a¹ = indeg: s10=3, s20=1; h¹: p1=4, p2=p3=3;
