@@ -1131,6 +1131,114 @@ object Similarity {
              sqrt(expr("aggregate(zip_with(p.cb, p.cb, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))))
             .as("cos"))
         .orderBy("la", "lb")
+    },
+
+    // Int8 scalar-quantization audit (round 17): quantize every
+    // embedding dimension onto the 0..255 grid spanned by the corpus
+    // per-dim min/max, then re-score the q_sim_brute probe set on the
+    // DEQUANTIZED vectors — does 4× compression (the first move any
+    // 100 TB vector store makes) keep the top-1 neighbor, and how far
+    // do the cosines move? Per probe: exact vs quantized top-1 (both
+    // ranked on the r4 round-before-top-k lattice), agreement flag,
+    // and the mean |Δcosine| over all candidates folded as exact
+    // int64 lattice units. Shape: ONE 64-row per-dim stats agg
+    // (map-side partials), two 64-element arrays broadcast for the
+    // in-row quantization pass, then the probe-bounded brute audit —
+    // never corpus × corpus; the production read path stays IVF/LSH,
+    // this CALIBRATES the compression they'd run on.
+    Q("q_sq8_recall",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |dim AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 65)),
+        |mm AS (SELECT i, min(de[i]) AS mn, max(de[i]) AS mx
+        |       FROM e CROSS JOIN dim GROUP BY 1),
+        |ar AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+        |q AS (SELECT vec_id, de,
+        |             list_transform(list_zip(de, ar.mns, ar.mxs), z ->
+        |               CASE WHEN z[3] > z[2] THEN
+        |                 z[2] + floor((z[1] - z[2]) / (z[3] - z[2])
+        |                   * 255 + 0.5) * (z[3] - z[2]) / 255
+        |               ELSE z[1] END) AS qe
+        |      FROM e CROSS JOIN ar),
+        |n AS (SELECT vec_id, de, qe,
+        |             sqrt(list_inner_product(de, de)) AS nrm,
+        |             sqrt(list_inner_product(qe, qe)) AS qnrm
+        |      FROM q),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |             CAST(floor(list_inner_product(p.de, c.de) / (p.nrm * c.nrm)
+        |                  * 1e4 + 0.5) AS BIGINT) AS s4,
+        |             CAST(floor(list_inner_product(p.qe, c.qe) / (p.qnrm * c.qnrm)
+        |                  * 1e4 + 0.5) AS BIGINT) AS t4
+        |      FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY s4 DESC, cand_id) AS re,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY t4 DESC, cand_id) AS rq
+        |      FROM s),
+        |g AS (SELECT probe_id,
+        |             max(CASE WHEN re = 1 THEN cand_id END) AS top1_exact,
+        |             max(CASE WHEN re = 1 THEN s4 END) AS s1e4,
+        |             max(CASE WHEN rq = 1 THEN cand_id END) AS top1_sq8,
+        |             max(CASE WHEN rq = 1 THEN t4 END) AS s1q4,
+        |             CAST(sum(abs(s4 - t4)) AS BIGINT) AS ae4,
+        |             CAST(count(*) AS BIGINT) AS m
+        |      FROM r GROUP BY 1)
+        |SELECT probe_id, top1_exact, CAST(s1e4 AS DOUBLE) / 1e4 AS exact_score,
+        |       top1_sq8, CAST(s1q4 AS DOUBLE) / 1e4 AS sq8_score,
+        |       CASE WHEN top1_exact = top1_sq8 THEN 1 ELSE 0 END AS agree,
+        |       floor((CAST(ae4 AS DOUBLE) / (m * 1e4))*1000000+0.5)/1000000 AS mean_abs_err
+        |FROM g
+        |ORDER BY probe_id""".stripMargin) { (s, d) =>
+      val e = widened(Tables.load(s, d, "embeddings")).select("vec_id", "de")
+      val ar = e.select(posexplode(col("de")))
+        .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), z -> z.mn)")
+          .as("mns"),
+          expr("transform(array_sort(collect_list(struct(pos, mx))), z -> z.mx)")
+            .as("mxs"))
+      // quantize IN-ROW against the broadcast 64-element min/max arrays
+      // — the IEEE tree mirrors the oracle's list_zip lambda term for
+      // term (mn + floor((x−mn)/(mx−mn)·255 + 0.5)·(mx−mn)/255), with
+      // a degenerate-dim guard (mx = mn keeps the raw value) identical
+      // in both engines.
+      val n = e.crossJoin(broadcast(ar))
+        .withColumn("qe", expr(
+          """transform(de, (x, i) ->
+            |  CASE WHEN element_at(mxs, i + 1) > element_at(mns, i + 1) THEN
+            |    element_at(mns, i + 1) +
+            |    floor((x - element_at(mns, i + 1)) /
+            |          (element_at(mxs, i + 1) - element_at(mns, i + 1)) * 255 + 0.5) *
+            |    (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255
+            |  ELSE x END)""".stripMargin))
+        .withColumn("nrm", sqrt(dot("de", "de")))
+        .withColumn("qnrm", sqrt(dot("qe", "qe")))
+        .select("vec_id", "de", "qe", "nrm", "qnrm")
+      val probes = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("de").as("pde"), col("qe").as("pqe"),
+          col("nrm").as("pnrm"), col("qnrm").as("pqnrm"))
+      val pairs = n.crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          floor(dot("pde", "de") / (col("pnrm") * col("nrm")) * 1e4 + 0.5)
+            .cast("long").as("s4"),
+          floor(dot("pqe", "qe") / (col("pqnrm") * col("qnrm")) * 1e4 + 0.5)
+            .cast("long").as("t4"))
+      val we = Window.partitionBy("probe_id").orderBy(col("s4").desc, col("cand_id"))
+      val wq = Window.partitionBy("probe_id").orderBy(col("t4").desc, col("cand_id"))
+      pairs
+        .withColumn("re", row_number().over(we))
+        .withColumn("rq", row_number().over(wq))
+        .groupBy("probe_id")
+        .agg(max(when(col("re") === 1, col("cand_id"))).as("top1_exact"),
+          max(when(col("re") === 1, col("s4"))).as("s1e4"),
+          max(when(col("rq") === 1, col("cand_id"))).as("top1_sq8"),
+          max(when(col("rq") === 1, col("t4"))).as("s1q4"),
+          sum(abs(col("s4") - col("t4"))).as("ae4"),
+          count(lit(1)).as("m"))
+        .select(col("probe_id"), col("top1_exact"),
+          (col("s1e4").cast("double") / 1e4).as("exact_score"),
+          col("top1_sq8"), (col("s1q4").cast("double") / 1e4).as("sq8_score"),
+          when(col("top1_exact") === col("top1_sq8"), 1).otherwise(0).as("agree"),
+          Q.r6(col("ae4").cast("double") / (col("m") * lit(1e4))).as("mean_abs_err"))
+        .orderBy("probe_id")
     }
   )
 }

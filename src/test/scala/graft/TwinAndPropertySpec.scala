@@ -1695,6 +1695,30 @@ class TwinAndPropertySpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex(c)), s"$c must be NULL on a constant-balance family")
   }
 
+  test("q_sq8_recall: planted clusters keep their top-1 through int8 quantization") {
+    // two sign-separated clusters: the int8 grid spans [-1.04, 1.04]
+    // per dim, so a ~0.008 quantization step cannot flip a ~2.0
+    // cross-cluster cosine gap — every probe must keep its exact
+    // top-1, and the mean |Δcos| stays far under one r4 step × 100
+    val dir = tempDir("tp_sq8")
+    import spark.implicits._
+    def vec(sign: Float, jitter: Int): Array[Float] =
+      Array.tabulate(64)(i => sign * (1f + 0.01f * ((i + jitter) % 5)))
+    val rows = (0 until 3).map(i => (i.toLong, vec(1f, i), 0)) ++
+      (3 until 6).map(i => (i.toLong, vec(-1f, i), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_sq8_recall")(spark, dir).collect()
+    assert(out.length === 6, "every vec_id < 10 is a probe")
+    for (r <- out) {
+      assert(r.getAs[Int]("agree") === 1,
+        s"probe ${r.getAs[Long]("probe_id")} lost its top-1 to quantization")
+      assert(r.getAs[Long]("top1_exact") === r.getAs[Long]("top1_sq8"))
+      assert(r.getAs[Double]("mean_abs_err") < 0.01)
+      assert(math.abs(r.getAs[Double]("exact_score") - r.getAs[Double]("sq8_score")) < 0.01)
+    }
+  }
+
   test("q_knn_reciprocity reads 1.0 on planted tight clusters and sees no cross-cluster edge") {
     // two sign-separated clusters (every band key differs), 3 vectors
     // each: banding proposes only within-cluster candidates, top-5
