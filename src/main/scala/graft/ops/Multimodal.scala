@@ -190,6 +190,111 @@ object Multimodal {
     }
   }
 
+  /** An "audio" row: payload is a REAL RIFF/WAVE PCM16 stream. */
+  final case class AudioIn(event_id: Long, event_type: String, payload: Array[Byte])
+
+  /** Per-clip integer DSP features off the DECODED samples. */
+  final case class AudioClip(event_id: Long, event_type: String,
+                             sample_rate: Int, n_samples: Int,
+                             flips: Long, energy: Long, peak: Long)
+
+  /** Deterministic PCM synthesis: a 64-sample 8 kHz mono sine clip
+    * whose frequency keys off event_id (220..660 Hz in 110 Hz steps)
+    * and whose amplitude keys off the value cents, packaged as a REAL
+    * 44-byte-header RIFF/WAVE PCM16 stream — the bytes ARE a playable
+    * .wav file. The sine value floors onto the 1e3 lattice BEFORE the
+    * integer amplitude multiply, so every decoded sample is an exact
+    * int the oracle re-derives arithmetically (only 320 distinct
+    * angles corpus-wide — 5 frequencies × 64 sample indices — so the
+    * libm-parity surface is tiny and pinned by the three-SF gate). */
+  private def encodeWav(eventId: Long, v100: Long): Array[Byte] = {
+    val f = 220 + (eventId % 5) * 110
+    val a = v100 % 32 + 1
+    val n = 64
+    val dataLen = n * 2
+    val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1) // PCM, mono
+    le32(8000); le32(16000) // sample rate, byte rate
+    le16(2); le16(16) // block align, bits per sample
+    bos.write("data".getBytes("US-ASCII")); le32(dataLen)
+    var t = 0
+    while (t < n) {
+      val s3 = math.floor(math.sin(2 * math.Pi * f * t / 8000) * 1e3 + 0.5).toLong
+      val sample = (a * s3).toInt // |a·s3| ≤ 32·1000 < 2^15 — no clip
+      le16(sample & 0xffff)
+      t += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL decode: parses the RIFF/WAVE header (magics, PCM format tag,
+    * channel count, sample rate, bit depth — all validated, loud on
+    * corruption), reads the little-endian int16 samples, and measures
+    * the integer DSP features: zero-crossing flips, Σsample² energy,
+    * peak |sample|. A production codec (libsndfile/ffmpeg) slots into
+    * this same per-partition batch shape. */
+  private def decodeWav(rows: Iterator[AudioIn]): Iterator[AudioClip] = {
+    rows.map { r =>
+      val p = r.payload
+      def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+      def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+      require(p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE" &&
+        tag(12) == "fmt " && tag(36) == "data",
+        s"event ${r.event_id}: payload is not a RIFF/WAVE stream")
+      require(le16(20) == 1 && le16(22) == 1 && le16(34) == 16,
+        s"event ${r.event_id}: not mono PCM16")
+      val rate = le32(24)
+      val dataLen = le32(40)
+      require(p.length == 44 + dataLen, s"event ${r.event_id}: truncated data chunk")
+      val n = dataLen / 2
+      var flips = 0L; var energy = 0L; var peak = 0L
+      var prevNeg = false
+      var t = 0
+      while (t < n) {
+        val s = le16(44 + t * 2).toShort.toLong
+        if (t > 0 && (s < 0) != prevNeg) flips += 1
+        prevNeg = s < 0
+        energy += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        t += 1
+      }
+      AudioClip(r.event_id, r.event_type, rate, n, flips, energy, peak)
+    }
+  }
+
+  /** The WAV ingest prefix: events → deterministic real RIFF/WAVE
+    * payloads, repartitioned once for blob sizing (the pngInputs
+    * discipline — no shuffle after). */
+  private def wavInputs(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[AudioIn] = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, t, v) => AudioIn(id, t, encodeWav(id, v)) })
+      .toDF()
+      .repartition(col("event_id"))
+      .as[AudioIn]
+  }
+
+  /** The decoded-clip feature frame — exposed so the headroom probe
+    * audits the SAME energy accumulator the query folds. */
+  private[graft] def audioClips(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavInputs(s, d).mapPartitions(decodeWav).toDF()
+  }
+
   /** The PNG ingest prefix shared by every still-image operator:
     * documents → deterministic real PNG payloads, repartitioned once
     * for blob sizing (no shuffle after). ONE home — a codec-pipeline
@@ -453,6 +558,65 @@ object Multimodal {
         .toDF()
         .select("doc_id", "width", "height", "thumb_sum", "thumb_hash")
         .orderBy("doc_id")
+    },
+
+    // Audio feature extraction (round 17) — the AUDIO leg of the
+    // builder brief's multimodal list, stub-free the way the image
+    // family is: every event carries a REAL RIFF/WAVE PCM16 payload
+    // (synthesized deterministically — a playable 64-sample 8 kHz sine
+    // clip whose frequency/amplitude key off event_id and cents), the
+    // decode stage genuinely parses the 44-byte header (magics, format
+    // tag, rate, depth — loud on corruption) and the little-endian
+    // samples, and the features are the real integer DSP trio: ZCR
+    // flips, Σs² energy, peak |s|. Per-type rollup; sample_rate comes
+    // from the PARSED header, so the oracle's literal 8000 checks the
+    // container round-trip. Exactness: the sine floors onto the 1e3
+    // lattice BEFORE the integer amplitude multiply (only 320 distinct
+    // angles corpus-wide), so every sample — and the energy fold — is
+    // exact int64 in both engines (headroom Site row). At 100 TB the
+    // shape is the codec pipeline's: repartition once for blob sizing,
+    // per-partition decode batches, one |types|-bounded rollup.
+    Q("q_audio_features",
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |                   CAST(floor(value * 100 + 0.5) AS BIGINT) % 32 + 1 AS a,
+         |                   220 + (event_id % 5) * 110 AS f
+         |            FROM events),
+         |tt AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 64)),
+         |sm AS (SELECT ev.event_id, ev.event_type, ev.a, tt.t,
+         |              ev.a * CAST(floor(sin(2 * pi() * ev.f * tt.t / 8000) * 1e3 + 0.5)
+         |                          AS BIGINT) AS s
+         |       FROM ev CROSS JOIN tt),
+         |w AS (SELECT event_id, event_type, t, s,
+         |             lag(s) OVER (PARTITION BY event_id ORDER BY t) AS sp
+         |      FROM sm),
+         |cl AS (SELECT event_id, event_type,
+         |              CAST(sum(CASE WHEN sp IS NOT NULL AND (s < 0) <> (sp < 0)
+         |                            THEN 1 ELSE 0 END) AS BIGINT) AS flips,
+         |              CAST(sum(s * s) AS BIGINT) AS energy,
+         |              CAST(max(abs(s)) AS BIGINT) AS peak
+         |       FROM w GROUP BY 1, 2),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_clips,
+         |             CAST(sum(flips) AS BIGINT) AS tf,
+         |             CAST(sum(energy) AS BIGINT) AS te,
+         |             CAST(max(peak) AS BIGINT) AS mp
+         |      FROM cl GROUP BY 1)
+         |SELECT event_type, n_clips, CAST(8000 AS BIGINT) AS sample_rate,
+         |       ${Q.sqlR6("CAST(tf AS DOUBLE) / (n_clips * 63.0)")} AS mean_zcr,
+         |       ${Q.sqlR2("CAST(te AS DOUBLE) / (n_clips * 64.0)")} AS mean_energy,
+         |       mp AS max_peak
+         |FROM g
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      audioClips(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_clips"),
+          max("sample_rate").cast("long").as("sample_rate"),
+          sum("flips").as("tf"), sum("energy").as("te"),
+          max("peak").as("mp"))
+        .select(col("event_type"), col("n_clips"), col("sample_rate"),
+          Q.r6(col("tf").cast("double") / (col("n_clips") * lit(63.0))).as("mean_zcr"),
+          Q.r2(col("te").cast("double") / (col("n_clips") * lit(64.0))).as("mean_energy"),
+          col("mp").as("max_peak"))
+        .orderBy("event_type")
     }
   )
 

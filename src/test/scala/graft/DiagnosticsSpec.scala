@@ -81,6 +81,34 @@ class DiagnosticsSpec extends SparkSpec {
     ((h & Long.MaxValue) % m).toInt
   }
 
+  test("q_audio_features: the WAV round trip reproduces an independent sample recomputation") {
+    // one purchase clip (event_id 0 → 220 Hz, value 0.05 → a = 6) and
+    // one click clip (event_id 1 → 330 Hz, value 1.00 → a = 5): the
+    // query must reach, THROUGH real RIFF/WAVE bytes, exactly the
+    // features this test recomputes from the closed-form samples
+    def s3(f: Long, t: Int) =
+      math.floor(math.sin(2 * math.Pi * f * t / 8000) * 1e3 + 0.5).toLong
+    def feats(f: Long, a: Long): (Long, Long, Long) = {
+      val s = (0 until 64).map(t => a * s3(f, t))
+      val flips = (1 until 64).count(t => (s(t) < 0) != (s(t - 1) < 0)).toLong
+      (flips, s.map(x => x * x).sum, s.map(math.abs).max)
+    }
+    val dir = valuedEventsDir("diag_audio",
+      Seq((0L, "purchase", 0.05), (1L, "click", 1.00)))
+    val out = run("q_audio_features", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    def lat(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    for ((ty, f, a) <- Seq(("purchase", 220L, 6L), ("click", 330L, 5L))) {
+      val (flips, energy, peak) = feats(f, a)
+      val r = out(ty)
+      assert(r.getAs[Long]("n_clips") === 1L)
+      assert(r.getAs[Long]("sample_rate") === 8000L, "rate must come from the parsed header")
+      assert(r.getAs[Double]("mean_zcr") === lat(flips / 63.0, 1e6))
+      assert(r.getAs[Double]("mean_energy") === lat(energy / 64.0, 1e2))
+      assert(r.getAs[Long]("max_peak") === peak)
+    }
+  }
+
   test("q_word_len_hist: a planted token mix reads exact bands, shares and mean") {
     def lat(x: Double, s: Double) = math.floor(x * s + 0.5) / s
     // tokens: a(1) bb(2) ccc(3) dddd(4) a(1) + one 20-char token → band 15

@@ -381,6 +381,30 @@ class OverflowHeadroomSpec extends SparkSpec {
       }),
       maxAbs = 1e38 / 2.0),
 
+    Site("q_pinball", "unit",
+      "dp/dn = Σd⁺/Σd⁻ over integer daily-count residuals — ≤ total event "
+        + "rows; no lattice of its own (the source scan attributes "
+        + "SeriesTests' trailing shared-fold lattices to the file's last "
+        + "Q block; those folds are audited under their own ops' rows)",
+      "linear (Σ|d| ≤ N)", 1e6, sf => 2 * evN(sf), None),
+
+    Site("q_sq8_recall", "1e4",
+      "ae4 = Σcands |s4 − t4| with both scores on the ±1e4 cosine lattice "
+        + "— ≤ 2e4 per candidate pair",
+      "linear (candidates = embeddings rows; ~5e4·sf vectors)", 1e6,
+      sf => 2e4 * 5e4 * math.max(sf, 1e-3), None),
+
+    Site("q_audio_features", "1e3",
+      "per-type te = Σclips Σt (a·s3)² with a ≤ 32, |s3| ≤ 1e3, 64 samples "
+        + "— ≤ 6.554e10 per clip (the sine floors onto the 1e3 lattice "
+        + "BEFORE the integer amplitude multiply, so samples are exact int)",
+      "SF (clips ∝ events)", 50, sf => 64.0 * 32 * 1000 * 32 * 1000 * evN(sf),
+      Some((s, d) => dmax {
+        graft.ops.Multimodal.audioClips(s, d)
+          .groupBy("event_type").agg(sum("energy").as("te"))
+          .agg(max("te").cast("double"))
+      })),
+
     Site("q_ansari_bradley", "1e3",
       "ab3 = Σ floor(c1·S_run/t·1e3) ≤ (N²/2)·1e3 over the cents grid (N = "
         + "purchase+click rows)",
