@@ -193,10 +193,14 @@ object Multimodal {
   /** An "audio" row: payload is a REAL RIFF/WAVE PCM16 stream. */
   final case class AudioIn(event_id: Long, event_type: String, payload: Array[Byte])
 
-  /** Per-clip integer DSP features off the DECODED samples. */
+  /** Per-clip integer DSP features off the DECODED samples.
+    * quiet_run = the longest consecutive run of samples with
+    * 10·|s| < peak (below 10% of the clip's own full scale) — the
+    * silence-gap signal a trim/segmentation pass keys on. */
   final case class AudioClip(event_id: Long, event_type: String,
                              sample_rate: Int, n_samples: Int,
-                             flips: Long, energy: Long, peak: Long)
+                             flips: Long, energy: Long, peak: Long,
+                             quiet_run: Long)
 
   /** Deterministic PCM synthesis: a 64-sample 8 kHz mono sine clip
     * whose frequency keys off event_id (220..660 Hz in 110 Hz steps)
@@ -268,7 +272,16 @@ object Multimodal {
         if (math.abs(s) > peak) peak = math.abs(s)
         t += 1
       }
-      AudioClip(r.event_id, r.event_type, rate, n, flips, energy, peak)
+      // second pass: longest sub-10%-of-peak run (needs peak first)
+      var quiet = 0L; var run = 0L
+      t = 0
+      while (t < n) {
+        val s = le16(44 + t * 2).toShort.toLong
+        if (10 * math.abs(s) < peak) { run += 1; if (run > quiet) quiet = run }
+        else run = 0
+        t += 1
+      }
+      AudioClip(r.event_id, r.event_type, rate, n, flips, energy, peak, quiet)
     }
   }
 
@@ -616,6 +629,61 @@ object Multimodal {
           Q.r6(col("tf").cast("double") / (col("n_clips") * lit(63.0))).as("mean_zcr"),
           Q.r2(col("te").cast("double") / (col("n_clips") * lit(64.0))).as("mean_energy"),
           col("mp").as("max_peak"))
+        .orderBy("event_type")
+    },
+
+    // Audio silence-gap screen (round 17): per decoded clip, the
+    // longest consecutive run of samples under 10% of the clip's OWN
+    // peak (the threshold a trim/segmentation pass keys on — relative
+    // scale, so a quiet clip is not all-"silence"), rolled up per type
+    // as mean quiet share, the longest gap seen, and how many clips
+    // carry a ≥8-sample gap. Rides the SAME decoded-clip frame as
+    // q_audio_features (one WAV parse serves both); the 10·|s| < peak
+    // decision is a cross-multiplied INTEGER comparison, runs are
+    // exact ints (oracle: gaps-and-islands over the re-derived
+    // samples), and the rollup is |types|-bounded.
+    Q("q_audio_silence",
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |                   CAST(floor(value * 100 + 0.5) AS BIGINT) % 32 + 1 AS a,
+         |                   220 + (event_id % 5) * 110 AS f
+         |            FROM events),
+         |tt AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 64)),
+         |sm AS (SELECT ev.event_id, ev.event_type, tt.t,
+         |              ev.a * CAST(floor(sin(2 * pi() * ev.f * tt.t / 8000) * 1e3 + 0.5)
+         |                          AS BIGINT) AS s
+         |       FROM ev CROSS JOIN tt),
+         |pk AS (SELECT event_id, CAST(max(abs(s)) AS BIGINT) AS mx FROM sm GROUP BY 1),
+         |qs AS (SELECT sm.event_id, sm.event_type, sm.t
+         |       FROM sm JOIN pk USING (event_id) WHERE 10 * abs(sm.s) < pk.mx),
+         |gi AS (SELECT event_id, event_type,
+         |              t - row_number() OVER (PARTITION BY event_id ORDER BY t) AS grp
+         |       FROM qs),
+         |runs AS (SELECT event_id, event_type, CAST(count(*) AS BIGINT) AS run
+         |         FROM gi GROUP BY event_id, event_type, grp),
+         |cq AS (SELECT event_id, CAST(max(run) AS BIGINT) AS quiet_run
+         |       FROM runs GROUP BY 1),
+         |al AS (SELECT ev.event_type,
+         |              CAST(coalesce(cq.quiet_run, 0) AS BIGINT) AS quiet_run
+         |       FROM ev LEFT JOIN cq ON ev.event_id = cq.event_id)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_clips,
+         |       ${Q.sqlR6("CAST(sum(quiet_run) AS DOUBLE) / (count(*) * 64.0)")}
+         |         AS mean_quiet_share,
+         |       CAST(max(quiet_run) AS BIGINT) AS max_quiet_run,
+         |       CAST(sum(CASE WHEN quiet_run >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_gapped
+         |FROM al
+         |GROUP BY 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      audioClips(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_clips"),
+          sum("quiet_run").as("tq"),
+          max("quiet_run").as("max_quiet_run"),
+          sum(when(col("quiet_run") >= 8, 1L).otherwise(0L)).as("n_gapped"))
+        .select(col("event_type"), col("n_clips"),
+          Q.r6(col("tq").cast("double") / (col("n_clips") * lit(64.0)))
+            .as("mean_quiet_share"),
+          col("max_quiet_run"), col("n_gapped"))
         .orderBy("event_type")
     }
   )

@@ -107,6 +107,23 @@ class DiagnosticsSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_energy") === lat(energy / 64.0, 1e2))
       assert(r.getAs[Long]("max_peak") === peak)
     }
+    // the silence screen rides the same decoded clips: recompute the
+    // longest sub-10%-of-peak run from the closed-form samples
+    val sil = run("q_audio_silence", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    for ((ty, f, a) <- Seq(("purchase", 220L, 6L), ("click", 330L, 5L))) {
+      val s = (0 until 64).map(t => a * s3(f, t))
+      val peak = s.map(math.abs).max
+      var quiet = 0; var runLen = 0
+      for (x <- s) {
+        if (10 * math.abs(x) < peak) { runLen += 1; quiet = math.max(quiet, runLen) }
+        else runLen = 0
+      }
+      val r = sil(ty)
+      assert(r.getAs[Long]("max_quiet_run") === quiet.toLong)
+      assert(r.getAs[Double]("mean_quiet_share") === lat(quiet / 64.0, 1e6))
+      assert(r.getAs[Long]("n_gapped") === (if (quiet >= 8) 1L else 0L))
+    }
   }
 
   test("q_word_len_hist: a planted token mix reads exact bands, shares and mean") {

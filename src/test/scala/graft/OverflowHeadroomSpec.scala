@@ -394,6 +394,12 @@ class OverflowHeadroomSpec extends SparkSpec {
       "linear (candidates = embeddings rows; ~5e4·sf vectors)", 1e6,
       sf => 2e4 * 5e4 * math.max(sf, 1e-3), None),
 
+    Site("q_audio_silence", "1e3",
+      "Σ quiet_run ≤ 64 per clip (the 1e3 lattice is the shared sample "
+        + "synthesis audited under q_audio_features; this screen's own "
+        + "folds are run lengths and conditional counts)",
+      "linear (≤ 64·clips)", 1e6, sf => 64 * evN(sf), None),
+
     Site("q_audio_features", "1e3",
       "per-type te = Σclips Σt (a·s3)² with a ≤ 32, |s3| ≤ 1e3, 64 samples "
         + "— ≤ 6.554e10 per clip (the sine floors onto the 1e3 lattice "
