@@ -329,6 +329,38 @@ object Joins {
           countDistinct(col("o_custkey")).as("n_custs"),
           Q.r2(sum(col("o_totalprice"))).as("sum_price"))
         .orderBy("o_orderpriority")
+    },
+
+    // LATERAL (correlated table-subquery) join (round 17): per nation,
+    // the top-2 customers by cents balance through Spark 4's
+    // Dataset.lateralJoin with an .outer() correlated reference — the
+    // remaining subquery face beside q_exists_subquery (predicate) and
+    // q_scalar_subquery (scalar). Catalyst DECORRELATES the per-row
+    // limit into a window-over-join plan (DecorrelateInnerQuery), so
+    // the executed shape is one nation-keyed exchange + rank filter —
+    // never a per-nation re-scan of customer, which is what makes the
+    // lateral surface safe at 100 TB. Balance is exact cents; ties
+    // break on c_custkey in both engines.
+    Q("q_join_lateral",
+      """SELECT n.n_name, c.c_custkey, c.bal
+        |FROM nation n,
+        |     LATERAL (SELECT c_custkey,
+        |                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        |              FROM customer
+        |              WHERE c_nationkey = n.n_nationkey
+        |              ORDER BY bal DESC, c_custkey
+        |              LIMIT 2) c
+        |ORDER BY n.n_name, c.bal DESC, c.c_custkey""".stripMargin) { (s, d) =>
+      val n = Tables.load(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal"))
+      n.lateralJoin(
+          c.where(col("c_nationkey") === col("n_nationkey").outer())
+            .orderBy(col("bal").desc, col("c_custkey"))
+            .limit(2))
+        .select(col("n_name"), col("c_custkey"), col("bal"))
+        .orderBy(col("n_name"), col("bal").desc, col("c_custkey"))
     }
   )
 

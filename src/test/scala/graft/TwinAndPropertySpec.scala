@@ -1695,6 +1695,25 @@ class TwinAndPropertySpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex(c)), s"$c must be NULL on a constant-balance family")
   }
 
+  test("q_join_lateral: a planted balance ladder reads each nation's exact top-2") {
+    import spark.implicits._
+    val dir = tempDir("tp_lateral")
+    // nation 0: balances 5, 3, 1 → top-2 = (500, 300); nation 1: a tie
+    // at 7.00 broken by custkey ASC → (custkey 4, then 5)
+    Seq((1L, "c", 0, 5.0), (2L, "c", 0, 3.0), (3L, "c", 0, 1.0),
+      (4L, "c", 1, 7.0), (5L, "c", 1, 7.0), (6L, "c", 1, 2.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0, "ALPHA", 0), (1, "BETA", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = SparkEntry.queries("q_join_lateral")(spark, dir).collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("c_custkey"), r.getAs[Long]("bal")))
+    assert(got.toSeq === Seq(
+      ("ALPHA", 1L, 500L), ("ALPHA", 2L, 300L),
+      ("BETA", 4L, 700L), ("BETA", 5L, 700L)))
+  }
+
   test("q_sq8_recall: planted clusters keep their top-1 through int8 quantization") {
     // two sign-separated clusters: the int8 grid spans [-1.04, 1.04]
     // per dim, so a ~0.008 quantization step cannot flip a ~2.0
