@@ -621,6 +621,72 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // Huber M-estimator of location per event type (round 17): the
+    // IRLS completion of the robust family — q_mad_outliers flags,
+    // q_winsorize clamps, q_sigma_clip drops; Huber DOWNWEIGHTS
+    // (w = min(1, k/|v−μ|), k = 1.345·1.4826·MAD — 95% efficient at
+    // the normal, bounded influence under contamination) and re-fits
+    // μ for 3 fixed rounds from the exact cents median. Determinism:
+    // median and MAD are exact integer first-crossings on the
+    // (type, cents) grid; each round's weight is ONE mirrored tree
+    // (the |v−μ| ≤ k branch avoids any 0/0 even at MAD = 0) floored
+    // to the 1e6 lattice per CELL before the order-free int64 sums,
+    // so both engines fold identical integers; μ is one division per
+    // round. Everything below the corpus agg is grid-bounded; the
+    // ≤|types|-row parameter frame broadcasts each round.
+    Q("q_huber", {
+      val w = (mu: String) =>
+        s"""CASE WHEN CAST(abs(g.v - $mu) AS DOUBLE) <= p.k THEN 1.0
+           |     ELSE p.k / abs(g.v - $mu) END""".stripMargin
+      val round = (i: Int) => {
+        val p = if (i == 1) "k0" else s"p${i - 1}"
+        s"""r$i AS (SELECT g.g, p.n, p.med, p.mad, p.k, p.sv,
+           |             CAST(sum(g.c * CAST(floor((${w("p.mu")}) * 1e6 + 0.5) AS BIGINT)
+           |                      * g.v) AS BIGINT) AS swv,
+           |             CAST(sum(g.c * CAST(floor((${w("p.mu")}) * 1e6 + 0.5) AS BIGINT))
+           |                  AS BIGINT) AS sw
+           |      FROM g JOIN $p p USING (g) GROUP BY 1, 2, 3, 4, 5, 6),
+           |p$i AS (SELECT g, n, med, mad, k, sv,
+           |               CASE WHEN sw > 0 THEN CAST(swv AS DOUBLE) / sw
+           |                    ELSE CAST(med AS DOUBLE) END AS mu
+           |        FROM r$i)""".stripMargin
+      }
+      s"""WITH g AS (SELECT event_type AS g,
+         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         |                  CAST(count(*) AS BIGINT) AS c
+         |           FROM events GROUP BY 1, 2),
+         |cw AS (SELECT g, v, c,
+         |              CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+         |              CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+         |              CAST(sum(c * v) OVER (PARTITION BY g) AS BIGINT) AS sv
+         |       FROM g),
+         |m0 AS (SELECT g, CAST(max(n) AS BIGINT) AS n, CAST(max(sv) AS BIGINT) AS sv,
+         |              CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT) AS med
+         |       FROM cw GROUP BY 1),
+         |ad AS (SELECT g.g, abs(g.v - m0.med) AS d, CAST(sum(g.c) AS BIGINT) AS c
+         |       FROM g JOIN m0 USING (g) GROUP BY 1, 2),
+         |adw AS (SELECT g, d, c,
+         |               CAST(sum(c) OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS cum,
+         |               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+         |        FROM ad),
+         |md AS (SELECT g, CAST(min(CASE WHEN cum * 2 >= n THEN d END) AS BIGINT) AS mad
+         |       FROM adw GROUP BY 1),
+         |k0 AS (SELECT m0.g, m0.n, m0.med, md.mad, m0.sv,
+         |              1.345 * 1.4826 * md.mad AS k, CAST(m0.med AS DOUBLE) AS mu
+         |       FROM m0 JOIN md USING (g)),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT g AS event_type, n, med AS median_cents, mad AS mad_cents,
+         |       ${Q.sqlR4("CAST(sv AS DOUBLE) / n")} AS mean_cents,
+         |       ${Q.sqlR4("mu")} AS huber_cents
+         |FROM p3
+         |ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      huberOf(Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c")))
+    },
+
     // ABC (Pareto) classification of parts by revenue (round 10): rank
     // parts by total lineitem revenue, class A = the head covering 80%
     // of cumulative revenue, B = the next 15%, C = the tail — the
@@ -1869,5 +1935,59 @@ object Analytics {
       .select(col("event_type"), col("hh"), col("n"),
         Q.r6(col("n").cast("double") / col("tot")).as("share"))
       .orderBy("event_type", "hh")
+  }
+
+  /** The 3-round Huber IRLS fold over a (g, v, c) cents grid — ONE
+    * home shared by batch q_huber and the s_huber streaming read-time
+    * view (the cents grid is the mergeable state; a new event shifts
+    * median, MAD and every weight). Median/MAD are exact integer
+    * first-crossings; each round's weight floors onto the 1e6 lattice
+    * per cell before order-free int64 sums. */
+  private[graft] def huberOf(gridIn: DataFrame): DataFrame = {
+    val g = Q.snapshot(gridIn)
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("g")
+    val cw = g.withColumn("cum", sum("c").over(wg))
+      .withColumn("n", sum("c").over(wt))
+      .withColumn("sv", sum(col("c") * col("v")).over(wt))
+    val m0 = cw.groupBy("g").agg(max("n").as("n"), max("sv").as("sv"),
+      min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
+    val wd = Window.partitionBy("g").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val md = g.join(broadcast(m0.select("g", "med")), "g")
+      .groupBy(col("g"), abs(col("v") - col("med")).as("d"))
+      .agg(sum("c").as("c"))
+      .withColumn("cum", sum("c").over(wd))
+      .withColumn("nn", sum("c").over(wt))
+      .groupBy("g")
+      .agg(min(when(col("cum") * 2 >= col("nn"), col("d"))).as("mad"))
+    val k0 = m0.join(md, "g")
+      .select(col("g"), col("n"), col("med"), col("mad"), col("sv"),
+        (lit(1.345) * lit(1.4826) * col("mad")).as("k"),
+        col("med").cast("double").as("mu"))
+
+    def round(p: DataFrame): DataFrame = {
+      val w6 = floor(
+        when(abs(col("v") - col("mu")).cast("double") <= col("k"), lit(1.0))
+          .otherwise(col("k") / abs(col("v") - col("mu"))) * lit(1e6) + 0.5)
+        .cast("long")
+      g.join(broadcast(p), "g")
+        .groupBy("g")
+        .agg(max("n").as("n"), max("med").as("med"), max("mad").as("mad"),
+          max("k").as("k"), max("sv").as("sv"),
+          sum(col("c") * w6 * col("v")).as("swv"),
+          sum(col("c") * w6).as("sw"))
+        .select(col("g"), col("n"), col("med"), col("mad"), col("k"), col("sv"),
+          when(col("sw") > 0, col("swv").cast("double") / col("sw"))
+            .otherwise(col("med").cast("double")).as("mu"))
+    }
+
+    val p3 = round(Q.snapshot(round(Q.snapshot(round(Q.snapshot(k0))))))
+    p3.select(col("g").as("event_type"), col("n"),
+      col("med").as("median_cents"), col("mad").as("mad_cents"),
+      Q.r4(col("sv").cast("double") / col("n")).as("mean_cents"),
+      Q.r4(col("mu")).as("huber_cents"))
+      .orderBy("event_type")
   }
 }

@@ -1094,6 +1094,13 @@ object Streams {
   def logistic1dOf(grid: DataFrame): DataFrame =
     graft.ops.Mixture.logisticOf(grid)
 
+  /** Read-time Huber-location projection over a [[rankGrid]] — a new
+    * event shifts its type's median, MAD and every IRLS weight, so the
+    * robust location re-fits at read time; the grid is the mergeable
+    * state (s_huber). */
+  def huberOf(grid: DataFrame): DataFrame =
+    graft.ops.Analytics.huberOf(grid.withColumnRenamed("v100", "v"))
+
   /** The purchase (v, c) slice of a [[rankGrid]] — the mixture
     * models' bounded domain frame. */
   private def purchaseSlice(grid: DataFrame): DataFrame =

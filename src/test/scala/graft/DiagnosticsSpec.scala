@@ -81,6 +81,40 @@ class DiagnosticsSpec extends SparkSpec {
     ((h & Long.MaxValue) % m).toInt
   }
 
+  test("q_huber: a planted outlier is downweighted; zero MAD keeps the median") {
+    def lat4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // 1,2,3,4 + a 100.00 outlier (cents 100..400, 10000): med = 300,
+    // MAD = 100 — replicate the 3-round IRLS with the same 1e6 weight
+    // lattice and compare the r4 location
+    val dir = valuedEventsDir("diag_huber",
+      Seq((1L, "purchase", 1.0), (2L, "purchase", 2.0), (3L, "purchase", 3.0),
+        (4L, "purchase", 4.0), (5L, "purchase", 100.0)))
+    val r = run("q_huber", dir).head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("median_cents") === 300L)
+    assert(r.getAs[Long]("mad_cents") === 100L)
+    assert(r.getAs[Double]("mean_cents") === 2200.0)
+    val cells = Seq(100L, 200L, 300L, 400L, 10000L)
+    val k = 1.345 * 1.4826 * 100
+    var mu = 300.0
+    for (_ <- 1 to 3) {
+      val w6 = cells.map(v => math.floor(
+        (if (math.abs(v - mu) <= k) 1.0 else k / math.abs(v - mu)) * 1e6 + 0.5).toLong)
+      mu = cells.zip(w6).map { case (v, w) => w * v }.sum.toDouble / w6.sum
+    }
+    assert(r.getAs[Double]("huber_cents") === lat4(mu))
+    assert(r.getAs[Double]("huber_cents") < r.getAs[Double]("mean_cents"),
+      "the outlier must be downweighted below the raw mean")
+    // MAD = 0 (majority at one value): k = 0 zeroes every off-median
+    // weight and the location must stay AT the median — no 0/0 path
+    val d0 = valuedEventsDir("diag_huber0",
+      Seq((1L, "purchase", 1.0), (2L, "purchase", 1.0), (3L, "purchase", 1.0),
+        (4L, "purchase", 1.0), (5L, "purchase", 100.0)))
+    val r0 = run("q_huber", d0).head()
+    assert(r0.getAs[Long]("mad_cents") === 0L)
+    assert(r0.getAs[Double]("huber_cents") === 100.0)
+  }
+
   test("q_audio_features: the WAV round trip reproduces an independent sample recomputation") {
     // one purchase clip (event_id 0 → 220 Hz, value 0.05 → a = 6) and
     // one click clip (event_id 1 → 330 Hz, value 1.00 → a = 5): the

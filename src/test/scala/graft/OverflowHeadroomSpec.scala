@@ -381,6 +381,24 @@ class OverflowHeadroomSpec extends SparkSpec {
       }),
       maxAbs = 1e38 / 2.0),
 
+    Site("q_rfm_migration", "unit",
+      "segment-transition counts ≤ users (no lattice of its own — the "
+        + "source scan attributes Analytics' trailing huberOf 1e6 weight "
+        + "lattice to the file's last Q block; that fold is audited under "
+        + "the q_huber row)",
+      "linear (counts ≤ users)", 1e6, sf => evN(sf), None),
+
+    Site("q_huber", "1e6",
+      "per-type swv = Σ c·w6·v with w6 ≤ 1e6, v ≤ max cents — the IRLS "
+        + "weighted-sum fold (median/MAD crossings are plain counts)",
+      "linear (≤ 1e6·maxcents·N; maxcents ≈ 1e5)", 10,
+      sf => 1e6 * 1e5 * evN(sf),
+      Some((s, d) => dmax {
+        Tables.events(s, d)
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("v"))
+          .agg((sum("v") * 1e6).as("m")).select(max("m"))
+      })),
+
     Site("q_pinball", "unit",
       "dp/dn = Σd⁺/Σd⁻ over integer daily-count residuals — ≤ total event "
         + "rows; no lattice of its own (the source scan attributes "

@@ -234,7 +234,7 @@ class StreamingSpec extends SparkSpec {
       // state-size pin (r17, verdict #5): the materialized state is
       // exactly one row per occupied (type, cent) cell — bounded by
       // |types| × |cents-domain|, never by corpus size. SURVEY §2.9's
-      // boundedness argument for all 7 rankGrid faces, asserted.
+      // boundedness argument for all 8 rankGrid faces, asserted.
       val ev = Tables.events(spark, sfDir)
       val occupied = ev.select(col("event_type"),
         org.apache.spark.sql.functions.floor(col("value") * 100 + 0.5).cast("long"))
@@ -265,6 +265,8 @@ class StreamingSpec extends SparkSpec {
         rows1(SparkEntry.queries("q_gmm_em")(spark, sfDir)), "GMM EM")
       assert(rows1(Streams.logistic1dOf(grid)) ===
         rows1(SparkEntry.queries("q_logistic_1d")(spark, sfDir)), "logistic")
+      assert(rows1(Streams.huberOf(grid)) ===
+        rows1(SparkEntry.queries("q_huber")(spark, sfDir)), "Huber")
     }
   }
 
