@@ -129,20 +129,22 @@ object Bench {
     // of the same ~1950-char budget the rotating tail needs, and a
     // couple of verbose exceptions would otherwise evict dozens of
     // per-query timings from driver-side attribution. The leading
-    // package path is stripped before the 24-char cap (renegotiation
-    // #4 at the 318-query surface: "java.lang." spent a third of the
-    // cap saying nothing — the SIMPLE class name + message head is
+    // package path is stripped before the cap (renegotiation #4 at
+    // the 318-query surface: "java.lang." spent a third of the cap
+    // saying nothing — the SIMPLE class name + message head is
     // strictly more informative per char). Error KEYS render through
-    // shortName and the cap is 32→24 since the 405-query surface
-    // (renegotiation #6: the chooser simulation left did/zip_fit/
-    // zorder unreported under a 6-failure round with full-name error
-    // keys — ~14 chars × fails buys the kept slots back; the history
-    // test normalizes keys through the idempotent shortName, so pre-
-    // and post-renegotiation BENCH files still compare). Earlier:
-    // 60→32 cap at 295 queries; errors-only reporting at 308.
+    // shortName (renegotiation #6 at 405 queries: 32→24 text). The cap
+    // is 24→16 since the 423-query surface (renegotiation #7: the
+    // flapping-failure simulation left dis_ngra unreported when a
+    // 6-failure round landed on its quarter — 16 still names the
+    // exception class, the driver's loud path is stderr + a nonzero
+    // exit either way, and ~8 chars × fails buys the truncated quarter
+    // tail back; verified hole-free across all 12 phases × 3 failure
+    // variants at this surface). Earlier: 60→32 at 295 queries;
+    // errors-only reporting at 308.
     val errList = runs.collect { case (k, Left(e)) =>
       jstr(shortName(k)) + ":" +
-        jstr(e.replaceFirst("^([a-z0-9_]+\\.)+(?=[A-Z])", "").take(24))
+        jstr(e.replaceFirst("^([a-z0-9_]+\\.)+(?=[A-Z])", "").take(16))
     }
     val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
     def render(scale: Int, stripPrefix: Boolean): String = {
