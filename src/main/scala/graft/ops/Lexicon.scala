@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Q, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.{DataFrame, Encoders}
 
 /** Lexicon-level IR primitives over the documents corpus (SURVEY §2.10):
   * an inverted index, bigram association scoring (PMI-style lift),
@@ -683,17 +683,10 @@ object Lexicon {
          |       ${Q.sqlR4("CAST(t.tchars AS DOUBLE) / t.tot")} AS mean_len
          |FROM b JOIN t USING (lang)
          |ORDER BY lang, wlen""".stripMargin) { (s, d) =>
-      val b = Tables.load(s, d, "documents")
+      wordLenOf(Tables.load(s, d, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("lang"), least(length(col("tok")), lit(15)).as("wlen"))
-        .agg(count(lit(1)).as("n"), sum(length(col("tok"))).as("chars"))
-      val t = b.groupBy("lang").agg(sum("n").as("tot"), sum("chars").as("tchars"))
-      b.join(t, "lang")
-        .select(col("lang"), col("wlen").cast("long").as("wlen"),
-          col("n").as("n_words"),
-          Q.r6(col("n").cast("double") / col("tot")).as("share"),
-          Q.r4(col("tchars").cast("double") / col("tot")).as("mean_len"))
-        .orderBy("lang", "wlen")
+        .agg(count(lit(1)).as("n"), sum(length(col("tok"))).as("chars")))
     },
 
     // Character-class profile per source (round 17): shares of digit /
@@ -748,4 +741,19 @@ object Lexicon {
         .orderBy("source")
     }
   )
+
+  /** The word-length profile fold over a (lang, wlen, n, chars) band
+    * grid — ONE home shared by batch q_word_len_hist and the
+    * s_word_len_hist streaming read-time view (a new document shifts
+    * its bands' counts and every share re-normalizes; the ≤
+    * |langs|×15 band grid is the mergeable state). */
+  private[graft] def wordLenOf(b: DataFrame): DataFrame = {
+    val t = b.groupBy("lang").agg(sum("n").as("tot"), sum("chars").as("tchars"))
+    b.join(t, "lang")
+      .select(col("lang"), col("wlen").cast("long").as("wlen"),
+        col("n").as("n_words"),
+        Q.r6(col("n").cast("double") / col("tot")).as("share"),
+        Q.r4(col("tchars").cast("double") / col("tot")).as("mean_len"))
+      .orderBy("lang", "wlen")
+  }
 }

@@ -1101,6 +1101,21 @@ object Streams {
   def huberOf(grid: DataFrame): DataFrame =
     graft.ops.Analytics.huberOf(grid.withColumnRenamed("v100", "v"))
 
+  /** Streaming word-length band grid — the mergeable (lang, wlen,
+    * count, chars) state behind the s_word_len_hist read-time face:
+    * a plain streaming groupBy on the ≤ |langs|×15 band domain. */
+  def wordLenGrid(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), least(length(col("tok")), lit(15)).as("wlen"))
+      .agg(count(lit(1)).as("n"), sum(length(col("tok"))).as("chars"))
+
+  /** Read-time word-length profile projection over a [[wordLenGrid]]
+    * — every share re-normalizes as any band's count grows; the band
+    * grid is the mergeable state (s_word_len_hist). */
+  def wordLenOf(grid: DataFrame): DataFrame =
+    graft.ops.Lexicon.wordLenOf(grid)
+
   /** The purchase (v, c) slice of a [[rankGrid]] — the mixture
     * models' bounded domain frame. */
   private def purchaseSlice(grid: DataFrame): DataFrame =

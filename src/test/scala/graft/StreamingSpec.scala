@@ -518,6 +518,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_word_len_hist's streamed band grid reproduces the batch profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(String, String)]
+    val q = Streams.wordLenGrid(in.toDF().toDF("lang", "text"))
+      .writeStream.format("memory").queryName("t_wordlen")
+      .outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_wordlen"))
+      // state-size pin: one row per occupied (lang, band) cell —
+      // bounded by |langs| × 15, never by corpus size
+      val occupied = Tables.load(spark, sfDir, "documents")
+        .select(col("lang"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+        .select(col("lang"),
+          org.apache.spark.sql.functions.least(
+            org.apache.spark.sql.functions.length(col("tok")),
+            org.apache.spark.sql.functions.lit(15)).as("wlen"))
+        .distinct().count()
+      assert(grid.count() === occupied,
+        "wordLenGrid state must hold one row per occupied (lang, band) cell")
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.wordLenOf(grid)) ===
+        rows1(SparkEntry.queries("q_word_len_hist")(spark, sfDir)), "word-len profile")
+    }
+  }
+
   test("s_filter_cascade's streamed (hash, flags) grid reproduces the batch cascade attribution") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
