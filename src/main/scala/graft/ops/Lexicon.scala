@@ -716,14 +716,19 @@ object Lexicon {
          |             CAST(sum(sp) AS BIGINT) AS sp, CAST(sum(ot) AS BIGINT) AS ot
          |      FROM c GROUP BY 1)
          |SELECT source, n_docs, n_chars,
-         |       ${Q.sqlR6("CAST(dg AS DOUBLE) / n_chars")} AS digit_share,
-         |       ${Q.sqlR6("CAST(up AS DOUBLE) / n_chars")} AS upper_share,
-         |       ${Q.sqlR6("CAST(sp AS DOUBLE) / n_chars")} AS space_share,
-         |       ${Q.sqlR6("CAST(ot AS DOUBLE) / n_chars")} AS other_share,
+         |       CASE WHEN n_chars > 0 THEN ${Q.sqlR6("CAST(dg AS DOUBLE) / n_chars")} END AS digit_share,
+         |       CASE WHEN n_chars > 0 THEN ${Q.sqlR6("CAST(up AS DOUBLE) / n_chars")} END AS upper_share,
+         |       CASE WHEN n_chars > 0 THEN ${Q.sqlR6("CAST(sp AS DOUBLE) / n_chars")} END AS space_share,
+         |       CASE WHEN n_chars > 0 THEN ${Q.sqlR6("CAST(ot AS DOUBLE) / n_chars")} END AS other_share,
          |       ${Q.sqlR2("CAST(n_chars AS DOUBLE) / n_docs")} AS mean_doc_chars
          |FROM g
          |ORDER BY source""".stripMargin) { (s, d) =>
       def strip(pat: String) = length(regexp_replace(col("text"), pat, "")).cast("long")
+      // n_chars > 0 guard (r18 ADVICE): an all-empty-text source is
+      // 0/0 — Spark (non-ANSI) would emit NULL while DuckDB's IEEE
+      // division yields NaN; the CASE makes both engines emit NULL.
+      def share(c: String) = when(col("n_chars") > 0,
+        Q.r6(col(c).cast("double") / col("n_chars")))
       Tables.load(s, d, "documents")
         .select(col("source"), length(col("text")).cast("long").as("n"),
           strip("[^0-9]").as("dg"), strip("[^A-Z]").as("up"),
@@ -733,10 +738,8 @@ object Lexicon {
           sum("dg").as("dg"), sum("up").as("up"),
           sum("sp").as("sp"), sum("ot").as("ot"))
         .select(col("source"), col("n_docs"), col("n_chars"),
-          Q.r6(col("dg").cast("double") / col("n_chars")).as("digit_share"),
-          Q.r6(col("up").cast("double") / col("n_chars")).as("upper_share"),
-          Q.r6(col("sp").cast("double") / col("n_chars")).as("space_share"),
-          Q.r6(col("ot").cast("double") / col("n_chars")).as("other_share"),
+          share("dg").as("digit_share"), share("up").as("upper_share"),
+          share("sp").as("space_share"), share("ot").as("other_share"),
           Q.r2(col("n_chars").cast("double") / col("n_docs")).as("mean_doc_chars"))
         .orderBy("source")
     }

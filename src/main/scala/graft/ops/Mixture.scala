@@ -150,23 +150,23 @@ object Mixture {
            |               CAST(sum(CAST(floor(c * r1 * v * 1e3 + 0.5) AS BIGINT)) AS BIGINT) AS wv3,
            |               CAST(sum(CAST(floor(c * r1 * v * v + 0.5) AS BIGINT)) AS BIGINT) AS wvv
            |        FROM e$r),
-           |p$r AS (SELECT CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |p$r AS (SELECT CASE WHEN w9 > 0 AND w9 // 1000000000 < n THEN
            |                 (CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)
            |               ELSE pm1 END AS m1,
-           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |               CASE WHEN w9 > 0 AND w9 // 1000000000 < n THEN
            |                 (CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)
            |               ELSE pm2 END AS m2,
-           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |               CASE WHEN w9 > 0 AND w9 // 1000000000 < n THEN
            |                 greatest(CAST(wvv AS DOUBLE) / (CAST(w9 AS DOUBLE) / 1e9) -
            |                   ((CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)) *
            |                   ((CAST(wv3 AS DOUBLE) / 1e3) / (CAST(w9 AS DOUBLE) / 1e9)), 1.0)
            |               ELSE ps1 END AS s1,
-           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |               CASE WHEN w9 > 0 AND w9 // 1000000000 < n THEN
            |                 greatest((CAST(qv AS DOUBLE) - wvv) / (n - CAST(w9 AS DOUBLE) / 1e9) -
            |                   ((CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)) *
            |                   ((CAST(sv - wv3 / 1000 AS DOUBLE)) / (n - CAST(w9 AS DOUBLE) / 1e9)), 1.0)
            |               ELSE ps2 END AS s2,
-           |               CASE WHEN w9 > 0 AND w9 < n * 1000000000 THEN
+           |               CASE WHEN w9 > 0 AND w9 // 1000000000 < n THEN
            |                 (CAST(w9 AS DOUBLE) / 1e9) / n
            |               ELSE pp1 END AS p1
            |        FROM s$r)""".stripMargin
@@ -390,8 +390,11 @@ object Mixture {
       // Responsibility-collapse guard (r17, ADVICE): if ALL weight
       // lands on one component (w9 = 0 or w9 = n·1e9) the M-step
       // divides 0/0 — keep the previous iterate instead, identically
-      // in both engines (the logistic det>0 convention).
-      val ok = col("w9") > 0 && col("w9") < col("n") * lit(1000000000L)
+      // in both engines (the logistic det>0 convention). The bound is
+      // floor-division (w9 div 1e9 < n ⟺ w9 < n·1e9 for positive
+      // ints) so no int64 product can overflow past n ≈ 9.2e9 rows —
+      // Spark would wrap silently while DuckDB raises (r18 ADVICE).
+      val ok = col("w9") > 0 && expr("w9 div 1000000000") < col("n")
       st.select(when(ok, m1n).otherwise(col("pm1")).as("m1"),
         when(ok, m2n).otherwise(col("pm2")).as("m2"),
         when(ok, greatest(col("wvv").cast("double") / w - m1n * m1n, lit(1.0)))
