@@ -39,9 +39,66 @@ object Q {
     * ONE lost executor then fails the query instead of recomputing
     * (ops.Graph pioneered the pattern; GraphScaleSpec round-trips it).
     * Same results either way — only the recovery story changes. */
-  def snapshot(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  def snapshot(df: DataFrame): DataFrame = {
+    val out =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    out.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        recordSnapshotOrigin(r.rdd.id, df.queryExecution.optimizedPlan)
+    }
+    out
+  }
+
+  // Checkpointing truncates lineage to a LogicalRDD leaf, which would
+  // also erase the evidence PlanAuditSpec's broadcast-bound walk needs
+  // to prove a hinted build side bounded. Each snapshot therefore
+  // records its origin's optimized plan keyed by the materialized RDD
+  // id; the walk resolves LogicalRDD leaves through this registry
+  // (recursively, for chained snapshots). LRU-capped so a long-lived
+  // session never accumulates more than 4096 plans.
+  private val snapshotOriginsMap =
+    new java.util.LinkedHashMap[Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan](
+        64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+          : Boolean = size > 4096
+    }
+  private def recordSnapshotOrigin(
+      rddId: Int, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    snapshotOriginsMap.synchronized { snapshotOriginsMap.put(rddId, plan); () }
+  def snapshotOrigin(rddId: Int)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    snapshotOriginsMap.synchronized { Option(snapshotOriginsMap.get(rddId)) }
+
+  /** Size-guarded broadcast for CORPUS-DERIVED build sides (models,
+    * candidate sets) whose domain is bounded for this corpus but could
+    * outgrow a broadcast at another's (the q_ppl_bucket trigram LM on
+    * a CJK corpus): snapshot the frame, count the materialized rows
+    * (nearly free once checkpointed), and hint the broadcast ONLY
+    * under the bound — above it the join degrades to a plain shuffle
+    * join on the same keys. The decision is recorded per RDD id so
+    * PlanAuditSpec's broadcast-bound walk can verify the hint was
+    * row-guarded rather than assumed. Prefer an unhinted join (planner
+    * /AQE statistics) when the probe side is not pre-materialized; use
+    * this where the probe side IS a snapshot, because there AQE's
+    * conversion still pays the probe's map-side shuffle write first. */
+  def sizedBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
+    val snap = snapshot(df)
+    val n = snap.count()
+    snap.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        rowGuardsMap.synchronized { rowGuardsMap.put(r.rdd.id, (n, maxRows)); () }
+    }
+    if (n <= maxRows) broadcast(snap) else snap
+  }
+  private val rowGuardsMap =
+    new java.util.LinkedHashMap[Int, (Long, Long)](64, 0.75f, false) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Int, (Long, Long)])
+          : Boolean = size > 4096
+    }
+  def rowGuard(rddId: Int): Option[(Long, Long)] =
+    rowGuardsMap.synchronized { Option(rowGuardsMap.get(rddId)) }
 
   /** round to 2 decimals, identical formula in Spark and DuckDB. */
   def r2(c: Column): Column = floor(c * 100 + 0.5) / 100

@@ -827,8 +827,12 @@ object Statistics {
         .join(Tables.load(s, d, "nation"),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name"))
+      // No hint on the customer→nation chain: customer GROWS with SF
+      // (a forced broadcast breaks at 100 TB), so the planner/AQE
+      // size-decides — broadcast at bench scale, shuffle join beyond
+      // the threshold (r18, the broadcast-bound walk's one catch).
       val daily = Tables.load(s, d, "orders")
-        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"),
           datediff(col("o_orderdate").cast(DateType), to_date(lit("1995-01-01")))
             .cast("long").as("x"))
@@ -2190,7 +2194,9 @@ object Statistics {
         .select(col("s_suppkey"), col("s_nationkey"))
       val nat = Tables.load(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"))
-      sr.join(broadcast(supp), sr("l_suppkey") === supp("s_suppkey"))
+      // supplier grows with SF — no broadcast hint; the planner/AQE
+      // size-decides (r18 broadcast-bound walk).
+      sr.join(supp, sr("l_suppkey") === supp("s_suppkey"))
         .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_suppliers"),
@@ -2340,7 +2346,9 @@ object Statistics {
         .select(col("n_nationkey"), col("n_name"))
       val wn = Window.partitionBy("n_name")
       val wall = Window.partitionBy()
-      sr.join(broadcast(supp), sr("l_suppkey") === supp("s_suppkey"))
+      // supplier grows with SF — no broadcast hint; the planner/AQE
+      // size-decides (r18 broadcast-bound walk).
+      sr.join(supp, sr("l_suppkey") === supp("s_suppkey"))
         .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
         .withColumn("xg", sum("rev").over(wn))
         .withColumn("ng", count(lit(1)).over(wn))

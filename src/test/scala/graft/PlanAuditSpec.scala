@@ -1231,4 +1231,115 @@ class PlanAuditSpec extends SparkSpec {
       assert(scans === 1, s"$name must scan events exactly once, got $scans:\n$plan")
     }
   }
+
+  test("NO declared plan broadcast-HINTS an unbounded build side") {
+    // The global-window walk's sibling (round 18 — the r17 verdict's
+    // #1): an explicit broadcast() hint OVERRIDES the planner's size
+    // estimate and AQE's runtime check — the build side ships to every
+    // executor no matter how big it turns out. That is only legal when
+    // the hinted subtree is PROVABLY bounded: collapsed by an
+    // aggregate over domain-bounded keys, cut by a limit/bounded
+    // top-k, a literal range/local relation, a probe filter (a fixed
+    // modulo slice of an id space), or a fixed-size catalog dim
+    // (nation/region — 25/5 rows at EVERY scale factor). An aggregate
+    // grouped by a CONTENT key (token, shingle, gram, trigram, doc id)
+    // bounds nothing — Heaps' law grows those domains with the
+    // corpus — unless ITS input was already bounded by one of the
+    // shapes above. Corpus-derived models that may outgrow a broadcast
+    // at 100 TB (the q_ppl_bucket trigram LM) must carry NO hint and
+    // let the planner/AQE size the build at runtime — unhinted joins
+    // are engine-size-guarded by construction and pass this walk.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
+      GlobalLimit, HintInfo, Join, LocalLimit, LocalRelation, LogicalPlan,
+      Range => LRange}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // This set must only SHRINK; every addition needs a written
+    // rationale on its own line and a dedicated plan test elsewhere.
+    val exempt = Set.empty[String]
+    val contentKeys = Set("w", "tok", "shingle", "gram", "doc_id", "prefix",
+      "band_key", "h", "text", "tri", "vec_id")
+    def isBroadcast(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.contains(BROADCAST))
+    def keyNames(a: Aggregate): Seq[String] =
+      a.groupingExpressions.flatMap(_.references.toSeq.map(_.name)).distinct
+    // The probe-set idioms: a modulo slice of an id space (every Nth
+    // vector/doc becomes a probe), a literal comparison pinning an id
+    // column to a fixed prefix/point (vec_id < 10), or the repo's
+    // deterministic md5(id) sample slice. Each selects a
+    // query-constant-sized (or fixed-tiny-fraction benchmark-style)
+    // set; a VALUE predicate on a fact column (price > x) is NOT a
+    // probe — it keeps a scale-growing fraction.
+    def isProbe(f: LFilter): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, BinaryComparison, Literal}
+      val s = f.condition.toString
+      s.contains(" % ") || s.contains("md5(") || f.condition.exists {
+        case c: BinaryComparison => Seq(c.left, c.right).exists {
+          case a: AttributeReference => a.name.endsWith("_id")
+          case _ => false
+        } && Seq(c.left, c.right).exists(_.isInstanceOf[Literal])
+        case _ => false
+      }
+    }
+    def bounded(p: LogicalPlan): Option[String] = p match {
+      case a: Aggregate =>
+        val bad = keyNames(a).filter(contentKeys)
+        if (bad.isEmpty) Some(s"agg[${keyNames(a).mkString(",")}]")
+        else bounded(a.child).map(r => s"content-agg over $r")
+      case _: GlobalLimit | _: LocalLimit => Some("limit")
+      case _: LRange => Some("literal-range")
+      case _: LocalRelation => Some("literal-table")
+      case f: LFilter if isProbe(f) => Some("probe-filter")
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        // a row-guarded broadcast (Q.sizedBroadcast counted the
+        // materialized frame and hinted only under its bound) is
+        // bounded by the guard itself; otherwise resolve the
+        // checkpoint back to its recorded origin plan and classify
+        // THAT (chained snapshots recurse)
+        Q.rowGuard(r.rdd.id).map { case (n, cap) => s"row-guard($n<=$cap)" }
+          .orElse(Q.snapshotOrigin(r.rdd.id).flatMap(bounded(_))
+            .map(o => s"snapshot of $o"))
+      case r: LogicalRelation =>
+        import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+        val path = r.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.headOption.map(_.getName).getOrElse("")
+          case _ => ""
+        }
+        if (path.startsWith("nation") || path.startsWith("region"))
+          Some(s"fixed-dim $path")
+        else None
+      case other if other.children.nonEmpty =>
+        // transparent single-child ops recurse; a join/union build is
+        // bounded only when EVERY input is (a bounded dim joined to a
+        // fact is fact-sized — one bounded side proves nothing)
+        val kids = other.children.map(bounded(_))
+        if (kids.forall(_.isDefined)) Some(kids.flatten.mkString("+")) else None
+      case _ => None
+    }
+    def trees(p: LogicalPlan): Seq[LogicalPlan] = {
+      val nodes = p.collect { case n => n }
+      nodes ++ nodes.flatMap(_.subqueries.flatMap(trees))
+    }
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    (SparkEntry.queries.keySet -- exempt).toSeq.sorted.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      trees(lp).foreach {
+        case j: Join =>
+          val sides = Seq(
+            (isBroadcast(j.hint.leftHint), j.left, "left"),
+            (isBroadcast(j.hint.rightHint), j.right, "right"))
+          sides.foreach { case (hinted, side, which) =>
+            if (hinted && bounded(side).isEmpty)
+              violations += s"$name: broadcast-hinted $which side is not " +
+                s"provably bounded:\n$side"
+          }
+        case _ =>
+      }
+    }
+    assert(violations.isEmpty,
+      s"${violations.size} unbounded broadcast-hinted build side(s):\n\n" +
+        violations.mkString("\n\n"))
+  }
 }
