@@ -1239,6 +1239,180 @@ object Similarity {
           when(col("top1_exact") === col("top1_sq8"), 1).otherwise(0).as("agree"),
           Q.r6(col("ae4").cast("double") / (col("m") * lit(1e4))).as("mean_abs_err"))
         .orderBy("probe_id")
+    },
+
+    // Product-quantization audit (round 18 — the r17 verdict's #2,
+    // completing the compression family beside q_sq8_recall): split
+    // each 64-dim embedding into m=4 subspaces of 16 dims, learn a
+    // 16-entry codebook per subspace with two exact Lloyd rounds
+    // (init = the sub-vectors of vec_id 0..15; both engines fold the
+    // SAME int64 1e-6-lattice sufficient statistics, so the centroid
+    // update is order-free and bit-identical), assign each vector its
+    // nearest code per subspace (scores on the 1e-6 lattice, ties to
+    // the lowest code), reconstruct, and re-score the q_sim_brute
+    // probe set ASYMMETRICALLY (exact probe × reconstructed
+    // candidate — the ADC form a real PQ store serves): per probe
+    // exact vs PQ top-1, agreement, mean |Δcos|. Shape: codebooks are
+    // (m·K·dims)-bounded aggs broadcast for in-row assignment; the
+    // Lloyd exchanges key on (vec, subspace) / (subspace, code, dim)
+    // — the corpus never self-joins; re-score is probe-bounded. At
+    // 100 TB this is THE deployed layout (16 bytes/vector + 4 tiny
+    // codebooks); the audit calibrates its recall cost.
+    Q("q_pq_recall",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |ds AS (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS i),
+        |sub AS (SELECT vec_id, j, list_slice(de, j*16 + 1, j*16 + 16) AS sv
+        |        FROM e CROSS JOIN js),
+        |tr AS (SELECT * FROM sub WHERE vec_id < 1024),
+        |c0 AS (SELECT j, CAST(vec_id AS BIGINT) AS code, sv AS cv
+        |       FROM sub WHERE vec_id < 16),
+        |a1 AS (SELECT s.vec_id, s.j, s.sv, c.code,
+        |              CAST(floor((list_inner_product(s.sv, c.cv)
+        |                   - list_inner_product(c.cv, c.cv) / 2) * 1e6 + 0.5) AS BIGINT) AS sc6
+        |       FROM tr s JOIN c0 c ON s.j = c.j),
+        |b1 AS (SELECT vec_id, j, sv, code FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |                     ORDER BY sc6 DESC, code) AS rn FROM a1) WHERE rn = 1),
+        |u1 AS (SELECT b.j, b.code, d.i AS dim,
+        |              CAST(sum(CAST(floor(b.sv[d.i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM b1 b CROSS JOIN ds d GROUP BY 1, 2, 3),
+        |c1 AS (SELECT j, code,
+        |              list(CAST(floor(CAST(s6 AS DOUBLE) / n + 0.5) AS DOUBLE) / 1e6
+        |                   ORDER BY dim) AS cv
+        |       FROM u1 GROUP BY 1, 2),
+        |a2 AS (SELECT s.vec_id, s.j, s.sv, c.code,
+        |              CAST(floor((list_inner_product(s.sv, c.cv)
+        |                   - list_inner_product(c.cv, c.cv) / 2) * 1e6 + 0.5) AS BIGINT) AS sc6
+        |       FROM tr s JOIN c1 c ON s.j = c.j),
+        |b2 AS (SELECT vec_id, j, sv, code FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |                     ORDER BY sc6 DESC, code) AS rn FROM a2) WHERE rn = 1),
+        |u2 AS (SELECT b.j, b.code, d.i AS dim,
+        |              CAST(sum(CAST(floor(b.sv[d.i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM b2 b CROSS JOIN ds d GROUP BY 1, 2, 3),
+        |c2 AS (SELECT j, code,
+        |              list(CAST(floor(CAST(s6 AS DOUBLE) / n + 0.5) AS DOUBLE) / 1e6
+        |                   ORDER BY dim) AS cv
+        |       FROM u2 GROUP BY 1, 2),
+        |a3 AS (SELECT s.vec_id, s.j, c.code,
+        |              CAST(floor((list_inner_product(s.sv, c.cv)
+        |                   - list_inner_product(c.cv, c.cv) / 2) * 1e6 + 0.5) AS BIGINT) AS sc6
+        |       FROM sub s JOIN c2 c ON s.j = c.j),
+        |b3 AS (SELECT vec_id, j, code FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |                     ORDER BY sc6 DESC, code) AS rn FROM a3) WHERE rn = 1),
+        |rec AS (SELECT b.vec_id, b.j, c.cv
+        |        FROM b3 b JOIN c2 c ON b.j = c.j AND b.code = c.code),
+        |q AS (SELECT vec_id, flatten(list(cv ORDER BY j)) AS qe FROM rec GROUP BY 1),
+        |n0 AS (SELECT e.vec_id, e.de, q.qe,
+        |              sqrt(list_inner_product(e.de, e.de)) AS nrm,
+        |              sqrt(list_inner_product(q.qe, q.qe)) AS qnrm
+        |       FROM e JOIN q USING (vec_id)),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |             CAST(floor(list_inner_product(p.de, c.de) / (p.nrm * c.nrm)
+        |                  * 1e4 + 0.5) AS BIGINT) AS s4,
+        |             CAST(floor(list_inner_product(p.de, c.qe) / (p.nrm * c.qnrm)
+        |                  * 1e4 + 0.5) AS BIGINT) AS t4
+        |      FROM n0 p JOIN n0 c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY s4 DESC, cand_id) AS re,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY t4 DESC, cand_id) AS rq
+        |      FROM s),
+        |g AS (SELECT probe_id,
+        |             max(CASE WHEN re = 1 THEN cand_id END) AS top1_exact,
+        |             max(CASE WHEN re = 1 THEN s4 END) AS s1e4,
+        |             max(CASE WHEN rq = 1 THEN cand_id END) AS top1_pq,
+        |             max(CASE WHEN rq = 1 THEN t4 END) AS s1q4,
+        |             CAST(sum(abs(s4 - t4)) AS BIGINT) AS ae4,
+        |             CAST(count(*) AS BIGINT) AS m
+        |      FROM r GROUP BY 1)
+        |SELECT probe_id, top1_exact, CAST(s1e4 AS DOUBLE) / 1e4 AS exact_score,
+        |       top1_pq, CAST(s1q4 AS DOUBLE) / 1e4 AS pq_score,
+        |       CASE WHEN top1_exact = top1_pq THEN 1 ELSE 0 END AS agree,
+        |       floor((CAST(ae4 AS DOUBLE) / (m * 1e4))*1000000+0.5)/1000000 AS mean_abs_err
+        |FROM g
+        |ORDER BY probe_id""".stripMargin) { (s, d) =>
+      val e = widened(Tables.load(s, d, "embeddings")).select("vec_id", "de")
+      val sub = e
+        .select(col("vec_id"), col("de"), explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("vec_id"), col("j"), expr("slice(de, j*16 + 1, 16)").as("sv"))
+      // codebooks train on a FIXED-size deterministic sample (the
+      // classic ~64·K-vector PQ recipe) — the Lloyd rounds never scan
+      // the corpus; only the one final assignment pass does. The tiny
+      // training frame packs into one partition so each round is real
+      // work, not 32 near-empty tasks.
+      val train = sub.filter(col("vec_id") < 1024).coalesce(1)
+      val c0 = sub.filter(col("vec_id") < 16)
+        .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
+      // nearest code per (vector, subspace): argmin ‖x−c‖² as argmax
+      // x·c − c·c/2, both folds left-to-right like the oracle's
+      // list_inner_product, floored to the 1e-6 lattice BEFORE the
+      // comparison so the argmax is an integer decision in both
+      // engines; ties break to the lowest code id.
+      def assign(src: DataFrame, cbk: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "j")
+          .orderBy(col("sc6").desc, col("code"))
+        src.join(broadcast(cbk), "j")
+          .withColumn("sc6",
+            floor((dot("sv", "cv") - dot("cv", "cv") / lit(2.0)) * 1e6 + 0.5)
+              .cast("long"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("vec_id", "j", "sv", "code")
+      }
+      // Lloyd update: per (subspace, code, dim) the member components
+      // fold as exact int64 1e-6-lattice sums (order-free), the mean
+      // re-floors once — both engines build the identical centroid.
+      def update(b: DataFrame): DataFrame = b
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
+        .groupBy("j", "code", "p")
+        .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s6"),
+          count(lit(1)).as("n"))
+        .select(col("j"), col("code"), col("p"),
+          (floor(col("s6").cast("double") / col("n") + 0.5).cast("double") / 1e6)
+            .as("c"))
+        .groupBy("j", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(p, c))), z -> z.c)")
+          .as("cv"))
+      val c1 = Q.snapshot(update(assign(train, c0)))
+      val c2 = Q.snapshot(update(assign(train, c1)))
+      val b3 = assign(sub, c2).select("vec_id", "j", "code")
+      val q = b3.join(broadcast(c2), Seq("j", "code"))
+        .groupBy("vec_id")
+        .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cv))), z -> z.cv))")
+          .as("qe"))
+      val n0 = e.join(q, "vec_id")
+        .withColumn("nrm", sqrt(dot("de", "de")))
+        .withColumn("qnrm", sqrt(dot("qe", "qe")))
+      val probes = n0.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("de").as("pde"), col("nrm").as("pnrm"))
+      val pairs = n0.crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          floor(dot("pde", "de") / (col("pnrm") * col("nrm")) * 1e4 + 0.5)
+            .cast("long").as("s4"),
+          floor(dot("pde", "qe") / (col("pnrm") * col("qnrm")) * 1e4 + 0.5)
+            .cast("long").as("t4"))
+      val we = Window.partitionBy("probe_id").orderBy(col("s4").desc, col("cand_id"))
+      val wq = Window.partitionBy("probe_id").orderBy(col("t4").desc, col("cand_id"))
+      pairs
+        .withColumn("re", row_number().over(we))
+        .withColumn("rq", row_number().over(wq))
+        .groupBy("probe_id")
+        .agg(max(when(col("re") === 1, col("cand_id"))).as("top1_exact"),
+          max(when(col("re") === 1, col("s4"))).as("s1e4"),
+          max(when(col("rq") === 1, col("cand_id"))).as("top1_pq"),
+          max(when(col("rq") === 1, col("t4"))).as("s1q4"),
+          sum(abs(col("s4") - col("t4"))).as("ae4"),
+          count(lit(1)).as("m"))
+        .select(col("probe_id"), col("top1_exact"),
+          (col("s1e4").cast("double") / 1e4).as("exact_score"),
+          col("top1_pq"), (col("s1q4").cast("double") / 1e4).as("pq_score"),
+          when(col("top1_exact") === col("top1_pq"), 1).otherwise(0).as("agree"),
+          Q.r6(col("ae4").cast("double") / (col("m") * lit(1e4))).as("mean_abs_err"))
+        .orderBy("probe_id")
     }
   )
 }
