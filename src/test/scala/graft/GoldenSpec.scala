@@ -60,4 +60,55 @@ class GoldenSpec extends SparkSpec {
   test("q_multimodal_frames output matches its committed golden file") {
     checkGolden("q_multimodal_frames")
   }
+
+  test("q_video_frames output matches its committed golden file") {
+    checkGolden("q_video_frames")
+  }
+
+  test("the GIF87a synthesis round-trips through the JDK's own decoder") {
+    // independent codec check: ImageIO (a decoder we did not write)
+    // must read every synthesized container and agree with the closed
+    // form pixel for pixel — the LZW encoder cannot be subtly wrong in
+    // a way our own decoder compensates for.
+    for (docId <- Seq(0L, 1L, 2L, 3L, 7L, 19L, 123L)) {
+      val bytes = ops.Multimodal.encodeGif(docId)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, s"doc $docId: JDK found no GIF reader")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val nf = (2 + docId % 4).toInt
+      val w = (4 + docId % 5).toInt
+      val h = (3 + docId % 3).toInt
+      assert(reader.getNumImages(true) === nf, s"doc $docId: frame count")
+      for (f <- 0 until nf) {
+        val img = reader.read(f)
+        assert(img.getWidth === w && img.getHeight === h, s"doc $docId frame $f dims")
+        for (y <- 0 until h; x <- 0 until w) {
+          val idx = ((docId * 31 + f * 17 + (y * w + x) * 7) % 8).toInt
+          val want = ((idx * 33) % 256 << 16) | ((idx * 57) % 256 << 8) | ((idx * 89) % 256)
+          assert((img.getRGB(x, y) & 0xffffff) === want,
+            s"doc $docId frame $f pixel ($x,$y)")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
+  test("a corrupted GIF container fails loudly, never silently") {
+    val good = ops.Multimodal.encodeGif(5L)
+    def decodeOne(b: Array[Byte]): Unit =
+      ops.Multimodal.decodeGif(Iterator(ops.Multimodal.VideoIn(5L, b))).toList
+    decodeOne(good) // sanity: the pristine container decodes
+    val badMagic = good.clone(); badMagic(3) = '9'.toByte
+    assertThrows[IllegalArgumentException](decodeOne(badMagic))
+    val truncated = good.dropRight(3)
+    assertThrows[Exception](decodeOne(truncated))
+    // a VALUE bit-flip inside LZW data can decode to legal-but-wrong
+    // pixels (LZW carries no checksum — the oracle hash gate catches
+    // that class); STRUCTURAL corruption must throw: a lost trailer
+    val noTrailer = good.clone(); noTrailer(good.length - 1) = 0x00
+    assertThrows[Exception](decodeOne(noTrailer))
+  }
 }
