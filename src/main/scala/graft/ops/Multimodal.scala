@@ -308,6 +308,38 @@ object Multimodal {
     wavInputs(s, d).mapPartitions(decodeWav).toDF()
   }
 
+  /** The |types|-bounded audio feature grid — ONE fold shared by batch
+    * q_audio_features and the s_audio_features streaming face: per
+    * event_type the clip count, parsed sample rate, Σflips, Σenergy
+    * and max peak — all mergeable (sums/counts/maxes), so it IS the
+    * streaming groupBy state. */
+  private[graft] def audioGridOf(clips: DataFrame): DataFrame =
+    clips.groupBy("event_type")
+      .agg(count(lit(1)).as("n_clips"),
+        max("sample_rate").cast("long").as("sample_rate"),
+        sum("flips").as("tf"), sum("energy").as("te"),
+        max("peak").as("mp"))
+
+  /** Read-time readout over an [[audioGridOf]] grid — the mean-ZCR /
+    * mean-energy divisions re-normalize as any cell grows. */
+  private[graft] def audioFeaturesOf(grid: DataFrame): DataFrame =
+    grid.select(col("event_type"), col("n_clips"), col("sample_rate"),
+      Q.r6(col("tf").cast("double") / (col("n_clips") * lit(63.0))).as("mean_zcr"),
+      Q.r2(col("te").cast("double") / (col("n_clips") * lit(64.0))).as("mean_energy"),
+      col("mp").as("max_peak"))
+      .orderBy("event_type")
+
+  /** Stream-side decode: (event_id, event_type, v100) rows → synth WAV
+    * bytes → [[decodeWav]] — the same per-partition codec batch shape
+    * as the batch ingest, stream-compatible (map-only). */
+  private[graft] def clipStream(
+      in: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    in.mapPartitions(_.map { case (id, t, v) => AudioIn(id, t, encodeWav(id, v)) })
+      .mapPartitions(decodeWav).toDF()
+  }
+
   /** The PNG ingest prefix shared by every still-image operator:
     * documents → deterministic real PNG payloads, repartitioned once
     * for blob sizing (no shuffle after). ONE home — a codec-pipeline
@@ -619,17 +651,7 @@ object Multimodal {
          |       mp AS max_peak
          |FROM g
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      audioClips(s, d)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_clips"),
-          max("sample_rate").cast("long").as("sample_rate"),
-          sum("flips").as("tf"), sum("energy").as("te"),
-          max("peak").as("mp"))
-        .select(col("event_type"), col("n_clips"), col("sample_rate"),
-          Q.r6(col("tf").cast("double") / (col("n_clips") * lit(63.0))).as("mean_zcr"),
-          Q.r2(col("te").cast("double") / (col("n_clips") * lit(64.0))).as("mean_energy"),
-          col("mp").as("max_peak"))
-        .orderBy("event_type")
+      audioFeaturesOf(audioGridOf(audioClips(s, d)))
     },
 
     // Audio silence-gap screen (round 17): per decoded clip, the

@@ -1116,6 +1116,20 @@ object Streams {
   def wordLenOf(grid: DataFrame): DataFrame =
     graft.ops.Lexicon.wordLenOf(grid)
 
+  /** Streaming audio feature grid — clips arrive as raw event rows,
+    * decode through the SAME WAV codec batch path (stream-compatible
+    * map-only), and fold into the |types|-bounded (n_clips, rate,
+    * Σflips, Σenergy, max peak) state behind the s_audio_features
+    * read-time face. */
+  def audioGrid(in: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame =
+    graft.ops.Multimodal.audioGridOf(graft.ops.Multimodal.clipStream(in))
+
+  /** Read-time audio feature readout over an [[audioGrid]] — the mean
+    * ZCR/energy divisions re-normalize as any type's cell grows
+    * (s_audio_features). */
+  def audioFeaturesOf(grid: DataFrame): DataFrame =
+    graft.ops.Multimodal.audioFeaturesOf(grid)
+
   /** The purchase (v, c) slice of a [[rankGrid]] — the mixture
     * models' bounded domain frame. */
   private def purchaseSlice(grid: DataFrame): DataFrame =

@@ -552,6 +552,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_audio_features' streamed decoded-clip grid reproduces the batch audio profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+      .as[(Long, String, Long)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    // the WAV synth + REAL RIFF parse ride the stream itself (map-only)
+    val q = Streams.audioGrid(in.toDS())
+      .writeStream.format("memory").queryName("t_audio")
+      .outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_audio"))
+      // state-size pin: one row per event type — the clip payloads
+      // never persist in state, only the mergeable integer folds
+      val types = Tables.events(spark, sfDir)
+        .select(col("event_type")).distinct().count()
+      assert(grid.count() === types,
+        "audioGrid state must hold exactly one row per event type")
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.audioFeaturesOf(grid)) ===
+        rows1(SparkEntry.queries("q_audio_features")(spark, sfDir)), "audio profile")
+    }
+  }
+
   test("s_filter_cascade's streamed (hash, flags) grid reproduces the batch cascade attribution") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
