@@ -88,10 +88,13 @@ class BenchRotationSpec extends AnyFunSuite {
     // the one outcome this spec exists to prevent.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val meta = Set("metric", "total", "value", "unit", "queries",
-      "q_omitted", "sf", "partial", "errors")
+      "q_omitted", "sf", "partial", "errors",
+      "calib_sec", "calib_q")
     val keyRe = """"([a-z0-9_]+)":""".r
     def reported(runs: Seq[(String, Either[String, Double])], r: Int): Set[String] = {
-      val line = Bench.driverLine(runs, r, "sf0.1")
+      // simulate with the r18 calib PROFILE rendered (min/med/max —
+      // the real run always emits it, so the budget must afford it)
+      val line = Bench.driverLine(runs, r, "sf0.1", Seq(0.403, 0.458, 0.612, 1.204))
       assert(line.length <= 1950, s"round $r line busts the driver budget: ${line.length}")
       // normalize through shortName (idempotent): queries keys are
       // already abbreviated, errors keys carry the full name
@@ -235,10 +238,13 @@ class BenchRotationSpec extends AnyFunSuite {
         synth.zipWithIndex.map { case (n, i) =>
           n -> (Right(0.2 + (i % 14) * 0.1): Either[String, Double]) }).sortBy(_._1)
     val meta = Set("metric", "total", "value", "unit", "queries",
-      "q_omitted", "sf", "partial", "errors")
+      "q_omitted", "sf", "partial", "errors",
+      "calib_sec", "calib_q")
     val keyRe = """"([a-z0-9_]+)":""".r
     def reported(r: Int): Set[String] = {
-      val line = Bench.driverLine(runs, r, "sf0.1")
+      // simulate with the r18 calib PROFILE rendered (min/med/max —
+      // the real run always emits it, so the budget must afford it)
+      val line = Bench.driverLine(runs, r, "sf0.1", Seq(0.403, 0.458, 0.612, 1.204))
       assert(line.length <= 1950, s"round $r line busts the driver budget: ${line.length}")
       keyRe.findAllMatchIn(line).map(_.group(1)).toSet.diff(meta).map(Bench.shortName)
     }
