@@ -412,6 +412,17 @@ class OverflowHeadroomSpec extends SparkSpec {
       "linear (candidates = embeddings rows; ~5e4·sf vectors)", 1e6,
       sf => 2e4 * 5e4 * math.max(sf, 1e-3), None),
 
+    Site("q_pq_recall", "1e6/1e4",
+      "three lattices: codebook sufficient statistics s6 = Σmembers "
+        + "⌊x·1e6⌉ over the FIXED ≤1024-subvector training sample (≤ "
+        + "~2e9, SF-INVARIANT by construction); assignment scores sc6 "
+        + "= ⌊(x·c − c·c/2)·1e6⌉ ≤ ~3.3e7 per row (16-dim ~unit "
+        + "sub-vectors, const); and the sq8-form ae4 = Σcands |s4 − t4| "
+        + "on the ±1e4 cosine lattice — the one SF-growing fold",
+      "linear (candidates = embeddings rows; ~5e4·sf vectors) + const "
+        + "training terms", 1e6,
+      sf => 2e4 * 5e4 * math.max(sf, 1e-3) + 2.1e9, None),
+
     Site("q_audio_silence", "1e3",
       "Σ quiet_run ≤ 64 per clip (the 1e3 lattice is the shared sample "
         + "synthesis audited under q_audio_features; this screen's own "
