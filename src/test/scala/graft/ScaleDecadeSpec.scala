@@ -30,10 +30,10 @@ class ScaleDecadeSpec extends SparkSpec {
 
   private val base = "/root/testdata/sf0.1"
 
-  /** The derived 3× directory, built once per suite. */
-  private lazy val dir3: String = {
-    val dir = tempDir("sf03_derived")
-    val k = spark.range(3).toDF("k")
+  /** The derived n× directory, built once per scale per suite. */
+  private def derive(nRep: Int, name: String): String = {
+    val dir = tempDir(name)
+    val k = spark.range(nRep).toDF("k")
 
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val mx = li.agg(max("l_partkey").as("p"), max("l_suppkey").as("s"),
@@ -67,12 +67,20 @@ class ScaleDecadeSpec extends SparkSpec {
     dir
   }
 
-  // min-of-3 (r18 ADVICE): on a loaded/shared box a single noise spike
-  // at the 3x measurement could breach the 9x bound; three runs make
-  // the min robust to one burst while still catching a real quadratic.
-  private def minTime(f: () => Long): (Double, Long) = {
+  private lazy val dir3: String = derive(3, "sf03_derived")
+  /** The FULL order of magnitude (r18 — the r17 verdict's #3): ten
+    * disjoint sf0.1 replicas ≈ a derived sf1.0. */
+  private lazy val dir10: String = derive(10, "sf1_derived")
+
+  // min-of-3 at the base scale (r18 ADVICE): on a loaded/shared box a
+  // single noise spike could breach the bound; three runs make the min
+  // robust to one burst while still catching a real quadratic. The
+  // big-scale side takes `reps` runs — multi-second 10x runs are
+  // noise-resistant in proportion, so one run suffices there while the
+  // 3x tier keeps three.
+  private def minTime(reps: Int)(f: () => Long): (Double, Long) = {
     var rows = 0L
-    val times = (1 to 3).map { _ =>
+    val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       rows = f()
       (System.nanoTime() - t0) / 1e9
@@ -80,18 +88,21 @@ class ScaleDecadeSpec extends SparkSpec {
     (times.min, rows)
   }
 
-  private def assertNearLinear(names: Seq[String]): Unit =
+  private def assertNearLinear(names: Seq[String], dir: String, factor: Int,
+                               bigReps: Int): Unit =
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, base).count() // warm codegen/plans
-      val (t1, r1) = minTime(() => fn(spark, base).count())
-      val (t3, r3) = minTime(() => fn(spark, dir3).count())
-      assert(r1 > 0 && r3 > 0, s"$name produced no rows at one of the scales")
-      val bound = 9.0 * math.max(t1, 0.4)
-      assert(t3 <= bound,
-        f"$name took $t3%.2f s at 3x (sf0.3) vs $t1%.2f s at sf0.1 — growth " +
-          f"${t3 / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
-      info(f"$name: sf0.1 $t1%.2f s, sf0.3 $t3%.2f s (${t3 / math.max(t1, 0.4)}%.1fx)")
+      val (t1, r1) = minTime(3)(() => fn(spark, base).count())
+      val (tn, rn) = minTime(bigReps)(() => fn(spark, dir).count())
+      assert(r1 > 0 && rn > 0, s"$name produced no rows at one of the scales")
+      // linear growth with 3x headroom for fixed overheads and box
+      // noise; a quadratic term reads ~factor× the linear cost
+      val bound = 3.0 * factor * math.max(t1, 0.4)
+      assert(tn <= bound,
+        f"$name took $tn%.2f s at ${factor}x vs $t1%.2f s at sf0.1 — growth " +
+          f"${tn / math.max(t1, 0.4)}%.1fx exceeds the near-linear bound")
+      info(f"$name: sf0.1 $t1%.2f s, ${factor}x $tn%.2f s (${tn / math.max(t1, 0.4)}%.1fx)")
     }
 
   test("the derived 3x corpus has exactly 3x rows and disjoint graph copies") {
@@ -114,20 +125,33 @@ class ScaleDecadeSpec extends SparkSpec {
     // the per-copy diameter, so only per-round work may grow — any
     // superlinear reading means a round stopped being keyed join + agg
     assertNearLinear(Seq("q_graph_components", "q_graph_bfs",
-      "q_graph_closeness", "q_pagerank", "q_label_propagation"))
+      "q_graph_closeness", "q_pagerank", "q_label_propagation"), dir3, 3, 3)
   }
 
   test("corpus heavies stay near-linear one decade up (token-disjoint replicas)") {
     // the trigram LM stays charset³-bounded and the LSH bandings stay
     // collision-bounded: replicas share no tokens, so candidates and
     // model cells grow ~3x, never 9x
-    assertNearLinear(Seq("q_ppl_bucket", "q_lsh_tuning"))
+    assertNearLinear(Seq("q_ppl_bucket", "q_lsh_tuning"), dir3, 3, 3)
   }
 
   test("ANN heavy stays near-linear one decade up (cell geometry preserved)") {
     // the IVF quantizer is k-bounded and the probe set is fixed by
     // vec_id < 10 (replica 0 only): 3x corpus grows the cell join's
     // build side linearly
-    assertNearLinear(Seq("q_knn_ivf"))
+    assertNearLinear(Seq("q_knn_ivf"), dir3, 3, 3)
+  }
+
+  test("the top-8 heavies hold near-linear across a FULL order of magnitude (10x)") {
+    // ten disjoint sf0.1 replicas = a derived sf1.0-equivalent corpus
+    // (6M lineitem rows, 50k docs, 20k vectors) built on the fly and
+    // never persisted; a plan with a hidden quadratic term reads ~10x
+    // the linear cost here and fails the 30x bound even on a noisy box
+    val li10 = spark.read.parquet(s"$dir10/lineitem.parquet").count()
+    val li1 = spark.read.parquet(s"$base/lineitem.parquet").count()
+    assert(li10 === 10 * li1, "the derived decade must hold exactly 10x rows")
+    assertNearLinear(Seq("q_ppl_bucket", "q_lsh_tuning", "q_label_propagation",
+      "q_graph_components", "q_graph_bfs", "q_graph_closeness", "q_pagerank",
+      "q_knn_ivf"), dir10, 10, 1)
   }
 }
