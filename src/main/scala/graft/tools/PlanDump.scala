@@ -74,7 +74,12 @@ object PlanDump {
     // degree joins, and the three new dailyGrid screens
     "q_join_lateral", "q_audio_features", "q_audio_silence",
     "q_sq8_recall", "q_graph_rich_club", "q_word_len_hist",
-    "q_punct_profile", "q_cox_stuart", "q_bartels_rank", "q_pinball")
+    "q_punct_profile", "q_cox_stuart", "q_bartels_rank", "q_pinball",
+    // round-18 flagships: the PQ codebook/assignment broadcasts and
+    // the GIF87a per-partition decode rollup, plus q_ppl_bucket's
+    // row-guarded LM broadcast and the unhinted supplier/customer
+    // chains (all re-read above under their own names)
+    "q_pq_recall", "q_video_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
