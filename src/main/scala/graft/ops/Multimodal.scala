@@ -763,6 +763,53 @@ object Multimodal {
         .select("doc_id", "n_frames", "width", "height", "lum_total",
           "max_delta", "scene_cuts")
         .orderBy("doc_id")
+    },
+
+    // Per-source video feed profile (round 18): the monitoring rollup
+    // a multimodal ingest watches per feed — doc count, total/mean
+    // frames, total luminance, scene-cut volume, the largest
+    // frame-to-frame jump seen. Rides the SAME decoded-clip frame as
+    // q_video_frames (one GIF parse serves both); the rollup is
+    // |sources|-bounded and every cell is a mergeable integer fold,
+    // which is exactly why the s_video_profile streaming face shares
+    // this grid. Oracle re-derives the per-doc arithmetic and
+    // aggregates it per source.
+    Q("q_video_profile",
+      """WITH p AS (SELECT doc_id, source,
+        |                  2 + doc_id % 4 AS nf, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |           FROM documents),
+        |fr AS (SELECT p.doc_id, p.source, p.nf, p.w, p.h, CAST(f.range AS BIGINT) AS f
+        |       FROM p CROSS JOIN range(0, 6) f WHERE f.range < p.nf),
+        |px AS (SELECT fr.doc_id, fr.source, fr.nf, fr.w, fr.h, fr.f,
+        |              CAST(i.range AS BIGINT) AS i
+        |       FROM fr CROSS JOIN range(0, 40) i WHERE i.range < fr.w * fr.h),
+        |lm AS (SELECT doc_id, source, nf, f,
+        |              CAST(sum(299 * ((ix * 33) % 256) + 587 * ((ix * 57) % 256)
+        |                   + 114 * ((ix * 89) % 256)) AS BIGINT) AS lf
+        |       FROM (SELECT px.*, (doc_id * 31 + f * 17 + i * 7) % 8 AS ix FROM px)
+        |       GROUP BY 1, 2, 3, 4),
+        |dl AS (SELECT doc_id, source, nf, f, lf,
+        |              lag(lf) OVER (PARTITION BY doc_id ORDER BY f) AS lp
+        |       FROM lm),
+        |g AS (SELECT doc_id, source, CAST(max(nf) AS BIGINT) AS nf,
+        |             CAST(sum(lf) AS BIGINT) AS lum,
+        |             CAST(coalesce(max(abs(lf - lp)), 0) AS BIGINT) AS mdelta
+        |      FROM dl GROUP BY 1, 2),
+        |c AS (SELECT dl.doc_id,
+        |             CAST(sum(CASE WHEN dl.lp IS NOT NULL
+        |                           AND 10 * g.nf * abs(dl.lf - dl.lp) > g.lum
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS cuts
+        |      FROM dl JOIN g USING (doc_id) GROUP BY 1)
+        |SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(g.nf) AS BIGINT) AS total_frames,
+        |       floor((CAST(sum(g.nf) AS DOUBLE) / count(*))*10000+0.5)/10000 AS mean_frames,
+        |       CAST(sum(g.lum) AS BIGINT) AS lum_total,
+        |       CAST(sum(c.cuts) AS BIGINT) AS scene_cuts,
+        |       CAST(max(g.mdelta) AS BIGINT) AS max_delta
+        |FROM g JOIN c USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      videoProfileOf(videoGridOf(videoClips(s, d)))
     }
   )
 
@@ -867,12 +914,12 @@ object Multimodal {
   // ---- GIF87a video leg (q_video_frames) ----------------------------------
 
   /** A "video" row: payload is a REAL multi-image GIF87a stream. */
-  final case class VideoIn(doc_id: Long, payload: Array[Byte])
+  final case class VideoIn(doc_id: Long, source: String, payload: Array[Byte])
 
   /** Per-doc exact-integer frame features off the DECODED container. */
-  final case class VideoClip(doc_id: Long, n_frames: Long, width: Int,
-                             height: Int, lum_total: Long, max_delta: Long,
-                             scene_cuts: Long)
+  final case class VideoClip(doc_id: Long, source: String, n_frames: Long,
+                             width: Int, height: Int, lum_total: Long,
+                             max_delta: Long, scene_cuts: Long)
 
   /** Global color table entry i — the closed form the oracle mirrors. */
   @inline private def gifRgb(i: Int): (Int, Int, Int) =
@@ -1099,7 +1146,7 @@ object Multimodal {
         if (10L * nf * dlt > lumTotal) cuts += 1
         j += 1
       }
-      VideoClip(r.doc_id, nf, w, h, lumTotal, maxDelta, cuts)
+      VideoClip(r.doc_id, r.source, nf, w, h, lumTotal, maxDelta, cuts)
     }
   }
 
@@ -1109,13 +1156,43 @@ object Multimodal {
   private[graft] def videoClips(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.load(s, d, "documents")
-      .select(col("doc_id"))
-      .as[Long]
-      .mapPartitions(_.map(id => VideoIn(id, encodeGif(id))))
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) => VideoIn(id, src, encodeGif(id)) })
       .toDF()
       .repartition(col("doc_id"))
       .as[VideoIn]
       .mapPartitions(decodeGif)
       .toDF()
+  }
+
+  /** The |sources|-bounded video feed-profile grid — ONE fold shared
+    * by batch q_video_profile and the s_video_profile streaming face:
+    * per source the doc count, Σframes, Σluminance, Σscene-cuts and
+    * the max frame-to-frame delta — all mergeable (sums/counts/maxes),
+    * so it IS the streaming groupBy state; clip payloads never
+    * persist. */
+  private[graft] def videoGridOf(clips: DataFrame): DataFrame =
+    clips.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_frames").as("total_frames"),
+        sum("lum_total").as("lum_total"), sum("scene_cuts").as("scene_cuts"),
+        max("max_delta").as("max_delta"))
+
+  /** Read-time readout over a [[videoGridOf]] grid — the mean-frames
+    * division re-normalizes as any source's cell grows. */
+  private[graft] def videoProfileOf(grid: DataFrame): DataFrame =
+    grid.select(col("source"), col("n_docs"), col("total_frames"),
+      Q.r4(col("total_frames").cast("double") / col("n_docs")).as("mean_frames"),
+      col("lum_total"), col("scene_cuts"), col("max_delta"))
+      .orderBy("source")
+
+  /** Stream-side decode: (doc_id, source) rows → synth GIF87a bytes →
+    * [[decodeGif]] — the codec batch shape, stream-compatible. */
+  private[graft] def videoClipStream(
+      in: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    in.mapPartitions(_.map { case (id, src) => VideoIn(id, src, encodeGif(id)) })
+      .mapPartitions(decodeGif).toDF()
   }
 }

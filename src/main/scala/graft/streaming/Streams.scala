@@ -1130,6 +1130,19 @@ object Streams {
   def audioFeaturesOf(grid: DataFrame): DataFrame =
     graft.ops.Multimodal.audioFeaturesOf(grid)
 
+  /** Streaming video feed-profile grid — clips arrive as (doc_id,
+    * source) rows, synth + REAL GIF87a LZW decode ride the stream
+    * (map-only), and the per-doc integer features fold into the
+    * |sources|-bounded mergeable state behind the s_video_profile
+    * read-time face. */
+  def videoGrid(in: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame =
+    graft.ops.Multimodal.videoGridOf(graft.ops.Multimodal.videoClipStream(in))
+
+  /** Read-time video profile readout over a [[videoGrid]]
+    * (s_video_profile). */
+  def videoProfileOf(grid: DataFrame): DataFrame =
+    graft.ops.Multimodal.videoProfileOf(grid)
+
   /** The purchase (v, c) slice of a [[rankGrid]] — the mixture
     * models' bounded domain frame. */
   private def purchaseSlice(grid: DataFrame): DataFrame =

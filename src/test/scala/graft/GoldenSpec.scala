@@ -99,7 +99,7 @@ class GoldenSpec extends SparkSpec {
   test("a corrupted GIF container fails loudly, never silently") {
     val good = ops.Multimodal.encodeGif(5L)
     def decodeOne(b: Array[Byte]): Unit =
-      ops.Multimodal.decodeGif(Iterator(ops.Multimodal.VideoIn(5L, b))).toList
+      ops.Multimodal.decodeGif(Iterator(ops.Multimodal.VideoIn(5L, "src5", b))).toList
     decodeOne(good) // sanity: the pristine container decodes
     val badMagic = good.clone(); badMagic(3) = '9'.toByte
     assertThrows[IllegalArgumentException](decodeOne(badMagic))

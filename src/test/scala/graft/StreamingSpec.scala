@@ -582,6 +582,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_video_profile's streamed decoded-container grid reproduces the batch feed profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, String)]
+    // the GIF87a synth + REAL LZW decode ride the stream itself
+    val q = Streams.videoGrid(in.toDS())
+      .writeStream.format("memory").queryName("t_video")
+      .outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_video"))
+      val sources = Tables.load(spark, sfDir, "documents")
+        .select(col("source")).distinct().count()
+      assert(grid.count() === sources,
+        "videoGrid state must hold exactly one row per source")
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.videoProfileOf(grid)) ===
+        rows1(SparkEntry.queries("q_video_profile")(spark, sfDir)), "video profile")
+    }
+  }
+
   test("s_filter_cascade's streamed (hash, flags) grid reproduces the batch cascade attribution") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
