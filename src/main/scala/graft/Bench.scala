@@ -35,7 +35,10 @@ object Bench {
     // and the shifting quarter boundaries punched a 42-name hole that
     // NO horizon closes. Eight stable slots keep heavy-query
     // attribution every round without perturbing the grid below.
-    val top = ok.sortBy(-_._2.getOrElse(0.0)).take(math.min(8, math.max(0, k)))
+    // SEVEN slots since the 427-query surface (renegotiation #9 — the
+    // quarter grid needs the ~14 chars back; the 8th-heaviest query
+    // keeps its quarter-rotation slot like everyone else)
+    val top = ok.sortBy(-_._2.getOrElse(0.0)).take(math.min(7, math.max(0, k)))
     val topNames = top.map(_._1).toSet
     // The pool is ALL names — failed ones included (they render via
     // errors{}, not here, but they keep their grid slot) and the top
@@ -146,7 +149,10 @@ object Bench {
     // saying nothing — the SIMPLE class name + message head is
     // strictly more informative per char). Error KEYS render through
     // shortName (renegotiation #6 at 405 queries: 32→24 text). The cap
-    // is 16→14 since the 425-query surface (renegotiation #8: the
+    // is 14→12 since the 427-query surface (renegotiation #9, with the
+    // top tier 8→7 — together they buy the flapping-failure variant's
+    // two lost names back). Before that
+    // 16→14 at the 425-query surface (renegotiation #8: the
     // calib profile's +22 chars cost the flapping-failure simulation
     // dis_ngra; 14 still names the exception class head and the loud
     // path stays stderr + nonzero exit). Before that
@@ -160,7 +166,7 @@ object Bench {
     // errors-only reporting at 308.
     val errList = runs.collect { case (k, Left(e)) =>
       jstr(shortName(k)) + ":" +
-        jstr(e.replaceFirst("^([a-z0-9_]+\\.)+(?=[A-Z])", "").take(14))
+        jstr(e.replaceFirst("^([a-z0-9_]+\\.)+(?=[A-Z])", "").take(12))
     }
     val errs = if (errList.isEmpty) "" else errList.mkString(""","errors":{""", ",", "}")
     def render(scale: Int, stripPrefix: Boolean): String = {

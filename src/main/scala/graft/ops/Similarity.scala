@@ -163,6 +163,140 @@ object Similarity {
   private val dot: (String, String) => Column = (x, y) =>
     expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
+  // ---- Product quantization (ONE home: q_pq_recall + q_knn_ivfpq) ---------
+
+  /** Sub-vector explode: each 64-dim double vector → 4 subspace rows
+    * (j ∈ 0..3, sv = dims j·16+1 .. j·16+16). */
+  private def pqSub(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), col("de"), explode(expr("sequence(0, 3)")).as("j"))
+    .select(col("vec_id"), col("j"), expr("slice(de, j*16 + 1, 16)").as("sv"))
+
+  /** Nearest code per (vector, subspace): argmin ‖x−c‖² as argmax
+    * x·c − c·c/2, folds left-to-right like the oracle's
+    * list_inner_product, floored to the 1e-6 lattice BEFORE the
+    * comparison so the argmax is an integer decision in both engines;
+    * ties break to the lowest code id. */
+  private def pqAssign(src: DataFrame, cbk: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "j")
+      .orderBy(col("sc6").desc, col("code"))
+    src.join(broadcast(cbk), "j")
+      .withColumn("sc6",
+        floor((dot("sv", "cv") - dot("cv", "cv") / lit(2.0)) * 1e6 + 0.5)
+          .cast("long"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "j", "sv", "code")
+  }
+
+  /** Lloyd update: per (subspace, code, dim) the member components
+    * fold as exact int64 1e-6-lattice sums (order-free), the mean
+    * re-floors once — both engines build the identical centroid. */
+  private def pqUpdate(b: DataFrame): DataFrame = b
+    .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
+    .groupBy("j", "code", "p")
+    .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s6"),
+      count(lit(1)).as("n"))
+    .select(col("j"), col("code"), col("p"),
+      (floor(col("s6").cast("double") / col("n") + 0.5).cast("double") / 1e6)
+        .as("c"))
+    .groupBy("j", "code")
+    .agg(expr("transform(array_sort(collect_list(struct(p, c))), z -> z.c)")
+      .as("cv"))
+
+  /** The trained (j, code, cv) codebook: two exact Lloyd rounds over a
+    * FIXED-size deterministic sample (the classic ~64·K-vector PQ
+    * recipe, init = the sub-vectors of vec_id 0..15) — the rounds
+    * never scan the corpus, and the tiny training frame packs into one
+    * partition so each round is real work, not 32 near-empty tasks. */
+  private def pqCodebook(sub: DataFrame, codes: Int): DataFrame = {
+    val train = sub.filter(col("vec_id") < 1024).coalesce(1)
+    val c0 = sub.filter(col("vec_id") < codes)
+      .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
+    val c1 = Q.snapshot(pqUpdate(pqAssign(train, c0)))
+    Q.snapshot(pqUpdate(pqAssign(train, c1)))
+  }
+
+  /** Corpus-wide PQ reconstruction (vec_id, qe): ONE assignment pass
+    * against the broadcast codebook, codes decoded back through it —
+    * the 16-bytes-per-vector layout a 100 TB store actually holds,
+    * materialized here as the reconstructed vectors the ADC score
+    * reads. */
+  private[graft] def pqReconstructed(e: DataFrame, codes: Int = 16): DataFrame = {
+    val sub = pqSub(e)
+    val c2 = pqCodebook(sub, codes)
+    pqAssign(sub, c2).select("vec_id", "j", "code")
+      .join(broadcast(c2), Seq("j", "code"))
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cv))), z -> z.cv))")
+        .as("qe"))
+  }
+
+  /** q_knn_ivfpq's approximate path — the layout a production 100 TB
+    * vector store actually deploys: IVF coarse cells bound WHICH
+    * candidates are scanned (nprobe cells per probe), PQ codes bound
+    * WHAT is scanned per candidate (asymmetric exact-probe ×
+    * reconstructed-candidate scores), and a top-64 ADC shortlist is
+    * exact-rescored down to the final top-5. Shapes: the quantizer
+    * fits on a hash-sample, codebooks/centroids/probe-cells all
+    * broadcast, the one corpus-sized exchange is the vec_id join of
+    * cell assignment to PQ codes at index build. */
+  private[graft] def ivfpqKnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import graft.functions.CosineSim.cosine_sim
+    val ef = ivfFeatures(s, d)
+    val n = Tables.load(s, d, "embeddings").count()
+    val k = math.max(4, math.sqrt(n.toDouble).toInt)
+    val nprobe = math.max(3, k * 2 / 5)
+    val target = math.max(10000L, 50L * k)
+    val sample = ivfFitSample(ef, n, target)
+      .coalesce(math.max(1, (target / 65536L).toInt))
+      .cache()
+    val km = new KMeans().setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(sample)
+    sample.unpersist(false)
+    val e = widened(Tables.load(s, d, "embeddings")).select("vec_id", "embedding", "de")
+    // 64-entry codebooks here (vs q_pq_recall's oracled 16): the
+    // search path buys 4 more bits per subspace for ADC rank fidelity
+    // on this worst-case near-uniform corpus
+    val qe = pqReconstructed(e.select("vec_id", "de"), codes = 64)
+      .withColumn("qnrm", sqrt(dot("qe", "qe")))
+    val assigned = model.transform(ef)
+      .select(col("vec_id"), col("cell"))
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(qe, "vec_id")
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("de").as("pde"))
+      .withColumn("pnrm", sqrt(dot("pde", "pde")))
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toIndexedSeq).toDF("cell", "center")
+    val wc = Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cscore", cosine_sim(col("pe"), col("center")))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("pde"), col("pnrm"), col("cell"))
+    // stage 1: ADC shortlist — PQ score only, top-64 per probe
+    val wq = Window.partitionBy("probe_id").orderBy(col("pqscore").desc, col("cand_id"))
+    val shortlist = assigned.join(broadcast(probeCells), "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id").as("cand_id"),
+        col("embedding"),
+        Q.r4(dot("pde", "qe") / (col("pnrm") * col("qnrm"))).as("pqscore"))
+      .withColumn("qrnk", row_number().over(wq))
+      .filter(col("qrnk") <= 64)
+    // stage 2: exact re-rank of the 20-candidate shortlist → top-5
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+    shortlist
+      .select(col("probe_id"), col("cand_id"),
+        Q.r4(cosine_sim(col("pe"), col("embedding"))).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Exact cosine top-5 per probe (vec_id < 10) — the ground truth the
     * approximate paths are audited against; same probe set, rounding
     * and (score DESC, cand_id) ranking contract as q_sim_brute. */
@@ -629,6 +763,18 @@ object Similarity {
     // oracle. Raw neighbor lists stay available via ivfKnn.
     Q("q_knn_ivf", RecallOracle) { (s, d) =>
       recallAudit(s, d, ivfKnn(s, d), floor = 0.6)
+    },
+
+    // IVF + PQ combined search (round 18): the layout a production
+    // 100 TB vector store actually deploys — IVF cells bound WHICH
+    // candidates are scanned, PQ codes bound the BYTES per candidate
+    // (3 bytes/vector at 4x64 codes), an ADC top-64 shortlist is
+    // exact-rescored to the final top-5. Audited in the recall-band
+    // form against the brute-force exact top-5 (floor 0.5 on this
+    // worst-case near-uniform sphere corpus; clustered real-world
+    // embeddings sit far above it) — oracle pins the probe set + TRUE.
+    Q("q_knn_ivfpq", RecallOracle) { (s, d) =>
+      recallAudit(s, d, ivfpqKnn(s, d), floor = 0.5)
     },
 
     // Multimodal record: text metadata ⋈ embedding into a nested struct
@@ -1336,54 +1482,7 @@ object Similarity {
         |FROM g
         |ORDER BY probe_id""".stripMargin) { (s, d) =>
       val e = widened(Tables.load(s, d, "embeddings")).select("vec_id", "de")
-      val sub = e
-        .select(col("vec_id"), col("de"), explode(expr("sequence(0, 3)")).as("j"))
-        .select(col("vec_id"), col("j"), expr("slice(de, j*16 + 1, 16)").as("sv"))
-      // codebooks train on a FIXED-size deterministic sample (the
-      // classic ~64·K-vector PQ recipe) — the Lloyd rounds never scan
-      // the corpus; only the one final assignment pass does. The tiny
-      // training frame packs into one partition so each round is real
-      // work, not 32 near-empty tasks.
-      val train = sub.filter(col("vec_id") < 1024).coalesce(1)
-      val c0 = sub.filter(col("vec_id") < 16)
-        .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
-      // nearest code per (vector, subspace): argmin ‖x−c‖² as argmax
-      // x·c − c·c/2, both folds left-to-right like the oracle's
-      // list_inner_product, floored to the 1e-6 lattice BEFORE the
-      // comparison so the argmax is an integer decision in both
-      // engines; ties break to the lowest code id.
-      def assign(src: DataFrame, cbk: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "j")
-          .orderBy(col("sc6").desc, col("code"))
-        src.join(broadcast(cbk), "j")
-          .withColumn("sc6",
-            floor((dot("sv", "cv") - dot("cv", "cv") / lit(2.0)) * 1e6 + 0.5)
-              .cast("long"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("vec_id", "j", "sv", "code")
-      }
-      // Lloyd update: per (subspace, code, dim) the member components
-      // fold as exact int64 1e-6-lattice sums (order-free), the mean
-      // re-floors once — both engines build the identical centroid.
-      def update(b: DataFrame): DataFrame = b
-        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
-        .groupBy("j", "code", "p")
-        .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s6"),
-          count(lit(1)).as("n"))
-        .select(col("j"), col("code"), col("p"),
-          (floor(col("s6").cast("double") / col("n") + 0.5).cast("double") / 1e6)
-            .as("c"))
-        .groupBy("j", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(p, c))), z -> z.c)")
-          .as("cv"))
-      val c1 = Q.snapshot(update(assign(train, c0)))
-      val c2 = Q.snapshot(update(assign(train, c1)))
-      val b3 = assign(sub, c2).select("vec_id", "j", "code")
-      val q = b3.join(broadcast(c2), Seq("j", "code"))
-        .groupBy("vec_id")
-        .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cv))), z -> z.cv))")
-          .as("qe"))
-      val n0 = e.join(q, "vec_id")
+      val n0 = e.join(pqReconstructed(e), "vec_id")
         .withColumn("nrm", sqrt(dot("de", "de")))
         .withColumn("qnrm", sqrt(dot("qe", "qe")))
       val probes = n0.filter(col("vec_id") < 10)

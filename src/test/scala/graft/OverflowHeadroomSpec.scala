@@ -1199,7 +1199,11 @@ class OverflowHeadroomSpec extends SparkSpec {
       // under the q_cramer_von_mises / q_anderson_darling Site rows
       // (same folds, batch + streaming faces; w1Of/cliffsOf are exact
       // int64 with their own Site coverage)
-      "Statistics.scala" -> "q_cramer_von_mises")
+      "Statistics.scala" -> "q_cramer_von_mises",
+      // Similarity's PQ helpers (pqAssign/pqUpdate 1e-6 lattices) are
+      // ONE fold shared by q_pq_recall and q_knn_ivfpq, audited under
+      // the q_pq_recall Site row (fixed training sample — SF-invariant)
+      "Similarity.scala" -> "q_pq_recall")
     val flagged = Files.list(opsDir).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val src = new String(Files.readAllBytes(p))
