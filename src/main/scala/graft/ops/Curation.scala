@@ -777,6 +777,94 @@ object Curation {
         .orderBy("d1", "d2")
     },
 
+    // ROUGE-1/2 on the LSH candidate pairs (round 18): the RECALL
+    // side of the pair-similarity family — q_bleu_pairs reads how much
+    // of the CANDIDATE is supported by the reference (precision +
+    // brevity), this reads how much of the REFERENCE the candidate
+    // covers (the summarization/coverage direction a dedup adjudicator
+    // or distillation-eval pass reads), plus the harmonic F1 that a
+    // reranker keys on. Same clipped-count machinery over the SAME
+    // LshPairCtes candidate frame (no new pair generation — the
+    // blocked-pairs discipline), one extra reference-side bigram
+    // total; exact int64 counts, four r6 readouts.
+    Q("q_rouge_pairs",
+      "WITH " + graft.ops.TextPipeline.LshPairCtes + s""",
+        |wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |u AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT doc_id, unnest(words) AS w FROM wd) GROUP BY 1, 2),
+        |ul AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM u GROUP BY 1),
+        |b2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT doc_id,
+        |                    unnest(list_transform(range(1, len(words)),
+        |                           i -> words[i] || ' ' || words[i+1])) AS g
+        |             FROM wd WHERE len(words) >= 2) GROUP BY 1, 2),
+        |bl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM b2 GROUP BY 1),
+        |m1 AS (SELECT c.d1, c.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+        |       FROM cands c
+        |       JOIN u a ON a.doc_id = c.d2
+        |       JOIN u b ON b.doc_id = c.d1 AND b.w = a.w
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT c.d1, c.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+        |       FROM cands c
+        |       JOIN b2 a ON a.doc_id = c.d2
+        |       JOIN b2 b ON b.doc_id = c.d1 AND b.g = a.g
+        |       GROUP BY 1, 2),
+        |f AS (SELECT c.d1, c.d2,
+        |             COALESCE(m1.m, 0) AS m1, COALESCE(m2.m, 0) AS m2,
+        |             ulr.n AS lr, ulc.n AS lc, blr.n AS br, blc.n AS bc
+        |      FROM cands c
+        |      JOIN ul ulr ON ulr.doc_id = c.d1
+        |      JOIN ul ulc ON ulc.doc_id = c.d2
+        |      JOIN bl blr ON blr.doc_id = c.d1
+        |      JOIN bl blc ON blc.doc_id = c.d2
+        |      LEFT JOIN m1 ON m1.d1 = c.d1 AND m1.d2 = c.d2
+        |      LEFT JOIN m2 ON m2.d1 = c.d1 AND m2.d2 = c.d2)
+        |SELECT d1, d2,
+        |       ${Q.sqlR6("CAST(m1 AS DOUBLE) / lr")} AS r1_recall,
+        |       ${Q.sqlR6("CAST(m2 AS DOUBLE) / br")} AS r2_recall,
+        |       ${Q.sqlR6("2.0 * m1 / (lr + lc)")} AS r1_f,
+        |       ${Q.sqlR6("2.0 * m2 / (br + bc)")} AS r2_f
+        |FROM f
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val wd = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val u = wd.select(col("doc_id"), explode(col("words")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val ul = u.groupBy("doc_id").agg(sum("c").as("n"))
+      val b2 = wd.filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bl = b2.groupBy("doc_id").agg(sum("c").as("n"))
+      val cands = Q.snapshot(graft.ops.TextPipeline.lshCandidatePairs(s, d))
+      def clip(cnt: org.apache.spark.sql.DataFrame, key: String) = {
+        val a = cnt.select(col("doc_id").as("cd2"), col(key).as("ka"), col("c").as("ca"))
+        val b = cnt.select(col("doc_id").as("cd1"), col(key).as("kb"), col("c").as("cb"))
+        cands.join(a, col("cd2") === col("d2"))
+          .join(b, col("cd1") === col("d1") && col("kb") === col("ka"))
+          .groupBy("d1", "d2").agg(sum(least(col("ca"), col("cb"))).as("m"))
+      }
+      val m1 = clip(u, "w").withColumnRenamed("m", "m1")
+      val m2 = clip(b2, "g").withColumnRenamed("m", "m2")
+      cands
+        .join(ul.select(col("doc_id").as("r1"), col("n").as("lr")), col("r1") === col("d1"))
+        .join(ul.select(col("doc_id").as("r2"), col("n").as("lc")), col("r2") === col("d2"))
+        .join(bl.select(col("doc_id").as("r3"), col("n").as("br")), col("r3") === col("d1"))
+        .join(bl.select(col("doc_id").as("r4"), col("n").as("bc")), col("r4") === col("d2"))
+        .join(m1, Seq("d1", "d2"), "left")
+        .join(m2, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"),
+          coalesce(col("m1"), lit(0L)).as("m1"), coalesce(col("m2"), lit(0L)).as("m2"),
+          col("lr"), col("lc"), col("br"), col("bc"))
+        .select(col("d1"), col("d2"),
+          Q.r6(col("m1").cast("double") / col("lr")).as("r1_recall"),
+          Q.r6(col("m2").cast("double") / col("br")).as("r2_recall"),
+          Q.r6(lit(2.0) * col("m1") / (col("lr") + col("lc"))).as("r1_f"),
+          Q.r6(lit(2.0) * col("m2") / (col("br") + col("bc"))).as("r2_f"))
+        .orderBy("d1", "d2")
+    },
+
     // Fellegi–Sunter record-linkage weights (round 16): the
     // probabilistic-linkage model behind every entity-resolution
     // pipeline, fitted on the LSH candidate pairs — match proxy =
