@@ -200,7 +200,7 @@ object Multimodal {
   final case class AudioClip(event_id: Long, event_type: String,
                              sample_rate: Int, n_samples: Int,
                              flips: Long, energy: Long, peak: Long,
-                             quiet_run: Long)
+                             quiet_run: Long, fp: Long)
 
   /** Deterministic PCM synthesis: a 64-sample 8 kHz mono sine clip
     * whose frequency keys off event_id (220..660 Hz in 110 Hz steps)
@@ -272,8 +272,27 @@ object Multimodal {
         if (math.abs(s) > peak) peak = math.abs(s)
         t += 1
       }
-      // second pass: longest sub-10%-of-peak run (needs peak first)
+      // second pass: longest sub-10%-of-peak run (needs peak first),
+      // plus the peak-landmark fingerprint — per 16-sample window the
+      // offset of the loudest sample (tie → earliest), packed as four
+      // base-16 digits with a peak-magnitude nibble: the
+      // constellation-hash shape an audio near-dup pass keys on
       var quiet = 0L; var run = 0L
+      var fp = 0L
+      var w = 0
+      while (w * 16 < n) {
+        var best = -1L; var bestT = 0
+        var t2 = w * 16
+        val end = math.min(n, w * 16 + 16)
+        while (t2 < end) {
+          val a = math.abs(le16(44 + t2 * 2).toShort.toLong)
+          if (a > best) { best = a; bestT = t2 }
+          t2 += 1
+        }
+        if (w < 4) fp += (bestT - w * 16).toLong << (4 * w)
+        w += 1
+      }
+      fp += (peak % 16) * 65536L
       t = 0
       while (t < n) {
         val s = le16(44 + t * 2).toShort.toLong
@@ -281,7 +300,7 @@ object Multimodal {
         else run = 0
         t += 1
       }
-      AudioClip(r.event_id, r.event_type, rate, n, flips, energy, peak, quiet)
+      AudioClip(r.event_id, r.event_type, rate, n, flips, energy, peak, quiet, fp)
     }
   }
 
@@ -706,6 +725,61 @@ object Multimodal {
           Q.r6(col("tq").cast("double") / (col("n_clips") * lit(64.0)))
             .as("mean_quiet_share"),
           col("max_quiet_run"), col("n_gapped"))
+        .orderBy("event_type")
+    },
+
+    // Audio fingerprint collision profile (round 18): per decoded
+    // clip a peak-landmark fingerprint — the offset of the loudest
+    // sample in each 16-sample window (tie → earliest), four base-16
+    // digits plus a peak-magnitude nibble — the constellation-hash
+    // shape an audio NEAR-DUP pass keys on (identical recordings
+    // collide; amplitude-only variants separate through the peak
+    // nibble). Per-type rollup: clip count, distinct fingerprints,
+    // duplicate share, and the largest collision class (the dedup
+    // candidate-bucket size). Rides the SAME decoded-clip frame as
+    // q_audio_features (one WAV parse serves all three audio ops);
+    // the argmax is an integer decision identical in both engines,
+    // and the rollup is |types|-bounded off an exact distinct.
+    Q("q_audio_fingerprint",
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |                   CAST(floor(value * 100 + 0.5) AS BIGINT) % 32 + 1 AS a,
+         |                   220 + (event_id % 5) * 110 AS f
+         |            FROM events),
+         |tt AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 64)),
+         |sm AS (SELECT ev.event_id, ev.event_type, tt.t, tt.t // 16 AS w,
+         |              abs(ev.a * CAST(floor(sin(2 * pi() * ev.f * tt.t / 8000) * 1e3 + 0.5)
+         |                          AS BIGINT)) AS asamp
+         |       FROM ev CROSS JOIN tt),
+         |mx AS (SELECT event_id, w, CAST(max(asamp) AS BIGINT) AS m
+         |       FROM sm GROUP BY 1, 2),
+         |om AS (SELECT sm.event_id, sm.w,
+         |              CAST(min(sm.t) - sm.w * 16 AS BIGINT) AS o
+         |       FROM sm JOIN mx ON mx.event_id = sm.event_id AND mx.w = sm.w
+         |                      AND sm.asamp = mx.m
+         |       GROUP BY sm.event_id, sm.w),
+         |pk AS (SELECT event_id, CAST(max(asamp) AS BIGINT) AS peak
+         |       FROM sm GROUP BY 1),
+         |fp AS (SELECT om.event_id,
+         |              CAST(sum(om.o * CASE om.w WHEN 0 THEN 1 WHEN 1 THEN 16
+         |                                        WHEN 2 THEN 256 ELSE 4096 END)
+         |                   + max(pk.peak % 16) * 65536 AS BIGINT) AS fp
+         |       FROM om JOIN pk USING (event_id) GROUP BY 1),
+         |cl AS (SELECT ev.event_type, fp.fp, CAST(count(*) AS BIGINT) AS c
+         |       FROM ev JOIN fp USING (event_id) GROUP BY 1, 2)
+         |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_clips,
+         |       CAST(count(*) AS BIGINT) AS n_fp,
+         |       ${Q.sqlR6("1.0 - CAST(count(*) AS DOUBLE) / sum(c)")} AS dup_share,
+         |       CAST(max(c) AS BIGINT) AS max_collision
+         |FROM cl
+         |GROUP BY 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      audioClips(s, d)
+        .groupBy("event_type", "fp")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sum("c").as("n_clips"), count(lit(1)).as("n_fp"),
+          Q.r6(lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_share"),
+          max("c").as("max_collision"))
         .orderBy("event_type")
     },
 

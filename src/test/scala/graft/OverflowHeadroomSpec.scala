@@ -423,6 +423,13 @@ class OverflowHeadroomSpec extends SparkSpec {
         + "training terms", 1e6,
       sf => 2e4 * 5e4 * math.max(sf, 1e-3) + 2.1e9, None),
 
+    Site("q_audio_fingerprint", "1e3",
+      "the 1e3 lattice is the shared sample synthesis audited under "
+        + "q_audio_features; this op's own folds are the fingerprint "
+        + "(≤ 4 offsets < 16 packed base-16 + a nibble ≤ 2^20) and "
+        + "|types|-bounded collision counts ≤ clips",
+      "linear (counts ≤ clips ∝ events)", 1e6, sf => evN(sf) + 1e6, None),
+
     Site("q_audio_silence", "1e3",
       "Σ quiet_run ≤ 64 per clip (the 1e3 lattice is the shared sample "
         + "synthesis audited under q_audio_features; this screen's own "
