@@ -339,6 +339,22 @@ object Multimodal {
         sum("flips").as("tf"), sum("energy").as("te"),
         max("peak").as("mp"))
 
+  /** The (type, fingerprint) collision grid — ONE fold shared by
+    * batch q_audio_fingerprint and the s_audio_fingerprint face: the
+    * fingerprint domain is synthesis-bounded (amplitude × frequency
+    * combinations), so the grid is mergeable counting state, never
+    * clip-keyed. */
+  private[graft] def audioFpGridOf(clips: DataFrame): DataFrame =
+    clips.groupBy("event_type", "fp").agg(count(lit(1)).as("c"))
+
+  /** Read-time collision readout over an [[audioFpGridOf]] grid. */
+  private[graft] def audioFingerprintOf(grid: DataFrame): DataFrame =
+    grid.groupBy("event_type")
+      .agg(sum("c").as("n_clips"), count(lit(1)).as("n_fp"),
+        Q.r6(lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_share"),
+        max("c").as("max_collision"))
+      .orderBy("event_type")
+
   /** Read-time readout over an [[audioGridOf]] grid — the mean-ZCR /
     * mean-energy divisions re-normalize as any cell grows. */
   private[graft] def audioFeaturesOf(grid: DataFrame): DataFrame =
@@ -773,14 +789,7 @@ object Multimodal {
          |FROM cl
          |GROUP BY 1
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      audioClips(s, d)
-        .groupBy("event_type", "fp")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("event_type")
-        .agg(sum("c").as("n_clips"), count(lit(1)).as("n_fp"),
-          Q.r6(lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_share"),
-          max("c").as("max_collision"))
-        .orderBy("event_type")
+      audioFingerprintOf(audioFpGridOf(audioClips(s, d)))
     },
 
     // VIDEO container leg, standard-format edition (round 18 — the

@@ -1130,6 +1130,18 @@ object Streams {
   def audioFeaturesOf(grid: DataFrame): DataFrame =
     graft.ops.Multimodal.audioFeaturesOf(grid)
 
+  /** Streaming audio fingerprint collision grid — the same in-stream
+    * WAV decode as [[audioGrid]], folded onto the synthesis-bounded
+    * (type, fingerprint) cells behind the s_audio_fingerprint
+    * read-time face. */
+  def audioFpGrid(in: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame =
+    graft.ops.Multimodal.audioFpGridOf(graft.ops.Multimodal.clipStream(in))
+
+  /** Read-time collision readout over an [[audioFpGrid]]
+    * (s_audio_fingerprint). */
+  def audioFingerprintOf(grid: DataFrame): DataFrame =
+    graft.ops.Multimodal.audioFingerprintOf(grid)
+
   /** Streaming video feed-profile grid — clips arrive as (doc_id,
     * source) rows, synth + REAL GIF87a LZW decode ride the stream
     * (map-only), and the per-doc integer features fold into the

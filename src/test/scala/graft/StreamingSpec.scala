@@ -582,6 +582,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_audio_fingerprint's streamed collision grid reproduces the batch profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        org.apache.spark.sql.functions.floor(col("value") * 100 + 0.5)
+          .cast("long").as("v100"))
+      .as[(Long, String, Long)].collect()
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val q = Streams.audioFpGrid(in.toDS())
+      .writeStream.format("memory").queryName("t_audiofp")
+      .outputMode("complete").start()
+    withQuery(q) {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val grid = Q.snapshot(spark.table("t_audiofp"))
+      // state-size pin: cells = occupied (type, fingerprint) pairs —
+      // synthesis-bounded, never clip-keyed
+      val cells = graft.ops.Multimodal.audioClips(spark, sfDir)
+        .select("event_type", "fp").distinct().count()
+      assert(grid.count() === cells,
+        "audioFpGrid state must hold one row per occupied (type, fp) cell")
+      def rows1(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(rows1(Streams.audioFingerprintOf(grid)) ===
+        rows1(SparkEntry.queries("q_audio_fingerprint")(spark, sfDir)),
+        "fingerprint profile")
+    }
+  }
+
   test("s_video_profile's streamed decoded-container grid reproduces the batch feed profile") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
