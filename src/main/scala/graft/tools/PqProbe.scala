@@ -17,15 +17,23 @@ object PqProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"STAGE $label%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s"); a
+    }
+    for (sf <- Seq("sf0.1", "sf0.1")) {
       val d = s"/root/testdata/$sf"
-      val truth = graft.ops.Similarity.bruteTop5(spark, d)
-        .select("probe_id", "cand_id")
-      val approx = graft.ops.Similarity.ivfpqKnn(spark, d)
-        .select("probe_id", "cand_id")
-      val hits = truth.join(approx, Seq("probe_id", "cand_id")).count()
-      val n = truth.count()
-      println(f"RECALL $sf: $hits/$n = ${hits.toDouble / n}%.3f")
+      val truth = t("brute") { graft.ops.Similarity.bruteTop5(spark, d)
+        .select("probe_id", "cand_id").count() }
+      val e = graft.Tables.load(spark, d, "embeddings")
+        .withColumn("de",
+          org.apache.spark.sql.functions.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select("vec_id", "de")
+      val pq = t("pq-build") { graft.ops.Similarity.pqReconstructed(e, codes = 64).count() }
+      val approx = t("ivfpq-full") { graft.ops.Similarity.ivfpqKnn(spark, d).count() }
+      val full = t("audit-full") { graft.ops.Similarity.recallAudit(spark, d,
+        graft.ops.Similarity.ivfpqKnn(spark, d), 0.5).count() }
+      println(s"rows: $truth $pq $approx $full")
     }
     spark.stop()
   }
