@@ -549,6 +549,64 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Image dedup blocking audit (round 18): the scale story of image
+    // near-dup is BLOCKING — candidates come from (width, height,
+    // perceptual-hash) buckets, never all-pairs — and this op reads
+    // the quality of that blocking on the decoded corpus: bucket
+    // count, the largest bucket (the quadratic hot spot a banded
+    // rehash would split), the candidate-pair volume Σ c·(c−1)/2, and
+    // the reduction ratio vs all-pairs. Rides the SAME decoded
+    // quad-hash frame as q_image_phash (one PNG decode serves both);
+    // the rollup is bucket-bounded; counts exact int64 with the pair
+    // arithmetic in both engines.
+    Q("q_image_dedup_blocking",
+      """WITH px AS (SELECT d.doc_id,
+        |                   CAST(4 + d.doc_id % 13 AS BIGINT) AS w,
+        |                   CAST(3 + d.n_chars % 7 AS BIGINT) AS h,
+        |                   t.x, u.y
+        |            FROM documents d,
+        |                 UNNEST(range(0, 4 + d.doc_id % 13)) AS t(x),
+        |                 UNNEST(range(0, 3 + d.n_chars % 7)) AS u(y)),
+        |l AS (SELECT doc_id, w, h,
+        |             CASE WHEN y * 2 < h THEN 0 ELSE 2 END
+        |             + CASE WHEN x * 2 < w THEN 0 ELSE 1 END AS q,
+        |             299 * ((doc_id * 31 + x * 7 + y * 13) % 256)
+        |             + 587 * ((doc_id * 17 + x * 11 + y * 3) % 256)
+        |             + 114 * ((doc_id + x * y) % 256) AS lum
+        |      FROM px),
+        |qs AS (SELECT doc_id, w, h, q, CAST(sum(lum) AS BIGINT) AS sq, count(*) AS nq
+        |       FROM l GROUP BY 1, 2, 3, 4),
+        |t AS (SELECT doc_id, CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+        |             CAST(sum(sq) AS BIGINT) AS st, CAST(sum(nq) AS BIGINT) AS nt
+        |      FROM qs GROUP BY 1),
+        |hb AS (SELECT qs.doc_id, t.w, t.h,
+        |              CAST(sum(CASE WHEN sq * t.nt > t.st * nq
+        |                            THEN CASE q WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                                        WHEN 2 THEN 4 ELSE 8 END
+        |                            ELSE 0 END) AS BIGINT) AS phash
+        |       FROM qs JOIN t ON qs.doc_id = t.doc_id GROUP BY 1, 2, 3),
+        |bk AS (SELECT w, h, phash, CAST(count(*) AS BIGINT) AS c
+        |       FROM hb GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_images,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(max(c) AS BIGINT) AS max_bucket,
+        |       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+        |       floor((CAST(sum(c * (c - 1) // 2) AS DOUBLE)
+        |              / (sum(c) * (sum(c) - 1) / 2))*1000000+0.5)/1000000 AS reduction
+        |FROM bk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      pngInputs(s, d)
+        .mapPartitions(decodeQuadHash)
+        .toDF()
+        .groupBy("width", "height", "phash")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_images"), count(lit(1)).as("n_buckets"),
+          max("c").as("max_bucket"),
+          sum(expr("c * (c - 1) div 2")).as("cand_pairs"),
+          Q.r6(sum(expr("c * (c - 1) div 2")).cast("double") /
+            (sum("c") * (sum("c") - lit(1)) / lit(2))).as("reduction"))
+    },
+
     // Per-channel color statistics (round 15) — the feature-extraction
     // primitive between q_multimodal_decode's normalized means and
     // q_image_phash's luminance hash: EXACT integer sums of the raw
