@@ -143,6 +143,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("cosine_sim", 2)(children); CosineSim(c(0), c(1)) }))
     ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        val c = arity("dot_product", 2)(children); DotProduct(c(0), c(1)) }))
+    ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
       (children: Seq[Expression]) => {

@@ -68,9 +68,18 @@ object Similarity {
     * costs recall. */
   private[graft] def ivfFeatures(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    // the norm is hoisted out of the per-element lambda (r18): the HOF
+    // form re-evaluated the whole aggregate(zip_with(...)) fold once PER
+    // ELEMENT of the outer transform — 64× the arithmetic; computing the
+    // codegen'd dot once per row is bit-identical (same left-to-right
+    // double fold, float widening) and drops the normalization from the
+    // KMeans fit AND the corpus-wide assignment pass
     Tables.load(s, d, "embeddings")
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct.dot_product(col("embedding"), col("embedding"))))
       .withColumn("features", array_to_vector(
-        expr("transform(embedding, x -> x / sqrt(aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))")))
+        expr("transform(embedding, x -> x / nrm)")))
+      .drop("nrm")
   }
 
   /** Deterministic quantizer-fit sample: a 16-bit md5 threshold on
@@ -160,8 +169,11 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  // codegen'd dot product (r18): bit-identical to the interpreted
+  // aggregate∘zip_with fold it replaces (same left-to-right double
+  // accumulation — see functions.DotProduct), ~10× cheaper per pair
   private val dot: (String, String) => Column = (x, y) =>
-    expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.DotProduct.dot_product(col(x), col(y))
 
   // ---- Product quantization (ONE home: q_pq_recall + q_knn_ivfpq) ---------
 
@@ -175,22 +187,31 @@ object Similarity {
     * x·c − c·c/2, folds left-to-right like the oracle's
     * list_inner_product, floored to the 1e-6 lattice BEFORE the
     * comparison so the argmax is an integer decision in both engines;
-    * ties break to the lowest code id. */
-  private def pqAssign(src: DataFrame, cbk: DataFrame): DataFrame =
-    // the argmax rides a struct-max AGGREGATE, not a window: (sc6,
-    // −code) is unique per group so max(struct(sc6, −code, code, sv))
-    // picks exactly the oracle's ORDER BY sc6 DESC, code row — and the
-    // map-side partial combine reduces each group's K candidate rows
-    // before the exchange, where a window would shuffle-sort all K×N
-    // (measured ~2.5 s slower at K = 64 on the sf0.1 corpus)
-    src.join(broadcast(cbk), "j")
+    * ties break to the lowest code id. `carry` names the payload column
+    * the winning row keeps through the struct-max — "sv" for the Lloyd
+    * update (which re-reads the member sub-vectors), "cv" for the
+    * corpus encode (which needs the winning CODEBOOK vector — carrying
+    * it here removes the join-back to the codebook that the r17 encode
+    * paid, measured ~2 s of the q_knn_ivfpq wall at sf0.1). The carry
+    * column sits BELOW (sc6, −code) in the comparison order and (sc6,
+    * −code) is unique per group, so the argmax row is identical either
+    * way. ‖c‖²/2 is precomputed per CODEBOOK row (cvv — 256 rows,
+    * evaluated once in the broadcast build) instead of once per
+    * (vector, code) pair: same double, half the per-pair dot work. */
+  private def pqAssign(src: DataFrame, cbk: DataFrame,
+                       carry: String = "sv"): DataFrame =
+    src.join(broadcast(cbk.withColumn("cvv", dot("cv", "cv") / lit(2.0))), "j")
       .withColumn("sc6",
-        floor((dot("sv", "cv") - dot("cv", "cv") / lit(2.0)) * 1e6 + 0.5)
+        floor((dot("sv", "cv") - col("cvv")) * 1e6 + 0.5)
           .cast("long"))
       .groupBy("vec_id", "j")
+      // the argmax rides a struct-max AGGREGATE, not a window: the
+      // map-side partial combine reduces each group's K candidate rows
+      // before the exchange, where a window would shuffle-sort all K×N
+      // (measured ~2.5 s slower at K = 64 on the sf0.1 corpus)
       .agg(max(struct(col("sc6"), (-col("code")).as("nc"),
-        col("code"), col("sv"))).as("m"))
-      .select(col("vec_id"), col("j"), col("m.sv").as("sv"), col("m.code").as("code"))
+        col("code"), col(carry))).as("m"))
+      .select(col("vec_id"), col("j"), col(s"m.$carry").as(carry), col("m.code").as("code"))
 
   /** Lloyd update: per (subspace, code, dim) the member components
     * fold as exact int64 1e-6-lattice sums (order-free), the mean
@@ -225,15 +246,18 @@ object Similarity {
   }
 
   /** Corpus-wide PQ reconstruction (vec_id, qe): ONE assignment pass
-    * against the broadcast codebook, codes decoded back through it —
-    * the 16-bytes-per-vector layout a 100 TB store actually holds,
-    * materialized here as the reconstructed vectors the ADC score
-    * reads. */
+    * against the broadcast codebook, the winning codebook vector
+    * carried through the assignment's struct-max (r18 — the r17 shape
+    * re-joined the codebook on (j, code) after the assignment, a
+    * second broadcast join + per-row decode pass that measured ~2 s at
+    * sf0.1 for identical output), so the decode is one |vecs|-keyed
+    * collect. This is still the 16-bytes-per-vector layout a 100 TB
+    * store holds: the carry adds the winning cv only to the in-flight
+    * assignment rows, never to the stored index. */
   private[graft] def pqReconstructed(e: DataFrame, codes: Int = 16): DataFrame = {
     val sub = pqSub(e)
     val c2 = pqCodebook(sub, codes)
-    pqAssign(sub, c2).select("vec_id", "j", "code")
-      .join(broadcast(c2), Seq("j", "code"))
+    pqAssign(sub, c2, carry = "cv")
       .groupBy("vec_id")
       .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cv))), z -> z.cv))")
         .as("qe"))
@@ -269,9 +293,13 @@ object Similarity {
     // on this worst-case near-uniform corpus
     val qe = pqReconstructed(e.select("vec_id", "de"), codes = 64)
       .withColumn("qnrm", sqrt(dot("qe", "qe")))
+    // model.transform(ef) already carries the raw embedding column —
+    // joining the corpus back to itself on vec_id only to re-fetch it
+    // was a full extra corpus exchange (r18); ONE vec_id join (the PQ
+    // codes) remains, exactly the index-build exchange the scale note
+    // above describes
     val assigned = model.transform(ef)
-      .select(col("vec_id"), col("cell"))
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
       .join(qe, "vec_id")
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),

@@ -1,0 +1,45 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** r18 optimization evidence: writes plans/r18/<query>_<tag>.txt with
+  * the .explain("formatted") output (and the AQE-final plan appended)
+  * for each named query, under the bench session config.
+  * Usage: runMain graft.tools.R18Plan <tag> <q1,q2,...> [sfDir]
+  */
+object R18Plan {
+  def main(args: Array[String]): Unit = {
+    val tag = args.headOption.getOrElse("before")
+    val names = args.lift(1).map(_.split(',').toSeq)
+      .getOrElse(Seq("q_knn_ivfpq"))
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.Tables.NanosAsLongKey, "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get("plans/r18"))
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      df.collect() // finalize this QueryExecution's adaptive plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+      val body =
+        s"== ${name} ($tag, $sfDir) ==\n\n--- explain formatted ---\n" +
+          formatted + "\n--- AQE-final executed plan ---\n" + finalPlan + "\n"
+      Files.write(Paths.get(s"plans/r18/${name}_$tag.txt"),
+        body.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      println(s"WROTE plans/r18/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}

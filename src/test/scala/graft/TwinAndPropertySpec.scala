@@ -178,6 +178,41 @@ class TwinAndPropertySpec extends SparkSpec {
       assert(q(name).filter(!col("recall_ok")).isEmpty, s"$name audit verdict false")
   }
 
+  test("dot_product is bit-identical to the aggregate∘zip_with fold it replaced") {
+    // r18: ops.Similarity.dot moved from the interpreted HOF fold to the
+    // codegen'd DotProduct expression — same left-to-right double
+    // accumulation, same float widening. Bit-identical on the real
+    // corpus (=== on doubles, no tolerance), or the PQ/SQ8 lattice
+    // floors could flip a code assignment between engines.
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("de", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val both = e.select(
+      graft.functions.DotProduct.dot_product(col("de"), col("de")).as("native"),
+      expr("aggregate(zip_with(de, de, (p, q) -> p * q), CAST(0 AS DOUBLE), " +
+        "(acc, v) -> acc + v)").as("hof"),
+      // float input widens identically to the CAST(p AS DOUBLE) * q form
+      graft.functions.DotProduct.dot_product(col("embedding"), col("embedding")).as("nativef"),
+      expr("aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hoff"))
+    assert(both.filter(col("native") =!= col("hof") ||
+      col("nativef") =!= col("hoff")).isEmpty)
+    // null semantics match the fold: ragged → null, null element → null,
+    // empty → the fold's 0.0 zero
+    val r = spark.sql(
+      """SELECT dot_product(array(CAST(1.0 AS DOUBLE)),
+        |                   array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS ragged,
+        |       dot_product(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |                   array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS nullelem,
+        |       dot_product(CAST(array() AS ARRAY<DOUBLE>),
+        |                   CAST(array() AS ARRAY<DOUBLE>)) AS empty,
+        |       dot_product(array(CAST(3.0 AS DOUBLE)), array(CAST(4.0 AS DOUBLE))) AS ok
+        |""".stripMargin).head()
+    assert(r.isNullAt(0), "ragged must be null")
+    assert(r.isNullAt(1), "null element must be null")
+    assert(r.getDouble(2) === 0.0, "empty fold is 0.0")
+    assert(r.getDouble(3) === 12.0)
+  }
+
   test("cosine_sim is null (not garbage) on ragged or zero-norm input") {
     val rows = spark.sql(
       """SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS ragged,
