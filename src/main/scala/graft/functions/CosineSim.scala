@@ -148,6 +148,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("dot_product", 2)(children); DotProduct(c(0), c(1)) }))
     ext.injectFunction((
+      new FunctionIdentifier("char_trigram_tfs"),
+      new ExpressionInfo(classOf[CharTrigramTfs].getName, "char_trigram_tfs"),
+      (children: Seq[Expression]) => {
+        val c = arity("char_trigram_tfs", 1)(children); CharTrigramTfs(c(0)) }))
+    ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
       (children: Seq[Expression]) => {

@@ -547,24 +547,21 @@ object Curation {
          |GROUP BY 1, 2
          |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // Per-doc distinct (tri, tf) pairs built IN-ROW (r17 — the
-      // q_char_entropy sort + index-lambda run-length fold): the
-      // explode emits only each doc's DISTINCT trigrams, so the first
-      // exchange shrinks by the in-doc repetition factor and the
-      // (doc, lang, tri) groupBy exchange disappears entirely.
+      // Per-doc distinct (tri, tf) pairs built IN-ROW (r17 shape, r18
+      // engine): the explode emits only each doc's DISTINCT trigrams,
+      // so the first exchange shrinks by the in-doc repetition factor
+      // and the (doc, lang, tri) groupBy exchange disappears entirely.
+      // The fold itself is the native char_trigram_tfs expression — the
+      // r17 HOF chain re-scanned the string from byte 0 on every
+      // interpreted substring(text, i, 3) call (UTF8String has no
+      // code-point index), quadratic per document and measured ~3.4 s
+      // of this query's 5.4 s at sf0.1; the expression computes the
+      // code-point offsets once and emits the identical sorted (tri,
+      // tf) structs (equivalence pinned in TwinAndPropertySpec).
       val g = Tables.load(s, d, "documents")
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
-          expr("array_sort(transform(sequence(1, length(text) - 2)," +
-            " i -> substring(text, i, 3)))").as("tris"))
-        .withColumn("nt", size(col("tris")))
-        .withColumn("starts", expr(
-          "filter(sequence(0, nt - 1), i -> i = 0 OR tris[i] <> get(tris, i - 1))"))
-        .select(col("doc_id"), col("lang"), explode(expr(
-          """transform(starts, (st, j) ->
-            |  struct(get(tris, st) AS tri,
-            |         CAST(coalesce(get(starts, j + 1), nt) - st AS BIGINT) AS tf))"""
-            .stripMargin)).as("p"))
+          explode(graft.functions.CharTrigramTfs.char_trigram_tfs(col("text"))).as("p"))
         .select(col("doc_id"), col("lang"), col("p.tri").as("tri"), col("p.tf").as("tf"))
         .transform(Q.snapshot)
       val lm = g.groupBy("lang", "tri").agg(sum("tf").as("c"))

@@ -213,6 +213,38 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(r.getDouble(3) === 12.0)
   }
 
+  test("char_trigram_tfs equals the HOF sort + run-length fold it replaced") {
+    // r18: q_ppl_bucket's in-row trigram fold moved to the native
+    // expression. Same sorted order (unsigned-byte UTF8String compare =
+    // array_sort's string order), same run lengths, same struct fields —
+    // element-for-element on the real corpus, or the LM counts drift.
+    val hof = Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        expr("array_sort(transform(sequence(1, length(text) - 2)," +
+          " i -> substring(text, i, 3)))").as("tris"))
+      .withColumn("nt", size(col("tris")))
+      .withColumn("starts", expr(
+        "filter(sequence(0, nt - 1), i -> i = 0 OR tris[i] <> get(tris, i - 1))"))
+      .select(col("doc_id"), expr(
+        """transform(starts, (st, j) ->
+          |  struct(get(tris, st) AS tri,
+          |         CAST(coalesce(get(starts, j + 1), nt) - st AS BIGINT) AS tf))"""
+          .stripMargin).as("pairs"))
+    val native = Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.CharTrigramTfs.char_trigram_tfs(col("text")).as("pairs"))
+    assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
+    // empty-ish input: below 3 code points the fold is empty, and a
+    // multi-byte text slices on code-point boundaries
+    val r = spark.sql(
+      "SELECT char_trigram_tfs('ab') AS short, char_trigram_tfs('ééxé') AS mb").head()
+    assert(r.getSeq[Any](0).isEmpty)
+    assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).sorted ===
+      Seq("ééx", "éxé").sorted)
+  }
+
   test("cosine_sim is null (not garbage) on ragged or zero-norm input") {
     val rows = spark.sql(
       """SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS ragged,
