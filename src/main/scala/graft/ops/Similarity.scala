@@ -1060,26 +1060,36 @@ object Similarity {
          |       ${Q.sqlR6("CAST(tr AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e6")} AS trace_var,
          |       CASE WHEN f2 > 0 THEN ${Q.sqlR4("(CAST(tr AS DOUBLE) / (CAST(n AS DOUBLE) * n)) * (CAST(tr AS DOUBLE) / (CAST(n AS DOUBLE) * n)) / f2")} END AS effective_dim
          |FROM ag""".stripMargin) { (s, d) =>
-      val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(floor(v * 1000 + 0.5) AS BIGINT))").as("x3"))
-        .transform(Q.snapshot)
-      val sp = e.select(explode(expr(
-          """flatten(transform(sequence(0, 63), j ->
-            |  transform(sequence(j, 63), k ->
-            |    named_struct('j', j, 'k', k,
-            |                 'p', element_at(x3, j + 1) * element_at(x3, k + 1)))))""".stripMargin))
-          .as("t"))
-        .select(col("t.j").as("j"), col("t.k").as("k"), col("t.p").as("p"))
-        .groupBy("j", "k").agg(sum("p").as("sp"))
-      val s1 = e.select(posexplode(col("x3")).as(Seq("j0", "v")))
-        .groupBy("j0").agg(sum("v").as("s1"))
-      val nDf = e.agg(count(lit(1)).as("n"))
-      val mm = sp
-        .join(broadcast(s1.select(col("j0").as("j"), col("s1").as("s1a"))), Seq("j"))
-        .join(broadcast(s1.select(col("j0").as("k"), col("s1").as("s1b"))), Seq("k"))
-        .crossJoin(broadcast(nDf))
-        .withColumn("m", col("n") * col("sp") - col("s1a") * col("s1b"))
+      // ONE compiled Gram pass (r18): the r17 shape exploded 2,080
+      // interpreted (j, k, product) structs per row into a (j, k)
+      // groupBy, plus two more passes (per-dim sums, count) over a
+      // snapshot of the corpus. GramSumAgg folds all three sufficient
+      // statistics in a single map-side-collapsed aggregate (exact
+      // int64, order-free — identical sums), and the 2,080-cell
+      // (j, k) frame is reconstituted from the ONE result row. The
+      // n = 0 guard empties the explode so a degenerate corpus yields
+      // the same all-null readout the grouped form produced.
+      val gram = udaf(new graft.functions.GramSumAgg(64),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      val mm = Tables.load(s, d, "embeddings")
+        .select(expr("transform(embedding, v -> CAST(floor(v * 1000 + 0.5) AS BIGINT))")
+          .as("x3"))
+        .agg(gram(col("x3")).as("g"))
+        .select(explode(expr(
+          """CASE WHEN element_at(g, 2145) = 0 THEN
+            |  CAST(array() AS ARRAY<STRUCT<j: INT, k: INT, n: BIGINT, sp: BIGINT,
+            |                               s1a: BIGINT, s1b: BIGINT>>)
+            |ELSE
+            |  flatten(transform(sequence(0, 63), j ->
+            |    transform(sequence(j, 63), k ->
+            |      named_struct('j', j, 'k', k,
+            |        'n', element_at(g, 2145),
+            |        'sp', element_at(g, CAST(64 * j - (j * (j - 1)) div 2 + (k - j) + 1 AS INT)),
+            |        's1a', element_at(g, 2081 + j),
+            |        's1b', element_at(g, 2081 + k)))))
+            |END""".stripMargin)).as("t"))
+        .select(col("t.j").as("j"), col("t.k").as("k"), col("t.n").as("n"),
+          (col("t.n") * col("t.sp") - col("t.s1a") * col("t.s1b")).as("m"))
       val covd = col("m").cast("double") / (col("n").cast("double") * col("n"))
       val w = when(col("j") === col("k"), lit(1)).otherwise(lit(2))
       val ag = mm.agg(max("n").as("n"),
