@@ -153,6 +153,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("char_trigram_tfs", 1)(children); CharTrigramTfs(c(0)) }))
     ext.injectFunction((
+      new FunctionIdentifier("markov_conv_reach"),
+      new ExpressionInfo(classOf[MarkovConvReach].getName, "markov_conv_reach"),
+      (children: Seq[Expression]) => {
+        val c = arity("markov_conv_reach", 1)(children); MarkovConvReach(c(0)) }))
+    ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
       (children: Seq[Expression]) => {

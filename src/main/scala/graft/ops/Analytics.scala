@@ -79,6 +79,54 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  /** q_markov_attribution's per-removal-chain transition list (chain,
+    * cur, nxt, p12 on the 1e-12 lattice): pre-purchase journeys →
+    * transition counts → row-normalized probabilities → one removal
+    * variant per channel, absorbing states appended. ONE home so the
+    * in-row markov_conv_reach fold and TwinAndPropertySpec's
+    * old-formulation (12 join rounds) equivalence test share the exact
+    * same input frame. */
+  private[graft] def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("es") * Q.PackBase + col("event_id"))
+    val k = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Q.epochSec(col("ts")).as("es"))
+      .withColumn("pb", coalesce(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val j = k.filter(col("pb") === 0)
+      .withColumn("st", when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")))
+      .withColumn("rn", row_number().over(wu))
+      .withColumn("nxt", lead("st", 1).over(wu))
+    val tr = j.filter(col("rn") === 1)
+      .select(lit("start").as("cur"), col("st").as("nxt"))
+      .unionAll(j.filter(col("nxt").isNotNull)
+        .select(col("st").as("cur"), col("nxt")))
+      .unionAll(j.filter(col("nxt").isNull && col("st") =!= "conv")
+        .select(col("st").as("cur"), lit("null").as("nxt")))
+    val c = tr.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val m = c.select(col("cur"), col("nxt"),
+      (col("n").cast("double") /
+        sum("n").over(Window.partitionBy("cur")).cast("long")).as("prob"))
+      .transform(Q.snapshot)
+    val sess = Tables.events(s, d).sparkSession
+    val ch = sess.createDataFrame(Seq((0, ""), (1, "click"), (2, "error"),
+      (3, "signup"), (4, "view"))).toDF("chain", "removed")
+    val absorb = sess.createDataFrame(Seq(("conv"), ("null")).map(Tuple1(_)))
+      .toDF("st")
+    broadcast(ch).join(m, col("cur") =!= col("removed"))
+      .groupBy(col("chain"),
+        col("cur"),
+        when(col("nxt") === col("removed"), "null").otherwise(col("nxt")).as("nx"))
+      .agg(sum(floor(col("prob") * lit(1e12) + 0.5).cast("long")).as("p12"))
+      .select(col("chain"), col("cur"), col("nx").as("nxt"), col("p12"))
+      .unionAll(broadcast(ch).crossJoin(broadcast(absorb))
+        .select(col("chain"), col("st").as("cur"), col("st").as("nxt"),
+          lit(1000000000000L).as("p12")))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Conversion funnel view → click → purchase: per user the earliest
@@ -1605,56 +1653,27 @@ object Analytics {
          |       CASE WHEN tt.t > 0 THEN ${Q.sqlR6("CAST(re.rem9 AS DOUBLE) / tt.t")} END AS attribution
          |FROM re CROSS JOIN tt
          |ORDER BY re.channel""".stripMargin) { (s, d) =>
-      val wu = Window.partitionBy("user_id")
-        .orderBy(col("es") * Q.PackBase + col("event_id"))
-      val k = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          Q.epochSec(col("ts")).as("es"))
-        .withColumn("pb", coalesce(
-          sum(when(col("event_type") === "purchase", 1).otherwise(0))
-            .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-      val j = k.filter(col("pb") === 0)
-        .withColumn("st", when(col("event_type") === "purchase", "conv")
-          .otherwise(col("event_type")))
-        .withColumn("rn", row_number().over(wu))
-        .withColumn("nxt", lead("st", 1).over(wu))
-      val tr = j.filter(col("rn") === 1)
-        .select(lit("start").as("cur"), col("st").as("nxt"))
-        .unionAll(j.filter(col("nxt").isNotNull)
-          .select(col("st").as("cur"), col("nxt")))
-        .unionAll(j.filter(col("nxt").isNull && col("st") =!= "conv")
-          .select(col("st").as("cur"), lit("null").as("nxt")))
-      val c = tr.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-      val m = c.select(col("cur"), col("nxt"),
-        (col("n").cast("double") /
-          sum("n").over(Window.partitionBy("cur")).cast("long")).as("prob"))
-        .transform(Q.snapshot)
-      val sess = Tables.events(s, d).sparkSession
-      val ch = sess.createDataFrame(Seq((0, ""), (1, "click"), (2, "error"),
-        (3, "signup"), (4, "view"))).toDF("chain", "removed")
-      val absorb = sess.createDataFrame(Seq(("conv"), ("null")).map(Tuple1(_)))
-        .toDF("st")
-      val ma = broadcast(ch).join(m, col("cur") =!= col("removed"))
-        .groupBy(col("chain"),
-          col("cur"),
-          when(col("nxt") === col("removed"), "null").otherwise(col("nxt")).as("nx"))
-        .agg(sum(floor(col("prob") * lit(1e12) + 0.5).cast("long")).as("p12"))
-        .select(col("chain"), col("cur"), col("nx").as("nxt"), col("p12"))
-        .unionAll(broadcast(ch).crossJoin(broadcast(absorb))
-          .select(col("chain"), col("st").as("cur"), col("st").as("nxt"),
-            lit(1000000000000L).as("p12")))
-      val mm = Q.snapshot(ma.select(col("chain"), col("cur"), col("nxt"),
-        (col("p12").cast("double") / lit(1e12)).as("prob")))
-      var q = ch.select(col("chain"), lit("start").as("st"), lit(1.0).as("p"))
-      for (_ <- 1 to 12) {
-        q = mm.join(q.withColumnRenamed("st", "src"),
-            q("chain") === mm("chain") && col("src") === col("cur"))
-          .groupBy(mm("chain").as("chain2"), col("nxt"))
-          .agg(sum(floor(col("p") * col("prob") * lit(1e12) + 0.5).cast("long")).as("s12"))
-          .select(col("chain2").as("chain"), col("nxt").as("st"),
-            (col("s12").cast("double") / lit(1e12)).as("p"))
-      }
-      val q12 = Q.snapshot(q.filter(col("st") === "conv"))
+      val ma = markovTransitions(s, d)
+      val ch = Tables.events(s, d).sparkSession
+        .createDataFrame(Seq((0, ""), (1, "click"), (2, "error"),
+          (3, "signup"), (4, "view"))).toDF("chain", "removed")
+      // The 12 matrix-power rounds run IN-ROW over one (chain, edges)
+      // row per removal chain (r18): the r17 loop was 12 joins + 12
+      // aggregations over ≤180-row frames — ~24 scheduler-bound tiny
+      // stages (~1.3 s of the query at sf0.1) for a state space that is
+      // |event_type domain| + start/conv/null ≈ 7. markov_conv_reach
+      // (functions/MarkovReach.scala) applies the IDENTICAL per-term
+      // lattice arithmetic (floor(p·prob·1e12 + 0.5), summed as exact
+      // int64 per nxt, ÷1e12; an entry exists exactly where the join
+      // produced a row) in one compiled loop — value-identical, pinned
+      // by the unchanged oracle's unrolled 12-CTE chain. At 100 TB the
+      // transition matrix is still domain-bounded, so the in-row fold
+      // scales.
+      val q12 = Q.snapshot(ma.groupBy("chain")
+        .agg(collect_list(struct(col("cur"), col("nxt"), col("p12"))).as("edges"))
+        .select(col("chain"),
+          graft.functions.MarkovConvReach.markov_conv_reach(col("edges")).as("p"))
+        .filter(col("p").isNotNull))
       val rf = q12.filter(col("chain") === 0).select(col("p").as("reach_full"))
       val rr = ch.filter(col("chain") > 0)
         .join(q12.select(col("chain"), col("p").as("reach_removed")), Seq("chain"), "left")

@@ -31,10 +31,28 @@ object R18Plan {
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       df.collect() // finalize this QueryExecution's adaptive plan
-    val finalPlan = df.queryExecution.executedPlan.toString
+      val finalPlan = df.queryExecution.executedPlan.toString
+      // Q.snapshot truncates lineage onto LogicalRDD leaves; resolve each
+      // leaf through the snapshot-origin registry (recursively) so the
+      // evidence shows the WHOLE query, not just the post-snapshot tail.
+      def originDump(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                     depth: Int): String = {
+        if (depth > 6) return ""
+        val leaves = plan.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+        }
+        leaves.flatMap { id =>
+          graft.Q.snapshotOrigin(id).map { origin =>
+            s"\n--- snapshot origin (rdd $id) optimized plan ---\n" +
+              origin.toString + originDump(origin, depth + 1)
+          }
+        }.mkString
+      }
+      val origins = originDump(df.queryExecution.optimizedPlan, 0)
       val body =
         s"== ${name} ($tag, $sfDir) ==\n\n--- explain formatted ---\n" +
-          formatted + "\n--- AQE-final executed plan ---\n" + finalPlan + "\n"
+          formatted + "\n--- AQE-final executed plan ---\n" + finalPlan +
+          origins + "\n"
       Files.write(Paths.get(s"plans/r18/${name}_$tag.txt"),
         body.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

@@ -245,6 +245,31 @@ class TwinAndPropertySpec extends SparkSpec {
       Seq("ééx", "éxé").sorted)
   }
 
+  test("markov_conv_reach equals the 12-round join loop it replaced") {
+    // r18: q_markov_attribution's matrix power moved in-row. Rebuild the
+    // OLD formulation (12 join+agg rounds) over the same transition
+    // frame and compare per-chain conv reach bit-for-bit.
+    val m = ops.Analytics.markovTransitions(spark, sfDir)
+    var q = spark.createDataFrame(Seq(0, 1, 2, 3, 4).map(Tuple1(_))).toDF("chain")
+      .select(col("chain"), lit("start").as("st"), lit(1.0).as("p"))
+    for (_ <- 1 to 12) {
+      q = m.join(q.withColumnRenamed("st", "src"),
+          q("chain") === m("chain") && col("src") === col("cur"))
+        .groupBy(m("chain").as("chain2"), col("nxt"))
+        .agg(sum(floor(col("p") * (col("p12").cast("double") / lit(1e12)) *
+          lit(1e12) + 0.5).cast("long")).as("s12"))
+        .select(col("chain2").as("chain"), col("nxt").as("st"),
+          (col("s12").cast("double") / lit(1e12)).as("p"))
+    }
+    val oldWay = q.filter(col("st") === "conv").select("chain", "p")
+    val newWay = m.groupBy("chain")
+      .agg(collect_list(struct(col("cur"), col("nxt"), col("p12"))).as("edges"))
+      .select(col("chain"),
+        graft.functions.MarkovConvReach.markov_conv_reach(col("edges")).as("p"))
+      .filter(col("p").isNotNull)
+    assert(oldWay.exceptAll(newWay).isEmpty && newWay.exceptAll(oldWay).isEmpty)
+  }
+
   test("cosine_sim is null (not garbage) on ragged or zero-norm input") {
     val rows = spark.sql(
       """SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS ragged,
