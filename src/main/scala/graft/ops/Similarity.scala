@@ -241,8 +241,14 @@ object Similarity {
     val train = sub.filter(col("vec_id") < 1024).coalesce(4)
     val c0 = sub.filter(col("vec_id") < codes)
       .select(col("j"), col("vec_id").as("code"), col("sv").as("cv"))
-    val c1 = Q.snapshot(pqUpdate(pqAssign(train, c0)))
-    Q.snapshot(pqUpdate(pqAssign(train, c1)))
+    // the rounds chain LAZILY (r18): with a FIXED 2-round count the plan
+    // depth is bounded (the q_pagerank argument), each round's output is
+    // consumed exactly once — as the next round's broadcast build — so
+    // nothing is recomputed, and the two eager localCheckpoint jobs the
+    // r17 shape paid (~0.5 s each at sf0.1, for 4·codes-row frames)
+    // disappear into the single enclosing job's broadcast cascade
+    val c1 = pqUpdate(pqAssign(train, c0))
+    pqUpdate(pqAssign(train, c1))
   }
 
   /** Corpus-wide PQ reconstruction (vec_id, qe): ONE assignment pass
