@@ -422,8 +422,16 @@ object Lexicon {
         .unionAll(und.select(col("lang"), col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy("lang", "src").agg(count(lit(1)).as("outdeg"))
       val e = edges.join(deg, Seq("lang", "src")).transform(Q.snapshot)
-      val nn = deg.groupBy("lang").agg(count(lit(1)).as("n"))
-      var ranks = deg.select(col("lang"), col("src").as("node"))
+      // node table and per-lang count derive from the SNAPSHOT, not from
+      // `deg` (r18): deg's subtree is the whole corpus front (token
+      // explode + two doc windows + the pair distinct), and the rank
+      // seed plus each round's broadcast(nn) would otherwise re-plan —
+      // and, outside exchange-reuse luck, re-run — that front up to 4×.
+      // (lang, src, outdeg) rows repeat per dst in e; distinct restores
+      // exactly deg's rows.
+      val nodes = e.select(col("lang"), col("src"), col("outdeg")).distinct()
+      val nn = nodes.groupBy("lang").agg(count(lit(1)).as("n"))
+      var ranks = nodes.select(col("lang"), col("src").as("node"))
         .join(broadcast(nn), Seq("lang"))
         .select(col("lang"), col("node"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
