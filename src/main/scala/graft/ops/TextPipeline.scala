@@ -331,19 +331,21 @@ object TextPipeline {
       .withColumn("h1", expr("conv(substring(h, 1, 8), 16, 10)").cast("long"))
       .withColumn("h2", expr("conv(substring(h, 9, 8), 16, 10)").cast("long"))
       .select(col("doc_id"), col("lang"), col("h1"), col("h2"))
-    val votes = (0 until SimhashBits).map { b =>
-      val k = b / 4 + 1; val j = b % 4
-      val (word, kk) = if (k <= 8) ("h1", k) else ("h2", k - 8)
-      val weight = (1L << (4 * (8 - kk))) * (1L << j)
-      sum(expr(s"($word div ${weight}L) % 2") * 2 - 1).as(s"v$b")
-    }
+    // the 64 bit votes fold in ONE compiled aggregate buffer (r18 —
+    // functions.SimhashVotesAgg; the 64-separate-sum-columns form spent
+    // its time in 64 hash-agg buffers per doc), identical exact int64
+    // votes; band values read the result array with the same
+    // when(v > 0, 1 << i) arithmetic as before
+    val votesAgg = udaf(new graft.functions.SimhashVotesAgg,
+      org.apache.spark.sql.Encoders.product[graft.functions.SimhashWord])
     val bandVal = (g: Int) => (0 until SimhashBandBits).map { i =>
-      when(col(s"v${g * SimhashBandBits + i}") > 0, 1 << i).otherwise(0)
+      when(element_at(col("v"), g * SimhashBandBits + i + 1) > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
     val bandStructs = (0 until SimhashBands).map { g =>
       struct(lit(g).as("band"), bandVal(g).as("bv"))
     }
-    val bands = wrd.groupBy("doc_id", "lang").agg(votes.head, votes.tail: _*)
+    val bands = wrd.groupBy("doc_id", "lang")
+      .agg(votesAgg(col("h1"), col("h2")).as("v"))
       .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bv").as("bv"))
     val a = bands.as("a")
