@@ -85,7 +85,18 @@ object Q {
     * conversion still pays the probe's map-side shuffle write first. */
   def sizedBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
     val snap = snapshot(df)
-    val n = snap.count()
+    guardedBroadcast(snap, snap.count(), maxRows)
+  }
+
+  /** The [[sizedBroadcast]] decision applied to an ALREADY-materialized
+    * snapshot with an externally-known row count: record the row guard
+    * and hint broadcast only under the bound. For iteration states
+    * whose row count is invariant across rounds (CC labels, PageRank
+    * ranks, label-propagation labels — exactly one row per node every
+    * round), ONE count taken at the seed guards every round's hint
+    * instead of paying a count job per round; above the bound each
+    * round degrades to the plain shuffle join unchanged. */
+  def guardedBroadcast(snap: DataFrame, n: Long, maxRows: Long): DataFrame = {
     snap.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         rowGuardsMap.synchronized { rowGuardsMap.put(r.rdd.id, (n, maxRows)); () }

@@ -1970,8 +1970,11 @@ object Analytics {
     val cw = g.withColumn("cum", sum("c").over(wg))
       .withColumn("n", sum("c").over(wt))
       .withColumn("sv", sum(col("c") * col("v")).over(wt))
-    val m0 = cw.groupBy("g").agg(max("n").as("n"), max("sv").as("sv"),
-      min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
+    // m0 feeds TWO consumers (the MAD build's broadcast and the k0
+    // join): snapshot the ≤|types|-row frame so the two window passes
+    // over the grid run once, not twice (r19, guide §2.4)
+    val m0 = Q.snapshot(cw.groupBy("g").agg(max("n").as("n"), max("sv").as("sv"),
+      min(when(col("cum") * 2 >= col("n"), col("v"))).as("med")))
     val wd = Window.partitionBy("g").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val md = g.join(broadcast(m0.select("g", "med")), "g")
@@ -2002,7 +2005,11 @@ object Analytics {
             .otherwise(col("med").cast("double")).as("mu"))
     }
 
-    val p3 = round(Q.snapshot(round(Q.snapshot(round(Q.snapshot(k0))))))
+    // the IRLS rounds chain LAZILY (r19 — the PQ Lloyd-rounds move,
+    // guide §5): fixed 3-round count bounds the plan, each round's
+    // ≤|types|-row output feeds exactly one broadcast build, so nothing
+    // recomputes and the three eager materialization jobs disappear
+    val p3 = round(round(round(k0)))
     p3.select(col("g").as("event_type"), col("n"),
       col("med").as("median_cents"), col("mad").as("mad_cents"),
       Q.r4(col("sv").cast("double") / col("n")).as("mean_cents"),

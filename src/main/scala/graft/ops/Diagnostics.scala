@@ -953,9 +953,10 @@ object Diagnostics {
         |FROM w
         |GROUP BY label
         |ORDER BY label""".stripMargin) { (s, d) =>
-      val n3 = floor(sqrt(expr(
-        """aggregate(zip_with(embedding, embedding, (p, q) -> CAST(p AS DOUBLE) * q),
-          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)) * 1e3 + 0.5)
+      // native dot_product (r19): identical float→double widening and
+      // left-to-right accumulation as the HOF fold it replaces
+      val n3 = floor(sqrt(graft.functions.DotProduct.dot_product(
+        col("embedding"), col("embedding"))) * 1e3 + 0.5)
         .cast("long")
       val g = Tables.load(s, d, "embeddings")
         .select(col("label").cast("long").as("label"), n3.as("n3"))

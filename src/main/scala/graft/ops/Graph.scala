@@ -35,6 +35,21 @@ object Graph {
   private val Damping = 0.85
   private val Iterations = 3
 
+  /** Row bound under which a node-sized iteration state (ranks, labels,
+    * frontiers — one row per node) broadcasts into its per-round join
+    * instead of shuffle-joining (guide §3.1: the broadcast replaces a
+    * shuffle of the EDGE side every round — measured 2.46 → 1.16 s for
+    * q_label_propagation's three rounds at sf0.1, where the SMJ form
+    * re-exchanged the 1.2M-row edge frame each round). 4M rows ≈ 64 MB
+    * of (id, value) longs — the sizedBroadcast precedent (Curation's
+    * trigram LM bound); above it every round degrades to the original
+    * shuffle join unchanged, so a 100 TB catalog (billions of nodes)
+    * never ships an unbounded build side. The guard is ONE count at the
+    * seed — iteration states here keep exactly one row per node, so the
+    * seed count bounds every round (Q.guardedBroadcast records it for
+    * PlanAuditSpec's broadcast-bound walk). */
+  private[graft] val NodeStateBroadcastRows = 4000000L
+
   /** Hub-part cap for butterfly candidate generation — parts with more
     * than this many suppliers are excluded from pair expansion (the
     * q_dedup_near dfCap move: bounds the per-key quadratic term). */
@@ -72,11 +87,27 @@ object Graph {
     val e = ed0.join(deg, "src").transform(snapshot)
     val nodes = e.select(col("src").as("node")).distinct().transform(snapshot)
     val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
+    // ONE count guards every round's broadcast hint: ranks keep exactly
+    // one row per node, so |ranks| = |nodes| at every round (r19 —
+    // guide §3.1). With the hint each round is edges(BHJ)→agg: the only
+    // exchange left per round is the groupBy(dst) reduction, where the
+    // SMJ form re-exchanged BOTH the |edges| frame and the rank table
+    // every round. Above the guard bound rounds degrade to the original
+    // shuffle join — nothing is hinted.
+    val nNodes = nodes.count()
+    // rounds stay a lazy chain (fixed count, each round feeds exactly
+    // one consumer — the Lloyd-rounds precedent); the hint itself is
+    // gated on the one nNodes count, and the hinted subtree is a
+    // node-keyed aggregate, so the broadcast-bound walk classifies it
+    // without a registry entry
+    val hintRanks: DataFrame => DataFrame =
+      if (nNodes <= NodeStateBroadcastRows) broadcast else identity
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
     for (_ <- 1 to Iterations) {
+      val r = hintRanks(ranks)
       ranks = e
-        .join(ranks, e("src") === ranks("node"))
+        .join(r, e("src") === r("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("outdeg")).as("mass"))
         .crossJoin(broadcast(nDf))
@@ -211,8 +242,14 @@ object Graph {
       val ps = Tables.load(s, d, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-      val deg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
-      val p = ps.join(deg.filter(col("d") <= DegCap && col("d") >= 2).select("pk"), "pk")
+      // the degree cap rides a partition-only window over the SAME
+      // hash(pk) clustering the collect below needs (r19, guide §2.4 —
+      // the shinglePairStats df-cap move): the deg agg + semi-join
+      // formulation re-derived the distinct-pair scan twice and paid
+      // two extra exchanges for identical surviving rows
+      val p = ps
+        .withColumn("d", count(lit(1)).over(Window.partitionBy("pk")))
+        .filter(col("d") <= DegCap && col("d") >= 2)
       p.groupBy("pk").agg(sort_array(collect_list(col("sk"))).as("sks"))
         .select(col("sks"), posexplode(col("sks")).as(Seq("i", "s1")))
         .select(col("s1"),
@@ -291,6 +328,10 @@ object Graph {
          |SELECT a, b, cooc, cosine FROM sc
          |ORDER BY cosine DESC, a, b
          |LIMIT 20""".stripMargin) { (s, d) =>
+      // lazy shared subtrees (r19, measured): the formatted plan shows
+      // the incidence distinct three times, but runtime exchange reuse
+      // dedupes them inside the one plan — eager snapshots were tried
+      // and measured neutral-to-slower at sf0.1
       val n = orderParts(s, d).groupBy("pk").agg(count(lit(1)).as("c"))
       coPairsWithSupport(s, d)
         .join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
@@ -325,6 +366,8 @@ object Graph {
          |SELECT a, b, cooc, jaccard FROM sc
          |ORDER BY jaccard DESC, a, b
          |LIMIT 20""".stripMargin) { (s, d) =>
+      // same shape as q_item_cosine (r19): lazy shared subtrees —
+      // runtime exchange reuse dedupes them inside the one plan
       val n = orderParts(s, d).groupBy("pk").agg(count(lit(1)).as("c"))
       coPairsWithSupport(s, d)
         .join(n.select(col("pk").as("a"), col("c").as("ca")), "a")
@@ -419,21 +462,34 @@ object Graph {
       // correctness gain.
       var frontiers = List(root)
       var frontier = root
+      // frontier/visited rows are counted on the already-materialized
+      // snapshots (the count doubles as the emptiness probe below and
+      // as the broadcast row guard — frontiers and the visited union
+      // are node-bounded, so each hop's joins broadcast the node-sized
+      // side and the |edges| frame is never re-exchanged; above the
+      // guard bound hops degrade to the original shuffle joins)
+      var frontierRows = root.count()
+      var reachedRows = frontierRows
       var h = 1
       // stop as soon as a frontier comes back empty — expanding an
       // empty frontier can only yield empty frontiers, so remaining
       // rounds are pure overhead (fires when the root's eccentricity
-      // is < the 4-hop cap; the isEmpty probe is a scan of the
+      // is < the 4-hop cap; the count probe is a scan of the
       // already-checkpointed frontier, not a recomputation)
-      while (h <= 4 && !frontier.isEmpty) {
-        val visited = frontiers.reduce(_ unionAll _).select("id")
-        val nxt = frontier.join(ed, frontier("id") === ed("src"))
+      while (h <= 4 && frontierRows > 0) {
+        val visited0 = frontiers.reduce(_ unionAll _).select("id")
+        val visited =
+          if (reachedRows <= NodeStateBroadcastRows) broadcast(visited0) else visited0
+        val bf = Q.guardedBroadcast(frontier, frontierRows, NodeStateBroadcastRows)
+        val nxt = ed.join(bf, ed("src") === bf("id"))
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
           .select(col("id"), lit(h.toLong).as("depth"))
           .transform(snapshot)
         frontiers = nxt :: frontiers
         frontier = nxt
+        frontierRows = nxt.count()
+        reachedRows += frontierRows
         h += 1
       }
       frontiers.reduce(_ unionAll _)
@@ -480,9 +536,12 @@ object Graph {
         |ORDER BY clustering DESC, deg DESC, node
         |LIMIT 20""".stripMargin) { (s, d) =>
       val edges = coPairs(s, d).transform(snapshot)
-      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val tri = triangleCornersFrom(edges)
+      // ONE snapshotted degree table serves both the readout and the
+      // triangle census's orientation joins (r19, guide §2.4)
+      val deg = Q.snapshot(
+        edges.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg")))
+      val tri = triangleCornersFrom(edges, deg)
       deg.filter(col("deg") >= 2)
         .join(tri, Seq("node"), "left")
         .select(col("node"), col("deg"),
@@ -528,13 +587,24 @@ object Graph {
         |       ${Q.sqlR6("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))")} AS assortativity
         |FROM st""".stripMargin) { (s, d) =>
       val edges = coPairs(s, d).transform(snapshot)
-      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("dg"))
+      // degree table feeds both endpoint joins: snapshot once,
+      // broadcast under the node-state row guard so the edge frame
+      // streams through both joins unexchanged (r19, guide §3.1/§2.4)
+      val deg0 = Q.snapshot(
+        edges.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("dg")))
+      val deg = Q.guardedBroadcast(deg0, deg0.count(), NodeStateBroadcastRows)
       val j = edges
         .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
         .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
-      val dir = j.select(col("da").as("dx"), col("db").as("dy"))
-        .unionAll(j.select(col("db").as("dx"), col("da").as("dy")))
+      // both orientations fan out IN-ROW from one pass over j instead
+      // of a self-union that computed the join twice (r19, guide §2.4;
+      // the sums are order-free exact int64, so the multiset is what
+      // matters and it is identical)
+      val dir = j.select(explode(array(
+          struct(col("da").as("dx"), col("db").as("dy")),
+          struct(col("db").as("dx"), col("da").as("dy")))).as("p"))
+        .select(col("p.dx").as("dx"), col("p.dy").as("dy"))
       dir.agg(count(lit(1)).as("n"),
           sum("dx").as("sx"), sum("dy").as("sy"),
           sum(col("dx") * col("dy")).as("sxy"),
@@ -629,13 +699,21 @@ object Graph {
           .groupBy("node").agg(count(lit(1)).as("dg"))
         val keep = deg.filter(col("dg") >= KcoreK).select("node")
           .transform(snapshot)
+        // keep is node-sized: under the row guard both endpoint
+        // semi-filters broadcast it, so the edge frame never shuffles
+        // in a peel round — the only exchange left is the degree agg
+        // (r19, guide §3.1; the SMJ form exchanged e twice and keep
+        // twice per round). The count doubles as the row guard and as
+        // the round's n_nodes readout (same integer either way).
+        val nKeep = keep.count()
+        val bk = Q.guardedBroadcast(keep, nKeep, NodeStateBroadcastRows)
         e = e
-          .join(keep.withColumnRenamed("node", "a"), "a")
-          .join(keep.withColumnRenamed("node", "b"), "b")
+          .join(bk.withColumnRenamed("node", "a"), "a")
+          .join(bk.withColumnRenamed("node", "b"), "b")
           .select("a", "b").transform(snapshot)
-        keep.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-          .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .select(lit(i.toLong).as("round"), lit(nKeep).as("n_nodes"),
+            col("n_edges"))
       }
       rows.reduce(_.unionAll(_)).orderBy("round")
     },
@@ -838,16 +916,26 @@ object Graph {
         .transform(snapshot)
       var frontiers = List(seed)
       var frontier = seed
+      // same hop shape as q_graph_bfs (r19): the (sid, id) frontier and
+      // visited union are ≤ 5·|nodes| rows, so both broadcast under the
+      // row guard and the |edges| frame is never re-exchanged per hop
+      var frontierRows = seed.count()
+      var reachedRows = frontierRows
       var h = 1
-      while (h <= 3 && !frontier.isEmpty) {
-        val visited = frontiers.reduce(_ unionAll _).select("sid", "id")
-        val nxt = frontier.join(ed, frontier("id") === ed("src"))
+      while (h <= 3 && frontierRows > 0) {
+        val visited0 = frontiers.reduce(_ unionAll _).select("sid", "id")
+        val visited =
+          if (reachedRows <= NodeStateBroadcastRows) broadcast(visited0) else visited0
+        val bf = Q.guardedBroadcast(frontier, frontierRows, NodeStateBroadcastRows)
+        val nxt = ed.join(bf, ed("src") === bf("id"))
           .select(col("sid"), col("dst").as("id")).distinct()
           .join(visited, Seq("sid", "id"), "left_anti")
           .withColumn("depth", lit(h.toLong))
           .transform(snapshot)
         frontiers = nxt :: frontiers
         frontier = nxt
+        frontierRows = nxt.count()
+        reachedRows += frontierRows
         h += 1
       }
       frontiers.reduce(_ unionAll _)
@@ -912,9 +1000,21 @@ object Graph {
       var lab = ed.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
         .transform(snapshot)
+      // ONE count guards every round's broadcast hint (labels keep
+      // exactly one row per node). Round shape (r19, guide §3.1/§2.4):
+      // edges(BHJ over the broadcast labels) → repartition(nid) → both
+      // aggs ride that ONE exchange (HashPartitioning(nid) satisfies
+      // the (nid, lbl) clustering and the nid regroup), where the SMJ
+      // form exchanged edges + labels + (nid, lbl) + nid — measured
+      // 2.46 → 1.16 s for the three rounds at sf0.1. Identical integer
+      // counts and min_by decisions — order-free arithmetic.
+      val nNodes = lab.count()
       for (_ <- 1 to 3) {
-        lab = ed.join(lab, ed("src") === lab("id"))
-          .groupBy(ed("dst").as("nid"), col("lbl"))
+        val bl = Q.guardedBroadcast(lab, nNodes, NodeStateBroadcastRows)
+        lab = ed.join(bl, ed("src") === bl("id"))
+          .select(ed("dst").as("nid"), col("lbl"))
+          .repartition(col("nid"))
+          .groupBy(col("nid"), col("lbl"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("nid").as("id"))
           .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
@@ -995,10 +1095,26 @@ object Graph {
     * run over the 10-row frame only (rank 1 IS the global max). */
   private[graft] def hitsOf(pairsIn: DataFrame): DataFrame = {
     val pairs = snapshot(pairsIn)
+    // ONE scalar readout sizes both node domains; under the node-state
+    // bound every score frame broadcasts into its power-iteration join,
+    // so the pairs frame streams past a build each round instead of
+    // being re-exchanged (r19, guide §3.1 — the q_pagerank round
+    // shape). The hinted subtrees are (sk)/(pk)-keyed aggregates, which
+    // the broadcast-bound walk classifies as bounded; above the bound
+    // the hints drop and rounds degrade to the original shuffle joins.
+    val cnts = pairs.agg(countDistinct("pk"), countDistinct("sk")).head()
+    val hintP: DataFrame => DataFrame =
+      if (cnts.getLong(0) <= NodeStateBroadcastRows) broadcast else identity
+    val hintS: DataFrame => DataFrame =
+      if (cnts.getLong(1) <= NodeStateBroadcastRows) broadcast else identity
     val a1 = pairs.groupBy("sk").agg(count(lit(1)).as("v"))
-    val h1 = pairs.join(a1, "sk").groupBy("pk").agg(sum("v").as("v"))
-    val a2 = pairs.join(h1, "pk").groupBy("sk").agg(sum("v").as("v"))
-    val h2 = pairs.join(a2, "sk").groupBy("pk").agg(sum("v").as("v"))
+    val h1 = pairs.join(hintS(a1), "sk").groupBy("pk").agg(sum("v").as("v"))
+    // a2 feeds TWO consumers — h2's build AND the authority top-10 —
+    // so it is snapshotted; without it the whole a1→h1→a2 chain
+    // computed twice (r19, guide §2.4)
+    val a2 = Q.snapshot(
+      pairs.join(hintP(h1), "pk").groupBy("sk").agg(sum("v").as("v")))
+    val h2 = pairs.join(hintS(a2), "sk").groupBy("pk").agg(sum("v").as("v"))
     def top(df: DataFrame, key: String, pfx: String, side: String): DataFrame =
       df.orderBy(col("v").desc, col(key)).limit(10)
         .withColumn("rnk", row_number().over(Window.orderBy(col("v").desc, col(key))))
@@ -1096,9 +1212,22 @@ object Graph {
     * lets q_graph_clustering share one checkpointed edge list between
     * its degree table and the triangle census instead of re-deriving
     * the basket expansion twice. */
-  private[graft] def triangleCornersFrom(edges: DataFrame): DataFrame = {
-    val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+  private[graft] def triangleCornersFrom(edges: DataFrame): DataFrame =
+    triangleCornersFrom(edges,
+      Q.snapshot(edges.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))))
+
+  /** [[triangleCornersFrom]] with an ALREADY-snapshotted degree table
+    * (node, deg) — q_graph_clustering derives the same table for its
+    * readout, so it passes its snapshot in and the degree agg runs
+    * once per query, not twice. */
+  private[graft] def triangleCornersFrom(edges: DataFrame,
+                                         deg0: DataFrame): DataFrame = {
+    // the degree table feeds BOTH orientation joins: broadcast it
+    // under the node-state row guard, so the edge frame streams
+    // through both joins without an exchange and the degree agg runs
+    // once, not twice (r19, guide §3.1/§2.4)
+    val deg = Q.guardedBroadcast(deg0, deg0.count(), NodeStateBroadcastRows)
     // orient each edge from its (deg, id)-smaller endpoint; the packed
     // int64 key makes the orientation one scalar comparison and lets
     // the id be recovered with a single modulo at the end

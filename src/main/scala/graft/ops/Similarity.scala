@@ -844,8 +844,11 @@ object Similarity {
           col("r.doc.lang").as("lang"),
           col("r.doc.n_chars").as("n_chars"),
           col("r.emb.label").as("label"),
-          Q.r4(sqrt(expr(
-            "aggregate(zip_with(r.emb.de, r.emb.de, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")))
+          // native dot_product expression (r19): same bit-identical
+          // left-to-right double fold as the HOF form it replaces
+          // (ExpressionSpec pins parity), but codegen'd
+          Q.r4(sqrt(graft.functions.DotProduct.dot_product(
+            col("r.emb.de"), col("r.emb.de"))))
             .as("emb_norm"),
           substring(col("r.doc.text"), 1, 20).as("head20"))
         .orderBy("doc_id")
@@ -1325,9 +1328,11 @@ object Similarity {
             |            y -> struct(x.label AS la, y.label AS lb,
             |                        x.cv AS ca, y.cv AS cb))))""".stripMargin)).as("p"))
         .select(col("p.la").as("la"), col("p.lb").as("lb"),
-          Q.r4(expr("aggregate(zip_with(p.ca, p.cb, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
-            (sqrt(expr("aggregate(zip_with(p.ca, p.ca, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")) *
-             sqrt(expr("aggregate(zip_with(p.cb, p.cb, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))))
+          // native dot_product (r19): bit-identical to the HOF fold
+          // (same left-to-right double accumulation), codegen'd
+          Q.r4(graft.functions.DotProduct.dot_product(col("p.ca"), col("p.cb")) /
+            (sqrt(graft.functions.DotProduct.dot_product(col("p.ca"), col("p.ca"))) *
+             sqrt(graft.functions.DotProduct.dot_product(col("p.cb"), col("p.cb")))))
             .as("cos"))
         .orderBy("la", "lb")
     },

@@ -309,10 +309,21 @@ object TextPipeline {
   private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
       .withColumn("h0", md5(col("shingle").cast("binary")))
+    // min over the numeric value of each 4-hex-char slice, hex-encoded
+    // back after the agg (r19, guide §2.3/§4): fixed-length lowercase
+    // hex is order-isomorphic to its numeric value ('0'..'9' < 'a'..'f'
+    // in ASCII), so min(int(slice)) reconstructs exactly min(slice) —
+    // and the int agg buffer turns the string-buffered SortAggregate
+    // (TWO full sorts of the shingle stream, min(string) has no mutable
+    // hash buffer) into a HashAggregate with map-side partials whose
+    // shuffle carries 8 ints per doc.
     val mhAggs = (0 until 8).map { i =>
-      min(substring(col("h0"), i * 4 + 1, 4)).as(s"mh$i")
+      min(expr(s"conv(substring(h0, ${i * 4 + 1}, 4), 16, 10)").cast("int"))
+        .as(s"v$i")
     }
     sh.groupBy("doc_id", "lang").agg(mhAggs.head, mhAggs.tail: _*)
+      .select(col("doc_id") +: col("lang") +: (0 until 8).map(i =>
+        lpad(lower(hex(col(s"v$i"))), 4, "0").as(s"mh$i")): _*)
   }
 
   /** SimHash candidate pairs (d1 < d2, n_bands), Spark side of
@@ -363,6 +374,12 @@ object TextPipeline {
       struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}")).as("band_key"))
     }
+    // NOT snapshotted (r19, measured): the formatted plan shows the
+    // signature front duplicated across the self-join sides, but at
+    // runtime AQE reuses the min-agg exchange (ReusedExchange in the
+    // final plan), so only the cheap band explode re-runs — an eager
+    // snapshot was tried and measured SLOWER (materialization cost >
+    // the reused recompute).
     val bands = mh
       .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.band_key").as("band_key"))
@@ -462,6 +479,13 @@ object TextPipeline {
     var prev = checksum(labels)
     var converged = prev.isEmpty // no edges → nothing to propagate
     var round = 0
+    // The rounds deliberately stay SHUFFLE joins (r19, measured): a
+    // broadcast-hinted variant (labels build side under a row guard)
+    // was tried and measured +0.6-0.75 s SLOWER on every CC consumer
+    // at sf0.1 — the per-round broadcast build latency (collect +
+    // ship, twice per round) exceeds the cost of shuffling these
+    // node-sized frames, and the materialized snapshots make the
+    // shuffles cheap.
     while (!converged && round < maxRounds) {
       val viaEdge = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
@@ -670,6 +694,9 @@ object TextPipeline {
             concat_ws("|", slice(col("sig"), b * r + 1, r)).as("band_key"))
         }
       }
+      // NOT snapshotted (r19, measured): AQE reuses the signature-agg
+      // exchange across the self-join sides at runtime (the
+      // lshCandidatePairs finding), so only the band explode re-runs
       val bands = mh
         .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("bs"))
         .select(col("doc_id"), col("lang"), col("bs.nb").as("nb"),

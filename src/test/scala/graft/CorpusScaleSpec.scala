@@ -466,8 +466,9 @@ class CorpusScaleSpec extends SparkSpec {
     // (a per-lang all-pairs in disguise), and nothing in the overlap
     // composition may plan a cartesian.
     val d10 = synthDir(3000, hotPrefix = true)
-    val plan = SparkEntry.queries("q_capture_recapture")(spark, d10)
-      .queryExecution.executedPlan.toString
+    val qe = SparkEntry.queries("q_capture_recapture")(spark, d10)
+      .queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"candidate machinery degraded to an all-pairs join:\n$plan")
     // exactly the two scalar readout crosses (na×nb, ×nab — 1-row
@@ -476,7 +477,22 @@ class CorpusScaleSpec extends SparkSpec {
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2,
       s"$bnlj nested-loop joins — a capture list degraded from banded hash join:\n$plan")
-    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    // the capture lists are snapshotted (r19) so their banded joins run
+    // inside the snapshot materialization — resolve every LogicalRDD
+    // leaf back to its recorded origin plan (recursively: the band
+    // frames inside the lists are snapshots too) and pin the shape THERE
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.LogicalRDD
+    def expand(lp: LogicalPlan): Seq[LogicalPlan] = {
+      val origins = lp.collect { case r: LogicalRDD => r.rdd.id }
+        .flatMap(Q.snapshotOrigin(_).toSeq)
+      origins ++ origins.flatMap(expand)
+    }
+    val inner = expand(qe.analyzed).map(_.toString).mkString("\n")
+    assert(!inner.contains("Join Cross"),
+      s"a snapshotted capture list hides an all-pairs join:\n$inner")
+    val joinLines = (plan + "\n" + inner).linesIterator
+      .filter(_.contains("Join")).toSeq
     assert(joinLines.exists(_.contains("band_key")),
       s"minhash capture list lost its band_key equi-join:\n${joinLines.mkString("\n")}")
     assert(joinLines.exists(_.contains("bv")),
