@@ -179,7 +179,7 @@ object Similarity {
 
   /** Sub-vector explode: each 64-dim double vector → 4 subspace rows
     * (j ∈ 0..3, sv = dims j·16+1 .. j·16+16). */
-  private def pqSub(e: DataFrame): DataFrame = e
+  private[graft] def pqSub(e: DataFrame): DataFrame = e
     .select(col("vec_id"), col("de"), explode(expr("sequence(0, 3)")).as("j"))
     .select(col("vec_id"), col("j"), expr("slice(de, j*16 + 1, 16)").as("sv"))
 
@@ -198,7 +198,7 @@ object Similarity {
     * way. ‖c‖²/2 is precomputed per CODEBOOK row (cvv — 256 rows,
     * evaluated once in the broadcast build) instead of once per
     * (vector, code) pair: same double, half the per-pair dot work. */
-  private def pqAssign(src: DataFrame, cbk: DataFrame,
+  private[graft] def pqAssign(src: DataFrame, cbk: DataFrame,
                        carry: String = "sv"): DataFrame =
     src.join(broadcast(cbk.withColumn("cvv", dot("cv", "cv") / lit(2.0))), "j")
       .withColumn("sc6",
@@ -233,7 +233,7 @@ object Similarity {
     * recipe, init = the sub-vectors of vec_id 0..15) — the rounds
     * never scan the corpus, and the tiny training frame packs into one
     * partition so each round is real work, not 32 near-empty tasks. */
-  private def pqCodebook(sub: DataFrame, codes: Int): DataFrame = {
+  private[graft] def pqCodebook(sub: DataFrame, codes: Int): DataFrame = {
     // 4 partitions, not 1: at 64-entry codebooks the per-row work is
     // 4x the 16-entry case and a single-task Lloyd round was measured
     // at ~2 s/round on the training frame — 4 tasks keep each round
@@ -251,23 +251,99 @@ object Similarity {
     pqUpdate(pqAssign(train, c1))
   }
 
-  /** Corpus-wide PQ reconstruction (vec_id, qe): ONE assignment pass
-    * against the broadcast codebook, the winning codebook vector
-    * carried through the assignment's struct-max (r18 — the r17 shape
-    * re-joined the codebook on (j, code) after the assignment, a
-    * second broadcast join + per-row decode pass that measured ~2 s at
-    * sf0.1 for identical output), so the decode is one |vecs|-keyed
-    * collect. This is still the 16-bytes-per-vector layout a 100 TB
-    * store holds: the carry adds the winning cv only to the in-flight
-    * assignment rows, never to the stored index. */
-  private[graft] def pqReconstructed(e: DataFrame, codes: Int = 16): DataFrame = {
-    val sub = pqSub(e)
-    val c2 = pqCodebook(sub, codes)
-    pqAssign(sub, c2, carry = "cv")
-      .groupBy("vec_id")
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cv))), z -> z.cv))")
-        .as("qe"))
+  /** The trained codebook COLLECTED to the driver (≤ 4·codes rows — a
+    * fitted model exactly like KMeans' clusterCenters, never corpus
+    * data): per subspace j, the surviving cv rows in ascending code
+    * order plus their precomputed ‖cv‖²/2, folded LEFT-TO-RIGHT like
+    * the pqAssign broadcast build's `cvv` column for bit parity. */
+  private def pqCodebookLocal(sub: DataFrame, codes: Int)
+      : (Seq[Seq[Seq[Double]]], Seq[Seq[Double]]) = {
+    // ONE bounded collect, then the two Lloyd rounds run on the DRIVER
+    // (r19): the training sample is ≤ 1024 vectors BY CONSTRUCTION
+    // (the fixed vec_id cap — corpus-size-independent, ~600 KB), so
+    // this is O(1) model fitting on the driver — the KMeans
+    // clusterCenters precedent, NOT a corpus collect. The DataFrame
+    // round chain it replaces spent ~2 s at sf0.1 in ~10 single-task
+    // broadcast-build jobs (the scan is one parquet row group, so the
+    // rounds never parallelized anyway — pure scheduling latency).
+    // Arithmetic replicated exactly from pqAssign/pqUpdate (same
+    // left-to-right dot folds, same 1e-6 lattice floors, same int64
+    // member sums, same (sc6, −code) winner); [[pqCodebook]] remains
+    // the DataFrame reference implementation and TwinAndPropertySpec
+    // pins driver-trained ≡ DataFrame-trained end-to-end on the real
+    // corpus for both 16- and 64-entry books.
+    val train = sub.filter(col("vec_id") < 1024)
+      .select("vec_id", "j", "sv").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // c0: the sub-vectors of vec_id < codes, keyed (j, code = vec_id)
+    var cb: Seq[((Int, Long), Array[Double])] = train
+      .filter(_._1 < codes)
+      .map { case (vid, j, sv) => ((j, vid), sv) }
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to 2) {
+      val byJ = cb.groupBy(_._1._1).map { case (j, rows) =>
+        j -> rows.map { case ((_, code), cv) => (code, cv, dotLR(cv, cv) / 2.0) }
+      }
+      // per (j, code): int64 lattice sums of member components + count
+      val s6 = scala.collection.mutable.Map.empty[(Int, Long), (Array[Long], Long)]
+      train.foreach { case (_, j, sv) =>
+        byJ.get(j).foreach { rows =>
+          var best = -1L
+          var bestSc = Long.MinValue
+          rows.foreach { case (code, cv, cvv) =>
+            val sc6 = math.floor((dotLR(sv, cv) - cvv) * 1e6 + 0.5).toLong
+            if (sc6 > bestSc) { bestSc = sc6; best = code } // ties keep lowest code
+          }
+          val (sums, n) = s6.getOrElseUpdate((j, best), (new Array[Long](sv.length), 0L))
+          var p = 0
+          while (p < sv.length) {
+            sums(p) += math.floor(sv(p) * 1e6 + 0.5).toLong; p += 1
+          }
+          s6((j, best)) = (sums, n + 1)
+        }
+      }
+      cb = s6.toSeq.sortBy(_._1).map { case (key, (sums, n)) =>
+        key -> sums.map(s => math.floor(s.toDouble / n + 0.5) / 1e6)
+      }
+    }
+    val cvs = (0 to 3).map(j =>
+      cb.filter(_._1._1 == j).map(_._2.toIndexedSeq).toIndexedSeq)
+    val cvvs = cvs.map(_.map { cv =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+      acc / 2.0
+    })
+    (cvs, cvvs)
   }
+
+  /** Corpus-wide PQ reconstruction: `e` plus an in-row `qe` column.
+    * r19 (guide §1.2 step 1 / §2.4): the r18 shape still ran the encode
+    * as pqSub explode (×4 rows per vector) → broadcast-codebook join →
+    * struct-max argmax → groupBy(vec_id) collect — one corpus-sized
+    * exchange plus a per-vector collect_list, measured ~1.7-2.2 s of
+    * q_knn_ivfpq at sf0.1. The codebook is a trained MODEL of ≤ 4·codes
+    * rows, so it collects to the driver (the KMeans clusterCenters
+    * precedent) and the whole argmax runs as ONE codegen'd expression
+    * per row (functions.PqEncode — arithmetic replicated exactly,
+    * TwinAndPropertySpec pins old ≡ new on the real corpus). The
+    * codebook TRAINING still reads only the fixed vec_id < 1024 sample;
+    * the corpus-sized exchange and the 4× generate disappear. */
+  private[graft] def withPqReconstruction(e: DataFrame, codes: Int = 16): DataFrame = {
+    val (cvs, cvvs) = pqCodebookLocal(pqSub(e.select("vec_id", "de")), codes)
+    e.withColumn("qe",
+      graft.functions.PqEncode.pq_encode(col("de"), cvs, cvvs))
+  }
+
+  /** (vec_id, qe) view of [[withPqReconstruction]] — the r18 output
+    * contract, kept for the equivalence test. */
+  private[graft] def pqReconstructed(e: DataFrame, codes: Int = 16): DataFrame =
+    withPqReconstruction(e, codes).select("vec_id", "qe")
 
   /** q_knn_ivfpq's approximate path — the layout a production 100 TB
     * vector store actually deploys: IVF coarse cells bound WHICH
@@ -297,16 +373,18 @@ object Similarity {
     // 64-entry codebooks here (vs q_pq_recall's oracled 16): the
     // search path buys 4 more bits per subspace for ADC rank fidelity
     // on this worst-case near-uniform corpus
-    val qe = pqReconstructed(e.select("vec_id", "de"), codes = 64)
-      .withColumn("qnrm", sqrt(dot("qe", "qe")))
-    // model.transform(ef) already carries the raw embedding column —
-    // joining the corpus back to itself on vec_id only to re-fetch it
-    // was a full extra corpus exchange (r18); ONE vec_id join (the PQ
-    // codes) remains, exactly the index-build exchange the scale note
-    // above describes
+    val (cvs, cvvs) = pqCodebookLocal(pqSub(e.select("vec_id", "de")), codes = 64)
+    // the PQ encode is now an IN-ROW expression over the raw embedding
+    // column model.transform already carries (r19 — see
+    // withPqReconstruction): the r18 shape built a separate (vec_id,
+    // qe) frame and joined it back here, the one corpus-sized exchange
+    // of the index build. That exchange is gone; float input widens
+    // per element exactly as the de view did.
     val assigned = model.transform(ef)
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .join(qe, "vec_id")
+      .withColumn("qe",
+        graft.functions.PqEncode.pq_encode(col("embedding"), cvs, cvvs))
+      .withColumn("qnrm", sqrt(dot("qe", "qe")))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("de").as("pde"))
@@ -1540,7 +1618,9 @@ object Similarity {
         |FROM g
         |ORDER BY probe_id""".stripMargin) { (s, d) =>
       val e = widened(Tables.load(s, d, "embeddings")).select("vec_id", "de")
-      val n0 = e.join(pqReconstructed(e), "vec_id")
+      // qe is an in-row column now (r19, withPqReconstruction) — the
+      // r18 corpus self-join on vec_id is gone
+      val n0 = withPqReconstruction(e)
         .withColumn("nrm", sqrt(dot("de", "de")))
         .withColumn("qnrm", sqrt(dot("qe", "qe")))
       val probes = n0.filter(col("vec_id") < 10)

@@ -20,8 +20,16 @@ object R19IvfProbe {
     spark.range(200000).selectExpr("id % 10 AS k", "id * 1.0 AS v")
       .groupBy("k").sum("v").count()
     @volatile var jobs = 0
+    @volatile var stages = List.empty[String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = for { s <- si.submissionTime; c <- si.completionTime }
+          yield (c - s) / 1000.0
+        stages = f"  stage ${si.stageId}%4d tasks=${si.numTasks}%3d wall=${wall.getOrElse(-1.0)}%6.3f ${si.name.take(60)}" :: stages
+      }
     })
     def t[A](label: String)(f: => A): A = {
       val j0 = jobs
@@ -54,13 +62,20 @@ object R19IvfProbe {
       val e = graft.Tables.load(spark, d, "embeddings")
         .withColumn("de", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .select("vec_id", "embedding", "de")
-      val qe = graft.ops.Similarity.pqReconstructed(e.select("vec_id", "de"), codes = 64)
+      stages = Nil
+      val qe = t("codebook-train-collect") {
+        graft.ops.Similarity.pqReconstructed(e.select("vec_id", "de"), codes = 64)
+      }
+      stages.reverse.foreach(println)
       t("pqReconstructed-noop") {
         qe.write.format("noop").mode("overwrite").save()
       }
       val assigned = model.transform(ef).select(col("vec_id"), col("cell"))
       t("assign-noop") {
         assigned.write.format("noop").mode("overwrite").save()
+      }
+      t("full-minus-phases (shortlist)") {
+        graft.SparkEntry.queries("q_knn_ivfpq")(spark, d).count()
       }
     }
     spark.stop()

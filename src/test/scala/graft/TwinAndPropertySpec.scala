@@ -213,6 +213,52 @@ class TwinAndPropertySpec extends SparkSpec {
     assert(r.getDouble(3) === 12.0)
   }
 
+  test("pq_encode replicates the r18 explode+join+argmax PQ encode bit-for-bit") {
+    // r19: the corpus-wide PQ encode moved from pqSub explode →
+    // broadcast-codebook join → struct-max argmax → groupBy collect to
+    // ONE in-row expression over the driver-collected codebook
+    // (functions.PqEncode). Same rows, same qe arrays, element-for-
+    // element === on doubles (no tolerance) — or the ADC lattice floors
+    // could flip a shortlist rank. Both the 16- and 64-code books and
+    // both input dtypes (double view / raw float column) are pinned.
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("de", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select("vec_id", "embedding", "de")
+    for (codes <- Seq(16, 64)) {
+      val sub = ops.Similarity.pqSub(e.select("vec_id", "de"))
+      val c2 = ops.Similarity.pqCodebook(sub, codes)
+      val old = ops.Similarity.pqAssign(sub, c2, carry = "cv")
+        .groupBy("vec_id")
+        .agg(expr("flatten(transform(array_sort(collect_list(struct(j, cv))), z -> z.cv))")
+          .as("qe"))
+      val nu = ops.Similarity.pqReconstructed(e.select("vec_id", "de"), codes)
+      val joined = old.withColumnRenamed("qe", "qe_old").join(nu, "vec_id")
+      assert(joined.count() === e.count(), s"row sets differ at codes=$codes")
+      assert(joined.filter(
+        size(col("qe_old")) =!= size(col("qe")) ||
+          expr("exists(zip_with(qe_old, qe, (a, b) -> a <> b), x -> x)")).isEmpty,
+        s"qe arrays differ at codes=$codes")
+      // raw float input widens identically to the de view
+      val nuf = ops.Similarity.withPqReconstruction(e, codes)
+        .select(col("vec_id"), col("qe").as("qe_de"))
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      // (qe over de) vs (qe over float embedding) through the same codebook
+      val cbl = ops.Similarity.pqCodebook(ops.Similarity.pqSub(e.select("vec_id", "de")), codes)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2))
+      val cvs = (0 to 3).map(j => cbl.filter(_._1 == j).map(_._3.toIndexedSeq).toIndexedSeq)
+      val cvvs = cvs.map(_.map { cv =>
+        var acc = 0.0; var i = 0
+        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        acc / 2.0
+      })
+      assert(nuf
+        .withColumn("qe_f", graft.functions.PqEncode.pq_encode(col("embedding"), cvs, cvvs))
+        .filter(expr("exists(zip_with(qe_de, qe_f, (a, b) -> a <> b), x -> x)"))
+        .isEmpty, s"float-input qe differs at codes=$codes")
+    }
+  }
+
   test("char_trigram_tfs equals the HOF sort + run-length fold it replaced") {
     // r18: q_ppl_bucket's in-row trigram fold moved to the native
     // expression. Same sorted order (unsigned-byte UTF8String compare =
